@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated parquet testdata (TESTDATA.md).
+  *
+  * Every declared query receives `(spark, sfDir)` and reads tables through
+  * here so the parquet scan stays a plain `FileSourceScanExec` that Catalyst
+  * can push filters/projections into (verified via `.explain("formatted")`
+  * in the specs).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
+      // read natively. Read nanos as long, then floor-divide to micros —
+      // identical to DuckDB's nanos→micros truncation.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+}

@@ -1,0 +1,67 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column processing plumbing (SURVEY.md §2.5).
+  *
+  * Media payloads are opaque `binary` columns + typed metadata. The decode
+  * step is STUBBED (no image/audio codecs in this container) with a
+  * deterministic fake driven by the payload's md5 — but the Spark-side
+  * plumbing is real and is what matters at 100 TB: schema, partition-wise
+  * batched processing (`mapPartitions`, one decoder init per partition,
+  * never per row), and bounded per-record output (fixed-length feature
+  * vectors, frame samples capped).
+  */
+object MediaPipeline {
+
+  case class MediaRecord(media_id: Long, payload: Array[Byte], format: String)
+  case class MediaFeatures(
+      media_id: Long, format: String, n_bytes: Long,
+      width: Int, height: Int, features: Array[Float])
+
+  /** Deterministic stand-in for a real image decode: dimensions and a
+    * 16-dim feature vector derived from the payload hash. A production
+    * build swaps `decodeOne` for a codec call; nothing else changes. */
+  private[multimodal] def decodeOne(r: MediaRecord): MediaFeatures = {
+    val md = java.security.MessageDigest.getInstance("MD5").digest(r.payload)
+    def b(i: Int): Int = md(i) & 0xff
+    val feats = Array.tabulate(16)(i => (b(i) / 255.0f) - 0.5f)
+    MediaFeatures(r.media_id, r.format, r.payload.length.toLong,
+      width = 16 + b(0) % 1920, height = 16 + b(1) % 1080, features = feats)
+  }
+
+  /** Batched decode+featurize: partition-wise, decoder state initialized
+    * once per partition (the `mapPartitions` closure), rows streamed. */
+  def extractFeatures(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // real build: open codec context here, once per partition
+      it.map(decodeOne)
+    }
+  }
+
+  /** Frame sampling for video-like payloads: emit every `stride`-th chunk
+    * of the payload as a "frame" (bounded output per record). */
+  def sampleFrames(ds: Dataset[MediaRecord], stride: Int, maxFrames: Int)
+      : Dataset[(Long, Int, Array[Byte])] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { r =>
+      r.payload.grouped(math.max(1, stride)).zipWithIndex
+        .take(maxFrames)
+        .map { case (chunk, i) => (r.media_id, i, chunk) }
+    }
+  }
+
+  /** Adapt the documents table into a media-record shaped DataFrame —
+    * payload-agnostic plumbing exercised by tests and `mm_*` queries. */
+  def fromDocuments(spark: SparkSession, df: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    df.select($"doc_id".as("media_id"),
+        $"text".cast("binary").as("payload"),
+        when($"n_chars" % 3 === 0, "png")
+          .when($"n_chars" % 3 === 1, "jpeg")
+          .otherwise("webp").as("format"))
+      .as[MediaRecord]
+  }
+}

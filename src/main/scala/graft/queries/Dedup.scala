@@ -1,0 +1,195 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+
+/** Deduplication operators for a training-data pipeline (SURVEY.md §2.5):
+  * exact (hash group-by), word-shingle Jaccard, MinHash signatures,
+  * MinHash-LSH candidate pairs, and SimHash — all deterministic and
+  * oracle-checkable because `md5()` is bit-identical in Spark and DuckDB.
+  *
+  * Scale design: every variant is a shuffle-bounded groupBy/join on
+  * content-derived keys — no driver-side state, no O(n²) comparisons
+  * (LSH banding turns near-dup search into an equi-join on band keys,
+  * which at 100 TB is a plain shuffle join with skew handled by AQE).
+  */
+object Dedup {
+
+  /** Non-empty whitespace tokens of lower(text). */
+  private def toksCol: Column =
+    expr("filter(split(lower(text), '\\\\s+'), x -> x != '')")
+
+  /** Distinct word k-shingles per doc: (doc_id, shingle). */
+  private def shingles(s: SparkSession, d: String, k: Int): DataFrame = {
+    import s.implicits._
+    t(s, d, "documents")
+      .select($"doc_id", toksCol.as("toks"))
+      .filter(size($"toks") >= k)
+      .select($"doc_id", explode(expr(
+        s"transform(sequence(1, size(toks) - ${k - 1})," +
+          s" i -> array_join(slice(toks, i, $k), ' '))")).as("shingle"))
+      .distinct()
+  }
+
+  /** k=6 MinHash signatures: sig_i = min over shingles of md5(i || shingle)
+    * — lexicographic min over a salted hash is a valid min-hash family and
+    * is portable to the SQL oracle. */
+  private def minhashSigs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sigs = (1 to 6).map(i =>
+      min(md5(concat(lit(i.toString), $"shingle").cast("binary"))).as(s"h$i"))
+    shingles(s, d, 3)
+      .groupBy($"doc_id")
+      .agg(sigs.head, sigs.tail: _*)
+  }
+
+  private def shinglesSql(k: Int, alias: String): String = {
+    val cat = (0 until k).map(j => s"toks[i + $j]").mkString(" || ' ' || ")
+    s"""$alias AS (
+       |  SELECT DISTINCT doc_id, $cat AS shingle
+       |  FROM (SELECT doc_id,
+       |          list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |                      x -> x <> '') AS toks
+       |        FROM documents),
+       |       unnest(generate_series(1, len(toks) - ${k - 1})) AS t(i)
+       |  WHERE len(toks) >= $k)""".stripMargin
+  }
+
+  private val sigSql: String =
+    s"""WITH ${shinglesSql(3, "sh")},
+       |sig AS (
+       |  SELECT doc_id,
+       |    ${(1 to 6).map(i => s"MIN(md5('$i' || shingle)) AS h$i").mkString(",\n    ")}
+       |  FROM sh GROUP BY doc_id)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: content-hash groupBy, keep the smallest doc_id.
+    "dedup_exact" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .groupBy(md5($"text".cast("binary")).as("fp"))
+        .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .select($"keep_id", $"fp", $"n_copies")
+        .orderBy($"keep_id")
+    }),
+
+    // Word-5-gram Jaccard candidates: docs sharing ≥1 shingle, with the
+    // exact n-gram Jaccard similarity. Shingle equi-join, no cross join.
+    "dedup_jaccard_pairs" -> ((s, d) => {
+      import s.implicits._
+      val sh = shingles(s, d, 5).cache()
+      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val pairs = sh.as("a").join(sh.as("b"),
+          $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+      pairs
+        .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
+        .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
+        .select($"doc_a", $"doc_b", $"shared",
+          round($"shared".cast("double") / ($"na" + $"nb" - $"shared"), 4).as("jacc"))
+        .orderBy($"doc_a", $"doc_b")
+    }),
+
+    // MinHash signature table (k=6 salted-md5 min-hashes over 3-shingles).
+    "dedup_minhash_sigs" -> ((s, d) => {
+      import s.implicits._
+      minhashSigs(s, d).orderBy($"doc_id")
+    }),
+
+    // MinHash-LSH: 3 bands × 2 rows; candidate pairs share any band key.
+    // This is the 100 TB-scale near-dup path: band-key equi-join instead
+    // of any pairwise comparison.
+    "dedup_lsh_pairs" -> ((s, d) => {
+      import s.implicits._
+      val sig = minhashSigs(s, d)
+      val bands = sig.select($"doc_id", posexplode(array(
+        md5(concat($"h1", $"h2").cast("binary")),
+        md5(concat($"h3", $"h4").cast("binary")),
+        md5(concat($"h5", $"h6").cast("binary")))))
+        .toDF("doc_id", "band_i", "band_key")
+      bands.as("a").join(bands.as("b"),
+          $"a.band_key" === $"b.band_key" && $"a.band_i" === $"b.band_i" &&
+            $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+        .distinct()
+        .orderBy($"doc_a", $"doc_b")
+    }),
+
+    // 16-bit SimHash from per-token md5 hex digits: bit_j set iff the
+    // signed sum over distinct tokens of (digit_j >= 8 ? +1 : -1) is >= 0.
+    "dedup_simhash" -> ((s, d) => {
+      import s.implicits._
+      val toks = t(s, d, "documents")
+        .select($"doc_id", explode(toksCol).as("tok"))
+        .distinct()
+        .withColumn("m", md5($"tok".cast("binary")))
+      toks
+        .select($"doc_id", explode(expr("sequence(1, 16)")).as("j"), $"m")
+        .withColumn("bit",
+          when(expr("conv(substring(m, j, 1), 16, 10)").cast("int") >= 8, 1)
+            .otherwise(-1))
+        .groupBy($"doc_id", $"j").agg(sum($"bit").as("sgn"))
+        .groupBy($"doc_id")
+        .agg(sum(when($"sgn" >= 0, expr("cast(shiftleft(1, j - 1) as bigint)"))
+          .otherwise(0L)).as("simhash"))
+        .orderBy($"doc_id")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT MIN(doc_id) AS keep_id, md5(text) AS fp, COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    "dedup_jaccard_pairs" ->
+      s"""WITH ${shinglesSql(5, "sh")},
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, shared,
+         |  ROUND(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 4) AS jacc
+         |FROM pairs
+         |JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_minhash_sigs" ->
+      s"""$sigSql
+         |SELECT doc_id, h1, h2, h3, h4, h5, h6 FROM sig ORDER BY doc_id""".stripMargin,
+
+    "dedup_lsh_pairs" ->
+      s"""$sigSql,
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_i, md5(h1 || h2) AS band_key FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 1, md5(h3 || h4) FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 2, md5(h5 || h6) FROM sig)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a
+         |JOIN bands b ON a.band_key = b.band_key AND a.band_i = b.band_i
+         |             AND a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_simhash" ->
+      """WITH tk AS (
+        |  SELECT DISTINCT doc_id, tok
+        |  FROM (SELECT doc_id,
+        |          unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        |        FROM documents) WHERE tok <> ''),
+        |bits AS (
+        |  SELECT doc_id, j,
+        |    SUM(CASE WHEN strpos('0123456789abcdef',
+        |                         substring(md5(tok), j, 1)) - 1 >= 8
+        |             THEN 1 ELSE -1 END) AS sgn
+        |  FROM tk, unnest(generate_series(1, 16)) AS t(j)
+        |  GROUP BY doc_id, j)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN sgn >= 0 THEN (1::BIGINT << (j - 1)) ELSE 0 END)
+        |       AS BIGINT) AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,183 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables.t
+
+/** The log_analyzer plugin family (SURVEY.md §2.3 L1-L9) on the `events`
+  * table: group-counts (L7, `log_analyzer.go:58-79`), exact distinct (L8,
+  * `:81-82`), deterministic top-k (L9, `:84-122` with the tie-break pinned
+  * to count DESC / key ASC per SURVEY §7.4), plus the JSON-extraction,
+  * sessionization, and batch tumbling-window extensions (SURVEY §2.5).
+  *
+  * `log_urls` reconstructs the reference's URL-normalization chain
+  * (L2-L6, `log_analyzer.go:21-47`) over a deterministically synthesized
+  * URL column so the regex operators run under the DuckDB oracle contract.
+  */
+object EventsLog {
+
+  private def propsK(c: org.apache.spark.sql.Column) =
+    get_json_object(c, "$.k").cast("long")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // L7: group-count + decimal value sum per event_type.
+    "log_counts_by_type" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "events")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast(DecimalType(18, 2))).cast("double").as("total_value"))
+        .orderBy($"event_type")
+    }),
+
+    // L8: exact distinct users per event_type.
+    "log_distinct_users" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "events")
+        .groupBy($"event_type")
+        .agg(countDistinct($"user_id").as("n_users"))
+        .orderBy($"event_type")
+    }),
+
+    // L9: top-10 users by activity, tie-break (n DESC, user ASC).
+    "log_topk_users" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "events")
+        .groupBy($"user_id").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("user_id"))
+        .limit(10)
+    }),
+
+    // JSON scalar extraction (§2.5) + aggregation.
+    "log_json_stats" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "events")
+        .select($"event_type", propsK($"props").as("k"))
+        .groupBy($"event_type")
+        .agg(sum($"k").as("sum_k"), max($"k").as("max_k"), min($"k").as("min_k"))
+        .orderBy($"event_type")
+    }),
+
+    // Batch tumbling-window aggregate (§2.5): events per hour.
+    "log_hourly" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "events")
+        .groupBy(date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:00").as("hour"))
+        .agg(count(lit(1)).as("n"), countDistinct($"user_id").as("n_users"))
+        .orderBy($"hour")
+    }),
+
+    // Sessionization: a >30 min gap starts a new session (lag window).
+    "log_sessions" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+      t(s, d, "events")
+        .withColumn("prev", lag($"ts", 1).over(w))
+        // exact integer microseconds on both engines (unix_micros ≙ epoch_us)
+        .withColumn("new_s",
+          when($"prev".isNull ||
+            (unix_micros($"ts") - unix_micros($"prev")) > 1800000000L, 1L)
+            .otherwise(0L))
+        .groupBy($"user_id")
+        .agg(sum($"new_s").as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy($"user_id")
+    }),
+
+    // L2-L6 URL-normalization chain over a synthesized URL, then the L7
+    // domain group-count. Covers: scheme strip, domain/path split,
+    // subdomain strip, numeric-host port strip, query/fragment strip.
+    "log_urls" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "events")
+        .withColumn("url",
+          when($"user_id" % 7 === 0,
+            concat(lit("http://10.0.0."), ($"user_id" % 256).cast("string"),
+              lit(":8080/p/"), $"event_id".cast("string")))
+            .otherwise(concat(
+              lit("https://"), $"event_type", lit(".site"),
+              ($"user_id" % 5).cast("string"),
+              lit(".example.com/p/"), $"event_id".cast("string"),
+              when($"event_id" % 3 === 0, lit("?ref=x")).otherwise(lit("")))))
+        .withColumn("noscheme", regexp_replace($"url", "^https?://", ""))       // L2
+        .withColumn("domain0", substring_index($"noscheme", "/", 1))            // L3
+        .withColumn("path0",
+          regexp_replace($"noscheme", "^[^/]*", ""))                            // L3
+        .withColumn("domain",
+          when($"domain0".rlike("^[0-9]"),
+            regexp_replace($"domain0", ":[0-9]*$", ""))                         // L5
+            .otherwise(
+              when(size(split($"domain0", "\\.")) > 2,
+                regexp_replace($"domain0", "^[^.]*\\.", ""))                    // L4
+                .otherwise($"domain0")))
+        .withColumn("path", regexp_replace($"path0", "[#?].*$", ""))            // L6
+        .groupBy($"domain")
+        .agg(count(lit(1)).as("n"), countDistinct($"path").as("n_paths"))
+        .orderBy($"domain")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "log_counts_by_type" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "log_distinct_users" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "log_topk_users" ->
+      """SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+        |ORDER BY n DESC, user_id LIMIT 10""".stripMargin,
+
+    "log_json_stats" ->
+      """SELECT event_type,
+        | CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+        | MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k,
+        | MIN(CAST(props->>'$.k' AS BIGINT)) AS min_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "log_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+        | COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY hour ORDER BY hour""".stripMargin,
+
+    "log_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM (SELECT user_id, ts,
+        |          LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |        FROM events))
+        |SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "log_urls" ->
+      """WITH u AS (
+        |  SELECT CASE WHEN user_id % 7 = 0
+        |    THEN 'http://10.0.0.' || (user_id % 256) || ':8080/p/' || event_id
+        |    ELSE 'https://' || event_type || '.site' || (user_id % 5) ||
+        |         '.example.com/p/' || event_id ||
+        |         (CASE WHEN event_id % 3 = 0 THEN '?ref=x' ELSE '' END)
+        |    END AS url
+        |  FROM events),
+        |n AS (SELECT regexp_replace(url, '^https?://', '') AS noscheme FROM u),
+        |p AS (
+        |  SELECT split_part(noscheme, '/', 1) AS domain0,
+        |    regexp_replace(noscheme, '^[^/]*', '') AS path0
+        |  FROM n),
+        |f AS (
+        |  SELECT CASE
+        |    WHEN regexp_matches(domain0, '^[0-9]')
+        |      THEN regexp_replace(domain0, ':[0-9]*$', '')
+        |    WHEN len(string_split(domain0, '.')) > 2
+        |      THEN regexp_replace(domain0, '^[^.]*\.', '')
+        |    ELSE domain0 END AS domain,
+        |    regexp_replace(path0, '[#?].*$', '') AS path
+        |  FROM p)
+        |SELECT domain, COUNT(*) AS n, COUNT(DISTINCT path) AS n_paths
+        |FROM f GROUP BY domain ORDER BY domain""".stripMargin)
+}

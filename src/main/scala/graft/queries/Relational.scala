@@ -1,0 +1,319 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables.t
+
+/** Relational operator inventory over the TPC-H-ish star schema
+  * (SURVEY.md §2.4): filters, projections, partial+final aggregation,
+  * equi/broadcast/semi/anti joins, distinct, rollup/grouping-sets,
+  * window functions, set ops, top-k.
+  *
+  * Determinism contract (SURVEY.md §7.4): every query ends in a total
+  * ORDER BY; money sums go through DECIMAL (associative, partitioning-
+  * independent — a double sum would depend on shuffle order at 100 TB)
+  * and are emitted as DOUBLE cast from that exact decimal.
+  */
+object Relational {
+
+  // sum(CAST(x AS DECIMAL(18,2))) — exact & associative, then one cast out.
+  private def dsum(c: org.apache.spark.sql.Column, scale: Int = 2) =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-style pricing summary: scan-filter + 2-phase hash agg.
+    "q1_pricing_summary" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .filter($"l_shipdate" <= lit("1999-12-01").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          dsum($"l_quantity").as("sum_qty"),
+          dsum($"l_extendedprice").as("sum_base_price"),
+          dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
+    // TPC-H Q3-style: 3-way join (broadcastable dim side), agg, top-k.
+    "q3_top_orders" -> ((s, d) => {
+      import s.implicits._
+      val cust  = t(s, d, "customer").filter($"c_mktsegment" === "BUILDING")
+      val ord   = t(s, d, "orders").filter($"o_orderdate" < lit("2000-01-01").cast("timestamp"))
+      val li    = t(s, d, "lineitem").filter($"l_shipdate" > lit("2000-01-01").cast("timestamp"))
+      li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+        .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("revenue"))
+        .select($"l_orderkey", $"revenue",
+          date_format($"o_orderdate", "yyyy-MM-dd").as("o_date"), $"o_orderpriority")
+        .orderBy(desc("revenue"), asc("o_date"), asc("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5-style: 5-way join with broadcast dims, per-nation revenue.
+    "q5_nation_revenue" -> ((s, d) => {
+      import s.implicits._
+      val li  = t(s, d, "lineitem")
+      val ord = t(s, d, "orders")
+      val cst = t(s, d, "customer")
+      val sup = t(s, d, "supplier")
+      val nat = t(s, d, "nation")
+      val reg = t(s, d, "region")
+      li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(cst, $"o_custkey" === $"c_custkey")
+        .join(broadcast(sup),
+          $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+        .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"n_name")
+        .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"n_name")
+    }),
+
+    // Left-semi join ≙ EXISTS.
+    "q_semi_orders" -> ((s, d) => {
+      import s.implicits._
+      val big = t(s, d, "lineitem").filter($"l_quantity" > 45)
+      t(s, d, "orders")
+        .join(big, $"o_orderkey" === $"l_orderkey", "left_semi")
+        .select($"o_orderkey")
+        .orderBy($"o_orderkey")
+    }),
+
+    // Left-anti join ≙ NOT EXISTS.
+    "q_anti_customers" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    }),
+
+    // Top-k after join+agg (TakeOrderedAndProject).
+    "q_topk_customers" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "orders")
+        .join(t(s, d, "customer"), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_custkey", $"c_name")
+        .agg(dsum($"o_totalprice").as("total_spend"), count(lit(1)).as("n_orders"))
+        .orderBy(desc("total_spend"), asc("c_custkey"))
+        .limit(10)
+    }),
+
+    // ROLLUP (partial-agg friendly; L7 generalization).
+    "q_rollup_orders" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "orders")
+        .rollup($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+    }),
+
+    // GROUPING SETS — the reference's log_analyzer computes three
+    // group-counts in one pass (L7); grouping sets is the relational form.
+    "q_grouping_sets" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "orders")
+        .groupingSets(
+          Seq(Seq($"o_orderstatus"), Seq($"o_orderpriority"), Seq()),
+          $"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"), asc("n"))
+    }),
+
+    // Window: top-3 orders per customer (row_number, total tie-break).
+    "q_window_top3" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"o_custkey", $"o_orderkey", $"rn")
+        .orderBy($"o_custkey", $"rn")
+    }),
+
+    // Window: running per-customer spend (decimal frame sum — exact).
+    "q_window_running" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "orders")
+        .withColumn("running",
+          sum($"o_totalprice".cast(DecimalType(18, 2))).over(w).cast("double"))
+        .select($"o_custkey", $"o_orderkey", $"running")
+        .orderBy($"o_custkey", $"o_orderkey")
+    }),
+
+    // Exact distinct (L8) per group.
+    "q_distinct_parts" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(countDistinct($"l_partkey").as("n_parts"),
+          countDistinct($"l_suppkey").as("n_supps"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // Set ops: INTERSECT / EXCEPT / UNION (distinct semantics).
+    "q_intersect_nations" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "customer").select($"c_nationkey".as("nk"))
+        .intersect(t(s, d, "supplier").select($"s_nationkey".as("nk")))
+        .orderBy($"nk")
+    }),
+    "q_except_nations" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "customer").select($"c_nationkey".as("nk"))
+        .except(t(s, d, "supplier").select($"s_nationkey".as("nk")))
+        .orderBy($"nk")
+    }),
+    "q_union_nations" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "customer").select($"c_nationkey".as("nk"))
+        .union(t(s, d, "supplier").select($"s_nationkey".as("nk")))
+        .distinct()
+        .orderBy($"nk")
+    }),
+
+    // HAVING-style post-agg filter.
+    "q_agg_having" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .groupBy($"l_orderkey")
+        .agg(count(lit(1)).as("n_lines"), dsum($"l_quantity").as("sum_qty"))
+        .filter($"n_lines" >= 5)
+        .orderBy($"l_orderkey")
+    }),
+
+    // String/case projection over part.
+    "q_part_brand_stats" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "part")
+        .groupBy($"p_brand")
+        .agg(count(lit(1)).as("n"),
+          min($"p_size").as("min_size"),
+          max($"p_size").as("max_size"),
+          countDistinct($"p_type").as("n_types"))
+        .orderBy($"p_brand")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        | COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-12-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_top_orders" ->
+      """SELECT l_orderkey,
+        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        | strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_orderpriority
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '2000-01-01'
+        |  AND l_shipdate > TIMESTAMP '2000-01-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_date, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_nation_revenue" ->
+      """SELECT n_name,
+        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_semi_orders" ->
+      """SELECT o_orderkey FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_anti_customers" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_topk_customers" ->
+      """SELECT c_custkey, c_name,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+        | COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY total_spend DESC, c_custkey LIMIT 10""".stripMargin,
+
+    "q_rollup_orders" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST, n""".stripMargin,
+
+    "q_window_top3" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_distinct_parts" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        | COUNT(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_intersect_nations" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |INTERSECT SELECT s_nationkey AS nk FROM supplier
+        |ORDER BY nk""".stripMargin,
+
+    "q_except_nations" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |EXCEPT SELECT s_nationkey AS nk FROM supplier
+        |ORDER BY nk""".stripMargin,
+
+    "q_union_nations" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |UNION SELECT s_nationkey AS nk FROM supplier
+        |ORDER BY nk""".stripMargin,
+
+    "q_agg_having" ->
+      """SELECT l_orderkey, COUNT(*) AS n_lines,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) >= 5
+        |ORDER BY l_orderkey""".stripMargin,
+
+    "q_part_brand_stats" ->
+      """SELECT p_brand, COUNT(*) AS n, MIN(p_size) AS min_size,
+        | MAX(p_size) AS max_size, COUNT(DISTINCT p_type) AS n_types
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+}

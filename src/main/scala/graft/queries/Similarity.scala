@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+
+/** Similarity search over the `embeddings.embedding` array<float> column
+  * (SURVEY.md §2.5): brute-force cosine top-k as the correctness baseline
+  * and an IVF-style assignment as the bucketing step of the 100 TB scale
+  * path.
+  *
+  * Numeric parity: both engines fold the dot product over DOUBLE in index
+  * order; outputs are rounded (4-6 dp) and ordered with vec_id tie-breaks
+  * so last-ulp summation differences cannot change the result set.
+  *
+  * All expressions are built-in higher-order functions (`zip_with` +
+  * `aggregate`), so scan-score-topk stays in one codegen'd stage with
+  * `TakeOrderedAndProject` for the top-k; the query/centroid side is a
+  * broadcast — the big side never shuffles.
+  */
+object Similarity {
+
+  /** Sequential-fold cosine between two array<double> columns. */
+  private def cosine(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") /
+      (sqrt(expr(s"aggregate($a, 0D, (acc, x) -> acc + x * x)")) *
+        sqrt(expr(s"aggregate($b, 0D, (acc, x) -> acc + x * x)")))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Brute-force cosine top-20 neighbors of vec_id = 0.
+    "sim_cosine_topk" -> ((s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val q = emb.filter($"vec_id" === 0).select($"v".as("q"))
+      emb.filter($"vec_id" =!= 0)
+        .crossJoin(broadcast(q))
+        .select($"vec_id", round(cosine("v", "q"), 4).as("cos_sim"))
+        .orderBy(desc("cos_sim"), asc("vec_id"))
+        .limit(20)
+    }),
+
+    // IVF assignment: nearest of 8 "centroids" (vec_id < 8) per vector —
+    // broadcast centroids; row_number picks the argmax deterministically.
+    "sim_ivf_assign" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val emb = t(s, d, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val cents = emb.filter($"vec_id" < 8)
+        .select($"vec_id".as("cent_id"), $"v".as("c"))
+      val w = Window.partitionBy($"vec_id").orderBy(desc("sim"), asc("cent_id"))
+      emb.crossJoin(broadcast(cents))
+        .select($"vec_id", $"cent_id", round(cosine("v", "c"), 4).as("sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"vec_id", $"cent_id", $"sim")
+        .orderBy($"vec_id")
+    }),
+
+    // Per-label mean-vector norm: elementwise sums via posexplode +
+    // groupBy(label, dim) — fully distributed, no collect_list state.
+    "sim_label_centroids" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "embeddings")
+        .select($"label", $"vec_id",
+          posexplode($"embedding".cast("array<double>")))
+        .toDF("label", "vec_id", "i", "a")
+        .groupBy($"label", $"i")
+        .agg(sum($"a").as("sa"), countDistinct($"vec_id").as("nv"))
+        .groupBy($"label")
+        .agg(max($"nv").as("n"),
+          round(sqrt(sum($"sa" * $"sa")) / max($"nv"), 6).as("mean_norm"))
+        .orderBy($"label")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "sim_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |           FROM embeddings WHERE vec_id <> 0),
+        |q AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0),
+        |s AS (
+        |  SELECT vec_id,
+        |    list_sum(list_transform(list_zip(v, q), x -> x[1] * x[2])) AS dot,
+        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS na,
+        |    sqrt(list_sum(list_transform(q, x -> x * x))) AS nb
+        |  FROM e, q)
+        |SELECT vec_id, ROUND(dot / (na * nb), 4) AS cos_sim
+        |FROM s ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
+
+    "sim_ivf_assign" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
+        |      FROM embeddings WHERE vec_id < 8),
+        |s AS (
+        |  SELECT vec_id, cent_id,
+        |    ROUND(list_sum(list_transform(list_zip(v, cv), x -> x[1] * x[2])) /
+        |      (sqrt(list_sum(list_transform(v, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(cv, x -> x * x)))), 4) AS sim
+        |  FROM e, c),
+        |r AS (SELECT vec_id, cent_id, sim,
+        |        ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                           ORDER BY sim DESC, cent_id) AS rn
+        |      FROM s)
+        |SELECT vec_id, cent_id, sim FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "sim_label_centroids" ->
+      """WITH ex AS (
+        |  SELECT label, vec_id, i, v[i] AS a
+        |  FROM (SELECT label, vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |       unnest(generate_series(1, len(v))) AS u(i)),
+        |sums AS (
+        |  SELECT label, i, SUM(a) AS sa, COUNT(DISTINCT vec_id) AS nv
+        |  FROM ex GROUP BY label, i)
+        |SELECT label, CAST(MAX(nv) AS BIGINT) AS n,
+        |  ROUND(sqrt(SUM(sa * sa)) / MAX(nv), 6) AS mean_norm
+        |FROM sums GROUP BY label ORDER BY label""".stripMargin)
+}

@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+
+/** Text-analysis operators for a training-data pipeline (SURVEY.md §2.5):
+  * language-ID (stopword-profile heuristic), quality scoring, token
+  * counting (whitespace + BPE-ish regex), and document fingerprinting.
+  * All scalar work is built-in codegen'd expressions; per-doc aggregation
+  * is a standard 2-phase hash agg keyed on doc_id.
+  */
+object TextAnalysis {
+
+  private val stopEn = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  private val stopDe = Seq("der", "die", "das", "und", "ist", "ein", "zu", "mit")
+  private val stopEs = Seq("el", "la", "de", "y", "que", "en", "un", "es")
+  private val stopFr = Seq("le", "les", "des", "et", "un", "une", "est", "pour")
+
+  private def inList(c: org.apache.spark.sql.Column, ws: Seq[String]) =
+    c.isin(ws: _*)
+
+  private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Quality scoring: token count, type-token ratio, stopword ratio,
+    // mean token length — ratios as rounded doubles (identical operands
+    // on both engines ⇒ identical division results).
+    "text_quality" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .select($"doc_id", explode(split(lower($"text"), "\\s+")).as("tok"))
+        .filter($"tok" =!= "")
+        .groupBy($"doc_id")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          countDistinct($"tok").as("n_types"),
+          sum(length($"tok")).as("n_chars_tok"),
+          sum(when(inList($"tok", stopEn), 1L).otherwise(0L)).as("n_stop"))
+        .select($"doc_id", $"n_tokens", $"n_types",
+          round($"n_types".cast("double") / $"n_tokens", 4).as("ttr"),
+          round($"n_stop".cast("double") / $"n_tokens", 4).as("stop_ratio"),
+          round($"n_chars_tok".cast("double") / $"n_tokens", 4).as("avg_tok_len"))
+        .orderBy($"doc_id")
+    }),
+
+    // Language-ID: argmax of per-language stopword hits, ties broken
+    // alphabetically (de < en < es < fr < zh).
+    "text_langid" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .select($"doc_id", explode(split(lower($"text"), "\\s+")).as("tok"))
+        .filter($"tok" =!= "")
+        .groupBy($"doc_id")
+        .agg(
+          sum(when(inList($"tok", stopEn), 1L).otherwise(0L)).as("s_en"),
+          sum(when(inList($"tok", stopDe), 1L).otherwise(0L)).as("s_de"),
+          sum(when(inList($"tok", stopEs), 1L).otherwise(0L)).as("s_es"),
+          sum(when(inList($"tok", stopFr), 1L).otherwise(0L)).as("s_fr"))
+        .select($"doc_id",
+          when($"s_de" >= $"s_en" && $"s_de" >= $"s_es" && $"s_de" >= $"s_fr", "de")
+            .when($"s_en" >= $"s_es" && $"s_en" >= $"s_fr", "en")
+            .when($"s_es" >= $"s_fr", "es")
+            .otherwise("fr").as("pred_lang"),
+          $"s_en", $"s_de", $"s_es", $"s_fr")
+        .orderBy($"doc_id")
+    }),
+
+    // Token counting two ways: whitespace words vs BPE-ish regex pieces
+    // (letter runs / digit runs / single other non-space chars).
+    "text_token_counts" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .select($"doc_id",
+          size(expr("filter(split(lower(text), '\\\\s+'), x -> x != '')"))
+            .cast("long").as("n_ws_tokens"),
+          size(regexp_extract_all(lower($"text"),
+            lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+            .cast("long").as("n_bpe_pieces"),
+          $"n_chars")
+        .orderBy($"doc_id")
+    }),
+
+    // Content-defined fingerprint: md5 over the sorted distinct token set
+    // (order-insensitive canonical form — robust to shuffling).
+    "text_fingerprint" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .select($"doc_id",
+          md5(array_join(array_sort(array_distinct(
+            expr("filter(split(lower(text), '\\\\s+'), x -> x != '')"))), " ")
+            .cast("binary")).as("fp"))
+        .orderBy($"doc_id")
+    }))
+
+  private val tokCte =
+    """tk AS (
+      |  SELECT doc_id, tok
+      |  FROM (SELECT doc_id,
+      |          unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+      |        FROM documents) WHERE tok <> '')""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "text_quality" ->
+      s"""WITH $tokCte
+         |SELECT doc_id, COUNT(*) AS n_tokens,
+         |  COUNT(DISTINCT tok) AS n_types,
+         |  ROUND(CAST(COUNT(DISTINCT tok) AS DOUBLE) / COUNT(*), 4) AS ttr,
+         |  ROUND(CAST(SUM(CASE WHEN tok IN (${sqlList(stopEn)})
+         |                      THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4)
+         |    AS stop_ratio,
+         |  ROUND(CAST(SUM(len(tok)) AS DOUBLE) / COUNT(*), 4) AS avg_tok_len
+         |FROM tk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_langid" ->
+      s"""WITH $tokCte,
+         |sc AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(CASE WHEN tok IN (${sqlList(stopEn)}) THEN 1 ELSE 0 END) AS BIGINT) AS s_en,
+         |    CAST(SUM(CASE WHEN tok IN (${sqlList(stopDe)}) THEN 1 ELSE 0 END) AS BIGINT) AS s_de,
+         |    CAST(SUM(CASE WHEN tok IN (${sqlList(stopEs)}) THEN 1 ELSE 0 END) AS BIGINT) AS s_es,
+         |    CAST(SUM(CASE WHEN tok IN (${sqlList(stopFr)}) THEN 1 ELSE 0 END) AS BIGINT) AS s_fr
+         |  FROM tk GROUP BY doc_id)
+         |SELECT doc_id,
+         |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |       WHEN s_es >= s_fr THEN 'es'
+         |       ELSE 'fr' END AS pred_lang,
+         |  s_en, s_de, s_es, s_fr
+         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "text_token_counts" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                       x -> x <> '')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+        |       AS BIGINT) AS n_bpe_pieces,
+        |  n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                x -> x <> ''))), ' ')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

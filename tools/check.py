@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate: run each oracle SQL
+in DuckDB against the same parquet tables and compare with the Verify
+parquet dumps (columns sorted by name, exact value compare).
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
+"""
+import sys, json, math, glob
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.reset_index(drop=True)
+
+
+def cell_eq(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+    except (TypeError, ValueError):
+        pass
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            fa, fb = float(a), float(b)
+        except (TypeError, ValueError):
+            return False
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        return fa == fb
+    if isinstance(a, (int,)) and isinstance(b, (int,)):
+        return a == b
+    return str(a) == str(b)
+
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name in sorted(oracle):
+        if only and name not in only:
+            continue
+        sql = oracle[name]
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_bad += 1
+            continue
+        got = norm(pd.concat([pd.read_parquet(f) for f in sorted(files)]))
+        try:
+            want = norm(con.sql(sql).df())
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_bad += 1
+            continue
+        if list(got.columns) != list(want.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
+            n_bad += 1
+            continue
+        if len(got) != len(want):
+            print(f"FAIL {name}: rows {len(got)} != {len(want)}")
+            n_bad += 1
+            continue
+        bad = None
+        for ci, c in enumerate(got.columns):
+            gv, wv = got[c].tolist(), want[c].tolist()
+            for ri in range(len(gv)):
+                if not cell_eq(gv[ri], wv[ri]):
+                    bad = (ri, c, gv[ri], wv[ri])
+                    break
+            if bad:
+                break
+        if bad:
+            ri, c, g, w = bad
+            print(f"FAIL {name}: row {ri} col {c}: spark={g!r} duckdb={w!r}")
+            n_bad += 1
+        else:
+            print(f"ok   {name} ({len(got)} rows)")
+            n_ok += 1
+    print(f"== {n_ok} ok, {n_bad} failed ==")
+    sys.exit(1 if n_bad else 0)
+
+
+if __name__ == "__main__":
+    main()
