@@ -1,0 +1,41 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import graft.Tables.t
+import graft.multimodal.MediaPipeline._
+
+class MediaPipelineSpec extends SparkSpec {
+
+  private lazy val docs = t(spark, sf(), "documents")
+
+  test("fromDocuments: schema and deterministic format tag") {
+    val ds = fromDocuments(spark, docs)
+    assert(ds.schema.fieldNames.toSeq == Seq("media_id", "payload", "format"))
+    val rows = ds.limit(10).collect()
+    assert(rows.forall(r => Set("png", "jpeg", "webp").contains(r.format)))
+    assert(rows.forall(_.payload.nonEmpty))
+  }
+
+  test("extractFeatures: deterministic, fixed-width, bounded dims") {
+    val ds = fromDocuments(spark, docs)
+    val a = extractFeatures(ds).collect().sortBy(_.media_id)
+    val b = extractFeatures(ds).collect().sortBy(_.media_id)
+    assert(a.length == docs.count())
+    assert(a.map(_.features.toSeq).toSeq == b.map(_.features.toSeq).toSeq)
+    assert(a.forall(_.features.length == 16))
+    assert(a.forall(f => f.width >= 16 && f.width < 16 + 1920))
+    assert(a.forall(f => f.height >= 16 && f.height < 16 + 1080))
+    assert(a.forall(f => f.features.forall(x => x >= -0.5f && x <= 0.5f)))
+  }
+
+  test("sampleFrames: bounded output per record, stride chunks") {
+    val ds = fromDocuments(spark, docs).limit(20)
+    val frames = sampleFrames(ds, stride = 32, maxFrames = 4).collect()
+    val byId = frames.groupBy(_._1)
+    assert(byId.values.forall(_.length <= 4))
+    // frame indexes are 0..n-1 per media
+    byId.values.foreach { fs =>
+      assert(fs.map(_._2).sorted.toSeq == (0 until fs.length).toSeq)
+    }
+  }
+}
