@@ -33,16 +33,28 @@ object Dedup {
       .distinct()
   }
 
-  /** k=6 MinHash signatures: sig_i = min over shingles of md5(i || shingle)
-    * — lexicographic min over a salted hash is a valid min-hash family and
-    * is portable to the SQL oracle. */
+  /** k=6 MinHash signatures: one md5 per shingle, split into six disjoint
+    * 5-hex-digit (20-bit) windows — the bits of a 128-bit digest are
+    * independent, so each window is its own hash function; sig_i is the
+    * lexicographic min of window i over the doc's shingles.
+    *
+    * Computed entirely within-row (`transform` + `array_min` over the
+    * shingle array): min is insensitive to duplicate shingles, so no
+    * explode/distinct/groupBy — ZERO shuffles, one md5 per shingle. At
+    * 100 TB this makes signature extraction a pure map stage that scales
+    * linearly with executors. */
   private def minhashSigs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sigs = (1 to 6).map(i =>
-      min(md5(concat(lit(i.toString), $"shingle").cast("binary"))).as(s"h$i"))
-    shingles(s, d, 3)
-      .groupBy($"doc_id")
-      .agg(sigs.head, sigs.tail: _*)
+    val sigCols = (1 to 6).map(i =>
+      expr(s"array_min(transform(hs, h -> substring(h, ${(i - 1) * 5 + 1}, 5)))")
+        .as(s"h$i"))
+    t(s, d, "documents")
+      .select($"doc_id", toksCol.as("toks"))
+      .filter(size($"toks") >= 3)
+      .select($"doc_id", expr(
+        "transform(sequence(1, size(toks) - 2)," +
+          " i -> md5(cast(array_join(slice(toks, i, 3), ' ') as binary)))").as("hs"))
+      .select(($"doc_id" +: sigCols): _*)
   }
 
   private def shinglesSql(k: Int, alias: String): String = {
@@ -57,12 +69,24 @@ object Dedup {
        |  WHERE len(toks) >= $k)""".stripMargin
   }
 
-  private val sigSql: String =
-    s"""WITH ${shinglesSql(3, "sh")},
+  private val sigSql: String = {
+    val cat3 = "toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]"
+    s"""WITH shl AS (
+       |  SELECT doc_id,
+       |    list_transform(generate_series(1, len(toks) - 2),
+       |                   i -> md5($cat3)) AS hs
+       |  FROM (SELECT doc_id,
+       |          list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |                      x -> x <> '') AS toks
+       |        FROM documents)
+       |  WHERE len(toks) >= 3),
        |sig AS (
        |  SELECT doc_id,
-       |    ${(1 to 6).map(i => s"MIN(md5('$i' || shingle)) AS h$i").mkString(",\n    ")}
-       |  FROM sh GROUP BY doc_id)""".stripMargin
+       |    ${(1 to 6).map(i =>
+             s"list_min(list_transform(hs, h -> substring(h, ${(i - 1) * 5 + 1}, 5))) AS h$i")
+             .mkString(",\n    ")}
+       |  FROM shl)""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: content-hash groupBy, keep the smallest doc_id.
@@ -101,15 +125,16 @@ object Dedup {
 
     // MinHash-LSH: 3 bands × 2 rows; candidate pairs share any band key.
     // This is the 100 TB-scale near-dup path: band-key equi-join instead
-    // of any pairwise comparison.
+    // of any pairwise comparison. The band table is cached — without it
+    // the self-join would recompute the whole shingle→minhash pipeline
+    // for both sides (2× the dominant cost).
     "dedup_lsh_pairs" -> ((s, d) => {
       import s.implicits._
       val sig = minhashSigs(s, d)
       val bands = sig.select($"doc_id", posexplode(array(
-        md5(concat($"h1", $"h2").cast("binary")),
-        md5(concat($"h3", $"h4").cast("binary")),
-        md5(concat($"h5", $"h6").cast("binary")))))
+        concat($"h1", $"h2"), concat($"h3", $"h4"), concat($"h5", $"h6"))))
         .toDF("doc_id", "band_i", "band_key")
+        .cache()
       bands.as("a").join(bands.as("b"),
           $"a.band_key" === $"b.band_key" && $"a.band_i" === $"b.band_i" &&
             $"a.doc_id" < $"b.doc_id")
@@ -120,18 +145,19 @@ object Dedup {
 
     // 16-bit SimHash from per-token md5 hex digits: bit_j set iff the
     // signed sum over distinct tokens of (digit_j >= 8 ? +1 : -1) is >= 0.
+    // Token hashes precomputed once per doc; the per-bit fold runs
+    // within-row over the hash array — no token explode, no shuffle
+    // beyond the 16-rows-per-doc bit aggregation.
     "dedup_simhash" -> ((s, d) => {
       import s.implicits._
-      val toks = t(s, d, "documents")
-        .select($"doc_id", explode(toksCol).as("tok"))
-        .distinct()
-        .withColumn("m", md5($"tok".cast("binary")))
-      toks
-        .select($"doc_id", explode(expr("sequence(1, 16)")).as("j"), $"m")
-        .withColumn("bit",
-          when(expr("conv(substring(m, j, 1), 16, 10)").cast("int") >= 8, 1)
-            .otherwise(-1))
-        .groupBy($"doc_id", $"j").agg(sum($"bit").as("sgn"))
+      t(s, d, "documents")
+        .select($"doc_id",
+          expr("transform(array_distinct(filter(split(lower(text), '\\\\s+')," +
+            " x -> x != '')), tk -> md5(cast(tk as binary)))").as("ms"))
+        .select($"doc_id", explode(expr("sequence(1, 16)")).as("j"), $"ms")
+        .withColumn("sgn", expr(
+          "aggregate(ms, 0, (acc, m) -> acc + " +
+            "IF(cast(conv(substring(m, j, 1), 16, 10) as int) >= 8, 1, -1))"))
         .groupBy($"doc_id")
         .agg(sum(when($"sgn" >= 0, expr("cast(shiftleft(1, j - 1) as bigint)"))
           .otherwise(0L)).as("simhash"))
@@ -164,11 +190,11 @@ object Dedup {
     "dedup_lsh_pairs" ->
       s"""$sigSql,
          |bands AS (
-         |  SELECT doc_id, 0 AS band_i, md5(h1 || h2) AS band_key FROM sig
+         |  SELECT doc_id, 0 AS band_i, h1 || h2 AS band_key FROM sig
          |  UNION ALL
-         |  SELECT doc_id, 1, md5(h3 || h4) FROM sig
+         |  SELECT doc_id, 1, h3 || h4 FROM sig
          |  UNION ALL
-         |  SELECT doc_id, 2, md5(h5 || h6) FROM sig)
+         |  SELECT doc_id, 2, h5 || h6 FROM sig)
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM bands a
          |JOIN bands b ON a.band_key = b.band_key AND a.band_i = b.band_i
@@ -176,18 +202,18 @@ object Dedup {
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_simhash" ->
-      """WITH tk AS (
-        |  SELECT DISTINCT doc_id, tok
-        |  FROM (SELECT doc_id,
-        |          unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
-        |        FROM documents) WHERE tok <> ''),
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_transform(list_distinct(
+        |      list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                  x -> x <> '')), tk -> md5(tk)) AS ms
+        |  FROM documents),
         |bits AS (
         |  SELECT doc_id, j,
-        |    SUM(CASE WHEN strpos('0123456789abcdef',
-        |                         substring(md5(tok), j, 1)) - 1 >= 8
-        |             THEN 1 ELSE -1 END) AS sgn
-        |  FROM tk, unnest(generate_series(1, 16)) AS t(j)
-        |  GROUP BY doc_id, j)
+        |    list_sum(list_transform(ms, m ->
+        |      CASE WHEN strpos('0123456789abcdef', substring(m, j, 1)) - 1 >= 8
+        |           THEN 1 ELSE -1 END)) AS sgn
+        |  FROM d, unnest(generate_series(1, 16)) AS t(j))
         |SELECT doc_id,
         |  CAST(SUM(CASE WHEN sgn >= 0 THEN (1::BIGINT << (j - 1)) ELSE 0 END)
         |       AS BIGINT) AS simhash

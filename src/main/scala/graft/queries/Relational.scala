@@ -85,11 +85,12 @@ object Relational {
         .orderBy($"o_orderkey")
     }),
 
-    // Left-anti join ≙ NOT EXISTS.
+    // Left-anti join ≙ NOT EXISTS: customers with no urgent order.
     "q_anti_customers" -> ((s, d) => {
       import s.implicits._
+      val urgent = t(s, d, "orders").filter($"o_orderpriority" === "1-URGENT")
       t(s, d, "customer")
-        .join(t(s, d, "orders"), $"c_custkey" === $"o_custkey", "left_anti")
+        .join(urgent, $"c_custkey" === $"o_custkey", "left_anti")
         .select($"c_custkey", $"c_name")
         .orderBy($"c_custkey")
     }),
@@ -248,7 +249,9 @@ object Relational {
 
     "q_anti_customers" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
 
     "q_topk_customers" ->
