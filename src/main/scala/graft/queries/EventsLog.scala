@@ -86,6 +86,18 @@ object EventsLog {
         .orderBy($"user_id")
     }),
 
+    // L8 at 100 TB scale: approx_count_distinct (HLL++) — the bounded-
+    // state variant of exact distinct. No oracle (sketch estimates are
+    // engine-specific); rows-only check + exact column for sanity.
+    "log_approx_distinct" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "events")
+        .groupBy($"event_type")
+        .agg(approx_count_distinct($"user_id", 0.01).as("approx_users"),
+          countDistinct($"user_id").as("exact_users"))
+        .orderBy($"event_type")
+    }),
+
     // L2-L6 URL-normalization chain over a synthesized URL, then the L7
     // domain group-count. Covers: scheme strip, domain/path split,
     // subdomain strip, numeric-host port strip, query/fragment strip.

@@ -193,6 +193,59 @@ object Relational {
         .orderBy($"l_orderkey")
     }),
 
+    // CUBE over two dims.
+    "q_cube_orders" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "orders")
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("o_orderstatus"),
+          asc_nulls_first("o_orderpriority"), asc("n"))
+    }),
+
+    // Scalar subquery: customers above the mean balance. The comparison
+    // is cross-multiplied (bal * n > sum) so it stays in exact decimal
+    // arithmetic — no float-division boundary between engines.
+    "q_above_avg_customers" -> ((s, d) => {
+      import s.implicits._
+      val cust = t(s, d, "customer")
+      val stats = cust.agg(count(lit(1)).as("n"),
+        sum($"c_acctbal".cast(DecimalType(18, 2))).as("s"))
+      cust.crossJoin(broadcast(stats))
+        .filter($"c_acctbal".cast(DecimalType(18, 2)) * $"n" > $"s")
+        .select($"c_custkey", $"c_name", $"c_acctbal".as("acctbal"))
+        .orderBy($"c_custkey")
+    }),
+
+    // Date/math function family over o_orderdate.
+    "q_date_math" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "orders")
+        .select($"o_orderdate",
+          year($"o_orderdate").cast("long").as("y"),
+          month($"o_orderdate").cast("long").as("m"),
+          quarter($"o_orderdate").cast("long").as("q"),
+          (dayofweek($"o_orderdate") - 1).cast("long").as("dow"))
+        .groupBy($"y", $"m")
+        .agg(max($"q").as("q"), count(lit(1)).as("n"),
+          sum(when($"dow" === 0 || $"dow" === 6, 1L).otherwise(0L)).as("n_weekend"),
+          date_format(min($"o_orderdate"), "yyyy-MM-dd").as("first_day"))
+        .orderBy($"y", $"m")
+    }),
+
+    // NULL-handling functions: nullif / coalesce / null-skipping count.
+    "q_null_handling" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .select($"l_returnflag", nullif($"l_discount", lit(0.0)).as("disc"))
+        .groupBy($"l_returnflag")
+        .agg(count($"disc").as("n_discounted"),
+          (count(lit(1)) - count($"disc")).as("n_zero_disc"),
+          sum(coalesce($"disc", lit(0.05)).cast(DecimalType(18, 2)))
+            .cast("double").as("disc_imputed"))
+        .orderBy($"l_returnflag")
+    }),
+
     // String/case projection over part.
     "q_part_brand_stats" -> ((s, d) => {
       import s.implicits._
@@ -318,5 +371,36 @@ object Relational {
     "q_part_brand_stats" ->
       """SELECT p_brand, COUNT(*) AS n, MIN(p_size) AS min_size,
         | MAX(p_size) AS max_size, COUNT(DISTINCT p_type) AS n_types
-        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q_cube_orders" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST, n""".stripMargin,
+
+    "q_above_avg_customers" ->
+      """SELECT c_custkey, c_name, c_acctbal AS acctbal
+        |FROM customer,
+        |  (SELECT COUNT(*) AS n, SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS s
+        |   FROM customer)
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > s
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_date_math" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+        | CAST(month(o_orderdate) AS BIGINT) AS m,
+        | CAST(MAX(quarter(o_orderdate)) AS BIGINT) AS q,
+        | COUNT(*) AS n,
+        | CAST(SUM(CASE WHEN date_part('dow', o_orderdate) IN (0, 6)
+        |               THEN 1 ELSE 0 END) AS BIGINT) AS n_weekend,
+        | strftime(MIN(o_orderdate), '%Y-%m-%d') AS first_day
+        |FROM orders GROUP BY y, m ORDER BY y, m""".stripMargin,
+
+    "q_null_handling" ->
+      """SELECT l_returnflag,
+        | COUNT(nullif(l_discount, 0.0)) AS n_discounted,
+        | COUNT(*) - COUNT(nullif(l_discount, 0.0)) AS n_zero_disc,
+        | CAST(SUM(CAST(coalesce(nullif(l_discount, 0.0), 0.05) AS DECIMAL(18,2)))
+        |      AS DOUBLE) AS disc_imputed
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 }

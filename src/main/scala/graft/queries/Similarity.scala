@@ -59,6 +59,38 @@ object Similarity {
         .orderBy($"vec_id")
     }),
 
+    // Array-function family over the embedding column: size, head,
+    // within-row mean, extrema — all rounded for cross-engine parity.
+    "arr_stats" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        .select($"vec_id",
+          size($"v").cast("long").as("dim"),
+          round(element_at($"v", 1), 6).as("first_val"),
+          round(expr("aggregate(v, 0D, (acc, x) -> acc + x)") / size($"v"), 6)
+            .as("mean_val"),
+          round(array_max($"v"), 6).as("max_val"),
+          round(array_min($"v"), 6).as("min_val"))
+        .orderBy($"vec_id")
+    }),
+
+    // Embedding-cosine near-dup (§2.5): same-label blocking (at 100 TB
+    // the blocking key would be an LSH bucket; the join shape — block
+    // equi-join then per-pair score — is identical), pairs with rounded
+    // cosine ≥ 0.35.
+    "dedup_embedding_pairs" -> ((s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+        .select($"label", $"vec_id", $"embedding".cast("array<double>").as("v"))
+      emb.as("a").join(emb.as("b"),
+          $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
+        .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
+          round(cosine("a.v", "b.v"), 4).as("sim"))
+        .filter($"sim" >= 0.35)
+        .orderBy($"vec_a", $"vec_b")
+    }),
+
     // Per-label mean-vector norm: elementwise sums via posexplode +
     // groupBy(label, dim) — fully distributed, no collect_list state.
     "sim_label_centroids" -> ((s, d) => {
@@ -104,6 +136,27 @@ object Similarity {
         |                           ORDER BY sim DESC, cent_id) AS rn
         |      FROM s)
         |SELECT vec_id, cent_id, sim FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "arr_stats" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS BIGINT) AS dim,
+        |  ROUND((embedding::DOUBLE[])[1], 6) AS first_val,
+        |  ROUND(list_sum(embedding::DOUBLE[]) / len(embedding), 6) AS mean_val,
+        |  ROUND(list_max(embedding::DOUBLE[]), 6) AS max_val,
+        |  ROUND(list_min(embedding::DOUBLE[]), 6) AS min_val
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "dedup_embedding_pairs" ->
+      """WITH e AS (SELECT label, vec_id, embedding::DOUBLE[] AS v
+        |           FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    ROUND(list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2])) /
+        |      (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(b.v, x -> x * x)))), 4) AS sim
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, sim FROM p WHERE sim >= 0.35
+        |ORDER BY vec_a, vec_b""".stripMargin,
 
     "sim_label_centroids" ->
       """WITH ex AS (

@@ -55,6 +55,18 @@ object TextWordCount {
         .orderBy($"doc_id")
     }),
 
+    // W6: formatted projection `%-12s :: %4d` (word_count.go:43-45).
+    // Not SQL-expressible under the oracle (printf dialects differ) —
+    // rows-only check; exact formatting golden-tested in JobsSpec.
+    "wc_formatted" -> ((s, d) => {
+      import s.implicits._
+      tokens(s, d)
+        .select(regexp_replace($"tok", "[^a-z0-9]+", "").as("word"))
+        .groupBy($"word").agg(count(lit(1)).as("cnt"))
+        .select(format_string("%-12s :: %4d", $"word", $"cnt").as("line"))
+        .orderBy($"line")
+    }),
+
     // Word bigrams (adjacent-token 2-grams), top 20.
     "wc_bigrams" -> ((s, d) => {
       import s.implicits._

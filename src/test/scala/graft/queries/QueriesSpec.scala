@@ -20,7 +20,8 @@ class QueriesSpec extends SparkSpec {
   }
 
   test("all queries run and are deterministic at sf0.001") {
-    val mayBeEmpty = Set("dedup_jaccard_pairs", "dedup_lsh_pairs")
+    val mayBeEmpty = Set("dedup_jaccard_pairs", "dedup_lsh_pairs",
+      "dedup_embedding_pairs")
     SparkEntry.queries.foreach { case (name, fn) =>
       val a = fn(spark, sf()).collect()
       val b = fn(spark, sf()).collect()

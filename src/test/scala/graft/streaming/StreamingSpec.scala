@@ -1,0 +1,85 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.Tables.t
+
+class StreamingSpec extends SparkSpec {
+
+  /** Events staged to a micros-timestamp parquet dir (the raw testdata is
+    * TIMESTAMP(NANOS), which neither batch nor streaming Spark reads). */
+  private lazy val stagedEvents: String = {
+    val dir = Files.createTempDirectory("graft_stream").resolve("events").toString
+    t(spark, sf(), "events").write.parquet(dir)
+    dir
+  }
+
+  test("windowed counts: streaming result == batch result (parity)") {
+    import spark.implicits._
+    // Complete mode re-emits all windows (append would hold back windows
+    // the watermark hasn't closed), so the final table equals batch.
+    EventStream.runToMemory(spark, stagedEvents,
+      EventStream.hourlyCounts, "hourly_stream", OutputMode.Complete())
+    val streamed = spark.table("hourly_stream")
+      .orderBy($"hour", $"event_type")
+      .collect()
+
+    val batch = EventStream.hourlyCounts(spark.read.parquet(stagedEvents))
+      .orderBy($"hour", $"event_type")
+      .collect()
+
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("mapGroupsWithState running counts match batch groupBy") {
+    import spark.implicits._
+    EventStream.runToMemory(spark, stagedEvents,
+      df => EventStream.runningUserCounts(df).toDF(),
+      "user_counts_stream", OutputMode.Update())
+    // final state per user = last update emitted
+    val streamed = spark.table("user_counts_stream")
+      .groupBy($"user_id").agg(max($"n").as("n"))
+      .orderBy($"user_id").collect()
+
+    val batch = spark.read.parquet(stagedEvents)
+      .groupBy($"user_id").agg(count(lit(1)).as("n"))
+      .orderBy($"user_id").collect()
+
+    assert(streamed.nonEmpty)
+    assert(streamed.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      batch.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
+  test("watermark bounds state: late rows beyond watermark are dropped") {
+    import spark.implicits._
+    // Two batches: second contains a row >2h older than the max event
+    // time of the first — with a 1h watermark it must be dropped from
+    // the append-mode result.
+    val dir = Files.createTempDirectory("graft_late").toString
+    val base = java.sql.Timestamp.valueOf("2024-06-01 10:30:00")
+    val late = java.sql.Timestamp.valueOf("2024-06-01 07:10:00")
+    Seq((base, "click")).toDF("ts", "event_type")
+      .write.parquet(s"$dir/b1")
+
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val q = EventStream.hourlyCounts(
+        spark.readStream.schema(schema).parquet(s"$dir/*"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("late_stream").start()
+    try {
+      q.processAllAvailable()
+      Seq((late, "click")).toDF("ts", "event_type")
+        .write.parquet(s"$dir/b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    // the late 07:00 window never appears in append output; the 10:00
+    // window is still open (not emitted) — so nothing contains 07:00
+    val hours = spark.table("late_stream").select($"hour").as[String].collect()
+    assert(!hours.contains("2024-06-01 07:00"))
+  }
+}
