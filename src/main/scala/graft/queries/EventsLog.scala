@@ -86,6 +86,54 @@ object EventsLog {
         .orderBy($"user_id")
     }),
 
+    // As-of join: for each event, the most recent order (by date) of the
+    // customer with c_custkey = user_id at or before the event time.
+    // Spark lacks a native as-of operator; the scalable composition is
+    // union-tag → single sort-window pass with last(ignoreNulls) — one
+    // shuffle on the key, no range-join row explosion, works at 100 TB.
+    // Orders are pre-deduped to one row per (custkey, date) so the match
+    // is deterministic on both engines (DuckDB runs its native ASOF JOIN).
+    "q_asof_join" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, d, "events")
+        .select($"user_id".as("k"), $"ts".as("tm"), $"event_id",
+          lit(1).as("is_event"))
+      val ord = t(s, d, "orders")
+        .groupBy($"o_custkey".as("k"), $"o_orderdate")
+        .agg(max($"o_orderkey").as("last_orderkey"))
+        .select($"k", $"o_orderdate".as("tm"), lit(null).cast("long").as("event_id"),
+          lit(0).as("is_event"), $"o_orderdate", $"last_orderkey")
+      val unioned = ev
+        .withColumn("o_orderdate", lit(null).cast("timestamp"))
+        .withColumn("last_orderkey", lit(null).cast("long"))
+        .unionByName(ord)
+      // order rows sort before events at equal time (inclusive match)
+      val w = Window.partitionBy($"k")
+        .orderBy($"tm".asc, $"is_event".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      unioned
+        .withColumn("asof_date", last($"o_orderdate", ignoreNulls = true).over(w))
+        .withColumn("asof_orderkey", last($"last_orderkey", ignoreNulls = true).over(w))
+        .filter($"is_event" === 1)
+        .select($"event_id", $"k".as("user_id"),
+          date_format($"asof_date", "yyyy-MM-dd").as("asof_date"),
+          $"asof_orderkey")
+        .orderBy($"event_id")
+    }),
+
+    // Exact percentiles (continuous interpolation) per group.
+    "q_percentiles" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+          round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_price"))
+        .orderBy($"l_returnflag")
+    }),
+
     // L8 at 100 TB scale: approx_count_distinct (HLL++) — the bounded-
     // state variant of exact distinct. No oracle (sketch estimates are
     // engine-specific); rows-only check + exact column for sanity.
@@ -166,6 +214,25 @@ object EventsLog {
         |        FROM events))
         |SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH o2 AS (
+        |  SELECT o_custkey AS k, o_orderdate,
+        |         MAX(o_orderkey) AS last_orderkey
+        |  FROM orders GROUP BY o_custkey, o_orderdate)
+        |SELECT e.event_id, e.user_id,
+        |  strftime(o2.o_orderdate, '%Y-%m-%d') AS asof_date,
+        |  o2.last_orderkey AS asof_orderkey
+        |FROM events e
+        |ASOF LEFT JOIN o2 ON e.user_id = o2.k AND e.ts >= o2.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+        |  ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+        |  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "log_urls" ->
       """WITH u AS (

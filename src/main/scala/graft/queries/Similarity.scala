@@ -21,16 +21,28 @@ import graft.Tables.t
   */
 object Similarity {
 
-  /** Sequential-fold cosine between two array<double> columns. */
-  private def cosine(a: String, b: String): Column =
+  /** Sequential-fold cosine as composed higher-order functions — kept as
+    * the reference implementation; CosineExprSpec asserts the native
+    * expression below is bit-identical. */
+  def cosineHof(a: String, b: String): Column =
     expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") /
       (sqrt(expr(s"aggregate($a, 0D, (acc, x) -> acc + x * x)")) *
         sqrt(expr(s"aggregate($b, 0D, (acc, x) -> acc + x * x)")))
+
+  /** Native codegen'd Catalyst expression (graft.functions.CosineSimilarity)
+    * — same fold order, no materialized product array, inlined into the
+    * surrounding whole-stage-codegen span. */
+  private def cosine(a: String, b: String): Column =
+    expr(s"cosine_similarity($a, $b)")
+
+  private def withCosine(s: SparkSession): Unit =
+    graft.functions.GraftFunctions.register(s)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-20 neighbors of vec_id = 0.
     "sim_cosine_topk" -> ((s, d) => {
       import s.implicits._
+      withCosine(s)
       val emb = t(s, d, "embeddings")
         .select($"vec_id", $"embedding".cast("array<double>").as("v"))
       val q = emb.filter($"vec_id" === 0).select($"v".as("q"))
@@ -45,6 +57,7 @@ object Similarity {
     // broadcast centroids; row_number picks the argmax deterministically.
     "sim_ivf_assign" -> ((s, d) => {
       import s.implicits._
+      withCosine(s)
       import org.apache.spark.sql.expressions.Window
       val emb = t(s, d, "embeddings")
         .select($"vec_id", $"embedding".cast("array<double>").as("v"))
@@ -81,6 +94,7 @@ object Similarity {
     // cosine ≥ 0.35.
     "dedup_embedding_pairs" -> ((s, d) => {
       import s.implicits._
+      withCosine(s)
       val emb = t(s, d, "embeddings")
         .select($"label", $"vec_id", $"embedding".cast("array<double>").as("v"))
       emb.as("a").join(emb.as("b"),

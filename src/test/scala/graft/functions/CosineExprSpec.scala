@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.AnalysisException
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.Tables.t
+
+class CosineExprSpec extends SparkSpec {
+
+  private def emb = t(spark, sf(), "embeddings")
+    .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  test("native expression is bit-identical to the HOF composition") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val q = emb.filter($"vec_id" === 0).select($"v".as("q"))
+    val both = emb.crossJoin(broadcast(q))
+      .select($"vec_id",
+        expr("cosine_similarity(v, q)").as("native"),
+        graft.queries.Similarity.cosineHof("v", "q").as("hof"))
+      .collect()
+    assert(both.length == 500)
+    both.foreach { r =>
+      // exact bit equality — same fold order, no tolerance needed
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), s"row $r")
+    }
+  }
+
+  test("null input propagates null; self-similarity is 1.0") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val r = Seq((Some(Array(1.0, 2.0)), Option.empty[Array[Double]]))
+      .toDF("a", "b")
+      .select(expr("cosine_similarity(a, b)"))
+      .collect()
+    assert(r.head.isNullAt(0))
+    val self = emb.limit(10)
+      .select(round(expr("cosine_similarity(v, v)"), 9).as("s"))
+      .collect()
+    assert(self.forall(_.getDouble(0) == 1.0))
+  }
+
+  test("type mismatch is an analysis-time error, not runtime") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    intercept[AnalysisException] {
+      Seq(("x", "y")).toDF("a", "b")
+        .select(expr("cosine_similarity(a, b)")).collect()
+    }
+  }
+
+  test("participates in whole-stage codegen") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = emb.crossJoin(broadcast(emb.filter($"vec_id" === 0)
+        .select($"v".as("q"))))
+      .select(expr("cosine_similarity(v, q)").as("s"))
+    df.collect() // finalize the adaptive plan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val fin = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p                        => p
+    }
+    // `*(n)` prefixes mark WholeStageCodegen spans (the codegen nodes
+    // themselves are hidden inside AQE QueryStageExec leaves); the cosine
+    // projection must carry one.
+    val line = fin.toString.linesIterator
+      .find(_.contains("cosine_similarity")).getOrElse("")
+    assert(line.contains("*("), s"cosine projection not codegen'd:\n$fin")
+  }
+}
