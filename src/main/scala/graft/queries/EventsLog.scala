@@ -122,6 +122,27 @@ object EventsLog {
         .orderBy($"event_id")
     }),
 
+    // Range (theta) join: pairs of same-user events within 60 s. A naive
+    // non-equi join is a nested-loop O(n²); the scalable Spark-first form
+    // buckets time into 60 s cells and equi-joins on (user, cell) with
+    // one side exploded to ±1 cells — every qualifying pair matches
+    // exactly once, and the join is a plain shuffle join at any scale.
+    "q_range_join" -> ((s, d) => {
+      import s.implicits._
+      val e = t(s, d, "events")
+        .select($"user_id", $"event_id", unix_micros($"ts").as("us"))
+        .withColumn("bkt", expr("us div 60000000"))
+      val exploded = e.withColumn("bkt",
+        explode(array($"bkt" - 1, $"bkt", $"bkt" + 1)))
+      e.as("a").join(exploded.as("b"),
+          $"a.user_id" === $"b.user_id" && $"a.bkt" === $"b.bkt" &&
+            $"a.event_id" < $"b.event_id" &&
+            abs($"a.us" - $"b.us") <= 60000000L)
+        .groupBy($"a.user_id".as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy($"user_id")
+    }),
+
     // Exact percentiles (continuous interpolation) per group.
     "q_percentiles" -> ((s, d) => {
       import s.implicits._
@@ -226,6 +247,13 @@ object EventsLog {
         |FROM events e
         |ASOF LEFT JOIN o2 ON e.user_id = o2.k AND e.ts >= o2.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT a.user_id, COUNT(*) AS n_pairs
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        | AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 60000000
+        |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
 
     "q_percentiles" ->
       """SELECT l_returnflag,
