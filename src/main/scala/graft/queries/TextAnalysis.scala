@@ -82,6 +82,25 @@ object TextAnalysis {
         .orderBy($"doc_id")
     }),
 
+    // TF-IDF: term frequency × ln((N+1)/(df+1)) — the canonical
+    // feature-weighting op. tf/df are plain 2-phase hash aggs; the tiny
+    // df table and the N scalar are broadcast.
+    "text_tfidf" -> ((s, d) => {
+      import s.implicits._
+      val tk = t(s, d, "documents")
+        .select($"doc_id", explode(split(lower($"text"), "\\s+")).as("term"))
+        .filter($"term" =!= "")
+      val tf = tk.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val dft = tk.groupBy($"term").agg(countDistinct($"doc_id").as("df"))
+      val n = t(s, d, "documents").agg(count(lit(1)).as("n"))
+      tf.join(broadcast(dft), "term")
+        .crossJoin(broadcast(n))
+        .select($"doc_id", $"term", $"tf",
+          round($"tf" * log(($"n" + 1).cast("double") / ($"df" + 1)), 6)
+            .as("tfidf"))
+        .orderBy($"doc_id", $"term")
+    }),
+
     // Content-defined fingerprint: md5 over the sorted distinct token set
     // (order-insensitive canonical form — robust to shuffling).
     "text_fingerprint" -> ((s, d) => {
@@ -138,6 +157,18 @@ object TextAnalysis {
         |       AS BIGINT) AS n_bpe_pieces,
         |  n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_tfidf" ->
+      s"""WITH $tokCte,
+         |tf AS (SELECT doc_id, tok AS term, COUNT(*) AS tf
+         |       FROM tk GROUP BY doc_id, tok),
+         |dft AS (SELECT tok AS term, COUNT(DISTINCT doc_id) AS df
+         |        FROM tk GROUP BY tok),
+         |nn AS (SELECT COUNT(*) AS n FROM documents)
+         |SELECT doc_id, term, tf,
+         |  ROUND(tf * ln(CAST(n + 1 AS DOUBLE) / (df + 1)), 6) AS tfidf
+         |FROM tf JOIN dft USING (term), nn
+         |ORDER BY doc_id, term""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id,

@@ -1,0 +1,63 @@
+package graft.engine
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.Tables.t
+
+/** Scale-mechanism demos pinned by tests: salted skew joins and bucketed
+  * co-located joins — the two plan-level levers the 100 TB design rules
+  * call for beyond AQE defaults. */
+class ScaleSpec extends SparkSpec {
+
+  test("saltedJoin == plain join on a skewed key distribution") {
+    import spark.implicits._
+    // 10k rows of one hot key + a long tail, joined to a small dim
+    val big = spark.range(10000).select(
+      when($"id" < 9000, lit(7)).otherwise($"id" % 50).cast("long").as("k"),
+      ($"id" * 31 % 1000).as("payload"))
+    val dim = spark.range(50).select($"id".as("k"), concat(lit("d"), $"id").as("name"))
+
+    val plain = big.join(dim, "k")
+    val salted = Skew.saltedJoin(big, dim, "k", salts = 8)
+
+    assert(salted.count() == plain.count())
+    assert(salted.select("k", "payload", "name").except(
+      plain.select("k", "payload", "name")).isEmpty)
+    assert(plain.select("k", "payload", "name").except(
+      salted.select("k", "payload", "name")).isEmpty)
+  }
+
+  test("bucketed tables co-locate the join: no shuffle on the join key") {
+    import spark.implicits._
+    val li = t(spark, sf(), "lineitem").select($"l_orderkey", $"l_quantity")
+    val ord = t(spark, sf(), "orders").select($"o_orderkey", $"o_totalprice")
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("li_bucketed")
+    ord.write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("ord_bucketed")
+
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"), $"l_orderkey" === $"o_orderkey")
+      joined.collect()
+      val fin = joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p                        => p
+      }
+      val shuffles = fin.collect { case s: ShuffleExchangeExec => s }
+      assert(shuffles.isEmpty,
+        s"bucketed join should not shuffle, got:\n$fin")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
+  }
+}
