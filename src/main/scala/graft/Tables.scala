@@ -15,7 +15,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Plan memoization: re-reading the same table re-lists files and
+  // re-reads footers; with 50+ queries per Verify/Bench run that fixed
+  // cost dominates small scale factors. Keyed per session so concurrent
+  // sessions (tests vs mains) never share plans.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    cache.computeIfAbsent((spark, dir, name), _ => load(spark, dir, name))
+
+  private def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
       // read natively. Read nanos as long, then floor-divide to micros —

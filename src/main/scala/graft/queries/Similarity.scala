@@ -105,6 +105,40 @@ object Similarity {
         .orderBy($"vec_a", $"vec_b")
     }),
 
+    // Two-stage IVF ANN: assign every vector to its nearest of 8
+    // "centroids" (vec_id < 8); probe the query's 2 nearest cells; rank
+    // only candidates in probed cells. This is the real IVF shape: at
+    // 100 TB the assignment is a pure map over a broadcast codebook and
+    // the search touches nprobe/ncells of the data.
+    "sim_ivf_topk" -> ((s, d) => {
+      import s.implicits._
+      withCosine(s)
+      import org.apache.spark.sql.expressions.Window
+      val emb = t(s, d, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val cents = emb.filter($"vec_id" < 8)
+        .select($"vec_id".as("cent_id"), $"v".as("c"))
+      val w = Window.partitionBy($"vec_id").orderBy(desc("csim"), asc("cent_id"))
+      val assign = emb.crossJoin(broadcast(cents))
+        .select($"vec_id", $"v", $"cent_id",
+          round(cosine("v", "c"), 4).as("csim"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"vec_id", $"v", $"cent_id")
+      val probed = emb.filter($"vec_id" === 0).crossJoin(broadcast(cents))
+        .select($"cent_id", round(cosine("v", "c"), 4).as("csim"))
+        .orderBy(desc("csim"), asc("cent_id")).limit(2)
+        .select($"cent_id")
+      val q = emb.filter($"vec_id" === 0).select($"v".as("q"))
+      assign
+        .join(broadcast(probed), "cent_id")
+        .filter($"vec_id" =!= 0)
+        .crossJoin(broadcast(q))
+        .select($"vec_id", round(cosine("v", "q"), 4).as("cos_sim"))
+        .orderBy(desc("cos_sim"), asc("vec_id"))
+        .limit(10)
+    }),
+
     // Per-label mean-vector norm: elementwise sums via posexplode +
     // groupBy(label, dim) — fully distributed, no collect_list state.
     "sim_label_centroids" -> ((s, d) => {
@@ -171,6 +205,38 @@ object Similarity {
         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, sim FROM p WHERE sim >= 0.35
         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "sim_ivf_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
+        |      FROM embeddings WHERE vec_id < 8),
+        |sims AS (
+        |  SELECT vec_id, cent_id,
+        |    ROUND(list_sum(list_transform(list_zip(v, cv), x -> x[1] * x[2])) /
+        |      (sqrt(list_sum(list_transform(v, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(cv, x -> x * x)))), 4) AS csim
+        |  FROM e, c),
+        |assign AS (
+        |  SELECT vec_id, cent_id FROM (
+        |    SELECT vec_id, cent_id,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                         ORDER BY csim DESC, cent_id) AS rn
+        |    FROM sims) WHERE rn = 1),
+        |probed AS (
+        |  SELECT cent_id FROM sims WHERE vec_id = 0
+        |  ORDER BY csim DESC, cent_id LIMIT 2),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |cand AS (
+        |  SELECT e.vec_id, e.v FROM e
+        |  JOIN assign a ON a.vec_id = e.vec_id
+        |  JOIN probed p ON p.cent_id = a.cent_id
+        |  WHERE e.vec_id <> 0)
+        |SELECT vec_id,
+        |  ROUND(list_sum(list_transform(list_zip(v, qv), x -> x[1] * x[2])) /
+        |    (sqrt(list_sum(list_transform(v, x -> x * x))) *
+        |     sqrt(list_sum(list_transform(qv, x -> x * x)))), 4) AS cos_sim
+        |FROM cand, q
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
 
     "sim_label_centroids" ->
       """WITH ex AS (

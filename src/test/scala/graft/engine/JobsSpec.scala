@@ -98,6 +98,15 @@ class JobsSpec extends SparkSpec {
     assert(out.slice(7, 9) == Seq("    - ga", "    - gb"))
   }
 
+  test("wc end-to-end golden: partition layout + formatting frozen") {
+    val input = MrPipeline.lines(spark, Seq(resource("wordcount_fixture.txt")))
+    val got = MrPipeline.run(spark, input, WordCountJob)
+      .collect().map(r => s"${r.getInt(0)}\t${r.getString(1)}").sorted.toSeq
+    val want = scala.io.Source.fromFile(resource("wordcount_golden.txt"))
+      .getLines().toSeq
+    assert(got == want)
+  }
+
   test("log end-to-end on crawler fixture: deterministic across runs") {
     val input = MrPipeline.lines(spark, Seq(resource("crawler_logs.txt")))
     val a = MrPipeline.run(spark, input, LogAnalyzerJob).collect().toSeq
