@@ -10,6 +10,7 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft_spark_wh").toString)
     .getOrCreate()

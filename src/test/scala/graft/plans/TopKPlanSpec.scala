@@ -1,0 +1,74 @@
+package graft.plans
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.Tables.t
+
+class TopKPlanSpec extends SparkSpec {
+
+  import org.apache.spark.sql.expressions.Window
+
+  private def top3DF = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    t(spark, sf(), "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"o_custkey", $"o_orderkey", $"rn")
+      .orderBy($"o_custkey", $"rn")
+  }
+
+  private def finalPlan(df: org.apache.spark.sql.DataFrame) = {
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p                        => p
+    }
+  }
+
+  test("window+filter row_number<=k pattern plans as TopKPerKeyExec") {
+    val plan = finalPlan(top3DF).toString
+    assert(plan.contains("TopKPerKey"), s"rewrite did not fire:\n$plan")
+    assert(!plan.contains("Window"), s"WindowExec still present:\n$plan")
+  }
+
+  test("rewrite result == WindowExec result (rule excluded)") {
+    val got = top3DF.collect().toSeq
+    spark.conf.set("spark.sql.optimizer.excludedRules", "graft.plans.TopKPerKeyRule")
+    try {
+      val base = top3DF
+      val want = base.collect().toSeq
+      assert(finalPlan(base).toString.contains("Window"),
+        "exclusion did not restore WindowExec — comparison is vacuous")
+      assert(got == want)
+    } finally spark.conf.unset("spark.sql.optimizer.excludedRules")
+  }
+
+  test("rn = 1 (argmax per key) also rewrites and matches") {
+    import spark.implicits._
+    val w = Window.partitionBy($"l_orderkey")
+      .orderBy($"l_extendedprice".desc, $"l_linenumber".asc)
+    def df = t(spark, sf(), "lineitem")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"l_orderkey", $"l_linenumber")
+      .orderBy($"l_orderkey")
+    val got = df.collect().toSeq
+    assert(finalPlan(df).toString.contains("TopKPerKey"))
+    spark.conf.set("spark.sql.optimizer.excludedRules", "graft.plans.TopKPerKeyRule")
+    try assert(got == df.collect().toSeq)
+    finally spark.conf.unset("spark.sql.optimizer.excludedRules")
+  }
+
+  test("large k declines the rewrite (falls back to WindowExec)") {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderkey")
+    val df = t(spark, sf(), "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 5000)
+    assert(!finalPlan(df).toString.contains("TopKPerKey"))
+  }
+}
