@@ -135,7 +135,7 @@ object Relational {
       t(s, d, "orders")
         .withColumn("rn", row_number().over(w))
         .filter($"rn" <= 3)
-        .select($"o_custkey", $"o_orderkey", $"rn")
+        .select($"o_custkey", $"o_orderkey", $"rn".cast("long").as("rn"))
         .orderBy($"o_custkey", $"rn")
     }),
 
@@ -191,6 +191,37 @@ object Relational {
         .agg(count(lit(1)).as("n_lines"), dsum($"l_quantity").as("sum_qty"))
         .filter($"n_lines" >= 5)
         .orderBy($"l_orderkey")
+    }),
+
+    // Left outer join with null-preserving aggregation.
+    "q_left_join_orders" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), $"c_custkey" === $"o_custkey", "left_outer")
+        .groupBy($"c_custkey")
+        .agg(count($"o_orderkey").as("n_orders"),
+          date_format(min($"o_orderdate"), "yyyy-MM-dd").as("first_order"))
+        .orderBy($"c_custkey")
+    }),
+
+    // Full outer join over per-nation aggregates.
+    "q_full_outer_nations" -> ((s, d) => {
+      import s.implicits._
+      val cn = t(s, d, "customer").groupBy($"c_nationkey".as("nk"))
+        .agg(count(lit(1)).as("n_cust"))
+      val sn = t(s, d, "supplier").groupBy($"s_nationkey".as("nk"))
+        .agg(count(lit(1)).as("n_supp"))
+      cn.join(sn, Seq("nk"), "full_outer")
+        .orderBy($"nk")
+    }),
+
+    // UNION ALL (bag semantics).
+    "q_union_all" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "customer").select(lit("cust").as("src"))
+        .unionAll(t(s, d, "supplier").select(lit("supp").as("src")))
+        .groupBy($"src").agg(count(lit(1)).as("n"))
+        .orderBy($"src")
     }),
 
     // CUBE over two dims.
@@ -372,6 +403,27 @@ object Relational {
       """SELECT p_brand, COUNT(*) AS n, MIN(p_size) AS min_size,
         | MAX(p_size) AS max_size, COUNT(DISTINCT p_type) AS n_types
         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q_left_join_orders" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+        | strftime(MIN(o_orderdate), '%Y-%m-%d') AS first_order
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q_full_outer_nations" ->
+      """SELECT COALESCE(cn.nk, sn.nk) AS nk, cn.n_cust, sn.n_supp
+        |FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+        |      FROM customer GROUP BY 1) cn
+        |FULL OUTER JOIN (SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+        |                 FROM supplier GROUP BY 1) sn
+        |  ON cn.nk = sn.nk
+        |ORDER BY nk""".stripMargin,
+
+    "q_union_all" ->
+      """SELECT src, COUNT(*) AS n
+        |FROM (SELECT 'cust' AS src FROM customer
+        |      UNION ALL SELECT 'supp' FROM supplier)
+        |GROUP BY src ORDER BY src""".stripMargin,
 
     "q_cube_orders" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
