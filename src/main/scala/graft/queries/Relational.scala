@@ -277,6 +277,61 @@ object Relational {
         .orderBy($"l_returnflag")
     }),
 
+    // Pivot (crosstab): order counts by status × priority. Expressed as
+    // groupBy().pivot() in Spark; the oracle uses portable CASE sums.
+    "q_pivot_status" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "orders")
+        .groupBy($"o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .toDF("o_orderpriority", "n_f", "n_o", "n_p")
+        .orderBy($"o_orderpriority")
+    }),
+
+    // Deterministic sampling: content-hash filter instead of random() —
+    // reproducible on any engine and stable under re-partitioning.
+    "q_sample_hash" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "orders")
+        .filter(substring(md5($"o_orderkey".cast("string").cast("binary")), 1, 1)
+          .isin("0", "1"))
+        .select($"o_orderkey", $"o_orderstatus")
+        .orderBy($"o_orderkey")
+    }),
+
+    // String function family: pad, reverse, translate, edit distance.
+    "q_string_funcs" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "part")
+        .filter($"p_partkey" <= 100)
+        .select($"p_partkey",
+          lpad($"p_brand", 12, "*").as("padded"),
+          reverse($"p_name").as("rev_name"),
+          translate($"p_type", "ae", "@3").as("leeted"),
+          levenshtein($"p_brand", lit("Brand#11")).cast("long").as("edit_dist"),
+          length($"p_name").cast("long").as("name_len"))
+        .orderBy($"p_partkey")
+    }),
+
+    // Math function family (identical-operand arithmetic, rounded).
+    "q_math_funcs" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .filter($"l_orderkey" <= 100)
+        .select($"l_orderkey", $"l_linenumber".cast("long").as("ln"),
+          round(sqrt($"l_extendedprice"), 6).as("sqrt_price"),
+          round(exp($"l_discount"), 6).as("exp_disc"),
+          round(log($"l_extendedprice"), 6).as("ln_price"),
+          round(pow($"l_quantity", lit(2)), 2).as("qty_sq"),
+          ceil($"l_extendedprice").cast("long").as("ceil_price"),
+          floor($"l_extendedprice").cast("long").as("floor_price"),
+          signum($"l_discount" - 0.05).cast("long").as("disc_sign"),
+          greatest($"l_tax", $"l_discount").as("max_rate"))
+        .orderBy($"l_orderkey", $"ln")
+    }),
+
     // String/case projection over part.
     "q_part_brand_stats" -> ((s, d) => {
       import s.implicits._
@@ -398,6 +453,40 @@ object Relational {
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) >= 5
         |ORDER BY l_orderkey""".stripMargin,
+
+    "q_pivot_status" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_sample_hash" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_string_funcs" ->
+      """SELECT p_partkey,
+        |  lpad(p_brand, 12, '*') AS padded,
+        |  reverse(p_name) AS rev_name,
+        |  translate(p_type, 'ae', '@3') AS leeted,
+        |  CAST(levenshtein(p_brand, 'Brand#11') AS BIGINT) AS edit_dist,
+        |  CAST(length(p_name) AS BIGINT) AS name_len
+        |FROM part WHERE p_partkey <= 100 ORDER BY p_partkey""".stripMargin,
+
+    "q_math_funcs" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS ln,
+        |  ROUND(sqrt(l_extendedprice), 6) AS sqrt_price,
+        |  ROUND(exp(l_discount), 6) AS exp_disc,
+        |  ROUND(ln(l_extendedprice), 6) AS ln_price,
+        |  ROUND(pow(l_quantity, 2), 2) AS qty_sq,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
+        |  CAST(sign(l_discount - 0.05) AS BIGINT) AS disc_sign,
+        |  greatest(l_tax, l_discount) AS max_rate
+        |FROM lineitem WHERE l_orderkey <= 100
+        |ORDER BY l_orderkey, ln""".stripMargin,
 
     "q_part_brand_stats" ->
       """SELECT p_brand, COUNT(*) AS n, MIN(p_size) AS min_size,
