@@ -9,6 +9,8 @@ import org.apache.spark.sql.SparkSession
   * present) runs first so the timed numbers measure query execution, not
   * first-run JVM/codegen compilation — standard JIT benchmarking
   * methodology; profiling showed cold-start dominating otherwise.
+  *
+  * A query that throws is reported as -1 (never as a fake fast time).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -32,13 +34,17 @@ object Bench {
 
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
+        }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${results.values.count(_ < 0)}}""")
     spark.stop()
   }
 }

@@ -17,13 +17,17 @@ object Tables {
 
   // Plan memoization: re-reading the same table re-lists files and
   // re-reads footers; with 50+ queries per Verify/Bench run that fixed
-  // cost dominates small scale factors. Keyed per session so concurrent
-  // sessions (tests vs mains) never share plans.
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+  // cost dominates small scale factors. The outer map is weak-keyed on
+  // the session so a stopped session (and its cached plans) can be GC'd.
+  // Testdata dirs are immutable (TESTDATA.md), so listings never go stale.
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]())
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    cache.computeIfAbsent((spark, dir, name), _ => load(spark, dir, name))
+    cache.computeIfAbsent(spark,
+        _ => new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]())
+      .computeIfAbsent((dir, name), _ => load(spark, dir, name))
 
   private def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {

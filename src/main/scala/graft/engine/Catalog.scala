@@ -34,8 +34,8 @@ class Catalog(spark: SparkSession, warehouse: String) {
     * (cl/dfs_actions.go:305-309). */
   def retrieve(name: String, localOut: String): Unit = {
     val out = new Path(localOut)
-    val localFs = out.getFileSystem(new Configuration(false))
-    if (new java.io.File(localOut).exists())
+    val localFs = out.getFileSystem(new Configuration())
+    if (localFs.exists(out))
       throw new IllegalArgumentException(s"local file exists: $localOut")
     fs.copyToLocalFile(target(name), out)
   }

@@ -1,7 +1,5 @@
 package graft.engine
 
-import java.util.Locale
-
 import org.apache.hadoop.io.{LongWritable, Text}
 import org.apache.hadoop.mapred.{FileSplit, TextInputFormat}
 import org.apache.spark.Partitioner
@@ -11,9 +9,12 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The reference's single-byte shuffle partitioner
-  * (`/root/reference/sn/mr_actions.go:227`):
-  * `int(lower(key)[0]) % R`, applied to the first byte of the lowercased
-  * key. Empty keys route to partition 0.
+  * (`/root/reference/sn/mr_actions.go:226`):
+  * `int(strings.ToLower(key[0:1])[0]) % R` — the FIRST BYTE is sliced
+  * first, then lowered, so only ASCII 'A'-'Z' fold (a multi-byte UTF-8
+  * lead byte is an invalid 1-byte string that Go's ToLower leaves
+  * unchanged). Keys in the reference carry `fmt.Sprintln`'s trailing
+  * newline, so an empty-token key is the string "\n" → byte 10.
   */
 class FirstBytePartitioner(r: Int) extends Partitioner {
   require(r > 0)
@@ -21,15 +22,21 @@ class FirstBytePartitioner(r: Int) extends Partitioner {
   override def getPartition(key: Any): Int = key match {
     case (k: String, _) => FirstBytePartitioner.of(k, r) // composite (key, value)
     case k: String      => FirstBytePartitioner.of(k, r)
-    case null           => 0
+    case null           => FirstBytePartitioner.of("", r)
     case other          => FirstBytePartitioner.of(other.toString, r)
   }
 }
 
 object FirstBytePartitioner {
-  def of(key: String, r: Int): Int =
-    if (key == null || key.isEmpty) 0
-    else (key.toLowerCase(Locale.ROOT).getBytes("UTF-8")(0) & 0xff) % r
+  def of(key: String, r: Int): Int = {
+    val b =
+      if (key == null || key.isEmpty) '\n'.toInt // Sprintln newline artifact
+      else {
+        val first = key.getBytes("UTF-8")(0) & 0xff
+        if (first >= 'A' && first <= 'Z') first + 32 else first
+      }
+    b % r
+  }
 }
 
 /** The MapReduce dataflow core (SURVEY.md §2.2 M1-M5) on Spark's
@@ -55,8 +62,10 @@ object MrPipeline {
       .hadoopFile(paths.mkString(","), classOf[TextInputFormat],
         classOf[LongWritable], classOf[Text])
       .asInstanceOf[HadoopRDD[LongWritable, Text]]
+    // full path, not basename: same-named files in different directories
+    // must stay distinct window partitions
     val tagged = rdd.mapPartitionsWithInputSplit { (split, it) =>
-      val file = split.asInstanceOf[FileSplit].getPath.getName
+      val file = split.asInstanceOf[FileSplit].getPath.toUri.getPath
       it.map { case (off, txt) => (file, off.get(), txt.toString) }
     }
     val w = Window.partitionBy($"file").orderBy($"off")

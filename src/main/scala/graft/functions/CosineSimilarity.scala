@@ -17,8 +17,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * replacement that preserves the DuckDB oracle contract. The win over
   * the HOF form is avoiding the materialized product array and the
   * per-element lambda interpretation: one fused primitive loop, inlined
-  * into the surrounding codegen stage. Mismatched lengths fold over the
-  * common prefix.
+  * into the surrounding codegen stage. As with the HOF form, a length
+  * mismatch or a null element yields NULL.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -37,13 +37,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_similarity"
 
+  // Null/shape semantics mirror the HOF composition exactly: a length
+  // mismatch or any null element yields NULL (zip_with pads with null and
+  // the fold propagates it) — keeping the drop-in-replacement contract.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getDouble(i); val yi = y.getDouble(i)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
@@ -61,16 +66,25 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       s"""
-         |int $n = Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = $a.getDouble($i);
-         |  double $yi = $b.getDouble($i);
-         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $xi = $a.getDouble($i);
+         |    double $yi = $b.getDouble($i);
+         |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));
+         |  }
          |}
-         |${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));
        """.stripMargin
     })
+
+  override def nullable: Boolean = true
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSimilarity =

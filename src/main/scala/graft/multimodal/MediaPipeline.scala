@@ -22,9 +22,12 @@ object MediaPipeline {
 
   /** Deterministic stand-in for a real image decode: dimensions and a
     * 16-dim feature vector derived from the payload hash. A production
-    * build swaps `decodeOne` for a codec call; nothing else changes. */
-  private[multimodal] def decodeOne(r: MediaRecord): MediaFeatures = {
-    val md = java.security.MessageDigest.getInstance("MD5").digest(r.payload)
+    * build swaps this for a codec call; nothing else changes. The digest
+    * is the "decoder state" — created once per partition, reused per row
+    * (MessageDigest.digest resets the instance). */
+  private[multimodal] def decodeOne(digest: java.security.MessageDigest)
+      (r: MediaRecord): MediaFeatures = {
+    val md = digest.digest(r.payload)
     def b(i: Int): Int = md(i) & 0xff
     val feats = Array.tabulate(16)(i => (b(i) / 255.0f) - 0.5f)
     MediaFeatures(r.media_id, r.format, r.payload.length.toLong,
@@ -36,8 +39,9 @@ object MediaPipeline {
   def extractFeatures(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
-      // real build: open codec context here, once per partition
-      it.map(decodeOne)
+      // decoder context opened once per partition, never per row
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      it.map(decodeOne(digest))
     }
   }
 

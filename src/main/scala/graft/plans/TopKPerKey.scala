@@ -111,14 +111,24 @@ case class TopKPerKeyExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(partitionExprs) :: Nil
 
+  // rows only move within a partition; report the child's partitioning so
+  // downstream operators keyed on the same exprs don't re-shuffle
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val partExprs = partitionExprs
     val sortOrder = order
     val kk = k
+    val outAttrs = output
     child.execute().mapPartitions({ it =>
       val keyProj = UnsafeProjection.create(partExprs, childOutput)
       val ord = GenerateOrdering.generate(sortOrder, childOutput)
+      // downstream exchanges/serializers require UnsafeRow — convert the
+      // (childRow ++ rn) join through an unsafe projection (like ProjectExec,
+      // the buffer is reused; row-at-a-time consumers are fine)
+      val outProj = UnsafeProjection.create(outAttrs, outAttrs)
       // per key: binary max-heap of the k best rows (heap top = worst
       // retained row, evicted first)
       val heaps = new java.util.HashMap[InternalRow,
@@ -143,9 +153,9 @@ case class TopKPerKeyExec(
         var i = rows.length - 1
         while (i >= 0) { rows(i) = heap.poll(); i -= 1 } // heap drains worst-first
         rows.iterator.zipWithIndex.map { case (r, idx) =>
-          new org.apache.spark.sql.catalyst.expressions.JoinedRow(r,
+          outProj(new org.apache.spark.sql.catalyst.expressions.JoinedRow(r,
             new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-              Array[Any](idx + 1))): InternalRow
+              Array[Any](idx + 1)))): InternalRow
         }
       }
     }, preservesPartitioning = true)

@@ -103,7 +103,11 @@ object Dedup {
     // exact n-gram Jaccard similarity. Shingle equi-join, no cross join.
     "dedup_jaccard_pairs" -> ((s, d) => {
       import s.implicits._
-      val sh = shingles(s, d, 5).cache()
+      // no .cache(): Spark's ReuseExchange dedups the identical shuffle
+      // subtrees of the self-join, and a cache here would pin executor
+      // storage for the rest of the session (queries can't unpersist —
+      // the caller owns the action)
+      val sh = shingles(s, d, 5)
       val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
       val pairs = sh.as("a").join(sh.as("b"),
           $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
@@ -125,16 +129,15 @@ object Dedup {
 
     // MinHash-LSH: 3 bands × 2 rows; candidate pairs share any band key.
     // This is the 100 TB-scale near-dup path: band-key equi-join instead
-    // of any pairwise comparison. The band table is cached — without it
-    // the self-join would recompute the whole shingle→minhash pipeline
-    // for both sides (2× the dominant cost).
+    // of any pairwise comparison. The self-join's two identical shuffle
+    // subtrees are deduplicated by ReuseExchange — no cache needed (and a
+    // cache here would leak: the caller owns the action).
     "dedup_lsh_pairs" -> ((s, d) => {
       import s.implicits._
       val sig = minhashSigs(s, d)
       val bands = sig.select($"doc_id", posexplode(array(
         concat($"h1", $"h2"), concat($"h3", $"h4"), concat($"h5", $"h6"))))
         .toDF("doc_id", "band_i", "band_key")
-        .cache()
       bands.as("a").join(bands.as("b"),
           $"a.band_key" === $"b.band_key" && $"a.band_i" === $"b.band_i" &&
             $"a.doc_id" < $"b.doc_id")

@@ -13,9 +13,14 @@ class MrPipelineSpec extends SparkSpec {
     assert(FirstBytePartitioner.of("Apple", 26) == 97 % 26)
     assert(FirstBytePartitioner.of("apple", 26) == 97 % 26)
     assert(FirstBytePartitioner.of("zulu", 10) == 122 % 10)
-    assert(FirstBytePartitioner.of("", 26) == 0)
-    // non-ASCII first byte of the lowered UTF-8 encoding
+    // reference keys carry Sprintln's newline: empty token ⇒ "\n" ⇒ 10
+    assert(FirstBytePartitioner.of("", 26) == 10 % 26)
+    // raw first UTF-8 byte; only the 1-byte slice is lowered (Go
+    // ToLower(key[0:1]) leaves an invalid lead byte unchanged)
     assert(FirstBytePartitioner.of("émile", 26) == (0xc3 % 26))
+    // U+0400 'Ѐ' lowers to U+0450 as a full string (D0→D1) but the Go
+    // byte-slice semantics keep the raw D0 lead byte
+    assert(FirstBytePartitioner.of("Ѐx", 26) == (0xd0 % 26))
   }
 
   test("lines(): per-file 0-based line numbers in file order") {

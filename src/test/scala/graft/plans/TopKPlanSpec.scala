@@ -63,6 +63,23 @@ class TopKPlanSpec extends SparkSpec {
     finally spark.conf.unset("spark.sql.optimizer.excludedRules")
   }
 
+  test("null partition keys group together, matching WindowExec") {
+    import spark.implicits._
+    val df0 = Seq(
+      (Some("a"), 3L), (Some("a"), 1L), (None, 9L), (None, 4L),
+      (None, 7L), (Some("b"), 5L)).toDF("k", "v")
+    def top2 = {
+      val w = Window.partitionBy($"k").orderBy($"v".desc, $"k".asc_nulls_first)
+      df0.withColumn("rn", row_number().over(w)).filter($"rn" <= 2)
+        .select($"k", $"v", $"rn").orderBy($"k".asc_nulls_first, $"rn")
+    }
+    val got = top2.collect().toSeq
+    assert(finalPlan(top2).toString.contains("TopKPerKey"))
+    spark.conf.set("spark.sql.optimizer.excludedRules", "graft.plans.TopKPerKeyRule")
+    try assert(got == top2.collect().toSeq)
+    finally spark.conf.unset("spark.sql.optimizer.excludedRules")
+  }
+
   test("large k declines the rewrite (falls back to WindowExec)") {
     import spark.implicits._
     val w = Window.partitionBy($"o_custkey").orderBy($"o_orderkey")

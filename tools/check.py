@@ -47,6 +47,10 @@ def main():
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    unknown = only - set(oracle)
+    if unknown:
+        print(f"FAIL: unknown query name(s): {sorted(unknown)}")
+        sys.exit(2)
     n_ok = n_bad = 0
     for name in sorted(oracle):
         if only and name not in only:
