@@ -1,0 +1,54 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+/** Scaling smoke: replicate sf0.1 10x (~6M lineitem rows, 50k docs) into
+  * /tmp and time headline queries — evidence the plans scale linearly. */
+object ScaleStress {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions","16")
+      .config("spark.sql.session.timeZone","UTC")
+      .config("spark.sql.extensions","graft.GraftExtensions")
+      .config("spark.ui.enabled","false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val src = "/root/testdata/sf0.1"
+    val dst = "/tmp/sf1x"
+    def time[T](tag: String)(f: => T): T = { val t0=System.nanoTime; val r=f; println(s"TIME $tag ${math.round((System.nanoTime-t0)/1e7)/100.0}"); r }
+
+    if (!new java.io.File(s"$dst/lineitem.parquet").exists()) {
+      val reps = spark.range(10).select($"id".as("rep"))
+      for (t <- Seq("lineitem","orders","customer","supplier","part","nation","region")) {
+        val df = Tables.t(spark, src, t)
+        val keyCols = df.columns.filter(c => c.endsWith("key") && !c.contains("nation") && !c.contains("region"))
+        val scaled = if (t=="nation"||t=="region") df else {
+          var x = df.crossJoin(reps)
+          for (kc <- keyCols) x = x.withColumn(kc, col(kc) + $"rep" * 10000000L)
+          x.drop("rep")
+        }
+        scaled.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      }
+      val docs = Tables.t(spark, src, "documents")
+      docs.crossJoin(reps).withColumn("doc_id", $"doc_id" + $"rep"*1000000L).drop("rep")
+        .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+      val emb = Tables.t(spark, src, "embeddings")
+      emb.crossJoin(reps).withColumn("vec_id", $"vec_id" + $"rep"*1000000L).drop("rep")
+        .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+      val ev = Tables.t(spark, src, "events")
+      ev.crossJoin(reps).withColumn("event_id", $"event_id" + $"rep"*100000000L)
+        .withColumn("user_id", $"user_id" + $"rep"*1000L).drop("rep")
+        .write.mode("overwrite").parquet(s"$dst/events.parquet")
+      println("scaled data written")
+    }
+    println("lineitem rows: " + spark.read.parquet(s"$dst/lineitem.parquet").count())
+    // warm
+    for (q <- Seq("q1_pricing_summary","q5_nation_revenue","q_topk_customers","wc_word_counts","dedup_lsh_pairs","sim_cosine_topk","log_hourly","q_window_top3"))
+      SparkEntry.queries(q)(spark, src).count()
+    for (q <- Seq("q1_pricing_summary","q5_nation_revenue","q_topk_customers","wc_word_counts","dedup_lsh_pairs","sim_cosine_topk","log_hourly","q_window_top3")) {
+      val t1 = { val t0=System.nanoTime; SparkEntry.queries(q)(spark, src).count(); (System.nanoTime-t0)/1e9 }
+      val t10 = { val t0=System.nanoTime; SparkEntry.queries(q)(spark, dst).count(); (System.nanoTime-t0)/1e9 }
+      println(f"SCALE $q%-22s sf0.1=${t1}%6.2f  x10=${t10}%6.2f  ratio=${t10/t1}%5.2f")
+    }
+    spark.stop()
+  }
+}

@@ -31,11 +31,15 @@ object Tables {
 
   private def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-      // read natively. Read nanos as long, then floor-divide to micros —
-      // identical to DuckDB's nanos→micros truncation.
+      // The driver's events.ts is parquet TIMESTAMP(NANOS), which Spark 4
+      // refuses to read natively. Read nanos as long, then floor-divide to
+      // micros — identical to DuckDB's nanos→micros truncation. Re-staged
+      // copies (e.g. scale-stress data) already carry micros timestamps —
+      // convert only when the column actually reads as long.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else df
     } else spark.read.parquet(s"$dir/$name.parquet")
 }

@@ -107,6 +107,17 @@ class JobsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("log end-to-end golden: per-reducer report frozen (L10)") {
+    val input = MrPipeline.lines(spark, Seq(resource("crawler_logs.txt")))
+    val rows = MrPipeline.run(spark, input, LogAnalyzerJob)
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    val got = rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .flatMap { case (rid, rs) => rs.map { case (_, l) => s"$rid\t$l" } }
+    val want = scala.io.Source.fromFile(resource("loganalyzer_golden.txt"))
+      .getLines().toSeq
+    assert(got == want)
+  }
+
   test("log end-to-end on crawler fixture: deterministic across runs") {
     val input = MrPipeline.lines(spark, Seq(resource("crawler_logs.txt")))
     val a = MrPipeline.run(spark, input, LogAnalyzerJob).collect().toSeq
