@@ -38,14 +38,16 @@ object Relational {
         .orderBy($"l_returnflag", $"l_linestatus")
     }),
 
-    // TPC-H Q3-style: 3-way join (broadcastable dim side), agg, top-k.
+    // TPC-H Q3-style: 3-way join, agg, top-k. No broadcast hint on
+    // customer — it scales with the data (forcing it would OOM at
+    // 100 TB); Catalyst/AQE picks broadcast vs shuffle join from size.
     "q3_top_orders" -> ((s, d) => {
       import s.implicits._
       val cust  = t(s, d, "customer").filter($"c_mktsegment" === "BUILDING")
       val ord   = t(s, d, "orders").filter($"o_orderdate" < lit("2000-01-01").cast("timestamp"))
       val li    = t(s, d, "lineitem").filter($"l_shipdate" > lit("2000-01-01").cast("timestamp"))
       li.join(ord, $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .join(cust, $"o_custkey" === $"c_custkey")
         .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
         .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("revenue"))
         .select($"l_orderkey", $"revenue",
@@ -63,9 +65,12 @@ object Relational {
       val sup = t(s, d, "supplier")
       val nat = t(s, d, "nation")
       val reg = t(s, d, "region")
+      // broadcast hints only on the FIXED-size dims (nation: 25 rows,
+      // region: 5 at any scale factor); supplier/customer scale with the
+      // data and are left to Catalyst/AQE
       li.join(ord, $"l_orderkey" === $"o_orderkey")
         .join(cst, $"o_custkey" === $"c_custkey")
-        .join(broadcast(sup),
+        .join(sup,
           $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
         .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
         .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")

@@ -46,6 +46,18 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup — the training-data-pipeline op (§2.5) on an
+    * unbounded stream: state is bounded by the watermark window (an
+    * event_id seen twice >1h apart is re-admitted; within the window it
+    * is dropped). In batch mode this degrades to plain dropDuplicates. */
+  def dedupedEvents(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    if (events.isStreaming)
+      events.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+    else events.dropDuplicates("event_id")
+  }
+
   /** Launch helper: run a streaming query over a parquet directory into
     * an in-memory table and block until all available data is processed. */
   def runToMemory(spark: SparkSession, srcDir: String,

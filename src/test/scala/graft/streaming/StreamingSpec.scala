@@ -55,6 +55,20 @@ class StreamingSpec extends SparkSpec {
       batch.map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
 
+  test("streaming dedup drops in-window duplicates, batch parity on uniques") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_dedup").resolve("dup").toString
+    val src = t(spark, sf(), "events")
+    // duplicate every event (same event_id, same ts) — stream must emit
+    // each id exactly once
+    src.union(src).write.parquet(dir)
+    EventStream.runToMemory(spark, dir,
+      EventStream.dedupedEvents, "dedup_stream")
+    val streamed = spark.table("dedup_stream")
+    assert(streamed.count() == src.count())
+    assert(streamed.select("event_id").distinct().count() == src.count())
+  }
+
   test("watermark bounds state: late rows beyond watermark are dropped") {
     import spark.implicits._
     // Two batches: second contains a row >2h older than the max event
