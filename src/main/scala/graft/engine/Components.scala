@@ -1,0 +1,52 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components by iterative min-label propagation — the
+  * shuffle-join formulation that scales: each round is
+  * `label' = min(label, min(neighbor labels))`, one join + one agg, no
+  * driver-side graph state. Converges in O(diameter) rounds; duplicate
+  * clusters from LSH candidates have tiny diameters, so a small fixed
+  * `maxIter` with an early-exit check is exact.
+  */
+object Components {
+
+  /** @return DataFrame(id, component) for every node appearing in
+    *         `pairs`, component = minimum id in the node's component. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    // undirected edge list, both directions
+    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edges = fwd.union(fwd.select($"dst".as("src"), $"src".as("dst")))
+      .distinct()
+      .cache()
+    var labels = edges.select($"src".as("id")).distinct()
+      .withColumn("component", $"id")
+    var iter = 0
+    var converged = labels.head(1).isEmpty // empty graph: nothing to do
+    while (iter < maxIter && !converged) {
+      // one shuffle round: min over own label and neighbors' labels;
+      // the change flag rides along so convergence costs no extra action
+      val minNbr = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy($"dst".as("id")).agg(min($"component").as("nbr"))
+      val next = labels
+        .join(minNbr, Seq("id"), "left_outer")
+        .select($"id",
+          least($"component", coalesce($"nbr", $"component")).as("component"),
+          ($"nbr" < $"component").as("changed"))
+        .cache()
+      converged = next
+        .agg(max(when($"changed", 1).otherwise(0)).as("c"))
+        .first().getInt(0) == 0
+      labels.unpersist()
+      labels = next.drop("changed")
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select($"id", $"component")
+  }
+}

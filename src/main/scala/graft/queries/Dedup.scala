@@ -146,6 +146,32 @@ object Dedup {
         .orderBy($"doc_a", $"doc_b")
     }),
 
+    // Duplicate clusters: connected components over the LSH candidate
+    // graph via min-label propagation — the standard iterative approach
+    // at 100 TB scale (each round is one shuffle join; no driver-side
+    // graph state). Output: every clustered doc with its canonical
+    // (minimum) doc id. Oracle: recursive CTE reachability.
+    "dedup_clusters" -> ((s, d) => {
+      import s.implicits._
+      val pairs = queries("dedup_lsh_pairs")(s, d)
+      graft.engine.Components.connectedComponents(
+          pairs, "doc_a", "doc_b", maxIter = 15)
+        .toDF("doc_id", "component")
+        .orderBy($"doc_id")
+    }),
+
+    // Salted skew join, oracle-checked against the plain join: the salt
+    // changes only the shuffle layout, never the result (engine.Skew).
+    "dedup_salted_sources" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val dims = docs.groupBy($"source").agg(count(lit(1)).as("n_in_source"))
+      graft.engine.Skew.saltedJoin(docs, dims, "source", salts = 4)
+        .groupBy($"source", $"n_in_source")
+        .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("min_doc"))
+        .orderBy($"source")
+    }),
+
     // 16-bit SimHash from per-token md5 hex digits: bit_j set iff the
     // signed sum over distinct tokens of (digit_j >= 8 ? +1 : -1) is >= 0.
     // Token hashes precomputed once per doc; the per-bit fold runs
@@ -203,6 +229,39 @@ object Dedup {
          |JOIN bands b ON a.band_key = b.band_key AND a.band_i = b.band_i
          |             AND a.doc_id < b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_clusters" -> {
+      val lsh = s"""${sigSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_i, h1 || h2 AS band_key FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 1, h3 || h4 FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 2, h5 || h6 FROM sig),
+         |p AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a
+         |  JOIN bands b ON a.band_key = b.band_key AND a.band_i = b.band_i
+         |               AND a.doc_id < b.doc_id),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+         |          UNION SELECT doc_b, doc_a FROM p),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |reach(id, comp) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.id)
+         |SELECT id AS doc_id, MIN(comp) AS component
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+      lsh
+    },
+
+    "dedup_salted_sources" ->
+      """WITH dims AS (SELECT source, COUNT(*) AS n_in_source
+        |              FROM documents GROUP BY source)
+        |SELECT d.source, n_in_source, COUNT(*) AS n_docs,
+        |  MIN(doc_id) AS min_doc
+        |FROM documents d JOIN dims USING (source)
+        |GROUP BY d.source, n_in_source ORDER BY d.source""".stripMargin,
 
     "dedup_simhash" ->
       """WITH d AS (
