@@ -45,6 +45,23 @@ object MediaPipeline {
     }
   }
 
+  /** Resize: deterministic payload downsample (every `factor`-th byte)
+    * with metadata carried through — the plumbing shape of an image
+    * resize (a production build swaps the byte stride for a real
+    * scaler; schema and batching are unchanged). */
+  def resize(ds: Dataset[MediaRecord], factor: Int): Dataset[MediaRecord] = {
+    import ds.sparkSession.implicits._
+    require(factor >= 1)
+    ds.mapPartitions { it =>
+      it.map { r =>
+        val out = Array.ofDim[Byte]((r.payload.length + factor - 1) / factor)
+        var i = 0
+        while (i < out.length) { out(i) = r.payload(i * factor); i += 1 }
+        r.copy(payload = out)
+      }
+    }
+  }
+
   /** Frame sampling for video-like payloads: emit every `stride`-th chunk
     * of the payload as a "frame" (bounded output per record). */
   def sampleFrames(ds: Dataset[MediaRecord], stride: Int, maxFrames: Int)

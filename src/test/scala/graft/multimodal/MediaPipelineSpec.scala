@@ -28,6 +28,21 @@ class MediaPipelineSpec extends SparkSpec {
     assert(a.forall(f => f.features.forall(x => x >= -0.5f && x <= 0.5f)))
   }
 
+  test("resize: deterministic downsample, metadata preserved") {
+    val ds = fromDocuments(spark, docs).limit(20)
+    val orig = ds.collect().sortBy(_.media_id)
+    val half = resize(ds, 2).collect().sortBy(_.media_id)
+    assert(half.length == orig.length)
+    orig.zip(half).foreach { case (o, h) =>
+      assert(h.media_id == o.media_id && h.format == o.format)
+      assert(h.payload.length == (o.payload.length + 1) / 2)
+      assert(h.payload.toSeq == o.payload.grouped(2).map(_.head).toSeq)
+    }
+    // factor 1 = identity
+    val same = resize(ds, 1).collect().sortBy(_.media_id)
+    assert(same.map(_.payload.toSeq).toSeq == orig.map(_.payload.toSeq).toSeq)
+  }
+
   test("sampleFrames: bounded output per record, stride chunks") {
     val ds = fromDocuments(spark, docs).limit(20)
     val frames = sampleFrames(ds, stride = 32, maxFrames = 4).collect()
