@@ -146,6 +146,27 @@ object Dedup {
         .orderBy($"doc_a", $"doc_b")
     }),
 
+    // SimHash near-dup pairs: hamming(simhash) <= 1 over 16 bits. Exact
+    // recall via pigeonhole banding — any pair within hamming 1 shares at
+    // least one of the 4 nibbles exactly, so candidates come from a
+    // nibble-band equi-join (the 100 TB shape), then the bit_count(xor)
+    // filter is exact.
+    "dedup_simhash_pairs" -> ((s, d) => {
+      import s.implicits._
+      val sh = queries("dedup_simhash")(s, d)
+      val bands = sh.select($"doc_id", $"simhash",
+          explode(expr("sequence(0, 3)")).as("band_i"))
+        .withColumn("nib", expr("(simhash >> (band_i * 4)) & 15"))
+      bands.as("a").join(bands.as("b"),
+          $"a.band_i" === $"b.band_i" && $"a.nib" === $"b.nib" &&
+            $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+          expr("cast(bit_count(a.simhash ^ b.simhash) as bigint)").as("hamming"))
+        .distinct()
+        .filter($"hamming" <= 1)
+        .orderBy($"doc_a", $"doc_b")
+    }),
+
     // Duplicate clusters: connected components over the LSH candidate
     // graph via min-label propagation — the standard iterative approach
     // at 100 TB scale (each round is one shuffle join; no driver-side
@@ -262,6 +283,36 @@ object Dedup {
         |  MIN(doc_id) AS min_doc
         |FROM documents d JOIN dims USING (source)
         |GROUP BY d.source, n_in_source ORDER BY d.source""".stripMargin,
+
+    "dedup_simhash_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_transform(list_distinct(
+        |      list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                  x -> x <> '')), tk -> md5(tk)) AS ms
+        |  FROM documents),
+        |bits AS (
+        |  SELECT doc_id, j,
+        |    list_sum(list_transform(ms, m ->
+        |      CASE WHEN strpos('0123456789abcdef', substring(m, j, 1)) - 1 >= 8
+        |           THEN 1 ELSE -1 END)) AS sgn
+        |  FROM d, unnest(generate_series(1, 16)) AS t(j)),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN sgn >= 0 THEN (1::BIGINT << (j - 1)) ELSE 0 END)
+        |         AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, simhash, bi, (simhash >> (bi * 4)) & 15 AS nib
+        |  FROM sh, unnest(generate_series(0, 3)) AS t(bi)),
+        |p AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |  FROM bands a
+        |  JOIN bands b ON a.bi = b.bi AND a.nib = b.nib
+        |               AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 1
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_simhash" ->
       """WITH d AS (

@@ -38,6 +38,21 @@ object Relational {
         .orderBy($"l_returnflag", $"l_linestatus")
     }),
 
+    // The spark.sql surface: identical semantics to q1 expressed as ANSI
+    // SQL over temp views — same Catalyst plan, same oracle.
+    "sql_q1" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+          | CAST(SUM(CAST(l_extendedprice * (1.0d - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+          | COUNT(*) AS count_order
+          |FROM lineitem_v WHERE l_shipdate <= TIMESTAMP '1999-12-01'
+          |GROUP BY l_returnflag, l_linestatus
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    }),
+
     // TPC-H Q3-style: 3-way join, agg, top-k. No broadcast hint on
     // customer — it scales with the data (forcing it would OOM at
     // 100 TB); Catalyst/AQE picks broadcast vs shuffle join from size.
@@ -351,6 +366,16 @@ object Relational {
 
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        | COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-12-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "sql_q1" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
