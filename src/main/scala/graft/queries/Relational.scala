@@ -310,6 +310,33 @@ object Relational {
         .orderBy($"o_orderpriority")
     }),
 
+    // Stratified sampling: k deterministic rows per group, ordered by
+    // content hash — the training-data-pipeline "balanced subset" op.
+    // The row_number()<=k pattern plans through the custom TopKPerKey
+    // operator (graft.plans) under the oracle contract.
+    "q_stratified_sample" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_orderpriority")
+        .orderBy(md5($"o_orderkey".cast("string").cast("binary")).asc,
+          $"o_orderkey".asc)
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 5)
+        .select($"o_orderpriority", $"o_orderkey", $"rn".cast("long").as("rn"))
+        .orderBy($"o_orderpriority", $"rn")
+    }),
+
+    // IN-subquery (planned as a semi join).
+    "q_in_subquery" -> ((s, d) => {
+      import s.implicits._
+      val rich = t(s, d, "customer").filter($"c_acctbal" > 9000.0)
+        .select($"c_custkey")
+      t(s, d, "orders")
+        .join(rich, $"o_custkey" === $"c_custkey", "left_semi")
+        .select($"o_orderkey", $"o_custkey")
+        .orderBy($"o_orderkey")
+    }),
+
     // Deterministic sampling: content-hash filter instead of random() —
     // reproducible on any engine and stable under re-partitioning.
     "q_sample_hash" -> ((s, d) => {
@@ -490,6 +517,21 @@ object Relational {
         |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
         |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_stratified_sample" ->
+      """SELECT o_orderpriority, o_orderkey, rn FROM (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY md5(CAST(o_orderkey AS VARCHAR)),
+        |                                o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 5
+        |ORDER BY o_orderpriority, rn""".stripMargin,
+
+    "q_in_subquery" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_acctbal > 9000.0)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_sample_hash" ->
       """SELECT o_orderkey, o_orderstatus FROM orders
