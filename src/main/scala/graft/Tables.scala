@@ -17,12 +17,22 @@ object Tables {
 
   // Plan memoization: re-reading the same table re-lists files and
   // re-reads footers; with 50+ queries per Verify/Bench run that fixed
-  // cost dominates small scale factors. The outer map is weak-keyed on
-  // the session so a stopped session (and its cached plans) can be GC'd.
+  // cost dominates small scale factors. Weak keys can't work here — the
+  // cached DataFrames strongly reference their session, so a weak-keyed
+  // map would never evict. Instead the cache is explicitly bounded to the
+  // few most-recent sessions (Verify/Bench/tests use 1-2), evicting
+  // oldest-first; a stopped session is retained only until pushed out.
   // Testdata dirs are immutable (TESTDATA.md), so listings never go stale.
+  private val MaxSessions = 4
   private val cache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]())
+    new java.util.LinkedHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]](
+        MaxSessions, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[SparkSession,
+            java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]): Boolean =
+        size() > MaxSessions
+    })
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     cache.computeIfAbsent(spark,

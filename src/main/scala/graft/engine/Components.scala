@@ -9,11 +9,22 @@ import org.apache.spark.sql.functions._
   * driver-side graph state. Converges in O(diameter) rounds; duplicate
   * clusters from LSH candidates have tiny diameters, so a small fixed
   * `maxIter` with an early-exit check is exact.
+  *
+  * Each iterate is `localCheckpoint`ed: that truncates the lineage (the
+  * logical plan would otherwise grow by a join+agg per round, making
+  * Catalyst re-optimize an ever-deeper tree and making failure recovery
+  * replay the whole loop) and gives a concrete plan object to unpersist —
+  * `CacheManager` matches by plan, so unpersisting a `.drop(...)` of the
+  * cached frame would silently leak every round's cache. On a real
+  * cluster with executor loss, swap `localCheckpoint` for reliable
+  * `checkpoint` (same lineage-truncation contract).
   */
 object Components {
 
   /** @return DataFrame(id, component) for every node appearing in
-    *         `pairs`, component = minimum id in the node's component. */
+    *         `pairs`, component = minimum id in the node's component.
+    * @throws IllegalStateException if not converged within `maxIter`
+    *         rounds (a silent early exit would return wrong labels). */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int): DataFrame = {
     val spark = pairs.sparkSession
@@ -25,6 +36,7 @@ object Components {
       .cache()
     var labels = edges.select($"src".as("id")).distinct()
       .withColumn("component", $"id")
+    var prev: DataFrame = null // previous round's checkpointed iterate
     var iter = 0
     var converged = labels.head(1).isEmpty // empty graph: nothing to do
     while (iter < maxIter && !converged) {
@@ -38,15 +50,22 @@ object Components {
         .select($"id",
           least($"component", coalesce($"nbr", $"component")).as("component"),
           ($"nbr" < $"component").as("changed"))
-        .cache()
+        .localCheckpoint(eager = true) // materialize + truncate lineage
       converged = next
         .agg(max(when($"changed", 1).otherwise(0)).as("c"))
         .first().getInt(0) == 0
-      labels.unpersist()
+      if (prev != null) prev.unpersist()
+      prev = next
       labels = next.drop("changed")
       iter += 1
     }
     edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within maxIter=$maxIter " +
+          "rounds; raise maxIter (rounds needed ~ graph diameter)")
+    // the final iterate's checkpoint backs the returned frame; it is
+    // released by the ContextCleaner when the frame is GC'd
     labels.select($"id", $"component")
   }
 }

@@ -2,32 +2,45 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, EqualTo, Expression, LessThan, LessThanOrEqual, Literal, RowNumber, SortOrder, UnsafeProjection, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, AttributeReference, EqualTo, Expression, LessThan, LessThanOrEqual, Literal, RowNumber, SortOrder, UnsafeProjection, UnsafeRow, WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, UnaryNode, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, IntegerType}
 
 /** Grouped top-k as a first-class operator (SURVEY.md L9/L10: the
   * reference's per-shard top-k reports).
   *
   * Spark expresses "top k rows per key" as
   * `Filter(row_number() OVER (PARTITION BY keys ORDER BY ord) <= k)`,
-  * which plans to a full `WindowExec`: every group is fully buffered and
-  * sorted before a single row is emitted, then k·groups rows survive the
-  * filter. At 100 TB that is a sort of the whole input to keep a sliver.
+  * which plans to a full `WindowExec`: a sort on (keys ++ ord), every
+  * group fully buffered before a single row is emitted, then k·groups
+  * rows survive the filter. At 100 TB that buffers and ranks the whole
+  * input to keep a sliver.
   *
   * `TopKPerKeyRule` (optimizer rule) recognizes exactly that logical
   * pattern and replaces it with [[TopKPerKeyNode]], which
-  * [[TopKPerKeyStrategy]] plans as [[TopKPerKeyExec]]: one shuffle on the
-  * keys (same as the window), then a streaming pass holding only a
-  * k-bounded binary heap per key — O(keys·k) state instead of a full
-  * sort, no second pass. Semantics (including the emitted row-number
-  * column and tie behavior under a non-total order) are identical to the
-  * window form. The rewrite declines when k > 1024 (heap state could
-  * rival the sort) or the pattern deviates in any way.
+  * [[TopKPerKeyStrategy]] plans as [[TopKPerKeyExec]]: the same shuffle
+  * on the keys, a grouping sort on the keys ONLY (cheaper comparisons
+  * than keys ++ ord, and spillable via Spark's own `SortExec` /
+  * `ExternalSorter`), then a single streaming pass holding one k-bounded
+  * binary heap at a time — O(k) operator state regardless of key
+  * cardinality, no per-group buffering, no rank-then-filter second pass.
+  * Semantics (including the emitted row-number column and tie behavior
+  * under a non-total order) are identical to the window form.
+  *
+  * The rewrite declines when:
+  *   - `k > 1024` (emitting k·groups rows loses its point; let the sort
+  *     do the work),
+  *   - the PARTITION BY is empty (global top-N — Spark's own
+  *     `LimitPushDownThroughWindow` + `TakeOrderedAndProject` handle it,
+  *     and `ClusteredDistribution(Nil)` is rejected by the planner),
+  *   - any partition key is Float/Double (WindowExec sees keys through
+  *     `NormalizeFloatingNumbers`, so -0.0/0.0 and NaN bit patterns
+  *     group together; byte-wise UnsafeRow grouping would split them),
+  *   - the pattern deviates in any other way.
   */
 case class TopKPerKeyNode(
     k: Int,
@@ -58,10 +71,26 @@ object TopKPerKeyRule extends Rule[LogicalPlan] {
         .getOrElse(f)
   }
 
+  /** Grouping below uses byte-wise UnsafeRow equality; Float/Double keys
+    * would split -0.0 vs 0.0 (and NaN payloads) into separate groups,
+    * unlike the NormalizeFloatingNumbers-wrapped WindowExec. */
+  private def hasFloatingKey(e: Expression): Boolean = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    def loop(dt: DataType): Boolean = dt match {
+      case FloatType | DoubleType => true
+      case s: StructType          => s.fields.exists(f => loop(f.dataType))
+      case a: ArrayType           => loop(a.elementType)
+      case m: MapType             => loop(m.keyType) || loop(m.valueType)
+      case _                      => false
+    }
+    loop(e.dataType)
+  }
+
   private def rewrite(cond: Expression, w: Window): Option[LogicalPlan] = {
     w.windowExpressions match {
       case Seq(a @ Alias(WindowExpression(RowNumber(),
-          WindowSpecDefinition(parts, order, _)), _)) =>
+          WindowSpecDefinition(parts, order, _)), _))
+          if parts.nonEmpty && !parts.exists(hasFloatingKey) =>
         val rn = a.toAttribute
         limitFromCond(cond, rn).collect {
           case k if k >= 1 && k <= MaxK =>
@@ -106,15 +135,25 @@ case class TopKPerKeyExec(
     org.apache.spark.sql.catalyst.expressions.AttributeSet(rnAttr)
 
   // same distribution requirement as the WindowExec it replaces: one
-  // shuffle clustering each key's rows together (no ordering required —
-  // the heap replaces the sort)
+  // shuffle clustering each key's rows together
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(partitionExprs) :: Nil
 
-  // rows only move within a partition; report the child's partitioning so
-  // downstream operators keyed on the same exprs don't re-shuffle
+  // grouping sort on the keys only (NOT keys ++ order — the heap replaces
+  // the order-by part of the sort). Spark satisfies this with a spillable
+  // SortExec, which bounds memory; the streaming pass below then holds a
+  // single k-row heap at a time instead of one heap per distinct key.
+  private val groupingOrder: Seq[SortOrder] =
+    partitionExprs.map(SortOrder(_, Ascending))
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    groupingOrder :: Nil
+
+  // rows only move within a partition; report the child's partitioning and
+  // the grouping order so downstream operators keyed on the same exprs
+  // don't re-shuffle or re-sort
   override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
     child.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = groupingOrder
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
@@ -129,33 +168,50 @@ case class TopKPerKeyExec(
       // (childRow ++ rn) join through an unsafe projection (like ProjectExec,
       // the buffer is reused; row-at-a-time consumers are fine)
       val outProj = UnsafeProjection.create(outAttrs, outAttrs)
-      // per key: binary max-heap of the k best rows (heap top = worst
-      // retained row, evicted first)
-      val heaps = new java.util.HashMap[InternalRow,
-        java.util.PriorityQueue[InternalRow]]()
       val heapOrd: java.util.Comparator[InternalRow] = ord.reversed()
-      it.foreach { row =>
-        val key = keyProj(row).copy()
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](kk + 1, heapOrd)
-          heaps.put(key, heap)
+      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      val rnRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+
+      // input arrives key-clustered AND key-sorted: stream one group at a
+      // time through a single binary max-heap of the k best rows (heap top
+      // = worst retained row, evicted first). State is O(k) rows total.
+      new Iterator[InternalRow] {
+        private var lookahead: InternalRow = if (it.hasNext) it.next() else null
+        private var pending: Array[InternalRow] = null
+        private var pendingIdx = 0
+        private val heap =
+          new java.util.PriorityQueue[InternalRow](kk + 1, heapOrd)
+
+        override def hasNext: Boolean =
+          (pending != null && pendingIdx < pending.length) || lookahead != null
+
+        override def next(): InternalRow = {
+          if (pending == null || pendingIdx >= pending.length) advanceGroup()
+          val r = pending(pendingIdx)
+          rnRow.update(0, pendingIdx + 1)
+          pendingIdx += 1
+          outProj(joined(r, rnRow))
         }
-        if (heap.size() < kk) heap.add(row.copy())
-        else if (ord.compare(row, heap.peek()) < 0) {
-          heap.poll()
-          heap.add(row.copy())
-        }
-      }
-      import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap { heap =>
-        val rows = new Array[InternalRow](heap.size())
-        var i = rows.length - 1
-        while (i >= 0) { rows(i) = heap.poll(); i -= 1 } // heap drains worst-first
-        rows.iterator.zipWithIndex.map { case (r, idx) =>
-          outProj(new org.apache.spark.sql.catalyst.expressions.JoinedRow(r,
-            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-              Array[Any](idx + 1)))): InternalRow
+
+        private def advanceGroup(): Unit = {
+          val groupKey = keyProj(lookahead).copy()
+          heap.clear()
+          var row = lookahead
+          while (row != null && keyProj(row).equals(groupKey)) {
+            if (heap.size() < kk) heap.add(row.copy())
+            else if (ord.compare(row, heap.peek()) < 0) {
+              heap.poll()
+              heap.add(row.copy())
+            }
+            row = if (it.hasNext) it.next() else null
+          }
+          lookahead = row
+          // heap drains worst-first; fill the rank array back-to-front
+          val rows = new Array[InternalRow](heap.size())
+          var i = rows.length - 1
+          while (i >= 0) { rows(i) = heap.poll(); i -= 1 }
+          pending = rows
+          pendingIdx = 0
         }
       }
     }, preservesPartitioning = true)

@@ -80,6 +80,55 @@ class TopKPlanSpec extends SparkSpec {
     finally spark.conf.unset("spark.sql.optimizer.excludedRules")
   }
 
+  test("empty PARTITION BY (global top-N) declines the rewrite and works") {
+    import spark.implicits._
+    // ClusteredDistribution(Nil) is rejected by Spark's planner — the rule
+    // must leave the global-window form alone (vanilla handles it via
+    // LimitPushDownThroughWindow)
+    val w = Window.orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    val df = t(spark, sf(), "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 5)
+      .select($"o_orderkey", $"rn")
+    val rows = df.collect() // would throw IllegalArgumentException pre-fix
+    assert(rows.length == 5)
+    assert(rows.map(_.getInt(1)).sorted.toSeq == Seq(1, 2, 3, 4, 5))
+    assert(!finalPlan(df).toString.contains("TopKPerKey"))
+  }
+
+  test("float/double partition keys decline the rewrite (-0.0 vs 0.0)") {
+    import spark.implicits._
+    val df0 = Seq((0.0, 1L), (-0.0, 2L), (0.0, 3L), (1.5, 4L))
+      .toDF("k", "v")
+    def top1 = {
+      val w = Window.partitionBy($"k").orderBy($"v".desc)
+      df0.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"k", $"v").orderBy($"v")
+    }
+    assert(!finalPlan(top1).toString.contains("TopKPerKey"),
+      "rewrite must decline: UnsafeRow grouping splits -0.0 from 0.0")
+    // WindowExec normalizes: -0.0 and 0.0 are ONE group → 2 rows not 3
+    assert(top1.collect().length == 2)
+  }
+
+  test("state is O(k): high-cardinality keys stream group-at-a-time") {
+    import spark.implicits._
+    // 200k distinct keys × 2 rows; per-key-heap-in-HashMap would hold all
+    // 200k heaps — the sort-grouped exec holds one. This is a smoke proof
+    // of the bounded-state path (correctness vs WindowExec).
+    val n = 200000
+    def df = spark.range(n * 2)
+      .select(($"id" % n).as("k"), $"id".as("v"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy($"k").orderBy($"v".desc)))
+      .filter($"rn" <= 1)
+    val withRule = df.agg(sum($"v"), count(lit(1))).collect().head
+    assert(finalPlan(df).toString.contains("TopKPerKey"))
+    spark.conf.set("spark.sql.optimizer.excludedRules", "graft.plans.TopKPerKeyRule")
+    try assert(withRule == df.agg(sum($"v"), count(lit(1))).collect().head)
+    finally spark.conf.unset("spark.sql.optimizer.excludedRules")
+  }
+
   test("large k declines the rewrite (falls back to WindowExec)") {
     import spark.implicits._
     val w = Window.partitionBy($"o_custkey").orderBy($"o_orderkey")
