@@ -88,6 +88,45 @@ object Dedup {
        |  FROM shl)""".stripMargin
   }
 
+  /** MinHash-LSH candidate pairs (unordered — callers add their own sort):
+    * 3 bands × 2 rows; candidate pairs share any band key. This is the
+    * 100 TB-scale near-dup path: band-key equi-join instead of any
+    * pairwise comparison. The self-join's two identical shuffle subtrees
+    * are deduplicated by ReuseExchange — no cache needed (and a cache here
+    * would leak: the caller owns the action). */
+  private def lshPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sig = minhashSigs(s, d)
+    val bands = sig.select($"doc_id", posexplode(array(
+      concat($"h1", $"h2"), concat($"h3", $"h4"), concat($"h5", $"h6"))))
+      .toDF("doc_id", "band_i", "band_key")
+    bands.as("a").join(bands.as("b"),
+        $"a.band_key" === $"b.band_key" && $"a.band_i" === $"b.band_i" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+  }
+
+  /** 16-bit SimHash per doc (unordered — callers add their own sort):
+    * bit_j set iff the signed sum over distinct tokens of
+    * (md5 hex digit_j >= 8 ? +1 : -1) is >= 0. Token hashes precomputed
+    * once per doc; the per-bit fold runs within-row over the hash array —
+    * no token explode, no shuffle beyond the 16-rows-per-doc bit agg. */
+  private def simhash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    t(s, d, "documents")
+      .select($"doc_id",
+        expr("transform(array_distinct(filter(split(lower(text), '\\\\s+')," +
+          " x -> x != '')), tk -> md5(cast(tk as binary)))").as("ms"))
+      .select($"doc_id", explode(expr("sequence(1, 16)")).as("j"), $"ms")
+      .withColumn("sgn", expr(
+        "aggregate(ms, 0, (acc, m) -> acc + " +
+          "IF(cast(conv(substring(m, j, 1), 16, 10) as int) >= 8, 1, -1))"))
+      .groupBy($"doc_id")
+      .agg(sum(when($"sgn" >= 0, expr("cast(shiftleft(1, j - 1) as bigint)"))
+        .otherwise(0L)).as("simhash"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: content-hash groupBy, keep the smallest doc_id.
     "dedup_exact" -> ((s, d) => {
@@ -127,44 +166,47 @@ object Dedup {
       minhashSigs(s, d).orderBy($"doc_id")
     }),
 
-    // MinHash-LSH: 3 bands × 2 rows; candidate pairs share any band key.
-    // This is the 100 TB-scale near-dup path: band-key equi-join instead
-    // of any pairwise comparison. The self-join's two identical shuffle
-    // subtrees are deduplicated by ReuseExchange — no cache needed (and a
-    // cache here would leak: the caller owns the action).
+    // MinHash-LSH candidate pairs (see lshPairs above for the scale shape).
     "dedup_lsh_pairs" -> ((s, d) => {
       import s.implicits._
-      val sig = minhashSigs(s, d)
-      val bands = sig.select($"doc_id", posexplode(array(
-        concat($"h1", $"h2"), concat($"h3", $"h4"), concat($"h5", $"h6"))))
-        .toDF("doc_id", "band_i", "band_key")
-      bands.as("a").join(bands.as("b"),
-          $"a.band_key" === $"b.band_key" && $"a.band_i" === $"b.band_i" &&
-            $"a.doc_id" < $"b.doc_id")
-        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-        .distinct()
-        .orderBy($"doc_a", $"doc_b")
+      lshPairs(s, d).orderBy($"doc_a", $"doc_b")
     }),
 
     // SimHash near-dup pairs: hamming(simhash) <= 1 over 16 bits. Exact
     // recall via pigeonhole banding — any pair within hamming 1 shares at
-    // least one of the 4 nibbles exactly, so candidates come from a
-    // nibble-band equi-join (the 100 TB shape), then the bit_count(xor)
-    // filter is exact.
+    // least one of the 4 nibbles exactly. Banding runs over DISTINCT
+    // simhash VALUES, not docs: the value space (≤ 2^16 here; ≪ doc count
+    // even for 64-bit simhash at 100 TB) makes the band self-join tiny and
+    // skew-free, where a doc-level band join degenerates into quadratic
+    // blowup inside each of the 64 (band, nibble) buckets. The surviving
+    // value pairs broadcast back onto the doc table as two equi-joins on
+    // simhash (AQE handles hot-value skew); same-value pairs (hamming 0)
+    // come from a direct simhash self-join.
     "dedup_simhash_pairs" -> ((s, d) => {
       import s.implicits._
-      val sh = queries("dedup_simhash")(s, d)
-      val bands = sh.select($"doc_id", $"simhash",
+      val sh = simhash(s, d)
+      val vals = sh.select($"simhash").distinct()
+      val vbands = vals.select($"simhash",
           explode(expr("sequence(0, 3)")).as("band_i"))
         .withColumn("nib", expr("(simhash >> (band_i * 4)) & 15"))
-      bands.as("a").join(bands.as("b"),
+      val vpairs = vbands.as("a").join(vbands.as("b"),
           $"a.band_i" === $"b.band_i" && $"a.nib" === $"b.nib" &&
-            $"a.doc_id" < $"b.doc_id")
-        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
-          expr("cast(bit_count(a.simhash ^ b.simhash) as bigint)").as("hamming"))
+            $"a.simhash" < $"b.simhash")
+        .select($"a.simhash".as("v1"), $"b.simhash".as("v2"))
         .distinct()
-        .filter($"hamming" <= 1)
-        .orderBy($"doc_a", $"doc_b")
+        .filter(expr("bit_count(v1 ^ v2) <= 1"))
+      val cross = sh.as("x").join(broadcast(vpairs), $"x.simhash" === $"v1")
+        .join(sh.as("y"), $"y.simhash" === $"v2")
+        .select(least($"x.doc_id", $"y.doc_id").as("doc_a"),
+          greatest($"x.doc_id", $"y.doc_id").as("doc_b"),
+          expr("cast(bit_count(v1 ^ v2) as bigint)").as("hamming"))
+      val same = sh.as("x").join(sh.as("y"),
+          $"x.simhash" === $"y.simhash" && $"x.doc_id" < $"y.doc_id")
+        .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"),
+          lit(0L).as("hamming"))
+      // each unordered doc pair appears exactly once (its value pair is
+      // unique in vpairs, or its value is shared) — no distinct needed
+      cross.union(same).orderBy($"doc_a", $"doc_b")
     }),
 
     // Duplicate clusters: connected components over the LSH candidate
@@ -174,9 +216,10 @@ object Dedup {
     // (minimum) doc id. Oracle: recursive CTE reachability.
     "dedup_clusters" -> ((s, d) => {
       import s.implicits._
-      val pairs = queries("dedup_lsh_pairs")(s, d)
+      // unordered candidate pairs — the declared dedup_lsh_pairs adds a
+      // total sort for determinism that would be pure waste under a join
       graft.engine.Components.connectedComponents(
-          pairs, "doc_a", "doc_b", maxIter = 15)
+          lshPairs(s, d), "doc_a", "doc_b", maxIter = 15)
         .toDF("doc_id", "component")
         .orderBy($"doc_id")
     }),
@@ -193,25 +236,10 @@ object Dedup {
         .orderBy($"source")
     }),
 
-    // 16-bit SimHash from per-token md5 hex digits: bit_j set iff the
-    // signed sum over distinct tokens of (digit_j >= 8 ? +1 : -1) is >= 0.
-    // Token hashes precomputed once per doc; the per-bit fold runs
-    // within-row over the hash array — no token explode, no shuffle
-    // beyond the 16-rows-per-doc bit aggregation.
+    // 16-bit SimHash signature table (see simhash above).
     "dedup_simhash" -> ((s, d) => {
       import s.implicits._
-      t(s, d, "documents")
-        .select($"doc_id",
-          expr("transform(array_distinct(filter(split(lower(text), '\\\\s+')," +
-            " x -> x != '')), tk -> md5(cast(tk as binary)))").as("ms"))
-        .select($"doc_id", explode(expr("sequence(1, 16)")).as("j"), $"ms")
-        .withColumn("sgn", expr(
-          "aggregate(ms, 0, (acc, m) -> acc + " +
-            "IF(cast(conv(substring(m, j, 1), 16, 10) as int) >= 8, 1, -1))"))
-        .groupBy($"doc_id")
-        .agg(sum(when($"sgn" >= 0, expr("cast(shiftleft(1, j - 1) as bigint)"))
-          .otherwise(0L)).as("simhash"))
-        .orderBy($"doc_id")
+      simhash(s, d).orderBy($"doc_id")
     }))
 
   val oracle: Map[String, String] = Map(
