@@ -25,6 +25,7 @@ object SparkEntry {
       graft.queries.Similarity.queries ++
       graft.queries.TextAnalysis.queries ++
       graft.queries.Multimodal.queries ++
+      graft.queries.Sketches.queries ++
       graft.queries.MapReduceQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -37,5 +38,6 @@ object SparkEntry {
       graft.queries.Similarity.oracle ++
       graft.queries.TextAnalysis.oracle ++
       graft.queries.Multimodal.oracle ++
+      graft.queries.Sketches.oracle ++
       graft.queries.MapReduceQueries.oracle
 }

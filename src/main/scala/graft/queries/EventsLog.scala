@@ -197,6 +197,25 @@ object EventsLog {
         .groupBy($"domain")
         .agg(count(lit(1)).as("n"), countDistinct($"path").as("n_paths"))
         .orderBy($"domain")
+    }),
+
+    // Session windows via Spark's native session_window (the same
+    // operator Structured Streaming uses for stateful sessionization —
+    // here in batch): per-user sessions close after 30 min of
+    // inactivity; window end = last event + gap, exclusive. Oracle:
+    // classic gaps-and-islands. Boundary semantics: a gap of EXACTLY the
+    // timeout starts a new session (Spark merges only on strict overlap),
+    // so the oracle flag is >= not >.
+    "q_session_window" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "events")
+        .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+        .agg(count(lit(1)).as("n_events"))
+        .select($"user_id",
+          unix_micros($"session_window.start").as("s_start"),
+          unix_micros($"session_window.end").as("s_end"),
+          $"n_events")
+        .orderBy($"user_id", $"s_start")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -286,5 +305,26 @@ object EventsLog {
         |    regexp_replace(path0, '[#?].*$', '') AS path
         |  FROM p)
         |SELECT domain, COUNT(*) AS n, COUNT(DISTINCT path) AS n_paths
-        |FROM f GROUP BY domain ORDER BY domain""".stripMargin)
+        |FROM f GROUP BY domain ORDER BY domain""".stripMargin,
+
+    "q_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN prev IS NULL
+        |              OR epoch_us(ts) - epoch_us(prev) >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM (SELECT user_id, ts,
+        |          LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |        FROM events)),
+        |isl AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM g)
+        |SELECT user_id,
+        |  epoch_us(MIN(ts)) AS s_start,
+        |  epoch_us(MAX(ts)) + 1800000000 AS s_end,
+        |  COUNT(*) AS n_events
+        |FROM isl GROUP BY user_id, island
+        |ORDER BY user_id, s_start""".stripMargin)
 }

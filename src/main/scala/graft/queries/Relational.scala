@@ -389,6 +389,67 @@ object Relational {
           max($"p_size").as("max_size"),
           countDistinct($"p_type").as("n_types"))
         .orderBy($"p_brand")
+    }),
+
+    // TPC-H Q6-style forecasting-revenue change: pure scan-filter + one
+    // global agg — the canonical predicate-pushdown showcase (all three
+    // filters reach the parquet scan as PushedFilters; only 4 columns
+    // read).
+    "q6_revenue_delta" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
+          $"l_discount".between(0.05, 0.07) && $"l_quantity" < 24)
+        .agg(dsum($"l_extendedprice" * $"l_discount", 4).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // TPC-H Q4-style order-priority check: correlated EXISTS via a
+    // left-semi join with a mixed equi + range condition (hash join on
+    // the equi part, the range as a join residual — no row explosion).
+    "q4_priority_exists" -> ((s, d) => {
+      import s.implicits._
+      val li = t(s, d, "lineitem")
+      t(s, d, "orders").as("o")
+        .join(li.as("l"),
+          $"l.l_orderkey" === $"o.o_orderkey" &&
+            $"l.l_shipdate" > $"o.o_orderdate" + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    // Window-function family: lag/lead, first_value, ntile, percent_rank,
+    // cume_dist over a per-customer frame with a total order (o_orderkey
+    // is unique). One shuffle + one sort; all functions share the frame.
+    "q_window_funcs" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderkey")
+      t(s, d, "orders")
+        .select($"o_custkey", $"o_orderkey",
+          lag($"o_totalprice", 1).over(w).as("prev_price"),
+          lead($"o_totalprice", 1).over(w).as("next_price"),
+          first_value($"o_orderkey").over(w).as("first_ok"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cum_dist"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    }),
+
+    // RANGE frame (value-based, not row-based): per customer, total spend
+    // over orders whose key lies within 1000 of the current one. Frames
+    // defined by VALUES are deterministic under ties by construction.
+    "q_range_frame" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderkey")
+        .rangeBetween(-1000L, Window.currentRow)
+      t(s, d, "orders")
+        .select($"o_custkey", $"o_orderkey",
+          sum($"o_totalprice".cast(DecimalType(18, 2))).over(w)
+            .cast("double").as("nearby_spend"))
+        .orderBy($"o_custkey", $"o_orderkey")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -615,5 +676,44 @@ object Relational {
         | COUNT(*) - COUNT(nullif(l_discount, 0.0)) AS n_zero_disc,
         | CAST(SUM(CAST(coalesce(nullif(l_discount, 0.0), 0.05) AS DECIMAL(18,2)))
         |      AS DOUBLE) AS disc_imputed
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q6_revenue_delta" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+        |            AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q4_priority_exists" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        | LAG(o_totalprice, 1) OVER w AS prev_price,
+        | LEAD(o_totalprice, 1) OVER w AS next_price,
+        | FIRST_VALUE(o_orderkey) OVER w AS first_ok,
+        | CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        | ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+        | ROUND(CUME_DIST() OVER w, 6) AS cum_dist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |   (PARTITION BY o_custkey ORDER BY o_orderkey
+        |    RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |   AS nearby_spend
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)
 }

@@ -1,0 +1,219 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+
+/** Sketch operators for 100 TB-scale frequency/membership estimation
+  * (SURVEY.md §2.5 north star; complements the exact L8 distinct counts
+  * and the `approx_count_distinct` HLL variant in EventsLog).
+  *
+  * Both sketches are built from md5 windows, so they are deterministic
+  * and bit-identical in Spark and DuckDB — the sketch CONTENT itself is
+  * oracle-checked, not just row counts. Hash quality: disjoint hex-digit
+  * windows of one md5 are independent 8-bit draws, plenty for d=4 rows.
+  *
+  * Scale shape: a CountMin sketch build is one 2-phase hash aggregation
+  * into d·w cells regardless of input size (map-side partial combine does
+  * almost all the work); a Bloom filter build is a `bit_or` aggregation
+  * into m/63 long words. Both replace an exact groupBy whose state grows
+  * with key cardinality by O(1)-state aggregations — the standard trade
+  * at 100 TB when approximate answers suffice. Estimation is a join
+  * against the (tiny, broadcastable) sketch table.
+  */
+object Sketches {
+
+  private val D = 4    // hash rows (CountMin) / probe hashes (Bloom)
+  private val W = 64   // CountMin buckets per row
+  private val MBits = 252 // Bloom bits: 4 longs × 63 bits (no sign-bit games)
+
+  /** wc-family word normalization: whitespace tokens of lower(text),
+    * stripped to [a-z0-9] (empty string IS a word — the reference emits
+    * it, word_count.go:19-22). */
+  private def words(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    t(s, d, "documents")
+      .select(explode(split(lower($"text"), "\\s+")).as("tok"))
+      .filter($"tok" =!= "")
+      .select(regexp_replace($"tok", "[^a-z0-9]+", "").as("word"))
+  }
+
+  /** Row-r CountMin bucket of `word`: md5 hex window [2r+1, 2r+2] mod W. */
+  private def bucketCol(r: Int): Column =
+    expr(s"cast(conv(substring(md5(cast(word as binary)), ${2 * r + 1}, 2), 16, 10) as int) % $W")
+
+  /** Hash-r Bloom bit position of `word` in [0, MBits). */
+  private def bitPosCol(r: Int): Column =
+    expr(s"cast(conv(substring(md5(cast(word as binary)), ${2 * r + 1}, 2), 16, 10) as int) % $MBits")
+
+  // DuckDB twins (no conv(): hex digits via strpos into the alphabet)
+  private def hexAt(m: String, i: Int): String =
+    s"(strpos('0123456789abcdef', substring($m, $i, 1)) - 1)"
+  private def bucketSql(r: Int): String =
+    s"((${hexAt("md5(word)", 2 * r + 1)} * 16 + ${hexAt("md5(word)", 2 * r + 2)}) % $W)"
+  private def bitPosSql(r: Int): String =
+    s"((${hexAt("md5(word)", 2 * r + 1)} * 16 + ${hexAt("md5(word)", 2 * r + 2)}) % $MBits)"
+
+  private val wordsSql =
+    """SELECT regexp_replace(tok, '[^a-z0-9]+', '', 'g') AS word
+      |FROM (SELECT unnest(list_filter(
+      |        regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS tok
+      |      FROM documents)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // CountMin sketch build: ONE pass over the corpus (all D buckets
+    // computed in-row from one md5 — subexpression elimination keeps a
+    // single digest per word — then posexplode), one 2-phase agg into
+    // ≤ D·W cells.
+    "sketch_cms" -> ((s, d) => {
+      import s.implicits._
+      words(s, d)
+        .select(posexplode(array((0 until D).map(bucketCol): _*)))
+        .toDF("h_row", "bucket")
+        .groupBy($"h_row", $"bucket").agg(count(lit(1)).as("cnt"))
+        .orderBy($"h_row", $"bucket")
+    }),
+
+    // CountMin point queries for the exact top-20 words: the estimate is
+    // min over rows of the hashed cell — always >= the true count, and
+    // equal unless another word collided in ALL D rows. Sketch side is
+    // tiny (≤ D·W rows) → broadcast join against the probe words.
+    "sketch_cms_est" -> ((s, d) => {
+      import s.implicits._
+      val exact = words(s, d).groupBy($"word").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(desc("exact_cnt"), asc("word")).limit(20)
+      val cms = queries("sketch_cms")(s, d)
+      val probes = exact
+        .select($"word", $"exact_cnt",
+          posexplode(array((0 until D).map(bucketCol): _*)))
+        .toDF("word", "exact_cnt", "h_row", "bucket")
+      probes.join(broadcast(cms), Seq("h_row", "bucket"))
+        .groupBy($"word", $"exact_cnt").agg(min($"cnt").as("est_cnt"))
+        .orderBy(desc("exact_cnt"), asc("word"))
+    }),
+
+    // Bloom filter build: per-word bit masks bit_or-folded into 4 longs
+    // (63 bits each). The filter content is the query result.
+    "sketch_bloom" -> ((s, d) => {
+      import s.implicits._
+      val bits = words(s, d)
+        .select(explode(array((0 until D).map(bitPosCol): _*)).as("p"))
+      bits.select(($"p" / 63).cast("int").as("word_j"),
+          expr("cast(shiftleft(cast(1 as bigint), p % 63) as bigint)").as("mask"))
+        .groupBy($"word_j").agg(bit_or($"mask").as("bits"))
+        .orderBy($"word_j")
+    }),
+
+    // Bloom membership probe with part-name tokens: maybe-present iff all
+    // D probe bits are set. Reports the false-positive count against the
+    // exact membership (semi-join ground truth) — the number every Bloom
+    // deployment monitors. Filter is 4 rows → broadcast to the probes.
+    "sketch_bloom_probe" -> ((s, d) => {
+      import s.implicits._
+      val filt = queries("sketch_bloom")(s, d)
+      val probeWords = t(s, d, "part")
+        .select(explode(split(lower($"p_name"), "\\s+")).as("tok"))
+        .filter($"tok" =!= "")
+        .select(regexp_replace($"tok", "[^a-z0-9]+", "").as("word"))
+        .distinct()
+      val checks = probeWords
+        .select($"word", explode(array((0 until D).map(bitPosCol): _*)).as("p"))
+      val maybe = checks
+        .select($"word", ($"p" / 63).cast("int").as("word_j"),
+          expr("p % 63").as("bit"))
+        .join(broadcast(filt), Seq("word_j"))
+        .select($"word",
+          expr("cast(shiftright(bits, bit) & 1 as int)").as("hit"))
+        .groupBy($"word").agg(min($"hit").as("maybe"))
+      val present = probeWords.join(
+        words(s, d).select($"word").distinct(), Seq("word"), "left_semi")
+        .select($"word", lit(1).as("present"))
+      maybe.join(present, Seq("word"), "left_outer")
+        .select($"word", $"maybe", coalesce($"present", lit(0)).as("present"))
+        .agg(count(lit(1)).as("n_probed"),
+          sum($"maybe").cast("long").as("n_maybe"),
+          sum($"present").cast("long").as("n_present"),
+          sum(when($"maybe" === 1 && $"present" === 0, 1).otherwise(0))
+            .cast("long").as("n_false_pos"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "sketch_cms" -> {
+      val rows = (0 until D).map(r =>
+        s"SELECT $r AS h_row, ${bucketSql(r)} AS bucket FROM w")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH w AS ($wordsSql),
+         |cells AS (
+         |  $rows)
+         |SELECT h_row, bucket, COUNT(*) AS cnt
+         |FROM cells GROUP BY h_row, bucket
+         |ORDER BY h_row, bucket""".stripMargin
+    },
+
+    "sketch_cms_est" -> {
+      val probeRows = (0 until D).map(r =>
+        s"SELECT word, exact_cnt, $r AS h_row, ${bucketSql(r)} AS bucket FROM exact")
+        .mkString("\n  UNION ALL\n  ")
+      val cellRows = (0 until D).map(r =>
+        s"SELECT $r AS h_row, ${bucketSql(r)} AS bucket FROM w")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH w AS ($wordsSql),
+         |cells AS (
+         |  $cellRows),
+         |cms AS (SELECT h_row, bucket, COUNT(*) AS cnt
+         |        FROM cells GROUP BY h_row, bucket),
+         |exact AS (SELECT word, COUNT(*) AS exact_cnt FROM w
+         |          GROUP BY word ORDER BY exact_cnt DESC, word LIMIT 20),
+         |probes AS (
+         |  $probeRows)
+         |SELECT p.word, p.exact_cnt, MIN(c.cnt) AS est_cnt
+         |FROM probes p JOIN cms c USING (h_row, bucket)
+         |GROUP BY p.word, p.exact_cnt
+         |ORDER BY exact_cnt DESC, word""".stripMargin
+    },
+
+    "sketch_bloom" -> {
+      val rows = (0 until D).map(r =>
+        s"SELECT ${bitPosSql(r)} AS p FROM w").mkString("\n  UNION ALL\n  ")
+      s"""WITH w AS ($wordsSql),
+         |bits AS (
+         |  $rows)
+         |SELECT CAST(p // 63 AS INTEGER) AS word_j,
+         |  CAST(bit_or(1::BIGINT << (p % 63)) AS BIGINT) AS bits
+         |FROM bits GROUP BY 1 ORDER BY word_j""".stripMargin
+    },
+
+    "sketch_bloom_probe" -> {
+      val checkRows = (0 until D).map(r =>
+        s"SELECT word, ${bitPosSql(r)} AS p FROM probe_words")
+        .mkString("\n  UNION ALL\n  ")
+      val bitRows = (0 until D).map(r =>
+        s"SELECT ${bitPosSql(r)} AS p FROM w").mkString("\n  UNION ALL\n  ")
+      s"""WITH w AS ($wordsSql),
+         |bits AS (
+         |  $bitRows),
+         |filt AS (SELECT CAST(p // 63 AS INTEGER) AS word_j,
+         |           CAST(bit_or(1::BIGINT << (p % 63)) AS BIGINT) AS bits
+         |         FROM bits GROUP BY 1),
+         |probe_words AS (
+         |  SELECT DISTINCT regexp_replace(tok, '[^a-z0-9]+', '', 'g') AS word
+         |  FROM (SELECT unnest(list_filter(
+         |          regexp_split_to_array(lower(p_name), '\\s+'), x -> x <> '')) AS tok
+         |        FROM part)),
+         |checks AS (
+         |  $checkRows),
+         |maybe AS (
+         |  SELECT word, MIN(CAST((f.bits >> (c.p % 63)) & 1 AS INTEGER)) AS maybe
+         |  FROM checks c JOIN filt f ON f.word_j = CAST(c.p // 63 AS INTEGER)
+         |  GROUP BY word),
+         |present AS (SELECT DISTINCT word, 1 AS present FROM w
+         |            WHERE word IN (SELECT word FROM probe_words))
+         |SELECT COUNT(*) AS n_probed,
+         |  CAST(SUM(maybe) AS BIGINT) AS n_maybe,
+         |  CAST(SUM(COALESCE(present, 0)) AS BIGINT) AS n_present,
+         |  CAST(SUM(CASE WHEN maybe = 1 AND COALESCE(present, 0) = 0
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+         |FROM maybe LEFT JOIN present USING (word)""".stripMargin
+    })
+}
