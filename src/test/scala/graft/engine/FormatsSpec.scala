@@ -41,4 +41,57 @@ class FormatsSpec extends SparkSpec {
     val back = spark.read.schema(schema).json(dir)
     assert(sortedRows(back) == sortedRows(base))
   }
+
+  test("orc round-trip") {
+    val dir = Files.createTempDirectory("graft_orc").resolve("events").toString
+    base.write.orc(dir)
+    val back = spark.read.schema(schema).orc(dir)
+    assert(sortedRows(back) == sortedRows(base))
+  }
+
+  test("hive-style partitioned write is pruned at the scan") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_part").resolve("events").toString
+    t(spark, sf(), "events")
+      .select($"event_id", $"user_id", $"event_type")
+      .write.partitionBy("event_type").parquet(dir)
+    val one = spark.read.parquet(dir).filter($"event_type" === "click")
+    // the partition filter must bind at file listing, not as a data filter
+    val scan = one.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec in plan"))
+    assert(scan.partitionFilters.nonEmpty,
+      s"partition pruning did not engage:\n${one.queryExecution.executedPlan}")
+    val expect = t(spark, sf(), "events").filter($"event_type" === "click").count()
+    assert(one.count() == expect)
+  }
+
+  test("predicate pushdown and column pruning reach the parquet scan") {
+    import spark.implicits._
+    val q = graft.SparkEntry.queries("q6_revenue_delta")(spark, sf())
+    q.collect()
+    // AQE hides the scan inside leaf QueryStageExec nodes — walk into them
+    def findScans(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        findScans(a.executedPlan)
+      case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        findScans(qs.plan)
+      case other => other.children.flatMap(findScans)
+    }
+    val scans = findScans(q.queryExecution.executedPlan)
+    assert(scans.nonEmpty)
+    val s = scans.head
+    // all three q6 predicates push to parquet row-group filtering
+    assert(s.metadata("PushedFilters").contains("l_discount"),
+      s.metadata("PushedFilters"))
+    assert(s.metadata("PushedFilters").contains("l_shipdate"))
+    assert(s.metadata("PushedFilters").contains("l_quantity"))
+    // and the scan schema is pruned to the referenced columns only
+    val readCols = s.schema.fieldNames.toSet
+    assert(readCols.subsetOf(
+      Set("l_extendedprice", "l_discount", "l_shipdate", "l_quantity")),
+      s"scan reads more than it needs: $readCols")
+  }
 }
