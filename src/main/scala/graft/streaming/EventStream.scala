@@ -58,6 +58,80 @@ object EventStream {
     else events.dropDuplicates("event_id")
   }
 
+  /** Session windows via the native `session_window` operator — the same
+    * transform serves batch and streaming (watermark bounds streaming
+    * state; sessions close after `gap` of event-time inactivity and the
+    * window end is last-event + gap, exclusive). Mirrors the declared
+    * batch query `q_session_window`. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame = {
+    import events.sparkSession.implicits._
+    val in = if (events.isStreaming) events.withWatermark("ts", gap) else events
+    in.groupBy(session_window($"ts", gap), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id",
+        unix_micros($"session_window.start").as("s_start"),
+        unix_micros($"session_window.end").as("s_end"),
+        $"n_events")
+  }
+
+  case class Session(user_id: Long, s_start: Long, s_end: Long, n_events: Long)
+
+  /** Custom-state sessionization via flatMapGroupsWithState — the
+    * hand-rolled form of `sessionCounts` for when session logic outgrows
+    * the built-in (e.g. value-dependent gaps). Per-user state is one open
+    * session (start, lastTs, n); arriving events are folded in event-time
+    * order. In batch mode every group sees all its events at once (the
+    * per-user sort is bounded by a user's event count — fine for
+    * per-entity streams; a user with unbounded events would need the
+    * native operator). Boundary semantics match session_window: a gap of
+    * exactly `gapUs` starts a new session. */
+  def sessionizeCustom(events: DataFrame, gapUs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val isBatch = !events.isStreaming // plain boolean: the closure must not capture the DataFrame
+    events.select($"user_id".cast("long"), unix_micros($"ts").as("us"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+          GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[(Long, Long)],
+         state: GroupState[(Long, Long, Long)]) =>
+          val ts = batch.map(_._2).toArray.sorted
+          var (start, last, n) = state.getOption.getOrElse((-1L, -1L, 0L))
+          val out = Seq.newBuilder[Session]
+          ts.foreach { t =>
+            if (start < 0) { start = t; last = t; n = 1 }
+            else if (t - last >= gapUs) {
+              out += Session(user, start, last + gapUs, n)
+              start = t; last = t; n = 1
+            } else { last = t; n += 1 }
+          }
+          if (start >= 0) {
+            state.update((start, last, n))
+            // batch mode sees everything: flush the final open session
+            if (isBatch) out += Session(user, start, last + gapUs, n)
+          }
+          out.result().iterator
+      }
+  }
+
+  /** Stream-stream self interval join: same-user event pairs within
+    * `seconds` of each other — the streaming form of the declared
+    * `q_range_join`. Watermarks on both sides plus the time-bound join
+    * condition let Spark expire join state (without them a stream-stream
+    * join buffers forever). */
+  def pairsWithin(events: DataFrame, seconds: Int): DataFrame = {
+    import events.sparkSession.implicits._
+    def side(p: String) = {
+      val s = events.select($"user_id".as(s"${p}_user"), $"ts".as(s"${p}_ts"),
+        $"event_id".as(s"${p}_id"))
+      if (s.isStreaming) s.withWatermark(s"${p}_ts", "1 hour") else s
+    }
+    side("a").join(side("b"),
+      col("a_user") === col("b_user") && col("a_id") < col("b_id") &&
+        col("b_ts") >= col("a_ts") - expr(s"INTERVAL $seconds SECONDS") &&
+        col("b_ts") <= col("a_ts") + expr(s"INTERVAL $seconds SECONDS"))
+  }
+
   /** Launch helper: run a streaming query over a parquet directory into
     * an in-memory table and block until all available data is processed. */
   def runToMemory(spark: SparkSession, srcDir: String,

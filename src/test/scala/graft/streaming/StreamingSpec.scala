@@ -69,6 +69,45 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.select("event_id").distinct().count() == src.count())
   }
 
+  test("session_window: streaming result == batch result (parity)") {
+    import spark.implicits._
+    EventStream.runToMemory(spark, stagedEvents,
+      df => EventStream.sessionCounts(df), "sessions_stream",
+      OutputMode.Complete())
+    val streamed = spark.table("sessions_stream")
+      .orderBy($"user_id", $"s_start").collect()
+    val batch = EventStream.sessionCounts(spark.read.parquet(stagedEvents))
+      .orderBy($"user_id", $"s_start").collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("custom flatMapGroupsWithState sessionization == session_window") {
+    import spark.implicits._
+    val ev = spark.read.parquet(stagedEvents)
+    val custom = EventStream.sessionizeCustom(ev, 1800000000L).toDF()
+      .orderBy($"user_id", $"s_start").collect()
+    val native = EventStream.sessionCounts(ev)
+      .orderBy($"user_id", $"s_start").collect()
+    assert(custom.nonEmpty)
+    assert(custom.toSeq == native.toSeq)
+  }
+
+  test("stream-stream interval self-join == batch join (parity)") {
+    import spark.implicits._
+    EventStream.runToMemory(spark, stagedEvents,
+      df => EventStream.pairsWithin(df, 60)
+        .select($"a_user", $"a_id", $"b_id"),
+      "pairs_stream", OutputMode.Append())
+    val streamed = spark.table("pairs_stream")
+      .orderBy($"a_user", $"a_id", $"b_id").collect()
+    val batch = EventStream.pairsWithin(spark.read.parquet(stagedEvents), 60)
+      .select($"a_user", $"a_id", $"b_id")
+      .orderBy($"a_user", $"a_id", $"b_id").collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("watermark bounds state: late rows beyond watermark are dropped") {
     import spark.implicits._
     // Two batches: second contains a row >2h older than the max event
