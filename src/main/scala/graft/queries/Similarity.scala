@@ -38,6 +38,25 @@ object Similarity {
   private def withCosine(s: SparkSession): Unit =
     graft.functions.GraftFunctions.register(s)
 
+  private val Planes = 4
+  private val Dim = 64 // embeddings.embedding is fixed 64-dim (FIXTURES.md)
+
+  /** 4×64 ±1 hyperplane matrix: component (p, i) = +1 iff the first hex
+    * digit of md5("p:i") >= 8. One literal-like row, broadcast. */
+  private def planesCol: Column = expr(
+    s"""transform(sequence(0, ${Planes - 1}), p ->
+       |  transform(sequence(0, ${Dim - 1}), i ->
+       |    IF(cast(conv(substring(md5(cast(concat(p, ':', i) as binary)), 1, 1),
+       |            16, 10) as int) >= 8, 1D, -1D)))""".stripMargin)
+
+  /** 4-bit sign signature of `v` against `planes` — within-row fold. */
+  private def sigCol: Column = expr(
+    s"""aggregate(transform(sequence(0, ${Planes - 1}), p ->
+       |  IF(aggregate(zip_with(v, element_at(planes, p + 1),
+       |       (x, s) -> x * s), 0D, (acc, x) -> acc + x) >= 0,
+       |     shiftleft(1, p), 0)), 0, (acc, x) -> acc + x)""".stripMargin
+    ).cast("long")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-20 neighbors of vec_id = 0.
     "sim_cosine_topk" -> ((s, d) => {
@@ -134,6 +153,42 @@ object Similarity {
         .join(broadcast(probed), "cent_id")
         .filter($"vec_id" =!= 0)
         .crossJoin(broadcast(q))
+        .select($"vec_id", round(cosine("v", "q"), 4).as("cos_sim"))
+        .orderBy(desc("cos_sim"), asc("vec_id"))
+        .limit(10)
+    }),
+
+    // Sign-LSH (random hyperplane) signatures: bit p of the 4-bit
+    // signature = sign of <v, h_p> where h_p has deterministic ±1
+    // components from md5("p:i") — cos-similar vectors agree on most
+    // bits. The hyperplane matrix is one 4×64 broadcast row; signatures
+    // are a pure within-row fold (zero shuffles), the LSH counterpart of
+    // the MinHash map stage. At 100 TB this is the bucketing map before
+    // any pairwise work.
+    "sim_lsh_sigs" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        .crossJoin(broadcast(s.range(1).select(planesCol.as("planes"))))
+        .select($"vec_id", sigCol.as("sig"))
+        .orderBy($"vec_id")
+    }),
+
+    // LSH-bucketed ANN: candidates = vectors sharing the query's exact
+    // signature bucket; rank only those by true cosine. The scale path:
+    // signature equi-match replaces the brute-force scan (sim_cosine_topk
+    // stays as the recall baseline), probing ~1/2^bits of the data.
+    "sim_lsh_topk" -> ((s, d) => {
+      import s.implicits._
+      withCosine(s)
+      val sigs = t(s, d, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        .crossJoin(broadcast(s.range(1).select(planesCol.as("planes"))))
+        .select($"vec_id", $"v", sigCol.as("sig"))
+      val q = sigs.filter($"vec_id" === 0)
+        .select($"sig".as("qsig"), $"v".as("q"))
+      sigs.filter($"vec_id" =!= 0)
+        .join(broadcast(q), $"sig" === $"qsig")
         .select($"vec_id", round(cosine("v", "q"), 4).as("cos_sim"))
         .orderBy(desc("cos_sim"), asc("vec_id"))
         .limit(10)
@@ -236,6 +291,49 @@ object Similarity {
         |    (sqrt(list_sum(list_transform(v, x -> x * x))) *
         |     sqrt(list_sum(list_transform(qv, x -> x * x)))), 4) AS cos_sim
         |FROM cand, q
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "sim_lsh_sigs" ->
+      """WITH planes AS (
+        |  SELECT p, list(CASE WHEN strpos('0123456789abcdef',
+        |      substring(md5(p || ':' || i), 1, 1)) - 1 >= 8
+        |      THEN 1.0 ELSE -1.0 END ORDER BY i) AS signs
+        |  FROM generate_series(0, 3) t(p), generate_series(0, 63) u(i)
+        |  GROUP BY p),
+        |dots AS (
+        |  SELECT e.vec_id, pl.p,
+        |    list_sum(list_transform(list_zip(e.embedding::DOUBLE[], pl.signs),
+        |             x -> x[1] * x[2])) AS dot
+        |  FROM embeddings e, planes pl)
+        |SELECT vec_id,
+        |  CAST(SUM(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END)
+        |       AS BIGINT) AS sig
+        |FROM dots GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "sim_lsh_topk" ->
+      """WITH planes AS (
+        |  SELECT p, list(CASE WHEN strpos('0123456789abcdef',
+        |      substring(md5(p || ':' || i), 1, 1)) - 1 >= 8
+        |      THEN 1.0 ELSE -1.0 END ORDER BY i) AS signs
+        |  FROM generate_series(0, 3) t(p), generate_series(0, 63) u(i)
+        |  GROUP BY p),
+        |dots AS (
+        |  SELECT e.vec_id, e.embedding::DOUBLE[] AS v, pl.p,
+        |    list_sum(list_transform(list_zip(e.embedding::DOUBLE[], pl.signs),
+        |             x -> x[1] * x[2])) AS dot
+        |  FROM embeddings e, planes pl),
+        |sigs AS (
+        |  SELECT vec_id, ANY_VALUE(v) AS v,
+        |    CAST(SUM(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END)
+        |         AS BIGINT) AS sig
+        |  FROM dots GROUP BY vec_id),
+        |q AS (SELECT sig AS qsig, v AS qv FROM sigs WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  ROUND(list_sum(list_transform(list_zip(v, qv), x -> x[1] * x[2])) /
+        |    (sqrt(list_sum(list_transform(v, x -> x * x))) *
+        |     sqrt(list_sum(list_transform(qv, x -> x * x)))), 4) AS cos_sim
+        |FROM sigs, q
+        |WHERE sig = qsig AND vec_id <> 0
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
 
     "sim_label_centroids" ->
