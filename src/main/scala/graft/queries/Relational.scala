@@ -391,6 +391,32 @@ object Relational {
         .orderBy($"p_brand")
     }),
 
+    // TPC-H Q7-style nation-to-nation trade: 5-way join with the nation
+    // dim joined in TWO roles (supplier's and customer's). The two
+    // nation sides broadcast (fixed 25 rows at any scale); the
+    // lineitem-orders-customer chain is left to Catalyst/AQE to order —
+    // at 100 TB the join order (filter early, big-to-big last) is the
+    // whole game, and declaring it lets the optimizer use stats.
+    "q7_nation_trade" -> ((s, d) => {
+      import s.implicits._
+      val n1 = broadcast(t(s, d, "nation"))
+        .select($"n_nationkey".as("s_nk"), $"n_name".as("supp_nation"))
+      val n2 = broadcast(t(s, d, "nation"))
+        .select($"n_nationkey".as("c_nk"), $"n_name".as("cust_nation"))
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), $"l_orderkey" === $"o_orderkey")
+        .join(t(s, d, "customer"), $"o_custkey" === $"c_custkey")
+        .join(t(s, d, "supplier"), $"l_suppkey" === $"s_suppkey")
+        .join(n1, $"s_nationkey" === $"s_nk")
+        .join(n2, $"c_nationkey" === $"c_nk")
+        .filter($"supp_nation" < $"cust_nation")
+        .groupBy($"supp_nation", $"cust_nation",
+          year($"l_shipdate").cast("long").as("l_year"))
+        .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4)
+          .as("revenue"))
+        .orderBy($"supp_nation", $"cust_nation", $"l_year")
+    }),
+
     // TPC-H Q6-style forecasting-revenue change: pure scan-filter + one
     // global agg — the canonical predicate-pushdown showcase (all three
     // filters reach the parquet scan as PushedFilters; only 4 columns
@@ -677,6 +703,21 @@ object Relational {
         | CAST(SUM(CAST(coalesce(nullif(l_discount, 0.0), 0.05) AS DECIMAL(18,2)))
         |      AS DOUBLE) AS disc_imputed
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q7_nation_trade" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        | CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+        |      AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name < n2.n_name
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
 
     "q6_revenue_delta" ->
       """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))

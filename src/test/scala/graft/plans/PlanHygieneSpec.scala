@@ -19,6 +19,8 @@ class PlanHygieneSpec extends SparkSpec {
     "sim_cosine_topk",       // 1-row query vector
     "sim_ivf_assign",        // fixed k-row centroid table
     "sim_ivf_topk",          // 1-row query vector + centroid probe
+    "sim_lsh_sigs",          // 1-row hyperplane matrix
+    "sim_lsh_topk",          // 1-row hyperplane matrix + 1-row query sig
     "text_tfidf")            // 1-row corpus doc count
 
   test("no declared query plans a cartesian or nested-loop join") {
