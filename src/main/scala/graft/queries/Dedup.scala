@@ -21,16 +21,23 @@ object Dedup {
   private def toksCol: Column =
     expr("filter(split(lower(text), '\\\\s+'), x -> x != '')")
 
-  /** Distinct word k-shingles per doc: (doc_id, shingle). */
-  private def shingles(s: SparkSession, d: String, k: Int): DataFrame = {
+  /** Distinct word k-shingles per doc: (doc_id, shingle). With
+    * `hashed=true` the shingle is folded to xxhash64 BEFORE the distinct
+    * — 8-byte shuffle keys instead of ~30-char strings for the dedup and
+    * self-join downstream (the 100 TB shape: set operations over content
+    * hashes, never raw n-gram strings; a 64-bit collision perturbs a
+    * Jaccard count with probability ~n²/2⁶⁴ per doc pair). */
+  private def shingles(s: SparkSession, d: String, k: Int,
+      hashed: Boolean = false): DataFrame = {
     import s.implicits._
-    t(s, d, "documents")
+    val raw = t(s, d, "documents")
       .select($"doc_id", toksCol.as("toks"))
       .filter(size($"toks") >= k)
       .select($"doc_id", explode(expr(
         s"transform(sequence(1, size(toks) - ${k - 1})," +
           s" i -> array_join(slice(toks, i, $k), ' '))")).as("shingle"))
-      .distinct()
+    (if (hashed) raw.select($"doc_id", xxhash64($"shingle").as("shingle"))
+     else raw).distinct()
   }
 
   /** k=6 MinHash signatures: one md5 per shingle, split into six disjoint
@@ -146,7 +153,7 @@ object Dedup {
       // subtrees of the self-join, and a cache here would pin executor
       // storage for the rest of the session (queries can't unpersist —
       // the caller owns the action)
-      val sh = shingles(s, d, 5)
+      val sh = shingles(s, d, 5, hashed = true)
       val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
       val pairs = sh.as("a").join(sh.as("b"),
           $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
