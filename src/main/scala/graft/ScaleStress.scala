@@ -42,9 +42,9 @@ object ScaleStress {
     }
     println("lineitem rows: " + spark.read.parquet(s"$dst/lineitem.parquet").count())
     // warm
-    for (q <- Seq("q1_pricing_summary","q5_nation_revenue","q_topk_customers","wc_word_counts","dedup_lsh_pairs","sim_cosine_topk","log_hourly","q_window_top3"))
+    for (q <- Seq("q1_pricing_summary","q5_nation_revenue","q7_nation_trade","q_topk_customers","wc_word_counts","dedup_lsh_pairs","dedup_simhash_pairs","dedup_clusters","sim_cosine_topk","sim_lsh_topk","sketch_cms","log_hourly","q_session_window","q_window_top3"))
       SparkEntry.queries(q)(spark, src).count()
-    for (q <- Seq("q1_pricing_summary","q5_nation_revenue","q_topk_customers","wc_word_counts","dedup_lsh_pairs","sim_cosine_topk","log_hourly","q_window_top3")) {
+    for (q <- Seq("q1_pricing_summary","q5_nation_revenue","q7_nation_trade","q_topk_customers","wc_word_counts","dedup_lsh_pairs","dedup_simhash_pairs","dedup_clusters","sim_cosine_topk","sim_lsh_topk","sketch_cms","log_hourly","q_session_window","q_window_top3")) {
       val t1 = { val t0=System.nanoTime; SparkEntry.queries(q)(spark, src).count(); (System.nanoTime-t0)/1e9 }
       val t10 = { val t0=System.nanoTime; SparkEntry.queries(q)(spark, dst).count(); (System.nanoTime-t0)/1e9 }
       println(f"SCALE $q%-22s sf0.1=${t1}%6.2f  x10=${t10}%6.2f  ratio=${t10/t1}%5.2f")
