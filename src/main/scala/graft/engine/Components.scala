@@ -13,11 +13,13 @@ import org.apache.spark.sql.functions._
   * Each iterate is `localCheckpoint`ed: that truncates the lineage (the
   * logical plan would otherwise grow by a join+agg per round, making
   * Catalyst re-optimize an ever-deeper tree and making failure recovery
-  * replay the whole loop) and gives a concrete plan object to unpersist —
-  * `CacheManager` matches by plan, so unpersisting a `.drop(...)` of the
-  * cached frame would silently leak every round's cache. On a real
-  * cluster with executor loss, swap `localCheckpoint` for reliable
-  * `checkpoint` (same lineage-truncation contract).
+  * replay the whole loop). Release discipline: `localCheckpoint` persists
+  * the materialized RDD directly, BYPASSING the CacheManager — so
+  * `Dataset.unpersist()` on the checkpointed frame is a silent no-op.
+  * The loop instead diffs `sc.getPersistentRDDs` around each checkpoint
+  * and unpersists the previous round's RDDs by handle, keeping exactly
+  * one iterate's blocks alive. On a real cluster with executor loss,
+  * swap `localCheckpoint` for reliable `checkpoint` (same contract).
   */
 object Components {
 
@@ -36,7 +38,8 @@ object Components {
       .cache()
     var labels = edges.select($"src".as("id")).distinct()
       .withColumn("component", $"id")
-    var prev: DataFrame = null // previous round's checkpointed iterate
+    val sc = spark.sparkContext
+    var prevRddIds: Set[Int] = Set.empty // RDDs persisted by the previous round
     var iter = 0
     var converged = labels.head(1).isEmpty // empty graph: nothing to do
     while (iter < maxIter && !converged) {
@@ -45,17 +48,22 @@ object Components {
       val minNbr = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy($"dst".as("id")).agg(min($"component").as("nbr"))
+      val beforeIds = sc.getPersistentRDDs.keySet
       val next = labels
         .join(minNbr, Seq("id"), "left_outer")
         .select($"id",
           least($"component", coalesce($"nbr", $"component")).as("component"),
           ($"nbr" < $"component").as("changed"))
         .localCheckpoint(eager = true) // materialize + truncate lineage
+      val nextIds = sc.getPersistentRDDs.keySet.toSet -- beforeIds
       converged = next
         .agg(max(when($"changed", 1).otherwise(0)).as("c"))
         .first().getInt(0) == 0
-      if (prev != null) prev.unpersist()
-      prev = next
+      // Dataset.unpersist would be a no-op here (see scaladoc) — release
+      // the previous iterate's checkpoint blocks by RDD handle
+      prevRddIds.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      prevRddIds = nextIds
       labels = next.drop("changed")
       iter += 1
     }

@@ -203,9 +203,10 @@ object EventsLog {
     // operator Structured Streaming uses for stateful sessionization —
     // here in batch): per-user sessions close after 30 min of
     // inactivity; window end = last event + gap, exclusive. Oracle:
-    // classic gaps-and-islands. Boundary semantics: a gap of EXACTLY the
-    // timeout starts a new session (Spark merges only on strict overlap),
-    // so the oracle flag is >= not >.
+    // classic gaps-and-islands. Boundary semantics: an event arriving
+    // EXACTLY gap after the previous one still merges (Spark merges when
+    // next start <= current end — verified empirically on 4.1.2), so the
+    // oracle's new-session flag is strict >.
     "q_session_window" -> ((s, d) => {
       import s.implicits._
       t(s, d, "events")
@@ -311,7 +312,7 @@ object EventsLog {
       """WITH g AS (
         |  SELECT user_id, ts,
         |    CASE WHEN prev IS NULL
-        |              OR epoch_us(ts) - epoch_us(prev) >= 1800000000
+        |              OR epoch_us(ts) - epoch_us(prev) > 1800000000
         |         THEN 1 ELSE 0 END AS new_s
         |  FROM (SELECT user_id, ts,
         |          LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev

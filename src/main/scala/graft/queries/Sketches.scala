@@ -28,16 +28,10 @@ object Sketches {
   private val W = 64   // CountMin buckets per row
   private val MBits = 252 // Bloom bits: 4 longs × 63 bits (no sign-bit games)
 
-  /** wc-family word normalization: whitespace tokens of lower(text),
-    * stripped to [a-z0-9] (empty string IS a word — the reference emits
-    * it, word_count.go:19-22). */
-  private def words(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    t(s, d, "documents")
-      .select(explode(split(lower($"text"), "\\s+")).as("tok"))
-      .filter($"tok" =!= "")
-      .select(regexp_replace($"tok", "[^a-z0-9]+", "").as("word"))
-  }
+  /** wc-family word normalization — the single shared contract
+    * (TextWordCount.words), never re-implemented here. */
+  private def words(s: SparkSession, d: String): DataFrame =
+    TextWordCount.words(s, d)
 
   /** Row-r CountMin bucket of `word`: md5 hex window [2r+1, 2r+2] mod W. */
   private def bucketCol(r: Int): Column =
@@ -55,11 +49,7 @@ object Sketches {
   private def bitPosSql(r: Int): String =
     s"((${hexAt("md5(word)", 2 * r + 1)} * 16 + ${hexAt("md5(word)", 2 * r + 2)}) % $MBits)"
 
-  private val wordsSql =
-    """SELECT regexp_replace(tok, '[^a-z0-9]+', '', 'g') AS word
-      |FROM (SELECT unnest(list_filter(
-      |        regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS tok
-      |      FROM documents)""".stripMargin
+  private val wordsSql = TextWordCount.wordsSql
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // CountMin sketch build: ONE pass over the corpus (all D buckets
@@ -119,12 +109,17 @@ object Sketches {
         .distinct()
       val checks = probeWords
         .select($"word", explode(array((0 until D).map(bitPosCol): _*)).as("p"))
+      // LEFT join: a probe bit landing in a long word NO corpus word ever
+      // touched means the filter word is absent entirely — that is a
+      // definite miss (hit=0), not a row to drop (an inner join would
+      // silently erase the check and could report a false "maybe")
       val maybe = checks
         .select($"word", ($"p" / 63).cast("int").as("word_j"),
           expr("p % 63").as("bit"))
-        .join(broadcast(filt), Seq("word_j"))
+        .join(broadcast(filt), Seq("word_j"), "left_outer")
         .select($"word",
-          expr("cast(shiftright(bits, bit) & 1 as int)").as("hit"))
+          coalesce(expr("cast(shiftright(bits, bit) & 1 as int)"), lit(0))
+            .as("hit"))
         .groupBy($"word").agg(min($"hit").as("maybe"))
       val present = probeWords.join(
         words(s, d).select($"word").distinct(), Seq("word"), "left_semi")
@@ -204,8 +199,9 @@ object Sketches {
          |checks AS (
          |  $checkRows),
          |maybe AS (
-         |  SELECT word, MIN(CAST((f.bits >> (c.p % 63)) & 1 AS INTEGER)) AS maybe
-         |  FROM checks c JOIN filt f ON f.word_j = CAST(c.p // 63 AS INTEGER)
+         |  SELECT word, MIN(COALESCE(CAST((f.bits >> (c.p % 63)) & 1 AS INTEGER),
+         |                            0)) AS maybe
+         |  FROM checks c LEFT JOIN filt f ON f.word_j = CAST(c.p // 63 AS INTEGER)
          |  GROUP BY word),
          |present AS (SELECT DISTINCT word, 1 AS present FROM w
          |            WHERE word IN (SELECT word FROM probe_words))

@@ -26,12 +26,28 @@ object TextWordCount {
       .filter($"tok" =!= "")
   }
 
+  /** THE word-normalization contract (W1-W3): whitespace tokens of
+    * lower(text), stripped to [a-z0-9]; the empty string IS a word (the
+    * reference still emits it, word_count.go:19-22). Single definition —
+    * every consumer (wc family, sketches) and its SQL twin below must go
+    * through here so the contract can never fork. */
+  private[queries] def words(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    tokens(s, d).select(regexp_replace($"tok", "[^a-z0-9]+", "").as("word"))
+  }
+
+  /** DuckDB twin of [[words]]. */
+  private[queries] val wordsSql: String =
+    """SELECT regexp_replace(tok, '[^a-z0-9]+', '', 'g') AS word
+      |FROM (SELECT unnest(list_filter(
+      |        regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS tok
+      |      FROM documents)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // W1-W5: full word-count, ordered by word.
     "wc_word_counts" -> ((s, d) => {
       import s.implicits._
-      tokens(s, d)
-        .select(regexp_replace($"tok", "[^a-z0-9]+", "").as("word"))
+      words(s, d)
         .groupBy($"word").agg(count(lit(1)).as("cnt"))
         .orderBy($"word")
     }),
@@ -39,8 +55,7 @@ object TextWordCount {
     // W5 + L9: top-k words, tie-break (cnt DESC, word ASC).
     "wc_topk" -> ((s, d) => {
       import s.implicits._
-      tokens(s, d)
-        .select(regexp_replace($"tok", "[^a-z0-9]+", "").as("word"))
+      words(s, d)
         .groupBy($"word").agg(count(lit(1)).as("cnt"))
         .orderBy(desc("cnt"), asc("word"))
         .limit(20)
@@ -60,8 +75,7 @@ object TextWordCount {
     // rows-only check; exact formatting golden-tested in JobsSpec.
     "wc_formatted" -> ((s, d) => {
       import s.implicits._
-      tokens(s, d)
-        .select(regexp_replace($"tok", "[^a-z0-9]+", "").as("word"))
+      words(s, d)
         .groupBy($"word").agg(count(lit(1)).as("cnt"))
         .select(format_string("%-12s :: %4d", $"word", $"cnt").as("line"))
         .orderBy($"line")

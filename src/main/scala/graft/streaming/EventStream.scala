@@ -83,8 +83,9 @@ object EventStream {
     * order. In batch mode every group sees all its events at once (the
     * per-user sort is bounded by a user's event count — fine for
     * per-entity streams; a user with unbounded events would need the
-    * native operator). Boundary semantics match session_window: a gap of
-    * exactly `gapUs` starts a new session. */
+    * native operator). Boundary semantics match session_window: an event
+    * exactly `gapUs` after the previous one still merges (Spark merges
+    * when next start <= current end), so the split test is strict >. */
   def sessionizeCustom(events: DataFrame, gapUs: Long): Dataset[Session] = {
     import events.sparkSession.implicits._
     val isBatch = !events.isStreaming // plain boolean: the closure must not capture the DataFrame
@@ -100,7 +101,7 @@ object EventStream {
           val out = Seq.newBuilder[Session]
           ts.foreach { t =>
             if (start < 0) { start = t; last = t; n = 1 }
-            else if (t - last >= gapUs) {
+            else if (t - last > gapUs) {
               out += Session(user, start, last + gapUs, n)
               start = t; last = t; n = 1
             } else { last = t; n += 1 }

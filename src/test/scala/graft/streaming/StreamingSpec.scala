@@ -91,6 +91,21 @@ class StreamingSpec extends SparkSpec {
       .orderBy($"user_id", $"s_start").collect()
     assert(custom.nonEmpty)
     assert(custom.toSeq == native.toSeq)
+
+    // pin the boundary the staged data may not contain: events EXACTLY
+    // 30 min apart merge (Spark merges when next start <= current end);
+    // one microsecond past the gap splits
+    val exact = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:30:00")),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 01:00:00.000001")))
+      .toDF("user_id", "ts")
+    val nat = EventStream.sessionCounts(exact)
+      .orderBy($"s_start").collect().map(r => (r.getLong(3)))
+    assert(nat.toSeq == Seq(2L, 1L), s"native boundary: ${nat.toSeq}")
+    val cus = EventStream.sessionizeCustom(exact, 1800000000L)
+      .toDF().orderBy($"s_start").collect().map(_.getLong(3))
+    assert(cus.toSeq == Seq(2L, 1L), s"custom boundary: ${cus.toSeq}")
   }
 
   test("stream-stream interval self-join == batch join (parity)") {
