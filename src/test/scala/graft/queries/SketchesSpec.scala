@@ -1,0 +1,42 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** The invariants that make a sketch a sketch — properties the DuckDB
+  * hash-compare cannot express (it only proves both engines compute the
+  * same numbers, not that the numbers mean anything). */
+class SketchesSpec extends SparkSpec {
+
+  test("CountMin never underestimates: est >= exact for every probe") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("sketch_cms_est")(spark, sf()).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val (exact, est) = (r.getLong(1), r.getLong(2))
+      assert(est >= exact, s"${r.getString(0)}: est=$est < exact=$exact")
+    }
+  }
+
+  test("CountMin sketch mass: each hash row sums to the corpus word count") {
+    import spark.implicits._
+    val cms = SparkEntry.queries("sketch_cms")(spark, sf())
+    val perRow = cms.groupBy($"h_row")
+      .agg(org.apache.spark.sql.functions.sum($"cnt").as("mass"))
+      .collect().map(r => r.getLong(1)).toSet
+    // every row hashes every word occurrence exactly once
+    assert(perRow.size == 1, s"rows disagree on total mass: $perRow")
+  }
+
+  test("Bloom filter has no false negatives") {
+    val probe = SparkEntry.queries("sketch_bloom_probe")(spark, sf())
+      .collect().head
+    val (nProbed, nMaybe, nPresent, nFalsePos) =
+      (probe.getLong(0), probe.getLong(1), probe.getLong(2), probe.getLong(3))
+    assert(nProbed > 0)
+    // every present word MUST report maybe=1: maybe-count covers present
+    // plus exactly the false positives
+    assert(nMaybe == nPresent + nFalsePos,
+      s"false negative detected: maybe=$nMaybe present=$nPresent fp=$nFalsePos")
+    assert(nMaybe <= nProbed)
+  }
+}
