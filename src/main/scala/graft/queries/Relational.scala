@@ -417,6 +417,22 @@ object Relational {
         .orderBy($"supp_nation", $"cust_nation", $"l_year")
     }),
 
+    // NOT EXISTS with a range residual: orders where NO line shipped
+    // within 30 days of ordering — left-anti hash join on the equi part
+    // with the date bound as residual (no row explosion, same shape as
+    // the EXISTS twin above).
+    "q_not_exists_late" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "orders").as("o")
+        .join(t(s, d, "lineitem").as("l"),
+          $"l.l_orderkey" === $"o.o_orderkey" &&
+            $"l.l_shipdate" <= $"o.o_orderdate" + expr("INTERVAL 30 DAYS"),
+          "left_anti")
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"), min($"o_orderkey").as("min_ok"))
+        .orderBy($"o_orderstatus")
+    }),
+
     // TPC-H Q6-style forecasting-revenue change: pure scan-filter + one
     // global agg — the canonical predicate-pushdown showcase (all three
     // filters reach the parquet scan as PushedFilters; only 4 columns
@@ -728,6 +744,14 @@ object Relational {
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+
+    "q_not_exists_late" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders, MIN(o_orderkey) AS min_ok
+        |FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+        |                  WHERE l.l_orderkey = o.o_orderkey
+        |                    AND l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q4_priority_exists" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders
