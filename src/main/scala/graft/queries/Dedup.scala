@@ -231,6 +231,25 @@ object Dedup {
         .orderBy($"doc_id")
     }),
 
+    // Incremental dedup — the production shape: a NEW batch (docs with
+    // doc_id % 5 = 4, a pure expression split — no eager job) admitted
+    // only if its content hash is absent from the existing corpus AND
+    // unique within the batch (keep lowest id). Corpus side reduces to
+    // distinct hashes before the anti join, so the join's build input is
+    // |unique contents|, not |corpus|.
+    "dedup_incremental" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+        .select($"doc_id", md5($"text".cast("binary")).as("fp"))
+      val corpusFps = docs.filter($"doc_id" % 5 =!= 4).select($"fp").distinct()
+      docs.filter($"doc_id" % 5 === 4)
+        .join(corpusFps, Seq("fp"), "left_anti")
+        .groupBy($"fp").agg(min($"doc_id").as("admit_id"),
+          count(lit(1)).as("n_in_batch"))
+        .select($"admit_id", $"fp", $"n_in_batch")
+        .orderBy($"admit_id")
+    }),
+
     // Salted skew join, oracle-checked against the plain join: the salt
     // changes only the shuffle layout, never the result (engine.Skew).
     "dedup_salted_sources" -> ((s, d) => {
@@ -310,6 +329,14 @@ object Dedup {
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
       lsh
     },
+
+    "dedup_incremental" ->
+      """WITH docs AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        |corpus AS (SELECT DISTINCT fp FROM docs WHERE doc_id % 5 <> 4)
+        |SELECT MIN(doc_id) AS admit_id, fp, COUNT(*) AS n_in_batch
+        |FROM docs
+        |WHERE doc_id % 5 = 4 AND fp NOT IN (SELECT fp FROM corpus)
+        |GROUP BY fp ORDER BY admit_id""".stripMargin,
 
     "dedup_salted_sources" ->
       """WITH dims AS (SELECT source, COUNT(*) AS n_in_source
