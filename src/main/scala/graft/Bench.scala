@@ -45,9 +45,11 @@ object Bench {
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val first = timeOnce(name, fn)
+      // a failure on EITHER run reports -1 — an intermittent throw must
+      // never hide behind the other run's clean time
       val best = if (first < 0) first else {
         val second = timeOnce(name, fn)
-        if (second < 0) first else math.min(first, second)
+        if (second < 0) second else math.min(first, second)
       }
       name -> best
     }

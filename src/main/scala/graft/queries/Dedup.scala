@@ -231,18 +231,30 @@ object Dedup {
         .orderBy($"doc_id")
     }),
 
-    // Incremental dedup — the production shape: a NEW batch (docs with
-    // doc_id % 5 = 4, a pure expression split — no eager job) admitted
-    // only if its content hash is absent from the existing corpus AND
-    // unique within the batch (keep lowest id). Corpus side reduces to
-    // distinct hashes before the anti join, so the join's build input is
-    // |unique contents|, not |corpus|.
+    // Incremental dedup — the production shape: an existing corpus
+    // (doc_id % 5 in 0..2), and an incoming batch made of fresh docs
+    // (% 5 = 4), RESUBMITTED corpus docs under new ingestion ids
+    // (% 10 = 0, re-crawls — must be rejected against the corpus), and a
+    // doc family submitted twice within the batch under two ids
+    // (% 5 = 3 — must collapse to one admit with the lowest id). All
+    // splits are pure expressions (no eager job). The corpus side
+    // reduces to distinct hashes before the anti join, so the join's
+    // build input is |unique contents|, not |corpus|; batch-internal
+    // dedup is the same hash groupBy as dedup_exact.
     "dedup_incremental" -> ((s, d) => {
       import s.implicits._
       val docs = t(s, d, "documents")
         .select($"doc_id", md5($"text".cast("binary")).as("fp"))
-      val corpusFps = docs.filter($"doc_id" % 5 =!= 4).select($"fp").distinct()
-      docs.filter($"doc_id" % 5 === 4)
+      val corpusFps = docs.filter($"doc_id" % 5 <= 2).select($"fp").distinct()
+      val batch = docs.filter($"doc_id" % 5 === 4)
+        .unionAll(docs.filter($"doc_id" % 10 === 0)
+          .select($"doc_id" + 1000000L, $"fp"))
+        .unionAll(docs.filter($"doc_id" % 5 === 3)
+          .select($"doc_id" + 2000000L, $"fp"))
+        .unionAll(docs.filter($"doc_id" % 5 === 3)
+          .select($"doc_id" + 3000000L, $"fp"))
+        .toDF("doc_id", "fp")
+      batch
         .join(corpusFps, Seq("fp"), "left_anti")
         .groupBy($"fp").agg(min($"doc_id").as("admit_id"),
           count(lit(1)).as("n_in_batch"))
@@ -332,10 +344,18 @@ object Dedup {
 
     "dedup_incremental" ->
       """WITH docs AS (SELECT doc_id, md5(text) AS fp FROM documents),
-        |corpus AS (SELECT DISTINCT fp FROM docs WHERE doc_id % 5 <> 4)
+        |corpus AS (SELECT DISTINCT fp FROM docs WHERE doc_id % 5 <= 2),
+        |batch AS (
+        |  SELECT doc_id, fp FROM docs WHERE doc_id % 5 = 4
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, fp FROM docs WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, fp FROM docs WHERE doc_id % 5 = 3
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, fp FROM docs WHERE doc_id % 5 = 3)
         |SELECT MIN(doc_id) AS admit_id, fp, COUNT(*) AS n_in_batch
-        |FROM docs
-        |WHERE doc_id % 5 = 4 AND fp NOT IN (SELECT fp FROM corpus)
+        |FROM batch b
+        |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp)
         |GROUP BY fp ORDER BY admit_id""".stripMargin,
 
     "dedup_salted_sources" ->

@@ -18,13 +18,21 @@ class SketchesSpec extends SparkSpec {
   }
 
   test("CountMin sketch mass: each hash row sums to the corpus word count") {
+    import org.apache.spark.sql.functions._
     import spark.implicits._
     val cms = SparkEntry.queries("sketch_cms")(spark, sf())
     val perRow = cms.groupBy($"h_row")
-      .agg(org.apache.spark.sql.functions.sum($"cnt").as("mass"))
-      .collect().map(r => r.getLong(1)).toSet
-    // every row hashes every word occurrence exactly once
-    assert(perRow.size == 1, s"rows disagree on total mass: $perRow")
+      .agg(sum($"cnt").as("mass"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(perRow.keySet == Set(0, 1, 2, 3), s"missing hash rows: $perRow")
+    // every row hashes every word occurrence exactly once — compare
+    // against the independently-computed corpus mass, not just row
+    // agreement (a uniform drop/double-count would keep rows equal)
+    val corpusWords = graft.Tables.t(spark, sf(), "documents")
+      .select(explode(split(lower($"text"), "\\s+")).as("tok"))
+      .filter($"tok" =!= "").count()
+    assert(perRow.values.toSet == Set(corpusWords),
+      s"mass != corpus word count $corpusWords: $perRow")
   }
 
   test("Bloom filter has no false negatives") {
