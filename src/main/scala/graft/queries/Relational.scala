@@ -417,6 +417,24 @@ object Relational {
         .orderBy($"supp_nation", $"cust_nation", $"l_year")
     }),
 
+    // Unpivot (wide → long): per-lineitem measure columns melted into
+    // (measure, value) rows via stack — the inverse of q_pivot_status.
+    // Aggregated per measure so the output is small and the decimal-sum
+    // parity rules apply.
+    "q_unpivot_measures" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .select($"l_orderkey", expr(
+          "stack(3, 'quantity', l_quantity, 'price', l_extendedprice," +
+            " 'discount', l_discount) as (measure, val)"))
+        .groupBy($"measure")
+        .agg(count(lit(1)).as("n"),
+          dsum($"val", 4).as("total"),
+          round(min($"val"), 4).as("min_val"),
+          round(max($"val"), 4).as("max_val"))
+        .orderBy($"measure")
+    }),
+
     // NOT EXISTS with a range residual: orders where NO line shipped
     // within 30 days of ordering — left-anti hash join on the equi part
     // with the date bound as residual (no row explosion, same shape as
@@ -744,6 +762,19 @@ object Relational {
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+
+    "q_unpivot_measures" ->
+      """WITH long AS (
+        |  SELECT l_orderkey, 'quantity' AS measure, l_quantity AS val FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, 'price', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, 'discount', l_discount FROM lineitem)
+        |SELECT measure, COUNT(*) AS n,
+        |  CAST(SUM(CAST(val AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        |  ROUND(MIN(val), 4) AS min_val,
+        |  ROUND(MAX(val), 4) AS max_val
+        |FROM long GROUP BY measure ORDER BY measure""".stripMargin,
 
     "q_not_exists_late" ->
       """SELECT o_orderstatus, COUNT(*) AS n_orders, MIN(o_orderkey) AS min_ok
