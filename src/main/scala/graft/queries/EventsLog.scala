@@ -207,6 +207,31 @@ object EventsLog {
     // EXACTLY gap after the previous one still merges (Spark merges when
     // next start <= current end — verified empirically on 4.1.2), so the
     // oracle's new-session flag is strict >.
+    // Funnel analysis (view → click → purchase): per user, the earliest
+    // view, the earliest click strictly after it, and the earliest
+    // purchase strictly after that. Three stages, each one groupBy over
+    // a filtered slice joined back on user — no window over the full
+    // event stream, no cross-stage row explosion; the per-stage tables
+    // shrink monotonically. Output: conversion counts per stage.
+    "log_funnel" -> ((s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+        .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+      val v = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"us").as("t_view"))
+      val c = ev.filter($"event_type" === "click").as("e")
+        .join(v, "user_id").filter($"us" > $"t_view")
+        .groupBy($"user_id").agg(min($"us").as("t_click"))
+      val p = ev.filter($"event_type" === "purchase").as("e")
+        .join(c, "user_id").filter($"us" > $"t_click")
+        .groupBy($"user_id").agg(min($"us").as("t_purchase"))
+      v.join(c, Seq("user_id"), "left_outer")
+        .join(p, Seq("user_id"), "left_outer")
+        .agg(count(lit(1)).as("n_view"),
+          count($"t_click").as("n_click_after_view"),
+          count($"t_purchase").as("n_purchase_after_click"))
+    }),
+
     "q_session_window" -> ((s, d) => {
       import s.implicits._
       t(s, d, "events")
@@ -307,6 +332,21 @@ object EventsLog {
         |  FROM p)
         |SELECT domain, COUNT(*) AS n, COUNT(DISTINCT path) AS n_paths
         |FROM f GROUP BY domain ORDER BY domain""".stripMargin,
+
+    "log_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT user_id, MIN(us) AS t_view FROM ev
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(us) AS t_click
+        |      FROM ev e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND us > t_view GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(us) AS t_purchase
+        |      FROM ev e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND us > t_click GROUP BY e.user_id)
+        |SELECT COUNT(*) AS n_view,
+        |  COUNT(t_click) AS n_click_after_view,
+        |  COUNT(t_purchase) AS n_purchase_after_click
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin,
 
     "q_session_window" ->
       """WITH g AS (
