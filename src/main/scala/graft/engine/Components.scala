@@ -48,14 +48,19 @@ object Components {
       val minNbr = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy($"dst".as("id")).agg(min($"component").as("nbr"))
-      val beforeIds = sc.getPersistentRDDs.keySet
-      val next = labels
-        .join(minNbr, Seq("id"), "left_outer")
-        .select($"id",
-          least($"component", coalesce($"nbr", $"component")).as("component"),
-          ($"nbr" < $"component").as("changed"))
-        .localCheckpoint(eager = true) // materialize + truncate lineage
-      val nextIds = sc.getPersistentRDDs.keySet.toSet -- beforeIds
+      // the persistent-RDD diff identifies THIS checkpoint's blocks; the
+      // lock keeps a concurrent connectedComponents call (same JVM) from
+      // capturing — and later wrongly unpersisting — our ids
+      val (next, nextIds) = Components.synchronized {
+        val beforeIds = sc.getPersistentRDDs.keySet
+        val ck = labels
+          .join(minNbr, Seq("id"), "left_outer")
+          .select($"id",
+            least($"component", coalesce($"nbr", $"component")).as("component"),
+            ($"nbr" < $"component").as("changed"))
+          .localCheckpoint(eager = true) // materialize + truncate lineage
+        (ck, sc.getPersistentRDDs.keySet.toSet -- beforeIds)
+      }
       converged = next
         .agg(max(when($"changed", 1).otherwise(0)).as("c"))
         .first().getInt(0) == 0

@@ -85,7 +85,13 @@ object EventStream {
     * per-entity streams; a user with unbounded events would need the
     * native operator). Boundary semantics match session_window: an event
     * exactly `gapUs` after the previous one still merges (Spark merges
-    * when next start <= current end), so the split test is strict >. */
+    * when next start <= current end), so the split test is strict >.
+    *
+    * Streaming caveat: events are sorted within each micro-batch, but an
+    * event arriving in a LATER batch with an earlier timestamp than
+    * already-folded state is mis-sessioned — production streaming use
+    * needs a watermark-deep buffer per key (or the native operator,
+    * which handles late merges); batch mode is exact. */
   def sessionizeCustom(events: DataFrame, gapUs: Long): Dataset[Session] = {
     import events.sparkSession.implicits._
     val isBatch = !events.isStreaming // plain boolean: the closure must not capture the DataFrame
