@@ -129,6 +129,34 @@ class TopKPlanSpec extends SparkSpec {
     finally spark.conf.unset("spark.sql.optimizer.excludedRules")
   }
 
+  test("randomized equivalence vs WindowExec: 30 seeded shapes") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42) // fixed seed — deterministic CI
+    (1 to 30).foreach { trial =>
+      val nKeys = 1 + rng.nextInt(20)
+      val nRows = 1 + rng.nextInt(400)
+      val k = 1 + rng.nextInt(6)
+      // duplicate order values on purpose: ties exercise heap vs sort
+      val rows = Seq.fill(nRows)(
+        (rng.nextInt(nKeys).toLong, rng.nextInt(10).toLong, rng.nextInt(1000).toLong))
+      val df0 = rows.toDF("key", "ord", "payload")
+      def topk = {
+        val w = Window.partitionBy($"key")
+          .orderBy($"ord".desc, $"payload".asc) // total order: deterministic
+        df0.withColumn("rn", row_number().over(w)).filter($"rn" <= k)
+          .orderBy($"key", $"rn")
+      }
+      val got = topk.collect().toSeq
+      assert(finalPlan(topk).toString.contains("TopKPerKey"),
+        s"trial $trial: rewrite did not fire")
+      spark.conf.set("spark.sql.optimizer.excludedRules",
+        "graft.plans.TopKPerKeyRule")
+      try assert(got == topk.collect().toSeq, s"trial $trial mismatch " +
+        s"(nKeys=$nKeys nRows=$nRows k=$k)")
+      finally spark.conf.unset("spark.sql.optimizer.excludedRules")
+    }
+  }
+
   test("large k declines the rewrite (falls back to WindowExec)") {
     import spark.implicits._
     val w = Window.partitionBy($"o_custkey").orderBy($"o_orderkey")
