@@ -34,6 +34,7 @@ class PlanHygieneSpec extends SparkSpec {
     "sim_ivf_topk",          // 1-row query vector + centroid probe
     "sim_lsh_sigs",          // 1-row hyperplane matrix
     "sim_lsh_topk",          // 1-row hyperplane matrix + 1-row query sig
+    "sim_lsh_multiprobe",    // 1-row hyperplane matrix + 5 probe rows
     "text_tfidf")            // 1-row corpus doc count
 
   test("no declared query plans a cartesian or nested-loop join") {
