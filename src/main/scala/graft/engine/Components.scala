@@ -16,10 +16,11 @@ import org.apache.spark.sql.functions._
   * replay the whole loop). Release discipline: `localCheckpoint` persists
   * the materialized RDD directly, BYPASSING the CacheManager — so
   * `Dataset.unpersist()` on the checkpointed frame is a silent no-op.
-  * The loop instead diffs `sc.getPersistentRDDs` around each checkpoint
-  * and unpersists the previous round's RDDs by handle, keeping exactly
-  * one iterate's blocks alive. On a real cluster with executor loss,
-  * swap `localCheckpoint` for reliable `checkpoint` (same contract).
+  * The checkpointed frame's plan is a `LogicalRDD` over exactly that
+  * persisted RDD, so the loop holds THAT handle and unpersists it one
+  * round later — precise, concurrency-safe, one iterate's blocks alive.
+  * On a real cluster with executor loss, swap `localCheckpoint` for
+  * reliable `checkpoint` (same contract).
   */
 object Components {
 
@@ -38,8 +39,14 @@ object Components {
       .cache()
     var labels = edges.select($"src".as("id")).distinct()
       .withColumn("component", $"id")
-    val sc = spark.sparkContext
-    var prevRddIds: Set[Int] = Set.empty // RDDs persisted by the previous round
+    // the previous round's checkpointed RDD — the exact persisted handle,
+    // extracted from the frame's LogicalRDD plan (see scaladoc)
+    var prevRdd: Option[org.apache.spark.rdd.RDD[_]] = None
+    def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.analyzed match {
+        case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+        case _ => None
+      }
     var iter = 0
     var converged = labels.head(1).isEmpty // empty graph: nothing to do
     while (iter < maxIter && !converged) {
@@ -48,27 +55,19 @@ object Components {
       val minNbr = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy($"dst".as("id")).agg(min($"component").as("nbr"))
-      // the persistent-RDD diff identifies THIS checkpoint's blocks; the
-      // lock keeps a concurrent connectedComponents call (same JVM) from
-      // capturing — and later wrongly unpersisting — our ids
-      val (next, nextIds) = Components.synchronized {
-        val beforeIds = sc.getPersistentRDDs.keySet
-        val ck = labels
-          .join(minNbr, Seq("id"), "left_outer")
-          .select($"id",
-            least($"component", coalesce($"nbr", $"component")).as("component"),
-            ($"nbr" < $"component").as("changed"))
-          .localCheckpoint(eager = true) // materialize + truncate lineage
-        (ck, sc.getPersistentRDDs.keySet.toSet -- beforeIds)
-      }
+      val next = labels
+        .join(minNbr, Seq("id"), "left_outer")
+        .select($"id",
+          least($"component", coalesce($"nbr", $"component")).as("component"),
+          ($"nbr" < $"component").as("changed"))
+        .localCheckpoint(eager = true) // materialize + truncate lineage
       converged = next
         .agg(max(when($"changed", 1).otherwise(0)).as("c"))
         .first().getInt(0) == 0
       // Dataset.unpersist would be a no-op here (see scaladoc) — release
-      // the previous iterate's checkpoint blocks by RDD handle
-      prevRddIds.foreach(id =>
-        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-      prevRddIds = nextIds
+      // the previous iterate's exact checkpoint RDD
+      prevRdd.foreach(_.unpersist(blocking = false))
+      prevRdd = checkpointRdd(next)
       labels = next.drop("changed")
       iter += 1
     }

@@ -207,6 +207,18 @@ object EventsLog {
     // EXACTLY gap after the previous one still merges (Spark merges when
     // next start <= current end — verified empirically on 4.1.2), so the
     // oracle's new-session flag is strict >.
+    "q_session_window" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "events")
+        .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+        .agg(count(lit(1)).as("n_events"))
+        .select($"user_id",
+          unix_micros($"session_window.start").as("s_start"),
+          unix_micros($"session_window.end").as("s_end"),
+          $"n_events")
+        .orderBy($"user_id", $"s_start")
+    }),
+
     // Funnel analysis (view → click → purchase): per user, the earliest
     // view, the earliest click strictly after it, and the earliest
     // purchase strictly after that. Three stages, each one groupBy over
@@ -230,18 +242,6 @@ object EventsLog {
         .agg(count(lit(1)).as("n_view"),
           count($"t_click").as("n_click_after_view"),
           count($"t_purchase").as("n_purchase_after_click"))
-    }),
-
-    "q_session_window" -> ((s, d) => {
-      import s.implicits._
-      t(s, d, "events")
-        .groupBy(session_window($"ts", "30 minutes"), $"user_id")
-        .agg(count(lit(1)).as("n_events"))
-        .select($"user_id",
-          unix_micros($"session_window.start").as("s_start"),
-          unix_micros($"session_window.end").as("s_end"),
-          $"n_events")
-        .orderBy($"user_id", $"s_start")
     }))
 
   val oracle: Map[String, String] = Map(

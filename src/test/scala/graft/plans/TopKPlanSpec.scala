@@ -151,9 +151,15 @@ class TopKPlanSpec extends SparkSpec {
         s"trial $trial: rewrite did not fire")
       spark.conf.set("spark.sql.optimizer.excludedRules",
         "graft.plans.TopKPerKeyRule")
-      try assert(got == topk.collect().toSeq, s"trial $trial mismatch " +
-        s"(nKeys=$nKeys nRows=$nRows k=$k)")
-      finally spark.conf.unset("spark.sql.optimizer.excludedRules")
+      try {
+        val base = topk
+        val want = base.collect().toSeq
+        // guard against a vacuous rewrite-vs-rewrite comparison
+        assert(finalPlan(base).toString.contains("Window"),
+          s"trial $trial: exclusion did not restore WindowExec")
+        assert(got == want, s"trial $trial mismatch " +
+          s"(nKeys=$nKeys nRows=$nRows k=$k)")
+      } finally spark.conf.unset("spark.sql.optimizer.excludedRules")
     }
   }
 
