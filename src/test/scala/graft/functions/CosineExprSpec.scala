@@ -51,6 +51,18 @@ class CosineExprSpec extends SparkSpec {
     }
   }
 
+  test("extension-injected: available in a fresh session without register()") {
+    // newSession() has a fresh function registry (temp functions from
+    // other specs do NOT carry over) but re-applies GraftExtensions —
+    // resolving here proves the injectFunction path, not a leftover
+    // createOrReplaceTempFunction
+    val fresh = spark.newSession()
+    val r = fresh.sql(
+      "SELECT round(cosine_similarity(array(1D, 0D), array(1D, 0D)), 6) AS c")
+      .collect().head.getDouble(0)
+    assert(r == 1.0)
+  }
+
   test("participates in whole-stage codegen") {
     GraftFunctions.register(spark)
     import spark.implicits._
