@@ -19,5 +19,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[graft.functions.CosineSimilarity].getName, "cosine_similarity"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.CosineSimilarity(exprs.head, exprs(1))))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.DotProduct].getName, "dot_product"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.DotProduct(exprs.head, exprs(1))))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("l2_norm"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.L2Norm].getName, "l2_norm"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.L2Norm(exprs.head)))
   }
 }

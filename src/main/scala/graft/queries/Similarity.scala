@@ -217,6 +217,19 @@ object Similarity {
         .limit(10)
     }),
 
+    // Native vector-kernel surface (dot_product / l2_norm codegen'd
+    // expressions, injected by GraftExtensions): self-dot and norm per
+    // embedding, oracle-checked against explicit fold SQL.
+    "arr_vector_funcs" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        .select($"vec_id",
+          round(expr("l2_norm(v)"), 6).as("norm"),
+          round(expr("dot_product(v, v)"), 6).as("self_dot"))
+        .orderBy($"vec_id")
+    }),
+
     // Per-label mean-vector norm: elementwise sums via posexplode +
     // groupBy(label, dim) — fully distributed, no collect_list state.
     "sim_label_centroids" -> ((s, d) => {
@@ -390,6 +403,14 @@ object Similarity {
         |FROM sigs JOIN probes ON sig = psig
         |WHERE vec_id <> 0
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "arr_vector_funcs" ->
+      """SELECT vec_id,
+        |  ROUND(sqrt(list_sum(list_transform(embedding::DOUBLE[],
+        |                                     x -> x * x))), 6) AS norm,
+        |  ROUND(list_sum(list_transform(embedding::DOUBLE[],
+        |                                x -> x * x)), 6) AS self_dot
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "sim_label_centroids" ->
       """WITH ex AS (

@@ -51,6 +51,28 @@ class CosineExprSpec extends SparkSpec {
     }
   }
 
+  test("dot_product / l2_norm: HOF parity, nulls, length mismatch") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+      (Seq(0.0, 0.0), Seq(0.0, 0.0))).toDF("a", "b")
+    val r = df.selectExpr(
+      "dot_product(a, b) AS d",
+      "aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, x) -> acc + x) AS dh",
+      "l2_norm(a) AS n",
+      "sqrt(aggregate(a, 0D, (acc, x) -> acc + x * x)) AS nh").collect()
+    r.foreach { row =>
+      assert(row.getDouble(0) == row.getDouble(1))
+      assert(row.getDouble(2) == row.getDouble(3))
+    }
+    // length mismatch and null element → NULL (zip_with/fold contract)
+    val edge = spark.sql(
+      "SELECT dot_product(array(1D), array(1D, 2D)) AS m, " +
+        "dot_product(array(1D, cast(null as double)), array(1D, 2D)) AS nl, " +
+        "l2_norm(array(cast(null as double))) AS ln").collect().head
+    assert(edge.isNullAt(0) && edge.isNullAt(1) && edge.isNullAt(2))
+  }
+
   test("extension-injected: available in a fresh session without register()") {
     // newSession() has a fresh function registry (temp functions from
     // other specs do NOT carry over) but re-applies GraftExtensions —
