@@ -94,12 +94,27 @@ case class CosineSimilarity(left: Expression, right: Expression)
 /** Registration + Column-level API for the graft native functions. */
 object GraftFunctions {
 
-  /** Idempotent per-session SQL registration. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_similarity",
-      exprs => CosineSimilarity(exprs.head, exprs(1)),
-      "built-in")
+  /** Idempotent per-session SQL registration of ALL graft native
+    * functions — the fallback for sessions built without
+    * `spark.sql.extensions=graft.GraftExtensions` (extension-configured
+    * sessions already have them injected). */
+  def register(spark: SparkSession): Unit = {
+    def one(name: String, arity: Int)(
+        builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+          org.apache.spark.sql.catalyst.expressions.Expression): Unit =
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name,
+        exprs => {
+          if (exprs.length != arity)
+            throw new IllegalArgumentException(
+              s"$name requires exactly $arity argument(s), got ${exprs.length}")
+          builder(exprs)
+        },
+        "built-in")
+    one("cosine_similarity", 2)(xs => CosineSimilarity(xs.head, xs(1)))
+    one("dot_product", 2)(xs => DotProduct(xs.head, xs(1)))
+    one("l2_norm", 1)(xs => L2Norm(xs.head))
+  }
 
   def cosine_similarity(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)

@@ -222,6 +222,7 @@ object Similarity {
     // embedding, oracle-checked against explicit fold SQL.
     "arr_vector_funcs" -> ((s, d) => {
       import s.implicits._
+      withCosine(s) // registers ALL native fns for non-extension sessions
       t(s, d, "embeddings")
         .select($"vec_id", $"embedding".cast("array<double>").as("v"))
         .select($"vec_id",
@@ -405,12 +406,19 @@ object Similarity {
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
 
     "arr_vector_funcs" ->
-      """SELECT vec_id,
-        |  ROUND(sqrt(list_sum(list_transform(embedding::DOUBLE[],
-        |                                     x -> x * x))), 6) AS norm,
-        |  ROUND(list_sum(list_transform(embedding::DOUBLE[],
-        |                                x -> x * x)), 6) AS self_dot
-        |FROM embeddings ORDER BY vec_id""".stripMargin,
+      // mirrors the native expressions' exact null/shape contract:
+      // any null element -> NULL (DuckDB list_sum would SKIP nulls),
+      // empty array -> 0.0 (DuckDB list_sum would return NULL)
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    CASE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0
+        |         THEN NULL
+        |         ELSE COALESCE(list_sum(list_transform(embedding::DOUBLE[],
+        |                                               x -> x * x)), 0.0)
+        |    END AS ss
+        |  FROM embeddings)
+        |SELECT vec_id, ROUND(sqrt(ss), 6) AS norm, ROUND(ss, 6) AS self_dot
+        |FROM e ORDER BY vec_id""".stripMargin,
 
     "sim_label_centroids" ->
       """WITH ex AS (

@@ -73,6 +73,15 @@ class CosineExprSpec extends SparkSpec {
     assert(edge.isNullAt(0) && edge.isNullAt(1) && edge.isNullAt(2))
   }
 
+  test("wrong arity is an error, not silent argument dropping") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT dot_product(array(1D), array(1D), array(1D))").collect()
+    }
+    assert(e.getMessage.contains("exactly 2"), e.getMessage)
+    val e1 = intercept[Exception] { spark.sql("SELECT l2_norm()").collect() }
+    assert(e1.getMessage.contains("exactly 1"), e1.getMessage)
+  }
+
   test("extension-injected: available in a fresh session without register()") {
     // newSession() has a fresh function registry (temp functions from
     // other specs do NOT carry over) but re-applies GraftExtensions —
