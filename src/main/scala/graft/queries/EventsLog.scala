@@ -219,6 +219,23 @@ object EventsLog {
         .orderBy($"user_id", $"s_start")
     }),
 
+    // Cohort retention: users grouped by first-seen week; for each
+    // (cohort, weeks-since-cohort) cell, how many distinct users were
+    // active. Two aggregations joined on user — the standard retention
+    // matrix, no window over the full stream. Weeks = floor(days/7)
+    // from a fixed epoch so both engines bucket identically.
+    "log_retention" -> ((s, d) => {
+      import s.implicits._
+      val weeks = t(s, d, "events")
+        .select($"user_id",
+          expr("cast(unix_micros(ts) div 604800000000 as bigint)").as("wk"))
+      val cohort = weeks.groupBy($"user_id").agg(min($"wk").as("cohort_wk"))
+      weeks.join(cohort, "user_id")
+        .groupBy($"cohort_wk", ($"wk" - $"cohort_wk").as("wk_offset"))
+        .agg(countDistinct($"user_id").as("n_active"))
+        .orderBy($"cohort_wk", $"wk_offset")
+    }),
+
     // Funnel analysis (view → click → purchase): per user, the earliest
     // view, the earliest click strictly after it, and the earliest
     // purchase strictly after that. Three stages, each one groupBy over
@@ -332,6 +349,18 @@ object EventsLog {
         |  FROM p)
         |SELECT domain, COUNT(*) AS n, COUNT(DISTINCT path) AS n_paths
         |FROM f GROUP BY domain ORDER BY domain""".stripMargin,
+
+    "log_retention" ->
+      """WITH weeks AS (
+        |  SELECT user_id, CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS wk
+        |  FROM events),
+        |cohort AS (SELECT user_id, MIN(wk) AS cohort_wk
+        |           FROM weeks GROUP BY user_id)
+        |SELECT cohort_wk, wk - cohort_wk AS wk_offset,
+        |  COUNT(DISTINCT w.user_id) AS n_active
+        |FROM weeks w JOIN cohort c USING (user_id)
+        |GROUP BY cohort_wk, wk_offset
+        |ORDER BY cohort_wk, wk_offset""".stripMargin,
 
     "log_funnel" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),

@@ -417,6 +417,27 @@ object Relational {
         .orderBy($"supp_nation", $"cust_nation", $"l_year")
     }),
 
+    // TPC-H Q10-style returned-item ranking: which customers returned the
+    // most value in a quarter — scan-filter on both fact tables, 3-way
+    // join, revenue agg, top-20. The nation dim broadcasts; order/customer
+    // join order is Catalyst's call.
+    "q10_returned_value" -> ((s, d) => {
+      import s.implicits._
+      val li = t(s, d, "lineitem").filter($"l_returnflag" === "R")
+      val ord = t(s, d, "orders")
+        .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1996-04-01").cast("timestamp"))
+      ord.join(li, $"o_orderkey" === $"l_orderkey")
+        .join(t(s, d, "customer"), $"o_custkey" === $"c_custkey")
+        .join(broadcast(t(s, d, "nation")), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"c_custkey", $"c_name", $"n_name")
+        .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4)
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(desc("revenue"), asc("c_custkey"))
+        .limit(20)
+    }),
+
     // Unpivot (wide → long): per-lineitem measure columns melted into
     // (measure, value) rows via stack — the inverse of q_pivot_status.
     // Aggregated per measure so the output is small and the decimal-sum
@@ -762,6 +783,21 @@ object Relational {
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+
+    "q10_returned_value" ->
+      """SELECT c_custkey, c_name, n_name,
+        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+        |      AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_items
+        |FROM orders
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
     "q_unpivot_measures" ->
       """WITH long AS (
