@@ -20,24 +20,40 @@ object Tables {
   // cost dominates small scale factors. Weak keys can't work here — the
   // cached DataFrames strongly reference their session, so a weak-keyed
   // map would never evict. Instead the cache is explicitly bounded to the
-  // few most-recent sessions (Verify/Bench/tests use 1-2), evicting
-  // oldest-first; a stopped session is retained only until pushed out.
-  // Testdata dirs are immutable (TESTDATA.md), so listings never go stale.
+  // few most-recent sessions (Verify/Bench/tests use 1-2), evicting in
+  // session-creation (FIFO) order; a stopped session is retained only
+  // until pushed out. Concurrency: the hot path (session present) is a
+  // lock-free ConcurrentHashMap read — no global lock is ever held while
+  // load() runs (file listing + footer reads), and concurrent first-reads
+  // of DIFFERENT tables proceed in parallel via the inner map's
+  // per-bin computeIfAbsent. The small `order` lock is taken only on a
+  // session miss (a handful of times per JVM). Testdata dirs are
+  // immutable (TESTDATA.md), so cached listings never go stale.
+  private type Inner =
+    java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]
   private val MaxSessions = 4
-  private val cache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[SparkSession,
-        java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]](
-        MaxSessions, 0.75f, /*accessOrder=*/ true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[SparkSession,
-            java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]): Boolean =
-        size() > MaxSessions
-    })
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, Inner]()
+  private val order = new java.util.ArrayDeque[SparkSession]()
+
+  private def innerFor(spark: SparkSession): Inner = {
+    val hit = cache.get(spark)
+    if (hit != null) hit
+    else order.synchronized {
+      val again = cache.get(spark) // raced: another thread registered it
+      if (again != null) again
+      else {
+        val created = new Inner()
+        cache.put(spark, created)
+        order.addLast(spark)
+        while (order.size > MaxSessions) cache.remove(order.removeFirst())
+        created
+      }
+    }
+  }
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    cache.computeIfAbsent(spark,
-        _ => new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]())
-      .computeIfAbsent((dir, name), _ => load(spark, dir, name))
+    innerFor(spark).computeIfAbsent((dir, name), _ => load(spark, dir, name))
 
   private def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {

@@ -24,6 +24,8 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** @return DataFrame(id, component) for every node appearing in
     *         `pairs`, component = minimum id in the node's component.
     * @throws IllegalStateException if not converged within `maxIter`
@@ -45,7 +47,16 @@ object Components {
     def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
       df.queryExecution.analyzed match {
         case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
-        case _ => None
+        case other =>
+          // A localCheckpoint frame analyzes to a LogicalRDD on Spark
+          // 4.1; if a Spark upgrade changes that shape we silently fall
+          // back to leaking one persisted RDD per iterate — make the
+          // regression loud (ComponentsSpec also asserts extraction).
+          log.warn(
+            "checkpoint RDD extraction failed — analyzed plan is " +
+              s"${other.getClass.getName}, not LogicalRDD; one persisted " +
+              "RDD per iterate will leak until the ContextCleaner runs")
+          None
       }
     var iter = 0
     var converged = labels.head(1).isEmpty // empty graph: nothing to do

@@ -222,13 +222,16 @@ object EventsLog {
     // Cohort retention: users grouped by first-seen week; for each
     // (cohort, weeks-since-cohort) cell, how many distinct users were
     // active. Two aggregations joined on user — the standard retention
-    // matrix, no window over the full stream. Weeks = floor(days/7)
-    // from a fixed epoch so both engines bucket identically.
+    // matrix, no window over the full stream. Week bucketing is exact
+    // FLOOR division (subtract the positive mod, then divide — the
+    // division is then exact, so Spark's truncating `div` and DuckDB's
+    // `//` agree even for pre-epoch (negative unix_micros) timestamps).
     "log_retention" -> ((s, d) => {
       import s.implicits._
       val weeks = t(s, d, "events")
         .select($"user_id",
-          expr("cast(unix_micros(ts) div 604800000000 as bigint)").as("wk"))
+          expr("(unix_micros(ts) - pmod(unix_micros(ts), 604800000000))" +
+            " div 604800000000").as("wk"))
       val cohort = weeks.groupBy($"user_id").agg(min($"wk").as("cohort_wk"))
       weeks.join(cohort, "user_id")
         .groupBy($"cohort_wk", ($"wk" - $"cohort_wk").as("wk_offset"))
@@ -352,7 +355,9 @@ object EventsLog {
 
     "log_retention" ->
       """WITH weeks AS (
-        |  SELECT user_id, CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS wk
+        |  SELECT user_id,
+        |    CAST((epoch_us(ts) - ((epoch_us(ts) % 604800000000)
+        |      + 604800000000) % 604800000000) // 604800000000 AS BIGINT) AS wk
         |  FROM events),
         |cohort AS (SELECT user_id, MIN(wk) AS cohort_wk
         |           FROM weeks GROUP BY user_id)

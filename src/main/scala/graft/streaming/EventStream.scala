@@ -87,37 +87,64 @@ object EventStream {
     * exactly `gapUs` after the previous one still merges (Spark merges
     * when next start <= current end), so the split test is strict >.
     *
-    * Streaming caveat: events are sorted within each micro-batch, but an
-    * event arriving in a LATER batch with an earlier timestamp than
-    * already-folded state is mis-sessioned — production streaming use
-    * needs a watermark-deep buffer per key (or the native operator,
-    * which handles late merges); batch mode is exact. */
-  def sessionizeCustom(events: DataFrame, gapUs: Long): Dataset[Session] = {
+    * Streaming: the input is watermarked (`wmDelay`) and the state uses
+    * `GroupStateTimeout.EventTimeTimeout` — after each update the timeout
+    * is armed at the open session's end, so when the watermark passes it
+    * the session is EMITTED and its state removed. A user whose events
+    * stop arriving therefore still gets their final session, and state is
+    * bounded by the watermark (no per-key entry outlives watermark +
+    * gap). Remaining caveat: an event arriving in a LATER batch with a
+    * timestamp earlier than already-folded state is mis-sessioned (the
+    * native `session_window` operator handles such late merges); batch
+    * mode sees each group whole and is exact. */
+  def sessionizeCustom(events: DataFrame, gapUs: Long,
+      wmDelay: String = "1 hour"): Dataset[Session] = {
     import events.sparkSession.implicits._
     val isBatch = !events.isStreaming // plain boolean: the closure must not capture the DataFrame
-    events.select($"user_id".cast("long"), unix_micros($"ts").as("us"))
-      .as[(Long, Long)]
+    val in = if (isBatch) events else events.withWatermark("ts", wmDelay)
+    // keep `ts` through the projection: the EventTimeTimeout check needs
+    // the watermarked event-time column present in the operator's input
+    in.select($"user_id".cast("long"), unix_micros($"ts").as("us"), $"ts")
+      .as[(Long, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append(),
-          GroupStateTimeout.NoTimeout) {
-        (user: Long, batch: Iterator[(Long, Long)],
+          if (isBatch) GroupStateTimeout.NoTimeout
+          else GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, batch: Iterator[(Long, Long, java.sql.Timestamp)],
          state: GroupState[(Long, Long, Long)]) =>
-          val ts = batch.map(_._2).toArray.sorted
-          var (start, last, n) = state.getOption.getOrElse((-1L, -1L, 0L))
-          val out = Seq.newBuilder[Session]
-          ts.foreach { t =>
-            if (start < 0) { start = t; last = t; n = 1 }
-            else if (t - last > gapUs) {
-              out += Session(user, start, last + gapUs, n)
-              start = t; last = t; n = 1
-            } else { last = t; n += 1 }
+          if (state.hasTimedOut) {
+            // watermark passed the open session's end: close and emit it
+            val (start, last, n) = state.get
+            state.remove()
+            Iterator.single(Session(user, start, last + gapUs, n))
+          } else {
+            val ts = batch.map(_._2).toArray.sorted
+            var (start, last, n) = state.getOption.getOrElse((-1L, -1L, 0L))
+            val out = Seq.newBuilder[Session]
+            ts.foreach { t =>
+              if (start < 0) { start = t; last = t; n = 1 }
+              else if (t - last > gapUs) {
+                out += Session(user, start, last + gapUs, n)
+                start = t; last = t; n = 1
+              } else { last = t; n += 1 }
+            }
+            if (start >= 0) {
+              state.update((start, last, n))
+              if (isBatch) {
+                // batch mode sees everything: flush the final open session
+                out += Session(user, start, last + gapUs, n)
+              } else {
+                // arm the event-time timeout at session end (ms); must be
+                // beyond the current watermark or Spark rejects it — a
+                // session already ended before the watermark fires on the
+                // next no-data batch
+                val endMs = (last + gapUs) / 1000
+                state.setTimeoutTimestamp(
+                  math.max(endMs, state.getCurrentWatermarkMs() + 1))
+              }
+            }
+            out.result().iterator
           }
-          if (start >= 0) {
-            state.update((start, last, n))
-            // batch mode sees everything: flush the final open session
-            if (isBatch) out += Session(user, start, last + gapUs, n)
-          }
-          out.result().iterator
       }
   }
 

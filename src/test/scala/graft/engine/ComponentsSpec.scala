@@ -35,6 +35,18 @@ class ComponentsSpec extends SparkSpec {
       s"checkpoint blocks leaked across rounds: before=$before after=$after")
   }
 
+  test("localCheckpoint frame analyzes to LogicalRDD (extraction contract)") {
+    import spark.implicits._
+    // Components releases each iterate by extracting the persisted RDD
+    // from the checkpointed frame's LogicalRDD plan; if a Spark upgrade
+    // changes that plan shape the release degrades to a logged leak —
+    // this pins the contract so the regression fails loudly in CI.
+    val ckpt = Seq((1L, 2L)).toDF("a", "b").localCheckpoint(eager = true)
+    assert(ckpt.queryExecution.analyzed
+      .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD],
+      s"analyzed plan is ${ckpt.queryExecution.analyzed.getClass.getName}")
+  }
+
   test("throws instead of returning wrong labels at maxIter") {
     import spark.implicits._
     val pairs = (1L to 9L).sliding(2).map(w => (w.head, w.last)).toSeq

@@ -108,6 +108,36 @@ class StreamingSpec extends SparkSpec {
     assert(cus.toSeq == Seq(2L, 1L), s"custom boundary: ${cus.toSeq}")
   }
 
+  test("custom sessionization (streaming): watermark timeout flushes final session") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_sess_to").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 10:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-06-01 10:10:00")
+    val far = java.sql.Timestamp.valueOf("2024-06-01 20:00:00")
+    Seq((1L, t0), (1L, t1)).toDF("user_id", "ts").write.parquet(s"$dir/b1")
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val q = EventStream.sessionizeCustom(
+        spark.readStream.schema(schema).parquet(s"$dir/*"), 1800000000L).toDF()
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sess_timeout").start()
+    try {
+      q.processAllAvailable()
+      // user 1's session is still open: append mode has emitted nothing
+      assert(spark.table("sess_timeout").isEmpty)
+      // an event ~10h later advances the watermark (1h delay) far past
+      // user 1's session end — the event-time timeout must close and
+      // emit that session even though user 1 never sends another event
+      Seq((2L, far)).toDF("user_id", "ts").write.parquet(s"$dir/b2")
+      q.processAllAvailable()
+      val got = spark.table("sess_timeout")
+        .select($"user_id", $"s_start", $"s_end", $"n_events").collect()
+      assert(got.map(r => (r.getLong(0), r.getLong(3))).toSeq == Seq((1L, 2L)),
+        s"expected user 1's closed session, got ${got.toSeq}")
+      assert(got.head.getLong(2) == t1.getTime * 1000L + 1800000000L,
+        "session end must be last event + gap")
+    } finally q.stop()
+  }
+
   test("stream-stream interval self-join == batch join (parity)") {
     import spark.implicits._
     EventStream.runToMemory(spark, stagedEvents,
