@@ -19,6 +19,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
+      graft.queries.TpchDeep.queries ++
       graft.queries.TextWordCount.queries ++
       graft.queries.EventsLog.queries ++
       graft.queries.Dedup.queries ++
@@ -32,6 +33,7 @@ object SparkEntry {
     * the same parquet tables. Omitted keys → weaker rows-only check. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
+      graft.queries.TpchDeep.oracle ++
       graft.queries.TextWordCount.oracle ++
       graft.queries.EventsLog.oracle ++
       graft.queries.Dedup.oracle ++

@@ -1,0 +1,503 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables.t
+
+/** The remaining TPC-H query shapes (Q2, Q8, Q9, Q11-Q22), adapted to the
+  * driver testdata schema (FIXTURES.md §B): there is no `partsupp` table
+  * and lineitem lacks commit/receipt dates and ship modes, so each query
+  * keeps its TPC-H *shape* (correlated aggregates, scalar subqueries,
+  * conditional aggregation, groupwise top-1, multi-EXISTS self joins)
+  * with the part↔supplier relationship derived through lineitem.
+  *
+  * Scale discipline: every selective threshold is either per-entity
+  * (per-order line counts are scale-invariant) or RELATIVE to a corpus
+  * aggregate (a fixed absolute cutoff would select everything at sf0.001
+  * and nothing at sf100). Relative thresholds are expressed as exact
+  * integer/decimal cross-multiplications (5·x·n > 6·total instead of
+  * x > 1.2·total/n) so Spark and DuckDB compare identical exact values —
+  * no float-division drift on the selection boundary.
+  *
+  * Scalar corpus aggregates (Q11, Q15, Q20, Q22) broadcast a 1-row frame
+  * (constant size at any scale — PlanHygieneSpec's scalarBroadcastOk);
+  * everything else is equi-join + two-phase aggregation.
+  */
+object TpchDeep {
+
+  private def dec(c: org.apache.spark.sql.Column, scale: Int = 2) =
+    c.cast(DecimalType(18, scale))
+  private def dsum(c: org.apache.spark.sql.Column, scale: Int = 2) =
+    sum(dec(c, scale)).cast("double")
+  // revenue term used by most TPC-H queries
+  private def revDec(s: SparkSession) = {
+    import s.implicits._
+    dec($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Q2 shape: groupwise-minimum supplier. For each LARGE small-size
+    // part, the supplier(s) offering the minimum unit cost (extended
+    // price / quantity — the testdata's stand-in for ps_supplycost).
+    // Min-per-group joined back on itself ≙ the correlated scalar
+    // subquery Catalyst would synthesize; ties (exact double equality)
+    // are all kept, as in TPC-H.
+    "q2_min_cost_supplier" -> ((s, d) => {
+      import s.implicits._
+      val pt = t(s, d, "part")
+        .filter($"p_type" === "LARGE" && $"p_size" <= 10)
+        .select($"p_partkey")
+      val ps = t(s, d, "lineitem")
+        .join(pt, $"l_partkey" === $"p_partkey")
+        .groupBy($"p_partkey", $"l_suppkey")
+        .agg(min($"l_extendedprice" / $"l_quantity").as("cost"))
+      val mins = ps.groupBy($"p_partkey".as("mk")).agg(min($"cost").as("min_cost"))
+      ps.join(mins, $"p_partkey" === $"mk" && $"cost" === $"min_cost")
+        .join(t(s, d, "supplier"), $"l_suppkey" === $"s_suppkey")
+        .select($"p_partkey", $"s_name", round($"cost", 6).as("cost"))
+        .orderBy($"p_partkey", $"s_name")
+    }),
+
+    // Q8 shape: market share as conditional-aggregation ratio. Per order
+    // year over ASIA-region customers: the revenue fraction supplied
+    // domestically (supplier nation == customer nation). The numerator
+    // CASE has no ELSE (a year with no domestic rows yields NULL, like
+    // TPC-H's share of an absent nation).
+    "q8_domestic_share" -> ((s, d) => {
+      import s.implicits._
+      val asiaNations = t(s, d, "nation")
+        .join(t(s, d, "region").filter($"r_name" === "ASIA"),
+          $"n_regionkey" === $"r_regionkey")
+        .select($"n_nationkey")
+      val rev = revDec(s)
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), $"l_orderkey" === $"o_orderkey")
+        .join(t(s, d, "customer"), $"o_custkey" === $"c_custkey")
+        .join(broadcast(asiaNations), $"c_nationkey" === $"n_nationkey")
+        .join(t(s, d, "supplier"), $"l_suppkey" === $"s_suppkey")
+        .groupBy(year($"o_orderdate").cast("long").as("o_year"))
+        .agg(round(
+          sum(when($"s_nationkey" === $"c_nationkey", rev)).cast("double") /
+            sum(rev).cast("double"), 6).as("domestic_share"))
+        .orderBy($"o_year")
+    }),
+
+    // Q9 shape: profit by supplier nation and order year for one product
+    // family (p_name LIKE 'red %' replaces the %green% mfgr filter; no
+    // ps_supplycost term exists to subtract).
+    "q9_profit_by_nation" -> ((s, d) => {
+      import s.implicits._
+      val redParts = t(s, d, "part")
+        .filter($"p_name".like("red %")).select($"p_partkey")
+      t(s, d, "lineitem")
+        .join(redParts, $"l_partkey" === $"p_partkey")
+        .join(t(s, d, "supplier"), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(t(s, d, "nation")), $"s_nationkey" === $"n_nationkey")
+        .join(t(s, d, "orders"), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"n_name".as("nation"),
+          year($"o_orderdate").cast("long").as("o_year"))
+        .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("profit"))
+        .orderBy($"nation", $"o_year".desc)
+    }),
+
+    // Q11 shape: entities above a fraction of a corpus total — per-part
+    // lineitem value vs 0.1% of the global value. The global total is a
+    // 1-row broadcast; the threshold comparison is double-vs-double from
+    // the same exact decimals on both engines.
+    "q11_important_parts" -> ((s, d) => {
+      import s.implicits._
+      val vals = t(s, d, "lineitem")
+        .groupBy($"l_partkey")
+        .agg(sum(dec($"l_extendedprice")).as("value_dec"))
+      val tot = vals.agg(sum($"value_dec").as("tot_dec"))
+      vals.crossJoin(broadcast(tot))
+        .filter($"value_dec".cast("double") > $"tot_dec".cast("double") * 0.001)
+        .select($"l_partkey", $"value_dec".cast("double").as("value"))
+        .orderBy($"value".desc, $"l_partkey")
+    }),
+
+    // Q12 shape: shipping-delay buckets × order-priority conditional
+    // counts (ship mode doesn't exist; the bucket is derived from the
+    // order→ship delay, which also exercises timestamp arithmetic).
+    "q12_late_shipments" -> ((s, d) => {
+      import s.implicits._
+      val delay = datediff($"l_shipdate", $"o_orderdate")
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), $"l_orderkey" === $"o_orderkey")
+        .groupBy(when(delay > 365, "over_year")
+          .when(delay > 90, "over_quarter")
+          .otherwise("on_time").as("delay_bucket"))
+        .agg(
+          sum(when($"o_orderpriority" === "1-URGENT" ||
+            $"o_orderpriority" === "2-HIGH", 1L).otherwise(0L)).as("high_line_count"),
+          sum(when($"o_orderpriority" =!= "1-URGENT" &&
+            $"o_orderpriority" =!= "2-HIGH", 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy($"delay_bucket")
+    }),
+
+    // Q13 shape: distribution of per-customer order counts — LEFT join
+    // so order-less customers land in the 0 bucket, then a second
+    // aggregation over the counts.
+    "q13_custdist" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), $"c_custkey" === $"o_custkey", "left_outer")
+        .groupBy($"c_custkey")
+        .agg(count($"o_orderkey").as("c_count")) // count skips the null-extended rows
+        .groupBy($"c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy($"custdist".desc, $"c_count".desc)
+    }),
+
+    // Q14 shape: promo revenue percentage in one quarter — a ratio of
+    // two conditional decimal sums from a single scan+join.
+    "q14_promo_share" -> ((s, d) => {
+      import s.implicits._
+      val rev = revDec(s)
+      t(s, d, "lineitem")
+        .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1997-04-01").cast("timestamp"))
+        .join(t(s, d, "part"), $"l_partkey" === $"p_partkey")
+        .agg(round(
+          lit(100.0) * sum(when($"p_type" === "PROMO", rev)).cast("double") /
+            sum(rev).cast("double"), 6).as("promo_share"))
+    }),
+
+    // Q15 shape: argmax via scalar subquery — supplier(s) whose quarterly
+    // revenue equals the maximum. Equality on the exact DECIMAL revenue
+    // (not its double image), so ties survive identically in DuckDB.
+    "q15_top_supplier" -> ((s, d) => {
+      import s.implicits._
+      val rev = t(s, d, "lineitem")
+        .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1997-04-01").cast("timestamp"))
+        .groupBy($"l_suppkey")
+        .agg(sum(revDec(s)).as("total_rev_dec"))
+      val best = rev.agg(max($"total_rev_dec").as("max_rev_dec"))
+      rev.crossJoin(broadcast(best))
+        .filter($"total_rev_dec" === $"max_rev_dec")
+        .join(t(s, d, "supplier"), $"l_suppkey" === $"s_suppkey")
+        .select($"s_suppkey", $"s_name",
+          $"total_rev_dec".cast("double").as("total_rev"))
+        .orderBy($"s_suppkey")
+    }),
+
+    // Q16 shape: supplier breadth per part attribute group, via the
+    // lineitem part↔supplier link, with an exclusion predicate and a
+    // distinct count.
+    "q16_supplier_cnt" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .join(t(s, d, "part").filter($"p_brand" =!= "Brand#5" &&
+          $"p_size".isin(1, 5, 10, 15, 20, 25)), $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand", $"p_type", $"p_size")
+        .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+        .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
+    }),
+
+    // Q17 shape: correlated per-group average — revenue from Brand#1
+    // lines whose quantity is below 20% of that part's average quantity.
+    // The threshold is cross-multiplied (5·qty·cnt < Σqty, all exact
+    // decimals/integers) so the boundary row set is engine-independent.
+    "q17_small_qty_revenue" -> ((s, d) => {
+      import s.implicits._
+      val lines = t(s, d, "lineitem")
+        .join(t(s, d, "part").filter($"p_brand" === "Brand#1")
+          .select($"p_partkey"), $"l_partkey" === $"p_partkey")
+      val stats = lines.groupBy($"l_partkey".as("pk"))
+        .agg(count(lit(1)).as("cnt"), sum(dec($"l_quantity")).as("sum_qty"))
+      lines.join(stats, $"l_partkey" === $"pk")
+        .filter(dec($"l_quantity") * $"cnt" * 5 < $"sum_qty")
+        .agg(round(sum(dec($"l_extendedprice")).cast("double") / 7.0, 2)
+          .as("avg_yearly"))
+    }),
+
+    // Q18 shape: large-volume orders — per-order quantity sums are
+    // scale-invariant (lines per order is fixed by the generator), so
+    // the absolute 300 cutoff stays selective at every sf.
+    "q18_large_orders" -> ((s, d) => {
+      import s.implicits._
+      val big = t(s, d, "lineitem")
+        .groupBy($"l_orderkey")
+        .agg(sum(dec($"l_quantity")).as("sum_qty_dec"))
+        .filter($"sum_qty_dec" > 300)
+      t(s, d, "orders")
+        .join(big, $"o_orderkey" === $"l_orderkey")
+        .join(t(s, d, "customer"), $"o_custkey" === $"c_custkey")
+        .select($"c_custkey", $"c_name", $"o_orderkey",
+          date_format($"o_orderdate", "yyyy-MM-dd").as("o_date"),
+          $"o_totalprice", $"sum_qty_dec".cast("double").as("sum_qty"))
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .limit(100)
+    }),
+
+    // Q19 shape: disjunction of conjunctive brand/size/quantity ranges —
+    // the OR-of-ANDs predicate Catalyst must evaluate post-join (each
+    // disjunct mixes both sides).
+    "q19_disjunctive_revenue" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .join(t(s, d, "part"), $"l_partkey" === $"p_partkey")
+        .filter(
+          ($"p_brand" === "Brand#12" && $"p_size".between(1, 5) &&
+            $"l_quantity".between(1, 11)) ||
+          ($"p_brand" === "Brand#23" && $"p_size".between(1, 10) &&
+            $"l_quantity".between(10, 20)) ||
+          ($"p_brand" === "Brand#3" && $"p_size".between(1, 15) &&
+            $"l_quantity".between(20, 30)))
+        .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4)
+          .as("revenue"))
+    }),
+
+    // Q20 shape: suppliers with excess volume of one product family —
+    // threshold RELATIVE to the average per-supplier volume (x·n > Σ in
+    // exact decimals: per-supplier sums concentrate toward the mean as
+    // the data grows, so above-AVERAGE keeps ~half the suppliers at any
+    // scale where a 1.2·avg cutoff would select nobody).
+    "q20_heavy_suppliers" -> ((s, d) => {
+      import s.implicits._
+      val red = t(s, d, "part").filter($"p_name".like("red %"))
+        .select($"p_partkey")
+      val perSupp = t(s, d, "lineitem")
+        .join(red, $"l_partkey" === $"p_partkey")
+        .groupBy($"l_suppkey")
+        .agg(sum(dec($"l_quantity")).as("qty_dec"))
+      val totals = perSupp.agg(sum($"qty_dec").as("tot_dec"),
+        count(lit(1)).as("n_supp"))
+      perSupp.crossJoin(broadcast(totals))
+        .filter($"qty_dec" * $"n_supp" > $"tot_dec")
+        .join(t(s, d, "supplier"), $"l_suppkey" === $"s_suppkey")
+        .select($"s_suppkey", $"s_name", $"qty_dec".cast("double").as("red_qty"))
+        .orderBy($"s_suppkey")
+    }),
+
+    // Q21 shape: multi-EXISTS self-join — suppliers who were the SOLE
+    // returner (l_returnflag 'R' stands in for the missing receipt-after-
+    // commit predicate) on finished multi-supplier orders: another
+    // supplier's line EXISTS on the order, but no other supplier's
+    // RETURNED line does. Semi + anti joins, each with an equi key plus
+    // a non-equi residual.
+    "q21_sole_returned_supplier" -> ((s, d) => {
+      import s.implicits._
+      val li = t(s, d, "lineitem")
+      val returned = li.filter($"l_returnflag" === "R")
+        .join(t(s, d, "orders").filter($"o_orderstatus" === "F")
+          .select($"o_orderkey"), $"l_orderkey" === $"o_orderkey")
+        .select($"l_orderkey", $"l_suppkey")
+      val anyOther = li.select($"l_orderkey".as("k2"), $"l_suppkey".as("s2"))
+      val otherReturned = li.filter($"l_returnflag" === "R")
+        .select($"l_orderkey".as("k3"), $"l_suppkey".as("s3"))
+      returned
+        .join(anyOther, $"l_orderkey" === $"k2" && $"l_suppkey" =!= $"s2",
+          "left_semi")
+        .join(otherReturned, $"l_orderkey" === $"k3" && $"l_suppkey" =!= $"s3",
+          "left_anti")
+        .groupBy($"l_suppkey")
+        .agg(count(lit(1)).as("numwait"))
+        .join(t(s, d, "supplier"), $"l_suppkey" === $"s_suppkey")
+        .select($"s_name", $"numwait")
+        .orderBy($"numwait".desc, $"s_name")
+        .limit(20)
+    }),
+
+    // Q22 shape: above-average idle capital — customers richer than the
+    // positive-balance average (cross-multiplied: bal·n > total) with no
+    // RECENT order (anti join against the filtered order slice — TPC-H's
+    // "no orders in 7 years"; every customer has SOME order in this
+    // generator), rolled up per nation.
+    "q22_idle_customers" -> ((s, d) => {
+      import s.implicits._
+      val cust = t(s, d, "customer")
+      val posStats = cust.filter($"c_acctbal" > 0)
+        .agg(sum(dec($"c_acctbal")).as("tot_pos"), count(lit(1)).as("n_pos"))
+      val recent = t(s, d, "orders")
+        .filter($"o_orderdate" >= lit("1999-01-01").cast("timestamp"))
+      cust.crossJoin(broadcast(posStats))
+        .filter(dec($"c_acctbal") * $"n_pos" > $"tot_pos")
+        .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("numcust"),
+          dsum($"c_acctbal").as("totacctbal"))
+        .orderBy($"c_nationkey")
+    }))
+
+  val oracle: Map[String, String] = Map(
+
+    "q2_min_cost_supplier" ->
+      """WITH ps AS (
+        |  SELECT p_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS cost
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_type = 'LARGE' AND p_size <= 10
+        |  GROUP BY p_partkey, l_suppkey)
+        |SELECT p_partkey, s_name, ROUND(cost, 6) AS cost
+        |FROM ps JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE cost = (SELECT MIN(p2.cost) FROM ps p2
+        |              WHERE p2.p_partkey = ps.p_partkey)
+        |ORDER BY p_partkey, s_name""".stripMargin,
+
+    "q8_domestic_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  ROUND(CAST(SUM(CASE WHEN s_nationkey = c_nationkey
+        |      THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) END) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE),
+        |    6) AS domestic_share
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    "q9_profit_by_nation" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE 'red %'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY n_name, year(o_orderdate)
+        |ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q11_important_parts" ->
+      """WITH vals AS (
+        |  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS value_dec
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT l_partkey, CAST(value_dec AS DOUBLE) AS value
+        |FROM vals
+        |WHERE CAST(value_dec AS DOUBLE) >
+        |  (SELECT CAST(SUM(value_dec) AS DOUBLE) FROM vals) * 0.001
+        |ORDER BY value DESC, l_partkey""".stripMargin,
+
+    "q12_late_shipments" ->
+      """SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 365 THEN 'over_year'
+        |            WHEN date_diff('day', o_orderdate, l_shipdate) > 90 THEN 'over_quarter'
+        |            ELSE 'on_time' END AS delay_bucket,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY delay_bucket ORDER BY delay_bucket""".stripMargin,
+
+    "q13_custdist" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q14_promo_share" ->
+      """SELECT ROUND(100.0 *
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) END) AS DOUBLE)
+        |  / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE),
+        |  6) AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS total_rev_dec
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(total_rev_dec AS DOUBLE) AS total_rev
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev_dec = (SELECT MAX(total_rev_dec) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_size IN (1, 5, 10, 15, 20, 25)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q17_small_qty_revenue" ->
+      """WITH lines AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#1'),
+        |stats AS (
+        |  SELECT l_partkey AS pk, COUNT(*) AS cnt,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |  FROM lines GROUP BY l_partkey)
+        |SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2)
+        |  AS avg_yearly
+        |FROM lines JOIN stats ON l_partkey = pk
+        |WHERE CAST(l_quantity AS DECIMAL(18,2)) * cnt * 5 < sum_qty""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty_dec
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+        |  o_totalprice, CAST(sum_qty_dec AS DOUBLE) AS sum_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q19_disjunctive_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+        |  AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q20_heavy_suppliers" ->
+      """WITH per_supp AS (
+        |  SELECT l_suppkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_dec
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'red %'
+        |  GROUP BY l_suppkey),
+        |totals AS (SELECT SUM(qty_dec) AS tot_dec, COUNT(*) AS n_supp FROM per_supp)
+        |SELECT s_suppkey, s_name, CAST(qty_dec AS DOUBLE) AS red_qty
+        |FROM per_supp, totals
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE qty_dec * n_supp > tot_dec
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q21_sole_returned_supplier" ->
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON l1.l_orderkey = o_orderkey AND o_orderstatus = 'F'
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+
+    "q22_idle_customers" ->
+      """WITH pos AS (
+        |  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS tot_pos,
+        |    COUNT(*) AS n_pos
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_nationkey, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer, pos
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n_pos > tot_pos
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+}
