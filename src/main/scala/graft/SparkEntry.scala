@@ -27,6 +27,7 @@ object SparkEntry {
       graft.queries.TextAnalysis.queries ++
       graft.queries.Multimodal.queries ++
       graft.queries.Sketches.queries ++
+      graft.queries.PipelineOps.queries ++
       graft.queries.MapReduceQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -41,5 +42,6 @@ object SparkEntry {
       graft.queries.TextAnalysis.oracle ++
       graft.queries.Multimodal.oracle ++
       graft.queries.Sketches.oracle ++
+      graft.queries.PipelineOps.oracle ++
       graft.queries.MapReduceQueries.oracle
 }

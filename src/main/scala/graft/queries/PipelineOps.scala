@@ -1,0 +1,190 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+
+/** Corpus-preparation operators a large-scale training-data pipeline runs
+  * between raw documents and training shards (SURVEY.md §2.5 extensions):
+  * fixed-window chunking, deterministic train/val/test splitting,
+  * within-document repetition scoring, and n-gram containment
+  * (decontamination). All pure map + 2-phase-agg / equi-join shapes —
+  * nothing holds per-doc state beyond a shuffle key, so every operator
+  * scales linearly with executors.
+  */
+object PipelineOps {
+
+  /** Non-empty whitespace tokens of lower(text). */
+  private def toksCol: Column =
+    expr("filter(split(lower(text), '\\\\s+'), x -> x != '')")
+
+  private val toksSql =
+    """list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |                     x -> x <> '')""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Fixed-window chunking: 50-token chunks on a 40-token stride (10
+    // tokens of overlap), the standard pre-tokenization shard prep.
+    // Chunk starts explode from an in-row `sequence` — one narrow map
+    // stage, no shuffle until the final presentation sort; chunk
+    // identity is the md5 of the joined token window.
+    "doc_chunks" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .select($"doc_id", toksCol.as("toks"))
+        .filter(size($"toks") >= 1)
+        .select($"doc_id", $"toks",
+          explode(expr("sequence(0, size(toks) - 1, 40)")).as("start"))
+        .select($"doc_id",
+          ($"start" / 40).cast("long").as("chunk_id"),
+          expr("size(slice(toks, start + 1, 50))").cast("long")
+            .as("n_chunk_tokens"),
+          md5(expr("array_join(slice(toks, start + 1, 50), ' ')")
+            .cast("binary")).as("chunk_hash"))
+        .orderBy($"doc_id", $"chunk_id")
+    }),
+
+    // Deterministic train/val/test split: the first md5 hex digit of the
+    // doc id buckets 13/2/1 sixteenths into train/val/test. Content-
+    // independent and reproducible across runs and engines — the split
+    // of a doc never changes when other docs are added (critical for
+    // incremental corpus builds).
+    "doc_split" -> ((s, d) => {
+      import s.implicits._
+      val h = substring(md5($"doc_id".cast("string").cast("binary")), 1, 1)
+      t(s, d, "documents")
+        .select($"doc_id", $"n_chars",
+          when(h.isin("d", "e"), "val")
+            .when(h === "f", "test")
+            .otherwise("train").as("split"))
+        .groupBy($"split")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+        .orderBy($"split")
+    }),
+
+    // Within-doc repetition score (the Gopher/C4-style quality signal):
+    // fraction of bigram mass taken by the single most-repeated bigram,
+    // plus the distinct-bigram ratio. High max_ratio / low distinct
+    // ratio flags boilerplate and degenerate repetition.
+    "text_repetition" -> ((s, d) => {
+      import s.implicits._
+      val bg = t(s, d, "documents")
+        .select($"doc_id", toksCol.as("toks"))
+        .filter(size($"toks") >= 2)
+        .select($"doc_id", explode(expr(
+          "transform(sequence(1, size(toks) - 1)," +
+            " i -> element_at(toks, i) || ' ' || element_at(toks, i + 1))"))
+          .as("bigram"))
+      bg.groupBy($"doc_id", $"bigram").agg(count(lit(1)).as("cnt"))
+        .groupBy($"doc_id")
+        .agg(sum($"cnt").as("n_bigrams"), max($"cnt").as("max_cnt"),
+          count(lit(1)).as("n_distinct"))
+        .select($"doc_id", $"n_bigrams",
+          round($"max_cnt".cast("double") / $"n_bigrams", 4).as("max_ratio"),
+          round($"n_distinct".cast("double") / $"n_bigrams", 4)
+            .as("distinct_ratio"))
+        .orderBy($"doc_id")
+    }),
+
+    // Decontamination containment: for doc pairs sharing ≥1 word-5-gram,
+    // the DIRECTIONAL overlap |A∩B|/|A| (a benchmark document "leaks"
+    // into training data when most of ITS shingles appear in a training
+    // doc, regardless of the training doc's size — Jaccard misses
+    // small-into-large containment). Pairs kept when either side is
+    // ≥half contained, tested as exact integer cross-multiplication
+    // (2·shared ≥ n) so the boundary is engine-independent. Same
+    // shingle-equi-join scale shape as dedup_jaccard_pairs: no O(n²).
+    "dedup_containment" -> ((s, d) => {
+      import s.implicits._
+      val sh = t(s, d, "documents")
+        .select($"doc_id", toksCol.as("toks"))
+        .filter(size($"toks") >= 5)
+        .select($"doc_id", explode(expr(
+          "transform(sequence(1, size(toks) - 4)," +
+            " i -> array_join(slice(toks, i, 5), ' '))")).as("shingle"))
+        .select($"doc_id", xxhash64($"shingle").as("shingle"))
+        .distinct()
+      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      sh.as("a").join(sh.as("b"),
+          $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+        .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
+        .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
+        .filter($"shared" * 2 >= $"na" || $"shared" * 2 >= $"nb")
+        .select($"doc_a", $"doc_b", $"shared",
+          round($"shared".cast("double") / $"na", 4).as("cont_a"),
+          round($"shared".cast("double") / $"nb", 4).as("cont_b"))
+        .orderBy($"doc_a", $"doc_b")
+    }))
+
+  val oracle: Map[String, String] = Map(
+
+    "doc_chunks" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $toksSql AS toks
+         |  FROM documents)
+         |SELECT doc_id, CAST(start // 40 AS BIGINT) AS chunk_id,
+         |  CAST(len(list_slice(toks, start + 1, start + 50)) AS BIGINT)
+         |    AS n_chunk_tokens,
+         |  md5(array_to_string(list_slice(toks, start + 1, start + 50), ' '))
+         |    AS chunk_hash
+         |FROM d, unnest(generate_series(0, len(toks) - 1, 40)) AS t(start)
+         |WHERE len(toks) >= 1
+         |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "doc_split" ->
+      """SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+        |              IN ('d', 'e') THEN 'val'
+        |            WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f'
+        |              THEN 'test'
+        |            ELSE 'train' END AS split,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY split ORDER BY split""".stripMargin,
+
+    "text_repetition" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $toksSql AS toks
+         |  FROM documents),
+         |bg AS (
+         |  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bigram
+         |  FROM d, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+         |  WHERE len(toks) >= 2),
+         |cnts AS (
+         |  SELECT doc_id, bigram, COUNT(*) AS cnt
+         |  FROM bg GROUP BY doc_id, bigram)
+         |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+         |  ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 4) AS max_ratio,
+         |  ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(cnt), 4) AS distinct_ratio
+         |FROM cnts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dedup_containment" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $toksSql AS toks
+         |  FROM documents),
+         |sh AS (
+         |  -- raw shingle strings: only pair COUNTS reach the output, so
+         |  -- the oracle needn't reproduce Spark's xxhash64 keys
+         |  SELECT DISTINCT doc_id,
+         |    toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+         |      || ' ' || toks[i + 3] || ' ' || toks[i + 4] AS shingle
+         |  FROM d, unnest(generate_series(1, len(toks) - 4)) AS t(i)
+         |  WHERE len(toks) >= 5),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+         |    AND a.doc_id < b.doc_id
+         |  GROUP BY doc_a, doc_b)
+         |SELECT doc_a, doc_b, shared,
+         |  ROUND(CAST(shared AS DOUBLE) / sa.n, 4) AS cont_a,
+         |  ROUND(CAST(shared AS DOUBLE) / sb.n, 4) AS cont_b
+         |FROM pairs
+         |JOIN sizes sa ON doc_a = sa.doc_id
+         |JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE shared * 2 >= sa.n OR shared * 2 >= sb.n
+         |ORDER BY doc_a, doc_b""".stripMargin)
+}
