@@ -31,6 +31,35 @@ object Multimodal {
         .orderBy($"doc_id")
     }),
 
+    // Frame sampling over an opaque payload — the video-column shape:
+    // every 64-byte chunk is a "frame", output bounded to the first 5
+    // frames per record (at 100 TB the cap is what keeps a single wide
+    // record from exploding a task). Pure in-row sequence + substring:
+    // no shuffle until the presentation sort. Slicing runs on the string
+    // image of the payload (DuckDB has no BLOB substring; the fixture
+    // payloads are ASCII so byte and char offsets coincide). The
+    // binary-native streamed twin (arbitrary stride/decoder) is
+    // [[graft.multimodal.MediaPipeline.sampleFrames]].
+    "mm_frame_sample" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .select($"doc_id".as("media_id"), $"text".as("payload"))
+        // empty payloads emit no frames: without this guard Spark's
+        // trunc-div would produce sequence(0, 0) = [0] for length 0
+        // while the oracle's floor-div generate_series(0, -1) is empty
+        .filter(length($"payload") >= 1)
+        .select($"media_id", $"payload",
+          explode(expr(
+            "sequence(0, least(4, (length(payload) - 1) div 64))"))
+            .as("frame_i"))
+        .select($"media_id", $"frame_i".cast("long").as("frame_i"),
+          length(expr("substring(payload, frame_i * 64 + 1, 64)"))
+            .cast("long").as("n_bytes"),
+          md5(expr("substring(payload, frame_i * 64 + 1, 64)").cast("binary"))
+            .as("frame_hash"))
+        .orderBy($"media_id", $"frame_i")
+    }),
+
     // Partition-shaped batch stats — the shape a decode UDF sees: group
     // payload sizes per source "shard" to validate batch planning.
     "mm_shard_stats" -> ((s, d) => {
@@ -52,6 +81,17 @@ object Multimodal {
         |       WHEN n_chars % 3 = 1 THEN 'jpeg'
         |       ELSE 'webp' END AS fake_format
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_frame_sample" ->
+      """WITH m AS (SELECT doc_id AS media_id, text AS payload
+        |           FROM documents WHERE length(text) >= 1)
+        |SELECT media_id, CAST(frame_i AS BIGINT) AS frame_i,
+        |  CAST(length(substring(payload, frame_i * 64 + 1, 64)) AS BIGINT)
+        |    AS n_bytes,
+        |  md5(substring(payload, frame_i * 64 + 1, 64)) AS frame_hash
+        |FROM m, unnest(generate_series(0,
+        |  least(4, (length(payload) - 1) // 64))) AS t(frame_i)
+        |ORDER BY media_id, frame_i""".stripMargin,
 
     "mm_shard_stats" ->
       """SELECT source, COUNT(*) AS n_docs,
