@@ -70,6 +70,39 @@ object EventsLog {
         .orderBy($"hour")
     }),
 
+    // Sliding windows (§2.5): 2-hour windows every hour via the native
+    // `window` operator — each event lands in exactly two overlapping
+    // windows (the same operator Structured Streaming uses; batch here).
+    // Oracle: explode each event into its two hour-aligned window starts.
+    "log_sliding" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "events")
+        .groupBy(window($"ts", "2 hours", "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"), countDistinct($"user_id").as("n_users"))
+        .select(unix_micros($"w.start").as("w_start"), $"n", $"n_users")
+        .orderBy($"w_start")
+    }),
+
+    // Per-user outlier detection: events whose value sits more than two
+    // sample standard deviations from the user's own mean. The stats are
+    // per-user window aggregates (one shuffle on user_id, state O(users))
+    // — at 100 TB this is the shape of per-entity anomaly scoring, with
+    // the entity key as the only shuffle key.
+    "log_anomaly" -> ((s, d) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window.partitionBy($"user_id")
+      t(s, d, "events")
+        .withColumn("mu", avg($"value").over(w))
+        .withColumn("sd", stddev_samp($"value").over(w))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(abs($"value" - $"mu") > lit(2.0) * $"sd", 1L)
+            .otherwise(0L)).as("n_outliers"),
+          round(first($"mu"), 4).as("mean_value"),
+          round(first($"sd"), 4).as("sd_value"))
+        .orderBy($"user_id")
+    }),
+
     // Sessionization: a >30 min gap starts a new session (lag window).
     "log_sessions" -> ((s, d) => {
       import s.implicits._
@@ -289,6 +322,29 @@ object EventsLog {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
         | COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY hour ORDER BY hour""".stripMargin,
+
+    "log_sliding" ->
+      """WITH w AS (
+        |  SELECT unnest([date_trunc('hour', ts),
+        |                 date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS w_start,
+        |    user_id
+        |  FROM events)
+        |SELECT epoch_us(w_start) AS w_start, COUNT(*) AS n,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM w GROUP BY w_start ORDER BY w_start""".stripMargin,
+
+    "log_anomaly" ->
+      """WITH s AS (
+        |  SELECT user_id, COUNT(*) AS n_events, AVG(value) AS mu,
+        |    STDDEV_SAMP(value) AS sd
+        |  FROM events GROUP BY user_id)
+        |SELECT s.user_id, s.n_events,
+        |  CAST(SUM(CASE WHEN abs(e.value - s.mu) > 2 * s.sd
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  ROUND(s.mu, 4) AS mean_value, ROUND(s.sd, 4) AS sd_value
+        |FROM events e JOIN s USING (user_id)
+        |GROUP BY s.user_id, s.n_events, s.mu, s.sd
+        |ORDER BY s.user_id""".stripMargin,
 
     "log_sessions" ->
       """WITH g AS (

@@ -88,6 +88,110 @@ object PipelineOps {
         .orderBy($"doc_id")
     }),
 
+    // Sequence packing (concat-and-chunk): documents are concatenated in
+    // (source, doc_id) order into fixed 512-token training sequences; a
+    // doc belongs to the pack where its first token lands
+    // (pack_id = prior_tokens div 512). The cumulative sum is windowed
+    // PER SOURCE SHARD — the global-order variant would be a single
+    // sort task at 100 TB, while per-shard packing keeps one window
+    // partition per input shard and packs shards independently (exactly
+    // how a sharded tokenizer run behaves).
+    "doc_pack" -> ((s, d) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"source").orderBy($"doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      t(s, d, "documents")
+        .select($"source", $"doc_id", toksCol.as("toks"))
+        .select($"source", $"doc_id", size($"toks").cast("long").as("n_toks"))
+        .withColumn("prior", coalesce(sum($"n_toks").over(w), lit(0L)))
+        .withColumn("pack_id", ($"prior" / 512).cast("long"))
+        .groupBy($"source", $"pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("n_tokens"),
+          min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+        .orderBy($"source", $"pack_id")
+    }),
+
+    // Corpus bigram language model scored over its own documents: the
+    // per-doc mean log2 of the corpus-wide conditional bigram
+    // probability c(w1 w2)/c(w1 ·). Degenerate/boilerplate docs score
+    // high (their bigrams dominate the corpus), rare-construction docs
+    // score low — the classic cheap LM-quality signal. Counts are exact
+    // integers via two 2-phase aggs; docs join the model on 8-byte
+    // xxhash64 keys so the shuffle carries no shingle strings.
+    "text_bigram_lm" -> ((s, d) => {
+      import s.implicits._
+      val bg = t(s, d, "documents")
+        .select($"doc_id", toksCol.as("toks"))
+        .filter(size($"toks") >= 2)
+        .select($"doc_id", explode(expr(
+          "transform(sequence(1, size(toks) - 1)," +
+            " i -> struct(element_at(toks, i) AS w1," +
+            " element_at(toks, i) || ' ' || element_at(toks, i + 1) AS bg))"))
+          .as("p"))
+        .select($"doc_id", xxhash64($"p.w1").as("w1"), xxhash64($"p.bg").as("bg"))
+      val c2 = bg.groupBy($"bg").agg(count(lit(1)).as("c2"))
+      val c1 = bg.groupBy($"w1").agg(count(lit(1)).as("c1"))
+      bg.join(c2, "bg").join(c1, "w1")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(log2($"c2".cast("double") / $"c1")), 4).as("avg_logprob"))
+        .orderBy($"doc_id")
+    }),
+
+    // Boilerplate detection (C4-style): split each doc into
+    // non-overlapping 10-token units, count how many DISTINCT docs each
+    // exact unit appears in corpus-wide, and report per doc the
+    // fraction of its units shared with at least one other doc. The
+    // unit table is (md5, doc) pairs — state bounded by corpus token
+    // count, two-phase aggs throughout.
+    "text_boilerplate" -> ((s, d) => {
+      import s.implicits._
+      val units = t(s, d, "documents")
+        .select($"doc_id", toksCol.as("toks"))
+        .filter(size($"toks") >= 10)
+        .select($"doc_id", explode(expr(
+          "transform(sequence(1, size(toks) - 9, 10)," +
+            " i -> array_join(slice(toks, i, 10), ' '))")).as("unit"))
+        .select($"doc_id", md5($"unit".cast("binary")).as("h"))
+      val docsPer = units.select($"doc_id", $"h").distinct()
+        .groupBy($"h").agg(count(lit(1)).as("n_docs_with"))
+      units.join(docsPer, "h")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_units"),
+          sum(when($"n_docs_with" >= 2, 1L).otherwise(0L)).as("n_boiler"))
+        .select($"doc_id", $"n_units", $"n_boiler",
+          round($"n_boiler".cast("double") / $"n_units", 4).as("boiler_ratio"))
+        .orderBy($"doc_id")
+    }),
+
+    // PII scrubbing: count and redact emails/phone numbers. The fixture
+    // corpus is PII-free word soup, so the op would be vacuously zero on
+    // it — a deterministic doc_id-keyed suffix injects synthetic PII
+    // into 1-in-7 (email) and 1-in-11 (phone) docs so the regexes, the
+    // counts, and the redaction length delta are all genuinely
+    // exercised. Pure per-row map — no shuffle until the final sort.
+    "text_pii_scrub" -> ((s, d) => {
+      import s.implicits._
+      val withPii = t(s, d, "documents")
+        .withColumn("t2", concat($"text",
+          when($"doc_id" % 7 === 0,
+            concat(lit(" reach me at user"), $"doc_id", lit("@example.com")))
+            .otherwise(lit("")),
+          when($"doc_id" % 11 === 0, lit(" or call 555-867-5309"))
+            .otherwise(lit(""))))
+      val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phone = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+      withPii
+        .select($"doc_id",
+          regexp_count($"t2", lit(email)).cast("long").as("n_emails"),
+          regexp_count($"t2", lit(phone)).cast("long").as("n_phones"),
+          length($"t2").cast("long").as("len_raw"),
+          length(regexp_replace(regexp_replace($"t2", email, "<EMAIL>"),
+            phone, "<PHONE>")).cast("long").as("len_scrubbed"))
+        .orderBy($"doc_id")
+    }),
+
     // Decontamination containment: for doc pairs sharing ≥1 word-5-gram,
     // the DIRECTIONAL overlap |A∩B|/|A| (a benchmark document "leaks"
     // into training data when most of ITS shingles appear in a training
@@ -160,6 +264,78 @@ object PipelineOps {
          |  ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 4) AS max_ratio,
          |  ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(cnt), 4) AS distinct_ratio
          |FROM cnts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "doc_pack" ->
+      s"""WITH d AS (
+         |  SELECT source, doc_id,
+         |    CAST(len($toksSql) AS BIGINT) AS n_toks
+         |  FROM documents),
+         |c AS (
+         |  SELECT source, doc_id, n_toks,
+         |    COALESCE(SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS prior
+         |  FROM d)
+         |SELECT source, CAST(prior // 512 AS BIGINT) AS pack_id,
+         |  COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM c GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin,
+
+    "text_bigram_lm" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $toksSql AS toks
+         |  FROM documents),
+         |bg AS (
+         |  SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i + 1] AS bg
+         |  FROM d, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+         |  WHERE len(toks) >= 2),
+         |c2 AS (SELECT bg, COUNT(*) AS c2 FROM bg GROUP BY bg),
+         |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1)
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |  ROUND(AVG(log2(CAST(c2 AS DOUBLE) / c1)), 4) AS avg_logprob
+         |FROM bg JOIN c2 USING (bg) JOIN c1 USING (w1)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_boilerplate" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $toksSql AS toks
+         |  FROM documents),
+         |u AS (
+         |  SELECT doc_id, array_to_string(list_slice(toks, i, i + 9), ' ')
+         |    AS unit
+         |  FROM d, unnest(generate_series(1, len(toks) - 9, 10)) AS t(i)
+         |  WHERE len(toks) >= 10),
+         |freq AS (
+         |  SELECT unit, COUNT(DISTINCT doc_id) AS n_docs_with
+         |  FROM u GROUP BY unit)
+         |SELECT doc_id, COUNT(*) AS n_units,
+         |  CAST(SUM(CASE WHEN n_docs_with >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_boiler,
+         |  ROUND(CAST(SUM(CASE WHEN n_docs_with >= 2 THEN 1 ELSE 0 END)
+         |      AS DOUBLE) / COUNT(*), 4) AS boiler_ratio
+         |FROM u JOIN freq USING (unit)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_pii_scrub" ->
+      """WITH p AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 7 = 0
+        |         THEN ' reach me at user' || doc_id || '@example.com'
+        |         ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0
+        |         THEN ' or call 555-867-5309' ELSE '' END AS t2
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t2,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t2,
+        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |  CAST(length(t2) AS BIGINT) AS len_raw,
+        |  CAST(length(regexp_replace(regexp_replace(t2,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS BIGINT)
+        |    AS len_scrubbed
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     "dedup_containment" ->
       s"""WITH d AS (
