@@ -37,4 +37,30 @@ object Layout {
       leftKey: String, rightKey: String): DataFrame =
     spark.table(left).join(spark.table(right),
       spark.table(left)(leftKey) === spark.table(right)(rightKey))
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * ceil(totalBytes / targetBytes) files. Long-running ingest (striped
+    * writers, streaming micro-batches) accretes thousands of KB-sized
+    * files per partition; at 100 TB the resulting scan pays a task per
+    * file and the NameNode/listing pays per entry — periodic compaction
+    * to 128-512 MB files is routine table maintenance. The rewrite is one
+    * round-robin repartition (no key shuffle); file sizing derives from
+    * the ACTUAL on-disk byte size, not row counts, so it holds across
+    * schema/compression changes.
+    *
+    * @return number of files written */
+  def compact(spark: SparkSession, srcDir: String, dstDir: String,
+      targetBytes: Long): Int = {
+    require(targetBytes > 0)
+    val path = new org.apache.hadoop.fs.Path(srcDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.listStatus(path)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(srcDir)
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(dstDir)
+    nFiles
+  }
 }

@@ -28,6 +28,33 @@ object EventStream {
         $"event_type", $"n")
   }
 
+  /** Watermarked SLIDING-window counts (2h windows every 1h): each event
+    * lands in two overlapping windows — the streaming twin of the
+    * declared `log_sliding` batch query. Distinct-user counting is
+    * deliberately absent here: exact distinct is unsupported in
+    * streaming aggregation (unbounded per-window state); the scale path
+    * is `approx_count_distinct`, which is mergeable and bounded. */
+  def slidingCounts(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "2 hours", "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros($"w.start").as("w_start"), $"n")
+  }
+
+  /** Stream-static enrichment join: each event picks up its user's
+    * first-seen timestamp from a STATIC dimension frame. The static side
+    * is broadcast-hinted — on a cluster every executor joins map-side
+    * with zero shuffle of the unbounded stream, the canonical shape for
+    * dimension enrichment at scale. Works identically in batch. */
+  def enriched(events: DataFrame, firstSeen: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events.join(broadcast(firstSeen), Seq("user_id"), "left_outer")
+      .select($"event_id", $"user_id", $"event_type",
+        unix_micros($"first_seen").as("first_seen_us"))
+  }
+
   case class UserCount(user_id: Long, n: Long)
 
   /** Stateful per-user running event counts via mapGroupsWithState —

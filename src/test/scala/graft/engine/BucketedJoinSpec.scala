@@ -68,6 +68,24 @@ class BucketedJoinSpec extends SparkSpec {
     assert(joined.count() == expected)
   }
 
+  test("compaction rewrites a many-small-file dir into sized files") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_compact")
+    val (src, dst) = (s"$root/src", s"$root/dst")
+    val df = t(spark, sf(), "events")
+    df.repartition(64).write.parquet(src) // simulate micro-batch litter
+    def files(d: String) = new java.io.File(d).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).toSeq
+    assert(files(src).size == 64)
+
+    val target = files(src).map(_.length).sum / 4 // aim for ~4 files
+    val n = Layout.compact(spark, src, dst, target)
+    assert(files(dst).size == n && n <= 5, s"wrote ${files(dst).size} files")
+    // content unchanged
+    assert(spark.read.parquet(dst).orderBy($"event_id").collect().toSeq ==
+      df.orderBy($"event_id").collect().toSeq)
+  }
+
   private def withSqlConf[A](pairs: (String, String)*)(f: => A): A = {
     val conf = spark.conf
     val olds = pairs.map { case (k, _) => k -> conf.getOption(k) }

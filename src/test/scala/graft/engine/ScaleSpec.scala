@@ -32,6 +32,60 @@ class ScaleSpec extends SparkSpec {
       salted.select("k", "payload", "name")).isEmpty)
   }
 
+  test("AQE splits a skewed sort-merge join at runtime") {
+    import spark.implicits._
+    // one hot key carrying ~20 MB against a tiny tail: with the skew
+    // thresholds lowered, AQE must replan the SMJ with isSkewJoin=true
+    // (the hot partition is split across tasks instead of one straggler)
+    val pad = "x" * 100
+    val big = spark.range(200000).select(
+      when($"id" < 190000, lit(7L)).otherwise($"id" % 50).as("k"),
+      concat(lit(pad), $"id").as("payload"))
+    val right = spark.range(2000).select(($"id" % 50).as("k"),
+      concat(lit("r"), $"id").as("rv"))
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "65536",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val olds = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val joined = big.join(right, "k")
+      // run THIS dataset's own QueryExecution: a .write or .count builds
+      // a separate one, leaving this AdaptiveSparkPlanExec unexecuted
+      // (its executedPlan would still be the initial, un-replanned tree)
+      joined.queryExecution.toRdd.count()
+      val fin = joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p                        => p
+      }
+      // plan.collect does not descend into materialized query stages
+      // (QueryStageExec keeps its subtree in `plan`, not `children`)
+      def smjsIn(p: org.apache.spark.sql.execution.SparkPlan):
+          Seq[org.apache.spark.sql.execution.joins.SortMergeJoinExec] =
+        p match {
+          case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+            j +: j.children.flatMap(smjsIn)
+          case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            smjsIn(qs.plan)
+          case other => other.children.flatMap(smjsIn)
+        }
+      val smjs = smjsIn(fin)
+      assert(smjs.nonEmpty, s"expected a sort-merge join:\n$fin")
+      assert(smjs.exists(_.isSkewJoin),
+        s"AQE did not mark the join skew-handled:\n$fin")
+      // and the runtime replan changed nothing semantically
+      assert(joined.count() == 190000L * 40 + 10000L * 40)
+    } finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables co-locate the join: no shuffle on the join key") {
     import spark.implicits._
     val li = t(spark, sf(), "lineitem").select($"l_orderkey", $"l_quantity")

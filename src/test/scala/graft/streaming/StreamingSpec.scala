@@ -36,6 +36,38 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("sliding windows: streaming result == batch == declared log_sliding") {
+    import spark.implicits._
+    EventStream.runToMemory(spark, stagedEvents,
+      EventStream.slidingCounts, "sliding_stream", OutputMode.Complete())
+    val streamed = spark.table("sliding_stream")
+      .orderBy($"w_start").collect()
+    val batch = EventStream.slidingCounts(spark.read.parquet(stagedEvents))
+      .orderBy($"w_start").collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+    // and the (w_start, n) columns agree with the declared batch query
+    val declared = graft.SparkEntry.queries("log_sliding")(spark, sf())
+      .select($"w_start", $"n").orderBy($"w_start").collect()
+    assert(streamed.toSeq == declared.toSeq)
+  }
+
+  test("stream-static broadcast enrichment == batch join (parity)") {
+    import spark.implicits._
+    val dim = spark.read.parquet(stagedEvents)
+      .groupBy($"user_id").agg(min($"ts").as("first_seen"))
+    EventStream.runToMemory(spark, stagedEvents,
+      df => EventStream.enriched(df, dim), "enrich_stream")
+    val streamed = spark.table("enrich_stream").orderBy($"event_id").collect()
+    val batch = EventStream.enriched(spark.read.parquet(stagedEvents), dim)
+      .orderBy($"event_id").collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+    // every event must resolve its user (the dim was built from the
+    // same data) — a null first_seen means the join silently degraded
+    assert(streamed.forall(!_.isNullAt(3)))
+  }
+
   test("mapGroupsWithState running counts match batch groupBy") {
     import spark.implicits._
     EventStream.runToMemory(spark, stagedEvents,
