@@ -217,6 +217,32 @@ object Similarity {
         .limit(10)
     }),
 
+    // Int8 quantization (the ANN memory-scale lever: 4× smaller vectors
+    // before any index is built): symmetric per-vector scale
+    // amax/127, code = floor(x/scale + 0.5) — floor(+0.5) instead of
+    // round() because the engines disagree on round-half modes while
+    // floor is bit-exact everywhere. Reports per-vector reconstruction
+    // error (RMS and max); pure in-row map, no shuffle before the
+    // presentation sort. Squares are spelled e*e, not pow(e, 2), to
+    // keep the arithmetic bit-identical across engines.
+    "sim_quantize_int8" -> ((s, d) => {
+      import s.implicits._
+      val sc = "(amax / 127.0D)"
+      val err = s"(x - floor(x / $sc + 0.5D) * $sc)"
+      t(s, d, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        .withColumn("amax", expr("array_max(transform(v, x -> abs(x)))"))
+        .select($"vec_id", size($"v").cast("long").as("n_dims"),
+          round($"amax" / 127.0, 6).as("scale"),
+          when($"amax" === 0.0, 0.0).otherwise(round(sqrt(
+            expr(s"aggregate(transform(v, x -> $err * $err)," +
+              " 0D, (a, e) -> a + e)") / size($"v")), 6)).as("rms_err"),
+          when($"amax" === 0.0, 0.0).otherwise(round(
+            expr(s"array_max(transform(v, x -> abs($err)))"), 6))
+            .as("max_err"))
+        .orderBy($"vec_id")
+    }),
+
     // Native vector-kernel surface (dot_product / l2_norm codegen'd
     // expressions, injected by GraftExtensions): self-dot and norm per
     // embedding, oracle-checked against explicit fold SQL.
@@ -404,6 +430,25 @@ object Similarity {
         |FROM sigs JOIN probes ON sig = psig
         |WHERE vec_id <> 0
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "sim_quantize_int8" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+        |      AS amax
+        |  FROM embeddings)
+        |SELECT vec_id, CAST(len(v) AS BIGINT) AS n_dims,
+        |  ROUND(amax / 127.0, 6) AS scale,
+        |  CASE WHEN amax = 0 THEN 0.0 ELSE
+        |    ROUND(sqrt(list_sum(list_transform(v, x ->
+        |      (x - floor(x / (amax / 127.0) + 0.5) * (amax / 127.0))
+        |      * (x - floor(x / (amax / 127.0) + 0.5) * (amax / 127.0))))
+        |      / len(v)), 6) END AS rms_err,
+        |  CASE WHEN amax = 0 THEN 0.0 ELSE
+        |    ROUND(list_max(list_transform(v, x ->
+        |      abs(x - floor(x / (amax / 127.0) + 0.5) * (amax / 127.0)))),
+        |      6) END AS max_err
+        |FROM e ORDER BY vec_id""".stripMargin,
 
     "arr_vector_funcs" ->
       // mirrors the native expressions' exact null/shape contract:

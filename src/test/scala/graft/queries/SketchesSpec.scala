@@ -35,6 +35,31 @@ class SketchesSpec extends SparkSpec {
       s"mass != corpus word count $corpusWords: $perRow")
   }
 
+  test("HLL sketches merge losslessly: shard-wise union == global sketch") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // The property that makes approx-distinct work at 100 TB: build one
+    // sketch per shard (map-side, bounded bytes), union the sketches,
+    // and get EXACTLY the estimate a single global sketch would give —
+    // merge loses nothing, so the topology (tree depth, shard count)
+    // never changes the answer.
+    val ev = graft.Tables.t(spark, sf(), "events")
+    val global = ev.agg(
+        hll_sketch_estimate(hll_sketch_agg($"user_id")).as("est"))
+      .head().getLong(0)
+    val merged = ev
+      .withColumn("shard", pmod($"event_id", lit(16)))
+      .groupBy($"shard").agg(hll_sketch_agg($"user_id").as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est"))
+      .head().getLong(0)
+    assert(merged == global,
+      s"sketch merge changed the estimate: $merged != $global")
+    // and the estimate is an estimate OF the right thing
+    val exact = ev.select($"user_id").distinct().count()
+    assert(math.abs(merged - exact).toDouble / exact < 0.05,
+      s"HLL est=$merged vs exact=$exact drifts >5%")
+  }
+
   test("Bloom filter has no false negatives") {
     val probe = SparkEntry.queries("sketch_bloom_probe")(spark, sf())
       .collect().head
