@@ -192,6 +192,38 @@ object PipelineOps {
         .orderBy($"doc_id")
     }),
 
+    // The corpus-build composition: exact-dedup (keep lowest doc_id per
+    // content hash) → quality gate (token count and distinct-token
+    // ratio) → deterministic split assignment — three pipeline stages
+    // fused into one declared query, reporting corpus size per split
+    // plus what each stage dropped. Each stage is a shuffle-bounded
+    // map/agg; fusing them costs nothing extra (Catalyst pipelines the
+    // narrow stages between the two shuffles).
+    "doc_pipeline_summary" -> ((s, d) => {
+      import s.implicits._
+      val base = t(s, d, "documents")
+        .select($"doc_id", md5($"text".cast("binary")).as("h"),
+          toksCol.as("toks"))
+        .select($"doc_id", $"h", size($"toks").cast("long").as("n_toks"),
+          size(array_distinct($"toks")).cast("long").as("n_distinct"))
+      val keeper = base.groupBy($"h").agg(min($"doc_id").as("keep_id"))
+      val deduped = base.join(keeper,
+        base("h") === keeper("h") && base("doc_id") === keeper("keep_id"))
+        .select($"doc_id", $"n_toks", $"n_distinct")
+      val passed = deduped
+        .filter($"n_toks" >= 10 &&
+          $"n_distinct" * 5 >= $"n_toks") // distinct ratio ≥ 0.2, integer-exact
+      val hex = substring(md5($"doc_id".cast("string").cast("binary")), 1, 1)
+      passed
+        .select($"doc_id", $"n_toks",
+          when(hex.isin("d", "e"), "val")
+            .when(hex === "f", "test")
+            .otherwise("train").as("split"))
+        .groupBy($"split")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("n_tokens"))
+        .orderBy($"split")
+    }),
+
     // Decontamination containment: for doc pairs sharing ≥1 word-5-gram,
     // the DIRECTIONAL overlap |A∩B|/|A| (a benchmark document "leaks"
     // into training data when most of ITS shingles appear in a training
@@ -336,6 +368,29 @@ object PipelineOps {
         |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS BIGINT)
         |    AS len_scrubbed
         |FROM p ORDER BY doc_id""".stripMargin,
+
+    "doc_pipeline_summary" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, md5(text) AS h, $toksSql AS toks
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, h, CAST(len(toks) AS BIGINT) AS n_toks,
+         |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+         |  FROM base),
+         |dedup AS (
+         |  SELECT doc_id, n_toks, n_distinct
+         |  FROM m JOIN (SELECT h, MIN(doc_id) AS keep_id FROM m GROUP BY h)
+         |    k ON m.h = k.h AND m.doc_id = k.keep_id),
+         |passed AS (
+         |  SELECT doc_id, n_toks FROM dedup
+         |  WHERE n_toks >= 10 AND n_distinct * 5 >= n_toks)
+         |SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+         |              IN ('d', 'e') THEN 'val'
+         |            WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f'
+         |              THEN 'test'
+         |            ELSE 'train' END AS split,
+         |  COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+         |FROM passed GROUP BY split ORDER BY split""".stripMargin,
 
     "dedup_containment" ->
       s"""WITH d AS (

@@ -53,6 +53,22 @@ object Relational {
           |ORDER BY l_returnflag, l_linestatus""".stripMargin)
     }),
 
+    // Lateral join: per nation, its top-2 customers by balance — the
+    // correlated-subquery-in-FROM operator (Catalyst LateralJoin,
+    // decorrelated to a ranked window under the hood). The per-group
+    // LIMIT bounds state per key, so the shape holds at any fan-in.
+    "q_lateral_topk" -> ((s, d) => {
+      t(s, d, "nation").createOrReplaceTempView("nation_v")
+      t(s, d, "customer").createOrReplaceTempView("customer_v")
+      s.sql(
+        """SELECT n_name, c.c_name, c.c_acctbal
+          |FROM nation_v,
+          | LATERAL (SELECT c_name, c_acctbal FROM customer_v
+          |          WHERE c_nationkey = n_nationkey
+          |          ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+          |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin)
+    }),
+
     // TPC-H Q3-style: 3-way join, agg, top-k. No broadcast hint on
     // customer — it scales with the data (forcing it would OOM at
     // 100 TB); Catalyst/AQE picks broadcast vs shuffle join from size.
@@ -543,6 +559,14 @@ object Relational {
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-12-01'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_lateral_topk" ->
+      """SELECT n_name, c.c_name, c.c_acctbal
+        |FROM nation,
+        | LATERAL (SELECT c_name, c_acctbal FROM customer
+        |          WHERE c_nationkey = n_nationkey
+        |          ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+        |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin,
 
     "sql_q1" ->
       """SELECT l_returnflag, l_linestatus,
