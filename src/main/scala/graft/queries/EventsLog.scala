@@ -83,6 +83,28 @@ object EventsLog {
         .orderBy($"w_start")
     }),
 
+    // Gap-fill resampling: sparse per-type hourly counts densified onto
+    // the full hourly grid (missing hours become explicit zeros) — the
+    // sparse→dense step every downstream time-series model needs. The
+    // grid is (distinct types) × (1-row global bounds exploded to
+    // hours): both sides are tiny derived dims, so the cross join is a
+    // broadcast of one row, never a data-sized cartesian.
+    "log_gapfill" -> ((s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+        .select($"event_type", date_trunc("hour", $"ts").as("h"))
+      val counts = ev.groupBy($"event_type", $"h").agg(count(lit(1)).as("n"))
+      val bounds = ev.agg(min($"h").as("h0"), max($"h").as("h1"))
+      val grid = ev.select($"event_type").distinct()
+        .crossJoin(broadcast(bounds))
+        .select($"event_type",
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+      grid.join(counts, Seq("event_type", "h"), "left_outer")
+        .select($"event_type", unix_micros($"h").as("hour_us"),
+          coalesce($"n", lit(0L)).as("n"))
+        .orderBy($"event_type", $"hour_us")
+    }),
+
     // Per-user outlier detection: events whose value sits more than two
     // sample standard deviations from the user's own mean. The stats are
     // per-user window aggregates (one shuffle on user_id, state O(users))
@@ -332,6 +354,22 @@ object EventsLog {
         |SELECT epoch_us(w_start) AS w_start, COUNT(*) AS n,
         |  COUNT(DISTINCT user_id) AS n_users
         |FROM w GROUP BY w_start ORDER BY w_start""".stripMargin,
+
+    "log_gapfill" ->
+      """WITH e AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h FROM events),
+        |c AS (
+        |  SELECT event_type, h, COUNT(*) AS n FROM e GROUP BY event_type, h),
+        |b AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM e),
+        |grid AS (
+        |  SELECT t.event_type, g.h
+        |  FROM (SELECT DISTINCT event_type FROM e) t, b,
+        |       unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS g(h))
+        |SELECT grid.event_type, epoch_us(grid.h) AS hour_us,
+        |  COALESCE(c.n, 0) AS n
+        |FROM grid LEFT JOIN c ON grid.event_type = c.event_type
+        |  AND grid.h = c.h
+        |ORDER BY grid.event_type, hour_us""".stripMargin,
 
     "log_anomaly" ->
       """WITH s AS (

@@ -39,7 +39,8 @@ class PlanHygieneSpec extends SparkSpec {
     "q11_important_parts",   // 1-row global lineitem value
     "q15_top_supplier",      // 1-row max quarterly revenue
     "q20_heavy_suppliers",   // 1-row per-supplier volume total
-    "q22_idle_customers")    // 1-row positive-balance sum+count
+    "q22_idle_customers",    // 1-row positive-balance sum+count
+    "log_gapfill")           // 1-row global (min,max) hour bounds
 
   test("no declared query plans a cartesian or nested-loop join") {
     val offenders = planStrings.flatMap { case (name, plan) =>
