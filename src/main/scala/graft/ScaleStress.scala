@@ -41,10 +41,16 @@ object ScaleStress {
       println("scaled data written")
     }
     println("lineitem rows: " + spark.read.parquet(s"$dst/lineitem.parquet").count())
+    // round-3 additions: corpus-prep/quantization/gap-fill/lateral ops.
+    // dedup_containment is deliberately absent — replicating every doc
+    // 10x makes each doc share ALL its shingles with its 9 copies, so
+    // the candidate-pair OUTPUT grows ~100x (like dedup_simhash_pairs);
+    // that measures output cardinality, not operator scaling.
+    val stress = Seq("q1_pricing_summary","q5_nation_revenue","q7_nation_trade","q_topk_customers","wc_word_counts","dedup_lsh_pairs","dedup_simhash_pairs","dedup_clusters","sim_cosine_topk","sim_lsh_topk","sketch_cms","log_hourly","q_session_window","q_window_top3","doc_pack","doc_pipeline_summary","text_bigram_lm","text_boilerplate","sim_quantize_int8","log_gapfill","q_lateral_topk")
     // warm
-    for (q <- Seq("q1_pricing_summary","q5_nation_revenue","q7_nation_trade","q_topk_customers","wc_word_counts","dedup_lsh_pairs","dedup_simhash_pairs","dedup_clusters","sim_cosine_topk","sim_lsh_topk","sketch_cms","log_hourly","q_session_window","q_window_top3"))
+    for (q <- stress)
       SparkEntry.queries(q)(spark, src).count()
-    for (q <- Seq("q1_pricing_summary","q5_nation_revenue","q7_nation_trade","q_topk_customers","wc_word_counts","dedup_lsh_pairs","dedup_simhash_pairs","dedup_clusters","sim_cosine_topk","sim_lsh_topk","sketch_cms","log_hourly","q_session_window","q_window_top3")) {
+    for (q <- stress) {
       val t1 = { val t0=System.nanoTime; SparkEntry.queries(q)(spark, src).count(); (System.nanoTime-t0)/1e9 }
       val t10 = { val t0=System.nanoTime; SparkEntry.queries(q)(spark, dst).count(); (System.nanoTime-t0)/1e9 }
       println(f"SCALE $q%-22s sf0.1=${t1}%6.2f  x10=${t10}%6.2f  ratio=${t10/t1}%5.2f")

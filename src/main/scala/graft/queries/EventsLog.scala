@@ -112,16 +112,34 @@ object EventsLog {
     // the entity key as the only shuffle key.
     "log_anomaly" -> ((s, d) => {
       import s.implicits._
-      val w = org.apache.spark.sql.expressions.Window.partitionBy($"user_id")
-      t(s, d, "events")
-        .withColumn("mu", avg($"value").over(w))
-        .withColumn("sd", stddev_samp($"value").over(w))
-        .groupBy($"user_id")
+      // Mean/variance through DECIMAL power sums, not float avg/stddev:
+      // double summation is order-dependent across shuffles, and a mean
+      // landing on a round-half boundary flips the 4th decimal between
+      // engines (seen at sf0.1). Decimal sums are associative, so mu/sd
+      // are bit-identical doubles on both sides — which also makes the
+      // 2σ outlier comparisons themselves engine-exact.
+      val ev = t(s, d, "events")
+      val st = ev.groupBy($"user_id")
         .agg(count(lit(1)).as("n_events"),
+          sum($"value".cast("decimal(28,10)")).cast("double").as("s1"),
+          sum(($"value" * $"value").cast("decimal(28,10)")).cast("double")
+            .as("s2"))
+        .select($"user_id", $"n_events",
+          ($"s1" / $"n_events").as("mu"),
+          when($"n_events" === 1, 0.0)
+            .otherwise(sqrt(($"s2" - $"s1" * ($"s1" / $"n_events"))
+              / ($"n_events" - 1))).as("sd"))
+      ev.join(st, "user_id")
+        .groupBy($"user_id")
+        .agg(first($"n_events").as("n_events"),
           sum(when(abs($"value" - $"mu") > lit(2.0) * $"sd", 1L)
             .otherwise(0L)).as("n_outliers"),
-          round(first($"mu"), 4).as("mean_value"),
-          round(first($"sd"), 4).as("sd_value"))
+          // floor(x*1e4 + 0.5)/1e4, not round(): Spark rounds the
+          // double's SHORTEST decimal repr (BigDecimal.valueOf) while
+          // DuckDB rounds the binary value — a mean like 49.19125
+          // flips the 4th decimal between them; floor is bit-exact
+          (floor(first($"mu") * 10000 + 0.5) / 10000).as("mean_value"),
+          (floor(first($"sd") * 10000 + 0.5) / 10000).as("sd_value"))
         .orderBy($"user_id")
     }),
 
@@ -372,14 +390,23 @@ object EventsLog {
         |ORDER BY grid.event_type, hour_us""".stripMargin,
 
     "log_anomaly" ->
-      """WITH s AS (
-        |  SELECT user_id, COUNT(*) AS n_events, AVG(value) AS mu,
-        |    STDDEV_SAMP(value) AS sd
-        |  FROM events GROUP BY user_id)
+      """WITH p AS (
+        |  SELECT user_id, COUNT(*) AS n_events,
+        |    CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(value * value AS DECIMAL(28,10))) AS DOUBLE)
+        |      AS s2
+        |  FROM events GROUP BY user_id),
+        |s AS (
+        |  SELECT user_id, n_events, s1 / n_events AS mu,
+        |    CASE WHEN n_events = 1 THEN 0.0
+        |         ELSE sqrt((s2 - s1 * (s1 / n_events)) / (n_events - 1))
+        |    END AS sd
+        |  FROM p)
         |SELECT s.user_id, s.n_events,
         |  CAST(SUM(CASE WHEN abs(e.value - s.mu) > 2 * s.sd
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-        |  ROUND(s.mu, 4) AS mean_value, ROUND(s.sd, 4) AS sd_value
+        |  floor(s.mu * 10000 + 0.5) / 10000 AS mean_value,
+        |  floor(s.sd * 10000 + 0.5) / 10000 AS sd_value
         |FROM events e JOIN s USING (user_id)
         |GROUP BY s.user_id, s.n_events, s.mu, s.sd
         |ORDER BY s.user_id""".stripMargin,
