@@ -192,6 +192,26 @@ object PipelineOps {
         .orderBy($"doc_id")
     }),
 
+    // Shard manifests with ADDITIVE content checksums (the reference
+    // verifies every chunk transfer with md5, SURVEY §2.2 M10 — this is
+    // that integrity surface as a scale-correct query): per source
+    // shard, doc count, byte mass, and the SUM of a 32-bit md5 window
+    // per doc id. Addition is commutative, so the checksum is
+    // order-independent with O(1) aggregation state — a concatenated
+    // id-list digest would need the whole shard sorted in memory.
+    // Detects any lost/duplicated/substituted doc across a copy.
+    "doc_manifest" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .select($"source", $"n_chars", expr(
+          "cast(conv(substring(md5(cast(cast(doc_id as string) as binary))," +
+            " 1, 8), 16, 10) as bigint)").as("h32"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"),
+          sum($"h32").as("checksum"))
+        .orderBy($"source")
+    }),
+
     // The corpus-build composition: exact-dedup (keep lowest doc_id per
     // content hash) → quality gate (token count and distinct-token
     // ratio) → deterministic split assignment — three pipeline stages
@@ -368,6 +388,20 @@ object PipelineOps {
         |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS BIGINT)
         |    AS len_scrubbed
         |FROM p ORDER BY doc_id""".stripMargin,
+
+    "doc_manifest" -> {
+      // DuckDB has no conv(): expand the 8-hex-digit window into
+      // positional strpos terms (same idiom as the sketch oracles)
+      val h32 = (1 to 8).map { i =>
+        val w = math.pow(16, 8 - i).toLong
+        s"(strpos('0123456789abcdef', substring(" +
+          s"md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1) * $w"
+      }.mkString(" + ")
+      s"""SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         |  CAST(SUM($h32) AS BIGINT) AS checksum
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin
+    },
 
     "doc_pipeline_summary" ->
       s"""WITH base AS (
