@@ -228,6 +228,23 @@ object EventsLog {
         .orderBy($"l_returnflag")
     }),
 
+    // The bounded-state twin of q_percentiles: approx_percentile
+    // (Greenwald-Khanna) holds O(1/accuracy) state per group where exact
+    // percentile buffers the whole group. No oracle (GK summaries are
+    // engine-specific); rows-only check + ApproxSpec pins the rank-error
+    // bound against the exact values.
+    "q_approx_quantiles" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          expr("approx_percentile(l_quantity, 0.5, 1000)").as("ap50_qty"),
+          expr("approx_percentile(l_quantity, 0.9, 1000)").as("ap90_qty"),
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)")
+            .as("ap50_price"))
+        .orderBy($"l_returnflag")
+    }),
+
     // L8 at 100 TB scale: approx_count_distinct (HLL++) — the bounded-
     // state variant of exact distinct. No oracle (sketch estimates are
     // engine-specific); rows-only check + exact column for sanity.

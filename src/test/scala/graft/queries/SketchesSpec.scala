@@ -60,6 +60,27 @@ class SketchesSpec extends SparkSpec {
       s"HLL est=$merged vs exact=$exact drifts >5%")
   }
 
+  test("approx_percentile lands within the GK rank-error bound") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // accuracy=1000 guarantees rank error <= n/1000; assert a relaxed
+    // 1% rank window around the true median per group
+    val li = graft.Tables.t(spark, sf(), "lineitem")
+    val approx = SparkEntry.queries("q_approx_quantiles")(spark, sf())
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    approx.foreach { case (flag, ap50) =>
+      val g = li.filter($"l_returnflag" === flag)
+      val n = g.count().toDouble
+      // tie-robust: the returned value occupies the rank interval
+      // (count_lt, count_le]; that interval must reach the 1%-widened
+      // median band (l_quantity has ~2% of mass per distinct value)
+      val lt = g.filter($"l_quantity" < ap50).count().toDouble
+      val le = g.filter($"l_quantity" <= ap50).count().toDouble
+      assert(lt <= 0.51 * n && le >= 0.49 * n,
+        s"$flag: approx p50=$ap50 rank interval (${lt / n}, ${le / n}]")
+    }
+  }
+
   test("Bloom filter has no false negatives") {
     val probe = SparkEntry.queries("sketch_bloom_probe")(spark, sf())
       .collect().head
