@@ -167,6 +167,34 @@ object Dedup {
         .orderBy($"doc_a", $"doc_b")
     }),
 
+    // The complete two-stage near-dup pipeline: LSH candidate
+    // generation (band equi-join — recall stage) followed by EXACT
+    // 3-shingle Jaccard verification of only the candidates (precision
+    // stage), keeping pairs with J >= 0.5 via integer
+    // cross-multiplication (3*shared >= na+nb ⟺ J >= 1/2). This is the
+    // shape production dedup runs at 100 TB: the quadratic comparison
+    // space is pruned to LSH candidates first, so the exact-verify join
+    // touches |candidates| x shingles-per-doc rows, never |docs|².
+    "dedup_lsh_verified" -> ((s, d) => {
+      import s.implicits._
+      val cand = lshPairs(s, d)
+      val sh = shingles(s, d, 3, hashed = true)
+      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      cand
+        .join(sh.as("x"), $"doc_a" === $"x.doc_id")
+        .join(sh.as("y"),
+          $"doc_b" === $"y.doc_id" && $"x.shingle" === $"y.shingle")
+        .groupBy($"doc_a", $"doc_b")
+        .agg(count(lit(1)).as("shared"))
+        .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
+        .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
+        .filter($"shared" * 3 >= $"na" + $"nb")
+        .select($"doc_a", $"doc_b", $"shared",
+          round($"shared".cast("double") / ($"na" + $"nb" - $"shared"), 4)
+            .as("jacc"))
+        .orderBy($"doc_a", $"doc_b")
+    }),
+
     // MinHash signature table (k=6 salted-md5 min-hashes over 3-shingles).
     "dedup_minhash_sigs" -> ((s, d) => {
       import s.implicits._
@@ -297,6 +325,35 @@ object Dedup {
          |FROM pairs
          |JOIN sizes sa ON sa.doc_id = doc_a
          |JOIN sizes sb ON sb.doc_id = doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_lsh_verified" ->
+      s"""$sigSql,
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_i, h1 || h2 AS band_key FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 1, h3 || h4 FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 2, h5 || h6 FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a
+         |  JOIN bands b ON a.band_key = b.band_key AND a.band_i = b.band_i
+         |               AND a.doc_id < b.doc_id),
+         |${shinglesSql(3, "sh3")},
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh3 GROUP BY doc_id),
+         |shared AS (
+         |  SELECT doc_a, doc_b, COUNT(*) AS shared
+         |  FROM cand
+         |  JOIN sh3 x ON x.doc_id = doc_a
+         |  JOIN sh3 y ON y.doc_id = doc_b AND y.shingle = x.shingle
+         |  GROUP BY doc_a, doc_b)
+         |SELECT doc_a, doc_b, shared,
+         |  ROUND(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 4) AS jacc
+         |FROM shared
+         |JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE shared * 3 >= sa.n + sb.n
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_minhash_sigs" ->

@@ -105,6 +105,26 @@ object EventsLog {
         .orderBy($"event_type", $"hour_us")
     }),
 
+    // Rolling 7-day active users (WAU) per observed day. COUNT(DISTINCT)
+    // over a sliding RANGE window has no bounded-state form, so the
+    // scale shape is contribution explode: each distinct (user, day)
+    // fans out to the 7 window days it serves, then one distinct-count
+    // per day — state O(users x 7), shuffle keys are days. Output days
+    // are the observed days (semi-join), not the padded tail.
+    "log_wau" -> ((s, d) => {
+      import s.implicits._
+      val ud = t(s, d, "events")
+        .select($"user_id", to_date($"ts").as("day")).distinct()
+      val contrib = ud.select($"user_id",
+        explode(expr("sequence(day, date_add(day, 6))")).as("wday"))
+      val days = ud.select($"day".as("wday")).distinct()
+      contrib.join(days, "wday")
+        .groupBy($"wday")
+        .agg(countDistinct($"user_id").as("wau"))
+        .select(date_format($"wday", "yyyy-MM-dd").as("day"), $"wau")
+        .orderBy($"day")
+    }),
+
     // Per-user outlier detection: events whose value sits more than two
     // sample standard deviations from the user's own mean. The stats are
     // per-user window aggregates (one shuffle on user_id, state O(users))
@@ -405,6 +425,18 @@ object EventsLog {
         |FROM grid LEFT JOIN c ON grid.event_type = c.event_type
         |  AND grid.h = c.h
         |ORDER BY grid.event_type, hour_us""".stripMargin,
+
+    "log_wau" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |days AS (SELECT DISTINCT day FROM ud),
+        |contrib AS (
+        |  SELECT user_id, day + CAST(i AS INTEGER) AS wday
+        |  FROM ud, unnest(generate_series(0, 6)) AS t(i))
+        |SELECT strftime(c.wday, '%Y-%m-%d') AS day,
+        |  COUNT(DISTINCT user_id) AS wau
+        |FROM contrib c JOIN days d ON c.wday = d.day
+        |GROUP BY c.wday ORDER BY day""".stripMargin,
 
     "log_anomaly" ->
       """WITH p AS (
