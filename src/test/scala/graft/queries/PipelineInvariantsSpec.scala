@@ -1,0 +1,111 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkSpec}
+import graft.Tables.t
+
+/** Invariants of the corpus-prep operators that the DuckDB hash-compare
+  * cannot express: token conservation across packing, checksum
+  * sensitivity to content substitution, and exactness of the two-stage
+  * LSH-verified dedup against brute-force ground truth. */
+class PipelineInvariantsSpec extends SparkSpec {
+
+  test("doc_pack conserves tokens and packs docs in disjoint id ranges") {
+    import spark.implicits._
+    val packs = SparkEntry.queries("doc_pack")(spark, sf())
+    val perSource = packs.groupBy($"source")
+      .agg(sum($"n_tokens").as("packed"), count(lit(1)).as("n_packs"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val truth = t(spark, sf(), "documents")
+      .select($"source", expr(
+        "size(filter(split(lower(text), '\\\\s+'), x -> x != ''))")
+        .cast("long").as("n"))
+      .groupBy($"source").agg(sum($"n").as("total"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perSource == truth, "packing lost or duplicated tokens")
+
+    // packs partition the doc-id axis per source: ordered by pack_id,
+    // the [first_doc, last_doc] ranges must be strictly increasing and
+    // non-overlapping (a doc in two packs would double-count tokens)
+    packs.collect().groupBy(_.getString(0)).foreach { case (src, rows) =>
+      val ranges = rows.sortBy(_.getLong(1))
+        .map(r => (r.getLong(4), r.getLong(5))) // (first_doc, last_doc)
+      ranges.foreach { case (a, b) => assert(a <= b) }
+      ranges.sliding(2).foreach {
+        case Array((_, prevLast), (nextFirst, _)) =>
+          assert(nextFirst > prevLast,
+            s"$src: pack ranges overlap ($prevLast >= $nextFirst)")
+        case _ =>
+      }
+    }
+  }
+
+  test("doc_manifest checksum flags a substituted doc id at equal counts") {
+    import spark.implicits._
+    val base = SparkEntry.queries("doc_manifest")(spark, sf())
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+
+    // substitute one doc's id (same text/source/chars): n_docs and byte
+    // mass are unchanged, so ONLY the checksum can catch it
+    val docs = t(spark, sf(), "documents")
+    val victim = docs.select(min($"doc_id")).head().getLong(0)
+    val swapped = docs.withColumn("doc_id",
+      when($"doc_id" === victim, lit(victim + 1000000L)).otherwise($"doc_id"))
+    val dir = Files.createTempDirectory("graft_manifest").toString
+    swapped.write.parquet(s"$dir/documents.parquet")
+    val mod = SparkEntry.queries("doc_manifest")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+
+    val changed = base.keySet.filter(k => base(k)._2 != mod(k)._2)
+    assert(base.keySet.forall(k => base(k)._1 == mod(k)._1),
+      "doc counts must be identical — the substitution preserves them")
+    assert(changed.size == 1,
+      s"exactly the victim's shard checksum must move, got $changed")
+  }
+
+  test("LSH-verified pairs are exact: subset of truth, all exact dups found") {
+    import spark.implicits._
+    val verified = SparkEntry.queries("dedup_lsh_verified")(spark, sf())
+      .select($"doc_a", $"doc_b", $"jacc").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+    // brute-force ground truth: ALL pairs sharing any 3-shingle, with
+    // exact Jaccard (no LSH pruning) — feasible at sf0.001 only
+    val sh = t(spark, sf(), "documents")
+      .select($"doc_id", expr(
+        "filter(split(lower(text), '\\\\s+'), x -> x != '')").as("toks"))
+      .filter(size($"toks") >= 3)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(toks) - 2)," +
+          " i -> array_join(slice(toks, i, 3), ' '))")).as("s"))
+      .distinct()
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val truth = sh.as("a").join(sh.as("b"),
+        $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
+      .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
+      .filter($"shared" * 3 >= $"na" + $"nb")
+      .select($"doc_a", $"doc_b",
+        round($"shared".cast("double") / ($"na" + $"nb" - $"shared"), 4)
+          .as("jacc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+    assert(verified.nonEmpty, "fixture corpus contains near-dups")
+    // precision is exact by construction: every verified pair is in the
+    // truth set with the identical Jaccard
+    verified.foreach { case (pair, j) =>
+      assert(truth.get(pair).contains(j), s"false positive $pair")
+    }
+    // identical docs have identical MinHash signatures, so every J=1.0
+    // truth pair MUST survive banding — deterministic full recall there
+    val exactDups = truth.filter(_._2 == 1.0).keySet
+    assert(exactDups.subsetOf(verified.keySet),
+      s"missed exact duplicates: ${exactDups -- verified.keySet}")
+  }
+}
