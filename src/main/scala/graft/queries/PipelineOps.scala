@@ -212,6 +212,40 @@ object PipelineOps {
         .orderBy($"source")
     }),
 
+    // Weighted multi-source mixture sampling — the training-mix step
+    // that turns N raw sources into one corpus with per-source epoch
+    // counts (w > 1 oversamples by whole-doc repetition, w < 1
+    // downsamples): n_copies = floor(w) + 1{hash_frac < frac(w)}. The
+    // weight here is a deterministic function of the source name (md5
+    // digit % 5 → 0.5..2.5) so the oracle can reproduce it; a real run
+    // would broadcast-join a tiny weights table, same plan. Selection
+    // is a stateless per-row hash — no shuffle before the per-source
+    // rollup, and any executor can re-derive a lost partition (the
+    // repetition is exploded downstream, never materialized here).
+    // hash_frac is a 28-bit md5 window / 2^28: exact in a double, and
+    // compared strictly against frac(w) ∈ {0, .5}, so both engines
+    // make bit-identical keep/drop decisions.
+    "doc_mixture" -> ((s, d) => {
+      import s.implicits._
+      val wt = (lit(1) + expr(
+        "cast(conv(substring(md5(cast(source as binary)), 1, 1), 16, 10)" +
+          " as int) % 5")) / 2.0
+      val hfrac = expr(
+        "cast(conv(substring(md5(cast(cast(doc_id as string) as binary))," +
+          " 9, 7), 16, 10) as double) / 268435456.0")
+      t(s, d, "documents")
+        .select($"doc_id", $"source", $"n_chars", wt.as("w"), hfrac.as("hf"))
+        .withColumn("n_copies",
+          (floor($"w") + when($"hf" < $"w" - floor($"w"), 1).otherwise(0))
+            .cast("long"))
+        .groupBy($"source")
+        .agg(round(max($"w"), 1).as("weight"),
+          count(lit(1)).as("n_docs"),
+          sum($"n_copies").as("n_examples"),
+          sum($"n_copies" * $"n_chars").as("n_chars_out"))
+        .orderBy($"source")
+    }),
+
     // The corpus-build composition: exact-dedup (keep lowest doc_id per
     // content hash) → quality gate (token count and distinct-token
     // ratio) → deterministic split assignment — three pipeline stages
@@ -401,6 +435,31 @@ object PipelineOps {
          |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
          |  CAST(SUM($h32) AS BIGINT) AS checksum
          |FROM documents GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    "doc_mixture" -> {
+      // same positional-strpos expansion of the 7-hex-digit window
+      // (md5 chars 9-15) as the doc_manifest checksum idiom
+      val h28 = (9 to 15).map { i =>
+        val w = math.pow(16, 15 - i).toLong
+        s"(strpos('0123456789abcdef', substring(" +
+          s"md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1) * $w"
+      }.mkString(" + ")
+      s"""WITH b AS (
+         |  SELECT doc_id, source, n_chars,
+         |    (1 + (strpos('0123456789abcdef', substring(md5(source), 1, 1))
+         |          - 1) % 5) / 2.0 AS w,
+         |    ($h28) / 268435456.0 AS hf
+         |  FROM documents),
+         |c AS (
+         |  SELECT source, n_chars, w,
+         |    CAST(FLOOR(w) + CASE WHEN hf < w - FLOOR(w) THEN 1 ELSE 0 END
+         |         AS BIGINT) AS n_copies
+         |  FROM b)
+         |SELECT source, ROUND(MAX(w), 1) AS weight, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_copies) AS BIGINT) AS n_examples,
+         |  CAST(SUM(n_copies * n_chars) AS BIGINT) AS n_chars_out
+         |FROM c GROUP BY source ORDER BY source""".stripMargin
     },
 
     "doc_pipeline_summary" ->

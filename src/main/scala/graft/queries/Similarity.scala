@@ -243,6 +243,85 @@ object Similarity {
         .orderBy($"vec_id")
     }),
 
+    // K-means (Lloyd) over embeddings: k = 8 centroids seeded from
+    // vec_id < 8, two full iterations (assign → mean-update → assign).
+    // The 100 TB shape of each iteration: assignment is a pure map over
+    // a BROADCAST codebook (k×dim doubles — bytes, not data), and the
+    // update shuffles only k×dim partial (sum, count) cells with
+    // map-side combine; the N-row side never shuffles and no iteration
+    // materializes more than the codebook. Centroid components are
+    // rounded to 6 dp after each update so the argmin inputs are
+    // bit-identical across engines (group-sum fold order is not).
+    "sim_kmeans" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val emb = t(s, d, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val d2 = expr("aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y))," +
+        " 0D, (acc, e) -> acc + e)")
+      val w = Window.partitionBy($"vec_id").orderBy(asc("d2"), asc("cent_id"))
+      def assign(cents: DataFrame): DataFrame =
+        emb.crossJoin(broadcast(cents))
+          .select($"vec_id", $"cent_id", d2.as("d2"))
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+      val c0 = emb.filter($"vec_id" < 8)
+        .select($"vec_id".as("cent_id"), $"v".as("c"))
+      val a1 = assign(c0).select($"vec_id", $"cent_id".as("cl"))
+      val c1 = a1.join(emb, "vec_id")
+        .select($"cl", posexplode($"v"))
+        .toDF("cl", "i", "a")
+        .groupBy($"cl", $"i").agg(round(avg($"a"), 6).as("m"))
+        .groupBy($"cl")
+        .agg(expr("transform(array_sort(collect_list(struct(i, m)))," +
+          " x -> x.m)").as("c"))
+        .select($"cl".as("cent_id"), $"c")
+      assign(c1)
+        .select($"vec_id", $"cent_id".as("cluster"), round($"d2", 4).as("dist2"))
+        .orderBy($"vec_id")
+    }),
+
+    // Product quantization (the other half of the IVF-PQ memory budget:
+    // 64 dims → 4 subspaces × 16 dims, one byte-sized code each —
+    // 16× smaller than int8, recon error reported per vector). The
+    // codebook (vec_id < 8 subvectors, 8×4 entries) is a broadcast;
+    // encoding is a map + per-(vector, subspace) argmin — the big side
+    // shuffles nothing but its own k×4 candidate rows. recon_d2 sums
+    // the four subspace minima in fixed column order (e0+e1+e2+e3),
+    // never through an order-nondeterministic double SUM.
+    "sim_pq_codes" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val emb = t(s, d, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val sub = emb.select($"vec_id", explode(expr(
+          "transform(sequence(0, 3)," +
+            " m -> struct(m as m, slice(v, 1 + 16 * m, 16) as sv))")).as("x"))
+        .select($"vec_id", $"x.m".as("m"), $"x.sv".as("sv"))
+      val cb = sub.filter($"vec_id" < 8)
+        .select($"vec_id".as("cent_id"), $"m", $"sv".as("cs"))
+      val w = Window.partitionBy($"vec_id", $"m").orderBy(asc("d2"), asc("cent_id"))
+      val a = sub.join(broadcast(cb), "m")
+        .select($"vec_id", $"m", $"cent_id",
+          expr("aggregate(zip_with(sv, cs, (x, y) -> (x - y) * (x - y))," +
+            " 0D, (acc, e) -> acc + e)").as("d2"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+      a.groupBy($"vec_id")
+        .agg(
+          max(when($"m" === 0, $"cent_id")).as("code0"),
+          max(when($"m" === 1, $"cent_id")).as("code1"),
+          max(when($"m" === 2, $"cent_id")).as("code2"),
+          max(when($"m" === 3, $"cent_id")).as("code3"),
+          max(when($"m" === 0, $"d2")).as("e0"),
+          max(when($"m" === 1, $"d2")).as("e1"),
+          max(when($"m" === 2, $"d2")).as("e2"),
+          max(when($"m" === 3, $"d2")).as("e3"))
+        .select($"vec_id", $"code0", $"code1", $"code2", $"code3",
+          round($"e0" + $"e1" + $"e2" + $"e3", 4).as("recon_d2"))
+        .orderBy($"vec_id")
+    }),
+
     // Native vector-kernel surface (dot_product / l2_norm codegen'd
     // expressions, injected by GraftExtensions): self-dot and norm per
     // embedding, oracle-checked against explicit fold SQL.
@@ -449,6 +528,67 @@ object Similarity {
         |      abs(x - floor(x / (amax / 127.0) + 0.5) * (amax / 127.0)))),
         |      6) END AS max_err
         |FROM e ORDER BY vec_id""".stripMargin,
+
+    "sim_kmeans" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c0 AS (SELECT vec_id AS cent_id, v AS c FROM e WHERE vec_id < 8),
+        |d1 AS (
+        |  SELECT e.vec_id, c0.cent_id,
+        |    list_sum(list_transform(list_zip(e.v, c0.c),
+        |      x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d2
+        |  FROM e, c0),
+        |a1 AS (
+        |  SELECT vec_id, cent_id AS cl FROM (
+        |    SELECT vec_id, cent_id,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+        |    FROM d1) WHERE rn = 1),
+        |x1 AS (
+        |  SELECT cl, i, v[i] AS a
+        |  FROM (SELECT a1.cl, e.v FROM a1 JOIN e ON a1.vec_id = e.vec_id),
+        |       unnest(generate_series(1, len(v))) AS u(i)),
+        |m1 AS (SELECT cl, i, ROUND(AVG(a), 6) AS m FROM x1 GROUP BY cl, i),
+        |c1 AS (SELECT cl AS cent_id, list(m ORDER BY i) AS c FROM m1 GROUP BY cl),
+        |d2_ AS (
+        |  SELECT e.vec_id, c1.cent_id,
+        |    list_sum(list_transform(list_zip(e.v, c1.c),
+        |      x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d2
+        |  FROM e, c1)
+        |SELECT vec_id, cent_id AS cluster, ROUND(d2, 4) AS dist2 FROM (
+        |  SELECT vec_id, cent_id, d2,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+        |  FROM d2_) WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "sim_pq_codes" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sub AS (
+        |  SELECT vec_id, m, v[1 + 16 * m : 16 + 16 * m] AS sv
+        |  FROM e, generate_series(0, 3) t(m)),
+        |cb AS (SELECT vec_id AS cent_id, m, sv AS cs FROM sub WHERE vec_id < 8),
+        |dd AS (
+        |  SELECT s.vec_id, s.m, c.cent_id,
+        |    list_sum(list_transform(list_zip(s.sv, c.cs),
+        |      x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d2
+        |  FROM sub s JOIN cb c ON s.m = c.m),
+        |a AS (
+        |  SELECT vec_id, m, cent_id, d2 FROM (
+        |    SELECT vec_id, m, cent_id, d2,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id, m
+        |                         ORDER BY d2, cent_id) AS rn
+        |    FROM dd) WHERE rn = 1),
+        |p AS (
+        |  SELECT vec_id,
+        |    MAX(CASE WHEN m = 0 THEN cent_id END) AS code0,
+        |    MAX(CASE WHEN m = 1 THEN cent_id END) AS code1,
+        |    MAX(CASE WHEN m = 2 THEN cent_id END) AS code2,
+        |    MAX(CASE WHEN m = 3 THEN cent_id END) AS code3,
+        |    MAX(CASE WHEN m = 0 THEN d2 END) AS e0,
+        |    MAX(CASE WHEN m = 1 THEN d2 END) AS e1,
+        |    MAX(CASE WHEN m = 2 THEN d2 END) AS e2,
+        |    MAX(CASE WHEN m = 3 THEN d2 END) AS e3
+        |  FROM a GROUP BY vec_id)
+        |SELECT vec_id, code0, code1, code2, code3,
+        |  ROUND(e0 + e1 + e2 + e3, 4) AS recon_d2
+        |FROM p ORDER BY vec_id""".stripMargin,
 
     "arr_vector_funcs" ->
       // mirrors the native expressions' exact null/shape contract:

@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkSpec}
+import graft.Tables.t
+
+/** Algorithmic invariants of the ANN/mixture operators that the DuckDB
+  * hash-compare cannot express: Lloyd's descent property for
+  * sim_kmeans, the subspace-decomposition bound for sim_pq_codes, and
+  * the per-source admission bounds for doc_mixture. */
+class AnnInvariantsSpec extends SparkSpec {
+
+  private def l2Assign() = {
+    import spark.implicits._
+    val emb = t(spark, sf(), "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val cents = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("cent_id"), $"v".as("c"))
+    emb.crossJoin(broadcast(cents))
+      .select($"vec_id", $"cent_id",
+        expr("aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y))," +
+          " 0D, (acc, e) -> acc + e)").as("d2"))
+      .groupBy($"vec_id").agg(min($"d2").as("d2"))
+  }
+
+  test("sim_kmeans: one Lloyd round does not increase total SSE") {
+    import spark.implicits._
+    val out = SparkEntry.queries("sim_kmeans")(spark, sf())
+    assert(out.count() == 500)
+    assert(out.filter($"cluster" < 0 || $"cluster" > 7).count() == 0)
+    val sse2 = out.agg(sum($"dist2")).head().getDouble(0)
+    val sse1 = l2Assign().agg(sum($"d2")).head().getDouble(0)
+    // centroid components are rounded to 6 dp between the iterations,
+    // which can cost at most ~dim * 1e-6-order SSE per vector
+    assert(sse2 <= sse1 + 1e-3,
+      s"Lloyd iteration increased SSE: $sse1 -> $sse2")
+  }
+
+  test("sim_pq_codes: codebook vectors reconstruct exactly; PQ beats " +
+    "whole-vector assignment per vector") {
+    import spark.implicits._
+    val pq = SparkEntry.queries("sim_pq_codes")(spark, sf())
+    assert(pq.count() == 500)
+    Seq("code0", "code1", "code2", "code3").foreach { c =>
+      assert(pq.filter(col(c) < 0 || col(c) > 7).count() == 0, s"$c range")
+    }
+    assert(pq.filter($"vec_id" < 8 && $"recon_d2" =!= 0.0).count() == 0,
+      "a codebook vector must PQ-encode to itself with zero error")
+    // independent per-subspace argmins can only do at least as well as
+    // forcing all four subspaces to one centroid (the VQ assignment)
+    val viol = pq.join(l2Assign(), "vec_id")
+      .filter($"recon_d2" > $"d2" + 1e-6)
+    assert(viol.count() == 0,
+      s"PQ worse than VQ for: ${viol.select($"vec_id").collect().mkString(",")}")
+  }
+
+  test("doc_mixture: per-source admission within [floor(w), ceil(w)] * n") {
+    import spark.implicits._
+    val m = SparkEntry.queries("doc_mixture")(spark, sf()).collect()
+    assert(m.nonEmpty)
+    m.foreach { r =>
+      val (w, n, ex) = (r.getDouble(1), r.getLong(2), r.getLong(3))
+      assert(ex >= math.floor(w).toLong * n && ex <= math.ceil(w).toLong * n,
+        s"${r.getString(0)}: $ex examples outside [${math.floor(w) * n}, " +
+          s"${math.ceil(w) * n}] for w=$w n=$n")
+      if (w == math.floor(w)) // integer weight: no stochastic admission
+        assert(ex == w.toLong * n, s"${r.getString(0)}: exact repeat expected")
+    }
+    // the mix must actually mix: at least one over- and one down-sampled
+    // source exists under the md5-derived weights
+    assert(m.exists(_.getDouble(1) > 1.0) && m.exists(_.getDouble(1) < 1.0))
+  }
+}
