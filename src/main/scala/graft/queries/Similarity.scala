@@ -72,22 +72,31 @@ object Similarity {
         .limit(20)
     }),
 
-    // IVF assignment: nearest of 8 "centroids" (vec_id < 8) per vector —
-    // broadcast centroids; row_number picks the argmax deterministically.
+    // IVF assignment: nearest of 8 "centroids" (vec_id < 8) per vector.
+    // The codebook is one broadcast row; the argmax is a within-row
+    // `array_min` fold over (-rounded_cosine, cent_id) structs —
+    // lexicographic struct order IS the sim-desc-then-id tie-break
+    // (Spark's round never returns -0.0, so zero ties are stable) — a
+    // pure projection: no candidate explode, no window Exchange. At
+    // 100 TB assignment costs one map pass; only the presentation sort
+    // shuffles.
     "sim_ivf_assign" -> ((s, d) => {
       import s.implicits._
       withCosine(s)
-      import org.apache.spark.sql.expressions.Window
       val emb = t(s, d, "embeddings")
         .select($"vec_id", $"embedding".cast("array<double>").as("v"))
       val cents = emb.filter($"vec_id" < 8)
         .select($"vec_id".as("cent_id"), $"v".as("c"))
-      val w = Window.partitionBy($"vec_id").orderBy(desc("sim"), asc("cent_id"))
+        .agg(expr("array_sort(collect_list(named_struct(" +
+          "'cent_id', cent_id, 'c', c)))").as("cents"))
+      val am = expr(
+        """array_min(transform(cents, ct -> named_struct(
+          |  'nsim', -round(cosine_similarity(v, ct.c), 4),
+          |  'cent_id', ct.cent_id)))""".stripMargin)
       emb.crossJoin(broadcast(cents))
-        .select($"vec_id", $"cent_id", round(cosine("v", "c"), 4).as("sim"))
-        .withColumn("rn", row_number().over(w))
-        .filter($"rn" === 1)
-        .select($"vec_id", $"cent_id", $"sim")
+        .select($"vec_id", am.as("am"))
+        .select($"vec_id", $"am.cent_id".as("cent_id"),
+          (-$"am.nsim").as("sim"))
         .orderBy($"vec_id")
     }),
 
@@ -132,20 +141,25 @@ object Similarity {
     "sim_ivf_topk" -> ((s, d) => {
       import s.implicits._
       withCosine(s)
-      import org.apache.spark.sql.expressions.Window
       val emb = t(s, d, "embeddings")
         .select($"vec_id", $"embedding".cast("array<double>").as("v"))
       val cents = emb.filter($"vec_id" < 8)
         .select($"vec_id".as("cent_id"), $"v".as("c"))
-      val w = Window.partitionBy($"vec_id").orderBy(desc("csim"), asc("cent_id"))
+        .agg(expr("array_sort(collect_list(named_struct(" +
+          "'cent_id', cent_id, 'c', c)))").as("cents"))
+      val am = expr(
+        """array_min(transform(cents, ct -> named_struct(
+          |  'nsim', -round(cosine_similarity(v, ct.c), 4),
+          |  'cent_id', ct.cent_id)))""".stripMargin)
+      // cell assignment as a shuffle-free projection (same fold as
+      // sim_ivf_assign); candidates then reach the ranking via a
+      // broadcast hash join on the 2 probed cell ids
       val assign = emb.crossJoin(broadcast(cents))
-        .select($"vec_id", $"v", $"cent_id",
-          round(cosine("v", "c"), 4).as("csim"))
-        .withColumn("rn", row_number().over(w))
-        .filter($"rn" === 1)
-        .select($"vec_id", $"v", $"cent_id")
+        .select($"vec_id", $"v", am.getField("cent_id").as("cent_id"))
       val probed = emb.filter($"vec_id" === 0).crossJoin(broadcast(cents))
-        .select($"cent_id", round(cosine("v", "c"), 4).as("csim"))
+        .select(explode($"cents").as("ct"), $"v")
+        .select($"ct.cent_id".as("cent_id"),
+          round(cosine("v", "ct.c"), 4).as("csim"))
         .orderBy(desc("csim"), asc("cent_id")).limit(2)
         .select($"cent_id")
       val q = emb.filter($"vec_id" === 0).select($"v".as("q"))
@@ -245,80 +259,80 @@ object Similarity {
 
     // K-means (Lloyd) over embeddings: k = 8 centroids seeded from
     // vec_id < 8, two full iterations (assign → mean-update → assign).
-    // The 100 TB shape of each iteration: assignment is a pure map over
-    // a BROADCAST codebook (k×dim doubles — bytes, not data), and the
-    // update shuffles only k×dim partial (sum, count) cells with
-    // map-side combine; the N-row side never shuffles and no iteration
-    // materializes more than the codebook. Centroid components are
-    // rounded to 6 dp after each update so the argmin inputs are
-    // bit-identical across engines (group-sum fold order is not).
+    // The 100 TB shape of each iteration: the codebook is ONE broadcast
+    // row (an array of k (cent_id, centroid) structs — bytes, not
+    // data), assignment is a within-row argmin FOLD over that array
+    // (`array_min` of (d2, cent_id) structs — lexicographic struct
+    // order IS the d2-then-id tie-break), so it's a pure projection:
+    // no per-candidate explode, no window Exchange, no self-join. The
+    // only shuffles are the k×dim mean-update cells (map-side combined)
+    // and the presentation sort. Centroid components are rounded to
+    // 6 dp after each update so the argmin inputs are bit-identical
+    // across engines (group-sum fold order is not).
     "sim_kmeans" -> ((s, d) => {
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
       val emb = t(s, d, "embeddings")
         .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-      val d2 = expr("aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y))," +
-        " 0D, (acc, e) -> acc + e)")
-      val w = Window.partitionBy($"vec_id").orderBy(asc("d2"), asc("cent_id"))
-      def assign(cents: DataFrame): DataFrame =
-        emb.crossJoin(broadcast(cents))
-          .select($"vec_id", $"cent_id", d2.as("d2"))
-          .withColumn("rn", row_number().over(w))
-          .filter($"rn" === 1)
-      val c0 = emb.filter($"vec_id" < 8)
-        .select($"vec_id".as("cent_id"), $"v".as("c"))
-      val a1 = assign(c0).select($"vec_id", $"cent_id".as("cl"))
-      val c1 = a1.join(emb, "vec_id")
-        .select($"cl", posexplode($"v"))
+      val am = expr(
+        """array_min(transform(cents, ct -> named_struct(
+          |  'd2', aggregate(zip_with(v, ct.c, (x, y) -> (x - y) * (x - y)),
+          |                  0D, (acc, e) -> acc + e),
+          |  'cent_id', ct.cent_id)))""".stripMargin)
+      def centsRow(cents: DataFrame): DataFrame =
+        cents.agg(expr("array_sort(collect_list(named_struct(" +
+          "'cent_id', cent_id, 'c', c)))").as("cents"))
+      def assign(cr: DataFrame): DataFrame =
+        emb.crossJoin(broadcast(cr))
+          .select($"vec_id", $"v", am.as("am"))
+      val c0 = centsRow(emb.filter($"vec_id" < 8)
+        .select($"vec_id".as("cent_id"), $"v".as("c")))
+      val c1 = centsRow(assign(c0)
+        .select($"am.cent_id".as("cl"), posexplode($"v"))
         .toDF("cl", "i", "a")
         .groupBy($"cl", $"i").agg(round(avg($"a"), 6).as("m"))
         .groupBy($"cl")
         .agg(expr("transform(array_sort(collect_list(struct(i, m)))," +
           " x -> x.m)").as("c"))
-        .select($"cl".as("cent_id"), $"c")
+        .select($"cl".as("cent_id"), $"c"))
       assign(c1)
-        .select($"vec_id", $"cent_id".as("cluster"), round($"d2", 4).as("dist2"))
+        .select($"vec_id", $"am.cent_id".as("cluster"),
+          round($"am.d2", 4).as("dist2"))
         .orderBy($"vec_id")
     }),
 
     // Product quantization (the other half of the IVF-PQ memory budget:
     // 64 dims → 4 subspaces × 16 dims, one byte-sized code each —
     // 16× smaller than int8, recon error reported per vector). The
-    // codebook (vec_id < 8 subvectors, 8×4 entries) is a broadcast;
-    // encoding is a map + per-(vector, subspace) argmin — the big side
-    // shuffles nothing but its own k×4 candidate rows. recon_d2 sums
-    // the four subspace minima in fixed column order (e0+e1+e2+e3),
-    // never through an order-nondeterministic double SUM.
+    // whole codebook (vec_id < 8, sliced per subspace on the fly) is
+    // one broadcast row; all four subspace argmins happen inside a
+    // single projection via the same array_min-of-structs fold — no
+    // subspace explode, no window, no regroup shuffle. recon_d2 sums
+    // the four subspace minima in fixed index order (am[1].d2 + ... +
+    // am[4].d2), never through an order-nondeterministic double SUM.
     "sim_pq_codes" -> ((s, d) => {
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
       val emb = t(s, d, "embeddings")
         .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-      val sub = emb.select($"vec_id", explode(expr(
-          "transform(sequence(0, 3)," +
-            " m -> struct(m as m, slice(v, 1 + 16 * m, 16) as sv))")).as("x"))
-        .select($"vec_id", $"x.m".as("m"), $"x.sv".as("sv"))
-      val cb = sub.filter($"vec_id" < 8)
-        .select($"vec_id".as("cent_id"), $"m", $"sv".as("cs"))
-      val w = Window.partitionBy($"vec_id", $"m").orderBy(asc("d2"), asc("cent_id"))
-      val a = sub.join(broadcast(cb), "m")
-        .select($"vec_id", $"m", $"cent_id",
-          expr("aggregate(zip_with(sv, cs, (x, y) -> (x - y) * (x - y))," +
-            " 0D, (acc, e) -> acc + e)").as("d2"))
-        .withColumn("rn", row_number().over(w))
-        .filter($"rn" === 1)
-      a.groupBy($"vec_id")
-        .agg(
-          max(when($"m" === 0, $"cent_id")).as("code0"),
-          max(when($"m" === 1, $"cent_id")).as("code1"),
-          max(when($"m" === 2, $"cent_id")).as("code2"),
-          max(when($"m" === 3, $"cent_id")).as("code3"),
-          max(when($"m" === 0, $"d2")).as("e0"),
-          max(when($"m" === 1, $"d2")).as("e1"),
-          max(when($"m" === 2, $"d2")).as("e2"),
-          max(when($"m" === 3, $"d2")).as("e3"))
-        .select($"vec_id", $"code0", $"code1", $"code2", $"code3",
-          round($"e0" + $"e1" + $"e2" + $"e3", 4).as("recon_d2"))
+      val cb = emb.filter($"vec_id" < 8)
+        .select($"vec_id".as("cent_id"), $"v".as("c"))
+        .agg(expr("array_sort(collect_list(named_struct(" +
+          "'cent_id', cent_id, 'c', c)))").as("cents"))
+      // am[m+1] = (min subspace-m d2, its cent_id)
+      val am = expr(
+        """transform(sequence(0, 3), m ->
+          |  array_min(transform(cents, ct -> named_struct(
+          |    'd2', aggregate(zip_with(slice(v, 1 + 16 * m, 16),
+          |                             slice(ct.c, 1 + 16 * m, 16),
+          |                             (x, y) -> (x - y) * (x - y)),
+          |                    0D, (acc, e) -> acc + e),
+          |    'cent_id', ct.cent_id))))""".stripMargin)
+      emb.crossJoin(broadcast(cb))
+        .select($"vec_id", am.as("am"))
+        .select($"vec_id",
+          $"am" (0)("cent_id").as("code0"), $"am" (1)("cent_id").as("code1"),
+          $"am" (2)("cent_id").as("code2"), $"am" (3)("cent_id").as("code3"),
+          round($"am" (0)("d2") + $"am" (1)("d2") + $"am" (2)("d2") +
+            $"am" (3)("d2"), 4).as("recon_d2"))
         .orderBy($"vec_id")
     }),
 

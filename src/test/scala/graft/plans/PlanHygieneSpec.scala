@@ -31,7 +31,8 @@ class PlanHygieneSpec extends SparkSpec {
     "q_above_avg_customers", // 1-row global avg
     "sim_cosine_topk",       // 1-row query vector
     "sim_ivf_assign",        // fixed k-row centroid table
-    "sim_kmeans",            // fixed k-row codebook, both iterations
+    "sim_kmeans",            // 1-row codebook array, both iterations
+    "sim_pq_codes",          // 1-row codebook array
     "sim_ivf_topk",          // 1-row query vector + centroid probe
     "sim_lsh_sigs",          // 1-row hyperplane matrix
     "sim_lsh_topk",          // 1-row hyperplane matrix + 1-row query sig
