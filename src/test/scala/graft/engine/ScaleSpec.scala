@@ -114,4 +114,40 @@ class ScaleSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS ord_bucketed")
     }
   }
+
+  test("runtime bloom filter prunes the big side of a selective shuffle join") {
+    import spark.implicits._
+    // At 100 TB a fact-to-filtered-dim shuffle join must not shuffle the
+    // unmatched fact rows: Spark's InjectRuntimeFilter builds a bloom
+    // filter on the selective (creation) side and pushes
+    // bloom_filter_might_contain into the fact scan. Pin that the
+    // injection actually fires for our join shape (thresholds lowered —
+    // at test scale the fact side is below the 10 GB default) and that
+    // pruning is semantics-preserving.
+    val overrides = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force shuffle join
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val saved = overrides.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+      val li = t(spark, sf("sf0.01"), "lineitem")
+        .select($"l_orderkey", $"l_quantity")
+      val ord = t(spark, sf("sf0.01"), "orders")
+        .filter($"o_orderpriority" === "1-URGENT")
+        .select($"o_orderkey")
+      val q = li.join(ord, $"l_orderkey" === $"o_orderkey")
+      val opt = q.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain") && opt.contains("bloom_filter_agg"),
+        s"runtime bloom filter was not injected into the fact side:\n$opt")
+      val n = q.count()
+
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val n0 = li.join(ord, $"l_orderkey" === $"o_orderkey").count()
+      assert(n == n0, s"bloom pruning changed the result: $n vs $n0")
+    } finally {
+      saved.foreach { case (k, vo) =>
+        vo.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+    }
+  }
 }
