@@ -175,6 +175,53 @@ object EventStream {
       }
   }
 
+  case class FunnelHit(user_id: Long, stage: String, t_us: Long)
+
+  /** Streaming ordered-funnel detection via flatMapGroupsWithState — the
+    * unbounded-stream twin of the declared `log_funnel` batch query.
+    * Per-user state is three timestamps (earliest view, earliest click
+    * strictly after it, earliest purchase strictly after that); a row is
+    * EMITTED the moment a user first advances a stage, so downstream
+    * consumers see conversions as they happen instead of per-run totals.
+    * State is three longs per user — bounded by the user population, not
+    * the event volume, and each micro-batch folds its events in
+    * event-time order so within-batch ordering is exact.
+    *
+    * Batch mode sees each user's full history in one sorted pass, which
+    * reproduces log_funnel's min/join semantics exactly (asserted in
+    * StreamingSpec). Streaming caveat, same as sessionizeCustom: an
+    * event arriving in a later batch with a timestamp before an
+    * already-latched stage cannot retro-correct earlier decisions. */
+  def funnelHits(events: DataFrame): Dataset[FunnelHit] = {
+    import events.sparkSession.implicits._
+    events
+      .filter($"event_type".isin("view", "click", "purchase"))
+      .select($"user_id".cast("long"), $"event_type",
+        unix_micros($"ts").as("us"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+          GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[(Long, String, Long)],
+         state: GroupState[(Long, Long, Long)]) =>
+          var (tv, tc, tp) = state.getOption.getOrElse((-1L, -1L, -1L))
+          val out = Seq.newBuilder[FunnelHit]
+          batch.toArray.sortBy(e => (e._3, e._2)).foreach { case (_, et, t) =>
+            et match {
+              case "view" if tv < 0 =>
+                tv = t; out += FunnelHit(user, "view", t)
+              case "click" if tv >= 0 && tc < 0 && t > tv =>
+                tc = t; out += FunnelHit(user, "click", t)
+              case "purchase" if tc >= 0 && tp < 0 && t > tc =>
+                tp = t; out += FunnelHit(user, "purchase", t)
+              case _ =>
+            }
+          }
+          state.update((tv, tc, tp))
+          out.result().iterator
+      }
+  }
+
   /** Stream-stream self interval join: same-user event pairs within
     * `seconds` of each other — the streaming form of the declared
     * `q_range_join`. Watermarks on both sides plus the time-bound join

@@ -170,6 +170,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnel hits: batch pass reproduces log_funnel; streaming == batch") {
+    import spark.implicits._
+    val batch = EventStream.funnelHits(spark.read.parquet(stagedEvents))
+    val byStage = batch.groupBy($"stage").agg(countDistinct($"user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val declared = graft.SparkEntry.queries("log_funnel")(spark, sf()).head()
+    assert(byStage.getOrElse("view", 0L) == declared.getLong(0))
+    assert(byStage.getOrElse("click", 0L) == declared.getLong(1))
+    assert(byStage.getOrElse("purchase", 0L) == declared.getLong(2))
+
+    EventStream.runToMemory(spark, stagedEvents,
+      df => EventStream.funnelHits(df).toDF(), "funnel_stream")
+    val streamed = spark.table("funnel_stream")
+      .orderBy($"user_id", $"t_us", $"stage").collect()
+    assert(streamed.toSeq ==
+      batch.toDF().orderBy($"user_id", $"t_us", $"stage").collect().toSeq)
+    // a user's stages latch in order: view <= click <= purchase times
+    val perUser = batch.groupBy($"user_id").pivot("stage",
+        Seq("view", "click", "purchase")).agg(first($"t_us")).collect()
+    perUser.foreach { r =>
+      if (!r.isNullAt(2)) assert(r.getLong(2) > r.getLong(1), "click after view")
+      if (!r.isNullAt(3)) assert(r.getLong(3) > r.getLong(2), "purchase after click")
+    }
+  }
+
   test("stream-stream interval self-join == batch join (parity)") {
     import spark.implicits._
     EventStream.runToMemory(spark, stagedEvents,
