@@ -355,6 +355,55 @@ object EventsLog {
     // a filtered slice joined back on user — no window over the full
     // event stream, no cross-stage row explosion; the per-stage tables
     // shrink monotonically. Output: conversion counts per stage.
+    // PageRank (2 damped iterations, d=0.85) over the page-transition
+    // graph: nodes use the same deterministic page-key synthesis as the
+    // log_urls corpus (ip pages for user_id%7==0, site pages
+    // otherwise); edges are consecutive same-user events (event-time
+    // order, event_id tie-break) weighted by transition count. The
+    // 100 TB shape: edge extraction is one per-user window pass (user-
+    // partitioned, no global sort); each iteration joins the edge list
+    // to a rank vector that is |nodes|-sized — broadcast here, and at
+    // any scale orders smaller than the edges, which shuffle once on
+    // src and once on dst per iteration with map-side partial sums.
+    // Dangling-node mass is dropped (documented simplified variant);
+    // intermediate ranks round to 12 dp so cross-engine sum-fold order
+    // cannot leak into iteration 2.
+    "log_pagerank" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, d, "events").select($"user_id",
+        when($"user_id" % 7 === 0,
+          concat(lit("ip-"), $"user_id" % 256))
+          .otherwise(concat($"event_type", lit("-"), $"user_id" % 5))
+          .as("node"),
+        unix_micros($"ts").as("us"), $"event_id")
+      val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+      val edges = ev
+        .withColumn("prev", lag($"node", 1).over(w))
+        .filter($"prev".isNotNull)
+        .groupBy($"prev".as("src"), $"node".as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val outdeg = edges.groupBy($"src").agg(sum($"w").as("outw"))
+      val e = edges.join(outdeg, "src")
+      val nodes = ev.select($"node").distinct()
+      val nRow = nodes.agg(count(lit(1)).as("nn"))
+      def step(ranks: DataFrame, scale: Int): DataFrame = {
+        val contrib = e.join(broadcast(ranks), $"src" === $"node")
+          .select($"dst", ($"r" * $"w" / $"outw").as("c"))
+          .groupBy($"dst").agg(sum($"c").as("c"))
+        nodes.join(contrib, $"node" === $"dst", "left_outer")
+          .crossJoin(broadcast(nRow))
+          .select($"node",
+            round(lit(0.15) / $"nn" + lit(0.85) * coalesce($"c", lit(0.0)),
+              scale).as("r"))
+      }
+      val r0 = nodes.crossJoin(broadcast(nRow))
+        .select($"node", (lit(1.0) / $"nn").as("r"))
+      step(step(r0, 12), 6)
+        .select($"node", $"r".as("pr"))
+        .orderBy($"node")
+    }),
+
     "log_funnel" -> ((s, d) => {
       import s.implicits._
       val ev = t(s, d, "events")
@@ -536,6 +585,31 @@ object EventsLog {
         |FROM weeks w JOIN cohort c USING (user_id)
         |GROUP BY cohort_wk, wk_offset
         |ORDER BY cohort_wk, wk_offset""".stripMargin,
+
+    "log_pagerank" ->
+      """WITH ev AS (SELECT user_id,
+        |  CASE WHEN user_id % 7 = 0 THEN 'ip-' || (user_id % 256)
+        |       ELSE event_type || '-' || (user_id % 5) END AS node,
+        |  epoch_us(ts) AS us, event_id FROM events),
+        |seq AS (SELECT user_id, node,
+        |  LAG(node) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+        |  FROM ev),
+        |edges AS (SELECT prev AS src, node AS dst, COUNT(*) AS w FROM seq
+        |  WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |outdeg AS (SELECT src, SUM(w) AS outw FROM edges GROUP BY src),
+        |nodes AS (SELECT DISTINCT node FROM ev),
+        |nn AS (SELECT COUNT(*) AS n FROM nodes),
+        |c1 AS (SELECT e.dst, SUM((1.0 / nn.n) * e.w / o.outw) AS c
+        |       FROM edges e JOIN outdeg o USING (src), nn GROUP BY e.dst),
+        |r1 AS (SELECT node, ROUND(0.15 / nn.n + 0.85 * COALESCE(c1.c, 0), 12)
+        |         AS r
+        |       FROM nodes LEFT JOIN c1 ON c1.dst = node, nn),
+        |c2 AS (SELECT e.dst, SUM(r1.r * e.w / o.outw) AS c
+        |       FROM edges e JOIN outdeg o USING (src)
+        |       JOIN r1 ON r1.node = e.src
+        |       GROUP BY e.dst)
+        |SELECT node, ROUND(0.15 / nn.n + 0.85 * COALESCE(c2.c, 0), 6) AS pr
+        |FROM nodes LEFT JOIN c2 ON c2.dst = node, nn ORDER BY node""".stripMargin,
 
     "log_funnel" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),

@@ -42,7 +42,8 @@ class PlanHygieneSpec extends SparkSpec {
     "q15_top_supplier",      // 1-row max quarterly revenue
     "q20_heavy_suppliers",   // 1-row per-supplier volume total
     "q22_idle_customers",    // 1-row positive-balance sum+count
-    "log_gapfill")           // 1-row global (min,max) hour bounds
+    "log_gapfill",           // 1-row global (min,max) hour bounds
+    "log_pagerank")          // 1-row node count (rank vector joins are equi)
 
   test("no declared query plans a cartesian or nested-loop join") {
     val offenders = planStrings.flatMap { case (name, plan) =>
