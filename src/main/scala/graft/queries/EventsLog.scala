@@ -355,6 +355,37 @@ object EventsLog {
     // a filtered slice joined back on user — no window over the full
     // event stream, no cross-stage row explosion; the per-stage tables
     // shrink monotonically. Output: conversion counts per stage.
+    // Last-touch attribution: each purchase is credited to the user's
+    // most recent click no more than 24h earlier. One user-partitioned
+    // window pass does the carry-forward (`last(click_ts) IGNORE NULLS`
+    // over a strictly-preceding rows frame — the (us, event_id) order
+    // key is total, so the pick is deterministic in both engines); no
+    // self-join, no per-user state beyond the running last-click.
+    // Attributed revenue sums through DECIMAL(18,2) on both sides so
+    // double fold order cannot flip the hash. Daily rollup output.
+    "log_attribution" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, d, "events")
+        .filter($"event_type".isin("click", "purchase"))
+        .select($"user_id", $"event_type", $"value",
+          unix_micros($"ts").as("us"), $"event_id")
+      val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev.withColumn("last_click",
+          last(when($"event_type" === "click", $"us"), ignoreNulls = true)
+            .over(w))
+        .filter($"event_type" === "purchase")
+        .withColumn("attr", $"last_click".isNotNull &&
+          $"us" - $"last_click" <= 86400000000L)
+        .groupBy(date_format(timestamp_micros($"us"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum($"attr".cast("long")).as("n_attributed"),
+          sum(when($"attr", $"value").otherwise(0.0).cast("decimal(18,2)"))
+            .cast("double").as("attr_value"))
+        .orderBy($"day")
+    }),
+
     // PageRank (2 damped iterations, d=0.85) over the page-transition
     // graph: nodes use the same deterministic page-key synthesis as the
     // log_urls corpus (ip pages for user_id%7==0, site pages
@@ -585,6 +616,29 @@ object EventsLog {
         |FROM weeks w JOIN cohort c USING (user_id)
         |GROUP BY cohort_wk, wk_offset
         |ORDER BY cohort_wk, wk_offset""".stripMargin,
+
+    "log_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, value, epoch_us(ts) AS us, event_id
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |m AS (
+        |  SELECT *, LAST_VALUE(CASE WHEN event_type = 'click' THEN us END
+        |      IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY us, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    AS last_click
+        |  FROM ev),
+        |p AS (
+        |  SELECT *,
+        |    (last_click IS NOT NULL AND us - last_click <= 86400000000) AS attr
+        |  FROM m WHERE event_type = 'purchase')
+        |SELECT strftime(make_timestamp(us), '%Y-%m-%d') AS day,
+        |  COUNT(*) AS n_purchases,
+        |  CAST(SUM(CASE WHEN attr THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_attributed,
+        |  CAST(SUM(CASE WHEN attr THEN CAST(value AS DECIMAL(18,2))
+        |           ELSE 0 END) AS DOUBLE) AS attr_value
+        |FROM p GROUP BY day ORDER BY day""".stripMargin,
 
     "log_pagerank" ->
       """WITH ev AS (SELECT user_id,
