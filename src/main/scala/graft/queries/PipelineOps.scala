@@ -212,6 +212,31 @@ object PipelineOps {
         .orderBy($"source")
     }),
 
+    // Deterministic global training-order shuffle: every doc gets a
+    // pseudorandom shard (md5 window % 32) and a within-shard position
+    // (rank by hash) — the classic shuffle-then-sort-within-shard
+    // layout (`repartitionAndSortWithinPartitions` semantics expressed
+    // relationally: one hash shuffle + per-shard sort, never a global
+    // order). Re-running over the same corpus reproduces the identical
+    // permutation on any cluster size — the property a resumable
+    // training run needs. The output folds each shard's full order
+    // into an order-SENSITIVE checksum (sum of pos × hash-residue), so
+    // the oracle pins the permutation itself, not just membership.
+    "doc_shuffle" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val h = t(s, d, "documents").select($"doc_id", expr(
+        "cast(conv(substring(md5(cast(cast(doc_id as string) as binary))," +
+          " 1, 8), 16, 10) as bigint)").as("h32"))
+      val w = Window.partitionBy($"shard").orderBy($"h32", $"doc_id")
+      h.withColumn("shard", $"h32" % 32)
+        .withColumn("pos", row_number().over(w))
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"pos" * ($"h32" % 1000003)).as("ord_checksum"))
+        .orderBy($"shard")
+    }),
+
     // Weighted multi-source mixture sampling — the training-mix step
     // that turns N raw sources into one corpus with per-source epoch
     // counts (w > 1 oversamples by whole-doc repetition, w < 1
@@ -435,6 +460,23 @@ object PipelineOps {
          |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
          |  CAST(SUM($h32) AS BIGINT) AS checksum
          |FROM documents GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    "doc_shuffle" -> {
+      val h32 = (1 to 8).map { i =>
+        val w = math.pow(16, 8 - i).toLong
+        s"(strpos('0123456789abcdef', substring(" +
+          s"md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1) * $w"
+      }.mkString(" + ")
+      s"""WITH h AS (SELECT doc_id, $h32 AS h32 FROM documents),
+         |p AS (
+         |  SELECT CAST(h32 % 32 AS BIGINT) AS shard, h32,
+         |    ROW_NUMBER() OVER (PARTITION BY h32 % 32
+         |                       ORDER BY h32, doc_id) AS pos
+         |  FROM h)
+         |SELECT shard, COUNT(*) AS n_docs,
+         |  CAST(SUM(pos * (h32 % 1000003)) AS BIGINT) AS ord_checksum
+         |FROM p GROUP BY shard ORDER BY shard""".stripMargin
     },
 
     "doc_mixture" -> {

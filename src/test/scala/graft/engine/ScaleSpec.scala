@@ -115,6 +115,40 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("AQE coalesces tiny shuffle partitions at runtime") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec
+    // The flip side of the skew split: when an aggregation's shuffle
+    // output is tiny, AQE must merge the configured partitions into
+    // fewer reads instead of scheduling near-empty tasks — at 100 TB
+    // with thousands of shuffle partitions configured, final-stage
+    // fan-in depends on it. Drive the dataset's OWN toRdd so the
+    // adaptive plan is final (ScaleSpec lesson: .count() builds a
+    // separate QueryExecution).
+    val df = t(spark, sf(), "orders")
+      .groupBy($"o_orderpriority").agg(count(lit(1)).as("n"))
+    df.queryExecution.toRdd.count()
+    val fin = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    // plan.collect does not descend into QueryStageExec (its subtree is
+    // in `.plan`, not `children`) — recurse manually
+    def readsIn(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[AQEShuffleReadExec] = p match {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        readsIn(q.plan)
+      case r: AQEShuffleReadExec => r +: r.children.flatMap(readsIn)
+      case other => other.children.flatMap(readsIn)
+    }
+    val reads = readsIn(fin)
+    assert(reads.nonEmpty, s"no AQE shuffle read in:\n$fin")
+    assert(reads.exists(_.partitionSpecs.size <
+        spark.conf.get("spark.sql.shuffle.partitions").toInt),
+      s"5-row aggregate kept all shuffle partitions:\n$fin")
+  }
+
   test("runtime bloom filter prunes the big side of a selective shuffle join") {
     import spark.implicits._
     // At 100 TB a fact-to-filtered-dim shuffle join must not shuffle the
