@@ -103,6 +103,25 @@ object TextAnalysis {
 
     // Content-defined fingerprint: md5 over the sorted distinct token set
     // (order-insensitive canonical form — robust to shuffling).
+    // Winnowing fingerprints (Schleimer/Wilkerson/Aiken): hash every
+    // 3-token shingle, then keep the MINIMUM hash of each sliding
+    // window of 4 consecutive shingles — the guarantee that any
+    // sufficiently long match between two docs shares a fingerprint,
+    // with ~2/(w+1) selection density instead of every shingle. One
+    // doc-partitioned window pass (position-ordered ROWS frame), no
+    // cross-doc work; fingerprint sets fold to a count + sum-distinct
+    // checksum so the oracle pins the selected set exactly. At 100 TB
+    // this is the fingerprint-extraction map before any pairwise
+    // stage; per-doc state is one w-row frame.
+    "text_winnow" -> ((s, d) => {
+      import s.implicits._
+      winnowFingerprints(t(s, d, "documents"))
+        .groupBy($"doc_id")
+        .agg(countDistinct($"fp").as("n_fp"),
+          sum_distinct($"fp").as("fp_checksum"))
+        .orderBy($"doc_id")
+    }),
+
     "text_fingerprint" -> ((s, d) => {
       import s.implicits._
       t(s, d, "documents")
@@ -112,6 +131,35 @@ object TextAnalysis {
             .cast("binary")).as("fp"))
         .orderBy($"doc_id")
     }))
+
+  /** Winnowing fingerprint extraction (one (doc_id, fp) row per selected
+    * window minimum; docs with fewer than 4 shingles are dropped) —
+    * public so the guarantee property (shared >= w+k-1 token run ⇒
+    * shared fingerprint) is testable on the raw sets the declared
+    * aggregate folds away. */
+  def winnowFingerprints(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs
+      .select($"doc_id",
+        expr("filter(split(lower(text), '\\\\s+'), x -> x != '')").as("toks"))
+      .filter(size($"toks") >= 6) // >= 4 shingles = one full window
+      .select($"doc_id", posexplode(expr(
+        "transform(sequence(1, size(toks) - 2)," +
+          " i -> array_join(slice(toks, i, 3), ' '))")))
+      .toDF("doc_id", "p", "sgl")
+      .select($"doc_id", $"p", expr(
+        "cast(conv(substring(md5(cast(sgl as binary)), 1, 8), 16, 10)" +
+          " as bigint)").as("h"))
+    val wmin = Window.partitionBy($"doc_id").orderBy($"p")
+      .rowsBetween(Window.currentRow, 3)
+    sh.withColumn("nsh", count(lit(1)).over(Window.partitionBy($"doc_id")))
+      .withColumn("wm", min($"h").over(wmin))
+      .filter($"p" <= $"nsh" - 4) // full windows only (p is 0-based)
+      .select($"doc_id", $"wm".as("fp"))
+      .distinct()
+  }
 
   private val tokCte =
     """tk AS (
@@ -169,6 +217,32 @@ object TextAnalysis {
          |  ROUND(tf * ln(CAST(n + 1 AS DOUBLE) / (df + 1)), 6) AS tfidf
          |FROM tf JOIN dft USING (term), nn
          |ORDER BY doc_id, term""".stripMargin,
+
+    "text_winnow" -> {
+      val shSql = "array_to_string(toks[i : i + 2], ' ')"
+      val h32 = (1 to 8).map { k =>
+        val w = math.pow(16, 8 - k).toLong
+        s"(strpos('0123456789abcdef', substring(md5($shSql), $k, 1)) - 1)" +
+          s" * $w"
+      }.mkString(" + ")
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |                x -> x <> '') AS toks
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, i - 1 AS p, len(toks) - 2 AS nsh, $h32 AS h
+         |  FROM d, unnest(generate_series(1, len(toks) - 2)) AS u(i)
+         |  WHERE len(toks) >= 6),
+         |m AS (
+         |  SELECT doc_id, p, nsh,
+         |    MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+         |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wm
+         |  FROM sh)
+         |SELECT doc_id, COUNT(DISTINCT wm) AS n_fp,
+         |  CAST(SUM(DISTINCT wm) AS BIGINT) AS fp_checksum
+         |FROM m WHERE p <= nsh - 4 GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
 
     "text_fingerprint" ->
       """SELECT doc_id,

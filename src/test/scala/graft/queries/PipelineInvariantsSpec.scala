@@ -67,6 +67,31 @@ class PipelineInvariantsSpec extends SparkSpec {
       s"exactly the victim's shard checksum must move, got $changed")
   }
 
+  test("winnowing guarantee: docs sharing a w+k-1 token run share a fingerprint") {
+    import spark.implicits._
+    // k=3 shingles, w=4 windows: any common run of >= 6 tokens contains
+    // a full shingle window, whose minimum is selected for BOTH docs
+    val common = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"unrelated prefix words sit here $common and a suffix tail"),
+      (2L, s"$common with a completely different continuation afterwards"),
+      (3L, "totally disjoint content sharing no run with the others at all"))
+      .toDF("doc_id", "text")
+    val fps = graft.queries.TextAnalysis.winnowFingerprints(docs)
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty,
+      "docs sharing a 6-token run must share a winnowing fingerprint")
+    assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty,
+      "fixture disjoint doc unexpectedly collides")
+    // density: winnowing selects far fewer fingerprints than shingles
+    val nToks = docs.select(expr(
+      "size(filter(split(lower(text), '\\\\s+'), x -> x != ''))"))
+      .collect().map(_.getInt(0)).sum
+    assert(fps.values.map(_.size).sum < nToks - 3 * 2,
+      "winnowing must be sparser than the full shingle set")
+  }
+
   test("LSH-verified pairs are exact: subset of truth, all exact dups found") {
     import spark.implicits._
     val verified = SparkEntry.queries("dedup_lsh_verified")(spark, sf())
