@@ -222,6 +222,41 @@ object EventStream {
       }
   }
 
+  case class Attribution(user_id: Long, purchase_us: Long,
+      attributed: Boolean, value: Double)
+
+  /** Streaming last-touch attribution — the unbounded twin of the
+    * declared `log_attribution` batch query: per-user state is ONE long
+    * (the latest click time); each purchase is emitted immediately,
+    * credited iff a click happened within the preceding 24h. Events
+    * fold in (event-time, event_id) order per micro-batch, which is
+    * exactly the batch query's window frame order, so a single-batch
+    * pass reproduces it row-for-row (asserted in StreamingSpec); the
+    * usual cross-batch late-data caveat applies. */
+  def attributedPurchases(events: DataFrame): Dataset[Attribution] = {
+    import events.sparkSession.implicits._
+    events.filter($"event_type".isin("click", "purchase"))
+      .select($"user_id".cast("long"), $"event_type",
+        unix_micros($"ts").as("us"), $"value", $"event_id")
+      .as[(Long, String, Long, Double, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+          GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[(Long, String, Long, Double, Long)],
+         state: GroupState[Long]) =>
+          var lastClick = state.getOption.getOrElse(-1L)
+          val out = Seq.newBuilder[Attribution]
+          batch.toArray.sortBy(e => (e._3, e._5)).foreach {
+            case (_, et, us, v, _) =>
+              if (et == "click") lastClick = us
+              else out += Attribution(user, us,
+                lastClick >= 0 && us - lastClick <= 86400000000L, v)
+          }
+          if (lastClick >= 0) state.update(lastClick)
+          out.result().iterator
+      }
+  }
+
   /** Stream-stream self interval join: same-user event pairs within
     * `seconds` of each other — the streaming form of the declared
     * `q_range_join`. Watermarks on both sides plus the time-bound join

@@ -195,6 +195,30 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("attributed purchases: rollup reproduces log_attribution; streaming == batch") {
+    import spark.implicits._
+    val batch = EventStream.attributedPurchases(spark.read.parquet(stagedEvents))
+    def rollup(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(date_format(timestamp_micros($"purchase_us"), "yyyy-MM-dd")
+        .as("day"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum($"attributed".cast("long")).as("n_attributed"),
+        sum(when($"attributed", $"value").otherwise(0.0)
+          .cast("decimal(18,2)")).cast("double").as("attr_value"))
+      .orderBy($"day")
+    val declared = graft.SparkEntry.queries("log_attribution")(spark, sf())
+      .collect().toSeq
+    assert(rollup(batch.toDF()).collect().toSeq == declared)
+
+    EventStream.runToMemory(spark, stagedEvents,
+      df => EventStream.attributedPurchases(df).toDF(), "attr_stream")
+    val streamed = spark.table("attr_stream")
+      .orderBy($"user_id", $"purchase_us").collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq ==
+      batch.toDF().orderBy($"user_id", $"purchase_us").collect().toSeq)
+  }
+
   test("stream-stream interval self-join == batch join (parity)") {
     import spark.implicits._
     EventStream.runToMemory(spark, stagedEvents,
