@@ -212,6 +212,38 @@ object PipelineOps {
         .orderBy($"source")
     }),
 
+    // Upsert/MERGE classification — the CDC step of an incremental
+    // corpus build, expressed relationally (no table format needed): a
+    // deterministic change batch (updates for doc_id%5, no-op echoes
+    // for doc_id%3, fresh ids for doc_id%17) FULL OUTER JOINs the
+    // target on doc_id and every row is classified
+    // inserted/updated/unchanged/retained; the rollup reports doc and
+    // final-char mass per action. The join is the scale shape of MERGE
+    // INTO: one equi-shuffle on the key (broadcast if the batch is
+    // small), classification is a pure projection, and the same plan
+    // writes the merged snapshot if the aggregate is replaced by a
+    // sink.
+    "doc_upsert" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents").select($"doc_id", $"text")
+      val batch = docs.filter($"doc_id" % 5 === 0)
+          .select($"doc_id", concat($"text", lit(" v2")).as("text"))
+        .unionAll(docs.filter($"doc_id" % 3 === 0 && $"doc_id" % 5 =!= 0)
+          .select($"doc_id", $"text"))
+        .unionAll(docs.filter($"doc_id" % 17 === 0)
+          .select(($"doc_id" + 10000000L).as("doc_id"), $"text"))
+      docs.as("t").join(batch.as("b"), Seq("doc_id"), "full_outer")
+        .select(
+          when($"t.text".isNull, "inserted")
+            .when($"b.text".isNull, "retained")
+            .when($"b.text" === $"t.text", "unchanged")
+            .otherwise("updated").as("action"),
+          length(coalesce($"b.text", $"t.text")).cast("long").as("chars"))
+        .groupBy($"action")
+        .agg(count(lit(1)).as("n_docs"), sum($"chars").as("total_chars"))
+        .orderBy($"action")
+    }),
+
     // Deterministic global training-order shuffle: every doc gets a
     // pseudorandom shard (md5 window % 32) and a within-shard position
     // (rank by hash) — the classic shuffle-then-sort-within-shard
@@ -461,6 +493,25 @@ object PipelineOps {
          |  CAST(SUM($h32) AS BIGINT) AS checksum
          |FROM documents GROUP BY source ORDER BY source""".stripMargin
     },
+
+    "doc_upsert" ->
+      """WITH t AS (SELECT doc_id, text FROM documents),
+        |b AS (
+        |  SELECT doc_id, text || ' v2' AS text FROM t WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id, text FROM t WHERE doc_id % 3 = 0 AND doc_id % 5 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, text FROM t WHERE doc_id % 17 = 0),
+        |m AS (
+        |  SELECT CASE WHEN t.text IS NULL THEN 'inserted'
+        |              WHEN b.text IS NULL THEN 'retained'
+        |              WHEN b.text = t.text THEN 'unchanged'
+        |              ELSE 'updated' END AS action,
+        |    CAST(length(COALESCE(b.text, t.text)) AS BIGINT) AS chars
+        |  FROM t FULL OUTER JOIN b USING (doc_id))
+        |SELECT action, COUNT(*) AS n_docs,
+        |  CAST(SUM(chars) AS BIGINT) AS total_chars
+        |FROM m GROUP BY action ORDER BY action""".stripMargin,
 
     "doc_shuffle" -> {
       val h32 = (1 to 8).map { i =>
