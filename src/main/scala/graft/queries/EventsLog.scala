@@ -355,6 +355,24 @@ object EventsLog {
     // a filtered slice joined back on user — no window over the full
     // event stream, no cross-stage row explosion; the per-stage tables
     // shrink monotonically. Output: conversion counts per stage.
+    // Fixed-width value histogram with a clamped overflow bucket —
+    // the one-pass distribution profile (bucket = floor(value/25),
+    // capped at 19) every monitoring pipeline computes before choosing
+    // quantile sketches. Pure arithmetic bucketing: one map + one
+    // 20-group aggregate, no sort until presentation; engine-exact
+    // because IEEE division and floor agree everywhere.
+    "log_histogram" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "events")
+        .select(least(floor($"value" / 25).cast("long"), lit(19L))
+          .as("bucket"), $"value")
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n"),
+          round(min($"value"), 2).as("lo"),
+          round(max($"value"), 2).as("hi"))
+        .orderBy($"bucket")
+    }),
+
     // Last-touch attribution: each purchase is credited to the user's
     // most recent click no more than 24h earlier. One user-partitioned
     // window pass does the carry-forward (`last(click_ts) IGNORE NULLS`
@@ -616,6 +634,13 @@ object EventsLog {
         |FROM weeks w JOIN cohort c USING (user_id)
         |GROUP BY cohort_wk, wk_offset
         |ORDER BY cohort_wk, wk_offset""".stripMargin,
+
+    "log_histogram" ->
+      """SELECT CAST(LEAST(FLOOR(value / 25), 19) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n,
+        |  ROUND(MIN(value), 2) AS lo,
+        |  ROUND(MAX(value), 2) AS hi
+        |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "log_attribution" ->
       """WITH ev AS (

@@ -336,6 +336,76 @@ object Similarity {
         .orderBy($"vec_id")
     }),
 
+    // ANN index-quality evaluation: recall@10 of each approximate
+    // method (exact LSH bucket, hamming-1 multiprobe, 2-probe IVF)
+    // against brute-force ground truth for the same query vector — the
+    // measurement loop any production ANN deployment runs before
+    // trusting an index, and the table that shows the recall levers
+    // working (fixture: ivf_2probe 1.0 > lsh_multiprobe > lsh_bucket).
+    // Every candidate list reuses the exact plan shapes declared above
+    // (broadcast codebook/query rows, TakeOrderedAndProject top-k); the
+    // recall joins are 10x10 rows. At 100 TB the same query evaluates
+    // over a sampled query set.
+    "sim_recall_eval" -> ((s, d) => {
+      import s.implicits._
+      withCosine(s)
+      val emb = t(s, d, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val q = emb.filter($"vec_id" === 0).select($"v".as("q"))
+      val brute = emb.filter($"vec_id" =!= 0).crossJoin(broadcast(q))
+        .select($"vec_id", round(cosine("v", "q"), 4).as("cs"))
+        .orderBy(desc("cs"), asc("vec_id")).limit(10).select($"vec_id")
+      // sign-LSH candidates: exact bucket and hamming-1 probes
+      val sigs = emb
+        .crossJoin(broadcast(s.range(1).select(planesCol.as("planes"))))
+        .select($"vec_id", $"v", sigCol.as("sig"))
+      val qs = sigs.filter($"vec_id" === 0)
+        .select($"sig".as("qsig"), $"v".as("q"))
+      val lshB = sigs.filter($"vec_id" =!= 0)
+        .join(broadcast(qs), $"sig" === $"qsig")
+        .select($"vec_id", round(cosine("v", "q"), 4).as("cs"))
+        .orderBy(desc("cs"), asc("vec_id")).limit(10).select($"vec_id")
+      val probes = qs.select(explode(expr(
+          "array(qsig, qsig ^ 1, qsig ^ 2, qsig ^ 4, qsig ^ 8)")).as("psig"),
+          $"q")
+      val lshM = sigs.filter($"vec_id" =!= 0)
+        .join(broadcast(probes), $"sig" === $"psig")
+        .select($"vec_id", round(cosine("v", "q"), 4).as("cs"))
+        .orderBy(desc("cs"), asc("vec_id")).limit(10).select($"vec_id")
+      // IVF candidates: fold-assigned cells, query's 2 nearest probed
+      val cents = emb.filter($"vec_id" < 8)
+        .select($"vec_id".as("cent_id"), $"v".as("c"))
+        .agg(expr("array_sort(collect_list(named_struct(" +
+          "'cent_id', cent_id, 'c', c)))").as("cents"))
+      val am = expr(
+        """array_min(transform(cents, ct -> named_struct(
+          |  'nsim', -round(cosine_similarity(v, ct.c), 4),
+          |  'cent_id', ct.cent_id)))""".stripMargin)
+      val assign = emb.crossJoin(broadcast(cents))
+        .select($"vec_id", $"v", am.getField("cent_id").as("cent_id"))
+      val probed = emb.filter($"vec_id" === 0).crossJoin(broadcast(cents))
+        .select(explode($"cents").as("ct"), $"v")
+        .select($"ct.cent_id".as("cent_id"),
+          round(cosine("v", "ct.c"), 4).as("csim"))
+        .orderBy(desc("csim"), asc("cent_id")).limit(2)
+        .select($"cent_id")
+      val ivf = assign.join(broadcast(probed), "cent_id")
+        .filter($"vec_id" =!= 0).crossJoin(broadcast(q))
+        .select($"vec_id", round(cosine("v", "q"), 4).as("cs"))
+        .orderBy(desc("cs"), asc("vec_id")).limit(10).select($"vec_id")
+      def recallOf(method: String, topk: DataFrame): DataFrame =
+        brute.as("b").join(topk.as("l"), $"b.vec_id" === $"l.vec_id",
+            "left_outer")
+          .agg(count(lit(1)).as("n_brute"), count($"l.vec_id").as("n_hit"))
+          .select(lit(method).as("method"), lit(10L).as("k"),
+            $"n_brute", $"n_hit",
+            round($"n_hit" / $"n_brute", 4).as("recall"))
+      recallOf("ivf_2probe", ivf)
+        .unionAll(recallOf("lsh_bucket", lshB))
+        .unionAll(recallOf("lsh_multiprobe", lshM))
+        .orderBy($"method")
+    }),
+
     // Native vector-kernel surface (dot_product / l2_norm codegen'd
     // expressions, injected by GraftExtensions): self-dot and norm per
     // embedding, oracle-checked against explicit fold SQL.
@@ -603,6 +673,107 @@ object Similarity {
         |SELECT vec_id, code0, code1, code2, code3,
         |  ROUND(e0 + e1 + e2 + e3, 4) AS recon_d2
         |FROM p ORDER BY vec_id""".stripMargin,
+
+    "sim_recall_eval" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |brute AS (
+        |  SELECT vec_id FROM (
+        |    SELECT e.vec_id,
+        |      ROUND(list_sum(list_transform(list_zip(v, qv),
+        |              x -> x[1] * x[2])) /
+        |        (sqrt(list_sum(list_transform(v, x -> x * x))) *
+        |         sqrt(list_sum(list_transform(qv, x -> x * x)))), 4) AS cs
+        |    FROM e, q WHERE vec_id <> 0)
+        |  ORDER BY cs DESC, vec_id LIMIT 10),
+        |planes AS (
+        |  SELECT p, list(CASE WHEN strpos('0123456789abcdef',
+        |      substring(md5(p || ':' || i), 1, 1)) - 1 >= 8
+        |      THEN 1.0 ELSE -1.0 END ORDER BY i) AS signs
+        |  FROM generate_series(0, 3) t(p), generate_series(0, 63) u(i)
+        |  GROUP BY p),
+        |dots AS (
+        |  SELECT e.vec_id, e.v, pl.p,
+        |    list_sum(list_transform(list_zip(e.v, pl.signs),
+        |             x -> x[1] * x[2])) AS dot
+        |  FROM e, planes pl),
+        |sigs AS (
+        |  SELECT vec_id, ANY_VALUE(v) AS v,
+        |    CAST(SUM(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END)
+        |         AS BIGINT) AS sig
+        |  FROM dots GROUP BY vec_id),
+        |qs AS (SELECT sig AS qsig, v AS qv FROM sigs WHERE vec_id = 0),
+        |lshb AS (
+        |  SELECT vec_id FROM (
+        |    SELECT s.vec_id,
+        |      ROUND(list_sum(list_transform(list_zip(s.v, qs.qv),
+        |              x -> x[1] * x[2])) /
+        |        (sqrt(list_sum(list_transform(s.v, x -> x * x))) *
+        |         sqrt(list_sum(list_transform(qs.qv, x -> x * x)))), 4) AS cs
+        |    FROM sigs s JOIN qs ON s.sig = qs.qsig
+        |    WHERE s.vec_id <> 0)
+        |  ORDER BY cs DESC, vec_id LIMIT 10),
+        |probes AS (
+        |  SELECT qsig AS psig, qv FROM qs
+        |  UNION ALL SELECT xor(qsig, 1), qv FROM qs
+        |  UNION ALL SELECT xor(qsig, 2), qv FROM qs
+        |  UNION ALL SELECT xor(qsig, 4), qv FROM qs
+        |  UNION ALL SELECT xor(qsig, 8), qv FROM qs),
+        |lshm AS (
+        |  SELECT vec_id FROM (
+        |    SELECT s.vec_id,
+        |      ROUND(list_sum(list_transform(list_zip(s.v, p.qv),
+        |              x -> x[1] * x[2])) /
+        |        (sqrt(list_sum(list_transform(s.v, x -> x * x))) *
+        |         sqrt(list_sum(list_transform(p.qv, x -> x * x)))), 4) AS cs
+        |    FROM sigs s JOIN probes p ON s.sig = p.psig
+        |    WHERE s.vec_id <> 0)
+        |  ORDER BY cs DESC, vec_id LIMIT 10),
+        |c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+        |csims AS (
+        |  SELECT e.vec_id, e.cent_id, ROUND(dot / (na * nb), 4) AS csim
+        |  FROM (
+        |    SELECT e.vec_id, c.cent_id,
+        |      list_sum(list_transform(list_zip(e.v, c.cv),
+        |               x -> x[1] * x[2])) AS dot,
+        |      sqrt(list_sum(list_transform(e.v, x -> x * x))) AS na,
+        |      sqrt(list_sum(list_transform(c.cv, x -> x * x))) AS nb
+        |    FROM e, c) e),
+        |assign AS (
+        |  SELECT vec_id, cent_id FROM (
+        |    SELECT vec_id, cent_id,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                         ORDER BY csim DESC, cent_id) AS rn
+        |    FROM csims) WHERE rn = 1),
+        |probed AS (
+        |  SELECT cent_id FROM csims WHERE vec_id = 0
+        |  ORDER BY csim DESC, cent_id LIMIT 2),
+        |ivf AS (
+        |  SELECT vec_id FROM (
+        |    SELECT e.vec_id,
+        |      ROUND(list_sum(list_transform(list_zip(e.v, q.qv),
+        |              x -> x[1] * x[2])) /
+        |        (sqrt(list_sum(list_transform(e.v, x -> x * x))) *
+        |         sqrt(list_sum(list_transform(q.qv, x -> x * x)))), 4) AS cs
+        |    FROM e
+        |    JOIN assign a ON a.vec_id = e.vec_id
+        |    JOIN probed p ON p.cent_id = a.cent_id
+        |    CROSS JOIN q
+        |    WHERE e.vec_id <> 0)
+        |  ORDER BY cs DESC, vec_id LIMIT 10),
+        |r AS (
+        |  SELECT 'ivf_2probe' AS method, COUNT(*) AS n_brute,
+        |    CAST(COUNT(l.vec_id) AS BIGINT) AS n_hit
+        |  FROM brute b LEFT JOIN ivf l ON b.vec_id = l.vec_id
+        |  UNION ALL
+        |  SELECT 'lsh_bucket', COUNT(*), CAST(COUNT(l.vec_id) AS BIGINT)
+        |  FROM brute b LEFT JOIN lshb l ON b.vec_id = l.vec_id
+        |  UNION ALL
+        |  SELECT 'lsh_multiprobe', COUNT(*), CAST(COUNT(l.vec_id) AS BIGINT)
+        |  FROM brute b LEFT JOIN lshm l ON b.vec_id = l.vec_id)
+        |SELECT method, CAST(10 AS BIGINT) AS k, n_brute, n_hit,
+        |  ROUND(n_hit / n_brute, 4) AS recall
+        |FROM r ORDER BY method""".stripMargin,
 
     "arr_vector_funcs" ->
       // mirrors the native expressions' exact null/shape contract:
