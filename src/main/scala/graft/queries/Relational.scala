@@ -395,6 +395,43 @@ object Relational {
         .orderBy($"l_orderkey", $"ln")
     }),
 
+    // Statistical aggregates (correlation / population covariance and
+    // stddev / mean): all are mergeable co-moment sketches — two-phase
+    // partial+final HashAggregate, constant state per group, identical
+    // shape at any scale. Rounded to absorb co-moment fold-order ulps.
+    "q_stats_funcs" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(corr($"l_quantity", $"l_extendedprice"), 6)
+            .as("qty_price_corr"),
+          round(covar_pop($"l_quantity", $"l_extendedprice"), 2)
+            .as("qty_price_cov"),
+          round(stddev_pop($"l_quantity"), 6).as("qty_sd"),
+          round(avg($"l_quantity"), 6).as("qty_mean"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // Blocked fuzzy (edit-distance) join over the brand vocabulary:
+    // candidates must share a blocking key (first digit of the brand
+    // number) and pass levenshtein <= 1 — the standard scale shape for
+    // fuzzy matching (block equi-join prunes the quadratic space; the
+    // DP distance runs only inside blocks; cross-block typos are the
+    // documented blocking trade-off). Classic integer edit distance is
+    // bit-identical across engines.
+    "q_fuzzy_brands" -> ((s, d) => {
+      import s.implicits._
+      val brands = t(s, d, "part").select($"p_brand").distinct()
+        .select($"p_brand", substring($"p_brand", 7, 1).as("blk"))
+      brands.as("a").join(brands.as("b"),
+          $"a.blk" === $"b.blk" && $"a.p_brand" < $"b.p_brand")
+        .select($"a.p_brand".as("brand_a"), $"b.p_brand".as("brand_b"),
+          levenshtein($"a.p_brand", $"b.p_brand").cast("long").as("dist"))
+        .filter($"dist" <= 1)
+        .orderBy($"brand_a", $"brand_b")
+    }),
+
     // String/case projection over part.
     "q_part_brand_stats" -> ((s, d) => {
       import s.implicits._
@@ -725,6 +762,24 @@ object Relational {
         |  greatest(l_tax, l_discount) AS max_rate
         |FROM lineitem WHERE l_orderkey <= 100
         |ORDER BY l_orderkey, ln""".stripMargin,
+
+    "q_stats_funcs" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+        |  ROUND(covar_pop(l_quantity, l_extendedprice), 2) AS qty_price_cov,
+        |  ROUND(stddev_pop(l_quantity), 6) AS qty_sd,
+        |  ROUND(AVG(l_quantity), 6) AS qty_mean
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_fuzzy_brands" ->
+      """WITH b AS (
+        |  SELECT DISTINCT p_brand, substring(p_brand, 7, 1) AS blk
+        |  FROM part)
+        |SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+        |  CAST(levenshtein(a.p_brand, b.p_brand) AS BIGINT) AS dist
+        |FROM b a JOIN b b ON a.blk = b.blk AND a.p_brand < b.p_brand
+        |WHERE levenshtein(a.p_brand, b.p_brand) <= 1
+        |ORDER BY brand_a, brand_b""".stripMargin,
 
     "q_part_brand_stats" ->
       """SELECT p_brand, COUNT(*) AS n, MIN(p_size) AS min_size,

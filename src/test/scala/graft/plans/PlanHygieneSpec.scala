@@ -43,7 +43,8 @@ class PlanHygieneSpec extends SparkSpec {
     "q20_heavy_suppliers",   // 1-row per-supplier volume total
     "q22_idle_customers",    // 1-row positive-balance sum+count
     "log_gapfill",           // 1-row global (min,max) hour bounds
-    "log_pagerank")          // 1-row node count (rank vector joins are equi)
+    "log_pagerank",          // 1-row node count (rank vector joins are equi)
+    "sim_recall_eval")       // 1-row query vec/planes/codebook, 2-row probes
 
   test("no declared query plans a cartesian or nested-loop join") {
     val offenders = planStrings.flatMap { case (name, plan) =>
