@@ -3,7 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Bench surface: times every declared query on SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line {"metric":...,"queries":{...}}.
+  * prints ONE JSON line {"metric":...,"queries":{...}}. The stdout line is
+  * kept under ~1.5 KB (slowest queries inlined first) so it survives the
+  * driver's bounded stdout-tail capture; the complete per-query map is
+  * written to ./bench_detail.json and echoed on stderr.
   *
   * A warm-up pass on the smallest scale factor (sibling sf0.001, when
   * present) runs first so the timed numbers measure query execution, not
@@ -53,10 +56,36 @@ object Bench {
       }
       name -> best
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${results.values.count(_ < 0)}}""")
+    val failed = results.values.count(_ < 0)
+
+    def fmt(v: Double): String = f"$v%.3f"
+    val full = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+
+    // Full per-query detail goes to a sidecar file + stderr; the stdout
+    // JSON line must stay parseable from the driver's bounded (2000-char)
+    // stdout tail — rounds 1-2 overflowed it and were recorded unparsed.
+    // Inline as many per-query entries as fit a conservative budget,
+    // slowest queries first (the ones worth reading in a bench report).
+    val header = s""""metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"failed":$failed,"detail":"bench_detail.json","queries":"""
+    val budget = 1500 - header.length - 4
+    val bySlowest = results.toSeq.sortBy { case (_, v) => -v }
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val inline = new StringBuilder
+    var used = 0
+    bySlowest.foreach { e =>
+      if (used + e.length + 1 <= budget) {
+        if (inline.nonEmpty) inline.append(',')
+        inline.append(e); used = inline.length
+      }
+    }
+    try {
+      val w = new java.io.PrintWriter("bench_detail.json")
+      try w.println(full.mkString("{", ",", "}")) finally w.close()
+    } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+    System.err.println("[bench-detail] " + full.mkString("{", ",", "}"))
+    println("{" + header + "{" + inline + "}}")
     spark.stop()
   }
 }

@@ -134,6 +134,33 @@ object Dedup {
         .otherwise(0L)).as("simhash"))
   }
 
+  /** DuckDB twin of `Components.connectedComponents` over [[lshPairs]]:
+    * recursive min-label reachability ending in a `comp(doc_id, component)`
+    * CTE — shared by the dedup_clusters and dedup_canonical oracles. */
+  private val componentsSql: String =
+    s"""${sigSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |bands AS (
+       |  SELECT doc_id, 0 AS band_i, h1 || h2 AS band_key FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1, h3 || h4 FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 2, h5 || h6 FROM sig),
+       |p AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a
+       |  JOIN bands b ON a.band_key = b.band_key AND a.band_i = b.band_i
+       |               AND a.doc_id < b.doc_id),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+       |          UNION SELECT doc_b, doc_a FROM p),
+       |nodes AS (SELECT DISTINCT a AS id FROM edges),
+       |reach(id, comp) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.id),
+       |comp AS (
+       |  SELECT id AS doc_id, MIN(comp) AS component
+       |  FROM reach GROUP BY id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: content-hash groupBy, keep the smallest doc_id.
     "dedup_exact" -> ((s, d) => {
@@ -259,6 +286,32 @@ object Dedup {
         .orderBy($"doc_id")
     }),
 
+    // Canonical-document selection — the step after clustering: per
+    // near-dup cluster keep ONE representative, best-first by
+    // (n_chars DESC, doc_id ASC) — "keep the longest copy, oldest id
+    // wins ties", the usual pipeline policy. One doc_id-keyed join to
+    // pull the quality column, then a component-partitioned window for
+    // the argmax — no global sort, cluster sizes bound the window state.
+    // Docs in no candidate pair keep themselves trivially and are not
+    // listed.
+    "dedup_canonical" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val comp = graft.engine.Components.connectedComponents(
+          lshPairs(s, d), "doc_a", "doc_b", maxIter = 15)
+        .toDF("doc_id", "component")
+      val w = Window.partitionBy($"component")
+        .orderBy($"n_chars".desc, $"doc_id".asc)
+      comp.join(t(s, d, "documents").select($"doc_id", $"n_chars"), "doc_id")
+        .withColumn("rk", row_number().over(w))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy($"component")))
+        .filter($"rk" === 1)
+        .select($"component", $"doc_id".as("keep_id"),
+          $"n_chars".as("keep_chars"), $"cluster_size")
+        .orderBy($"component")
+    }),
+
     // Incremental dedup — the production shape: an existing corpus
     // (doc_id % 5 in 0..2), and an incoming batch made of fresh docs
     // (% 5 = 4), RESUBMITTED corpus docs under new ingestion ids
@@ -374,30 +427,21 @@ object Dedup {
          |             AND a.doc_id < b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
 
-    "dedup_clusters" -> {
-      val lsh = s"""${sigSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |bands AS (
-         |  SELECT doc_id, 0 AS band_i, h1 || h2 AS band_key FROM sig
-         |  UNION ALL
-         |  SELECT doc_id, 1, h3 || h4 FROM sig
-         |  UNION ALL
-         |  SELECT doc_id, 2, h5 || h6 FROM sig),
-         |p AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a
-         |  JOIN bands b ON a.band_key = b.band_key AND a.band_i = b.band_i
-         |               AND a.doc_id < b.doc_id),
-         |edges AS (SELECT doc_a AS a, doc_b AS b FROM p
-         |          UNION SELECT doc_b, doc_a FROM p),
-         |nodes AS (SELECT DISTINCT a AS id FROM edges),
-         |reach(id, comp) AS (
-         |  SELECT id, id FROM nodes
-         |  UNION
-         |  SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.id)
-         |SELECT id AS doc_id, MIN(comp) AS component
-         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
-      lsh
-    },
+    "dedup_clusters" ->
+      s"""$componentsSql
+         |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin,
+
+    "dedup_canonical" ->
+      s"""$componentsSql,
+         |enriched AS (
+         |  SELECT component, comp.doc_id, n_chars,
+         |    ROW_NUMBER() OVER (PARTITION BY component
+         |                       ORDER BY n_chars DESC, comp.doc_id) AS rk,
+         |    COUNT(*) OVER (PARTITION BY component) AS cluster_size
+         |  FROM comp JOIN documents ON comp.doc_id = documents.doc_id)
+         |SELECT component, doc_id AS keep_id, n_chars AS keep_chars,
+         |  cluster_size
+         |FROM enriched WHERE rk = 1 ORDER BY component""".stripMargin,
 
     "dedup_incremental" ->
       """WITH docs AS (SELECT doc_id, md5(text) AS fp FROM documents),

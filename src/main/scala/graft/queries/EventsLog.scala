@@ -453,6 +453,31 @@ object EventsLog {
         .orderBy($"node")
     }),
 
+    // First-order Markov transition matrix over event types: for each
+    // (src, dst) pair of consecutive same-user events, the transition
+    // count and row-normalized probability. Same per-user window pass as
+    // the pagerank edge extraction (user-partitioned, no global sort);
+    // the row totals re-aggregate the already-tiny (|types|² rows) pair
+    // counts, so everything after the first window is driver-negligible
+    // at any scale.
+    "log_transitions" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+      val cnt = t(s, d, "events")
+        .select($"user_id", $"event_type", unix_micros($"ts").as("us"),
+          $"event_id")
+        .withColumn("prev", lag($"event_type", 1).over(w))
+        .filter($"prev".isNotNull)
+        .groupBy($"prev".as("src"), $"event_type".as("dst"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = cnt.groupBy($"src").agg(sum($"cnt").as("tot"))
+      cnt.join(tot, "src")
+        .select($"src", $"dst", $"cnt",
+          round($"cnt" / $"tot", 6).as("p"))
+        .orderBy($"src", $"dst")
+    }),
+
     "log_funnel" -> ((s, d) => {
       import s.implicits._
       val ev = t(s, d, "events")
@@ -689,6 +714,18 @@ object EventsLog {
         |       GROUP BY e.dst)
         |SELECT node, ROUND(0.15 / nn.n + 0.85 * COALESCE(c2.c, 0), 6) AS pr
         |FROM nodes LEFT JOIN c2 ON c2.dst = node, nn ORDER BY node""".stripMargin,
+
+    "log_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY epoch_us(ts), event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT prev AS src, event_type AS dst, COUNT(*) AS cnt
+        |      FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT src, SUM(cnt) AS tot FROM c GROUP BY src)
+        |SELECT src, dst, cnt, ROUND(cnt / tot, 6) AS p
+        |FROM c JOIN t USING (src) ORDER BY src, dst""".stripMargin,
 
     "log_funnel" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),

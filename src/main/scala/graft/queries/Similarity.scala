@@ -133,6 +133,36 @@ object Similarity {
         .orderBy($"vec_a", $"vec_b")
     }),
 
+    // Triangle enumeration in the similarity graph (edges = same-label
+    // pairs with cosine ≥ 0.25): mutually-similar triples — the cluster
+    // cores a transitive near-dup pass would merge. Ordered-edge
+    // enumeration: every edge keeps vec_a < vec_b, wedges join on the
+    // smallest endpoint, and the closing edge is a hash-join probe — each
+    // triangle is produced exactly once, no post-dedup. At 100 TB this is
+    // the standard distributed triangle join (shuffle on wedge pivot;
+    // degree-cap heavy hitters first); the three references to the edge
+    // set are one computed exchange reused twice (ReuseExchange).
+    "sim_triangles" -> ((s, d) => {
+      import s.implicits._
+      withCosine(s)
+      val emb = t(s, d, "embeddings")
+        .select($"label", $"vec_id", $"embedding".cast("array<double>").as("v"))
+      val edges = emb.as("a").join(emb.as("b"),
+          $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
+        .select($"a.vec_id".as("va"), $"b.vec_id".as("vb"),
+          round(cosine("a.v", "b.v"), 4).as("sim"))
+        .filter($"sim" >= 0.25)
+        .select($"va", $"vb")
+      edges.as("e1")
+        .join(edges.as("e2"),
+          $"e2.va" === $"e1.va" && $"e2.vb" > $"e1.vb")
+        .join(edges.as("e3"),
+          $"e3.va" === $"e1.vb" && $"e3.vb" === $"e2.vb")
+        .select($"e1.va".as("vec_a"), $"e1.vb".as("vec_b"),
+          $"e2.vb".as("vec_c"))
+        .orderBy($"vec_a", $"vec_b", $"vec_c")
+    }),
+
     // Two-stage IVF ANN: assign every vector to its nearest of 8
     // "centroids" (vec_id < 8); probe the query's 2 nearest cells; rank
     // only candidates in probed cells. This is the real IVF shape: at
@@ -486,6 +516,22 @@ object Similarity {
         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, sim FROM p WHERE sim >= 0.35
         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "sim_triangles" ->
+      """WITH e AS (SELECT label, vec_id, embedding::DOUBLE[] AS v
+        |           FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb,
+        |    ROUND(list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2])) /
+        |      (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(b.v, x -> x * x)))), 4) AS sim
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
+        |ed AS (SELECT va, vb FROM p WHERE sim >= 0.25)
+        |SELECT e1.va AS vec_a, e1.vb AS vec_b, e2.vb AS vec_c
+        |FROM ed e1
+        |JOIN ed e2 ON e2.va = e1.va AND e2.vb > e1.vb
+        |JOIN ed e3 ON e3.va = e1.vb AND e3.vb = e2.vb
+        |ORDER BY vec_a, vec_b, vec_c""".stripMargin,
 
     "sim_ivf_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

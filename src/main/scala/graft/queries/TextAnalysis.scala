@@ -101,6 +101,33 @@ object TextAnalysis {
         .orderBy($"doc_id", $"term")
     }),
 
+    // Keyword extraction: top-3 terms per document by TF-IDF (tie: term
+    // ASC), ranked on the ROUNDED score so the cut line is identical in
+    // both engines. The rank is a doc_id-partitioned window over the
+    // per-doc term lists — no global sort; at 100 TB this is the
+    // per-document keyword tagging map that follows the corpus-wide
+    // document-frequency broadcast.
+    "text_keywords" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val tk = t(s, d, "documents")
+        .select($"doc_id", explode(split(lower($"text"), "\\s+")).as("term"))
+        .filter($"term" =!= "")
+      val tf = tk.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val dft = tk.groupBy($"term").agg(countDistinct($"doc_id").as("df"))
+      val n = t(s, d, "documents").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy($"doc_id")
+        .orderBy($"tfidf".desc, $"term".asc)
+      tf.join(broadcast(dft), "term")
+        .crossJoin(broadcast(n))
+        .select($"doc_id", $"term",
+          round($"tf" * log(($"n" + 1).cast("double") / ($"df" + 1)), 6)
+            .as("tfidf"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= 3)
+        .orderBy($"doc_id", $"rank")
+    }),
+
     // Content-defined fingerprint: md5 over the sorted distinct token set
     // (order-insensitive canonical form — robust to shuffling).
     // Winnowing fingerprints (Schleimer/Wilkerson/Aiken): hash every
@@ -217,6 +244,25 @@ object TextAnalysis {
          |  ROUND(tf * ln(CAST(n + 1 AS DOUBLE) / (df + 1)), 6) AS tfidf
          |FROM tf JOIN dft USING (term), nn
          |ORDER BY doc_id, term""".stripMargin,
+
+    "text_keywords" ->
+      s"""WITH $tokCte,
+         |tf AS (SELECT doc_id, tok AS term, COUNT(*) AS tf
+         |       FROM tk GROUP BY doc_id, tok),
+         |dft AS (SELECT tok AS term, COUNT(DISTINCT doc_id) AS df
+         |        FROM tk GROUP BY tok),
+         |nn AS (SELECT COUNT(*) AS n FROM documents),
+         |scored AS (
+         |  SELECT doc_id, term,
+         |    ROUND(tf * ln(CAST(n + 1 AS DOUBLE) / (df + 1)), 6) AS tfidf
+         |  FROM tf JOIN dft USING (term), nn),
+         |ranked AS (
+         |  SELECT doc_id, term, tfidf,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id
+         |                       ORDER BY tfidf DESC, term) AS rank
+         |  FROM scored)
+         |SELECT doc_id, term, tfidf, rank FROM ranked
+         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "text_winnow" -> {
       val shSql = "array_to_string(toks[i : i + 2], ' ')"

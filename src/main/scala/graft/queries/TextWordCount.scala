@@ -71,8 +71,10 @@ object TextWordCount {
     }),
 
     // W6: formatted projection `%-12s :: %4d` (word_count.go:43-45).
-    // Not SQL-expressible under the oracle (printf dialects differ) —
-    // rows-only check; exact formatting golden-tested in JobsSpec.
+    // Oracle-checked: DuckDB printf follows the same C-printf width/
+    // left-justify rules as java.util.Formatter for %s/%d, so the lines
+    // compare byte-for-byte; exact formatting also golden-tested in
+    // JobsSpec.
     "wc_formatted" -> ((s, d) => {
       import s.implicits._
       words(s, d)
@@ -116,6 +118,14 @@ object TextWordCount {
         |FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
         |      FROM documents) WHERE tok <> ''
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "wc_formatted" ->
+      """WITH tk AS (
+        |  SELECT regexp_replace(tok, '[^a-z0-9]+', '', 'g') AS word
+        |  FROM (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        |        FROM documents) WHERE tok <> '')
+        |SELECT printf('%-12s :: %4d', word, COUNT(*)) AS line
+        |FROM tk GROUP BY word ORDER BY line""".stripMargin,
 
     "wc_bigrams" ->
       """WITH d AS (

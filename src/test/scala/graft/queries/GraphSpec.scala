@@ -23,4 +23,50 @@ class GraphSpec extends SparkSpec {
     // transitions concentrate rank: some node must sit above uniform
     assert(pr.filter($"pr" > 1.0 / n).count() > 0, "no concentration")
   }
+
+  test("sim_triangles: strictly ordered triples whose three edges all close") {
+    import spark.implicits._
+    val tri = SparkEntry.queries("sim_triangles")(spark, sf()).collect()
+    assert(tri.nonEmpty, "fixture graph has triangles at threshold 0.25")
+    tri.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1) && r.getLong(1) < r.getLong(2),
+        s"triple not strictly ordered: $r")
+    }
+    // closure: every edge of every reported triangle is a real edge
+    // (recomputed brute-force on the fixture), and no triangle is missed
+    val emb = graft.Tables.t(spark, sf(), "embeddings")
+      .select($"label", $"vec_id", $"embedding".cast("array<double>").as("v"))
+    graft.functions.GraftFunctions.register(spark)
+    val edges = emb.as("a").join(emb.as("b"),
+        $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("va"), $"b.vec_id".as("vb"),
+        round(expr("cosine_similarity(a.v, b.v)"), 4).as("sim"))
+      .filter($"sim" >= 0.25)
+      .select($"va", $"vb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = for {
+      (a, b) <- edges.toSeq; (a2, c) <- edges if a2 == a && c > b
+      if edges.contains((b, c))
+    } yield (a, b, c)
+    val got = tri.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected.toSet, "triangle set differs from brute force")
+  }
+
+  test("log_transitions: rows are a stochastic matrix over observed pairs") {
+    import spark.implicits._
+    val tr = SparkEntry.queries("log_transitions")(spark, sf())
+    // per-src probabilities sum to 1 (up to 6-dp rounding per cell)
+    val sums = tr.groupBy($"src")
+      .agg(sum($"p").as("sp"), count(lit(1)).as("k")).collect()
+    sums.foreach { r =>
+      assert(math.abs(r.getDouble(1) - 1.0) <= r.getLong(2) * 5e-7 + 1e-9,
+        s"row ${r.getString(0)} sums to ${r.getDouble(1)}")
+    }
+    // total transition count == sum over users of (events - 1)
+    val totalCnt = tr.agg(sum($"cnt")).head().getLong(0)
+    val expected = graft.Tables.t(spark, sf(), "events")
+      .groupBy($"user_id").agg((count(lit(1)) - 1).as("m"))
+      .agg(sum($"m")).head().getLong(0)
+    assert(totalCnt == expected, "transition mass != sum(user events - 1)")
+  }
 }

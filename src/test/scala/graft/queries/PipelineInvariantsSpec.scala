@@ -133,4 +133,50 @@ class PipelineInvariantsSpec extends SparkSpec {
     assert(exactDups.subsetOf(verified.keySet),
       s"missed exact duplicates: ${exactDups -- verified.keySet}")
   }
+
+  test("text_keywords: top-3 per doc, rank-1 equals the doc's max tf-idf") {
+    import spark.implicits._
+    val kw = SparkEntry.queries("text_keywords")(spark, sf())
+    val perDoc = kw.groupBy($"doc_id")
+      .agg(count(lit(1)).as("k"), min($"rank").as("lo"), max($"rank").as("hi"))
+      .collect()
+    perDoc.foreach { r =>
+      assert(r.getLong(1) <= 3 && r.getLong(2) == 1L &&
+        r.getLong(3) == r.getLong(1), s"rank structure broken: $r")
+    }
+    // every doc with at least one token is tagged
+    val nDocs = graft.Tables.t(spark, sf(), "documents")
+      .filter(expr("size(filter(split(lower(text), '\\\\s+'), x -> x != ''))") > 0)
+      .count()
+    assert(perDoc.length.toLong == nDocs, "a tokenized doc has no keywords")
+    // consistency with text_tfidf: the rank-1 score IS the per-doc max
+    val top1 = kw.filter($"rank" === 1)
+      .select($"doc_id", $"tfidf").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val maxes = SparkEntry.queries("text_tfidf")(spark, sf())
+      .groupBy($"doc_id").agg(max($"tfidf").as("m")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(top1 == maxes, "rank-1 keyword is not the max tf-idf term")
+  }
+
+  test("dedup_canonical: one keeper per cluster, the longest lowest-id doc") {
+    import spark.implicits._
+    val canon = SparkEntry.queries("dedup_canonical")(spark, sf()).collect()
+    val clusters = SparkEntry.queries("dedup_clusters")(spark, sf())
+      .join(graft.Tables.t(spark, sf(), "documents")
+        .select($"doc_id", $"n_chars"), "doc_id")
+      .collect()
+      .groupBy(_.getLong(1)) // component
+    assert(canon.length == clusters.size, "one row per cluster")
+    canon.foreach { r =>
+      val (comp, keepId, keepChars, size) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val members = clusters(comp)
+      assert(members.length.toLong == size, s"cluster $comp size mismatch")
+      val best = members.map(m => (m.getLong(2), m.getLong(0)))
+        .minBy { case (chars, id) => (-chars, id) }
+      assert((keepChars, keepId) == best,
+        s"cluster $comp kept $keepId, expected ${best._2}")
+    }
+  }
 }
