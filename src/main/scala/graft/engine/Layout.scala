@@ -1,6 +1,7 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Physical-layout tools: bucketing for co-located joins and
   * aggregations (SURVEY.md §7.1 scale stance).
@@ -37,6 +38,81 @@ object Layout {
       leftKey: String, rightKey: String): DataFrame =
     spark.table(left).join(spark.table(right),
       spark.table(left)(leftKey) === spark.table(right)(rightKey))
+
+  /** 8-bit → 16-bit zero-gap bit spread (0bABCDEFGH → 0b0A0B0C0D0E0F0G0H)
+    * — the classic two-magic-masks Morton step, built from codegen'd
+    * bitwise columns only. */
+  private def spread8(c: Column): Column = {
+    val x1 = c.bitwiseOR(shiftleft(c, 4)).bitwiseAND(lit(0x0F0F))
+    val x2 = x1.bitwiseOR(shiftleft(x1, 2)).bitwiseAND(lit(0x3333))
+    x2.bitwiseOR(shiftleft(x2, 1)).bitwiseAND(lit(0x5555))
+  }
+
+  /** 16-bit Morton (Z-order) key from two 8-bit bucket indexes. */
+  def zKey(a: Column, b: Column): Column =
+    shiftleft(spread8(a), 1).bitwiseOR(spread8(b))
+
+  /** Quantile bucket index of `c` against precomputed boundaries: the
+    * number of boundaries ≤ c — an in-row fold over a literal array
+    * (codegen'd; 255 comparisons/row/dim, no join, no shuffle). */
+  private def bucketOf(c: Column, bounds: Array[Double]): Column =
+    size(filter(typedLit(bounds), b => b <= c))
+
+  /** Z-order (Morton) clustered rewrite on two numeric columns — the
+    * multi-dimensional data-skipping layout: a single-column sort gives
+    * perfect file-level min/max pruning on that column and NONE on any
+    * other; interleaving the bits of both columns' quantile ranks makes
+    * every file a small rectangle in (a, b) space, so predicates on
+    * EITHER column (or both) prune files. At 100 TB this is how a fact
+    * table serves two selective access paths without being stored twice.
+    *
+    * Mechanics: 255 approx-quantile boundaries per column (one driver
+    * array each — rank-quantization is skew-proof where min/max scaling
+    * is not), an in-row bucket fold, the 16-bit Morton interleave above,
+    * then ONE range repartition (the same single shuffle a plain
+    * sort-write costs) with files written in z-key order. The range key
+    * leads with the ALIGNED Morton tile (z divided into `files` equal
+    * z-ranges): an unaligned file boundary would let one file straddle a
+    * high-bit Morton jump and inherit a near-full-range bounding box on
+    * one dim; leading with the tile id pins file splits to the tile grid
+    * (pick `files` a power of 4 for square tiles). ZOrderSpec asserts
+    * the skipping effect: a narrow slice on EITHER column prunes most
+    * z-files, while the single-column sort cannot prune the other dim. */
+  def zOrderWrite(df: DataFrame, colA: String, colB: String,
+      dstDir: String, files: Int): Unit = {
+    require(files >= 1)
+    val probs = (1 to 255).map(_ / 256.0).toArray
+    // one pass, both columns: approxQuantile on the pair
+    val Array(boundsA, boundsB) =
+      df.stat.approxQuantile(Array(colA, colB), probs, 0.001)
+    val spark = df.sparkSession
+    // range boundaries must land exactly on tile ids (only `files`
+    // distinct values): the default 100-samples-per-partition boundary
+    // estimate routinely fuses two tiles into one file, whose bounding
+    // box then spans both — sample densely for this one exchange
+    val sampleKey = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    val prev = spark.conf.getOption(sampleKey)
+    spark.conf.set(sampleKey, "5000")
+    try {
+      // range key = the tile id ALONE: adding __z to the range key makes
+      // every sampled boundary a (tile, z) pair that splits INSIDE a
+      // tile at its median z, shifting each file half a tile off the
+      // grid; z only orders rows within the file (row-group locality)
+      df.withColumn("__z",
+          zKey(bucketOf(col(colA).cast("double"), boundsA),
+            bucketOf(col(colB).cast("double"), boundsB)))
+        .withColumn("__tile", floor(col("__z") * files / 65536))
+        .repartitionByRange(files, col("__tile"))
+        .sortWithinPartitions("__tile", "__z")
+        .drop("__tile", "__z")
+        .write.mode("overwrite").parquet(dstDir)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(sampleKey, v)
+        case None => spark.conf.unset(sampleKey)
+      }
+    }
+  }
 
   /** Small-file compaction: rewrite a parquet directory into
     * ceil(totalBytes / targetBytes) files. Long-running ingest (striped

@@ -275,6 +275,34 @@ object EventStream {
         col("b_ts") <= col("a_ts") + expr(s"INTERVAL $seconds SECONDS"))
   }
 
+  /** Stream-stream LEFT OUTER interval join: every purchase, matched to
+    * the same user's clicks in the `seconds` window before it — or
+    * null-extended when no click arrives. The outer side is the part
+    * inner joins can't express: an unmatched purchase is emitted (with
+    * null click columns) only once the click-side watermark proves no
+    * matching click can still arrive, which is exactly the point at
+    * which Spark can also DROP the buffered purchase from state. Both
+    * watermarks plus the time-bound condition keep state finite at any
+    * scale; in batch mode the same plan is a plain left join (parity
+    * asserted in StreamingSpec). Append-mode caveat: null-extended rows
+    * for the newest purchases stay withheld until a later batch advances
+    * the watermark — the flush is tested explicitly. */
+  def purchasesWithClicks(events: DataFrame, seconds: Int): DataFrame = {
+    import events.sparkSession.implicits._
+    def side(tpe: String, p: String) = {
+      val s = events.filter($"event_type" === tpe)
+        .select($"user_id".as(s"${p}_user"), $"ts".as(s"${p}_ts"),
+          $"event_id".as(s"${p}_id"))
+      if (s.isStreaming) s.withWatermark(s"${p}_ts", "1 hour") else s
+    }
+    side("purchase", "p").join(side("click", "c"),
+        $"p_user" === $"c_user" &&
+          $"c_ts" >= $"p_ts" - expr(s"INTERVAL $seconds SECONDS") &&
+          $"c_ts" <= $"p_ts",
+        "left_outer")
+      .select($"p_user".as("user_id"), $"p_id", $"p_ts", $"c_id", $"c_ts")
+  }
+
   /** Launch helper: run a streaming query over a parquet directory into
     * an in-memory table and block until all available data is processed. */
   def runToMemory(spark: SparkSession, srcDir: String,

@@ -234,6 +234,70 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("stream-stream LEFT OUTER join: matches emit live, null rows on flush") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_louter").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: click then purchase 30s later (matched); user 2: purchase
+    // with no click (must null-extend once the watermark passes it)
+    Seq(
+      (1L, ts("2024-06-01 10:00:00"), "click", 100L),
+      (1L, ts("2024-06-01 10:00:30"), "purchase", 101L),
+      (2L, ts("2024-06-01 10:01:00"), "purchase", 200L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+      .write.parquet(s"$dir/b1")
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val q = EventStream.purchasesWithClicks(
+        spark.readStream.schema(schema).parquet(s"$dir/*"), 60)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("louter").start()
+    try {
+      q.processAllAvailable()
+      // the matched pair emits as soon as both sides arrive...
+      val live = spark.table("louter").collect()
+      assert(live.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 101L)),
+        s"expected only the matched purchase live, got ${live.toSeq}")
+      // ...the unmatched purchase is withheld: no click can be ruled out
+      // until the click-side watermark passes p_ts
+      assert(!live.exists(_.getLong(0) == 2L))
+      // far-future events advance the watermark (1h delay) beyond user
+      // 2's purchase — on BOTH sides: the query watermark is the MIN
+      // over the two watermark nodes, so a click alone would leave the
+      // purchase-side watermark (and the join's flush point) behind.
+      // The null-extended row must then flush and its state drop; the
+      // far purchase itself stays withheld (its own no-click verdict is
+      // still open).
+      Seq((3L, ts("2024-06-01 20:00:00"), "click", 300L),
+          (4L, ts("2024-06-01 20:00:00"), "purchase", 301L))
+        .toDF("user_id", "ts", "event_type", "event_id")
+        .write.parquet(s"$dir/b2")
+      q.processAllAvailable()
+      val all = spark.table("louter").orderBy($"user_id").collect()
+      assert(all.map(r => (r.getLong(0), r.getLong(1), r.isNullAt(3))).toSeq ==
+        Seq((1L, 101L, false), (2L, 200L, true)),
+        s"expected user 2 null-extended after flush, got ${all.toSeq}")
+    } finally q.stop()
+
+    // batch parity: the same transform over a batch frame is a plain
+    // left join — same rows as the flushed streaming table on the fixture
+    val batch = EventStream.purchasesWithClicks(
+        spark.read.parquet(stagedEvents), 60)
+      .orderBy($"user_id", $"p_id", $"c_id").collect()
+    val expected = {
+      val ev = spark.read.parquet(stagedEvents)
+      val p = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts".as("p_ts"), $"event_id".as("p_id"))
+      val c = ev.filter($"event_type" === "click")
+        .select($"user_id".as("cu"), $"ts".as("c_ts"), $"event_id".as("c_id"))
+      p.join(c, $"user_id" === $"cu" &&
+          $"c_ts" >= $"p_ts" - expr("INTERVAL 60 SECONDS") &&
+          $"c_ts" <= $"p_ts", "left_outer")
+        .select($"user_id", $"p_id", $"p_ts", $"c_id", $"c_ts")
+        .orderBy($"user_id", $"p_id", $"c_id").collect()
+    }
+    assert(batch.nonEmpty && batch.toSeq == expected.toSeq)
+  }
+
   test("dedup state survives a query restart via checkpoint (exactly-once)") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_restart").toString
