@@ -232,28 +232,60 @@ object EventStream {
     * fold in (event-time, event_id) order per micro-batch, which is
     * exactly the batch query's window frame order, so a single-batch
     * pass reproduces it row-for-row (asserted in StreamingSpec); the
-    * usual cross-batch late-data caveat applies. */
+    * usual cross-batch late-data caveat applies.
+    *
+    * State eviction is SEMANTICS-PRESERVING, unlike a session timeout:
+    * a click only influences purchases in the next 24h, and the 1h
+    * watermark already drops purchases older than the watermark — so
+    * once the watermark passes lastClick + 24h, no admissible purchase
+    * can ever be credited to that click and the user's state row can be
+    * dropped invisibly (event-time timeout; idle users cost nothing
+    * forever, asserted via state-store row counts in StreamingSpec).
+    * Batch mode keeps the single-pass NoTimeout shape. */
   def attributedPurchases(events: DataFrame): Dataset[Attribution] = {
     import events.sparkSession.implicits._
-    events.filter($"event_type".isin("click", "purchase"))
+    val isBatch = !events.isStreaming
+    val src = if (isBatch) events else events.withWatermark("ts", "1 hour")
+    // `ts` rides along: the event-time-timeout checker requires the
+    // watermarked column to reach the state operator (same as
+    // sessionizeCustom)
+    src.filter($"event_type".isin("click", "purchase"))
       .select($"user_id".cast("long"), $"event_type",
-        unix_micros($"ts").as("us"), $"value", $"event_id")
-      .as[(Long, String, Long, Double, Long)]
+        unix_micros($"ts").as("us"), $"value", $"event_id", $"ts")
+      .as[(Long, String, Long, Double, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append(),
-          GroupStateTimeout.NoTimeout) {
-        (user: Long, batch: Iterator[(Long, String, Long, Double, Long)],
+          if (isBatch) GroupStateTimeout.NoTimeout
+          else GroupStateTimeout.EventTimeTimeout) {
+        (user: Long,
+         batch: Iterator[(Long, String, Long, Double, Long, java.sql.Timestamp)],
          state: GroupState[Long]) =>
-          var lastClick = state.getOption.getOrElse(-1L)
-          val out = Seq.newBuilder[Attribution]
-          batch.toArray.sortBy(e => (e._3, e._5)).foreach {
-            case (_, et, us, v, _) =>
-              if (et == "click") lastClick = us
-              else out += Attribution(user, us,
-                lastClick >= 0 && us - lastClick <= 86400000000L, v)
+          if (state.hasTimedOut) {
+            // watermark ≥ lastClick + 24h: the click is dead weight
+            state.remove()
+            Iterator.empty
+          } else {
+            var lastClick = state.getOption.getOrElse(-1L)
+            val out = Seq.newBuilder[Attribution]
+            batch.toArray.sortBy(e => (e._3, e._5)).foreach {
+              case (_, et, us, v, _, _) =>
+                if (et == "click") lastClick = us
+                else out += Attribution(user, us,
+                  lastClick >= 0 && us - lastClick <= 86400000000L, v)
+            }
+            if (lastClick >= 0) {
+              state.update(lastClick)
+              if (!isBatch) {
+                // timeouts must sit beyond the current watermark: a late
+                // click already inside the eviction horizon times out at
+                // the next possible instant instead of throwing
+                val horizonMs = lastClick / 1000L + 86400000L + 1L
+                state.setTimeoutTimestamp(
+                  math.max(horizonMs, state.getCurrentWatermarkMs() + 1L))
+              }
+            }
+            out.result().iterator
           }
-          if (lastClick >= 0) state.update(lastClick)
-          out.result().iterator
       }
   }
 

@@ -234,6 +234,45 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("attribution state evicts invisibly once a click's 24h horizon passes") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_attr_evict").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // two users hold click state; user 1 also converts within 24h
+    Seq(
+      (1L, ts("2024-06-01 10:00:00"), "click", 0.0, 100L),
+      (1L, ts("2024-06-01 11:00:00"), "purchase", 9.5, 101L),
+      (2L, ts("2024-06-01 10:30:00"), "click", 0.0, 200L))
+      .toDF("user_id", "ts", "event_type", "value", "event_id")
+      .write.parquet(s"$dir/b1")
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val q = EventStream.attributedPurchases(
+        spark.readStream.schema(schema).parquet(s"$dir/*")).toDF()
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("attr_evict").start()
+    try {
+      q.processAllAvailable()
+      val live = spark.table("attr_evict").collect()
+      assert(live.map(r => (r.getLong(0), r.getBoolean(2))).toSeq ==
+        Seq((1L, true)), s"expected user 1 attributed, got ${live.toSeq}")
+      def stateRows: Long =
+        q.recentProgress.flatMap(_.stateOperators.map(_.numRowsTotal))
+          .lastOption.getOrElse(-1L)
+      assert(stateRows == 2L, s"both clicks held as state, got $stateRows")
+      // three days later: the watermark passes both clicks' 24h horizons
+      // — their state rows must be dropped, and that eviction is
+      // invisible (any future purchase by users 1/2 would be
+      // non-attributed with OR without the state row)
+      Seq((3L, ts("2024-06-04 12:00:00"), "click", 0.0, 300L))
+        .toDF("user_id", "ts", "event_type", "value", "event_id")
+        .write.parquet(s"$dir/b2")
+      q.processAllAvailable()
+      assert(stateRows == 1L,
+        s"users 1-2 evicted, only user 3's click held; got $stateRows")
+      assert(spark.table("attr_evict").count() == 1, "eviction emitted rows")
+    } finally q.stop()
+  }
+
   test("stream-stream LEFT OUTER join: matches emit live, null rows on flush") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_louter").toString
