@@ -40,9 +40,10 @@ object MapReduceQueries {
         .orderBy($"word")
     }),
 
-    // Faithful log_analyzer report over synthesized crawler-log lines
-    // (deterministic per-reducer report; no SQL oracle — rows-only check;
-    // covered by golden-file unit tests instead).
+    // Faithful log_analyzer report over synthesized crawler-log lines —
+    // deterministic per-reducer reports, oracle-checked down to the
+    // exact report strings (see the oracle's scaladoc), plus
+    // golden-file unit tests.
     "mr_log_report" -> ((s, d) => {
       import s.implicits._
       val lines = t(s, d, "events")
@@ -66,8 +67,69 @@ object MapReduceQueries {
         .orderBy($"rid", $"out_line")
     }))
 
-  // mr_log_report is intentionally absent: report lines are not
-  // SQL-expressible; the driver records a rows-only check for it.
+  // mr_log_report IS oracle-checked, report formatting and all: every
+  // synthesized key starts with 'c' (crawler-N), so the first-byte
+  // partitioner routes ALL keys to rid ascii('c') % 10 = 9 — one real
+  // report plus nine empty-partition reports (two zero-count lines
+  // each, fReduce runs on every partition). The SQL reproduces the
+  // L2-L6 normalization, the three per-key counts, the pinned
+  // (count DESC, key ASC) top-k, and the exact report strings.
   val oracle: Map[String, String] = Map(
-    "mr_word_count" -> TextWordCount.oracle("wc_word_counts"))
+    "mr_word_count" -> TextWordCount.oracle("wc_word_counts"),
+
+    "mr_log_report" ->
+      """WITH raw AS (
+        |  SELECT 'crawler-' || (user_id % 7) AS crawler,
+        |    CASE WHEN user_id % 7 = 0
+        |      THEN '10.0.0.' || (user_id % 256) || ':8080/p/' || event_id
+        |      ELSE event_type || '.site' || (user_id % 5) ||
+        |           '.example.com/p/' || event_id
+        |    END AS noscheme
+        |  FROM events),
+        |parts AS (
+        |  SELECT crawler,
+        |    split_part(noscheme, '/', 1) AS domain0,
+        |    substr(noscheme, strpos(noscheme, '/') + 1) AS path
+        |  FROM raw),
+        |norm AS (
+        |  SELECT crawler,
+        |    CASE WHEN regexp_matches(domain0, '^[0-9]')
+        |         THEN regexp_replace(domain0, ':[0-9]*$', '')
+        |         ELSE CASE WHEN len(string_split(domain0, '.')) > 2
+        |                   THEN regexp_replace(domain0, '^[^.]*\.', '')
+        |                   ELSE domain0 END
+        |    END AS domain,
+        |    path
+        |  FROM parts),
+        |crawler_counts AS (SELECT crawler, COUNT(*) AS n FROM norm
+        |                   GROUP BY crawler),
+        |domain_counts AS (SELECT domain, COUNT(*) AS n FROM norm
+        |                  GROUP BY domain),
+        |uniq AS (SELECT (SELECT COUNT(DISTINCT domain || path) FROM norm)
+        |       + (SELECT COUNT(DISTINCT domain) FROM norm) AS u_urls,
+        |       (SELECT COUNT(DISTINCT domain) FROM norm) AS u_domains),
+        |top_d AS (SELECT domain FROM domain_counts
+        |          ORDER BY n DESC, domain LIMIT 10),
+        |top_c AS (SELECT crawler FROM crawler_counts
+        |          ORDER BY n DESC, crawler LIMIT 5),
+        |report9 AS (
+        |  SELECT '* Unique URLs:    ' || u_urls AS line FROM uniq
+        |  UNION ALL SELECT '* Unique Domains: ' || u_domains FROM uniq
+        |  UNION ALL SELECT '* Top ' || (SELECT COUNT(*) FROM top_d)
+        |            || ' Websites:'
+        |  UNION ALL SELECT '    - ' || domain FROM top_d
+        |  UNION ALL SELECT '* Top ' || (SELECT COUNT(*) FROM top_c)
+        |            || ' Crawlers:'
+        |  UNION ALL SELECT '    - ' || crawler FROM top_c),
+        |empties AS (
+        |  SELECT rid, l FROM range(9) t(rid),
+        |    (VALUES ('* Unique URLs:    0'), ('* Unique Domains: 0')) v(l)),
+        |all_lines AS (
+        |  SELECT CAST(rid AS INT) AS rid, l AS line FROM empties
+        |  UNION ALL SELECT 9, line FROM report9)
+        |SELECT rid,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY rid ORDER BY line) AS INT)
+        |    AS out_line,
+        |  line
+        |FROM all_lines ORDER BY rid, out_line""".stripMargin)
 }
