@@ -179,6 +179,36 @@ object EventsLog {
         .orderBy($"user_id")
     }),
 
+    // Event-type co-occurrence within 30-minute sessions — the
+    // market-basket structure over the event log ("which behaviors
+    // appear in the same visit"). Sessionization is the same lag-based
+    // gaps-and-islands pass as log_sessions (one shuffle + sort per
+    // user); each session then contributes its DISTINCT type set, and the
+    // unordered pair explode is bounded by (|types| choose 2) <= 10 rows
+    // per session — per-row state never exceeds the type alphabet, so
+    // the op is one window pass + two cheap aggs at any corpus size.
+    "log_cooccurrence" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+      t(s, d, "events")
+        .withColumn("prev", lag($"ts", 1).over(w))
+        .withColumn("new_s",
+          when($"prev".isNull ||
+            (unix_micros($"ts") - unix_micros($"prev")) > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sess", sum($"new_s").over(w))
+        .groupBy($"user_id", $"sess")
+        .agg(expr("array_sort(collect_set(event_type))").as("types"))
+        .select(explode(expr(
+          """flatten(transform(types, (a, i) ->
+            |  transform(slice(types, i + 2, size(types)),
+            |    b -> named_struct('type_a', a, 'type_b', b))))""".stripMargin))
+          .as("p"))
+        .groupBy($"p.type_a".as("type_a"), $"p.type_b".as("type_b"))
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy($"type_a", $"type_b")
+    }),
+
     // As-of join: for each event, the most recent order (by date) of the
     // customer with c_custkey = user_id at or before the event time.
     // Spark lacks a native as-of operator; the scalable composition is
@@ -593,6 +623,27 @@ object EventsLog {
         |        FROM events))
         |SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "log_cooccurrence" ->
+      """WITH g AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM (SELECT user_id, event_type, ts, event_id,
+        |          LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |        FROM events)),
+        |s AS (
+        |  SELECT user_id, event_type,
+        |    SUM(new_s) OVER (PARTITION BY user_id
+        |                     ORDER BY ts, event_id) AS sess
+        |  FROM g),
+        |ty AS (SELECT DISTINCT user_id, sess, event_type FROM s),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+        |      FROM ty a JOIN ty b
+        |        ON a.user_id = b.user_id AND a.sess = b.sess
+        |       AND a.event_type < b.event_type)
+        |SELECT type_a, type_b, COUNT(*) AS n_sessions
+        |FROM p GROUP BY type_a, type_b ORDER BY type_a, type_b""".stripMargin,
 
     "q_asof_join" ->
       """WITH o2 AS (

@@ -163,6 +163,37 @@ object Similarity {
         .orderBy($"vec_a", $"vec_b", $"vec_c")
     }),
 
+    // Mutual k-NN graph (k=3) within each label bucket — the edge
+    // structure semantic-dedup clustering actually consumes (a pair
+    // survives only if EACH side ranks the other in its top-3). Cosines
+    // are computed once per unordered pair, then mirrored to both
+    // directions for the per-source ranking; the rank<=3 filter plans as
+    // the custom TopKPerKey node (no full WindowExec sort spill), and the
+    // mutuality check is a self-equi-join of the tiny k-NN edge list on
+    // the reversed pair. At 100 TB the label bucket is the IVF/LSH cell:
+    // pair work stays quadratic only within a cell, never across the
+    // corpus.
+    "sim_mutual_knn" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      withCosine(s)
+      val emb = t(s, d, "embeddings")
+        .select($"label", $"vec_id", $"embedding".cast("array<double>").as("v"))
+      val pairs = emb.as("a").join(emb.as("b"),
+          $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
+        .select($"a.vec_id".as("va"), $"b.vec_id".as("vb"),
+          round(cosine("a.v", "b.v"), 4).as("sim"))
+      val sims = pairs.select($"va".as("src"), $"vb".as("dst"), $"sim")
+        .union(pairs.select($"vb".as("src"), $"va".as("dst"), $"sim"))
+      val w = Window.partitionBy($"src").orderBy($"sim".desc, $"dst".asc)
+      val knn = sims.withColumn("rk", row_number().over(w)).filter($"rk" <= 3)
+      knn.as("x").join(knn.as("y"),
+          $"x.src" === $"y.dst" && $"x.dst" === $"y.src" && $"x.src" < $"x.dst")
+        .select($"x.src".as("vec_a"), $"x.dst".as("vec_b"),
+          $"x.sim".as("cos_sim"))
+        .orderBy($"vec_a", $"vec_b")
+    }),
+
     // Two-stage IVF ANN: assign every vector to its nearest of 8
     // "centroids" (vec_id < 8); probe the query's 2 nearest cells; rank
     // only candidates in probed cells. This is the real IVF shape: at
@@ -532,6 +563,27 @@ object Similarity {
         |JOIN ed e2 ON e2.va = e1.va AND e2.vb > e1.vb
         |JOIN ed e3 ON e3.va = e1.vb AND e3.vb = e2.vb
         |ORDER BY vec_a, vec_b, vec_c""".stripMargin,
+
+    "sim_mutual_knn" ->
+      """WITH e AS (SELECT label, vec_id, embedding::DOUBLE[] AS v
+        |           FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb,
+        |    ROUND(list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2])) /
+        |      (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(b.v, x -> x * x)))), 4) AS sim
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
+        |s AS (SELECT va AS src, vb AS dst, sim FROM p
+        |      UNION ALL SELECT vb, va, sim FROM p),
+        |k AS (SELECT src, dst, sim,
+        |        ROW_NUMBER() OVER (PARTITION BY src
+        |                           ORDER BY sim DESC, dst) AS rk
+        |      FROM s),
+        |kk AS (SELECT src, dst, sim FROM k WHERE rk <= 3)
+        |SELECT x.src AS vec_a, x.dst AS vec_b, x.sim AS cos_sim
+        |FROM kk x JOIN kk y
+        |  ON x.src = y.dst AND x.dst = y.src AND x.src < x.dst
+        |ORDER BY vec_a, vec_b""".stripMargin,
 
     "sim_ivf_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -157,6 +157,28 @@ object TextAnalysis {
             expr("filter(split(lower(text), '\\\\s+'), x -> x != '')"))), " ")
             .cast("binary")).as("fp"))
         .orderBy($"doc_id")
+    }),
+
+    // Unigram Shannon entropy per document — the standard
+    // gibberish/degenerate-text screen (low entropy = repetitive spam,
+    // near-max = random noise). Computed from exact token counts as
+    // log2(n) - sum(c*log2(c))/n, so the only floating work is the final
+    // fold (rounded to 4 dp; identical count operands on both engines).
+    // Two chained 2-phase hash aggs, both keyed on doc_id first — the
+    // second groupBy reuses the first's hash partitioning (no extra
+    // exchange); nothing is per-corpus state, so the op scales linearly.
+    "text_entropy" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .select($"doc_id", explode(split(lower($"text"), "\\s+")).as("tok"))
+        .filter($"tok" =!= "")
+        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id")
+        .agg(sum($"c").as("n"),
+          sum($"c".cast("double") * log(2.0, $"c")).as("clg"))
+        .select($"doc_id", $"n".as("n_tokens"),
+          round(log(2.0, $"n") - $"clg" / $"n", 4).as("entropy"))
+        .orderBy($"doc_id")
     }))
 
   /** Winnowing fingerprint extraction (one (doc_id, fp) row per selected
@@ -196,6 +218,14 @@ object TextAnalysis {
       |        FROM documents) WHERE tok <> '')""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "text_entropy" ->
+      s"""WITH $tokCte,
+         |c AS (SELECT doc_id, tok, COUNT(*) AS c
+         |      FROM tk GROUP BY doc_id, tok)
+         |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |  ROUND(log2(SUM(c)) - SUM(c * log2(c)) / SUM(c), 4) AS entropy
+         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "text_quality" ->
       s"""WITH $tokCte
          |SELECT doc_id, COUNT(*) AS n_tokens,

@@ -38,6 +38,7 @@ class PlanHygieneSpec extends SparkSpec {
     "sim_lsh_topk",          // 1-row hyperplane matrix + 1-row query sig
     "sim_lsh_multiprobe",    // 1-row hyperplane matrix + 5 probe rows
     "text_tfidf",            // 1-row corpus doc count
+    "text_keywords",         // 1-row corpus doc count (same idf input)
     "q11_important_parts",   // 1-row global lineitem value
     "q15_top_supplier",      // 1-row max quarterly revenue
     "q20_heavy_suppliers",   // 1-row per-supplier volume total
