@@ -168,7 +168,9 @@ object Similarity {
     // survives only if EACH side ranks the other in its top-3). Cosines
     // are computed once per unordered pair, then mirrored to both
     // directions for the per-source ranking; the rank<=3 filter plans as
-    // the custom TopKPerKey node (no full WindowExec sort spill), and the
+    // a rank-limit operator on both join sides (Spark's WindowGroupLimit
+    // with map-side partial top-k on one, the custom TopKPerKey on the
+    // other — either way no full WindowExec sort spill), and the
     // mutuality check is a self-equi-join of the tiny k-NN edge list on
     // the reversed pair. At 100 TB the label bucket is the IVF/LSH cell:
     // pair work stays quadratic only within a cell, never across the
