@@ -222,6 +222,29 @@ object Dedup {
         .orderBy($"doc_a", $"doc_b")
     }),
 
+    // First-occurrence novelty scoring — per doc, the fraction of its
+    // distinct 3-shingles that no LOWER-doc_id document contains (doc_id
+    // = ingestion order, so this is "how much of this doc is new to the
+    // corpus"), the curation signal behind incremental-crawl admission.
+    // One shingle-keyed min-agg builds the first-occurrence table; the
+    // join back to the per-doc shingle set reuses the same hash
+    // partitioning (no third shuffle of the wide data), and shingles
+    // travel as 8-byte xxhash64 keys. At 100 TB the shingle table is the
+    // same global n-gram index every dedup pass already builds; a
+    // frequency-capped or bloom-pruned variant drops the long tail.
+    "text_novelty" -> ((s, d) => {
+      import s.implicits._
+      val sh = shingles(s, d, 3, hashed = true)
+      val first = sh.groupBy($"shingle").agg(min($"doc_id").as("first_doc"))
+      sh.join(first, "shingle")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
+        .select($"doc_id", $"n_shingles", $"n_novel",
+          round($"n_novel".cast("double") / $"n_shingles", 4).as("novelty"))
+        .orderBy($"doc_id")
+    }),
+
     // MinHash signature table (k=6 salted-md5 min-hashes over 3-shingles).
     "dedup_minhash_sigs" -> ((s, d) => {
       import s.implicits._
@@ -408,6 +431,18 @@ object Dedup {
          |JOIN sizes sb ON sb.doc_id = doc_b
          |WHERE shared * 3 >= sa.n + sb.n
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "text_novelty" ->
+      s"""WITH ${shinglesSql(3, "sh")},
+         |f AS (SELECT shingle, MIN(doc_id) AS first_doc
+         |      FROM sh GROUP BY shingle)
+         |SELECT s.doc_id, COUNT(*) AS n_shingles,
+         |  CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_novel,
+         |  ROUND(CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+         |             AS DOUBLE) / COUNT(*), 4) AS novelty
+         |FROM sh s JOIN f USING (shingle)
+         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
 
     "dedup_minhash_sigs" ->
       s"""$sigSql

@@ -163,6 +163,28 @@ object Similarity {
         .orderBy($"vec_a", $"vec_b", $"vec_c")
     }),
 
+    // Pairwise-similarity histogram (0.1-wide cosine buckets, clamped to
+    // [-1, 1)) over within-label pairs — the distribution profile used
+    // to CHOOSE a near-dup threshold before running the dedup pass. One
+    // pass over the pair stream folding straight into a <= 20-row agg;
+    // the only full-size work is the pair cosine already bounded by the
+    // label/IVF-cell bucketing, so the profile costs no more than one
+    // candidate-generation round.
+    "sim_threshold_hist" -> ((s, d) => {
+      import s.implicits._
+      withCosine(s)
+      val emb = t(s, d, "embeddings")
+        .select($"label", $"vec_id", $"embedding".cast("array<double>").as("v"))
+      emb.as("a").join(emb.as("b"),
+          $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
+        .select(round(cosine("a.v", "b.v"), 4).as("sim"))
+        .select(greatest(lit(-10L),
+          least(lit(9L), floor($"sim" * 10))).as("bucket"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy($"bucket")
+    }),
+
     // Mutual k-NN graph (k=3) within each label bucket — the edge
     // structure semantic-dedup clustering actually consumes (a pair
     // survives only if EACH side ranks the other in its top-3). Cosines
@@ -565,6 +587,18 @@ object Similarity {
         |JOIN ed e2 ON e2.va = e1.va AND e2.vb > e1.vb
         |JOIN ed e3 ON e3.va = e1.vb AND e3.vb = e2.vb
         |ORDER BY vec_a, vec_b, vec_c""".stripMargin,
+
+    "sim_threshold_hist" ->
+      """WITH e AS (SELECT label, vec_id, embedding::DOUBLE[] AS v
+        |           FROM embeddings),
+        |p AS (
+        |  SELECT ROUND(list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2])) /
+        |      (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(b.v, x -> x * x)))), 4) AS sim
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT GREATEST(-10, LEAST(9, CAST(FLOOR(sim * 10) AS BIGINT))) AS bucket,
+        |  COUNT(*) AS n_pairs
+        |FROM p GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "sim_mutual_knn" ->
       """WITH e AS (SELECT label, vec_id, embedding::DOUBLE[] AS v
