@@ -175,6 +175,71 @@ object EventStream {
       }
   }
 
+  case class TypePair(user_id: Long, s_start: Long,
+      type_a: String, type_b: String)
+
+  /** Streaming session co-occurrence — the unbounded-stream twin of the
+    * declared `log_cooccurrence` batch query. Per-user state is the open
+    * session's (start, last, distinct-type list); the list is bounded by
+    * the event-type ALPHABET, not the event volume, so state stays a few
+    * dozen bytes per user at any stream length. A session emits its
+    * unordered type pairs the moment it closes — gap exceeded in-stream,
+    * or event-time timeout once the watermark passes the session end
+    * (same arming discipline as sessionizeCustom) — so downstream pair
+    * counting is an ordinary incremental streaming aggregation. Batch
+    * mode sees each user's history whole and reproduces the declared
+    * query's pair multiset exactly (asserted in StreamingSpec); the
+    * late-data caveat is also sessionizeCustom's. */
+  def sessionTypePairs(events: DataFrame, gapUs: Long,
+      wmDelay: String = "1 hour"): Dataset[TypePair] = {
+    import events.sparkSession.implicits._
+    val isBatch = !events.isStreaming
+    val in = if (isBatch) events else events.withWatermark("ts", wmDelay)
+    def pairs(user: Long, start: Long, tys: Seq[String]): Iterator[TypePair] = {
+      val st = tys.sorted
+      st.indices.iterator.flatMap(i =>
+        (i + 1 until st.size).iterator.map(j =>
+          TypePair(user, start, st(i), st(j))))
+    }
+    in.select($"user_id".cast("long"), unix_micros($"ts").as("us"),
+        $"event_type", $"ts")
+      .as[(Long, Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+          if (isBatch) GroupStateTimeout.NoTimeout
+          else GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, batch: Iterator[(Long, Long, String, java.sql.Timestamp)],
+         state: GroupState[(Long, Long, Seq[String])]) =>
+          if (state.hasTimedOut) {
+            val (start, _, tys) = state.get
+            state.remove()
+            pairs(user, start, tys)
+          } else {
+            val evs = batch.map(e => (e._2, e._3)).toArray.sorted
+            var (start, last, tys) =
+              state.getOption.getOrElse((-1L, -1L, Seq.empty[String]))
+            val out = Seq.newBuilder[TypePair]
+            evs.foreach { case (ts, ty) =>
+              if (start < 0) { start = ts; last = ts; tys = Seq(ty) }
+              else if (ts - last > gapUs) {
+                out ++= pairs(user, start, tys)
+                start = ts; last = ts; tys = Seq(ty)
+              } else { last = ts; if (!tys.contains(ty)) tys = tys :+ ty }
+            }
+            if (start >= 0) {
+              state.update((start, last, tys))
+              if (isBatch) out ++= pairs(user, start, tys)
+              else {
+                val endMs = (last + gapUs) / 1000
+                state.setTimeoutTimestamp(
+                  math.max(endMs, state.getCurrentWatermarkMs() + 1))
+              }
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   case class FunnelHit(user_id: Long, stage: String, t_us: Long)
 
   /** Streaming ordered-funnel detection via flatMapGroupsWithState — the

@@ -170,6 +170,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session type pairs: batch rollup == log_cooccurrence; streaming flush") {
+    import spark.implicits._
+    // batch parity: rolling the emitted pairs up by type pair must equal
+    // the declared lag-based query row-for-row
+    val rolled = EventStream
+      .sessionTypePairs(t(spark, sf(), "events"), 1800000000L)
+      .groupBy($"type_a", $"type_b").agg(count(lit(1)).as("n_sessions"))
+      .orderBy($"type_a", $"type_b").collect()
+    val declared = graft.queries.EventsLog
+      .queries("log_cooccurrence")(spark, sf()).collect()
+    assert(rolled.nonEmpty)
+    assert(rolled.toSeq == declared.toSeq)
+
+    // streaming: pairs for a closed session appear only after the
+    // watermark passes its end (event-time timeout), and carry the
+    // session's distinct sorted types
+    val dir = Files.createTempDirectory("graft_cooc_to").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 10:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-06-01 10:05:00")
+    val t2 = java.sql.Timestamp.valueOf("2024-06-01 10:10:00")
+    val far = java.sql.Timestamp.valueOf("2024-06-01 20:00:00")
+    Seq((1L, t0, "view"), (1L, t1, "click"), (1L, t2, "view"))
+      .toDF("user_id", "ts", "event_type").write.parquet(s"$dir/b1")
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val q = EventStream.sessionTypePairs(
+        spark.readStream.schema(schema).parquet(s"$dir/*"), 1800000000L).toDF()
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("cooc_timeout").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("cooc_timeout").isEmpty,
+        "open session must not emit pairs yet")
+      Seq((2L, far, "error")).toDF("user_id", "ts", "event_type")
+        .write.parquet(s"$dir/b2")
+      q.processAllAvailable()
+      val got = spark.table("cooc_timeout")
+        .select($"user_id", $"type_a", $"type_b").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      assert(got.toSeq == Seq((1L, "click", "view")),
+        s"expected user 1's single click/view pair, got ${got.toSeq}")
+    } finally q.stop()
+  }
+
   test("funnel hits: batch pass reproduces log_funnel; streaming == batch") {
     import spark.implicits._
     val batch = EventStream.funnelHits(spark.read.parquet(stagedEvents))
