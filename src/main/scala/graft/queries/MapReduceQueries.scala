@@ -25,6 +25,43 @@ object MapReduceQueries {
       WordCountJob.sumByKey(partition).map { case (k, v) => s"$k\t$v" }
   }
 
+  /** Inverted index through the engine — the third canonical MapReduce
+    * job (after the reference's two example plugins): map emits
+    * (normalized token, doc id); reduce walks the sorted partition's
+    * adjacent runs with O(1) state, emitting per-token posting-list
+    * summaries (n_postings, n_docs, min/max doc). Shows the plugin
+    * contract generalizes beyond the shipped examples with zero engine
+    * changes. */
+  private object InvertedIndexJob extends MrJob {
+    val R = 26
+    override def fMap(file: String, lineNo: Long, line: String): Iterator[(String, String)] =
+      WordCountJob.fMap(file, lineNo, line)
+        .map { case (tok, _) => (tok, lineNo.toString) }
+    override def fReduce(partition: Iterator[(String, String)]): Iterator[String] = {
+      val it = partition.buffered
+      new Iterator[String] {
+        override def hasNext: Boolean = it.hasNext
+        override def next(): String = {
+          val key = it.head._1
+          var n = 0L; var nDocs = 0L
+          var minD = Long.MaxValue; var maxD = Long.MinValue; var prev = -1L
+          while (it.hasNext && it.head._1 == key) {
+            it.next()._2.trim.toLongOption.foreach { d =>
+              n += 1
+              // the shuffle sorts values lexicographically per key, which
+              // is enough for distinct counting: equal doc-id strings are
+              // adjacent under ANY total order (min/max don't care)
+              if (d != prev) { nDocs += 1; prev = d }
+              if (d < minD) minD = d
+              if (d > maxD) maxD = d
+            }
+          }
+          s"$key\t$n\t$nDocs\t$minD\t$maxD"
+        }
+      }
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Full engine word-count over documents.text; output parsed back to
     // (word, cnt) and globally ordered — oracle-identical to the
@@ -37,6 +74,22 @@ object MapReduceQueries {
         .select(
           split($"line", "\t").getItem(0).as("word"),
           split($"line", "\t").getItem(1).cast("long").as("cnt"))
+        .orderBy($"word")
+    }),
+
+    // Inverted-index posting summaries through the full engine path,
+    // parsed back to typed columns and oracle-checked.
+    "mr_inverted_index" -> ((s, d) => {
+      import s.implicits._
+      val input = MrPipeline.tableLines(
+        t(s, d, "documents"), "documents", "doc_id", "text")(s)
+      MrPipeline.run(s, input, InvertedIndexJob)
+        .select(
+          split($"line", "\t").getItem(0).as("word"),
+          split($"line", "\t").getItem(1).cast("long").as("n_postings"),
+          split($"line", "\t").getItem(2).cast("long").as("n_docs"),
+          split($"line", "\t").getItem(3).cast("long").as("min_doc"),
+          split($"line", "\t").getItem(4).cast("long").as("max_doc"))
         .orderBy($"word")
     }),
 
@@ -76,6 +129,17 @@ object MapReduceQueries {
   // (count DESC, key ASC) top-k, and the exact report strings.
   val oracle: Map[String, String] = Map(
     "mr_word_count" -> TextWordCount.oracle("wc_word_counts"),
+
+    "mr_inverted_index" ->
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_replace(tok, '[^a-z0-9]+', '', 'g') AS word
+        |  FROM (SELECT doc_id,
+        |          unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        |        FROM documents) WHERE tok <> '')
+        |SELECT word, COUNT(*) AS n_postings,
+        |  COUNT(DISTINCT doc_id) AS n_docs,
+        |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        |FROM tk GROUP BY word ORDER BY word""".stripMargin,
 
     "mr_log_report" ->
       """WITH raw AS (
