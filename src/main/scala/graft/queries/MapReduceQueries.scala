@@ -56,7 +56,10 @@ object MapReduceQueries {
               if (d > maxD) maxD = d
             }
           }
-          s"$key\t$n\t$nDocs\t$minD\t$maxD"
+          // all-unparsable key (impossible from our fMap, but the
+          // skip-on-parse-error contract shouldn't leak Long sentinels)
+          if (n == 0) s"$key\t0\t0\t0\t0"
+          else s"$key\t$n\t$nDocs\t$minD\t$maxD"
         }
       }
     }
