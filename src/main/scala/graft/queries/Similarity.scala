@@ -133,6 +133,40 @@ object Similarity {
         .orderBy($"vec_a", $"vec_b")
     }),
 
+    // Two-stage semantic near-dup — the embedding-space mirror of
+    // dedup_lsh_verified: stage 1 computes the blocking key FROM the
+    // data (nearest-of-8-centroid IVF cell — a shuffle-free
+    // broadcast-codebook projection, not a given label); stage 2
+    // exact-verifies only within-cell pairs, keeping rounded cosine
+    // >= 0.35. At 100 TB the comparison space is sum of |cell|² instead
+    // of |corpus|², tuned by the codebook size; recall lost at cell
+    // borders is the standard IVF trade, recovered by multi-probe
+    // assignment if needed.
+    "dedup_semantic_verified" -> ((s, d) => {
+      import s.implicits._
+      withCosine(s)
+      val emb = t(s, d, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val cents = emb.filter($"vec_id" < 8)
+        .select($"vec_id".as("cent_id"), $"v".as("c"))
+        .agg(expr("array_sort(collect_list(named_struct(" +
+          "'cent_id', cent_id, 'c', c)))").as("cents"))
+      val am = expr(
+        """array_min(transform(cents, ct -> named_struct(
+          |  'nsim', -round(cosine_similarity(v, ct.c), 4),
+          |  'cent_id', ct.cent_id)))""".stripMargin)
+      val cells = emb.crossJoin(broadcast(cents))
+        .select($"vec_id", $"v", am.as("am"))
+        .select($"vec_id", $"v", $"am.cent_id".as("cell"))
+      cells.as("a").join(cells.as("b"),
+          $"a.cell" === $"b.cell" && $"a.vec_id" < $"b.vec_id")
+        .select($"a.cell".as("cell"), $"a.vec_id".as("vec_a"),
+          $"b.vec_id".as("vec_b"),
+          round(cosine("a.v", "b.v"), 4).as("sim"))
+        .filter($"sim" >= 0.35)
+        .orderBy($"vec_a", $"vec_b")
+    }),
+
     // Triangle enumeration in the similarity graph (edges = same-label
     // pairs with cosine ≥ 0.25): mutually-similar triples — the cluster
     // cores a transitive near-dup pass would merge. Ordered-edge
@@ -570,6 +604,33 @@ object Similarity {
         |       sqrt(list_sum(list_transform(b.v, x -> x * x)))), 4) AS sim
         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, sim FROM p WHERE sim >= 0.35
+        |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "dedup_semantic_verified" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
+        |      FROM embeddings WHERE vec_id < 8),
+        |sims AS (
+        |  SELECT vec_id, cent_id,
+        |    ROUND(list_sum(list_transform(list_zip(v, cv), x -> x[1] * x[2])) /
+        |      (sqrt(list_sum(list_transform(v, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(cv, x -> x * x)))), 4) AS csim
+        |  FROM e, c),
+        |assign AS (
+        |  SELECT vec_id, cent_id AS cell FROM (
+        |    SELECT vec_id, cent_id,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                         ORDER BY csim DESC, cent_id) AS rn
+        |    FROM sims) WHERE rn = 1),
+        |ce AS (SELECT e.vec_id, a.cell, e.v
+        |       FROM e JOIN assign a ON e.vec_id = a.vec_id),
+        |p AS (
+        |  SELECT x.cell, x.vec_id AS vec_a, y.vec_id AS vec_b,
+        |    ROUND(list_sum(list_transform(list_zip(x.v, y.v), t -> t[1] * t[2])) /
+        |      (sqrt(list_sum(list_transform(x.v, t -> t * t))) *
+        |       sqrt(list_sum(list_transform(y.v, t -> t * t)))), 4) AS sim
+        |  FROM ce x JOIN ce y ON x.cell = y.cell AND x.vec_id < y.vec_id)
+        |SELECT cell, vec_a, vec_b, sim FROM p WHERE sim >= 0.35
         |ORDER BY vec_a, vec_b""".stripMargin,
 
     "sim_triangles" ->

@@ -31,6 +31,7 @@ class PlanHygieneSpec extends SparkSpec {
     "q_above_avg_customers", // 1-row global avg
     "sim_cosine_topk",       // 1-row query vector
     "sim_ivf_assign",        // fixed k-row centroid table
+    "dedup_semantic_verified", // 1-row codebook array (IVF cell assign)
     "sim_kmeans",            // 1-row codebook array, both iterations
     "sim_pq_codes",          // 1-row codebook array
     "sim_ivf_topk",          // 1-row query vector + centroid probe
