@@ -227,9 +227,11 @@ object Dedup {
     // = ingestion order, so this is "how much of this doc is new to the
     // corpus"), the curation signal behind incremental-crawl admission.
     // One shingle-keyed min-agg builds the first-occurrence table; the
-    // join back to the per-doc shingle set reuses the same hash
-    // partitioning (no third shuffle of the wide data), and shingles
-    // travel as 8-byte xxhash64 keys. At 100 TB the shingle table is the
+    // join back to the per-doc shingle set broadcasts at bench scale
+    // (Catalyst's choice) and falls back to a sort-merge join that
+    // REUSES the min-agg's shingle partitioning once the table outgrows
+    // the broadcast threshold — no third shuffle of the wide data either
+    // way; shingles travel as 8-byte xxhash64 keys. At 100 TB the shingle table is the
     // same global n-gram index every dedup pass already builds; a
     // frequency-capped or bloom-pruned variant drops the long tail.
     "text_novelty" -> ((s, d) => {
