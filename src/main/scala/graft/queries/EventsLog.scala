@@ -278,6 +278,40 @@ object EventsLog {
         .orderBy($"l_returnflag")
     }),
 
+    // RFM segmentation (recency / frequency / monetary quartile scores
+    // per purchasing user) — the classic user-value profile, built the
+    // scale-correct way: quartile BOUNDARIES come from one 3-element
+    // percentile agg (a single broadcastable row) and each user is
+    // scored map-side by three comparisons, instead of a global ntile
+    // window (which would single-partition-sort the whole user table).
+    // Boundaries are rounded to 6 dp on both engines so last-ulp
+    // interpolation differences cannot flip a score; with quartile
+    // probabilities the interpolated fractions are exact quarters, so
+    // the rounding is stable.
+    "log_rfm" -> ((s, d) => {
+      import s.implicits._
+      val m = t(s, d, "events").filter($"event_type" === "purchase")
+        .groupBy($"user_id").agg(
+          max(unix_micros($"ts")).cast("double").as("r_us"),
+          count(lit(1)).cast("double").as("f"),
+          sum($"value".cast("decimal(18,2)")).cast("double").as("mon"))
+      val qs = m.agg(
+        expr("percentile(r_us, array(0.25D, 0.5D, 0.75D))").as("qr"),
+        expr("percentile(f, array(0.25D, 0.5D, 0.75D))").as("qf"),
+        expr("percentile(mon, array(0.25D, 0.5D, 0.75D))").as("qm"))
+      def score(v: org.apache.spark.sql.Column, q: org.apache.spark.sql.Column) =
+        (lit(1) + (v > round(q.getItem(0), 6)).cast("int")
+          + (v > round(q.getItem(1), 6)).cast("int")
+          + (v > round(q.getItem(2), 6)).cast("int")).cast("long")
+      m.crossJoin(broadcast(qs))
+        .select($"user_id",
+          score($"r_us", $"qr").as("r_score"),
+          score($"f", $"qf").as("f_score"),
+          score($"mon", $"qm").as("m_score"),
+          round($"mon", 2).as("monetary"))
+        .orderBy($"user_id")
+    }),
+
     // The bounded-state twin of q_percentiles: approx_percentile
     // (Greenwald-Khanna) holds O(1/accuracy) state per group where exact
     // percentile buffers the whole group. No oracle (GK summaries are
@@ -663,6 +697,31 @@ object EventsLog {
         |  ON a.user_id = b.user_id AND a.event_id < b.event_id
         | AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 60000000
         |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
+
+    "log_rfm" ->
+      """WITH m AS (
+        |  SELECT user_id,
+        |    CAST(MAX(epoch_us(ts)) AS DOUBLE) AS r_us,
+        |    CAST(COUNT(*) AS DOUBLE) AS f,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS mon
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |q AS (SELECT
+        |    quantile_cont(r_us, [0.25, 0.5, 0.75]) AS qr,
+        |    quantile_cont(f, [0.25, 0.5, 0.75]) AS qf,
+        |    quantile_cont(mon, [0.25, 0.5, 0.75]) AS qm
+        |  FROM m)
+        |SELECT user_id,
+        |  CAST(1 + CAST(r_us > ROUND(qr[1], 6) AS INT)
+        |         + CAST(r_us > ROUND(qr[2], 6) AS INT)
+        |         + CAST(r_us > ROUND(qr[3], 6) AS INT) AS BIGINT) AS r_score,
+        |  CAST(1 + CAST(f > ROUND(qf[1], 6) AS INT)
+        |         + CAST(f > ROUND(qf[2], 6) AS INT)
+        |         + CAST(f > ROUND(qf[3], 6) AS INT) AS BIGINT) AS f_score,
+        |  CAST(1 + CAST(mon > ROUND(qm[1], 6) AS INT)
+        |         + CAST(mon > ROUND(qm[2], 6) AS INT)
+        |         + CAST(mon > ROUND(qm[3], 6) AS INT) AS BIGINT) AS m_score,
+        |  ROUND(mon, 2) AS monetary
+        |FROM m, q ORDER BY user_id""".stripMargin,
 
     "q_percentiles" ->
       """SELECT l_returnflag,

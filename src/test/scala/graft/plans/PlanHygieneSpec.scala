@@ -45,6 +45,7 @@ class PlanHygieneSpec extends SparkSpec {
     "q20_heavy_suppliers",   // 1-row per-supplier volume total
     "q22_idle_customers",    // 1-row positive-balance sum+count
     "log_gapfill",           // 1-row global (min,max) hour bounds
+    "log_rfm",               // 1-row quartile-boundary agg (3x3 values)
     "log_pagerank",          // 1-row node count (rank vector joins are equi)
     "sim_recall_eval")       // 1-row query vec/planes/codebook, 2-row probes
 
