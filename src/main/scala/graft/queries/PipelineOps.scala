@@ -49,6 +49,43 @@ object PipelineOps {
     // Deterministic train/val/test split: the first md5 hex digit of the
     // doc id buckets 13/2/1 sixteenths into train/val/test. Content-
     // independent and reproducible across runs and engines — the split
+    // Token-budget selection: take documents best-first (n_chars DESC,
+    // doc_id ASC) until half the corpus' tokens are consumed — the
+    // "best data under a training budget" curation op. The global
+    // running sum is NOT a global window: docs bucket by a coarse range
+    // key monotone in the order (n_chars div 50), bucket token totals
+    // get their own tiny running sum (window over |buckets| rows, not
+    // |docs|), and each doc adds a within-bucket running sum to its
+    // bucket's higher-prefix — an exact global prefix sum from one
+    // bucket-keyed shuffle plus two broadcasts. The oracle states the
+    // same thing as a plain SQL running-sum window.
+    "doc_token_budget" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+        .select($"doc_id", $"n_chars",
+          size(expr("filter(split(lower(text), '\\\\s+'), x -> x != '')"))
+            .cast("long").as("n_tokens"))
+      val bucketed = docs.withColumn("b", expr("n_chars div 50"))
+      // strictly-higher-bucket prefix: bucket b's docs all outrank bucket
+      // b-1's (floor-div is monotone in n_chars), so cross-bucket order
+      // never interleaves
+      val wq = Window.orderBy($"b".desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val prefix = bucketed.groupBy($"b").agg(sum($"n_tokens").as("btok"))
+        .withColumn("hprefix", coalesce(sum($"btok").over(wq), lit(0L)))
+      val ww = Window.partitionBy($"b")
+        .orderBy($"n_chars".desc, $"doc_id".asc)
+      val total = docs.agg(
+        floor(sum($"n_tokens") / 2).cast("long").as("budget"))
+      bucketed.join(broadcast(prefix.select($"b", $"hprefix")), "b")
+        .withColumn("cum", $"hprefix" + sum($"n_tokens").over(ww))
+        .crossJoin(broadcast(total))
+        .select($"doc_id", $"n_tokens", $"cum".as("cum_tokens"),
+          ($"cum" <= $"budget").as("selected"))
+        .orderBy($"doc_id")
+    }),
+
     // of a doc never changes when other docs are added (critical for
     // incremental corpus builds).
     "doc_split" -> ((s, d) => {
@@ -381,6 +418,24 @@ object PipelineOps {
          |FROM d, unnest(generate_series(0, len(toks) - 1, 40)) AS t(start)
          |WHERE len(toks) >= 1
          |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "doc_token_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                         x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |t AS (SELECT CAST(FLOOR(SUM(n_tokens) / 2) AS BIGINT) AS budget
+        |      FROM d),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (ORDER BY n_chars DESC, doc_id
+        |                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS cum_tokens
+        |  FROM d)
+        |SELECT doc_id, n_tokens, cum_tokens,
+        |  (cum_tokens <= budget) AS selected
+        |FROM c, t ORDER BY doc_id""".stripMargin,
 
     "doc_split" ->
       """SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)

@@ -46,6 +46,7 @@ class PlanHygieneSpec extends SparkSpec {
     "q22_idle_customers",    // 1-row positive-balance sum+count
     "log_gapfill",           // 1-row global (min,max) hour bounds
     "log_rfm",               // 1-row quartile-boundary agg (3x3 values)
+    "doc_token_budget",      // 1-row total-token budget agg
     "log_pagerank",          // 1-row node count (rank vector joins are equi)
     "sim_recall_eval")       // 1-row query vec/planes/codebook, 2-row probes
 
