@@ -278,6 +278,31 @@ object EventsLog {
         .orderBy($"l_returnflag")
     }),
 
+    // Sequence-likelihood scoring under the first-order Markov model —
+    // the event-stream twin of text_bigram_lm's perplexity filter: fit
+    // P(next | prev) from the full transition stream (25-row model), then
+    // score each user's sequence by its mean log2 transition probability.
+    // The model join is a broadcast (aggregated tiny side); the heavy
+    // work is one user-keyed window pass for the lag pairs and the
+    // per-user agg reuses that partitioning. Low scores flag bot-like /
+    // atypical sessions the way low LM scores flag gibberish text.
+    "log_markov_score" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+      val pairs = t(s, d, "events")
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("prev", lag($"event_type", 1).over(w))
+        .filter($"prev".isNotNull)
+        .select($"user_id", $"prev", $"event_type")
+      val c2 = pairs.groupBy($"prev", $"event_type").agg(count(lit(1)).as("c2"))
+      val c1 = pairs.groupBy($"prev").agg(count(lit(1)).as("c1"))
+      pairs.join(broadcast(c2.join(c1, "prev")), Seq("prev", "event_type"))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_transitions"),
+          round(avg(log2($"c2".cast("double") / $"c1")), 4).as("avg_logprob"))
+        .orderBy($"user_id")
+    }),
+
     // RFM segmentation (recency / frequency / monetary quartile scores
     // per purchasing user) — the classic user-value profile, built the
     // scale-correct way: quartile BOUNDARIES come from one 3-element
@@ -697,6 +722,22 @@ object EventsLog {
         |  ON a.user_id = b.user_id AND a.event_id < b.event_id
         | AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 60000000
         |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
+
+    "log_markov_score" ->
+      """WITH p AS (
+        |  SELECT user_id, event_type,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |pp AS (SELECT user_id, prev, event_type FROM p
+        |       WHERE prev IS NOT NULL),
+        |c2 AS (SELECT prev, event_type, COUNT(*) AS c2
+        |       FROM pp GROUP BY prev, event_type),
+        |c1 AS (SELECT prev, COUNT(*) AS c1 FROM pp GROUP BY prev)
+        |SELECT user_id, COUNT(*) AS n_transitions,
+        |  ROUND(AVG(log2(CAST(c2 AS DOUBLE) / c1)), 4) AS avg_logprob
+        |FROM pp JOIN c2 USING (prev, event_type) JOIN c1 USING (prev)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "log_rfm" ->
       """WITH m AS (

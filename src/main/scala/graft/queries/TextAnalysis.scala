@@ -179,6 +179,35 @@ object TextAnalysis {
         .select($"doc_id", $"n".as("n_tokens"),
           round(log(2.0, $"n") - $"clg" / $"n", 4).as("entropy"))
         .orderBy($"doc_id")
+    }),
+
+    // First-failing-rule quality gate — the production filter-chain
+    // shape (C4/RefinedWeb-style): every doc gets a VERDICT naming the
+    // first rule that rejected it (too_short → low_entropy →
+    // low_stopword) or 'kept', so corpus-level rejection accounting is a
+    // one-line groupBy on the output. All metrics come from the same
+    // two chained doc-keyed aggs as text_entropy (no extra pass);
+    // thresholds compare the ROUNDED metrics so both engines branch on
+    // identical values.
+    "doc_filter_reasons" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .select($"doc_id", explode(split(lower($"text"), "\\s+")).as("tok"))
+        .filter($"tok" =!= "")
+        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id")
+        .agg(sum($"c").as("n"),
+          sum(when(inList($"tok", stopEn), $"c").otherwise(0L)).as("n_stop"),
+          sum($"c".cast("double") * log(2.0, $"c")).as("clg"))
+        .select($"doc_id", $"n".as("n_tokens"),
+          round(log(2.0, $"n") - $"clg" / $"n", 4).as("entropy"),
+          round($"n_stop".cast("double") / $"n", 4).as("stop_ratio"))
+        .select($"doc_id", $"n_tokens", $"entropy", $"stop_ratio",
+          when($"n_tokens" < 10, "too_short")
+            .when($"entropy" < 3.0, "low_entropy")
+            .when($"stop_ratio" < 0.05, "low_stopword")
+            .otherwise("kept").as("verdict"))
+        .orderBy($"doc_id")
     }))
 
   /** Winnowing fingerprint extraction (one (doc_id, fp) row per selected
@@ -218,6 +247,24 @@ object TextAnalysis {
       |        FROM documents) WHERE tok <> '')""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "doc_filter_reasons" ->
+      s"""WITH $tokCte,
+         |c AS (SELECT doc_id, tok, COUNT(*) AS c
+         |      FROM tk GROUP BY doc_id, tok),
+         |m AS (
+         |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |    ROUND(log2(SUM(c)) - SUM(c * log2(c)) / SUM(c), 4) AS entropy,
+         |    ROUND(CAST(SUM(CASE WHEN tok IN (${sqlList(stopEn)})
+         |                        THEN c ELSE 0 END) AS DOUBLE) / SUM(c), 4)
+         |      AS stop_ratio
+         |  FROM c GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, entropy, stop_ratio,
+         |  CASE WHEN n_tokens < 10 THEN 'too_short'
+         |       WHEN entropy < 3.0 THEN 'low_entropy'
+         |       WHEN stop_ratio < 0.05 THEN 'low_stopword'
+         |       ELSE 'kept' END AS verdict
+         |FROM m ORDER BY doc_id""".stripMargin,
+
     "text_entropy" ->
       s"""WITH $tokCte,
          |c AS (SELECT doc_id, tok, COUNT(*) AS c
