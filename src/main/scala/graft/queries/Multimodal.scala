@@ -60,6 +60,27 @@ object Multimodal {
         .orderBy($"media_id", $"frame_i")
     }),
 
+    // The decode path itself, oracle-checked: runs the REAL
+    // MediaPipeline.extractFeatures mapPartitions stage (decoder state
+    // opened once per partition) over document payloads; because the
+    // stub decoder derives dimensions and features from the payload md5,
+    // DuckDB reproduces them from the same digest — so the partition-wise
+    // typed pipeline, not just its schema, sits under the correctness
+    // gate. f0 rounds at 4 dp, where the float-vs-double representation
+    // gap (~1e-8) cannot reach the nearest rounding boundary (b/255
+    // lattice points sit >= 1e-6 from any 0.00005 edge).
+    "mm_decode_features" -> ((s, d) => {
+      import s.implicits._
+      val recs = graft.multimodal.MediaPipeline.fromDocuments(
+        s, t(s, d, "documents"))
+      graft.multimodal.MediaPipeline.extractFeatures(recs).toDF()
+        .select($"media_id", $"format", $"n_bytes",
+          $"width".cast("long").as("width"),
+          $"height".cast("long").as("height"),
+          round(element_at($"features", 1).cast("double"), 4).as("f0"))
+        .orderBy($"media_id")
+    }),
+
     // Partition-shaped batch stats — the shape a decode UDF sees: group
     // payload sizes per source "shard" to validate batch planning.
     "mm_shard_stats" -> ((s, d) => {
@@ -73,6 +94,27 @@ object Multimodal {
     }))
 
   val oracle: Map[String, String] = Map(
+    "mm_decode_features" ->
+      """WITH r AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE WHEN n_chars % 3 = 0 THEN 'png'
+        |         WHEN n_chars % 3 = 1 THEN 'jpeg'
+        |         ELSE 'webp' END AS format,
+        |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |    md5(text) AS hx
+        |  FROM documents),
+        |b AS (SELECT media_id, format, n_bytes,
+        |    (strpos('0123456789abcdef', substring(hx, 1, 1)) - 1) * 16
+        |      + (strpos('0123456789abcdef', substring(hx, 2, 1)) - 1) AS b0,
+        |    (strpos('0123456789abcdef', substring(hx, 3, 1)) - 1) * 16
+        |      + (strpos('0123456789abcdef', substring(hx, 4, 1)) - 1) AS b1
+        |  FROM r)
+        |SELECT media_id, format, n_bytes,
+        |  CAST(16 + b0 % 1920 AS BIGINT) AS width,
+        |  CAST(16 + b1 % 1080 AS BIGINT) AS height,
+        |  ROUND(b0 / 255.0 - 0.5, 4) AS f0
+        |FROM b ORDER BY media_id""".stripMargin,
+
     "mm_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
