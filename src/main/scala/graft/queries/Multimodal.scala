@@ -81,6 +81,23 @@ object Multimodal {
         .orderBy($"media_id")
     }),
 
+    // The audio path (NOT a stub — MediaPipeline.pcmEnergy interprets
+    // payload bytes as little-endian int16 PCM and computes per-window
+    // RMS), also under the oracle: the fixture payloads are ASCII, so
+    // DuckDB rebuilds each sample from two ascii() bytes. Sample squares
+    // are exact integers and window sums stay < 2^53, so the RMS agrees
+    // bit-for-bit regardless of summation order — no rounding tolerance
+    // needed beyond the presentation ROUND.
+    "mm_audio_energy" -> ((s, d) => {
+      import s.implicits._
+      val recs = graft.multimodal.MediaPipeline.fromDocuments(
+        s, t(s, d, "documents"))
+      graft.multimodal.MediaPipeline.pcmEnergy(recs, 64, 5).toDF()
+        .select($"media_id", $"win", $"n_samples",
+          round($"rms", 4).as("rms"))
+        .orderBy($"media_id", $"win")
+    }),
+
     // Partition-shaped batch stats — the shape a decode UDF sees: group
     // payload sizes per source "shard" to validate batch planning.
     "mm_shard_stats" -> ((s, d) => {
@@ -114,6 +131,21 @@ object Multimodal {
         |  CAST(16 + b1 % 1080 AS BIGINT) AS height,
         |  ROUND(b0 / 255.0 - 0.5, 4) AS f0
         |FROM b ORDER BY media_id""".stripMargin,
+
+    "mm_audio_energy" ->
+      """WITH r AS (
+        |  SELECT doc_id AS media_id, text,
+        |    octet_length(CAST(text AS BLOB)) AS nb
+        |  FROM documents),
+        |s AS (
+        |  SELECT media_id, CAST(i // 64 AS INT) AS win,
+        |    ascii(substring(text, 2 * i + 1, 1))
+        |      + ascii(substring(text, 2 * i + 2, 1)) * 256 AS smp
+        |  FROM r, unnest(generate_series(0, nb // 2 - 1)) AS t(i)
+        |  WHERE i < 64 * 5)
+        |SELECT media_id, win, CAST(COUNT(*) AS INT) AS n_samples,
+        |  ROUND(sqrt(SUM(CAST(smp AS DOUBLE) * smp) / COUNT(*)), 4) AS rms
+        |FROM s GROUP BY media_id, win ORDER BY media_id, win""".stripMargin,
 
     "mm_meta" ->
       """SELECT doc_id,
