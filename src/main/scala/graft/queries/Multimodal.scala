@@ -98,6 +98,25 @@ object Multimodal {
         .orderBy($"media_id", $"win")
     }),
 
+    // The resize path under the oracle: every 3rd payload byte survives
+    // (MediaPipeline.resize's deterministic stride stand-in for a real
+    // scaler); the oracle rebuilds the strided payload char-by-char and
+    // must match its md5 exactly. Zero-byte payloads are excluded on
+    // both sides (none exist in the fixtures; the guard keeps the
+    // row-sets aligned if that changes).
+    "mm_resize" -> ((s, d) => {
+      import s.implicits._
+      val recs = graft.multimodal.MediaPipeline.fromDocuments(
+          s, t(s, d, "documents"))
+        .filter(octet_length($"payload") > 0)
+        .as[graft.multimodal.MediaPipeline.MediaRecord]
+      graft.multimodal.MediaPipeline.resize(recs, 3).toDF()
+        .select($"media_id",
+          octet_length($"payload").cast("long").as("n_bytes"),
+          md5($"payload").as("payload_hash"))
+        .orderBy($"media_id")
+    }),
+
     // Partition-shaped batch stats — the shape a decode UDF sees: group
     // payload sizes per source "shard" to validate batch planning.
     "mm_shard_stats" -> ((s, d) => {
@@ -146,6 +165,22 @@ object Multimodal {
         |SELECT media_id, win, CAST(COUNT(*) AS INT) AS n_samples,
         |  ROUND(sqrt(SUM(CAST(smp AS DOUBLE) * smp) / COUNT(*)), 4) AS rms
         |FROM s GROUP BY media_id, win ORDER BY media_id, win""".stripMargin,
+
+    "mm_resize" ->
+      """WITH r AS (
+        |  SELECT doc_id AS media_id, text,
+        |    octet_length(CAST(text AS BLOB)) AS nb
+        |  FROM documents
+        |  WHERE octet_length(CAST(text AS BLOB)) > 0),
+        |z AS (
+        |  SELECT media_id,
+        |    string_agg(substring(text, i * 3 + 1, 1), '' ORDER BY i) AS rz
+        |  FROM r, unnest(generate_series(0, (nb + 2) // 3 - 1)) AS t(i)
+        |  GROUP BY media_id)
+        |SELECT media_id,
+        |  CAST(octet_length(CAST(rz AS BLOB)) AS BIGINT) AS n_bytes,
+        |  md5(rz) AS payload_hash
+        |FROM z ORDER BY media_id""".stripMargin,
 
     "mm_meta" ->
       """SELECT doc_id,
