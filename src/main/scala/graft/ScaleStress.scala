@@ -50,7 +50,7 @@ object ScaleStress {
     // multiply the edge set ~100x and the triangle count ~1000x; the
     // same within-label pair-growth excludes sim_mutual_knn and
     // sim_threshold_hist.
-    val stress = Seq("q1_pricing_summary","q5_nation_revenue","q7_nation_trade","q_topk_customers","wc_word_counts","dedup_lsh_pairs","dedup_simhash_pairs","dedup_clusters","sim_cosine_topk","sim_lsh_topk","sketch_cms","log_hourly","q_session_window","q_window_top3","doc_pack","doc_pipeline_summary","text_bigram_lm","text_boilerplate","sim_quantize_int8","log_gapfill","q_lateral_topk","sim_kmeans","sim_pq_codes","doc_mixture","log_pagerank","text_keywords","log_transitions","dedup_canonical","text_entropy","log_cooccurrence","text_novelty")
+    val stress = Seq("q1_pricing_summary","q5_nation_revenue","q7_nation_trade","q_topk_customers","wc_word_counts","dedup_lsh_pairs","dedup_simhash_pairs","dedup_clusters","sim_cosine_topk","sim_lsh_topk","sketch_cms","log_hourly","q_session_window","q_window_top3","doc_pack","doc_pipeline_summary","text_bigram_lm","text_boilerplate","sim_quantize_int8","log_gapfill","q_lateral_topk","sim_kmeans","sim_pq_codes","doc_mixture","log_pagerank","text_keywords","log_transitions","dedup_canonical","text_entropy","log_cooccurrence","text_novelty","doc_filter_reasons","log_markov_score","doc_token_budget","log_rfm","mm_decode_features","mm_audio_energy")
     // warm
     for (q <- stress)
       SparkEntry.queries(q)(spark, src).count()
