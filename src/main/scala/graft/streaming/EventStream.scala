@@ -400,6 +400,33 @@ object EventStream {
       .select($"p_user".as("user_id"), $"p_id", $"p_ts", $"c_id", $"c_ts")
   }
 
+  /** Stream-stream FULL OUTER interval join — completes the join-mode
+    * matrix (inner `pairsWithin`, LEFT OUTER `purchasesWithClicks`): an
+    * unmatched purchase null-extends its click columns AND an unmatched
+    * click null-extends the purchase columns, each exactly when the
+    * opposing watermark proves no match can still arrive — the same
+    * instant the buffered row leaves state, so outer emission adds no
+    * state beyond the inner join's. Both key columns are nullable in the
+    * output, so the user id is surfaced as coalesce(p_user, c_user).
+    * Batch mode plans a plain full join (parity asserted in
+    * StreamingSpec). */
+  def purchasesFullOuterClicks(events: DataFrame, seconds: Int): DataFrame = {
+    import events.sparkSession.implicits._
+    def side(tpe: String, p: String) = {
+      val s = events.filter($"event_type" === tpe)
+        .select($"user_id".as(s"${p}_user"), $"ts".as(s"${p}_ts"),
+          $"event_id".as(s"${p}_id"))
+      if (s.isStreaming) s.withWatermark(s"${p}_ts", "1 hour") else s
+    }
+    side("purchase", "p").join(side("click", "c"),
+        $"p_user" === $"c_user" &&
+          $"c_ts" >= $"p_ts" - expr(s"INTERVAL $seconds SECONDS") &&
+          $"c_ts" <= $"p_ts",
+        "full_outer")
+      .select(coalesce($"p_user", $"c_user").as("user_id"),
+        $"p_id", $"p_ts", $"c_id", $"c_ts")
+  }
+
   /** Launch helper: run a streaming query over a parquet directory into
     * an in-memory table and block until all available data is processed. */
   def runToMemory(spark: SparkSession, srcDir: String,

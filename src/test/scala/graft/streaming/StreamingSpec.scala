@@ -316,6 +316,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream FULL OUTER join: both sides null-extend on flush") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_fouter").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: matched click+purchase; user 2: purchase with no click;
+    // user 3: click with no purchase — both 2 and 3 must null-extend
+    val rows = Seq(
+      (1L, ts("2024-06-01 10:00:00"), "click", 100L),
+      (1L, ts("2024-06-01 10:00:30"), "purchase", 101L),
+      (2L, ts("2024-06-01 10:01:00"), "purchase", 200L),
+      (3L, ts("2024-06-01 10:02:00"), "click", 300L))
+    rows.toDF("user_id", "ts", "event_type", "event_id")
+      .write.parquet(s"$dir/b1")
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val q = EventStream.purchasesFullOuterClicks(
+        spark.readStream.schema(schema).parquet(s"$dir/*"), 60)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("fouter").start()
+    try {
+      q.processAllAvailable()
+      val live = spark.table("fouter").collect()
+      assert(live.map(_.getLong(0)).toSeq == Seq(1L),
+        s"only the matched pair may emit live, got ${live.toSeq}")
+      // advance BOTH watermark nodes (the query watermark is their min):
+      // one far click and one far purchase; each stays withheld itself
+      // (its own outer verdict is still open)
+      Seq((8L, ts("2024-06-01 20:00:00"), "click", 800L),
+          (9L, ts("2024-06-01 20:00:00"), "purchase", 900L))
+        .toDF("user_id", "ts", "event_type", "event_id")
+        .write.parquet(s"$dir/b2")
+      q.processAllAvailable()
+      val got = spark.table("fouter")
+        .select($"user_id", $"p_id", $"c_id").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2)))
+        .sortBy(_._1)
+      assert(got.toSeq == Seq((1L, 101L, 100L), (2L, 200L, -1L), (3L, -1L, 300L)),
+        s"expected both-side null extension, got ${got.toSeq}")
+
+      // batch parity: the same transform over a static frame is a plain
+      // full join producing the same three rows
+      val batch = EventStream.purchasesFullOuterClicks(
+          rows.toDF("user_id", "ts", "event_type", "event_id"), 60)
+        .select($"user_id", $"p_id", $"c_id").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2)))
+        .sortBy(_._1)
+      assert(batch.toSeq == got.toSeq)
+    } finally q.stop()
+  }
+
   test("stream-stream LEFT OUTER join: matches emit live, null rows on flush") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_louter").toString
