@@ -94,4 +94,41 @@ class FormatsSpec extends SparkSpec {
       Set("l_extendedprice", "l_discount", "l_shipdate", "l_quantity")),
       s"scan reads more than it needs: $readCols")
   }
+
+  test("malformed records: PERMISSIVE accounts, DROPMALFORMED skips, FAILFAST throws") {
+    // the reference's disposition for bad data is per-transfer checksum
+    // verify + skip-on-parse-error inside plugins (SURVEY.md §2.2 M10);
+    // Spark's source-level contract is the read mode — pin all three so
+    // a pipeline can CHOOSE accounting over silent drops at 100 TB
+    val dir = Files.createTempDirectory("graft_badjson").toString
+    val f = new java.io.PrintWriter(s"$dir/part.json")
+    try {
+      f.println("""{"event_id": 1, "event_type": "view"}""")
+      f.println("""{"event_id": 2, "event_type": oops not json""")
+      f.println("""{"event_id": 3, "event_type": "click"}""")
+    } finally f.close()
+    val s = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("event_type", StringType),
+      StructField("_corrupt_record", StringType)))
+
+    val permissive = spark.read.schema(s)
+      .option("mode", "PERMISSIVE").json(dir).cache()
+    try {
+      assert(permissive.count() == 3)
+      val bad = permissive.filter(col("_corrupt_record").isNotNull).collect()
+      assert(bad.length == 1 && bad.head.getString(2).contains("oops"),
+        s"corrupt row must surface verbatim, got ${bad.toSeq}")
+
+      val dropped = spark.read.schema(s)
+        .option("mode", "DROPMALFORMED").json(dir)
+        .select("event_id").collect().map(_.getLong(0)).sorted
+      assert(dropped.toSeq == Seq(1L, 3L))
+
+      intercept[org.apache.spark.SparkException] {
+        spark.read.schema(s)
+          .option("mode", "FAILFAST").json(dir).count()
+      }
+    } finally permissive.unpersist()
+  }
 }
