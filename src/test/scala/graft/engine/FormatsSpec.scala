@@ -131,4 +131,21 @@ class FormatsSpec extends SparkSpec {
       }
     } finally permissive.unpersist()
   }
+
+  test("schema evolution: mergeSchema unifies columns appended over time") {
+    // long-lived tables accrete columns; old files must read with nulls
+    // for columns they predate, new files keep their values, and the
+    // partition column survives the merge
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_evolve").toString
+    Seq((1L, "a")).toDF("id", "v1").write.parquet(s"$dir/p=1")
+    Seq((2L, "b", 3.5)).toDF("id", "v1", "v2").write.parquet(s"$dir/p=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.schema.fieldNames.toSet == Set("id", "v1", "v2", "p"))
+    val rows = merged.orderBy("id").collect()
+    val v2i = merged.schema.fieldIndex("v2")
+    assert(rows.length == 2)
+    assert(rows.head.isNullAt(v2i), "pre-evolution file must read v2 as null")
+    assert(rows(1).getDouble(v2i) == 3.5)
+  }
 }
