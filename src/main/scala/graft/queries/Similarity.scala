@@ -455,6 +455,51 @@ object Similarity {
         .orderBy($"vec_id")
     }),
 
+    // PQ asymmetric-distance search (ADC) — the other half of the PQ
+    // story after sim_pq_codes: db vectors are represented ONLY by
+    // their 4 subspace codes, the query stays exact, and each row's
+    // approximate distance is the fixed-order sum of
+    // d2(query_sub_m, codeword_m). At 100 TB this is why PQ exists:
+    // the scan touches 4 bytes + a 4x8 lookup table per vector, never
+    // the raw 64 floats. Everything is two scalar broadcasts (codebook,
+    // query) and within-row folds; the top-10 plans as
+    // TakeOrderedAndProject. Each subspace sum folds in index order and
+    // the 4 subspace terms add in fixed m order — no
+    // order-nondeterministic double SUM anywhere.
+    "sim_pq_search" -> ((s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val cb = emb.filter($"vec_id" < 8)
+        .select($"vec_id".as("cent_id"), $"v".as("c"))
+        .agg(expr("array_sort(collect_list(named_struct(" +
+          "'cent_id', cent_id, 'c', c)))").as("cents"))
+      val q = emb.filter($"vec_id" === 0).select($"v".as("q"))
+      // per-subspace argmin carries the chosen codeword's subvector
+      // ('cs' is last in the struct: (d2, cent_id) stay the sort key)
+      val am = expr(
+        """transform(sequence(0, 3), m ->
+          |  array_min(transform(cents, ct -> named_struct(
+          |    'd2', aggregate(zip_with(slice(v, 1 + 16 * m, 16),
+          |                             slice(ct.c, 1 + 16 * m, 16),
+          |                             (x, y) -> (x - y) * (x - y)),
+          |                    0D, (acc, e) -> acc + e),
+          |    'cent_id', ct.cent_id,
+          |    'cs', slice(ct.c, 1 + 16 * m, 16)))))""".stripMargin)
+      val adc = expr(
+        """aggregate(transform(sequence(0, 3), m ->
+          |  aggregate(zip_with(slice(q, 1 + 16 * m, 16), am[m].cs,
+          |                     (x, y) -> (x - y) * (x - y)),
+          |            0D, (acc, e) -> acc + e)),
+          |  0D, (acc, e) -> acc + e)""".stripMargin)
+      emb.filter($"vec_id" =!= 0)
+        .crossJoin(broadcast(cb)).crossJoin(broadcast(q))
+        .select($"vec_id", am.as("am"), $"q")
+        .select($"vec_id", round(adc, 4).as("adc_d2"))
+        .orderBy($"adc_d2".asc, $"vec_id".asc)
+        .limit(10)
+    }),
+
     // ANN index-quality evaluation: recall@10 of each approximate
     // method (exact LSH bucket, hamming-1 multiprobe, 2-probe IVF)
     // against brute-force ground truth for the same query vector — the
@@ -836,6 +881,43 @@ object Similarity {
         |  SELECT vec_id, cent_id, d2,
         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
         |  FROM d2_) WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "sim_pq_search" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sub AS (
+        |  SELECT vec_id, m, v[1 + 16 * m : 16 + 16 * m] AS sv
+        |  FROM e, generate_series(0, 3) t(m)),
+        |cb AS (SELECT vec_id AS cent_id, m, sv AS cs FROM sub WHERE vec_id < 8),
+        |dd AS (
+        |  SELECT s.vec_id, s.m, c.cent_id,
+        |    list_sum(list_transform(list_zip(s.sv, c.cs),
+        |      x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d2
+        |  FROM sub s JOIN cb c ON s.m = c.m
+        |  WHERE s.vec_id <> 0),
+        |code AS (
+        |  SELECT vec_id, m, cent_id FROM (
+        |    SELECT vec_id, m, cent_id, d2,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id, m
+        |                         ORDER BY d2, cent_id) AS rn
+        |    FROM dd) WHERE rn = 1),
+        |q AS (SELECT m, sv AS qs FROM sub WHERE vec_id = 0),
+        |lut AS (
+        |  SELECT c.cent_id, c.m,
+        |    list_sum(list_transform(list_zip(q.qs, c.cs),
+        |      x -> (x[1] - x[2]) * (x[1] - x[2]))) AS qd2
+        |  FROM cb c JOIN q USING (m)),
+        |adc AS (
+        |  SELECT j.vec_id,
+        |    MAX(CASE WHEN j.m = 0 THEN j.qd2 END)
+        |      + MAX(CASE WHEN j.m = 1 THEN j.qd2 END)
+        |      + MAX(CASE WHEN j.m = 2 THEN j.qd2 END)
+        |      + MAX(CASE WHEN j.m = 3 THEN j.qd2 END) AS adc_raw
+        |  FROM (SELECT code.vec_id, code.m, lut.qd2
+        |        FROM code JOIN lut ON lut.cent_id = code.cent_id
+        |                          AND lut.m = code.m) j
+        |  GROUP BY j.vec_id)
+        |SELECT vec_id, ROUND(adc_raw, 4) AS adc_d2
+        |FROM adc ORDER BY adc_d2, vec_id LIMIT 10""".stripMargin,
 
     "sim_pq_codes" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

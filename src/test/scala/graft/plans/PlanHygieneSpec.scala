@@ -34,6 +34,7 @@ class PlanHygieneSpec extends SparkSpec {
     "dedup_semantic_verified", // 1-row codebook array (IVF cell assign)
     "sim_kmeans",            // 1-row codebook array, both iterations
     "sim_pq_codes",          // 1-row codebook array
+    "sim_pq_search",         // 1-row codebook + 1-row query vector
     "sim_ivf_topk",          // 1-row query vector + centroid probe
     "sim_lsh_sigs",          // 1-row hyperplane matrix
     "sim_lsh_topk",          // 1-row hyperplane matrix + 1-row query sig
