@@ -46,11 +46,13 @@ object ScaleStress {
     // 10x makes each doc share ALL its shingles with its 9 copies, so
     // the candidate-pair OUTPUT grows ~100x (like dedup_simhash_pairs);
     // that measures output cardinality, not operator scaling.
-    // sim_triangles is likewise absent: replicated same-label vectors
-    // multiply the edge set ~100x and the triangle count ~1000x; the
-    // same within-label pair-growth excludes sim_mutual_knn and
-    // sim_threshold_hist.
-    val stress = Seq("q1_pricing_summary","q5_nation_revenue","q7_nation_trade","q_topk_customers","wc_word_counts","dedup_lsh_pairs","dedup_simhash_pairs","dedup_clusters","sim_cosine_topk","sim_lsh_topk","sketch_cms","log_hourly","q_session_window","q_window_top3","doc_pack","doc_pipeline_summary","text_bigram_lm","text_boilerplate","sim_quantize_int8","log_gapfill","q_lateral_topk","sim_kmeans","sim_pq_codes","doc_mixture","log_pagerank","text_keywords","log_transitions","dedup_canonical","text_entropy","log_cooccurrence","text_novelty","doc_filter_reasons","log_markov_score","doc_token_budget","log_rfm","mm_decode_features","mm_audio_energy")
+    // round-4: sim_triangles / sim_mutual_knn / sim_threshold_hist /
+    // dedup_semantic_verified are now INCLUDED — their candidate stage is
+    // the corpus-adaptive IVF-cell blocking (k = ceil(sqrt(n)) centroids,
+    // cell size ~ sqrt(n)), so pair work grows O(n^1.5): the expected
+    // 10x ratio is ~10^1.5 ≈ 32, sub-quadratic by design (a fixed
+    // blocking key would show ~100x here).
+    val stress = Seq("q1_pricing_summary","q5_nation_revenue","q7_nation_trade","q_topk_customers","wc_word_counts","dedup_lsh_pairs","dedup_simhash_pairs","dedup_clusters","sim_cosine_topk","sim_lsh_topk","sketch_cms","log_hourly","q_session_window","q_window_top3","doc_pack","doc_pipeline_summary","text_bigram_lm","text_boilerplate","sim_quantize_int8","log_gapfill","q_lateral_topk","sim_kmeans","sim_pq_codes","doc_mixture","log_pagerank","text_keywords","log_transitions","dedup_canonical","text_entropy","log_cooccurrence","text_novelty","doc_filter_reasons","log_markov_score","doc_token_budget","log_rfm","mm_decode_features","mm_audio_energy","sim_triangles","sim_mutual_knn","sim_threshold_hist","dedup_semantic_verified")
     // warm
     for (q <- stress)
       SparkEntry.queries(q)(spark, src).count()

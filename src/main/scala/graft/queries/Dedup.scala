@@ -114,6 +114,22 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over the LSH candidate graph, computed ONCE per
+    * (session, data dir) and shared: `dedup_clusters` and
+    * `dedup_canonical` consume the SAME clustering, and the propagation
+    * loop materializes eagerly (checkpoint-backed — see Components), so
+    * without sharing the iterative join rounds would execute twice per
+    * run. The cache holds the checkpointed frame (small: one (doc_id,
+    * component) row per clustered doc), keeping its backing RDD alive for
+    * the session's lifetime. */
+  private val componentsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def components(s: SparkSession, d: String): DataFrame =
+    componentsCache.computeIfAbsent((s, d), _ =>
+      graft.engine.Components.connectedComponents(
+          lshPairs(s, d), "doc_a", "doc_b", maxIter = 15)
+        .toDF("doc_id", "component"))
+
   /** 16-bit SimHash per doc (unordered — callers add their own sort):
     * bit_j set iff the signed sum over distinct tokens of
     * (md5 hex digit_j >= 8 ? +1 : -1) is >= 0. Token hashes precomputed
@@ -305,10 +321,7 @@ object Dedup {
       import s.implicits._
       // unordered candidate pairs — the declared dedup_lsh_pairs adds a
       // total sort for determinism that would be pure waste under a join
-      graft.engine.Components.connectedComponents(
-          lshPairs(s, d), "doc_a", "doc_b", maxIter = 15)
-        .toDF("doc_id", "component")
-        .orderBy($"doc_id")
+      components(s, d).orderBy($"doc_id")
     }),
 
     // Canonical-document selection — the step after clustering: per
@@ -322,9 +335,7 @@ object Dedup {
     "dedup_canonical" -> ((s, d) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      val comp = graft.engine.Components.connectedComponents(
-          lshPairs(s, d), "doc_a", "doc_b", maxIter = 15)
-        .toDF("doc_id", "component")
+      val comp = components(s, d)
       val w = Window.partitionBy($"component")
         .orderBy($"n_chars".desc, $"doc_id".asc)
       comp.join(t(s, d, "documents").select($"doc_id", $"n_chars"), "doc_id")

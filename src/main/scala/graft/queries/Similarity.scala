@@ -57,6 +57,50 @@ object Similarity {
        |     shiftleft(1, p), 0)), 0, (acc, x) -> acc + x)""".stripMargin
     ).cast("long")
 
+  /** Corpus-adaptive IVF cell assignment — the shared blocking stage for
+    * every pairwise operator (near-dup verify, triangles, mutual k-NN,
+    * threshold histogram). k = max(8, ceil(sqrt(n))) centroids (vectors
+    * with vec_id < k), so cells get FINER as the corpus grows: with
+    * cell size ~ sqrt(n), both the assignment folds (n·k) and the
+    * within-cell pair space (k·(n/k)²) are O(n^1.5) — sub-quadratic at
+    * any scale, vs the O(n²/|labels|) blowup of a fixed blocking key.
+    * (At extreme corpus sizes the single broadcast codebook row itself
+    * is the next bottleneck; the standard fix is a two-level coarse
+    * quantizer — assign to sqrt(k) super-cells first — which drops the
+    * fold cost to O(n^1.33) without changing this operator's contract.)
+    * k is computed IN-PLAN (1-row count agg, broadcast), never on the
+    * driver. Returns (vec_id, v, cell). */
+  private[graft] def ivfCells(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    withCosine(s)
+    val emb = t(s, d, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val kf = emb.agg(greatest(lit(8L),
+      ceil(sqrt(count(lit(1)).cast("double"))).cast("long")).as("kk"))
+    val cents = emb.crossJoin(broadcast(kf)).filter($"vec_id" < $"kk")
+      .select($"vec_id".as("cent_id"), $"v".as("c"))
+      .agg(expr("array_sort(collect_list(named_struct(" +
+        "'cent_id', cent_id, 'c', c)))").as("cents"))
+    val am = expr(
+      """array_min(transform(cents, ct -> named_struct(
+        |  'nsim', -round(cosine_similarity(v, ct.c), 4),
+        |  'cent_id', ct.cent_id)))""".stripMargin)
+    emb.crossJoin(broadcast(cents))
+      .select($"vec_id", $"v", am.getField("cent_id").as("cell"))
+  }
+
+  /** Within-cell candidate pairs with exact rounded cosine — the one
+    * self-equi-join every pairwise similarity operator shares. Exposed
+    * package-private so invariants tests can recompute the edge set. */
+  private[graft] def cellPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cells = ivfCells(s, d)
+    cells.as("a").join(cells.as("b"),
+        $"a.cell" === $"b.cell" && $"a.vec_id" < $"b.vec_id")
+      .select($"a.cell".as("cell"), $"a.vec_id".as("va"),
+        $"b.vec_id".as("vb"), round(cosine("a.v", "b.v"), 4).as("sim"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-20 neighbors of vec_id = 0.
     "sim_cosine_topk" -> ((s, d) => {
@@ -135,41 +179,26 @@ object Similarity {
 
     // Two-stage semantic near-dup — the embedding-space mirror of
     // dedup_lsh_verified: stage 1 computes the blocking key FROM the
-    // data (nearest-of-8-centroid IVF cell — a shuffle-free
+    // data (the corpus-adaptive IVF cell of ivfCells — a shuffle-free
     // broadcast-codebook projection, not a given label); stage 2
     // exact-verifies only within-cell pairs, keeping rounded cosine
-    // >= 0.35. At 100 TB the comparison space is sum of |cell|² instead
-    // of |corpus|², tuned by the codebook size; recall lost at cell
+    // >= 0.35. At 100 TB the comparison space is sum of |cell|² with
+    // cell size ~ sqrt(n) — O(n^1.5) total; recall lost at cell
     // borders is the standard IVF trade, recovered by multi-probe
     // assignment if needed.
     "dedup_semantic_verified" -> ((s, d) => {
       import s.implicits._
-      withCosine(s)
-      val emb = t(s, d, "embeddings")
-        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-      val cents = emb.filter($"vec_id" < 8)
-        .select($"vec_id".as("cent_id"), $"v".as("c"))
-        .agg(expr("array_sort(collect_list(named_struct(" +
-          "'cent_id', cent_id, 'c', c)))").as("cents"))
-      val am = expr(
-        """array_min(transform(cents, ct -> named_struct(
-          |  'nsim', -round(cosine_similarity(v, ct.c), 4),
-          |  'cent_id', ct.cent_id)))""".stripMargin)
-      val cells = emb.crossJoin(broadcast(cents))
-        .select($"vec_id", $"v", am.as("am"))
-        .select($"vec_id", $"v", $"am.cent_id".as("cell"))
-      cells.as("a").join(cells.as("b"),
-          $"a.cell" === $"b.cell" && $"a.vec_id" < $"b.vec_id")
-        .select($"a.cell".as("cell"), $"a.vec_id".as("vec_a"),
-          $"b.vec_id".as("vec_b"),
-          round(cosine("a.v", "b.v"), 4).as("sim"))
+      cellPairs(s, d)
         .filter($"sim" >= 0.35)
+        .select($"cell", $"va".as("vec_a"), $"vb".as("vec_b"), $"sim")
         .orderBy($"vec_a", $"vec_b")
     }),
 
-    // Triangle enumeration in the similarity graph (edges = same-label
-    // pairs with cosine ≥ 0.25): mutually-similar triples — the cluster
-    // cores a transitive near-dup pass would merge. Ordered-edge
+    // Triangle enumeration in the similarity graph (edges = within-IVF-
+    // cell pairs with cosine ≥ 0.25): mutually-similar triples — the
+    // cluster cores a transitive near-dup pass would merge. Candidates
+    // come from the shared corpus-adaptive cell blocking (sub-quadratic;
+    // see ivfCells), never a fixed-key all-pairs join. Ordered-edge
     // enumeration: every edge keeps vec_a < vec_b, wedges join on the
     // smallest endpoint, and the closing edge is a hash-join probe — each
     // triangle is produced exactly once, no post-dedup. At 100 TB this is
@@ -178,13 +207,7 @@ object Similarity {
     // set are one computed exchange reused twice (ReuseExchange).
     "sim_triangles" -> ((s, d) => {
       import s.implicits._
-      withCosine(s)
-      val emb = t(s, d, "embeddings")
-        .select($"label", $"vec_id", $"embedding".cast("array<double>").as("v"))
-      val edges = emb.as("a").join(emb.as("b"),
-          $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
-        .select($"a.vec_id".as("va"), $"b.vec_id".as("vb"),
-          round(cosine("a.v", "b.v"), 4).as("sim"))
+      val edges = cellPairs(s, d)
         .filter($"sim" >= 0.25)
         .select($"va", $"vb")
       edges.as("e1")
@@ -198,20 +221,15 @@ object Similarity {
     }),
 
     // Pairwise-similarity histogram (0.1-wide cosine buckets, clamped to
-    // [-1, 1)) over within-label pairs — the distribution profile used
+    // [-1, 1)) over within-IVF-cell pairs — the distribution profile used
     // to CHOOSE a near-dup threshold before running the dedup pass. One
     // pass over the pair stream folding straight into a <= 20-row agg;
     // the only full-size work is the pair cosine already bounded by the
-    // label/IVF-cell bucketing, so the profile costs no more than one
-    // candidate-generation round.
+    // corpus-adaptive cell blocking (see ivfCells), so the profile costs
+    // no more than one candidate-generation round.
     "sim_threshold_hist" -> ((s, d) => {
       import s.implicits._
-      withCosine(s)
-      val emb = t(s, d, "embeddings")
-        .select($"label", $"vec_id", $"embedding".cast("array<double>").as("v"))
-      emb.as("a").join(emb.as("b"),
-          $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
-        .select(round(cosine("a.v", "b.v"), 4).as("sim"))
+      cellPairs(s, d)
         .select(greatest(lit(-10L),
           least(lit(9L), floor($"sim" * 10))).as("bucket"))
         .groupBy($"bucket")
@@ -219,28 +237,22 @@ object Similarity {
         .orderBy($"bucket")
     }),
 
-    // Mutual k-NN graph (k=3) within each label bucket — the edge
+    // Mutual k-NN graph (k=3) within each IVF cell — the edge
     // structure semantic-dedup clustering actually consumes (a pair
     // survives only if EACH side ranks the other in its top-3). Cosines
-    // are computed once per unordered pair, then mirrored to both
+    // are computed once per unordered pair by the shared corpus-adaptive
+    // cell blocking (sub-quadratic; see ivfCells), then mirrored to both
     // directions for the per-source ranking; the rank<=3 filter plans as
     // a rank-limit operator on both join sides (Spark's WindowGroupLimit
     // with map-side partial top-k on one, the custom TopKPerKey on the
     // other — either way no full WindowExec sort spill), and the
     // mutuality check is a self-equi-join of the tiny k-NN edge list on
-    // the reversed pair. At 100 TB the label bucket is the IVF/LSH cell:
-    // pair work stays quadratic only within a cell, never across the
-    // corpus.
+    // the reversed pair: pair work stays quadratic only within a cell,
+    // never across the corpus.
     "sim_mutual_knn" -> ((s, d) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      withCosine(s)
-      val emb = t(s, d, "embeddings")
-        .select($"label", $"vec_id", $"embedding".cast("array<double>").as("v"))
-      val pairs = emb.as("a").join(emb.as("b"),
-          $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
-        .select($"a.vec_id".as("va"), $"b.vec_id".as("vb"),
-          round(cosine("a.v", "b.v"), 4).as("sim"))
+      val pairs = cellPairs(s, d)
       val sims = pairs.select($"va".as("src"), $"vb".as("dst"), $"sim")
         .union(pairs.select($"vb".as("src"), $"va".as("dst"), $"sim"))
       val w = Window.partitionBy($"src").orderBy($"sim".desc, $"dst".asc)
@@ -600,6 +612,34 @@ object Similarity {
         .orderBy($"label")
     }))
 
+  /** DuckDB twin of ivfCells + cellPairs: adaptive-k codebook, nearest-
+    * centroid cell assignment, within-cell pairs `p(cell, va, vb, sim)`. */
+  private val cellPairsCte: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |kf AS (SELECT GREATEST(8, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS kk
+      |       FROM e),
+      |c AS (SELECT vec_id AS cent_id, v AS cv FROM e, kf WHERE vec_id < kk),
+      |csims AS (
+      |  SELECT vec_id, cent_id,
+      |    ROUND(list_sum(list_transform(list_zip(v, cv), x -> x[1] * x[2])) /
+      |      (sqrt(list_sum(list_transform(v, x -> x * x))) *
+      |       sqrt(list_sum(list_transform(cv, x -> x * x)))), 4) AS csim
+      |  FROM e, c),
+      |assign AS (
+      |  SELECT vec_id, cent_id AS cell FROM (
+      |    SELECT vec_id, cent_id,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id
+      |                         ORDER BY csim DESC, cent_id) AS rn
+      |    FROM csims) WHERE rn = 1),
+      |ce AS (SELECT e.vec_id, a.cell, e.v
+      |       FROM e JOIN assign a ON e.vec_id = a.vec_id),
+      |p AS (
+      |  SELECT x.cell, x.vec_id AS va, y.vec_id AS vb,
+      |    ROUND(list_sum(list_transform(list_zip(x.v, y.v), t -> t[1] * t[2])) /
+      |      (sqrt(list_sum(list_transform(x.v, t -> t * t))) *
+      |       sqrt(list_sum(list_transform(y.v, t -> t * t)))), 4) AS sim
+      |  FROM ce x JOIN ce y ON x.cell = y.cell AND x.vec_id < y.vec_id)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "sim_cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
@@ -651,81 +691,39 @@ object Similarity {
         |SELECT vec_a, vec_b, sim FROM p WHERE sim >= 0.35
         |ORDER BY vec_a, vec_b""".stripMargin,
 
-    "dedup_semantic_verified" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |c AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
-        |      FROM embeddings WHERE vec_id < 8),
-        |sims AS (
-        |  SELECT vec_id, cent_id,
-        |    ROUND(list_sum(list_transform(list_zip(v, cv), x -> x[1] * x[2])) /
-        |      (sqrt(list_sum(list_transform(v, x -> x * x))) *
-        |       sqrt(list_sum(list_transform(cv, x -> x * x)))), 4) AS csim
-        |  FROM e, c),
-        |assign AS (
-        |  SELECT vec_id, cent_id AS cell FROM (
-        |    SELECT vec_id, cent_id,
-        |      ROW_NUMBER() OVER (PARTITION BY vec_id
-        |                         ORDER BY csim DESC, cent_id) AS rn
-        |    FROM sims) WHERE rn = 1),
-        |ce AS (SELECT e.vec_id, a.cell, e.v
-        |       FROM e JOIN assign a ON e.vec_id = a.vec_id),
-        |p AS (
-        |  SELECT x.cell, x.vec_id AS vec_a, y.vec_id AS vec_b,
-        |    ROUND(list_sum(list_transform(list_zip(x.v, y.v), t -> t[1] * t[2])) /
-        |      (sqrt(list_sum(list_transform(x.v, t -> t * t))) *
-        |       sqrt(list_sum(list_transform(y.v, t -> t * t)))), 4) AS sim
-        |  FROM ce x JOIN ce y ON x.cell = y.cell AND x.vec_id < y.vec_id)
-        |SELECT cell, vec_a, vec_b, sim FROM p WHERE sim >= 0.35
-        |ORDER BY vec_a, vec_b""".stripMargin,
+    "dedup_semantic_verified" -> (cellPairsCte +
+      """
+        |SELECT cell, va AS vec_a, vb AS vec_b, sim FROM p WHERE sim >= 0.35
+        |ORDER BY vec_a, vec_b""".stripMargin),
 
-    "sim_triangles" ->
-      """WITH e AS (SELECT label, vec_id, embedding::DOUBLE[] AS v
-        |           FROM embeddings),
-        |p AS (
-        |  SELECT a.vec_id AS va, b.vec_id AS vb,
-        |    ROUND(list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2])) /
-        |      (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
-        |       sqrt(list_sum(list_transform(b.v, x -> x * x)))), 4) AS sim
-        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
+    "sim_triangles" -> (cellPairsCte +
+      """,
         |ed AS (SELECT va, vb FROM p WHERE sim >= 0.25)
         |SELECT e1.va AS vec_a, e1.vb AS vec_b, e2.vb AS vec_c
         |FROM ed e1
         |JOIN ed e2 ON e2.va = e1.va AND e2.vb > e1.vb
         |JOIN ed e3 ON e3.va = e1.vb AND e3.vb = e2.vb
-        |ORDER BY vec_a, vec_b, vec_c""".stripMargin,
+        |ORDER BY vec_a, vec_b, vec_c""".stripMargin),
 
-    "sim_threshold_hist" ->
-      """WITH e AS (SELECT label, vec_id, embedding::DOUBLE[] AS v
-        |           FROM embeddings),
-        |p AS (
-        |  SELECT ROUND(list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2])) /
-        |      (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
-        |       sqrt(list_sum(list_transform(b.v, x -> x * x)))), 4) AS sim
-        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+    "sim_threshold_hist" -> (cellPairsCte +
+      """
         |SELECT GREATEST(-10, LEAST(9, CAST(FLOOR(sim * 10) AS BIGINT))) AS bucket,
         |  COUNT(*) AS n_pairs
-        |FROM p GROUP BY bucket ORDER BY bucket""".stripMargin,
+        |FROM p GROUP BY bucket ORDER BY bucket""".stripMargin),
 
-    "sim_mutual_knn" ->
-      """WITH e AS (SELECT label, vec_id, embedding::DOUBLE[] AS v
-        |           FROM embeddings),
-        |p AS (
-        |  SELECT a.vec_id AS va, b.vec_id AS vb,
-        |    ROUND(list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2])) /
-        |      (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
-        |       sqrt(list_sum(list_transform(b.v, x -> x * x)))), 4) AS sim
-        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
+    "sim_mutual_knn" -> (cellPairsCte +
+      """,
         |s AS (SELECT va AS src, vb AS dst, sim FROM p
         |      UNION ALL SELECT vb, va, sim FROM p),
-        |k AS (SELECT src, dst, sim,
-        |        ROW_NUMBER() OVER (PARTITION BY src
-        |                           ORDER BY sim DESC, dst) AS rk
-        |      FROM s),
-        |kk AS (SELECT src, dst, sim FROM k WHERE rk <= 3)
+        |k2 AS (SELECT src, dst, sim,
+        |         ROW_NUMBER() OVER (PARTITION BY src
+        |                            ORDER BY sim DESC, dst) AS rk
+        |       FROM s),
+        |knn AS (SELECT src, dst, sim FROM k2 WHERE rk <= 3)
         |SELECT x.src AS vec_a, x.dst AS vec_b, x.sim AS cos_sim
-        |FROM kk x JOIN kk y
+        |FROM knn x JOIN knn y
         |  ON x.src = y.dst AND x.dst = y.src AND x.src < x.dst
-        |ORDER BY vec_a, vec_b""".stripMargin,
+        |ORDER BY vec_a, vec_b""".stripMargin),
 
     "sim_ivf_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -106,12 +106,19 @@ object TpchDeep {
     // Q11 shape: entities above a fraction of a corpus total — per-part
     // lineitem value vs 0.1% of the global value. The global total is a
     // 1-row broadcast; the threshold comparison is double-vs-double from
-    // the same exact decimals on both engines.
+    // the same exact decimals on both engines. The per-part aggregate
+    // feeds BOTH the total and the filter side; exchange reuse does NOT
+    // deduplicate the two subtrees under AQE (verified empirically:
+    // final plan had two lineitem scans + two partkey shuffles), so the
+    // aggregate is materialized once via eager localCheckpoint — |parts|
+    // rows, the same barrier pattern as Components. At 100 TB: one scan
+    // + one shuffle of lineitem instead of two of each.
     "q11_important_parts" -> ((s, d) => {
       import s.implicits._
       val vals = t(s, d, "lineitem")
         .groupBy($"l_partkey")
         .agg(sum(dec($"l_extendedprice")).as("value_dec"))
+        .localCheckpoint() // eager; plan below reads the materialized RDD
       val tot = vals.agg(sum($"value_dec").as("tot_dec"))
       vals.crossJoin(broadcast(tot))
         .filter($"value_dec".cast("double") > $"tot_dec".cast("double") * 0.001)

@@ -57,19 +57,46 @@ object EventStream {
 
   case class UserCount(user_id: Long, n: Long)
 
-  /** Stateful per-user running event counts via mapGroupsWithState —
+  /** Stateful per-user running event counts via flatMapGroupsWithState —
     * the Spark-native form of the reference's per-key reduce state
-    * (M5 whole-partition reduce generalized to unbounded streams). */
-  def runningUserCounts(events: DataFrame): Dataset[UserCount] = {
+    * (M5 whole-partition reduce generalized to unbounded streams).
+    *
+    * State is O(1) per user but the user POPULATION is unbounded over an
+    * infinite stream, so in streaming mode state carries an event-time
+    * TTL: a user idle (no events) for `idleUs` of event time is evicted
+    * once the watermark passes their horizon — the state store is then
+    * bounded by the ACTIVE user set, not the all-time population. A user
+    * returning after eviction restarts at 0 (the usual TTL trade; size
+    * `idleUs` to the longest absence worth bridging). Batch mode sees
+    * each group whole and keeps the exact NoTimeout shape. */
+  def runningUserCounts(events: DataFrame,
+      idleUs: Long = 86400000000L, wmDelay: String = "1 hour"): Dataset[UserCount] = {
     import events.sparkSession.implicits._
-    events.select($"user_id".cast("long"))
-      .as[Long]
-      .groupByKey(identity)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
-        (user: Long, batch: Iterator[Long], state: GroupState[Long]) =>
-          val n = state.getOption.getOrElse(0L) + batch.size
-          state.update(n)
-          UserCount(user, n)
+    val isBatch = !events.isStreaming
+    val in = if (isBatch) events else events.withWatermark("ts", wmDelay)
+    // `ts` rides along: the event-time-timeout checker requires the
+    // watermarked column to reach the state operator
+    in.select($"user_id".cast("long"), unix_micros($"ts").as("us"), $"ts")
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(),
+          if (isBatch) GroupStateTimeout.NoTimeout
+          else GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, batch: Iterator[(Long, Long, java.sql.Timestamp)],
+         state: GroupState[(Long, Long)]) =>
+          if (state.hasTimedOut) {
+            // idle past the TTL horizon: drop the state row, emit nothing
+            state.remove()
+            Iterator.empty
+          } else {
+            var (n, seen) = state.getOption.getOrElse((0L, Long.MinValue))
+            batch.foreach { e => n += 1; if (e._2 > seen) seen = e._2 }
+            state.update((n, seen))
+            if (!isBatch)
+              state.setTimeoutTimestamp(math.max((seen + idleUs) / 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+            Iterator.single(UserCount(user, n))
+          }
       }
   }
 
@@ -153,7 +180,12 @@ object EventStream {
               else if (t - last > gapUs) {
                 out += Session(user, start, last + gapUs, n)
                 start = t; last = t; n = 1
-              } else { last = t; n += 1 }
+              } else {
+                // a cross-batch late event (t < last, still within the
+                // watermark) must never move the open session's end — and
+                // its timeout horizon — BACKWARD
+                last = math.max(last, t); n += 1
+              }
             }
             if (start >= 0) {
               state.update((start, last, n))
@@ -224,7 +256,12 @@ object EventStream {
               else if (ts - last > gapUs) {
                 out ++= pairs(user, start, tys)
                 start = ts; last = ts; tys = Seq(ty)
-              } else { last = ts; if (!tys.contains(ty)) tys = tys :+ ty }
+              } else {
+                // same cross-batch late-data guard as sessionizeCustom:
+                // never shrink the open session's end / timeout horizon
+                last = math.max(last, ts)
+                if (!tys.contains(ty)) tys = tys :+ ty
+              }
             }
             if (start >= 0) {
               state.update((start, last, tys))
@@ -248,42 +285,65 @@ object EventStream {
     * strictly after it, earliest purchase strictly after that); a row is
     * EMITTED the moment a user first advances a stage, so downstream
     * consumers see conversions as they happen instead of per-run totals.
-    * State is three longs per user — bounded by the user population, not
-    * the event volume, and each micro-batch folds its events in
-    * event-time order so within-batch ordering is exact.
+    * State is three longs per user — but the user POPULATION is
+    * unbounded over an infinite stream, so in streaming mode the state
+    * carries an event-time TTL: a user with no funnel activity for
+    * `idleUs` of event time is evicted once the watermark passes their
+    * horizon, bounding the store by the active user set. A user
+    * returning after eviction starts a fresh funnel (the TTL trade —
+    * size `idleUs` to the longest conversion window worth tracking; a
+    * completed funnel's state is likewise dropped on idle). Each
+    * micro-batch folds its events in event-time order so within-batch
+    * ordering is exact.
     *
-    * Batch mode sees each user's full history in one sorted pass, which
-    * reproduces log_funnel's min/join semantics exactly (asserted in
-    * StreamingSpec). Streaming caveat, same as sessionizeCustom: an
-    * event arriving in a later batch with a timestamp before an
-    * already-latched stage cannot retro-correct earlier decisions. */
-  def funnelHits(events: DataFrame): Dataset[FunnelHit] = {
+    * Batch mode sees each user's full history in one sorted NoTimeout
+    * pass, which reproduces log_funnel's min/join semantics exactly
+    * (asserted in StreamingSpec). Streaming caveat, same as
+    * sessionizeCustom: an event arriving in a later batch with a
+    * timestamp before an already-latched stage cannot retro-correct
+    * earlier decisions. */
+  def funnelHits(events: DataFrame,
+      idleUs: Long = 86400000000L, wmDelay: String = "1 hour"): Dataset[FunnelHit] = {
     import events.sparkSession.implicits._
-    events
-      .filter($"event_type".isin("view", "click", "purchase"))
+    val isBatch = !events.isStreaming
+    val src = if (isBatch) events else events.withWatermark("ts", wmDelay)
+    // `ts` rides along for the event-time-timeout checker
+    src.filter($"event_type".isin("view", "click", "purchase"))
       .select($"user_id".cast("long"), $"event_type",
-        unix_micros($"ts").as("us"))
-      .as[(Long, String, Long)]
+        unix_micros($"ts").as("us"), $"ts")
+      .as[(Long, String, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append(),
-          GroupStateTimeout.NoTimeout) {
-        (user: Long, batch: Iterator[(Long, String, Long)],
-         state: GroupState[(Long, Long, Long)]) =>
-          var (tv, tc, tp) = state.getOption.getOrElse((-1L, -1L, -1L))
-          val out = Seq.newBuilder[FunnelHit]
-          batch.toArray.sortBy(e => (e._3, e._2)).foreach { case (_, et, t) =>
-            et match {
-              case "view" if tv < 0 =>
-                tv = t; out += FunnelHit(user, "view", t)
-              case "click" if tv >= 0 && tc < 0 && t > tv =>
-                tc = t; out += FunnelHit(user, "click", t)
-              case "purchase" if tc >= 0 && tp < 0 && t > tc =>
-                tp = t; out += FunnelHit(user, "purchase", t)
-              case _ =>
+          if (isBatch) GroupStateTimeout.NoTimeout
+          else GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, batch: Iterator[(Long, String, Long, java.sql.Timestamp)],
+         state: GroupState[(Long, Long, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            // idle past the TTL horizon: drop the funnel state row
+            state.remove()
+            Iterator.empty
+          } else {
+            var (tv, tc, tp, seen) =
+              state.getOption.getOrElse((-1L, -1L, -1L, Long.MinValue))
+            val out = Seq.newBuilder[FunnelHit]
+            batch.toArray.sortBy(e => (e._3, e._2)).foreach { case (_, et, t, _) =>
+              if (t > seen) seen = t
+              et match {
+                case "view" if tv < 0 =>
+                  tv = t; out += FunnelHit(user, "view", t)
+                case "click" if tv >= 0 && tc < 0 && t > tv =>
+                  tc = t; out += FunnelHit(user, "click", t)
+                case "purchase" if tc >= 0 && tp < 0 && t > tc =>
+                  tp = t; out += FunnelHit(user, "purchase", t)
+                case _ =>
+              }
             }
+            state.update((tv, tc, tp, seen))
+            if (!isBatch)
+              state.setTimeoutTimestamp(math.max((seen + idleUs) / 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+            out.result().iterator
           }
-          state.update((tv, tc, tp))
-          out.result().iterator
       }
   }
 
@@ -334,7 +394,9 @@ object EventStream {
             val out = Seq.newBuilder[Attribution]
             batch.toArray.sortBy(e => (e._3, e._5)).foreach {
               case (_, et, us, v, _, _) =>
-                if (et == "click") lastClick = us
+                // cross-batch late clicks (us < lastClick, within the
+                // watermark) must not move the attribution anchor backward
+                if (et == "click") { if (us > lastClick) lastClick = us }
                 else out += Attribution(user, us,
                   lastClick >= 0 && us - lastClick <= 86400000000L, v)
             }

@@ -32,6 +32,9 @@ class PlanHygieneSpec extends SparkSpec {
     "sim_cosine_topk",       // 1-row query vector
     "sim_ivf_assign",        // fixed k-row centroid table
     "dedup_semantic_verified", // 1-row codebook array (IVF cell assign)
+    "sim_triangles",         // 1-row adaptive-k count + codebook (ivfCells)
+    "sim_mutual_knn",        // 1-row adaptive-k count + codebook (ivfCells)
+    "sim_threshold_hist",    // 1-row adaptive-k count + codebook (ivfCells)
     "sim_kmeans",            // 1-row codebook array, both iterations
     "sim_pq_codes",          // 1-row codebook array
     "sim_pq_search",         // 1-row codebook + 1-row query vector

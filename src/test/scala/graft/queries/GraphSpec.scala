@@ -33,17 +33,22 @@ class GraphSpec extends SparkSpec {
         s"triple not strictly ordered: $r")
     }
     // closure: every edge of every reported triangle is a real edge
-    // (recomputed brute-force on the fixture), and no triangle is missed
-    val emb = graft.Tables.t(spark, sf(), "embeddings")
-      .select($"label", $"vec_id", $"embedding".cast("array<double>").as("v"))
-    graft.functions.GraftFunctions.register(spark)
-    val edges = emb.as("a").join(emb.as("b"),
-        $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
-      .select($"a.vec_id".as("va"), $"b.vec_id".as("vb"),
-        round(expr("cosine_similarity(a.v, b.v)"), 4).as("sim"))
-      .filter($"sim" >= 0.25)
-      .select($"va", $"vb").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (recomputed brute-force on the fixture — collect the cell
+    // assignment, then pure driver-side Scala pairwise cosine, fully
+    // independent of the query's join pipeline), and no triangle is missed
+    val cells = Similarity.ivfCells(spark, sf())
+      .select($"vec_id", $"v", $"cell").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getLong(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val edges = (for {
+      (ia, va, ca) <- cells; (ib, vb, cb) <- cells
+      if ca == cb && ia < ib && cos(va, vb) >= 0.25
+    } yield (ia, ib)).toSet
     val expected = for {
       (a, b) <- edges.toSeq; (a2, c) <- edges if a2 == a && c > b
       if edges.contains((b, c))

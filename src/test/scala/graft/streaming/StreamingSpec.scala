@@ -316,6 +316,69 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("running counts: idle user state evicts once the TTL horizon passes") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_rc_evict").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq((1L, ts("2024-06-01 10:00:00")), (1L, ts("2024-06-01 10:05:00")))
+      .toDF("user_id", "ts").write.parquet(s"$dir/b1")
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val q = EventStream.runningUserCounts(
+        spark.readStream.schema(schema).parquet(s"$dir/*")).toDF()
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("rc_evict").start()
+    try {
+      q.processAllAvailable()
+      def stateRows: Long =
+        q.recentProgress.flatMap(_.stateOperators.map(_.numRowsTotal))
+          .lastOption.getOrElse(-1L)
+      assert(stateRows == 1L, s"user 1 held as state, got $stateRows")
+      // three days later: the watermark passes user 1's 24h idle horizon
+      // — their state row must drop, leaving only the fresh user's
+      Seq((2L, ts("2024-06-04 12:00:00")))
+        .toDF("user_id", "ts").write.parquet(s"$dir/b2")
+      q.processAllAvailable()
+      assert(stateRows == 1L,
+        s"user 1 evicted, only user 2 held; got $stateRows")
+      // eviction emitted nothing: one update per (user, micro-batch)
+      // — both user-1 events fold in one batch, so one (1,2) row
+      val got = spark.table("rc_evict")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(got.toSeq == Seq((1L, 2L), (2L, 1L)),
+        s"unexpected emissions: ${got.toSeq}")
+    } finally q.stop()
+  }
+
+  test("funnel: idle user state evicts once the TTL horizon passes") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_fn_evict").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq((1L, ts("2024-06-01 10:00:00"), "view"),
+        (1L, ts("2024-06-01 10:05:00"), "click"))
+      .toDF("user_id", "ts", "event_type").write.parquet(s"$dir/b1")
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val q = EventStream.funnelHits(
+        spark.readStream.schema(schema).parquet(s"$dir/*")).toDF()
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("fn_evict").start()
+    try {
+      q.processAllAvailable()
+      def stateRows: Long =
+        q.recentProgress.flatMap(_.stateOperators.map(_.numRowsTotal))
+          .lastOption.getOrElse(-1L)
+      assert(stateRows == 1L, s"user 1's funnel held as state, got $stateRows")
+      assert(spark.table("fn_evict").count() == 2, "view+click hits emitted")
+      // three days later: watermark passes user 1's idle horizon — the
+      // half-complete funnel is dropped; only the fresh user's state stays
+      Seq((2L, ts("2024-06-04 12:00:00"), "view"))
+        .toDF("user_id", "ts", "event_type").write.parquet(s"$dir/b2")
+      q.processAllAvailable()
+      assert(stateRows == 1L,
+        s"user 1 evicted, only user 2 held; got $stateRows")
+      assert(spark.table("fn_evict").count() == 3, "eviction emitted rows")
+    } finally q.stop()
+  }
+
   test("stream-stream FULL OUTER join: both sides null-extend on flush") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_fouter").toString
