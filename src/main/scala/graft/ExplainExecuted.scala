@@ -2,8 +2,17 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-// throwaway: executed-plan audit after action (AQE final plan)
-object TmpPlanCheck {
+/** Post-execution plan audit: runs each named query to completion and
+  * prints the FINAL (AQE-resolved) physical plan plus its parquet-scan
+  * count — what actually executed, where `Explain` shows only the
+  * initial plan. Used to verify runtime properties the initial plan
+  * hides: exchange/broadcast reuse, AQE join demotions, skew splits
+  * (e.g. the q11 double-scan diagnosis — two identical aggregate
+  * subtrees that AQE did NOT dedupe).
+  *
+  * Usage: runMain graft.ExplainExecuted <sfDir> <query> [query ...]
+  */
+object ExplainExecuted {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder()

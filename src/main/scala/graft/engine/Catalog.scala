@@ -21,14 +21,100 @@ class Catalog(spark: SparkSession, warehouse: String) {
     new Path(warehouse, name)
   }
 
-  /** S2: ingest a local file; duplicate names rejected. */
-  def store(local: String, name: String): Unit = {
+  /** S2: ingest a local file; duplicate names rejected.
+    * `chunkSizeMb` mirrors the client's overridable chunk size
+    * (cl/dfs_actions.go:76-81, default 64 MiB): it is plumbed to the
+    * write's requested block size, the unit the storage layer splits
+    * and places the file by — the direct analog of the reference's
+    * chunk granularity. */
+  def store(local: String, name: String, chunkSizeMb: Long = 64L): Unit = {
+    require(chunkSizeMb > 0, s"chunk size must be positive: $chunkSizeMb")
     val dst = target(name)
     if (fs.exists(dst))
       throw new IllegalArgumentException(s"file exists: $name") // :17-22
     fs.mkdirs(new Path(warehouse))
-    fs.copyFromLocalFile(new Path(local), dst)
+    val src = new Path(local)
+    val localFs = src.getFileSystem(new Configuration())
+    val in = localFs.open(src)
+    try {
+      // explicit create so the block size is honored (copyFromLocalFile
+      // would silently use the fs default)
+      val out = fs.create(dst, true, 64 * 1024,
+        fs.getDefaultReplication(dst), chunkSizeMb * 1048576L)
+      try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 64 * 1024)
+      finally out.close()
+    } finally in.close()
   }
+
+  /** Table-shaped ingest — the columnar form of S2's chunk-size control:
+    * `maxRecordsPerFile` bounds each output part file the way the
+    * reference's chunk size bounds each stored chunk (SURVEY §2.1 S2).
+    * Write-once: duplicate table names rejected like `store`. */
+  def storeTable(df: org.apache.spark.sql.DataFrame, name: String,
+      maxRecordsPerFile: Long = 0L): Unit = {
+    val dst = target(name)
+    if (fs.exists(dst))
+      throw new IllegalArgumentException(s"file exists: $name")
+    df.write.option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(dst.toString)
+  }
+
+  /** BIN/TXT sniffing (cl/dfs_actions.go:69-74: content-type detection
+    * over the first 512 bytes; "text/plain; charset=utf-8" → TXT). Computed
+    * on demand from the stored bytes — equivalent to the reference's
+    * store-time sniff (content is write-once) with no metadata to keep
+    * consistent. A 512-byte window is TXT iff it is valid UTF-8 (a
+    * multi-byte sequence truncated by the window edge is allowed) and
+    * free of control bytes other than \t \n \r \f. */
+  def fileType(name: String): String = {
+    val p = target(name)
+    if (fs.getFileStatus(p).isDirectory) return "BIN" // table dir
+    val in = fs.open(p)
+    val buf = new Array[Byte](512)
+    val n = try {
+      var read = 0
+      var r = 0
+      while (read < 512 && r >= 0) {
+        r = in.read(buf, read, 512 - read)
+        if (r > 0) read += r
+      }
+      read
+    } finally in.close()
+    if (n == 0) return "TXT" // empty file: vacuously text
+    var i = 0
+    var txt = true
+    while (txt && i < n) {
+      val b = buf(i) & 0xff
+      if (b < 0x20 && b != '\t' && b != '\n' && b != '\r' && b != '\f') txt = false
+      else if (b < 0x80) i += 1
+      else {
+        // UTF-8 multi-byte: lead byte fixes the length; continuation
+        // bytes must be 10xxxxxx; truncation at the window edge is fine
+        val len =
+          if (b >= 0xc2 && b <= 0xdf) 2
+          else if (b >= 0xe0 && b <= 0xef) 3
+          else if (b >= 0xf0 && b <= 0xf4) 4
+          else -1
+        if (len < 0) txt = false
+        else {
+          var j = 1
+          while (txt && j < len && i + j < n) {
+            if ((buf(i + j) & 0xc0) != 0x80) txt = false
+            j += 1
+          }
+          i += len
+        }
+      }
+    }
+    if (txt) "TXT" else "BIN"
+  }
+
+  /** All stored TXT files in sorted order — the default input set of a
+    * map-reduce job (cn/mr_actions.go:222: only TXT chunks feed maps). */
+  def listTxt(): Seq[String] = list().filter(fileType(_) == "TXT")
+
+  /** Absolute path of a stored file, for handing to a reader. */
+  def pathOf(name: String): String = target(name).toString
 
   /** S3: export a stored file to a local path; refuses to overwrite
     * (cl/dfs_actions.go:305-309). */
@@ -46,6 +132,30 @@ class Catalog(spark: SparkSession, warehouse: String) {
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).map(_.getPath.getName).sorted.toSeq
   }
+
+  /** S5 verbose (`list -v`, cl/dfs_actions.go:546-580): per stored
+    * entry, its chunks — part files for a table directory, storage
+    * blocks for a raw file — and each chunk's replica hosts, the
+    * (name, size, locations) detail the reference prints per chunk.
+    * This is the cataloging role `df.inputFiles` plays for tables,
+    * extended with the block placement the DFS layer reports. */
+  def listVerbose(): Seq[(String, Seq[(String, Long, Seq[String])])] =
+    list().map { name =>
+      val p = target(name)
+      val st = fs.getFileStatus(p)
+      def blocks(s: org.apache.hadoop.fs.FileStatus) =
+        fs.getFileBlockLocations(s, 0, math.max(s.getLen, 1L))
+          .flatMap(_.getHosts).toSeq
+      val chunks =
+        if (st.isDirectory)
+          fs.listStatus(p).filter(_.isFile).sortBy(_.getPath.getName)
+            // _SUCCESS and other marker/hidden files are not chunks
+            .filterNot(c => c.getPath.getName.startsWith("_") ||
+              c.getPath.getName.startsWith("."))
+            .map(c => (c.getPath.getName, c.getLen, blocks(c))).toSeq
+        else Seq((name, st.getLen, blocks(st)))
+      name -> chunks
+    }
 
   /** S4: whole-file delete (cn/dfs_actions.go:150-181). */
   def delete(name: String): Boolean = fs.delete(target(name), true)

@@ -48,9 +48,17 @@ object Layout {
     x2.bitwiseOR(shiftleft(x2, 1)).bitwiseAND(lit(0x5555))
   }
 
-  /** 16-bit Morton (Z-order) key from two 8-bit bucket indexes. */
-  def zKey(a: Column, b: Column): Column =
-    shiftleft(spread8(a), 1).bitwiseOR(spread8(b))
+  /** 16-bit Morton (Z-order) key from two 8-bit bucket indexes in
+    * [0, 255]. spread8 masks away bits above the 8th, so an out-of-domain
+    * input would silently COLLIDE with an in-domain key and degrade the
+    * layout — instead the key expression fails the job loudly. */
+  def zKey(a: Column, b: Column): Column = {
+    def checked(c: Column, name: String): Column =
+      when(c < 0 || c > 255,
+        raise_error(concat(lit(s"zKey $name out of [0,255]: "), c.cast("string"))))
+        .otherwise(c)
+    shiftleft(spread8(checked(a, "a")), 1).bitwiseOR(spread8(checked(b, "b")))
+  }
 
   /** Quantile bucket index of `c` against precomputed boundaries: the
     * number of boundaries ≤ c — an in-row fold over a literal array
@@ -89,16 +97,25 @@ object Layout {
     // range boundaries must land exactly on tile ids (only `files`
     // distinct values): the default 100-samples-per-partition boundary
     // estimate routinely fuses two tiles into one file, whose bounding
-    // box then spans both — sample densely for this one exchange
-    val sampleKey = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
-    val prev = spark.conf.getOption(sampleKey)
-    spark.conf.set(sampleKey, "5000")
+    // box then spans both — sample densely for this one exchange. The
+    // override lives on a CLONED session (shared SparkContext, separate
+    // SQLConf), so concurrent range-partitioned writes on the caller's
+    // session never observe the 5000-sample setting; the frame crosses
+    // sessions via a global temp view (re-resolved under the clone's
+    // conf).
+    val writer = spark.newSession()
+    writer.conf.set(
+      "spark.sql.execution.rangeExchange.sampleSizePerPartition", "5000")
+    val view = "graft_zorder_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    df.createOrReplaceGlobalTempView(view)
     try {
       // range key = the tile id ALONE: adding __z to the range key makes
       // every sampled boundary a (tile, z) pair that splits INSIDE a
       // tile at its median z, shifting each file half a tile off the
       // grid; z only orders rows within the file (row-group locality)
-      df.withColumn("__z",
+      writer.table(s"global_temp.$view")
+        .withColumn("__z",
           zKey(bucketOf(col(colA).cast("double"), boundsA),
             bucketOf(col(colB).cast("double"), boundsB)))
         .withColumn("__tile", floor(col("__z") * files / 65536))
@@ -106,12 +123,7 @@ object Layout {
         .sortWithinPartitions("__tile", "__z")
         .drop("__tile", "__z")
         .write.mode("overwrite").parquet(dstDir)
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set(sampleKey, v)
-        case None => spark.conf.unset(sampleKey)
-      }
-    }
+    } finally spark.catalog.dropGlobalTempView(view)
   }
 
   /** Small-file compaction: rewrite a parquet directory into

@@ -354,6 +354,43 @@ object EventsLog {
         .orderBy($"l_returnflag")
     }),
 
+    // The ORACLE-CHECKABLE contract for q_approx_quantiles: each
+    // engine's quantile estimate must sit within 1% RANK error of the
+    // true quantile (Spark GK at accuracy=1000 guarantees 0.1%;
+    // DuckDB's t-digest is well inside 1% at any realistic size). The
+    // estimate v's true rank interval is [#{x<v}+1, #{x<=v}]; the check
+    // is that it intersects [(p-ε)·n − 1, (p+ε)·n + 1]. Estimates are
+    // engine-specific and never compared — what hash-matches is
+    // (group, n, bound-satisfied): the published guarantee verified
+    // against ground truth on both engines. The estimate→rank pass is
+    // one broadcast join + re-aggregation of the same scan shape.
+    "q_approx_quantiles_bounds" -> ((s, d) => {
+      import s.implicits._
+      val li = t(s, d, "lineitem")
+        .select($"l_returnflag", $"l_quantity", $"l_extendedprice")
+      val ap = li.groupBy($"l_returnflag")
+        .agg(expr("approx_percentile(l_quantity, 0.5, 1000)").as("ap50"),
+          expr("approx_percentile(l_quantity, 0.9, 1000)").as("ap90"),
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("app"))
+      def okCol(p: Double, lo: String, hi: String) =
+        (col(lo) + 1 <= lit(p + 0.01) * col("n") + 1 &&
+          col(hi) >= lit(p - 0.01) * col("n") - 1).cast("bigint")
+      li.join(broadcast(ap), "l_returnflag")
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(when($"l_quantity" < $"ap50", 1L).otherwise(0L)).as("lo50"),
+          sum(when($"l_quantity" <= $"ap50", 1L).otherwise(0L)).as("hi50"),
+          sum(when($"l_quantity" < $"ap90", 1L).otherwise(0L)).as("lo90"),
+          sum(when($"l_quantity" <= $"ap90", 1L).otherwise(0L)).as("hi90"),
+          sum(when($"l_extendedprice" < $"app", 1L).otherwise(0L)).as("lop"),
+          sum(when($"l_extendedprice" <= $"app", 1L).otherwise(0L)).as("hip"))
+        .select($"l_returnflag", $"n",
+          okCol(0.5, "lo50", "hi50").as("p50_qty_ok"),
+          okCol(0.9, "lo90", "hi90").as("p90_qty_ok"),
+          okCol(0.5, "lop", "hip").as("p50_price_ok"))
+        .orderBy($"l_returnflag")
+    }),
+
     // L8 at 100 TB scale: approx_count_distinct (HLL++) — the bounded-
     // state variant of exact distinct. No oracle (sketch estimates are
     // engine-specific); rows-only check + exact column for sanity.
@@ -363,6 +400,25 @@ object EventsLog {
         .groupBy($"event_type")
         .agg(approx_count_distinct($"user_id", 0.01).as("approx_users"),
           countDistinct($"user_id").as("exact_users"))
+        .orderBy($"event_type")
+    }),
+
+    // The ORACLE-CHECKABLE contract for log_approx_distinct: each
+    // engine's HLL estimate must sit within 5% of the exact distinct
+    // count (Spark rsd=0.01 → 5σ; DuckDB's default HLL is ~0.4% rse).
+    // The estimates themselves are engine-specific and never compared —
+    // what hash-matches is (group, exact, bound-satisfied), i.e. the
+    // published error guarantee, verified against ground truth on BOTH
+    // engines.
+    "log_approx_distinct_bounds" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "events")
+        .groupBy($"event_type")
+        .agg(approx_count_distinct($"user_id", 0.01).as("approx"),
+          countDistinct($"user_id").as("exact_users"))
+        .select($"event_type", $"exact_users",
+          (abs($"approx" - $"exact_users") <=
+            $"exact_users" * 0.05).cast("bigint").as("within_5pct"))
         .orderBy($"event_type")
     }),
 
@@ -587,6 +643,41 @@ object EventsLog {
     }))
 
   val oracle: Map[String, String] = Map(
+    "log_approx_distinct_bounds" ->
+      """SELECT event_type,
+        |  COUNT(DISTINCT user_id) AS exact_users,
+        |  CAST(CASE WHEN abs(approx_count_distinct(user_id)
+        |                     - COUNT(DISTINCT user_id))
+        |            <= COUNT(DISTINCT user_id) * 0.05
+        |       THEN 1 ELSE 0 END AS BIGINT) AS within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_approx_quantiles_bounds" ->
+      """WITH ap AS (
+        |  SELECT l_returnflag,
+        |    approx_quantile(l_quantity, 0.5) AS ap50,
+        |    approx_quantile(l_quantity, 0.9) AS ap90,
+        |    approx_quantile(l_extendedprice, 0.5) AS app
+        |  FROM lineitem GROUP BY l_returnflag),
+        |j AS (
+        |  SELECT l.l_returnflag, COUNT(*) AS n,
+        |    SUM(CASE WHEN l.l_quantity < a.ap50 THEN 1 ELSE 0 END) AS lo50,
+        |    SUM(CASE WHEN l.l_quantity <= a.ap50 THEN 1 ELSE 0 END) AS hi50,
+        |    SUM(CASE WHEN l.l_quantity < a.ap90 THEN 1 ELSE 0 END) AS lo90,
+        |    SUM(CASE WHEN l.l_quantity <= a.ap90 THEN 1 ELSE 0 END) AS hi90,
+        |    SUM(CASE WHEN l.l_extendedprice < a.app THEN 1 ELSE 0 END) AS lop,
+        |    SUM(CASE WHEN l.l_extendedprice <= a.app THEN 1 ELSE 0 END) AS hip
+        |  FROM lineitem l JOIN ap a USING (l_returnflag)
+        |  GROUP BY l.l_returnflag)
+        |SELECT l_returnflag, n,
+        |  CAST(CASE WHEN lo50 + 1 <= 0.51 * n + 1 AND hi50 >= 0.49 * n - 1
+        |       THEN 1 ELSE 0 END AS BIGINT) AS p50_qty_ok,
+        |  CAST(CASE WHEN lo90 + 1 <= 0.91 * n + 1 AND hi90 >= 0.89 * n - 1
+        |       THEN 1 ELSE 0 END AS BIGINT) AS p90_qty_ok,
+        |  CAST(CASE WHEN lop + 1 <= 0.51 * n + 1 AND hip >= 0.49 * n - 1
+        |       THEN 1 ELSE 0 END AS BIGINT) AS p50_price_ok
+        |FROM j ORDER BY l_returnflag""".stripMargin,
+
     "log_counts_by_type" ->
       """SELECT event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value

@@ -56,4 +56,66 @@ class CatalogSpec extends SparkSpec {
     val (cat, _) = freshCatalog()
     intercept[IllegalArgumentException] { cat.store("/tmp/x", "sub/dir.txt") }
   }
+
+  test("BIN/TXT sniffing (cl/dfs_actions.go:69-74)") {
+    val (cat, _) = freshCatalog()
+    val txt = Files.createTempFile("graft", ".txt")
+    Files.writeString(txt, "plain utf-8 text\nwith a snowman ☃\n")
+    val bin = Files.createTempFile("graft", ".bin")
+    Files.write(bin, Array[Byte](0x50, 0x4b, 0x03, 0x04, 0x00, -1, -2))
+    val empty = Files.createTempFile("graft", ".e")
+    cat.store(txt.toString, "doc.txt")
+    cat.store(bin.toString, "blob.bin")
+    cat.store(empty.toString, "empty")
+    assert(cat.fileType("doc.txt") == "TXT")
+    assert(cat.fileType("blob.bin") == "BIN")
+    assert(cat.fileType("empty") == "TXT")
+    assert(cat.listTxt() == Seq("doc.txt", "empty"))
+  }
+
+  test("chunk-size-parameterized store is honored end-to-end") {
+    val (cat, _) = freshCatalog()
+    val local = Files.createTempFile("graft", ".txt")
+    Files.writeString(local, "payload " * 1000)
+    cat.store(local.toString, "sized.txt", chunkSizeMb = 1L)
+    // content survives the explicit-create path
+    val out = Files.createTempDirectory("graft_out").resolve("sized.txt")
+    cat.retrieve("sized.txt", out.toString)
+    assert(Files.readString(out) == "payload " * 1000)
+    intercept[IllegalArgumentException] {
+      cat.store(local.toString, "bad.txt", chunkSizeMb = 0L)
+    }
+  }
+
+  test("storeTable bounds part files via maxRecordsPerFile (S2 chunking)") {
+    import spark.implicits._
+    val (cat, _) = freshCatalog()
+    val df = spark.range(100).select($"id").coalesce(1)
+    cat.storeTable(df, "tiny_chunks", maxRecordsPerFile = 10L)
+    val back = spark.read.parquet(cat.pathOf("tiny_chunks"))
+    assert(back.count() == 100L)
+    // one writer task, 100 rows, 10 rows/file → 10 part files
+    assert(back.inputFiles.length == 10,
+      s"expected 10 part files, got ${back.inputFiles.length}")
+    intercept[IllegalArgumentException] { cat.storeTable(df, "tiny_chunks") }
+  }
+
+  test("verbose list reports per-chunk sizes and block locations (list -v)") {
+    import spark.implicits._
+    val (cat, _) = freshCatalog()
+    val local = Files.createTempFile("graft", ".txt")
+    Files.writeString(local, "abc")
+    cat.store(local.toString, "raw.txt")
+    cat.storeTable(spark.range(20).select($"id").coalesce(1),
+      "tbl", maxRecordsPerFile = 10L)
+    val v = cat.listVerbose().toMap
+    assert(v.keySet == Set("raw.txt", "tbl"))
+    val raw = v("raw.txt")
+    assert(raw.map(_._1) == Seq("raw.txt") && raw.head._2 == 3L)
+    assert(raw.head._3.nonEmpty, "raw file must report block locations")
+    val tbl = v("tbl")
+    assert(tbl.count(_._1.endsWith(".parquet")) == 2,
+      s"expected 2 parquet chunks, got ${tbl.map(_._1)}")
+    assert(tbl.forall(_._2 > 0L))
+  }
 }

@@ -124,4 +124,99 @@ class JobsSpec extends SparkSpec {
     val b = MrPipeline.run(spark, input, LogAnalyzerJob).collect().toSeq
     assert(a.nonEmpty && a.toSet == b.toSet)
   }
+
+  // ---- JobRunner: M8 admission + file selection (cn/mr_actions.go) --------
+
+  private def freshRunner(): (JobRunner, Catalog) = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_jobs")
+    val cat = new Catalog(spark, wh.toString)
+    (new JobRunner(spark, cat), cat)
+  }
+
+  private def storeText(cat: Catalog, name: String, text: String): Unit = {
+    val f = java.nio.file.Files.createTempFile("graft_job_in", ".txt")
+    java.nio.file.Files.writeString(f, text)
+    cat.store(f.toString, name)
+  }
+
+  test("M8: empty file list defaults to all stored TXT files, BIN excluded") {
+    val (runner, cat) = freshRunner()
+    storeText(cat, "a.txt", "x y\n")
+    storeText(cat, "b.txt", "y z\n")
+    val bin = java.nio.file.Files.createTempFile("graft_job_in", ".bin")
+    java.nio.file.Files.write(bin, Array[Byte](0, 1, 2, 3))
+    cat.store(bin.toString, "blob.bin")
+    val rows = runner.run("wc_default", WordCountJob)
+      .collect().map(_.getString(1)).sorted
+    // words from BOTH txt files, none from the binary blob
+    assert(rows.toSeq == Seq(
+      "x            ::    1",
+      "y            ::    2",
+      "z            ::    1"), s"got ${rows.toSeq}")
+  }
+
+  test("M8: explicit missing files rejected with the full missing list") {
+    val (runner, cat) = freshRunner()
+    storeText(cat, "a.txt", "x\n")
+    val e = intercept[IllegalArgumentException] {
+      runner.run("wc_missing", WordCountJob, Seq("a.txt", "nope1", "nope2"))
+    }
+    assert(e.getMessage.contains("nope1") && e.getMessage.contains("nope2"))
+    assert(!e.getMessage.contains("a.txt"))
+  }
+
+  test("M8: no TXT input at all is an error, not an empty success") {
+    val (runner, cat) = freshRunner()
+    val bin = java.nio.file.Files.createTempFile("graft_job_in", ".bin")
+    java.nio.file.Files.write(bin, Array[Byte](0, 1, 2))
+    cat.store(bin.toString, "blob.bin")
+    val e = intercept[IllegalArgumentException] {
+      runner.run("wc_empty", WordCountJob)
+    }
+    assert(e.getMessage.contains("no TXT files"))
+  }
+
+  test("M8: duplicate RUNNING job name rejected; name frees on completion") {
+    val (runner, cat) = freshRunner()
+    storeText(cat, "a.txt", "hello world\n")
+    JobsSpec.gate = new java.util.concurrent.CountDownLatch(1)
+    JobsSpec.started = new java.util.concurrent.CountDownLatch(1)
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val t = new Thread(() =>
+      try runner.run("dup_job", new JobsSpec.GatedJob)
+      catch { case e: Throwable => err.set(e) })
+    t.start()
+    assert(JobsSpec.started.await(30, java.util.concurrent.TimeUnit.SECONDS),
+      "first job never reached its map phase")
+    // while the first run is still inside its map phase: duplicate rejected
+    val dup = intercept[IllegalStateException] {
+      runner.run("dup_job", WordCountJob)
+    }
+    assert(dup.getMessage.contains("dup_job"))
+    JobsSpec.gate.countDown()
+    t.join(60000)
+    assert(!t.isAlive && err.get() == null, s"first run failed: ${err.get()}")
+    // completed: the name is free again
+    val again = runner.run("dup_job", WordCountJob)
+    assert(again.count() > 0)
+  }
+}
+
+object JobsSpec {
+  // JVM-static latches: reachable from executor threads in local mode
+  @volatile var gate: java.util.concurrent.CountDownLatch = _
+  @volatile var started: java.util.concurrent.CountDownLatch = _
+
+  /** WordCountJob that parks its first map call until released — lets the
+    * duplicate-admission test hold a job in the RUNNING state. */
+  class GatedJob extends graft.engine.MrJob {
+    def R: Int = 2
+    def fMap(file: String, lineNo: Long, line: String): Iterator[(String, String)] = {
+      started.countDown()
+      gate.await(30, java.util.concurrent.TimeUnit.SECONDS)
+      graft.engine.jobs.WordCountJob.fMap(file, lineNo, line)
+    }
+    def fReduce(partition: Iterator[(String, String)]): Iterator[String] =
+      graft.engine.jobs.WordCountJob.fReduce(partition)
+  }
 }

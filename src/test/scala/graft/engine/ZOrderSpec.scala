@@ -93,5 +93,28 @@ class ZOrderSpec extends SparkSpec {
       }.sum
       assert(z == expected, s"zKey($a, $b) = $z, expected $expected")
     }
+
+    // conf isolation: the dense-sampling override zOrderWrite needs must
+    // never leak into the caller's session (it runs on a cloned one)
+    assert(spark.conf.get(
+      "spark.sql.execution.rangeExchange.sampleSizePerPartition") != "5000",
+      "zOrderWrite leaked its range-sampling override into the session")
+    // and no temp view is left behind
+    assert(!spark.catalog.listTables("global_temp").collect()
+      .exists(_.name.startsWith("graft_zorder_")))
+  }
+
+  test("zKey rejects inputs outside [0, 255] loudly") {
+    import spark.implicits._
+    val bad = spark.range(1).select(lit(256).as("a"), lit(0).as("b"))
+    val e = intercept[Exception] {
+      bad.select(Layout.zKey($"a", $"b")).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("zKey"),
+      s"expected a zKey domain error, got: ${e.getMessage}")
+    // negative inputs fail too
+    intercept[Exception] {
+      spark.range(1).select(Layout.zKey(lit(-1), lit(0))).collect()
+    }
   }
 }

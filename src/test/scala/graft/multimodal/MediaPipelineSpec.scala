@@ -72,4 +72,23 @@ class MediaPipelineSpec extends SparkSpec {
     assert(a.nonEmpty && a.toSeq == b.toSeq)
     assert(a.groupBy(_.media_id).values.forall(_.length <= 4))
   }
+
+  test("fixture guard: documents.text is pure ASCII at every tested SF") {
+    // The mm_audio_energy / mm_resize oracles index payload bytes by
+    // CHARACTER position (substring/ascii/string_agg) while the Scala
+    // side operates on UTF-8 BYTES — identical only while the fixture
+    // text is ASCII. This guard turns that silent assumption into a
+    // loud failure if the generated documents ever gain multi-byte
+    // text (Multimodal.scala oracle comments document the dependency).
+    import org.apache.spark.sql.functions._
+    for (dir <- Seq("sf0.001", "sf0.01")) {
+      val nonAscii = graft.Tables.t(spark, sf(dir), "documents")
+        .filter(octet_length(col("text")) =!= length(col("text")) ||
+          col("text").rlike("[^\\x00-\\x7F]"))
+        .count()
+      assert(nonAscii == 0,
+        s"$dir/documents.text contains non-ASCII rows ($nonAscii) — " +
+          "the character-indexed mm oracles are no longer byte-faithful")
+    }
+  }
 }
