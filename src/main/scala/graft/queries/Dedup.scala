@@ -312,6 +312,29 @@ object Dedup {
       cross.union(same).orderBy($"doc_a", $"doc_b")
     }),
 
+    // Winnowing-fingerprint near-dup candidates — the OTHER production
+    // recall path next to MinHash-LSH: two docs are candidates when
+    // they share >= 3 distinct winnow fingerprints (each fingerprint
+    // witnesses a shared >= 6-token run, so this catches long verbatim
+    // overlap that MinHash's whole-set similarity can dilute away).
+    // Fingerprints seen in > 50 docs are dropped first ("stop
+    // fingerprints": boilerplate/license runs) — the frequency cap that
+    // keeps the fp equi-join skew-free at 100 TB; the join itself is
+    // the same band-join shape as lshPairs, never pairwise.
+    "dedup_winnow_pairs" -> ((s, d) => {
+      import s.implicits._
+      val fps = TextAnalysis.winnowFingerprints(t(s, d, "documents"))
+      val rare = fps.groupBy($"fp").agg(count(lit(1)).as("df"))
+        .filter($"df" <= 50).select($"fp")
+      val pruned = fps.join(rare, "fp")
+      pruned.as("a").join(pruned.as("b"),
+          $"a.fp" === $"b.fp" && $"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+        .filter($"shared" >= 3)
+        .orderBy($"doc_a", $"doc_b")
+    }),
+
     // Duplicate clusters: connected components over the LSH candidate
     // graph via min-label propagation — the standard iterative approach
     // at 100 TB scale (each round is one shuffle join; no driver-side
@@ -398,6 +421,16 @@ object Dedup {
     }))
 
   val oracle: Map[String, String] = Map(
+    "dedup_winnow_pairs" -> (TextAnalysis.winnowCteSql +
+      """,
+        |rare AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 50),
+        |pr AS (SELECT doc_id, fp FROM fps
+        |       WHERE fp IN (SELECT fp FROM rare))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+        |FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        |ORDER BY doc_a, doc_b""".stripMargin),
+
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, md5(text) AS fp, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,

@@ -512,6 +512,62 @@ object Similarity {
         .limit(10)
     }),
 
+    // IVF-PQ search — the composed production index query (the shape
+    // FAISS/ScaNN deploy at billion scale): the coarse IVF quantizer
+    // bounds the scan to the query's 2 probed cells (nprobe/ncells of
+    // the corpus), and within the candidates the ranking is PQ
+    // asymmetric distance from 4 subspace codes + the broadcast query
+    // LUT — the scan path touches codes, never raw vectors. Everything
+    // is scalar broadcasts (codebook, query, probed cells) over one
+    // candidate-bounded pass; top-10 plans as TakeOrderedAndProject.
+    "sim_ivf_pq_search" -> ((s, d) => {
+      import s.implicits._
+      withCosine(s)
+      val emb = t(s, d, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val cents = emb.filter($"vec_id" < 8)
+        .select($"vec_id".as("cent_id"), $"v".as("c"))
+        .agg(expr("array_sort(collect_list(named_struct(" +
+          "'cent_id', cent_id, 'c', c)))").as("cents"))
+      val cellOf = expr(
+        """array_min(transform(cents, ct -> named_struct(
+          |  'nsim', -round(cosine_similarity(v, ct.c), 4),
+          |  'cent_id', ct.cent_id))).cent_id""".stripMargin)
+      val assign = emb.crossJoin(broadcast(cents))
+        .select($"vec_id", $"v", cellOf.as("cent_id"))
+      val probed = emb.filter($"vec_id" === 0).crossJoin(broadcast(cents))
+        .select(explode($"cents").as("ct"), $"v")
+        .select($"ct.cent_id".as("cent_id"),
+          round(cosine("v", "ct.c"), 4).as("csim"))
+        .orderBy(desc("csim"), asc("cent_id")).limit(2)
+        .select($"cent_id")
+      val q = emb.filter($"vec_id" === 0).select($"v".as("q"))
+      // per-subspace argmin carries the codeword subvector; the ADC sum
+      // folds in fixed m order (same expressions as sim_pq_search)
+      val am = expr(
+        """transform(sequence(0, 3), m ->
+          |  array_min(transform(cents, ct -> named_struct(
+          |    'd2', aggregate(zip_with(slice(v, 1 + 16 * m, 16),
+          |                             slice(ct.c, 1 + 16 * m, 16),
+          |                             (x, y) -> (x - y) * (x - y)),
+          |                    0D, (acc, e) -> acc + e),
+          |    'cent_id', ct.cent_id,
+          |    'cs', slice(ct.c, 1 + 16 * m, 16)))))""".stripMargin)
+      val adc = expr(
+        """aggregate(transform(sequence(0, 3), m ->
+          |  aggregate(zip_with(slice(q, 1 + 16 * m, 16), am[m].cs,
+          |                     (x, y) -> (x - y) * (x - y)),
+          |            0D, (acc, e) -> acc + e)),
+          |  0D, (acc, e) -> acc + e)""".stripMargin)
+      assign.join(broadcast(probed), "cent_id")
+        .filter($"vec_id" =!= 0)
+        .crossJoin(broadcast(cents)).crossJoin(broadcast(q))
+        .select($"vec_id", am.as("am"), $"q")
+        .select($"vec_id", round(adc, 4).as("adc_d2"))
+        .orderBy($"adc_d2".asc, $"vec_id".asc)
+        .limit(10)
+    }),
+
     // ANN index-quality evaluation: recall@10 of each approximate
     // method (exact LSH bucket, hamming-1 multiprobe, 2-probe IVF)
     // against brute-force ground truth for the same query vector — the
@@ -904,6 +960,68 @@ object Similarity {
         |    list_sum(list_transform(list_zip(q.qs, c.cs),
         |      x -> (x[1] - x[2]) * (x[1] - x[2]))) AS qd2
         |  FROM cb c JOIN q USING (m)),
+        |adc AS (
+        |  SELECT j.vec_id,
+        |    MAX(CASE WHEN j.m = 0 THEN j.qd2 END)
+        |      + MAX(CASE WHEN j.m = 1 THEN j.qd2 END)
+        |      + MAX(CASE WHEN j.m = 2 THEN j.qd2 END)
+        |      + MAX(CASE WHEN j.m = 3 THEN j.qd2 END) AS adc_raw
+        |  FROM (SELECT code.vec_id, code.m, lut.qd2
+        |        FROM code JOIN lut ON lut.cent_id = code.cent_id
+        |                          AND lut.m = code.m) j
+        |  GROUP BY j.vec_id)
+        |SELECT vec_id, ROUND(adc_raw, 4) AS adc_d2
+        |FROM adc ORDER BY adc_d2, vec_id LIMIT 10""".stripMargin,
+
+    "sim_ivf_pq_search" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
+        |      FROM embeddings WHERE vec_id < 8),
+        |csims AS (
+        |  SELECT vec_id, cent_id,
+        |    ROUND(list_sum(list_transform(list_zip(v, cv), x -> x[1] * x[2])) /
+        |      (sqrt(list_sum(list_transform(v, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(cv, x -> x * x)))), 4) AS csim
+        |  FROM e, c),
+        |assign AS (
+        |  SELECT vec_id, cent_id FROM (
+        |    SELECT vec_id, cent_id,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                         ORDER BY csim DESC, cent_id) AS rn
+        |    FROM csims) WHERE rn = 1),
+        |probed AS (
+        |  SELECT cent_id FROM csims WHERE vec_id = 0
+        |  ORDER BY csim DESC, cent_id LIMIT 2),
+        |cand AS (
+        |  SELECT e.vec_id, e.v FROM e
+        |  JOIN assign a ON a.vec_id = e.vec_id
+        |  JOIN probed p ON p.cent_id = a.cent_id
+        |  WHERE e.vec_id <> 0),
+        |sub AS (
+        |  SELECT vec_id, m, v[1 + 16 * m : 16 + 16 * m] AS sv
+        |  FROM cand, generate_series(0, 3) t(m)),
+        |cb AS (
+        |  SELECT vec_id AS cent_id, m, v[1 + 16 * m : 16 + 16 * m] AS cs
+        |  FROM e, generate_series(0, 3) t(m) WHERE vec_id < 8),
+        |qsub AS (
+        |  SELECT m, v[1 + 16 * m : 16 + 16 * m] AS qs
+        |  FROM e, generate_series(0, 3) t(m) WHERE vec_id = 0),
+        |dd AS (
+        |  SELECT s.vec_id, s.m, c.cent_id,
+        |    list_sum(list_transform(list_zip(s.sv, c.cs),
+        |      x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d2
+        |  FROM sub s JOIN cb c ON s.m = c.m),
+        |code AS (
+        |  SELECT vec_id, m, cent_id FROM (
+        |    SELECT vec_id, m, cent_id, d2,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id, m
+        |                         ORDER BY d2, cent_id) AS rn
+        |    FROM dd) WHERE rn = 1),
+        |lut AS (
+        |  SELECT c.cent_id, c.m,
+        |    list_sum(list_transform(list_zip(q.qs, c.cs),
+        |      x -> (x[1] - x[2]) * (x[1] - x[2]))) AS qd2
+        |  FROM cb c JOIN qsub q USING (m)),
         |adc AS (
         |  SELECT j.vec_id,
         |    MAX(CASE WHEN j.m = 0 THEN j.qd2 END)

@@ -210,6 +210,34 @@ object TextAnalysis {
         .orderBy($"doc_id")
     }))
 
+  /** DuckDB twin of winnowFingerprints: `fps(doc_id, fp)` = the distinct
+    * selected window minima per doc. Shared by the text_winnow aggregate
+    * and the dedup_winnow_pairs candidate join. */
+  private[queries] val winnowCteSql: String = {
+    val shSql = "array_to_string(toks[i : i + 2], ' ')"
+    val h32 = (1 to 8).map { k =>
+      val w = math.pow(16, 8 - k).toLong
+      s"(strpos('0123456789abcdef', substring(md5($shSql), $k, 1)) - 1)" +
+        s" * $w"
+    }.mkString(" + ")
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |                x -> x <> '') AS toks
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, i - 1 AS p, len(toks) - 2 AS nsh, $h32 AS h
+       |  FROM d, unnest(generate_series(1, len(toks) - 2)) AS u(i)
+       |  WHERE len(toks) >= 6),
+       |m AS (
+       |  SELECT doc_id, p, nsh,
+       |    MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+       |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wm
+       |  FROM sh),
+       |fps AS (
+       |  SELECT DISTINCT doc_id, wm AS fp FROM m WHERE p <= nsh - 4)""".stripMargin
+  }
+
   /** Winnowing fingerprint extraction (one (doc_id, fp) row per selected
     * window minimum; docs with fewer than 4 shingles are dropped) —
     * public so the guarantee property (shared >= w+k-1 token run ⇒
@@ -341,31 +369,11 @@ object TextAnalysis {
          |SELECT doc_id, term, tfidf, rank FROM ranked
          |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
-    "text_winnow" -> {
-      val shSql = "array_to_string(toks[i : i + 2], ' ')"
-      val h32 = (1 to 8).map { k =>
-        val w = math.pow(16, 8 - k).toLong
-        s"(strpos('0123456789abcdef', substring(md5($shSql), $k, 1)) - 1)" +
-          s" * $w"
-      }.mkString(" + ")
-      s"""WITH d AS (
-         |  SELECT doc_id,
-         |    list_filter(regexp_split_to_array(lower(text), '\\s+'),
-         |                x -> x <> '') AS toks
-         |  FROM documents),
-         |sh AS (
-         |  SELECT doc_id, i - 1 AS p, len(toks) - 2 AS nsh, $h32 AS h
-         |  FROM d, unnest(generate_series(1, len(toks) - 2)) AS u(i)
-         |  WHERE len(toks) >= 6),
-         |m AS (
-         |  SELECT doc_id, p, nsh,
-         |    MIN(h) OVER (PARTITION BY doc_id ORDER BY p
-         |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wm
-         |  FROM sh)
-         |SELECT doc_id, COUNT(DISTINCT wm) AS n_fp,
-         |  CAST(SUM(DISTINCT wm) AS BIGINT) AS fp_checksum
-         |FROM m WHERE p <= nsh - 4 GROUP BY doc_id ORDER BY doc_id""".stripMargin
-    },
+    "text_winnow" -> (winnowCteSql +
+      """
+        |SELECT doc_id, COUNT(*) AS n_fp,
+        |  CAST(SUM(fp) AS BIGINT) AS fp_checksum
+        |FROM fps GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
     "text_fingerprint" ->
       """SELECT doc_id,

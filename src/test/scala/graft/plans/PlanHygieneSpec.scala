@@ -38,6 +38,7 @@ class PlanHygieneSpec extends SparkSpec {
     "sim_kmeans",            // 1-row codebook array, both iterations
     "sim_pq_codes",          // 1-row codebook array
     "sim_pq_search",         // 1-row codebook + 1-row query vector
+    "sim_ivf_pq_search",     // 1-row codebook + 1-row query + 2 probe rows
     "sim_ivf_topk",          // 1-row query vector + centroid probe
     "sim_lsh_sigs",          // 1-row hyperplane matrix
     "sim_lsh_topk",          // 1-row hyperplane matrix + 1-row query sig

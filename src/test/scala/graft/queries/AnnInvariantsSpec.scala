@@ -71,4 +71,28 @@ class AnnInvariantsSpec extends SparkSpec {
     // source exists under the md5-derived weights
     assert(m.exists(_.getDouble(1) > 1.0) && m.exists(_.getDouble(1) < 1.0))
   }
+
+  test("sim_ivf_pq_search: IVF-bounded ADC agrees with the full ADC scan") {
+    import spark.implicits._
+    val bounded = SparkEntry.queries("sim_ivf_pq_search")(spark, sf())
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(bounded.size == 10)
+    val full = SparkEntry.queries("sim_pq_search")(spark, sf())
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // a candidate ranked by both paths must carry the IDENTICAL rounded
+    // ADC distance — probing changes the candidate set, never the metric
+    val common = bounded.keySet intersect full.keySet
+    assert(common.nonEmpty, "probed top-10 shares nothing with full ADC top-10")
+    common.foreach { id =>
+      assert(bounded(id) == full(id),
+        s"vec $id: bounded adc ${bounded(id)} != full adc ${full(id)}")
+    }
+    // probing can only SHRINK the candidate set: for every rank, the
+    // bounded list's distance is >= the full scan's distance at that rank
+    val bSorted = bounded.toSeq.sortBy(e => (e._2, e._1)).map(_._2)
+    val fSorted = full.toSeq.sortBy(e => (e._2, e._1)).map(_._2)
+    bSorted.zip(fSorted).zipWithIndex.foreach { case ((b, f), i) =>
+      assert(b >= f, s"rank $i: bounded adc $b beat the full scan's $f")
+    }
+  }
 }

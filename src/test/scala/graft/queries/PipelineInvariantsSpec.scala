@@ -179,4 +179,28 @@ class PipelineInvariantsSpec extends SparkSpec {
         s"cluster $comp kept $keepId, expected ${best._2}")
     }
   }
+
+  test("dedup_winnow_pairs: shared counts match driver-side set intersection") {
+    import spark.implicits._
+    import graft.Tables.t
+    // independent recomputation: collect each doc's capped fingerprint
+    // set, intersect in plain Scala, and compare every reported pair
+    val fps = TextAnalysis.winnowFingerprints(t(spark, sf(), "documents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val df = fps.groupBy(_._2).view.mapValues(_.length).toMap
+    val capped = fps.filter { case (_, fp) => df(fp) <= 50 }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expected = (for {
+      (a, sa) <- capped.toSeq; (b, sb) <- capped.toSeq if a < b
+      shared = (sa intersect sb).size if shared >= 3
+    } yield (a, b) -> shared.toLong).toMap
+    val got = graft.SparkEntry.queries("dedup_winnow_pairs")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.nonEmpty, "fixture has winnow near-dup pairs")
+    assert(got == expected, {
+      val extra = got.keySet -- expected.keySet
+      val missing = expected.keySet -- got.keySet
+      s"winnow pairs differ: extra=$extra missing=$missing"
+    })
+  }
 }
