@@ -568,16 +568,18 @@ object Similarity {
         .limit(10)
     }),
 
-    // ANN index-quality evaluation: recall@10 of each approximate
-    // method (exact LSH bucket, hamming-1 multiprobe, 2-probe IVF)
-    // against brute-force ground truth for the same query vector — the
-    // measurement loop any production ANN deployment runs before
-    // trusting an index, and the table that shows the recall levers
-    // working (fixture: ivf_2probe 1.0 > lsh_multiprobe > lsh_bucket).
-    // Every candidate list reuses the exact plan shapes declared above
-    // (broadcast codebook/query rows, TakeOrderedAndProject top-k); the
-    // recall joins are 10x10 rows. At 100 TB the same query evaluates
-    // over a sampled query set.
+    // ANN index-quality evaluation: recall@10 of EVERY approximate
+    // method in the library (exact LSH bucket, hamming-1 multiprobe,
+    // 2-probe IVF, full PQ-ADC, composed IVF-PQ) against brute-force
+    // ground truth for the same query vector — the measurement loop any
+    // production ANN deployment runs before trusting an index, and the
+    // table that shows the recall levers working (fixture: ivf_2probe
+    // 1.0 > lsh_multiprobe > lsh_bucket; the PQ rows additionally
+    // expose the code-compression recall cost). Every candidate list
+    // reuses the exact plan shapes declared above (broadcast
+    // codebook/query rows, TakeOrderedAndProject top-k); the recall
+    // joins are 10x10 rows. At 100 TB the same query evaluates over a
+    // sampled query set.
     "sim_recall_eval" -> ((s, d) => {
       import s.implicits._
       withCosine(s)
@@ -625,6 +627,34 @@ object Similarity {
         .filter($"vec_id" =!= 0).crossJoin(broadcast(q))
         .select($"vec_id", round(cosine("v", "q"), 4).as("cs"))
         .orderBy(desc("cs"), asc("vec_id")).limit(10).select($"vec_id")
+      // PQ-ADC candidates: every non-query vector ranked by asymmetric
+      // distance over its 4 subspace codes (same expressions as
+      // sim_pq_search), alone and composed with the 2-cell IVF probe
+      val amPq = expr(
+        """transform(sequence(0, 3), m ->
+          |  array_min(transform(cents, ct -> named_struct(
+          |    'd2', aggregate(zip_with(slice(v, 1 + 16 * m, 16),
+          |                             slice(ct.c, 1 + 16 * m, 16),
+          |                             (x, y) -> (x - y) * (x - y)),
+          |                    0D, (acc, e) -> acc + e),
+          |    'cent_id', ct.cent_id,
+          |    'cs', slice(ct.c, 1 + 16 * m, 16)))))""".stripMargin)
+      val adcD = expr(
+        """aggregate(transform(sequence(0, 3), m ->
+          |  aggregate(zip_with(slice(q, 1 + 16 * m, 16), am[m].cs,
+          |                     (x, y) -> (x - y) * (x - y)),
+          |            0D, (acc, e) -> acc + e)),
+          |  0D, (acc, e) -> acc + e)""".stripMargin)
+      val adcAll = emb.filter($"vec_id" =!= 0)
+        .crossJoin(broadcast(cents)).crossJoin(broadcast(q))
+        .select($"vec_id", amPq.as("am"), $"q")
+        .select($"vec_id", round(adcD, 4).as("ad"))
+      val pqAdc = adcAll
+        .orderBy(asc("ad"), asc("vec_id")).limit(10).select($"vec_id")
+      val ivfPq = adcAll
+        .join(assign.select($"vec_id", $"cent_id"), "vec_id")
+        .join(broadcast(probed), "cent_id")
+        .orderBy(asc("ad"), asc("vec_id")).limit(10).select($"vec_id")
       def recallOf(method: String, topk: DataFrame): DataFrame =
         brute.as("b").join(topk.as("l"), $"b.vec_id" === $"l.vec_id",
             "left_outer")
@@ -633,6 +663,8 @@ object Similarity {
             $"n_brute", $"n_hit",
             round($"n_hit" / $"n_brute", 4).as("recall"))
       recallOf("ivf_2probe", ivf)
+        .unionAll(recallOf("ivf_pq_2probe", ivfPq))
+        .unionAll(recallOf("pq_adc", pqAdc))
         .unionAll(recallOf("lsh_bucket", lshB))
         .unionAll(recallOf("lsh_multiprobe", lshM))
         .orderBy($"method")
@@ -1154,10 +1186,56 @@ object Similarity {
         |    CROSS JOIN q
         |    WHERE e.vec_id <> 0)
         |  ORDER BY cs DESC, vec_id LIMIT 10),
+        |psub AS (
+        |  SELECT vec_id, m, v[1 + 16 * m : 16 + 16 * m] AS sv
+        |  FROM e, generate_series(0, 3) t(m)),
+        |pcb AS (SELECT vec_id AS cent_id, m, sv AS cs2 FROM psub
+        |        WHERE vec_id < 8),
+        |pqs AS (SELECT m, sv AS qs2 FROM psub WHERE vec_id = 0),
+        |pdd AS (
+        |  SELECT s.vec_id, s.m, c2.cent_id,
+        |    list_sum(list_transform(list_zip(s.sv, c2.cs2),
+        |      x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d2
+        |  FROM psub s JOIN pcb c2 ON s.m = c2.m
+        |  WHERE s.vec_id <> 0),
+        |pcode AS (
+        |  SELECT vec_id, m, cent_id FROM (
+        |    SELECT vec_id, m, cent_id, d2,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id, m
+        |                         ORDER BY d2, cent_id) AS rn
+        |    FROM pdd) WHERE rn = 1),
+        |plut AS (
+        |  SELECT c2.cent_id, c2.m,
+        |    list_sum(list_transform(list_zip(p2.qs2, c2.cs2),
+        |      x -> (x[1] - x[2]) * (x[1] - x[2]))) AS qd2
+        |  FROM pcb c2 JOIN pqs p2 USING (m)),
+        |padc AS (
+        |  SELECT j.vec_id,
+        |    MAX(CASE WHEN j.m = 0 THEN j.qd2 END)
+        |      + MAX(CASE WHEN j.m = 1 THEN j.qd2 END)
+        |      + MAX(CASE WHEN j.m = 2 THEN j.qd2 END)
+        |      + MAX(CASE WHEN j.m = 3 THEN j.qd2 END) AS adc_raw
+        |  FROM (SELECT pcode.vec_id, pcode.m, plut.qd2
+        |        FROM pcode JOIN plut ON plut.cent_id = pcode.cent_id
+        |                            AND plut.m = pcode.m) j
+        |  GROUP BY j.vec_id),
+        |pqtop AS (SELECT vec_id FROM padc
+        |          ORDER BY ROUND(adc_raw, 4), vec_id LIMIT 10),
+        |ivfpqtop AS (
+        |  SELECT p3.vec_id FROM padc p3
+        |  JOIN assign a2 ON a2.vec_id = p3.vec_id
+        |  JOIN probed pr2 ON pr2.cent_id = a2.cent_id
+        |  ORDER BY ROUND(p3.adc_raw, 4), p3.vec_id LIMIT 10),
         |r AS (
         |  SELECT 'ivf_2probe' AS method, COUNT(*) AS n_brute,
         |    CAST(COUNT(l.vec_id) AS BIGINT) AS n_hit
         |  FROM brute b LEFT JOIN ivf l ON b.vec_id = l.vec_id
+        |  UNION ALL
+        |  SELECT 'ivf_pq_2probe', COUNT(*), CAST(COUNT(l.vec_id) AS BIGINT)
+        |  FROM brute b LEFT JOIN ivfpqtop l ON b.vec_id = l.vec_id
+        |  UNION ALL
+        |  SELECT 'pq_adc', COUNT(*), CAST(COUNT(l.vec_id) AS BIGINT)
+        |  FROM brute b LEFT JOIN pqtop l ON b.vec_id = l.vec_id
         |  UNION ALL
         |  SELECT 'lsh_bucket', COUNT(*), CAST(COUNT(l.vec_id) AS BIGINT)
         |  FROM brute b LEFT JOIN lshb l ON b.vec_id = l.vec_id
