@@ -114,6 +114,20 @@ object Dedup {
       .distinct()
   }
 
+  /** Materialized LSH candidate pairs, computed ONCE per (session, data
+    * dir) and shared by every consumer downstream of candidate
+    * generation (`dedup_lsh_verified`'s exact-verify stage and the
+    * connected-components clustering): the shingle→signature→band-join
+    * stage is the most expensive dedup step and is identical across
+    * them. The checkpointed frame is tiny — one (doc_a, doc_b) row per
+    * candidate pair. `dedup_lsh_pairs` itself intentionally keeps the
+    * raw declarative plan: it IS the declared candidate operator, and
+    * the plan-hygiene sweep audits its join shape. */
+  private val lshPairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def lshPairsShared(s: SparkSession, d: String): DataFrame =
+    lshPairsCache.computeIfAbsent((s, d), _ => lshPairs(s, d).localCheckpoint())
+
   /** Connected components over the LSH candidate graph, computed ONCE per
     * (session, data dir) and shared: `dedup_clusters` and
     * `dedup_canonical` consume the SAME clustering, and the propagation
@@ -127,7 +141,7 @@ object Dedup {
   private def components(s: SparkSession, d: String): DataFrame =
     componentsCache.computeIfAbsent((s, d), _ =>
       graft.engine.Components.connectedComponents(
-          lshPairs(s, d), "doc_a", "doc_b", maxIter = 15)
+          lshPairsShared(s, d), "doc_a", "doc_b", maxIter = 15)
         .toDF("doc_id", "component"))
 
   /** 16-bit SimHash per doc (unordered — callers add their own sort):
@@ -220,7 +234,7 @@ object Dedup {
     // touches |candidates| x shingles-per-doc rows, never |docs|².
     "dedup_lsh_verified" -> ((s, d) => {
       import s.implicits._
-      val cand = lshPairs(s, d)
+      val cand = lshPairsShared(s, d)
       val sh = shingles(s, d, 3, hashed = true)
       val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
       cand
