@@ -46,7 +46,12 @@ object Bench {
         -1.0
       }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // deterministic (sorted) timing order: hash-map order reshuffles
+    // every query's neighborhood whenever the inventory grows, which is
+    // exactly the round-over-round noise source diagnosed in PLANS.md
+    // "Round-4 notes" — a fixed order keeps per-query numbers comparable
+    // across rounds
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val first = timeOnce(name, fn)
       // a failure on EITHER run reports -1 — an intermittent throw must
       // never hide behind the other run's clean time
@@ -56,8 +61,8 @@ object Bench {
       }
       name -> best
     }
-    val total = results.values.filter(_ >= 0).sum
-    val failed = results.values.count(_ < 0)
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val failed = results.count(_._2 < 0)
 
     def fmt(v: Double): String = f"$v%.3f"
     val full = results.toSeq.sortBy(_._1)

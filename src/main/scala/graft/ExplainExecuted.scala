@@ -14,7 +14,11 @@ import org.apache.spark.sql.SparkSession
   */
 object ExplainExecuted {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    if (args.length < 2) {
+      println("usage: runMain graft.ExplainExecuted <sfDir> <query> [query ...]")
+      return
+    }
+    val sfDir = args.head
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

@@ -38,8 +38,10 @@ class Catalog(spark: SparkSession, warehouse: String) {
     val in = localFs.open(src)
     try {
       // explicit create so the block size is honored (copyFromLocalFile
-      // would silently use the fs default)
-      val out = fs.create(dst, true, 64 * 1024,
+      // would silently use the fs default); overwrite=false makes the
+      // write-once contract ATOMIC — the exists() pre-check above is
+      // only the friendly error, two racing stores cannot both win
+      val out = fs.create(dst, false, 64 * 1024,
         fs.getDefaultReplication(dst), chunkSizeMb * 1048576L)
       try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 64 * 1024)
       finally out.close()

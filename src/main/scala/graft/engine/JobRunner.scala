@@ -12,9 +12,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - an explicit file list is validated against the catalog BEFORE any
   *    work starts; every missing name is reported in one error
   *    (`:72-85`);
-  *  - an EMPTY file list selects all stored TXT files — binary entries
-  *    never feed the map phase (`:222`: only `FileType_TXT` chunks are
-  *    scheduled).
+  *  - an EMPTY file list selects all stored TXT files, and binary
+  *    entries never feed the map phase on EITHER path (`:222`: the
+  *    `FileType_TXT` filter runs in the chunk-scheduling loop, before
+  *    the explicit-list membership check — explicit BIN names are
+  *    skipped there too; this runner errors loudly when the skip
+  *    leaves nothing, where the reference would run an empty job).
   *
   * The run is synchronous like the reference's `Map_reduce`: the result
   * is fully materialized (checkpoint-backed) before the method returns
@@ -44,7 +47,9 @@ class JobRunner(spark: SparkSession, catalog: Catalog) {
           if (missing.nonEmpty)
             throw new IllegalArgumentException(
               s"file(s) '${missing.mkString("', '")}' not in system") // :72-85
-          fileNames
+          // the TXT-only filter applies to explicit lists too (:222 runs
+          // before the filename_map membership check)
+          fileNames.filter(catalog.fileType(_) == "TXT")
         }
       if (files.isEmpty)
         throw new IllegalArgumentException("no TXT files stored")

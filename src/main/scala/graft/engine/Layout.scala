@@ -104,6 +104,14 @@ object Layout {
     // sessions via a global temp view (re-resolved under the clone's
     // conf).
     val writer = spark.newSession()
+    // newSession shares context/catalog but starts runtime conf from
+    // defaults: carry the caller's runtime overrides (nanosAsLong,
+    // timezone, broadcast thresholds, …) so the write's scans behave
+    // identically, THEN apply the sampling override on the clone only
+    spark.conf.getAll.foreach { case (k, v) =>
+      try writer.conf.set(k, v)
+      catch { case _: Exception => } // static/non-modifiable entries
+    }
     writer.conf.set(
       "spark.sql.execution.rangeExchange.sampleSizePerPartition", "5000")
     val view = "graft_zorder_" +

@@ -114,6 +114,37 @@ object Dedup {
       .distinct()
   }
 
+  /** Small BOUNDED memo for materialized frames shared across queries —
+    * the same discipline as Tables' session cache: insertion-order
+    * eviction after MaxEntries, so stopped sessions and their
+    * checkpointed RDDs are released instead of pinned for the JVM
+    * lifetime (the evicted frame's blocks go with it once GC'd).
+    * Data dirs are immutable for a cache entry's useful life
+    * (TESTDATA.md), so entries never go stale. A racing first compute
+    * may run twice; the loser's checkpoint is GC-released — correctness
+    * is unaffected and no lock is held across a Spark job. */
+  private final class FrameMemo {
+    private val MaxEntries = 8
+    private val m =
+      new java.util.LinkedHashMap[(SparkSession, String), DataFrame](16, 0.75f, false) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean =
+          size() > MaxEntries
+      }
+    def get(s: SparkSession, d: String)(compute: => DataFrame): DataFrame = {
+      val k = (s, d)
+      val hit = m.synchronized(m.get(k))
+      if (hit != null) hit
+      else {
+        val v = compute // outside the lock: a Spark job runs here
+        m.synchronized {
+          val again = m.get(k)
+          if (again != null) again else { m.put(k, v); v }
+        }
+      }
+    }
+  }
+
   /** Materialized LSH candidate pairs, computed ONCE per (session, data
     * dir) and shared by every consumer downstream of candidate
     * generation (`dedup_lsh_verified`'s exact-verify stage and the
@@ -123,10 +154,9 @@ object Dedup {
     * candidate pair. `dedup_lsh_pairs` itself intentionally keeps the
     * raw declarative plan: it IS the declared candidate operator, and
     * the plan-hygiene sweep audits its join shape. */
-  private val lshPairsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val lshPairsCache = new FrameMemo
   private def lshPairsShared(s: SparkSession, d: String): DataFrame =
-    lshPairsCache.computeIfAbsent((s, d), _ => lshPairs(s, d).localCheckpoint())
+    lshPairsCache.get(s, d)(lshPairs(s, d).localCheckpoint())
 
   /** Connected components over the LSH candidate graph, computed ONCE per
     * (session, data dir) and shared: `dedup_clusters` and
@@ -134,12 +164,10 @@ object Dedup {
     * loop materializes eagerly (checkpoint-backed — see Components), so
     * without sharing the iterative join rounds would execute twice per
     * run. The cache holds the checkpointed frame (small: one (doc_id,
-    * component) row per clustered doc), keeping its backing RDD alive for
-    * the session's lifetime. */
-  private val componentsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    * component) row per clustered doc). */
+  private val componentsCache = new FrameMemo
   private def components(s: SparkSession, d: String): DataFrame =
-    componentsCache.computeIfAbsent((s, d), _ =>
+    componentsCache.get(s, d)(
       graft.engine.Components.connectedComponents(
           lshPairsShared(s, d), "doc_a", "doc_b", maxIter = 15)
         .toDF("doc_id", "component"))

@@ -398,7 +398,11 @@ object EventStream {
                 // watermark) must not move the attribution anchor backward
                 if (et == "click") { if (us > lastClick) lastClick = us }
                 else out += Attribution(user, us,
-                  lastClick >= 0 && us - lastClick <= 86400000000L, v)
+                  // `us >= lastClick`: a cross-batch late PURCHASE older
+                  // than the anchor has no preceding click — a negative
+                  // gap must not satisfy the 24h window
+                  lastClick >= 0 && us >= lastClick &&
+                    us - lastClick <= 86400000000L, v)
             }
             if (lastClick >= 0) {
               state.update(lastClick)

@@ -155,6 +155,25 @@ class JobsSpec extends SparkSpec {
       "z            ::    1"), s"got ${rows.toSeq}")
   }
 
+  test("M8: explicit lists are TXT-filtered too (cn/mr_actions.go:222)") {
+    val (runner, cat) = freshRunner()
+    storeText(cat, "a.txt", "x y\n")
+    val bin = java.nio.file.Files.createTempFile("graft_job_in", ".bin")
+    java.nio.file.Files.write(bin, Array[Byte](0, 1, 2, 3))
+    cat.store(bin.toString, "blob.bin")
+    // the BIN entry passes the existence check but never feeds a mapper
+    val rows = runner.run("wc_explicit", WordCountJob, Seq("a.txt", "blob.bin"))
+      .collect().map(_.getString(1)).sorted
+    assert(rows.toSeq == Seq(
+      "x            ::    1",
+      "y            ::    1"), s"got ${rows.toSeq}")
+    // an explicit list that is ALL binary is a loud error, not an empty job
+    val e = intercept[IllegalArgumentException] {
+      runner.run("wc_allbin", WordCountJob, Seq("blob.bin"))
+    }
+    assert(e.getMessage.contains("no TXT files"))
+  }
+
   test("M8: explicit missing files rejected with the full missing list") {
     val (runner, cat) = freshRunner()
     storeText(cat, "a.txt", "x\n")

@@ -262,6 +262,36 @@ class StreamingSpec extends SparkSpec {
       batch.toDF().orderBy($"user_id", $"purchase_us").collect().toSeq)
   }
 
+  test("attribution: a late purchase OLDER than the click anchor is not credited") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_attr_late").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // batch 1 latches the click anchor at 10:00
+    Seq((1L, ts("2024-06-01 10:00:00"), "click", 0.0, 100L))
+      .toDF("user_id", "ts", "event_type", "value", "event_id")
+      .write.parquet(s"$dir/b1")
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val q = EventStream.attributedPurchases(
+        spark.readStream.schema(schema).parquet(s"$dir/*")).toDF()
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("attr_late").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a late purchase at 09:30 — within the 1h watermark, but
+      // BEFORE the anchor: no click preceded it, so it must not be
+      // credited (a negative gap would satisfy the 24h check alone)
+      Seq((1L, ts("2024-06-01 09:30:00"), "purchase", 5.0, 101L))
+        .toDF("user_id", "ts", "event_type", "value", "event_id")
+        .write.parquet(s"$dir/b2")
+      q.processAllAvailable()
+      val got = spark.table("attr_late")
+        .select($"user_id", $"attributed").collect()
+        .map(r => (r.getLong(0), r.getBoolean(1)))
+      assert(got.toSeq == Seq((1L, false)),
+        s"late pre-anchor purchase must be unattributed, got ${got.toSeq}")
+    } finally q.stop()
+  }
+
   test("stream-stream interval self-join == batch join (parity)") {
     import spark.implicits._
     EventStream.runToMemory(spark, stagedEvents,
