@@ -162,13 +162,27 @@ class Catalog(spark: SparkSession, warehouse: String) {
   /** S4: whole-file delete (cn/dfs_actions.go:150-181). */
   def delete(name: String): Boolean = fs.delete(target(name), true)
 
-  /** S6: storage metrics. */
+  /** S6: storage metrics — entry/byte totals plus the per-type
+    * breakdown the reference's info surface reports per node
+    * (`cn/dfs_actions.go` node metrics; here aggregated over the
+    * warehouse): TXT vs BIN raw files, table directories, and total
+    * chunk count. Bytes sum the CHUNK sizes (part files for tables),
+    * not directory-entry lengths. */
   def info(): Map[String, Long] = {
     val dir = new Path(warehouse)
-    if (!fs.exists(dir)) Map("files" -> 0L, "bytes" -> 0L)
-    else {
-      val st = fs.listStatus(dir)
-      Map("files" -> st.length.toLong, "bytes" -> st.map(_.getLen).sum)
-    }
+    if (!fs.exists(dir))
+      return Map("files" -> 0L, "bytes" -> 0L, "txt_files" -> 0L,
+        "bin_files" -> 0L, "tables" -> 0L, "chunks" -> 0L)
+    val v = listVerbose()
+    val entries = fs.listStatus(dir)
+    val (tables, plain) = entries.partition(_.isDirectory)
+    val txt = plain.count(s => fileType(s.getPath.getName) == "TXT")
+    Map(
+      "files" -> entries.length.toLong,
+      "bytes" -> v.flatMap(_._2).map(_._2).sum,
+      "txt_files" -> txt.toLong,
+      "bin_files" -> (plain.length - txt).toLong,
+      "tables" -> tables.length.toLong,
+      "chunks" -> v.map(_._2.size.toLong).sum)
   }
 }

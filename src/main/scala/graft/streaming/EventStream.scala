@@ -43,6 +43,25 @@ object EventStream {
       .select(unix_micros($"w.start").as("w_start"), $"n")
   }
 
+  /** Watermarked tumbling-window APPROXIMATE distinct users — the scale
+    * path slidingCounts' scaladoc points at: exact distinct needs
+    * unbounded per-window state on a stream, while HLL state is
+    * fixed-size and MERGEABLE, so partial sketches combine across
+    * micro-batches and shuffle partitions. Batch parity is EXACT, not
+    * approximate-vs-approximate: the HLL merge is order-insensitive and
+    * lossless (shard-union == global estimate, proven in SketchesSpec),
+    * so streaming and batch produce identical estimates over the same
+    * data regardless of how micro-batches split it. */
+  def hourlyUserEstimates(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 hour").as("w"))
+      .agg(approx_count_distinct($"user_id", 0.01).as("approx_users"))
+      .select(date_format($"w.start", "yyyy-MM-dd HH:00").as("hour"),
+        $"approx_users")
+  }
+
   /** Stream-static enrichment join: each event picks up its user's
     * first-seen timestamp from a STATIC dimension frame. The static side
     * is broadcast-hinted — on a cluster every executor joins map-side

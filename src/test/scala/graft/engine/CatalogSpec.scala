@@ -52,6 +52,25 @@ class CatalogSpec extends SparkSpec {
     assert(!cat.delete("nope.txt"))
   }
 
+  test("info breaks storage down by type, tables and chunks (S6)") {
+    import spark.implicits._
+    val (cat, _) = freshCatalog()
+    val txt = Files.createTempFile("graft", ".txt")
+    Files.writeString(txt, "abc")
+    val bin = Files.createTempFile("graft", ".bin")
+    Files.write(bin, Array[Byte](0, 1, 2, 3, 4))
+    cat.store(txt.toString, "a.txt")
+    cat.store(bin.toString, "blob.bin")
+    cat.storeTable(spark.range(20).select($"id").coalesce(1),
+      "tbl", maxRecordsPerFile = 10L)
+    val i = cat.info()
+    assert(i("files") == 3L)
+    assert(i("txt_files") == 1L && i("bin_files") == 1L)
+    assert(i("tables") == 1L)
+    assert(i("chunks") == 4L, s"1 txt + 1 bin + 2 parquet parts: $i") // 2+2
+    assert(i("bytes") > 8L, "chunk bytes include the parquet parts")
+  }
+
   test("flat namespace enforced") {
     val (cat, _) = freshCatalog()
     intercept[IllegalArgumentException] { cat.store("/tmp/x", "sub/dir.txt") }

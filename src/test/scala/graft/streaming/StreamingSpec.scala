@@ -52,6 +52,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq == declared.toSeq)
   }
 
+  test("windowed approx distinct: streaming == batch exactly (HLL merge is lossless)") {
+    import spark.implicits._
+    EventStream.runToMemory(spark, stagedEvents,
+      EventStream.hourlyUserEstimates, "hourly_users_stream",
+      OutputMode.Complete())
+    val streamed = spark.table("hourly_users_stream")
+      .orderBy($"hour").collect()
+    val batch = EventStream.hourlyUserEstimates(
+        spark.read.parquet(stagedEvents))
+      .orderBy($"hour").collect()
+    assert(streamed.nonEmpty)
+    // exact equality, not tolerance: the sketch merge is order-insensitive
+    assert(streamed.toSeq == batch.toSeq)
+    // and the estimate is a real distinct count: within 5% of exact
+    val exact = spark.read.parquet(stagedEvents)
+      .groupBy(date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:00")
+        .as("hour"))
+      .agg(countDistinct($"user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    streamed.foreach { r =>
+      val (h, est) = (r.getString(0), r.getLong(1))
+      val ex = exact(h)
+      assert(math.abs(est - ex) <= math.max(1L, (ex * 0.05).toLong),
+        s"window $h: estimate $est vs exact $ex")
+    }
+  }
+
   test("stream-static broadcast enrichment == batch join (parity)") {
     import spark.implicits._
     val dim = spark.read.parquet(stagedEvents)
