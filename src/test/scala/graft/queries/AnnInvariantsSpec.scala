@@ -72,6 +72,31 @@ class AnnInvariantsSpec extends SparkSpec {
     assert(m.exists(_.getDouble(1) > 1.0) && m.exists(_.getDouble(1) < 1.0))
   }
 
+  test("ivfCells: every vector lands in its argmax-cosine cell, k adapts to n") {
+    import spark.implicits._
+    val cells = Similarity.ivfCells(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getLong(2)))
+    val n = cells.length
+    val k = math.max(8L, math.ceil(math.sqrt(n.toDouble)).toLong)
+    // centroids are the vectors with vec_id < k; every assigned cell id
+    // must be one of them
+    assert(cells.map(_._3).toSet.subsetOf((0L until k).toSet))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val cents = cells.filter(_._1 < k).map(c => (c._1, c._2)).sortBy(_._1)
+    assert(cents.length == k.toInt, s"expected $k centroids in fixture")
+    cells.foreach { case (id, v, cell) =>
+      // argmax by (rounded cosine desc, cent_id asc) — the fold's
+      // lexicographic struct order
+      val best = cents.map { case (cid, c) => (-cos(v, c), cid) }.min._2
+      assert(cell == best, s"vec $id assigned to $cell, argmax is $best")
+    }
+  }
+
   test("sim_ivf_pq_search: IVF-bounded ADC agrees with the full ADC scan") {
     import spark.implicits._
     val bounded = SparkEntry.queries("sim_ivf_pq_search")(spark, sf())
