@@ -12,9 +12,18 @@ import org.apache.spark.sql.SparkSession
   * present) runs first so the timed numbers measure query execution, not
   * first-run JVM/codegen compilation — standard JIT benchmarking
   * methodology; profiling showed cold-start dominating otherwise. Each
-  * query is then timed TWICE at the target scale factor and the minimum
-  * reported — steady-state timing that removes one-off GC/page-cache
-  * spikes (observed run-to-run noise on identical code was ±20%+).
+  * query is then timed SPARK_GRAFT_BENCH_REPS times (default 2) at the
+  * target scale factor and the minimum reported — steady-state timing
+  * that removes one-off GC/page-cache spikes (observed run-to-run noise
+  * on identical code was ±20%+). A System.gc() runs before each query's
+  * timed reps so a heavy neighbor's garbage is collected on ITS OWN
+  * clock, not billed to whichever query happens to run next — the
+  * residual noise class after round 4 pinned sorted ordering (r4's
+  * mr_log_report 4.4x "regression" at byte-identical code was exactly
+  * this: it sorts directly after the allocation-heavy mr_inverted_index).
+  *
+  * Optional CLI args name a subset of queries to time (local iteration);
+  * no args = the full declared inventory (the driver's mode).
   *
   * A query that throws is reported as -1 (never as a fake fast time).
   */
@@ -31,9 +40,20 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption)
+      .filter(_ >= 1).getOrElse(2)
+    val wanted: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      if (args.isEmpty) SparkEntry.queries
+      else {
+        val unknown = args.filterNot(SparkEntry.queries.contains)
+        if (unknown.nonEmpty)
+          System.err.println(s"[bench] unknown queries ignored: ${unknown.mkString(",")}")
+        SparkEntry.queries.view.filterKeys(args.contains).toMap
+      }
+
     val warmDir = new java.io.File(new java.io.File(sfDir).getParent, "sf0.001")
     if (warmDir.isDirectory && warmDir.getPath != new java.io.File(sfDir).getPath) {
-      SparkEntry.queries.foreach { case (_, fn) =>
+      wanted.foreach { case (_, fn) =>
         try fn(spark, warmDir.getPath).count() catch { case _: Throwable => }
       }
     }
@@ -51,13 +71,18 @@ object Bench {
     // exactly the round-over-round noise source diagnosed in PLANS.md
     // "Round-4 notes" — a fixed order keeps per-query numbers comparable
     // across rounds
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val first = timeOnce(name, fn)
-      // a failure on EITHER run reports -1 — an intermittent throw must
-      // never hide behind the other run's clean time
-      val best = if (first < 0) first else {
-        val second = timeOnce(name, fn)
-        if (second < 0) second else math.min(first, second)
+    val results = wanted.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // collect the PREVIOUS query's garbage before this one's clock
+      // starts (see scaladoc — kills the heavy-neighbor noise class)
+      System.gc()
+      // a failure on ANY rep reports -1 — an intermittent throw must
+      // never hide behind another rep's clean time
+      var best = timeOnce(name, fn)
+      var i = 1
+      while (i < reps && best >= 0) {
+        val t = timeOnce(name, fn)
+        best = if (t < 0) t else math.min(best, t)
+        i += 1
       }
       name -> best
     }
