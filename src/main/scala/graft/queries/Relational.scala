@@ -205,10 +205,16 @@ object Relational {
         .intersect(t(s, d, "supplier").select($"s_nationkey".as("nk")))
         .orderBy($"nk")
     }),
+    // EXCEPT against the HIGH-BALANCE suppliers only: nations with
+    // customers but no s_acctbal>9500 supplier. The unfiltered version
+    // returns 0 rows once suppliers cover every nation (already true at
+    // sf0.01), making the oracle row trivially green — the filtered set
+    // stays non-empty at every tested SF (25/21/4 rows).
     "q_except_nations" -> ((s, d) => {
       import s.implicits._
       t(s, d, "customer").select($"c_nationkey".as("nk"))
-        .except(t(s, d, "supplier").select($"s_nationkey".as("nk")))
+        .except(t(s, d, "supplier")
+          .filter($"s_acctbal" > 9500).select($"s_nationkey".as("nk")))
         .orderBy($"nk")
     }),
     "q_union_nations" -> ((s, d) => {
@@ -700,7 +706,7 @@ object Relational {
 
     "q_except_nations" ->
       """SELECT c_nationkey AS nk FROM customer
-        |EXCEPT SELECT s_nationkey AS nk FROM supplier
+        |EXCEPT SELECT s_nationkey AS nk FROM supplier WHERE s_acctbal > 9500
         |ORDER BY nk""".stripMargin,
 
     "q_union_nations" ->

@@ -103,25 +103,36 @@ object TpchDeep {
         .orderBy($"nation", $"o_year".desc)
     }),
 
-    // Q11 shape: entities above a fraction of a corpus total — per-part
-    // lineitem value vs 0.1% of the global value. The global total is a
-    // 1-row broadcast; the threshold comparison is double-vs-double from
-    // the same exact decimals on both engines. The per-part aggregate
-    // feeds BOTH the total and the filter side; exchange reuse does NOT
-    // deduplicate the two subtrees under AQE (verified empirically:
-    // final plan had two lineitem scans + two partkey shuffles), so the
-    // aggregate is materialized once via eager localCheckpoint — |parts|
-    // rows, the same barrier pattern as Components. At 100 TB: one scan
-    // + one shuffle of lineitem instead of two of each.
+    // Q11 shape: entities above a fraction of a corpus aggregate — per-
+    // part lineitem value vs 1.5x the MEAN per-part value. The mean (not
+    // a fixed fraction of the total, which TPC-H itself rescales by 1/SF
+    // for exactly this reason) keeps the predicate scale-invariant: a
+    // fixed 0.1%-of-total threshold selects 0 rows once |parts| > 1000,
+    // which made this oracle row trivially green (0 = 0 proves nothing).
+    // 1.5x-mean selects the top ~1% at every tested SF (2 / 29 / 252
+    // rows at sf0.001/0.01/0.1). The global mean is a 1-row broadcast;
+    // the comparison is double-vs-double from the same exact decimals on
+    // both engines. The per-part aggregate feeds BOTH the mean and the
+    // filter side; exchange reuse does NOT deduplicate the two subtrees
+    // under AQE (verified empirically: final plan had two lineitem scans
+    // + two partkey shuffles), so the aggregate is materialized once via
+    // eager localCheckpoint — |parts| rows, the same barrier pattern as
+    // Components. At 100 TB: one scan + one shuffle of lineitem instead
+    // of two of each.
     "q11_important_parts" -> ((s, d) => {
       import s.implicits._
       val vals = t(s, d, "lineitem")
         .groupBy($"l_partkey")
         .agg(sum(dec($"l_extendedprice")).as("value_dec"))
         .localCheckpoint() // eager; plan below reads the materialized RDD
-      val tot = vals.agg(sum($"value_dec").as("tot_dec"))
+      // mean threshold phrased as value*n > tot*1.5: both sides are exact
+      // decimal sums cast to double (bit-identical cross-engine), avoiding
+      // each engine's own decimal-AVG rounding
+      val tot = vals.agg(sum($"value_dec").as("tot_dec"),
+        count(lit(1)).as("n_parts"))
       vals.crossJoin(broadcast(tot))
-        .filter($"value_dec".cast("double") > $"tot_dec".cast("double") * 0.001)
+        .filter($"value_dec".cast("double") * $"n_parts" >
+          $"tot_dec".cast("double") * 1.5)
         .select($"l_partkey", $"value_dec".cast("double").as("value"))
         .orderBy($"value".desc, $"l_partkey")
     }),
@@ -373,11 +384,11 @@ object TpchDeep {
     "q11_important_parts" ->
       """WITH vals AS (
         |  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS value_dec
-        |  FROM lineitem GROUP BY l_partkey)
+        |  FROM lineitem GROUP BY l_partkey),
+        |tot AS (SELECT CAST(SUM(value_dec) AS DOUBLE) AS t, COUNT(*) AS n FROM vals)
         |SELECT l_partkey, CAST(value_dec AS DOUBLE) AS value
-        |FROM vals
-        |WHERE CAST(value_dec AS DOUBLE) >
-        |  (SELECT CAST(SUM(value_dec) AS DOUBLE) FROM vals) * 0.001
+        |FROM vals, tot
+        |WHERE CAST(value_dec AS DOUBLE) * n > t * 1.5
         |ORDER BY value DESC, l_partkey""".stripMargin,
 
     "q12_late_shipments" ->
