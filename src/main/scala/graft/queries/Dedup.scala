@@ -101,7 +101,10 @@ object Dedup {
     * pairwise comparison. The self-join's two identical shuffle subtrees
     * are deduplicated by ReuseExchange — no cache needed (and a cache here
     * would leak: the caller owns the action). */
-  private def lshPairs(s: SparkSession, d: String): DataFrame = {
+  // private[graft]: PlanHygieneSpec audits this RAW declarative plan
+  // directly, since every declared consumer now rides the checkpointed
+  // lshPairsShared (whose LogicalRDD scan hides the band join)
+  private[graft] def lshPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val sig = minhashSigs(s, d)
     val bands = sig.select($"doc_id", posexplode(array(
@@ -114,36 +117,9 @@ object Dedup {
       .distinct()
   }
 
-  /** Small BOUNDED memo for materialized frames shared across queries —
-    * the same discipline as Tables' session cache: insertion-order
-    * eviction after MaxEntries, so stopped sessions and their
-    * checkpointed RDDs are released instead of pinned for the JVM
-    * lifetime (the evicted frame's blocks go with it once GC'd).
-    * Data dirs are immutable for a cache entry's useful life
-    * (TESTDATA.md), so entries never go stale. A racing first compute
-    * may run twice; the loser's checkpoint is GC-released — correctness
-    * is unaffected and no lock is held across a Spark job. */
-  private final class FrameMemo {
-    private val MaxEntries = 8
-    private val m =
-      new java.util.LinkedHashMap[(SparkSession, String), DataFrame](16, 0.75f, false) {
-        override def removeEldestEntry(
-            e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean =
-          size() > MaxEntries
-      }
-    def get(s: SparkSession, d: String)(compute: => DataFrame): DataFrame = {
-      val k = (s, d)
-      val hit = m.synchronized(m.get(k))
-      if (hit != null) hit
-      else {
-        val v = compute // outside the lock: a Spark job runs here
-        m.synchronized {
-          val again = m.get(k)
-          if (again != null) again else { m.put(k, v); v }
-        }
-      }
-    }
-  }
+  // shared-frame memo discipline lives in graft.engine.FrameMemo (also
+  // used by Similarity's materialized ANN index artifacts)
+  private type FrameMemo = graft.engine.FrameMemo
 
   /** Materialized LSH candidate pairs, computed ONCE per (session, data
     * dir) and shared by every consumer downstream of candidate
@@ -151,9 +127,11 @@ object Dedup {
     * connected-components clustering): the shingle→signature→band-join
     * stage is the most expensive dedup step and is identical across
     * them. The checkpointed frame is tiny — one (doc_a, doc_b) row per
-    * candidate pair. `dedup_lsh_pairs` itself intentionally keeps the
-    * raw declarative plan: it IS the declared candidate operator, and
-    * the plan-hygiene sweep audits its join shape. */
+    * candidate pair. `dedup_lsh_pairs` rides the shared frame too (it
+    * was the most expensive dedup query while recomputing work two
+    * sibling queries had already materialized); the raw declarative
+    * join shape stays under audit via PlanHygieneSpec's explicit
+    * `lshPairs` entry. */
   private val lshPairsCache = new FrameMemo
   private def lshPairsShared(s: SparkSession, d: String): DataFrame =
     lshPairsCache.get(s, d)(lshPairs(s, d).localCheckpoint())
@@ -311,10 +289,12 @@ object Dedup {
       minhashSigs(s, d).orderBy($"doc_id")
     }),
 
-    // MinHash-LSH candidate pairs (see lshPairs above for the scale shape).
+    // MinHash-LSH candidate pairs (see lshPairs above for the scale
+    // shape) — served from the shared checkpointed frame, like every
+    // other consumer of the candidate stage.
     "dedup_lsh_pairs" -> ((s, d) => {
       import s.implicits._
-      lshPairs(s, d).orderBy($"doc_a", $"doc_b")
+      lshPairsShared(s, d).orderBy($"doc_a", $"doc_b")
     }),
 
     // SimHash near-dup pairs: hamming(simhash) <= 1 over 16 bits. Exact

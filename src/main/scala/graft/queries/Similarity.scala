@@ -57,36 +57,71 @@ object Similarity {
        |     shiftleft(1, p), 0)), 0, (acc, x) -> acc + x)""".stripMargin
     ).cast("long")
 
-  /** Corpus-adaptive IVF cell assignment — the shared blocking stage for
-    * every pairwise operator (near-dup verify, triangles, mutual k-NN,
-    * threshold histogram). k = max(8, ceil(sqrt(n))) centroids (vectors
-    * with vec_id < k), so cells get FINER as the corpus grows: with
-    * cell size ~ sqrt(n), both the assignment folds (n·k) and the
-    * within-cell pair space (k·(n/k)²) are O(n^1.5) — sub-quadratic at
-    * any scale, vs the O(n²/|labels|) blowup of a fixed blocking key.
-    * (At extreme corpus sizes the single broadcast codebook row itself
-    * is the next bottleneck; the standard fix is a two-level coarse
-    * quantizer — assign to sqrt(k) super-cells first — which drops the
-    * fold cost to O(n^1.33) without changing this operator's contract.)
-    * k is computed IN-PLAN (1-row count agg, broadcast), never on the
-    * driver. Returns (vec_id, v, cell). */
+  /** Corpus-adaptive TWO-LEVEL IVF cell assignment — the shared blocking
+    * stage for every pairwise operator (near-dup verify, triangles,
+    * mutual k-NN, threshold histogram). k = max(8, ceil(sqrt(n)))
+    * cells (centroids = vectors with vec_id < k), so cells get FINER as
+    * the corpus grows: with cell size ~ sqrt(n) the within-cell pair
+    * space k·(n/k)² stays O(n^1.5) — sub-quadratic at any scale, vs the
+    * O(n²/|labels|) blowup of a fixed blocking key.
+    *
+    * The assignment itself is hierarchical (the standard coarse-
+    * quantizer tree FAISS IMI / two-level IVF use): level 1 folds over
+    * only the k2 = ceil(sqrt(k)) SUPER-centroids (one tiny broadcast
+    * row, k2 ~ n^0.25 entries) to pick a super-cell; level 2 is an
+    * equi-JOIN on the super-cell against the grouped centroid table
+    * (k2 rows, the k centroids partitioned by THEIR nearest super-
+    * centroid; a super-centroid belongs to its own group by
+    * definition, so no group is empty) and folds only over the matched
+    * group (~k/k2 ~ n^0.25 centroids). Per-vector fold work drops from
+    * O(sqrt(n)) to O(n^0.25) — O(n^1.25) total — and, because level 2
+    * is a plain equi-join instead of a single glued-on codebook row,
+    * Catalyst/AQE can switch it from broadcast to shuffle join when the
+    * centroid table outgrows broadcast size; the one-row variant had no
+    * such fallback (this was round 4's self-identified bottleneck).
+    *
+    * Every cosine in the assignment is NaN-guarded (nanvl → -2): a
+    * zero-norm vector folds to NaN, which Spark's array_min sorts LAST
+    * but SQL's ORDER BY csim DESC sorts FIRST — unguarded, the engines
+    * would disagree on the cell of every vector compared against a
+    * degenerate centroid. Both k and k2 are computed IN-PLAN (1-row
+    * count agg, broadcast), never on the driver. Returns
+    * (vec_id, v, cell). */
   private[graft] def ivfCells(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     withCosine(s)
     val emb = t(s, d, "embeddings")
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
     val kf = emb.agg(greatest(lit(8L),
-      ceil(sqrt(count(lit(1)).cast("double"))).cast("long")).as("kk"))
-    val cents = emb.crossJoin(broadcast(kf)).filter($"vec_id" < $"kk")
-      .select($"vec_id".as("cent_id"), $"v".as("c"))
+        ceil(sqrt(count(lit(1)).cast("double"))).cast("long")).as("kk"))
+      .select($"kk", ceil(sqrt($"kk".cast("double"))).cast("long").as("kk2"))
+    val supers = emb.crossJoin(broadcast(kf)).filter($"vec_id" < $"kk2")
+      .select($"vec_id".as("s_id"), $"v".as("c"))
       .agg(expr("array_sort(collect_list(named_struct(" +
-        "'cent_id', cent_id, 'c', c)))").as("cents"))
-    val am = expr(
-      """array_min(transform(cents, ct -> named_struct(
-        |  'nsim', -round(cosine_similarity(v, ct.c), 4),
-        |  'cent_id', ct.cent_id)))""".stripMargin)
-    emb.crossJoin(broadcast(cents))
-      .select($"vec_id", $"v", am.getField("cent_id").as("cell"))
+        "'s_id', s_id, 'c', c)))").as("supers"))
+    // level-1 argmax: (neg rounded guarded cosine, s_id) struct min
+    def superOf(vcol: String): Column = expr(
+      s"""array_min(transform(supers, st -> named_struct(
+         |  'nsim', -round(nanvl(cosine_similarity($vcol, st.c), -2D), 4),
+         |  's_id', st.s_id))).s_id""".stripMargin)
+    // the k centroids grouped by their own super-cell: k2 rows
+    // (scell, garr); super-centroids pin to their own group
+    val groups = emb.crossJoin(broadcast(kf)).filter($"vec_id" < $"kk")
+      .crossJoin(broadcast(supers))
+      .select($"vec_id".as("cent_id"), $"v".as("c"),
+        when($"vec_id" < $"kk2", $"vec_id").otherwise(superOf("v")).as("scell"))
+      .groupBy($"scell")
+      .agg(expr("array_sort(collect_list(named_struct(" +
+        "'cent_id', cent_id, 'c', c)))").as("garr"))
+    // level-2 argmax within the joined group only
+    val cellOf = expr(
+      """array_min(transform(garr, ct -> named_struct(
+        |  'nsim', -round(nanvl(cosine_similarity(v, ct.c), -2D), 4),
+        |  'cent_id', ct.cent_id))).cent_id""".stripMargin)
+    emb.crossJoin(broadcast(supers))
+      .select($"vec_id", $"v", superOf("v").as("scell"))
+      .join(broadcast(groups), "scell")
+      .select($"vec_id", $"v", cellOf.as("cell"))
   }
 
   /** Within-cell candidate pairs with exact rounded cosine — the one
@@ -100,6 +135,74 @@ object Similarity {
       .select($"a.cell".as("cell"), $"a.vec_id".as("va"),
         $"b.vec_id".as("vb"), round(cosine("a.v", "b.v"), 4).as("sim"))
   }
+
+  /** One-row 8-entry codebook (vectors with vec_id < 8) shared by the
+    * fixed-k ANN queries — a plan fragment (8-row scan + 1-row agg),
+    * cheap enough to rebuild wherever the full codebook row is needed
+    * (coarse probes); the EXPENSIVE per-vector folds over it are what
+    * pqIndex materializes once. */
+  private def codebook8(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    t(s, d, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .filter($"vec_id" < 8)
+      .select($"vec_id".as("cent_id"), $"v".as("c"))
+      .agg(expr("array_sort(collect_list(named_struct(" +
+        "'cent_id', cent_id, 'c', c)))").as("cents"))
+  }
+
+  /** Per-subspace PQ argmin: am[m+1] = (min subspace-m d2, its cent_id,
+    * that codeword's subvector). 'cs' is last in the struct so (d2,
+    * cent_id) stay the lexicographic sort key. Expects columns `v`
+    * (vector) and `cents` (codebook row). */
+  private val pqAm: Column = expr(
+    """transform(sequence(0, 3), m ->
+      |  array_min(transform(cents, ct -> named_struct(
+      |    'd2', aggregate(zip_with(slice(v, 1 + 16 * m, 16),
+      |                             slice(ct.c, 1 + 16 * m, 16),
+      |                             (x, y) -> (x - y) * (x - y)),
+      |                    0D, (acc, e) -> acc + e),
+      |    'cent_id', ct.cent_id,
+      |    'cs', slice(ct.c, 1 + 16 * m, 16)))))""".stripMargin)
+
+  /** ADC distance from the materialized per-subspace codewords: each
+    * subspace sum folds in index order and the 4 terms add in fixed m
+    * order — no order-nondeterministic double SUM. Expects columns `q`
+    * (query vector) and `am` (pqAm output). */
+  private val pqAdc: Column = expr(
+    """aggregate(transform(sequence(0, 3), m ->
+      |  aggregate(zip_with(slice(q, 1 + 16 * m, 16), am[m].cs,
+      |                     (x, y) -> (x - y) * (x - y)),
+      |            0D, (acc, e) -> acc + e)),
+      |  0D, (acc, e) -> acc + e)""".stripMargin)
+
+  /** Materialized ANN index artifacts — computed ONCE per (session,
+    * dir), checkpointed, and shared by sim_pq_codes / sim_pq_search /
+    * sim_ivf_pq_search / sim_recall_eval: one row per vector carrying
+    * its IVF-8 coarse cell and its 4 PQ subspace argmins (d2, code,
+    * codeword subvector). Rebuilding these per query repeated the full
+    * codebook fold for every consumer; a production deployment builds
+    * the index once and queries scan codes — this memo IS that index
+    * build. The raw build plan stays under PlanHygieneSpec audit via
+    * pqIndexRaw. */
+  private[graft] def pqIndexRaw(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    withCosine(s)
+    val emb = t(s, d, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    // unguarded cosine here ON PURPOSE: the fixed-8 coarse oracles
+    // (sim_ivf_*) compute the same unguarded csims CTE — the NaN guard
+    // lives in the adaptive ivfCells path (both engines)
+    val cellOf = expr(
+      """array_min(transform(cents, ct -> named_struct(
+        |  'nsim', -round(cosine_similarity(v, ct.c), 4),
+        |  'cent_id', ct.cent_id))).cent_id""".stripMargin)
+    emb.crossJoin(broadcast(codebook8(s, d)))
+      .select($"vec_id", cellOf.as("cell"), pqAm.as("am"))
+  }
+  private val pqIndexCache = new graft.engine.FrameMemo
+  private[graft] def pqIndex(s: SparkSession, d: String): DataFrame =
+    pqIndexCache.get(s, d)(pqIndexRaw(s, d).localCheckpoint())
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-20 neighbors of vec_id = 0.
@@ -434,31 +537,14 @@ object Similarity {
     // Product quantization (the other half of the IVF-PQ memory budget:
     // 64 dims → 4 subspaces × 16 dims, one byte-sized code each —
     // 16× smaller than int8, recon error reported per vector). The
-    // whole codebook (vec_id < 8, sliced per subspace on the fly) is
-    // one broadcast row; all four subspace argmins happen inside a
-    // single projection via the same array_min-of-structs fold — no
-    // subspace explode, no window, no regroup shuffle. recon_d2 sums
+    // argmin folds live in the shared materialized pqIndex (built once
+    // per session+dir, like any real PQ index); this query projects the
+    // stored codes. recon_d2 sums
     // the four subspace minima in fixed index order (am[1].d2 + ... +
     // am[4].d2), never through an order-nondeterministic double SUM.
     "sim_pq_codes" -> ((s, d) => {
       import s.implicits._
-      val emb = t(s, d, "embeddings")
-        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-      val cb = emb.filter($"vec_id" < 8)
-        .select($"vec_id".as("cent_id"), $"v".as("c"))
-        .agg(expr("array_sort(collect_list(named_struct(" +
-          "'cent_id', cent_id, 'c', c)))").as("cents"))
-      // am[m+1] = (min subspace-m d2, its cent_id)
-      val am = expr(
-        """transform(sequence(0, 3), m ->
-          |  array_min(transform(cents, ct -> named_struct(
-          |    'd2', aggregate(zip_with(slice(v, 1 + 16 * m, 16),
-          |                             slice(ct.c, 1 + 16 * m, 16),
-          |                             (x, y) -> (x - y) * (x - y)),
-          |                    0D, (acc, e) -> acc + e),
-          |    'cent_id', ct.cent_id))))""".stripMargin)
-      emb.crossJoin(broadcast(cb))
-        .select($"vec_id", am.as("am"))
+      pqIndex(s, d)
         .select($"vec_id",
           $"am" (0)("cent_id").as("code0"), $"am" (1)("cent_id").as("code1"),
           $"am" (2)("cent_id").as("code2"), $"am" (3)("cent_id").as("code3"),
@@ -472,42 +558,19 @@ object Similarity {
     // their 4 subspace codes, the query stays exact, and each row's
     // approximate distance is the fixed-order sum of
     // d2(query_sub_m, codeword_m). At 100 TB this is why PQ exists:
-    // the scan touches 4 bytes + a 4x8 lookup table per vector, never
-    // the raw 64 floats. Everything is two scalar broadcasts (codebook,
-    // query) and within-row folds; the top-10 plans as
-    // TakeOrderedAndProject. Each subspace sum folds in index order and
-    // the 4 subspace terms add in fixed m order — no
-    // order-nondeterministic double SUM anywhere.
+    // the scan touches the materialized pqIndex codes, never the raw
+    // 64 floats — and the index is built once, not per query. The scan
+    // is O(n) BY DESIGN (the probe-bounded scale path is
+    // sim_ivf_pq_search); the query vector is one scalar broadcast and
+    // the top-10 plans as TakeOrderedAndProject.
     "sim_pq_search" -> ((s, d) => {
       import s.implicits._
-      val emb = t(s, d, "embeddings")
+      val q = t(s, d, "embeddings")
         .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-      val cb = emb.filter($"vec_id" < 8)
-        .select($"vec_id".as("cent_id"), $"v".as("c"))
-        .agg(expr("array_sort(collect_list(named_struct(" +
-          "'cent_id', cent_id, 'c', c)))").as("cents"))
-      val q = emb.filter($"vec_id" === 0).select($"v".as("q"))
-      // per-subspace argmin carries the chosen codeword's subvector
-      // ('cs' is last in the struct: (d2, cent_id) stay the sort key)
-      val am = expr(
-        """transform(sequence(0, 3), m ->
-          |  array_min(transform(cents, ct -> named_struct(
-          |    'd2', aggregate(zip_with(slice(v, 1 + 16 * m, 16),
-          |                             slice(ct.c, 1 + 16 * m, 16),
-          |                             (x, y) -> (x - y) * (x - y)),
-          |                    0D, (acc, e) -> acc + e),
-          |    'cent_id', ct.cent_id,
-          |    'cs', slice(ct.c, 1 + 16 * m, 16)))))""".stripMargin)
-      val adc = expr(
-        """aggregate(transform(sequence(0, 3), m ->
-          |  aggregate(zip_with(slice(q, 1 + 16 * m, 16), am[m].cs,
-          |                     (x, y) -> (x - y) * (x - y)),
-          |            0D, (acc, e) -> acc + e)),
-          |  0D, (acc, e) -> acc + e)""".stripMargin)
-      emb.filter($"vec_id" =!= 0)
-        .crossJoin(broadcast(cb)).crossJoin(broadcast(q))
-        .select($"vec_id", am.as("am"), $"q")
-        .select($"vec_id", round(adc, 4).as("adc_d2"))
+        .filter($"vec_id" === 0).select($"v".as("q"))
+      pqIndex(s, d).filter($"vec_id" =!= 0)
+        .crossJoin(broadcast(q))
+        .select($"vec_id", round(pqAdc, 4).as("adc_d2"))
         .orderBy($"adc_d2".asc, $"vec_id".asc)
         .limit(10)
     }),
@@ -525,16 +588,7 @@ object Similarity {
       withCosine(s)
       val emb = t(s, d, "embeddings")
         .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-      val cents = emb.filter($"vec_id" < 8)
-        .select($"vec_id".as("cent_id"), $"v".as("c"))
-        .agg(expr("array_sort(collect_list(named_struct(" +
-          "'cent_id', cent_id, 'c', c)))").as("cents"))
-      val cellOf = expr(
-        """array_min(transform(cents, ct -> named_struct(
-          |  'nsim', -round(cosine_similarity(v, ct.c), 4),
-          |  'cent_id', ct.cent_id))).cent_id""".stripMargin)
-      val assign = emb.crossJoin(broadcast(cents))
-        .select($"vec_id", $"v", cellOf.as("cent_id"))
+      val cents = codebook8(s, d)
       val probed = emb.filter($"vec_id" === 0).crossJoin(broadcast(cents))
         .select(explode($"cents").as("ct"), $"v")
         .select($"ct.cent_id".as("cent_id"),
@@ -542,28 +596,14 @@ object Similarity {
         .orderBy(desc("csim"), asc("cent_id")).limit(2)
         .select($"cent_id")
       val q = emb.filter($"vec_id" === 0).select($"v".as("q"))
-      // per-subspace argmin carries the codeword subvector; the ADC sum
-      // folds in fixed m order (same expressions as sim_pq_search)
-      val am = expr(
-        """transform(sequence(0, 3), m ->
-          |  array_min(transform(cents, ct -> named_struct(
-          |    'd2', aggregate(zip_with(slice(v, 1 + 16 * m, 16),
-          |                             slice(ct.c, 1 + 16 * m, 16),
-          |                             (x, y) -> (x - y) * (x - y)),
-          |                    0D, (acc, e) -> acc + e),
-          |    'cent_id', ct.cent_id,
-          |    'cs', slice(ct.c, 1 + 16 * m, 16)))))""".stripMargin)
-      val adc = expr(
-        """aggregate(transform(sequence(0, 3), m ->
-          |  aggregate(zip_with(slice(q, 1 + 16 * m, 16), am[m].cs,
-          |                     (x, y) -> (x - y) * (x - y)),
-          |            0D, (acc, e) -> acc + e)),
-          |  0D, (acc, e) -> acc + e)""".stripMargin)
-      assign.join(broadcast(probed), "cent_id")
+      // coarse cell + per-subspace codewords come from the shared
+      // materialized pqIndex; only the 2-cell probe and the query LUT
+      // are computed here (both scalar)
+      pqIndex(s, d)
+        .join(broadcast(probed), $"cell" === $"cent_id")
         .filter($"vec_id" =!= 0)
-        .crossJoin(broadcast(cents)).crossJoin(broadcast(q))
-        .select($"vec_id", am.as("am"), $"q")
-        .select($"vec_id", round(adc, 4).as("adc_d2"))
+        .crossJoin(broadcast(q))
+        .select($"vec_id", round(pqAdc, 4).as("adc_d2"))
         .orderBy($"adc_d2".asc, $"vec_id".asc)
         .limit(10)
     }),
@@ -606,54 +646,33 @@ object Similarity {
         .join(broadcast(probes), $"sig" === $"psig")
         .select($"vec_id", round(cosine("v", "q"), 4).as("cs"))
         .orderBy(desc("cs"), asc("vec_id")).limit(10).select($"vec_id")
-      // IVF candidates: fold-assigned cells, query's 2 nearest probed
-      val cents = emb.filter($"vec_id" < 8)
-        .select($"vec_id".as("cent_id"), $"v".as("c"))
-        .agg(expr("array_sort(collect_list(named_struct(" +
-          "'cent_id', cent_id, 'c', c)))").as("cents"))
-      val am = expr(
-        """array_min(transform(cents, ct -> named_struct(
-          |  'nsim', -round(cosine_similarity(v, ct.c), 4),
-          |  'cent_id', ct.cent_id)))""".stripMargin)
-      val assign = emb.crossJoin(broadcast(cents))
-        .select($"vec_id", $"v", am.getField("cent_id").as("cent_id"))
+      // IVF candidates: coarse cells from the shared materialized
+      // pqIndex, query's 2 nearest cells probed; candidate vectors
+      // fetched back from the table by vec_id (the standard index →
+      // fetch-vectors join), then exact-scored against the query
+      val cents = codebook8(s, d)
       val probed = emb.filter($"vec_id" === 0).crossJoin(broadcast(cents))
         .select(explode($"cents").as("ct"), $"v")
         .select($"ct.cent_id".as("cent_id"),
           round(cosine("v", "ct.c"), 4).as("csim"))
         .orderBy(desc("csim"), asc("cent_id")).limit(2)
         .select($"cent_id")
-      val ivf = assign.join(broadcast(probed), "cent_id")
-        .filter($"vec_id" =!= 0).crossJoin(broadcast(q))
+      val ivf = pqIndex(s, d).select($"vec_id", $"cell")
+        .join(broadcast(probed), $"cell" === $"cent_id")
+        .filter($"vec_id" =!= 0)
+        .join(emb, "vec_id").crossJoin(broadcast(q))
         .select($"vec_id", round(cosine("v", "q"), 4).as("cs"))
         .orderBy(desc("cs"), asc("vec_id")).limit(10).select($"vec_id")
-      // PQ-ADC candidates: every non-query vector ranked by asymmetric
-      // distance over its 4 subspace codes (same expressions as
-      // sim_pq_search), alone and composed with the 2-cell IVF probe
-      val amPq = expr(
-        """transform(sequence(0, 3), m ->
-          |  array_min(transform(cents, ct -> named_struct(
-          |    'd2', aggregate(zip_with(slice(v, 1 + 16 * m, 16),
-          |                             slice(ct.c, 1 + 16 * m, 16),
-          |                             (x, y) -> (x - y) * (x - y)),
-          |                    0D, (acc, e) -> acc + e),
-          |    'cent_id', ct.cent_id,
-          |    'cs', slice(ct.c, 1 + 16 * m, 16)))))""".stripMargin)
-      val adcD = expr(
-        """aggregate(transform(sequence(0, 3), m ->
-          |  aggregate(zip_with(slice(q, 1 + 16 * m, 16), am[m].cs,
-          |                     (x, y) -> (x - y) * (x - y)),
-          |            0D, (acc, e) -> acc + e)),
-          |  0D, (acc, e) -> acc + e)""".stripMargin)
-      val adcAll = emb.filter($"vec_id" =!= 0)
-        .crossJoin(broadcast(cents)).crossJoin(broadcast(q))
-        .select($"vec_id", amPq.as("am"), $"q")
-        .select($"vec_id", round(adcD, 4).as("ad"))
-      val pqAdc = adcAll
+      // PQ-ADC candidates: ranked by asymmetric distance over the
+      // pqIndex's materialized codes, alone and composed with the
+      // 2-cell IVF probe
+      val adcAll = pqIndex(s, d).filter($"vec_id" =!= 0)
+        .crossJoin(broadcast(q))
+        .select($"vec_id", $"cell", round(pqAdc, 4).as("ad"))
+      val pqTop = adcAll
         .orderBy(asc("ad"), asc("vec_id")).limit(10).select($"vec_id")
       val ivfPq = adcAll
-        .join(assign.select($"vec_id", $"cent_id"), "vec_id")
-        .join(broadcast(probed), "cent_id")
+        .join(broadcast(probed), $"cell" === $"cent_id")
         .orderBy(asc("ad"), asc("vec_id")).limit(10).select($"vec_id")
       def recallOf(method: String, topk: DataFrame): DataFrame =
         brute.as("b").join(topk.as("l"), $"b.vec_id" === $"l.vec_id",
@@ -664,9 +683,32 @@ object Similarity {
             round($"n_hit" / $"n_brute", 4).as("recall"))
       recallOf("ivf_2probe", ivf)
         .unionAll(recallOf("ivf_pq_2probe", ivfPq))
-        .unionAll(recallOf("pq_adc", pqAdc))
+        .unionAll(recallOf("pq_adc", pqTop))
         .unionAll(recallOf("lsh_bucket", lshB))
         .unionAll(recallOf("lsh_multiprobe", lshM))
+        .orderBy($"method")
+    }),
+
+    // ANN recall-floor CONTRACT — the `_bounds` twin of sim_recall_eval
+    // (same discipline as the sketch bound queries): each method's
+    // recall@10 must meet a pinned per-method floor, and the verdict
+    // row itself is oracle-checked, so index quality is a verified
+    // guarantee rather than a report someone has to read. Floors are
+    // the worst observed recall across sf0.001/0.01/0.1 (ivf_2probe is
+    // 1.0 at every SF — 2 of 8 probed cells cover the true neighbors
+    // on this fixture; lsh_bucket's floor is 0.0 because a 4-bit
+    // exact-bucket probe legitimately bottoms out at tiny k — the
+    // multiprobe variant is the usable one, floored at 0.3).
+    "sim_recall_bounds" -> ((s, d) => {
+      import s.implicits._
+      val floors = Seq(
+        ("ivf_2probe", 1.0), ("ivf_pq_2probe", 0.2), ("pq_adc", 0.1),
+        ("lsh_bucket", 0.0), ("lsh_multiprobe", 0.3))
+        .toDF("method", "floor")
+      queries("sim_recall_eval")(s, d)
+        .join(broadcast(floors), "method")
+        .select($"method", $"k", $"recall", $"floor",
+          ($"recall" >= $"floor").as("meets_floor"))
         .orderBy($"method")
     }),
 
@@ -700,25 +742,64 @@ object Similarity {
         .orderBy($"label")
     }))
 
-  /** DuckDB twin of ivfCells + cellPairs: adaptive-k codebook, nearest-
-    * centroid cell assignment, within-cell pairs `p(cell, va, vb, sim)`. */
+  /** Guarded rounded cosine between two DuckDB DOUBLE[] expressions —
+    * NaN (zero norm) and NULL both map to -2.0, mirroring the Spark
+    * side's nanvl guard so the engines can never disagree on a
+    * degenerate comparison's sort position. */
+  private def dkCsim(a: String, b: String): String =
+    s"""ROUND(COALESCE(CASE WHEN isnan(
+       |    list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2])) /
+       |      (sqrt(list_sum(list_transform($a, x -> x * x))) *
+       |       sqrt(list_sum(list_transform($b, x -> x * x)))) ) THEN -2.0
+       |  ELSE
+       |    list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2])) /
+       |      (sqrt(list_sum(list_transform($a, x -> x * x))) *
+       |       sqrt(list_sum(list_transform($b, x -> x * x))))
+       |  END, -2.0), 4)""".stripMargin
+
+  /** DuckDB twin of ivfCells + cellPairs: adaptive-k two-level codebook
+    * (k2 super-cells → grouped centroids), nearest-centroid-in-group
+    * cell assignment, within-cell pairs `p(cell, va, vb, sim)`. */
   private val cellPairsCte: String =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |kf AS (SELECT GREATEST(8, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS kk
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |kf AS (SELECT GREATEST(8, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS kk,
+      |         CAST(CEIL(SQRT(GREATEST(8, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))))
+      |              AS BIGINT) AS kk2
       |       FROM e),
+      |sc AS (SELECT vec_id AS s_id, v AS scv FROM e, kf WHERE vec_id < kk2),
       |c AS (SELECT vec_id AS cent_id, v AS cv FROM e, kf WHERE vec_id < kk),
-      |csims AS (
-      |  SELECT vec_id, cent_id,
-      |    ROUND(list_sum(list_transform(list_zip(v, cv), x -> x[1] * x[2])) /
-      |      (sqrt(list_sum(list_transform(v, x -> x * x))) *
-      |       sqrt(list_sum(list_transform(cv, x -> x * x)))), 4) AS csim
-      |  FROM e, c),
+      |ccs AS (
+      |  SELECT cent_id, s_id, ${dkCsim("cv", "scv")} AS csim
+      |  FROM c, sc),
+      |cpick AS (
+      |  SELECT cent_id, s_id FROM (
+      |    SELECT cent_id, s_id,
+      |      ROW_NUMBER() OVER (PARTITION BY cent_id
+      |                         ORDER BY csim DESC, s_id) AS rn
+      |    FROM ccs) WHERE rn = 1),
+      |cass AS (
+      |  SELECT c.cent_id, c.cv,
+      |    CASE WHEN c.cent_id < kf.kk2 THEN c.cent_id ELSE cp.s_id END AS scell
+      |  FROM c JOIN cpick cp ON cp.cent_id = c.cent_id, kf),
+      |vcs AS (
+      |  SELECT vec_id, s_id, ${dkCsim("v", "scv")} AS csim
+      |  FROM e, sc),
+      |vpick AS (
+      |  SELECT vec_id, s_id AS scell FROM (
+      |    SELECT vec_id, s_id,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id
+      |                         ORDER BY csim DESC, s_id) AS rn
+      |    FROM vcs) WHERE rn = 1),
+      |vc AS (
+      |  SELECT e.vec_id, e.v, ca.cent_id, ${dkCsim("e.v", "ca.cv")} AS csim
+      |  FROM e JOIN vpick vp ON vp.vec_id = e.vec_id
+      |         JOIN cass ca ON ca.scell = vp.scell),
       |assign AS (
       |  SELECT vec_id, cent_id AS cell FROM (
       |    SELECT vec_id, cent_id,
       |      ROW_NUMBER() OVER (PARTITION BY vec_id
       |                         ORDER BY csim DESC, cent_id) AS rn
-      |    FROM csims) WHERE rn = 1),
+      |    FROM vc) WHERE rn = 1),
       |ce AS (SELECT e.vec_id, a.cell, e.v
       |       FROM e JOIN assign a ON e.vec_id = a.vec_id),
       |p AS (
@@ -728,7 +809,7 @@ object Similarity {
       |       sqrt(list_sum(list_transform(y.v, t -> t * t)))), 4) AS sim
       |  FROM ce x JOIN ce y ON x.cell = y.cell AND x.vec_id < y.vec_id)""".stripMargin
 
-  val oracle: Map[String, String] = Map(
+  private val oracleBase: Map[String, String] = Map(
     "sim_cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
         |           FROM embeddings WHERE vec_id <> 0),
@@ -1272,4 +1353,18 @@ object Similarity {
         |SELECT label, CAST(MAX(nv) AS BIGINT) AS n,
         |  ROUND(sqrt(SUM(sa * sa)) / MAX(nv), 6) AS mean_norm
         |FROM sums GROUP BY label ORDER BY label""".stripMargin)
+
+  /** The bounds twin wraps the full recall-eval SQL as a CTE and joins
+    * the same pinned floors as the Spark side. */
+  val oracle: Map[String, String] = oracleBase +
+    ("sim_recall_bounds" ->
+      s"""WITH ev AS (
+         |${oracleBase("sim_recall_eval")}
+         |),
+         |f AS (SELECT * FROM (VALUES
+         |  ('ivf_2probe', 1.0), ('ivf_pq_2probe', 0.2), ('pq_adc', 0.1),
+         |  ('lsh_bucket', 0.0), ('lsh_multiprobe', 0.3)) t(method, floor))
+         |SELECT ev.method, ev.k, ev.recall, f.floor,
+         |  ev.recall >= f.floor AS meets_floor
+         |FROM ev JOIN f USING (method) ORDER BY method""".stripMargin)
 }

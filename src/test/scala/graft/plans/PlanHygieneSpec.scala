@@ -15,11 +15,11 @@ class PlanHygieneSpec extends SparkSpec {
   // aggregate) run real jobs during this sweep and their checkpointed
   // subtrees surface as LogicalRDD scans, hiding those joins from the
   // audit. That is acceptable ONLY because every hidden subtree's join
-  // shape is swept through an equivalent declarative query —
-  // dedup_lsh_pairs declares the same band join the checkpoint
-  // materializes, the components loop is unit-tested in ComponentsSpec,
-  // and q11's aggregate has no join. dedup_clusters alone is excluded
-  // (the 15-round propagation makes the sweep pay for it twice).
+  // shape is swept explicitly — the raw LSH band join is appended to
+  // the sweep below (every declared consumer rides the checkpoint now),
+  // the components loop is unit-tested in ComponentsSpec, and q11's
+  // aggregate has no join. dedup_clusters alone is excluded (the
+  // 15-round propagation makes the sweep pay for it twice).
   private val eagerlyMaterializing = Set("dedup_clusters")
 
   private lazy val planStrings: Seq[(String, String)] =
@@ -27,7 +27,12 @@ class PlanHygieneSpec extends SparkSpec {
       .filterNot(q => eagerlyMaterializing(q._1))
       .map { case (name, fn) =>
         name -> fn(spark, sf()).queryExecution.executedPlan.toString
-      }
+      } :+ ("dedup_lsh_pairs (raw band join)" ->
+        graft.queries.Dedup.lshPairs(spark, sf())
+          .queryExecution.executedPlan.toString) :+
+      ("pqIndex (raw build)" ->
+        graft.queries.Similarity.pqIndexRaw(spark, sf())
+          .queryExecution.executedPlan.toString)
 
   // BroadcastNestedLoopJoin is legitimate ONLY as a scalar broadcast: a
   // crossJoin against a 1-row aggregate (corpus mean, query vector,
@@ -59,7 +64,9 @@ class PlanHygieneSpec extends SparkSpec {
     "log_rfm",               // 1-row quartile-boundary agg (3x3 values)
     "doc_token_budget",      // 1-row total-token budget agg
     "log_pagerank",          // 1-row node count (rank vector joins are equi)
-    "sim_recall_eval")       // 1-row query vec/planes/codebook, 2-row probes
+    "sim_recall_eval",       // 1-row query vec/planes/codebook, 2-row probes
+    "sim_recall_bounds",     // wraps sim_recall_eval + 5-row floor table
+    "pqIndex (raw build)")   // 1-row codebook (the materialized index build)
 
   test("no declared query plans a cartesian or nested-loop join") {
     val offenders = planStrings.flatMap { case (name, plan) =>

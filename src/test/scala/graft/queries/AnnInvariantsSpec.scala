@@ -72,12 +72,13 @@ class AnnInvariantsSpec extends SparkSpec {
     assert(m.exists(_.getDouble(1) > 1.0) && m.exists(_.getDouble(1) < 1.0))
   }
 
-  test("ivfCells: every vector lands in its argmax-cosine cell, k adapts to n") {
+  test("ivfCells: two-level assignment invariant holds, k adapts to n") {
     import spark.implicits._
     val cells = Similarity.ivfCells(spark, sf())
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getLong(2)))
     val n = cells.length
     val k = math.max(8L, math.ceil(math.sqrt(n.toDouble)).toLong)
+    val k2 = math.ceil(math.sqrt(k.toDouble)).toLong
     // centroids are the vectors with vec_id < k; every assigned cell id
     // must be one of them
     assert(cells.map(_._3).toSet.subsetOf((0L until k).toSet))
@@ -89,11 +90,21 @@ class AnnInvariantsSpec extends SparkSpec {
     }
     val cents = cells.filter(_._1 < k).map(c => (c._1, c._2)).sortBy(_._1)
     assert(cents.length == k.toInt, s"expected $k centroids in fixture")
+    val supers = cents.take(k2.toInt)
+    // argmax by (rounded cosine desc, id asc) — the fold's
+    // lexicographic struct order
+    def nearestSuper(v: Array[Double]): Long =
+      supers.map { case (sid, c) => (-cos(v, c), sid) }.min._2
+    // centroid -> super-group: a super-centroid pins to its own group
+    val groupOf = cents.map { case (cid, c) =>
+      cid -> (if (cid < k2) cid else nearestSuper(c))
+    }.toMap
     cells.foreach { case (id, v, cell) =>
-      // argmax by (rounded cosine desc, cent_id asc) — the fold's
-      // lexicographic struct order
-      val best = cents.map { case (cid, c) => (-cos(v, c), cid) }.min._2
-      assert(cell == best, s"vec $id assigned to $cell, argmax is $best")
+      val sc = nearestSuper(v)
+      val best = cents.filter { case (cid, _) => groupOf(cid) == sc }
+        .map { case (cid, c) => (-cos(v, c), cid) }.min._2
+      assert(cell == best,
+        s"vec $id assigned to $cell, two-level argmax via super $sc is $best")
     }
   }
 
