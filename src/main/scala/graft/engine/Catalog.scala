@@ -16,8 +16,39 @@ class Catalog(spark: SparkSession, warehouse: String) {
   private def conf: Configuration = spark.sparkContext.hadoopConfiguration
   private def fs: FileSystem = new Path(warehouse).getFileSystem(conf)
 
+  /** S6 activity metrics (the busy-time / requests-served analog of the
+    * reference's per-node info, `cn/dfs_actions.go:226-324` +
+    * `sn/struct.go:164-256`): a listener accumulates completed jobs
+    * ("requests served" — one catalog/query action = one-or-more jobs),
+    * completed tasks, and summed executor run time ("busy time") for
+    * THIS catalog's session. Listener events are asynchronous; readers
+    * poll `activity()` (CatalogSpec retries briefly). */
+  private val acTasks = new java.util.concurrent.atomic.AtomicLong
+  private val acBusyMs = new java.util.concurrent.atomic.AtomicLong
+  private val acJobs = new java.util.concurrent.atomic.AtomicLong
+  spark.sparkContext.addSparkListener(
+    new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        acTasks.incrementAndGet()
+        if (e.taskMetrics != null)
+          acBusyMs.addAndGet(e.taskMetrics.executorRunTime)
+      }
+      override def onJobEnd(
+          e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        acJobs.incrementAndGet()
+    })
+
+  /** Jobs ("requests"), tasks, and busy executor-milliseconds observed
+    * since this catalog attached to the session. */
+  def activity(): Map[String, Long] = Map(
+    "requests" -> acJobs.get(),
+    "tasks" -> acTasks.get(),
+    "busy_ms" -> acBusyMs.get())
+
   private def target(name: String): Path = {
     require(!name.contains("/"), s"flat namespace (cn/dfs_actions.go): $name")
+    require(!name.startsWith(".tmp."), s"reserved staging prefix: $name")
     new Path(warehouse, name)
   }
 
@@ -33,18 +64,32 @@ class Catalog(spark: SparkSession, warehouse: String) {
     if (fs.exists(dst))
       throw new IllegalArgumentException(s"file exists: $name") // :17-22
     fs.mkdirs(new Path(warehouse))
+    // stage into a dot-temp then rename: a failed mid-stream copy can
+    // never burn the write-once name with a truncated file (the temp is
+    // deleted on failure, and dot-names are invisible to list/info).
+    // The final rename refuses an existing dst on both HDFS (returns
+    // false) and the pre-checked local fs, so two racing stores still
+    // cannot both win.
+    val tmp = new Path(warehouse,
+      s".tmp.$name.${java.util.UUID.randomUUID().toString.take(8)}")
     val src = new Path(local)
     val localFs = src.getFileSystem(new Configuration())
     val in = localFs.open(src)
     try {
       // explicit create so the block size is honored (copyFromLocalFile
-      // would silently use the fs default); overwrite=false makes the
-      // write-once contract ATOMIC — the exists() pre-check above is
-      // only the friendly error, two racing stores cannot both win
-      val out = fs.create(dst, false, 64 * 1024,
-        fs.getDefaultReplication(dst), chunkSizeMb * 1048576L)
+      // would silently use the fs default)
+      val out = fs.create(tmp, false, 64 * 1024,
+        fs.getDefaultReplication(tmp), chunkSizeMb * 1048576L)
       try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 64 * 1024)
       finally out.close()
+      if (fs.exists(dst) || !fs.rename(tmp, dst)) {
+        fs.delete(tmp, false)
+        throw new IllegalArgumentException(s"file exists: $name")
+      }
+    } catch {
+      case e: Throwable =>
+        try fs.delete(tmp, false) catch { case _: Throwable => }
+        throw e
     } finally in.close()
   }
 
@@ -62,12 +107,22 @@ class Catalog(spark: SparkSession, warehouse: String) {
   }
 
   /** BIN/TXT sniffing (cl/dfs_actions.go:69-74: content-type detection
-    * over the first 512 bytes; "text/plain; charset=utf-8" → TXT). Computed
-    * on demand from the stored bytes — equivalent to the reference's
-    * store-time sniff (content is write-once) with no metadata to keep
-    * consistent. A 512-byte window is TXT iff it is valid UTF-8 (a
-    * multi-byte sequence truncated by the window edge is allowed) and
-    * free of control bytes other than \t \n \r \f. */
+    * over the first 512 bytes). Computed on demand from the stored
+    * bytes — same information as the reference's store-time sniff
+    * (content is write-once) with no metadata to keep consistent. A
+    * 512-byte window is TXT iff it is valid UTF-8 (a multi-byte
+    * sequence truncated by the window edge is allowed) and free of
+    * control bytes other than \t \n \r \f.
+    *
+    * DELIBERATE divergences from the reference's exact behavior: its
+    * `io.CopyN` returns an error for any file under 512 bytes, so every
+    * short file is BIN there (and silently excluded from default MR
+    * input) — here short and empty UTF-8 files sniff as TXT, which is
+    * what the content actually is. Conversely Go's `DetectContentType`
+    * can report `text/plain` for non-UTF-8 charsets (e.g. Latin-1),
+    * which this strict-UTF-8 check calls BIN. Both differences favor
+    * content-faithful classification over reproducing the sub-512-byte
+    * quirk. */
   def fileType(name: String): String = {
     val p = target(name)
     if (fs.getFileStatus(p).isDirectory) return "BIN" // table dir
@@ -128,11 +183,15 @@ class Catalog(spark: SparkSession, warehouse: String) {
     fs.copyToLocalFile(target(name), out)
   }
 
-  /** S5: sorted listing (cl/dfs_actions.go:546-580). */
+  /** S5: sorted listing (cl/dfs_actions.go:546-580). `.tmp.`-prefixed
+    * entries are store()'s internal staging files (visible only if a
+    * crash strands one mid-copy) and are hidden from the catalog
+    * surface here and in info(). */
   def list(): Seq[String] = {
     val dir = new Path(warehouse)
     if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).map(_.getPath.getName).sorted.toSeq
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .filterNot(_.startsWith(".tmp.")).sorted.toSeq
   }
 
   /** S5 verbose (`list -v`, cl/dfs_actions.go:546-580): per stored
@@ -175,6 +234,7 @@ class Catalog(spark: SparkSession, warehouse: String) {
         "bin_files" -> 0L, "tables" -> 0L, "chunks" -> 0L)
     val v = listVerbose()
     val entries = fs.listStatus(dir)
+      .filterNot(_.getPath.getName.startsWith(".tmp.")) // staging temps
     val (tables, plain) = entries.partition(_.isDirectory)
     val txt = plain.count(s => fileType(s.getPath.getName) == "TXT")
     Map(

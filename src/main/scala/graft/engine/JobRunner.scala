@@ -48,8 +48,10 @@ class JobRunner(spark: SparkSession, catalog: Catalog) {
             throw new IllegalArgumentException(
               s"file(s) '${missing.mkString("', '")}' not in system") // :72-85
           // the TXT-only filter applies to explicit lists too (:222 runs
-          // before the filename_map membership check)
-          fileNames.filter(catalog.fileType(_) == "TXT")
+          // before the filename_map membership check); distinct matches
+          // the reference's filename_map SET semantics (cn/mr_actions
+          // .go:85) — a repeated name must not double its counts
+          fileNames.distinct.filter(catalog.fileType(_) == "TXT")
         }
       if (files.isEmpty)
         throw new IllegalArgumentException("no TXT files stored")

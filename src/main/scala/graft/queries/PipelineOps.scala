@@ -155,7 +155,13 @@ object PipelineOps {
     // high (their bigrams dominate the corpus), rare-construction docs
     // score low — the classic cheap LM-quality signal. Counts are exact
     // integers via two 2-phase aggs; docs join the model on 8-byte
-    // xxhash64 keys so the shuffle carries no shingle strings.
+    // xxhash64 keys so the shuffle carries no shingle strings. The
+    // hashed bigram stream feeds THREE consumers (the doc stream and
+    // both count aggs) — without a barrier the scan + regex tokenize +
+    // explode runs three times (verified via ExplainExecuted: AQE does
+    // not merge the differently-keyed subtrees), so it is materialized
+    // once via eager localCheckpoint — the tokenize-once discipline any
+    // real corpus pipeline uses; 24 bytes/bigram, executor-resident.
     "text_bigram_lm" -> ((s, d) => {
       import s.implicits._
       val bg = t(s, d, "documents")
@@ -167,6 +173,7 @@ object PipelineOps {
             " element_at(toks, i) || ' ' || element_at(toks, i + 1) AS bg))"))
           .as("p"))
         .select($"doc_id", xxhash64($"p.w1").as("w1"), xxhash64($"p.bg").as("bg"))
+        .localCheckpoint()
       val c2 = bg.groupBy($"bg").agg(count(lit(1)).as("c2"))
       val c1 = bg.groupBy($"w1").agg(count(lit(1)).as("c1"))
       bg.join(c2, "bg").join(c1, "w1")

@@ -174,6 +174,18 @@ class JobsSpec extends SparkSpec {
     assert(e.getMessage.contains("no TXT files"))
   }
 
+  test("M8: duplicate names in an explicit list collapse to set semantics") {
+    val (runner, cat) = freshRunner()
+    storeText(cat, "a.txt", "x y\n")
+    // filename_map in the reference is a set (cn/mr_actions.go:85): a
+    // repeated name must not double the counts
+    val rows = runner.run("wc_dup", WordCountJob, Seq("a.txt", "a.txt"))
+      .collect().map(_.getString(1)).sorted
+    assert(rows.toSeq == Seq(
+      "x            ::    1",
+      "y            ::    1"), s"got ${rows.toSeq}")
+  }
+
   test("M8: explicit missing files rejected with the full missing list") {
     val (runner, cat) = freshRunner()
     storeText(cat, "a.txt", "x\n")
