@@ -52,6 +52,11 @@ object ScaleStress {
     // cell size ~ sqrt(n)), so pair work grows O(n^1.5): the expected
     // 10x ratio is ~10^1.5 ≈ 32, sub-quadratic by design (a fixed
     // blocking key would show ~100x here).
+    // round-5: the two-level cell ASSIGNMENT is memoized per (session,
+    // dir) like every index build (warmed below, so it is excluded from
+    // the measured times at both SFs consistently); what these ratios
+    // measure is the within-cell pair JOIN — the dominant O(n^1.5) term
+    // the blocking exists to bound.
     val stress = Seq("q1_pricing_summary","q5_nation_revenue","q7_nation_trade","q_topk_customers","wc_word_counts","dedup_lsh_pairs","dedup_simhash_pairs","dedup_clusters","sim_cosine_topk","sim_lsh_topk","sketch_cms","log_hourly","q_session_window","q_window_top3","doc_pack","doc_pipeline_summary","text_bigram_lm","text_boilerplate","sim_quantize_int8","log_gapfill","q_lateral_topk","sim_kmeans","sim_pq_codes","doc_mixture","log_pagerank","text_keywords","log_transitions","dedup_canonical","text_entropy","log_cooccurrence","text_novelty","doc_filter_reasons","log_markov_score","doc_token_budget","log_rfm","mm_decode_features","mm_audio_energy","sim_triangles","sim_mutual_knn","sim_threshold_hist","dedup_semantic_verified")
     // warm BOTH dirs: JIT/codegen once, and the per-(session, dir)
     // shared caches (components memoization) reach steady state at each

@@ -32,6 +32,9 @@ class PlanHygieneSpec extends SparkSpec {
           .queryExecution.executedPlan.toString) :+
       ("pqIndex (raw build)" ->
         graft.queries.Similarity.pqIndexRaw(spark, sf())
+          .queryExecution.executedPlan.toString) :+
+      ("ivfCells (raw build)" ->
+        graft.queries.Similarity.ivfCellsRaw(spark, sf())
           .queryExecution.executedPlan.toString)
 
   // BroadcastNestedLoopJoin is legitimate ONLY as a scalar broadcast: a
@@ -66,7 +69,8 @@ class PlanHygieneSpec extends SparkSpec {
     "log_pagerank",          // 1-row node count (rank vector joins are equi)
     "sim_recall_eval",       // 1-row query vec/planes/codebook, 2-row probes
     "sim_recall_bounds",     // wraps sim_recall_eval + 5-row floor table
-    "pqIndex (raw build)")   // 1-row codebook (the materialized index build)
+    "pqIndex (raw build)",   // 1-row codebook (the materialized index build)
+    "ivfCells (raw build)")  // 1-row adaptive-k count + super-centroid row
 
   test("no declared query plans a cartesian or nested-loop join") {
     val offenders = planStrings.flatMap { case (name, plan) =>
