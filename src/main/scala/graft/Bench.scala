@@ -98,7 +98,13 @@ object Bench {
     // stdout tail — rounds 1-2 overflowed it and were recorded unparsed.
     // Inline as many per-query entries as fit a conservative budget,
     // slowest queries first (the ones worth reading in a bench report).
-    val header = s""""metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"failed":$failed,"detail":"bench_detail.json","queries":"""
+    // A query-filtered run must not overwrite the full-inventory detail
+    // file — bench_detail.json is the round-over-round regression
+    // baseline, and a 4-query local iteration would silently destroy
+    // the other ~150 queries' numbers. Filtered runs get a sidecar.
+    val detailFile =
+      if (args.isEmpty) "bench_detail.json" else "bench_detail_partial.json"
+    val header = s""""metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"failed":$failed,"detail":"$detailFile","queries":"""
     val budget = 1500 - header.length - 4
     val bySlowest = results.toSeq.sortBy { case (_, v) => -v }
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
@@ -111,7 +117,7 @@ object Bench {
       }
     }
     try {
-      val w = new java.io.PrintWriter("bench_detail.json")
+      val w = new java.io.PrintWriter(detailFile)
       try w.println(full.mkString("{", ",", "}")) finally w.close()
     } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     System.err.println("[bench-detail] " + full.mkString("{", ",", "}"))

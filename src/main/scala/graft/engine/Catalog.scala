@@ -26,7 +26,7 @@ class Catalog(spark: SparkSession, warehouse: String) {
   private val acTasks = new java.util.concurrent.atomic.AtomicLong
   private val acBusyMs = new java.util.concurrent.atomic.AtomicLong
   private val acJobs = new java.util.concurrent.atomic.AtomicLong
-  spark.sparkContext.addSparkListener(
+  private val acListener =
     new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(
           e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
@@ -37,7 +37,16 @@ class Catalog(spark: SparkSession, warehouse: String) {
       override def onJobEnd(
           e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
         acJobs.incrementAndGet()
-    })
+    }
+  spark.sparkContext.addSparkListener(acListener)
+
+  /** Detach the activity listener from the session. A catalog that is
+    * not closed stays registered (and reachable) for the session's
+    * lifetime — fine for the one-engine-one-catalog case, a leak for
+    * anything constructing catalogs per request/test. Idempotent;
+    * activity() keeps returning the last observed counts. */
+  def close(): Unit =
+    spark.sparkContext.removeSparkListener(acListener)
 
   /** Jobs ("requests"), tasks, and busy executor-milliseconds observed
     * since this catalog attached to the session. */
@@ -64,12 +73,13 @@ class Catalog(spark: SparkSession, warehouse: String) {
     if (fs.exists(dst))
       throw new IllegalArgumentException(s"file exists: $name") // :17-22
     fs.mkdirs(new Path(warehouse))
-    // stage into a dot-temp then rename: a failed mid-stream copy can
+    // A crash between create(tmp) and publish strands the temp — sweep
+    // aged ones for this name so they cannot accumulate invisibly
+    // (they are hidden from list/info and target() refuses the prefix).
+    sweepStaging(name)
+    // stage into a dot-temp then publish: a failed mid-stream copy can
     // never burn the write-once name with a truncated file (the temp is
     // deleted on failure, and dot-names are invisible to list/info).
-    // The final rename refuses an existing dst on both HDFS (returns
-    // false) and the pre-checked local fs, so two racing stores still
-    // cannot both win.
     val tmp = new Path(warehouse,
       s".tmp.$name.${java.util.UUID.randomUUID().toString.take(8)}")
     val src = new Path(local)
@@ -82,7 +92,7 @@ class Catalog(spark: SparkSession, warehouse: String) {
         fs.getDefaultReplication(tmp), chunkSizeMb * 1048576L)
       try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 64 * 1024)
       finally out.close()
-      if (fs.exists(dst) || !fs.rename(tmp, dst)) {
+      if (!publishNoReplace(tmp, dst)) {
         fs.delete(tmp, false)
         throw new IllegalArgumentException(s"file exists: $name")
       }
@@ -91,6 +101,55 @@ class Catalog(spark: SparkSession, warehouse: String) {
         try fs.delete(tmp, false) catch { case _: Throwable => }
         throw e
     } finally in.close()
+  }
+
+  /** Publish a staged temp at its final name, refusing to replace an
+    * existing dst — atomically, so two racing stores cannot both win.
+    * POSIX rename(2) (what the local filesystem's rename maps to)
+    * SILENTLY REPLACES an existing destination, so an exists()+rename()
+    * pair is a TOCTOU hole there: on `file:` we publish via a hard
+    * link instead (link(2) fails with EEXIST — kernel-atomic
+    * fail-if-exists) and unlink the temp. On HDFS, rename itself
+    * returns false for an existing destination, atomically in the
+    * namenode. */
+  private[engine] def publishNoReplace(tmp: Path, dst: Path): Boolean =
+    if ("file" == fs.getUri.getScheme) {
+      import java.nio.file.{Files, Paths, FileAlreadyExistsException}
+      try {
+        Files.createLink(Paths.get(dst.toUri.getPath),
+          Paths.get(tmp.toUri.getPath))
+        // carry the checksum sidecar across (LocalFileSystem keeps
+        // .name.crc next to name; content-addressed, so a link is valid)
+        val crcSrc = Paths.get(new Path(tmp.getParent,
+          "." + tmp.getName + ".crc").toUri.getPath)
+        val crcDst = Paths.get(new Path(dst.getParent,
+          "." + dst.getName + ".crc").toUri.getPath)
+        if (Files.exists(crcSrc) && !Files.exists(crcDst))
+          try Files.createLink(crcDst, crcSrc)
+          catch { case _: FileAlreadyExistsException => }
+        fs.delete(tmp, false)
+        true
+      } catch { case _: FileAlreadyExistsException => false }
+    } else !fs.exists(dst) && fs.rename(tmp, dst)
+
+  /** Reclaim crash-stranded staging temps (invisible to list/info and
+    * not deletable via the public delete — target() refuses the
+    * reserved prefix). Only temps older than `olderThanMs` go: an
+    * in-flight store's temp is seconds old. Returns the count removed.
+    * store() calls this for its own name; callers may run it
+    * warehouse-wide. */
+  def sweepStaging(name: String = "*", olderThanMs: Long = 3600000L): Int = {
+    // glob metacharacters in a stored name would at worst widen the
+    // match to OTHER stale temps (harmless — same delete criteria) or
+    // throw on an unbalanced pattern, which we treat as nothing-swept
+    val stale =
+      try fs.globStatus(new Path(warehouse, s".tmp.$name.*"))
+      catch { case _: Throwable => null }
+    if (stale == null) 0
+    else stale.count { s =>
+      System.currentTimeMillis - s.getModificationTime > olderThanMs &&
+        (try fs.delete(s.getPath, false) catch { case _: Throwable => false })
+    }
   }
 
   /** Table-shaped ingest — the columnar form of S2's chunk-size control:

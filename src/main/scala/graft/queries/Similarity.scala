@@ -162,10 +162,12 @@ object Similarity {
         "'cent_id', cent_id, 'c', c)))").as("cents"))
   }
 
-  /** Per-subspace PQ argmin: am[m+1] = (min subspace-m d2, its cent_id,
-    * that codeword's subvector). 'cs' is last in the struct so (d2,
-    * cent_id) stay the lexicographic sort key. Expects columns `v`
-    * (vector) and `cents` (codebook row). */
+  /** Per-subspace PQ argmin: am[m+1] = (min subspace-m d2, its
+    * cent_id) — the stored index carries ONLY these 4 (d2, code)
+    * pairs per vector, never codeword subvectors (those would be ~the
+    * raw vector size again, defeating PQ's memory budget; the
+    * codewords live once in the broadcast codebook / query LUT).
+    * Expects columns `v` (vector) and `cents` (codebook row). */
   private val pqAm: Column = expr(
     """transform(sequence(0, 3), m ->
       |  array_min(transform(cents, ct -> named_struct(
@@ -173,25 +175,46 @@ object Similarity {
       |                             slice(ct.c, 1 + 16 * m, 16),
       |                             (x, y) -> (x - y) * (x - y)),
       |                    0D, (acc, e) -> acc + e),
-      |    'cent_id', ct.cent_id,
-      |    'cs', slice(ct.c, 1 + 16 * m, 16)))))""".stripMargin)
+      |    'cent_id', ct.cent_id))))""".stripMargin)
 
-  /** ADC distance from the materialized per-subspace codewords: each
-    * subspace sum folds in index order and the 4 terms add in fixed m
-    * order — no order-nondeterministic double SUM. Expects columns `q`
-    * (query vector) and `am` (pqAm output). */
+  /** One-row per-query ADC lookup table lut[m][c] = d2(query subspace
+    * m, codeword c subspace m): 4×8 doubles computed ONCE per query
+    * from the 8-row codebook, broadcast to the scan — the standard ADC
+    * shape, and what lets the scan touch only each row's 4 stored
+    * codes. Each entry folds the identical zip_with slice sum a direct
+    * subvector computation would, so ADC values are bit-identical to a
+    * codeword-carrying layout. `cents` is sorted by cent_id = 0..7, so
+    * lut[m][code] indexes positionally. */
+  private def pqLut(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    t(s, d, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .filter($"vec_id" === 0).select($"v".as("q"))
+      .crossJoin(broadcast(codebook8(s, d)))
+      .select(expr(
+        """transform(sequence(0, 3), m ->
+          |  transform(cents, ct ->
+          |    aggregate(zip_with(slice(q, 1 + 16 * m, 16),
+          |                       slice(ct.c, 1 + 16 * m, 16),
+          |                       (x, y) -> (x - y) * (x - y)),
+          |              0D, (acc, e) -> acc + e)))""".stripMargin).as("lut"))
+  }
+
+  /** ADC distance = fixed-m-order sum of the LUT entry each stored
+    * code selects — no per-row distance computation at all, only 4
+    * array lookups. Expects columns `lut` (pqLut output) and `am`
+    * (pqAm output). */
   private val pqAdc: Column = expr(
     """aggregate(transform(sequence(0, 3), m ->
-      |  aggregate(zip_with(slice(q, 1 + 16 * m, 16), am[m].cs,
-      |                     (x, y) -> (x - y) * (x - y)),
-      |            0D, (acc, e) -> acc + e)),
+      |  lut[m][int(am[m].cent_id)]),
       |  0D, (acc, e) -> acc + e)""".stripMargin)
 
   /** Materialized ANN index artifacts — computed ONCE per (session,
     * dir), checkpointed, and shared by sim_pq_codes / sim_pq_search /
     * sim_ivf_pq_search / sim_recall_eval: one row per vector carrying
-    * its IVF-8 coarse cell and its 4 PQ subspace argmins (d2, code,
-    * codeword subvector). Rebuilding these per query repeated the full
+    * its IVF-8 coarse cell and its 4 PQ subspace argmins (d2, code) —
+    * code-only, the true PQ memory budget; the codewords live in the
+    * broadcast codebook. Rebuilding these per query repeated the full
     * codebook fold for every consumer; a production deployment builds
     * the index once and queries scan codes — this memo IS that index
     * build. The raw build plan stays under PlanHygieneSpec audit via
@@ -576,11 +599,8 @@ object Similarity {
     // the top-10 plans as TakeOrderedAndProject.
     "sim_pq_search" -> ((s, d) => {
       import s.implicits._
-      val q = t(s, d, "embeddings")
-        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-        .filter($"vec_id" === 0).select($"v".as("q"))
       pqIndex(s, d).filter($"vec_id" =!= 0)
-        .crossJoin(broadcast(q))
+        .crossJoin(broadcast(pqLut(s, d)))
         .select($"vec_id", round(pqAdc, 4).as("adc_d2"))
         .orderBy($"adc_d2".asc, $"vec_id".asc)
         .limit(10)
@@ -606,14 +626,13 @@ object Similarity {
           round(cosine("v", "ct.c"), 4).as("csim"))
         .orderBy(desc("csim"), asc("cent_id")).limit(2)
         .select($"cent_id")
-      val q = emb.filter($"vec_id" === 0).select($"v".as("q"))
-      // coarse cell + per-subspace codewords come from the shared
-      // materialized pqIndex; only the 2-cell probe and the query LUT
-      // are computed here (both scalar)
+      // coarse cell + codes come from the shared materialized pqIndex;
+      // only the 2-cell probe and the query LUT are computed here
+      // (both scalar broadcasts)
       pqIndex(s, d)
         .join(broadcast(probed), $"cell" === $"cent_id")
         .filter($"vec_id" =!= 0)
-        .crossJoin(broadcast(q))
+        .crossJoin(broadcast(pqLut(s, d)))
         .select($"vec_id", round(pqAdc, 4).as("adc_d2"))
         .orderBy($"adc_d2".asc, $"vec_id".asc)
         .limit(10)
@@ -678,7 +697,7 @@ object Similarity {
       // pqIndex's materialized codes, alone and composed with the
       // 2-cell IVF probe
       val adcAll = pqIndex(s, d).filter($"vec_id" =!= 0)
-        .crossJoin(broadcast(q))
+        .crossJoin(broadcast(pqLut(s, d)))
         .select($"vec_id", $"cell", round(pqAdc, 4).as("ad"))
       val pqTop = adcAll
         .orderBy(asc("ad"), asc("vec_id")).limit(10).select($"vec_id")

@@ -6,9 +6,19 @@ import graft.SparkSpec
 
 class CatalogSpec extends SparkSpec {
 
+  // each test's catalog is detached from the shared session afterwards —
+  // an unclosed catalog's activity listener would outlive its test (and
+  // every listener fans out on every task end)
+  private val opened = scala.collection.mutable.Buffer.empty[Catalog]
+  override protected def withFixture(test: NoArgTest) =
+    try super.withFixture(test)
+    finally { opened.foreach(_.close()); opened.clear() }
+
   private def freshCatalog(): (Catalog, java.nio.file.Path) = {
     val wh = Files.createTempDirectory("graft_wh")
-    (new Catalog(spark, wh.toString), wh)
+    val cat = new Catalog(spark, wh.toString)
+    opened += cat
+    (cat, wh)
   }
 
   test("store + list + retrieve round-trip") {
@@ -180,6 +190,57 @@ class CatalogSpec extends SparkSpec {
       java.nio.file.Path.of(wh.toString, ".tmp.f.txt.deadbeef"), "junk")
     assert(cat.list() == Seq("f.txt"))
     assert(cat.info()("files") == 1L)
+  }
+
+  test("aged stranded staging temps are swept; fresh ones survive") {
+    val (cat, wh) = freshCatalog()
+    val local = Files.createTempFile("graft", ".txt")
+    Files.writeString(local, "x")
+    cat.store(local.toString, "f.txt")
+    // simulate a crash-stranded temp (invisible, not deletable via the
+    // public delete — the reserved prefix is refused there)
+    val stale = java.nio.file.Path.of(wh.toString, ".tmp.f.txt.deadbeef")
+    Files.writeString(stale, "junk")
+    intercept[IllegalArgumentException] { cat.delete(".tmp.f.txt.deadbeef") }
+    // fresh temps are an in-flight store's workspace — never swept
+    assert(cat.sweepStaging() == 0)
+    assert(Files.exists(stale))
+    // age it past the threshold → reclaimed
+    Files.setLastModifiedTime(stale, java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis - 7200000L))
+    assert(cat.sweepStaging() == 1)
+    assert(!Files.exists(stale))
+    // store() itself sweeps aged temps for its own name
+    Files.writeString(stale, "junk")
+    Files.setLastModifiedTime(stale, java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis - 7200000L))
+    cat.delete("f.txt")
+    cat.store(local.toString, "f.txt")
+    assert(!Files.exists(stale), "store must reclaim its name's aged temps")
+  }
+
+  test("publish refuses to replace an existing destination (racing stores)") {
+    val (cat, wh) = freshCatalog()
+    val a = Files.createTempFile("graft", ".txt")
+    Files.writeString(a, "first-writer-wins")
+    cat.store(a.toString, "f.txt")
+    // a second store of the same name must fail AND leave the first
+    // writer's bytes untouched — POSIX rename would silently replace,
+    // so the local-fs publish path links instead (fails on EEXIST)
+    val b = Files.createTempFile("graft", ".txt")
+    Files.writeString(b, "second-writer-must-lose")
+    intercept[IllegalArgumentException] { cat.store(b.toString, "f.txt") }
+    assert(Files.readString(wh.resolve("f.txt")) == "first-writer-wins")
+    assert(cat.list() == Seq("f.txt"), "loser's temp must be cleaned up")
+    // the publish primitive itself (what a racer that passed the
+    // pre-check would hit): must refuse the occupied name atomically
+    // and leave the incumbent's bytes intact
+    val tmp = wh.resolve(".tmp.f.txt.racer")
+    Files.writeString(tmp, "racer")
+    assert(!cat.publishNoReplace(
+      new org.apache.hadoop.fs.Path(tmp.toString),
+      new org.apache.hadoop.fs.Path(wh.resolve("f.txt").toString)))
+    assert(Files.readString(wh.resolve("f.txt")) == "first-writer-wins")
   }
 
   test("reserved staging prefix rejected as a stored name") {

@@ -127,9 +127,16 @@ class JobsSpec extends SparkSpec {
 
   // ---- JobRunner: M8 admission + file selection (cn/mr_actions.go) --------
 
+  // detach per-test catalogs' activity listeners from the shared session
+  private val opened = scala.collection.mutable.Buffer.empty[Catalog]
+  override protected def withFixture(test: NoArgTest) =
+    try super.withFixture(test)
+    finally { opened.foreach(_.close()); opened.clear() }
+
   private def freshRunner(): (JobRunner, Catalog) = {
     val wh = java.nio.file.Files.createTempDirectory("graft_jobs")
     val cat = new Catalog(spark, wh.toString)
+    opened += cat
     (new JobRunner(spark, cat), cat)
   }
 

@@ -131,4 +131,23 @@ class AnnInvariantsSpec extends SparkSpec {
       assert(b >= f, s"rank $i: bounded adc $b beat the full scan's $f")
     }
   }
+
+  test("sim_recall_bounds: every method's floor verdict is TRUE") {
+    // The DuckDB hash-compare proves both engines COMPUTE the same
+    // meets_floor verdict — it cannot prove the verdict is true (both
+    // twins would agree on `false` and still hash-match). This is the
+    // assertion that makes the floors a contract: a change that drops
+    // any method's recall@10 below its pinned floor fails here.
+    import spark.implicits._
+    for (dir <- Seq(sf(), sf("sf0.01"))) {
+      val rows = SparkEntry.queries("sim_recall_bounds")(spark, dir)
+        .select($"method", $"meets_floor").collect()
+        .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+      assert(rows.keySet == Set("ivf_2probe", "ivf_pq_2probe", "pq_adc",
+        "lsh_bucket", "lsh_multiprobe"), s"methods at $dir: ${rows.keySet}")
+      val failing = rows.filter(!_._2).keys.toSeq.sorted
+      assert(failing.isEmpty,
+        s"recall floors violated at $dir by: ${failing.mkString(",")}")
+    }
+  }
 }
