@@ -27,7 +27,10 @@ object Dedup {
     * self-join downstream (the 100 TB shape: set operations over content
     * hashes, never raw n-gram strings; a 64-bit collision perturbs a
     * Jaccard count with probability ~n²/2⁶⁴ per doc pair). */
-  private def shingles(s: SparkSession, d: String, k: Int,
+  // private[graft]: PlanHygieneSpec audits this RAW build plan (the
+  // memoized shingles3Shared/shingles5Shared hide it behind a
+  // LogicalRDD scan)
+  private[graft] def shingles(s: SparkSession, d: String, k: Int,
       hashed: Boolean = false): DataFrame = {
     import s.implicits._
     val raw = t(s, d, "documents")
@@ -136,6 +139,23 @@ object Dedup {
   private def lshPairsShared(s: SparkSession, d: String): DataFrame =
     lshPairsCache.get(s, d)(lshPairs(s, d).localCheckpoint())
 
+  /** Materialized corpus shingle tables — the global n-gram index every
+    * dedup pass builds once and every consumer reads (the text twin of
+    * Similarity's pqIndex): hashed distinct (doc_id, shingle) rows,
+    * computed once per (session, dir) and checkpointed. The build's
+    * distinct is a full shuffle of the widest dedup intermediate, so
+    * re-running it per consumer was the single largest duplicated
+    * stage in the family. Consumers: k=3 — dedup_lsh_verified's
+    * exact-verify stage and text_novelty's first-occurrence index;
+    * k=5 — dedup_jaccard_pairs' and dedup_containment's candidate
+    * joins. Raw build plan under PlanHygieneSpec audit via `shingles`. */
+  private val shingles3Cache = new FrameMemo
+  private[queries] def shingles3Shared(s: SparkSession, d: String): DataFrame =
+    shingles3Cache.get(s, d)(shingles(s, d, 3, hashed = true).localCheckpoint())
+  private val shingles5Cache = new FrameMemo
+  private[queries] def shingles5Shared(s: SparkSession, d: String): DataFrame =
+    shingles5Cache.get(s, d)(shingles(s, d, 5, hashed = true).localCheckpoint())
+
   /** Connected components over the LSH candidate graph, computed ONCE per
     * (session, data dir) and shared: `dedup_clusters` and
     * `dedup_canonical` consume the SAME clustering, and the propagation
@@ -212,11 +232,10 @@ object Dedup {
     // exact n-gram Jaccard similarity. Shingle equi-join, no cross join.
     "dedup_jaccard_pairs" -> ((s, d) => {
       import s.implicits._
-      // no .cache(): Spark's ReuseExchange dedups the identical shuffle
-      // subtrees of the self-join, and a cache here would pin executor
-      // storage for the rest of the session (queries can't unpersist —
-      // the caller owns the action)
-      val sh = shingles(s, d, 5, hashed = true)
+      // the 5-shingle table is the shared materialized index (also read
+      // by dedup_containment); the self-join's identical shuffle
+      // subtrees over it are still deduplicated by ReuseExchange
+      val sh = shingles5Shared(s, d)
       val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
       val pairs = sh.as("a").join(sh.as("b"),
           $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
@@ -241,7 +260,7 @@ object Dedup {
     "dedup_lsh_verified" -> ((s, d) => {
       import s.implicits._
       val cand = lshPairsShared(s, d)
-      val sh = shingles(s, d, 3, hashed = true)
+      val sh = shingles3Shared(s, d)
       val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
       cand
         .join(sh.as("x"), $"doc_a" === $"x.doc_id")
@@ -272,7 +291,7 @@ object Dedup {
     // frequency-capped or bloom-pruned variant drops the long tail.
     "text_novelty" -> ((s, d) => {
       import s.implicits._
-      val sh = shingles(s, d, 3, hashed = true)
+      val sh = shingles3Shared(s, d)
       val first = sh.groupBy($"shingle").agg(min($"doc_id").as("first_doc"))
       sh.join(first, "shingle")
         .groupBy($"doc_id")
@@ -345,7 +364,7 @@ object Dedup {
     // the same band-join shape as lshPairs, never pairwise.
     "dedup_winnow_pairs" -> ((s, d) => {
       import s.implicits._
-      val fps = TextAnalysis.winnowFingerprints(t(s, d, "documents"))
+      val fps = TextAnalysis.winnowShared(s, d)
       val rare = fps.groupBy($"fp").agg(count(lit(1)).as("df"))
         .filter($"df" <= 50).select($"fp")
       val pruned = fps.join(rare, "fp")

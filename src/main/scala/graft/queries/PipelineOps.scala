@@ -389,14 +389,9 @@ object PipelineOps {
     // shingle-equi-join scale shape as dedup_jaccard_pairs: no O(n²).
     "dedup_containment" -> ((s, d) => {
       import s.implicits._
-      val sh = t(s, d, "documents")
-        .select($"doc_id", toksCol.as("toks"))
-        .filter(size($"toks") >= 5)
-        .select($"doc_id", explode(expr(
-          "transform(sequence(1, size(toks) - 4)," +
-            " i -> array_join(slice(toks, i, 5), ' '))")).as("shingle"))
-        .select($"doc_id", xxhash64($"shingle").as("shingle"))
-        .distinct()
+      // the hashed 5-shingle table is the shared materialized index
+      // (identical tokenization; also read by dedup_jaccard_pairs)
+      val sh = Dedup.shingles5Shared(s, d)
       val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
       sh.as("a").join(sh.as("b"),
           $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")

@@ -142,7 +142,7 @@ object TextAnalysis {
     // stage; per-doc state is one w-row frame.
     "text_winnow" -> ((s, d) => {
       import s.implicits._
-      winnowFingerprints(t(s, d, "documents"))
+      winnowShared(s, d)
         .groupBy($"doc_id")
         .agg(countDistinct($"fp").as("n_fp"),
           sum_distinct($"fp").as("fp_checksum"))
@@ -243,6 +243,18 @@ object TextAnalysis {
     * public so the guarantee property (shared >= w+k-1 token run ⇒
     * shared fingerprint) is testable on the raw sets the declared
     * aggregate folds away. */
+  /** Materialized winnow-fingerprint table, computed once per (session,
+    * dir) and shared by text_winnow and dedup_winnow_pairs — the
+    * doc-partitioned window pass (a per-doc sort) is the expensive
+    * extraction stage both run over the identical input. Same
+    * build-once index discipline as Dedup's shingle tables; the raw
+    * plan stays under PlanHygieneSpec audit via winnowFingerprints. */
+  private val winnowCache = new graft.engine.FrameMemo
+  private[queries] def winnowShared(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    winnowCache.get(s, d)(
+      winnowFingerprints(t(s, d, "documents")).localCheckpoint())
+
   def winnowFingerprints(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import docs.sparkSession.implicits._

@@ -35,6 +35,16 @@ class PlanHygieneSpec extends SparkSpec {
           .queryExecution.executedPlan.toString) :+
       ("ivfCells (raw build)" ->
         graft.queries.Similarity.ivfCellsRaw(spark, sf())
+          .queryExecution.executedPlan.toString) :+
+      ("shingles3 (raw build)" ->
+        graft.queries.Dedup.shingles(spark, sf(), 3, hashed = true)
+          .queryExecution.executedPlan.toString) :+
+      ("shingles5 (raw build)" ->
+        graft.queries.Dedup.shingles(spark, sf(), 5, hashed = true)
+          .queryExecution.executedPlan.toString) :+
+      ("winnowFingerprints (raw build)" ->
+        graft.queries.TextAnalysis.winnowFingerprints(
+            graft.Tables.t(spark, sf(), "documents"))
           .queryExecution.executedPlan.toString)
 
   // BroadcastNestedLoopJoin is legitimate ONLY as a scalar broadcast: a
