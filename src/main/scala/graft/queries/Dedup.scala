@@ -175,7 +175,7 @@ object Dedup {
     * (md5 hex digit_j >= 8 ? +1 : -1) is >= 0. Token hashes precomputed
     * once per doc; the per-bit fold runs within-row over the hash array —
     * no token explode, no shuffle beyond the 16-rows-per-doc bit agg. */
-  private def simhash(s: SparkSession, d: String): DataFrame = {
+  private[graft] def simhash(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     t(s, d, "documents")
       .select($"doc_id",
@@ -189,6 +189,16 @@ object Dedup {
       .agg(sum(when($"sgn" >= 0, expr("cast(shiftleft(1, j - 1) as bigint)"))
         .otherwise(0L)).as("simhash"))
   }
+
+  /** Materialized simhash table (one (doc_id, simhash) row per doc) —
+    * dedup_simhash_pairs references the table on BOTH sides of two
+    * joins plus the value-distinct, so without materialization the
+    * md5-per-token fold runs up to four times in one query;
+    * dedup_simhash is a fifth build of the same table. Raw plan under
+    * PlanHygieneSpec audit via `simhash`. */
+  private val simhashCache = new FrameMemo
+  private def simhashShared(s: SparkSession, d: String): DataFrame =
+    simhashCache.get(s, d)(simhash(s, d).localCheckpoint())
 
   /** DuckDB twin of `Components.connectedComponents` over [[lshPairs]]:
     * recursive min-label reachability ending in a `comp(doc_id, component)`
@@ -328,7 +338,7 @@ object Dedup {
     // come from a direct simhash self-join.
     "dedup_simhash_pairs" -> ((s, d) => {
       import s.implicits._
-      val sh = simhash(s, d)
+      val sh = simhashShared(s, d)
       val vals = sh.select($"simhash").distinct()
       val vbands = vals.select($"simhash",
           explode(expr("sequence(0, 3)")).as("band_i"))
@@ -458,7 +468,7 @@ object Dedup {
     // 16-bit SimHash signature table (see simhash above).
     "dedup_simhash" -> ((s, d) => {
       import s.implicits._
-      simhash(s, d).orderBy($"doc_id")
+      simhashShared(s, d).orderBy($"doc_id")
     }))
 
   val oracle: Map[String, String] = Map(

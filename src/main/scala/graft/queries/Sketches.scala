@@ -51,18 +51,46 @@ object Sketches {
 
   private val wordsSql = TextWordCount.wordsSql
 
+  /** Raw sketch builds — each is ONE corpus pass folding into a
+    * constant-size table (≤ D·W CountMin cells; MBits/63 Bloom longs).
+    * private[graft]: PlanHygieneSpec audits these raw plans (the
+    * memoized shared frames hide them behind LogicalRDD scans). */
+  private[graft] def cmsBuild(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    words(s, d)
+      .select(posexplode(array((0 until D).map(bucketCol): _*)))
+      .toDF("h_row", "bucket")
+      .groupBy($"h_row", $"bucket").agg(count(lit(1)).as("cnt"))
+  }
+  private[graft] def bloomBuild(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    words(s, d)
+      .select(explode(array((0 until D).map(bitPosCol): _*)).as("p"))
+      .select(($"p" / 63).cast("int").as("word_j"),
+        expr("cast(shiftleft(cast(1 as bigint), p % 63) as bigint)").as("mask"))
+      .groupBy($"word_j").agg(bit_or($"mask").as("bits"))
+  }
+
+  /** Materialized sketch tables, built once per (session, dir) and
+    * shared — sketches exist precisely to be built in one pass and
+    * probed many times; before this, every estimate/probe query paid
+    * the full corpus fold its sibling had already run. The
+    * checkpointed frames are constant-size at ANY corpus scale. */
+  private val cmsCache = new graft.engine.FrameMemo
+  private def cmsShared(s: SparkSession, d: String): DataFrame =
+    cmsCache.get(s, d)(cmsBuild(s, d).localCheckpoint())
+  private val bloomCache = new graft.engine.FrameMemo
+  private def bloomShared(s: SparkSession, d: String): DataFrame =
+    bloomCache.get(s, d)(bloomBuild(s, d).localCheckpoint())
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // CountMin sketch build: ONE pass over the corpus (all D buckets
     // computed in-row from one md5 — subexpression elimination keeps a
     // single digest per word — then posexplode), one 2-phase agg into
-    // ≤ D·W cells.
+    // ≤ D·W cells. Declared query rides the shared materialized table.
     "sketch_cms" -> ((s, d) => {
       import s.implicits._
-      words(s, d)
-        .select(posexplode(array((0 until D).map(bucketCol): _*)))
-        .toDF("h_row", "bucket")
-        .groupBy($"h_row", $"bucket").agg(count(lit(1)).as("cnt"))
-        .orderBy($"h_row", $"bucket")
+      cmsShared(s, d).orderBy($"h_row", $"bucket")
     }),
 
     // CountMin point queries for the exact top-20 words: the estimate is
@@ -73,7 +101,7 @@ object Sketches {
       import s.implicits._
       val exact = words(s, d).groupBy($"word").agg(count(lit(1)).as("exact_cnt"))
         .orderBy(desc("exact_cnt"), asc("word")).limit(20)
-      val cms = queries("sketch_cms")(s, d)
+      val cms = cmsShared(s, d)
       val probes = exact
         .select($"word", $"exact_cnt",
           posexplode(array((0 until D).map(bucketCol): _*)))
@@ -84,15 +112,11 @@ object Sketches {
     }),
 
     // Bloom filter build: per-word bit masks bit_or-folded into 4 longs
-    // (63 bits each). The filter content is the query result.
+    // (63 bits each). The filter content is the query result; the
+    // declared query rides the shared materialized table.
     "sketch_bloom" -> ((s, d) => {
       import s.implicits._
-      val bits = words(s, d)
-        .select(explode(array((0 until D).map(bitPosCol): _*)).as("p"))
-      bits.select(($"p" / 63).cast("int").as("word_j"),
-          expr("cast(shiftleft(cast(1 as bigint), p % 63) as bigint)").as("mask"))
-        .groupBy($"word_j").agg(bit_or($"mask").as("bits"))
-        .orderBy($"word_j")
+      bloomShared(s, d).orderBy($"word_j")
     }),
 
     // Bloom membership probe with part-name tokens: maybe-present iff all
@@ -101,7 +125,7 @@ object Sketches {
     // deployment monitors. Filter is 4 rows → broadcast to the probes.
     "sketch_bloom_probe" -> ((s, d) => {
       import s.implicits._
-      val filt = queries("sketch_bloom")(s, d)
+      val filt = bloomShared(s, d)
       val probeWords = t(s, d, "part")
         .select(explode(split(lower($"p_name"), "\\s+")).as("tok"))
         .filter($"tok" =!= "")

@@ -45,6 +45,12 @@ class PlanHygieneSpec extends SparkSpec {
       ("winnowFingerprints (raw build)" ->
         graft.queries.TextAnalysis.winnowFingerprints(
             graft.Tables.t(spark, sf(), "documents"))
+          .queryExecution.executedPlan.toString) :+
+      ("sketch_cms (raw build)" ->
+        graft.queries.Sketches.cmsBuild(spark, sf())
+          .queryExecution.executedPlan.toString) :+
+      ("sketch_bloom (raw build)" ->
+        graft.queries.Sketches.bloomBuild(spark, sf())
           .queryExecution.executedPlan.toString)
 
   // BroadcastNestedLoopJoin is legitimate ONLY as a scalar broadcast: a
