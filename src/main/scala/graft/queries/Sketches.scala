@@ -119,6 +119,43 @@ object Sketches {
       bloomShared(s, d).orderBy($"word_j")
     }),
 
+    // Sketch MERGE — the distributed property that makes sketches the
+    // 100 TB tool: shard-local partials combine into the exact global
+    // sketch (CountMin is linear — cell-wise sum; Bloom merges by
+    // bitwise OR), so per-executor partial sketches merge at the
+    // coordinator with no second corpus pass. This query IS that plan
+    // shape, sharded by doc parity: build a CMS per shard, merge
+    // cell-wise. SketchMergeSpec additionally asserts the merged table
+    // equals the single-pass global build EXACTLY (the linearity
+    // contract itself — the cross-engine hash proves both engines
+    // merge identically, the spec proves merging loses nothing).
+    "sketch_cms_merge" -> ((s, d) => {
+      import s.implicits._
+      val shardCells = TextWordCount.docWords(s, d)
+        .select(($"doc_id" % 2).cast("int").as("shard"),
+          posexplode(array((0 until D).map(bucketCol): _*)))
+        .toDF("shard", "h_row", "bucket")
+        .groupBy($"shard", $"h_row", $"bucket").agg(count(lit(1)).as("cnt"))
+      shardCells.groupBy($"h_row", $"bucket")
+        .agg(sum($"cnt").as("cnt"), count(lit(1)).as("n_shards"))
+        .orderBy($"h_row", $"bucket")
+    }),
+
+    // Bloom merge: shard-local filters OR-folded — same contract as
+    // sketch_cms_merge for the membership sketch.
+    "sketch_bloom_merge" -> ((s, d) => {
+      import s.implicits._
+      val shardBits = TextWordCount.docWords(s, d)
+        .select(($"doc_id" % 2).cast("int").as("shard"),
+          explode(array((0 until D).map(bitPosCol): _*)).as("p"))
+        .select($"shard", ($"p" / 63).cast("int").as("word_j"),
+          expr("cast(shiftleft(cast(1 as bigint), p % 63) as bigint)").as("mask"))
+        .groupBy($"shard", $"word_j").agg(bit_or($"mask").as("bits"))
+      shardBits.groupBy($"word_j")
+        .agg(bit_or($"bits").as("bits"), count(lit(1)).as("n_shards"))
+        .orderBy($"word_j")
+    }),
+
     // Bloom membership probe with part-name tokens: maybe-present iff all
     // D probe bits are set. Reports the false-positive count against the
     // exact membership (semi-join ground truth) — the number every Bloom
@@ -190,6 +227,42 @@ object Sketches {
          |FROM probes p JOIN cms c USING (h_row, bucket)
          |GROUP BY p.word, p.exact_cnt
          |ORDER BY exact_cnt DESC, word""".stripMargin
+    },
+
+    "sketch_cms_merge" -> {
+      val rows = (0 until D).map(r =>
+        s"SELECT shard, $r AS h_row, ${bucketSql(r)} AS bucket FROM w")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH w AS (
+         |  SELECT CAST(doc_id % 2 AS INTEGER) AS shard, word
+         |  FROM (${TextWordCount.docWordsSql})),
+         |cells AS (
+         |  $rows),
+         |shard_cms AS (SELECT shard, h_row, bucket, COUNT(*) AS cnt
+         |              FROM cells GROUP BY shard, h_row, bucket)
+         |SELECT h_row, bucket, CAST(SUM(cnt) AS BIGINT) AS cnt,
+         |  COUNT(*) AS n_shards
+         |FROM shard_cms GROUP BY h_row, bucket
+         |ORDER BY h_row, bucket""".stripMargin
+    },
+
+    "sketch_bloom_merge" -> {
+      val rows = (0 until D).map(r =>
+        s"SELECT shard, ${bitPosSql(r)} AS p FROM w")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH w AS (
+         |  SELECT CAST(doc_id % 2 AS INTEGER) AS shard, word
+         |  FROM (${TextWordCount.docWordsSql})),
+         |bits AS (
+         |  $rows),
+         |shard_bloom AS (
+         |  SELECT shard, CAST(p // 63 AS INTEGER) AS word_j,
+         |    CAST(bit_or(1::BIGINT << (p % 63)) AS BIGINT) AS bits
+         |  FROM bits GROUP BY 1, 2)
+         |SELECT word_j, CAST(bit_or(bits) AS BIGINT) AS bits,
+         |  COUNT(*) AS n_shards
+         |FROM shard_bloom GROUP BY word_j
+         |ORDER BY word_j""".stripMargin
     },
 
     "sketch_bloom" -> {

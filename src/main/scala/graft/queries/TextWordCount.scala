@@ -31,15 +31,29 @@ object TextWordCount {
     * reference still emits it, word_count.go:19-22). Single definition —
     * every consumer (wc family, sketches) and its SQL twin below must go
     * through here so the contract can never fork. */
-  private[queries] def words(s: SparkSession, d: String): DataFrame = {
+  private[queries] def words(s: SparkSession, d: String): DataFrame =
+    docWords(s, d).select("word")
+
+  /** [[words]] with the originating doc_id retained — the sharding key
+    * for the sketch-merge queries. Same single normalization contract:
+    * words() derives from here. */
+  private[queries] def docWords(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    tokens(s, d).select(regexp_replace($"tok", "[^a-z0-9]+", "").as("word"))
+    tokens(s, d).select($"doc_id",
+      regexp_replace($"tok", "[^a-z0-9]+", "").as("word"))
   }
 
   /** DuckDB twin of [[words]]. */
   private[queries] val wordsSql: String =
     """SELECT regexp_replace(tok, '[^a-z0-9]+', '', 'g') AS word
       |FROM (SELECT unnest(list_filter(
+      |        regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS tok
+      |      FROM documents)""".stripMargin
+
+  /** DuckDB twin of [[docWords]]. */
+  private[queries] val docWordsSql: String =
+    """SELECT doc_id, regexp_replace(tok, '[^a-z0-9]+', '', 'g') AS word
+      |FROM (SELECT doc_id, unnest(list_filter(
       |        regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS tok
       |      FROM documents)""".stripMargin
 
