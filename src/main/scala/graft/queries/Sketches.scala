@@ -125,7 +125,7 @@ object Sketches {
     // bitwise OR), so per-executor partial sketches merge at the
     // coordinator with no second corpus pass. This query IS that plan
     // shape, sharded by doc parity: build a CMS per shard, merge
-    // cell-wise. SketchMergeSpec additionally asserts the merged table
+    // cell-wise. SketchesSpec additionally asserts the merged table
     // equals the single-pass global build EXACTLY (the linearity
     // contract itself — the cross-engine hash proves both engines
     // merge identically, the spec proves merging loses nothing).

@@ -81,6 +81,28 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("CountMin merge is lossless: shard-summed cells == single-pass global") {
+    // The linearity contract the sketch_cms_merge QUERY demonstrates and
+    // the cross-engine hash cannot prove alone: the hash proves both
+    // engines merge identically, this proves merging loses NOTHING —
+    // the shard-wise build lands on the exact single-pass table, so the
+    // per-executor-partials topology never changes a CMS estimate.
+    val global = SparkEntry.queries("sketch_cms")(spark, sf())
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val merged = SparkEntry.queries("sketch_cms_merge")(spark, sf())
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(merged == global,
+      s"merged CMS != global CMS (| merged\\global |=${(merged.toSet diff global.toSet).size})")
+  }
+
+  test("Bloom merge is lossless: shard-ORed bits == single-pass global") {
+    val global = SparkEntry.queries("sketch_bloom")(spark, sf())
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val merged = SparkEntry.queries("sketch_bloom_merge")(spark, sf())
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(merged == global, "merged Bloom bits != global Bloom bits")
+  }
+
   test("Bloom filter has no false negatives") {
     val probe = SparkEntry.queries("sketch_bloom_probe")(spark, sf())
       .collect().head
