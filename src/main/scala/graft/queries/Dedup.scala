@@ -148,7 +148,19 @@ object Dedup {
     * stage in the family. Consumers: k=3 — dedup_lsh_verified's
     * exact-verify stage and text_novelty's first-occurrence index;
     * k=5 — dedup_jaccard_pairs' and dedup_containment's candidate
-    * joins. Raw build plan under PlanHygieneSpec audit via `shingles`. */
+    * joins. Raw build plan under PlanHygieneSpec audit via `shingles`.
+    *
+    * Size trade, stated deliberately: unlike the constant-size sketch
+    * tables these frames are O(corpus shingles) — exactly the pinning
+    * an earlier per-query comment rejected. What changed: residency is
+    * now bounded (FrameMemo holds ≤ 8 (session, dir) entries,
+    * insertion-order eviction; an evicted frame's checkpoint blocks
+    * are reclaimed by Spark's ContextCleaner once the frame is
+    * unreferenced) and the alternative — re-running the widest-
+    * intermediate distinct shuffle once PER CONSUMER — costs strictly
+    * more at every scale. localCheckpoint stores on executor
+    * local disk/memory, the residency a production n-gram index
+    * would have anyway. */
   private val shingles3Cache = new FrameMemo
   private[queries] def shingles3Shared(s: SparkSession, d: String): DataFrame =
     shingles3Cache.get(s, d)(shingles(s, d, 3, hashed = true).localCheckpoint())

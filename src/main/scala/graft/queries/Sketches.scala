@@ -51,25 +51,44 @@ object Sketches {
 
   private val wordsSql = TextWordCount.wordsSql
 
+  // DuckDB twin of bloomFold's bit layout — the 63-bits-per-long
+  // contract stated once for every oracle that folds or probes bits
+  private def wordJSql(p: String = "p") = s"CAST($p // 63 AS INTEGER)"
+  private def maskSql(p: String = "p") = s"1::BIGINT << ($p % 63)"
+
+  /** The CountMin cell fold — THE single source of the (h_row, bucket)
+    * cell contract: all D buckets from one md5 per word (subexpression
+    * elimination keeps one digest), posexplode, 2-phase count agg
+    * grouped by `keys` ++ (h_row, bucket). The global build passes no
+    * keys; the merge query passes its shard key. */
+  private def cmsFold(wordFrame: DataFrame, keys: String*): DataFrame = {
+    val grp = keys ++ Seq("h_row", "bucket")
+    wordFrame
+      .select(keys.map(col) :+ posexplode(array((0 until D).map(bucketCol): _*)): _*)
+      .toDF(grp: _*)
+      .groupBy(grp.map(col): _*).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** The Bloom bit-layout fold — THE single source of the
+    * 63-bits-per-long mask contract: per-word bit positions,
+    * word_j = p/63, mask = 1L << (p%63), bit_or-folded per
+    * `keys` :+ word_j. */
+  private def bloomFold(wordFrame: DataFrame, keys: String*): DataFrame = {
+    wordFrame
+      .select(keys.map(col) :+ explode(array((0 until D).map(bitPosCol): _*)).as("p"): _*)
+      .select(keys.map(col) :+ (col("p") / 63).cast("int").as("word_j")
+        :+ expr("cast(shiftleft(cast(1 as bigint), p % 63) as bigint)").as("mask"): _*)
+      .groupBy((keys :+ "word_j").map(col): _*).agg(bit_or(col("mask")).as("bits"))
+  }
+
   /** Raw sketch builds — each is ONE corpus pass folding into a
     * constant-size table (≤ D·W CountMin cells; MBits/63 Bloom longs).
     * private[graft]: PlanHygieneSpec audits these raw plans (the
     * memoized shared frames hide them behind LogicalRDD scans). */
-  private[graft] def cmsBuild(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    words(s, d)
-      .select(posexplode(array((0 until D).map(bucketCol): _*)))
-      .toDF("h_row", "bucket")
-      .groupBy($"h_row", $"bucket").agg(count(lit(1)).as("cnt"))
-  }
-  private[graft] def bloomBuild(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    words(s, d)
-      .select(explode(array((0 until D).map(bitPosCol): _*)).as("p"))
-      .select(($"p" / 63).cast("int").as("word_j"),
-        expr("cast(shiftleft(cast(1 as bigint), p % 63) as bigint)").as("mask"))
-      .groupBy($"word_j").agg(bit_or($"mask").as("bits"))
-  }
+  private[graft] def cmsBuild(s: SparkSession, d: String): DataFrame =
+    cmsFold(words(s, d))
+  private[graft] def bloomBuild(s: SparkSession, d: String): DataFrame =
+    bloomFold(words(s, d))
 
   /** Materialized sketch tables, built once per (session, dir) and
     * shared — sketches exist precisely to be built in one pass and
@@ -131,26 +150,20 @@ object Sketches {
     // merge identically, the spec proves merging loses nothing).
     "sketch_cms_merge" -> ((s, d) => {
       import s.implicits._
-      val shardCells = TextWordCount.docWords(s, d)
-        .select(($"doc_id" % 2).cast("int").as("shard"),
-          posexplode(array((0 until D).map(bucketCol): _*)))
-        .toDF("shard", "h_row", "bucket")
-        .groupBy($"shard", $"h_row", $"bucket").agg(count(lit(1)).as("cnt"))
+      val shardCells = cmsFold(TextWordCount.docWords(s, d)
+        .select(($"doc_id" % 2).cast("int").as("shard"), $"word"), "shard")
       shardCells.groupBy($"h_row", $"bucket")
         .agg(sum($"cnt").as("cnt"), count(lit(1)).as("n_shards"))
         .orderBy($"h_row", $"bucket")
     }),
 
     // Bloom merge: shard-local filters OR-folded — same contract as
-    // sketch_cms_merge for the membership sketch.
+    // sketch_cms_merge for the membership sketch. Shard builds ride the
+    // same bloomFold as the global build, so the bit layout cannot fork.
     "sketch_bloom_merge" -> ((s, d) => {
       import s.implicits._
-      val shardBits = TextWordCount.docWords(s, d)
-        .select(($"doc_id" % 2).cast("int").as("shard"),
-          explode(array((0 until D).map(bitPosCol): _*)).as("p"))
-        .select($"shard", ($"p" / 63).cast("int").as("word_j"),
-          expr("cast(shiftleft(cast(1 as bigint), p % 63) as bigint)").as("mask"))
-        .groupBy($"shard", $"word_j").agg(bit_or($"mask").as("bits"))
+      val shardBits = bloomFold(TextWordCount.docWords(s, d)
+        .select(($"doc_id" % 2).cast("int").as("shard"), $"word"), "shard")
       shardBits.groupBy($"word_j")
         .agg(bit_or($"bits").as("bits"), count(lit(1)).as("n_shards"))
         .orderBy($"word_j")
@@ -256,8 +269,8 @@ object Sketches {
          |bits AS (
          |  $rows),
          |shard_bloom AS (
-         |  SELECT shard, CAST(p // 63 AS INTEGER) AS word_j,
-         |    CAST(bit_or(1::BIGINT << (p % 63)) AS BIGINT) AS bits
+         |  SELECT shard, ${wordJSql()} AS word_j,
+         |    CAST(bit_or(${maskSql()}) AS BIGINT) AS bits
          |  FROM bits GROUP BY 1, 2)
          |SELECT word_j, CAST(bit_or(bits) AS BIGINT) AS bits,
          |  COUNT(*) AS n_shards
@@ -271,8 +284,8 @@ object Sketches {
       s"""WITH w AS ($wordsSql),
          |bits AS (
          |  $rows)
-         |SELECT CAST(p // 63 AS INTEGER) AS word_j,
-         |  CAST(bit_or(1::BIGINT << (p % 63)) AS BIGINT) AS bits
+         |SELECT ${wordJSql()} AS word_j,
+         |  CAST(bit_or(${maskSql()}) AS BIGINT) AS bits
          |FROM bits GROUP BY 1 ORDER BY word_j""".stripMargin
     },
 
@@ -285,8 +298,8 @@ object Sketches {
       s"""WITH w AS ($wordsSql),
          |bits AS (
          |  $bitRows),
-         |filt AS (SELECT CAST(p // 63 AS INTEGER) AS word_j,
-         |           CAST(bit_or(1::BIGINT << (p % 63)) AS BIGINT) AS bits
+         |filt AS (SELECT ${wordJSql()} AS word_j,
+         |           CAST(bit_or(${maskSql()}) AS BIGINT) AS bits
          |         FROM bits GROUP BY 1),
          |probe_words AS (
          |  SELECT DISTINCT regexp_replace(tok, '[^a-z0-9]+', '', 'g') AS word
@@ -298,7 +311,7 @@ object Sketches {
          |maybe AS (
          |  SELECT word, MIN(COALESCE(CAST((f.bits >> (c.p % 63)) & 1 AS INTEGER),
          |                            0)) AS maybe
-         |  FROM checks c LEFT JOIN filt f ON f.word_j = CAST(c.p // 63 AS INTEGER)
+         |  FROM checks c LEFT JOIN filt f ON f.word_j = ${wordJSql("c.p")}
          |  GROUP BY word),
          |present AS (SELECT DISTINCT word, 1 AS present FROM w
          |            WHERE word IN (SELECT word FROM probe_words))

@@ -238,11 +238,6 @@ object TextAnalysis {
        |  SELECT DISTINCT doc_id, wm AS fp FROM m WHERE p <= nsh - 4)""".stripMargin
   }
 
-  /** Winnowing fingerprint extraction (one (doc_id, fp) row per selected
-    * window minimum; docs with fewer than 4 shingles are dropped) —
-    * public so the guarantee property (shared >= w+k-1 token run ⇒
-    * shared fingerprint) is testable on the raw sets the declared
-    * aggregate folds away. */
   /** Materialized winnow-fingerprint table, computed once per (session,
     * dir) and shared by text_winnow and dedup_winnow_pairs — the
     * doc-partitioned window pass (a per-doc sort) is the expensive
@@ -255,6 +250,11 @@ object TextAnalysis {
     winnowCache.get(s, d)(
       winnowFingerprints(t(s, d, "documents")).localCheckpoint())
 
+  /** Winnowing fingerprint extraction (one (doc_id, fp) row per selected
+    * window minimum; docs with fewer than 4 shingles are dropped) —
+    * public so the guarantee property (shared >= w+k-1 token run ⇒
+    * shared fingerprint) is testable on the raw sets the declared
+    * aggregate folds away. */
   def winnowFingerprints(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import docs.sparkSession.implicits._

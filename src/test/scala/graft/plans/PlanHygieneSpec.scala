@@ -51,6 +51,9 @@ class PlanHygieneSpec extends SparkSpec {
           .queryExecution.executedPlan.toString) :+
       ("sketch_bloom (raw build)" ->
         graft.queries.Sketches.bloomBuild(spark, sf())
+          .queryExecution.executedPlan.toString) :+
+      ("simhash (raw build)" ->
+        graft.queries.Dedup.simhash(spark, sf())
           .queryExecution.executedPlan.toString)
 
   // BroadcastNestedLoopJoin is legitimate ONLY as a scalar broadcast: a
