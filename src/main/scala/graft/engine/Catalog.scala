@@ -129,7 +129,17 @@ class Catalog(spark: SparkSession, warehouse: String) {
           catch { case _: FileAlreadyExistsException => }
         fs.delete(tmp, false)
         true
-      } catch { case _: FileAlreadyExistsException => false }
+      } catch {
+        case _: FileAlreadyExistsException => false
+        // filesystems without hard links (FAT/exFAT, some FUSE/network
+        // mounts): link(2) is unavailable, not a name conflict — fall
+        // back to the check-then-rename publish. That pair is a TOCTOU
+        // window on POSIX rename semantics, the price of the mount; on
+        // link-capable filesystems (the normal case) the kernel-atomic
+        // path above is taken and this branch never runs.
+        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          !fs.exists(dst) && fs.rename(tmp, dst)
+      }
     } else !fs.exists(dst) && fs.rename(tmp, dst)
 
   /** Reclaim crash-stranded staging temps (invisible to list/info and
@@ -140,14 +150,24 @@ class Catalog(spark: SparkSession, warehouse: String) {
     * warehouse-wide. */
   def sweepStaging(name: String = "*", olderThanMs: Long = 3600000L): Int = {
     // glob metacharacters in a stored name would at worst widen the
-    // match to OTHER stale temps (harmless — same delete criteria) or
-    // throw on an unbalanced pattern, which we treat as nothing-swept
+    // match to OTHER temps or throw on an unbalanced pattern (treated
+    // as nothing-swept) — so the LISTING over-matches, and an exact
+    // regex filters it: the suffix after ".tmp.<name>." must be the
+    // 8-hex-char staging uuid and nothing else. Without this, a sweep
+    // for "data" would match ".tmp.data.txt.<uuid>" — the IN-FLIGHT
+    // temp of a sibling store of "data.txt" — and could delete it
+    // mid-copy once it crosses the age bar (a slow store of a large
+    // file is legitimately hours old).
+    val exact =
+      (if (name == "*") """\.tmp\..+\.[0-9a-f]{8}"""
+       else s"""\\.tmp\\.${java.util.regex.Pattern.quote(name)}\\.[0-9a-f]{8}""").r
     val stale =
       try fs.globStatus(new Path(warehouse, s".tmp.$name.*"))
       catch { case _: Throwable => null }
     if (stale == null) 0
     else stale.count { s =>
-      System.currentTimeMillis - s.getModificationTime > olderThanMs &&
+      exact.pattern.matcher(s.getPath.getName).matches &&
+        System.currentTimeMillis - s.getModificationTime > olderThanMs &&
         (try fs.delete(s.getPath, false) catch { case _: Throwable => false })
     }
   }

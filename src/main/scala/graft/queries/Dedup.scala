@@ -177,10 +177,16 @@ object Dedup {
     * component) row per clustered doc). */
   private val componentsCache = new FrameMemo
   private def components(s: SparkSession, d: String): DataFrame =
-    componentsCache.get(s, d)(
-      graft.engine.Components.connectedComponents(
-          lshPairsShared(s, d), "doc_a", "doc_b", maxIter = 15)
-        .toDF("doc_id", "component"))
+    componentsCache.get(s, d)(componentsRaw(s, d))
+
+  /** The un-memoized propagation loop over the shared candidate pairs —
+    * what ScaleStress drives for dedup_clusters' scaling row (the
+    * declared query serves the memo, so timing it would measure a
+    * cache read; the loop is the operator). */
+  private[graft] def componentsRaw(s: SparkSession, d: String): DataFrame =
+    graft.engine.Components.connectedComponents(
+        lshPairsShared(s, d), "doc_a", "doc_b", maxIter = 15)
+      .toDF("doc_id", "component")
 
   /** 16-bit SimHash per doc (unordered — callers add their own sort):
     * bit_j set iff the signed sum over distinct tokens of

@@ -125,9 +125,14 @@ object Similarity {
       """array_min(transform(garr, ct -> named_struct(
         |  'nsim', -round(nanvl(cosine_similarity(v, ct.c), -2D), 4),
         |  'cent_id', ct.cent_id))).cent_id""".stripMargin)
+    // NO broadcast hint on the groups join: the hint would override the
+    // planner's size-based choice, re-introducing the force-broadcast
+    // failure mode the equi-join exists to avoid — AQE must be free to
+    // switch to a shuffle join when k·dim outgrows the broadcast cap.
+    // (At bench scale AQE picks broadcast at runtime anyway.)
     emb.crossJoin(broadcast(supers))
       .select($"vec_id", $"v", superOf("v").as("scell"))
-      .join(broadcast(groups), "scell")
+      .join(groups, "scell")
       .select($"vec_id", $"v", cellOf.as("cell"))
   }
 

@@ -64,12 +64,7 @@ class PlanHygieneSpec extends SparkSpec {
     "q_above_avg_customers", // 1-row global avg
     "sim_cosine_topk",       // 1-row query vector
     "sim_ivf_assign",        // fixed k-row centroid table
-    "dedup_semantic_verified", // 1-row codebook array (IVF cell assign)
-    "sim_triangles",         // 1-row adaptive-k count + codebook (ivfCells)
-    "sim_mutual_knn",        // 1-row adaptive-k count + codebook (ivfCells)
-    "sim_threshold_hist",    // 1-row adaptive-k count + codebook (ivfCells)
     "sim_kmeans",            // 1-row codebook array, both iterations
-    "sim_pq_codes",          // 1-row codebook array
     "sim_pq_search",         // 1-row codebook + 1-row query vector
     "sim_ivf_pq_search",     // 1-row codebook + 1-row query + 2 probe rows
     "sim_ivf_topk",          // 1-row query vector + centroid probe
@@ -79,7 +74,6 @@ class PlanHygieneSpec extends SparkSpec {
     "text_tfidf",            // 1-row corpus doc count
     "text_keywords",         // 1-row corpus doc count (same idf input)
     "q11_important_parts",   // 1-row global lineitem value
-    "q15_top_supplier",      // 1-row max quarterly revenue
     "q20_heavy_suppliers",   // 1-row per-supplier volume total
     "q22_idle_customers",    // 1-row positive-balance sum+count
     "log_gapfill",           // 1-row global (min,max) hour bounds
@@ -100,6 +94,20 @@ class PlanHygieneSpec extends SparkSpec {
     }
     assert(offenders.isEmpty,
       s"quadratic join shapes in declared queries:\n${offenders.mkString("\n")}")
+  }
+
+  test("every scalar-broadcast exemption is live") {
+    // A blanket per-query exemption whose plan no longer contains any
+    // BNLJ (e.g. because the subtree moved behind a memoized
+    // checkpoint) is dead weight that would silently excuse a FUTURE
+    // non-scalar nested-loop join in that query. The allowlist must
+    // shrink in the same commit that removes the join shape.
+    val byName = planStrings.toMap
+    val dead = scalarBroadcastOk.toSeq.sorted.filter { name =>
+      byName.get(name).forall(!_.contains("BroadcastNestedLoopJoin"))
+    }
+    assert(dead.isEmpty,
+      s"dead BNLJ exemptions (no such join in plan):\n${dead.mkString("\n")}")
   }
 
   test("no declared query plans a driver-side collect limit over raw data") {
