@@ -313,6 +313,64 @@ object PipelineOps {
         .orderBy($"shard")
     }),
 
+    // Exact stratified sampling — k docs per stratum (source), the
+    // audit/eval-set draw every curation pipeline needs ("give me 10
+    // uniform-random docs from each source"). Deterministic: rank
+    // within stratum by (md5 hash, doc_id) and keep rank <= k, so the
+    // same corpus yields the same sample on any cluster. The
+    // rank<=k-over-window shape is exactly what the TopKPerKey
+    // extension plans as a map-side partial top-k per stratum — no
+    // stratum ever sorts more than k rows per partition, so a stratum
+    // with a billion docs costs the same shuffle as one with a
+    // thousand (vs. sampleBy, which is probabilistic and cannot
+    // promise exactly k).
+    "doc_sample_stratified" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val h = t(s, d, "documents").select($"source", $"doc_id", expr(
+        "cast(conv(substring(md5(cast(cast(doc_id as string) as binary))," +
+          " 1, 8), 16, 10) as bigint)").as("h32"))
+      val w = Window.partitionBy($"source").orderBy($"h32", $"doc_id")
+      h.withColumn("pos", row_number().over(w))
+        .filter($"pos" <= 10)
+        .select($"source", $"pos".cast("long").as("pos"), $"doc_id")
+        .orderBy($"source", $"pos")
+    }),
+
+    // Weighted sampling without replacement — systematic PPS
+    // (probability proportional to size): lay the docs out on a line
+    // segment of total weight W in a fixed order, stamp k equally
+    // spaced marks (step = W div k), and a doc is drawn once per mark
+    // inside its [cum-w, cum) span — docs heavier than the step can be
+    // drawn multiple times (n_copies), exactly like epoch-weighted
+    // mixture sampling. Integer-exact throughout (no transcendental
+    // keys to disagree across engines, unlike Efraimidis-Spirakis).
+    // The running sum deliberately avoids ONE global window: docs are
+    // bucketed by n_chars div 50 (floor-div is monotone, so
+    // cross-bucket order never interleaves), the per-bucket subtotal
+    // prefix broadcasts, and the within-bucket cumsum runs partitioned
+    // — the same two-level design as doc_token_budget.
+    "doc_sample_weighted" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents").select($"doc_id", $"n_chars")
+      val bucketed = docs.withColumn("b", expr("n_chars div 50"))
+      val wq = Window.orderBy($"b".desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val prefix = bucketed.groupBy($"b").agg(sum($"n_chars").as("bw"))
+        .withColumn("hprefix", coalesce(sum($"bw").over(wq), lit(0L)))
+      val ww = Window.partitionBy($"b")
+        .orderBy($"n_chars".desc, $"doc_id".asc)
+      val total = docs.agg(expr("sum(n_chars) div 50").as("step"))
+      bucketed.join(broadcast(prefix.select($"b", $"hprefix")), "b")
+        .withColumn("cum", $"hprefix" + sum($"n_chars").over(ww))
+        .crossJoin(broadcast(total))
+        .select($"doc_id", $"n_chars",
+          expr("cum div step - (cum - n_chars) div step").as("n_copies"))
+        .filter($"n_copies" > 0)
+        .orderBy($"doc_id")
+    }),
+
     // Weighted multi-source mixture sampling — the training-mix step
     // that turns N raw sources into one corpus with per-source epoch
     // counts (w > 1 oversamples by whole-doc repetition, w < 1
@@ -550,6 +608,39 @@ object PipelineOps {
          |  CAST(SUM($h32) AS BIGINT) AS checksum
          |FROM documents GROUP BY source ORDER BY source""".stripMargin
     },
+
+    "doc_sample_stratified" -> {
+      val h32 = (1 to 8).map { i =>
+        val w = math.pow(16, 8 - i).toLong
+        s"(strpos('0123456789abcdef', substring(" +
+          s"md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1) * $w"
+      }.mkString(" + ")
+      s"""WITH h AS (
+         |  SELECT source, doc_id, CAST($h32 AS BIGINT) AS h32
+         |  FROM documents),
+         |p AS (
+         |  SELECT source, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |                       ORDER BY h32, doc_id) AS pos
+         |  FROM h)
+         |SELECT source, CAST(pos AS BIGINT) AS pos, doc_id
+         |FROM p WHERE pos <= 10 ORDER BY source, pos""".stripMargin
+    },
+
+    "doc_sample_weighted" ->
+      """WITH d AS (SELECT doc_id, n_chars FROM documents),
+        |t AS (SELECT CAST(SUM(n_chars) // 50 AS BIGINT) AS step FROM d),
+        |c AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(SUM(n_chars) OVER (ORDER BY n_chars DESC, doc_id
+        |                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS cum
+        |  FROM d)
+        |SELECT doc_id, n_chars,
+        |  CAST(cum // step - (cum - n_chars) // step AS BIGINT) AS n_copies
+        |FROM c, t
+        |WHERE cum // step - (cum - n_chars) // step > 0
+        |ORDER BY doc_id""".stripMargin,
 
     "doc_upsert" ->
       """WITH t AS (SELECT doc_id, text FROM documents),

@@ -169,6 +169,37 @@ object Sketches {
         .orderBy($"word_j")
     }),
 
+    // HLL merge — the third mergeability contract, for the distinct-
+    // count sketch (Datasketches HLL via hll_sketch_agg): shard-local
+    // sketches union at the coordinator (register-wise max), no second
+    // pass. Estimates are engine-specific, so like the *_bounds twins
+    // what hash-matches is the CONTRACT: the union estimate sits within
+    // 5% of exact (lgK=12 → rse ~1.6%, 5% ≈ 3σ) and — the linearity
+    // claim itself — equals the single-pass sketch estimate EXACTLY
+    // (union of same-lgK sketches reproduces the single build's
+    // registers). DuckDB verifies the 5% bound with its own HLL; the
+    // lossless flag has no DuckDB analog and hash-asserts Spark's.
+    "sketch_hll_merge" -> ((s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+        .select(($"event_id" % 4).as("shard"), $"user_id")
+      val merged = ev.groupBy($"shard")
+        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))")
+            .as("union_est"),
+          count(lit(1)).as("n_shards"))
+      val glob = ev.agg(
+        expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))")
+          .as("single_est"),
+        countDistinct($"user_id").as("exact_users"))
+      merged.crossJoin(broadcast(glob))
+        .select($"n_shards", $"exact_users",
+          (abs($"union_est" - $"exact_users") <= $"exact_users" * 0.05)
+            .cast("bigint").as("within_5pct"),
+          ($"union_est" === $"single_est").cast("bigint")
+            .as("merge_lossless"))
+    }),
+
     // Bloom membership probe with part-name tokens: maybe-present iff all
     // D probe bits are set. Reports the false-positive count against the
     // exact membership (semi-join ground truth) — the number every Bloom
@@ -208,6 +239,15 @@ object Sketches {
     }))
 
   val oracle: Map[String, String] = Map(
+    "sketch_hll_merge" ->
+      """SELECT CAST(4 AS BIGINT) AS n_shards,
+        |  COUNT(DISTINCT user_id) AS exact_users,
+        |  CAST(abs(approx_count_distinct(user_id)
+        |           - COUNT(DISTINCT user_id))
+        |       <= COUNT(DISTINCT user_id) * 0.05 AS BIGINT) AS within_5pct,
+        |  CAST(1 AS BIGINT) AS merge_lossless
+        |FROM events""".stripMargin,
+
     "sketch_cms" -> {
       val rows = (0 until D).map(r =>
         s"SELECT $r AS h_row, ${bucketSql(r)} AS bucket FROM w")
