@@ -203,4 +203,48 @@ class PipelineInvariantsSpec extends SparkSpec {
       s"winnow pairs differ: extra=$extra missing=$missing"
     })
   }
+
+  test("doc_sample_stratified: exactly min(10, |stratum|) per source, ranks contiguous") {
+    import spark.implicits._
+    val sample = SparkEntry.queries("doc_sample_stratified")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val strataSizes = t(spark, sf(), "documents")
+      .groupBy($"source").count().as[(String, Long)].collect().toMap
+    val bySrc = sample.groupBy(_._1)
+    assert(bySrc.keySet == strataSizes.keySet.filter(strataSizes(_) > 0),
+      "every non-empty stratum is represented")
+    for ((src, rows) <- bySrc) {
+      val k = math.min(10L, strataSizes(src))
+      assert(rows.length == k, s"$src: ${rows.length} != $k")
+      assert(rows.map(_._2).sorted.toSeq == (1L to k),
+        s"$src: ranks not contiguous 1..$k")
+      assert(rows.map(_._3).distinct.length == rows.length,
+        s"$src: duplicate doc_ids in sample")
+    }
+  }
+
+  test("doc_sample_weighted: copies count the PPS marks inside each doc's span") {
+    import spark.implicits._
+    val docs = t(spark, sf(), "documents")
+      .select($"doc_id", $"n_chars").as[(Long, Long)].collect()
+    val total = docs.map(_._2).sum
+    val step = total / 50
+    val sample = SparkEntry.queries("doc_sample_weighted")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every drawn doc has >= 1 copy and total copies == the number of
+    // step-multiples on (0, total] — the systematic-sampling identity
+    assert(sample.forall(_._3 >= 1))
+    assert(sample.map(_._3).sum == total / step,
+      s"sum(n_copies)=${sample.map(_._3).sum} != ${total / step}")
+    // independent recomputation from the canonical order
+    val cum = docs.sortBy { case (id, n) => (-n, id) }
+      .scanLeft((0L, 0L, 0L)) { case ((_, _, c), (id, n)) => (id, n, c + n) }
+      .drop(1)
+    val expected = cum.flatMap { case (id, n, hi) =>
+      val copies = hi / step - (hi - n) / step
+      if (copies > 0) Some(id -> copies) else None
+    }.toMap
+    assert(sample.map(t3 => t3._1 -> t3._3).toMap == expected,
+      "PPS draw differs from driver-side recomputation")
+  }
 }
