@@ -44,20 +44,18 @@ object Components {
     // the previous round's checkpointed RDD — the exact persisted handle,
     // extracted from the frame's LogicalRDD plan (see scaladoc)
     var prevRdd: Option[org.apache.spark.rdd.RDD[_]] = None
-    def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
-      df.queryExecution.analyzed match {
-        case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
-        case other =>
-          // A localCheckpoint frame analyzes to a LogicalRDD on Spark
-          // 4.1; if a Spark upgrade changes that shape we silently fall
-          // back to leaking one persisted RDD per iterate — make the
-          // regression loud (ComponentsSpec also asserts extraction).
-          log.warn(
-            "checkpoint RDD extraction failed — analyzed plan is " +
-              s"${other.getClass.getName}, not LogicalRDD; one persisted " +
-              "RDD per iterate will leak until the ContextCleaner runs")
-          None
-      }
+    def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] = {
+      val r = Frames.checkpointRdd(df)
+      // Every frame passed here is localCheckpoint'd; if a Spark upgrade
+      // changes the analyzed shape away from LogicalRDD we silently fall
+      // back to leaking one persisted RDD per iterate — make the
+      // regression loud (ComponentsSpec also asserts extraction).
+      if (r.isEmpty)
+        log.warn(
+          "checkpoint RDD extraction failed on an iterate frame; one " +
+            "persisted RDD per iterate will leak until the ContextCleaner runs")
+      r
+    }
     var iter = 0
     var converged = labels.head(1).isEmpty // empty graph: nothing to do
     while (iter < maxIter && !converged) {

@@ -45,4 +45,40 @@ class FrameMemoSpec extends SparkSpec {
     memo.get(spark, "dir0")(frame())
     assert(builds.get() == 10, "evicted dir0 must recompute")
   }
+
+  test("eviction unpersists the evicted entry's checkpoint blocks") {
+    val memo = new FrameMemo
+    val sc = spark.sparkContext
+    def ckpt(n: Int) = spark.range(n).toDF().localCheckpoint(eager = true)
+    val first = memo.get(spark, "dir0")(ckpt(1))
+    val firstRdd = Frames.checkpointRdd(first)
+    assert(firstRdd.isDefined, "localCheckpoint frame must expose its RDD")
+    val id = firstRdd.get.id
+    assert(sc.getPersistentRDDs.contains(id), "checkpoint is persisted")
+    // fill past MaxEntries (8) so dir0 ages out
+    (1 to 8).foreach(i => memo.get(spark, s"dir$i")(ckpt(1)))
+    assert(!sc.getPersistentRDDs.contains(id),
+      "evicted entry's blocks must be released deterministically, " +
+        "not left to GC + ContextCleaner")
+    // the surviving entries are untouched
+    val last = memo.get(spark, "dir8")(sys.error("must be resident"))
+    val lastId = Frames.checkpointRdd(last).get.id
+    assert(sc.getPersistentRDDs.contains(lastId))
+  }
+
+  test("race loser's checkpoint is released, winner's frame is returned") {
+    val memo = new FrameMemo
+    val sc = spark.sparkContext
+    val winner = spark.range(2).toDF().localCheckpoint(eager = true)
+    val loser = spark.range(2).toDF().localCheckpoint(eager = true)
+    val loserId = Frames.checkpointRdd(loser).get.id
+    // simulate the race: winner inserted while the loser's compute ran
+    val got = memo.get(spark, "dirR") {
+      memo.get(spark, "dirR")(winner) // "another thread" wins first
+      loser
+    }
+    assert(got eq winner, "winner's instance must be returned")
+    assert(!sc.getPersistentRDDs.contains(loserId),
+      "losing compute's checkpoint must be released explicitly")
+  }
 }
