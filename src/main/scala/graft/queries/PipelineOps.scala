@@ -319,7 +319,9 @@ object PipelineOps {
     // within stratum by (md5 hash, doc_id) and keep rank <= k, so the
     // same corpus yields the same sample on any cluster. The
     // rank<=k-over-window shape is exactly what the TopKPerKey
-    // extension plans as a map-side partial top-k per stratum — no
+    // extension plans as a map-side partial top-k per stratum
+    // (TopKPlanSpec pins this query's EXECUTED plan, so a silent
+    // decline to full WindowExec fails the build) — no
     // stratum ever sorts more than k rows per partition, so a stratum
     // with a billion docs costs the same shuffle as one with a
     // thousand (vs. sampleBy, which is probabilistic and cannot

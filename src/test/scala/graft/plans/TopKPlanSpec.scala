@@ -163,6 +163,36 @@ class TopKPlanSpec extends SparkSpec {
     }
   }
 
+  // The DECLARED queries expected to ride the operator — pinned on the
+  // executed plan of the exact SparkEntry.queries entries the driver
+  // runs, so a silent decline (e.g. a refactor inserting a
+  // non-passthrough Project between Filter and Window) falls back to a
+  // full WindowExec and FAILS here instead of staying hash-green while
+  // voiding the billion-rows-per-key scale claim. Current riders:
+  //   doc_sample_stratified  k=10 per source   (PipelineOps.scala)
+  //   q_window_top3          k=3 per customer  (Relational.scala)
+  //   q_stratified_sample    k=5 per priority  (Relational.scala)
+  //   text_keywords          k=3 per doc       (TextAnalysis.scala)
+  //   sim_mutual_knn         k=3 per src (one join side; the other is
+  //                          native WindowGroupLimit — see PLANS.md)
+  //   q_lateral_topk         LIMIT 2 per nation (lateral subquery —
+  //                          Spark rewrites to a rank window)
+  // Documented non-riders: dedup_canonical (a second window —
+  // cluster_size — shares the partition sort, so the single-window
+  // rewrite correctly declines), text_tfidf (no rank filter at all).
+  private val declaredRiders = Seq(
+    "doc_sample_stratified", "q_window_top3", "q_stratified_sample",
+    "text_keywords", "sim_mutual_knn", "q_lateral_topk")
+
+  test("declared queries ride TopKPerKeyExec in their EXECUTED plans") {
+    declaredRiders.foreach { name =>
+      val df = graft.SparkEntry.queries(name)(spark, sf())
+      val plan = finalPlan(df).toString
+      assert(plan.contains("TopKPerKey"),
+        s"$name silently declined the TopKPerKey rewrite:\n$plan")
+    }
+  }
+
   test("large k declines the rewrite (falls back to WindowExec)") {
     import spark.implicits._
     val w = Window.partitionBy($"o_custkey").orderBy($"o_orderkey")
