@@ -185,6 +185,17 @@ class Catalog(spark: SparkSession, warehouse: String) {
       .parquet(dst.toString)
   }
 
+  /** Read a table stored via [[storeTable]] as a DataFrame whose lineage
+    * is rooted at the written parquet files — the durable counterpart of
+    * serving a localCheckpoint'd build frame (non-reliable storage): an
+    * executor loss replays a file read instead of rebuilding the
+    * artifact. Content is write-once, so the frame never goes stale. */
+  def readTable(name: String): org.apache.spark.sql.DataFrame =
+    spark.read.parquet(target(name).toString)
+
+  /** True iff a stored file/table with this name exists. */
+  def exists(name: String): Boolean = fs.exists(target(name))
+
   /** BIN/TXT sniffing (cl/dfs_actions.go:69-74: content-type detection
     * over the first 512 bytes). Computed on demand from the stored
     * bytes — same information as the reference's store-time sniff

@@ -240,8 +240,39 @@ object Similarity {
       .select($"vec_id", cellOf.as("cell"), pqAm.as("am"))
   }
   private val pqIndexCache = new graft.engine.FrameMemo
+
+  /** The shared PQ index every PQ consumer (sim_pq_search, sim_ivf_pq_*,
+    * dedup_semantic paths) scans. Two storage forms, same contract:
+    *
+    *  - default: in-session localCheckpoint memo — fast, but
+    *    NON-RELIABLE storage: at 100 TB an executor loss mid-pipeline
+    *    rebuilds the index from scratch.
+    *  - `spark.graft.indexWarehouse=<dir>` set on the session: the index
+    *    is built ONCE, written through [[graft.engine.Catalog.storeTable]]
+    *    (write-once parquet), and every consumer reads the WRITTEN table
+    *    — lineage rooted at the parquet scan, so recovery replays a file
+    *    read instead of the build. This is the durable production shape
+    *    FrameMemo's scaladoc describes; the table name is keyed by the
+    *    data dir's digest, and write-once semantics make a concurrent
+    *    second builder fail loudly rather than corrupt the artifact
+    *    (SimilarityDurableSpec covers build-write-read and reuse).
+    */
   private[graft] def pqIndex(s: SparkSession, d: String): DataFrame =
-    pqIndexCache.get(s, d)(pqIndexRaw(s, d).localCheckpoint())
+    s.conf.getOption("spark.graft.indexWarehouse") match {
+      case Some(wh) =>
+        pqIndexCache.get(s, s"$d|durable=$wh") {
+          val name = "pq_index_" + java.security.MessageDigest
+            .getInstance("MD5").digest(d.getBytes("UTF-8"))
+            .take(4).map("%02x".format(_)).mkString
+          val cat = new graft.engine.Catalog(s, wh)
+          try {
+            if (!cat.exists(name)) cat.storeTable(pqIndexRaw(s, d), name)
+            cat.readTable(name)
+          } finally cat.close()
+        }
+      case None =>
+        pqIndexCache.get(s, d)(pqIndexRaw(s, d).localCheckpoint())
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-20 neighbors of vec_id = 0.
