@@ -90,6 +90,27 @@ object Sketches {
   private[graft] def bloomBuild(s: SparkSession, d: String): DataFrame =
     bloomFold(words(s, d))
 
+  /** Raw shard-fold + merge plans for ScaleStress: the DECLARED merge
+    * queries ride the memoized shard tables (built once in the warm
+    * pass), so timing them would measure a cache read — these drive the
+    * full shard fold and the cell-wise/bit-wise merge in one plan. */
+  private[graft] def cmsMergeRaw(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    cmsFold(TextWordCount.docWords(s, d)
+        .select((col("doc_id") % 2).cast("int").as("shard"), col("word")),
+      "shard")
+      .groupBy($"h_row", $"bucket")
+      .agg(sum($"cnt").as("cnt"), count(lit(1)).as("n_shards"))
+  }
+  private[graft] def bloomMergeRaw(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    bloomFold(TextWordCount.docWords(s, d)
+        .select((col("doc_id") % 2).cast("int").as("shard"), col("word")),
+      "shard")
+      .groupBy($"word_j")
+      .agg(bit_or($"bits").as("bits"), count(lit(1)).as("n_shards"))
+  }
+
   /** Materialized sketch tables, built once per (session, dir) and
     * shared — sketches exist precisely to be built in one pass and
     * probed many times; before this, every estimate/probe query paid
