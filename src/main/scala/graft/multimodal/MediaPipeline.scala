@@ -20,11 +20,44 @@ object MediaPipeline {
       media_id: Long, format: String, n_bytes: Long,
       width: Int, height: Int, features: Array[Float])
 
-  /** Deterministic stand-in for a real image decode: dimensions and a
-    * 16-dim feature vector derived from the payload hash. A production
-    * build swaps this for a codec call; nothing else changes. The digest
-    * is the "decoder state" — created once per partition, reused per row
-    * (MessageDigest.digest resets the instance). */
+  /** THE DECODER SEAM — the one extension point a codec-enabled
+    * deployment implements; everything else (schema, partitioning,
+    * batching, downstream feature queries) is unchanged.
+    *
+    * Contract:
+    *  - `init()` runs ONCE PER PARTITION, on the executor, inside the
+    *    `mapPartitions` closure: open codec contexts, load models, map
+    *    native libraries, allocate reusable buffers. Tasks run
+    *    concurrently in one JVM, so init() must be thread-safe; the
+    *    state it returns is task-local and needs no synchronization.
+    *  - `decode(state, record)` runs once per row, streamed: same
+    *    payload must yield the same features (decode is a pure function
+    *    of the bytes — retries and speculative tasks re-decode), and it
+    *    must not retain `record.payload` beyond the call.
+    *  - Output is BOUNDED per record — fixed-length feature vector,
+    *    scalar metadata — which is what keeps the stage's output size
+    *    plannable at 100 TB (the payload bytes never survive the stage).
+    *
+    * The implementation ships in the task closure, so the trait is
+    * Serializable; native/codec state must live behind `init()` (opened
+    * on the executor), never in a field serialized from the driver. */
+  trait MediaDecoder[S] extends Serializable {
+    def init(): S
+    def decode(state: S, r: MediaRecord): MediaFeatures
+  }
+
+  /** Deterministic stand-in for a real image decode (this container has
+    * no codec libs): dimensions and a 16-dim feature vector derived from
+    * the payload hash. The digest is the "decoder state" — created once
+    * per partition, reused per row (MessageDigest.digest resets the
+    * instance). */
+  object DigestDecoder extends MediaDecoder[java.security.MessageDigest] {
+    def init(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+    def decode(digest: java.security.MessageDigest, r: MediaRecord): MediaFeatures =
+      decodeOne(digest)(r)
+  }
+
   private[multimodal] def decodeOne(digest: java.security.MessageDigest)
       (r: MediaRecord): MediaFeatures = {
     val md = digest.digest(r.payload)
@@ -34,16 +67,22 @@ object MediaPipeline {
       width = 16 + b(0) % 1920, height = 16 + b(1) % 1080, features = feats)
   }
 
-  /** Batched decode+featurize: partition-wise, decoder state initialized
-    * once per partition (the `mapPartitions` closure), rows streamed. */
-  def extractFeatures(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+  /** Batched decode+featurize through the decoder seam: partition-wise,
+    * decoder state initialized once per partition (the `mapPartitions`
+    * closure), rows streamed. */
+  def extractFeatures[S](ds: Dataset[MediaRecord],
+      decoder: MediaDecoder[S]): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       // decoder context opened once per partition, never per row
-      val digest = java.security.MessageDigest.getInstance("MD5")
-      it.map(decodeOne(digest))
+      val state = decoder.init()
+      it.map(decoder.decode(state, _))
     }
   }
+
+  /** Default decode path: the container's deterministic stub. */
+  def extractFeatures(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] =
+    extractFeatures(ds, DigestDecoder)
 
   /** Resize: deterministic payload downsample (every `factor`-th byte)
     * with metadata carried through — the plumbing shape of an image

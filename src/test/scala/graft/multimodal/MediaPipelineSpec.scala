@@ -28,6 +28,30 @@ class MediaPipelineSpec extends SparkSpec {
     assert(a.forall(f => f.features.forall(x => x >= -0.5f && x <= 0.5f)))
   }
 
+  test("decoder seam: a custom MediaDecoder swaps in, plumbing unchanged") {
+    // what a codec-enabled deployment does: implement MediaDecoder and
+    // pass it to extractFeatures — schema/batching/queries untouched.
+    // init() count proves per-PARTITION (not per-row) initialization —
+    // counted via an accumulator (the decoder itself is serialized into
+    // the task closure, so a plain field would count in the copies).
+    val inits = spark.sparkContext.longAccumulator("decoder_inits")
+    class CountingDecoder extends MediaDecoder[java.security.MessageDigest] {
+      def init(): java.security.MessageDigest = {
+        inits.add(1)
+        java.security.MessageDigest.getInstance("MD5")
+      }
+      def decode(md: java.security.MessageDigest, r: MediaRecord): MediaFeatures =
+        decodeOne(md)(r).copy(features = Array.fill(16)(0.25f))
+    }
+    val ds = fromDocuments(spark, docs).repartition(3)
+    val rows = extractFeatures(ds, new CountingDecoder).collect()
+    assert(rows.length == docs.count())
+    assert(rows.forall(_.features.forall(_ == 0.25f)),
+      "custom decoder's features must flow through")
+    assert(inits.value == 3,
+      s"init() must run once per partition, ran ${inits.value}x")
+  }
+
   test("resize: deterministic downsample, metadata preserved") {
     val ds = fromDocuments(spark, docs).limit(20)
     val orig = ds.collect().sortBy(_.media_id)
