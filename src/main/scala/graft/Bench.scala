@@ -167,5 +167,9 @@ object Bench {
     System.err.println("[bench-detail] " + full.mkString("{", ",", "}"))
     println("{" + header + "{" + inline + "}}")
     spark.stop()
+    // a run with failing queries must not read as green to automation:
+    // the JSON line already carries "failed":N, and the process exit
+    // code now agrees (the round-6 bench logged [success] at 11 failures)
+    if (failed > 0) sys.exit(1)
   }
 }

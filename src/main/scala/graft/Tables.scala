@@ -57,15 +57,23 @@ object Tables {
 
   private def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // The driver's events.ts is parquet TIMESTAMP(NANOS), which Spark 4
-      // refuses to read natively. Read nanos as long, then floor-divide to
-      // micros — identical to DuckDB's nanos→micros truncation. Re-staged
-      // copies (e.g. scale-stress data) already carry micros timestamps —
-      // convert only when the column actually reads as long.
+      // The driver's events.ts has shipped as parquet TIMESTAMP(NANOS)
+      // (which Spark 4 refuses to read natively) and, since the round-7
+      // data refresh, as TIMESTAMP(MICROS) with isAdjustedToUTC=false
+      // (which Spark reads as TIMESTAMP_NTZ). Normalize BOTH to the
+      // session-local TIMESTAMP every downstream query assumes — the
+      // whole events family extracts epochs via unix_micros(), which
+      // rejects NTZ outright (the round-6 11-query failure cluster).
+      // Under the UTC session timezone both normalizations are
+      // value-preserving and match DuckDB's reading of the same file.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$dir/$name.parquet")
-      if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else df
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => // nanos-as-long era
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 }

@@ -19,6 +19,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A query that throws must be VISIBLE, not silently absent from the
+    // correctness artifact (round 6 lost 11 queries that way): collect
+    // failures, dump them as verify_errors.json in BOTH outDir and the
+    // cwd (the repo), and print a loud per-run summary.
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -26,6 +31,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -43,6 +49,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v.take(500))}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    try Files.writeString(Paths.get("verify_errors.json"), errJson)
+    catch { case _: Throwable => }
+    if (failures.nonEmpty)
+      System.err.println(
+        s"[verify] ${failures.size} QUERIES FAILED (coverage regressed): " +
+          failures.keys.mkString(","))
     spark.stop()
   }
 }
