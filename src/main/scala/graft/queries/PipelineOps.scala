@@ -464,6 +464,110 @@ object PipelineOps {
           round($"shared".cast("double") / $"na", 4).as("cont_a"),
           round($"shared".cast("double") / $"nb", 4).as("cont_b"))
         .orderBy($"doc_a", $"doc_b")
+    }),
+
+    // Paragraph-level exact dedup (the Dolma/RefinedWeb sub-document
+    // pass): the unit is a non-overlapping 20-token block, hashed with
+    // md5; a block is a duplicate when the same hash occurred at an
+    // earlier (doc_id, offset) anywhere in the corpus, and only the
+    // first occurrence is kept. "First" is the min of an exact integer
+    // encoding doc_id*1000000+start (offsets are block-aligned and far
+    // below 1e6), so both engines agree bit-for-bit without an arg-min
+    // over structs. Shapes: one narrow explode, a 2-phase min per hash,
+    // an equi-join back on the hash, a per-doc agg — every stage
+    // shuffle-bounded on a key, nothing quadratic, so a corpus where
+    // 30% of blocks are shared boilerplate dedups at scan cost.
+    "doc_dedup_paragraphs" -> ((s, d) => {
+      import s.implicits._
+      val blocks = t(s, d, "documents")
+        .select($"doc_id", toksCol.as("toks"))
+        .filter(size($"toks") >= 1)
+        .select($"doc_id",
+          explode(expr("sequence(0, size(toks) - 1, 20)")).as("start"), $"toks")
+        .select($"doc_id", $"start",
+          expr("size(slice(toks, start + 1, 20))").cast("long").as("n_toks"),
+          md5(expr("array_join(slice(toks, start + 1, 20), ' ')")
+            .cast("binary")).as("h"))
+        .withColumn("ord", $"doc_id" * 1000000L + $"start")
+      val first = blocks.groupBy($"h").agg(min($"ord").as("first_ord"))
+      blocks.join(first, "h")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(when($"ord" =!= $"first_ord", 1L).otherwise(0L)).as("n_dup_blocks"),
+          sum(when($"ord" === $"first_ord", $"n_toks").otherwise(0L))
+            .as("kept_tokens"))
+        .select($"doc_id", $"n_blocks", $"n_dup_blocks", $"kept_tokens",
+          round($"n_dup_blocks".cast("double") / $"n_blocks", 4).as("dup_ratio"))
+        .orderBy($"doc_id")
+    }),
+
+    // DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    // Language Models via Importance Resampling"): score each raw doc by
+    // the log-likelihood ratio of a hashed bag-of-unigrams model of a
+    // TARGET distribution (here the lang='en' slice stands in for the
+    // curated target set) against the model of the raw corpus. Tokens
+    // hash into 64 md5 buckets; both 65-row models (counts + totals,
+    // Laplace +1) broadcast, so scoring 100 TB is one narrow explode
+    // joined against a 64-row table — the per-token work is a hash and
+    // two adds, the same cost class as langid. avg-of-log rounded to 4
+    // mirrors text_bigram_lm's proven cross-engine float discipline.
+    "doc_dsir_weights" -> ((s, d) => {
+      import s.implicits._
+      val toks = t(s, d, "documents")
+        .select($"doc_id", $"lang", explode(toksCol).as("tok"))
+        .withColumn("b", expr(
+          "cast(conv(substring(md5(cast(tok as binary)), 1, 4), 16, 10)" +
+            " as bigint) % 64"))
+      // raw and target counts fold in ONE pass over the token stream (a
+      // conditional sum beats a second scan + left join at any scale)
+      val model = toks.groupBy($"b").agg(count(lit(1)).as("r_cnt"),
+        sum(when($"lang" === "en", 1L).otherwise(0L)).as("t_cnt"))
+      val totals = model.agg(sum($"r_cnt").as("R"), sum($"t_cnt").as("T"))
+      val llr = model.crossJoin(broadcast(totals))
+        .select($"b",
+          (log(($"t_cnt" + 1.0) / ($"T" + 64.0)) -
+            log(($"r_cnt" + 1.0) / ($"R" + 64.0))).as("llr"))
+      toks.join(broadcast(llr), "b")
+        .groupBy($"doc_id", $"lang")
+        .agg(count(lit(1)).as("n_toks"), round(avg($"llr"), 4).as("dsir_score"))
+        .orderBy($"doc_id")
+    }),
+
+    // Temperature-scaled mixture sampling (the multilingual corpus
+    // balancing rule from XLM-R: p_s ∝ n_s^0.7 flattens the source
+    // distribution so head sources stop drowning the tail). Per-source
+    // target k_s = floor(100·p_s); the draw is the deterministic
+    // md5-rank used by doc_sample_stratified. The rank window is
+    // pre-cut at the CONSTANT bound 100 (k_s ≤ 100 by construction),
+    // which TopKPerKey plans as a map-side partial top-k — the
+    // variable per-source cut then applies to ≤100 survivors per
+    // source, so a billion-doc source costs the same shuffle as a
+    // thousand-doc one.
+    "doc_sample_temperature" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+      val sizes = docs.groupBy($"source").agg(count(lit(1)).as("n_s"))
+        .withColumn("w", pow($"n_s", lit(0.7)))
+      val tot = sizes.agg(sum($"w").as("wsum"))
+      // +1e-9 before floor: equal-size sources put 100·w/wsum exactly ON
+      // an integer, where FP summation-order noise (Spark's partial aggs
+      // vs DuckDB's sequential sum) flips floor() across engines — the
+      // epsilon absorbs the last-bit wobble on both sides identically
+      val ks = sizes.crossJoin(broadcast(tot))
+        .select($"source",
+          floor(lit(100.0) * $"w" / $"wsum" + lit(1e-9)).cast("long")
+            .as("k_target"))
+      val h = docs.select($"source", $"doc_id", expr(
+        "cast(conv(substring(md5(cast(cast(doc_id as string) as binary))," +
+          " 1, 8), 16, 10) as bigint)").as("h32"))
+      val w = Window.partitionBy($"source").orderBy($"h32", $"doc_id")
+      h.withColumn("pos", row_number().over(w))
+        .filter($"pos" <= 100)
+        .join(broadcast(ks), "source")
+        .filter($"pos" <= $"k_target")
+        .select($"source", $"k_target", $"pos".cast("long").as("pos"), $"doc_id")
+        .orderBy($"source", $"pos")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -753,5 +857,84 @@ object PipelineOps {
          |JOIN sizes sa ON doc_a = sa.doc_id
          |JOIN sizes sb ON doc_b = sb.doc_id
          |WHERE shared * 2 >= sa.n OR shared * 2 >= sb.n
-         |ORDER BY doc_a, doc_b""".stripMargin)
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "doc_dedup_paragraphs" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $toksSql AS toks
+         |  FROM documents),
+         |blocks AS (
+         |  SELECT doc_id, start,
+         |    CAST(len(list_slice(toks, start + 1, start + 20)) AS BIGINT)
+         |      AS n_toks,
+         |    md5(array_to_string(list_slice(toks, start + 1, start + 20), ' '))
+         |      AS h,
+         |    doc_id * 1000000 + start AS ord
+         |  FROM d, unnest(generate_series(0, len(toks) - 1, 20)) AS t(start)
+         |  WHERE len(toks) >= 1),
+         |first AS (SELECT h, MIN(ord) AS first_ord FROM blocks GROUP BY h)
+         |SELECT doc_id, COUNT(*) AS n_blocks,
+         |  CAST(SUM(CASE WHEN ord <> first_ord THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_blocks,
+         |  CAST(SUM(CASE WHEN ord = first_ord THEN n_toks ELSE 0 END)
+         |    AS BIGINT) AS kept_tokens,
+         |  ROUND(CAST(SUM(CASE WHEN ord <> first_ord THEN 1 ELSE 0 END)
+         |      AS DOUBLE) / COUNT(*), 4) AS dup_ratio
+         |FROM blocks JOIN first USING (h)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "doc_dsir_weights" -> {
+      // 4-hex-digit md5 window → integer bucket, via the positional
+      // strpos expansion (DuckDB has no conv())
+      val h16 = (1 to 4).map { i =>
+        val w = math.pow(16, 4 - i).toLong
+        s"(strpos('0123456789abcdef', substring(md5(tok), $i, 1)) - 1) * $w"
+      }.mkString(" + ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, tok, ($h16) % 64 AS b
+         |  FROM (SELECT doc_id, lang, unnest($toksSql) AS tok
+         |        FROM documents)),
+         |model AS (
+         |  SELECT b, COUNT(*) AS r_cnt,
+         |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_cnt
+         |  FROM toks GROUP BY b),
+         |totals AS (
+         |  SELECT CAST(SUM(r_cnt) AS BIGINT) AS R,
+         |         CAST(SUM(t_cnt) AS BIGINT) AS T FROM model),
+         |llr AS (
+         |  SELECT b, ln((t_cnt + 1.0) / (T + 64.0))
+         |            - ln((r_cnt + 1.0) / (R + 64.0)) AS llr
+         |  FROM model, totals)
+         |SELECT doc_id, lang, COUNT(*) AS n_toks,
+         |  ROUND(AVG(llr), 4) AS dsir_score
+         |FROM toks JOIN llr USING (b)
+         |GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin
+    },
+
+    "doc_sample_temperature" -> {
+      val h32 = (1 to 8).map { i =>
+        val w = math.pow(16, 8 - i).toLong
+        s"(strpos('0123456789abcdef', substring(" +
+          s"md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1) * $w"
+      }.mkString(" + ")
+      s"""WITH sizes AS (
+         |  SELECT source, COUNT(*) AS n_s, pow(COUNT(*), 0.7) AS w
+         |  FROM documents GROUP BY source),
+         |tot AS (SELECT SUM(w) AS wsum FROM sizes),
+         |ks AS (
+         |  SELECT source, CAST(FLOOR(100.0 * w / wsum + 1e-9) AS BIGINT)
+         |    AS k_target
+         |  FROM sizes, tot),
+         |h AS (
+         |  SELECT source, doc_id, CAST($h32 AS BIGINT) AS h32
+         |  FROM documents),
+         |p AS (
+         |  SELECT source, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |                       ORDER BY h32, doc_id) AS pos
+         |  FROM h)
+         |SELECT source, k_target, CAST(pos AS BIGINT) AS pos, doc_id
+         |FROM p JOIN ks USING (source)
+         |WHERE pos <= k_target ORDER BY source, pos""".stripMargin
+    })
 }

@@ -80,6 +80,8 @@ class PlanHygieneSpec extends SparkSpec {
     "log_rfm",               // 1-row quartile-boundary agg (3x3 values)
     "doc_token_budget",      // 1-row total-token budget agg
     "doc_sample_weighted",   // 1-row PPS step (total weight / k) agg
+    "doc_dsir_weights",      // 1-row (R,T) model-total agg
+    "doc_sample_temperature",// 1-row temperature-weight sum agg
     "sketch_hll_merge",      // 1-row single-pass estimate + exact agg
     "log_pagerank",          // 1-row node count (rank vector joins are equi)
     "sim_recall_eval",       // 1-row query vec/planes/codebook, 2-row probes

@@ -247,4 +247,86 @@ class PipelineInvariantsSpec extends SparkSpec {
     assert(sample.map(t3 => t3._1 -> t3._3).toMap == expected,
       "PPS draw differs from driver-side recomputation")
   }
+
+  test("doc_dedup_paragraphs matches a driver-side first-occurrence replay") {
+    import spark.implicits._
+    val got = SparkEntry.queries("doc_dedup_paragraphs")(spark, sf())
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // independent recomputation: blocks keyed by their joined-token
+    // content (equality of content == equality of md5), first occurrence
+    // in ascending (doc_id, start) order — the exact dedup policy
+    val docs = t(spark, sf(), "documents")
+      .select($"doc_id", lower($"text")).as[(Long, String)].collect()
+      .sortBy(_._1)
+    val seen = scala.collection.mutable.Set[String]()
+    val expected = docs.flatMap { case (id, text) =>
+      val toks = text.split("\\s+").filter(_.nonEmpty)
+      if (toks.isEmpty) None
+      else {
+        val blocks = toks.grouped(20).map(_.mkString(" ")).toSeq
+        val dupFlags = blocks.map(b => !seen.add(b))
+        val kept = blocks.zip(dupFlags).collect {
+          case (b, false) => b.split(' ').length.toLong
+        }.sum
+        Some(id -> (blocks.size.toLong, dupFlags.count(identity).toLong, kept))
+      }
+    }.toMap
+    assert(expected.values.map(_._2).sum > 0,
+      "fixture corpus contains duplicated blocks (else the op is untested)")
+    assert(got == expected,
+      "paragraph-dedup counts differ from the driver-side replay")
+  }
+
+  test("doc_dsir_weights: target slice outscores the raw corpus on its own model") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("doc_dsir_weights")(spark, sf())
+      .select($"lang", $"n_toks", $"dsir_score")
+      .as[(String, Long, Double)].collect()
+    // every tokenized doc is scored
+    val nDocs = t(spark, sf(), "documents")
+      .filter(expr("size(filter(split(lower(text), '\\\\s+'), x -> x != ''))") > 0)
+      .count()
+    assert(rows.length.toLong == nDocs, "a tokenized doc has no DSIR score")
+    // the importance-resampling signal: the lang='en' target slice must
+    // score strictly higher under its own hashed-unigram model than
+    // every other language's slice (this is what makes resampling on
+    // the weight shift the corpus toward the target)
+    val byLang = rows.groupBy(_._1).view
+      .mapValues(rs => rs.map(_._3).sum / rs.length).toMap
+    val others = byLang.removed("en")
+    assert(others.nonEmpty && byLang.contains("en"))
+    others.foreach { case (lang, m) =>
+      assert(byLang("en") > m, f"en mean ${byLang("en")}%.5f !> $lang $m%.5f")
+    }
+    // token-weighted means: E_target[llr] >= E_raw[llr] (Gibbs direction)
+    def wmean(rs: Seq[(String, Long, Double)]) =
+      rs.map(r => r._3 * r._2).sum / rs.map(_._2).sum
+    assert(wmean(rows.toSeq.filter(_._1 == "en")) >= wmean(rows.toSeq) - 1e-9)
+  }
+
+  test("doc_sample_temperature: draws match the n^0.7 allocation, ranks contiguous") {
+    import spark.implicits._
+    val sample = SparkEntry.queries("doc_sample_temperature")(spark, sf())
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val sizes = t(spark, sf(), "documents")
+      .groupBy($"source").count().as[(String, Long)].collect().toMap
+    val wsum = sizes.values.map(n => math.pow(n.toDouble, 0.7)).sum
+    val ks = sizes.view.mapValues(n =>
+      math.floor(100.0 * math.pow(n.toDouble, 0.7) / wsum + 1e-9).toLong).toMap
+    val bySrc = sample.groupBy(_._1)
+    assert(bySrc.keySet == ks.filter(_._2 > 0).keySet,
+      "every source with k_target > 0 is drawn from")
+    for ((src, rows) <- bySrc) {
+      val k = math.min(ks(src), sizes(src))
+      assert(rows.forall(_._2 == ks(src)), s"$src: reported k_target wrong")
+      assert(rows.length.toLong == k, s"$src: drew ${rows.length}, want $k")
+      assert(rows.map(_._3).sorted.toSeq == (1L to k),
+        s"$src: ranks not contiguous 1..$k")
+      assert(rows.map(_._4).distinct.length == rows.length,
+        s"$src: duplicate doc_ids")
+    }
+  }
 }
