@@ -642,6 +642,32 @@ object Similarity {
         .limit(10)
     }),
 
+    // Exact re-ranking — the final stage of the production ANN stack
+    // (FAISS's refine step): the cheap ADC scan nominates a top-100
+    // shortlist from codes alone, then ONLY those 100 rows fetch their
+    // raw vectors for an exact-cosine re-rank to top-10. Fixes the
+    // code-compression recall cost sim_recall_eval measures, while the
+    // raw-vector reads stay candidate-bounded (100 rows at any corpus
+    // size — the shortlist broadcasts into the fetch join). The
+    // shortlist cut orders by the ROUNDED ADC distance (the same 4-dp
+    // contract sim_pq_search outputs) + vec_id, so both engines cut an
+    // identical candidate set.
+    "sim_pq_rerank" -> ((s, d) => {
+      import s.implicits._
+      withCosine(s)
+      val cand = pqIndex(s, d).filter($"vec_id" =!= 0)
+        .crossJoin(broadcast(pqLut(s, d)))
+        .select($"vec_id", round(pqAdc, 4).as("adc_d2"))
+        .orderBy($"adc_d2".asc, $"vec_id".asc).limit(100)
+      val emb = t(s, d, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val q = emb.filter($"vec_id" === 0).select($"v".as("q"))
+      emb.join(broadcast(cand), "vec_id")
+        .crossJoin(broadcast(q))
+        .select($"vec_id", $"adc_d2", round(cosine("v", "q"), 4).as("cs"))
+        .orderBy(desc("cs"), asc("vec_id")).limit(10)
+    }),
+
     // IVF-PQ search — the composed production index query (the shape
     // FAISS/ScaNN deploy at billion scale): the coarse IVF quantizer
     // bounds the scan to the query's 2 probed cells (nprobe/ncells of
@@ -1151,6 +1177,51 @@ object Similarity {
         |  GROUP BY j.vec_id)
         |SELECT vec_id, ROUND(adc_raw, 4) AS adc_d2
         |FROM adc ORDER BY adc_d2, vec_id LIMIT 10""".stripMargin,
+
+    "sim_pq_rerank" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sub AS (
+        |  SELECT vec_id, m, v[1 + 16 * m : 16 + 16 * m] AS sv
+        |  FROM e, generate_series(0, 3) t(m)),
+        |cb AS (SELECT vec_id AS cent_id, m, sv AS cs FROM sub WHERE vec_id < 8),
+        |dd AS (
+        |  SELECT s.vec_id, s.m, c.cent_id,
+        |    list_sum(list_transform(list_zip(s.sv, c.cs),
+        |      x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d2
+        |  FROM sub s JOIN cb c ON s.m = c.m
+        |  WHERE s.vec_id <> 0),
+        |code AS (
+        |  SELECT vec_id, m, cent_id FROM (
+        |    SELECT vec_id, m, cent_id, d2,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id, m
+        |                         ORDER BY d2, cent_id) AS rn
+        |    FROM dd) WHERE rn = 1),
+        |q AS (SELECT m, sv AS qs FROM sub WHERE vec_id = 0),
+        |lut AS (
+        |  SELECT c.cent_id, c.m,
+        |    list_sum(list_transform(list_zip(q.qs, c.cs),
+        |      x -> (x[1] - x[2]) * (x[1] - x[2]))) AS qd2
+        |  FROM cb c JOIN q USING (m)),
+        |adc AS (
+        |  SELECT j.vec_id,
+        |    ROUND(MAX(CASE WHEN j.m = 0 THEN j.qd2 END)
+        |      + MAX(CASE WHEN j.m = 1 THEN j.qd2 END)
+        |      + MAX(CASE WHEN j.m = 2 THEN j.qd2 END)
+        |      + MAX(CASE WHEN j.m = 3 THEN j.qd2 END), 4) AS adc_d2
+        |  FROM (SELECT code.vec_id, code.m, lut.qd2
+        |        FROM code JOIN lut ON lut.cent_id = code.cent_id
+        |                          AND lut.m = code.m) j
+        |  GROUP BY j.vec_id),
+        |cand AS (
+        |  SELECT vec_id, adc_d2 FROM adc ORDER BY adc_d2, vec_id LIMIT 100),
+        |qv AS (SELECT v AS qvec FROM e WHERE vec_id = 0)
+        |SELECT c.vec_id, c.adc_d2,
+        |  ROUND(list_sum(list_transform(list_zip(e.v, qv.qvec),
+        |      x -> x[1] * x[2])) /
+        |    (sqrt(list_sum(list_transform(e.v, x -> x * x))) *
+        |     sqrt(list_sum(list_transform(qv.qvec, x -> x * x)))), 4) AS cs
+        |FROM cand c JOIN e ON e.vec_id = c.vec_id, qv
+        |ORDER BY cs DESC, c.vec_id LIMIT 10""".stripMargin,
 
     "sim_ivf_pq_search" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -66,6 +66,7 @@ class PlanHygieneSpec extends SparkSpec {
     "sim_ivf_assign",        // fixed k-row centroid table
     "sim_kmeans",            // 1-row codebook array, both iterations
     "sim_pq_search",         // 1-row codebook + 1-row query vector
+    "sim_pq_rerank",         // 1-row query LUT/vector + 100-row shortlist
     "sim_ivf_pq_search",     // 1-row codebook + 1-row query + 2 probe rows
     "sim_ivf_topk",          // 1-row query vector + centroid probe
     "sim_lsh_sigs",          // 1-row hyperplane matrix

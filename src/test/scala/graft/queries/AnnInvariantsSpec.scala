@@ -150,4 +150,42 @@ class AnnInvariantsSpec extends SparkSpec {
         s"recall floors violated at $dir by: ${failing.mkString(",")}")
     }
   }
+
+  test("sim_pq_rerank: exact re-rank recovers at least ADC's recall@10") {
+    import spark.implicits._
+    // brute-force cosine truth for the same query vector
+    val emb = t(spark, sf(), "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val q = emb.filter($"vec_id" === 0).select($"v".as("q"))
+    val cos = expr("aggregate(zip_with(v, q, (x, y) -> x * y)," +
+      " 0D, (acc, e) -> acc + e) / (sqrt(aggregate(v, 0D," +
+      " (acc, e) -> acc + e * e)) * sqrt(aggregate(q, 0D," +
+      " (acc, e) -> acc + e * e)))")
+    val truth = emb.filter($"vec_id" =!= 0).crossJoin(broadcast(q))
+      .select($"vec_id", round(cos, 4).as("cs"))
+      .orderBy(desc("cs"), asc("vec_id")).limit(10)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    val adc = SparkEntry.queries("sim_pq_search")(spark, sf())
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    val rerank = SparkEntry.queries("sim_pq_rerank")(spark, sf())
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(rerank.size == 10)
+    val (rAdc, rRe) = ((adc & truth).size, (rerank & truth).size)
+    // the refine stage exists to repair code-compression ranking errors:
+    // with a 100-candidate shortlist it can only improve on raw ADC@10
+    assert(rRe >= rAdc, s"re-rank recall $rRe < raw ADC recall $rAdc")
+    // and every re-ranked hit is ordered by EXACT cosine, so the list's
+    // intersection with truth must be a prefix-heavy match: the top-1
+    // re-ranked vector is truth's top-1 whenever truth's top-1 survived
+    // the ADC-100 shortlist (it does on this fixture)
+    val top1 = SparkEntry.queries("sim_pq_rerank")(spark, sf())
+      .orderBy(desc("cs"), asc("vec_id")).select($"vec_id")
+      .head().getLong(0)
+    val truthTop1 = emb.filter($"vec_id" =!= 0).crossJoin(broadcast(q))
+      .select($"vec_id", round(cos, 4).as("cs"))
+      .orderBy(desc("cs"), asc("vec_id")).select($"vec_id")
+      .head().getLong(0)
+    assert(top1 == truthTop1,
+      s"re-ranked top-1 $top1 is not the exact-cosine top-1 $truthTop1")
+  }
 }
