@@ -23,6 +23,53 @@ object PipelineOps {
     """list_filter(regexp_split_to_array(lower(text), '\s+'),
       |                     x -> x <> '')""".stripMargin
 
+  /** Corpus bigram LM scored over its own documents (text_bigram_lm's
+    * body, shared with text_perplexity_tiers): per-doc mean log2 of the
+    * corpus-wide conditional bigram probability c(w1 w2)/c(w1 ·). The
+    * hashed bigram stream feeds THREE consumers (doc stream + both
+    * count aggs) — materialized once via eager localCheckpoint, the
+    * tokenize-once discipline any real corpus pipeline uses (verified
+    * via ExplainExecuted: AQE does not merge the differently-keyed
+    * subtrees); 24 bytes/bigram, executor-resident. */
+  private def lmScores(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bg = t(s, d, "documents")
+      .select($"doc_id", toksCol.as("toks"))
+      .filter(size($"toks") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(toks) - 1)," +
+          " i -> struct(element_at(toks, i) AS w1," +
+          " element_at(toks, i) || ' ' || element_at(toks, i + 1) AS bg))"))
+        .as("p"))
+      .select($"doc_id", xxhash64($"p.w1").as("w1"), xxhash64($"p.bg").as("bg"))
+      .localCheckpoint()
+    val c2 = bg.groupBy($"bg").agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy($"w1").agg(count(lit(1)).as("c1"))
+    bg.join(c2, "bg").join(c1, "w1")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log2($"c2".cast("double") / $"c1")), 4).as("avg_logprob"))
+      .orderBy($"doc_id")
+  }
+
+  /** The shared SQL CTE chain producing lmScores' (doc_id, n_bigrams,
+    * avg_logprob) — spliced into both consumers' oracles. */
+  private val lmSql =
+    s"""d AS (
+       |  SELECT doc_id, $toksSql AS toks
+       |  FROM documents),
+       |bgs AS (
+       |  SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i + 1] AS bg
+       |  FROM d, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+       |  WHERE len(toks) >= 2),
+       |c2 AS (SELECT bg, COUNT(*) AS c2 FROM bgs GROUP BY bg),
+       |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bgs GROUP BY w1),
+       |lm AS (
+       |  SELECT doc_id, COUNT(*) AS n_bigrams,
+       |    ROUND(AVG(log2(CAST(c2 AS DOUBLE) / c1)), 4) AS avg_logprob
+       |  FROM bgs JOIN c2 USING (bg) JOIN c1 USING (w1)
+       |  GROUP BY doc_id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Fixed-window chunking: 50-token chunks on a 40-token stride (10
@@ -162,24 +209,37 @@ object PipelineOps {
     // not merge the differently-keyed subtrees), so it is materialized
     // once via eager localCheckpoint — the tokenize-once discipline any
     // real corpus pipeline uses; 24 bytes/bigram, executor-resident.
-    "text_bigram_lm" -> ((s, d) => {
+    "text_bigram_lm" -> ((s, d) => lmScores(s, d)),
+
+    // CCNet-style perplexity tiering: rank every scored doc by its
+    // corpus-LM score (best = rank 1) and cut the corpus into
+    // head/middle/tail thirds — the curation split CCNet feeds to
+    // training-mix decisions. The GLOBAL rank is integer-exact and
+    // needs no global window: the 4-dp score quantizes to an exact
+    // integer bucket (round(score·1e4)), strictly-better-bucket doc
+    // counts get a tiny running sum over the bounded score domain, and
+    // each doc adds a within-bucket row_number — the same two-level
+    // design as doc_token_budget. Tier = 1 + (3·(rank-1)) div n,
+    // integer division on both engines.
+    "text_perplexity_tiers" -> ((s, d) => {
       import s.implicits._
-      val bg = t(s, d, "documents")
-        .select($"doc_id", toksCol.as("toks"))
-        .filter(size($"toks") >= 2)
-        .select($"doc_id", explode(expr(
-          "transform(sequence(1, size(toks) - 1)," +
-            " i -> struct(element_at(toks, i) AS w1," +
-            " element_at(toks, i) || ' ' || element_at(toks, i + 1) AS bg))"))
-          .as("p"))
-        .select($"doc_id", xxhash64($"p.w1").as("w1"), xxhash64($"p.bg").as("bg"))
-        .localCheckpoint()
-      val c2 = bg.groupBy($"bg").agg(count(lit(1)).as("c2"))
-      val c1 = bg.groupBy($"w1").agg(count(lit(1)).as("c1"))
-      bg.join(c2, "bg").join(c1, "w1")
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          round(avg(log2($"c2".cast("double") / $"c1")), 4).as("avg_logprob"))
+      import org.apache.spark.sql.expressions.Window
+      val scored = lmScores(s, d)
+        .select($"doc_id", $"avg_logprob".as("lm_score"),
+          round($"avg_logprob" * 10000, 0).cast("long").as("b"))
+      val wq = Window.orderBy($"b".desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val prefix = scored.groupBy($"b").agg(count(lit(1)).as("nb"))
+        .withColumn("hprefix", coalesce(sum($"nb").over(wq), lit(0L)))
+      val ww = Window.partitionBy($"b").orderBy($"doc_id".asc)
+      val n = scored.agg(count(lit(1)).as("n_docs_total"))
+      scored.join(broadcast(prefix.select($"b", $"hprefix")), "b")
+        .withColumn("rnk", $"hprefix" + row_number().over(ww))
+        .crossJoin(broadcast(n))
+        .select($"doc_id", $"lm_score", $"rnk",
+          when(expr("1 + (3 * (rnk - 1)) div n_docs_total") === 1, "head")
+            .when(expr("1 + (3 * (rnk - 1)) div n_docs_total") === 2, "middle")
+            .otherwise("tail").as("tier"))
         .orderBy($"doc_id")
     }),
 
@@ -646,19 +706,21 @@ object PipelineOps {
          |FROM c GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin,
 
     "text_bigram_lm" ->
-      s"""WITH d AS (
-         |  SELECT doc_id, $toksSql AS toks
-         |  FROM documents),
-         |bg AS (
-         |  SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i + 1] AS bg
-         |  FROM d, unnest(generate_series(1, len(toks) - 1)) AS t(i)
-         |  WHERE len(toks) >= 2),
-         |c2 AS (SELECT bg, COUNT(*) AS c2 FROM bg GROUP BY bg),
-         |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1)
-         |SELECT doc_id, COUNT(*) AS n_bigrams,
-         |  ROUND(AVG(log2(CAST(c2 AS DOUBLE) / c1)), 4) AS avg_logprob
-         |FROM bg JOIN c2 USING (bg) JOIN c1 USING (w1)
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $lmSql
+         |SELECT doc_id, n_bigrams, avg_logprob
+         |FROM lm ORDER BY doc_id""".stripMargin,
+
+    "text_perplexity_tiers" ->
+      s"""WITH $lmSql,
+         |n AS (SELECT COUNT(*) AS n_docs_total FROM lm),
+         |r AS (
+         |  SELECT doc_id, avg_logprob AS lm_score,
+         |    ROW_NUMBER() OVER (ORDER BY avg_logprob DESC, doc_id) AS rnk
+         |  FROM lm)
+         |SELECT doc_id, lm_score, CAST(rnk AS BIGINT) AS rnk,
+         |  CASE 1 + (3 * (rnk - 1)) // n_docs_total
+         |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS tier
+         |FROM r, n ORDER BY doc_id""".stripMargin,
 
     "text_boilerplate" ->
       s"""WITH d AS (

@@ -82,6 +82,7 @@ class PlanHygieneSpec extends SparkSpec {
     "doc_token_budget",      // 1-row total-token budget agg
     "doc_sample_weighted",   // 1-row PPS step (total weight / k) agg
     "doc_dsir_weights",      // 1-row (R,T) model-total agg
+    "text_perplexity_tiers", // 1-row scored-doc count agg
     "doc_sample_temperature",// 1-row temperature-weight sum agg
     "sketch_hll_merge",      // 1-row single-pass estimate + exact agg
     "log_pagerank",          // 1-row node count (rank vector joins are equi)

@@ -306,6 +306,38 @@ class PipelineInvariantsSpec extends SparkSpec {
     assert(wmean(rows.toSeq.filter(_._1 == "en")) >= wmean(rows.toSeq) - 1e-9)
   }
 
+  test("text_perplexity_tiers: rank is a permutation ordered by score, thirds split") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("text_perplexity_tiers")(spark, sf())
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getString(3)))
+    val n = rows.length
+    // rnk is exactly the permutation 1..n ordered by (score DESC, doc_id)
+    assert(rows.map(_._3).sorted.toSeq == (1L to n))
+    val byRank = rows.sortBy(_._3)
+    byRank.sliding(2).foreach {
+      case Array((idA, sA, _, _), (idB, sB, _, _)) =>
+        assert(sA > sB || (sA == sB && idA < idB),
+          s"rank order violates (score DESC, doc_id): ($idA,$sA) vs ($idB,$sB)")
+      case _ =>
+    }
+    // tiers are the contiguous near-equal thirds of the rank order
+    val tiers = byRank.map(_._4)
+    assert(tiers.takeWhile(_ == "head").size >= n / 3 - 1 &&
+      tiers.count(_ == "head") - tiers.count(_ == "tail") <= 1 &&
+      tiers.indexOf("middle") > tiers.lastIndexOf("head") - tiers.count(_ == "middle"),
+      "tier labels are not contiguous thirds")
+    val counts = tiers.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts.keySet == Set("head", "middle", "tail"))
+    assert(counts.values.max - counts.values.min <= 1,
+      s"thirds unbalanced: $counts")
+    // every scored doc (>= 2 tokens) is tiered
+    val nScored = t(spark, sf(), "documents")
+      .filter(expr("size(filter(split(lower(text), '\\\\s+'), x -> x != ''))") >= 2)
+      .count()
+    assert(n.toLong == nScored)
+  }
+
   test("doc_sample_temperature: draws match the n^0.7 allocation, ranks contiguous") {
     import spark.implicits._
     val sample = SparkEntry.queries("doc_sample_temperature")(spark, sf())
