@@ -566,30 +566,38 @@ object PipelineOps {
     // the log-likelihood ratio of a hashed bag-of-unigrams model of a
     // TARGET distribution (here the lang='en' slice stands in for the
     // curated target set) against the model of the raw corpus. Tokens
-    // hash into 64 md5 buckets; both 65-row models (counts + totals,
-    // Laplace +1) broadcast, so scoring 100 TB is one narrow explode
-    // joined against a 64-row table — the per-token work is a hash and
-    // two adds, the same cost class as langid. avg-of-log rounded to 4
-    // mirrors text_bigram_lm's proven cross-engine float discipline.
+    // hash into 64 md5 buckets. The tokenize+hash explode — the
+    // expensive stage — runs ONCE: the per-(doc, bucket) count table it
+    // folds into is materialized (eager localCheckpoint, the same
+    // tokenize-once discipline as the bigram LM) and feeds BOTH the
+    // 64-row model build and the scoring agg; both model frames (counts
+    // + totals, Laplace +1) broadcast, so scoring 100 TB is two compact
+    // aggs over a table bounded by docs×64, never a second corpus scan.
+    // The per-doc score sum(cnt·llr)/sum(cnt) (= the mean token LLR)
+    // runs over ≤64 fixed bucket terms — tighter cross-engine float
+    // discipline than a per-token average, rounded to 4 as usual.
     "doc_dsir_weights" -> ((s, d) => {
       import s.implicits._
-      val toks = t(s, d, "documents")
+      val db = t(s, d, "documents")
         .select($"doc_id", $"lang", explode(toksCol).as("tok"))
         .withColumn("b", expr(
           "cast(conv(substring(md5(cast(tok as binary)), 1, 4), 16, 10)" +
             " as bigint) % 64"))
-      // raw and target counts fold in ONE pass over the token stream (a
+        .groupBy($"doc_id", $"lang", $"b").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      // raw and target counts fold in ONE pass over the bucket table (a
       // conditional sum beats a second scan + left join at any scale)
-      val model = toks.groupBy($"b").agg(count(lit(1)).as("r_cnt"),
-        sum(when($"lang" === "en", 1L).otherwise(0L)).as("t_cnt"))
+      val model = db.groupBy($"b").agg(sum($"cnt").as("r_cnt"),
+        sum(when($"lang" === "en", $"cnt").otherwise(0L)).as("t_cnt"))
       val totals = model.agg(sum($"r_cnt").as("R"), sum($"t_cnt").as("T"))
       val llr = model.crossJoin(broadcast(totals))
         .select($"b",
           (log(($"t_cnt" + 1.0) / ($"T" + 64.0)) -
             log(($"r_cnt" + 1.0) / ($"R" + 64.0))).as("llr"))
-      toks.join(broadcast(llr), "b")
+      db.join(broadcast(llr), "b")
         .groupBy($"doc_id", $"lang")
-        .agg(count(lit(1)).as("n_toks"), round(avg($"llr"), 4).as("dsir_score"))
+        .agg(sum($"cnt").as("n_toks"),
+          round(sum($"cnt" * $"llr") / sum($"cnt"), 4).as("dsir_score"))
         .orderBy($"doc_id")
     }),
 
@@ -956,10 +964,13 @@ object PipelineOps {
          |  SELECT doc_id, lang, tok, ($h16) % 64 AS b
          |  FROM (SELECT doc_id, lang, unnest($toksSql) AS tok
          |        FROM documents)),
+         |db AS (
+         |  SELECT doc_id, lang, b, COUNT(*) AS cnt
+         |  FROM toks GROUP BY doc_id, lang, b),
          |model AS (
-         |  SELECT b, COUNT(*) AS r_cnt,
-         |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_cnt
-         |  FROM toks GROUP BY b),
+         |  SELECT b, SUM(cnt) AS r_cnt,
+         |    SUM(CASE WHEN lang = 'en' THEN cnt ELSE 0 END) AS t_cnt
+         |  FROM db GROUP BY b),
          |totals AS (
          |  SELECT CAST(SUM(r_cnt) AS BIGINT) AS R,
          |         CAST(SUM(t_cnt) AS BIGINT) AS T FROM model),
@@ -967,9 +978,9 @@ object PipelineOps {
          |  SELECT b, ln((t_cnt + 1.0) / (T + 64.0))
          |            - ln((r_cnt + 1.0) / (R + 64.0)) AS llr
          |  FROM model, totals)
-         |SELECT doc_id, lang, COUNT(*) AS n_toks,
-         |  ROUND(AVG(llr), 4) AS dsir_score
-         |FROM toks JOIN llr USING (b)
+         |SELECT doc_id, lang, CAST(SUM(cnt) AS BIGINT) AS n_toks,
+         |  ROUND(SUM(cnt * llr) / SUM(cnt), 4) AS dsir_score
+         |FROM db JOIN llr USING (b)
          |GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin
     },
 
