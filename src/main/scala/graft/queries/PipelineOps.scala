@@ -31,7 +31,7 @@ object PipelineOps {
     * tokenize-once discipline any real corpus pipeline uses (verified
     * via ExplainExecuted: AQE does not merge the differently-keyed
     * subtrees); 24 bytes/bigram, executor-resident. */
-  private def lmScores(s: SparkSession, d: String): DataFrame = {
+  private[graft] def lmScoresRaw(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val bg = t(s, d, "documents")
       .select($"doc_id", toksCol.as("toks"))
@@ -52,8 +52,51 @@ object PipelineOps {
       .orderBy($"doc_id")
   }
 
-  /** The shared SQL CTE chain producing lmScores' (doc_id, n_bigrams,
-    * avg_logprob) — spliced into both consumers' oracles. */
+  /** The corpus-LM score table, computed ONCE per (session, dir) and
+    * shared by its two declared consumers (text_bigram_lm reads it
+    * whole, text_perplexity_tiers ranks it) — the same build-once
+    * shared-index discipline as the shingle/winnow/LSH tables. The
+    * checkpointed frame is small (one row per scored doc), so the
+    * storage cost is negligible next to re-running the corpus bigram
+    * aggs per consumer. ScaleStress drives lmScoresRaw/the raw tiers
+    * pipeline, per the cache-read audit rule. */
+  private val lmCache = new graft.engine.FrameMemo
+  private def lmScoresShared(s: SparkSession, d: String): DataFrame =
+    lmCache.get(s, d)(lmScoresRaw(s, d).localCheckpoint())
+
+  /** The tiering rank stage over an LM score table — the GLOBAL rank is
+    * integer-exact and needs no global window: the 4-dp score quantizes
+    * to an exact integer bucket (round(score·1e4)), strictly-better-
+    * bucket doc counts get a tiny running sum over the bounded score
+    * domain, and each doc adds a within-bucket row_number — the same
+    * two-level design as doc_token_budget. Tier = 1 + (3·(rank-1))
+    * div n, integer division on both engines. Takes the lm frame as an
+    * argument so ScaleStress can drive the raw end-to-end pipeline. */
+  private[graft] def perplexityTiers(lm: DataFrame): DataFrame = {
+    val s = lm.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val scored = lm
+      .select($"doc_id", $"avg_logprob".as("lm_score"),
+        round($"avg_logprob" * 10000, 0).cast("long").as("b"))
+    val wq = Window.orderBy($"b".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = scored.groupBy($"b").agg(count(lit(1)).as("nb"))
+      .withColumn("hprefix", coalesce(sum($"nb").over(wq), lit(0L)))
+    val ww = Window.partitionBy($"b").orderBy($"doc_id".asc)
+    val n = scored.agg(count(lit(1)).as("n_docs_total"))
+    scored.join(broadcast(prefix.select($"b", $"hprefix")), "b")
+      .withColumn("rnk", $"hprefix" + row_number().over(ww))
+      .crossJoin(broadcast(n))
+      .select($"doc_id", $"lm_score", $"rnk",
+        when(expr("1 + (3 * (rnk - 1)) div n_docs_total") === 1, "head")
+          .when(expr("1 + (3 * (rnk - 1)) div n_docs_total") === 2, "middle")
+          .otherwise("tail").as("tier"))
+      .orderBy($"doc_id")
+  }
+
+  /** The shared SQL CTE chain producing lmScoresRaw's (doc_id,
+    * n_bigrams, avg_logprob) — spliced into both consumers' oracles. */
   private val lmSql =
     s"""d AS (
        |  SELECT doc_id, $toksSql AS toks
@@ -209,39 +252,14 @@ object PipelineOps {
     // not merge the differently-keyed subtrees), so it is materialized
     // once via eager localCheckpoint — the tokenize-once discipline any
     // real corpus pipeline uses; 24 bytes/bigram, executor-resident.
-    "text_bigram_lm" -> ((s, d) => lmScores(s, d)),
+    "text_bigram_lm" -> ((s, d) => lmScoresShared(s, d)),
 
     // CCNet-style perplexity tiering: rank every scored doc by its
     // corpus-LM score (best = rank 1) and cut the corpus into
     // head/middle/tail thirds — the curation split CCNet feeds to
-    // training-mix decisions. The GLOBAL rank is integer-exact and
-    // needs no global window: the 4-dp score quantizes to an exact
-    // integer bucket (round(score·1e4)), strictly-better-bucket doc
-    // counts get a tiny running sum over the bounded score domain, and
-    // each doc adds a within-bucket row_number — the same two-level
-    // design as doc_token_budget. Tier = 1 + (3·(rank-1)) div n,
-    // integer division on both engines.
-    "text_perplexity_tiers" -> ((s, d) => {
-      import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val scored = lmScores(s, d)
-        .select($"doc_id", $"avg_logprob".as("lm_score"),
-          round($"avg_logprob" * 10000, 0).cast("long").as("b"))
-      val wq = Window.orderBy($"b".desc)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val prefix = scored.groupBy($"b").agg(count(lit(1)).as("nb"))
-        .withColumn("hprefix", coalesce(sum($"nb").over(wq), lit(0L)))
-      val ww = Window.partitionBy($"b").orderBy($"doc_id".asc)
-      val n = scored.agg(count(lit(1)).as("n_docs_total"))
-      scored.join(broadcast(prefix.select($"b", $"hprefix")), "b")
-        .withColumn("rnk", $"hprefix" + row_number().over(ww))
-        .crossJoin(broadcast(n))
-        .select($"doc_id", $"lm_score", $"rnk",
-          when(expr("1 + (3 * (rnk - 1)) div n_docs_total") === 1, "head")
-            .when(expr("1 + (3 * (rnk - 1)) div n_docs_total") === 2, "middle")
-            .otherwise("tail").as("tier"))
-        .orderBy($"doc_id")
-    }),
+    // training-mix decisions. Rides the shared LM table; the rank
+    // stage lives in perplexityTiers below.
+    "text_perplexity_tiers" -> ((s, d) => perplexityTiers(lmScoresShared(s, d))),
 
     // Boilerplate detection (C4-style): split each doc into
     // non-overlapping 10-token units, count how many DISTINCT docs each
