@@ -182,7 +182,11 @@ class TopKPlanSpec extends SparkSpec {
   // rewrite correctly declines), text_tfidf (no rank filter at all).
   private val declaredRiders = Seq(
     "doc_sample_stratified", "q_window_top3", "q_stratified_sample",
-    "text_keywords", "sim_mutual_knn", "q_lateral_topk")
+    "text_keywords", "sim_mutual_knn", "q_lateral_topk",
+    // round-7: the constant-100 pre-cut before the variable per-source
+    // cut — the billion-doc-source scale claim rests on this planning
+    // as a map-side partial top-k
+    "doc_sample_temperature")
 
   test("declared queries ride TopKPerKeyExec in their EXECUTED plans") {
     declaredRiders.foreach { name =>
