@@ -317,6 +317,43 @@ object Similarity {
         .orderBy($"vec_id")
     }),
 
+    // Cluster-balanced diverse sampling — the cheap coreset
+    // approximation every embedding-curation pipeline runs ("give me k
+    // representatives per region of the space"): assign vectors to
+    // their IVF cell, then draw 2 per cell by deterministic md5 rank.
+    // Balancing across cells is what makes the draw DIVERSE — a
+    // uniform sample over-represents dense regions; per-cell quotas
+    // cover the space. Same broadcast-codebook argmin as
+    // sim_ivf_assign (no shuffle to assign), and the rank<=2 cut
+    // plans as TopKPerKey — a cell with a billion vectors sorts ≤2
+    // rows per partition.
+    "sim_sample_percell" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      withCosine(s)
+      val emb = t(s, d, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val cents = emb.filter($"vec_id" < 8)
+        .select($"vec_id".as("cent_id"), $"v".as("c"))
+        .agg(expr("array_sort(collect_list(named_struct(" +
+          "'cent_id', cent_id, 'c', c)))").as("cents"))
+      val am = expr(
+        """array_min(transform(cents, ct -> named_struct(
+          |  'nsim', -round(cosine_similarity(v, ct.c), 4),
+          |  'cent_id', ct.cent_id)))""".stripMargin)
+      val assigned = emb.crossJoin(broadcast(cents))
+        .select($"vec_id", am.as("am"))
+        .select($"vec_id", $"am.cent_id".as("cent_id"))
+        .withColumn("h32", expr(
+          "cast(conv(substring(md5(cast(cast(vec_id as string) as binary))," +
+            " 1, 8), 16, 10) as bigint)"))
+      val w = Window.partitionBy($"cent_id").orderBy($"h32", $"vec_id")
+      assigned.withColumn("pos", row_number().over(w))
+        .filter($"pos" <= 2)
+        .select($"cent_id", $"pos".cast("long").as("pos"), $"vec_id")
+        .orderBy($"cent_id", $"pos")
+    }),
+
     // Array-function family over the embedding column: size, head,
     // within-row mean, extrema — all rounded for cross-engine parity.
     "arr_stats" -> ((s, d) => {
@@ -930,6 +967,38 @@ object Similarity {
         |                           ORDER BY sim DESC, cent_id) AS rn
         |      FROM s)
         |SELECT vec_id, cent_id, sim FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "sim_sample_percell" -> {
+      val h32 = (1 to 8).map { i =>
+        val w = math.pow(16, 8 - i).toLong
+        s"(strpos('0123456789abcdef', substring(" +
+          s"md5(CAST(vec_id AS VARCHAR)), $i, 1)) - 1) * $w"
+      }.mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
+         |      FROM embeddings WHERE vec_id < 8),
+         |s AS (
+         |  SELECT vec_id, cent_id,
+         |    ROUND(list_sum(list_transform(list_zip(v, cv), x -> x[1] * x[2])) /
+         |      (sqrt(list_sum(list_transform(v, x -> x * x))) *
+         |       sqrt(list_sum(list_transform(cv, x -> x * x)))), 4) AS sim
+         |  FROM e, c),
+         |assign AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT vec_id, cent_id,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                         ORDER BY sim DESC, cent_id) AS rn
+         |    FROM s) WHERE rn = 1),
+         |h AS (SELECT vec_id, cent_id, CAST($h32 AS BIGINT) AS h32
+         |      FROM assign),
+         |p AS (
+         |  SELECT cent_id, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY cent_id
+         |                       ORDER BY h32, vec_id) AS pos
+         |  FROM h)
+         |SELECT cent_id, CAST(pos AS BIGINT) AS pos, vec_id
+         |FROM p WHERE pos <= 2 ORDER BY cent_id, pos""".stripMargin
+    },
 
     "arr_stats" ->
       """SELECT vec_id,

@@ -64,6 +64,7 @@ class PlanHygieneSpec extends SparkSpec {
     "q_above_avg_customers", // 1-row global avg
     "sim_cosine_topk",       // 1-row query vector
     "sim_ivf_assign",        // fixed k-row centroid table
+    "sim_sample_percell",    // 1-row codebook (same assignment fold)
     "sim_kmeans",            // 1-row codebook array, both iterations
     "sim_pq_search",         // 1-row codebook + 1-row query vector
     "sim_pq_rerank",         // 1-row query LUT/vector + 100-row shortlist

@@ -186,7 +186,9 @@ class TopKPlanSpec extends SparkSpec {
     // round-7: the constant-100 pre-cut before the variable per-source
     // cut — the billion-doc-source scale claim rests on this planning
     // as a map-side partial top-k
-    "doc_sample_temperature")
+    "doc_sample_temperature",
+    // round-7: k=2 per IVF cell (the cluster-balanced diverse draw)
+    "sim_sample_percell")
 
   test("declared queries ride TopKPerKeyExec in their EXECUTED plans") {
     declaredRiders.foreach { name =>
