@@ -151,6 +151,28 @@ class AnnInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("sim_sample_percell: 2 per non-empty cell, members match the IVF assignment") {
+    import spark.implicits._
+    val sample = SparkEntry.queries("sim_sample_percell")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val assign = SparkEntry.queries("sim_ivf_assign")(spark, sf())
+      .select($"vec_id", $"cent_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cellSizes = assign.groupBy(_._2).view.mapValues(_.size).toMap
+    val bySrc = sample.groupBy(_._1)
+    assert(bySrc.keySet == cellSizes.keySet,
+      "every non-empty cell contributes to the diverse draw")
+    for ((cell, rows) <- bySrc) {
+      val k = math.min(2, cellSizes(cell))
+      assert(rows.length == k, s"cell $cell: drew ${rows.length}, want $k")
+      assert(rows.map(_._2).sorted.toSeq == (1L to k), s"cell $cell ranks")
+      rows.foreach { case (_, _, vid) =>
+        assert(assign(vid) == cell,
+          s"vec $vid drawn for cell $cell but assigned to ${assign(vid)}")
+      }
+    }
+  }
+
   test("sim_pq_rerank: exact re-rank recovers at least ADC's recall@10") {
     import spark.implicits._
     // brute-force cosine truth for the same query vector
