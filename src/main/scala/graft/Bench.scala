@@ -45,13 +45,19 @@ object Bench {
     // code at min-of-2 but stable numbers at min-of-3
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption)
       .filter(_ >= 1).getOrElse(3)
+    // The declared inventory PLUS the *_raw builds of memo-backed frames
+    // (RawBuilds): a declared query that reads a FrameMemo table times a
+    // cache read at min-of-N reps, so the raw rows carry the real build
+    // cost in bench_detail.json and keep the auto-diff honest (ADVICE
+    // r7 — text_bigram_lm's 0.758→0.028 s "win" was a memo hit).
+    val inventory = SparkEntry.queries ++ RawBuilds.map
     val wanted: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
-      if (args.isEmpty) SparkEntry.queries
+      if (args.isEmpty) inventory
       else {
-        val unknown = args.filterNot(SparkEntry.queries.contains)
+        val unknown = args.filterNot(inventory.contains)
         if (unknown.nonEmpty)
           System.err.println(s"[bench] unknown queries ignored: ${unknown.mkString(",")}")
-        SparkEntry.queries.view.filterKeys(args.contains).toMap
+        inventory.view.filterKeys(args.contains).toMap
       }
 
     val warmDir = new java.io.File(new java.io.File(sfDir).getParent, "sf0.001")
@@ -148,7 +154,11 @@ object Bench {
       System.err.println(s"[bench-diff] ${n} quer${if (n == 1) "y" else "ies"} >=1.5x slower than previous detail file")
     }
     val regressed = deltas.count(_._4 >= 1.5)
-    val header = s""""metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"failed":$failed,"regressed":$regressed,"detail":"$detailFile","queries":"""
+    // n_raw makes the series comparable across rounds: total includes the
+    // raw build rows (new in r8), declared-query subtotal = recompute
+    // from bench_detail.json minus *_raw entries
+    val nRaw = results.count { case (name, _) => RawBuilds.map.contains(name) }
+    val header = s""""metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_raw":$nRaw,"failed":$failed,"regressed":$regressed,"detail":"$detailFile","queries":"""
     val budget = 1500 - header.length - 4
     val bySlowest = results.toSeq.sortBy { case (_, v) => -v }
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }

@@ -55,25 +55,36 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     innerFor(spark).computeIfAbsent((dir, name), _ => load(spark, dir, name))
 
-  private def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") {
-      // The driver's events.ts has shipped as parquet TIMESTAMP(NANOS)
-      // (which Spark 4 refuses to read natively) and, since the round-7
-      // data refresh, as TIMESTAMP(MICROS) with isAdjustedToUTC=false
-      // (which Spark reads as TIMESTAMP_NTZ). Normalize BOTH to the
-      // session-local TIMESTAMP every downstream query assumes — the
-      // whole events family extracts epochs via unix_micros(), which
-      // rejects NTZ outright (the round-6 11-query failure cluster).
-      // Under the UTC session timezone both normalizations are
-      // value-preserving and match DuckDB's reading of the same file.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val df = spark.read.parquet(s"$dir/$name.parquet")
-      df.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType => // nanos-as-long era
-          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        case org.apache.spark.sql.types.TimestampNTZType =>
-          df.withColumn("ts", col("ts").cast("timestamp"))
-        case _ => df
-      }
-    } else spark.read.parquet(s"$dir/$name.parquet")
+  private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df =
+      if (name == "events") {
+        // The driver's events.ts has shipped as parquet TIMESTAMP(NANOS)
+        // (which Spark 4 refuses to read natively) and, since the round-7
+        // data refresh, as TIMESTAMP(MICROS) with isAdjustedToUTC=false
+        // (which Spark reads as TIMESTAMP_NTZ). Normalize the nanos era
+        // here; the NTZ case falls through to the uniform pass below —
+        // the whole events family extracts epochs via unix_micros(),
+        // which rejects NTZ outright (the round-6 11-query failure
+        // cluster).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val raw = spark.read.parquet(s"$dir/$name.parquet")
+        raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType => // nanos-as-long era
+            raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          case _ => raw
+        }
+      } else spark.read.parquet(s"$dir/$name.parquet")
+    // Uniform NTZ→TIMESTAMP normalization for EVERY table (r7 verdict
+    // ask #3): orders.o_orderdate / lineitem.l_shipdate also read NTZ
+    // after the testdata refresh, and leaving them NTZ is the same
+    // latent class that detonated 11 queries in round 6 — one future
+    // unix_micros-style expression in the relational family would
+    // re-trip it. Under the UTC session timezone the cast is
+    // value-preserving and identical to DuckDB's reading of the file.
+    val ntz = df.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.TimestampNTZType =>
+        f.name
+    }
+    ntz.foldLeft(df)((acc, c) => acc.withColumn(c, col(c).cast("timestamp")))
+  }
 }

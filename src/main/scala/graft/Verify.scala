@@ -59,5 +59,9 @@ object Verify {
         s"[verify] ${failures.size} QUERIES FAILED (coverage regressed): " +
           failures.keys.mkString(","))
     spark.stop()
+    // Exit-code contract matches Bench (ADVICE r7): automation gating on
+    // rc must not read a coverage-regressed run as green. The artifacts
+    // above are already written, so nothing is lost by the hard exit.
+    if (failures.nonEmpty) sys.exit(1)
   }
 }

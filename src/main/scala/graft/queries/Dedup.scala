@@ -134,10 +134,30 @@ object Dedup {
     * was the most expensive dedup query while recomputing work two
     * sibling queries had already materialized); the raw declarative
     * join shape stays under audit via PlanHygieneSpec's explicit
-    * `lshPairs` entry. */
+    * `lshPairs` entry.
+    *
+    * Durable form (r7 verdict ask #5, the same seam as Similarity's
+    * pqIndex): with `spark.graft.indexWarehouse` set, the pair table is
+    * built once, written through Catalog.storeTable (write-once
+    * parquet), and every consumer reads the WRITTEN table — at 100 TB
+    * an executor loss replays a file read instead of the full
+    * shingle→signature→band-join build (DedupDurableSpec). */
   private val lshPairsCache = new FrameMemo
   private def lshPairsShared(s: SparkSession, d: String): DataFrame =
-    lshPairsCache.get(s, d)(lshPairs(s, d).localCheckpoint())
+    s.conf.getOption("spark.graft.indexWarehouse") match {
+      case Some(wh) =>
+        lshPairsCache.get(s, s"$d|durable=$wh") {
+          val name = "lsh_pairs_" + java.security.MessageDigest
+            .getInstance("MD5").digest(d.getBytes("UTF-8"))
+            .take(4).map("%02x".format(_)).mkString
+          val cat = new graft.engine.Catalog(s, wh)
+          try {
+            if (!cat.exists(name)) cat.storeTable(lshPairs(s, d), name)
+            cat.readTable(name)
+          } finally cat.close()
+        }
+      case None => lshPairsCache.get(s, d)(lshPairs(s, d).localCheckpoint())
+    }
 
   /** Materialized corpus shingle tables — the global n-gram index every
     * dedup pass builds once and every consumer reads (the text twin of

@@ -548,13 +548,15 @@ object PipelineOps {
     // pass): the unit is a non-overlapping 20-token block, hashed with
     // md5; a block is a duplicate when the same hash occurred at an
     // earlier (doc_id, offset) anywhere in the corpus, and only the
-    // first occurrence is kept. "First" is the min of an exact integer
-    // encoding doc_id*1000000+start (offsets are block-aligned and far
-    // below 1e6), so both engines agree bit-for-bit without an arg-min
-    // over structs. Shapes: one narrow explode, a 2-phase min per hash,
-    // an equi-join back on the hash, a per-doc agg — every stage
-    // shuffle-bounded on a key, nothing quadratic, so a corpus where
-    // 30% of blocks are shared boilerplate dedups at scan cost.
+    // first occurrence is kept. "First" is min(struct(doc_id, start))
+    // — lexicographic struct min, identical semantics in both engines
+    // and exact at ANY doc_id (an integer packing like doc_id·1e6+start
+    // silently corrupts the policy once ids or offsets outgrow the
+    // factor — the ADVICE r7 hole). Shapes: one narrow explode, a
+    // 2-phase min per hash, an equi-join back on the hash, a per-doc
+    // agg — every stage shuffle-bounded on a key, nothing quadratic, so
+    // a corpus where 30% of blocks are shared boilerplate dedups at
+    // scan cost.
     "doc_dedup_paragraphs" -> ((s, d) => {
       import s.implicits._
       val blocks = t(s, d, "documents")
@@ -566,13 +568,15 @@ object PipelineOps {
           expr("size(slice(toks, start + 1, 20))").cast("long").as("n_toks"),
           md5(expr("array_join(slice(toks, start + 1, 20), ' ')")
             .cast("binary")).as("h"))
-        .withColumn("ord", $"doc_id" * 1000000L + $"start")
-      val first = blocks.groupBy($"h").agg(min($"ord").as("first_ord"))
+      val first = blocks.groupBy($"h")
+        .agg(min(struct($"doc_id", $"start")).as("fo"))
       blocks.join(first, "h")
+        .withColumn("is_first",
+          struct($"doc_id", $"start") === $"fo")
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_blocks"),
-          sum(when($"ord" =!= $"first_ord", 1L).otherwise(0L)).as("n_dup_blocks"),
-          sum(when($"ord" === $"first_ord", $"n_toks").otherwise(0L))
+          sum(when(!$"is_first", 1L).otherwise(0L)).as("n_dup_blocks"),
+          sum(when($"is_first", $"n_toks").otherwise(0L))
             .as("kept_tokens"))
         .select($"doc_id", $"n_blocks", $"n_dup_blocks", $"kept_tokens",
           round($"n_dup_blocks".cast("double") / $"n_blocks", 4).as("dup_ratio"))
@@ -608,14 +612,69 @@ object PipelineOps {
       val model = db.groupBy($"b").agg(sum($"cnt").as("r_cnt"),
         sum(when($"lang" === "en", $"cnt").otherwise(0L)).as("t_cnt"))
       val totals = model.agg(sum($"r_cnt").as("R"), sum($"t_cnt").as("T"))
+      // Float discipline (the text_perplexity_tiers pattern): the raw
+      // LLR is a difference of log()s whose last ulp differs between
+      // Spark's Math.log and DuckDB's libm ln, and double summation
+      // order differs across engines — a weighted mean of raw doubles
+      // rounds differently at the 4-dp boundary (the r7 hash failure).
+      // Quantize each bucket's LLR to a fixed-point BIGINT first: the
+      // weighted sum is then an exact integer (order-independent), and
+      // exactly ONE float op (the final divide + round) remains.
       val llr = model.crossJoin(broadcast(totals))
         .select($"b",
-          (log(($"t_cnt" + 1.0) / ($"T" + 64.0)) -
-            log(($"r_cnt" + 1.0) / ($"R" + 64.0))).as("llr"))
+          expr("cast(round((ln((t_cnt + 1.0) / (T + 64.0)) - " +
+            "ln((r_cnt + 1.0) / (R + 64.0))) * 1e6) as bigint)")
+            .as("llr_e6"))
       db.join(broadcast(llr), "b")
         .groupBy($"doc_id", $"lang")
         .agg(sum($"cnt").as("n_toks"),
-          round(sum($"cnt" * $"llr") / sum($"cnt"), 4).as("dsir_score"))
+          round(sum($"cnt" * $"llr_e6").cast("double") /
+            (sum($"cnt") * 1e6), 4).as("dsir_score"))
+        .orderBy($"doc_id")
+    }),
+
+    // Context-gain ("learnability") scoring — the cheap corpus-LM proxy
+    // for RHO-style data selection (Mindermann et al. 2022 select by
+    // the gap between two models' losses; here the two "models" are the
+    // corpus bigram LM and the corpus unigram LM, both already implied
+    // by the text_bigram_lm build): per doc, the mean over bigram
+    // positions of log2(c(w1 w2)/c(w1 ·)) − log2(c(· w2)/N) — how much
+    // knowing the previous token improves the prediction. Low gain =
+    // memorized/boilerplate-ish text; high gain = structured prose.
+    // Float discipline is the DSIR fixed-point pattern: each position's
+    // term quantizes to an e6 BIGINT (both engines round the SAME
+    // per-pair double — c2/c1/cu/N are integers, so the term value is
+    // identical), the per-doc sum is an exact integer, and one float
+    // divide + round(4) remains. One token explode feeds the stream;
+    // the three count aggs and the scoring agg are all keyed shuffles
+    // over compact hashes — the same one-scan shape as the bigram LM.
+    "text_learnability" -> ((s, d) => {
+      import s.implicits._
+      val bg = t(s, d, "documents")
+        .select($"doc_id", toksCol.as("toks"))
+        .filter(size($"toks") >= 2)
+        .select($"doc_id", explode(expr(
+          "transform(sequence(1, size(toks) - 1)," +
+            " i -> struct(element_at(toks, i) AS w1," +
+            " element_at(toks, i + 1) AS w2," +
+            " element_at(toks, i) || ' ' || element_at(toks, i + 1) AS bg))"))
+          .as("p"))
+        .select($"doc_id", xxhash64($"p.w1").as("w1"),
+          xxhash64($"p.w2").as("w2"), xxhash64($"p.bg").as("bg"))
+        .localCheckpoint()
+      val c2 = bg.groupBy($"bg").agg(count(lit(1)).as("c2"))
+      val c1 = bg.groupBy($"w1").agg(count(lit(1)).as("c1"))
+      val cu = bg.groupBy($"w2").agg(count(lit(1)).as("cu"))
+      val n = bg.agg(count(lit(1)).as("nn"))
+      bg.join(c2, "bg").join(c1, "w1").join(cu, "w2")
+        .crossJoin(broadcast(n))
+        .select($"doc_id", expr(
+          "cast(round((log2(cast(c2 as double) / c1) - " +
+            "log2(cast(cu as double) / nn)) * 1e6) as bigint)").as("t_e6"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum($"t_e6").cast("double") / (count(lit(1)) * 1e6), 4)
+            .as("learn_score"))
         .orderBy($"doc_id")
     }),
 
@@ -629,6 +688,49 @@ object PipelineOps {
     // variable per-source cut then applies to ≤100 survivors per
     // source, so a billion-doc source costs the same shuffle as a
     // thousand-doc one.
+    // UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    // More Effective Language Sampling for Large-Scale Multilingual
+    // Pretraining"): distribute a total budget B over sources with a
+    // per-source epoch cap E, smallest sources first — a source gets
+    // its full cap n·E when even giving every remaining source that
+    // much fits the remaining budget, else all remaining (larger)
+    // sources split the remainder equally. The sequential-looking
+    // recurrence has a closed form over the size-ascending prefix: with
+    // sizes ascending, once one source is uncapped every later one is
+    // too, and the equal share stays constant — so capped rows are
+    // exactly those with cap·(k-rn+1) <= B - prefix_cap_sum, and the
+    // share is one integer division at the first uncapped row. All
+    // arithmetic is INTEGER (doc units, floor share; the sub-share
+    // remainder stays unallocated by spec), so both engines agree
+    // exactly. The window runs over #sources rows (bounded — sources
+    // are languages/domains, not data), never over docs.
+    "doc_sample_unimax" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val B = 1000L
+      val w = Window.orderBy($"n_docs".asc, $"source".asc)
+      val ranked = t(s, d, "documents").groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("cap", $"n_docs" * 2)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cumcap", coalesce(
+          sum($"cap").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      val k = ranked.agg(count(lit(1)).as("k"))
+      val flagged = ranked.crossJoin(broadcast(k))
+        .withColumn("is_capped",
+          $"cap" * ($"k" - $"rn" + 1) <= lit(B) - $"cumcap")
+      val istar = flagged.filter(!$"is_capped")
+        .agg(min(struct($"rn", $"cumcap")).as("fo"))
+        .select($"fo.rn".as("rn0"), $"fo.cumcap".as("cum0"))
+      flagged.crossJoin(broadcast(istar))
+        .withColumn("alloc_docs", when($"is_capped", $"cap")
+          .otherwise(expr(s"($B - cum0) div (k - rn0 + 1)")))
+        .select($"source", $"n_docs", $"cap".as("cap_docs"), $"alloc_docs",
+          round($"alloc_docs".cast("double") / $"n_docs", 4).as("epochs"))
+        .orderBy($"source")
+    }),
+
     "doc_sample_temperature" -> ((s, d) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
@@ -956,19 +1058,23 @@ object PipelineOps {
          |    CAST(len(list_slice(toks, start + 1, start + 20)) AS BIGINT)
          |      AS n_toks,
          |    md5(array_to_string(list_slice(toks, start + 1, start + 20), ' '))
-         |      AS h,
-         |    doc_id * 1000000 + start AS ord
+         |      AS h
          |  FROM d, unnest(generate_series(0, len(toks) - 1, 20)) AS t(start)
          |  WHERE len(toks) >= 1),
-         |first AS (SELECT h, MIN(ord) AS first_ord FROM blocks GROUP BY h)
+         |first AS (SELECT h, MIN({'doc_id': doc_id, 'start': start}) AS fo
+         |          FROM blocks GROUP BY h),
+         |flagged AS (
+         |  SELECT doc_id, n_toks,
+         |    ({'doc_id': doc_id, 'start': start} = fo) AS is_first
+         |  FROM blocks JOIN first USING (h))
          |SELECT doc_id, COUNT(*) AS n_blocks,
-         |  CAST(SUM(CASE WHEN ord <> first_ord THEN 1 ELSE 0 END) AS BIGINT)
+         |  CAST(SUM(CASE WHEN NOT is_first THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_dup_blocks,
-         |  CAST(SUM(CASE WHEN ord = first_ord THEN n_toks ELSE 0 END)
+         |  CAST(SUM(CASE WHEN is_first THEN n_toks ELSE 0 END)
          |    AS BIGINT) AS kept_tokens,
-         |  ROUND(CAST(SUM(CASE WHEN ord <> first_ord THEN 1 ELSE 0 END)
+         |  ROUND(CAST(SUM(CASE WHEN NOT is_first THEN 1 ELSE 0 END)
          |      AS DOUBLE) / COUNT(*), 4) AS dup_ratio
-         |FROM blocks JOIN first USING (h)
+         |FROM flagged
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "doc_dsir_weights" -> {
@@ -993,14 +1099,67 @@ object PipelineOps {
          |  SELECT CAST(SUM(r_cnt) AS BIGINT) AS R,
          |         CAST(SUM(t_cnt) AS BIGINT) AS T FROM model),
          |llr AS (
-         |  SELECT b, ln((t_cnt + 1.0) / (T + 64.0))
-         |            - ln((r_cnt + 1.0) / (R + 64.0)) AS llr
+         |  SELECT b, CAST(ROUND((ln((t_cnt + 1.0) / (T + 64.0))
+         |            - ln((r_cnt + 1.0) / (R + 64.0))) * 1e6) AS BIGINT)
+         |    AS llr_e6
          |  FROM model, totals)
          |SELECT doc_id, lang, CAST(SUM(cnt) AS BIGINT) AS n_toks,
-         |  ROUND(SUM(cnt * llr) / SUM(cnt), 4) AS dsir_score
+         |  ROUND(CAST(SUM(cnt * llr_e6) AS DOUBLE) / (SUM(cnt) * 1e6), 4)
+         |    AS dsir_score
          |FROM db JOIN llr USING (b)
          |GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin
     },
+
+    "doc_sample_unimax" ->
+      """WITH sizes AS (
+        |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+        |k AS (SELECT COUNT(*) AS k FROM sizes),
+        |ranked AS (
+        |  SELECT source, n_docs, n_docs * 2 AS cap,
+        |    ROW_NUMBER() OVER (ORDER BY n_docs, source) AS rn,
+        |    COALESCE(SUM(n_docs * 2) OVER (ORDER BY n_docs, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumcap
+        |  FROM sizes),
+        |f AS (
+        |  SELECT r.*, k.k,
+        |    (cap * (k - rn + 1) <= 1000 - cumcap) AS is_capped
+        |  FROM ranked r, k),
+        |istar AS (
+        |  SELECT MIN({'rn': rn, 'cumcap': cumcap}) AS fo
+        |  FROM f WHERE NOT is_capped),
+        |a AS (
+        |  SELECT f.source, f.n_docs, f.cap,
+        |    CASE WHEN is_capped THEN cap
+        |         ELSE (1000 - fo.cumcap) // (k - fo.rn + 1) END AS alloc
+        |  FROM f, istar)
+        |SELECT source, n_docs, CAST(cap AS BIGINT) AS cap_docs,
+        |  CAST(alloc AS BIGINT) AS alloc_docs,
+        |  ROUND(CAST(alloc AS DOUBLE) / n_docs, 4) AS epochs
+        |FROM a ORDER BY source""".stripMargin,
+
+    "text_learnability" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $toksSql AS toks
+         |  FROM documents),
+         |bgs AS (
+         |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2,
+         |    toks[i] || ' ' || toks[i + 1] AS bg
+         |  FROM d, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+         |  WHERE len(toks) >= 2),
+         |c2 AS (SELECT bg, COUNT(*) AS c2 FROM bgs GROUP BY bg),
+         |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bgs GROUP BY w1),
+         |cu AS (SELECT w2, COUNT(*) AS cu FROM bgs GROUP BY w2),
+         |n AS (SELECT COUNT(*) AS nn FROM bgs),
+         |terms AS (
+         |  SELECT doc_id,
+         |    CAST(ROUND((log2(CAST(c2 AS DOUBLE) / c1)
+         |      - log2(CAST(cu AS DOUBLE) / nn)) * 1e6) AS BIGINT) AS t_e6
+         |  FROM bgs JOIN c2 USING (bg) JOIN c1 USING (w1)
+         |    JOIN cu USING (w2), n)
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |  ROUND(CAST(SUM(t_e6) AS DOUBLE) / (COUNT(*) * 1e6), 4)
+         |    AS learn_score
+         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "doc_sample_temperature" -> {
       val h32 = (1 to 8).map { i =>

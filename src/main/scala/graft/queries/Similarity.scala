@@ -120,11 +120,15 @@ object Similarity {
       .groupBy($"scell")
       .agg(expr("array_sort(collect_list(named_struct(" +
         "'cent_id', cent_id, 'c', c)))").as("garr"))
-    // level-2 argmax within the joined group only
-    val cellOf = expr(
-      """array_min(transform(garr, ct -> named_struct(
+    // level-2 argmax within the joined group only — kept as the sorted
+    // top-2 so multi-probe consumers get the second-nearest cell from
+    // the SAME fold (cells[0] = the argmin ivfCells always assigned;
+    // cell2 = null when the group holds a single centroid). Sorting a
+    // ~sqrt(k)-element in-row array costs the same order as the argmin.
+    val cells2Of = expr(
+      """transform(slice(array_sort(transform(garr, ct -> named_struct(
         |  'nsim', -round(nanvl(cosine_similarity(v, ct.c), -2D), 4),
-        |  'cent_id', ct.cent_id))).cent_id""".stripMargin)
+        |  'cent_id', ct.cent_id))), 1, 2), x -> x.cent_id)""".stripMargin)
     // NO broadcast hint on the groups join: the hint would override the
     // planner's size-based choice, re-introducing the force-broadcast
     // failure mode the equi-join exists to avoid — AQE must be free to
@@ -133,7 +137,9 @@ object Similarity {
     emb.crossJoin(broadcast(supers))
       .select($"vec_id", $"v", superOf("v").as("scell"))
       .join(groups, "scell")
-      .select($"vec_id", $"v", cellOf.as("cell"))
+      .select($"vec_id", $"v", cells2Of.as("cells"))
+      .select($"vec_id", $"v",
+        expr("cells[0]").as("cell"), expr("get(cells, 1)").as("cell2"))
   }
 
   /** Within-cell candidate pairs with exact rounded cosine — the one
@@ -150,6 +156,29 @@ object Similarity {
         $"a.cell" === $"b.cell" && $"a.vec_id" < $"b.vec_id")
       .select($"a.cell".as("cell"), $"a.vec_id".as("va"),
         $"b.vec_id".as("vb"), round(cosine("a.v", "b.v"), 4).as("sim"))
+  }
+
+  /** Multi-probe within-cell candidate pairs: each vector probes its 2
+    * nearest in-group cells (the hamming-1 discipline of
+    * sim_lsh_multiprobe, applied to IVF), and a pair is a candidate
+    * when ANY probed cell is shared — recovering the border-recall the
+    * 1-probe blocking trades away (the `Similarity.ivfCells` comment's
+    * standard IVF caveat, now built). The probe explode is ≤2 rows per
+    * vector, the join stays keyed on the cell, and a pair reachable
+    * through both shared cells collapses via the (va, vb) group — work
+    * is ≤4× the 1-probe pass, still O(n^1.5) under the adaptive-k
+    * blocking, never all-pairs. */
+  private[graft] def cellPairsMultiprobe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val probes = ivfCells(s, d)
+      .select($"vec_id", $"v",
+        explode(expr("filter(array(cell, cell2), x -> x is not null)"))
+          .as("pcell"))
+    probes.as("a").join(probes.as("b"),
+        $"a.pcell" === $"b.pcell" && $"a.vec_id" < $"b.vec_id")
+      .groupBy($"a.vec_id".as("va"), $"b.vec_id".as("vb"))
+      .agg(min($"a.pcell").as("cell"),
+        max(round(cosine("a.v", "b.v"), 4)).as("sim"))
   }
 
   /** One-row 8-entry codebook (vectors with vec_id < 8) shared by the
@@ -213,6 +242,19 @@ object Similarity {
     """aggregate(transform(sequence(0, 3), m ->
       |  lut[m][int(am[m].cent_id)]),
       |  0D, (acc, e) -> acc + e)""".stripMargin)
+
+  /** The ADC top-k shortlist sim_pq_rerank refines — factored out so
+    * AnnInvariantsSpec can check fixture properties ("did truth's top-1
+    * survive the cut?") against the SAME candidate set the query uses,
+    * instead of re-deriving it. Cut on the ROUNDED 4-dp ADC distance +
+    * vec_id so both engines (and the test) select identically. */
+  private[graft] def pqShortlist(s: SparkSession, d: String, k: Int): DataFrame = {
+    import s.implicits._
+    pqIndex(s, d).filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(pqLut(s, d)))
+      .select($"vec_id", round(pqAdc, 4).as("adc_d2"))
+      .orderBy($"adc_d2".asc, $"vec_id".asc).limit(k)
+  }
 
   /** Materialized ANN index artifacts — computed ONCE per (session,
     * dir), checkpointed, and shared by sim_pq_codes / sim_pq_search /
@@ -354,6 +396,48 @@ object Similarity {
         .orderBy($"cent_id", $"pos")
     }),
 
+    // Per-cell embedding outlier flags — the vector-space analogue of
+    // the text quality filters: a vector far from its own IVF cell's
+    // centroid is a mis-embedded / out-of-distribution row a curation
+    // pass quarantines before training. Centroid components are means
+    // of e6-quantized coords (integer sums — order-independent — then
+    // ONE division), squared distance folds in fixed within-row order
+    // and quantizes to an e4 integer, and the outlier rule
+    // d2 > 1.5·cell_mean(d2) compares entirely in integer arithmetic
+    // (d2_e4·2·n > sum_d2_e4·3) — no cross-engine float boundary
+    // anywhere. Shapes at 100 TB: one dim-keyed explode agg for
+    // centroids (k·64 rows out), broadcast join back, one map pass,
+    // k-row stats broadcast — linear, no pairs.
+    "sim_cell_outliers" -> ((s, d) => {
+      import s.implicits._
+      val cells = ivfCells(s, d).select($"vec_id", $"v", $"cell")
+      val comp = cells
+        .select($"cell", posexplode($"v"))
+        .toDF("cell", "i", "x")
+        .groupBy($"cell", $"i")
+        .agg(sum(expr("cast(round(x * 1e6) as bigint)")).as("sx"),
+          count(lit(1)).as("nv"))
+      val cents = comp
+        .select($"cell", $"i",
+          ($"sx".cast("double") / ($"nv" * 1e6)).as("c"))
+        .groupBy($"cell")
+        .agg(expr("transform(array_sort(collect_list(" +
+          "named_struct('i', i, 'c', c))), p -> p.c)").as("cv"))
+      val d2c = cells.join(broadcast(cents), "cell")
+        .select($"vec_id", $"cell",
+          expr("cast(round(aggregate(zip_with(v, cv," +
+            " (x, y) -> (x - y) * (x - y))," +
+            " 0D, (acc, e) -> acc + e) * 1e4) as bigint)").as("d2_e4"))
+      val stats = d2c.groupBy($"cell")
+        .agg(sum($"d2_e4").as("sd2"), count(lit(1)).as("nc"))
+      d2c.join(broadcast(stats), "cell")
+        .select($"vec_id", $"cell",
+          round($"d2_e4".cast("double") / 1e4, 4).as("d2"),
+          round($"sd2".cast("double") / ($"nc" * 1e4), 4).as("cell_avg_d2"),
+          ($"d2_e4" * $"nc" * 2 > $"sd2" * 3).as("is_outlier"))
+        .orderBy($"vec_id")
+    }),
+
     // Array-function family over the embedding column: size, head,
     // within-row mean, extrema — all rounded for cross-engine parity.
     "arr_stats" -> ((s, d) => {
@@ -402,6 +486,71 @@ object Similarity {
         .filter($"sim" >= 0.35)
         .select($"cell", $"va".as("vec_a"), $"vb".as("vec_b"), $"sim")
         .orderBy($"vec_a", $"vec_b")
+    }),
+
+    // Multi-probe semantic near-dup (r7 verdict ask #4): the same
+    // exact-verify pass over cellPairsMultiprobe's 2-probe candidate
+    // set — each vector probes its 2 nearest in-group cells, so a pair
+    // split across a cell border (the standard IVF recall loss the
+    // 1-probe comment documents) is still a candidate when their probe
+    // sets overlap. Superset of dedup_semantic_verified by
+    // construction; sim_pair_recall_bounds pins the recall gain as an
+    // oracle-checked floor.
+    "dedup_semantic_multiprobe" -> ((s, d) => {
+      import s.implicits._
+      cellPairsMultiprobe(s, d)
+        .filter($"sim" >= 0.35)
+        .select($"cell", $"va".as("vec_a"), $"vb".as("vec_b"), $"sim")
+        .orderBy($"vec_a", $"vec_b")
+    }),
+
+    // Near-dup pair-recall CONTRACT (the `_bounds` discipline of
+    // sim_recall_bounds applied to the dedup blocking): ground truth =
+    // ALL pairs with rounded cosine >= 0.35 over a deterministic
+    // half-sample (vec_id % 2 = 0 — at 100 TB the eval runs over a
+    // sample by design; the quadratic truth join exists ONLY here, on
+    // the sample, never in a dedup path). Absolute recall of a
+    // cell-blocked pass at this LOW threshold is genuinely small (a
+    // 0.35-cosine pair is not "near" in IVF-cell terms; the fixture
+    // has no >=0.5 pairs to block tightly) — so the floors are the
+    // worst observed across sf0.001/0.01/0.1 (0.13/0.27 → pinned
+    // 0.1/0.2), and the REAL claim is the third row: multi-probe must
+    // recover >= 1.5x the 1-probe hits (observed 1.7-2.1x). All
+    // floors compare in INTEGER arithmetic (n_hit·10 vs
+    // n_truth·floor10): a double 0.8·n_truth lands an ulp off the
+    // exact multiple while DECIMAL math doesn't — the boundary would
+    // flip across engines.
+    "sim_pair_recall_bounds" -> ((s, d) => {
+      import s.implicits._
+      withCosine(s)
+      val emb = t(s, d, "embeddings")
+        .filter($"vec_id" % 2 === 0)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val truth = emb.as("a").join(emb.as("b"), $"a.vec_id" < $"b.vec_id")
+        .select($"a.vec_id".as("va"), $"b.vec_id".as("vb"),
+          round(cosine("a.v", "b.v"), 4).as("sim"))
+        .filter($"sim" >= 0.35)
+        .select($"va", $"vb")
+      def hits(pairs: DataFrame) =
+        truth.as("t").join(
+            pairs.filter($"va" % 2 === 0 && $"vb" % 2 === 0).as("p"),
+            $"t.va" === $"p.va" && $"t.vb" === $"p.vb", "left_outer")
+          .agg(count(lit(1)).as("n_truth"), count($"p.va").as("n_hit"))
+      def fin(method: String, floor10: Int)(df: DataFrame) =
+        df.select(lit(method).as("method"), $"n_truth", $"n_hit",
+          round($"n_hit" / $"n_truth", 4).as("recall"),
+          lit(floor10 / 10.0).as("floor"),
+          ($"n_hit" * 10 >= $"n_truth" * floor10).as("meets_floor"))
+      val h1 = hits(cellPairs(s, d).filter($"sim" >= 0.35)
+        .select($"va", $"vb"))
+      val h2 = hits(cellPairsMultiprobe(s, d).filter($"sim" >= 0.35)
+        .select($"va", $"vb"))
+      val gain = h1.select($"n_hit".as("n_truth"))
+        .crossJoin(broadcast(h2.select($"n_hit".as("n_hit"))))
+      fin("ivf_1probe_pairs", 1)(h1)
+        .unionAll(fin("ivf_multiprobe_pairs", 2)(h2))
+        .unionAll(fin("multiprobe_gain", 15)(gain))
+        .orderBy($"method")
     }),
 
     // Triangle enumeration in the similarity graph (edges = within-IVF-
@@ -692,10 +841,7 @@ object Similarity {
     "sim_pq_rerank" -> ((s, d) => {
       import s.implicits._
       withCosine(s)
-      val cand = pqIndex(s, d).filter($"vec_id" =!= 0)
-        .crossJoin(broadcast(pqLut(s, d)))
-        .select($"vec_id", round(pqAdc, 4).as("adc_d2"))
-        .orderBy($"adc_d2".asc, $"vec_id".asc).limit(100)
+      val cand = pqShortlist(s, d, 100)
       val emb = t(s, d, "embeddings")
         .select($"vec_id", $"embedding".cast("array<double>").as("v"))
       val q = emb.filter($"vec_id" === 0).select($"v".as("q"))
@@ -938,6 +1084,29 @@ object Similarity {
       |       sqrt(list_sum(list_transform(y.v, t -> t * t)))), 4) AS sim
       |  FROM ce x JOIN ce y ON x.cell = y.cell AND x.vec_id < y.vec_id)""".stripMargin
 
+  /** cellPairsCte + the 2-probe candidate set: assign2 keeps each
+    * vector's TOP-2 in-group cells (rn <= 2 over the same vc ranking
+    * the 1-probe assign cuts at rn = 1), pairs share ANY probed cell,
+    * and the (va, vb) group collapses double-reached pairs — the
+    * DuckDB twin of cellPairsMultiprobe. */
+  private val cellPairs2Cte: String = cellPairsCte +
+    """,
+      |assign2 AS (
+      |  SELECT vec_id, cent_id AS cell FROM (
+      |    SELECT vec_id, cent_id,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id
+      |                         ORDER BY csim DESC, cent_id) AS rn
+      |    FROM vc) WHERE rn <= 2),
+      |ce2 AS (SELECT e.vec_id, a.cell, e.v
+      |        FROM e JOIN assign2 a ON e.vec_id = a.vec_id),
+      |p2 AS (
+      |  SELECT x.vec_id AS va, y.vec_id AS vb, MIN(x.cell) AS cell,
+      |    MAX(ROUND(list_sum(list_transform(list_zip(x.v, y.v), t -> t[1] * t[2])) /
+      |      (sqrt(list_sum(list_transform(x.v, t -> t * t))) *
+      |       sqrt(list_sum(list_transform(y.v, t -> t * t)))), 4)) AS sim
+      |  FROM ce2 x JOIN ce2 y ON x.cell = y.cell AND x.vec_id < y.vec_id
+      |  GROUP BY x.vec_id, y.vec_id)""".stripMargin
+
   private val oracleBase: Map[String, String] = Map(
     "sim_cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
@@ -1025,6 +1194,68 @@ object Similarity {
       """
         |SELECT cell, va AS vec_a, vb AS vec_b, sim FROM p WHERE sim >= 0.35
         |ORDER BY vec_a, vec_b""".stripMargin),
+
+    "dedup_semantic_multiprobe" -> (cellPairs2Cte +
+      """
+        |SELECT cell, va AS vec_a, vb AS vec_b, sim FROM p2 WHERE sim >= 0.35
+        |ORDER BY vec_a, vec_b""".stripMargin),
+
+    "sim_cell_outliers" -> (cellPairsCte +
+      """,
+        |comp AS (
+        |  SELECT cell, i, SUM(CAST(ROUND(v[i] * 1e6) AS BIGINT)) AS sx,
+        |    COUNT(*) AS nv
+        |  FROM ce, unnest(generate_series(1, len(v))) AS u(i)
+        |  GROUP BY cell, i),
+        |cents AS (
+        |  SELECT cell, list(CAST(sx AS DOUBLE) / (nv * 1e6) ORDER BY i) AS cv
+        |  FROM comp GROUP BY cell),
+        |d2c AS (
+        |  SELECT ce.vec_id, ce.cell,
+        |    CAST(ROUND(list_sum(list_transform(list_zip(ce.v, cv),
+        |      t -> (t[1] - t[2]) * (t[1] - t[2]))) * 1e4) AS BIGINT) AS d2_e4
+        |  FROM ce JOIN cents USING (cell)),
+        |stats AS (
+        |  SELECT cell, SUM(d2_e4) AS sd2, COUNT(*) AS nc
+        |  FROM d2c GROUP BY cell)
+        |SELECT vec_id, cell, ROUND(CAST(d2_e4 AS DOUBLE) / 1e4, 4) AS d2,
+        |  ROUND(CAST(sd2 AS DOUBLE) / (nc * 1e4), 4) AS cell_avg_d2,
+        |  (d2_e4 * nc * 2 > sd2 * 3) AS is_outlier
+        |FROM d2c JOIN stats USING (cell) ORDER BY vec_id""".stripMargin),
+
+    "sim_pair_recall_bounds" -> (cellPairs2Cte +
+      """,
+        |se AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 0),
+        |truth AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb
+        |  FROM se a JOIN se b ON a.vec_id < b.vec_id
+        |  WHERE ROUND(list_sum(list_transform(list_zip(a.v, b.v), t -> t[1] * t[2])) /
+        |      (sqrt(list_sum(list_transform(a.v, t -> t * t))) *
+        |       sqrt(list_sum(list_transform(b.v, t -> t * t)))), 4) >= 0.35),
+        |m1 AS (SELECT va, vb FROM p
+        |       WHERE sim >= 0.35 AND va % 2 = 0 AND vb % 2 = 0),
+        |m2 AS (SELECT va, vb FROM p2
+        |       WHERE sim >= 0.35 AND va % 2 = 0 AND vb % 2 = 0),
+        |r1 AS (
+        |  SELECT 'ivf_1probe_pairs' AS method,
+        |    COUNT(*) AS n_truth, COUNT(m.va) AS n_hit, 1 AS floor10
+        |  FROM truth t LEFT JOIN m1 m ON t.va = m.va AND t.vb = m.vb),
+        |r2 AS (
+        |  SELECT 'ivf_multiprobe_pairs' AS method,
+        |    COUNT(*) AS n_truth, COUNT(m.va) AS n_hit, 2 AS floor10
+        |  FROM truth t LEFT JOIN m2 m ON t.va = m.va AND t.vb = m.vb),
+        |rg AS (
+        |  SELECT 'multiprobe_gain' AS method,
+        |    r1.n_hit AS n_truth, r2.n_hit AS n_hit, 15 AS floor10
+        |  FROM r1, r2),
+        |u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+        |      UNION ALL SELECT * FROM rg)
+        |SELECT method, CAST(n_truth AS BIGINT) AS n_truth,
+        |  CAST(n_hit AS BIGINT) AS n_hit,
+        |  ROUND(CAST(n_hit AS DOUBLE) / n_truth, 4) AS recall,
+        |  CAST(floor10 AS DOUBLE) / 10 AS floor,
+        |  (n_hit * 10 >= n_truth * floor10) AS meets_floor
+        |FROM u ORDER BY method""".stripMargin),
 
     "sim_triangles" -> (cellPairsCte +
       """,

@@ -23,6 +23,21 @@ class SmokeAllQueriesSpec extends SparkSpec {
         "unix_micros(), which rejects TIMESTAMP_NTZ; normalize in Tables.load")
   }
 
+  test("NO table exposes TIMESTAMP_NTZ (uniform Tables.load normalization)") {
+    // r7 verdict ask #3: orders.o_orderdate / lineitem.l_shipdate read
+    // NTZ after the testdata refresh; one future unix_micros-style
+    // expression would re-detonate the round-6 failure class. The loader
+    // now normalizes every NTZ column — pin that for all tables.
+    for (name <- Tables.names) {
+      val ntz = Tables.t(spark, sf(), name).schema.fields
+        .filter(_.dataType == org.apache.spark.sql.types.TimestampNTZType)
+        .map(_.name)
+      assert(ntz.isEmpty,
+        s"$name exposes TIMESTAMP_NTZ columns ${ntz.mkString(",")} — " +
+          "Tables.load must cast them to session-local TIMESTAMP")
+    }
+  }
+
   test("every declared query executes at sf0.001") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>

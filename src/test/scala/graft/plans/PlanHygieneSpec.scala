@@ -85,6 +85,9 @@ class PlanHygieneSpec extends SparkSpec {
     "doc_dsir_weights",      // 1-row (R,T) model-total agg
     "text_perplexity_tiers", // 1-row scored-doc count agg
     "doc_sample_temperature",// 1-row temperature-weight sum agg
+    "doc_sample_unimax",     // 1-row source count + 1-row first-uncapped agg
+    "text_learnability",     // 1-row corpus bigram-total agg
+    "sim_pair_recall_bounds",// 1-row per-method hit aggs (gain row compose)
     "sketch_hll_merge",      // 1-row single-pass estimate + exact agg
     "log_pagerank",          // 1-row node count (rank vector joins are equi)
     "sim_recall_eval",       // 1-row query vec/planes/codebook, 2-row probes

@@ -198,8 +198,12 @@ class AnnInvariantsSpec extends SparkSpec {
     assert(rRe >= rAdc, s"re-rank recall $rRe < raw ADC recall $rAdc")
     // and every re-ranked hit is ordered by EXACT cosine, so the list's
     // intersection with truth must be a prefix-heavy match: the top-1
-    // re-ranked vector is truth's top-1 whenever truth's top-1 survived
-    // the ADC-100 shortlist (it does on this fixture)
+    // re-ranked vector is truth's top-1 WHENEVER truth's top-1 survived
+    // the ADC-100 shortlist. That antecedent is a fixture property — a
+    // testdata regeneration could evict truth's top-1 from the
+    // shortlist without any code bug — so guard on it against the SAME
+    // candidate set the query cuts (Similarity.pqShortlist) and only
+    // then require equality (ADVICE r7).
     val top1 = SparkEntry.queries("sim_pq_rerank")(spark, sf())
       .orderBy(desc("cs"), asc("vec_id")).select($"vec_id")
       .head().getLong(0)
@@ -207,7 +211,16 @@ class AnnInvariantsSpec extends SparkSpec {
       .select($"vec_id", round(cos, 4).as("cs"))
       .orderBy(desc("cs"), asc("vec_id")).select($"vec_id")
       .head().getLong(0)
-    assert(top1 == truthTop1,
-      s"re-ranked top-1 $top1 is not the exact-cosine top-1 $truthTop1")
+    val shortlist = Similarity.pqShortlist(spark, sf(), 100)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    if (shortlist.contains(truthTop1))
+      assert(top1 == truthTop1,
+        s"truth top-1 $truthTop1 survived the ADC-100 shortlist but " +
+          s"re-ranked top-1 is $top1 — exact-cosine re-rank is broken")
+    else
+      // weaker prefix property: the re-ranked top-1 must still be the
+      // exact-cosine best AMONG the shortlist the ADC stage nominated
+      assert(shortlist.contains(top1),
+        s"re-ranked top-1 $top1 is not even in the ADC-100 shortlist")
   }
 }

@@ -361,4 +361,80 @@ class PipelineInvariantsSpec extends SparkSpec {
         s"$src: duplicate doc_ids")
     }
   }
+
+  test("doc_sample_unimax: driver-side replay of the sequential UniMax loop") {
+    // the query computes the allocation via the closed form (prefix cap
+    // sums + one share division at the first uncapped row); replay the
+    // PAPER's sequential rule — ascending sizes, alloc = min(cap,
+    // floor(remaining / sources_left)) with remaining updated per step
+    // — and require exact agreement, proving the closed form IS the loop
+    import spark.implicits._
+    val rows = SparkEntry.queries("doc_sample_unimax")(spark, sf())
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val asc = rows.sortBy(t => (t._2, t._1)) // n_docs asc, source asc
+    var remaining = 1000L
+    var share = -1L // fixed at the first uncapped source (declared rule:
+                    // constant floor share, sub-share remainder unallocated)
+    val expect = scala.collection.mutable.Map[String, Long]()
+    for (((src, n, cap, _), i) <- asc.zipWithIndex) {
+      val left = asc.length - i
+      val alloc =
+        if (share >= 0) share
+        else if (cap * left <= remaining) cap
+        else { share = remaining / left; share }
+      expect(src) = alloc
+      remaining -= alloc
+    }
+    for ((src, n, cap, alloc) <- rows) {
+      assert(cap == n * 2, s"$src: cap must be n_docs * epochs")
+      assert(alloc == expect(src),
+        s"$src: closed-form alloc $alloc != sequential replay ${expect(src)}")
+    }
+    assert(rows.map(_._4).sum <= 1000L, "total allocation within budget")
+  }
+
+  test("text_learnability: mean context gain is non-negative, bounded by bigram count") {
+    // corpus-level: knowing w1 can only sharpen w2's distribution on
+    // average (conditional entropy <= marginal entropy), so the
+    // CORPUS-WEIGHTED mean of per-doc gains must be positive; per doc
+    // the score is a mean of e6-quantized terms, so |score| is bounded
+    // by log2(N) + 1
+    import spark.implicits._
+    val rows = SparkEntry.queries("text_learnability")(spark, sf())
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    val totalBg = rows.map(_._1).sum
+    val weighted = rows.map { case (n, s) => n * s }.sum / totalBg
+    assert(weighted > 0,
+      f"corpus-weighted mean context gain $weighted%.4f must be positive")
+    val bound = math.log(totalBg.toDouble) / math.log(2) + 1
+    assert(rows.forall { case (_, s) => math.abs(s) <= bound },
+      s"per-doc |gain| bounded by log2(N)+1 = $bound")
+  }
+
+  test("sim_cell_outliers: flag matches the 1.5x-cell-mean rule, flags are sparse") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("sim_cell_outliers")(spark, sf())
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    val byCell = rows.groupBy(_._2)
+    for ((cell, members) <- byCell) {
+      // reported cell_avg_d2 is consistent within the cell and equals
+      // the mean of the quantized distances (to rounding at 4 dp)
+      assert(members.map(_._4).distinct.length == 1,
+        s"cell $cell: inconsistent cell_avg_d2")
+      val mean = members.map(_._3).sum / members.length
+      assert(math.abs(members.head._4 - mean) < 1e-3,
+        s"cell $cell: reported avg ${members.head._4} != recomputed $mean")
+      for ((id, _, d2, avg, flag) <- members)
+        assert(flag == (d2 > 1.5 * avg - 1e-9) ||
+          math.abs(d2 - 1.5 * avg) < 1e-3,
+          s"vec $id: flag $flag inconsistent with d2=$d2 avg=$avg")
+    }
+    val frac = rows.count(_._5).toDouble / rows.length
+    assert(frac < 0.5, s"outliers must be a minority, got ${frac}")
+  }
 }

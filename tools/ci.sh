@@ -1,6 +1,13 @@
 #!/bin/bash
 # Full local gate: compile, tests, oracle verify at two scale factors,
 # bench. Mirrors what the driver runs per-round.
+#
+# ROUND-EXIT RULE (verdict r7 ask #2): any query whose definition changed
+# since the last full check MUST get a fresh tools/check.py run at sf0.01
+# before the round snapshot — the r7 doc_dsir_weights hash failure
+# shipped exactly because a final-day re-plan (26c08a1/c67b4dd) was
+# never re-checked. `tools/check_changed.sh [since-ref]` automates the
+# subset run; this full gate covers the general case.
 set -e
 cd "$(dirname "$0")/.."
 echo "== compile + test =="
