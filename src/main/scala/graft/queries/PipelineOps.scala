@@ -688,6 +688,43 @@ object PipelineOps {
     // variable per-source cut then applies to ≤100 survivors per
     // source, so a billion-doc source costs the same shuffle as a
     // thousand-doc one.
+    // Train→eval n-gram decontamination (the GPT-3/Dolma discipline:
+    // before training, flag eval-split documents whose 8-grams leak
+    // from the train split). Differs from dedup_containment (doc-pair
+    // directional overlap): the unit here is SPLIT vs SPLIT — the
+    // train side collapses to one distinct 8-gram set, eval docs count
+    // hits against it. Splits reuse doc_split's deterministic md5
+    // bucketing. Shapes at 100 TB: one token explode per side, a
+    // distinct on the train grams (hash-keyed shuffle), one equi-join
+    // keyed on the gram hash — linear, no doc pairs anywhere. The
+    // contamination flag (>=10% grams hit) compares in integer
+    // arithmetic; grams hash via xxhash64 WITHIN each engine (the
+    // join is intra-engine, so only counts must agree — the LM-table
+    // precedent).
+    "text_contamination_ngrams" -> ((s, d) => {
+      import s.implicits._
+      val h = substring(md5($"doc_id".cast("string").cast("binary")), 1, 1)
+      val grams = t(s, d, "documents")
+        .select($"doc_id", toksCol.as("toks"),
+          when(h.isin("d", "e"), "val").when(h === "f", "test")
+            .otherwise("train").as("split"))
+        .filter(size($"toks") >= 8)
+        .select($"doc_id", $"split", explode(expr(
+          "transform(sequence(1, size(toks) - 7)," +
+            " i -> xxhash64(array_join(slice(toks, i, 8), ' ')))")).as("g"))
+      val trainSet = grams.filter($"split" === "train")
+        .select($"g").distinct().withColumn("hit", lit(1L))
+      grams.filter($"split" =!= "train")
+        .join(trainSet, Seq("g"), "left_outer")
+        .groupBy($"doc_id", $"split")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when($"hit".isNotNull, 1L).otherwise(0L)).as("n_hit"))
+        .select($"doc_id", $"split", $"n_grams", $"n_hit",
+          round($"n_hit".cast("double") / $"n_grams", 4).as("hit_ratio"),
+          ($"n_hit" * 10 >= $"n_grams").as("contaminated"))
+        .orderBy($"doc_id")
+    }),
+
     // UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
     // More Effective Language Sampling for Large-Scale Multilingual
     // Pretraining"): distribute a total budget B over sources with a
@@ -1109,6 +1146,34 @@ object PipelineOps {
          |FROM db JOIN llr USING (b)
          |GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin
     },
+
+    "text_contamination_ngrams" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $toksSql AS toks,
+         |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+         |           IN ('d', 'e') THEN 'val'
+         |         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f'
+         |           THEN 'test'
+         |         ELSE 'train' END AS split
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, split,
+         |    array_to_string(list_slice(toks, i, i + 7), ' ') AS g
+         |  FROM d, unnest(generate_series(1, len(toks) - 7)) AS t(i)
+         |  WHERE len(toks) >= 8),
+         |tr AS (SELECT DISTINCT g FROM g WHERE split = 'train'),
+         |ev AS (
+         |  SELECT g.doc_id, g.split, (tr.g IS NOT NULL) AS hit
+         |  FROM g LEFT JOIN tr ON g.g = tr.g
+         |  WHERE g.split <> 'train'),
+         |agg AS (
+         |  SELECT doc_id, split, COUNT(*) AS n_grams,
+         |    CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+         |  FROM ev GROUP BY doc_id, split)
+         |SELECT doc_id, split, n_grams, n_hit,
+         |  ROUND(CAST(n_hit AS DOUBLE) / n_grams, 4) AS hit_ratio,
+         |  (n_hit * 10 >= n_grams) AS contaminated
+         |FROM agg ORDER BY doc_id""".stripMargin,
 
     "doc_sample_unimax" ->
       """WITH sizes AS (

@@ -396,6 +396,40 @@ object Similarity {
         .orderBy($"cent_id", $"pos")
     }),
 
+    // k-NN label vote (k=3) within the IVF cells — the cheap
+    // label-propagation / auto-labeling pass a curation pipeline runs
+    // to spot mislabeled embeddings (pred != true on a vector whose 3
+    // neighbors agree is a label-noise candidate). Edges come from the
+    // shared sub-quadratic cell blocking (one cosine per unordered
+    // pair, mirrored for per-source ranking — the sim_mutual_knn
+    // shape); the rank<=3 cut plans as a rank-limit on both sides, the
+    // vote is an exact arg-min over (-votes, label) structs — the same
+    // deterministic tie-break both engines share. Vectors in singleton
+    // cells have no edges and no row, by construction.
+    "sim_knn_classify" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val labels = t(s, d, "embeddings")
+        .select($"vec_id", $"label".cast("long").as("label"))
+      val p = cellPairs(s, d)
+      val edges = p.select($"va".as("src"), $"vb".as("dst"), $"sim")
+        .unionAll(p.select($"vb".as("src"), $"va".as("dst"), $"sim"))
+      val w = Window.partitionBy($"src").orderBy($"sim".desc, $"dst".asc)
+      val knn = edges.withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 3)
+      knn.join(labels.select($"vec_id".as("dst"),
+          $"label".as("nlabel")), "dst")
+        .groupBy($"src", $"nlabel").agg(count(lit(1)).as("votes"))
+        .groupBy($"src")
+        .agg(min(struct((-$"votes").as("nv"), $"nlabel".as("lab"))).as("win"),
+          sum($"votes").as("n_neighbors"))
+        .join(labels.select($"vec_id".as("src"), $"label"), "src")
+        .select($"src".as("vec_id"), $"label".as("true_label"),
+          $"win.lab".as("pred_label"), (-$"win.nv").as("n_votes"),
+          $"n_neighbors", ($"win.lab" === $"label").as("correct"))
+        .orderBy($"vec_id")
+    }),
+
     // Per-cell embedding outlier flags — the vector-space analogue of
     // the text quality filters: a vector far from its own IVF cell's
     // centroid is a mis-embedded / out-of-distribution row a curation
@@ -1199,6 +1233,29 @@ object Similarity {
       """
         |SELECT cell, va AS vec_a, vb AS vec_b, sim FROM p2 WHERE sim >= 0.35
         |ORDER BY vec_a, vec_b""".stripMargin),
+
+    "sim_knn_classify" -> (cellPairsCte +
+      """,
+        |s2 AS (SELECT va AS src, vb AS dst, sim FROM p
+        |       UNION ALL SELECT vb, va, sim FROM p),
+        |k2 AS (SELECT src, dst,
+        |         ROW_NUMBER() OVER (PARTITION BY src
+        |                            ORDER BY sim DESC, dst) AS rk
+        |       FROM s2),
+        |knn AS (SELECT src, dst FROM k2 WHERE rk <= 3),
+        |votes AS (
+        |  SELECT src, CAST(l.label AS BIGINT) AS nlabel, COUNT(*) AS votes
+        |  FROM knn JOIN embeddings l ON l.vec_id = dst
+        |  GROUP BY src, l.label),
+        |win AS (
+        |  SELECT src, MIN({'nv': -votes, 'lab': nlabel}) AS w,
+        |    CAST(SUM(votes) AS BIGINT) AS n_neighbors
+        |  FROM votes GROUP BY src)
+        |SELECT src AS vec_id, CAST(l.label AS BIGINT) AS true_label,
+        |  w.lab AS pred_label, CAST(-w.nv AS BIGINT) AS n_votes,
+        |  n_neighbors, (w.lab = CAST(l.label AS BIGINT)) AS correct
+        |FROM win JOIN embeddings l ON l.vec_id = src
+        |ORDER BY vec_id""".stripMargin),
 
     "sim_cell_outliers" -> (cellPairsCte +
       """,

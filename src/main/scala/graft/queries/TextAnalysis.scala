@@ -24,6 +24,46 @@ object TextAnalysis {
   private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Zipf-law fit over the corpus frequency spectrum — the standard
+    // corpus-health diagnostic (natural text fits slope ≈ −1 on
+    // log rank vs log frequency; synthetic/templated corpora deviate
+    // hard). Least squares over the top-100 ranks: the frequency table
+    // is one hash agg, the top-100 cut plans as TakeOrderedAndProject,
+    // and the only window runs over those 100 rows. Float discipline:
+    // ln(rank)/ln(count) are functions of INTEGERS (identical doubles
+    // in both engines), quantized to e6 BIGINTs; all regression sums
+    // are exact integer arithmetic and the slope/intercept are each
+    // one float expression over those integer sums, rounded at 4 dp.
+    "text_zipf_fit" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val top = t(s, d, "documents")
+        .select(explode(expr(
+          "filter(split(lower(text), '\\\\s+'), x -> x != '')")).as("tok"))
+        .groupBy($"tok").agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"tok".asc).limit(100)
+      val ranked = top
+        .withColumn("rnk",
+          row_number().over(Window.orderBy($"cnt".desc, $"tok".asc)))
+        .select(
+          expr("cast(round(ln(cast(rnk as double)) * 1e6) as bigint)")
+            .as("lx"),
+          expr("cast(round(ln(cast(cnt as double)) * 1e6) as bigint)")
+            .as("ly"))
+      ranked
+        .agg(count(lit(1)).as("n_ranks"),
+          sum($"lx").as("sx"), sum($"ly").as("sy"),
+          sum($"lx" * $"ly").as("sxy"), sum($"lx" * $"lx").as("sxx"))
+        .select($"n_ranks", $"sx", $"sy",
+          round(($"n_ranks" * $"sxy" - $"sx" * $"sy").cast("double") /
+            ($"n_ranks" * $"sxx" - $"sx" * $"sx").cast("double"), 4)
+            .as("zipf_slope"))
+        .select($"n_ranks", $"zipf_slope",
+          round(($"sy".cast("double") / 1e6 -
+            $"zipf_slope" * ($"sx".cast("double") / 1e6)) / $"n_ranks", 4)
+            .as("intercept"))
+    }),
+
     // Quality scoring: token count, type-token ratio, stopword ratio,
     // mean token length — ratios as rounded doubles (identical operands
     // on both engines ⇒ identical division results).
@@ -287,6 +327,35 @@ object TextAnalysis {
       |        FROM documents) WHERE tok <> '')""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "text_zipf_fit" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+        |    '\s+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |top AS (
+        |  SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+        |  ORDER BY cnt DESC, tok LIMIT 100),
+        |ranked AS (
+        |  SELECT
+        |    CAST(ROUND(ln(CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok)
+        |      AS DOUBLE)) * 1e6) AS BIGINT) AS lx,
+        |    CAST(ROUND(ln(CAST(cnt AS DOUBLE)) * 1e6) AS BIGINT) AS ly
+        |  FROM top),
+        |s AS (
+        |  SELECT COUNT(*) AS n_ranks, SUM(lx) AS sx, SUM(ly) AS sy,
+        |    SUM(lx * ly) AS sxy, SUM(lx * lx) AS sxx
+        |  FROM ranked),
+        |sl AS (
+        |  SELECT CAST(n_ranks AS BIGINT) AS n_ranks, sx, sy,
+        |    ROUND(CAST(n_ranks * sxy - sx * sy AS DOUBLE) /
+        |      CAST(n_ranks * sxx - sx * sx AS DOUBLE), 4) AS zipf_slope
+        |  FROM s)
+    |SELECT n_ranks, zipf_slope,
+        |  ROUND((CAST(sy AS DOUBLE) / 1e6 -
+        |    zipf_slope * (CAST(sx AS DOUBLE) / 1e6)) / n_ranks, 4)
+        |    AS intercept
+        |FROM sl""".stripMargin,
+
     "doc_filter_reasons" ->
       s"""WITH $tokCte,
          |c AS (SELECT doc_id, tok, COUNT(*) AS c

@@ -87,7 +87,10 @@ class PlanHygieneSpec extends SparkSpec {
     "doc_sample_temperature",// 1-row temperature-weight sum agg
     "doc_sample_unimax",     // 1-row source count + 1-row first-uncapped agg
     "text_learnability",     // 1-row corpus bigram-total agg
-    "sim_pair_recall_bounds",// 1-row per-method hit aggs (gain row compose)
+    "sim_pair_recall_bounds",// DELIBERATE sampled all-pairs truth join (the
+                             // recall diagnostic's ground truth exists only
+                             // over the vec_id%2 half-sample, never in a
+                             // dedup path) + 1-row hit aggs for the gain row
     "sketch_hll_merge",      // 1-row single-pass estimate + exact agg
     "log_pagerank",          // 1-row node count (rank vector joins are equi)
     "sim_recall_eval",       // 1-row query vec/planes/codebook, 2-row probes

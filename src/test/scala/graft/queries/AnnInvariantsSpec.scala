@@ -223,4 +223,36 @@ class AnnInvariantsSpec extends SparkSpec {
       assert(shortlist.contains(top1),
         s"re-ranked top-1 $top1 is not even in the ADC-100 shortlist")
   }
+
+  test("sim_knn_classify: votes replay from the cell-pair edge set") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val out = SparkEntry.queries("sim_knn_classify")(spark, sf())
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(out.nonEmpty)
+    // replay: mirror the shared candidate edges, rank top-3 per source
+    // by (sim desc, dst asc), majority vote with (-votes, label) order
+    val pairs = Similarity.cellPairs(spark, sf())
+      .select($"va", $"vb", $"sim").as[(Long, Long, Double)].collect()
+    val labels = graft.Tables.t(spark, sf(), "embeddings")
+      .select($"vec_id", $"label".cast("long")).as[(Long, Long)]
+      .collect().toMap
+    val mirrored = pairs.flatMap { case (a, b, s) =>
+      Seq((a, b, s), (b, a, s)) }
+    val expect = mirrored.groupBy(_._1).map { case (src, es) =>
+      val top3 = es.sortBy(e => (-e._3, e._2)).take(3)
+      val votes = top3.groupBy(e => labels(e._2)).view.mapValues(_.size.toLong)
+      val (lab, nv) = votes.toSeq.minBy { case (l, v) => (-v, l) }
+      src -> (lab, nv, top3.length.toLong)
+    }
+    assert(out.map(_._1).toSet == expect.keySet, "source coverage differs")
+    for ((id, tl, pl, nv, nn, ok) <- out) {
+      val (elab, env, enn) = expect(id)
+      assert(pl == elab && nv == env && nn == enn,
+        s"vec $id: ($pl,$nv,$nn) != ($elab,$env,$enn)")
+      assert(tl == labels(id) && ok == (pl == tl))
+    }
+  }
 }

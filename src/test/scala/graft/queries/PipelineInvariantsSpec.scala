@@ -413,6 +413,71 @@ class PipelineInvariantsSpec extends SparkSpec {
       s"per-doc |gain| bounded by log2(N)+1 = $bound")
   }
 
+  test("text_zipf_fit: slope/intercept match a driver-side regression replay") {
+    import spark.implicits._
+    val Array(row) = SparkEntry.queries("text_zipf_fit")(spark, sf()).collect()
+    val (n, slope, icpt) = (row.getLong(0), row.getDouble(1), row.getDouble(2))
+    // independent replay: count tokens, take top-100 by (cnt desc, tok),
+    // quantize ln's to e6 ints, least squares on exact integer sums
+    val counts = t(spark, sf(), "documents")
+      .select(explode(expr("filter(split(lower(text), '\\\\s+'), x -> x != '')")).as("tok"))
+      .groupBy($"tok").count().as[(String, Long)].collect()
+      .sortBy { case (tok, c) => (-c, tok) }.take(100)
+    assert(n == counts.length)
+    val pts = counts.zipWithIndex.map { case ((_, c), i) =>
+      (math.round(math.log(i + 1.0) * 1e6), math.round(math.log(c.toDouble) * 1e6))
+    }
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val wantSlope = BigDecimal((n * sxy - sx * sy).toDouble / (n * sxx - sx * sx))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(slope == wantSlope, s"slope $slope != replay $wantSlope")
+    val wantIcpt = BigDecimal((sy.toDouble / 1e6 - wantSlope * (sx.toDouble / 1e6)) / n)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(icpt == wantIcpt, s"intercept $icpt != replay $wantIcpt")
+  }
+
+  test("text_contamination_ngrams: only eval splits, hits match a set replay") {
+    import spark.implicits._
+    val out = SparkEntry.queries("text_contamination_ngrams")(spark, sf())
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    assert(out.forall(r => r._2 == "val" || r._2 == "test"),
+      "train docs must never be scored")
+    // driver-side replay with raw-string grams (the query joins on
+    // xxhash64 — equal counts prove the hash join is collision-clean here)
+    val docs = t(spark, sf(), "documents")
+      .select($"doc_id", lower($"text")).as[(Long, String)].collect()
+    def split(id: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      "%02x".format(h(0)).charAt(0) match {
+        case 'd' | 'e' => "val"
+        case 'f'       => "test"
+        case _         => "train"
+      }
+    }
+    def grams(text: String): Seq[String] = {
+      val toks = text.split("\\s+").filter(_.nonEmpty)
+      if (toks.length < 8) Seq.empty
+      else (0 to toks.length - 8).map(i => toks.slice(i, i + 8).mkString(" "))
+    }
+    val trainSet = docs.filter(d => split(d._1) == "train")
+      .flatMap(d => grams(d._2)).toSet
+    val expect = docs.filter(d => split(d._1) != "train")
+      .map { case (id, text) =>
+        val g = grams(text)
+        id -> (g.length.toLong, g.count(trainSet.contains).toLong)
+      }.filter(_._2._1 > 0).toMap
+    assert(out.map(_._1).toSet == expect.keySet, "doc coverage differs")
+    for ((id, sp, ng, nh) <- out) {
+      assert((ng, nh) == expect(id), s"doc $id: ($ng, $nh) != ${expect(id)}")
+      assert(sp == split(id), s"doc $id: split $sp != ${split(id)}")
+    }
+  }
+
   test("sim_cell_outliers: flag matches the 1.5x-cell-mean rule, flags are sparse") {
     import spark.implicits._
     val rows = SparkEntry.queries("sim_cell_outliers")(spark, sf())
