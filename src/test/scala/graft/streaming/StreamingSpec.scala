@@ -611,4 +611,118 @@ class StreamingSpec extends SparkSpec {
     val hours = spark.table("late_stream").select($"hour").as[String].collect()
     assert(!hours.contains("2024-06-01 07:00"))
   }
+
+  test("doc admission (batch): equals the dedup_incremental admit set") {
+    import spark.implicits._
+    val docs = t(spark, sf(), "documents")
+    val corpusFps = docs.filter($"doc_id" % 5 <= 2)
+      .select(md5($"text".cast("binary")).as("fp")).distinct()
+    val batch = docs.filter($"doc_id" % 5 === 4)
+      .unionAll(docs.filter($"doc_id" % 10 === 0)
+        .select(($"doc_id" + 1000000L).as("doc_id"), $"text", $"lang",
+          $"source", $"n_chars"))
+      .select($"doc_id", $"text")
+    val got = DocStream.admittedDocs(batch, corpusFps).collect()
+      .map(a => (a.fp, a.doc_id)).sortBy(_._2)
+    val want = graft.SparkEntry.queries("dedup_incremental")(spark, sf())
+      .filter($"admit_id" < 2000000L) // same two sub-batches as above
+      .select($"fp", $"admit_id").as[(String, Long)].collect().sortBy(_._2)
+    assert(got.toSeq == want.toSeq,
+      s"batch admission differs: got ${got.length}, want ${want.length}")
+  }
+
+  test("doc admission (streaming): corpus + cross-batch dups rejected exactly once") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_docstream").toString
+    val src = s"$root/src"
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 10:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-06-01 10:05:00")
+    // corpus knows contents A and B; the stream delivers:
+    //   batch 1: A (corpus dup), C (new), C again (in-batch dup, higher id)
+    //   batch 2: C (cross-batch dup), D (new)
+    Seq((10L, "doc A", t0), (12L, "doc C", t0), (11L, "doc C", t0))
+      .toDF("doc_id", "text", "ingest_ts").write.mode("append").parquet(src)
+    val corpusFps = Seq("doc A", "doc B").toDF("text")
+      .select(md5($"text".cast("binary")).as("fp"))
+    val schema = spark.read.parquet(src).schema
+    val q = DocStream.admittedDocs(
+        spark.readStream.schema(schema).parquet(src), corpusFps)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("doc_admit").start()
+    try {
+      q.processAllAvailable()
+      Seq((13L, "doc C", t1), (14L, "doc D", t1))
+        .toDF("doc_id", "text", "ingest_ts").write.mode("append").parquet(src)
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("doc_admit")
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    // C admitted once at its min in-batch id (11), D admitted once; A
+    // rejected by the corpus side; nothing admitted twice
+    assert(out == Seq(11L, 14L), s"admissions: $out")
+  }
+
+  test("doc admission state survives a query restart via checkpoint") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_docrestart").toString
+    val (src, sink, chk) = (s"$root/src", s"$root/sink", s"$root/chk")
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 10:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-06-01 10:05:00")
+    Seq((1L, "doc X", t0)).toDF("doc_id", "text", "ingest_ts")
+      .write.mode("append").parquet(src)
+    val corpusFps = Seq("doc Z").toDF("text")
+      .select(md5($"text".cast("binary")).as("fp"))
+    val schema = spark.read.parquet(src).schema
+    def runOnce(): Unit = {
+      val q = DocStream.admittedDocs(
+          spark.readStream.schema(schema).parquet(src), corpusFps)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", chk)
+        .outputMode(OutputMode.Append()).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce()
+    // X re-arrives after restart plus a new Y — the recovered state
+    // store must still reject the duplicate admission
+    Seq((2L, "doc X", t1), (3L, "doc Y", t1))
+      .toDF("doc_id", "text", "ingest_ts").write.mode("append").parquet(src)
+    runOnce()
+    val out = spark.read.parquet(sink).select($"doc_id").as[Long]
+      .collect().sorted.toSeq
+    assert(out == Seq(1L, 3L), s"restart lost or duplicated state: $out")
+  }
+
+  test("doc admission: idle fingerprint state evicts past the TTL horizon") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_docttl").toString
+    val src = s"$root/src"
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 10:00:00")
+    // 10 days later: beyond the 7-day idle TTL AND the 1h watermark delay
+    val t10 = java.sql.Timestamp.valueOf("2024-06-11 10:00:00")
+    Seq((1L, "doc E", t0)).toDF("doc_id", "text", "ingest_ts")
+      .write.mode("append").parquet(src)
+    val corpusFps = Seq("doc Z").toDF("text")
+      .select(md5($"text".cast("binary")).as("fp"))
+    val schema = spark.read.parquet(src).schema
+    val q = DocStream.admittedDocs(
+        spark.readStream.schema(schema).parquet(src), corpusFps)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("doc_ttl").start()
+    try {
+      q.processAllAvailable()
+      // advance the watermark far past E's horizon with an unrelated doc,
+      // then re-deliver E — after eviction it is re-admitted (the
+      // documented TTL trade)
+      Seq((2L, "doc F", t10)).toDF("doc_id", "text", "ingest_ts")
+        .write.mode("append").parquet(src)
+      q.processAllAvailable()
+      Seq((3L, "doc E", t10)).toDF("doc_id", "text", "ingest_ts")
+        .write.mode("append").parquet(src)
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("doc_ttl")
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(1L, 2L, 3L),
+      s"expected E re-admitted after TTL eviction: $out")
+  }
 }
