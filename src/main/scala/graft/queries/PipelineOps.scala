@@ -678,6 +678,64 @@ object PipelineOps {
         .orderBy($"doc_id")
     }),
 
+    // Leakage-safe splitting: doc_split keys the train/val/test draw on
+    // doc_id, so two byte-identical copies under different ids can land
+    // in different splits — the classic train→eval leak. Here the draw
+    // keys on the CONTENT group (md5(text) → canonical = min doc_id →
+    // same md5-hex-char rule), so every copy of the same content rides
+    // one split. Shapes at 100 TB: one content-hash groupBy (the
+    // dedup_exact shuffle) then a 3-row re-agg — the text never
+    // shuffles, only 16-byte hashes and counters do.
+    "doc_split_safe" -> ((s, d) => {
+      import s.implicits._
+      val groups = t(s, d, "documents")
+        .groupBy(md5($"text".cast("binary")).as("fp"))
+        .agg(min($"doc_id").as("canon"), count(lit(1)).as("n_copies"),
+          sum($"n_chars").as("g_chars"))
+      val h = substring(md5($"canon".cast("string").cast("binary")), 1, 1)
+      groups
+        .select(when(h.isin("d", "e"), "val").when(h === "f", "test")
+          .otherwise("train").as("split"), $"n_copies", $"g_chars")
+        .groupBy($"split")
+        .agg(count(lit(1)).as("n_groups"), sum($"n_copies").as("n_docs"),
+          sum($"g_chars").as("total_chars"))
+        .orderBy($"split")
+    }),
+
+    // Corpus snapshot diff (incremental-refresh accounting): compare
+    // version 1 (documents) against a derived version 2 — docs with
+    // doc_id % 17 = 3 dropped, docs with doc_id % 13 = 5 re-crawled
+    // with edited text (upper()), docs with doc_id % 11 = 0 re-ingested
+    // under fresh ids — and classify every id as added / removed /
+    // changed / unchanged by CONTENT HASH, never by text equality.
+    // Shapes at 100 TB: each side reduces to (doc_id, 16-byte fp)
+    // before the full-outer join, so the join shuffles ids + hashes
+    // only; the per-status rollup is a 4-row agg. In production v2 is
+    // a second snapshot directory — the derived view here exists so
+    // the oracle can state the same diff.
+    "doc_delta" -> ((s, d) => {
+      import s.implicits._
+      val v1 = t(s, d, "documents")
+        .select($"doc_id", md5($"text".cast("binary")).as("fp1"))
+      val base = t(s, d, "documents")
+      val kept = base.filter($"doc_id" % 17 =!= 3)
+        .select($"doc_id",
+          when($"doc_id" % 13 === 5, md5(upper($"text").cast("binary")))
+            .otherwise(md5($"text".cast("binary"))).as("fp2"))
+      val added = base.filter($"doc_id" % 11 === 0)
+        .select(($"doc_id" + 5000000L).as("doc_id"),
+          md5($"text".cast("binary")).as("fp2"))
+      v1.join(kept.unionAll(added), Seq("doc_id"), "full_outer")
+        .select($"doc_id",
+          when($"fp2".isNull, "removed")
+            .when($"fp1".isNull, "added")
+            .when($"fp1" =!= $"fp2", "changed")
+            .otherwise("unchanged").as("status"))
+        .groupBy($"status")
+        .agg(count(lit(1)).as("n_docs"), sum($"doc_id").as("id_checksum"))
+        .orderBy($"status")
+    }),
+
     // Temperature-scaled mixture sampling (the multilingual corpus
     // balancing rule from XLM-R: p_s ∝ n_s^0.7 flattens the source
     // distribution so head sources stop drowning the tail). Per-source
@@ -837,6 +895,41 @@ object PipelineOps {
         |  COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY split ORDER BY split""".stripMargin,
+
+    "doc_split_safe" ->
+      """WITH g AS (
+        |  SELECT md5(text) AS fp, MIN(doc_id) AS canon,
+        |    COUNT(*) AS n_copies, SUM(n_chars) AS g_chars
+        |  FROM documents GROUP BY md5(text))
+        |SELECT CASE WHEN substring(md5(CAST(canon AS VARCHAR)), 1, 1)
+        |              IN ('d', 'e') THEN 'val'
+        |            WHEN substring(md5(CAST(canon AS VARCHAR)), 1, 1) = 'f'
+        |              THEN 'test'
+        |            ELSE 'train' END AS split,
+        |  COUNT(*) AS n_groups, CAST(SUM(n_copies) AS BIGINT) AS n_docs,
+        |  CAST(SUM(g_chars) AS BIGINT) AS total_chars
+        |FROM g GROUP BY split ORDER BY split""".stripMargin,
+
+    "doc_delta" ->
+      """WITH v1 AS (SELECT doc_id, md5(text) AS fp1 FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 5 THEN md5(upper(text))
+        |         ELSE md5(text) END AS fp2
+        |  FROM documents WHERE doc_id % 17 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 5000000, md5(text)
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |j AS (
+        |  SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+        |    CASE WHEN fp2 IS NULL THEN 'removed'
+        |         WHEN fp1 IS NULL THEN 'added'
+        |         WHEN fp1 <> fp2 THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        |SELECT status, COUNT(*) AS n_docs,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+        |FROM j GROUP BY status ORDER BY status""".stripMargin,
 
     "text_repetition" ->
       s"""WITH d AS (

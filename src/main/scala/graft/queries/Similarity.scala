@@ -781,6 +781,34 @@ object Similarity {
         .orderBy($"vec_id")
     }),
 
+    // Johnson–Lindenstrauss signed random projection (the Achlioptas
+    // ±1 construction): project every embedding to 8 dims with a
+    // DETERMINISTIC pseudo-random sign matrix — sign(j, d) = parity of
+    // an integer hash of (j, d) — so both engines derive the identical
+    // matrix from arithmetic alone, no stored state. Coordinates are
+    // fixed-point (e6-quantized BIGINTs) so the projection is an exact
+    // integer fold: order-independent, no cross-engine float wobble.
+    // Shapes at 100 TB: a pure per-row projection — no explode, no
+    // shuffle, no join; whole-stage codegen over the array fold. This
+    // is the dimensionality-reduction front-end an ANN pipeline runs
+    // before banding/bucketing sketches.
+    "sim_rp_project" -> ((s, d) => {
+      import s.implicits._
+      val sgn = "IF((((j * 131 + dd * 137) * 2654435761) % 1000003) % 2" +
+        " = 0, 1, -1)"
+      t(s, d, "embeddings")
+        .select($"vec_id", expr(
+          "transform(embedding, x -> cast(round(cast(x as double) * 1e6)" +
+            " as bigint))").as("e6"))
+        .select($"vec_id", expr(
+          "transform(sequence(0, 7), j -> aggregate(" +
+            "sequence(0, size(e6) - 1), cast(0 as bigint)," +
+            s" (acc, dd) -> acc + $sgn * element_at(e6, dd + 1)))").as("p"))
+        .select(($"vec_id" +: (0 until 8).map(j =>
+          expr(s"element_at(p, ${j + 1})").as(s"p$j"))): _*)
+        .orderBy($"vec_id")
+    }),
+
     // K-means (Lloyd) over embeddings: k = 8 centroids seeded from
     // vec_id < 8, two full iterations (assign → mean-update → assign).
     // The 100 TB shape of each iteration: the codebook is ONE broadcast
@@ -1468,6 +1496,27 @@ object Similarity {
         |      abs(x - floor(x / (amax / 127.0) + 0.5) * (amax / 127.0)))),
         |      6) END AS max_err
         |FROM e ORDER BY vec_id""".stripMargin,
+
+    "sim_rp_project" -> {
+      val cols = (0 until 8).map(j =>
+        s"CAST(SUM(CASE WHEN j = $j THEN term ELSE 0 END) AS BIGINT)" +
+          s" AS p$j").mkString(",\n        |  ")
+      s"""WITH e AS (
+         |  SELECT vec_id, i - 1 AS dd,
+         |    CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT)
+         |      AS v_e6
+         |  FROM embeddings,
+         |    unnest(generate_series(1, len(embedding))) AS t(i)),
+         |terms AS (
+         |  SELECT vec_id, js.j AS j,
+         |    CASE WHEN ((js.j * 131 + dd * 137) * 2654435761)
+         |              % 1000003 % 2 = 0
+         |         THEN v_e6 ELSE -v_e6 END AS term
+         |  FROM e, (SELECT unnest(generate_series(0, 7)) AS j) js)
+         |SELECT vec_id,
+         |  $cols
+         |FROM terms GROUP BY vec_id ORDER BY vec_id""".stripMargin
+    },
 
     "sim_kmeans" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

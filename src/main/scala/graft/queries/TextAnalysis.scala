@@ -122,6 +122,31 @@ object TextAnalysis {
         .orderBy($"doc_id")
     }),
 
+    // Vocabulary coverage / OOV rate: the tokenizer-health signal a
+    // training pipeline watches when it fixes a vocab — per doc, the
+    // fraction of tokens inside the corpus top-1000 vocabulary
+    // (count DESC, token ASC — a total order, so the 1000-cut is
+    // deterministic on both engines). Shapes at 100 TB: the vocab is
+    // one word-count agg + a bounded TakeOrdered(1000) that
+    // BROADCASTS; the per-doc pass is then a map-side hash-join +
+    // one doc-keyed agg — the token stream never shuffles twice.
+    "text_vocab_coverage" -> ((s, d) => {
+      import s.implicits._
+      val tk = t(s, d, "documents")
+        .select($"doc_id", explode(split(lower($"text"), "\\s+")).as("tok"))
+        .filter($"tok" =!= "")
+      val vocab = tk.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"tok".asc).limit(1000)
+        .select($"tok", lit(1L).as("in_vocab"))
+      tk.join(broadcast(vocab), Seq("tok"), "left_outer")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(coalesce($"in_vocab", lit(0L))).as("n_in_vocab"))
+        .select($"doc_id", $"n_tokens", $"n_in_vocab",
+          round($"n_in_vocab".cast("double") / $"n_tokens", 4).as("coverage"))
+        .orderBy($"doc_id")
+    }),
+
     // TF-IDF: term frequency × ln((N+1)/(df+1)) — the canonical
     // feature-weighting op. tf/df are plain 2-phase hash aggs; the tiny
     // df table and the N scalar are broadcast.
@@ -418,6 +443,20 @@ object TextAnalysis {
         |       AS BIGINT) AS n_bpe_pieces,
         |  n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_vocab_coverage" ->
+      s"""WITH $tokCte,
+         |vocab AS (
+         |  SELECT tok FROM (
+         |    SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY tok
+         |    ORDER BY cnt DESC, tok LIMIT 1000)),
+         |v AS (SELECT tok, 1 AS in_vocab FROM vocab)
+         |SELECT doc_id, COUNT(*) AS n_tokens,
+         |  CAST(SUM(COALESCE(in_vocab, 0)) AS BIGINT) AS n_in_vocab,
+         |  ROUND(CAST(SUM(COALESCE(in_vocab, 0)) AS DOUBLE) / COUNT(*), 4)
+         |    AS coverage
+         |FROM tk LEFT JOIN v USING (tok)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_tfidf" ->
       s"""WITH $tokCte,
