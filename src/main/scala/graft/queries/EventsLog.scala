@@ -33,6 +33,37 @@ object EventsLog {
         .orderBy($"event_type")
     }),
 
+    // A/B experiment readout: users deterministically bucketed into two
+    // variants by the first md5-hex char of user_id (0-7 → A, 8-f → B),
+    // then per-variant exposure / conversion / revenue — the analysis
+    // every event pipeline runs behind a feature flag. Shapes at
+    // 100 TB: the variant is a pure per-row hash projection (no
+    // assignment table to join), and the whole readout is ONE
+    // variant-keyed agg with map-side partials; revenue sums in
+    // DECIMAL(18,2) so engines agree to the cent regardless of
+    // summation order. Rates are single float divisions of exact
+    // integers, rounded at 4 dp.
+    "log_ab_metrics" -> ((s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+        .select($"user_id", $"event_type", $"value",
+          when(substring(md5($"user_id".cast("string").cast("binary")), 1, 1)
+              .isin("0", "1", "2", "3", "4", "5", "6", "7"), "A")
+            .otherwise("B").as("variant"))
+      ev.groupBy($"variant")
+        .agg(countDistinct($"user_id").as("n_users"),
+          count(lit(1)).as("n_events"),
+          countDistinct(when($"event_type" === "purchase", $"user_id"))
+            .as("n_purchasers"),
+          sum(when($"event_type" === "purchase",
+            $"value".cast(DecimalType(18, 2))).otherwise(lit(null)))
+            .cast("double").as("revenue"))
+        .select($"variant", $"n_users", $"n_events", $"n_purchasers",
+          round($"n_purchasers".cast("double") / $"n_users", 4)
+            .as("conv_rate"), coalesce($"revenue", lit(0.0)).as("revenue"))
+        .orderBy($"variant")
+    }),
+
     // L8: exact distinct users per event_type.
     "log_distinct_users" -> ((s, d) => {
       import s.implicits._
@@ -686,6 +717,25 @@ object EventsLog {
     "log_distinct_users" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "log_ab_metrics" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, value,
+        |    CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+        |              IN ('0','1','2','3','4','5','6','7')
+        |         THEN 'A' ELSE 'B' END AS variant
+        |  FROM events)
+        |SELECT variant, COUNT(DISTINCT user_id) AS n_users,
+        |  COUNT(*) AS n_events,
+        |  COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+        |                      THEN user_id END) AS n_purchasers,
+        |  ROUND(CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+        |                   THEN user_id END) AS DOUBLE)
+        |        / COUNT(DISTINCT user_id), 4) AS conv_rate,
+        |  COALESCE(CAST(SUM(CASE WHEN event_type = 'purchase'
+        |    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0)
+        |    AS revenue
+        |FROM ev GROUP BY variant ORDER BY variant""".stripMargin,
 
     "log_topk_users" ->
       """SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id

@@ -736,6 +736,37 @@ object PipelineOps {
         .orderBy($"status")
     }),
 
+    // Deterministic source interleave (curriculum/mixture assembly):
+    // emit the first 100 positions of the round-robin order that cycles
+    // source_1, source_2, …, source_n, source_1, … — the write order a
+    // training-shard assembler uses so no shard is ever a single-source
+    // run. position = (rank_within_source − 1)·n_sources + source_idx:
+    // integer, collision-free, and REQUIRES no global sort — the
+    // within-source rank is a source-partitioned window pre-cut at the
+    // constant 100 (TopKPerKey's map-side partial top-k shape), the
+    // source index is a bounded window over the handful of distinct
+    // sources, broadcast back. A billion-doc source contributes ≤100
+    // rows to the shuffle.
+    "doc_interleave" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+      val si = docs.select($"source").distinct()
+        .withColumn("idx",
+          row_number().over(Window.orderBy($"source")).cast("long"))
+      val ns = si.agg(count(lit(1)).as("n_src"))
+      val w = Window.partitionBy($"source").orderBy($"doc_id")
+      docs.select($"source", $"doc_id")
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter($"rk" <= 100)
+        .join(broadcast(si), "source")
+        .crossJoin(broadcast(ns))
+        .select((($"rk" - 1) * $"n_src" + $"idx").as("pos"),
+          $"source", $"doc_id")
+        .filter($"pos" <= 100)
+        .orderBy($"pos")
+    }),
+
     // Temperature-scaled mixture sampling (the multilingual corpus
     // balancing rule from XLM-R: p_s ∝ n_s^0.7 flattens the source
     // distribution so head sources stop drowning the tail). Per-source
@@ -930,6 +961,20 @@ object PipelineOps {
         |SELECT status, COUNT(*) AS n_docs,
         |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum
         |FROM j GROUP BY status ORDER BY status""".stripMargin,
+
+    "doc_interleave" ->
+      """WITH si AS (
+        |  SELECT source, ROW_NUMBER() OVER (ORDER BY source) AS idx
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |n AS (SELECT COUNT(*) AS n_src FROM si),
+        |r AS (
+        |  SELECT source, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+        |  FROM documents)
+        |SELECT CAST((rk - 1) * n_src + idx AS BIGINT) AS pos,
+        |  source, doc_id
+        |FROM r JOIN si USING (source), n
+        |WHERE (rk - 1) * n_src + idx <= 100 ORDER BY pos""".stripMargin,
 
     "text_repetition" ->
       s"""WITH d AS (

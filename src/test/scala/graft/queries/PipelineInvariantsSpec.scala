@@ -502,4 +502,152 @@ class PipelineInvariantsSpec extends SparkSpec {
     val frac = rows.count(_._5).toDouble / rows.length
     assert(frac < 0.5, s"outliers must be a minority, got ${frac}")
   }
+
+  test("doc_split_safe: no content group straddles splits; totals match doc_split") {
+    import spark.implicits._
+    // independent per-doc assignment: group docs by content hash, pull
+    // the group canonical, apply the same hex-char rule, then check
+    // every multi-copy group lands in exactly ONE split
+    val docs = t(spark, sf(), "documents")
+      .select($"doc_id", md5($"text".cast("binary")).as("fp"), $"n_chars")
+    val canon = docs.groupBy($"fp").agg(min($"doc_id").as("canon"))
+    val perDoc = docs.join(canon, "fp")
+      .select($"fp", $"doc_id", $"n_chars",
+        substring(md5($"canon".cast("string").cast("binary")), 1, 1)
+          .as("h"))
+      .select($"fp", $"doc_id", $"n_chars",
+        when($"h".isin("d", "e"), "val").when($"h" === "f", "test")
+          .otherwise("train").as("split"))
+    val straddlers = perDoc.groupBy($"fp")
+      .agg(countDistinct($"split").as("ns")).filter($"ns" > 1).count()
+    assert(straddlers == 0, s"$straddlers content groups straddle splits")
+
+    // the declared query agrees with this independent per-doc rollup
+    val got = SparkEntry.queries("doc_split_safe")(spark, sf())
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    val expect = perDoc.groupBy($"split")
+      .agg(countDistinct($"fp").as("g"), count(lit(1)).as("n"),
+        sum($"n_chars").as("c"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    assert(got == expect, s"per-split rollup mismatch: $got vs $expect")
+
+    // grand totals equal doc_split's (both cover every doc exactly once)
+    val unsafe = SparkEntry.queries("doc_split")(spark, sf())
+      .agg(sum($"n_docs"), sum($"total_chars")).head()
+    val safe = (got.values.map(_._2).sum, got.values.map(_._3).sum)
+    assert((unsafe.getLong(0), unsafe.getLong(1)) == safe,
+      "doc coverage differs between doc_split and doc_split_safe")
+  }
+
+  test("doc_delta: statuses partition the id universe with exact counts") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("doc_delta")(spark, sf())
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val docs = t(spark, sf(), "documents").select($"doc_id").cache()
+    val nV1 = docs.count()
+    val nRemoved = docs.filter($"doc_id" % 17 === 3).count()
+    val added = docs.filter($"doc_id" % 11 === 0)
+      .agg(count(lit(1)), sum($"doc_id" + 5000000L)).head()
+    assert(rows("removed")._1 == nRemoved, "removed count")
+    assert(rows("added") == ((added.getLong(0), added.getLong(1))),
+      "added count/checksum")
+    // every v1 id appears exactly once across removed/changed/unchanged,
+    // every added id once under added
+    assert(rows.values.map(_._1).sum == nV1 + added.getLong(0),
+      "statuses do not partition the id universe")
+    docs.unpersist()
+  }
+
+  test("doc_interleave: positions 1..100 cycle the sources round-robin") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("doc_interleave")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == (1L to 100L),
+      "positions must be exactly 1..100")
+    val srcs = t(spark, sf(), "documents").select($"source").distinct()
+      .collect().map(_.getString(0)).sorted
+    val n = srcs.length
+    for ((pos, src, _) <- rows)
+      assert(src == srcs(((pos - 1) % n).toInt),
+        s"pos $pos: source $src breaks the round-robin cycle")
+    // within one source, doc_ids appear in ascending order
+    rows.groupBy(_._2).values.foreach { g =>
+      val ids = g.sortBy(_._1).map(_._3)
+      assert(ids.sameElements(ids.sorted), "per-source order not ascending")
+    }
+  }
+
+  test("log_ab_metrics: variants partition users and events") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("log_ab_metrics")(spark, sf())
+      .collect()
+    assert(rows.map(_.getString(0)).toSet == Set("A", "B"))
+    val ev = t(spark, sf(), "events")
+    val totalUsers = ev.select(countDistinct($"user_id")).head().getLong(0)
+    val totalEvents = ev.count()
+    assert(rows.map(_.getLong(1)).sum == totalUsers,
+      "variant user counts must partition the user set")
+    assert(rows.map(_.getLong(2)).sum == totalEvents,
+      "variant event counts must partition the event log")
+    for (r <- rows) {
+      assert(r.getLong(3) <= r.getLong(1), "purchasers bounded by users")
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+  }
+
+  test("text_vocab_coverage: bounds hold and the vocab cut is the true top-1000") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("text_vocab_coverage")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    for ((id, nTok, nIn) <- rows)
+      assert(nIn >= 0 && nIn <= nTok, s"doc $id: $nIn not in [0, $nTok]")
+
+    // independent vocab: every (cnt, tok) inside the cut must outrank
+    // every one outside under (cnt DESC, tok ASC) — the cut is a true
+    // top-k, not an arbitrary 1000 rows
+    val wc = t(spark, sf(), "documents")
+      .select(explode(split(lower($"text"), "\\s+")).as("tok"))
+      .filter($"tok" =!= "")
+      .groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val ordered = wc.sortBy { case (tok, cnt) => (-cnt, tok) }
+    val k = math.min(1000, ordered.length)
+    val inVocab = ordered.take(k).map(_._1).toSet
+    val totalIn = rows.map(_._3).sum
+    val expectIn = t(spark, sf(), "documents")
+      .select(explode(split(lower($"text"), "\\s+")).as("tok"))
+      .filter($"tok" =!= "")
+      .filter($"tok".isin(inVocab.toSeq: _*))
+      .count()
+    assert(totalIn == expectIn,
+      s"in-vocab token mass $totalIn != independent recount $expectIn")
+  }
+
+  test("sim_rp_project: query output equals an exact driver-side replay") {
+    import spark.implicits._
+    val got = SparkEntry.queries("sim_rp_project")(spark, sf())
+      .filter($"vec_id" < 5)
+      .collect().map(r => r.getLong(0) -> (0 until 8).map(j =>
+        r.getLong(1 + j))).toMap
+    val emb = t(spark, sf(), "embeddings").filter($"vec_id" < 5)
+      .select($"vec_id", $"embedding")
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).toArray).toMap
+    assert(got.keySet == emb.keySet && got.nonEmpty)
+    for ((id, v) <- emb) {
+      val e6 = v.map(x => math.round(x.toDouble * 1e6))
+      val proj = (0 until 8).map { j =>
+        e6.indices.map { dd =>
+          val sgn = if ((((j * 131 + dd * 137).toLong * 2654435761L)
+            % 1000003L) % 2L == 0L) 1L else -1L
+          sgn * e6(dd)
+        }.sum
+      }
+      assert(got(id) == proj, s"vec $id: projection mismatch")
+    }
+  }
 }
