@@ -188,7 +188,11 @@ class TopKPlanSpec extends SparkSpec {
     // as a map-side partial top-k
     "doc_sample_temperature",
     // round-7: k=2 per IVF cell (the cluster-balanced diverse draw)
-    "sim_sample_percell")
+    "sim_sample_percell",
+    // round-8: the constant-100 within-source rank pre-cut of the
+    // round-robin interleave — same bounded-shuffle claim as
+    // doc_sample_temperature
+    "doc_interleave")
 
   test("declared queries ride TopKPerKeyExec in their EXECUTED plans") {
     declaredRiders.foreach { name =>
