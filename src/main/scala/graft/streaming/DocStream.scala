@@ -49,6 +49,109 @@ object DocStream {
     *
     * Batch mode needs no timestamp column and degrades to exactly the
     * dedup_incremental shape: anti join + min-doc_id per fingerprint. */
+  case class BandOwner(band_i: Int, band_key: String, owner_id: Long)
+
+  /** Per-row MinHash-LSH band keys — the SAME 6-permutation / 3-band
+    * construction as the batch near-dup path (Dedup.minhashSigs /
+    * lshPairs: h1||h2, h3||h4, h5||h6), computed as a pure projection so
+    * it is legal in a streaming plan: 3-gram shingle md5s fold to six
+    * 5-hex-char minima within the row, no explode-and-groupBy. Docs
+    * with < 3 tokens carry no shingles and emit no bands (matching the
+    * batch sig table's size filter). */
+  private def bandsOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .withColumn("toks",
+        expr("filter(split(lower(text), '\\\\s+'), x -> x != '')"))
+      .filter(size($"toks") >= 3)
+      .withColumn("hs", expr(
+        "transform(sequence(1, size(toks) - 2)," +
+          " i -> md5(cast(array_join(slice(toks, i, 3), ' ') as binary)))"))
+      .withColumn("b", explode(expr(
+        "transform(sequence(0, 2), b -> struct(cast(b as int) AS band_i," +
+          " array_min(transform(hs, h -> substring(h, b * 10 + 1, 5))) ||" +
+          " array_min(transform(hs, h -> substring(h, b * 10 + 6, 5)))" +
+          " AS band_key))")))
+      .select($"b.band_i".as("band_i"), $"b.band_key".as("band_key"),
+        $"doc_id".cast("long").as("doc_id"),
+        (if (docs.columns.contains("ingest_ts")) $"ingest_ts"
+         else lit(null).cast("timestamp")).as("ingest_ts"))
+  }
+
+  /** Streaming MinHash-LSH band index — the near-dup twin of
+    * [[admittedDocs]]: maintain, over an unbounded document stream, the
+    * first-owner registry of every LSH band key. A later doc sharing a
+    * band with an indexed owner is by construction an LSH NEAR-DUP
+    * CANDIDATE of that owner (the exact candidate semantics of the
+    * batch `dedup_lsh_pairs` band join), so the emitted index is what an
+    * online ingest pipeline probes — via a stream-static join, see
+    * [[nearDupCandidates]] — before admitting a crawl record.
+    *
+    * Shapes at scale: state is ONE (band-key → last-seen) entry per
+    * distinct band key (≪ docs — band keys collide by design), keyed
+    * exactly like the batch band join's shuffle; the same event-time
+    * idle TTL as admittedDocs bounds it over an infinite crawl.
+    * First-write-wins with the min doc_id INSIDE the first micro-batch,
+    * so a batch replay of the same data yields the identical index
+    * (parity asserted in StreamingSpec against the declared
+    * dedup_minhash_sigs table).
+    *
+    * Batch mode degrades to the plain groupBy(band).min(doc_id) — the
+    * index a backfill job would write. */
+  def bandIndex(docs: DataFrame,
+      idleUs: Long = 7L * 86400000000L,
+      wmDelay: String = "1 hour"): Dataset[BandOwner] = {
+    import docs.sparkSession.implicits._
+    if (!docs.isStreaming)
+      bandsOf(docs)
+        .groupBy($"band_i", $"band_key")
+        .agg(min($"doc_id").as("owner_id"))
+        .as[BandOwner]
+    else
+      bandsOf(docs.withWatermark("ingest_ts", wmDelay))
+        .select(concat($"band_i".cast("string"), lit(":"), $"band_key")
+            .as("k"),
+          $"doc_id", unix_micros($"ingest_ts").as("us"), $"ingest_ts")
+        .as[(String, Long, Long, java.sql.Timestamp)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Append(),
+            GroupStateTimeout.EventTimeTimeout) {
+          (k: String, batch: Iterator[(String, Long, Long, java.sql.Timestamp)],
+           state: GroupState[Long]) =>
+            if (state.hasTimedOut) { state.remove(); Iterator.empty }
+            else {
+              val rows = batch.toSeq
+              val already = state.exists
+              val seen = math.max(state.getOption.getOrElse(Long.MinValue),
+                rows.iterator.map(_._3).max)
+              state.update(seen)
+              state.setTimeoutTimestamp(math.max((seen + idleUs) / 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+              if (already) Iterator.empty
+              else {
+                val i = k.indexOf(':')
+                Iterator.single(BandOwner(k.substring(0, i).toInt,
+                  k.substring(i + 1), rows.iterator.map(_._2).min))
+              }
+            }
+        }
+  }
+
+  /** Probe an LSH band index with a batch/stream of documents: every
+    * (doc, owner) collision where the band's registered owner is a
+    * DIFFERENT doc — exactly the candidate relation the batch
+    * `dedup_lsh_pairs` band join produces, restated as a stream-static
+    * equi-join against the durable index (broadcast- or shuffle-hash
+    * per AQE; no pairwise work anywhere). */
+  def nearDupCandidates(docs: DataFrame, index: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    bandsOf(docs)
+      .join(index, Seq("band_i", "band_key"))
+      .filter($"owner_id" =!= $"doc_id")
+      .select($"doc_id", $"owner_id")
+      .distinct()
+  }
+
   def admittedDocs(docs: DataFrame, corpusFps: DataFrame,
       idleUs: Long = 7L * 86400000000L,
       wmDelay: String = "1 hour"): Dataset[Admit] = {

@@ -725,4 +725,91 @@ class StreamingSpec extends SparkSpec {
     assert(out == Seq(1L, 2L, 3L),
       s"expected E re-admitted after TTL eviction: $out")
   }
+
+  test("band index (batch): owners equal the declared sig table's band minima") {
+    import spark.implicits._
+    val got = DocStream.bandIndex(t(spark, sf(), "documents"))
+      .collect().map(b => (b.band_i, b.band_key) -> b.owner_id).toMap
+    // independent expectation from the DECLARED minhash sig table:
+    // band b = h(2b+1) || h(2b+2), owner = min doc_id per band value
+    val sigs = graft.SparkEntry.queries("dedup_minhash_sigs")(spark, sf())
+      .collect()
+    val want = sigs.flatMap { r =>
+      (0 until 3).map(b => (b, r.getString(1 + 2 * b) +
+        r.getString(2 + 2 * b)) -> r.getLong(0))
+    }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
+    assert(got.nonEmpty && got == want,
+      s"band index differs: got ${got.size} entries, want ${want.size}")
+  }
+
+  test("near-dup candidates: collisions are a subset of dedup_lsh_pairs") {
+    import spark.implicits._
+    val docs = t(spark, sf(), "documents")
+    val index = DocStream.bandIndex(docs).toDF()
+    val flagged = DocStream.nearDupCandidates(docs, index)
+      .collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)))).toSet
+    val pairs = graft.SparkEntry.queries("dedup_lsh_pairs")(spark, sf())
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(flagged.nonEmpty, "fixture has near-dups; collisions expected")
+    assert(flagged.subsetOf(pairs),
+      s"index collisions not in the candidate relation: ${flagged -- pairs}")
+    // exact spec: flagged == every (doc, owner-of-a-shared-band) with
+    // owner != doc, derived independently from the declared sig table
+    val sigs = graft.SparkEntry.queries("dedup_minhash_sigs")(spark, sf())
+      .collect()
+    val bandsByDoc = sigs.map { r =>
+      r.getLong(0) -> (0 until 3).map(b =>
+        (b, r.getString(1 + 2 * b) + r.getString(2 + 2 * b)))
+    }
+    val owner = bandsByDoc.flatMap { case (id, bs) => bs.map(_ -> id) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
+    val want = (for {
+      (id, bs) <- bandsByDoc; b <- bs
+      own = owner(b) if own != id
+    } yield (math.min(id, own), math.max(id, own))).toSet
+    assert(flagged == want,
+      s"collisions differ from spec: missing ${want -- flagged}, " +
+        s"extra ${flagged -- want}")
+  }
+
+  test("band index (streaming): first-write wins across batches, restart-safe") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_bandidx").toString
+    val (src, sink, chk) = (s"$root/src", s"$root/sink", s"$root/chk")
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 10:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-06-01 10:05:00")
+    // two docs sharing all 3 bands (identical text) in batch 1 — the min
+    // id owns; batch 2 re-delivers the same content under a higher id
+    // (no new bands) plus a disjoint doc (3 new bands)
+    Seq((7L, "alpha beta gamma delta", t0), (5L, "alpha beta gamma delta", t0))
+      .toDF("doc_id", "text", "ingest_ts").write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def runOnce(): Unit = {
+      val q = DocStream.bandIndex(
+          spark.readStream.schema(schema).parquet(src))
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", chk)
+        .outputMode(OutputMode.Append()).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce()
+    Seq((9L, "alpha beta gamma delta", t1),
+        (8L, "epsilon zeta eta theta", t1))
+      .toDF("doc_id", "text", "ingest_ts").write.mode("append").parquet(src)
+    runOnce()
+    val out = spark.read.parquet(sink)
+      .select($"owner_id").as[Long].collect()
+    // 3 bands owned by 5 (batch-1 min), 3 by 8; 7 and 9 own nothing
+    assert(out.count(_ == 5L) == 3 && out.count(_ == 8L) == 3 &&
+      out.length == 6, s"owners: ${out.toSeq.sorted}")
+    // and the recovered index equals the batch index over the same data
+    val batchIdx = DocStream.bandIndex(spark.read.parquet(src))
+      .collect().map(b => (b.band_i, b.band_key, b.owner_id)).toSet
+    val streamIdx = spark.read.parquet(sink)
+      .as[DocStream.BandOwner].collect()
+      .map(b => (b.band_i, b.band_key, b.owner_id)).toSet
+    assert(streamIdx == batchIdx, "streaming index != batch replay")
+  }
 }
