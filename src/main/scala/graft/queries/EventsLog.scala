@@ -453,6 +453,38 @@ object EventsLog {
         .orderBy($"event_type")
     }),
 
+    // Sketch-based audience overlap: estimate |click-users ∩
+    // purchase-users| by HLL inclusion–exclusion (apx(A) + apx(B) −
+    // apx(A∪B)) and bound it against the EXACT overlap computed by the
+    // same identity on exact distincts — all inside ONE pass / ONE agg
+    // (the within-10%-of-union acceptance mirrors the
+    // log_approx_distinct_bounds design: each engine runs its own HLL,
+    // only the verdict must agree). At 100 TB the exact columns drop
+    // and the three mergeable sketches are the entire shuffle state.
+    "log_hll_overlap_bounds" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "events")
+        .filter($"event_type".isin("click", "purchase"))
+        .agg(
+          countDistinct($"user_id").as("exact_union"),
+          countDistinct(when($"event_type" === "click", $"user_id"))
+            .as("exact_a"),
+          countDistinct(when($"event_type" === "purchase", $"user_id"))
+            .as("exact_b"),
+          approx_count_distinct($"user_id", 0.01).as("apx_u"),
+          approx_count_distinct(
+            when($"event_type" === "click", $"user_id"), 0.01).as("apx_a"),
+          approx_count_distinct(
+            when($"event_type" === "purchase", $"user_id"), 0.01)
+            .as("apx_b"))
+        .select(
+          $"exact_a", $"exact_b",
+          ($"exact_a" + $"exact_b" - $"exact_union").as("exact_overlap"),
+          (abs(($"apx_a" + $"apx_b" - $"apx_u") -
+            ($"exact_a" + $"exact_b" - $"exact_union")) <=
+            $"exact_union" * 0.1).cast("bigint").as("within_10pct"))
+    }),
+
     // L2-L6 URL-normalization chain over a synthesized URL, then the L7
     // domain group-count. Covers: scheme strip, domain/path split,
     // subdomain strip, numeric-host port strip, query/fragment strip.
@@ -682,6 +714,30 @@ object EventsLog {
         |            <= COUNT(DISTINCT user_id) * 0.05
         |       THEN 1 ELSE 0 END AS BIGINT) AS within_5pct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "log_hll_overlap_bounds" ->
+      """WITH f AS (
+        |  SELECT user_id, event_type FROM events
+        |  WHERE event_type IN ('click', 'purchase')),
+        |a AS (
+        |  SELECT COUNT(DISTINCT user_id) AS exact_union,
+        |    COUNT(DISTINCT CASE WHEN event_type = 'click'
+        |                        THEN user_id END) AS exact_a,
+        |    COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+        |                        THEN user_id END) AS exact_b,
+        |    approx_count_distinct(user_id) AS apx_u,
+        |    approx_count_distinct(CASE WHEN event_type = 'click'
+        |                               THEN user_id END) AS apx_a,
+        |    approx_count_distinct(CASE WHEN event_type = 'purchase'
+        |                               THEN user_id END) AS apx_b
+        |  FROM f)
+        |SELECT exact_a, exact_b,
+        |  exact_a + exact_b - exact_union AS exact_overlap,
+        |  CAST(CASE WHEN abs((apx_a + apx_b - apx_u)
+        |                     - (exact_a + exact_b - exact_union))
+        |            <= exact_union * 0.1
+        |       THEN 1 ELSE 0 END AS BIGINT) AS within_10pct
+        |FROM a""".stripMargin,
 
     "q_approx_quantiles_bounds" ->
       """WITH ap AS (

@@ -736,6 +736,55 @@ object PipelineOps {
         .orderBy($"status")
     }),
 
+    // Capstone curation accounting — the per-source report a corpus
+    // curation run publishes: docs in, docs surviving exact dedup
+    // (first copy by content hash keeps), docs surviving dedup AND the
+    // quality gate (the SAME too_short/low_entropy/low_stopword chain
+    // as doc_filter_reasons), and the kept token mass. One token agg
+    // per doc + one content-hash keep join + a per-source rollup —
+    // every stage keyed, text never shuffles, thresholds applied to
+    // 4-dp-rounded scores exactly as the filter query does (identical
+    // operands both engines). This is the composition query proving
+    // the dedup / quality / accounting operators snap together.
+    "doc_curation_report" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val m = docs
+        .select($"doc_id", explode(split(lower($"text"), "\\s+")).as("tok"))
+        .filter($"tok" =!= "")
+        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id")
+        .agg(sum($"c").as("n"),
+          sum(when(TextAnalysis.inList($"tok", TextAnalysis.stopEn), $"c")
+            .otherwise(0L)).as("n_stop"),
+          sum($"c".cast("double") * log(2.0, $"c")).as("clg"))
+        .select($"doc_id", $"n".as("n_tokens"),
+          round(log(2.0, $"n") - $"clg" / $"n", 4).as("entropy"),
+          round($"n_stop".cast("double") / $"n", 4).as("stop_ratio"))
+      val keep = docs
+        .groupBy(md5($"text".cast("binary")).as("fp"))
+        .agg(min($"doc_id").as("doc_id"))
+        .select($"doc_id", lit(1L).as("is_first"))
+      docs.select($"doc_id", $"source")
+        .join(m, Seq("doc_id"), "left_outer")
+        .join(keep, Seq("doc_id"), "left_outer")
+        .select($"source",
+          coalesce($"is_first", lit(0L)).as("first"),
+          coalesce($"n_tokens", lit(0L)).as("n_tokens"),
+          when($"n_tokens".isNull || $"n_tokens" < 10, lit(0L))
+            .when($"entropy" < 3.0, lit(0L))
+            .when($"stop_ratio" < 0.05, lit(0L))
+            .otherwise(lit(1L)).as("quality_ok"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"first").as("n_unique"),
+          sum($"first" * $"quality_ok").as("n_kept"),
+          sum($"first" * $"quality_ok" * $"n_tokens").as("tokens_kept"))
+        .select($"source", $"n_docs", $"n_unique", $"n_kept", $"tokens_kept",
+          round($"n_kept".cast("double") / $"n_docs", 4).as("kept_ratio"))
+        .orderBy($"source")
+    }),
+
     // Deterministic source interleave (curriculum/mixture assembly):
     // emit the first 100 positions of the round-robin order that cycles
     // source_1, source_2, …, source_n, source_1, … — the write order a
@@ -961,6 +1010,44 @@ object PipelineOps {
         |SELECT status, COUNT(*) AS n_docs,
         |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum
         |FROM j GROUP BY status ORDER BY status""".stripMargin,
+
+    "doc_curation_report" -> {
+      val stop = TextAnalysis.sqlList(TextAnalysis.stopEn)
+      s"""WITH tk AS (
+         |  SELECT doc_id, tok
+         |  FROM (SELECT doc_id,
+         |          unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+         |        FROM documents) WHERE tok <> ''),
+         |c AS (SELECT doc_id, tok, COUNT(*) AS c
+         |      FROM tk GROUP BY doc_id, tok),
+         |m AS (
+         |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |    ROUND(log2(SUM(c)) - SUM(c * log2(c)) / SUM(c), 4) AS entropy,
+         |    ROUND(CAST(SUM(CASE WHEN tok IN ($stop)
+         |                        THEN c ELSE 0 END) AS DOUBLE) / SUM(c), 4)
+         |      AS stop_ratio
+         |  FROM c GROUP BY doc_id),
+         |keep AS (
+         |  SELECT MIN(doc_id) AS doc_id, 1 AS is_first
+         |  FROM documents GROUP BY md5(text)),
+         |pd AS (
+         |  SELECT d.source,
+         |    COALESCE(keep.is_first, 0) AS first,
+         |    COALESCE(m.n_tokens, 0) AS n_tokens,
+         |    CASE WHEN m.n_tokens IS NULL OR m.n_tokens < 10 THEN 0
+         |         WHEN m.entropy < 3.0 THEN 0
+         |         WHEN m.stop_ratio < 0.05 THEN 0
+         |         ELSE 1 END AS quality_ok
+         |  FROM documents d
+         |  LEFT JOIN m USING (doc_id) LEFT JOIN keep USING (doc_id))
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(first) AS BIGINT) AS n_unique,
+         |  CAST(SUM(first * quality_ok) AS BIGINT) AS n_kept,
+         |  CAST(SUM(first * quality_ok * n_tokens) AS BIGINT) AS tokens_kept,
+         |  ROUND(CAST(SUM(first * quality_ok) AS DOUBLE) / COUNT(*), 4)
+         |    AS kept_ratio
+         |FROM pd GROUP BY source ORDER BY source""".stripMargin
+    },
 
     "doc_interleave" ->
       """WITH si AS (

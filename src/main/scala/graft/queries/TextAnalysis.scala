@@ -13,15 +13,15 @@ import graft.Tables.t
   */
 object TextAnalysis {
 
-  private val stopEn = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  private[queries] val stopEn = Seq("the", "a", "of", "and", "to", "in", "is", "it")
   private val stopDe = Seq("der", "die", "das", "und", "ist", "ein", "zu", "mit")
   private val stopEs = Seq("el", "la", "de", "y", "que", "en", "un", "es")
   private val stopFr = Seq("le", "les", "des", "et", "un", "une", "est", "pour")
 
-  private def inList(c: org.apache.spark.sql.Column, ws: Seq[String]) =
+  private[queries] def inList(c: org.apache.spark.sql.Column, ws: Seq[String]) =
     c.isin(ws: _*)
 
-  private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+  private[queries] def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Zipf-law fit over the corpus frequency spectrum — the standard
