@@ -736,6 +736,35 @@ object PipelineOps {
         .orderBy($"status")
     }),
 
+    // Right-to-be-forgotten pass (the takedown/compliance op every
+    // corpus pipeline eventually runs): given a deletion list (here the
+    // deterministic doc_id % 23 = 1 slice), report per source what was
+    // forgotten, what was retained (with an order-insensitive id
+    // checksum for the retained manifest), and — the actual compliance
+    // trap — how many RETAINED docs still carry a forgotten doc's exact
+    // CONTENT under a different id (takedown by id alone leaks; the
+    // audit joins retained rows against the distinct forgotten
+    // fingerprint set). Shapes at 100 TB: one scan, the forgotten-fp
+    // set reduces to distinct 16-byte hashes before a broadcast/hash
+    // equi-join, one source rollup — no text shuffle, no pairs.
+    "doc_forget" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+        .select($"doc_id", $"source", md5($"text".cast("binary")).as("fp"))
+        .withColumn("forget", ($"doc_id" % 23 === 1).cast("long"))
+      val delFps = docs.filter($"forget" === 1)
+        .select($"fp").distinct().withColumn("dfp", lit(1L))
+      docs.join(delFps, Seq("fp"), "left_outer")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"forget").as("n_forgotten"),
+          sum(when($"forget" === 0 && $"dfp".isNotNull, 1L).otherwise(0L))
+            .as("n_content_leaks"),
+          sum(when($"forget" === 0, $"doc_id").otherwise(0L))
+            .as("retained_checksum"))
+        .orderBy($"source")
+    }),
+
     // Capstone curation accounting — the per-source report a corpus
     // curation run publishes: docs in, docs surviving exact dedup
     // (first copy by content hash keeps), docs surviving dedup AND the
@@ -1010,6 +1039,24 @@ object PipelineOps {
         |SELECT status, COUNT(*) AS n_docs,
         |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum
         |FROM j GROUP BY status ORDER BY status""".stripMargin,
+
+    "doc_forget" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, md5(text) AS fp,
+        |    CASE WHEN doc_id % 23 = 1 THEN 1 ELSE 0 END AS forget
+        |  FROM documents),
+        |delfp AS (SELECT DISTINCT fp FROM d WHERE forget = 1),
+        |j AS (
+        |  SELECT d.source, d.forget, d.doc_id,
+        |    CASE WHEN delfp.fp IS NOT NULL THEN 1 ELSE 0 END AS dfp
+        |  FROM d LEFT JOIN delfp ON d.fp = delfp.fp)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(forget) AS BIGINT) AS n_forgotten,
+        |  CAST(SUM(CASE WHEN forget = 0 AND dfp = 1 THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_content_leaks,
+        |  CAST(SUM(CASE WHEN forget = 0 THEN doc_id ELSE 0 END)
+        |       AS BIGINT) AS retained_checksum
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
 
     "doc_curation_report" -> {
       val stop = TextAnalysis.sqlList(TextAnalysis.stopEn)

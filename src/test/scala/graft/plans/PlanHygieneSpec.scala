@@ -86,6 +86,7 @@ class PlanHygieneSpec extends SparkSpec {
     "text_perplexity_tiers", // 1-row scored-doc count agg
     "doc_sample_temperature",// 1-row temperature-weight sum agg
     "doc_sample_unimax",     // 1-row source count + 1-row first-uncapped agg
+    "doc_interleave",        // 1-row source-count scalar (n_src)
     "text_learnability",     // 1-row corpus bigram-total agg
     "sim_pair_recall_bounds",// DELIBERATE sampled all-pairs truth join (the
                              // recall diagnostic's ground truth exists only
