@@ -137,6 +137,45 @@ object DocStream {
         }
   }
 
+  /** Windowed curation-rate monitor: the live accept/reject dashboard a
+    * streaming ingest pipeline watches — per event-time hour, how many
+    * arriving docs each quality verdict claimed. The verdict chain is
+    * the SAME too_short / low_entropy / low_stopword rule set as the
+    * declared batch `doc_filter_reasons`, but restated as a STATELESS
+    * per-row fold (token counts, entropy, and stopword ratio computed
+    * inside the row via higher-order functions — no explode, no per-doc
+    * shuffle), so the only stateful operator in the streaming plan is
+    * the windowed count itself. One code path serves batch and
+    * streaming (batch == the doc_filter_reasons verdict rollup,
+    * streaming == batch: both parity-tested). */
+  def curationRates(docs: DataFrame, wmDelay: String = "1 hour"): DataFrame = {
+    import docs.sparkSession.implicits._
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+      .map(w => s"'$w'").mkString(", ")
+    val scored = docs
+      .withColumn("toks",
+        expr("filter(split(lower(text), '\\\\s+'), x -> x != '')"))
+      .withColumn("n", size($"toks").cast("long"))
+      .withColumn("entropy", expr(
+        "round(log2(cast(n as double)) - aggregate(array_distinct(toks)," +
+          " 0D, (acc, t) -> acc + cast(size(filter(toks, x -> x = t))" +
+          " as double) * log2(cast(size(filter(toks, x -> x = t))" +
+          " as double))) / n, 4)"))
+      .withColumn("stop_ratio", expr(
+        s"round(cast(size(filter(toks, x -> x in ($stop))) as double)" +
+          " / n, 4)"))
+      .withColumn("verdict",
+        when($"n" < 10, "too_short")
+          .when($"entropy" < 3.0, "low_entropy")
+          .when($"stop_ratio" < 0.05, "low_stopword")
+          .otherwise("kept"))
+    val src = if (docs.isStreaming) scored.withWatermark("ingest_ts", wmDelay)
+      else scored
+    src.groupBy(window($"ingest_ts", "1 hour"), $"verdict")
+      .agg(count(lit(1)).as("n_docs"))
+      .select($"window.start".as("w_start"), $"verdict", $"n_docs")
+  }
+
   /** Probe an LSH band index with a batch/stream of documents: every
     * (doc, owner) collision where the band's registered owner is a
     * DIFFERENT doc — exactly the candidate relation the batch

@@ -726,6 +726,49 @@ class StreamingSpec extends SparkSpec {
       s"expected E re-admitted after TTL eviction: $out")
   }
 
+  test("curation rates (batch): equals the doc_filter_reasons verdict rollup") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 10:30:00")
+    val staged = t(spark, sf(), "documents")
+      .withColumn("ingest_ts", lit(t0))
+    val got = DocStream.curationRates(staged)
+      .select($"verdict", $"n_docs").as[(String, Long)]
+      .collect().toMap
+    val want = graft.SparkEntry.queries("doc_filter_reasons")(spark, sf())
+      .groupBy($"verdict").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(got == want, s"per-row verdicts differ from declared: $got vs $want")
+  }
+
+  test("curation rates (streaming): windowed verdict counts == batch") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_curate").toString
+    val src = s"$root/src"
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 10:10:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-06-01 11:20:00")
+    Seq(
+      (1L, "the cat sat on the mat with a hat and a bat of it is", t0),
+      (2L, "tiny", t0),
+      (3L, "zz zz zz zz zz zz zz zz zz zz zz zz", t1),
+      (4L, "the dog ran to the park and it is a big day in town", t1))
+      .toDF("doc_id", "text", "ingest_ts").write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val q = DocStream.curationRates(
+        spark.readStream.schema(schema).parquet(src))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("curate_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("curate_stream")
+      .select($"w_start", $"verdict", $"n_docs")
+      .orderBy($"w_start", $"verdict").collect().toSeq
+    val batch = DocStream.curationRates(spark.read.parquet(src))
+      .orderBy($"w_start", $"verdict").collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streaming $streamed != batch $batch")
+    // the fixture exercises both windows and at least 2 verdicts
+    assert(streamed.map(_.getString(1)).distinct.length >= 2)
+  }
+
   test("band index (batch): owners equal the declared sig table's band minima") {
     import spark.implicits._
     val got = DocStream.bandIndex(t(spark, sf(), "documents"))
