@@ -686,6 +686,35 @@ object EventsLog {
         .orderBy($"src", $"dst")
     }),
 
+    // Time-to-convert distribution for funnel completers: the latency
+    // readout next to log_funnel's conversion counts — for every user
+    // whose strictly-ordered view→click→purchase completes, the
+    // view-to-purchase delay in seconds at p50 / p90 / max. The delay
+    // set is exact integer microseconds; the interpolated percentile is
+    // the ONLY float op ((n−1)p linear interpolation — the identical
+    // definition in both engines over identical integers, the
+    // q_percentiles precedent), divided and rounded once. Same
+    // user-keyed min-aggs as log_funnel — no windows, no sequence scan.
+    "log_funnel_latency" -> ((s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+        .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+      val v = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"us").as("t_view"))
+      val c = ev.filter($"event_type" === "click")
+        .join(v, "user_id").filter($"us" > $"t_view")
+        .groupBy($"user_id").agg(min($"us").as("t_click"))
+      val p = ev.filter($"event_type" === "purchase")
+        .join(c, "user_id").filter($"us" > $"t_click")
+        .groupBy($"user_id").agg(min($"us").as("t_purchase"))
+      p.join(v, "user_id")
+        .select(($"t_purchase" - $"t_view").as("du"))
+        .agg(count(lit(1)).as("n_converted"),
+          round(expr("percentile(du, 0.5)") / 1e6, 4).as("p50_sec"),
+          round(expr("percentile(du, 0.9)") / 1e6, 4).as("p90_sec"),
+          round(max($"du").cast("double") / 1e6, 4).as("max_sec"))
+    }),
+
     "log_funnel" -> ((s, d) => {
       import s.implicits._
       val ev = t(s, d, "events")
@@ -1089,6 +1118,25 @@ object EventsLog {
         |  COUNT(t_click) AS n_click_after_view,
         |  COUNT(t_purchase) AS n_purchase_after_click
         |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin,
+
+    "log_funnel_latency" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT user_id, MIN(us) AS t_view FROM ev
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(us) AS t_click
+        |      FROM ev e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND us > t_view GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(us) AS t_purchase
+        |      FROM ev e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND us > t_click
+        |      GROUP BY e.user_id),
+        |d AS (SELECT t_purchase - t_view AS du
+        |      FROM p JOIN v USING (user_id))
+        |SELECT COUNT(*) AS n_converted,
+        |  ROUND(quantile_cont(du, 0.5) / 1e6, 4) AS p50_sec,
+        |  ROUND(quantile_cont(du, 0.9) / 1e6, 4) AS p90_sec,
+        |  ROUND(CAST(MAX(du) AS DOUBLE) / 1e6, 4) AS max_sec
+        |FROM d""".stripMargin,
 
     "q_session_window" ->
       """WITH g AS (
