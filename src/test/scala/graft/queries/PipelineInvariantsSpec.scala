@@ -627,6 +627,61 @@ class PipelineInvariantsSpec extends SparkSpec {
       s"in-vocab token mass $totalIn != independent recount $expectIn")
   }
 
+  test("doc_curation_report: consistent with dedup_exact and doc_filter_reasons") {
+    import spark.implicits._
+    val rep = SparkEntry.queries("doc_curation_report")(spark, sf())
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // n_docs partitions the corpus; n_unique sums to dedup_exact's rows
+    val docs = t(spark, sf(), "documents")
+    assert(rep.values.map(_._1).sum == docs.count())
+    val nGroups = SparkEntry.queries("dedup_exact")(spark, sf()).count()
+    assert(rep.values.map(_._2).sum == nGroups,
+      "per-source unique counts must sum to the exact-dedup group count")
+    // n_kept counts first copies whose declared verdict is 'kept'
+    val keepIds = SparkEntry.queries("dedup_exact")(spark, sf())
+      .select($"keep_id").as[Long].collect().toSet
+    val verdicts = SparkEntry.queries("doc_filter_reasons")(spark, sf())
+      .select($"doc_id", $"verdict").as[(Long, String)].collect().toMap
+    val bySource = docs.select($"doc_id", $"source")
+      .as[(Long, String)].collect()
+    val wantKept = bySource.filter { case (id, _) =>
+      keepIds(id) && verdicts.get(id).contains("kept")
+    }.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    for ((src, (_, _, kept, _)) <- rep)
+      assert(kept == wantKept.getOrElse(src, 0L),
+        s"$src: n_kept $kept != ${wantKept.getOrElse(src, 0L)}")
+  }
+
+  test("doc_forget: takedown identities and a provable content leak count") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("doc_forget")(spark, sf())
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val docs = t(spark, sf(), "documents")
+      .select($"doc_id", $"source", md5($"text".cast("binary")).as("fp"))
+      .as[(Long, String, String)].collect()
+    val delFps = docs.filter(_._1 % 23 == 1).map(_._3).toSet
+    for ((src, (nDocs, nForgot, nLeaks, checksum)) <- rows) {
+      val mine = docs.filter(_._2 == src)
+      assert(nDocs == mine.length)
+      assert(nForgot == mine.count(_._1 % 23 == 1))
+      assert(nLeaks == mine.count(d => d._1 % 23 != 1 && delFps(d._3)),
+        s"$src: content-leak count")
+      assert(checksum == mine.filter(_._1 % 23 != 1).map(_._1).sum)
+    }
+  }
+
+  test("log_funnel_latency: completer count matches log_funnel, p50<=p90<=max") {
+    import spark.implicits._
+    val lat = SparkEntry.queries("log_funnel_latency")(spark, sf()).head()
+    val funnel = SparkEntry.queries("log_funnel")(spark, sf()).head()
+    assert(lat.getLong(0) == funnel.getLong(2),
+      "n_converted must equal the funnel's purchase-after-click count")
+    val (p50, p90, mx) = (lat.getDouble(1), lat.getDouble(2), lat.getDouble(3))
+    assert(p50 >= 0 && p50 <= p90 && p90 <= mx, s"order: $p50 $p90 $mx")
+  }
+
   test("sim_rp_project: query output equals an exact driver-side replay") {
     import spark.implicits._
     val got = SparkEntry.queries("sim_rp_project")(spark, sf())
