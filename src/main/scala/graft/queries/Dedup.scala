@@ -79,7 +79,7 @@ object Dedup {
        |  WHERE len(toks) >= $k)""".stripMargin
   }
 
-  private val sigSql: String = {
+  private[queries] val sigSql: String = {
     val cat3 = "toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]"
     s"""WITH shl AS (
        |  SELECT doc_id,
@@ -143,7 +143,7 @@ object Dedup {
     * an executor loss replays a file read instead of the full
     * shingle→signature→band-join build (DedupDurableSpec). */
   private val lshPairsCache = new FrameMemo
-  private def lshPairsShared(s: SparkSession, d: String): DataFrame =
+  private[queries] def lshPairsShared(s: SparkSession, d: String): DataFrame =
     s.conf.getOption("spark.graft.indexWarehouse") match {
       case Some(wh) =>
         lshPairsCache.get(s, s"$d|durable=$wh") {

@@ -686,6 +686,24 @@ object EventsLog {
         .orderBy($"src", $"dst")
     }),
 
+    // Join-key skew profile — the diagnostic that decides whether a
+    // user-keyed join needs salting (engine.Skew) or AQE skew
+    // handling: the 5 heaviest user_ids by event count with their share
+    // of the table. One key-count agg + a bounded TakeOrdered(5); the
+    // total is a broadcast scalar. At 100 TB this is the exact query
+    // an ops runbook fires before re-planning a hot-key join.
+    "log_skew_profile" -> ((s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+      val tot = ev.agg(count(lit(1)).as("total"))
+      ev.groupBy($"user_id").agg(count(lit(1)).as("n_events"))
+        .orderBy($"n_events".desc, $"user_id".asc).limit(5)
+        .crossJoin(broadcast(tot))
+        .select($"user_id", $"n_events",
+          round($"n_events".cast("double") / $"total", 4).as("share"))
+        .orderBy($"n_events".desc, $"user_id".asc)
+    }),
+
     // Time-to-convert distribution for funnel completers: the latency
     // readout next to log_funnel's conversion counts — for every user
     // whose strictly-ordered view→click→purchase completes, the
@@ -1118,6 +1136,15 @@ object EventsLog {
         |  COUNT(t_click) AS n_click_after_view,
         |  COUNT(t_purchase) AS n_purchase_after_click
         |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin,
+
+    "log_skew_profile" ->
+      """WITH tot AS (SELECT COUNT(*) AS total FROM events),
+        |k AS (
+        |  SELECT user_id, COUNT(*) AS n_events FROM events
+        |  GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 5)
+        |SELECT user_id, n_events,
+        |  ROUND(CAST(n_events AS DOUBLE) / total, 4) AS share
+        |FROM k, tot ORDER BY n_events DESC, user_id""".stripMargin,
 
     "log_funnel_latency" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),

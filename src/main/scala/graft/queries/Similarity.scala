@@ -781,6 +781,30 @@ object Similarity {
         .orderBy($"vec_id")
     }),
 
+    // Cross-modal dedup agreement — the consistency diagnostic a
+    // pipeline runs before trusting semantic dedup: for every TEXT
+    // near-dup candidate (the MinHash-LSH band pairs, the shared
+    // checkpointed table), the EMBEDDING cosine of the same pair (the
+    // fixture pairs documents and embeddings 1:1 by id). Text
+    // near-dups scoring low here flag either a broken embedding
+    // pipeline or paraphrase-only overlap; the per-pair rows are the
+    // drill-down, output-proportional to the candidate set. Shapes at
+    // 100 TB: the candidate table (already sub-quadratic by banding)
+    // equi-joins the embedding table twice on its id — no pair work
+    // beyond what banding admitted, cosine is the native codegen'd
+    // expression.
+    "sim_dup_agreement" -> ((s, d) => {
+      import s.implicits._
+      withCosine(s)
+      val emb = t(s, d, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      Dedup.lshPairsShared(s, d)
+        .join(emb.select($"vec_id".as("doc_a"), $"v".as("va")), "doc_a")
+        .join(emb.select($"vec_id".as("doc_b"), $"v".as("vb")), "doc_b")
+        .select($"doc_a", $"doc_b", round(cosine("va", "vb"), 4).as("cos_sim"))
+        .orderBy($"doc_a", $"doc_b")
+    }),
+
     // Johnson–Lindenstrauss signed random projection (the Achlioptas
     // ±1 construction): project every embedding to 8 dims with a
     // DETERMINISTIC pseudo-random sign matrix — sign(j, d) = parity of
@@ -1496,6 +1520,31 @@ object Similarity {
         |      abs(x - floor(x / (amax / 127.0) + 0.5) * (amax / 127.0)))),
         |      6) END AS max_err
         |FROM e ORDER BY vec_id""".stripMargin,
+
+    "sim_dup_agreement" ->
+      s"""${Dedup.sigSql},
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_i, h1 || h2 AS band_key FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 1, h3 || h4 FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 2, h5 || h6 FROM sig),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a
+         |  JOIN bands b ON a.band_key = b.band_key AND a.band_i = b.band_i
+         |               AND a.doc_id < b.doc_id),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         |SELECT doc_a, doc_b,
+         |  ROUND(
+         |    list_sum(list_transform(list_zip(ea.v, eb.v), x -> x[1] * x[2]))
+         |    / (sqrt(list_sum(list_transform(ea.v, x -> x * x)))
+         |       * sqrt(list_sum(list_transform(eb.v, x -> x * x)))), 4)
+         |    AS cos_sim
+         |FROM pairs
+         |JOIN e ea ON ea.vec_id = doc_a
+         |JOIN e eb ON eb.vec_id = doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "sim_rp_project" -> {
       val cols = (0 until 8).map(j =>
