@@ -736,6 +736,38 @@ object PipelineOps {
         .orderBy($"status")
     }),
 
+    // Per-source length profiling — the distribution sheet a corpus
+    // intake publishes per provider: doc count, token mean/stddev (from
+    // EXACT integer sum and sum-of-squares — the two-pass textbook
+    // formula as a single float expression over exact operands, never
+    // the engine's streaming stddev whose partial-merge order differs
+    // across engines), and interpolated p50/p90 (the q_percentiles
+    // precedent). One doc-level map + one source-keyed agg.
+    "doc_source_profile" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .select($"source",
+          size(expr("filter(split(lower(text), '\\\\s+'), x -> x != '')"))
+            .cast("long").as("n_tok"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tok").as("st"), sum($"n_tok" * $"n_tok").as("sq"),
+          round(expr("percentile(n_tok, 0.5)"), 4).as("p50_tokens"),
+          round(expr("percentile(n_tok, 0.9)"), 4).as("p90_tokens"))
+        .select($"source", $"n_docs",
+          round($"st".cast("double") / $"n_docs", 4).as("mean_tokens"),
+          // var = (n·Σx² − (Σx)²) / (n(n−1)): the numerator stays an
+          // EXACT integer (DECIMAL against overflow), one float divide
+          when($"n_docs" > 1, round(sqrt(
+            ($"n_docs".cast(org.apache.spark.sql.types.DecimalType(38, 0))
+              * $"sq" - $"st".cast(
+                org.apache.spark.sql.types.DecimalType(38, 0)) * $"st")
+              .cast("double") / ($"n_docs" * ($"n_docs" - 1))), 4))
+            .otherwise(0.0).as("sd_tokens"),
+          $"p50_tokens", $"p90_tokens")
+        .orderBy($"source")
+    }),
+
     // Right-to-be-forgotten pass (the takedown/compliance op every
     // corpus pipeline eventually runs): given a deletion list (here the
     // deterministic doc_id % 23 = 1 slice), report per source what was
@@ -1039,6 +1071,28 @@ object PipelineOps {
         |SELECT status, COUNT(*) AS n_docs,
         |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum
         |FROM j GROUP BY status ORDER BY status""".stripMargin,
+
+    "doc_source_profile" ->
+      s"""WITH d AS (
+         |  SELECT source,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |a AS (
+         |  SELECT source, COUNT(*) AS n_docs,
+         |    CAST(SUM(n_tok) AS BIGINT) AS st,
+         |    CAST(SUM(n_tok * n_tok) AS BIGINT) AS sq,
+         |    ROUND(quantile_cont(n_tok, 0.5), 4) AS p50_tokens,
+         |    ROUND(quantile_cont(n_tok, 0.9), 4) AS p90_tokens
+         |  FROM d GROUP BY source)
+         |SELECT source, n_docs,
+         |  ROUND(CAST(st AS DOUBLE) / n_docs, 4) AS mean_tokens,
+         |  CASE WHEN n_docs > 1 THEN
+         |    ROUND(sqrt(CAST(CAST(n_docs AS DECIMAL(38,0)) * sq
+         |                    - CAST(st AS DECIMAL(38,0)) * st AS DOUBLE)
+         |               / (n_docs * (n_docs - 1))), 4)
+         |  ELSE 0.0 END AS sd_tokens,
+         |  p50_tokens, p90_tokens
+         |FROM a ORDER BY source""".stripMargin,
 
     "doc_forget" ->
       """WITH d AS (
