@@ -682,6 +682,56 @@ class PipelineInvariantsSpec extends SparkSpec {
     assert(p50 >= 0 && p50 <= p90 && p90 <= mx, s"order: $p50 $p90 $mx")
   }
 
+  test("sim_dup_agreement: rows are exactly the LSH candidates, cosines in [-1,1]") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("sim_dup_agreement")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val pairs = SparkEntry.queries("dedup_lsh_pairs")(spark, sf())
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(rows.keySet == pairs,
+      "agreement rows must be exactly the candidate pairs")
+    assert(rows.values.forall(c => c >= -1.0001 && c <= 1.0001))
+  }
+
+  test("log_skew_profile: top-5 shares agree with a direct recount") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("log_skew_profile")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == 5)
+    val counts = t(spark, sf(), "events").groupBy($"user_id")
+      .agg(count(lit(1)).as("n")).as[(Long, Long)].collect()
+    val total = counts.map(_._2).sum
+    val want = counts.sortBy { case (id, n) => (-n, id) }.take(5)
+    assert(rows.map(r => (r._1, r._2)).toSeq == want.toSeq,
+      "top-5 heavy keys differ from recount")
+    for ((_, n, share) <- rows)
+      assert(math.abs(share - n.toDouble / total) < 1e-3)
+  }
+
+  test("doc_source_profile: mean/sd replay exactly for every source") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("doc_source_profile")(spark, sf())
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val toks = t(spark, sf(), "documents")
+      .select($"source", expr(
+        "size(filter(split(lower(text), '\\\\s+'), x -> x != ''))")
+        .cast("long").as("n"))
+      .as[(String, Long)].collect().groupBy(_._1)
+    assert(rows.keySet == toks.keySet)
+    for ((src, xs0) <- toks) {
+      val xs = xs0.map(_._2)
+      val (n, mean, sd) = rows(src)
+      assert(n == xs.length)
+      val m = xs.sum.toDouble / n
+      assert(math.abs(mean - m) < 1e-3, s"$src mean")
+      val vNum = xs.map(x => BigInt(x) * BigInt(x)).sum * n - BigInt(xs.sum) * BigInt(xs.sum)
+      val v = vNum.toDouble / (n.toLong * (n - 1))
+      assert(math.abs(sd - math.sqrt(v)) < 1e-3, s"$src sd")
+    }
+  }
+
   test("sim_rp_project: query output equals an exact driver-side replay") {
     import spark.implicits._
     val got = SparkEntry.queries("sim_rp_project")(spark, sf())
