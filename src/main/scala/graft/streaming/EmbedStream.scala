@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming surface for the EMBEDDING ingest path — the
+  * drift monitor a production vector pipeline runs while embeddings
+  * stream in: assign every arriving vector to its nearest cell of a
+  * FIXED reference codebook (broadcast — the batch-built IVF/k-means
+  * artifact), then publish per-event-time-window cell occupancy. A
+  * window whose cell histogram shifts against the reference corpus
+  * flags embedding-model drift or an upstream data change long before
+  * any downstream recall metric notices.
+  *
+  * Same discipline as EventStream/DocStream: the transform is one code
+  * path over a plain DataFrame — batch (`spark.read`) and streaming
+  * (`spark.readStream`) run identical logic, parity asserted in
+  * StreamingSpec.
+  *
+  * Scale shape: the codebook rides ONE broadcast row (an array of
+  * (cell_id, centroid) structs — the sim_ivf_assign fold), assignment
+  * is a within-row argmin projection (no shuffle, no explode), and the
+  * only stateful streaming operator is the windowed count keyed on
+  * (window, cell) — state bounded by windows × cells, independent of
+  * vector volume.
+  */
+object EmbedStream {
+
+  /** The reference codebook as a 1-row broadcastable frame: an
+    * array_sort'ed list of (cell_id, centroid) structs. `refEmb` is the
+    * batch embedding table the cells were built from; the seed
+    * convention (vec_id < k) matches the declared sim_ivf_assign /
+    * sim_kmeans queries so batch parity is checkable against them. */
+  def codebook(refEmb: DataFrame, k: Int = 8): DataFrame = {
+    import refEmb.sparkSession.implicits._
+    refEmb
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .filter($"vec_id" < k)
+      .select($"vec_id".as("cell_id"), $"v".as("c"))
+      .agg(expr("array_sort(collect_list(named_struct(" +
+        "'cell_id', cell_id, 'c', c)))").as("cents"))
+  }
+
+  /** Windowed cell-occupancy histogram over an embedding stream: for
+    * each event-time hour, how many arriving vectors landed in each
+    * codebook cell (nearest by cosine, ties to the lowest cell id —
+    * the sim_ivf_assign argmin fold, negated-similarity struct order).
+    * Batch mode runs the identical plan minus the watermark. */
+  def cellDrift(emb: DataFrame, cb: DataFrame,
+      wmDelay: String = "1 hour"): DataFrame = {
+    import emb.sparkSession.implicits._
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val am = expr(
+      """array_min(transform(cents, ct -> named_struct(
+        |  'nsim', -round(cosine_similarity(v, ct.c), 4),
+        |  'cell_id', ct.cell_id)))""".stripMargin)
+    val assigned = emb
+      .select($"ingest_ts", $"embedding".cast("array<double>").as("v"))
+      .crossJoin(broadcast(cb))
+      .select($"ingest_ts", am.getField("cell_id").as("cell"))
+    val src = if (emb.isStreaming) assigned.withWatermark("ingest_ts", wmDelay)
+      else assigned
+    src.groupBy(window($"ingest_ts", "1 hour"), $"cell")
+      .agg(count(lit(1)).as("n_vecs"))
+      .select($"window.start".as("w_start"), $"cell", $"n_vecs")
+  }
+}

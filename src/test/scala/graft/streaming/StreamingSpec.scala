@@ -769,6 +769,47 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_.getString(1)).distinct.length >= 2)
   }
 
+  test("embed drift (batch): cell histogram equals the declared assignment rollup") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 10:15:00")
+    val emb = t(spark, sf(), "embeddings").withColumn("ingest_ts", lit(t0))
+    val cb = EmbedStream.codebook(t(spark, sf(), "embeddings"))
+    val got = EmbedStream.cellDrift(emb, cb)
+      .select($"cell", $"n_vecs").as[(Long, Long)].collect().toMap
+    val want = graft.SparkEntry.queries("sim_ivf_assign")(spark, sf())
+      .groupBy($"cent_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == want, s"drift cells differ from sim_ivf_assign: $got vs $want")
+  }
+
+  test("embed drift (streaming): windowed cell counts == batch") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_drift").toString
+    val src = s"$root/src"
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 10:10:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-06-01 11:40:00")
+    val ref = t(spark, sf(), "embeddings")
+    // two hour-windows of streamed vectors drawn from the fixture
+    ref.filter($"vec_id" % 3 === 0).withColumn("ingest_ts", lit(t0))
+      .unionAll(ref.filter($"vec_id" % 3 === 1).withColumn("ingest_ts", lit(t1)))
+      .write.mode("append").parquet(src)
+    val cb = EmbedStream.codebook(ref)
+    val schema = spark.read.parquet(src).schema
+    val q = EmbedStream.cellDrift(
+        spark.readStream.schema(schema).parquet(src), cb)
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("drift_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("drift_stream")
+      .orderBy($"w_start", $"cell").collect().toSeq
+    val batch = EmbedStream.cellDrift(spark.read.parquet(src), cb)
+      .orderBy($"w_start", $"cell").collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streaming $streamed != batch $batch")
+    // both windows present
+    assert(streamed.map(_.getTimestamp(0)).distinct.length == 2)
+  }
+
   test("band index (batch): owners equal the declared sig table's band minima") {
     import spark.implicits._
     val got = DocStream.bandIndex(t(spark, sf(), "documents"))
