@@ -686,6 +686,35 @@ object EventsLog {
         .orderBy($"src", $"dst")
     }),
 
+    // Heuristic bot scoring — the traffic-hygiene pass an event
+    // pipeline runs before analytics trust the log: per user, event
+    // volume, active span, sustained rate, and error share, with a
+    // composite bot flag. All ratios divide EXACT integers (identical
+    // operands both engines); span/rate guards degenerate single-event
+    // users. One user-keyed agg — map-side partials, no windows.
+    "log_bot_detection" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "events")
+        .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"),
+          max($"us").as("mx"), min($"us").as("mn"),
+          sum(when($"event_type" === "error", 1L).otherwise(0L))
+            .as("n_errors"))
+        .withColumn("span_min", expr("(mx - mn) div 60000000"))
+        .select($"user_id", $"n_events", $"span_min",
+          when($"span_min" > 0,
+            round($"n_events".cast("double") / $"span_min", 4))
+            .otherwise($"n_events".cast("double")).as("events_per_min"),
+          round($"n_errors".cast("double") / $"n_events", 4)
+            .as("error_ratio"))
+        .select($"user_id", $"n_events", $"span_min", $"events_per_min",
+          $"error_ratio",
+          ($"n_events" >= 20 &&
+            ($"events_per_min" > 0.5 || $"error_ratio" > 0.5)).as("is_bot"))
+        .orderBy($"user_id")
+    }),
+
     // Join-key skew profile — the diagnostic that decides whether a
     // user-keyed join needs salting (engine.Skew) or AQE skew
     // handling: the 5 heaviest user_ids by event count with their share
@@ -1136,6 +1165,26 @@ object EventsLog {
         |  COUNT(t_click) AS n_click_after_view,
         |  COUNT(t_purchase) AS n_purchase_after_click
         |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin,
+
+    "log_bot_detection" ->
+      """WITH a AS (
+        |  SELECT user_id, COUNT(*) AS n_events,
+        |    (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 60000000
+        |      AS span_min,
+        |    SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      AS n_errors
+        |  FROM events GROUP BY user_id),
+        |b AS (
+        |  SELECT user_id, n_events, CAST(span_min AS BIGINT) AS span_min,
+        |    CASE WHEN span_min > 0
+        |         THEN ROUND(CAST(n_events AS DOUBLE) / span_min, 4)
+        |         ELSE CAST(n_events AS DOUBLE) END AS events_per_min,
+        |    ROUND(CAST(n_errors AS DOUBLE) / n_events, 4) AS error_ratio
+        |  FROM a)
+        |SELECT user_id, n_events, span_min, events_per_min, error_ratio,
+        |  (n_events >= 20 AND (events_per_min > 0.5 OR error_ratio > 0.5))
+        |    AS is_bot
+        |FROM b ORDER BY user_id""".stripMargin,
 
     "log_skew_profile" ->
       """WITH tot AS (SELECT COUNT(*) AS total FROM events),

@@ -736,6 +736,30 @@ object PipelineOps {
         .orderBy($"status")
     }),
 
+    // Canary-string scan — the memorization-governance op: given a
+    // small registry of tracked canary strings (here the 3-token
+    // prefixes of docs 0/7/13, so the fixture provably contains hits),
+    // count the documents containing each canary and point at the
+    // earliest. The pattern list BROADCASTS and the scan is one
+    // substring pass per (doc, canary) — at a registry of thousands
+    // you'd compile the patterns into one automaton per task, but the
+    // plan shape (broadcast patterns × one corpus scan, no shuffle of
+    // text) is already the scale-correct one.
+    "doc_canary_scan" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val canaries = docs.filter($"doc_id".isin(0L, 7L, 13L))
+        .select($"doc_id".as("canary_id"),
+          expr("array_join(slice(filter(split(lower(text), '\\\\s+')," +
+            " x -> x != ''), 1, 3), ' ')").as("pat"))
+      docs.select($"doc_id", lower($"text").as("lt"))
+        .crossJoin(broadcast(canaries))
+        .filter(expr("instr(lt, pat) > 0"))
+        .groupBy($"canary_id", $"pat")
+        .agg(count(lit(1)).as("n_docs_hit"), min($"doc_id").as("first_doc"))
+        .orderBy($"canary_id")
+    }),
+
     // Per-source length profiling — the distribution sheet a corpus
     // intake publishes per provider: doc count, token mean/stddev (from
     // EXACT integer sum and sum-of-squares — the two-pass textbook
@@ -1071,6 +1095,17 @@ object PipelineOps {
         |SELECT status, COUNT(*) AS n_docs,
         |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum
         |FROM j GROUP BY status ORDER BY status""".stripMargin,
+
+    "doc_canary_scan" ->
+      s"""WITH canaries AS (
+         |  SELECT doc_id AS canary_id,
+         |    array_to_string(list_slice($toksSql, 1, 3), ' ') AS pat
+         |  FROM documents WHERE doc_id IN (0, 7, 13))
+         |SELECT canary_id, pat, COUNT(*) AS n_docs_hit,
+         |  MIN(d.doc_id) AS first_doc
+         |FROM documents d, canaries c
+         |WHERE strpos(lower(d.text), c.pat) > 0
+         |GROUP BY canary_id, pat ORDER BY canary_id""".stripMargin,
 
     "doc_source_profile" ->
       s"""WITH d AS (
