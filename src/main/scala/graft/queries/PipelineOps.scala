@@ -736,6 +736,41 @@ object PipelineOps {
         .orderBy($"status")
     }),
 
+    // Cross-source contamination matrix — the provider-overlap audit a
+    // corpus intake runs when the same crawl shows up under several
+    // vendors: for every source pair, how many DISTINCT 8-grams they
+    // share, normalized by the smaller side (containment, so a small
+    // feed wholly embedded in a big one scores 1.0). Shapes at 100 TB:
+    // one gram explode → (source, hash) distinct → a gram-hash-keyed
+    // self-equi-join (a hot gram shared by all S sources costs C(S,2)
+    // pairs — bounded by the source alphabet, not the corpus) → a
+    // ≤C(S,2)-row agg. Grams hash via xxhash64 WITHIN the engine; the
+    // oracle joins raw strings — only counts must agree (the
+    // decontamination precedent).
+    "text_source_overlap" -> ((s, d) => {
+      import s.implicits._
+      val grams = t(s, d, "documents")
+        .select($"source", toksCol.as("toks"))
+        .filter(size($"toks") >= 8)
+        .select($"source", explode(expr(
+          "transform(sequence(1, size(toks) - 7)," +
+            " i -> xxhash64(array_join(slice(toks, i, 8), ' ')))")).as("g"))
+        .distinct()
+      val sizes = grams.groupBy($"source").agg(count(lit(1)).as("n"))
+      grams.as("a").join(grams.as("b"),
+          $"a.g" === $"b.g" && $"a.source" < $"b.source")
+        .groupBy($"a.source".as("src_a"), $"b.source".as("src_b"))
+        .agg(count(lit(1)).as("shared_grams"))
+        .join(broadcast(sizes.select($"source".as("src_a"), $"n".as("na"))),
+          "src_a")
+        .join(broadcast(sizes.select($"source".as("src_b"), $"n".as("nb"))),
+          "src_b")
+        .select($"src_a", $"src_b", $"shared_grams",
+          round($"shared_grams".cast("double") / least($"na", $"nb"), 4)
+            .as("overlap"))
+        .orderBy($"src_a", $"src_b")
+    }),
+
     // Canary-string scan — the memorization-governance op: given a
     // small registry of tracked canary strings (here the 3-token
     // prefixes of docs 0/7/13, so the fixture provably contains hits),
@@ -1095,6 +1130,28 @@ object PipelineOps {
         |SELECT status, COUNT(*) AS n_docs,
         |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum
         |FROM j GROUP BY status ORDER BY status""".stripMargin,
+
+    "text_source_overlap" ->
+      s"""WITH d AS (
+         |  SELECT source, $toksSql AS toks FROM documents),
+         |g AS (
+         |  SELECT DISTINCT source,
+         |    array_to_string(list_slice(toks, i, i + 7), ' ') AS g
+         |  FROM d, unnest(generate_series(1, len(toks) - 7)) AS t(i)
+         |  WHERE len(toks) >= 8),
+         |sizes AS (SELECT source, COUNT(*) AS n FROM g GROUP BY source),
+         |sh AS (
+         |  SELECT a.source AS src_a, b.source AS src_b,
+         |    COUNT(*) AS shared_grams
+         |  FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT src_a, src_b, shared_grams,
+         |  ROUND(CAST(shared_grams AS DOUBLE) / LEAST(na.n, nb.n), 4)
+         |    AS overlap
+         |FROM sh
+         |JOIN sizes na ON na.source = src_a
+         |JOIN sizes nb ON nb.source = src_b
+         |ORDER BY src_a, src_b""".stripMargin,
 
     "doc_canary_scan" ->
       s"""WITH canaries AS (

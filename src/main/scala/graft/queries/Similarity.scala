@@ -781,6 +781,24 @@ object Similarity {
         .orderBy($"vec_id")
     }),
 
+    // IVF index-health diagnostic: the cell-size balance sheet —
+    // occupied cells, min/max/mean occupancy, and the imbalance factor
+    // (max over mean). A skewed histogram means probe latency varies
+    // wildly and the within-cell verify stage has a hot cell; this is
+    // the number an index build publishes before anyone trusts its
+    // probe-cost bounds. Rides the shared cell assignment; the rollup
+    // is one k-row agg. Imbalance = max·n_cells/n_vecs computed as ONE
+    // float op over exact integers.
+    "sim_cell_balance" -> ((s, d) => {
+      import s.implicits._
+      ivfCells(s, d).groupBy($"cell").agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_cells"), sum($"n").as("n_vecs"),
+          min($"n").as("min_cell"), max($"n").as("max_cell"))
+        .select($"n_cells", $"n_vecs", $"min_cell", $"max_cell",
+          round(($"max_cell" * $"n_cells").cast("double") / $"n_vecs", 4)
+            .as("imbalance"))
+    }),
+
     // Cross-modal dedup agreement — the consistency diagnostic a
     // pipeline runs before trusting semantic dedup: for every TEXT
     // near-dup candidate (the MinHash-LSH band pairs, the shared
@@ -1520,6 +1538,15 @@ object Similarity {
         |      abs(x - floor(x / (amax / 127.0) + 0.5) * (amax / 127.0)))),
         |      6) END AS max_err
         |FROM e ORDER BY vec_id""".stripMargin,
+
+    "sim_cell_balance" -> (cellPairsCte +
+      """,
+        |cs AS (SELECT cell, COUNT(*) AS n FROM assign GROUP BY cell)
+        |SELECT COUNT(*) AS n_cells, CAST(SUM(n) AS BIGINT) AS n_vecs,
+        |  CAST(MIN(n) AS BIGINT) AS min_cell,
+        |  CAST(MAX(n) AS BIGINT) AS max_cell,
+        |  ROUND(CAST(MAX(n) * COUNT(*) AS DOUBLE) / SUM(n), 4) AS imbalance
+        |FROM cs""".stripMargin),
 
     "sim_dup_agreement" ->
       s"""${Dedup.sigSql},
