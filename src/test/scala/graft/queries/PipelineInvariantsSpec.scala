@@ -732,6 +732,69 @@ class PipelineInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("log_bot_detection: rows partition users, ratios bounded, flag replays") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("log_bot_detection")(spark, sf())
+      .collect()
+    val nUsers = t(spark, sf(), "events")
+      .select(countDistinct($"user_id")).head().getLong(0)
+    assert(rows.length == nUsers, "one row per user")
+    for (r <- rows) {
+      val (n, epm, er, bot) =
+        (r.getLong(1), r.getDouble(3), r.getDouble(4), r.getBoolean(5))
+      assert(er >= 0 && er <= 1)
+      assert(bot == (n >= 20 && (epm > 0.5 || er > 0.5)),
+        s"user ${r.getLong(0)}: flag does not replay from its own row")
+    }
+  }
+
+  test("doc_canary_scan: every canary hits at least its own source doc") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("doc_canary_scan")(spark, sf())
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet == Set(0L, 7L, 13L))
+    for ((id, (nHit, firstDoc)) <- rows) {
+      assert(nHit >= 1, s"canary $id must at least hit its source doc")
+      assert(firstDoc <= id, s"first hit can be no later than doc $id itself")
+    }
+  }
+
+  test("text_source_overlap: symmetric-free, bounded, spot-replayed") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("text_source_overlap")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(rows.nonEmpty)
+    for ((a, b, sh, ov) <- rows) {
+      assert(a < b, "pairs must be strictly ordered (no mirror rows)")
+      assert(sh >= 1 && ov > 0 && ov <= 1.0001)
+    }
+    // spot replay of the heaviest pair from raw data
+    val (a, b, sh, _) = rows.maxBy(_._3)
+    def gramsOf(src: String): Set[String] = t(spark, sf(), "documents")
+      .filter($"source" === src)
+      .select(expr("filter(split(lower(text), '\\\\s+'), x -> x != '')")
+        .as("toks"))
+      .as[Seq[String]].collect()
+      .flatMap(ts => ts.sliding(8).filter(_.length == 8).map(_.mkString(" ")))
+      .toSet
+    assert((gramsOf(a) & gramsOf(b)).size.toLong == sh,
+      s"($a,$b): shared-gram recount differs")
+  }
+
+  test("sim_cell_balance: replays from the pairwise operators' shared cells") {
+    import spark.implicits._
+    val r = SparkEntry.queries("sim_cell_balance")(spark, sf()).head()
+    val sizes = graft.queries.Similarity.ivfCells(spark, sf())
+      .groupBy($"cell").agg(count(lit(1)).as("n"))
+      .select($"n").as[Long].collect()
+    assert(r.getLong(0) == sizes.length)
+    assert(r.getLong(1) == sizes.sum)
+    assert(r.getLong(2) == sizes.min && r.getLong(3) == sizes.max)
+    assert(math.abs(r.getDouble(4) -
+      sizes.max.toDouble * sizes.length / sizes.sum) < 1e-3)
+  }
+
   test("sim_rp_project: query output equals an exact driver-side replay") {
     import spark.implicits._
     val got = SparkEntry.queries("sim_rp_project")(spark, sf())
