@@ -35,6 +35,23 @@ class TopKPlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"WindowExec still present:\n$plan")
   }
 
+  test("the rewrite fires on the plain SQL surface too (QUALIFY-style text)") {
+    // the user-facing parity claim: spark.sql window queries get the
+    // same physical rewrite as the DataFrame API — no API-specific path
+    t(spark, sf(), "orders").createOrReplaceTempView("orders_v")
+    val df = spark.sql(
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders_v) WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin)
+    val plan = finalPlan(df).toString
+    assert(plan.contains("TopKPerKey"), s"SQL-surface rewrite missing:\n$plan")
+    assert(df.collect().toSeq == top3DF.collect().toSeq,
+      "SQL-surface result differs from the DataFrame pattern")
+  }
+
   test("rewrite result == WindowExec result (rule excluded)") {
     val got = top3DF.collect().toSeq
     spark.conf.set("spark.sql.optimizer.excludedRules", "graft.plans.TopKPerKeyRule")
