@@ -736,6 +736,27 @@ object PipelineOps {
         .orderBy($"status")
     }),
 
+    // Packing-efficiency histogram — the shard-build QC metric next to
+    // doc_pack: bucket every training pack by its fill (tokens per
+    // 512-token target, integer-decile buckets so both engines cut
+    // identically) and count packs per bucket. Middle packs hover at
+    // the target (a doc spans pack boundaries), per-source tail packs
+    // underfill — the histogram quantifies exactly how much budget the
+    // packing wastes. Composes the declared doc_pack stage; the rollup
+    // adds one bounded agg.
+    "doc_pack_efficiency" -> ((s, d) => {
+      import s.implicits._
+      queries("doc_pack")(s, d)
+        .withColumn("bucket", expr("(n_tokens * 10) div 512"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_packs"), sum($"n_tokens").as("tokens"),
+          sum($"n_docs").as("docs"))
+        .select($"bucket", $"n_packs", $"tokens", $"docs",
+          round($"tokens".cast("double") / ($"n_packs" * 512), 4)
+            .as("avg_fill"))
+        .orderBy($"bucket")
+    }),
+
     // Cross-source contamination matrix — the provider-overlap audit a
     // corpus intake runs when the same crawl shows up under several
     // vendors: for every source pair, how many DISTINCT 8-grams they
@@ -1130,6 +1151,28 @@ object PipelineOps {
         |SELECT status, COUNT(*) AS n_docs,
         |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum
         |FROM j GROUP BY status ORDER BY status""".stripMargin,
+
+    "doc_pack_efficiency" ->
+      s"""WITH d AS (
+         |  SELECT source, doc_id,
+         |    CAST(len($toksSql) AS BIGINT) AS n_toks
+         |  FROM documents),
+         |c AS (
+         |  SELECT source, doc_id, n_toks,
+         |    COALESCE(SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS prior
+         |  FROM d),
+         |packs AS (
+         |  SELECT source, CAST(prior // 512 AS BIGINT) AS pack_id,
+         |    COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+         |  FROM c GROUP BY source, pack_id)
+         |SELECT CAST((n_tokens * 10) // 512 AS BIGINT) AS bucket,
+         |  COUNT(*) AS n_packs, CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+         |  CAST(SUM(n_docs) AS BIGINT) AS docs,
+         |  ROUND(CAST(SUM(n_tokens) AS DOUBLE) / (COUNT(*) * 512), 4)
+         |    AS avg_fill
+         |FROM packs GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "text_source_overlap" ->
       s"""WITH d AS (

@@ -781,6 +781,31 @@ object Similarity {
         .orderBy($"vec_id")
     }),
 
+    // Cluster purity vs labels — the clustering-evaluation op the
+    // label column exists for: per IVF cell, the majority label, its
+    // share (purity, 4 dp from exact counts), and the distinct-label
+    // count. Low-purity cells tell you the index's regions disagree
+    // with the supervised signal — either the embeddings or the labels
+    // need attention. Rides the shared assignment; the argmax is a
+    // two-level agg with a deterministic (count DESC, label ASC)
+    // struct-min tie-break, never a window over vectors.
+    "sim_label_purity" -> ((s, d) => {
+      import s.implicits._
+      val lab = t(s, d, "embeddings")
+        .select($"vec_id", $"label".cast("long").as("label"))
+      val counts = ivfCells(s, d).select($"vec_id", $"cell")
+        .join(lab, "vec_id")
+        .groupBy($"cell", $"label").agg(count(lit(1)).as("cnt"))
+      counts.groupBy($"cell")
+        .agg(sum($"cnt").as("n_vecs"),
+          count(lit(1)).as("n_labels"),
+          min(struct((-$"cnt").as("nc"), $"label")).as("m"))
+        .select($"cell", $"n_vecs", $"n_labels",
+          $"m.label".as("top_label"), (-$"m.nc").as("top_cnt"),
+          round((-$"m.nc").cast("double") / $"n_vecs", 4).as("purity"))
+        .orderBy($"cell")
+    }),
+
     // IVF index-health diagnostic: the cell-size balance sheet —
     // occupied cells, min/max/mean occupancy, and the imbalance factor
     // (max over mean). A skewed histogram means probe latency varies
@@ -1538,6 +1563,29 @@ object Similarity {
         |      abs(x - floor(x / (amax / 127.0) + 0.5) * (amax / 127.0)))),
         |      6) END AS max_err
         |FROM e ORDER BY vec_id""".stripMargin,
+
+    "sim_label_purity" -> (cellPairsCte +
+      """,
+        |lc AS (
+        |  SELECT a.cell, CAST(e2.label AS BIGINT) AS label,
+        |    COUNT(*) AS cnt
+        |  FROM assign a JOIN embeddings e2 ON e2.vec_id = a.vec_id
+        |  GROUP BY a.cell, e2.label),
+        |top AS (
+        |  SELECT cell, label, cnt FROM (
+        |    SELECT cell, label, cnt,
+        |      ROW_NUMBER() OVER (PARTITION BY cell
+        |                         ORDER BY cnt DESC, label) AS rn
+        |    FROM lc) WHERE rn = 1),
+        |tot AS (
+        |  SELECT cell, CAST(SUM(cnt) AS BIGINT) AS n_vecs,
+        |    COUNT(*) AS n_labels
+        |  FROM lc GROUP BY cell)
+        |SELECT t.cell, t.n_vecs, t.n_labels, p.label AS top_label,
+        |  CAST(p.cnt AS BIGINT) AS top_cnt,
+        |  ROUND(CAST(p.cnt AS DOUBLE) / t.n_vecs, 4) AS purity
+        |FROM tot t JOIN top p ON p.cell = t.cell
+        |ORDER BY t.cell""".stripMargin),
 
     "sim_cell_balance" -> (cellPairsCte +
       """,

@@ -107,6 +107,30 @@ object TextAnalysis {
         .orderBy($"doc_id")
     }),
 
+    // Language-ID confusion matrix — the classifier eval the `lang`
+    // ground-truth column exists for: cross-tabulate the stopword
+    // predictor's output against the labeled language and report
+    // per-(true, predicted) counts with the cell's share of its true
+    // class. Composes the declared text_langid query with one id join
+    // and a ≤|langs|² agg. The 'zh' rows expose the predictor's known
+    // blind spot (no zh stopword list — everything falls to the
+    // argmax default), which is exactly what a confusion matrix is
+    // for.
+    "text_langid_eval" -> ((s, d) => {
+      import s.implicits._
+      val pred = queries("text_langid")(s, d)
+        .select($"doc_id", $"pred_lang")
+      val truth = t(s, d, "documents").select($"doc_id", $"lang")
+      val cells = truth.join(pred, Seq("doc_id"), "left_outer")
+        .select($"lang", coalesce($"pred_lang", lit("none")).as("pred_lang"))
+        .groupBy($"lang", $"pred_lang").agg(count(lit(1)).as("n"))
+      val totals = cells.groupBy($"lang").agg(sum($"n").as("n_true"))
+      cells.join(broadcast(totals), "lang")
+        .select($"lang", $"pred_lang", $"n",
+          round($"n".cast("double") / $"n_true", 4).as("share"))
+        .orderBy($"lang", $"pred_lang")
+    }),
+
     // Token counting two ways: whitespace words vs BPE-ish regex pieces
     // (letter runs / digit runs / single other non-space chars).
     "text_token_counts" -> ((s, d) => {
@@ -351,6 +375,26 @@ object TextAnalysis {
       |          unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
       |        FROM documents) WHERE tok <> '')""".stripMargin
 
+  /** Shared langid CTE ending in `lp(doc_id, pred_lang, s_*)` — used by
+    * the text_langid oracle and the text_langid_eval confusion matrix. */
+  private val langidCte =
+    s"""WITH $tokCte,
+       |sc AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN tok IN (${sqlList(stopEn)}) THEN 1 ELSE 0 END) AS BIGINT) AS s_en,
+       |    CAST(SUM(CASE WHEN tok IN (${sqlList(stopDe)}) THEN 1 ELSE 0 END) AS BIGINT) AS s_de,
+       |    CAST(SUM(CASE WHEN tok IN (${sqlList(stopEs)}) THEN 1 ELSE 0 END) AS BIGINT) AS s_es,
+       |    CAST(SUM(CASE WHEN tok IN (${sqlList(stopFr)}) THEN 1 ELSE 0 END) AS BIGINT) AS s_fr
+       |  FROM tk GROUP BY doc_id),
+       |lp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+       |         WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+       |         WHEN s_es >= s_fr THEN 'es'
+       |         ELSE 'fr' END AS pred_lang,
+       |    s_en, s_de, s_es, s_fr
+       |  FROM sc)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "text_zipf_fit" ->
       """WITH toks AS (
@@ -419,21 +463,23 @@ object TextAnalysis {
          |FROM tk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_langid" ->
-      s"""WITH $tokCte,
-         |sc AS (
-         |  SELECT doc_id,
-         |    CAST(SUM(CASE WHEN tok IN (${sqlList(stopEn)}) THEN 1 ELSE 0 END) AS BIGINT) AS s_en,
-         |    CAST(SUM(CASE WHEN tok IN (${sqlList(stopDe)}) THEN 1 ELSE 0 END) AS BIGINT) AS s_de,
-         |    CAST(SUM(CASE WHEN tok IN (${sqlList(stopEs)}) THEN 1 ELSE 0 END) AS BIGINT) AS s_es,
-         |    CAST(SUM(CASE WHEN tok IN (${sqlList(stopFr)}) THEN 1 ELSE 0 END) AS BIGINT) AS s_fr
-         |  FROM tk GROUP BY doc_id)
-         |SELECT doc_id,
-         |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
-         |       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
-         |       WHEN s_es >= s_fr THEN 'es'
-         |       ELSE 'fr' END AS pred_lang,
-         |  s_en, s_de, s_es, s_fr
-         |FROM sc ORDER BY doc_id""".stripMargin,
+      s"""$langidCte
+         |SELECT doc_id, pred_lang, s_en, s_de, s_es, s_fr
+         |FROM lp ORDER BY doc_id""".stripMargin,
+
+    "text_langid_eval" ->
+      s"""$langidCte,
+         |cells AS (
+         |  SELECT d.lang, COALESCE(lp.pred_lang, 'none') AS pred_lang,
+         |    COUNT(*) AS n
+         |  FROM documents d LEFT JOIN lp USING (doc_id)
+         |  GROUP BY 1, 2),
+         |tot AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_true
+         |        FROM cells GROUP BY lang)
+         |SELECT lang, pred_lang, n,
+         |  ROUND(CAST(n AS DOUBLE) / n_true, 4) AS share
+         |FROM cells JOIN tot USING (lang)
+         |ORDER BY lang, pred_lang""".stripMargin,
 
     "text_token_counts" ->
       """SELECT doc_id,
