@@ -686,6 +686,28 @@ object EventsLog {
         .orderBy($"src", $"dst")
     }),
 
+    // Hourly error-burst detection — the alerting query an ops log
+    // pipeline runs continuously: per hour, the error share, flagged
+    // when it exceeds twice the corpus-wide error rate. The comparison
+    // multiplies EXACT integers cross-wise (errs·total vs 2·n·terrs) —
+    // no float enters the verdict, so both engines flag identically
+    // even at an exact boundary. One hour-keyed agg + a broadcast
+    // 1-row corpus rate.
+    "log_error_burst" -> ((s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+        .select(date_trunc("hour", $"ts").as("h"),
+          ($"event_type" === "error").cast("long").as("is_err"))
+      val tot = ev.agg(count(lit(1)).as("total"), sum($"is_err").as("terrs"))
+      ev.groupBy($"h")
+        .agg(count(lit(1)).as("n"), sum($"is_err").as("errs"))
+        .crossJoin(broadcast(tot))
+        .select(unix_micros($"h").as("hour_us"), $"n", $"errs",
+          round($"errs".cast("double") / $"n", 4).as("err_ratio"),
+          ($"errs" * $"total" > $"n" * $"terrs" * 2).as("burst"))
+        .orderBy($"hour_us")
+    }),
+
     // Heuristic bot scoring — the traffic-hygiene pass an event
     // pipeline runs before analytics trust the log: per user, event
     // volume, active span, sustained rate, and error share, with a
@@ -1165,6 +1187,21 @@ object EventsLog {
         |  COUNT(t_click) AS n_click_after_view,
         |  COUNT(t_purchase) AS n_purchase_after_click
         |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin,
+
+    "log_error_burst" ->
+      """WITH ev AS (
+        |  SELECT date_trunc('hour', ts) AS h,
+        |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+        |  FROM events),
+        |tot AS (SELECT COUNT(*) AS total,
+        |               CAST(SUM(is_err) AS BIGINT) AS terrs FROM ev),
+        |hh AS (
+        |  SELECT h, COUNT(*) AS n, CAST(SUM(is_err) AS BIGINT) AS errs
+        |  FROM ev GROUP BY h)
+        |SELECT epoch_us(h) AS hour_us, n, errs,
+        |  ROUND(CAST(errs AS DOUBLE) / n, 4) AS err_ratio,
+        |  (errs * total > n * terrs * 2) AS burst
+        |FROM hh, tot ORDER BY hour_us""".stripMargin,
 
     "log_bot_detection" ->
       """WITH a AS (

@@ -781,6 +781,37 @@ object Similarity {
         .orderBy($"vec_id")
     }),
 
+    // Batched ANN serving shape — production similarity search answers
+    // QUERY BATCHES, not single probes: 10 query vectors (vec_id < 10)
+    // against the corpus, top-5 neighbors each. The query batch rides
+    // ONE broadcast; scoring is a per-row fold over it (corpus scans
+    // once for the whole batch — the amortization that makes batched
+    // serving cheap); the per-query rank cut is a TopKPerKey window
+    // (map-side partial top-k per query), so a billion-vector corpus
+    // shuffles ≤5 rows per query per partition.
+    "sim_batch_topk" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      withCosine(s)
+      val emb = t(s, d, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val qs = emb.filter($"vec_id" < 10)
+        .agg(expr("array_sort(collect_list(named_struct(" +
+          "'qid', vec_id, 'q', v)))").as("qs"))
+      val w = Window.partitionBy($"qid")
+        .orderBy($"cos_sim".desc, $"vec_id".asc)
+      emb.filter($"vec_id" >= 10)
+        .crossJoin(broadcast(qs))
+        .select($"vec_id", explode(expr(
+          "transform(qs, x -> named_struct('qid', x.qid," +
+            " 'cs', round(cosine_similarity(v, x.q), 4)))")).as("p"))
+        .select($"p.qid".as("qid"), $"vec_id", $"p.cs".as("cos_sim"))
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 5)
+        .select($"qid", $"rnk".cast("long").as("rnk"), $"vec_id", $"cos_sim")
+        .orderBy($"qid", $"rnk")
+    }),
+
     // Cluster purity vs labels — the clustering-evaluation op the
     // label column exists for: per IVF cell, the majority label, its
     // share (purity, 4 dp from exact counts), and the distinct-label
@@ -1563,6 +1594,25 @@ object Similarity {
         |      abs(x - floor(x / (amax / 127.0) + 0.5) * (amax / 127.0)))),
         |      6) END AS max_err
         |FROM e ORDER BY vec_id""".stripMargin,
+
+    "sim_batch_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+        |sc AS (
+        |  SELECT q.qid, e.vec_id,
+        |    ROUND(list_sum(list_transform(list_zip(e.v, q.qv),
+        |            x -> x[1] * x[2]))
+        |      / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+        |         * sqrt(list_sum(list_transform(q.qv, x -> x * x)))), 4)
+        |      AS cos_sim
+        |  FROM e, q WHERE e.vec_id >= 10),
+        |r AS (
+        |  SELECT qid, vec_id, cos_sim,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |                       ORDER BY cos_sim DESC, vec_id) AS rnk
+        |  FROM sc)
+        |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, cos_sim
+        |FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
 
     "sim_label_purity" -> (cellPairsCte +
       """,

@@ -88,6 +88,8 @@ class PlanHygieneSpec extends SparkSpec {
     "doc_sample_unimax",     // 1-row source count + 1-row first-uncapped agg
     "doc_interleave",        // 1-row source-count scalar (n_src)
     "log_skew_profile",      // 1-row total-event-count scalar
+    "log_error_burst",       // 1-row corpus error-rate scalar
+    "sim_batch_topk",        // 1-row query-batch array (10 vectors)
     "doc_canary_scan",       // 3-row broadcast canary registry (substring
                              // predicate — not an equi-join by nature)
     "text_learnability",     // 1-row corpus bigram-total agg

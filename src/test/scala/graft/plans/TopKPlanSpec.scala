@@ -209,7 +209,9 @@ class TopKPlanSpec extends SparkSpec {
     // round-8: the constant-100 within-source rank pre-cut of the
     // round-robin interleave — same bounded-shuffle claim as
     // doc_sample_temperature
-    "doc_interleave")
+    "doc_interleave",
+    // round-8: top-5 per query of the batched ANN serving shape
+    "sim_batch_topk")
 
   test("declared queries ride TopKPerKeyExec in their EXECUTED plans") {
     declaredRiders.foreach { name =>

@@ -795,6 +795,75 @@ class PipelineInvariantsSpec extends SparkSpec {
       sizes.max.toDouble * sizes.length / sizes.sum) < 1e-3)
   }
 
+  test("doc_pack_efficiency: buckets conserve doc_pack's packs, tokens, docs") {
+    import spark.implicits._
+    val eff = SparkEntry.queries("doc_pack_efficiency")(spark, sf())
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val packs = SparkEntry.queries("doc_pack")(spark, sf())
+      .agg(count(lit(1)), sum($"n_tokens"), sum($"n_docs")).head()
+    assert(eff.map(_._1).sum == packs.getLong(0), "pack count conserved")
+    assert(eff.map(_._2).sum == packs.getLong(1), "token mass conserved")
+    assert(eff.map(_._3).sum == packs.getLong(2), "doc count conserved")
+  }
+
+  test("sim_label_purity: per-cell counts replay from cells x labels") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("sim_label_purity")(spark, sf())
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val asg = graft.queries.Similarity.ivfCells(spark, sf())
+      .select($"vec_id", $"cell").as[(Long, Long)].collect().toMap
+    val labels = t(spark, sf(), "embeddings")
+      .select($"vec_id", $"label".cast("long")).as[(Long, Long)]
+      .collect().toMap
+    val byCell = asg.toSeq.map { case (v, c) => (c, labels(v)) }
+      .groupBy(_._1)
+    assert(rows.keySet == byCell.keySet)
+    for ((cell, members) <- byCell) {
+      val hist = members.groupBy(_._2).view.mapValues(_.length.toLong)
+      val (top, cnt) = hist.toSeq.minBy { case (l, c) => (-c, l) }
+      val (nVecs, nLabels, topLabel, topCnt) = rows(cell)
+      assert(nVecs == members.length && nLabels == hist.size)
+      assert(topLabel == top && topCnt == cnt, s"cell $cell argmax")
+    }
+  }
+
+  test("text_langid_eval: cells partition the corpus, shares sum to 1 per class") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("text_langid_eval")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.map(_._3).sum == t(spark, sf(), "documents").count())
+    val perClass = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val truth = t(spark, sf(), "documents").groupBy($"lang")
+      .agg(count(lit(1))).as[(String, Long)].collect().toMap
+    assert(perClass == truth, "per-class totals must equal the lang column")
+  }
+
+  test("sim_batch_topk: 5 ranked rows per query, non-increasing similarity") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("sim_batch_topk")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(rows.map(_._1).distinct.sorted.toSeq == (0L to 9L))
+    for ((qid, g) <- rows.groupBy(_._1)) {
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to 5L), s"q$qid ranks")
+      assert(sorted.map(_._4).sliding(2).forall(p => p(0) >= p(1)),
+        s"q$qid similarity must be non-increasing in rank")
+      assert(sorted.forall(_._3 >= 10L), "queries excluded from candidates")
+    }
+  }
+
+  test("log_error_burst: hours partition events, burst replays integer-exact") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("log_error_burst")(spark, sf())
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getBoolean(4)))
+    val (total, terrs) = (rows.map(_._1).sum, rows.map(_._2).sum)
+    assert(total == t(spark, sf(), "events").count())
+    for ((n, errs, burst) <- rows)
+      assert(burst == (errs * total > n * terrs * 2), "burst flag replay")
+  }
+
   test("sim_rp_project: query output equals an exact driver-side replay") {
     import spark.implicits._
     val got = SparkEntry.queries("sim_rp_project")(spark, sf())
