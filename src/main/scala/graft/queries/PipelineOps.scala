@@ -1072,6 +1072,76 @@ object PipelineOps {
         .filter($"pos" <= $"k_target")
         .select($"source", $"k_target", $"pos".cast("long").as("pos"), $"doc_id")
         .orderBy($"source", $"pos")
+    }),
+
+    // Rendezvous (highest-random-weight) shard placement — the block-
+    // placement policy the reference DFS solves with a controller
+    // (reference: controller/controller.go node pick; here the
+    // coordinator-free classic): every doc's owner is the node whose
+    // md5(doc:node) digest ranks highest, so placement needs NO central
+    // table and any reader recomputes it locally. The query audits the
+    // defining elasticity property: re-running with a 9th node moves
+    // ~1/9 of docs and EVERY moved doc lands on the new node (n_moved_out
+    // == n_moved_to_new per row — consistent-hash-grade minimal
+    // movement). Shapes at 100 TB: both owners come from one per-row
+    // fold over the bounded node list (no explode, no join, no shuffle
+    // until the ≤8-row rollup); a million-node ring would swap the fold
+    // for a jump-hash expression, same plan shape. Digests compare as
+    // hex strings — identical lexicographic order in both engines.
+    "doc_shard_assign" -> ((s, d) => {
+      import s.implicits._
+      def owner(nMax: Int) = expr(
+        s"array_max(transform(sequence(0, $nMax), n -> struct(" +
+          "md5(cast(concat(cast(doc_id as string), ':', cast(n as string))" +
+          " as binary)) as h, n as node))).node")
+      t(s, d, "documents")
+        .select($"doc_id", owner(7).cast("long").as("owner8"),
+          owner(8).cast("long").as("owner9"))
+        .groupBy($"owner8".as("node"))
+        .agg(count(lit(1)).as("n_before"),
+          sum(when($"owner9" === $"owner8", 1L).otherwise(0L)).as("n_kept"),
+          sum(when($"owner9" =!= $"owner8", 1L).otherwise(0L))
+            .as("n_moved_out"),
+          sum(when($"owner9" =!= $"owner8" && $"owner9" === 8L, 1L)
+            .otherwise(0L)).as("n_moved_to_new"))
+        .orderBy($"node")
+    }),
+
+    // Per-source robust length outliers — the intake QC that survives
+    // the heavy-tailed length distributions mean/stddev screens drown
+    // in: flag docs whose token count sits more than 5 MADs from the
+    // source median. All comparisons run in a scaled-integer domain
+    // (med2 = 2·median and mad4 = 4·MAD are exact integers because a
+    // median of integers is integral or half-integral), so the outlier
+    // verdict is bit-identical across engines — no float boundary.
+    // Shapes at 100 TB: the corpus tokenizes ONCE into a one-row-per-doc
+    // frame (checkpointed, ~24 bytes/doc); medians are per-source aggs
+    // that broadcast back; nothing shuffles text.
+    "doc_length_outliers" -> ((s, d) => {
+      import s.implicits._
+      val lens = t(s, d, "documents")
+        .select($"source", $"doc_id",
+          size(expr("filter(split(lower(text), '\\\\s+'), x -> x != '')"))
+            .cast("long").as("n_tok"))
+        .localCheckpoint()
+      val med = lens.groupBy($"source")
+        .agg(expr("cast(round(percentile(n_tok, 0.5) * 2) as bigint)")
+          .as("med2"))
+      val dev = lens.join(broadcast(med), "source")
+        .withColumn("dev2", abs($"n_tok" * 2 - $"med2"))
+      val mad = dev.groupBy($"source")
+        .agg(expr("cast(round(percentile(dev2, 0.5) * 2) as bigint)")
+          .as("mad4"))
+      dev.join(broadcast(mad), "source")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(min($"med2").cast("double") / 2, 1).as("median_tokens"),
+          round(min($"mad4").cast("double") / 4, 2).as("mad_tokens"),
+          sum(when($"dev2" * 2 > $"mad4" * 5, 1L).otherwise(0L))
+            .as("n_outliers"),
+          coalesce(max(when($"dev2" * 2 > $"mad4" * 5, $"n_tok")), lit(0L))
+            .as("max_outlier_tokens"))
+        .orderBy($"source")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -1712,5 +1782,47 @@ object PipelineOps {
          |SELECT source, k_target, CAST(pos AS BIGINT) AS pos, doc_id
          |FROM p JOIN ks USING (source)
          |WHERE pos <= k_target ORDER BY source, pos""".stripMargin
-    })
+    },
+
+    "doc_shard_assign" ->
+      """WITH o AS (
+        |  SELECT doc_id,
+        |    arg_max(n, md5(doc_id || ':' || n)) FILTER (n < 8) AS owner8,
+        |    arg_max(n, md5(doc_id || ':' || n)) AS owner9
+        |  FROM documents, unnest(generate_series(0, 8)) AS t(n)
+        |  GROUP BY doc_id)
+        |SELECT owner8 AS node, COUNT(*) AS n_before,
+        |  CAST(SUM(CASE WHEN owner9 = owner8 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(SUM(CASE WHEN owner9 <> owner8 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_moved_out,
+        |  CAST(SUM(CASE WHEN owner9 <> owner8 AND owner9 = 8
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_to_new
+        |FROM o GROUP BY node ORDER BY node""".stripMargin,
+
+    "doc_length_outliers" ->
+      s"""WITH d AS (
+         |  SELECT source, doc_id, CAST(len($toksSql) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |m AS (
+         |  SELECT source,
+         |    CAST(ROUND(quantile_cont(n_tok, 0.5) * 2) AS BIGINT) AS med2
+         |  FROM d GROUP BY source),
+         |dev AS (
+         |  SELECT d.source, d.doc_id, d.n_tok, m.med2,
+         |    ABS(2 * d.n_tok - m.med2) AS dev2
+         |  FROM d JOIN m ON d.source = m.source),
+         |md AS (
+         |  SELECT source,
+         |    CAST(ROUND(quantile_cont(dev2, 0.5) * 2) AS BIGINT) AS mad4
+         |  FROM dev GROUP BY source)
+         |SELECT dev.source, COUNT(*) AS n_docs,
+         |  ROUND(CAST(MIN(dev.med2) AS DOUBLE) / 2, 1) AS median_tokens,
+         |  ROUND(CAST(MIN(md.mad4) AS DOUBLE) / 4, 2) AS mad_tokens,
+         |  CAST(SUM(CASE WHEN dev2 * 2 > mad4 * 5 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_outliers,
+         |  COALESCE(MAX(CASE WHEN dev2 * 2 > mad4 * 5 THEN n_tok END), 0)
+         |    AS max_outlier_tokens
+         |FROM dev JOIN md ON dev.source = md.source
+         |GROUP BY dev.source ORDER BY dev.source""".stripMargin)
 }

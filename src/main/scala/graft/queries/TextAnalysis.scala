@@ -24,6 +24,31 @@ object TextAnalysis {
   private[queries] def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // One BPE-training merge step — the tokenizer-fitting primitive
+    // (Sennrich et al. 2016): count every adjacent character pair
+    // weighted by word frequency and rank the top-20 merge candidates.
+    // The scale trick is the classic one: pair counting runs over the
+    // WORD-FREQUENCY TABLE, not the corpus — the corpus collapses to a
+    // vocab-bounded (word, cnt) agg first, so the char-pair explode
+    // touches |vocab| rows however big the corpus is. Plan: corpus
+    // token agg → in-row pair explode over the vocab → pair agg →
+    // TakeOrderedAndProject(20). Ties break on the pair string so both
+    // engines cut the top-20 identically.
+    "text_bpe_merge" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .select(explode(expr(
+          "filter(split(lower(text), '\\\\s+'), x -> x != '')")).as("word"))
+        .groupBy($"word").agg(count(lit(1)).as("cnt"))
+        .filter(length($"word") >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(word) - 1)," +
+            " i -> substring(word, i, 2))")).as("pair"), $"cnt")
+        .groupBy($"pair").agg(sum($"cnt").as("freq"))
+        .orderBy($"freq".desc, $"pair".asc)
+        .limit(20)
+    }),
+
     // Zipf-law fit over the corpus frequency spectrum — the standard
     // corpus-health diagnostic (natural text fits slope ≈ −1 on
     // log rank vs log frequency; synthetic/templated corpora deviate
@@ -396,6 +421,21 @@ object TextAnalysis {
        |  FROM sc)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "text_bpe_merge" ->
+      """WITH w AS (
+        |  SELECT tok AS word, COUNT(*) AS cnt
+        |  FROM (SELECT unnest(list_filter(regexp_split_to_array(
+        |          lower(text), '\s+'), x -> x <> '')) AS tok
+        |        FROM documents)
+        |  GROUP BY tok),
+        |p AS (
+        |  SELECT substring(word, i, 2) AS pair, CAST(SUM(cnt) AS BIGINT)
+        |    AS freq
+        |  FROM w, unnest(generate_series(1, len(word) - 1)) AS t(i)
+        |  WHERE len(word) >= 2
+        |  GROUP BY pair)
+        |SELECT pair, freq FROM p ORDER BY freq DESC, pair LIMIT 20""".stripMargin,
+
     "text_zipf_fit" ->
       """WITH toks AS (
         |  SELECT unnest(list_filter(regexp_split_to_array(lower(text),

@@ -887,4 +887,83 @@ class PipelineInvariantsSpec extends SparkSpec {
       assert(got(id) == proj, s"vec $id: projection mismatch")
     }
   }
+
+  test("doc_shard_assign: HRW partition, minimal movement, driver replay") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("doc_shard_assign")(spark, sf())
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val nDocs = t(spark, sf(), "documents").count()
+    assert(rows.values.map(_._1).sum == nDocs, "rows partition the corpus")
+    for ((node, (before, kept, out, toNew)) <- rows) {
+      assert(kept + out == before, s"node $node: kept+moved != before")
+      // the rendezvous property: EVERY doc that moves when node 8 joins
+      // moves TO node 8 — no doc reshuffles between surviving nodes
+      assert(out == toNew, s"node $node: a moved doc bypassed the new node")
+    }
+    // exact replay of the owner fold for a doc sample, straight from
+    // MessageDigest — pins the md5-hex lexicographic argmax semantics
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String) =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def owner(id: Long, n: Int) =
+      (0 until n).maxBy(k => (hex(s"$id:$k"), k))
+    val ids = t(spark, sf(), "documents").select($"doc_id").as[Long]
+      .collect()
+    val replayBefore = ids.groupBy(owner(_, 8).toLong).view
+      .mapValues(_.length.toLong).toMap
+    assert(rows.view.mapValues(_._1).toMap == replayBefore, "owner replay")
+    val movedReplay = ids.count(id => owner(id, 9) != owner(id, 8)).toLong
+    assert(rows.values.map(_._3).sum == movedReplay, "movement replay")
+  }
+
+  test("doc_length_outliers: MAD verdicts replay integer-exact") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("doc_length_outliers")(spark, sf())
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(4), r.getLong(5))).toMap
+    val docs = t(spark, sf(), "documents")
+      .select($"source", $"text").as[(String, String)].collect()
+      .map { case (src, txt) =>
+        (src, txt.toLowerCase.split("\\s+").count(_.nonEmpty).toLong)
+      }
+    assert(rows.values.map(_._1).sum == docs.length)
+    // interpolated median x2 is an exact integer (Spark `percentile`
+    // and DuckDB quantile_cont share this definition)
+    def med2(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) 2 * s(s.length / 2)
+      else s(s.length / 2 - 1) + s(s.length / 2)
+    }
+    for ((src, group) <- docs.groupBy(_._1)) {
+      val lens = group.map(_._2).toSeq
+      val m2 = med2(lens)
+      val dev2 = lens.map(l => math.abs(2 * l - m2))
+      val mad4 = med2(dev2)
+      val outliers = lens.filter(l => math.abs(2 * l - m2) * 2 > 5 * mad4)
+      val (n, nOut, maxOut) = rows(src)
+      assert(n == lens.length && nOut == outliers.length, s"$src outliers")
+      assert(maxOut == (if (outliers.isEmpty) 0L else outliers.max), src)
+    }
+  }
+
+  test("text_bpe_merge: top-20 equals a full driver-side pair count") {
+    import spark.implicits._
+    val got = SparkEntry.queries("text_bpe_merge")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.length == 20)
+    assert(got.map(_._2).sliding(2).forall(p => p(0) >= p(1)))
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    t(spark, sf(), "documents").select($"text").as[String].collect()
+      .foreach { txt =>
+        txt.toLowerCase.split("\\s+").filter(_.nonEmpty).foreach { w =>
+          (0 until w.length - 1).foreach { i =>
+            val p = w.substring(i, i + 2)
+            counts(p) = counts.getOrElse(p, 0L) + 1L
+          }
+        }
+      }
+    val truth = counts.toSeq.sortBy { case (p, c) => (-c, p) }.take(20)
+    assert(got.toSeq == truth, "top-20 merge candidates mismatch")
+  }
 }
