@@ -708,6 +708,38 @@ object EventsLog {
         .orderBy($"hour_us")
     }),
 
+    // Forecast-baseline evaluation over the dense hourly series — the
+    // capacity-planning sanity every metrics pipeline runs before it
+    // trusts a model: score seasonal-naive (value a week ago) against
+    // persistence (value an hour ago) by MAE per event type, and name
+    // the winner. Composes the declared log_gapfill grid (gaps as
+    // explicit zeros — lag over the sparse series would silently skip
+    // empty hours); both predictors are equi-joins on the shifted hour
+    // key over that bounded grid, and the winner verdict compares EXACT
+    // integer error sums over an identical eval range (hours where both
+    // lags exist), so it can never flip on float noise. At 100 TB the
+    // grid stays bounded by hours x types — the corpus-sized work is the
+    // one hourly agg inside log_gapfill.
+    "log_forecast_baseline" -> ((s, d) => {
+      import s.implicits._
+      val dense = queries("log_gapfill")(s, d)
+      val wk = dense.select($"event_type",
+        ($"hour_us" + 604800000000L).as("hour_us"), $"n".as("nw"))
+      val pr = dense.select($"event_type",
+        ($"hour_us" + 3600000000L).as("hour_us"), $"n".as("nh"))
+      dense.join(wk, Seq("event_type", "hour_us"))
+        .join(pr, Seq("event_type", "hour_us"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_eval"),
+          sum(abs($"n" - $"nw")).as("sw"), sum(abs($"n" - $"nh")).as("sh"))
+        .select($"event_type", $"n_eval",
+          round($"sw".cast("double") / $"n_eval", 4).as("mae_week"),
+          round($"sh".cast("double") / $"n_eval", 4).as("mae_hour"),
+          when($"sw" < $"sh", "week").when($"sw" > $"sh", "hour")
+            .otherwise("tie").as("better"))
+        .orderBy($"event_type")
+    }),
+
     // Heuristic bot scoring — the traffic-hygiene pass an event
     // pipeline runs before analytics trust the log: per user, event
     // volume, active span, sustained rate, and error share, with a
@@ -1202,6 +1234,33 @@ object EventsLog {
         |  ROUND(CAST(errs AS DOUBLE) / n, 4) AS err_ratio,
         |  (errs * total > n * terrs * 2) AS burst
         |FROM hh, tot ORDER BY hour_us""".stripMargin,
+
+    "log_forecast_baseline" ->
+      """WITH e AS (SELECT event_type, date_trunc('hour', ts) AS h FROM events),
+        |c AS (SELECT event_type, h, COUNT(*) AS n FROM e GROUP BY 1, 2),
+        |b AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM e),
+        |grid AS (
+        |  SELECT t.event_type, g.h
+        |  FROM (SELECT DISTINCT event_type FROM e) t, b,
+        |       unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS g(h)),
+        |dense AS (
+        |  SELECT grid.event_type, epoch_us(grid.h) AS hu, COALESCE(c.n, 0) AS n
+        |  FROM grid LEFT JOIN c ON grid.event_type = c.event_type
+        |                       AND grid.h = c.h)
+        |SELECT d.event_type, COUNT(*) AS n_eval,
+        |  ROUND(CAST(SUM(ABS(d.n - w.n)) AS DOUBLE) / COUNT(*), 4)
+        |    AS mae_week,
+        |  ROUND(CAST(SUM(ABS(d.n - p.n)) AS DOUBLE) / COUNT(*), 4)
+        |    AS mae_hour,
+        |  CASE WHEN SUM(ABS(d.n - w.n)) < SUM(ABS(d.n - p.n)) THEN 'week'
+        |       WHEN SUM(ABS(d.n - w.n)) > SUM(ABS(d.n - p.n)) THEN 'hour'
+        |       ELSE 'tie' END AS better
+        |FROM dense d
+        |JOIN dense w ON w.event_type = d.event_type
+        |            AND w.hu = d.hu - 604800000000
+        |JOIN dense p ON p.event_type = d.event_type
+        |            AND p.hu = d.hu - 3600000000
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
 
     "log_bot_detection" ->
       """WITH a AS (

@@ -127,6 +127,39 @@ object Multimodal {
           sum(octet_length($"text".cast("binary")).cast("long")).as("total_bytes"),
           max(octet_length($"text".cast("binary")).cast("long")).as("max_bytes"))
         .orderBy($"source")
+    }),
+
+    // Media near-duplicate candidates by keyframe-fingerprint banding —
+    // the video/image dedup shape: two media are candidates when they
+    // share >= 2 sampled frame hashes (position-independent, so a
+    // temporal shift or re-container of the same footage still pairs).
+    // Exactly the MinHash-LSH band discipline applied to the frame axis:
+    // candidates come from an equi-join on the frame hash, NEVER a
+    // pairwise scan, and a stop-frame cap (df <= 50) bounds the fan-out
+    // of a boilerplate frame shared by everything (a black intro frame
+    // at corpus scale would otherwise emit C(k,2) pairs). Per-frame
+    // hashes reuse the mm_frame_sample chunking.
+    "mm_neardup_pairs" -> ((s, d) => {
+      import s.implicits._
+      val fd = t(s, d, "documents")
+        .select($"doc_id".as("media_id"), $"text".as("payload"))
+        .filter(length($"payload") >= 1)
+        .select($"media_id", explode(expr(
+          "sequence(0, least(4, (length(payload) - 1) div 64))"))
+          .as("frame_i"), $"payload")
+        .select($"media_id",
+          md5(expr("substring(payload, frame_i * 64 + 1, 64)")
+            .cast("binary")).as("fh"))
+        .distinct()
+      val keep = fd.groupBy($"fh").agg(count(lit(1)).as("k"))
+        .filter($"k" <= 50).select($"fh")
+      val banded = fd.join(keep, "fh")
+      banded.as("a").join(banded.as("b"),
+          $"a.fh" === $"b.fh" && $"a.media_id" < $"b.media_id")
+        .groupBy($"a.media_id".as("media_a"), $"b.media_id".as("media_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter($"n_shared" >= 2)
+        .orderBy($"media_a", $"media_b")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -206,5 +239,22 @@ object Multimodal {
       """SELECT source, COUNT(*) AS n_docs,
         |  CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
         |  CAST(MAX(octet_length(CAST(text AS BLOB))) AS BIGINT) AS max_bytes
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin)
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "mm_neardup_pairs" ->
+      """WITH f AS (
+        |  SELECT DISTINCT doc_id AS media_id,
+        |    md5(substring(text, i * 64 + 1, 64)) AS fh
+        |  FROM documents, unnest(generate_series(0,
+        |    least(4, (len(text) - 1) // 64))) AS t(i)
+        |  WHERE len(text) >= 1),
+        |keep AS (
+        |  SELECT fh FROM (SELECT fh, COUNT(*) AS k FROM f GROUP BY fh)
+        |  WHERE k <= 50),
+        |fd AS (SELECT media_id, f.fh FROM f JOIN keep ON f.fh = keep.fh)
+        |SELECT a.media_id AS media_a, b.media_id AS media_b,
+        |  COUNT(*) AS n_shared
+        |FROM fd a JOIN fd b ON a.fh = b.fh AND a.media_id < b.media_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |ORDER BY media_a, media_b""".stripMargin)
 }

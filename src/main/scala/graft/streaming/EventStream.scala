@@ -76,6 +76,59 @@ object EventStream {
 
   case class UserCount(user_id: Long, n: Long)
 
+  case class AnomStats(user_id: Long, n_events: Long, mu: Double, sd: Double)
+
+  /** Online per-user anomaly-model stats — the streaming twin of the
+    * batch `log_anomaly` stats stage: each update emits the user's
+    * current (n, mean, sample-sd) so a scoring join can flag live events
+    * against the freshest model without re-scanning history.
+    *
+    * Exactness discipline: state holds the DECIMAL power sums (n, Σx,
+    * Σx²) with each term rounded to scale 10 HALF_UP exactly as Spark's
+    * double→decimal(28,10) cast does in the batch query — decimal sums
+    * are associative, so after any interleaving/restart the final
+    * streaming stats are BIT-IDENTICAL to batch (asserted in
+    * StreamingSpec), not approximately equal. mu/sd reproduce the batch
+    * operand order: mu = Σx/n, sd = sqrt((Σx² − Σx·(Σx/n))/(n−1)).
+    * Same event-time TTL as runningUserCounts bounds state to the
+    * active user set. */
+  def anomalyStats(events: DataFrame,
+      idleUs: Long = 86400000000L, wmDelay: String = "1 hour"): Dataset[AnomStats] = {
+    import events.sparkSession.implicits._
+    val isBatch = !events.isStreaming
+    val in = if (isBatch) events else events.withWatermark("ts", wmDelay)
+    def d10(x: Double): BigDecimal =
+      BigDecimal(java.math.BigDecimal.valueOf(x)
+        .setScale(10, java.math.RoundingMode.HALF_UP))
+    in.select($"user_id".cast("long"), $"value".cast("double"),
+        unix_micros($"ts").as("us"), $"ts")
+      .as[(Long, Double, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(),
+          if (isBatch) GroupStateTimeout.NoTimeout
+          else GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, batch: Iterator[(Long, Double, Long, java.sql.Timestamp)],
+         state: GroupState[(Long, BigDecimal, BigDecimal, Long)]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var (n, s1, s2, seen) = state.getOption
+              .getOrElse((0L, BigDecimal(0), BigDecimal(0), Long.MinValue))
+            batch.foreach { e =>
+              n += 1; s1 += d10(e._2); s2 += d10(e._2 * e._2)
+              if (e._3 > seen) seen = e._3
+            }
+            state.update((n, s1, s2, seen))
+            if (!isBatch)
+              state.setTimeoutTimestamp(math.max((seen + idleUs) / 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+            val s1d = s1.toDouble
+            val sd = if (n == 1) 0.0
+              else math.sqrt((s2.toDouble - s1d * (s1d / n)) / (n - 1))
+            Iterator.single(AnomStats(user, n, s1d / n, sd))
+          }
+      }
+  }
+
   /** Stateful per-user running event counts via flatMapGroupsWithState —
     * the Spark-native form of the reference's per-key reduce state
     * (M5 whole-partition reduce generalized to unbounded streams).

@@ -966,4 +966,56 @@ class PipelineInvariantsSpec extends SparkSpec {
     val truth = counts.toSeq.sortBy { case (p, c) => (-c, p) }.take(20)
     assert(got.toSeq == truth, "top-20 merge candidates mismatch")
   }
+
+  test("mm_neardup_pairs: shared-frame counts replay from raw payloads") {
+    import spark.implicits._
+    val got = SparkEntry.queries("mm_neardup_pairs")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.nonEmpty && got.forall { case ((a, b), n) => a < b && n >= 2 })
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def frames(text: String): Set[String] =
+      (0 to math.min(4, (text.length - 1) / 64)).map { i =>
+        val chunk = text.substring(i * 64, math.min(text.length, i * 64 + 64))
+        md.digest(chunk.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      }.toSet
+    val docs = t(spark, sf(), "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .filter(_._2.nonEmpty).map { case (id, txt) => id -> frames(txt) }
+    // df<=50 cap replay, then brute-force the expected pair set
+    val dfc = docs.flatMap { case (id, fs) => fs.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val kept = docs.map { case (id, fs) =>
+      id -> fs.filter(f => dfc(f) <= 50)
+    }
+    val expected = (for {
+      (a, fa) <- kept; (b, fb) <- kept if a < b
+      n = (fa & fb).size if n >= 2
+    } yield (a, b) -> n.toLong).toMap
+    assert(got == expected, "banded candidates != brute-force truth")
+  }
+
+  test("log_forecast_baseline: verdicts replay from the dense grid") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("log_forecast_baseline")(spark, sf())
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getString(4))).toMap
+    val dense = SparkEntry.queries("log_gapfill")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val byType = dense.keys.map(_._1).toSet
+    assert(rows.keySet == byType)
+    for (ty <- byType) {
+      // toSeq before mapping: a Set.map would dedup equal abs-diffs
+      val hours = dense.keys.filter(_._1 == ty).map(_._2).toSeq
+      val evalHours = hours.filter(h =>
+        dense.contains((ty, h - 604800000000L)) &&
+          dense.contains((ty, h - 3600000000L)))
+      val sw = evalHours.map(h =>
+        math.abs(dense((ty, h)) - dense((ty, h - 604800000000L)))).sum
+      val sh = evalHours.map(h =>
+        math.abs(dense((ty, h)) - dense((ty, h - 3600000000L)))).sum
+      val verdict = if (sw < sh) "week" else if (sw > sh) "hour" else "tie"
+      assert(rows(ty) == ((evalHours.size.toLong, verdict)), s"type $ty")
+    }
+  }
 }

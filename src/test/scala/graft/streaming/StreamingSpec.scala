@@ -114,6 +114,38 @@ class StreamingSpec extends SparkSpec {
       batch.map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
 
+  test("anomaly stats: streaming decimal power sums match batch bit-exact") {
+    import spark.implicits._
+    EventStream.runToMemory(spark, stagedEvents,
+      df => EventStream.anomalyStats(df).toDF(),
+      "anom_stream", OutputMode.Update())
+    // n strictly increases per emission, so max(struct) is the final row
+    val streamed = spark.table("anom_stream")
+      .groupBy($"user_id")
+      .agg(max(struct($"n_events", $"mu", $"sd")).as("f"))
+      .select($"user_id", $"f.n_events", $"f.mu", $"f.sd")
+      .orderBy($"user_id").collect()
+    // the batch log_anomaly stats stage, verbatim
+    val batch = spark.read.parquet(stagedEvents)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(28,10)")).cast("double").as("s1"),
+        sum(($"value" * $"value").cast("decimal(28,10)")).cast("double")
+          .as("s2"))
+      .select($"user_id", $"n", ($"s1" / $"n").as("mu"),
+        when($"n" === 1, 0.0)
+          .otherwise(sqrt(($"s2" - $"s1" * ($"s1" / $"n")) / ($"n" - 1)))
+          .as("sd"))
+      .orderBy($"user_id").collect()
+    assert(streamed.nonEmpty && streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getLong(0) == b.getLong(0) && s.getLong(1) == b.getLong(1))
+      // == on doubles: the parity claim is BIT-exact, not approximate
+      assert(s.getDouble(2) == b.getDouble(2), s"mu, user ${s.getLong(0)}")
+      assert(s.getDouble(3) == b.getDouble(3), s"sd, user ${s.getLong(0)}")
+    }
+  }
+
   test("streaming dedup drops in-window duplicates, batch parity on uniques") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_dedup").resolve("dup").toString
