@@ -1142,6 +1142,37 @@ object PipelineOps {
           coalesce(max(when($"dev2" * 2 > $"mad4" * 5, $"n_tok")), lit(0L))
             .as("max_outlier_tokens"))
         .orderBy($"source")
+    }),
+
+    // Quality-vs-duplication calibration — the curation diagnostic that
+    // decides whether a quality filter is doing hidden dedup work (and
+    // vice versa): bucket docs into type-token-ratio deciles and report
+    // the exact-duplicate share of each. Composes the declared
+    // text_quality score with the dedup_exact fingerprint logic. The
+    // decile cut runs on the e4-quantized score (integer div — a raw
+    // float floor at a 0.1 boundary flips across engines), the dup flag
+    // is a semi-join against the >1-occurrence fingerprint set, and the
+    // rollup is a ≤10-row agg: one corpus scan per input, nothing
+    // pairwise.
+    "doc_quality_vs_dup" -> ((s, d) => {
+      import s.implicits._
+      val q = TextAnalysis.queries("text_quality")(s, d)
+        .select($"doc_id", expr(
+          "least(cast(9 as bigint), cast(round(ttr * 1e4) as bigint)" +
+            " div 1000)").as("decile"))
+      val fp = t(s, d, "documents")
+        .select($"doc_id", md5($"text".cast("binary")).as("fp"))
+      val dupfp = fp.groupBy($"fp").agg(count(lit(1)).as("k"))
+        .filter($"k" > 1).select($"fp")
+      val flags = fp.join(dupfp, Seq("fp"), "left_semi")
+        .select($"doc_id", lit(1L).as("is_dup"))
+      q.join(flags, Seq("doc_id"), "left_outer")
+        .groupBy($"decile")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce($"is_dup", lit(0L))).as("n_dups"))
+        .select($"decile", $"n_docs", $"n_dups",
+          round($"n_dups".cast("double") / $"n_docs", 4).as("dup_share"))
+        .orderBy($"decile")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -1824,5 +1855,32 @@ object PipelineOps {
          |  COALESCE(MAX(CASE WHEN dev2 * 2 > mad4 * 5 THEN n_tok END), 0)
          |    AS max_outlier_tokens
          |FROM dev JOIN md ON dev.source = md.source
-         |GROUP BY dev.source ORDER BY dev.source""".stripMargin)
+         |GROUP BY dev.source ORDER BY dev.source""".stripMargin,
+
+    "doc_quality_vs_dup" ->
+      """WITH tk AS (
+        |  SELECT doc_id, tok
+        |  FROM (SELECT doc_id,
+        |          unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        |        FROM documents) WHERE tok <> ''),
+        |q AS (
+        |  SELECT doc_id,
+        |    ROUND(CAST(COUNT(DISTINCT tok) AS DOUBLE) / COUNT(*), 4) AS ttr
+        |  FROM tk GROUP BY doc_id),
+        |dec AS (
+        |  SELECT doc_id,
+        |    LEAST(9, CAST(ROUND(ttr * 1e4) AS BIGINT) // 1000) AS decile
+        |  FROM q),
+        |f AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        |dup AS (SELECT fp FROM (SELECT fp, COUNT(*) AS c FROM f GROUP BY fp)
+        |        WHERE c > 1),
+        |fl AS (
+        |  SELECT f.doc_id,
+        |    CASE WHEN dup.fp IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+        |  FROM f LEFT JOIN dup ON f.fp = dup.fp)
+        |SELECT decile, COUNT(*) AS n_docs,
+        |  CAST(SUM(is_dup) AS BIGINT) AS n_dups,
+        |  ROUND(CAST(SUM(is_dup) AS DOUBLE) / COUNT(*), 4) AS dup_share
+        |FROM dec JOIN fl USING (doc_id)
+        |GROUP BY decile ORDER BY decile""".stripMargin)
 }

@@ -812,6 +812,77 @@ object Similarity {
         .orderBy($"qid", $"rnk")
     }),
 
+    // Matrix-free distributed power iteration — two steps of v ← G·v
+    // for the Gram matrix G = Σ x·xᵀ WITHOUT ever materializing G
+    // (G·v = Σ x·(x·v), so each step is one corpus pass emitting dim
+    // rows: per-vector dot against the broadcast direction, then a
+    // dim-keyed agg — no dim² state, no dim² shuffle, the only
+    // all-reduce is 64 rows). This is the spectral primitive under
+    // PCA/spectral-norm/condition estimation at 100 TB. Exactness:
+    // e3-quantized inputs keep EVERY accumulation a pure BIGINT sum
+    // (order-independent); decimals appear only under the two norms,
+    // and the normalize is the single float op per round. NOTE the
+    // fixture's spectrum is nearly flat (λ1/λ2 ≈ 1.02), so two
+    // iterations are far from the true PC1 — the contract here is the
+    // iteration itself (exact G·v replay + monotone Rayleigh quotient,
+    // invariant-tested), not converged components; production runs as
+    // many rounds as the gap demands, same plan per round.
+    "sim_power_iteration" -> ((s, d) => {
+      import s.implicits._
+      val e = t(s, d, "embeddings")
+        .select($"vec_id", posexplode(expr(
+          "transform(embedding, x -> cast(round(cast(x as double) * 1e3)" +
+            " as bigint))")))
+        .select($"vec_id", $"pos".cast("long").as("dd"), $"col".as("x"))
+        .localCheckpoint()
+      val s0 = e.groupBy($"vec_id").agg(sum($"x").as("s0"))
+      val u1 = e.join(s0, "vec_id")
+        .groupBy($"dd").agg(sum($"x" * $"s0").as("u1"))
+      val n1 = u1.agg(sqrt(sum(($"u1".cast("decimal(38,0)") * $"u1")
+        .cast("decimal(38,0)")).cast("double")).as("n1"))
+      val v1 = u1.crossJoin(broadcast(n1))
+        .select($"dd", expr("cast(round(u1 / n1 * 1e6) as bigint)").as("v1"))
+      val s1 = e.join(broadcast(v1), "dd")
+        .groupBy($"vec_id").agg(sum($"x" * $"v1").as("s1"))
+      val u2 = e.join(s1, "vec_id")
+        .groupBy($"dd").agg(sum($"x" * $"s1").as("u2"))
+      val n2 = u2.agg(sqrt(sum(($"u2".cast("decimal(38,0)") * $"u2")
+        .cast("decimal(38,0)")).cast("double")).as("n2"))
+      u2.crossJoin(broadcast(n2)).join(v1, "dd")
+        .select($"dd", $"v1".as("v1_e6"),
+          expr("cast(round(u2 / n2 * 1e6) as bigint)").as("pc1_e6"))
+        .orderBy($"dd")
+    }),
+
+    // Per-dimension embedding-health profile — the index-intake QC
+    // sheet: mean/sd/min/max of every embedding dimension (dead dims,
+    // scale drift, clipped ranges — the things that silently wreck a
+    // distance metric). One dim-keyed agg over e6-quantized components;
+    // mean/sd follow the doc_source_profile exact-integer power-sum
+    // discipline (never the engine's streaming stddev).
+    "sim_dim_profile" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "embeddings")
+        .select(posexplode(expr(
+          "transform(embedding, x -> cast(round(cast(x as double) * 1e6)" +
+            " as bigint))")))
+        .select($"pos".cast("long").as("dd"), $"col".as("x"))
+        .groupBy($"dd")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum($"x").as("sx"), sum($"x" * $"x").as("sq"),
+          min($"x").as("min_e6"), max($"x").as("max_e6"))
+        .select($"dd", $"n_vecs",
+          round($"sx".cast("double") / $"n_vecs" / 1e6, 4).as("mean"),
+          when($"n_vecs" > 1, round(sqrt(
+            ($"n_vecs".cast(org.apache.spark.sql.types.DecimalType(38, 0))
+              * $"sq" - $"sx".cast(
+                org.apache.spark.sql.types.DecimalType(38, 0)) * $"sx")
+              .cast("double") / ($"n_vecs" * ($"n_vecs" - 1))) / 1e6, 4))
+            .otherwise(0.0).as("sd"),
+          $"min_e6", $"max_e6")
+        .orderBy($"dd")
+    }),
+
     // Cluster purity vs labels — the clustering-evaluation op the
     // label column exists for: per IVF cell, the majority label, its
     // share (purity, 4 dp from exact counts), and the distinct-label
@@ -1636,6 +1707,52 @@ object Similarity {
         |  ROUND(CAST(p.cnt AS DOUBLE) / t.n_vecs, 4) AS purity
         |FROM tot t JOIN top p ON p.cell = t.cell
         |ORDER BY t.cell""".stripMargin),
+
+    "sim_power_iteration" ->
+      """WITH e AS (
+        |  SELECT vec_id, i - 1 AS dd,
+        |    CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1e3) AS BIGINT) AS x
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
+        |s0 AS (SELECT vec_id, CAST(SUM(x) AS BIGINT) AS s0
+        |       FROM e GROUP BY vec_id),
+        |u1 AS (
+        |  SELECT dd, CAST(SUM(e.x * s0.s0) AS BIGINT) AS u1
+        |  FROM e JOIN s0 ON e.vec_id = s0.vec_id GROUP BY dd),
+        |n1 AS (SELECT sqrt(CAST(SUM(CAST(u1 AS DECIMAL(38,0)) * u1)
+        |         AS DOUBLE)) AS n1 FROM u1),
+        |v1 AS (SELECT dd, CAST(ROUND(u1 / n1.n1 * 1e6) AS BIGINT) AS v1
+        |       FROM u1, n1),
+        |s1 AS (
+        |  SELECT e.vec_id, CAST(SUM(e.x * v1.v1) AS BIGINT) AS s1
+        |  FROM e JOIN v1 ON e.dd = v1.dd GROUP BY e.vec_id),
+        |u2 AS (
+        |  SELECT e.dd AS dd, CAST(SUM(e.x * s1.s1) AS BIGINT) AS u2
+        |  FROM e JOIN s1 ON e.vec_id = s1.vec_id GROUP BY e.dd),
+        |n2 AS (SELECT sqrt(CAST(SUM(CAST(u2 AS DECIMAL(38,0)) * u2)
+        |         AS DOUBLE)) AS n2 FROM u2)
+        |SELECT u2.dd AS dd, v1.v1 AS v1_e6,
+        |  CAST(ROUND(u2 / n2.n2 * 1e6) AS BIGINT) AS pc1_e6
+        |FROM u2 JOIN v1 ON u2.dd = v1.dd, n2 ORDER BY dd""".stripMargin,
+
+    "sim_dim_profile" ->
+      """WITH e AS (
+        |  SELECT i - 1 AS dd,
+        |    CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT) AS x
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
+        |a AS (
+        |  SELECT dd, COUNT(*) AS n_vecs, CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(x * x) AS BIGINT) AS sq,
+        |    MIN(x) AS min_e6, MAX(x) AS max_e6
+        |  FROM e GROUP BY dd)
+        |SELECT dd, n_vecs,
+        |  ROUND(CAST(sx AS DOUBLE) / n_vecs / 1e6, 4) AS mean,
+        |  CASE WHEN n_vecs > 1 THEN
+        |    ROUND(sqrt(CAST(CAST(n_vecs AS DECIMAL(38,0)) * sq
+        |                    - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)
+        |               / (n_vecs * (n_vecs - 1))) / 1e6, 4)
+        |  ELSE 0.0 END AS sd,
+        |  min_e6, max_e6
+        |FROM a ORDER BY dd""".stripMargin,
 
     "sim_cell_balance" -> (cellPairsCte +
       """,

@@ -255,4 +255,70 @@ class AnnInvariantsSpec extends SparkSpec {
       assert(tl == labels(id) && ok == (pl == tl))
     }
   }
+
+  test("sim_power_iteration: exact G·v replay + monotone Rayleigh quotient") {
+    import spark.implicits._
+    val got = SparkEntry.queries("sim_power_iteration")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq == (0L until 64L))
+    val xs = t(spark, sf(), "embeddings")
+      .select($"vec_id", $"embedding").collect()
+      .map(_.getSeq[Float](1).toArray.map(f =>
+        math.round(f.toDouble * 1e3)))
+    // iteration 1: u1 = G·1 = Σ x·(Σ_d x_d), all exact integers
+    val u1 = Array.tabulate(64) { d =>
+      xs.map(x => x(d) * x.sum).sum
+    }
+    val n1 = math.sqrt(u1.map(v => BigInt(v) * BigInt(v)).sum.toDouble)
+    val v1 = u1.map(v => math.round(v / n1 * 1e6))
+    // iteration 2: u2 = G·v1
+    val u2 = Array.tabulate(64) { d =>
+      xs.map(x => x(d) * x.indices.map(i => x(i) * v1(i)).sum).sum
+    }
+    val n2 = math.sqrt(u2.map(v => BigInt(v) * BigInt(v)).sum.toDouble)
+    val pc1 = u2.map(v => math.round(v / n2 * 1e6))
+    assert(got.map(_._2).toSeq == v1.toSeq, "v1 replay")
+    assert(got.map(_._3).toSeq == pc1.toSeq, "pc1 replay")
+    // Rayleigh quotient must not decrease across the iteration
+    // (exact BigInt cross-multiply: r1 = v1·u2/v1·v1 vs r0 = Σu1/64)
+    val r1num = v1.indices.map(i => BigInt(v1(i)) * u2(i)).sum
+    val r1den = v1.map(v => BigInt(v) * v).sum
+    val r0num = u1.map(BigInt(_)).sum
+    assert(r1num * 64 >= r0num * r1den, "Rayleigh quotient decreased")
+  }
+
+  test("sim_dim_profile: 64 rows whose integer stats replay exactly") {
+    import spark.implicits._
+    val got = SparkEntry.queries("sim_dim_profile")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(4), r.getLong(5)))
+    val xs = t(spark, sf(), "embeddings")
+      .select($"embedding").collect()
+      .map(_.getSeq[Float](0).toArray.map(f =>
+        math.round(f.toDouble * 1e6)))
+    assert(got.length == 64 && got.forall(_._2 == xs.length))
+    for ((dd, _, mean, mn, mx) <- got) {
+      val col = xs.map(_(dd.toInt))
+      assert(mn == col.min && mx == col.max, s"dim $dd min/max")
+      assert(mean * 1e6 >= mn - 1 && mean * 1e6 <= mx + 1, s"dim $dd mean")
+    }
+  }
+
+  test("doc_quality_vs_dup: deciles partition scored docs, dups replay") {
+    import spark.implicits._
+    val got = SparkEntry.queries("doc_quality_vs_dup")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val texts = t(spark, sf(), "documents")
+      .select($"text").as[String].collect()
+    val scored = texts.count(_.toLowerCase.split("\\s+").exists(_.nonEmpty))
+    assert(got.map(_._2).sum == scored, "deciles partition scored docs")
+    val dupDocs = texts.groupBy(identity).values
+      .filter(_.length > 1).map(_.length).sum
+    val scoredDup = texts.filter(t =>
+        t.toLowerCase.split("\\s+").exists(_.nonEmpty))
+      .groupBy(identity).values.filter(_.length > 1).map(_.length).sum
+    assert(got.map(_._3).sum == scoredDup.toLong,
+      s"dup mass (all-doc dup mass: $dupDocs)")
+    assert(got.forall { case (dec, n, k) => dec >= 0 && dec <= 9 && k <= n })
+  }
 }
