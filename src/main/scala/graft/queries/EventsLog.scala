@@ -740,6 +740,44 @@ object EventsLog {
         .orderBy($"event_type")
     }),
 
+    // Exact Gini concentration of event volume over users — the
+    // whole-distribution inequality audit next to log_skew_profile's
+    // top-5 shares (how concentrated is traffic, is one cohort eating
+    // the cluster). The textbook formula needs every user's GLOBAL
+    // ascending rank, which must never be a global window at 100 TB:
+    // ranks come from the two-level bounded-domain cumsum (strictly-
+    // smaller-count mass from a count-value-keyed agg + a within-count
+    // row_number — the doc_token_budget design; the only ordered window
+    // runs over DISTINCT count values, a bounded domain). Σ rank·count
+    // and the top-decile masses are exact integer sums; the Gini and
+    // shares are each one float expression over those integers.
+    "log_user_gini" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val uc = t(s, d, "events").groupBy($"user_id")
+        .agg(count(lit(1)).as("c"))
+      val cum = uc.groupBy($"c").agg(count(lit(1)).as("k"))
+        .withColumn("below", coalesce(sum($"k").over(Window.orderBy($"c")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val rk = uc.join(cum.select($"c", $"below"), "c")
+        .withColumn("r", $"below" +
+          row_number().over(Window.partitionBy($"c").orderBy($"user_id")))
+      val tot = rk.agg(count(lit(1)).as("n"), sum($"c").as("tot"))
+      rk.crossJoin(broadcast(tot))
+        .agg(first($"n").as("n_users"), first($"tot").as("total_events"),
+          sum($"r" * $"c").as("src"),
+          sum(when($"r" * 10 > $"n" * 9, $"c").otherwise(0L)).as("top10"),
+          sum(when($"r" * 2 > $"n", $"c").otherwise(0L)).as("top50"))
+        .select($"n_users", $"total_events",
+          round($"top10".cast("double") / $"total_events", 4)
+            .as("share_top10"),
+          round($"top50".cast("double") / $"total_events", 4)
+            .as("share_top50"),
+          round((lit(2.0) * $"src" - ($"n_users" + lit(1.0))
+            * $"total_events")
+            / ($"n_users".cast("double") * $"total_events"), 4).as("gini"))
+    }),
+
     // Heuristic bot scoring — the traffic-hygiene pass an event
     // pipeline runs before analytics trust the log: per user, event
     // volume, active span, sustained rate, and error share, with a
@@ -1234,6 +1272,35 @@ object EventsLog {
         |  ROUND(CAST(errs AS DOUBLE) / n, 4) AS err_ratio,
         |  (errs * total > n * terrs * 2) AS burst
         |FROM hh, tot ORDER BY hour_us""".stripMargin,
+
+    "log_user_gini" ->
+      """WITH uc AS (SELECT user_id, COUNT(*) AS c FROM events
+        |            GROUP BY user_id),
+        |cb AS (SELECT c, COUNT(*) AS k FROM uc GROUP BY c),
+        |cum AS (
+        |  SELECT c, COALESCE(SUM(k) OVER (ORDER BY c
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        |  FROM cb),
+        |rk AS (
+        |  SELECT uc.user_id, uc.c,
+        |    cum.below + ROW_NUMBER() OVER (PARTITION BY uc.c
+        |                                   ORDER BY uc.user_id) AS r
+        |  FROM uc JOIN cum ON uc.c = cum.c),
+        |tot AS (SELECT COUNT(*) AS n, CAST(SUM(c) AS BIGINT) AS tot
+        |        FROM rk),
+        |agg AS (
+        |  SELECT CAST(SUM(r * c) AS BIGINT) AS src,
+        |    CAST(SUM(CASE WHEN r * 10 > t.n * 9 THEN c ELSE 0 END)
+        |      AS BIGINT) AS top10,
+        |    CAST(SUM(CASE WHEN r * 2 > t.n THEN c ELSE 0 END) AS BIGINT)
+        |      AS top50
+        |  FROM rk, tot t)
+        |SELECT t.n AS n_users, t.tot AS total_events,
+        |  ROUND(CAST(a.top10 AS DOUBLE) / t.tot, 4) AS share_top10,
+        |  ROUND(CAST(a.top50 AS DOUBLE) / t.tot, 4) AS share_top50,
+        |  ROUND((2.0 * a.src - (t.n + 1.0) * t.tot)
+        |        / (CAST(t.n AS DOUBLE) * t.tot), 4) AS gini
+        |FROM agg a, tot t""".stripMargin,
 
     "log_forecast_baseline" ->
       """WITH e AS (SELECT event_type, date_trunc('hour', ts) AS h FROM events),

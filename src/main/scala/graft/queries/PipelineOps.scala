@@ -1173,6 +1173,62 @@ object PipelineOps {
         .select($"decile", $"n_docs", $"n_dups",
           round($"n_dups".cast("double") / $"n_docs", 4).as("dup_share"))
         .orderBy($"decile")
+    }),
+
+    // Bloom-filter decontamination — the constant-state scale path next
+    // to text_contamination_ngrams' exact join: the train split folds
+    // into a fixed 258,048-bit Bloom filter (4 md5-window probes;
+    // ~0.5% FP at this corpus, sized to the expected distinct-gram
+    // count per deployment), eval docs probe the BROADCAST filter, and
+    // the query publishes the exact counts NEXT to the bloom counts so
+    // the false-positive cost of dropping the distinct-gram shuffle is
+    // measured, not assumed. At 100 TB the exact path's distinct set
+    // grows with the corpus while the filter stays ~32 KB — this query
+    // is the evidence table for making that trade. No false negatives
+    // by construction (invariant-tested).
+    "doc_bloom_decontaminate" -> ((s, d) => {
+      import s.implicits._
+      val MB = 258048
+      def posC(r: Int) = expr(
+        s"cast(conv(substring(md5(cast(gs as binary)), ${5 * r + 1}, 5)," +
+          s" 16, 10) as bigint) % $MB")
+      val h = substring(md5($"doc_id".cast("string").cast("binary")), 1, 1)
+      val grams = t(s, d, "documents")
+        .select($"doc_id", toksCol.as("toks"),
+          when(h.isin("d", "e"), "val").when(h === "f", "test")
+            .otherwise("train").as("split"))
+        .filter(size($"toks") >= 8)
+        .select($"doc_id", $"split", posexplode(expr(
+          "transform(sequence(1, size(toks) - 7)," +
+            " i -> array_join(slice(toks, i, 8), ' '))")))
+        .select($"doc_id", $"split", $"pos".cast("long").as("occ"),
+          $"col".as("gs"))
+        .localCheckpoint()
+      val tg = grams.filter($"split" === "train").select($"gs").distinct()
+      val bits = tg
+        .select(explode(array((0 until 4).map(posC): _*)).as("p"))
+        .groupBy(expr("cast(p div 63 as int)").as("word_j"))
+        .agg(expr("bit_or(shiftleft(cast(1 as bigint), p % 63))").as("bits"))
+      val eg = grams.filter($"split" =!= "train")
+        .join(tg.withColumn("ex", lit(1L)), Seq("gs"), "left_outer")
+        .select($"doc_id", $"split", $"occ",
+          coalesce($"ex", lit(0L)).as("exact_hit"), $"gs")
+      eg.select($"doc_id", $"split", $"occ", $"exact_hit",
+          explode(array((0 until 4).map(posC): _*)).as("p"))
+        .withColumn("word_j", expr("cast(p div 63 as int)"))
+        .join(broadcast(bits), Seq("word_j"), "left_outer")
+        .groupBy($"doc_id", $"split", $"occ")
+        .agg(min(when($"bits".isNotNull &&
+            expr("bits & shiftleft(cast(1 as bigint), p % 63)") =!= 0, 1L)
+          .otherwise(0L)).as("bloom_hit"),
+          min($"exact_hit").as("exact_hit"))
+        .groupBy($"doc_id", $"split")
+        .agg(count(lit(1)).as("n_grams"), sum($"bloom_hit").as("n_bloom"),
+          sum($"exact_hit").as("n_exact"))
+        .select($"doc_id", $"split", $"n_grams", $"n_bloom", $"n_exact",
+          ($"n_bloom" - $"n_exact").as("n_false_pos"),
+          ($"n_bloom" * 10 >= $"n_grams").as("contaminated"))
+        .orderBy($"doc_id")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -1882,5 +1938,64 @@ object PipelineOps {
         |  CAST(SUM(is_dup) AS BIGINT) AS n_dups,
         |  ROUND(CAST(SUM(is_dup) AS DOUBLE) / COUNT(*), 4) AS dup_share
         |FROM dec JOIN fl USING (doc_id)
-        |GROUP BY decile ORDER BY decile""".stripMargin)
+        |GROUP BY decile ORDER BY decile""".stripMargin,
+
+    "doc_bloom_decontaminate" -> {
+      def hexAt(i: Int) =
+        s"(strpos('0123456789abcdef', substring(md5(gs), $i, 1)) - 1)"
+      def pos5(r: Int) =
+        (1 until 5).foldLeft(hexAt(5 * r + 1)) { (e, j) =>
+          s"($e * 16 + ${hexAt(5 * r + 1 + j)})"
+        } + " % 258048"
+      val bitRows = (0 until 4).map(r =>
+        s"SELECT (${pos5(r)}) AS p FROM tg").mkString("\n  UNION ALL\n  ")
+      val probeRows = (0 until 4).map(r =>
+        s"SELECT doc_id, split, occ, (${pos5(r)}) AS p FROM eg")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+         |           IN ('d','e') THEN 'val'
+         |         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f'
+         |           THEN 'test'
+         |         ELSE 'train' END AS split,
+         |    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |                x -> x <> '') AS toks
+         |  FROM documents),
+         |grams AS (
+         |  SELECT doc_id, split, i - 1 AS occ,
+         |    array_to_string(list_slice(toks, i, i + 7), ' ') AS gs
+         |  FROM toks, unnest(generate_series(1, len(toks) - 7)) AS t(i)
+         |  WHERE len(toks) >= 8),
+         |eg0 AS (SELECT * FROM grams WHERE split <> 'train'),
+         |tg AS (SELECT DISTINCT gs FROM grams WHERE split = 'train'),
+         |eg AS (
+         |  SELECT eg0.doc_id AS doc_id, eg0.split AS split,
+         |    eg0.occ AS occ, eg0.gs AS gs,
+         |    CASE WHEN tg.gs IS NOT NULL THEN 1 ELSE 0 END AS exact_hit
+         |  FROM eg0 LEFT JOIN tg ON eg0.gs = tg.gs),
+         |bits AS (
+         |  SELECT CAST(p // 63 AS INTEGER) AS word_j,
+         |    CAST(bit_or(1::BIGINT << (p % 63)) AS BIGINT) AS bits
+         |  FROM ($bitRows) GROUP BY 1),
+         |gh AS (
+         |  SELECT probe.doc_id AS doc_id, probe.split AS split,
+         |    probe.occ AS occ,
+         |    MIN(CASE WHEN bits.bits IS NOT NULL
+         |             AND (bits.bits & (1::BIGINT << (p % 63))) <> 0
+         |        THEN 1 ELSE 0 END) AS bloom_hit
+         |  FROM ($probeRows) probe
+         |  LEFT JOIN bits ON CAST(p // 63 AS INTEGER) = bits.word_j
+         |  GROUP BY 1, 2, 3),
+         |ex AS (
+         |  SELECT doc_id, occ, MIN(exact_hit) AS exact_hit
+         |  FROM eg GROUP BY 1, 2)
+         |SELECT gh.doc_id AS doc_id, gh.split AS split, COUNT(*) AS n_grams,
+         |  CAST(SUM(bloom_hit) AS BIGINT) AS n_bloom,
+         |  CAST(SUM(exact_hit) AS BIGINT) AS n_exact,
+         |  CAST(SUM(bloom_hit) - SUM(exact_hit) AS BIGINT) AS n_false_pos,
+         |  (SUM(bloom_hit) * 10 >= COUNT(*)) AS contaminated
+         |FROM gh JOIN ex ON gh.doc_id = ex.doc_id AND gh.occ = ex.occ
+         |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
+    })
 }

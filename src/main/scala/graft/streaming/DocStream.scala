@@ -228,4 +228,41 @@ object DocStream {
             }
         }
   }
+
+  case class ReservoirRow(source: String, ver: Long, doc_id: Long, h32: Long)
+
+  /** Deterministic k-per-source hash reservoir — the ONLINE form of the
+    * batch sampling family's md5-rank pre-cut (doc_sample_stratified /
+    * doc_sample_temperature): keep the k docs with the smallest
+    * (md5-rank, doc_id) per source. Because membership is a pure
+    * function of the doc ids seen so far — not of arrival order — any
+    * interleaving, replay, or restart converges to the SAME reservoir,
+    * so streaming equals batch exactly (StreamingSpec), unlike the
+    * classic randomized reservoir. State is k pairs per source BY
+    * CONSTRUCTION, so no watermark/TTL is needed — this is the rare
+    * stateful op whose state cannot grow. Each update re-emits the
+    * current reservoir tagged with a per-source version; the final
+    * version is the live sample. */
+  def hashReservoir(docs: DataFrame, k: Int = 10): Dataset[ReservoirRow] = {
+    import docs.sparkSession.implicits._
+    docs.select($"source", $"doc_id".cast("long").as("doc_id"),
+        expr("cast(conv(substring(md5(cast(cast(doc_id as string)" +
+          " as binary)), 1, 8), 16, 10) as bigint)").as("h32"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(),
+          GroupStateTimeout.NoTimeout) {
+        (src: String, batch: Iterator[(String, Long, Long)],
+         state: GroupState[(Long, List[(Long, Long)])]) =>
+          val (ver, res) = state.getOption.getOrElse(
+            (0L, List.empty[(Long, Long)]))
+          // (h32, doc_id) ascending; distinct absorbs re-deliveries
+          val merged = (res ++ batch.map(e => (e._3, e._2)))
+            .distinct.sorted.take(k)
+          state.update((ver + 1, merged))
+          merged.iterator.map { case (h, id) =>
+            ReservoirRow(src, ver + 1, id, h)
+          }
+      }
+  }
 }

@@ -864,6 +864,44 @@ class PipelineInvariantsSpec extends SparkSpec {
       assert(burst == (errs * total > n * terrs * 2), "burst flag replay")
   }
 
+  test("doc_bloom_decontaminate: no false negatives, exact side matches " +
+      "text_contamination_ngrams") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("doc_bloom_decontaminate")(spark, sf())
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    for ((id, (grams, bloom, exact, fp)) <- rows) {
+      assert(bloom >= exact, s"doc $id: Bloom missed a real member")
+      assert(fp == bloom - exact && fp >= 0 && bloom <= grams, s"doc $id")
+    }
+    // the exact column IS the declared exact query's n_hit
+    val want = SparkEntry.queries("text_contamination_ngrams")(spark, sf())
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(rows.map(_._1).toSet == want.keySet)
+    for ((id, (grams, _, exact, _)) <- rows)
+      assert((grams, exact) == want(id), s"doc $id exact-side mismatch")
+  }
+
+  test("log_user_gini: concentration stats replay from sorted counts") {
+    import spark.implicits._
+    val r = SparkEntry.queries("log_user_gini")(spark, sf()).head()
+    val counts = t(spark, sf(), "events")
+      .groupBy($"user_id").agg(count(lit(1)).as("c"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+      .sortBy { case (u, c) => (c, u) }.map(_._2)
+    val n = counts.length.toLong
+    val tot = counts.sum
+    assert(r.getLong(0) == n && r.getLong(1) == tot)
+    val src = counts.zipWithIndex.map { case (c, i) => (i + 1) * c }.sum
+    val gini = (2.0 * src - (n + 1.0) * tot) / (n.toDouble * tot)
+    assert(math.abs(r.getDouble(4) - gini) < 5e-5, "gini replay")
+    val top10 = counts.zipWithIndex
+      .filter { case (_, i) => (i + 1) * 10 > n * 9 }.map(_._1).sum
+    assert(math.abs(r.getDouble(2) - top10.toDouble / tot) < 5e-5)
+  }
+
   test("sim_rp_project: query output equals an exact driver-side replay") {
     import spark.implicits._
     val got = SparkEntry.queries("sim_rp_project")(spark, sf())

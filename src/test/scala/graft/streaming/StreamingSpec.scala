@@ -644,6 +644,52 @@ class StreamingSpec extends SparkSpec {
     assert(!hours.contains("2024-06-01 07:00"))
   }
 
+  test("hash reservoir: multi-batch stream converges to the batch sample") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_reservoir").toString
+    val src = s"$root/src"
+    val docs = t(spark, sf(), "documents").select($"source", $"doc_id")
+    // two arrival waves in REVERSE doc order — membership must not care
+    docs.filter($"doc_id" % 2 === 1).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val q = DocStream.hashReservoir(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(src), k = 5).toDF()
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("reservoir_stream").start()
+    try {
+      q.processAllAvailable()
+      docs.filter($"doc_id" % 2 === 0).write.mode("append").parquet(src)
+      q.processAllAvailable()
+    } finally q.stop()
+    // live sample = rows of each source's final version
+    val emitted = spark.table("reservoir_stream")
+    val finalVer = emitted.groupBy($"source".as("s"))
+      .agg(max($"ver").as("v"))
+    val got = emitted.join(finalVer,
+        $"source" === $"s" && $"ver" === $"v")
+      .select($"source", $"doc_id", $"h32")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    // batch truth: the 5 smallest (h32, doc_id) per source
+    val batch = DocStream.hashReservoir(docs, k = 5).collect()
+    val batchFinal = batch.groupBy(_.source).flatMap { case (s, rows) =>
+      val v = rows.map(_.ver).max
+      rows.filter(_.ver == v).map(r => (r.source, r.doc_id, r.h32)).toSeq
+    }.toSet
+    assert(got.nonEmpty && got == batchFinal,
+      s"streaming reservoir != batch (got ${got.size}, want ${batchFinal.size})")
+    // and the batch side equals a plain window-rank replay
+    val replay = docs.select($"source", $"doc_id", expr(
+        "cast(conv(substring(md5(cast(cast(doc_id as string) as binary))," +
+          " 1, 8), 16, 10) as bigint)").as("h32"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).flatMap { case (_, rows) =>
+        rows.sortBy(r => (r._3, r._2)).take(5).toSeq
+      }.toSet
+    assert(got == replay, "reservoir != rank-window truth")
+  }
+
   test("doc admission (batch): equals the dedup_incremental admit set") {
     import spark.implicits._
     val docs = t(spark, sf(), "documents")
