@@ -740,6 +740,26 @@ object EventsLog {
         .orderBy($"event_type")
     }),
 
+    // Hour-of-week seasonality fingerprint — the 168-cell traffic
+    // matrix behind every capacity plan and the seasonal-naive
+    // predictor log_forecast_baseline scores: per (ISO weekday, hour)
+    // cell, event count, corpus share, and a 1.5x-average peak flag
+    // decided by integer cross-multiplication. One bounded agg (168
+    // cells at any corpus size) + a 1-row total.
+    "log_seasonality_profile" -> ((s, d) => {
+      import s.implicits._
+      val c = t(s, d, "events")
+        .groupBy((weekday($"ts") + 1).cast("long").as("dow"),
+          hour($"ts").cast("long").as("hod"))
+        .agg(count(lit(1)).as("n"))
+      val tot = c.agg(sum($"n").as("tot"), count(lit(1)).as("cells"))
+      c.crossJoin(broadcast(tot))
+        .select($"dow", $"hod", $"n",
+          round($"n".cast("double") / $"tot", 4).as("share"),
+          ($"n" * $"cells" * 2 > $"tot" * 3).as("is_peak"))
+        .orderBy($"dow", $"hod")
+    }),
+
     // Exact Gini concentration of event volume over users — the
     // whole-distribution inequality audit next to log_skew_profile's
     // top-5 shares (how concentrated is traffic, is one cohort eating
@@ -1272,6 +1292,17 @@ object EventsLog {
         |  ROUND(CAST(errs AS DOUBLE) / n, 4) AS err_ratio,
         |  (errs * total > n * terrs * 2) AS burst
         |FROM hh, tot ORDER BY hour_us""".stripMargin,
+
+    "log_seasonality_profile" ->
+      """WITH c AS (
+        |  SELECT isodow(ts) AS dow, CAST(hour(ts) AS BIGINT) AS hod,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot, COUNT(*) AS cells
+        |      FROM c)
+        |SELECT dow, hod, n, ROUND(CAST(n AS DOUBLE) / tot, 4) AS share,
+        |  (n * cells * 2 > tot * 3) AS is_peak
+        |FROM c, t ORDER BY dow, hod""".stripMargin,
 
     "log_user_gini" ->
       """WITH uc AS (SELECT user_id, COUNT(*) AS c FROM events

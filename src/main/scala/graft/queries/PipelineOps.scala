@@ -1229,6 +1229,41 @@ object PipelineOps {
           ($"n_bloom" - $"n_exact").as("n_false_pos"),
           ($"n_bloom" * 10 >= $"n_grams").as("contaminated"))
         .orderBy($"doc_id")
+    }),
+
+    // Marginal-novelty curve — the diminishing-returns audit behind
+    // every "do we need another crawl" decision: split the corpus into
+    // 10 id-ordered ingest batches and report, per batch, the fraction
+    // of its distinct 8-grams never seen in an earlier batch (plus the
+    // cumulative distinct-gram count). Novelty decaying toward zero
+    // says new data is re-paying for old grams. Shapes at 100 TB: gram
+    // explode → (batch, gram) distinct → first-batch min agg keyed on
+    // the gram hash → 10-row rollup; the only ordered window runs over
+    // the 10 batch rows. Grams hash intra-engine (xxhash64 vs hash) —
+    // the counts are what must agree, the LM-table precedent.
+    "doc_novelty_curve" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val mx = t(s, d, "documents").agg(max($"doc_id").as("mid"))
+      val g = t(s, d, "documents")
+        .select($"doc_id", toksCol.as("toks"))
+        .filter(size($"toks") >= 8)
+        .crossJoin(broadcast(mx))
+        .select(expr("least(cast(9 as bigint), (doc_id * 10) div (mid + 1))")
+          .as("batch"), explode(expr(
+          "transform(sequence(1, size(toks) - 7)," +
+            " i -> xxhash64(array_join(slice(toks, i, 8), ' ')))")).as("gh"))
+        .distinct()
+      val fb = g.groupBy($"gh").agg(min($"batch").as("b0"))
+      g.join(fb, "gh")
+        .groupBy($"batch")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when($"b0" === $"batch", 1L).otherwise(0L)).as("n_new"))
+        .withColumn("novelty",
+          round($"n_new".cast("double") / $"n_grams", 4))
+        .withColumn("cum_distinct",
+          sum($"n_new").over(Window.orderBy($"batch")))
+        .orderBy($"batch")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -1997,5 +2032,28 @@ object PipelineOps {
          |  (SUM(bloom_hit) * 10 >= COUNT(*)) AS contaminated
          |FROM gh JOIN ex ON gh.doc_id = ex.doc_id AND gh.occ = ex.occ
          |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
-    })
+    },
+
+    "doc_novelty_curve" ->
+      """WITH mx AS (SELECT MAX(doc_id) AS mid FROM documents),
+        |g AS (
+        |  SELECT LEAST(9, doc_id * 10 // (mx.mid + 1)) AS batch,
+        |    hash(array_to_string(list_slice(toks, i, i + 7), ' ')) AS gh
+        |  FROM (SELECT doc_id,
+        |          list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                      x -> x <> '') AS toks
+        |        FROM documents), mx,
+        |    unnest(generate_series(1, len(toks) - 7)) AS t(i)
+        |  WHERE len(toks) >= 8),
+        |gb AS (SELECT DISTINCT batch, gh FROM g),
+        |fb AS (SELECT gh, MIN(batch) AS b0 FROM gb GROUP BY gh),
+        |pb AS (
+        |  SELECT gb.batch AS batch, COUNT(*) AS n_grams,
+        |    CAST(SUM(CASE WHEN fb.b0 = gb.batch THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_new
+        |  FROM gb JOIN fb ON gb.gh = fb.gh GROUP BY gb.batch)
+        |SELECT batch, n_grams, n_new,
+        |  ROUND(CAST(n_new AS DOUBLE) / n_grams, 4) AS novelty,
+        |  CAST(SUM(n_new) OVER (ORDER BY batch) AS BIGINT) AS cum_distinct
+        |FROM pb ORDER BY batch""".stripMargin)
 }

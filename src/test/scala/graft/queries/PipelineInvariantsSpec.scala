@@ -902,6 +902,54 @@ class PipelineInvariantsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - top10.toDouble / tot) < 5e-5)
   }
 
+  test("log_seasonality_profile: occupied cells partition events, peaks replay") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("log_seasonality_profile")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(4)))
+    // the query emits OCCUPIED cells (sparse small-SF data can skip one)
+    val cells = rows.length.toLong
+    assert(cells <= 168 && cells > 160 &&
+      rows.map(x => (x._1, x._2)).distinct.length.toLong == cells)
+    val tot = rows.map(_._3).sum
+    assert(tot == t(spark, sf(), "events").count())
+    for ((dow, hod, n, peak) <- rows) {
+      assert(dow >= 1 && dow <= 7 && hod >= 0 && hod <= 23)
+      assert(peak == (n * cells * 2 > tot * 3), s"cell ($dow,$hod)")
+    }
+  }
+
+  test("doc_novelty_curve: exact driver replay of the batched gram curve") {
+    import spark.implicits._
+    val got = SparkEntry.queries("doc_novelty_curve")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(4)))
+    val docs = t(spark, sf(), "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val mid = docs.map(_._1).max
+    val batchGrams = docs.flatMap { case (id, txt) =>
+      val toks = txt.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (toks.length < 8) Seq.empty
+      else {
+        val b = math.min(9L, id * 10 / (mid + 1))
+        toks.sliding(8).map(g => (b, g.mkString(" "))).toSeq
+      }
+    }.distinct
+    val first = batchGrams.groupBy(_._2).view.mapValues(_.map(_._1).min)
+    val byBatch = batchGrams.groupBy(_._1)
+    assert(got.map(_._1).toSeq == byBatch.keys.toSeq.sorted)
+    var cum = 0L
+    for ((b, nGrams, nNew, cumDist) <- got) {
+      val grams = byBatch(b).map(_._2)
+      val news = grams.count(g => first(g) == b)
+      cum += news
+      assert(nGrams == grams.length && nNew == news && cumDist == cum,
+        s"batch $b")
+    }
+    assert(got.head._2 == got.head._3, "batch 0 must be 100% novel")
+    assert(cum == first.size, "cumulative distinct == all distinct grams")
+  }
+
   test("sim_rp_project: query output equals an exact driver-side replay") {
     import spark.implicits._
     val got = SparkEntry.queries("sim_rp_project")(spark, sf())
