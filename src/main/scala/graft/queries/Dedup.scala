@@ -436,6 +436,76 @@ object Dedup {
       components(s, d).orderBy($"doc_id")
     }),
 
+    // Dedup savings accounting — the line item that justifies the dedup
+    // stage's cost: per near-dup cluster, how many docs and tokens
+    // disappear if only the canonical (min-id) member is kept. Rides
+    // the shared connected components + one token-count join; the
+    // canonical member and its token count come from one exact
+    // min(struct) — no window over members. The token ledger a 100 TB
+    // curation run reports next to doc_curation_report's per-source
+    // keeps.
+    "dedup_cluster_savings" -> ((s, d) => {
+      import s.implicits._
+      val tokn = t(s, d, "documents")
+        .select($"doc_id",
+          size(expr("filter(split(lower(text), '\\\\s+'), x -> x != '')"))
+            .cast("long").as("n_tok"))
+      components(s, d).join(tokn, "doc_id")
+        .groupBy($"component")
+        .agg(count(lit(1)).as("size"),
+          min(struct($"doc_id", $"n_tok")).as("fo"),
+          sum($"n_tok").as("tokens_total"))
+        .select($"component", $"size", $"fo.doc_id".as("canonical"),
+          $"tokens_total",
+          ($"tokens_total" - $"fo.n_tok").as("tokens_saved"))
+        .orderBy($"component")
+    }),
+
+    // MinHash estimator-quality audit — the `_bounds` discipline
+    // applied to the near-dup signatures themselves: for every LSH
+    // candidate pair, the 6-permutation MinHash Jaccard ESTIMATE
+    // (matching signature components / 6) next to the EXACT distinct-
+    // 3-shingle Jaccard it estimates, with the signed error. The
+    // estimate's coarseness (multiples of 1/6) is the point — this is
+    // the evidence table for choosing a permutation count. Exact side
+    // is candidate-bounded: shingle joins run only over the pair set's
+    // docs, never the corpus.
+    "dedup_minhash_est" -> ((s, d) => {
+      import s.implicits._
+      val pairs = lshPairsShared(s, d)
+      val sig = minhashSigs(s, d)
+      val est = pairs
+        .join(sig.toDF(("doc_a" +: (1 to 6).map(i => s"a$i")): _*), "doc_a")
+        .join(sig.toDF(("doc_b" +: (1 to 6).map(i => s"b$i")): _*), "doc_b")
+        .select($"doc_a", $"doc_b",
+          (1 to 6).map(i =>
+            when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+            .reduce(_ + _).as("est_matches"))
+      val sh = t(s, d, "documents")
+        .select($"doc_id", toksCol.as("toks"))
+        .filter(size($"toks") >= 3)
+        .select($"doc_id", explode(expr(
+          "transform(sequence(1, size(toks) - 2)," +
+            " i -> array_join(slice(toks, i, 3), ' '))")).as("shingle"))
+        .distinct()
+      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val shared = pairs
+        .join(sh.select($"doc_id".as("doc_a"), $"shingle"), "doc_a")
+        .join(sh.select($"doc_id".as("doc_b"), $"shingle"),
+          Seq("doc_b", "shingle"))
+        .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("shared"))
+      est.join(shared, Seq("doc_a", "doc_b"), "left_outer")
+        .withColumn("shared", coalesce($"shared", lit(0L)))
+        .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
+        .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
+        .select($"doc_a", $"doc_b", $"est_matches",
+          round($"est_matches".cast("double") / 6, 4).as("est_jacc"),
+          round($"shared".cast("double")
+            / ($"na" + $"nb" - $"shared"), 4).as("exact_jacc"))
+        .withColumn("err", round($"est_jacc" - $"exact_jacc", 4))
+        .orderBy($"doc_a", $"doc_b")
+    }),
+
     // Canonical-document selection — the step after clustering: per
     // near-dup cluster keep ONE representative, best-first by
     // (n_chars DESC, doc_id ASC) — "keep the longest copy, oldest id
@@ -600,6 +670,63 @@ object Dedup {
     "dedup_clusters" ->
       s"""$componentsSql
          |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin,
+
+    "dedup_cluster_savings" ->
+      s"""$componentsSql,
+         |tokn AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(regexp_split_to_array(lower(text),
+         |      '\\s+'), x -> x <> '')) AS BIGINT) AS n_tok
+         |  FROM documents)
+         |SELECT component, COUNT(*) AS size,
+         |  MIN(comp.doc_id) AS canonical,
+         |  CAST(SUM(n_tok) AS BIGINT) AS tokens_total,
+         |  CAST(SUM(n_tok) - arg_min(n_tok, comp.doc_id) AS BIGINT)
+         |    AS tokens_saved
+         |FROM comp JOIN tokn ON comp.doc_id = tokn.doc_id
+         |GROUP BY component ORDER BY component""".stripMargin,
+
+    "dedup_minhash_est" -> {
+      val estTerms = (1 to 6).map(i =>
+        s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""$sigSql,
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_i, h1 || h2 AS band_key FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 1, h3 || h4 FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 2, h5 || h6 FROM sig),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a
+         |  JOIN bands b ON a.band_key = b.band_key AND a.band_i = b.band_i
+         |               AND a.doc_id < b.doc_id),
+         |est AS (
+         |  SELECT doc_a, doc_b, CAST($estTerms AS BIGINT) AS est_matches
+         |  FROM pairs JOIN sig sa ON sa.doc_id = doc_a
+         |             JOIN sig sb ON sb.doc_id = doc_b),
+         |${shinglesSql(3, "sh3")},
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh3 GROUP BY doc_id),
+         |shared AS (
+         |  SELECT p.doc_a AS doc_a, p.doc_b AS doc_b, COUNT(*) AS shared
+         |  FROM pairs p
+         |  JOIN sh3 a ON a.doc_id = p.doc_a
+         |  JOIN sh3 b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+         |  GROUP BY 1, 2)
+         |SELECT e.doc_a AS doc_a, e.doc_b AS doc_b, e.est_matches,
+         |  ROUND(CAST(e.est_matches AS DOUBLE) / 6, 4) AS est_jacc,
+         |  ROUND(CAST(COALESCE(s.shared, 0) AS DOUBLE)
+         |        / (na.n + nb.n - COALESCE(s.shared, 0)), 4) AS exact_jacc,
+         |  ROUND(ROUND(CAST(e.est_matches AS DOUBLE) / 6, 4)
+         |        - ROUND(CAST(COALESCE(s.shared, 0) AS DOUBLE)
+         |                / (na.n + nb.n - COALESCE(s.shared, 0)), 4), 4)
+         |    AS err
+         |FROM est e
+         |LEFT JOIN shared s ON s.doc_a = e.doc_a AND s.doc_b = e.doc_b
+         |JOIN sizes na ON na.doc_id = e.doc_a
+         |JOIN sizes nb ON nb.doc_id = e.doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
 
     "dedup_canonical" ->
       s"""$componentsSql,

@@ -276,6 +276,47 @@ object EventsLog {
         .orderBy($"event_id")
     }),
 
+    // Nearest-in-time as-of variant: for each purchase, the same user's
+    // temporally CLOSEST error event in either direction (backward-only
+    // as-of is q_asof_join; root-cause triage wants "the error nearest
+    // this purchase"). Same scalable composition — no range join: one
+    // user-keyed sort, last(ignoreNulls) over the preceding frame for
+    // the previous error, first(ignoreNulls) over the following frame
+    // for the next, then an integer least() on the two exact deltas.
+    // Ties at equal distance resolve to 'before' (pinned rule). A user
+    // with no errors yields direction 'none' and a null delta.
+    "q_asof_nearest" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, d, "events")
+        .filter($"event_type".isin("purchase", "error"))
+        .select($"user_id", $"event_id", $"event_type",
+          unix_micros($"ts").as("us"),
+          when($"event_type" === "error", unix_micros($"ts")).as("err_us"))
+      val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+      val prevW = w.rowsBetween(Window.unboundedPreceding, -1)
+      val nextW = w.rowsBetween(1, Window.unboundedFollowing)
+      ev.withColumn("prev_err", last($"err_us", ignoreNulls = true)
+          .over(prevW))
+        .withColumn("next_err", first($"err_us", ignoreNulls = true)
+          .over(nextW))
+        .filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id",
+          ($"us" - $"prev_err").as("d_before"),
+          ($"next_err" - $"us").as("d_after"))
+        .select($"event_id", $"user_id",
+          when($"d_before".isNull && $"d_after".isNull, lit(null).cast("long"))
+            .when($"d_after".isNull, $"d_before")
+            .when($"d_before".isNull, $"d_after")
+            .otherwise(least($"d_before", $"d_after")).as("nearest_us"),
+          when($"d_before".isNull && $"d_after".isNull, "none")
+            .when($"d_after".isNull, "before")
+            .when($"d_before".isNull, "after")
+            .when($"d_before" <= $"d_after", "before")
+            .otherwise("after").as("direction"))
+        .orderBy($"event_id")
+    }),
+
     // Range (theta) join: pairs of same-user events within 60 s. A naive
     // non-equi join is a nested-loop O(n²); the scalable Spark-first form
     // buckets time into 60 s cells and equi-joins on (user, cell) with
@@ -1100,6 +1141,37 @@ object EventsLog {
         |FROM events e
         |ASOF LEFT JOIN o2 ON e.user_id = o2.k AND e.ts >= o2.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
+
+    "q_asof_nearest" ->
+      """WITH pe AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |    CASE WHEN event_type = 'error' THEN epoch_us(ts) END AS err_us
+        |  FROM events WHERE event_type IN ('purchase', 'error')),
+        |wf AS (
+        |  SELECT user_id, event_id, event_type, us,
+        |    last_value(err_us IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_err,
+        |    first_value(err_us IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_err
+        |  FROM pe),
+        |d AS (
+        |  SELECT event_id, user_id, us - prev_err AS d_before,
+        |         next_err - us AS d_after
+        |  FROM wf WHERE event_type = 'purchase')
+        |SELECT event_id, user_id,
+        |  CASE WHEN d_before IS NULL AND d_after IS NULL
+        |         THEN CAST(NULL AS BIGINT)
+        |       WHEN d_after IS NULL THEN d_before
+        |       WHEN d_before IS NULL THEN d_after
+        |       ELSE LEAST(d_before, d_after) END AS nearest_us,
+        |  CASE WHEN d_before IS NULL AND d_after IS NULL THEN 'none'
+        |       WHEN d_after IS NULL THEN 'before'
+        |       WHEN d_before IS NULL THEN 'after'
+        |       WHEN d_before <= d_after THEN 'before'
+        |       ELSE 'after' END AS direction
+        |FROM d ORDER BY event_id""".stripMargin,
 
     "q_range_join" ->
       """SELECT a.user_id, COUNT(*) AS n_pairs

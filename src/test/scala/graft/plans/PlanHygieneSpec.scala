@@ -101,6 +101,11 @@ class PlanHygieneSpec extends SparkSpec {
     "log_pagerank",          // 1-row node count (rank vector joins are equi)
     "sim_recall_eval",       // 1-row query vec/planes/codebook, 2-row probes
     "sim_recall_bounds",     // wraps sim_recall_eval + 5-row floor table
+    "sim_power_iteration",   // 1-row norm scalars (n1, n2) between passes
+    "log_forecast_baseline", // inherits log_gapfill's 1-row hour bounds
+    "log_seasonality_profile", // 1-row (total, cells) scalar
+    "log_user_gini",         // 1-row (n_users, total_events) scalar
+    "doc_novelty_curve",     // 1-row max-doc-id batch-cut scalar
     "pqIndex (raw build)",   // 1-row codebook (the materialized index build)
     "ivfCells (raw build)")  // 1-row adaptive-k count + super-centroid row
 

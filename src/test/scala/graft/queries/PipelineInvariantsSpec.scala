@@ -950,6 +950,85 @@ class PipelineInvariantsSpec extends SparkSpec {
     assert(cum == first.size, "cumulative distinct == all distinct grams")
   }
 
+  test("dedup_cluster_savings: ledger replays from clusters + token counts") {
+    import spark.implicits._
+    val got = SparkEntry.queries("dedup_cluster_savings")(spark, sf())
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val comp = SparkEntry.queries("dedup_clusters")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val toks = t(spark, sf(), "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, txt) =>
+        id -> txt.toLowerCase.split("\\s+").count(_.nonEmpty).toLong
+      }.toMap
+    val byComp = comp.groupBy(_._2)
+    assert(got.keySet == byComp.keySet)
+    for ((c, members) <- byComp) {
+      val ids = members.map(_._1)
+      val total = ids.map(toks).sum
+      val canonical = ids.min
+      assert(got(c) == ((ids.length.toLong, canonical, total,
+        total - toks(canonical))), s"cluster $c")
+    }
+  }
+
+  test("dedup_minhash_est: pairs match LSH candidates, exact Jaccard replays") {
+    import spark.implicits._
+    val got = SparkEntry.queries("dedup_minhash_est")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val pairs = SparkEntry.queries("dedup_lsh_pairs")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.keySet == pairs, "audit rows != candidate pair set")
+    val sh = t(spark, sf(), "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, txt) =>
+        val toks = txt.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        id -> toks.sliding(3).filter(_.length == 3)
+          .map(_.mkString(" ")).toSet
+      }.toMap
+    for (((a, b), (m, est, exact)) <- got) {
+      assert(m >= 0 && m <= 6 && est == math.floor(m / 6.0 * 1e4 + 0.5) / 1e4)
+      val (sa, sb) = (sh(a), sh(b))
+      val inter = (sa & sb).size.toDouble
+      val truth = inter / (sa.size + sb.size - inter)
+      assert(math.abs(exact - truth) < 5e-5, s"pair ($a,$b) exact jaccard")
+    }
+  }
+
+  test("q_asof_nearest: nearest-error verdicts replay per user") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q_asof_nearest")(spark, sf())
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) -1L else r.getLong(2), r.getString(3))).toMap
+    val ev = t(spark, sf(), "events")
+      .filter($"event_type".isin("purchase", "error"))
+      .select($"user_id", $"event_id", $"event_type",
+        unix_micros($"ts").as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3)))
+    val purchases = ev.filter(_._3 == "purchase")
+    assert(got.size == purchases.length)
+    for ((user, rows) <- ev.groupBy(_._1)) {
+      val sorted = rows.sortBy(e => (e._4, e._2))
+      for ((i, p) <- sorted.zipWithIndex.map(_.swap) if p._3 == "purchase") {
+        val before = sorted.take(i).reverse.find(_._3 == "error")
+          .map(e => p._4 - e._4)
+        val after = sorted.drop(i + 1).find(_._3 == "error")
+          .map(e => e._4 - p._4)
+        val want = (before, after) match {
+          case (None, None) => (-1L, "none")
+          case (Some(db), None) => (db, "before")
+          case (None, Some(da)) => (da, "after")
+          case (Some(db), Some(da)) =>
+            if (db <= da) (db, "before") else (da, "after")
+        }
+        assert(got(p._2) == want, s"purchase ${p._2} (user $user)")
+      }
+    }
+  }
+
   test("sim_rp_project: query output equals an exact driver-side replay") {
     import spark.implicits._
     val got = SparkEntry.queries("sim_rp_project")(spark, sf())
