@@ -30,6 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => graft.plans.TopKPerKeyRule)
+    e.injectOptimizerRule(_ => graft.plans.ApproxDistinctRule)
     e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     inject(e, "cosine_similarity", classOf[graft.functions.CosineSimilarity], 2)(
       xs => graft.functions.CosineSimilarity(xs.head, xs(1)))

@@ -21,4 +21,10 @@ echo "== verify sf0.01 (driver gate) =="
 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/ci_v01" >/dev/null 2>&1 || true
 python3 tools/check.py /root/testdata/sf0.01 /tmp/ci_v01 | tail -1
 echo "== bench sf0.1 =="
+# benches must run alone: a bench chained straight after the 8-minute
+# test phase read 25 false regressions from residual CPU/page-cache
+# state (PLANS.md round-8 disposition). Let the machine settle first;
+# treat any regression list from a ci-chained bench as advisory and
+# re-run isolated before committing a baseline.
+sleep 60
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" | grep '{"metric"'
