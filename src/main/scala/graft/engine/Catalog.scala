@@ -175,15 +175,53 @@ class Catalog(spark: SparkSession, warehouse: String) {
   /** Table-shaped ingest — the columnar form of S2's chunk-size control:
     * `maxRecordsPerFile` bounds each output part file the way the
     * reference's chunk size bounds each stored chunk (SURVEY §2.1 S2).
-    * Write-once: duplicate table names rejected like `store`. */
+    * Write-once: duplicate table names rejected like `store`.
+    *
+    * Stage-then-publish like `store`: Spark creates the output
+    * directory at JOB START, so writing straight to `dst` means an
+    * aborted job leaves a present-but-unreadable directory that
+    * permanently poisons the write-once name (every later
+    * `exists(name)` check skips the rebuild and `readTable` fails).
+    * Writing into a dot-temp and publishing via no-replace rename
+    * makes a crashed build invisible (swept by sweepStaging) and a
+    * lost publish race an explicit "file exists". */
   def storeTable(df: org.apache.spark.sql.DataFrame, name: String,
       maxRecordsPerFile: Long = 0L): Unit = {
     val dst = target(name)
     if (fs.exists(dst))
       throw new IllegalArgumentException(s"file exists: $name")
-    df.write.option("maxRecordsPerFile", maxRecordsPerFile)
-      .parquet(dst.toString)
+    fs.mkdirs(new Path(warehouse))
+    sweepStaging(name)
+    val tmp = new Path(warehouse,
+      s".tmp.$name.${java.util.UUID.randomUUID().toString.take(8)}")
+    try {
+      df.write.option("maxRecordsPerFile", maxRecordsPerFile)
+        .parquet(tmp.toString)
+      if (!publishDirNoReplace(tmp, dst))
+        throw new IllegalArgumentException(s"file exists: $name")
+    } catch {
+      case e: Throwable =>
+        try fs.delete(tmp, true) catch { case _: Throwable => }
+        throw e
+    }
   }
+
+  /** Directory twin of [[publishNoReplace]] (hard links cannot publish
+    * a parquet directory): on `file:` a same-filesystem
+    * `java.nio.Files.move` is a rename(2) that FAILS with
+    * FileAlreadyExistsException when dst exists — atomic no-replace;
+    * on HDFS, `rename` itself returns false for an existing
+    * destination. Either way two racing table stores cannot both win
+    * and a loser never clobbers the winner's files. */
+  private[engine] def publishDirNoReplace(tmp: Path, dst: Path): Boolean =
+    if ("file" == fs.getUri.getScheme) {
+      import java.nio.file.{Files, Paths, FileAlreadyExistsException}
+      try {
+        Files.move(Paths.get(tmp.toUri.getPath),
+          Paths.get(dst.toUri.getPath))
+        true
+      } catch { case _: FileAlreadyExistsException => false }
+    } else fs.rename(tmp, dst)
 
   /** Read a table stored via [[storeTable]] as a DataFrame whose lineage
     * is rooted at the written parquet files — the durable counterpart of

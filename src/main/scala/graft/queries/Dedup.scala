@@ -152,7 +152,11 @@ object Dedup {
             .take(4).map("%02x".format(_)).mkString
           val cat = new graft.engine.Catalog(s, wh)
           try {
-            if (!cat.exists(name)) cat.storeTable(lshPairs(s, d), name)
+            // losing the publish race to a concurrent builder is fine:
+            // the winner's table is the same content — read it
+            if (!cat.exists(name))
+              try cat.storeTable(lshPairs(s, d), name)
+              catch { case _: IllegalArgumentException => }
             cat.readTable(name)
           } finally cat.close()
         }
@@ -481,7 +485,15 @@ object Dedup {
           (1 to 6).map(i =>
             when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
             .reduce(_ + _).as("est_matches"))
+      // candidate-bounding made real (review finding r8): only docs
+      // that appear in some pair need exact shingles, so semi-join the
+      // corpus scan down to the pair set's doc ids BEFORE the explode —
+      // the candidate set is tiny, so this broadcasts, and the
+      // widest-intermediate distinct shuffle runs over candidates only
+      val cand = pairs.select($"doc_a".as("doc_id"))
+        .union(pairs.select($"doc_b".as("doc_id"))).distinct()
       val sh = t(s, d, "documents")
+        .join(broadcast(cand), Seq("doc_id"), "left_semi")
         .select($"doc_id", toksCol.as("toks"))
         .filter(size($"toks") >= 3)
         .select($"doc_id", explode(expr(

@@ -308,7 +308,11 @@ object Similarity {
             .take(4).map("%02x".format(_)).mkString
           val cat = new graft.engine.Catalog(s, wh)
           try {
-            if (!cat.exists(name)) cat.storeTable(pqIndexRaw(s, d), name)
+            // losing the publish race to a concurrent builder is fine:
+            // the winner's table is the same content — read it
+            if (!cat.exists(name))
+              try cat.storeTable(pqIndexRaw(s, d), name)
+              catch { case _: IllegalArgumentException => }
             cat.readTable(name)
           } finally cat.close()
         }

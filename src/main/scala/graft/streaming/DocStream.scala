@@ -156,11 +156,21 @@ object DocStream {
       .withColumn("toks",
         expr("filter(split(lower(text), '\\\\s+'), x -> x != '')"))
       .withColumn("n", size($"toks").cast("long"))
+      // sum over token types of cnt·log2(cnt), computed LINEARLY: one
+      // sort + one fold counting runs of equal tokens. (The obvious
+      // form — aggregate over array_distinct with size(filter(...)) per
+      // type — rescans the token array per distinct token: O(types ×
+      // n_tokens) inside a single row's projection, a micro-batch stall
+      // on a large high-diversity doc; review finding r8.)
       .withColumn("entropy", expr(
-        "round(log2(cast(n as double)) - aggregate(array_distinct(toks)," +
-          " 0D, (acc, t) -> acc + cast(size(filter(toks, x -> x = t))" +
-          " as double) * log2(cast(size(filter(toks, x -> x = t))" +
-          " as double))) / n, 4)"))
+        "round(log2(cast(n as double)) - aggregate(array_sort(toks)," +
+          " struct(cast(null as string) as prev, 0D as run, 0D as acc)," +
+          " (st, t) -> if(st.prev is null or t = st.prev," +
+          "   struct(t as prev, st.run + 1D as run, st.acc as acc)," +
+          "   struct(t as prev, 1D as run," +
+          "     st.acc + st.run * log2(st.run) as acc))," +
+          " st -> st.acc + if(st.run > 0D, st.run * log2(st.run), 0D))" +
+          " / n, 4)"))
       .withColumn("stop_ratio", expr(
         s"round(cast(size(filter(toks, x -> x in ($stop))) as double)" +
           " / n, 4)"))

@@ -45,5 +45,11 @@ for path in files:
         end = ranges[idx + 1][0] - 1 if idx + 1 < len(ranges) else len(lines)
         if any(start <= c <= end for c in changed):
             dirty.add(name)
+    # Shared helpers live BEFORE the first declaration (ivfCellsRaw,
+    # minhashSigs, lshPairsShared, ...); an edit there feeds every
+    # query in the file, so attribute it conservatively to ALL of them
+    # rather than silently skipping the gate (review finding r8).
+    if ranges and any(c < ranges[0][0] for c in changed):
+        dirty.update(name for _, name in ranges)
 
 print(" ".join(sorted(dirty)))

@@ -14,8 +14,19 @@ if [ -z "$names" ]; then
   exit 0
 fi
 echo "changed queries since $REF:" $names
+# A stale /tmp/check_changed from a previous invocation would let
+# check.py hash-match OLD artifacts after a failed build — wipe it and
+# surface sbt/Verify failures instead of discarding them (review
+# finding r8).
+rm -rf /tmp/check_changed
 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/check_changed $names" \
-  >/dev/null 2>&1 || true
+  > /tmp/check_changed_sbt.log 2>&1 || {
+    echo "Verify run FAILED — tail of /tmp/check_changed_sbt.log:"
+    tail -20 /tmp/check_changed_sbt.log
+    exit 1
+  }
+[ -f /tmp/check_changed/oracle_sql.json ] || {
+  echo "Verify produced no oracle_sql.json — gate cannot run"; exit 1; }
 # engine-level names with no oracle entry (helper tables, *_raw builds)
 # would make check.py's strict unknown-name gate exit 2 — drop them
 names=$(python3 - "$names" <<'EOF'
