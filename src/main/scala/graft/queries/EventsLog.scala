@@ -578,6 +578,40 @@ object EventsLog {
         .orderBy($"user_id", $"s_start")
     }),
 
+    // Top session paths — the behavioral n-gram table ("what do visits
+    // actually look like") behind funnel design: the 10 most common
+    // event-type TRIGRAMS that occur inside one 30-minute session.
+    // Session scoping WITHOUT a second shuffle: instead of numbering
+    // sessions (user window) and then windowing again by (user,
+    // session), the trigram validity check rides the SAME user-keyed
+    // window — a trigram is in-session iff neither of its two forward
+    // steps opens a new session (lead of the lag-derived new-session
+    // flag). Plan: ONE Exchange on user_id feeding two WindowExec nodes
+    // that share the sort (the leads of the lag-derived flag need a
+    // second pass, not a second shuffle), then a hash agg and a
+    // TakeOrderedAndProject(10). Tie-break pinned on (cnt DESC, path
+    // ASC) so both engines cut the top-10 identically.
+    "log_session_paths" -> ((s, d) => {
+      import s.implicits._
+      val wu = Window.partitionBy($"user_id").orderBy($"us".asc, $"event_id".asc)
+      t(s, d, "events")
+        .select($"user_id", $"event_type", unix_micros($"ts").as("us"),
+          $"event_id")
+        .withColumn("prev_us", lag($"us", 1).over(wu))
+        .withColumn("new_s",
+          when($"prev_us".isNull || $"us" - $"prev_us" > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("e2", lead($"event_type", 1).over(wu))
+        .withColumn("e3", lead($"event_type", 2).over(wu))
+        .withColumn("b2", lead($"new_s", 1).over(wu))
+        .withColumn("b3", lead($"new_s", 2).over(wu))
+        .filter($"e3".isNotNull && $"b2" === 0L && $"b3" === 0L)
+        .select(concat_ws(">", $"event_type", $"e2", $"e3").as("path"))
+        .groupBy($"path").agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"path".asc)
+        .limit(10)
+    }),
+
     // Cohort retention: users grouped by first-seen week; for each
     // (cohort, weeks-since-cohort) cell, how many distinct users were
     // active. Two aggregations joined on user — the standard retention
@@ -1322,6 +1356,27 @@ object EventsLog {
         |       GROUP BY e.dst)
         |SELECT node, ROUND(0.15 / nn.n + 0.85 * COALESCE(c2.c, 0), 6) AS pr
         |FROM nodes LEFT JOIN c2 ON c2.dst = node, nn ORDER BY node""".stripMargin,
+
+    "log_session_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+        |    CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+        |              OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+        |                 > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |tri AS (
+        |  SELECT event_type || '>' || LEAD(event_type, 1) OVER w
+        |           || '>' || LEAD(event_type, 2) OVER w AS path,
+        |    LEAD(event_type, 2) OVER w AS e3,
+        |    LEAD(new_s, 1) OVER w AS b2,
+        |    LEAD(new_s, 2) OVER w AS b3
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+        |SELECT path, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM tri WHERE e3 IS NOT NULL AND b2 = 0 AND b3 = 0
+        |GROUP BY path ORDER BY cnt DESC, path LIMIT 10""".stripMargin,
 
     "log_transitions" ->
       """WITH seq AS (

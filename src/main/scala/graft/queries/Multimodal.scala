@@ -15,6 +15,51 @@ import graft.Tables.t
   */
 object Multimodal {
 
+  /** Frame-fingerprint near-dup candidate pairs — the shared build
+    * behind `mm_neardup_pairs` (the declared pair listing) and
+    * `mm_neardup_clusters` (connected components over the same graph).
+    * LSH band discipline on the frame axis: equi-join on the frame
+    * hash under a df≤50 stop-frame cap, never a pairwise scan. */
+  private def neardupPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fd = t(s, d, "documents")
+      .select($"doc_id".as("media_id"), $"text".as("payload"))
+      .filter(length($"payload") >= 1)
+      .select($"media_id", explode(expr(
+        "sequence(0, least(4, (length(payload) - 1) div 64))"))
+        .as("frame_i"), $"payload")
+      .select($"media_id",
+        md5(expr("substring(payload, frame_i * 64 + 1, 64)")
+          .cast("binary")).as("fh"))
+      .distinct()
+    val keep = fd.groupBy($"fh").agg(count(lit(1)).as("k"))
+      .filter($"k" <= 50).select($"fh")
+    val banded = fd.join(keep, "fh")
+    banded.as("a").join(banded.as("b"),
+        $"a.fh" === $"b.fh" && $"a.media_id" < $"b.media_id")
+      .groupBy($"a.media_id".as("media_a"), $"b.media_id".as("media_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= 2)
+  }
+
+  /** Shared recursive-CC oracle preamble over the media pair graph. */
+  private val mmPairsCte: String =
+    """f AS (
+      |  SELECT DISTINCT doc_id AS media_id,
+      |    md5(substring(text, i * 64 + 1, 64)) AS fh
+      |  FROM documents, unnest(generate_series(0,
+      |    least(4, (len(text) - 1) // 64))) AS t(i)
+      |  WHERE len(text) >= 1),
+      |keep AS (
+      |  SELECT fh FROM (SELECT fh, COUNT(*) AS k FROM f GROUP BY fh)
+      |  WHERE k <= 50),
+      |fd AS (SELECT media_id, f.fh FROM f JOIN keep ON f.fh = keep.fh),
+      |p AS (
+      |  SELECT a.media_id AS media_a, b.media_id AS media_b,
+      |    COUNT(*) AS n_shared
+      |  FROM fd a JOIN fd b ON a.fh = b.fh AND a.media_id < b.media_id
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Binary metadata extraction over a blob column (text bytes stand in
     // for media payloads; the plumbing is payload-agnostic).
@@ -141,25 +186,25 @@ object Multimodal {
     // hashes reuse the mm_frame_sample chunking.
     "mm_neardup_pairs" -> ((s, d) => {
       import s.implicits._
-      val fd = t(s, d, "documents")
-        .select($"doc_id".as("media_id"), $"text".as("payload"))
-        .filter(length($"payload") >= 1)
-        .select($"media_id", explode(expr(
-          "sequence(0, least(4, (length(payload) - 1) div 64))"))
-          .as("frame_i"), $"payload")
-        .select($"media_id",
-          md5(expr("substring(payload, frame_i * 64 + 1, 64)")
-            .cast("binary")).as("fh"))
-        .distinct()
-      val keep = fd.groupBy($"fh").agg(count(lit(1)).as("k"))
-        .filter($"k" <= 50).select($"fh")
-      val banded = fd.join(keep, "fh")
-      banded.as("a").join(banded.as("b"),
-          $"a.fh" === $"b.fh" && $"a.media_id" < $"b.media_id")
-        .groupBy($"a.media_id".as("media_a"), $"b.media_id".as("media_b"))
-        .agg(count(lit(1)).as("n_shared"))
-        .filter($"n_shared" >= 2)
-        .orderBy($"media_a", $"media_b")
+      neardupPairs(s, d).orderBy($"media_a", $"media_b")
+    }),
+
+    // Media near-dup CLUSTERS — the step after candidate pairs: the
+    // same footage re-encoded/re-containered N times forms one
+    // connected component over the shared-frame graph, and the dedup
+    // decision ("keep one copy per cluster") needs the component, not
+    // the pair list. Rides the engine's iterative min-label propagation
+    // (O(diameter) keyed join rounds, checkpoint-backed — the same
+    // machinery as dedup_clusters); the rollup is one component-keyed
+    // agg. Canonical = min media id, the cross-family convention.
+    "mm_neardup_clusters" -> ((s, d) => {
+      import s.implicits._
+      graft.engine.Components
+        .connectedComponents(neardupPairs(s, d), "media_a", "media_b",
+          maxIter = 20)
+        .groupBy($"component")
+        .agg(count(lit(1)).as("n_media"))
+        .orderBy($"component")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -242,19 +287,22 @@ object Multimodal {
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "mm_neardup_pairs" ->
-      """WITH f AS (
-        |  SELECT DISTINCT doc_id AS media_id,
-        |    md5(substring(text, i * 64 + 1, 64)) AS fh
-        |  FROM documents, unnest(generate_series(0,
-        |    least(4, (len(text) - 1) // 64))) AS t(i)
-        |  WHERE len(text) >= 1),
-        |keep AS (
-        |  SELECT fh FROM (SELECT fh, COUNT(*) AS k FROM f GROUP BY fh)
-        |  WHERE k <= 50),
-        |fd AS (SELECT media_id, f.fh FROM f JOIN keep ON f.fh = keep.fh)
-        |SELECT a.media_id AS media_a, b.media_id AS media_b,
-        |  COUNT(*) AS n_shared
-        |FROM fd a JOIN fd b ON a.fh = b.fh AND a.media_id < b.media_id
-        |GROUP BY 1, 2 HAVING COUNT(*) >= 2
-        |ORDER BY media_a, media_b""".stripMargin)
+      s"""WITH $mmPairsCte
+         |SELECT media_a, media_b, n_shared FROM p
+         |ORDER BY media_a, media_b""".stripMargin,
+
+    "mm_neardup_clusters" ->
+      s"""WITH RECURSIVE $mmPairsCte,
+         |edges AS (SELECT media_a AS a, media_b AS b FROM p
+         |          UNION SELECT media_b, media_a FROM p),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |reach(id, comp) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.id),
+         |comp AS (
+         |  SELECT id AS media_id, MIN(comp) AS component
+         |  FROM reach GROUP BY id)
+         |SELECT component, CAST(COUNT(*) AS BIGINT) AS n_media
+         |FROM comp GROUP BY component ORDER BY component""".stripMargin)
 }

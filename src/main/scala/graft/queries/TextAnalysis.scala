@@ -158,6 +158,33 @@ object TextAnalysis {
 
     // Token counting two ways: whitespace words vs BPE-ish regex pieces
     // (letter runs / digit runs / single other non-space chars).
+    // Tokenizer-fertility profile — the per-language tokenizer-efficiency
+    // table every multilingual pretraining run publishes (fertility =
+    // subword pieces per whitespace word; languages a tokenizer handles
+    // poorly burn budget on fragmented tokens — the XLM-R/BLOOM
+    // vocabulary-sizing argument). One corpus scan: both token counts
+    // are in-row codegen'd expressions, the rollup is a lang-keyed agg
+    // over 4 keys. Float discipline: all sums are exact BIGINTs and
+    // each reported ratio is ONE float divide + round(4).
+    "text_fertility" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .select($"lang",
+          size(expr("filter(split(lower(text), '\\\\s+'), x -> x != '')"))
+            .cast("long").as("w"),
+          size(regexp_extract_all(lower($"text"),
+            lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+            .cast("long").as("p"),
+          $"n_chars")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"w").as("n_words"), sum($"p").as("n_pieces"),
+          round(sum($"p").cast("double") / sum($"w"), 4).as("fertility"),
+          round(sum($"n_chars").cast("double") / sum($"p"), 4)
+            .as("chars_per_piece"))
+        .orderBy($"lang")
+    }),
+
     "text_token_counts" -> ((s, d) => {
       import s.implicits._
       t(s, d, "documents")
@@ -520,6 +547,23 @@ object TextAnalysis {
          |  ROUND(CAST(n AS DOUBLE) / n_true, 4) AS share
          |FROM cells JOIN tot USING (lang)
          |ORDER BY lang, pred_lang""".stripMargin,
+
+    "text_fertility" ->
+      """WITH c AS (
+        |  SELECT lang,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                         x -> x <> '')) AS BIGINT) AS w,
+        |    CAST(len(regexp_extract_all(lower(text),
+        |                                '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+        |         AS BIGINT) AS p,
+        |    n_chars
+        |  FROM documents)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(w) AS BIGINT) AS n_words,
+        |  CAST(SUM(p) AS BIGINT) AS n_pieces,
+        |  ROUND(CAST(SUM(p) AS DOUBLE) / SUM(w), 4) AS fertility,
+        |  ROUND(CAST(SUM(n_chars) AS DOUBLE) / SUM(p), 4) AS chars_per_piece
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
 
     "text_token_counts" ->
       """SELECT doc_id,

@@ -1183,4 +1183,68 @@ class PipelineInvariantsSpec extends SparkSpec {
       assert(rows(ty) == ((evalHours.size.toLong, verdict)), s"type $ty")
     }
   }
+
+  test("text_fertility: >=1 per lang, langs partition the corpus") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("text_fertility")(spark, sf()).collect()
+    val docTotal = t(spark, sf(), "documents").count()
+    assert(rows.map(_.getLong(1)).sum == docTotal,
+      "lang rows must partition the corpus")
+    rows.foreach { r =>
+      assert(r.getLong(3) >= r.getLong(2),
+        s"${r.getString(0)}: pieces < words (every word yields >=1 piece)")
+      assert(r.getDouble(4) >= 1.0, s"${r.getString(0)}: fertility < 1")
+    }
+  }
+
+  test("log_session_paths: top-10 replays from a driver-side pass") {
+    import spark.implicits._
+    val got = SparkEntry.queries("log_session_paths")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val ev = t(spark, sf(), "events")
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"),
+        $"event_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    val paths = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._4))
+      // split into 30-min-gap sessions, emit trigrams inside each
+      val sessions = sorted.foldLeft(Vector.empty[Vector[(Long, String)]]) {
+        case (acc, r) =>
+          if (acc.nonEmpty && r._3 - acc.last.last._1 <= 1800000000L)
+            acc.init :+ (acc.last :+ (r._3 -> r._2))
+          else acc :+ Vector(r._3 -> r._2)
+      }
+      sessions.flatMap(sess =>
+        sess.map(_._2).sliding(3).filter(_.size == 3)
+          .map(_.mkString(">")))
+    }
+    val expected = paths.groupBy(identity).view
+      .mapValues(_.size.toLong).toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(10)
+    assert(got == expected, "top-10 trigrams diverge from replay")
+  }
+
+  test("mm_neardup_clusters: rollup replays from union-find over pairs") {
+    import spark.implicits._
+    val pairs = SparkEntry.queries("mm_neardup_pairs")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.toSeq.groupBy(find)
+      .map { case (root, members) =>
+        // component label = min member id (the engine's convention)
+        (members.min, members.size.toLong)
+      }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("mm_neardup_clusters")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected, "cluster rollup diverges from union-find")
+  }
 }
