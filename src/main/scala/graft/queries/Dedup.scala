@@ -163,6 +163,44 @@ object Dedup {
       case None => lshPairsCache.get(s, d)(lshPairs(s, d).localCheckpoint())
     }
 
+  /** Exact 3-shingle Jaccard for every LSH candidate pair —
+    * candidate-bounded BY CONSTRUCTION (review finding r8, now the
+    * shared seam for `dedup_minhash_est` and `dedup_band_design`): only
+    * docs appearing in some pair need exact shingles, so the corpus
+    * scan semi-joins down to the pair set's doc ids BEFORE the explode
+    * (the candidate set is tiny → broadcast), and the widest
+    * distinct shuffle runs over candidates only.
+    * @return (doc_a, doc_b, shared, jacc) with jacc rounded to 4 dp —
+    *         a single float divide of exact integers, identical across
+    *         engines. */
+  private def candJaccard3(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = lshPairsShared(s, d).select($"doc_a", $"doc_b")
+    val cand = pairs.select($"doc_a".as("doc_id"))
+      .union(pairs.select($"doc_b".as("doc_id"))).distinct()
+    val sh = t(s, d, "documents")
+      .join(broadcast(cand), Seq("doc_id"), "left_semi")
+      .select($"doc_id", toksCol.as("toks"))
+      .filter(size($"toks") >= 3)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(toks) - 2)," +
+          " i -> array_join(slice(toks, i, 3), ' '))")).as("shingle"))
+      .distinct()
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val shared = pairs
+      .join(sh.select($"doc_id".as("doc_a"), $"shingle"), "doc_a")
+      .join(sh.select($"doc_id".as("doc_b"), $"shingle"),
+        Seq("doc_b", "shingle"))
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("shared"))
+    pairs.join(shared, Seq("doc_a", "doc_b"), "left_outer")
+      .withColumn("shared", coalesce($"shared", lit(0L)))
+      .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
+      .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
+      .select($"doc_a", $"doc_b", $"shared",
+        round($"shared".cast("double") / ($"na" + $"nb" - $"shared"), 4)
+          .as("jacc"))
+  }
+
   /** Materialized corpus shingle tables — the global n-gram index every
     * dedup pass builds once and every consumer reads (the text twin of
     * Similarity's pqIndex): hashed distinct (doc_id, shingle) rows,
@@ -268,6 +306,40 @@ object Dedup {
        |comp AS (
        |  SELECT id AS doc_id, MIN(comp) AS component
        |  FROM reach GROUP BY id)""".stripMargin
+
+  /** Oracle twin of [[candJaccard3]]: LSH candidate pairs + exact
+    * 3-shingle Jaccard, ending in a `j(doc_a, doc_b, shared, jacc)`
+    * CTE. Shared by dedup_minhash_est and dedup_band_design. */
+  private val candJaccardSql: String =
+    s"""$sigSql,
+       |bands AS (
+       |  SELECT doc_id, 0 AS band_i, h1 || h2 AS band_key FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1, h3 || h4 FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 2, h5 || h6 FROM sig),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a
+       |  JOIN bands b ON a.band_key = b.band_key AND a.band_i = b.band_i
+       |               AND a.doc_id < b.doc_id),
+       |${shinglesSql(3, "sh3")},
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh3 GROUP BY doc_id),
+       |shared AS (
+       |  SELECT p.doc_a AS doc_a, p.doc_b AS doc_b, COUNT(*) AS shared
+       |  FROM pairs p
+       |  JOIN sh3 a ON a.doc_id = p.doc_a
+       |  JOIN sh3 b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+       |  GROUP BY 1, 2),
+       |j AS (
+       |  SELECT p.doc_a AS doc_a, p.doc_b AS doc_b,
+       |    COALESCE(s.shared, 0) AS shared,
+       |    ROUND(CAST(COALESCE(s.shared, 0) AS DOUBLE)
+       |          / (na.n + nb.n - COALESCE(s.shared, 0)), 4) AS jacc
+       |  FROM pairs p
+       |  LEFT JOIN shared s ON s.doc_a = p.doc_a AND s.doc_b = p.doc_b
+       |  JOIN sizes na ON na.doc_id = p.doc_a
+       |  JOIN sizes nb ON nb.doc_id = p.doc_b)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: content-hash groupBy, keep the smallest doc_id.
@@ -485,37 +557,57 @@ object Dedup {
           (1 to 6).map(i =>
             when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
             .reduce(_ + _).as("est_matches"))
-      // candidate-bounding made real (review finding r8): only docs
-      // that appear in some pair need exact shingles, so semi-join the
-      // corpus scan down to the pair set's doc ids BEFORE the explode —
-      // the candidate set is tiny, so this broadcasts, and the
-      // widest-intermediate distinct shuffle runs over candidates only
-      val cand = pairs.select($"doc_a".as("doc_id"))
-        .union(pairs.select($"doc_b".as("doc_id"))).distinct()
-      val sh = t(s, d, "documents")
-        .join(broadcast(cand), Seq("doc_id"), "left_semi")
-        .select($"doc_id", toksCol.as("toks"))
-        .filter(size($"toks") >= 3)
-        .select($"doc_id", explode(expr(
-          "transform(sequence(1, size(toks) - 2)," +
-            " i -> array_join(slice(toks, i, 3), ' '))")).as("shingle"))
-        .distinct()
-      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      val shared = pairs
-        .join(sh.select($"doc_id".as("doc_a"), $"shingle"), "doc_a")
-        .join(sh.select($"doc_id".as("doc_b"), $"shingle"),
-          Seq("doc_b", "shingle"))
-        .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("shared"))
-      est.join(shared, Seq("doc_a", "doc_b"), "left_outer")
-        .withColumn("shared", coalesce($"shared", lit(0L)))
-        .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
-        .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
+      est.join(candJaccard3(s, d), Seq("doc_a", "doc_b"))
         .select($"doc_a", $"doc_b", $"est_matches",
           round($"est_matches".cast("double") / 6, 4).as("est_jacc"),
-          round($"shared".cast("double")
-            / ($"na" + $"nb" - $"shared"), 4).as("exact_jacc"))
+          $"jacc".as("exact_jacc"))
         .withColumn("err", round($"est_jacc" - $"exact_jacc", 4))
         .orderBy($"doc_a", $"doc_b")
+    }),
+
+    // LSH band-design evidence table — the (bands × rows-per-band)
+    // operating curve that justifies a banding choice (Leskovec/
+    // Rajaraman/Ullman's S-curve, grounded in THIS corpus's observed
+    // pair Jaccards rather than a textbook sketch): for every 6-hash
+    // split (1×6, 2×3, 3×2, 6×1), the expected number of true near-dup
+    // pairs (j ≥ 0.5) the banding would capture and the expected false
+    // candidates (j < 0.5) it would admit, as Σ over candidate pairs of
+    // p = 1−(1−j^r)^b. Evaluation mass is the CANDIDATE pair set (the
+    // observed-pair bias is inherent — pairs no banding captured are
+    // unobservable without the quadratic scan this family exists to
+    // avoid). Float discipline: j is the shared rounded-4-dp Jaccard;
+    // each p is a fixed tree of IEEE *- ops on it (no libm pow — both
+    // engines multiply identically), quantized to an e6 BIGINT per
+    // pair, so every aggregate is an exact integer sum.
+    "dedup_band_design" -> ((s, d) => {
+      import s.implicits._
+      candJaccard3(s, d)
+        .select(explode(expr(
+          """array(
+            | named_struct('bands', 1L, 'rows_per_band', 6L, 'p_e6',
+            |  cast(round((((jacc*jacc)*jacc)*((jacc*jacc)*jacc)) * 1e6)
+            |       as bigint)),
+            | named_struct('bands', 2L, 'rows_per_band', 3L, 'p_e6',
+            |  cast(round((1D - (1D-((jacc*jacc)*jacc))
+            |             *(1D-((jacc*jacc)*jacc))) * 1e6) as bigint)),
+            | named_struct('bands', 3L, 'rows_per_band', 2L, 'p_e6',
+            |  cast(round((1D - ((1D-(jacc*jacc))*(1D-(jacc*jacc)))
+            |             *(1D-(jacc*jacc))) * 1e6) as bigint)),
+            | named_struct('bands', 6L, 'rows_per_band', 1L, 'p_e6',
+            |  cast(round((1D - (((1D-jacc)*(1D-jacc))*(1D-jacc))
+            |             *(((1D-jacc)*(1D-jacc))*(1D-jacc))) * 1e6)
+            |       as bigint)))""".stripMargin)).as("c"), $"jacc")
+        .select($"c.bands".as("bands"),
+          $"c.rows_per_band".as("rows_per_band"), $"c.p_e6".as("p_e6"),
+          $"jacc")
+        .groupBy($"bands", $"rows_per_band")
+        .agg(sum(when($"jacc" >= 0.5, 1L).otherwise(0L)).as("n_dup_pairs"),
+          round(sum(when($"jacc" >= 0.5, $"p_e6").otherwise(0L))
+            .cast("double") / 1e6, 4).as("exp_dup_caught"),
+          sum(when($"jacc" < 0.5, 1L).otherwise(0L)).as("n_nondup_pairs"),
+          round(sum(when($"jacc" < 0.5, $"p_e6").otherwise(0L))
+            .cast("double") / 1e6, 4).as("exp_false_cands"))
+        .orderBy($"bands")
     }),
 
     // Canonical-document selection — the step after clustering: per
@@ -701,43 +793,54 @@ object Dedup {
     "dedup_minhash_est" -> {
       val estTerms = (1 to 6).map(i =>
         s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END").mkString(" + ")
-      s"""$sigSql,
-         |bands AS (
-         |  SELECT doc_id, 0 AS band_i, h1 || h2 AS band_key FROM sig
-         |  UNION ALL
-         |  SELECT doc_id, 1, h3 || h4 FROM sig
-         |  UNION ALL
-         |  SELECT doc_id, 2, h5 || h6 FROM sig),
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a
-         |  JOIN bands b ON a.band_key = b.band_key AND a.band_i = b.band_i
-         |               AND a.doc_id < b.doc_id),
+      s"""$candJaccardSql,
          |est AS (
          |  SELECT doc_a, doc_b, CAST($estTerms AS BIGINT) AS est_matches
          |  FROM pairs JOIN sig sa ON sa.doc_id = doc_a
-         |             JOIN sig sb ON sb.doc_id = doc_b),
-         |${shinglesSql(3, "sh3")},
-         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh3 GROUP BY doc_id),
-         |shared AS (
-         |  SELECT p.doc_a AS doc_a, p.doc_b AS doc_b, COUNT(*) AS shared
-         |  FROM pairs p
-         |  JOIN sh3 a ON a.doc_id = p.doc_a
-         |  JOIN sh3 b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
-         |  GROUP BY 1, 2)
+         |             JOIN sig sb ON sb.doc_id = doc_b)
          |SELECT e.doc_a AS doc_a, e.doc_b AS doc_b, e.est_matches,
          |  ROUND(CAST(e.est_matches AS DOUBLE) / 6, 4) AS est_jacc,
-         |  ROUND(CAST(COALESCE(s.shared, 0) AS DOUBLE)
-         |        / (na.n + nb.n - COALESCE(s.shared, 0)), 4) AS exact_jacc,
-         |  ROUND(ROUND(CAST(e.est_matches AS DOUBLE) / 6, 4)
-         |        - ROUND(CAST(COALESCE(s.shared, 0) AS DOUBLE)
-         |                / (na.n + nb.n - COALESCE(s.shared, 0)), 4), 4)
+         |  j.jacc AS exact_jacc,
+         |  ROUND(ROUND(CAST(e.est_matches AS DOUBLE) / 6, 4) - j.jacc, 4)
          |    AS err
          |FROM est e
-         |LEFT JOIN shared s ON s.doc_a = e.doc_a AND s.doc_b = e.doc_b
-         |JOIN sizes na ON na.doc_id = e.doc_a
-         |JOIN sizes nb ON nb.doc_id = e.doc_b
+         |JOIN j ON j.doc_a = e.doc_a AND j.doc_b = e.doc_b
          |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "dedup_band_design" -> {
+      s"""$candJaccardSql,
+         |cfgp AS (
+         |  SELECT CAST(1 AS BIGINT) AS bands, CAST(6 AS BIGINT)
+         |      AS rows_per_band,
+         |    CAST(ROUND((((jacc*jacc)*jacc)*((jacc*jacc)*jacc)) * 1e6)
+         |         AS BIGINT) AS p_e6, jacc FROM j
+         |  UNION ALL
+         |  SELECT CAST(2 AS BIGINT), CAST(3 AS BIGINT),
+         |    CAST(ROUND((1 - (1-((jacc*jacc)*jacc))
+         |               *(1-((jacc*jacc)*jacc))) * 1e6) AS BIGINT), jacc
+         |  FROM j
+         |  UNION ALL
+         |  SELECT CAST(3 AS BIGINT), CAST(2 AS BIGINT),
+         |    CAST(ROUND((1 - ((1-(jacc*jacc))*(1-(jacc*jacc)))
+         |               *(1-(jacc*jacc))) * 1e6) AS BIGINT), jacc
+         |  FROM j
+         |  UNION ALL
+         |  SELECT CAST(6 AS BIGINT), CAST(1 AS BIGINT),
+         |    CAST(ROUND((1 - (((1-jacc)*(1-jacc))*(1-jacc))
+         |               *(((1-jacc)*(1-jacc))*(1-jacc))) * 1e6)
+         |         AS BIGINT), jacc
+         |  FROM j)
+         |SELECT bands, rows_per_band,
+         |  CAST(SUM(CASE WHEN jacc >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_pairs,
+         |  ROUND(CAST(SUM(CASE WHEN jacc >= 0.5 THEN p_e6 ELSE 0 END)
+         |             AS DOUBLE) / 1e6, 4) AS exp_dup_caught,
+         |  CAST(SUM(CASE WHEN jacc < 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_nondup_pairs,
+         |  ROUND(CAST(SUM(CASE WHEN jacc < 0.5 THEN p_e6 ELSE 0 END)
+         |             AS DOUBLE) / 1e6, 4) AS exp_false_cands
+         |FROM cfgp GROUP BY bands, rows_per_band ORDER BY bands""".stripMargin
     },
 
     "dedup_canonical" ->

@@ -583,6 +583,84 @@ object PipelineOps {
         .orderBy($"doc_id")
     }),
 
+    // Epoch-allocation planner under a token budget — the
+    // data-constrained-scaling decision table (Muennighoff et al. 2023,
+    // "Scaling Data-Constrained Language Models": repeating data beyond
+    // ~4 epochs returns ~nothing, so cap per-source epochs at 4 and
+    // water-fill a global budget across sources by quality weight):
+    // epochs_i = min(4, m·w_i) with one global multiplier m solved so
+    // Σ tokens_i·epochs_i = B (here B = 3× corpus tokens — high enough
+    // that the heaviest-weight sources actually hit the cap and the
+    // budget redistributes; w_i is the
+    // deterministic per-source weight shared with doc_mixture's idiom).
+    // The solve is CLOSED-FORM, not iterative: sources sorted by weight
+    // descending cap in prefix order, so for each candidate capped-
+    // prefix k, m_k = (B − 4·Σ_{i≤k}tok_i) / Σ_{i>k}tok_i·w_i, and
+    // exactly one k passes the two boundary checks (source k capped,
+    // source k+1 not). Everything is integer arithmetic — cumsums,
+    // the e6 fixed-point m (DECIMAL-widened numerator, floor division
+    // in BOTH engines), the cap comparisons — so the plan is
+    // bit-identical across engines; the two reported ratios are final
+    // float divides. Scale shape: one corpus scan folds to a
+    // source-keyed agg; every window runs over the bounded source
+    // alphabet (the doc_sample_unimax discipline), and the chosen
+    // (k, m) is a 1-row broadcast back onto that same bounded table.
+    "doc_epoch_plan" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val src = t(s, d, "documents")
+        .select($"source", size(expr(
+          "filter(split(lower(text), '\\\\s+'), x -> x != '')"))
+          .cast("long").as("n"))
+        .groupBy($"source").agg(sum($"n").as("tok"))
+        .withColumn("w_e4", (lit(1L) + expr(
+          "cast(conv(substring(md5(cast(source as binary)), 1, 1)," +
+            " 16, 10) as bigint) % 5")) * 5000L)
+        // the corpus folds to this bounded source table ONCE; without
+        // pinning it, every downstream reference (totals, candidates,
+        // final join) re-plans the full documents scan
+        .localCheckpoint()
+      val tot = src.agg(sum($"tok").as("ttok"),
+        sum($"tok" * $"w_e4").as("t4"))
+      val wo = Window.orderBy($"w_e4".desc, $"source".asc)
+      val cum = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranked = src.crossJoin(broadcast(tot))
+        .withColumn("rn", row_number().over(wo))
+        .withColumn("cum_tok", sum($"tok").over(cum))
+        .withColumn("cum_tw", sum($"tok" * $"w_e4").over(cum))
+        .withColumn("w_next", lead($"w_e4", 1).over(wo))
+      val kCand = ranked.select($"rn".as("k"), $"cum_tok".as("c"),
+          $"cum_tw", $"w_e4".as("w_k"), $"w_next", $"ttok", $"t4")
+        .unionByName(ranked.filter($"rn" === 1)
+          .select(lit(0L).as("k"), lit(0L).as("c"), lit(0L).as("cum_tw"),
+            lit(null).cast("long").as("w_k"), $"w_e4".as("w_next"),
+            $"ttok", $"t4"))
+      val chosen = kCand
+        .withColumn("s4", $"t4" - $"cum_tw")
+        .withColumn("rem", lit(3L) * $"ttok" - lit(4L) * $"c")
+        .withColumn("m_e6", expr(
+          "case when s4 > 0 then cast((cast(rem as decimal(38,0))" +
+            " * 10000000000) div cast(s4 as decimal(38,0)) as bigint)" +
+            " else null end"))
+        .filter($"rem" >= 0L)
+        .filter($"w_k".isNull || ($"s4" === 0L) ||
+          ($"m_e6" * $"w_k" >= 40000000000L))
+        .filter(($"s4" === 0L) || $"w_next".isNull ||
+          ($"m_e6" * $"w_next" < 40000000000L))
+        .agg(min(struct($"k", $"m_e6")).as("ch"))
+        .select($"ch.k".as("k"), $"ch.m_e6".as("m_e6"))
+      ranked.crossJoin(broadcast(chosen))
+        .withColumn("ep", when($"rn" <= $"k", 40000000000L)
+          .otherwise(least(lit(40000000000L), $"m_e6" * $"w_e4")))
+        .select($"source", $"tok".as("n_tokens"),
+          round($"w_e4".cast("double") / 1e4, 4).as("weight"),
+          round($"ep".cast("double") / 1e10, 4).as("epochs"),
+          round($"tok".cast("double") * ($"ep".cast("double") / 1e10), 2)
+            .as("alloc_tokens"),
+          when($"ep" === 40000000000L, 1L).otherwise(0L).as("capped"))
+        .orderBy($"source")
+    }),
+
     // DSIR-style data selection (Xie et al. 2023, "Data Selection for
     // Language Models via Importance Resampling"): score each raw doc by
     // the log-likelihood ratio of a hashed bag-of-unigrams model of a
@@ -1766,6 +1844,66 @@ object PipelineOps {
          |      AS DOUBLE) / COUNT(*), 4) AS dup_ratio
          |FROM flagged
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "doc_epoch_plan" ->
+      """WITH s0 AS (
+        |  SELECT source,
+        |    CAST(SUM(CAST(len(list_filter(regexp_split_to_array(
+        |      lower(text), '\s+'), x -> x <> '')) AS BIGINT)) AS BIGINT)
+        |      AS tok
+        |  FROM documents GROUP BY source),
+        |s1 AS (
+        |  SELECT source, tok,
+        |    CAST((1 + (strpos('0123456789abcdef',
+        |      substring(md5(source), 1, 1)) - 1) % 5) * 5000 AS BIGINT)
+        |      AS w_e4
+        |  FROM s0),
+        |tot AS (SELECT CAST(SUM(tok) AS BIGINT) AS ttok,
+        |               CAST(SUM(tok * w_e4) AS BIGINT) AS t4 FROM s1),
+        |rk AS (
+        |  SELECT source, tok, w_e4,
+        |    ROW_NUMBER() OVER wo AS rn,
+        |    CAST(SUM(tok) OVER (wo ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS cum_tok,
+        |    CAST(SUM(tok * w_e4) OVER (wo ROWS UNBOUNDED PRECEDING)
+        |         AS BIGINT) AS cum_tw,
+        |    LEAD(w_e4) OVER wo AS w_next
+        |  FROM s1 WINDOW wo AS (ORDER BY w_e4 DESC, source ASC)),
+        |kc AS (
+        |  SELECT rn AS k, cum_tok AS c, cum_tw, w_e4 AS w_k, w_next,
+        |    ttok, t4
+        |  FROM rk, tot
+        |  UNION ALL
+        |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |    NULL, w_e4, ttok, t4
+        |  FROM rk, tot WHERE rn = 1),
+        |c2 AS (
+        |  SELECT k, (t4 - cum_tw) AS s4, (3 * ttok - 4 * c) AS rem,
+        |    CASE WHEN (t4 - cum_tw) > 0
+        |         THEN CAST((CAST((3 * ttok - 4 * c) AS HUGEINT)
+        |                    * 10000000000) // (t4 - cum_tw) AS BIGINT)
+        |         ELSE NULL END AS m_e6,
+        |    w_k, w_next
+        |  FROM kc),
+        |ch AS (
+        |  SELECT k, m_e6 FROM c2
+        |  WHERE rem >= 0
+        |    AND (w_k IS NULL OR s4 = 0 OR m_e6 * w_k >= 40000000000)
+        |    AND (s4 = 0 OR w_next IS NULL OR m_e6 * w_next < 40000000000)
+        |  ORDER BY k LIMIT 1)
+        |SELECT source, tok AS n_tokens,
+        |  ROUND(CAST(w_e4 AS DOUBLE) / 1e4, 4) AS weight,
+        |  ROUND(CAST(ep AS DOUBLE) / 1e10, 4) AS epochs,
+        |  ROUND(CAST(tok AS DOUBLE) * (CAST(ep AS DOUBLE) / 1e10), 2)
+        |    AS alloc_tokens,
+        |  CAST(CASE WHEN ep = 40000000000 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS capped
+        |FROM (
+        |  SELECT rk.source, rk.tok, rk.w_e4,
+        |    CASE WHEN rk.rn <= ch.k THEN 40000000000
+        |         ELSE least(40000000000, ch.m_e6 * rk.w_e4) END AS ep
+        |  FROM rk, ch)
+        |ORDER BY source""".stripMargin,
 
     "doc_dsir_weights" -> {
       // 4-hex-digit md5 window → integer bucket, via the positional

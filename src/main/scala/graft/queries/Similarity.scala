@@ -982,6 +982,51 @@ object Similarity {
         .orderBy($"vec_id")
     }),
 
+    // Clustering-quality audit: simplified silhouette (the centroid
+    // variant — Hruschka et al. 2004) against the 8 deterministic seed
+    // centroids shared with sim_kmeans: per vector, a = distance to its
+    // own (nearest) centroid, b = distance to the runner-up; s =
+    // (b−a)/max(a,b) ∈ [0,1] here (a ≤ b by construction). The 100 TB
+    // shape is the kmeans assignment shape: ONE broadcast codebook row,
+    // the per-vector work is an in-row sort of 8 (d2, cent_id) structs
+    // — no pairwise distances (true silhouette's O(n²) neighbor sums
+    // are exactly what the centroid variant exists to avoid). Float
+    // discipline: d2 folds in index order (identical across engines —
+    // the proven kmeans pattern), sqrt is IEEE correctly-rounded, s
+    // quantizes to an e6 BIGINT per vector, so the per-cluster means
+    // are integer sums with one final divide + round(4) each.
+    "sim_silhouette" -> ((s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val cents = emb.filter($"vec_id" < 8)
+        .select($"vec_id".as("cent_id"), $"v".as("c"))
+        .agg(expr("array_sort(collect_list(named_struct(" +
+          "'cent_id', cent_id, 'c', c)))").as("cents"))
+      emb.crossJoin(broadcast(cents))
+        .select($"vec_id", expr(
+          """array_sort(transform(cents, ct -> named_struct(
+            |  'd2', aggregate(zip_with(v, ct.c, (x, y) -> (x - y) * (x - y)),
+            |                  0D, (acc, e) -> acc + e),
+            |  'cent_id', ct.cent_id)))""".stripMargin).as("ds"))
+        .select($"vec_id", $"ds" (0)("cent_id").as("cluster"),
+          sqrt($"ds" (0)("d2")).as("a"), sqrt($"ds" (1)("d2")).as("b"))
+        .select($"cluster",
+          expr("cast(round(a * 1e6) as bigint)").as("a_e6"),
+          expr("cast(round(b * 1e6) as bigint)").as("b_e6"),
+          expr("cast(round(if(greatest(a, b) = 0D, 0D," +
+            " (b - a) / greatest(a, b)) * 1e6) as bigint)").as("s_e6"))
+        .groupBy($"cluster")
+        .agg(count(lit(1)).as("n_vecs"),
+          round(sum($"s_e6").cast("double") / (count(lit(1)) * 1e6), 4)
+            .as("mean_sil"),
+          round(sum($"a_e6").cast("double") / (count(lit(1)) * 1e6), 4)
+            .as("mean_a"),
+          round(sum($"b_e6").cast("double") / (count(lit(1)) * 1e6), 4)
+            .as("mean_b"))
+        .orderBy($"cluster")
+    }),
+
     // K-means (Lloyd) over embeddings: k = 8 centroids seeded from
     // vec_id < 8, two full iterations (assign → mean-update → assign).
     // The 100 TB shape of each iteration: the codebook is ONE broadcast
@@ -1812,6 +1857,37 @@ object Similarity {
          |  $cols
          |FROM terms GROUP BY vec_id ORDER BY vec_id""".stripMargin
     },
+
+    "sim_silhouette" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c0 AS (SELECT vec_id AS cent_id, v AS c FROM e WHERE vec_id < 8),
+        |d AS (
+        |  SELECT e.vec_id, c0.cent_id,
+        |    list_sum(list_transform(list_zip(e.v, c0.c),
+        |      x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d2
+        |  FROM e, c0),
+        |r AS (
+        |  SELECT vec_id, cent_id, d2,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+        |  FROM d),
+        |ab AS (
+        |  SELECT r1.vec_id, r1.cent_id AS cluster,
+        |    sqrt(r1.d2) AS a, sqrt(r2.d2) AS b
+        |  FROM r r1 JOIN r r2 ON r1.vec_id = r2.vec_id
+        |                      AND r1.rn = 1 AND r2.rn = 2),
+        |q AS (
+        |  SELECT cluster,
+        |    CAST(ROUND(a * 1e6) AS BIGINT) AS a_e6,
+        |    CAST(ROUND(b * 1e6) AS BIGINT) AS b_e6,
+        |    CAST(ROUND(CASE WHEN greatest(a, b) = 0 THEN 0
+        |                    ELSE (b - a) / greatest(a, b) END * 1e6)
+        |         AS BIGINT) AS s_e6
+        |  FROM ab)
+        |SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  ROUND(CAST(SUM(s_e6) AS DOUBLE) / (COUNT(*) * 1e6), 4) AS mean_sil,
+        |  ROUND(CAST(SUM(a_e6) AS DOUBLE) / (COUNT(*) * 1e6), 4) AS mean_a,
+        |  ROUND(CAST(SUM(b_e6) AS DOUBLE) / (COUNT(*) * 1e6), 4) AS mean_b
+        |FROM q GROUP BY cluster ORDER BY cluster""".stripMargin,
 
     "sim_kmeans" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -93,6 +93,8 @@ class PlanHygieneSpec extends SparkSpec {
     "doc_canary_scan",       // 3-row broadcast canary registry (substring
                              // predicate — not an equi-join by nature)
     "text_learnability",     // 1-row corpus bigram-total agg
+    "sim_silhouette",        // 1-row seed-codebook array (kmeans shape)
+    "doc_epoch_plan",        // 1-row corpus-total agg + 1-row chosen (k,m)
     "sim_pair_recall_bounds",// DELIBERATE sampled all-pairs truth join (the
                              // recall diagnostic's ground truth exists only
                              // over the vec_id%2 half-sample, never in a

@@ -321,4 +321,47 @@ class AnnInvariantsSpec extends SparkSpec {
       s"dup mass (all-doc dup mass: $dupDocs)")
     assert(got.forall { case (dec, n, k) => dec >= 0 && dec <= 9 && k <= n })
   }
+
+  test("sim_silhouette: replays from a driver-side centroid pass") {
+    import spark.implicits._
+    val got = SparkEntry.queries("sim_silhouette")(spark, sf())
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val vecs = t(spark, sf(), "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val cents = vecs.filter(_._1 < 8).sortBy(_._1)
+    val per = vecs.map { case (_, v) =>
+      // left-fold in index order — the engines' own summation order
+      val ds = cents.map { case (cid, c) =>
+        (v.indices.foldLeft(0d)((acc, i) =>
+          acc + (v(i) - c(i)) * (v(i) - c(i))), cid)
+      }.sorted
+      val a = math.sqrt(ds(0)._1); val b = math.sqrt(ds(1)._1)
+      val s = if (math.max(a, b) == 0d) 0d else (b - a) / math.max(a, b)
+      (ds(0)._2, math.round(a * 1e6), math.round(b * 1e6),
+        math.round(s * 1e6))
+    }
+    val expected = per.groupBy(_._1).map { case (cl, rows) =>
+      val n = rows.length.toLong
+      def m(f: ((Long, Long, Long, Long)) => Long) =
+        rows.map(f).sum.toDouble / (n * 1e6)
+      cl -> (n, m(_._4), m(_._2), m(_._3))
+    }
+    assert(got.keySet == expected.keySet, "cluster sets diverge")
+    expected.foreach { case (cl, (n, sil, a, b)) =>
+      val (gn, gs, ga, gb) = got(cl)
+      assert(gn == n, s"cluster $cl size")
+      // query values are round(x, 4); replay means are unrounded —
+      // compare at the 4-dp grid with an ulp-tolerant half-width
+      Seq((gs, sil), (ga, a), (gb, b)).foreach { case (g, e) =>
+        assert(math.abs(g - e) <= 5e-5 + 1e-9, s"cluster $cl: $g vs $e")
+      }
+    }
+    got.values.foreach { case (_, sil, a, b) =>
+      assert(sil >= 0d && sil <= 1d && b >= a,
+        "a <= b and s in [0,1] must hold for nearest/runner-up")
+    }
+  }
 }

@@ -1225,6 +1225,64 @@ class PipelineInvariantsSpec extends SparkSpec {
     assert(got == expected, "top-10 trigrams diverge from replay")
   }
 
+  test("doc_epoch_plan: exhausts the budget under the cap, monotone in w") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("doc_epoch_plan")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(5)))
+    val budget = 3L * rows.map(_._2).sum
+    val spend = rows.map(r => r._2 * r._4).sum
+    // floor-quantized m under-spends by at most one epoch-quantum per
+    // source (1e-4 epochs x tokens); never overspends
+    assert(spend <= budget.toDouble + 1e-6, s"overspent: $spend > $budget")
+    assert(budget - spend < rows.length * 1e-4 * rows.map(_._2).max,
+      s"left too much budget unspent: $spend of $budget")
+    rows.foreach { case (src, _, _, ep, capped) =>
+      assert(ep >= 0d && ep <= 4d, s"$src: epochs out of [0,4]")
+      assert((capped == 1L) == (ep == 4d), s"$src: capped flag vs epochs")
+    }
+    // uncapped sources share ONE multiplier: epochs/weight constant
+    val ms = rows.filter(_._5 == 0L).map(r => r._4 / r._3)
+    if (ms.nonEmpty)
+      assert(ms.max - ms.min < 1e-3,
+        s"uncapped epochs/weight not a single multiplier: $ms")
+    // the 3x budget must actually engage the cap on this corpus —
+    // otherwise the capped-prefix branch is dead code in the test data
+    assert(rows.exists(_._5 == 1L) && rows.exists(_._5 == 0L),
+      "expected a mix of capped and uncapped sources")
+  }
+
+  test("dedup_band_design: aggregates replay from the estimator's pairs") {
+    import spark.implicits._
+    val jaccs = SparkEntry.queries("dedup_minhash_est")(spark, sf())
+      .collect().map(_.getDouble(4)) // exact_jacc == the shared jacc
+    val got = SparkEntry.queries("dedup_band_design")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        (r.getLong(2), r.getDouble(3), r.getLong(4), r.getDouble(5))))
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L, 6L))
+    got.foreach { case (b, r, (nd, cd, nn, fc)) =>
+      assert(b * r == 6L, "configs split the 6-hash signature")
+      val ps = jaccs.map(j => 1d - math.pow(1d - math.pow(j, r.toDouble),
+        b.toDouble))
+      val dup = jaccs.zip(ps).filter(_._1 >= 0.5)
+      val non = jaccs.zip(ps).filter(_._1 < 0.5)
+      assert(nd == dup.length.toLong && nn == non.length.toLong)
+      assert(math.abs(cd - dup.map(_._2).sum) < 1e-3, s"($b,$r) caught")
+      assert(math.abs(fc - non.map(_._2).sum) < 1e-3, s"($b,$r) false")
+      // expected catch never exceeds the pair count it draws from
+      assert(cd <= nd + 1e-9 && fc <= nn + 1e-9)
+    }
+    // the S-curve trade: more bands -> more dups caught AND more false
+    // candidates admitted (monotone in b at fixed b*r)
+    val byB = got.sortBy(_._1).map(_._3)
+    byB.sliding(2).foreach {
+      case Array((_, cd1, _, fc1), (_, cd2, _, fc2)) =>
+        assert(cd2 >= cd1 - 1e-9 && fc2 >= fc1 - 1e-9,
+          "capture must be monotone in band count")
+      case _ =>
+    }
+  }
+
   test("mm_neardup_clusters: rollup replays from union-find over pairs") {
     import spark.implicits._
     val pairs = SparkEntry.queries("mm_neardup_pairs")(spark, sf())
