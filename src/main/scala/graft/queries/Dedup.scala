@@ -565,6 +565,35 @@ object Dedup {
         .orderBy($"doc_a", $"doc_b")
     }),
 
+    // Shingle document-frequency spectrum — the governance evidence
+    // behind every stop-fingerprint cap in this repo (winnow's
+    // df≤50 stop-fingerprint cut, mm_neardup's df≤50 stop-frame cap):
+    // how many 5-shingles are unique / rare / common / boilerplate, and
+    // what share of total shingle OCCURRENCES each class carries. A cap
+    // is safe exactly when the >50 bucket holds few distinct shingles
+    // but a fat occurrence mass — this table shows it. One agg over the
+    // shared shingle index, a 4-row rollup, a 1-row total broadcast.
+    "dedup_df_profile" -> ((s, d) => {
+      import s.implicits._
+      val d5 = shingles5Shared(s, d)
+        .groupBy($"shingle").agg(count(lit(1)).as("df"))
+      val tot = d5.agg(sum($"df").as("tmass"))
+      d5.select(when($"df" === 1L, 1L).when($"df" <= 5L, 2L)
+          .when($"df" <= 50L, 3L).otherwise(4L).as("bucket_id"), $"df")
+        .groupBy($"bucket_id")
+        .agg(count(lit(1)).as("n_shingles"), sum($"df").as("occurrences"))
+        .crossJoin(broadcast(tot))
+        .select($"bucket_id",
+          when($"bucket_id" === 1L, "df=1")
+            .when($"bucket_id" === 2L, "df=2-5")
+            .when($"bucket_id" === 3L, "df=6-50")
+            .otherwise("df>50").as("bucket"),
+          $"n_shingles", $"occurrences",
+          round($"occurrences".cast("double") / $"tmass", 4)
+            .as("mass_share"))
+        .orderBy($"bucket_id")
+    }),
+
     // LSH band-design evidence table — the (bands × rows-per-band)
     // operating curve that justifies a banding choice (Leskovec/
     // Rajaraman/Ullman's S-curve, grounded in THIS corpus's observed
@@ -807,6 +836,21 @@ object Dedup {
          |JOIN j ON j.doc_a = e.doc_a AND j.doc_b = e.doc_b
          |ORDER BY doc_a, doc_b""".stripMargin
     },
+
+    "dedup_df_profile" ->
+      s"""WITH ${shinglesSql(5, "sh")},
+         |d5 AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+         |tot AS (SELECT CAST(SUM(df) AS BIGINT) AS tmass FROM d5),
+         |b AS (SELECT CASE WHEN df = 1 THEN 1 WHEN df <= 5 THEN 2
+         |                  WHEN df <= 50 THEN 3 ELSE 4 END AS bid, df
+         |      FROM d5)
+         |SELECT CAST(bid AS BIGINT) AS bucket_id,
+         |  CASE WHEN bid = 1 THEN 'df=1' WHEN bid = 2 THEN 'df=2-5'
+         |       WHEN bid = 3 THEN 'df=6-50' ELSE 'df>50' END AS bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |  CAST(SUM(df) AS BIGINT) AS occurrences,
+         |  ROUND(CAST(SUM(df) AS DOUBLE) / tmass, 4) AS mass_share
+         |FROM b, tot GROUP BY bid, tmass ORDER BY bucket_id""".stripMargin,
 
     "dedup_band_design" -> {
       s"""$candJaccardSql,

@@ -23,6 +23,57 @@ object PipelineOps {
     """list_filter(regexp_split_to_array(lower(text), '\s+'),
       |                     x -> x <> '')""".stripMargin
 
+  /** The epoch water-fill core (doc_epoch_plan's solve), shared with
+    * doc_epoch_expand: per source, tokens, the e4 quality weight, and
+    * the solved e10 fixed-point epochs `ep` = min(4, m·w). See
+    * doc_epoch_plan's header comment for the closed-form derivation. */
+  private def epochPlanFrame(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val src = t(s, d, "documents")
+      .select($"source", size(toksCol).cast("long").as("n"))
+      .groupBy($"source").agg(sum($"n").as("tok"))
+      .withColumn("w_e4", (lit(1L) + expr(
+        "cast(conv(substring(md5(cast(source as binary)), 1, 1)," +
+          " 16, 10) as bigint) % 5")) * 5000L)
+      // the corpus folds to this bounded source table ONCE; without
+      // pinning it, every downstream reference (totals, candidates,
+      // final join) re-plans the full documents scan
+      .localCheckpoint()
+    val tot = src.agg(sum($"tok").as("ttok"),
+      sum($"tok" * $"w_e4").as("t4"))
+    val wo = Window.orderBy($"w_e4".desc, $"source".asc)
+    val cum = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = src.crossJoin(broadcast(tot))
+      .withColumn("rn", row_number().over(wo))
+      .withColumn("cum_tok", sum($"tok").over(cum))
+      .withColumn("cum_tw", sum($"tok" * $"w_e4").over(cum))
+      .withColumn("w_next", lead($"w_e4", 1).over(wo))
+    val kCand = ranked.select($"rn".as("k"), $"cum_tok".as("c"),
+        $"cum_tw", $"w_e4".as("w_k"), $"w_next", $"ttok", $"t4")
+      .unionByName(ranked.filter($"rn" === 1)
+        .select(lit(0L).as("k"), lit(0L).as("c"), lit(0L).as("cum_tw"),
+          lit(null).cast("long").as("w_k"), $"w_e4".as("w_next"),
+          $"ttok", $"t4"))
+    val chosen = kCand
+      .withColumn("s4", $"t4" - $"cum_tw")
+      .withColumn("rem", lit(3L) * $"ttok" - lit(4L) * $"c")
+      .withColumn("m_e6", expr(
+        "case when s4 > 0 then cast((cast(rem as decimal(38,0))" +
+          " * 10000000000) div cast(s4 as decimal(38,0)) as bigint)" +
+          " else null end"))
+      .filter($"rem" >= 0L)
+      .filter($"w_k".isNull || ($"s4" === 0L) ||
+        ($"m_e6" * $"w_k" >= 40000000000L))
+      .filter(($"s4" === 0L) || $"w_next".isNull ||
+        ($"m_e6" * $"w_next" < 40000000000L))
+      .agg(min(struct($"k", $"m_e6")).as("ch"))
+      .select($"ch.k".as("k"), $"ch.m_e6".as("m_e6"))
+    ranked.crossJoin(broadcast(chosen))
+      .withColumn("ep", when($"rn" <= $"k", 40000000000L)
+        .otherwise(least(lit(40000000000L), $"m_e6" * $"w_e4")))
+  }
+
   /** Corpus bigram LM scored over its own documents (text_bigram_lm's
     * body, shared with text_perplexity_tiers): per-doc mean log2 of the
     * corpus-wide conditional bigram probability c(w1 w2)/c(w1 ·). The
@@ -607,51 +658,7 @@ object PipelineOps {
     // (k, m) is a 1-row broadcast back onto that same bounded table.
     "doc_epoch_plan" -> ((s, d) => {
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val src = t(s, d, "documents")
-        .select($"source", size(expr(
-          "filter(split(lower(text), '\\\\s+'), x -> x != '')"))
-          .cast("long").as("n"))
-        .groupBy($"source").agg(sum($"n").as("tok"))
-        .withColumn("w_e4", (lit(1L) + expr(
-          "cast(conv(substring(md5(cast(source as binary)), 1, 1)," +
-            " 16, 10) as bigint) % 5")) * 5000L)
-        // the corpus folds to this bounded source table ONCE; without
-        // pinning it, every downstream reference (totals, candidates,
-        // final join) re-plans the full documents scan
-        .localCheckpoint()
-      val tot = src.agg(sum($"tok").as("ttok"),
-        sum($"tok" * $"w_e4").as("t4"))
-      val wo = Window.orderBy($"w_e4".desc, $"source".asc)
-      val cum = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val ranked = src.crossJoin(broadcast(tot))
-        .withColumn("rn", row_number().over(wo))
-        .withColumn("cum_tok", sum($"tok").over(cum))
-        .withColumn("cum_tw", sum($"tok" * $"w_e4").over(cum))
-        .withColumn("w_next", lead($"w_e4", 1).over(wo))
-      val kCand = ranked.select($"rn".as("k"), $"cum_tok".as("c"),
-          $"cum_tw", $"w_e4".as("w_k"), $"w_next", $"ttok", $"t4")
-        .unionByName(ranked.filter($"rn" === 1)
-          .select(lit(0L).as("k"), lit(0L).as("c"), lit(0L).as("cum_tw"),
-            lit(null).cast("long").as("w_k"), $"w_e4".as("w_next"),
-            $"ttok", $"t4"))
-      val chosen = kCand
-        .withColumn("s4", $"t4" - $"cum_tw")
-        .withColumn("rem", lit(3L) * $"ttok" - lit(4L) * $"c")
-        .withColumn("m_e6", expr(
-          "case when s4 > 0 then cast((cast(rem as decimal(38,0))" +
-            " * 10000000000) div cast(s4 as decimal(38,0)) as bigint)" +
-            " else null end"))
-        .filter($"rem" >= 0L)
-        .filter($"w_k".isNull || ($"s4" === 0L) ||
-          ($"m_e6" * $"w_k" >= 40000000000L))
-        .filter(($"s4" === 0L) || $"w_next".isNull ||
-          ($"m_e6" * $"w_next" < 40000000000L))
-        .agg(min(struct($"k", $"m_e6")).as("ch"))
-        .select($"ch.k".as("k"), $"ch.m_e6".as("m_e6"))
-      ranked.crossJoin(broadcast(chosen))
-        .withColumn("ep", when($"rn" <= $"k", 40000000000L)
-          .otherwise(least(lit(40000000000L), $"m_e6" * $"w_e4")))
+      epochPlanFrame(s, d)
         .select($"source", $"tok".as("n_tokens"),
           round($"w_e4".cast("double") / 1e4, 4).as("weight"),
           round($"ep".cast("double") / 1e10, 4).as("epochs"),
@@ -659,6 +666,32 @@ object PipelineOps {
             .as("alloc_tokens"),
           when($"ep" === 40000000000L, 1L).otherwise(0L).as("capped"))
         .orderBy($"source")
+    }),
+
+    // Materialize the epoch plan into a per-doc repeat manifest — the
+    // step between planning and the training dataloader: a source with
+    // epochs = 2.79 repeats every doc twice and a deterministic 79% of
+    // docs a third time (doc_mixture's hash-fraction residual, here in
+    // pure INTEGER e10 fixed-point so both engines pick the identical
+    // doc subset). Expected Σ n_copies·doc_tokens = the planner's
+    // per-source allocation. One doc-level projection + one broadcast
+    // join onto the bounded plan table — the corpus never shuffles.
+    "doc_epoch_expand" -> ((s, d) => {
+      import s.implicits._
+      val plan = epochPlanFrame(s, d).select($"source", $"ep")
+      t(s, d, "documents")
+        .select($"doc_id", $"source",
+          // md5 chars 9-15 as a 28-bit fraction, scaled to e10 ticks
+          expr("(cast(conv(substring(md5(cast(cast(doc_id as string)" +
+            " as binary)), 9, 7), 16, 10) as bigint) * 10000000000)" +
+            " div 268435456").as("hf_e10"))
+        .join(broadcast(plan), "source")
+        .select($"doc_id", $"source",
+          expr("ep div 10000000000").as("full_copies"),
+          (expr("ep div 10000000000") +
+            when($"hf_e10" < $"ep" % 10000000000L, 1L).otherwise(0L))
+            .as("n_copies"))
+        .orderBy($"doc_id")
     }),
 
     // DSIR-style data selection (Xie et al. 2023, "Data Selection for
@@ -1344,6 +1377,61 @@ object PipelineOps {
         .orderBy($"batch")
     }))
 
+  /** Oracle twin of [[epochPlanFrame]]: the water-fill CTE chain
+    * ending in `plan(source, tok, w_e4, ep)`. Shared by
+    * doc_epoch_plan and doc_epoch_expand. */
+  private val epochPlanSql: String =
+    """WITH s0 AS (
+        |  SELECT source,
+        |    CAST(SUM(CAST(len(list_filter(regexp_split_to_array(
+        |      lower(text), '\s+'), x -> x <> '')) AS BIGINT)) AS BIGINT)
+        |      AS tok
+        |  FROM documents GROUP BY source),
+        |s1 AS (
+        |  SELECT source, tok,
+        |    CAST((1 + (strpos('0123456789abcdef',
+        |      substring(md5(source), 1, 1)) - 1) % 5) * 5000 AS BIGINT)
+        |      AS w_e4
+        |  FROM s0),
+        |tot AS (SELECT CAST(SUM(tok) AS BIGINT) AS ttok,
+        |               CAST(SUM(tok * w_e4) AS BIGINT) AS t4 FROM s1),
+        |rk AS (
+        |  SELECT source, tok, w_e4,
+        |    ROW_NUMBER() OVER wo AS rn,
+        |    CAST(SUM(tok) OVER (wo ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS cum_tok,
+        |    CAST(SUM(tok * w_e4) OVER (wo ROWS UNBOUNDED PRECEDING)
+        |         AS BIGINT) AS cum_tw,
+        |    LEAD(w_e4) OVER wo AS w_next
+        |  FROM s1 WINDOW wo AS (ORDER BY w_e4 DESC, source ASC)),
+        |kc AS (
+        |  SELECT rn AS k, cum_tok AS c, cum_tw, w_e4 AS w_k, w_next,
+        |    ttok, t4
+        |  FROM rk, tot
+        |  UNION ALL
+        |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |    NULL, w_e4, ttok, t4
+        |  FROM rk, tot WHERE rn = 1),
+        |c2 AS (
+        |  SELECT k, (t4 - cum_tw) AS s4, (3 * ttok - 4 * c) AS rem,
+        |    CASE WHEN (t4 - cum_tw) > 0
+        |         THEN CAST((CAST((3 * ttok - 4 * c) AS HUGEINT)
+        |                    * 10000000000) // (t4 - cum_tw) AS BIGINT)
+        |         ELSE NULL END AS m_e6,
+        |    w_k, w_next
+        |  FROM kc),
+        |ch AS (
+        |  SELECT k, m_e6 FROM c2
+        |  WHERE rem >= 0
+        |    AND (w_k IS NULL OR s4 = 0 OR m_e6 * w_k >= 40000000000)
+        |    AND (s4 = 0 OR w_next IS NULL OR m_e6 * w_next < 40000000000)
+        |  ORDER BY k LIMIT 1),
+        |plan AS (
+        |  SELECT rk.source, rk.tok, rk.w_e4,
+        |    CASE WHEN rk.rn <= ch.k THEN 40000000000
+        |         ELSE least(40000000000, ch.m_e6 * rk.w_e4) END AS ep
+        |  FROM rk, ch)""".stripMargin
+
   val oracle: Map[String, String] = Map(
 
     "doc_chunks" ->
@@ -1846,51 +1934,7 @@ object PipelineOps {
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "doc_epoch_plan" ->
-      """WITH s0 AS (
-        |  SELECT source,
-        |    CAST(SUM(CAST(len(list_filter(regexp_split_to_array(
-        |      lower(text), '\s+'), x -> x <> '')) AS BIGINT)) AS BIGINT)
-        |      AS tok
-        |  FROM documents GROUP BY source),
-        |s1 AS (
-        |  SELECT source, tok,
-        |    CAST((1 + (strpos('0123456789abcdef',
-        |      substring(md5(source), 1, 1)) - 1) % 5) * 5000 AS BIGINT)
-        |      AS w_e4
-        |  FROM s0),
-        |tot AS (SELECT CAST(SUM(tok) AS BIGINT) AS ttok,
-        |               CAST(SUM(tok * w_e4) AS BIGINT) AS t4 FROM s1),
-        |rk AS (
-        |  SELECT source, tok, w_e4,
-        |    ROW_NUMBER() OVER wo AS rn,
-        |    CAST(SUM(tok) OVER (wo ROWS UNBOUNDED PRECEDING) AS BIGINT)
-        |      AS cum_tok,
-        |    CAST(SUM(tok * w_e4) OVER (wo ROWS UNBOUNDED PRECEDING)
-        |         AS BIGINT) AS cum_tw,
-        |    LEAD(w_e4) OVER wo AS w_next
-        |  FROM s1 WINDOW wo AS (ORDER BY w_e4 DESC, source ASC)),
-        |kc AS (
-        |  SELECT rn AS k, cum_tok AS c, cum_tw, w_e4 AS w_k, w_next,
-        |    ttok, t4
-        |  FROM rk, tot
-        |  UNION ALL
-        |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
-        |    NULL, w_e4, ttok, t4
-        |  FROM rk, tot WHERE rn = 1),
-        |c2 AS (
-        |  SELECT k, (t4 - cum_tw) AS s4, (3 * ttok - 4 * c) AS rem,
-        |    CASE WHEN (t4 - cum_tw) > 0
-        |         THEN CAST((CAST((3 * ttok - 4 * c) AS HUGEINT)
-        |                    * 10000000000) // (t4 - cum_tw) AS BIGINT)
-        |         ELSE NULL END AS m_e6,
-        |    w_k, w_next
-        |  FROM kc),
-        |ch AS (
-        |  SELECT k, m_e6 FROM c2
-        |  WHERE rem >= 0
-        |    AND (w_k IS NULL OR s4 = 0 OR m_e6 * w_k >= 40000000000)
-        |    AND (s4 = 0 OR w_next IS NULL OR m_e6 * w_next < 40000000000)
-        |  ORDER BY k LIMIT 1)
+      s"""$epochPlanSql
         |SELECT source, tok AS n_tokens,
         |  ROUND(CAST(w_e4 AS DOUBLE) / 1e4, 4) AS weight,
         |  ROUND(CAST(ep AS DOUBLE) / 1e10, 4) AS epochs,
@@ -1898,12 +1942,30 @@ object PipelineOps {
         |    AS alloc_tokens,
         |  CAST(CASE WHEN ep = 40000000000 THEN 1 ELSE 0 END AS BIGINT)
         |    AS capped
-        |FROM (
-        |  SELECT rk.source, rk.tok, rk.w_e4,
-        |    CASE WHEN rk.rn <= ch.k THEN 40000000000
-        |         ELSE least(40000000000, ch.m_e6 * rk.w_e4) END AS ep
-        |  FROM rk, ch)
+        |FROM plan
         |ORDER BY source""".stripMargin,
+
+    "doc_epoch_expand" -> {
+      // md5 chars 9-15 as a 28-bit integer via the positional strpos
+      // expansion (DuckDB has no conv()) — the doc_mixture idiom
+      val h28 = (9 to 15).map { i =>
+        val w = math.pow(16, 15 - i).toLong
+        s"(strpos('0123456789abcdef', substring(" +
+          s"md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1) * $w"
+      }.mkString(" + ")
+      s"""$epochPlanSql,
+         |docs AS (
+         |  SELECT doc_id, source,
+         |    (CAST(($h28) AS BIGINT) * 10000000000) // 268435456 AS hf_e10
+         |  FROM documents)
+         |SELECT d.doc_id, d.source,
+         |  CAST(p.ep // 10000000000 AS BIGINT) AS full_copies,
+         |  CAST(p.ep // 10000000000
+         |       + CASE WHEN d.hf_e10 < p.ep % 10000000000 THEN 1 ELSE 0
+         |         END AS BIGINT) AS n_copies
+         |FROM docs d JOIN plan p USING (source)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "doc_dsir_weights" -> {
       // 4-hex-digit md5 window → integer bucket, via the positional

@@ -149,6 +149,33 @@ object Similarity {
   private[graft] def ivfCells(s: SparkSession, d: String): DataFrame =
     ivfCellsCache.get(s, d)(ivfCellsRaw(s, d).localCheckpoint())
 
+  /** 3-NN majority-vote label predictions over the shared cell-pair
+    * edges — sim_knn_classify's body, shared with sim_confusion_matrix.
+    * @return (vec_id, true_label, pred_label, n_votes, n_neighbors,
+    *         correct), unsorted. */
+  private def knnPredictions(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val labels = t(s, d, "embeddings")
+      .select($"vec_id", $"label".cast("long").as("label"))
+    val p = cellPairs(s, d)
+    val edges = p.select($"va".as("src"), $"vb".as("dst"), $"sim")
+      .unionAll(p.select($"vb".as("src"), $"va".as("dst"), $"sim"))
+    val w = Window.partitionBy($"src").orderBy($"sim".desc, $"dst".asc)
+    val knn = edges.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+    knn.join(labels.select($"vec_id".as("dst"),
+        $"label".as("nlabel")), "dst")
+      .groupBy($"src", $"nlabel").agg(count(lit(1)).as("votes"))
+      .groupBy($"src")
+      .agg(min(struct((-$"votes").as("nv"), $"nlabel".as("lab"))).as("win"),
+        sum($"votes").as("n_neighbors"))
+      .join(labels.select($"vec_id".as("src"), $"label"), "src")
+      .select($"src".as("vec_id"), $"label".as("true_label"),
+        $"win.lab".as("pred_label"), (-$"win.nv").as("n_votes"),
+        $"n_neighbors", ($"win.lab" === $"label").as("correct"))
+  }
+
   private[graft] def cellPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val cells = ivfCells(s, d)
@@ -412,26 +439,26 @@ object Similarity {
     // cells have no edges and no row, by construction.
     "sim_knn_classify" -> ((s, d) => {
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val labels = t(s, d, "embeddings")
-        .select($"vec_id", $"label".cast("long").as("label"))
-      val p = cellPairs(s, d)
-      val edges = p.select($"va".as("src"), $"vb".as("dst"), $"sim")
-        .unionAll(p.select($"vb".as("src"), $"va".as("dst"), $"sim"))
-      val w = Window.partitionBy($"src").orderBy($"sim".desc, $"dst".asc)
-      val knn = edges.withColumn("rk", row_number().over(w))
-        .filter($"rk" <= 3)
-      knn.join(labels.select($"vec_id".as("dst"),
-          $"label".as("nlabel")), "dst")
-        .groupBy($"src", $"nlabel").agg(count(lit(1)).as("votes"))
-        .groupBy($"src")
-        .agg(min(struct((-$"votes").as("nv"), $"nlabel".as("lab"))).as("win"),
-          sum($"votes").as("n_neighbors"))
-        .join(labels.select($"vec_id".as("src"), $"label"), "src")
-        .select($"src".as("vec_id"), $"label".as("true_label"),
-          $"win.lab".as("pred_label"), (-$"win.nv").as("n_votes"),
-          $"n_neighbors", ($"win.lab" === $"label").as("correct"))
-        .orderBy($"vec_id")
+      knnPredictions(s, d).orderBy($"vec_id")
+    }),
+
+    // Confusion matrix over the 3-NN label vote — the eval rollup that
+    // turns sim_knn_classify's per-vector verdicts into the per-class
+    // quality table (which labels the embedding space confuses, and how
+    // badly). Rides the SAME prediction frame; the rollup is a
+    // (true, pred)-keyed agg over the label alphabet plus a per-true-
+    // label total joined back — both bounded by labels², never by the
+    // corpus. row_share = one float divide of exact integers.
+    "sim_confusion_matrix" -> ((s, d) => {
+      import s.implicits._
+      val cm = knnPredictions(s, d)
+        .groupBy($"true_label", $"pred_label")
+        .agg(count(lit(1)).as("n"))
+      val rt = cm.groupBy($"true_label").agg(sum($"n").as("tot"))
+      cm.join(rt, "true_label")
+        .select($"true_label", $"pred_label", $"n",
+          round($"n".cast("double") / $"tot", 4).as("row_share"))
+        .orderBy($"true_label", $"pred_label")
     }),
 
     // Per-cell embedding outlier flags — the vector-space analogue of
@@ -1315,6 +1342,32 @@ object Similarity {
   /** DuckDB twin of ivfCells + cellPairs: adaptive-k two-level codebook
     * (k2 super-cells → grouped centroids), nearest-centroid-in-group
     * cell assignment, within-cell pairs `p(cell, va, vb, sim)`. */
+  /** Oracle twin of [[knnPredictions]]: the 3-NN vote chain ending in
+    * `pred(vec_id, true_label, pred_label, n_votes, n_neighbors,
+    * correct)`. Shared by sim_knn_classify and sim_confusion_matrix. */
+  private lazy val knnPredSql: String = cellPairsCte +
+    """,
+      |s2 AS (SELECT va AS src, vb AS dst, sim FROM p
+      |       UNION ALL SELECT vb, va, sim FROM p),
+      |k2 AS (SELECT src, dst,
+      |         ROW_NUMBER() OVER (PARTITION BY src
+      |                            ORDER BY sim DESC, dst) AS rk
+      |       FROM s2),
+      |knn AS (SELECT src, dst FROM k2 WHERE rk <= 3),
+      |votes AS (
+      |  SELECT src, CAST(l.label AS BIGINT) AS nlabel, COUNT(*) AS votes
+      |  FROM knn JOIN embeddings l ON l.vec_id = dst
+      |  GROUP BY src, l.label),
+      |win AS (
+      |  SELECT src, MIN({'nv': -votes, 'lab': nlabel}) AS w,
+      |    CAST(SUM(votes) AS BIGINT) AS n_neighbors
+      |  FROM votes GROUP BY src),
+      |pred AS (
+      |  SELECT src AS vec_id, CAST(l.label AS BIGINT) AS true_label,
+      |    w.lab AS pred_label, CAST(-w.nv AS BIGINT) AS n_votes,
+      |    n_neighbors, (w.lab = CAST(l.label AS BIGINT)) AS correct
+      |  FROM win JOIN embeddings l ON l.vec_id = src)""".stripMargin
+
   private val cellPairsCte: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |kf AS (SELECT GREATEST(8, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS kk,
@@ -1480,28 +1533,22 @@ object Similarity {
         |SELECT cell, va AS vec_a, vb AS vec_b, sim FROM p2 WHERE sim >= 0.35
         |ORDER BY vec_a, vec_b""".stripMargin),
 
-    "sim_knn_classify" -> (cellPairsCte +
+    "sim_knn_classify" -> (knnPredSql +
+      """
+        |SELECT vec_id, true_label, pred_label, n_votes, n_neighbors,
+        |  correct
+        |FROM pred ORDER BY vec_id""".stripMargin),
+
+    "sim_confusion_matrix" -> (knnPredSql +
       """,
-        |s2 AS (SELECT va AS src, vb AS dst, sim FROM p
-        |       UNION ALL SELECT vb, va, sim FROM p),
-        |k2 AS (SELECT src, dst,
-        |         ROW_NUMBER() OVER (PARTITION BY src
-        |                            ORDER BY sim DESC, dst) AS rk
-        |       FROM s2),
-        |knn AS (SELECT src, dst FROM k2 WHERE rk <= 3),
-        |votes AS (
-        |  SELECT src, CAST(l.label AS BIGINT) AS nlabel, COUNT(*) AS votes
-        |  FROM knn JOIN embeddings l ON l.vec_id = dst
-        |  GROUP BY src, l.label),
-        |win AS (
-        |  SELECT src, MIN({'nv': -votes, 'lab': nlabel}) AS w,
-        |    CAST(SUM(votes) AS BIGINT) AS n_neighbors
-        |  FROM votes GROUP BY src)
-        |SELECT src AS vec_id, CAST(l.label AS BIGINT) AS true_label,
-        |  w.lab AS pred_label, CAST(-w.nv AS BIGINT) AS n_votes,
-        |  n_neighbors, (w.lab = CAST(l.label AS BIGINT)) AS correct
-        |FROM win JOIN embeddings l ON l.vec_id = src
-        |ORDER BY vec_id""".stripMargin),
+        |cm AS (SELECT true_label, pred_label, COUNT(*) AS n
+        |       FROM pred GROUP BY 1, 2),
+        |rt AS (SELECT true_label, CAST(SUM(n) AS BIGINT) AS tot
+        |       FROM cm GROUP BY 1)
+        |SELECT cm.true_label, cm.pred_label, CAST(cm.n AS BIGINT) AS n,
+        |  ROUND(CAST(cm.n AS DOUBLE) / rt.tot, 4) AS row_share
+        |FROM cm JOIN rt USING (true_label)
+        |ORDER BY true_label, pred_label""".stripMargin),
 
     "sim_cell_outliers" -> (cellPairsCte +
       """,

@@ -95,6 +95,8 @@ class PlanHygieneSpec extends SparkSpec {
     "text_learnability",     // 1-row corpus bigram-total agg
     "sim_silhouette",        // 1-row seed-codebook array (kmeans shape)
     "doc_epoch_plan",        // 1-row corpus-total agg + 1-row chosen (k,m)
+    "doc_epoch_expand",      // same water-fill scalars feeding the manifest
+    "dedup_df_profile",      // 1-row total-occurrence-mass agg
     "sim_pair_recall_bounds",// DELIBERATE sampled all-pairs truth join (the
                              // recall diagnostic's ground truth exists only
                              // over the vec_id%2 half-sample, never in a

@@ -1283,6 +1283,76 @@ class PipelineInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("doc_epoch_expand: realizes the plan's allocation per source") {
+    import spark.implicits._
+    val plan = SparkEntry.queries("doc_epoch_plan")(spark, sf())
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(3), r.getLong(5))).toMap // epochs, capped
+    val rows = SparkEntry.queries("doc_epoch_expand")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    rows.foreach { case (id, src, full, n) =>
+      assert(n - full == 0L || n - full == 1L,
+        s"doc $id: copies must be full or full+1")
+      assert(full == plan(src)._1.toLong,
+        s"doc $id: full_copies != floor(source epochs)")
+      if (plan(src)._2 == 1L)
+        assert(n == 4L, s"doc $id: capped source must repeat exactly 4x")
+    }
+    // hash-fraction residual realizes the fractional epoch in
+    // expectation: corpus-wide realized copies stay near the plan
+    val tokens = t(spark, sf(), "documents")
+      .select($"doc_id", expr(
+        "size(filter(split(lower(text), '\\\\s+'), x -> x != ''))")
+        .cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val realized = rows.map { case (id, _, _, n) => n * tokens(id) }.sum
+    val planned = SparkEntry.queries("doc_epoch_plan")(spark, sf())
+      .collect().map(_.getDouble(4)).sum
+    assert(math.abs(realized - planned) / planned < 0.1,
+      s"realized $realized vs planned $planned tokens")
+  }
+
+  test("sim_confusion_matrix: replays from the classifier's verdicts") {
+    import spark.implicits._
+    val preds = SparkEntry.queries("sim_knn_classify")(spark, sf())
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val expected = preds.groupBy(identity).map { case ((t0, p0), g) =>
+      (t0, p0) -> g.length.toLong
+    }
+    val rowTot = preds.groupBy(_._1).map { case (t0, g) =>
+      t0 -> g.length.toLong
+    }
+    val got = SparkEntry.queries("sim_confusion_matrix")(spark, sf())
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == expected.keySet, "cells diverge")
+    got.foreach { case ((t0, p0), (n, share)) =>
+      assert(n == expected((t0, p0)))
+      assert(math.abs(share - n.toDouble / rowTot(t0)) < 1e-4 + 1e-9)
+    }
+    // every true label's shares sum to ~1
+    got.toSeq.groupBy(_._1._1).foreach { case (t0, cells) =>
+      val s = cells.map(_._2._2).sum
+      assert(math.abs(s - 1.0) < 1e-3, s"label $t0 shares sum to $s")
+    }
+  }
+
+  test("dedup_df_profile: buckets partition the shingle index") {
+    import spark.implicits._
+    val got = SparkEntry.queries("dedup_df_profile")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    val dfs = Dedup.shingles5Shared(spark, sf())
+      .groupBy($"shingle").agg(count(lit(1)).as("df"))
+      .collect().map(_.getLong(1))
+    val expected = dfs.groupBy(df =>
+        if (df == 1L) 1L else if (df <= 5L) 2L else if (df <= 50L) 3L
+        else 4L)
+      .map { case (b, g) => (b, g.length.toLong, g.sum) }.toSet
+    assert(got.toSet == expected, "df spectrum diverges from the index")
+    assert(got.map(_._3).sum == dfs.sum, "occurrence mass conserved")
+  }
+
   test("mm_neardup_clusters: rollup replays from union-find over pairs") {
     import spark.implicits._
     val pairs = SparkEntry.queries("mm_neardup_pairs")(spark, sf())
