@@ -612,6 +612,78 @@ object EventsLog {
         .limit(10)
     }),
 
+    // DAU/MAU stickiness — the engagement ratio every product dashboard
+    // tracks next to WAU: per observed day, daily actives over trailing-
+    // 30-day actives. Same scale shape as log_wau (a sliding COUNT
+    // (DISTINCT) has no bounded-state window form, so each distinct
+    // (user, day) pair fans out to the 30 window days it serves — state
+    // O(users × 30), shuffle keys are days); at extreme scale the HLL
+    // variant (log_hll_overlap_bounds' sketches) replaces the exact
+    // count, same plan shape.
+    "log_dau_mau" -> ((s, d) => {
+      import s.implicits._
+      val ud = t(s, d, "events")
+        .select($"user_id", to_date($"ts").as("day")).distinct()
+      val days = ud.select($"day").distinct()
+      val contrib = ud.select($"user_id",
+        explode(expr("sequence(day, date_add(day, 29))")).as("wday"))
+      val mau = contrib.join(days.select($"day".as("wday")), "wday")
+        .groupBy($"wday").agg(countDistinct($"user_id").as("mau"))
+      val dau = ud.groupBy($"day".as("wday"))
+        .agg(countDistinct($"user_id").as("dau"))
+      dau.join(mau, "wday")
+        .select(date_format($"wday", "yyyy-MM-dd").as("day"),
+          $"dau", $"mau",
+          round($"dau".cast("double") / $"mau", 4).as("stickiness"))
+        .orderBy($"day")
+    }),
+
+    // Seasonality-adjusted anomaly flags — log_anomaly's 2σ rule, but
+    // against each hour's OWN hour-of-week baseline (a Monday-9am spike
+    // is normal; the same count at Sunday-3am is an incident). The
+    // dense per-(type, hour) grid is the log_gapfill shape (absent
+    // hours MUST count as zeros in the baseline); per (type, dow, hod)
+    // cell the mean/variance come from exact integer Σx/Σx², and the
+    // 1.5σ test (the sensitive paging threshold — cells hold only a
+    // handful of weekly samples, and on this grid 2σ never fires) is
+    // the fully cross-multiplied integer form
+    // 4·(n·c − Σx)² > 9·(c·Σx² − Σx²) evaluated in DECIMAL(38,0)/HUGEINT
+    // so both engines compare exact wide integers — zero float ops in
+    // the verdict (the log_seasonality_profile + log_user_gini
+    // discipline combined). cell_mean is the one reported float.
+    "log_anomaly_seasonal" -> ((s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+        .select($"event_type", date_trunc("hour", $"ts").as("h"))
+      val counts = ev.groupBy($"event_type", $"h")
+        .agg(count(lit(1)).as("n"))
+      val bounds = ev.agg(min($"h").as("h0"), max($"h").as("h1"))
+      val grid = ev.select($"event_type").distinct()
+        .crossJoin(broadcast(bounds))
+        .select($"event_type",
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+      val dense = grid.join(counts, Seq("event_type", "h"), "left_outer")
+        .select($"event_type", $"h", coalesce($"n", lit(0L)).as("n"))
+        .withColumn("dow", (weekday($"h") + 1).cast("long"))
+        .withColumn("hod", hour($"h").cast("long"))
+      val stats = dense.groupBy($"event_type", $"dow", $"hod")
+        .agg(count(lit(1)).as("c"), sum($"n").as("sx"),
+          sum($"n" * $"n").as("sxx"))
+      dense.join(stats, Seq("event_type", "dow", "hod"))
+        .select($"event_type", unix_micros($"h").as("hour_us"), $"n",
+          round($"sx".cast("double") / $"c", 4).as("cell_mean"),
+          when(expr(
+            "4 * (cast(n as decimal(38,0)) * cast(c as decimal(38,0))" +
+              " - cast(sx as decimal(38,0)))" +
+              " * (cast(n as decimal(38,0)) * cast(c as decimal(38,0))" +
+              " - cast(sx as decimal(38,0)))" +
+              " > 9 * (cast(c as decimal(38,0)) * cast(sxx as" +
+              " decimal(38,0)) - cast(sx as decimal(38,0))" +
+              " * cast(sx as decimal(38,0)))"), 1L).otherwise(0L)
+            .as("is_anomaly"))
+        .orderBy($"event_type", $"hour_us")
+    }),
+
     // Cohort retention: users grouped by first-seen week; for each
     // (cohort, weeks-since-cohort) cell, how many distinct users were
     // active. Two aggregations joined on user — the standard retention
@@ -1109,6 +1181,55 @@ object EventsLog {
         |  COUNT(DISTINCT user_id) AS wau
         |FROM contrib c JOIN days d ON c.wday = d.day
         |GROUP BY c.wday ORDER BY day""".stripMargin,
+
+    "log_dau_mau" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |days AS (SELECT DISTINCT day FROM ud),
+        |contrib AS (
+        |  SELECT user_id, day + CAST(i AS INTEGER) AS wday
+        |  FROM ud, unnest(generate_series(0, 29)) AS t(i)),
+        |mau AS (
+        |  SELECT c.wday, COUNT(DISTINCT user_id) AS mau
+        |  FROM contrib c JOIN days d ON c.wday = d.day
+        |  GROUP BY c.wday),
+        |dau AS (SELECT day AS wday, COUNT(DISTINCT user_id) AS dau
+        |        FROM ud GROUP BY day)
+        |SELECT strftime(d.wday, '%Y-%m-%d') AS day, dau, mau,
+        |  ROUND(CAST(dau AS DOUBLE) / mau, 4) AS stickiness
+        |FROM dau d JOIN mau USING (wday) ORDER BY day""".stripMargin,
+
+    "log_anomaly_seasonal" ->
+      """WITH e AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h FROM events),
+        |counts AS (SELECT event_type, h, COUNT(*) AS n
+        |           FROM e GROUP BY 1, 2),
+        |bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM e),
+        |grid AS (
+        |  SELECT event_type, unnest(generate_series(h0, h1,
+        |    INTERVAL 1 HOUR)) AS h
+        |  FROM (SELECT DISTINCT event_type FROM e), bounds),
+        |dense AS (
+        |  SELECT g.event_type, g.h, COALESCE(c.n, 0) AS n,
+        |    isodow(g.h) AS dow, CAST(hour(g.h) AS BIGINT) AS hod
+        |  FROM grid g LEFT JOIN counts c
+        |    ON c.event_type = g.event_type AND c.h = g.h),
+        |stats AS (
+        |  SELECT event_type, dow, hod, COUNT(*) AS c,
+        |    CAST(SUM(n) AS BIGINT) AS sx,
+        |    CAST(SUM(n * n) AS BIGINT) AS sxx
+        |  FROM dense GROUP BY 1, 2, 3)
+        |SELECT d.event_type, epoch_us(d.h) AS hour_us, d.n,
+        |  ROUND(CAST(sx AS DOUBLE) / c, 4) AS cell_mean,
+        |  CAST(CASE WHEN
+        |    4 * (CAST(d.n AS HUGEINT) * c - sx) * (CAST(d.n AS HUGEINT)
+        |         * c - sx) > 9 * (CAST(c AS HUGEINT) * sxx
+        |                          - CAST(sx AS HUGEINT) * sx)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+        |FROM dense d JOIN stats s
+        |  ON s.event_type = d.event_type AND s.dow = d.dow
+        | AND s.hod = d.hod
+        |ORDER BY d.event_type, hour_us""".stripMargin,
 
     "log_anomaly" ->
       """WITH p AS (

@@ -1283,6 +1283,48 @@ class PipelineInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("log_dau_mau: window containment dau <= wau <= mau per day") {
+    import spark.implicits._
+    val dm = SparkEntry.queries("log_dau_mau")(spark, sf())
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val wau = SparkEntry.queries("log_wau")(spark, sf())
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dm.keySet == wau.keySet, "observed-day sets diverge")
+    dm.foreach { case (day, (dau, mau, st)) =>
+      assert(dau >= 1L && dau <= wau(day) && wau(day) <= mau,
+        s"$day: containment dau=$dau wau=${wau(day)} mau=$mau")
+      assert(st > 0d && st <= 1d, s"$day: stickiness $st out of (0,1]")
+    }
+  }
+
+  test("log_anomaly_seasonal: flags replay integer-exact per how-cell") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("log_anomaly_seasonal")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(4)))
+    // rebuild each (type, dow, hod) cell's stats from the output grid
+    // itself (the grid is dense, so the output IS the dense table)
+    val cells = rows.groupBy { case (ty, us, _, _) =>
+      val dt = java.time.Instant.ofEpochSecond(us / 1000000L)
+        .atZone(java.time.ZoneOffset.UTC)
+      (ty, dt.getDayOfWeek.getValue.toLong, dt.getHour.toLong)
+    }
+    cells.foreach { case (key, g) =>
+      val c = g.length.toLong
+      val sx = g.map(_._3).sum
+      val sxx = g.map(r => r._3 * r._3).sum
+      g.foreach { case (_, us, n, flag) =>
+        val lhs = BigInt(4) * BigInt(n * c - sx) * BigInt(n * c - sx)
+        val rhs = BigInt(9) * (BigInt(c) * BigInt(sxx) -
+          BigInt(sx) * BigInt(sx))
+        assert((flag == 1L) == (lhs > rhs), s"$key @$us: flag vs exact")
+      }
+    }
+    assert(rows.exists(_._4 == 1L) || rows.length < 600,
+      "expected some anomalies on a multi-week grid")
+  }
+
   test("doc_epoch_expand: realizes the plan's allocation per source") {
     import spark.implicits._
     val plan = SparkEntry.queries("doc_epoch_plan")(spark, sf())
