@@ -15,6 +15,63 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStream {
 
+  /** Hour-of-week baseline model for [[seasonalAnomaly]]: per
+    * (event_type, dow, hod) cell, exact integer count/Σx/Σx² over the
+    * DENSE hourly grid — absent hours count as zeros, exactly the
+    * declared log_anomaly_seasonal's stats stage. Built from history in
+    * batch; the result is bounded by types × 168 rows, so it broadcasts
+    * into the live stream (the cellDrift batch-model→stream-serving
+    * pattern applied to the events family). */
+  def seasonalBaseline(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val ev = events.select($"event_type", date_trunc("hour", $"ts").as("h"))
+    val counts = ev.groupBy($"event_type", $"h").agg(count(lit(1)).as("n"))
+    val bounds = ev.agg(min($"h").as("h0"), max($"h").as("h1"))
+    val grid = ev.select($"event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select($"event_type",
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+    grid.join(counts, Seq("event_type", "h"), "left_outer")
+      .select($"event_type", $"h", coalesce($"n", lit(0L)).as("n"))
+      .groupBy($"event_type", (weekday($"h") + 1).cast("long").as("dow"),
+        hour($"h").cast("long").as("hod"))
+      .agg(count(lit(1)).as("c"), sum($"n").as("sx"),
+        sum($"n" * $"n").as("sxx"))
+  }
+
+  /** Online seasonal anomaly flags: hourly windowed counts per type,
+    * flagged against the broadcast hour-of-week baseline with the SAME
+    * wide-integer 1.5σ rule as the declared log_anomaly_seasonal — the
+    * live half of train-in-batch / serve-in-stream. The stream-static
+    * join runs BEFORE the windowed agg (Structured Streaming forbids
+    * joins after a streaming aggregation); the baseline columns are
+    * constant within a (window, type) group, so min() carries them
+    * through the agg unchanged. State is the windowed agg's only. */
+  def seasonalAnomaly(events: DataFrame, baseline: DataFrame,
+      wmDelay: String = "1 hour"): DataFrame = {
+    import events.sparkSession.implicits._
+    val keyed = events
+      .select($"ts", $"event_type",
+        (weekday($"ts") + 1).cast("long").as("dow"),
+        hour($"ts").cast("long").as("hod"))
+      .join(broadcast(baseline), Seq("event_type", "dow", "hod"))
+    val src = if (events.isStreaming) keyed.withWatermark("ts", wmDelay)
+      else keyed
+    src.groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"), min($"c").as("c"),
+        min($"sx").as("sx"), min($"sxx").as("sxx"))
+      .select($"window.start".as("w_start"), $"event_type", $"n",
+        when(expr(
+          "4 * (cast(n as decimal(38,0)) * cast(c as decimal(38,0))" +
+            " - cast(sx as decimal(38,0)))" +
+            " * (cast(n as decimal(38,0)) * cast(c as decimal(38,0))" +
+            " - cast(sx as decimal(38,0)))" +
+            " > 9 * (cast(c as decimal(38,0)) * cast(sxx as" +
+            " decimal(38,0)) - cast(sx as decimal(38,0))" +
+            " * cast(sx as decimal(38,0)))"), 1L).otherwise(0L)
+          .as("is_anomaly"))
+  }
+
   /** Watermarked tumbling-window counts per event_type. In streaming
     * mode the 1-hour watermark bounds state; in batch mode the watermark
     * is a no-op and results equal the `log_hourly` batch query. */

@@ -847,6 +847,49 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_.getString(1)).distinct.length >= 2)
   }
 
+  test("seasonal anomaly (batch): flags equal the declared query's live hours") {
+    import spark.implicits._
+    val ev = t(spark, sf(), "events")
+    val base = EventStream.seasonalBaseline(ev)
+    val got = EventStream.seasonalAnomaly(ev, base)
+      .collect().map(r => (r.getTimestamp(0).getTime * 1000L,
+        r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // the declared query covers the DENSE grid; a stream only emits
+    // windows that saw events, so compare on n > 0 rows
+    val want = graft.SparkEntry.queries("log_anomaly_seasonal")(spark, sf())
+      .filter($"n" > 0L)
+      .collect().map(r => (r.getLong(1), r.getString(0)) ->
+        (r.getLong(2), r.getLong(4))).toMap
+    assert(got.nonEmpty && got == want,
+      s"live-hour flags differ: got ${got.size}, want ${want.size}")
+  }
+
+  test("seasonal anomaly (streaming): windowed flags == batch") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_seasonal").toString
+    val src = s"$root/src"
+    val ev = t(spark, sf(), "events")
+    // stream the fixture in two arbitrary halves (restart-shaped input)
+    ev.filter($"event_id" % 2 === 0).write.mode("append").parquet(src)
+    ev.filter($"event_id" % 2 === 1).write.mode("append").parquet(src)
+    val base = EventStream.seasonalBaseline(ev)
+    val schema = spark.read.parquet(src).schema
+    val q = EventStream.seasonalAnomaly(
+        spark.readStream.schema(schema).parquet(src), base)
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("seasonal_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("seasonal_stream")
+      .orderBy($"w_start", $"event_type").collect().toSeq
+    val batch = EventStream.seasonalAnomaly(spark.read.parquet(src), base)
+      .orderBy($"w_start", $"event_type").collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streaming ${streamed.size} rows != batch ${batch.size}")
+    // the 1.5σ rule must actually fire somewhere on this fixture
+    assert(streamed.exists(_.getLong(3) == 1L),
+      "expected at least one live anomaly flag")
+  }
+
   test("embed drift (batch): cell histogram equals the declared assignment rollup") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2024-06-01 10:15:00")
