@@ -1116,6 +1116,44 @@ object Similarity {
         .orderBy($"vec_id")
     }),
 
+    // PQ distortion by IVF cell — the index-quality QC that tells you
+    // WHERE the codebook is failing (a healthy IVF-PQ index has evenly
+    // distributed reconstruction error; one bad cell means its region
+    // of the space needs its own sub-codebook — the IVFADC refinement
+    // signal from Jégou et al. 2011). Joins the two shared index
+    // artifacts (the materialized pqIndex's per-vector recon error and
+    // the 8-centroid cosine assignment) — NO new corpus passes; the
+    // rollup is cell-bounded. recon_d2 is already 4-dp, so the e4
+    // quantization is exact and the per-cell mean is an integer sum
+    // with one final divide.
+    "sim_pq_distortion" -> ((s, d) => {
+      import s.implicits._
+      withCosine(s)
+      val emb = t(s, d, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val cents = emb.filter($"vec_id" < 8)
+        .select($"vec_id".as("cent_id"), $"v".as("c"))
+        .agg(expr("array_sort(collect_list(named_struct(" +
+          "'cent_id', cent_id, 'c', c)))").as("cents"))
+      val assign = emb.crossJoin(broadcast(cents))
+        .select($"vec_id", expr(
+          """array_min(transform(cents, ct -> named_struct(
+            |  'nsim', -round(cosine_similarity(v, ct.c), 4),
+            |  'cent_id', ct.cent_id)))""".stripMargin)
+          .getField("cent_id").as("cell"))
+      pqIndex(s, d)
+        .select($"vec_id", expr(
+          "cast(round(round(am[0].d2 + am[1].d2 + am[2].d2 + am[3].d2," +
+            " 4) * 1e4) as bigint)").as("r_e4"))
+        .join(assign, "vec_id")
+        .groupBy($"cell")
+        .agg(count(lit(1)).as("n_vecs"),
+          round(sum($"r_e4").cast("double") / (count(lit(1)) * 1e4), 4)
+            .as("mean_distortion"),
+          round(max($"r_e4").cast("double") / 1e4, 4).as("max_distortion"))
+        .orderBy($"cell")
+    }),
+
     // PQ asymmetric-distance search (ADC) — the other half of the PQ
     // story after sim_pq_codes: db vectors are represented ONLY by
     // their 4 subspace codes, the query stays exact, and each row's
@@ -2140,6 +2178,56 @@ object Similarity {
         |SELECT vec_id, code0, code1, code2, code3,
         |  ROUND(e0 + e1 + e2 + e3, 4) AS recon_d2
         |FROM p ORDER BY vec_id""".stripMargin,
+
+    "sim_pq_distortion" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sub AS (
+        |  SELECT vec_id, m, v[1 + 16 * m : 16 + 16 * m] AS sv
+        |  FROM e, generate_series(0, 3) t(m)),
+        |cb AS (SELECT vec_id AS cent_id, m, sv AS cs FROM sub WHERE vec_id < 8),
+        |dd AS (
+        |  SELECT s.vec_id, s.m, c.cent_id,
+        |    list_sum(list_transform(list_zip(s.sv, c.cs),
+        |      x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d2
+        |  FROM sub s JOIN cb c ON s.m = c.m),
+        |a AS (
+        |  SELECT vec_id, m, d2 FROM (
+        |    SELECT vec_id, m, cent_id, d2,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id, m
+        |                         ORDER BY d2, cent_id) AS rn
+        |    FROM dd) WHERE rn = 1),
+        |p AS (
+        |  SELECT vec_id,
+        |    MAX(CASE WHEN m = 0 THEN d2 END) AS e0,
+        |    MAX(CASE WHEN m = 1 THEN d2 END) AS e1,
+        |    MAX(CASE WHEN m = 2 THEN d2 END) AS e2,
+        |    MAX(CASE WHEN m = 3 THEN d2 END) AS e3
+        |  FROM a GROUP BY vec_id),
+        |ac AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
+        |       FROM embeddings WHERE vec_id < 8),
+        |asim AS (
+        |  SELECT e.vec_id, ac.cent_id,
+        |    ROUND(list_sum(list_transform(list_zip(v, cv),
+        |            x -> x[1] * x[2])) /
+        |      (sqrt(list_sum(list_transform(v, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(cv, x -> x * x)))), 4) AS sim
+        |  FROM e, ac),
+        |arn AS (
+        |  SELECT vec_id, cent_id AS cell FROM (
+        |    SELECT vec_id, cent_id,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                         ORDER BY sim DESC, cent_id) AS rn
+        |    FROM asim) WHERE rn = 1),
+        |q AS (
+        |  SELECT arn.cell,
+        |    CAST(ROUND(ROUND(e0 + e1 + e2 + e3, 4) * 1e4) AS BIGINT)
+        |      AS r_e4
+        |  FROM p JOIN arn ON arn.vec_id = p.vec_id)
+        |SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  ROUND(CAST(SUM(r_e4) AS DOUBLE) / (COUNT(*) * 1e4), 4)
+        |    AS mean_distortion,
+        |  ROUND(CAST(MAX(r_e4) AS DOUBLE) / 1e4, 4) AS max_distortion
+        |FROM q GROUP BY cell ORDER BY cell""".stripMargin,
 
     "sim_recall_eval" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

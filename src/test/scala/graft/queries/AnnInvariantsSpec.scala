@@ -322,6 +322,33 @@ class AnnInvariantsSpec extends SparkSpec {
     assert(got.forall { case (dec, n, k) => dec >= 0 && dec <= 9 && k <= n })
   }
 
+  test("sim_pq_distortion: rollup replays from pq_codes x ivf_assign") {
+    import spark.implicits._
+    val recon = SparkEntry.queries("sim_pq_codes")(spark, sf())
+      .collect().map(r => r.getLong(0) ->
+        math.round(r.getDouble(5) * 1e4)).toMap
+    val cells = SparkEntry.queries("sim_ivf_assign")(spark, sf())
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = recon.toSeq.groupBy { case (id, _) => cells(id) }
+      .map { case (cell, g) =>
+        val n = g.length.toLong
+        cell -> (n, g.map(_._2).sum.toDouble / (n * 1e4),
+          g.map(_._2).max.toDouble / 1e4)
+      }
+    val got = SparkEntry.queries("sim_pq_distortion")(spark, sf())
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got.keySet == expected.keySet, "cell sets diverge")
+    assert(got.values.map(_._1).sum == recon.size.toLong,
+      "cells must partition the indexed vectors")
+    expected.foreach { case (cell, (n, mean, mx)) =>
+      val (gn, gm, gx) = got(cell)
+      assert(gn == n, s"cell $cell count")
+      assert(math.abs(gm - mean) <= 5e-5 + 1e-9, s"cell $cell mean")
+      assert(math.abs(gx - mx) <= 5e-5 + 1e-9, s"cell $cell max")
+    }
+  }
+
   test("sim_silhouette: replays from a driver-side centroid pass") {
     import spark.implicits._
     val got = SparkEntry.queries("sim_silhouette")(spark, sf())
