@@ -22,6 +22,37 @@ object EventsLog {
   private def propsK(c: org.apache.spark.sql.Column) =
     get_json_object(c, "$.k").cast("long")
 
+  /** Dense per-(event_type, hour) grid with hour-of-week keys — the
+    * shared build behind log_anomaly_seasonal's baseline stats and
+    * EventStream.seasonalBaseline (one definition so the batch query
+    * and the streaming monitor's model can never drift): absent hours
+    * count as zero rows, which the seasonal mean/variance REQUIRE.
+    * @param ev raw events (batch) with `event_type` and `ts`.
+    * @return (event_type, h, n, dow, hod). */
+  private[graft] def denseHourGrid(ev0: DataFrame): DataFrame = {
+    import ev0.sparkSession.implicits._
+    val ev = ev0.select($"event_type", date_trunc("hour", $"ts").as("h"))
+    val counts = ev.groupBy($"event_type", $"h").agg(count(lit(1)).as("n"))
+    val bounds = ev.agg(min($"h").as("h0"), max($"h").as("h1"))
+    val grid = ev.select($"event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select($"event_type",
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+    grid.join(counts, Seq("event_type", "h"), "left_outer")
+      .select($"event_type", $"h", coalesce($"n", lit(0L)).as("n"))
+      .withColumn("dow", (weekday($"h") + 1).cast("long"))
+      .withColumn("hod", hour($"h").cast("long"))
+  }
+
+  /** Per-(event_type, dow, hod) exact integer count/Σx/Σx² over the
+    * dense grid — the hour-of-week baseline model. */
+  private[graft] def seasonalStats(ev: DataFrame): DataFrame = {
+    import ev.sparkSession.implicits._
+    denseHourGrid(ev).groupBy($"event_type", $"dow", $"hod")
+      .agg(count(lit(1)).as("c"), sum($"n").as("sx"),
+        sum($"n" * $"n").as("sxx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // L7: group-count + decimal value sum per event_type.
     "log_counts_by_type" -> ((s, d) => {
@@ -647,25 +678,13 @@ object EventsLog {
     // 1.5σ test (the sensitive paging threshold — cells hold only a
     // handful of weekly samples, and on this grid 2σ never fires) is
     // the fully cross-multiplied integer form
-    // 4·(n·c − Σx)² > 9·(c·Σx² − Σx²) evaluated in DECIMAL(38,0)/HUGEINT
+    // 4·(n·c − Σx)² > 9·(c·Σx² − (Σx)²) evaluated in DECIMAL(38,0)/HUGEINT
     // so both engines compare exact wide integers — zero float ops in
     // the verdict (the log_seasonality_profile + log_user_gini
     // discipline combined). cell_mean is the one reported float.
     "log_anomaly_seasonal" -> ((s, d) => {
       import s.implicits._
-      val ev = t(s, d, "events")
-        .select($"event_type", date_trunc("hour", $"ts").as("h"))
-      val counts = ev.groupBy($"event_type", $"h")
-        .agg(count(lit(1)).as("n"))
-      val bounds = ev.agg(min($"h").as("h0"), max($"h").as("h1"))
-      val grid = ev.select($"event_type").distinct()
-        .crossJoin(broadcast(bounds))
-        .select($"event_type",
-          explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
-      val dense = grid.join(counts, Seq("event_type", "h"), "left_outer")
-        .select($"event_type", $"h", coalesce($"n", lit(0L)).as("n"))
-        .withColumn("dow", (weekday($"h") + 1).cast("long"))
-        .withColumn("hod", hour($"h").cast("long"))
+      val dense = denseHourGrid(t(s, d, "events"))
       val stats = dense.groupBy($"event_type", $"dow", $"hod")
         .agg(count(lit(1)).as("c"), sum($"n").as("sx"),
           sum($"n" * $"n").as("sxx"))

@@ -62,11 +62,19 @@ object PipelineOps {
         "case when s4 > 0 then cast((cast(rem as decimal(38,0))" +
           " * 10000000000) div cast(s4 as decimal(38,0)) as bigint)" +
           " else null end"))
+      // Boundary checks use the EXACT rational comparison m_k·w ≥ 4 ⇔
+      // rem·w_e4 ≥ 4·S4 (pure integers, no flooring) — selecting on
+      // the floored m_e6 can reject EVERY candidate when the true
+      // multiplier lands within 1e-6 of a cap point, which would
+      // silently diverge the engines (review finding r8: Spark's
+      // null-skipping least() would cap everything while the SQL twin
+      // returned zero rows). The floored m_e6 is only ever an epoch
+      // VALUE, never a selector.
       .filter($"rem" >= 0L)
       .filter($"w_k".isNull || ($"s4" === 0L) ||
-        ($"m_e6" * $"w_k" >= 40000000000L))
+        ($"rem" * $"w_k" >= lit(4L) * $"s4"))
       .filter(($"s4" === 0L) || $"w_next".isNull ||
-        ($"m_e6" * $"w_next" < 40000000000L))
+        ($"rem" * $"w_next" < lit(4L) * $"s4"))
       .agg(min(struct($"k", $"m_e6")).as("ch"))
       .select($"ch.k".as("k"), $"ch.m_e6".as("m_e6"))
     ranked.crossJoin(broadcast(chosen))
@@ -1423,8 +1431,8 @@ object PipelineOps {
         |ch AS (
         |  SELECT k, m_e6 FROM c2
         |  WHERE rem >= 0
-        |    AND (w_k IS NULL OR s4 = 0 OR m_e6 * w_k >= 40000000000)
-        |    AND (s4 = 0 OR w_next IS NULL OR m_e6 * w_next < 40000000000)
+        |    AND (w_k IS NULL OR s4 = 0 OR rem * w_k >= 4 * s4)
+        |    AND (s4 = 0 OR w_next IS NULL OR rem * w_next < 4 * s4)
         |  ORDER BY k LIMIT 1),
         |plan AS (
         |  SELECT rk.source, rk.tok, rk.w_e4,

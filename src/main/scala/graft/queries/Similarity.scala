@@ -1026,11 +1026,7 @@ object Similarity {
       import s.implicits._
       val emb = t(s, d, "embeddings")
         .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-      val cents = emb.filter($"vec_id" < 8)
-        .select($"vec_id".as("cent_id"), $"v".as("c"))
-        .agg(expr("array_sort(collect_list(named_struct(" +
-          "'cent_id', cent_id, 'c', c)))").as("cents"))
-      emb.crossJoin(broadcast(cents))
+      emb.crossJoin(broadcast(codebook8(s, d)))
         .select($"vec_id", expr(
           """array_sort(transform(cents, ct -> named_struct(
             |  'd2', aggregate(zip_with(v, ct.c, (x, y) -> (x - y) * (x - y)),
@@ -1120,32 +1116,23 @@ object Similarity {
     // WHERE the codebook is failing (a healthy IVF-PQ index has evenly
     // distributed reconstruction error; one bad cell means its region
     // of the space needs its own sub-codebook — the IVFADC refinement
-    // signal from Jégou et al. 2011). Joins the two shared index
-    // artifacts (the materialized pqIndex's per-vector recon error and
-    // the 8-centroid cosine assignment) — NO new corpus passes; the
+    // signal from Jégou et al. 2011). ONE scan of the materialized
+    // pqIndex, whose rows already carry both the coarse cell and the
+    // per-vector recon error — no corpus pass, no join; the
     // rollup is cell-bounded. recon_d2 is already 4-dp, so the e4
     // quantization is exact and the per-cell mean is an integer sum
     // with one final divide.
     "sim_pq_distortion" -> ((s, d) => {
       import s.implicits._
-      withCosine(s)
-      val emb = t(s, d, "embeddings")
-        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-      val cents = emb.filter($"vec_id" < 8)
-        .select($"vec_id".as("cent_id"), $"v".as("c"))
-        .agg(expr("array_sort(collect_list(named_struct(" +
-          "'cent_id', cent_id, 'c', c)))").as("cents"))
-      val assign = emb.crossJoin(broadcast(cents))
-        .select($"vec_id", expr(
-          """array_min(transform(cents, ct -> named_struct(
-            |  'nsim', -round(cosine_similarity(v, ct.c), 4),
-            |  'cent_id', ct.cent_id)))""".stripMargin)
-          .getField("cent_id").as("cell"))
+      // the materialized pqIndex row already carries BOTH halves —
+      // the coarse cell assignment and the per-vector recon error —
+      // so this is one scan of the shared artifact, no corpus pass
+      // and no join (review finding r8: the first cut rebuilt the
+      // assignment from embeddings despite reading the same column)
       pqIndex(s, d)
-        .select($"vec_id", expr(
+        .select($"cell", expr(
           "cast(round(round(am[0].d2 + am[1].d2 + am[2].d2 + am[3].d2," +
             " 4) * 1e4) as bigint)").as("r_e4"))
-        .join(assign, "vec_id")
         .groupBy($"cell")
         .agg(count(lit(1)).as("n_vecs"),
           round(sum($"r_e4").cast("double") / (count(lit(1)) * 1e4), 4)
@@ -1377,9 +1364,6 @@ object Similarity {
        |       sqrt(list_sum(list_transform($b, x -> x * x))))
        |  END, -2.0), 4)""".stripMargin
 
-  /** DuckDB twin of ivfCells + cellPairs: adaptive-k two-level codebook
-    * (k2 super-cells → grouped centroids), nearest-centroid-in-group
-    * cell assignment, within-cell pairs `p(cell, va, vb, sim)`. */
   /** Oracle twin of [[knnPredictions]]: the 3-NN vote chain ending in
     * `pred(vec_id, true_label, pred_label, n_votes, n_neighbors,
     * correct)`. Shared by sim_knn_classify and sim_confusion_matrix. */
@@ -1406,6 +1390,9 @@ object Similarity {
       |    n_neighbors, (w.lab = CAST(l.label AS BIGINT)) AS correct
       |  FROM win JOIN embeddings l ON l.vec_id = src)""".stripMargin
 
+  /** DuckDB twin of ivfCells + cellPairs: adaptive-k two-level codebook
+    * (k2 super-cells → grouped centroids), nearest-centroid-in-group
+    * cell assignment, within-cell pairs `p(cell, va, vb, sim)`. */
   private val cellPairsCte: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |kf AS (SELECT GREATEST(8, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS kk,

@@ -156,8 +156,6 @@ object TextAnalysis {
         .orderBy($"lang", $"pred_lang")
     }),
 
-    // Token counting two ways: whitespace words vs BPE-ish regex pieces
-    // (letter runs / digit runs / single other non-space chars).
     // Tokenizer-fertility profile — the per-language tokenizer-efficiency
     // table every multilingual pretraining run publishes (fertility =
     // subword pieces per whitespace word; languages a tokenizer handles
@@ -185,6 +183,8 @@ object TextAnalysis {
         .orderBy($"lang")
     }),
 
+    // Token counting two ways: whitespace words vs BPE-ish regex pieces
+    // (letter runs / digit runs / single other non-space chars).
     "text_token_counts" -> ((s, d) => {
       import s.implicits._
       t(s, d, "documents")

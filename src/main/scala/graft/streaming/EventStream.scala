@@ -22,22 +22,10 @@ object EventStream {
     * batch; the result is bounded by types × 168 rows, so it broadcasts
     * into the live stream (the cellDrift batch-model→stream-serving
     * pattern applied to the events family). */
-  def seasonalBaseline(events: DataFrame): DataFrame = {
-    import events.sparkSession.implicits._
-    val ev = events.select($"event_type", date_trunc("hour", $"ts").as("h"))
-    val counts = ev.groupBy($"event_type", $"h").agg(count(lit(1)).as("n"))
-    val bounds = ev.agg(min($"h").as("h0"), max($"h").as("h1"))
-    val grid = ev.select($"event_type").distinct()
-      .crossJoin(broadcast(bounds))
-      .select($"event_type",
-        explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
-    grid.join(counts, Seq("event_type", "h"), "left_outer")
-      .select($"event_type", $"h", coalesce($"n", lit(0L)).as("n"))
-      .groupBy($"event_type", (weekday($"h") + 1).cast("long").as("dow"),
-        hour($"h").cast("long").as("hod"))
-      .agg(count(lit(1)).as("c"), sum($"n").as("sx"),
-        sum($"n" * $"n").as("sxx"))
-  }
+  def seasonalBaseline(events: DataFrame): DataFrame =
+    // ONE definition of the dense grid + stats, shared with the
+    // declared log_anomaly_seasonal — the twins cannot drift
+    graft.queries.EventsLog.seasonalStats(events)
 
   /** Online seasonal anomaly flags: hourly windowed counts per type,
     * flagged against the broadcast hour-of-week baseline with the SAME

@@ -98,7 +98,6 @@ class PlanHygieneSpec extends SparkSpec {
     "doc_epoch_expand",      // same water-fill scalars feeding the manifest
     "dedup_df_profile",      // 1-row total-occurrence-mass agg
     "log_anomaly_seasonal",  // 1-row (min,max) hour bounds (gapfill grid)
-    "sim_pq_distortion",     // 1-row 8-centroid codebook (assign fold)
     "sim_pair_recall_bounds",// DELIBERATE sampled all-pairs truth join (the
                              // recall diagnostic's ground truth exists only
                              // over the vec_id%2 half-sample, never in a
