@@ -565,6 +565,29 @@ object Dedup {
         .orderBy($"doc_a", $"doc_b")
     }),
 
+    // Cross-source near-dup matrix — syndication detection: which
+    // source pairs share near-duplicate documents (mirrors, scrapes,
+    // wire copy). At 100 TB this is the table that decides per-source
+    // dedup ORDER (dedup the syndicated pair together, keep the
+    // higher-quality source's copy). Rides the shared LSH pair table;
+    // one broadcast doc→source map join; output bounded by the source
+    // alphabet². Within-source pairs are reported too (src_a == src_b)
+    // so the matrix partitions the full candidate set.
+    "dedup_cross_source" -> ((s, d) => {
+      import s.implicits._
+      val srcMap = t(s, d, "documents").select($"doc_id", $"source")
+      lshPairsShared(s, d).select($"doc_a", $"doc_b")
+        .join(broadcast(srcMap.toDF("doc_a", "sa")), "doc_a")
+        .join(broadcast(srcMap.toDF("doc_b", "sb")), "doc_b")
+        .select(least($"sa", $"sb").as("src_a"),
+          greatest($"sa", $"sb").as("src_b"))
+        .groupBy($"src_a", $"src_b")
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("cross_source",
+          when($"src_a" =!= $"src_b", 1L).otherwise(0L))
+        .orderBy($"src_a", $"src_b")
+    }),
+
     // Shingle document-frequency spectrum — the governance evidence
     // behind every stop-fingerprint cap in this repo (winnow's
     // df≤50 stop-fingerprint cut, mm_neardup's df≤50 stop-frame cap):
@@ -836,6 +859,30 @@ object Dedup {
          |JOIN j ON j.doc_a = e.doc_a AND j.doc_b = e.doc_b
          |ORDER BY doc_a, doc_b""".stripMargin
     },
+
+    "dedup_cross_source" ->
+      s"""$sigSql,
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_i, h1 || h2 AS band_key FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 1, h3 || h4 FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 2, h5 || h6 FROM sig),
+         |p AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a
+         |  JOIN bands b ON a.band_key = b.band_key AND a.band_i = b.band_i
+         |               AND a.doc_id < b.doc_id),
+         |m AS (
+         |  SELECT least(da.source, db.source) AS src_a,
+         |    greatest(da.source, db.source) AS src_b
+         |  FROM p
+         |  JOIN documents da ON da.doc_id = p.doc_a
+         |  JOIN documents db ON db.doc_id = p.doc_b)
+         |SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(CASE WHEN src_a <> src_b THEN 1 ELSE 0 END AS BIGINT)
+         |    AS cross_source
+         |FROM m GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin,
 
     "dedup_df_profile" ->
       s"""WITH ${shinglesSql(5, "sh")},

@@ -1050,6 +1050,44 @@ object Similarity {
         .orderBy($"cluster")
     }),
 
+    // K-means convergence QC — how far each centroid moved in the
+    // first Lloyd update (seed → mean-of-assigned): the per-cluster
+    // convergence signal that tells an iterative clustering job when
+    // to stop paying for more passes (large shift = keep iterating,
+    // near-zero = converged or an empty/degenerate cluster). Same
+    // broadcast-codebook assign fold and 6-dp mean-update as
+    // sim_kmeans; the shift join touches 8-row frames only. Float
+    // discipline: c1 components are round(avg, 6) (the proven kmeans
+    // cross-engine form), the shift folds (c1−c0)² in index order and
+    // sqrt is IEEE-exact, so round(·, 4) agrees.
+    "sim_centroid_shift" -> ((s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val am = expr(
+        """array_min(transform(cents, ct -> named_struct(
+          |  'd2', aggregate(zip_with(v, ct.c, (x, y) -> (x - y) * (x - y)),
+          |                  0D, (acc, e) -> acc + e),
+          |  'cent_id', ct.cent_id)))""".stripMargin)
+      val assigned = emb.crossJoin(broadcast(codebook8(s, d)))
+        .select($"vec_id", $"v", am.getField("cent_id").as("cl"))
+      val nAssigned = assigned.groupBy($"cl").agg(count(lit(1)).as("n_assigned"))
+      val c1 = assigned.select($"cl", posexplode($"v"))
+        .toDF("cl", "i", "a")
+        .groupBy($"cl", $"i").agg(round(avg($"a"), 6).as("m"))
+        .groupBy($"cl")
+        .agg(expr("transform(array_sort(collect_list(struct(i, m)))," +
+          " x -> x.m)").as("c1"))
+      val c0 = emb.filter($"vec_id" < 8)
+        .select($"vec_id".as("cl"), $"v".as("c0"))
+      c1.join(c0, "cl").join(nAssigned, "cl")
+        .select($"cl".as("cent_id"), $"n_assigned",
+          round(sqrt(expr(
+            "aggregate(zip_with(c1, c0, (x, y) -> (x - y) * (x - y))," +
+              " 0D, (acc, e) -> acc + e)")), 4).as("shift"))
+        .orderBy($"cent_id")
+    }),
+
     // K-means (Lloyd) over embeddings: k = 8 centroids seeded from
     // vec_id < 8, two full iterations (assign → mean-update → assign).
     // The 100 TB shape of each iteration: the codebook is ONE broadcast
@@ -1960,6 +1998,34 @@ object Similarity {
         |  ROUND(CAST(SUM(a_e6) AS DOUBLE) / (COUNT(*) * 1e6), 4) AS mean_a,
         |  ROUND(CAST(SUM(b_e6) AS DOUBLE) / (COUNT(*) * 1e6), 4) AS mean_b
         |FROM q GROUP BY cluster ORDER BY cluster""".stripMargin,
+
+    "sim_centroid_shift" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c0 AS (SELECT vec_id AS cent_id, v AS c FROM e WHERE vec_id < 8),
+        |d1 AS (
+        |  SELECT e.vec_id, c0.cent_id,
+        |    list_sum(list_transform(list_zip(e.v, c0.c),
+        |      x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d2
+        |  FROM e, c0),
+        |a1 AS (
+        |  SELECT vec_id, cent_id AS cl FROM (
+        |    SELECT vec_id, cent_id,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+        |    FROM d1) WHERE rn = 1),
+        |x1 AS (
+        |  SELECT a1.cl, i, v[i] AS a
+        |  FROM (SELECT a1.cl, e.v FROM a1 JOIN e ON a1.vec_id = e.vec_id) a1,
+        |       unnest(generate_series(1, len(v))) AS u(i)),
+        |m1 AS (SELECT cl, i, ROUND(AVG(a), 6) AS m FROM x1 GROUP BY cl, i),
+        |c1 AS (SELECT cl AS cent_id, list(m ORDER BY i) AS c FROM m1
+        |       GROUP BY cl),
+        |na AS (SELECT cl AS cent_id, CAST(COUNT(*) AS BIGINT) AS n_assigned
+        |       FROM a1 GROUP BY cl)
+        |SELECT c1.cent_id, na.n_assigned,
+        |  ROUND(sqrt(list_sum(list_transform(list_zip(c1.c, c0.c),
+        |    x -> (x[1] - x[2]) * (x[1] - x[2])))), 4) AS shift
+        |FROM c1 JOIN c0 USING (cent_id) JOIN na USING (cent_id)
+        |ORDER BY c1.cent_id""".stripMargin,
 
     "sim_kmeans" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

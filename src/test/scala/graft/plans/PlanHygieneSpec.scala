@@ -98,6 +98,7 @@ class PlanHygieneSpec extends SparkSpec {
     "doc_epoch_expand",      // same water-fill scalars feeding the manifest
     "dedup_df_profile",      // 1-row total-occurrence-mass agg
     "log_anomaly_seasonal",  // 1-row (min,max) hour bounds (gapfill grid)
+    "sim_centroid_shift",    // 1-row seed-codebook array (kmeans shape)
     "sim_pair_recall_bounds",// DELIBERATE sampled all-pairs truth join (the
                              // recall diagnostic's ground truth exists only
                              // over the vec_id%2 half-sample, never in a

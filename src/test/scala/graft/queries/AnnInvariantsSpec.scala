@@ -322,6 +322,41 @@ class AnnInvariantsSpec extends SparkSpec {
     assert(got.forall { case (dec, n, k) => dec >= 0 && dec <= 9 && k <= n })
   }
 
+  test("sim_centroid_shift: replays from a driver-side Lloyd update") {
+    import spark.implicits._
+    val vecs = t(spark, sf(), "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val cents = vecs.filter(_._1 < 8).sortBy(_._1)
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.indices.foldLeft(0d)((acc, i) => acc + (a(i) - b(i)) * (a(i) - b(i)))
+    val assigned = vecs.map { case (id, v) =>
+      (cents.map { case (cid, c) => (d2(v, c), cid) }.min._2, v)
+    }
+    val expected = assigned.groupBy(_._1).map { case (cl, g) =>
+      val n = g.length
+      val mean = cents.head._2.indices.map { i =>
+        // round(avg, 6) half-up, the engines' shared form
+        BigDecimal(g.map(_._2(i)).sum / n)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toArray
+      val c0 = cents.find(_._1 == cl).get._2
+      cl -> (n.toLong, math.sqrt(d2(mean, c0)))
+    }
+    val got = SparkEntry.queries("sim_centroid_shift")(spark, sf())
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(got.keySet == expected.keySet, "cluster sets diverge")
+    assert(got.values.map(_._1).sum == vecs.length.toLong,
+      "assignments must partition the corpus")
+    expected.foreach { case (cl, (n, shift)) =>
+      assert(got(cl)._1 == n, s"cluster $cl count")
+      assert(math.abs(got(cl)._2 - shift) <= 5e-5 + 1e-9,
+        s"cluster $cl shift ${got(cl)._2} vs $shift")
+      assert(got(cl)._2 >= 0d)
+    }
+  }
+
   test("sim_pq_distortion: rollup replays from pq_codes x ivf_assign") {
     import spark.implicits._
     val recon = SparkEntry.queries("sim_pq_codes")(spark, sf())

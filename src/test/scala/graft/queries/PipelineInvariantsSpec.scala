@@ -1380,6 +1380,30 @@ class PipelineInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("dedup_cross_source: matrix partitions the LSH pair set") {
+    import spark.implicits._
+    val pairs = SparkEntry.queries("dedup_lsh_pairs")(spark, sf())
+      .select($"doc_a", $"doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val srcOf = t(spark, sf(), "documents")
+      .select($"doc_id", $"source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = pairs.map { case (a, b) =>
+      val (sa, sb) = (srcOf(a), srcOf(b))
+      (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+    }.groupBy(identity).map { case (k, g) => k -> g.length.toLong }
+    val got = SparkEntry.queries("dedup_cross_source")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet == expected.keySet, "source-pair cells diverge")
+    got.foreach { case ((sa, sb), (n, cross)) =>
+      assert(n == expected((sa, sb)), s"($sa,$sb) count")
+      assert(sa <= sb && (cross == 1L) == (sa != sb))
+    }
+    assert(got.values.map(_._1).sum == pairs.length.toLong,
+      "matrix must partition the pair set")
+  }
+
   test("dedup_df_profile: buckets partition the shingle index") {
     import spark.implicits._
     val got = SparkEntry.queries("dedup_df_profile")(spark, sf())
