@@ -1057,6 +1057,123 @@ object EventsLog {
         .agg(count(lit(1)).as("n_view"),
           count($"t_click").as("n_click_after_view"),
           count($"t_purchase").as("n_purchase_after_click"))
+    }),
+
+    // Population-stability-index drift monitor — the between-refresh
+    // check a training pipeline runs on every feature feed: per
+    // event_type, the PSI of the `value` distribution between the
+    // earlier and later half of the observation window over a fixed
+    // 10-bin grid (Laplace-smoothed so empty bins — the very signal
+    // PSI exists to catch — stay finite). Scale shape: ONE scan folds
+    // to (type, period, bin) partial counts (map-side combine); the
+    // grid densify, smoothing, and the ln() terms all run on the
+    // types×10×2 frame. Float discipline: the bin id is one fixed
+    // IEEE expression both engines evaluate identically; each PSI
+    // term is quantized to an e10 BIGINT before the cross-engine sum
+    // (doubles never sum across rows); the 0.1 drift verdict is an
+    // integer compare on the e10 sum.
+    "log_psi_drift" -> ((s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+        .select($"event_type", unix_micros($"ts").as("us"), $"value")
+      val bounds = ev.agg(min($"us").as("us0"), max($"us").as("us1"),
+        min($"value").as("v0"), max($"value").as("v1"))
+      // LINEAR plan: one binning pass folds straight to (type, bin)
+      // half-counts; bin densify + the e10 term fold are in-row HOFs
+      // over the per-type 10-entry map — no grid joins, no re-scans
+      // (a CTE-shaped build re-derives each shared frame per use).
+      val p1 = "(cast(coalesce(m[b].c1, 0L) + 1 as double)" +
+        " / (n_early + 10))"
+      val p2 = "(cast(coalesce(m[b].c2, 0L) + 1 as double)" +
+        " / (n_late + 10))"
+      ev.crossJoin(broadcast(bounds))
+        .select($"event_type",
+          when($"us" * 2 < $"us0" + $"us1", 0L).otherwise(1L)
+            .as("period"),
+          when($"v1" === $"v0", 0L).otherwise(least(lit(9L),
+            floor((($"value" - $"v0") * 10.0) / ($"v1" - $"v0"))))
+            .as("bin"))
+        .groupBy($"event_type", $"bin")
+        .agg(sum(when($"period" === 0L, 1L).otherwise(0L)).as("c1"),
+          sum(when($"period" === 1L, 1L).otherwise(0L)).as("c2"))
+        .groupBy($"event_type")
+        .agg(sum($"c1").as("n_early"), sum($"c2").as("n_late"),
+          map_from_entries(collect_list(
+            struct($"bin", struct($"c1", $"c2")))).as("m"))
+        .select($"event_type", $"n_early", $"n_late",
+          expr(s"""aggregate(sequence(0L, 9L), 0L, (acc, b) ->
+            acc + cast(round((($p2 - $p1) * ln($p2 / $p1)) * 1e10)
+                       as bigint))""").as("psi_e10"))
+        .select($"event_type", $"n_early", $"n_late",
+          round($"psi_e10".cast("double") / 1e10, 4).as("psi"),
+          ($"psi_e10" > 1000000000L).as("drifted"))
+        .orderBy($"event_type")
+    }),
+
+    // CUSUM changepoint detector — where did each event stream's rate
+    // actually shift? Over the dense hourly grid (absent hours are
+    // zeros, the log_gapfill discipline), the cumulative-sum statistic
+    // S_k = nh·cum_k − k·tot is EXACT integers end to end (the
+    // mean-centered cusum scaled by nh — scaling by the constant hour
+    // count clears every division), so the argmax|S| changepoint needs
+    // zero float compares; pre/post means are the only reported
+    // floats. Scale shape: one (type, hour) agg, then three window
+    // passes all riding the single event_type Exchange — per-type
+    // state is the hour count, never the event count.
+    "log_cusum_changepoint" -> ((s, d) => {
+      import s.implicits._
+      val wRun = Window.partitionBy($"event_type").orderBy($"h")
+      val wAll = Window.partitionBy($"event_type")
+      val wRank = Window.partitionBy($"event_type")
+        .orderBy(abs($"s_k").desc, $"h".asc)
+      denseHourGrid(t(s, d, "events"))
+        .withColumn("k", row_number().over(wRun).cast("long"))
+        .withColumn("cum", sum($"n").over(wRun))
+        .withColumn("nh", count(lit(1)).over(wAll))
+        .withColumn("tot", sum($"n").over(wAll))
+        .withColumn("s_k", $"nh" * $"cum" - $"k" * $"tot")
+        .withColumn("rk", row_number().over(wRank))
+        .filter($"rk" === 1)
+        .select($"event_type", unix_micros($"h").as("cp_hour_us"),
+          $"k".as("hours_before"), abs($"s_k").as("s_abs"),
+          round($"cum".cast("double") / $"k", 4).as("pre_mean"),
+          when($"nh" > $"k", round(($"tot" - $"cum").cast("double")
+            / ($"nh" - $"k"), 4)).as("post_mean"),
+          when($"nh" > $"k", round(($"tot" - $"cum").cast("double")
+            / ($"nh" - $"k") - $"cum".cast("double") / $"k", 4))
+            .as("shift"))
+        .orderBy($"event_type")
+    }),
+
+    // Audience-overlap matrix — which event types are fired by the
+    // same users (the co-audience table behind funnel design and
+    // feature bundling): exact Jaccard and containment of user sets
+    // per type pair. Scale shape: ONE user-keyed shuffle builds the
+    // distinct (type, user) pairs; the self-join probes on user_id and
+    // reuses that partitioning (co-partitioned equi-join — never a
+    // pairwise type scan), per-user fanout is bounded by the type
+    // alphabet², and the size table joins back as a broadcast. Only
+    // observed overlaps are emitted (zero-overlap pairs would need a
+    // quadratic type grid for no decision value).
+    "log_audience_overlap" -> ((s, d) => {
+      import s.implicits._
+      val ud = t(s, d, "events")
+        .select($"event_type", $"user_id").distinct()
+      val sizes = ud.groupBy($"event_type").agg(count(lit(1)).as("nu"))
+      ud.as("a").join(ud.as("b"),
+          $"a.user_id" === $"b.user_id"
+            && $"a.event_type" < $"b.event_type")
+        .groupBy($"a.event_type".as("type_a"),
+          $"b.event_type".as("type_b"))
+        .agg(count(lit(1)).as("common_users"))
+        .join(broadcast(sizes.toDF("type_a", "na")), "type_a")
+        .join(broadcast(sizes.toDF("type_b", "nb")), "type_b")
+        .select($"type_a", $"type_b", $"na", $"nb", $"common_users",
+          round($"common_users".cast("double")
+            / ($"na" + $"nb" - $"common_users"), 4).as("jaccard"),
+          round($"common_users".cast("double")
+            / least($"na", $"nb"), 4).as("containment"))
+        .orderBy($"type_a", $"type_b")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -1694,5 +1811,109 @@ object EventsLog {
         |  epoch_us(MAX(ts)) + 1800000000 AS s_end,
         |  COUNT(*) AS n_events
         |FROM isl GROUP BY user_id, island
-        |ORDER BY user_id, s_start""".stripMargin)
+        |ORDER BY user_id, s_start""".stripMargin,
+
+    "log_psi_drift" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_us(ts) AS us, value FROM events),
+        |b AS (SELECT MIN(us) AS us0, MAX(us) AS us1,
+        |             MIN(value) AS v0, MAX(value) AS v1 FROM ev),
+        |binned AS (
+        |  SELECT event_type,
+        |    CASE WHEN us * 2 < us0 + us1 THEN 0 ELSE 1 END AS period,
+        |    CASE WHEN v1 = v0 THEN 0 ELSE LEAST(9, CAST(FLOOR(
+        |      ((value - v0) * 10.0) / (v1 - v0)) AS BIGINT)) END AS bin
+        |  FROM ev, b),
+        |cnt AS (SELECT event_type, period, bin, COUNT(*) AS c
+        |        FROM binned GROUP BY 1, 2, 3),
+        |grid AS (
+        |  SELECT event_type, CAST(gb.bin AS BIGINT) AS bin,
+        |         CAST(gp.period AS BIGINT) AS period
+        |  FROM (SELECT DISTINCT event_type FROM ev),
+        |    unnest(generate_series(0, 9)) AS gb(bin),
+        |    unnest([0, 1]) AS gp(period)),
+        |dense AS (
+        |  SELECT g.event_type, g.period, g.bin, COALESCE(c.c, 0) AS c
+        |  FROM grid g LEFT JOIN cnt c
+        |    ON c.event_type = g.event_type AND c.period = g.period
+        |    AND c.bin = g.bin),
+        |n AS (SELECT event_type, period, CAST(SUM(c) AS BIGINT) AS n
+        |      FROM dense GROUP BY 1, 2),
+        |probs AS (
+        |  SELECT d.event_type, d.bin, d.period,
+        |    CAST(d.c + 1 AS DOUBLE) / (n.n + 10) AS p, n.n
+        |  FROM dense d JOIN n
+        |    ON n.event_type = d.event_type AND n.period = d.period),
+        |terms AS (
+        |  SELECT e.event_type, e.n AS n_early, l.n AS n_late,
+        |    CAST(ROUND(((l.p - e.p) * ln(l.p / e.p)) * 1e10) AS BIGINT)
+        |      AS t_e10
+        |  FROM (SELECT * FROM probs WHERE period = 0) e
+        |  JOIN (SELECT * FROM probs WHERE period = 1) l
+        |    ON l.event_type = e.event_type AND l.bin = e.bin),
+        |psi AS (
+        |  SELECT event_type, n_early, n_late,
+        |    CAST(SUM(t_e10) AS BIGINT) AS psi_e10
+        |  FROM terms GROUP BY 1, 2, 3)
+        |SELECT event_type, n_early, n_late,
+        |  ROUND(CAST(psi_e10 AS DOUBLE) / 1e10, 4) AS psi,
+        |  psi_e10 > 1000000000 AS drifted
+        |FROM psi ORDER BY event_type""".stripMargin,
+
+    "log_cusum_changepoint" ->
+      """WITH e AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h FROM events),
+        |counts AS (SELECT event_type, h, COUNT(*) AS n
+        |           FROM e GROUP BY 1, 2),
+        |bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM e),
+        |grid AS (
+        |  SELECT event_type, unnest(generate_series(h0, h1,
+        |    INTERVAL 1 HOUR)) AS h
+        |  FROM (SELECT DISTINCT event_type FROM e), bounds),
+        |dense AS (
+        |  SELECT g.event_type, g.h, COALESCE(c.n, 0) AS n
+        |  FROM grid g LEFT JOIN counts c
+        |    ON c.event_type = g.event_type AND c.h = g.h),
+        |c1 AS (
+        |  SELECT event_type, h, n,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h)
+        |      AS BIGINT) AS k,
+        |    CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY h)
+        |      AS BIGINT) AS cum,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS nh,
+        |    CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+        |  FROM dense),
+        |c2 AS (SELECT *, nh * cum - k * tot AS s_k FROM c1),
+        |c3 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+        |         ORDER BY ABS(s_k) DESC, h ASC) AS rk FROM c2)
+        |SELECT event_type, epoch_us(h) AS cp_hour_us,
+        |  k AS hours_before, ABS(s_k) AS s_abs,
+        |  ROUND(CAST(cum AS DOUBLE) / k, 4) AS pre_mean,
+        |  CASE WHEN nh > k THEN
+        |    ROUND(CAST(tot - cum AS DOUBLE) / (nh - k), 4) END
+        |    AS post_mean,
+        |  CASE WHEN nh > k THEN
+        |    ROUND(CAST(tot - cum AS DOUBLE) / (nh - k)
+        |          - CAST(cum AS DOUBLE) / k, 4) END AS shift
+        |FROM c3 WHERE rk = 1 ORDER BY event_type""".stripMargin,
+
+    "log_audience_overlap" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT event_type, user_id FROM events),
+        |sizes AS (SELECT event_type, COUNT(*) AS nu FROM ud GROUP BY 1),
+        |common AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    COUNT(*) AS common_users
+        |  FROM ud a JOIN ud b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, sa.nu AS na, sb.nu AS nb, common_users,
+        |  ROUND(CAST(common_users AS DOUBLE)
+        |        / (sa.nu + sb.nu - common_users), 4) AS jaccard,
+        |  ROUND(CAST(common_users AS DOUBLE)
+        |        / LEAST(sa.nu, sb.nu), 4) AS containment
+        |FROM common
+        |JOIN sizes sa ON sa.event_type = type_a
+        |JOIN sizes sb ON sb.event_type = type_b
+        |ORDER BY type_a, type_b""".stripMargin)
 }

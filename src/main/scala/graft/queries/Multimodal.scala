@@ -205,6 +205,45 @@ object Multimodal {
         .groupBy($"component")
         .agg(count(lit(1)).as("n_media"))
         .orderBy($"component")
+    }),
+
+    // Scene-cut detection — the frame-sequence analog of shot-boundary
+    // detection: per media, the per-position hamming distance between
+    // CONSECUTIVE frames (the mm_frame_sample 64-byte chunking), a cut
+    // wherever ≥16/64 positions change. A short final frame counts its
+    // missing positions as changes (substring past the end is '' in
+    // both engines — deterministic, and a hard cut to black is exactly
+    // what a truncated tail is). Scale shape: frame explode is in-row;
+    // the lag window and the per-media rollup share ONE media_id
+    // Exchange; the hamming fold is a codegen'd in-row HOF — per-media
+    // state is the ≤5-frame cap, never the payload count.
+    "mm_scene_cuts" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"media_id").orderBy($"frame_i")
+      t(s, d, "documents")
+        .select($"doc_id".as("media_id"), $"text".as("payload"))
+        .filter(length($"payload") >= 1)
+        .select($"media_id", explode(expr(
+          "sequence(0, least(4, (length(payload) - 1) div 64))"))
+          .as("frame_i"), $"payload")
+        .select($"media_id", $"frame_i",
+          expr("substring(payload, frame_i * 64 + 1, 64)").as("fr"))
+        .withColumn("prev", lag($"fr", 1).over(w))
+        .filter($"prev".isNotNull)
+        .select($"media_id", expr(
+          """aggregate(sequence(1, 64), 0L, (acc, p) ->
+            |  acc + CASE WHEN substring(prev, p, 1) <>
+            |    substring(fr, p, 1) THEN 1L ELSE 0L END)""".stripMargin)
+          .as("dist"))
+        .groupBy($"media_id")
+        .agg((count(lit(1)) + lit(1L)).as("n_frames"),
+          sum(when($"dist" >= 16L, 1L).otherwise(0L)).as("n_cuts"),
+          max($"dist").as("max_dist"), sum($"dist").as("sd"),
+          count(lit(1)).as("nd"))
+        .select($"media_id", $"n_frames", $"n_cuts", $"max_dist",
+          round($"sd".cast("double") / $"nd", 4).as("avg_dist"))
+        .orderBy($"media_id")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -304,5 +343,30 @@ object Multimodal {
          |  SELECT id AS media_id, MIN(comp) AS component
          |  FROM reach GROUP BY id)
          |SELECT component, CAST(COUNT(*) AS BIGINT) AS n_media
-         |FROM comp GROUP BY component ORDER BY component""".stripMargin)
+         |FROM comp GROUP BY component ORDER BY component""".stripMargin,
+
+    "mm_scene_cuts" ->
+      """WITH f AS (
+        |  SELECT doc_id AS media_id, i AS frame_i,
+        |    substring(text, i * 64 + 1, 64) AS fr
+        |  FROM documents, unnest(generate_series(0,
+        |    least(4, (len(text) - 1) // 64))) AS t(i)
+        |  WHERE len(text) >= 1),
+        |l AS (
+        |  SELECT media_id, fr,
+        |    LAG(fr) OVER (PARTITION BY media_id ORDER BY frame_i)
+        |      AS prev
+        |  FROM f),
+        |dist AS (
+        |  SELECT media_id,
+        |    CAST(list_sum(list_transform(generate_series(1, 64), p ->
+        |      CASE WHEN substring(prev, p, 1) <> substring(fr, p, 1)
+        |           THEN 1 ELSE 0 END)) AS BIGINT) AS dist
+        |  FROM l WHERE prev IS NOT NULL)
+        |SELECT media_id, COUNT(*) + 1 AS n_frames,
+        |  CAST(SUM(CASE WHEN dist >= 16 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_cuts,
+        |  MAX(dist) AS max_dist,
+        |  ROUND(CAST(SUM(dist) AS DOUBLE) / COUNT(*), 4) AS avg_dist
+        |FROM dist GROUP BY media_id ORDER BY media_id""".stripMargin)
 }

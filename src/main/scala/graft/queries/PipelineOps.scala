@@ -1383,6 +1383,35 @@ object PipelineOps {
         .withColumn("cum_distinct",
           sum($"n_new").over(Window.orderBy($"batch")))
         .orderBy($"batch")
+    }),
+
+    // Curriculum-phase assignment — the "order the data easy→hard"
+    // step of curriculum training: within each source, docs are
+    // ntile(3)'d by lexical quality (type-token ratio, the text_quality
+    // signal) into phases 1..3, and the rollup reports what each phase
+    // actually holds (docs, tokens, the TTR range it spans). Ordering
+    // discipline: the ntile key is the ROUNDED 4-dp ttr with doc_id as
+    // total tie-break, so both engines rank the identical sequence.
+    // Scale shape: one tokenize agg (doc-keyed), then the ntile window
+    // and the phase rollup share ONE source-keyed Exchange — per-source
+    // frames, never a global sort.
+    "doc_curriculum_phases" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val perDoc = t(s, d, "documents")
+        .select($"doc_id", $"source", explode(toksCol).as("tok"))
+        .groupBy($"doc_id", $"source")
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct($"tok").as("n_types"))
+        .select($"doc_id", $"source", $"n_tokens",
+          round($"n_types".cast("double") / $"n_tokens", 4).as("ttr"))
+      perDoc
+        .withColumn("phase", ntile(3).over(Window.partitionBy($"source")
+          .orderBy($"ttr".desc, $"doc_id".asc)).cast("long"))
+        .groupBy($"source", $"phase")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens"),
+          min($"ttr").as("min_ttr"), max($"ttr").as("max_ttr"))
+        .orderBy($"source", $"phase")
     }))
 
   /** Oracle twin of [[epochPlanFrame]]: the water-fill CTE chain
@@ -2263,5 +2292,25 @@ object PipelineOps {
         |SELECT batch, n_grams, n_new,
         |  ROUND(CAST(n_new AS DOUBLE) / n_grams, 4) AS novelty,
         |  CAST(SUM(n_new) OVER (ORDER BY batch) AS BIGINT) AS cum_distinct
-        |FROM pb ORDER BY batch""".stripMargin)
+        |FROM pb ORDER BY batch""".stripMargin,
+
+    "doc_curriculum_phases" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, source, unnest($toksSql) AS tok
+         |  FROM documents),
+         |perdoc AS (
+         |  SELECT doc_id, source, COUNT(*) AS n_tokens,
+         |    ROUND(CAST(COUNT(DISTINCT tok) AS DOUBLE) / COUNT(*), 4)
+         |      AS ttr
+         |  FROM tok GROUP BY doc_id, source),
+         |ph AS (
+         |  SELECT source, n_tokens, ttr,
+         |    CAST(NTILE(3) OVER (PARTITION BY source
+         |      ORDER BY ttr DESC, doc_id ASC) AS BIGINT) AS phase
+         |  FROM perdoc)
+         |SELECT source, phase, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |  MIN(ttr) AS min_ttr, MAX(ttr) AS max_ttr
+         |FROM ph GROUP BY source, phase
+         |ORDER BY source, phase""".stripMargin)
 }

@@ -1385,6 +1385,61 @@ object Similarity {
         .agg(max($"nv").as("n"),
           round(sqrt(sum($"sa" * $"sa")) / max($"nv"), 6).as("mean_norm"))
         .orderBy($"label")
+    }),
+
+    // IVF nprobe operating curve — the tuning table behind every
+    // "nprobe=?" config knob (sim_recall_eval pins ONE operating
+    // point; this sweeps the recall/cost frontier the way
+    // dedup_band_design sweeps LSH bandings): for nprobe ∈ {1, 2, 4},
+    // the candidate count actually scanned and exact recall@10 vs the
+    // brute-force truth. One pass over the materialized pqIndex
+    // annotates each vector with its cell's probe rank (8-row
+    // broadcast); the sweep is an in-row 3-config explode, and each
+    // per-np top-10 is a rank-limited window (the TopKPerKey shape —
+    // partial top-k per partition, never a full sort). At 100 TB the
+    // curve is what justifies paying 2x candidates for +recall.
+    "sim_recall_vs_nprobe" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      withCosine(s)
+      val emb = t(s, d, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val q = emb.filter($"vec_id" === 0).select($"v".as("q"))
+      val brute = emb.filter($"vec_id" =!= 0).crossJoin(broadcast(q))
+        .select($"vec_id", round(cosine("v", "q"), 4).as("cs"))
+        .orderBy(desc("cs"), asc("vec_id")).limit(10).select($"vec_id")
+      val probeRank = emb.filter($"vec_id" === 0)
+        .crossJoin(broadcast(codebook8(s, d)))
+        .select(explode($"cents").as("ct"), $"v")
+        .select($"ct.cent_id".as("cent_id"),
+          round(cosine("v", "ct.c"), 4).as("csim"))
+        .withColumn("cr", row_number()
+          .over(Window.orderBy(desc("csim"), asc("cent_id")))
+          .cast("long"))
+        .select($"cent_id", $"cr")
+      val sweep = pqIndex(s, d).select($"vec_id", $"cell")
+        .filter($"vec_id" =!= 0)
+        .join(broadcast(probeRank), $"cell" === $"cent_id")
+        .join(emb, "vec_id").crossJoin(broadcast(q))
+        .select($"vec_id", $"cr",
+          round(cosine("v", "q"), 4).as("cs"))
+        .select($"vec_id", $"cs", $"cr",
+          explode(expr("array(1L, 2L, 4L)")).as("nprobe"))
+        .filter($"cr" <= $"nprobe")
+      val nCand = sweep.groupBy($"nprobe")
+        .agg(count(lit(1)).as("n_cand"))
+      val hits = sweep
+        .withColumn("rn", row_number().over(Window.partitionBy($"nprobe")
+          .orderBy(desc("cs"), asc("vec_id"))))
+        .filter($"rn" <= 10)
+        .join(brute, "vec_id")
+        .groupBy($"nprobe").agg(count(lit(1)).as("n_hit"))
+      nCand.join(hits, Seq("nprobe"), "left_outer")
+        .select($"nprobe", $"n_cand",
+          coalesce($"n_hit", lit(0L)).as("n_hit"),
+          round(coalesce($"n_hit", lit(0L)).cast("double") / 10.0, 4)
+            .as("recall"))
+        .orderBy($"nprobe")
     }))
 
   /** Guarded rounded cosine between two DuckDB DOUBLE[] expressions —
@@ -2454,7 +2509,67 @@ object Similarity {
         |  FROM ex GROUP BY label, i)
         |SELECT label, CAST(MAX(nv) AS BIGINT) AS n,
         |  ROUND(sqrt(SUM(sa * sa)) / MAX(nv), 6) AS mean_norm
-        |FROM sums GROUP BY label ORDER BY label""".stripMargin)
+        |FROM sums GROUP BY label ORDER BY label""".stripMargin,
+
+    "sim_recall_vs_nprobe" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |brute AS (
+        |  SELECT vec_id FROM (
+        |    SELECT e.vec_id,
+        |      ROUND(list_sum(list_transform(list_zip(v, qv),
+        |              x -> x[1] * x[2])) /
+        |        (sqrt(list_sum(list_transform(v, x -> x * x))) *
+        |         sqrt(list_sum(list_transform(qv, x -> x * x)))), 4) AS cs
+        |    FROM e, q WHERE vec_id <> 0)
+        |  ORDER BY cs DESC, vec_id LIMIT 10),
+        |c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+        |csims AS (
+        |  SELECT e.vec_id, e.cent_id, ROUND(dot / (na * nb), 4) AS csim
+        |  FROM (
+        |    SELECT e.vec_id, c.cent_id,
+        |      list_sum(list_transform(list_zip(e.v, c.cv),
+        |               x -> x[1] * x[2])) AS dot,
+        |      sqrt(list_sum(list_transform(e.v, x -> x * x))) AS na,
+        |      sqrt(list_sum(list_transform(c.cv, x -> x * x))) AS nb
+        |    FROM e, c) e),
+        |assign AS (
+        |  SELECT vec_id, cent_id FROM (
+        |    SELECT vec_id, cent_id,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                         ORDER BY csim DESC, cent_id) AS rn
+        |    FROM csims) WHERE rn = 1),
+        |prank AS (
+        |  SELECT cent_id, CAST(ROW_NUMBER() OVER (
+        |    ORDER BY csim DESC, cent_id) AS BIGINT) AS cr
+        |  FROM csims WHERE vec_id = 0),
+        |sweep AS (
+        |  SELECT e.vec_id, npv.np AS nprobe,
+        |    ROUND(list_sum(list_transform(list_zip(e.v, q.qv),
+        |            x -> x[1] * x[2])) /
+        |      (sqrt(list_sum(list_transform(e.v, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(q.qv, x -> x * x)))), 4) AS cs
+        |  FROM e
+        |  JOIN assign a ON a.vec_id = e.vec_id
+        |  JOIN prank pr ON pr.cent_id = a.cent_id
+        |  CROSS JOIN q
+        |  CROSS JOIN (SELECT CAST(x AS BIGINT) AS np
+        |              FROM unnest([1, 2, 4]) AS t(x)) npv
+        |  WHERE e.vec_id <> 0 AND pr.cr <= npv.np),
+        |topk AS (
+        |  SELECT nprobe, vec_id FROM (
+        |    SELECT nprobe, vec_id, ROW_NUMBER() OVER (
+        |      PARTITION BY nprobe ORDER BY cs DESC, vec_id) AS rn
+        |    FROM sweep) WHERE rn <= 10),
+        |ncand AS (SELECT nprobe, COUNT(*) AS n_cand
+        |          FROM sweep GROUP BY 1),
+        |hits AS (SELECT nprobe, COUNT(*) AS n_hit FROM topk t
+        |         JOIN brute b ON b.vec_id = t.vec_id GROUP BY 1)
+        |SELECT nc.nprobe, nc.n_cand,
+        |  COALESCE(h.n_hit, 0) AS n_hit,
+        |  ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / 10.0, 4) AS recall
+        |FROM ncand nc LEFT JOIN hits h USING (nprobe)
+        |ORDER BY nprobe""".stripMargin)
 
   /** The bounds twin wraps the full recall-eval SQL as a CTE and joins
     * the same pinned floors as the Spark side. */

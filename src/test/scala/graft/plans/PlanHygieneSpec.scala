@@ -98,6 +98,8 @@ class PlanHygieneSpec extends SparkSpec {
     "doc_epoch_expand",      // same water-fill scalars feeding the manifest
     "dedup_df_profile",      // 1-row total-occurrence-mass agg
     "log_anomaly_seasonal",  // 1-row (min,max) hour bounds (gapfill grid)
+    "log_cusum_changepoint", // 1-row (min,max) hour bounds (gapfill grid)
+    "log_psi_drift",         // 1-row (ts,value) min/max bounds scalar
     "sim_centroid_shift",    // 1-row seed-codebook array (kmeans shape)
     "sim_pair_recall_bounds",// DELIBERATE sampled all-pairs truth join (the
                              // recall diagnostic's ground truth exists only
@@ -106,6 +108,7 @@ class PlanHygieneSpec extends SparkSpec {
     "sketch_hll_merge",      // 1-row single-pass estimate + exact agg
     "log_pagerank",          // 1-row node count (rank vector joins are equi)
     "sim_recall_eval",       // 1-row query vec/planes/codebook, 2-row probes
+    "sim_recall_vs_nprobe",  // 1-row query vec + 8-row probe-rank bcast
     "sim_recall_bounds",     // wraps sim_recall_eval + 5-row floor table
     "sim_power_iteration",   // 1-row norm scalars (n1, n2) between passes
     "log_forecast_baseline", // inherits log_gapfill's 1-row hour bounds

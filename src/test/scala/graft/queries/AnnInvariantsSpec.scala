@@ -426,4 +426,25 @@ class AnnInvariantsSpec extends SparkSpec {
         "a <= b and s in [0,1] must hold for nearest/runner-up")
     }
   }
+
+  test("sim_recall_vs_nprobe: candidates and hits monotone in nprobe") {
+    val rows = graft.SparkEntry.queries("sim_recall_vs_nprobe")(
+      spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L), "sweep points")
+    rows.foreach { case (np, nCand, nHit, recall) =>
+      assert(nHit <= 10L && nHit >= 0L, s"np=$np: hits $nHit")
+      assert(nCand >= nHit, s"np=$np: cand $nCand < hits $nHit")
+      assert(math.abs(recall - nHit / 10.0) < 1e-9, s"np=$np recall")
+    }
+    // probing MORE cells can only add candidates and never lose a hit
+    // (the top-10 is over a superset, scored identically)
+    rows.sliding(2).foreach { case Array((_, c1, h1, _), (_, c2, h2, _)) =>
+      assert(c2 >= c1, "candidate count must grow with nprobe")
+      assert(h2 >= h1, "recall must be monotone in nprobe")
+    }
+    // the full sweep (4 of 8 cells) must beat a floor on this fixture
+    assert(rows.last._3 >= 5L, "nprobe=4 recall collapsed")
+  }
 }

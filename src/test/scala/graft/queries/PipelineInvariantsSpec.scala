@@ -1441,4 +1441,140 @@ class PipelineInvariantsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got == expected, "cluster rollup diverges from union-find")
   }
+
+  test("log_psi_drift: psi >= 0, halves partition each type's events") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("log_psi_drift")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+    val totals = t(spark, sf(), "events")
+      .groupBy($"event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(_._1).toSet == totals.keySet, "type coverage")
+    rows.foreach { case (ty, nEarly, nLate, psi, drifted) =>
+      // PSI is a sum of (a-b)·ln(a/b) terms — each non-negative
+      assert(psi >= 0d, s"$ty: psi $psi < 0")
+      assert(nEarly + nLate == totals(ty),
+        s"$ty: halves don't partition (${nEarly}+${nLate} != ${totals(ty)})")
+      assert(nEarly > 0 && nLate > 0, s"$ty: degenerate half")
+      // verdict consistent with the reported psi (boundary slack 1e-4)
+      if (psi > 0.1001) assert(drifted, s"$ty: psi $psi but not drifted")
+      if (psi < 0.0999) assert(!drifted, s"$ty: psi $psi but drifted")
+    }
+  }
+
+  test("log_cusum_changepoint: argmax|S| replays from raw hour counts") {
+    import spark.implicits._
+    val got = SparkEntry.queries("log_cusum_changepoint")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq.sortBy(_._1)
+    val ev = t(spark, sf(), "events")
+      .select($"event_type",
+        unix_micros(date_trunc("hour", $"ts")).as("hus"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val h0 = ev.map(_._2).min
+    val h1 = ev.map(_._2).max
+    val hourUs = 3600000000L
+    val hours = (h0 to h1 by hourUs).toArray
+    val expected = ev.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (ty, rows) =>
+        val cnt = rows.groupBy(_._2).map { case (h, g) =>
+          h -> g.size.toLong }
+        val n = hours.map(h => cnt.getOrElse(h, 0L))
+        val nh = n.length.toLong
+        val tot = n.sum
+        val s = n.scanLeft(0L)(_ + _).drop(1).zipWithIndex.map {
+          case (cum, i) => (i + 1L, nh * cum - (i + 1L) * tot)
+        }
+        val (k, sk) = s.maxBy { case (kk, v) => (math.abs(v), -kk) }
+        (ty, h0 + (k - 1) * hourUs, k, math.abs(sk))
+    }
+    assert(got == expected, "changepoint diverges from exact replay")
+  }
+
+  test("log_audience_overlap: exact jaccard replay from user sets") {
+    import spark.implicits._
+    val sets = t(spark, sf(), "events")
+      .select($"event_type", $"user_id").distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (ty, g) => ty -> g.map(_._2).toSet }
+    val expected = sets.keys.toSeq.sorted.combinations(2).flatMap {
+      case Seq(a, b) =>
+        val common = (sets(a) & sets(b)).size.toLong
+        if (common == 0) None
+        else Some((a, b, sets(a).size.toLong, sets(b).size.toLong,
+          common))
+    }.toSeq
+    val got = SparkEntry.queries("log_audience_overlap")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected, "overlap matrix diverges from set replay")
+    SparkEntry.queries("log_audience_overlap")(spark, sf())
+      .collect().foreach { r =>
+        val (na, nb, c) = (r.getLong(2), r.getLong(3), r.getLong(4))
+        val j = r.getDouble(5); val cont = r.getDouble(6)
+        assert(c <= math.min(na, nb), "containment bound")
+        assert(j > 0d && j <= 1d && cont > 0d && cont <= 1d)
+        assert(j <= cont + 1e-9, "jaccard must not exceed containment")
+      }
+  }
+
+  test("doc_curriculum_phases: phases partition docs, TTR bands nest") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("doc_curriculum_phases")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    val truth = t(spark, sf(), "documents")
+      .select($"source", expr(
+        "size(filter(split(lower(text), '\\\\s+'), x -> x != ''))")
+        .cast("long").as("n"))
+      .filter($"n" >= 1)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("docs"), sum($"n").as("toks"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    rows.groupBy(_._1).foreach { case (src, g) =>
+      val (docs, toks) = truth(src)
+      assert(g.map(_._3).sum == docs, s"$src: docs don't partition")
+      assert(g.map(_._4).sum == toks, s"$src: tokens don't conserve")
+      assert(g.map(_._2).sorted.toSeq == (1L to g.length).toSeq,
+        s"$src: phase ids not 1..${g.length}")
+      // ordered easy→hard: phase p's TTR band sits at or above p+1's
+      g.sortBy(_._2).sliding(2).foreach {
+        case Array((_, _, _, _, lo1, _), (_, _, _, _, _, hi2)) =>
+          assert(lo1 >= hi2 - 1e-9,
+            s"$src: phase bands overlap ($lo1 < $hi2)")
+        case _ => ()
+      }
+    }
+  }
+
+  test("mm_scene_cuts: distances replay from raw frame bytes") {
+    import spark.implicits._
+    val docs = t(spark, sf(), "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.filter(_._2.nonEmpty).flatMap { case (id, tx) =>
+      val nf = math.min(5, (tx.length - 1) / 64 + 1)
+      if (nf < 2) None
+      else {
+        def frame(i: Int) =
+          tx.slice(i * 64, math.min(tx.length, i * 64 + 64))
+        val dists = (1 until nf).map { i =>
+          val (a, b) = (frame(i - 1), frame(i))
+          (0 until 64).count { p =>
+            val ca = if (p < a.length) a.substring(p, p + 1) else ""
+            val cb = if (p < b.length) b.substring(p, p + 1) else ""
+            ca != cb
+          }.toLong
+        }
+        Some((id, nf.toLong, dists.count(_ >= 16L).toLong, dists.max,
+          math.round(dists.sum.toDouble / dists.length * 1e4) / 1e4))
+      }
+    }.sortBy(_._1).toSeq
+    val got = SparkEntry.queries("mm_scene_cuts")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(got == expected, "scene-cut stats diverge from byte replay")
+  }
 }
