@@ -733,6 +733,35 @@ object Dedup {
     "dedup_simhash" -> ((s, d) => {
       import s.implicits._
       simhashShared(s, d).orderBy($"doc_id")
+    }),
+
+    // Dedup yield curve — what each Jaccard threshold would actually
+    // remove (the governance table a data lead reads before pinning
+    // θ: too low eats legitimate reuse, too high keeps near-copies):
+    // per θ ∈ {0.5..0.9}, the qualifying candidate pairs and the docs
+    // the keep-lowest-id rule would drop (a doc is dropped iff it is
+    // the HIGHER id of any qualifying pair — the dedup_canonical
+    // convention, counted as a distinct-doc upper bound without
+    // building components per θ). Rides the shared candidate-bounded
+    // exact-Jaccard table; the sweep is an in-row 5-config explode
+    // with e4-integer threshold compares; output is 5 rows.
+    "dedup_threshold_sweep" -> ((s, d) => {
+      import s.implicits._
+      val q = candJaccard3(s, d)
+        .select($"doc_b",
+          expr("cast(round(jacc * 1e4) as bigint)").as("j4"))
+        .select($"doc_b", $"j4", explode(expr(
+          "array(5000L, 6000L, 7000L, 8000L, 9000L)")).as("thr_e4"))
+        .filter($"j4" >= $"thr_e4")
+        .groupBy($"thr_e4")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct($"doc_b").as("docs_removed"))
+      Seq(5000L, 6000L, 7000L, 8000L, 9000L).toDF("thr_e4")
+        .join(q, Seq("thr_e4"), "left_outer")
+        .select(($"thr_e4".cast("double") / 1e4).as("threshold"),
+          coalesce($"n_pairs", lit(0L)).as("n_pairs"),
+          coalesce($"docs_removed", lit(0L)).as("docs_removed"))
+        .orderBy($"threshold")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -1016,5 +1045,22 @@ object Dedup {
         |SELECT doc_id,
         |  CAST(SUM(CASE WHEN sgn >= 0 THEN (1::BIGINT << (j - 1)) ELSE 0 END)
         |       AS BIGINT) AS simhash
-        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dedup_threshold_sweep" ->
+      s"""$candJaccardSql,
+         |j4 AS (
+         |  SELECT doc_b, CAST(ROUND(jacc * 1e4) AS BIGINT) AS j4
+         |  FROM j),
+         |thr AS (SELECT CAST(x AS BIGINT) AS thr_e4
+         |        FROM unnest([5000, 6000, 7000, 8000, 9000]) t(x)),
+         |q AS (
+         |  SELECT thr_e4, COUNT(*) AS n_pairs,
+         |    COUNT(DISTINCT doc_b) AS docs_removed
+         |  FROM j4, thr WHERE j4 >= thr_e4 GROUP BY 1)
+         |SELECT CAST(t.thr_e4 AS DOUBLE) / 1e4 AS threshold,
+         |  COALESCE(q.n_pairs, 0) AS n_pairs,
+         |  COALESCE(q.docs_removed, 0) AS docs_removed
+         |FROM thr t LEFT JOIN q USING (thr_e4)
+         |ORDER BY threshold""".stripMargin)
 }

@@ -44,6 +44,22 @@ object EventsLog {
       .withColumn("hod", hour($"h").cast("long"))
   }
 
+  /** The 10-bin value-bin rule shared by the declared log_psi_drift
+    * and the streaming EventStream.psiModel/psiDrift twins (one
+    * definition — the monitors can never bin differently from the
+    * batch audit). Expects columns `value`, `v0`, `v1`. */
+  private[graft] def valueBin: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, floor, least, lit, when}
+    when(col("v1") === col("v0"), 0L).otherwise(least(lit(9L),
+      floor(((col("value") - col("v0")) * 10.0)
+        / (col("v1") - col("v0")))))
+  }
+
+  /** One e10-quantized PSI term — `(p2 − p1)·ln(p2/p1)` as an exact
+    * BIGINT, shared by the batch fold and the streaming monitor. */
+  private[graft] def psiTermE10(p2: String, p1: String): String =
+    s"cast(round((($p2 - $p1) * ln($p2 / $p1)) * 1e10) as bigint)"
+
   /** Per-(event_type, dow, hod) exact integer count/Σx/Σx² over the
     * dense grid — the hour-of-week baseline model. */
   private[graft] def seasonalStats(ev: DataFrame): DataFrame = {
@@ -1090,9 +1106,7 @@ object EventsLog {
         .select($"event_type",
           when($"us" * 2 < $"us0" + $"us1", 0L).otherwise(1L)
             .as("period"),
-          when($"v1" === $"v0", 0L).otherwise(least(lit(9L),
-            floor((($"value" - $"v0") * 10.0) / ($"v1" - $"v0"))))
-            .as("bin"))
+          valueBin.as("bin"))
         .groupBy($"event_type", $"bin")
         .agg(sum(when($"period" === 0L, 1L).otherwise(0L)).as("c1"),
           sum(when($"period" === 1L, 1L).otherwise(0L)).as("c2"))
@@ -1102,8 +1116,7 @@ object EventsLog {
             struct($"bin", struct($"c1", $"c2")))).as("m"))
         .select($"event_type", $"n_early", $"n_late",
           expr(s"""aggregate(sequence(0L, 9L), 0L, (acc, b) ->
-            acc + cast(round((($p2 - $p1) * ln($p2 / $p1)) * 1e10)
-                       as bigint))""").as("psi_e10"))
+            acc + ${psiTermE10(p2, p1)})""").as("psi_e10"))
         .select($"event_type", $"n_early", $"n_late",
           round($"psi_e10".cast("double") / 1e10, 4).as("psi"),
           ($"psi_e10" > 1000000000L).as("drifted"))
@@ -1174,6 +1187,107 @@ object EventsLog {
           round($"common_users".cast("double")
             / least($"na", $"nb"), 4).as("containment"))
         .orderBy($"type_a", $"type_b")
+    }),
+
+    // Benford first-digit audit — the classic synthetic-data / fraud
+    // tripwire: per event_type, the χ² distance of the value column's
+    // first-significant-digit distribution from Benford's law, plus
+    // the worst-deviating digit. Digit extraction is EXACT (e6
+    // fixed-point integer → its decimal string's first char — both
+    // engines print integers identically; no libm log10 in the per-row
+    // path), expected shares are pinned 6-dp literals shared by both
+    // engines, each χ² term is e10-quantized before the in-row fold,
+    // and the worst-digit argmax compares e10 integers (smallest digit
+    // wins ties — fold order is the 1..9 literal array). Scale shape:
+    // one scan folds to (type, digit) counts; everything after runs on
+    // the per-type 9-entry map.
+    "log_benford" -> ((s, d) => {
+      import s.implicits._
+      val benfordArr = "array(" + Seq(
+        1 -> "0.301030", 2 -> "0.176091", 3 -> "0.124939",
+        4 -> "0.096910", 5 -> "0.079181", 6 -> "0.066947",
+        7 -> "0.057992", 8 -> "0.051153", 9 -> "0.045757")
+        .map { case (dg, e) =>
+          s"named_struct('d', ${dg}L, 'e', ${e}D)" }
+        .mkString(", ") + ")"
+      val share = "(coalesce(m[x.d], 0L) / cast(n as double))"
+      val devE10 =
+        s"abs(cast(round(($share - x.e) * 1e10) as bigint))"
+      t(s, d, "events")
+        .select($"event_type",
+          expr("cast(round(value * 1e6) as bigint)").as("v_e6"))
+        .filter($"v_e6" >= 1L)
+        .select($"event_type", expr(
+          "cast(substring(cast(v_e6 as string), 1, 1) as bigint)")
+          .as("dg"))
+        .groupBy($"event_type", $"dg").agg(count(lit(1)).as("c"))
+        .groupBy($"event_type")
+        .agg(sum($"c").as("n"), map_from_entries(collect_list(
+          struct($"dg", $"c"))).as("m"))
+        .select($"event_type", $"n", expr(
+          s"""aggregate($benfordArr,
+             |  named_struct('chi', 0L, 'wd', 0L, 'dev', -1L),
+             |  (acc, x) -> named_struct(
+             |    'chi', acc.chi + cast(round(((($share - x.e)
+             |      * ($share - x.e)) / x.e) * 1e10) as bigint),
+             |    'wd', if($devE10 > acc.dev, x.d, acc.wd),
+             |    'dev', if($devE10 > acc.dev, $devE10, acc.dev)))"""
+            .stripMargin).as("f"))
+        .select($"event_type", $"n",
+          round($"f.chi".cast("double") / 1e10, 4).as("chi2"),
+          $"f.wd".as("worst_digit"),
+          round($"f.dev".cast("double") / 1e10, 4).as("worst_dev"))
+        .orderBy($"event_type")
+    }),
+
+    // Two-sample Kolmogorov–Smirnov drift — the BINLESS companion to
+    // log_psi_drift (PSI sees what its 10 bins see; KS is the sup-norm
+    // over the full empirical CDFs, so a pure location shift inside a
+    // bin still trips it): per event_type, D = max|F₁−F₂| between the
+    // window halves, the value where the gap peaks, and the α=0.05
+    // verdict. Exactness: the statistic is the INTEGER max of
+    // |ca·n₂ − cb·n₁| over distinct values (cumulative counts from
+    // one value-ordered window pass), widened to DECIMAL(38,0) /
+    // HUGEINT for the cross products; the one float is the reported
+    // D and the 1.358·√((n₁+n₂)/(n₁n₂)) critical line, computed from
+    // identical IEEE ops in both engines. Scale shape: one scan folds
+    // to (type, value) half-counts — bounded by the value domain —
+    // then three windows and the argmax rank all ride ONE event_type
+    // Exchange.
+    "log_ks_drift" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"event_type").orderBy($"value")
+      val wt = Window.partitionBy($"event_type")
+      val wr = Window.partitionBy($"event_type")
+        .orderBy($"dint".desc, $"value".asc)
+      val ev = t(s, d, "events")
+        .select($"event_type", unix_micros($"ts").as("us"), $"value")
+      val bounds = ev.agg(min($"us").as("us0"), max($"us").as("us1"))
+      ev.crossJoin(broadcast(bounds))
+        .select($"event_type", $"value",
+          when($"us" * 2 < $"us0" + $"us1", 1L).otherwise(0L).as("e"))
+        .groupBy($"event_type", $"value")
+        .agg(sum($"e").as("a"), sum(lit(1L) - $"e").as("b"))
+        .withColumn("ca", sum($"a").over(w))
+        .withColumn("cb", sum($"b").over(w))
+        .withColumn("n1", sum($"a").over(wt))
+        .withColumn("n2", sum($"b").over(wt))
+        .withColumn("dint", expr(
+          """abs(cast(ca as decimal(38,0)) * cast(n2 as decimal(38,0))
+            |  - cast(cb as decimal(38,0)) * cast(n1 as decimal(38,0)))"""
+            .stripMargin))
+        .withColumn("rk", row_number().over(wr))
+        .filter($"rk" === 1)
+        .select($"event_type", $"n1".as("n_early"), $"n2".as("n_late"),
+          round($"dint".cast("double")
+            / ($"n1".cast("double") * $"n2".cast("double")), 4).as("d"),
+          $"value".as("d_at"),
+          ($"dint".cast("double")
+            / ($"n1".cast("double") * $"n2".cast("double"))
+            > lit(1.358) * sqrt(($"n1" + $"n2").cast("double")
+              / ($"n1".cast("double") * $"n2".cast("double"))))
+            .as("reject_05"))
+        .orderBy($"event_type")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -1915,5 +2029,86 @@ object EventsLog {
         |FROM common
         |JOIN sizes sa ON sa.event_type = type_a
         |JOIN sizes sb ON sb.event_type = type_b
-        |ORDER BY type_a, type_b""".stripMargin)
+        |ORDER BY type_a, type_b""".stripMargin,
+
+    "log_benford" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(substring(CAST(CAST(ROUND(value * 1e6)
+        |    AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS dg
+        |  FROM events WHERE CAST(ROUND(value * 1e6) AS BIGINT) >= 1),
+        |cnt AS (SELECT event_type, dg, COUNT(*) AS c
+        |        FROM ev GROUP BY 1, 2),
+        |n AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n
+        |      FROM cnt GROUP BY 1),
+        |bf AS (SELECT * FROM (VALUES
+        |  (1, 0.301030), (2, 0.176091), (3, 0.124939), (4, 0.096910),
+        |  (5, 0.079181), (6, 0.066947), (7, 0.057992), (8, 0.051153),
+        |  (9, 0.045757)) t(d, e)),
+        |terms AS (
+        |  SELECT n.event_type, n.n, CAST(bf.d AS BIGINT) AS d,
+        |    CAST(bf.e AS DOUBLE) AS e,
+        |    COALESCE(c.c, 0) / CAST(n.n AS DOUBLE) AS share
+        |  FROM n CROSS JOIN bf
+        |  LEFT JOIN cnt c ON c.event_type = n.event_type
+        |    AND c.dg = bf.d),
+        |q AS (
+        |  SELECT event_type, n, d,
+        |    CAST(ROUND((((share - e) * (share - e)) / e) * 1e10)
+        |      AS BIGINT) AS chi_e10,
+        |    ABS(CAST(ROUND((share - e) * 1e10) AS BIGINT)) AS dev_e10
+        |  FROM terms),
+        |agg AS (
+        |  SELECT event_type, n, CAST(SUM(chi_e10) AS BIGINT) AS chi
+        |  FROM q GROUP BY 1, 2),
+        |worst AS (
+        |  SELECT event_type, d AS worst_digit, dev_e10 FROM (
+        |    SELECT event_type, d, dev_e10, ROW_NUMBER() OVER (
+        |      PARTITION BY event_type ORDER BY dev_e10 DESC, d ASC)
+        |      AS rn
+        |    FROM q) WHERE rn = 1)
+        |SELECT a.event_type, a.n,
+        |  ROUND(CAST(a.chi AS DOUBLE) / 1e10, 4) AS chi2,
+        |  w.worst_digit,
+        |  ROUND(CAST(w.dev_e10 AS DOUBLE) / 1e10, 4) AS worst_dev
+        |FROM agg a JOIN worst w ON w.event_type = a.event_type
+        |ORDER BY a.event_type""".stripMargin,
+
+    "log_ks_drift" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_us(ts) AS us, value FROM events),
+        |b AS (SELECT MIN(us) AS us0, MAX(us) AS us1 FROM ev),
+        |hv AS (
+        |  SELECT event_type, value,
+        |    CASE WHEN us * 2 < us0 + us1 THEN 1 ELSE 0 END AS e
+        |  FROM ev, b),
+        |g AS (
+        |  SELECT event_type, value, CAST(SUM(e) AS BIGINT) AS a,
+        |    CAST(SUM(1 - e) AS BIGINT) AS bb
+        |  FROM hv GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, value,
+        |    CAST(SUM(a) OVER (PARTITION BY event_type ORDER BY value)
+        |      AS BIGINT) AS ca,
+        |    CAST(SUM(bb) OVER (PARTITION BY event_type ORDER BY value)
+        |      AS BIGINT) AS cb,
+        |    CAST(SUM(a) OVER (PARTITION BY event_type) AS BIGINT) AS n1,
+        |    CAST(SUM(bb) OVER (PARTITION BY event_type) AS BIGINT) AS n2
+        |  FROM g),
+        |dd AS (
+        |  SELECT *, ABS(CAST(ca AS HUGEINT) * CAST(n2 AS HUGEINT)
+        |    - CAST(cb AS HUGEINT) * CAST(n1 AS HUGEINT)) AS dint
+        |  FROM c),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+        |    ORDER BY dint DESC, value ASC) AS rk
+        |  FROM dd)
+        |SELECT event_type, n1 AS n_early, n2 AS n_late,
+        |  ROUND(CAST(dint AS DOUBLE)
+        |    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 4) AS d,
+        |  value AS d_at,
+        |  CAST(dint AS DOUBLE)
+        |    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+        |    > CAST(1.358 AS DOUBLE) * sqrt(CAST(n1 + n2 AS DOUBLE)
+        |      / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) AS reject_05
+        |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin)
 }

@@ -1440,6 +1440,131 @@ object Similarity {
           round(coalesce($"n_hit", lit(0L)).cast("double") / 10.0, 4)
             .as("recall"))
         .orderBy($"nprobe")
+    }),
+
+    // Matryoshka truncation curve — recall@10 when ranking by only the
+    // first 16/32/64 dims (the "can we search on a prefix and rerank
+    // later" question behind every matryoshka-embedding deployment;
+    // 64 is the identity row, a built-in sanity floor of 1.0). One
+    // scan computes all three prefix cosines IN-ROW (slice + the
+    // native codegen'd kernel); the sweep is a 3-struct explode with
+    // the arrays already dropped, and each per-dim top-10 is the
+    // TopKPerKey partial top-k. At 100 TB the half-dim scan is ~2x
+    // cheaper I/O-and-FLOPs — this table says what recall that buys.
+    "sim_matryoshka_recall" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      withCosine(s)
+      val emb = t(s, d, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val q = emb.filter($"vec_id" === 0).select($"v".as("q"))
+      val scored = emb.filter($"vec_id" =!= 0).crossJoin(broadcast(q))
+        .select($"vec_id",
+          round(cosine("slice(v, 1, 16)", "slice(q, 1, 16)"), 4)
+            .as("cs16"),
+          round(cosine("slice(v, 1, 32)", "slice(q, 1, 32)"), 4)
+            .as("cs32"),
+          round(cosine("v", "q"), 4).as("cs64"))
+      val brute = scored.orderBy(desc("cs64"), asc("vec_id")).limit(10)
+        .select($"vec_id", lit(1L).as("hit"))
+      scored.select($"vec_id", explode(expr(
+          "array(named_struct('dim', 16L, 'cs', cs16)," +
+            " named_struct('dim', 32L, 'cs', cs32)," +
+            " named_struct('dim', 64L, 'cs', cs64))")).as("x"))
+        .select($"vec_id", $"x.dim".as("dim"), $"x.cs".as("cs"))
+        .withColumn("rn", row_number().over(Window.partitionBy($"dim")
+          .orderBy(desc("cs"), asc("vec_id"))))
+        .filter($"rn" <= 10)
+        .join(broadcast(brute), Seq("vec_id"), "left_outer")
+        .groupBy($"dim")
+        .agg(sum(coalesce($"hit", lit(0L))).as("n_hit"))
+        .select($"dim", $"n_hit",
+          round($"n_hit".cast("double") / 10.0, 4).as("recall"))
+        .orderBy($"dim")
+    }),
+
+    // MMR diversified re-rank — relevance alone returns 5 near-copies;
+    // maximal marginal relevance (Carbonell & Goldstein '98) greedily
+    // picks argmax λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s), λ=0.7, from
+    // the cosine top-20 shortlist. The scale contract is the standard
+    // two-stage serve path: the corpus-sized work is ONE scan-score-
+    // topk (TakeOrdered 20); the greedy loop then runs on the PINNED
+    // constant-20 shortlist (localCheckpoint — the candidate table and
+    // its 380-row pairwise-sim table never re-derive per step). Each
+    // step's verdict is an e10-quantized integer compare with vec_id
+    // ties, so both engines pick the identical chain.
+    "sim_mmr_rerank" -> ((s, d) => {
+      import s.implicits._
+      withCosine(s)
+      val emb = t(s, d, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val q = emb.filter($"vec_id" === 0).select($"v".as("q"))
+      val cand = emb.filter($"vec_id" =!= 0).crossJoin(broadcast(q))
+        .select($"vec_id", $"v", round(cosine("v", "q"), 4).as("cs"))
+        .orderBy(desc("cs"), asc("vec_id")).limit(20)
+        .localCheckpoint()
+      val pair = cand.as("a")
+        .join(cand.as("b"), $"a.vec_id" =!= $"b.vec_id")
+        .select($"a.vec_id".as("ca"), $"b.vec_id".as("cb"),
+          round(cosine("a.v", "b.v"), 4).as("sim"))
+        .localCheckpoint()
+      var all = cand.orderBy(desc("cs"), asc("vec_id")).limit(1)
+        .select($"vec_id", lit(1L).as("step")).localCheckpoint()
+      for (stp <- 2 to 5) {
+        val msim = pair
+          .join(all.select($"vec_id".as("cb")), "cb")
+          .groupBy($"ca").agg(max($"sim").as("msim"))
+        val next = cand
+          .join(all.select($"vec_id"), Seq("vec_id"), "left_anti")
+          .join(msim, $"vec_id" === $"ca")
+          .select($"vec_id", expr(
+            "cast(round((0.7 * cs - 0.3 * msim) * 1e10) as bigint)")
+            .as("sc"))
+          .orderBy(desc("sc"), asc("vec_id")).limit(1)
+          .select($"vec_id", lit(stp.toLong).as("step"))
+        all = all.unionAll(next).localCheckpoint()
+      }
+      all.join(cand.select($"vec_id", $"cs"), "vec_id")
+        .select($"step", $"vec_id", $"cs")
+        .orderBy($"step")
+    }),
+
+    // Degree assortativity of the mutual-kNN graph — does the
+    // embedding space's social structure have hubs talking to hubs
+    // (r > 0) or hubs serving leaves (r < 0)? One scalar every
+    // embedding-quality dashboard tracks next to sim_dim_profile.
+    // Rides the EXACT mutual-kNN edge set (one definition — the
+    // sim_mutual_knn query itself); degrees and all five Pearson sums
+    // are exact integers over the symmetrized ends (Σx = Σy by
+    // symmetry), widened to DECIMAL(38,0) for the cross products
+    // (at 100 TB edge counts the int64 squares overflow), and the
+    // single reported float is the final ratio at 4 dp.
+    "sim_graph_assortativity" -> ((s, d) => {
+      import s.implicits._
+      val ed = queries("sim_mutual_knn")(s, d)
+        .select($"vec_a", $"vec_b")
+      val sym = ed.select($"vec_a".as("src"), $"vec_b".as("dst"))
+        .unionAll(ed.select($"vec_b".as("src"), $"vec_a".as("dst")))
+      val deg = sym.groupBy($"src").agg(count(lit(1)).as("deg"))
+      sym
+        .join(deg.toDF("src", "dx"), "src")
+        .join(deg.toDF("dst", "dy"), "dst")
+        .agg(count(lit(1)).as("n_ends"), sum($"dx").as("sx"),
+          sum($"dx" * $"dx").as("sxx"), sum($"dx" * $"dy").as("sxy"))
+        .select(($"n_ends" / 2).cast("long").as("n_edges"),
+          $"sx", $"sxx", $"sxy",
+          expr("""round(CASE WHEN
+            |  cast(n_ends as decimal(38,0)) * cast(sxx as decimal(38,0))
+            |    - cast(sx as decimal(38,0)) * cast(sx as decimal(38,0))
+            |  = 0 THEN NULL ELSE
+            |  cast(cast(n_ends as decimal(38,0))
+            |       * cast(sxy as decimal(38,0))
+            |       - cast(sx as decimal(38,0)) * cast(sx as decimal(38,0))
+            |    as double)
+            |  / cast(cast(n_ends as decimal(38,0))
+            |         * cast(sxx as decimal(38,0))
+            |         - cast(sx as decimal(38,0)) * cast(sx as decimal(38,0))
+            |    as double) END, 4)""".stripMargin).as("assortativity"))
     }))
 
   /** Guarded rounded cosine between two DuckDB DOUBLE[] expressions —
@@ -2569,7 +2694,97 @@ object Similarity {
         |  COALESCE(h.n_hit, 0) AS n_hit,
         |  ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / 10.0, 4) AS recall
         |FROM ncand nc LEFT JOIN hits h USING (nprobe)
-        |ORDER BY nprobe""".stripMargin)
+        |ORDER BY nprobe""".stripMargin,
+
+    "sim_matryoshka_recall" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT e.vec_id,
+        |    ROUND(list_sum(list_transform(list_zip(v[1:16], qv[1:16]),
+        |            x -> x[1] * x[2])) /
+        |      (sqrt(list_sum(list_transform(v[1:16], x -> x * x))) *
+        |       sqrt(list_sum(list_transform(qv[1:16], x -> x * x)))), 4)
+        |      AS cs16,
+        |    ROUND(list_sum(list_transform(list_zip(v[1:32], qv[1:32]),
+        |            x -> x[1] * x[2])) /
+        |      (sqrt(list_sum(list_transform(v[1:32], x -> x * x))) *
+        |       sqrt(list_sum(list_transform(qv[1:32], x -> x * x)))), 4)
+        |      AS cs32,
+        |    ROUND(list_sum(list_transform(list_zip(v, qv),
+        |            x -> x[1] * x[2])) /
+        |      (sqrt(list_sum(list_transform(v, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(qv, x -> x * x)))), 4)
+        |      AS cs64
+        |  FROM e, q WHERE vec_id <> 0),
+        |brute AS (SELECT vec_id FROM scored
+        |          ORDER BY cs64 DESC, vec_id LIMIT 10),
+        |sw AS (
+        |  SELECT vec_id, CAST(16 AS BIGINT) AS dim, cs16 AS cs
+        |  FROM scored
+        |  UNION ALL SELECT vec_id, CAST(32 AS BIGINT), cs32 FROM scored
+        |  UNION ALL SELECT vec_id, CAST(64 AS BIGINT), cs64 FROM scored),
+        |topk AS (
+        |  SELECT vec_id, dim FROM (
+        |    SELECT vec_id, dim, ROW_NUMBER() OVER (
+        |      PARTITION BY dim ORDER BY cs DESC, vec_id) AS rn
+        |    FROM sw) WHERE rn <= 10)
+        |SELECT t.dim,
+        |  CAST(SUM(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hit,
+        |  ROUND(CAST(SUM(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0
+        |    END) AS DOUBLE) / 10.0, 4) AS recall
+        |FROM topk t LEFT JOIN brute b ON b.vec_id = t.vec_id
+        |GROUP BY t.dim ORDER BY t.dim""".stripMargin,
+
+    "sim_mmr_rerank" ->
+      """WITH RECURSIVE
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |cand AS (
+        |  SELECT vec_id, v, cs FROM (
+        |    SELECT e.vec_id, e.v,
+        |      ROUND(list_sum(list_transform(list_zip(v, qv),
+        |              x -> x[1] * x[2])) /
+        |        (sqrt(list_sum(list_transform(v, x -> x * x))) *
+        |         sqrt(list_sum(list_transform(qv, x -> x * x)))), 4)
+        |        AS cs
+        |    FROM e, q WHERE vec_id <> 0)
+        |  ORDER BY cs DESC, vec_id LIMIT 20),
+        |pair AS (
+        |  SELECT a.vec_id AS ca, b.vec_id AS cb,
+        |    ROUND(list_sum(list_transform(list_zip(a.v, b.v),
+        |            x -> x[1] * x[2])) /
+        |      (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(b.v, x -> x * x)))), 4)
+        |      AS sim
+        |  FROM cand a, cand b WHERE a.vec_id <> b.vec_id),
+        |sel AS (
+        |  SELECT 1 AS step,
+        |    (SELECT vec_id FROM cand ORDER BY cs DESC, vec_id LIMIT 1)
+        |      AS vec_id,
+        |    [(SELECT vec_id FROM cand ORDER BY cs DESC, vec_id
+        |      LIMIT 1)] AS picked
+        |  UNION ALL
+        |  SELECT step + 1,
+        |    (SELECT c.vec_id FROM cand c
+        |     WHERE NOT list_contains(s.picked, c.vec_id)
+        |     ORDER BY CAST(ROUND((0.7 * c.cs - 0.3 * (
+        |         SELECT MAX(p.sim) FROM pair p
+        |         WHERE p.ca = c.vec_id AND list_contains(s.picked, p.cb)
+        |       )) * 1e10) AS BIGINT) DESC, c.vec_id LIMIT 1),
+        |    list_append(s.picked,
+        |      (SELECT c.vec_id FROM cand c
+        |       WHERE NOT list_contains(s.picked, c.vec_id)
+        |       ORDER BY CAST(ROUND((0.7 * c.cs - 0.3 * (
+        |           SELECT MAX(p.sim) FROM pair p
+        |           WHERE p.ca = c.vec_id
+        |             AND list_contains(s.picked, p.cb)
+        |         )) * 1e10) AS BIGINT) DESC, c.vec_id LIMIT 1))
+        |  FROM sel s WHERE step < 5)
+        |SELECT CAST(s.step AS BIGINT) AS step, s.vec_id, c.cs
+        |FROM sel s JOIN cand c ON c.vec_id = s.vec_id
+        |ORDER BY step""".stripMargin)
 
   /** The bounds twin wraps the full recall-eval SQL as a CTE and joins
     * the same pinned floors as the Spark side. */
@@ -2583,5 +2798,34 @@ object Similarity {
          |  ('lsh_bucket', 0.0), ('lsh_multiprobe', 0.3)) t(method, floor))
          |SELECT ev.method, ev.k, ev.recall, f.floor,
          |  ev.recall >= f.floor AS meets_floor
-         |FROM ev JOIN f USING (method) ORDER BY method""".stripMargin)
+         |FROM ev JOIN f USING (method) ORDER BY method""".stripMargin) +
+    ("sim_graph_assortativity" ->
+      s"""WITH mk AS (
+         |${oracleBase("sim_mutual_knn")}
+         |),
+         |sym AS (
+         |  SELECT vec_a AS src, vec_b AS dst FROM mk
+         |  UNION ALL SELECT vec_b, vec_a FROM mk),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY src),
+         |j AS (
+         |  SELECT da.deg AS dx, db.deg AS dy
+         |  FROM sym JOIN deg da ON da.src = sym.src
+         |  JOIN deg db ON db.src = sym.dst),
+         |a AS (
+         |  SELECT COUNT(*) AS n_ends, CAST(SUM(dx) AS BIGINT) AS sx,
+         |    CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+         |    CAST(SUM(dx * dy) AS BIGINT) AS sxy
+         |  FROM j)
+         |SELECT CAST(n_ends / 2 AS BIGINT) AS n_edges, sx, sxx, sxy,
+         |  ROUND(CASE WHEN
+         |    CAST(n_ends AS HUGEINT) * CAST(sxx AS HUGEINT)
+         |      - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) = 0
+         |  THEN NULL ELSE
+         |    CAST(CAST(n_ends AS HUGEINT) * CAST(sxy AS HUGEINT)
+         |         - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT)
+         |      AS DOUBLE)
+         |    / CAST(CAST(n_ends AS HUGEINT) * CAST(sxx AS HUGEINT)
+         |           - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT)
+         |      AS DOUBLE) END, 4) AS assortativity
+         |FROM a""".stripMargin)
 }

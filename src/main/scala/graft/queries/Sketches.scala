@@ -274,9 +274,106 @@ object Sketches {
           sum($"present").cast("long").as("n_present"),
           sum(when($"maybe" === 1 && $"present" === 0, 1).otherwise(0))
             .cast("long").as("n_false_pos"))
+    }),
+
+    // Histogram quantile sketch — the fourth sketch contract: a
+    // 1000-bin fixed-width integer histogram is the trivially
+    // mergeable (bin-wise sum) constant-size summary a cluster uses
+    // for p50/p95/p99 when exact sorts don't fit; the estimate's
+    // error contract is ±½ bin width. Every per-q row carries the
+    // VERIFIED contract: the chosen bin, its edges, the midpoint
+    // estimate, the exact order statistic (rank ⌈q·n⌉ with the
+    // integer-exact position (n·q+99) div 100 — no float in ranks),
+    // and an integer-compare `within` proving the exact quantile's
+    // bin IS the chosen bin in both engines. Scale shape: one scan
+    // folds to per-value counts (bounded by the 2-dp value domain);
+    // every window after runs on that bounded frame or the 1000-bin
+    // histogram — the doc_sample_weighted bounded-domain discipline.
+    "sketch_hist_quantiles" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, d, "events").select($"value")
+      val bounds = ev.agg(min($"value").as("v0"), max($"value").as("v1"))
+      def vc = ev.crossJoin(broadcast(bounds))
+        .groupBy($"value", $"v0", $"v1").agg(count(lit(1)).as("c"))
+      val binCol = when($"v1" === $"v0", 0L).otherwise(least(lit(999L),
+        floor((($"value" - $"v0") * 1000.0) / ($"v1" - $"v0"))))
+      val qarr = "array(50L, 95L, 99L)"
+      val hist = vc.select(binCol.as("bin"), $"c", $"v0", $"v1")
+        .groupBy($"bin", $"v0", $"v1").agg(sum($"c").as("hc"))
+        .withColumn("hcum", sum($"hc").over(Window.orderBy($"bin")))
+        .withColumn("n", sum($"hc").over(Window.partitionBy()))
+      val estB = hist
+        .select($"bin", $"hcum", $"n", $"v0", $"v1",
+          explode(expr(qarr)).as("qn"))
+        .filter($"hcum" >= expr("(n * qn + 99) div 100"))
+        .groupBy($"qn", $"n", $"v0", $"v1").agg(min($"bin").as("qbin"))
+      val exact = vc
+        .withColumn("cum", sum($"c").over(Window.orderBy($"value")))
+        .withColumn("nn", sum($"c").over(Window.partitionBy()))
+        .select($"value", $"cum", $"nn", explode(expr(qarr)).as("qn"))
+        .filter($"cum" >= expr("(nn * qn + 99) div 100"))
+        .groupBy($"qn").agg(min($"value").as("exact_q"))
+      estB.join(exact, "qn")
+        .select($"qn".as("q_pct"), $"n", $"qbin",
+          round($"v0" + ($"qbin" * ($"v1" - $"v0")) / 1000.0, 6)
+            .as("lo"),
+          round($"v0" + (($"qbin" + 1L) * ($"v1" - $"v0")) / 1000.0, 6)
+            .as("hi"),
+          round(($"v0" + ($"qbin" * ($"v1" - $"v0")) / 1000.0
+            + $"v0" + (($"qbin" + 1L) * ($"v1" - $"v0")) / 1000.0)
+            / 2.0, 6).as("est"),
+          $"exact_q",
+          (when($"v1" === $"v0", 0L).otherwise(least(lit(999L),
+            floor((($"exact_q" - $"v0") * 1000.0) / ($"v1" - $"v0"))))
+            === $"qbin").as("within"))
+        .orderBy($"q_pct")
     }))
 
   val oracle: Map[String, String] = Map(
+
+    "sketch_hist_quantiles" ->
+      """WITH b AS (SELECT MIN(value) AS v0, MAX(value) AS v1
+        |           FROM events),
+        |vc AS (SELECT value, v0, v1, COUNT(*) AS c
+        |       FROM events, b GROUP BY 1, 2, 3),
+        |hist AS (
+        |  SELECT bin, v0, v1, CAST(SUM(c) AS BIGINT) AS hc FROM (
+        |    SELECT CASE WHEN v1 = v0 THEN 0 ELSE LEAST(999,
+        |      CAST(FLOOR(((value - v0) * 1000.0) / (v1 - v0))
+        |        AS BIGINT)) END AS bin, c, v0, v1
+        |    FROM vc)
+        |  GROUP BY 1, 2, 3),
+        |h2 AS (SELECT *,
+        |    CAST(SUM(hc) OVER (ORDER BY bin) AS BIGINT) AS hcum,
+        |    CAST(SUM(hc) OVER () AS BIGINT) AS n
+        |  FROM hist),
+        |qv AS (SELECT CAST(x AS BIGINT) AS qn
+        |       FROM unnest([50, 95, 99]) t(x)),
+        |estb AS (
+        |  SELECT qn, n, v0, v1, CAST(MIN(bin) AS BIGINT) AS qbin
+        |  FROM h2, qv WHERE hcum >= (n * qn + 99) // 100
+        |  GROUP BY 1, 2, 3, 4),
+        |c2 AS (SELECT value,
+        |    CAST(SUM(c) OVER (ORDER BY value) AS BIGINT) AS cum,
+        |    CAST(SUM(c) OVER () AS BIGINT) AS nn
+        |  FROM vc),
+        |exact AS (
+        |  SELECT qn, MIN(value) AS exact_q
+        |  FROM c2, qv WHERE cum >= (nn * qn + 99) // 100 GROUP BY 1)
+        |SELECT eb.qn AS q_pct, eb.n, eb.qbin,
+        |  ROUND(eb.v0 + (eb.qbin * (eb.v1 - eb.v0)) / 1000.0, 6) AS lo,
+        |  ROUND(eb.v0 + ((eb.qbin + 1) * (eb.v1 - eb.v0)) / 1000.0, 6)
+        |    AS hi,
+        |  ROUND((eb.v0 + (eb.qbin * (eb.v1 - eb.v0)) / 1000.0
+        |    + eb.v0 + ((eb.qbin + 1) * (eb.v1 - eb.v0)) / 1000.0)
+        |    / 2.0, 6) AS est,
+        |  e.exact_q,
+        |  (CASE WHEN eb.v1 = eb.v0 THEN 0 ELSE LEAST(999,
+        |    CAST(FLOOR(((e.exact_q - eb.v0) * 1000.0) / (eb.v1 - eb.v0))
+        |      AS BIGINT)) END) = eb.qbin AS within
+        |FROM estb eb JOIN exact e ON e.qn = eb.qn
+        |ORDER BY q_pct""".stripMargin,
     "sketch_hll_merge" ->
       """SELECT CAST(4 AS BIGINT) AS n_shards,
         |  COUNT(DISTINCT user_id) AS exact_users,

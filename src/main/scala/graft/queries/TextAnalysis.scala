@@ -349,6 +349,40 @@ object TextAnalysis {
             .when($"stop_ratio" < 0.05, "low_stopword")
             .otherwise("kept").as("verdict"))
         .orderBy($"doc_id")
+    }),
+
+    // Per-source vocabulary drift — KL(source ‖ corpus) over unigram
+    // distributions: which feeds speak a different language than the
+    // blend (the mixture-shift alarm a data pipeline fires when one
+    // crawl starts pulling boilerplate or a new domain). Identity
+    // KL_s = (1/n_s)·Σ_w c·ln(c/cw) + ln(N/n_s) makes every per-word
+    // term free of the per-source and corpus totals, so the plan is
+    // LINEAR: one tokenize scan → (source, word) counts → corpus word
+    // totals as a word-partitioned window on the SAME frame (no
+    // second scan, no join) → source rollup; N returns as a 1-row
+    // broadcast over the source-alphabet frame. Terms are e6-quantized
+    // BIGINTs before the cross-engine sum; smoothing is unnecessary
+    // because every source word is a corpus word (cw ≥ c ≥ 1).
+    "text_kl_source_drift" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      t(s, d, "documents")
+        .select($"source", explode(split(lower($"text"), "\\s+")).as("tok"))
+        .filter($"tok" =!= "")
+        .groupBy($"source", $"tok").agg(count(lit(1)).as("c"))
+        .withColumn("cw", sum($"c").over(Window.partitionBy($"tok")))
+        .groupBy($"source")
+        .agg(sum($"c").as("n_tokens"), count(lit(1)).as("vocab"),
+          sum(round(($"c" * log($"c".cast("double") / $"cw")) * 1e6)
+            .cast("long")).as("a_e6"))
+        // N as a global window over the source-alphabet frame (~tens
+        // of rows) — the doc_sample_unimax bounded-window discipline;
+        // no re-derivation of the tokenize subtree, no scalar join
+        .withColumn("nn", sum($"n_tokens").over(Window.partitionBy()))
+        .select($"source", $"n_tokens", $"vocab",
+          round(($"a_e6".cast("double") / 1e6) / $"n_tokens"
+            + log($"nn".cast("double") / $"n_tokens"), 4).as("kl"))
+        .orderBy($"source")
     }))
 
   /** DuckDB twin of winnowFingerprints: `fps(doc_id, fp)` = the distinct
@@ -630,5 +664,29 @@ object TextAnalysis {
         |  md5(array_to_string(list_sort(list_distinct(
         |    list_filter(regexp_split_to_array(lower(text), '\s+'),
         |                x -> x <> ''))), ' ')) AS fp
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_kl_source_drift" ->
+      """WITH tk AS (
+        |  SELECT source, unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '\s+'), x -> x <> ''))
+        |    AS tok
+        |  FROM documents),
+        |sw AS (SELECT source, tok, COUNT(*) AS c FROM tk GROUP BY 1, 2),
+        |ww AS (
+        |  SELECT source, tok, c,
+        |    CAST(SUM(c) OVER (PARTITION BY tok) AS BIGINT) AS cw
+        |  FROM sw),
+        |rs AS (
+        |  SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    COUNT(*) AS vocab,
+        |    CAST(SUM(CAST(ROUND((c * ln(CAST(c AS DOUBLE) / cw)) * 1e6)
+        |      AS BIGINT)) AS BIGINT) AS a_e6
+        |  FROM ww GROUP BY source),
+        |wn AS (SELECT *, CAST(SUM(n_tokens) OVER () AS BIGINT) AS nn
+        |       FROM rs)
+        |SELECT source, n_tokens, vocab,
+        |  ROUND((CAST(a_e6 AS DOUBLE) / 1e6) / n_tokens
+        |        + ln(CAST(nn AS DOUBLE) / n_tokens), 4) AS kl
+        |FROM wn ORDER BY source""".stripMargin)
 }

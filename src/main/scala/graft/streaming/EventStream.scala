@@ -60,6 +60,77 @@ object EventStream {
           .as("is_anomaly"))
   }
 
+  /** Reference bin model for [[psiDrift]]: per event_type, the
+    * history's 10-bin value counts r0..r9 with total n_ref, plus the
+    * GLOBAL value bounds every bin assignment derives from. Bounded by
+    * the type alphabet (one flat row per type), so it broadcasts into
+    * the live stream — the train-in-batch half of the PSI monitor.
+    * The bin rule is the ONE definition shared with the declared
+    * log_psi_drift ([[graft.queries.EventsLog.valueBin]]). */
+  def psiModel(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val bounds = events
+      .agg(min($"value").as("v0"), max($"value").as("v1"))
+    val binSums = (1 to 9).map(b =>
+      sum(when($"bin" === b.toLong, 1L).otherwise(0L)).as(s"r$b")) ++
+      Seq(count(lit(1)).as("n_ref"), min($"v0").as("v0"),
+        min($"v1").as("v1"))
+    events.select($"event_type", $"value").crossJoin(broadcast(bounds))
+      .select($"event_type",
+        graft.queries.EventsLog.valueBin.as("bin"), $"v0", $"v1")
+      .groupBy($"event_type")
+      .agg(sum(when($"bin" === 0L, 1L).otherwise(0L)).as("r0"),
+        binSums: _*)
+  }
+
+  /** Online PSI drift monitor — the serve-in-stream half of the
+    * declared log_psi_drift: per (hour window, event_type), the
+    * Laplace-smoothed PSI of the window's value distribution against
+    * the broadcast reference model. The stream-static join runs
+    * BEFORE the windowed agg (the seasonalAnomaly discipline); the
+    * agg carries ten conditional bin sums, so per-key state is a
+    * fixed 10-counter row — never a value list; the ln() fold is a
+    * post-agg projection built from the SAME e10-quantized term as
+    * the batch query ([[graft.queries.EventsLog.psiTermE10]]). The
+    * page-out verdict is the batch 0.1 line PLUS a 2(k−1)/n
+    * small-sample noise floor: a no-drift window of n samples has
+    * E[PSI] ≈ (k−1)/n, so an hourly window of tens of events would
+    * page constantly on the raw batch threshold — the floor demands
+    * proportionally more evidence from smaller windows and converges
+    * to the batch rule as n grows. Evaluated as the exact integer
+    * cross-product psi_e10·n > 10⁹·n + 18·10¹⁰. */
+  def psiDrift(events: DataFrame, model: DataFrame,
+      wmDelay: String = "1 hour"): DataFrame = {
+    import events.sparkSession.implicits._
+    val keyed = events.select($"ts", $"event_type", $"value")
+      .join(broadcast(model), Seq("event_type"))
+      .withColumn("bin", graft.queries.EventsLog.valueBin)
+    val src = if (events.isStreaming) keyed.withWatermark("ts", wmDelay)
+      else keyed
+    val aggs = (1 to 9).map(b =>
+      sum(when($"bin" === b.toLong, 1L).otherwise(0L)).as(s"c$b")) ++
+      (0 to 9).map(b => min(col(s"r$b")).as(s"r$b")) ++
+      Seq(min($"n_ref").as("n_ref"), count(lit(1)).as("n"))
+    val psiE10 = (0 to 9).map { b =>
+      graft.queries.EventsLog.psiTermE10(
+        s"(cast(c$b + 1 as double) / (n + 10))",
+        s"(cast(r$b + 1 as double) / (n_ref + 10))")
+    }.mkString("(", " + ", ")")
+    src.groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(sum(when($"bin" === 0L, 1L).otherwise(0L)).as("c0"), aggs: _*)
+      .select(unix_micros($"window.start").as("hour_us"),
+        $"event_type", $"n", expr(psiE10).as("psi_e10"))
+      .select($"hour_us", $"event_type", $"n",
+        round($"psi_e10".cast("double") / 1e10, 4).as("psi"),
+        // DECIMAL(38,0): psi_e10·n overflows int64 at cluster-scale n
+        expr("""cast(psi_e10 as decimal(38,0))
+          |  * cast(n as decimal(38,0))
+          |  > cast(1000000000 as decimal(38,0))
+          |    * cast(n as decimal(38,0))
+          |    + cast(180000000000 as decimal(38,0))""".stripMargin)
+          .as("drifted"))
+  }
+
   /** Watermarked tumbling-window counts per event_type. In streaming
     * mode the 1-hour watermark bounds state; in batch mode the watermark
     * is a no-op and results equal the `log_hourly` batch query. */

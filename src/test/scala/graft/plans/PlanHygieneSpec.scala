@@ -100,6 +100,8 @@ class PlanHygieneSpec extends SparkSpec {
     "log_anomaly_seasonal",  // 1-row (min,max) hour bounds (gapfill grid)
     "log_cusum_changepoint", // 1-row (min,max) hour bounds (gapfill grid)
     "log_psi_drift",         // 1-row (ts,value) min/max bounds scalar
+    "log_ks_drift",          // 1-row ts min/max bounds scalar
+    "sketch_hist_quantiles", // 1-row value min/max bounds scalar
     "sim_centroid_shift",    // 1-row seed-codebook array (kmeans shape)
     "sim_pair_recall_bounds",// DELIBERATE sampled all-pairs truth join (the
                              // recall diagnostic's ground truth exists only
@@ -109,6 +111,7 @@ class PlanHygieneSpec extends SparkSpec {
     "log_pagerank",          // 1-row node count (rank vector joins are equi)
     "sim_recall_eval",       // 1-row query vec/planes/codebook, 2-row probes
     "sim_recall_vs_nprobe",  // 1-row query vec + 8-row probe-rank bcast
+    "sim_matryoshka_recall", // 1-row query vector scalar broadcast
     "sim_recall_bounds",     // wraps sim_recall_eval + 5-row floor table
     "sim_power_iteration",   // 1-row norm scalars (n1, n2) between passes
     "log_forecast_baseline", // inherits log_gapfill's 1-row hour bounds

@@ -447,4 +447,79 @@ class AnnInvariantsSpec extends SparkSpec {
     // the full sweep (4 of 8 cells) must beat a floor on this fixture
     assert(rows.last._3 >= 5L, "nprobe=4 recall collapsed")
   }
+
+  test("sim_matryoshka_recall: identity row exact, hits bounded") {
+    val rows = graft.SparkEntry.queries("sim_matryoshka_recall")(
+      spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(16L, 32L, 64L), "dim sweep")
+    rows.foreach { case (dim, nHit, recall) =>
+      assert(nHit >= 0L && nHit <= 10L, s"dim=$dim hits $nHit")
+      assert(math.abs(recall - nHit / 10.0) < 1e-9, s"dim=$dim recall")
+    }
+    // ranking by all 64 dims IS the truth ordering — recall must be 1
+    assert(rows.last._2 == 10L, "identity dim=64 row must hit 10/10")
+  }
+
+  test("sim_mmr_rerank: greedy chain replays exactly from embeddings") {
+    import spark.implicits._
+    val emb = graft.Tables.t(spark, sf(), "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Double](1).toArray)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0d; var na = 0d; var nb = 0d
+      a.indices.foreach { i =>
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      val x = dot / (math.sqrt(na) * math.sqrt(nb))
+      math.round(x * 1e4) / 1e4.toDouble
+    }
+    val q = emb(0L)
+    val cand = emb.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(v, q)) }
+      .sortBy { case (id, cs) => (-cs, id) }.take(20)
+    val candIds = cand.map(_._1)
+    val sim = (for (a <- candIds; b <- candIds if a != b)
+      yield (a, b) -> cos(emb(a), emb(b))).toMap
+    var picked = Vector(cand.head._1)
+    (2 to 5).foreach { _ =>
+      val next = cand.filterNot(c => picked.contains(c._1))
+        .map { case (id, cs) =>
+          val ms = picked.map(p => sim((id, p))).max
+          (id, math.round((0.7 * cs - 0.3 * ms) * 1e10))
+        }.minBy { case (id, sc) => (-sc, id) }._1
+      picked :+= next
+    }
+    val got = graft.SparkEntry.queries("sim_mmr_rerank")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == (1 to 5).map(_.toLong).zip(picked),
+      s"MMR chain diverges: got $got want $picked")
+  }
+
+  test("sim_graph_assortativity: r replays from the mutual-kNN edges") {
+    val edges = graft.SparkEntry.queries("sim_mutual_knn")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sym = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = sym.groupBy(_._1).map { case (v, g) =>
+      v -> g.length.toLong }
+    val ends = sym.map { case (a, b) => (deg(a), deg(b)) }
+    val n = ends.length.toLong
+    val sx = ends.map(_._1).sum
+    val sxx = ends.map(e => e._1 * e._1).sum
+    val sxy = ends.map(e => e._1 * e._2).sum
+    val num = (BigInt(n) * sxy - BigInt(sx) * sx).toDouble
+    val den = (BigInt(n) * sxx - BigInt(sx) * sx).toDouble
+    val row = graft.SparkEntry.queries("sim_graph_assortativity")(
+      spark, sf()).collect().head
+    assert(row.getLong(0) == n / 2, "edge count")
+    assert(row.getLong(1) == sx && row.getLong(2) == sxx
+      && row.getLong(3) == sxy, "integer sums diverge")
+    if (den == 0d) assert(row.isNullAt(4), "degenerate r must be null")
+    else {
+      val want = math.round(num / den * 1e4) / 1e4.toDouble
+      assert(math.abs(row.getDouble(4) - want) < 1e-9,
+        s"assortativity ${row.getDouble(4)} != $want")
+    }
+  }
 }

@@ -1577,4 +1577,118 @@ class PipelineInvariantsSpec extends SparkSpec {
         r.getLong(3), r.getDouble(4))).toSeq
     assert(got == expected, "scene-cut stats diverge from byte replay")
   }
+
+  test("text_kl_source_drift: a_e6 replays exactly, KL non-negative") {
+    import spark.implicits._
+    val toks = t(spark, sf(), "documents")
+      .select($"source", explode(expr(
+        "filter(split(lower(text), '\\\\s+'), x -> x != '')")).as("tok"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val bySrcTok = toks.groupBy(identity).map { case ((s0, w), g) =>
+      (s0, w) -> g.length.toLong }
+    val byTok = toks.groupBy(_._2).map { case (w, g) =>
+      w -> g.length.toLong }
+    val nTot = toks.length.toLong
+    val expected = toks.map(_._1).distinct.sorted.map { src =>
+      val words = bySrcTok.filter(_._1._1 == src)
+      val nS = words.values.sum
+      val aE6 = words.map { case ((_, w), c) =>
+        math.round(c * math.log(c.toDouble / byTok(w)) * 1e6)
+      }.sum
+      val kl = (aE6.toDouble / 1e6) / nS +
+        math.log(nTot.toDouble / nS)
+      (src, nS, words.size.toLong,
+        math.round(kl * 1e4) / 1e4.toDouble)
+    }.toSeq
+    val got = SparkEntry.queries("text_kl_source_drift")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == expected, "KL drift diverges from exact replay")
+    got.foreach { case (src, _, _, kl) =>
+      assert(kl >= -1e-3, s"$src: KL $kl negative beyond quantization")
+    }
+  }
+
+  test("log_benford: chi2 and worst digit replay from raw values") {
+    import spark.implicits._
+    val bf = Seq(1 -> 0.301030, 2 -> 0.176091, 3 -> 0.124939,
+      4 -> 0.096910, 5 -> 0.079181, 6 -> 0.066947, 7 -> 0.057992,
+      8 -> 0.051153, 9 -> 0.045757)
+    val vals = t(spark, sf(), "events")
+      .select($"event_type", $"value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val expected = vals.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (ty, g) =>
+        val digs = g.map { case (_, v) => math.round(v * 1e6) }
+          .filter(_ >= 1L).map(_.toString.substring(0, 1).toLong)
+        val n = digs.length.toLong
+        val cnt = digs.groupBy(identity).map { case (dg, h) =>
+          dg -> h.length.toLong }
+        var chi = 0L; var wd = 0L; var dev = -1L
+        bf.foreach { case (dg, e) =>
+          val share = cnt.getOrElse(dg.toLong, 0L) / n.toDouble
+          chi += math.round((share - e) * (share - e) / e * 1e10)
+          val dv = math.abs(math.round((share - e) * 1e10))
+          if (dv > dev) { wd = dg.toLong; dev = dv }
+        }
+        (ty, n, math.round(chi.toDouble / 1e10 * 1e4) / 1e4.toDouble,
+          wd, math.round(dev.toDouble / 1e10 * 1e4) / 1e4.toDouble)
+    }
+    val got = SparkEntry.queries("log_benford")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3), r.getDouble(4))).toSeq
+    assert(got == expected, "Benford audit diverges from exact replay")
+  }
+
+  test("log_ks_drift: D and its argmax replay in exact integers") {
+    import spark.implicits._
+    val raw = t(spark, sf(), "events")
+      .select($"event_type", unix_micros($"ts").as("us"), $"value")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val us0 = raw.map(_._2).min; val us1 = raw.map(_._2).max
+    val expected = raw.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (ty, g) =>
+        val early = g.filter(e => e._2 * 2 < us0 + us1).map(_._3)
+        val late = g.filter(e => e._2 * 2 >= us0 + us1).map(_._3)
+        val (n1, n2) = (early.length.toLong, late.length.toLong)
+        val vals = (early ++ late).distinct.sorted
+        var ca = 0L; var cb = 0L
+        var best = BigInt(-1); var bestAt = 0d
+        vals.foreach { v =>
+          ca += early.count(_ == v); cb += late.count(_ == v)
+          val dint = (BigInt(ca) * n2 - BigInt(cb) * n1).abs
+          if (dint > best) { best = dint; bestAt = v }
+        }
+        val dd = best.toDouble / (n1.toDouble * n2.toDouble)
+        val crit = 1.358 * math.sqrt((n1 + n2).toDouble /
+          (n1.toDouble * n2.toDouble))
+        (ty, n1, n2, math.round(dd * 1e4) / 1e4.toDouble, bestAt,
+          dd > crit)
+    }
+    val got = SparkEntry.queries("log_ks_drift")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getBoolean(5))).toSeq
+    assert(got == expected, "KS drift diverges from exact replay")
+  }
+
+  test("dedup_threshold_sweep: curve replays from the estimator pairs") {
+    import spark.implicits._
+    val pairs = SparkEntry.queries("dedup_minhash_est")(spark, sf())
+      .select($"doc_b", $"exact_jacc").collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e4)))
+    val expected = Seq(5000L, 6000L, 7000L, 8000L, 9000L).map { thr =>
+      val q = pairs.filter(_._2 >= thr)
+      (thr / 1e4, q.length.toLong, q.map(_._1).distinct.length.toLong)
+    }
+    val got = SparkEntry.queries("dedup_threshold_sweep")(spark, sf())
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(got == expected, "yield curve diverges from pair replay")
+    // tightening the threshold can only shrink both counts
+    got.sliding(2).foreach {
+      case Seq((_, p1, d1), (_, p2, d2)) =>
+        assert(p2 <= p1 && d2 <= d1, "curve must be non-increasing")
+      case _ => ()
+    }
+  }
 }

@@ -115,4 +115,27 @@ class SketchesSpec extends SparkSpec {
       s"false negative detected: maybe=$nMaybe present=$nPresent fp=$nFalsePos")
     assert(nMaybe <= nProbed)
   }
+
+  test("histogram quantiles: exact rank replay, error within one bin") {
+    import spark.implicits._
+    val vals = graft.Tables.t(spark, sf(), "events")
+      .select($"value").collect().map(_.getDouble(0)).sorted
+    val n = vals.length.toLong
+    val rows = SparkEntry.queries("sketch_hist_quantiles")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+        r.getBoolean(7)))
+    assert(rows.map(_._1).toSeq == Seq(50L, 95L, 99L), "q sweep")
+    rows.foreach { case (q, nn, _, lo, hi, est, exactQ, within) =>
+      assert(nn == n, s"q=$q: total $nn != $n")
+      // the exact order statistic at integer rank ceil(q*n/100)
+      val pos = ((n * q + 99) / 100).toInt
+      assert(exactQ == vals(pos - 1), s"q=$q: exact rank diverges")
+      assert(within, s"q=$q: exact quantile outside the chosen bin")
+      // estimate contract: midpoint of the containing bin — error is
+      // bounded by the bin width
+      assert(est >= lo && est <= hi && math.abs(est - exactQ)
+        <= (hi - lo) + 1e-9, s"q=$q: estimate error exceeds bin width")
+    }
+  }
 }
