@@ -60,6 +60,17 @@ object EventsLog {
   private[graft] def psiTermE10(p2: String, p1: String): String =
     s"cast(round((($p2 - $p1) * ln($p2 / $p1)) * 1e10) as bigint)"
 
+  /** Deterministic 50/50 experiment assignment — first md5 hex digit
+    * of the user id (one definition, shared by log_ab_metrics and
+    * log_ab_cuped so the two A/B readouts can never disagree on who
+    * is in which arm). Expects a `user_id` column. */
+  private def variantCol: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, md5, substring, when}
+    when(substring(md5(col("user_id").cast("string").cast("binary")),
+        1, 1).isin("0", "1", "2", "3", "4", "5", "6", "7"), "A")
+      .otherwise("B")
+  }
+
   /** Per-(event_type, dow, hod) exact integer count/Σx/Σx² over the
     * dense grid — the hour-of-week baseline model. */
   private[graft] def seasonalStats(ev: DataFrame): DataFrame = {
@@ -94,9 +105,7 @@ object EventsLog {
       import s.implicits._
       val ev = t(s, d, "events")
         .select($"user_id", $"event_type", $"value",
-          when(substring(md5($"user_id".cast("string").cast("binary")), 1, 1)
-              .isin("0", "1", "2", "3", "4", "5", "6", "7"), "A")
-            .otherwise("B").as("variant"))
+          variantCol.as("variant"))
       ev.groupBy($"variant")
         .agg(countDistinct($"user_id").as("n_users"),
           count(lit(1)).as("n_events"),
@@ -1288,7 +1297,134 @@ object EventsLog {
               / ($"n1".cast("double") * $"n2".cast("double"))))
             .as("reject_05"))
         .orderBy($"event_type")
+    }),
+
+    // Incident runs — the page an on-call human actually reads:
+    // consecutive anomalous hours from log_anomaly_seasonal collapsed
+    // into (start, end, duration, peak) incidents via the classic
+    // gaps-and-islands key hour_index − row_number (pure integers).
+    // One definition of the flag rule (the query CALLS
+    // log_anomaly_seasonal; the oracle wraps its SQL as a CTE), and
+    // the island window + rollup share one event_type Exchange over
+    // the flagged subset only.
+    "log_anomaly_burst_runs" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"event_type").orderBy($"hour_us")
+      queries("log_anomaly_seasonal")(s, d)
+        .filter($"is_anomaly" === 1L)
+        .select($"event_type", $"hour_us", $"n")
+        .withColumn("grp", expr("hour_us div 3600000000")
+          - row_number().over(w))
+        .groupBy($"event_type", $"grp")
+        .agg(min($"hour_us").as("start_us"), max($"hour_us").as("end_us"),
+          count(lit(1)).as("n_hours"), max($"n").as("peak_n"),
+          sum($"n").as("total_n"))
+        .select($"event_type", $"start_us", $"end_us", $"n_hours",
+          $"peak_n", $"total_n")
+        .orderBy($"event_type", $"start_us")
+    }),
+
+    // CUPED variance-reduced A/B readout (Deng et al. 2013) — the
+    // experimentation-platform staple: adjust each user's
+    // second-half-of-window metric by their FIRST-half (pre-period)
+    // metric, θ = cov(pre, post)/var(pre), cutting variance by the
+    // squared correlation without biasing the A−B contrast. Float
+    // discipline: per-user pre/post are EXACT e2-integer sums (the
+    // 2-dp value domain); θ's covariance cross products widen to
+    // DECIMAL(38,0) (int64 overflows at cluster-scale user counts);
+    // the only floats are the final reported means/θ/ρ². Scale shape:
+    // one scan → user-keyed agg → variant rollup (2 rows) → global
+    // sums as windows over that 2-row frame — θ never touches a
+    // per-user float.
+    "log_ab_cuped" -> ((s, d) => {
+      import s.implicits._
+      val wAll = Window.partitionBy()
+      val ev = t(s, d, "events")
+        .select($"user_id", unix_micros($"ts").as("us"),
+          expr("cast(round(value * 100) as bigint)").as("v_e2"))
+      val bounds = ev.agg(min($"us").as("us0"), max($"us").as("us1"))
+      val dec = "cast(%s as decimal(38,0))"
+      val perVariant = ev.crossJoin(broadcast(bounds))
+        .select($"user_id",
+          when($"us" * 2 < $"us0" + $"us1", $"v_e2").otherwise(0L)
+            .as("xe"),
+          when($"us" * 2 >= $"us0" + $"us1", $"v_e2").otherwise(0L)
+            .as("ye"))
+        .groupBy($"user_id")
+        .agg(sum($"xe").as("x"), sum($"ye").as("y"))
+        .select($"user_id", $"x", $"y", variantCol.as("variant"))
+        .groupBy($"variant")
+        .agg(count(lit(1)).as("n_v"), sum($"x").as("sx_v"),
+          sum($"y").as("sy_v"), sum(expr("x * x")).as("sxx_v"),
+          sum(expr("x * y")).as("sxy_v"), sum(expr("y * y")).as("syy_v"))
+      perVariant
+        .withColumn("n", sum($"n_v").over(wAll))
+        .withColumn("sx", sum($"sx_v").over(wAll))
+        .withColumn("sy", sum($"sy_v").over(wAll))
+        .withColumn("sxx", sum($"sxx_v").over(wAll))
+        .withColumn("sxy", sum($"sxy_v").over(wAll))
+        .withColumn("syy", sum($"syy_v").over(wAll))
+        .withColumn("num", expr(
+          s"${dec.format("n")} * ${dec.format("sxy")}" +
+            s" - ${dec.format("sx")} * ${dec.format("sy")}"))
+        .withColumn("den", expr(
+          s"${dec.format("n")} * ${dec.format("sxx")}" +
+            s" - ${dec.format("sx")} * ${dec.format("sx")}"))
+        .withColumn("deny", expr(
+          s"${dec.format("n")} * ${dec.format("syy")}" +
+            s" - ${dec.format("sy")} * ${dec.format("sy")}"))
+        .withColumn("theta", when($"den" === 0, lit(null))
+          .otherwise($"num".cast("double") / $"den".cast("double")))
+        .select($"variant", $"n_v".as("n_users"),
+          round($"sx_v".cast("double") / $"n_v" / 100.0, 4)
+            .as("mean_pre"),
+          round($"sy_v".cast("double") / $"n_v" / 100.0, 4)
+            .as("mean_post"),
+          round(($"sy_v".cast("double") / $"n_v" / 100.0)
+            - $"theta" * ($"sx_v".cast("double") / $"n_v" / 100.0
+              - $"sx".cast("double") / $"n" / 100.0), 4).as("mean_adj"),
+          round($"theta", 4).as("theta"),
+          when($"den" === 0 || $"deny" === 0, lit(null)).otherwise(
+            round(($"num".cast("double") * $"num".cast("double"))
+              / ($"den".cast("double") * $"deny".cast("double")), 4))
+            .as("var_reduction"))
+        .orderBy($"variant")
     }))
+
+  /** Oracle SQL of log_anomaly_seasonal, factored so
+    * log_anomaly_burst_runs can wrap it as a CTE (one definition of
+    * the flag rule across the point query and the incident rollup). */
+  private val anomalySeasonalSql: String =
+    """WITH e AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h FROM events),
+      |counts AS (SELECT event_type, h, COUNT(*) AS n
+      |           FROM e GROUP BY 1, 2),
+      |bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM e),
+      |grid AS (
+      |  SELECT event_type, unnest(generate_series(h0, h1,
+      |    INTERVAL 1 HOUR)) AS h
+      |  FROM (SELECT DISTINCT event_type FROM e), bounds),
+      |dense AS (
+      |  SELECT g.event_type, g.h, COALESCE(c.n, 0) AS n,
+      |    isodow(g.h) AS dow, CAST(hour(g.h) AS BIGINT) AS hod
+      |  FROM grid g LEFT JOIN counts c
+      |    ON c.event_type = g.event_type AND c.h = g.h),
+      |stats AS (
+      |  SELECT event_type, dow, hod, COUNT(*) AS c,
+      |    CAST(SUM(n) AS BIGINT) AS sx,
+      |    CAST(SUM(n * n) AS BIGINT) AS sxx
+      |  FROM dense GROUP BY 1, 2, 3)
+      |SELECT d.event_type, epoch_us(d.h) AS hour_us, d.n,
+      |  ROUND(CAST(sx AS DOUBLE) / c, 4) AS cell_mean,
+      |  CAST(CASE WHEN
+      |    4 * (CAST(d.n AS HUGEINT) * c - sx) * (CAST(d.n AS HUGEINT)
+      |         * c - sx) > 9 * (CAST(c AS HUGEINT) * sxx
+      |                          - CAST(sx AS HUGEINT) * sx)
+      |    THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+      |FROM dense d JOIN stats s
+      |  ON s.event_type = d.event_type AND s.dow = d.dow
+      | AND s.hod = d.hod
+      |ORDER BY d.event_type, hour_us""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "log_approx_distinct_bounds" ->
@@ -1449,37 +1585,25 @@ object EventsLog {
         |  ROUND(CAST(dau AS DOUBLE) / mau, 4) AS stickiness
         |FROM dau d JOIN mau USING (wday) ORDER BY day""".stripMargin,
 
-    "log_anomaly_seasonal" ->
-      """WITH e AS (
-        |  SELECT event_type, date_trunc('hour', ts) AS h FROM events),
-        |counts AS (SELECT event_type, h, COUNT(*) AS n
-        |           FROM e GROUP BY 1, 2),
-        |bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM e),
-        |grid AS (
-        |  SELECT event_type, unnest(generate_series(h0, h1,
-        |    INTERVAL 1 HOUR)) AS h
-        |  FROM (SELECT DISTINCT event_type FROM e), bounds),
-        |dense AS (
-        |  SELECT g.event_type, g.h, COALESCE(c.n, 0) AS n,
-        |    isodow(g.h) AS dow, CAST(hour(g.h) AS BIGINT) AS hod
-        |  FROM grid g LEFT JOIN counts c
-        |    ON c.event_type = g.event_type AND c.h = g.h),
-        |stats AS (
-        |  SELECT event_type, dow, hod, COUNT(*) AS c,
-        |    CAST(SUM(n) AS BIGINT) AS sx,
-        |    CAST(SUM(n * n) AS BIGINT) AS sxx
-        |  FROM dense GROUP BY 1, 2, 3)
-        |SELECT d.event_type, epoch_us(d.h) AS hour_us, d.n,
-        |  ROUND(CAST(sx AS DOUBLE) / c, 4) AS cell_mean,
-        |  CAST(CASE WHEN
-        |    4 * (CAST(d.n AS HUGEINT) * c - sx) * (CAST(d.n AS HUGEINT)
-        |         * c - sx) > 9 * (CAST(c AS HUGEINT) * sxx
-        |                          - CAST(sx AS HUGEINT) * sx)
-        |    THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
-        |FROM dense d JOIN stats s
-        |  ON s.event_type = d.event_type AND s.dow = d.dow
-        | AND s.hod = d.hod
-        |ORDER BY d.event_type, hour_us""".stripMargin,
+    "log_anomaly_seasonal" -> anomalySeasonalSql,
+
+    "log_anomaly_burst_runs" ->
+      s"""WITH a0 AS (
+         |$anomalySeasonalSql
+         |),
+         |f AS (
+         |  SELECT event_type, hour_us, n,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+         |      ORDER BY hour_us) AS BIGINT) AS rn
+         |  FROM a0 WHERE is_anomaly = 1)
+         |SELECT event_type,
+         |  CAST(MIN(hour_us) AS BIGINT) AS start_us,
+         |  CAST(MAX(hour_us) AS BIGINT) AS end_us,
+         |  COUNT(*) AS n_hours,
+         |  CAST(MAX(n) AS BIGINT) AS peak_n,
+         |  CAST(SUM(n) AS BIGINT) AS total_n
+         |FROM f GROUP BY event_type, hour_us // 3600000000 - rn
+         |ORDER BY event_type, start_us""".stripMargin,
 
     "log_anomaly" ->
       """WITH p AS (
@@ -2110,5 +2234,63 @@ object EventsLog {
         |    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
         |    > CAST(1.358 AS DOUBLE) * sqrt(CAST(n1 + n2 AS DOUBLE)
         |      / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) AS reject_05
-        |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin)
+        |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin,
+
+    "log_ab_cuped" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS v_e2
+        |  FROM events),
+        |b AS (SELECT MIN(us) AS us0, MAX(us) AS us1 FROM ev),
+        |pu AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN us * 2 < us0 + us1 THEN v_e2 ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN us * 2 >= us0 + us1 THEN v_e2 ELSE 0
+        |      END) AS BIGINT) AS y
+        |  FROM ev, b GROUP BY user_id),
+        |pv AS (
+        |  SELECT CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+        |              IN ('0','1','2','3','4','5','6','7')
+        |         THEN 'A' ELSE 'B' END AS variant,
+        |    x, y FROM pu),
+        |va AS (
+        |  SELECT variant, COUNT(*) AS n_v,
+        |    CAST(SUM(x) AS BIGINT) AS sx_v,
+        |    CAST(SUM(y) AS BIGINT) AS sy_v,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx_v,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy_v,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy_v
+        |  FROM pv GROUP BY variant),
+        |g AS (
+        |  SELECT *,
+        |    CAST(SUM(n_v) OVER () AS BIGINT) AS n,
+        |    CAST(SUM(sx_v) OVER () AS BIGINT) AS sx,
+        |    CAST(SUM(sy_v) OVER () AS BIGINT) AS sy,
+        |    CAST(SUM(sxx_v) OVER () AS BIGINT) AS sxx,
+        |    CAST(SUM(sxy_v) OVER () AS BIGINT) AS sxy,
+        |    CAST(SUM(syy_v) OVER () AS BIGINT) AS syy
+        |  FROM va),
+        |g2 AS (
+        |  SELECT *,
+        |    CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+        |    CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den,
+        |    CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS deny
+        |  FROM g),
+        |g3 AS (
+        |  SELECT *, CASE WHEN den = 0 THEN NULL
+        |    ELSE CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS theta
+        |  FROM g2)
+        |SELECT variant, n_v AS n_users,
+        |  ROUND(CAST(sx_v AS DOUBLE) / n_v / 100.0, 4) AS mean_pre,
+        |  ROUND(CAST(sy_v AS DOUBLE) / n_v / 100.0, 4) AS mean_post,
+        |  ROUND((CAST(sy_v AS DOUBLE) / n_v / 100.0)
+        |    - theta * (CAST(sx_v AS DOUBLE) / n_v / 100.0
+        |      - CAST(sx AS DOUBLE) / n / 100.0), 4) AS mean_adj,
+        |  ROUND(theta, 4) AS theta,
+        |  CASE WHEN den = 0 OR deny = 0 THEN NULL ELSE
+        |    ROUND((CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
+        |      / (CAST(den AS DOUBLE) * CAST(deny AS DOUBLE)), 4) END
+        |    AS var_reduction
+        |FROM g3 ORDER BY variant""".stripMargin)
 }

@@ -99,6 +99,8 @@ class PlanHygieneSpec extends SparkSpec {
     "dedup_df_profile",      // 1-row total-occurrence-mass agg
     "log_anomaly_seasonal",  // 1-row (min,max) hour bounds (gapfill grid)
     "log_cusum_changepoint", // 1-row (min,max) hour bounds (gapfill grid)
+    "log_anomaly_burst_runs",// inherits log_anomaly_seasonal's bounds
+    "log_ab_cuped",          // 1-row ts min/max bounds scalar
     "log_psi_drift",         // 1-row (ts,value) min/max bounds scalar
     "log_ks_drift",          // 1-row ts min/max bounds scalar
     "sketch_hist_quantiles", // 1-row value min/max bounds scalar

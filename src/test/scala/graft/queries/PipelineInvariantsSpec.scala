@@ -1691,4 +1691,85 @@ class PipelineInvariantsSpec extends SparkSpec {
       case _ => ()
     }
   }
+
+  test("log_anomaly_burst_runs: islands replay from the flag series") {
+    import spark.implicits._
+    val hourUs = 3600000000L
+    val flags = SparkEntry.queries("log_anomaly_seasonal")(spark, sf())
+      .filter($"is_anomaly" === 1L)
+      .select($"event_type", $"hour_us", $"n").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = flags.groupBy(_._1).toSeq.flatMap { case (ty, g) =>
+      val hs = g.sortBy(_._2)
+      val runs = hs.foldLeft(Vector.empty[Vector[(Long, Long)]]) {
+        case (acc, (_, h, n)) =>
+          if (acc.nonEmpty && acc.last.last._1 + hourUs == h)
+            acc.init :+ (acc.last :+ (h, n))
+          else acc :+ Vector((h, n))
+      }
+      runs.map { run =>
+        (ty, run.head._1, run.last._1, run.length.toLong,
+          run.map(_._2).max, run.map(_._2).sum)
+      }
+    }.sortBy(r => (r._1, r._2))
+    val got = SparkEntry.queries("log_anomaly_burst_runs")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected, "incident runs diverge from flag replay")
+    got.foreach { case (_, s0, e0, nh, peak, tot) =>
+      assert(e0 - s0 == (nh - 1) * hourUs, "run span must be dense")
+      assert(peak <= tot, "peak exceeds total")
+    }
+  }
+
+  test("log_ab_cuped: theta and adjusted means replay in exact sums") {
+    import spark.implicits._
+    val raw = t(spark, sf(), "events")
+      .select($"user_id", unix_micros($"ts").as("us"), $"value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val us0 = raw.map(_._2).min; val us1 = raw.map(_._2).max
+    val perUser = raw.groupBy(_._1).map { case (u, g) =>
+      val x = g.filter(e => e._2 * 2 < us0 + us1)
+        .map(e => math.round(e._3 * 100)).sum
+      val y = g.filter(e => e._2 * 2 >= us0 + us1)
+        .map(e => math.round(e._3 * 100)).sum
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (if ("01234567".contains(hex.head)) "A" else "B", x, y)
+    }.toSeq
+    val n = perUser.length.toLong
+    def bi(l: Long) = BigInt(l)
+    val sx = perUser.map(_._2).sum; val sy = perUser.map(_._3).sum
+    val sxx = perUser.map(e => e._2 * e._2).sum
+    val sxy = perUser.map(e => e._2 * e._3).sum
+    val num = (bi(n) * sxy - bi(sx) * sy).toDouble
+    val den = (bi(n) * sxx - bi(sx) * sx).toDouble
+    val theta = num / den
+    val rows = SparkEntry.queries("log_ab_cuped")(spark, sf())
+      .collect().map(r => r.getString(0) -> (r.getLong(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+        r.getDouble(6))).toMap
+    assert(rows.keySet == Set("A", "B"))
+    Seq("A", "B").foreach { v =>
+      val g = perUser.filter(_._1 == v)
+      val (nV, preV, postV) = (g.length.toLong,
+        g.map(_._2).sum.toDouble / g.length / 100.0,
+        g.map(_._3).sum.toDouble / g.length / 100.0)
+      val adj = postV - theta * (preV - sx.toDouble / n / 100.0)
+      val (gn, gPre, gPost, gAdj, gTheta, gVr) = rows(v)
+      assert(gn == nV, s"$v: user count")
+      assert(math.abs(gPre - preV) < 1e-3 &&
+        math.abs(gPost - postV) < 1e-3, s"$v: raw means")
+      assert(math.abs(gAdj - adj) < 1e-3, s"$v: adjusted mean")
+      assert(math.abs(gTheta - theta) < 1e-3, s"$v: theta")
+      assert(gVr >= 0d && gVr <= 1d, s"$v: rho^2 out of [0,1]")
+    }
+    // CUPED must not bias the contrast: adjusted A-B == raw A-B
+    // shifted by theta*(preA - preB)
+    val (a, b) = (rows("A"), rows("B"))
+    assert(math.abs((a._4 - b._4) -
+      ((a._3 - b._3) - theta * (a._2 - b._2))) < 5e-3,
+      "adjusted contrast diverges from the CUPED identity")
+  }
 }
