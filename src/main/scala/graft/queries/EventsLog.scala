@@ -1389,6 +1389,102 @@ object EventsLog {
               / ($"den".cast("double") * $"deny".cast("double")), 4))
             .as("var_reduction"))
         .orderBy($"variant")
+    }),
+
+    // Kaplan–Meier churn survival — the retention curve done right:
+    // a user last seen near the window edge is CENSORED (we don't
+    // know they churned), and KM is the standard estimator that uses
+    // censored lifetimes without biasing the curve. Lifetime t =
+    // days between first and last activity; churn observed iff the
+    // last activity sits ≥3 days before the window end. Exactness:
+    // at-risk counts are pure integer window cumsums over the ≤
+    // day-span frame; each ln(1−d/n) factor is e10-quantized before
+    // the cumulative sum (the PSI discipline applied to a product);
+    // a step where EVERYONE at risk churns pins survival to exactly
+    // 0 thereafter via an integer flag — never ln(0). Scale shape:
+    // one scan → user-keyed agg → a day-span-bounded frame for every
+    // window.
+    "log_survival_curve" -> ((s, d) => {
+      import s.implicits._
+      val wOrd = Window.orderBy($"t")
+      val ud = t(s, d, "events")
+        .select($"user_id", to_date($"ts").as("day"))
+      val bounds = ud.agg(max($"day").as("wend"))
+      ud.groupBy($"user_id")
+        .agg(min($"day").as("first_d"), max($"day").as("last_d"))
+        .crossJoin(broadcast(bounds))
+        .select($"user_id",
+          datediff($"last_d", $"first_d").cast("long").as("t"),
+          (datediff($"wend", $"last_d") >= 3).cast("long").as("ch"))
+        .groupBy($"t")
+        .agg(count(lit(1)).as("ended"), sum($"ch").as("d"))
+        .withColumn("c", $"ended" - $"d")
+        .withColumn("removed_before", coalesce(sum($"ended")
+          .over(wOrd.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .withColumn("n_total",
+          sum($"ended").over(Window.partitionBy()))
+        .withColumn("n_risk", $"n_total" - $"removed_before")
+        .withColumn("lnterm_e10", when($"d" === 0L, lit(0L))
+          .when($"d" < $"n_risk", expr(
+            "cast(round(ln(1.0 - cast(d as double) / n_risk) * 1e10)" +
+              " as bigint)"))
+          .otherwise(lit(null)))
+        .withColumn("cum_e10", sum($"lnterm_e10").over(wOrd))
+        .withColumn("hit_zero",
+          max(when($"d" >= $"n_risk", 1L).otherwise(0L)).over(wOrd))
+        .select($"t".as("t_days"), $"n_risk", $"d".as("churned"),
+          $"c".as("censored"),
+          round($"d".cast("double") / $"n_risk", 4).as("hazard"),
+          when($"hit_zero" === 1L, 0.0).otherwise(
+            round(exp($"cum_e10".cast("double") / 1e10), 4))
+            .as("survival"))
+        .orderBy($"t_days")
+    }),
+
+    // Period-over-period change decomposition — the "why did the
+    // metric move" bridge every business review runs: per event_type,
+    // the window-half-over-half change in total value split into a
+    // VOLUME effect ((n₂−n₁)·rate₁) and a RATE effect (n₂·(rate₂−
+    // rate₁)), which sum to the total change exactly in real
+    // arithmetic. Base quantities are exact e2-integer sums (delta is
+    // reported as an EXACT integer-derived value); the effects are
+    // the only floats, and identity_gap shows the float honesty —
+    // how far the rounded effects drift from the exact delta. One
+    // scan, one (type) agg with conditional half-sums.
+    "log_change_decomposition" -> ((s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+        .select($"event_type", unix_micros($"ts").as("us"),
+          expr("cast(round(value * 100) as bigint)").as("v_e2"))
+      val bounds = ev.agg(min($"us").as("us0"), max($"us").as("us1"))
+      ev.crossJoin(broadcast(bounds))
+        .select($"event_type",
+          when($"us" * 2 < $"us0" + $"us1", 1L).otherwise(0L).as("e"),
+          $"v_e2")
+        .groupBy($"event_type")
+        .agg(sum($"e").as("n1"), sum(lit(1L) - $"e").as("n2"),
+          sum($"e" * $"v_e2").as("s1"),
+          sum((lit(1L) - $"e") * $"v_e2").as("s2"))
+        .select($"event_type", $"n1".as("n_early"), $"n2".as("n_late"),
+          round($"s1".cast("double") / 100.0, 2).as("sum_early"),
+          round($"s2".cast("double") / 100.0, 2).as("sum_late"),
+          round(($"s2" - $"s1").cast("double") / 100.0, 2).as("delta"),
+          round(($"n2" - $"n1").cast("double")
+            * ($"s1".cast("double") / $"n1" / 100.0), 4)
+            .as("volume_effect"),
+          round($"n2".cast("double")
+            * ($"s2".cast("double") / $"n2" / 100.0
+              - $"s1".cast("double") / $"n1" / 100.0), 4)
+            .as("rate_effect"),
+          round(($"s2" - $"s1").cast("double") / 100.0
+            - ($"n2" - $"n1").cast("double")
+              * ($"s1".cast("double") / $"n1" / 100.0)
+            - $"n2".cast("double")
+              * ($"s2".cast("double") / $"n2" / 100.0
+                - $"s1".cast("double") / $"n1" / 100.0), 4)
+            .as("identity_gap"))
+        .orderBy($"event_type")
     }))
 
   /** Oracle SQL of log_anomaly_seasonal, factored so
@@ -2292,5 +2388,86 @@ object EventsLog {
         |    ROUND((CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
         |      / (CAST(den AS DOUBLE) * CAST(deny AS DOUBLE)), 4) END
         |    AS var_reduction
-        |FROM g3 ORDER BY variant""".stripMargin)
+        |FROM g3 ORDER BY variant""".stripMargin,
+
+    "log_survival_curve" ->
+      """WITH ud AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |b AS (SELECT MAX(day) AS wend FROM ud),
+        |u AS (
+        |  SELECT user_id, MIN(day) AS first_d, MAX(day) AS last_d
+        |  FROM ud GROUP BY user_id),
+        |lt AS (
+        |  SELECT user_id,
+        |    CAST(date_diff('day', first_d, last_d) AS BIGINT) AS t,
+        |    CASE WHEN date_diff('day', last_d, wend) >= 3
+        |         THEN 1 ELSE 0 END AS ch
+        |  FROM u, b),
+        |byt AS (
+        |  SELECT t, COUNT(*) AS ended, CAST(SUM(ch) AS BIGINT) AS d
+        |  FROM lt GROUP BY t),
+        |c1 AS (
+        |  SELECT *, ended - d AS c,
+        |    COALESCE(CAST(SUM(ended) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS removed_before,
+        |    CAST(SUM(ended) OVER () AS BIGINT) AS n_total
+        |  FROM byt),
+        |c2 AS (
+        |  SELECT *, n_total - removed_before AS n_risk FROM c1),
+        |c3 AS (
+        |  SELECT *,
+        |    CASE WHEN d = 0 THEN 0
+        |         WHEN d < n_risk THEN CAST(ROUND(
+        |           ln(1.0 - CAST(d AS DOUBLE) / n_risk) * 1e10)
+        |           AS BIGINT)
+        |         ELSE NULL END AS lnterm_e10
+        |  FROM c2),
+        |c4 AS (
+        |  SELECT *,
+        |    CAST(SUM(lnterm_e10) OVER (ORDER BY t) AS BIGINT)
+        |      AS cum_e10,
+        |    MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY t) AS hit_zero
+        |  FROM c3)
+        |SELECT t AS t_days, n_risk, d AS churned, c AS censored,
+        |  ROUND(CAST(d AS DOUBLE) / n_risk, 4) AS hazard,
+        |  CASE WHEN hit_zero = 1 THEN 0.0
+        |       ELSE ROUND(exp(CAST(cum_e10 AS DOUBLE) / 1e10), 4) END
+        |    AS survival
+        |FROM c4 ORDER BY t_days""".stripMargin,
+
+    "log_change_decomposition" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_us(ts) AS us,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS v_e2
+        |  FROM events),
+        |b AS (SELECT MIN(us) AS us0, MAX(us) AS us1 FROM ev),
+        |h AS (
+        |  SELECT event_type,
+        |    CASE WHEN us * 2 < us0 + us1 THEN 1 ELSE 0 END AS e, v_e2
+        |  FROM ev, b),
+        |g AS (
+        |  SELECT event_type,
+        |    CAST(SUM(e) AS BIGINT) AS n1,
+        |    CAST(SUM(1 - e) AS BIGINT) AS n2,
+        |    CAST(SUM(e * v_e2) AS BIGINT) AS s1,
+        |    CAST(SUM((1 - e) * v_e2) AS BIGINT) AS s2
+        |  FROM h GROUP BY event_type)
+        |SELECT event_type, n1 AS n_early, n2 AS n_late,
+        |  ROUND(CAST(s1 AS DOUBLE) / 100.0, 2) AS sum_early,
+        |  ROUND(CAST(s2 AS DOUBLE) / 100.0, 2) AS sum_late,
+        |  ROUND(CAST(s2 - s1 AS DOUBLE) / 100.0, 2) AS delta,
+        |  ROUND(CAST(n2 - n1 AS DOUBLE)
+        |    * (CAST(s1 AS DOUBLE) / n1 / 100.0), 4) AS volume_effect,
+        |  ROUND(CAST(n2 AS DOUBLE)
+        |    * (CAST(s2 AS DOUBLE) / n2 / 100.0
+        |      - CAST(s1 AS DOUBLE) / n1 / 100.0), 4) AS rate_effect,
+        |  ROUND(CAST(s2 - s1 AS DOUBLE) / 100.0
+        |    - CAST(n2 - n1 AS DOUBLE)
+        |      * (CAST(s1 AS DOUBLE) / n1 / 100.0)
+        |    - CAST(n2 AS DOUBLE)
+        |      * (CAST(s2 AS DOUBLE) / n2 / 100.0
+        |        - CAST(s1 AS DOUBLE) / n1 / 100.0), 4) AS identity_gap
+        |FROM g ORDER BY event_type""".stripMargin)
 }

@@ -244,6 +244,40 @@ object Multimodal {
         .select($"media_id", $"n_frames", $"n_cuts", $"max_dist",
           round($"sd".cast("double") / $"nd", 4).as("avg_dist"))
         .orderBy($"media_id")
+    }),
+
+    // A/V sync audit — the timestamp-alignment check every multimodal
+    // ingest runs before pairing streams: video frames are the 64-byte
+    // chunks at 640 ms cadence (the mm_frame_sample chunking), audio
+    // frames the 48-byte chunks at 480 ms; for each video frame the
+    // nearest audio frame is the CLOSED-FORM round(4j/3) (4j/3 never
+    // lands on .5, so no tie rule is needed), clamped to the audio
+    // track, and the drift is |640j − 480a| ms. Everything is integer
+    // and IN-ROW — the per-media fold over ≤5 frames is a HOF, so the
+    // plan is a pure projection with a presentation sort: zero
+    // shuffles at any corpus size.
+    "mm_av_sync" -> ((s, d) => {
+      import s.implicits._
+      val drift =
+        "abs(j * 640 - least(na - 1, (8 * j + 3) div 6) * 480)"
+      t(s, d, "documents")
+        .select($"doc_id".as("media_id"), $"text".as("payload"))
+        .filter(length($"payload") >= 1)
+        .select($"media_id",
+          expr("least(5, ((length(payload) - 1) div 64) + 1)")
+            .cast("long").as("n_video"),
+          expr("least(7, ((length(payload) - 1) div 48) + 1)")
+            .cast("long").as("na"))
+        .select($"media_id", $"n_video", $"na".as("n_audio"),
+          expr(s"""aggregate(sequence(0L, n_video - 1), 0L,
+            |  (acc, j) -> greatest(acc, $drift))""".stripMargin)
+            .as("max_drift_ms"),
+          expr(s"""aggregate(sequence(0L, n_video - 1), 0L,
+            |  (acc, j) -> acc + $drift)""".stripMargin).as("sd"))
+        .select($"media_id", $"n_video", $"n_audio", $"max_drift_ms",
+          round($"sd".cast("double") / $"n_video", 4)
+            .as("avg_drift_ms"))
+        .orderBy($"media_id")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -368,5 +402,26 @@ object Multimodal {
         |    AS n_cuts,
         |  MAX(dist) AS max_dist,
         |  ROUND(CAST(SUM(dist) AS DOUBLE) / COUNT(*), 4) AS avg_dist
-        |FROM dist GROUP BY media_id ORDER BY media_id""".stripMargin)
+        |FROM dist GROUP BY media_id ORDER BY media_id""".stripMargin,
+
+    "mm_av_sync" ->
+      """WITH f AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(LEAST(5, ((len(text) - 1) // 64) + 1) AS BIGINT)
+        |      AS n_video,
+        |    CAST(LEAST(7, ((len(text) - 1) // 48) + 1) AS BIGINT)
+        |      AS na
+        |  FROM documents WHERE len(text) >= 1),
+        |dr AS (
+        |  SELECT media_id, n_video, na AS n_audio,
+        |    CAST(list_max(list_transform(generate_series(0, n_video - 1),
+        |      j -> abs(j * 640 - LEAST(na - 1, (8 * j + 3) // 6) * 480)))
+        |      AS BIGINT) AS max_drift_ms,
+        |    CAST(list_sum(list_transform(generate_series(0, n_video - 1),
+        |      j -> abs(j * 640 - LEAST(na - 1, (8 * j + 3) // 6) * 480)))
+        |      AS BIGINT) AS sd
+        |  FROM f)
+        |SELECT media_id, n_video, n_audio, max_drift_ms,
+        |  ROUND(CAST(sd AS DOUBLE) / n_video, 4) AS avg_drift_ms
+        |FROM dr ORDER BY media_id""".stripMargin)
 }

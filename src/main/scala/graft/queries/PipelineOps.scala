@@ -1412,6 +1412,71 @@ object PipelineOps {
         .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens"),
           min($"ttr").as("min_ttr"), max($"ttr").as("max_ttr"))
         .orderBy($"source", $"phase")
+    }),
+
+    // Per-source language mixture — how multilingual is each feed
+    // (the routing table that decides which sources need per-language
+    // pipelines vs a single-language fast path): language count,
+    // dominant language with its share, and the mixture entropy. No
+    // tokenize — this reads the `lang` label column directly, so the
+    // whole query is one (source, lang) agg plus a source rollup.
+    // Dominant-language ties break to the lexicographically smallest
+    // lang via a min-struct over (−count, lang); entropy terms are
+    // e10-quantized before the cross-engine sum (text_entropy's
+    // discipline at the source level).
+    "doc_lang_mix" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .groupBy($"source", $"lang").agg(count(lit(1)).as("nd"))
+        .groupBy($"source")
+        .agg(sum($"nd").as("n_docs"), count(lit(1)).as("n_langs"),
+          min(struct((-$"nd").as("neg"), $"lang")).as("dom"),
+          sum(expr(
+            "cast(round(cast(nd as double) * log2(nd) * 1e10)" +
+              " as bigint)")).as("te10"))
+        .select($"source", $"n_docs", $"n_langs",
+          $"dom.lang".as("dominant_lang"),
+          round((-$"dom.neg").cast("double") / $"n_docs", 4)
+            .as("dom_share"),
+          round(log2($"n_docs")
+            - ($"te10".cast("double") / 1e10) / $"n_docs", 4)
+            .as("lang_entropy"))
+        .orderBy($"source")
+    }),
+
+    // Mixture-rebalance planner — close the gap between the corpus's
+    // ACTUAL per-source token shares and a uniform target: per
+    // source, the up/down-sampling factor (capped at 3× — unbounded
+    // upsampling of a tiny source just clones it), the effective
+    // token budget after resampling, and the achieved share the cap
+    // leaves you with. Exactness: the factor is the EXACT-RATIONAL
+    // floor (ttok·10⁴) div (n_src·stok) — the doc_epoch_plan
+    // discipline (never compare floored fixed-point against floats);
+    // effective tokens are integer products/floors; shares are the
+    // only floats. Scale shape: one tokenize agg; every window runs
+    // on the source-alphabet frame.
+    "doc_mixture_targets" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy()
+      t(s, d, "documents")
+        .select($"source", explode(toksCol).as("tok"))
+        .groupBy($"source").agg(count(lit(1)).as("stok"))
+        .withColumn("n_src", count(lit(1)).over(w))
+        .withColumn("ttok", sum($"stok").over(w))
+        .withColumn("factor_e4", least(lit(30000L),
+          expr("(ttok * 10000) div (n_src * stok)")))
+        .withColumn("eff_tok", expr("(stok * factor_e4) div 10000"))
+        .withColumn("teff", sum($"eff_tok").over(w))
+        .select($"source", $"stok".as("n_tokens"),
+          round($"stok".cast("double") / $"ttok", 4)
+            .as("actual_share"),
+          round($"factor_e4".cast("double") / 1e4, 4).as("factor"),
+          ($"factor_e4" === 30000L).as("capped"),
+          $"eff_tok".as("eff_tokens"),
+          round($"eff_tok".cast("double") / $"teff", 4)
+            .as("achieved_share"))
+        .orderBy($"source")
     }))
 
   /** Oracle twin of [[epochPlanFrame]]: the water-fill CTE chain
@@ -2312,5 +2377,53 @@ object PipelineOps {
          |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
          |  MIN(ttr) AS min_ttr, MAX(ttr) AS max_ttr
          |FROM ph GROUP BY source, phase
-         |ORDER BY source, phase""".stripMargin)
+         |ORDER BY source, phase""".stripMargin,
+
+    "doc_lang_mix" ->
+      """WITH g AS (
+        |  SELECT source, lang, COUNT(*) AS nd
+        |  FROM documents GROUP BY 1, 2),
+        |dom AS (
+        |  SELECT source, lang AS dominant_lang, nd AS dn FROM (
+        |    SELECT source, lang, nd, ROW_NUMBER() OVER (
+        |      PARTITION BY source ORDER BY nd DESC, lang ASC) AS rn
+        |    FROM g) WHERE rn = 1),
+        |r AS (
+        |  SELECT source, CAST(SUM(nd) AS BIGINT) AS n_docs,
+        |    COUNT(*) AS n_langs,
+        |    CAST(SUM(CAST(ROUND(CAST(nd AS DOUBLE) * log2(nd) * 1e10)
+        |      AS BIGINT)) AS BIGINT) AS te10
+        |  FROM g GROUP BY source)
+        |SELECT r.source, r.n_docs, r.n_langs, d.dominant_lang,
+        |  ROUND(CAST(d.dn AS DOUBLE) / r.n_docs, 4) AS dom_share,
+        |  ROUND(log2(r.n_docs)
+        |    - (CAST(te10 AS DOUBLE) / 1e10) / r.n_docs, 4)
+        |    AS lang_entropy
+        |FROM r JOIN dom d ON d.source = r.source
+        |ORDER BY r.source""".stripMargin,
+
+    "doc_mixture_targets" ->
+      s"""WITH tok AS (
+         |  SELECT source, unnest($toksSql) AS tok FROM documents),
+         |g AS (SELECT source, COUNT(*) AS stok FROM tok GROUP BY 1),
+         |w1 AS (
+         |  SELECT *, COUNT(*) OVER () AS n_src,
+         |    CAST(SUM(stok) OVER () AS BIGINT) AS ttok
+         |  FROM g),
+         |w2 AS (
+         |  SELECT *, LEAST(30000,
+         |    (ttok * 10000) // (n_src * stok)) AS factor_e4
+         |  FROM w1),
+         |w3 AS (
+         |  SELECT *, (stok * factor_e4) // 10000 AS eff_tok FROM w2),
+         |w4 AS (
+         |  SELECT *, CAST(SUM(eff_tok) OVER () AS BIGINT) AS teff
+         |  FROM w3)
+         |SELECT source, stok AS n_tokens,
+         |  ROUND(CAST(stok AS DOUBLE) / ttok, 4) AS actual_share,
+         |  ROUND(CAST(factor_e4 AS DOUBLE) / 1e4, 4) AS factor,
+         |  factor_e4 = 30000 AS capped,
+         |  CAST(eff_tok AS BIGINT) AS eff_tokens,
+         |  ROUND(CAST(eff_tok AS DOUBLE) / teff, 4) AS achieved_share
+         |FROM w4 ORDER BY source""".stripMargin)
 }

@@ -1529,6 +1529,96 @@ object Similarity {
         .orderBy($"step")
     }),
 
+    // Farthest-first k-center seeding (Gonzalez '85) — the
+    // deterministic init the kmeans family runs before
+    // sim_kmeans/sim_centroid_shift iterate: start from vec 0, then 7
+    // times pick the vector FARTHEST from its nearest chosen center
+    // (2-approximation of the k-center optimum; ties to the lowest
+    // id). Each step's verdict is an argmax over e6-quantized squared
+    // L2 — integer compares only. Scale contract: per step, ONE pass
+    // of the corpus against the ≤8-row broadcast center set (the
+    // kmeans assignment shape) ending in TakeOrdered(1); the chosen
+    // set is pinned per step, so the declared plan carries no
+    // quadratic joins. The final row's radius_e6 IS the k-center
+    // coverage radius — the number a capacity planner reads.
+    "sim_kcenter_init" -> ((s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        .localCheckpoint()
+      val d2e6 = """cast(round(aggregate(zip_with(v, ct.c,
+        |  (x, y) -> (x - y) * (x - y)), 0D, (acc, e) -> acc + e)
+        |  * 1e6) as bigint)""".stripMargin
+      var centers = emb.filter($"vec_id" === 0)
+        .select($"vec_id", $"v", lit(1L).as("step"),
+          lit(null).cast("long").as("radius_e6"))
+        .localCheckpoint()
+      for (stp <- 2 to 8) {
+        val crow = centers
+          .agg(expr("array_sort(collect_list(named_struct(" +
+            "'cent_id', vec_id, 'c', v)))").as("cents"))
+        val next = emb
+          .join(centers.select($"vec_id"), Seq("vec_id"), "left_anti")
+          .crossJoin(broadcast(crow))
+          .select($"vec_id", $"v", expr(
+            s"""array_min(transform(cents, ct -> $d2e6))""")
+            .as("mind_e6"))
+          .orderBy($"mind_e6".desc, $"vec_id".asc).limit(1)
+          .select($"vec_id", $"v", lit(stp.toLong).as("step"),
+            $"mind_e6".as("radius_e6"))
+        centers = centers.unionAll(next).localCheckpoint()
+      }
+      centers.select($"step", $"vec_id", $"radius_e6",
+          round($"radius_e6".cast("double") / 1e6, 4).as("radius"))
+        .orderBy($"step")
+    }),
+
+    // Init-quality scorecard — the evidence table that says whether
+    // paying for sim_kcenter_init's 7 extra passes buys anything:
+    // for the naive first-8 codebook and the farthest-first seed set,
+    // one L2 assignment pass each reporting total distortion (sum of
+    // e6-integer min squared distances — exact integer totals) and
+    // the largest cell's share (balance — a 0.9 share means one
+    // mega-cell and 7 duds, the failure mode kcenter exists to
+    // avoid). Both inits score under the IDENTICAL metric and plan
+    // shape: corpus × broadcast 8-row center set → per-cell rollup →
+    // 1-row fold.
+    "sim_init_quality" -> ((s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val d2e6 = """cast(round(aggregate(zip_with(v, ct.c,
+        |  (x, y) -> (x - y) * (x - y)), 0D, (acc, e) -> acc + e)
+        |  * 1e6) as bigint)""".stripMargin
+      val am = expr(s"""array_min(transform(cents, ct -> named_struct(
+        |  'd2', $d2e6, 'cent_id', ct.cent_id)))""".stripMargin)
+      def score(init: String, cRow: DataFrame): DataFrame =
+        emb.crossJoin(broadcast(cRow))
+          .select(am.getField("d2").as("d2e6"),
+            am.getField("cent_id").as("cell"))
+          .groupBy($"cell")
+          .agg(count(lit(1)).as("nc"), sum($"d2e6").as("sd"))
+          .agg(sum($"nc").as("n"), sum($"sd").as("distortion_e6"),
+            max($"nc").as("maxc"), count(lit(1)).as("cells_used"))
+          .select(lit(init).as("init"), $"cells_used",
+            $"distortion_e6",
+            round(($"distortion_e6".cast("double") / 1e6) / $"n", 4)
+              .as("mean_d2"),
+            round($"maxc".cast("double") / $"n", 4)
+              .as("max_cell_share"))
+      val first8 = emb.filter($"vec_id" < 8)
+        .select($"vec_id".as("cent_id"), $"v".as("c"))
+        .agg(expr("array_sort(collect_list(named_struct(" +
+          "'cent_id', cent_id, 'c', c)))").as("cents"))
+      val kc = queries("sim_kcenter_init")(s, d)
+        .select($"vec_id").join(emb, "vec_id")
+        .select($"vec_id".as("cent_id"), $"v".as("c"))
+        .agg(expr("array_sort(collect_list(named_struct(" +
+          "'cent_id', cent_id, 'c', c)))").as("cents"))
+      score("first8", first8).unionAll(score("kcenter", kc))
+        .orderBy($"init")
+    }),
+
     // Degree assortativity of the mutual-kNN graph — does the
     // embedding space's social structure have hubs talking to hubs
     // (r > 0) or hubs serving leaves (r < 0)? One scalar every
@@ -2784,7 +2874,66 @@ object Similarity {
         |  FROM sel s WHERE step < 5)
         |SELECT CAST(s.step AS BIGINT) AS step, s.vec_id, c.cs
         |FROM sel s JOIN cand c ON c.vec_id = s.vec_id
-        |ORDER BY step""".stripMargin)
+        |ORDER BY step""".stripMargin,
+
+    "sim_kcenter_init" -> kcenterSql)
+
+  /** Oracle SQL of sim_kcenter_init, factored so sim_init_quality can
+    * wrap the identical chain as a CTE (lazy: oracleBase references it
+    * from an earlier declaration position). */
+  private lazy val kcenterSql: String =
+    """WITH RECURSIVE
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |sel AS (
+      |  SELECT 1 AS step, CAST(0 AS BIGINT) AS vec_id,
+      |    CAST(NULL AS BIGINT) AS radius_e6,
+      |    [CAST(0 AS BIGINT)] AS picked
+      |  UNION ALL
+      |  SELECT step + 1, nxt.vec_id, nxt.mind_e6,
+      |    list_append(s.picked, nxt.vec_id)
+      |  FROM sel s, LATERAL (
+      |    SELECT c.vec_id, (
+      |      SELECT MIN(CAST(ROUND(list_sum(list_transform(
+      |        list_zip(c.v, ce.v),
+      |        x -> (x[1] - x[2]) * (x[1] - x[2]))) * 1e6) AS BIGINT))
+      |      FROM e ce WHERE list_contains(s.picked, ce.vec_id))
+      |      AS mind_e6
+      |    FROM e c WHERE NOT list_contains(s.picked, c.vec_id)
+      |    ORDER BY mind_e6 DESC, c.vec_id LIMIT 1) nxt
+      |  WHERE s.step < 8)
+      |SELECT CAST(step AS BIGINT) AS step, vec_id, radius_e6,
+      |  ROUND(CAST(radius_e6 AS DOUBLE) / 1e6, 4) AS radius
+      |FROM sel ORDER BY step""".stripMargin
+
+  /** One init-scoring branch of sim_init_quality's oracle: L2
+    * assignment of every vector against the `cents(cent_id, cv)` CTE,
+    * per-cell rollup, 1-row fold. */
+  private def initScoreSql(init: String, centsCte: String): String =
+    s"""SELECT '$init' AS init, cells_used, distortion_e6,
+       |  ROUND((CAST(distortion_e6 AS DOUBLE) / 1e6) / n, 4)
+       |    AS mean_d2,
+       |  ROUND(CAST(maxc AS DOUBLE) / n, 4) AS max_cell_share
+       |FROM (
+       |  SELECT CAST(SUM(nc) AS BIGINT) AS n,
+       |    CAST(SUM(sd) AS BIGINT) AS distortion_e6,
+       |    CAST(MAX(nc) AS BIGINT) AS maxc, COUNT(*) AS cells_used
+       |  FROM (
+       |    SELECT cell, COUNT(*) AS nc, CAST(SUM(d2e6) AS BIGINT) AS sd
+       |    FROM (
+       |      SELECT vec_id, d2e6, cent_id AS cell FROM (
+       |        SELECT e.vec_id, c.cent_id,
+       |          CAST(ROUND(list_sum(list_transform(
+       |            list_zip(e.v, c.cv),
+       |            x -> (x[1] - x[2]) * (x[1] - x[2]))) * 1e6)
+       |            AS BIGINT) AS d2e6,
+       |          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |            ORDER BY CAST(ROUND(list_sum(list_transform(
+       |              list_zip(e.v, c.cv),
+       |              x -> (x[1] - x[2]) * (x[1] - x[2]))) * 1e6)
+       |              AS BIGINT) ASC, c.cent_id ASC) AS rn
+       |        FROM e, $centsCte c)
+       |      WHERE rn = 1)
+       |    GROUP BY cell))""".stripMargin
 
   /** The bounds twin wraps the full recall-eval SQL as a CTE and joins
     * the same pinned floors as the Spark side. */
@@ -2827,5 +2976,19 @@ object Similarity {
          |    / CAST(CAST(n_ends AS HUGEINT) * CAST(sxx AS HUGEINT)
          |           - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT)
          |      AS DOUBLE) END, 4) AS assortativity
-         |FROM a""".stripMargin)
+         |FROM a""".stripMargin) +
+    ("sim_init_quality" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |kc AS (
+         |$kcenterSql
+         |),
+         |c1 AS (SELECT vec_id AS cent_id, v AS cv FROM e
+         |       WHERE vec_id < 8),
+         |c2 AS (SELECT k.vec_id AS cent_id, e.v AS cv
+         |       FROM kc k JOIN e ON e.vec_id = k.vec_id)
+         |${initScoreSql("first8", "c1")}
+         |UNION ALL
+         |${initScoreSql("kcenter", "c2")}
+         |ORDER BY init""".stripMargin)
 }

@@ -383,6 +383,46 @@ object TextAnalysis {
           round(($"a_e6".cast("double") / 1e6) / $"n_tokens"
             + log($"nn".cast("double") / $"n_tokens"), 4).as("kl"))
         .orderBy($"source")
+    }),
+
+    // Top PMI collocations — which word pairs co-occur far beyond
+    // chance (the phrase-mining primitive behind tokenizer merge
+    // candidates and stop-phrase lists): PMI = ln(c_xy·N/(c_x·c_y))
+    // over adjacent bigrams with support ≥5. The e10-quantized PMI is
+    // the ORDERING key (integer compares, word tie-breaks), so both
+    // engines cut the identical top-20. Scale shape: one tokenize
+    // pass each for the unigram and bigram count tables, two
+    // word-keyed joins to attach c_x/c_y, a broadcast 1-row bigram
+    // total, and a TakeOrdered(20) — no full sort.
+    "text_pmi_top" -> ((s, d) => {
+      import s.implicits._
+      val toks = t(s, d, "documents")
+        .select($"doc_id", expr(
+          "filter(split(lower(text), '\\\\s+'), x -> x != '')")
+          .as("toks"))
+      val uni = toks.select(explode($"toks").as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("cw"))
+      val bi = toks.filter(size($"toks") >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(toks) - 1)," +
+            " i -> array_join(slice(toks, i, 2), ' '))")).as("bigram"))
+        .groupBy($"bigram").agg(count(lit(1)).as("cxy"))
+        .filter($"cxy" >= 5L)
+      val tot = toks.select(
+          (size($"toks") - 1).cast("long").as("nb"))
+        .filter($"nb" >= 1L).agg(sum($"nb").as("nn"))
+      bi.crossJoin(broadcast(tot))
+        .select($"bigram", $"cxy", $"nn",
+          expr("split(bigram, ' ')[0]").as("w1"),
+          expr("split(bigram, ' ')[1]").as("w2"))
+        .join(uni.toDF("w1", "cx"), "w1")
+        .join(uni.toDF("w2", "cy"), "w2")
+        .select($"w1", $"w2", $"cxy", $"cx", $"cy",
+          expr("""cast(round(ln(((cast(cxy as double) * nn) / cx) / cy)
+            |  * 1e10) as bigint)""".stripMargin).as("pmi_e10"))
+        .orderBy($"pmi_e10".desc, $"w1".asc, $"w2".asc).limit(20)
+        .select($"w1", $"w2", $"cxy", $"cx", $"cy",
+          round($"pmi_e10".cast("double") / 1e10, 4).as("pmi"))
     }))
 
   /** DuckDB twin of winnowFingerprints: `fps(doc_id, fp)` = the distinct
@@ -688,5 +728,37 @@ object TextAnalysis {
         |SELECT source, n_tokens, vocab,
         |  ROUND((CAST(a_e6 AS DOUBLE) / 1e6) / n_tokens
         |        + ln(CAST(nn AS DOUBLE) / n_tokens), 4) AS kl
-        |FROM wn ORDER BY source""".stripMargin)
+        |FROM wn ORDER BY source""".stripMargin,
+
+    "text_pmi_top" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(
+        |    regexp_split_to_array(lower(text), '\s+'), x -> x <> '')
+        |    AS toks
+        |  FROM documents),
+        |uni AS (
+        |  SELECT w, COUNT(*) AS cw
+        |  FROM (SELECT unnest(toks) AS w FROM tk) GROUP BY w),
+        |bi AS (
+        |  SELECT bigram, COUNT(*) AS cxy FROM (
+        |    SELECT array_to_string(toks[i : i + 1], ' ') AS bigram
+        |    FROM tk, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+        |    WHERE len(toks) >= 2)
+        |  GROUP BY bigram HAVING COUNT(*) >= 5),
+        |tot AS (
+        |  SELECT CAST(SUM(len(toks) - 1) AS BIGINT) AS nn
+        |  FROM tk WHERE len(toks) - 1 >= 1),
+        |sc AS (
+        |  SELECT str_split(bigram, ' ')[1] AS w1,
+        |    str_split(bigram, ' ')[2] AS w2, cxy, nn
+        |  FROM bi, tot),
+        |j AS (
+        |  SELECT sc.w1, sc.w2, sc.cxy, ux.cw AS cx, uy.cw AS cy,
+        |    CAST(ROUND(ln(((CAST(sc.cxy AS DOUBLE) * sc.nn) / ux.cw)
+        |      / uy.cw) * 1e10) AS BIGINT) AS pmi_e10
+        |  FROM sc JOIN uni ux ON ux.w = sc.w1
+        |  JOIN uni uy ON uy.w = sc.w2)
+        |SELECT w1, w2, cxy, cx, cy,
+        |  ROUND(CAST(pmi_e10 AS DOUBLE) / 1e10, 4) AS pmi
+        |FROM j ORDER BY pmi_e10 DESC, w1, w2 LIMIT 20""".stripMargin)
 }

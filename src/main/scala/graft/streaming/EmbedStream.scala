@@ -64,4 +64,56 @@ object EmbedStream {
       .agg(count(lit(1)).as("n_vecs"))
       .select($"window.start".as("w_start"), $"cell", $"n_vecs")
   }
+
+  /** Streaming nearest-neighbor serving — the online half of the IVF
+    * search family: each arriving query vector is assigned to its
+    * coarse cell IN-ROW against the broadcast codebook (zero shuffle
+    * on the stream side), candidates are fetched by a stream-static
+    * equi-join on the cell id against the STATIC index table, and the
+    * exact top-1 per (window, query) is a windowed agg whose state is
+    * ONE struct per key (max over (sim, −vec_id) — deterministic ties
+    * to the lowest id, the family's convention). Self-matches are
+    * excluded so a query that already lives in the index returns its
+    * neighbor, not itself. Batch mode runs the identical plan minus
+    * the watermark (parity asserted in StreamingSpec).
+    *
+    * @param queries stream (or batch) of (ingest_ts, vec_id, embedding)
+    * @param index   static (vec_id, embedding) table to search
+    * @param cb      broadcast codebook row from [[codebook]]. */
+  def nnServe(queries: DataFrame, index: DataFrame, cb: DataFrame,
+      wmDelay: String = "1 hour"): DataFrame = {
+    import queries.sparkSession.implicits._
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    val am = expr(
+      """array_min(transform(cents, ct -> named_struct(
+        |  'nsim', -round(cosine_similarity(v, ct.c), 4),
+        |  'cell_id', ct.cell_id)))""".stripMargin)
+    val idx = index
+      .select($"vec_id".as("cand_id"),
+        $"embedding".cast("array<double>").as("cv"))
+      .crossJoin(broadcast(cb))
+      .select($"cand_id", $"cv",
+        expr(
+          """array_min(transform(cents, ct -> named_struct(
+            |  'nsim', -round(cosine_similarity(cv, ct.c), 4),
+            |  'cell_id', ct.cell_id)))""".stripMargin)
+          .getField("cell_id").as("cell"))
+    val q = queries
+      .select($"ingest_ts", $"vec_id".as("qid"),
+        $"embedding".cast("array<double>").as("v"))
+      .crossJoin(broadcast(cb))
+      .select($"ingest_ts", $"qid", $"v",
+        am.getField("cell_id").as("cell"))
+    val probed = q.join(idx, Seq("cell"))
+      .filter($"cand_id" =!= $"qid")
+      .select($"ingest_ts", $"qid", $"cand_id",
+        expr("round(cosine_similarity(v, cv), 4)").as("cs"))
+    val src = if (queries.isStreaming)
+      probed.withWatermark("ingest_ts", wmDelay) else probed
+    src.groupBy(window($"ingest_ts", "1 hour"), $"qid")
+      .agg(max(struct($"cs", (-$"cand_id").as("nid"))).as("m"),
+        count(lit(1)).as("n_cand"))
+      .select($"window.start".as("w_start"), $"qid",
+        (-$"m.nid").as("nn_id"), $"m.cs".as("nn_sim"), $"n_cand")
+  }
 }

@@ -101,6 +101,9 @@ class PlanHygieneSpec extends SparkSpec {
     "log_cusum_changepoint", // 1-row (min,max) hour bounds (gapfill grid)
     "log_anomaly_burst_runs",// inherits log_anomaly_seasonal's bounds
     "log_ab_cuped",          // 1-row ts min/max bounds scalar
+    "log_survival_curve",    // 1-row window-end (max day) scalar
+    "log_change_decomposition", // 1-row ts min/max bounds scalar
+    "text_pmi_top",          // 1-row bigram-total scalar
     "log_psi_drift",         // 1-row (ts,value) min/max bounds scalar
     "log_ks_drift",          // 1-row ts min/max bounds scalar
     "sketch_hist_quantiles", // 1-row value min/max bounds scalar
@@ -114,6 +117,7 @@ class PlanHygieneSpec extends SparkSpec {
     "sim_recall_eval",       // 1-row query vec/planes/codebook, 2-row probes
     "sim_recall_vs_nprobe",  // 1-row query vec + 8-row probe-rank bcast
     "sim_matryoshka_recall", // 1-row query vector scalar broadcast
+    "sim_init_quality",      // two 1-row 8-center codebook broadcasts
     "sim_recall_bounds",     // wraps sim_recall_eval + 5-row floor table
     "sim_power_iteration",   // 1-row norm scalars (n1, n2) between passes
     "log_forecast_baseline", // inherits log_gapfill's 1-row hour bounds

@@ -522,4 +522,70 @@ class AnnInvariantsSpec extends SparkSpec {
         s"assortativity ${row.getDouble(4)} != $want")
     }
   }
+
+  test("sim_kcenter_init: farthest-first chain replays, radius falls") {
+    import spark.implicits._
+    val vecs = graft.Tables.t(spark, sf(), "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Double](1).toArray)).toMap
+    def d2e6(a: Array[Double], b: Array[Double]): Long = {
+      var s = 0d
+      a.indices.foreach { i => s += (a(i) - b(i)) * (a(i) - b(i)) }
+      math.round(s * 1e6)
+    }
+    var picked = Vector(0L)
+    var expected = Vector((1L, 0L, Option.empty[Long]))
+    (2 to 8).foreach { stp =>
+      val next = vecs.keys.filterNot(picked.contains).map { id =>
+        (id, picked.map(p => d2e6(vecs(id), vecs(p))).min)
+      }.minBy { case (id, mind) => (-mind, id) }
+      picked :+= next._1
+      expected :+= ((stp.toLong, next._1, Some(next._2)))
+    }
+    val got = graft.SparkEntry.queries("sim_kcenter_init")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toVector
+    assert(got == expected, "k-center chain diverges from replay")
+    // Gonzalez invariant: each later center is at most as far from
+    // the chosen set as the one before it
+    got.drop(1).map(_._3.get).sliding(2).foreach {
+      case Seq(r1, r2) => assert(r2 <= r1, "radius must not grow")
+      case _ => ()
+    }
+  }
+
+  test("sim_init_quality: both scorecard rows replay exactly") {
+    import spark.implicits._
+    val vecs = graft.Tables.t(spark, sf(), "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Double](1).toArray)).toMap
+    def d2e6(a: Array[Double], b: Array[Double]): Long = {
+      var s = 0d
+      a.indices.foreach { i => s += (a(i) - b(i)) * (a(i) - b(i)) }
+      math.round(s * 1e6)
+    }
+    val kcIds = graft.SparkEntry.queries("sim_kcenter_init")(
+      spark, sf()).collect().map(_.getLong(1)).toSeq
+    val inits = Map(
+      "first8" -> (0L until 8L).toSeq,
+      "kcenter" -> kcIds)
+    val expected = inits.toSeq.sortBy(_._1).map { case (init, cs) =>
+      val assigned = vecs.toSeq.map { case (_, v) =>
+        cs.map(c => (d2e6(v, vecs(c)), c)).min
+      }
+      val byCell = assigned.groupBy(_._2)
+      val n = assigned.length.toLong
+      (init, byCell.size.toLong, assigned.map(_._1).sum,
+        math.round(assigned.map(_._1).sum.toDouble / 1e6 / n * 1e4)
+          / 1e4.toDouble,
+        math.round(byCell.values.map(_.length).max.toDouble / n * 1e4)
+          / 1e4.toDouble)
+    }
+    val got = graft.SparkEntry.queries("sim_init_quality")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got == expected, "init scorecard diverges from replay")
+  }
 }

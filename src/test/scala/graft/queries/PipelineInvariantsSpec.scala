@@ -1772,4 +1772,180 @@ class PipelineInvariantsSpec extends SparkSpec {
       ((a._3 - b._3) - theta * (a._2 - b._2))) < 5e-3,
       "adjusted contrast diverges from the CUPED identity")
   }
+
+  test("log_survival_curve: KM curve replays, monotone in [0,1]") {
+    import spark.implicits._
+    val ud = t(spark, sf(), "events")
+      .select($"user_id", to_date($"ts").as("day")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val wend = ud.map(_._2).max
+    val perUser = ud.groupBy(_._1).toSeq.map { case (_, g) =>
+      val days = g.map(_._2)
+      val (f, l) = (days.min, days.max)
+      (java.time.temporal.ChronoUnit.DAYS.between(f, l),
+        java.time.temporal.ChronoUnit.DAYS.between(l, wend) >= 3)
+    }
+    val byT = perUser.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (tt, g) => (tt, g.length.toLong, g.count(_._2).toLong)
+    }
+    var removed = 0L; var cum = 0L; var hitZero = false
+    val nTotal = perUser.length.toLong
+    val expected = byT.map { case (tt, ended, dd) =>
+      val nRisk = nTotal - removed
+      removed += ended
+      if (dd >= nRisk) hitZero = true
+      else if (dd > 0)
+        cum += math.round(math.log(1.0 - dd.toDouble / nRisk) * 1e10)
+      (tt, nRisk, dd, ended - dd,
+        math.round(dd.toDouble / nRisk * 1e4) / 1e4.toDouble,
+        if (hitZero) 0.0
+        else math.round(math.exp(cum.toDouble / 1e10) * 1e4)
+          / 1e4.toDouble)
+    }
+    val got = SparkEntry.queries("log_survival_curve")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == expected, "KM curve diverges from exact replay")
+    got.map(_._6).sliding(2).foreach {
+      case Seq(s1, s2) => assert(s2 <= s1 + 1e-9, "survival must fall")
+      case _ => ()
+    }
+    got.foreach { case (_, _, _, _, hz, sv) =>
+      assert(hz >= 0d && hz <= 1d && sv >= 0d && sv <= 1d)
+    }
+  }
+
+  test("mm_av_sync: integer drift stats replay from payload lengths") {
+    import spark.implicits._
+    val lens = t(spark, sf(), "documents")
+      .select($"doc_id", length($"text").as("len")).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val expected = lens.filter(_._2 >= 1).map { case (id, len) =>
+      val nv = math.min(5, (len - 1) / 64 + 1).toLong
+      val na = math.min(7, (len - 1) / 48 + 1).toLong
+      val drifts = (0L until nv).map { j =>
+        math.abs(j * 640 - math.min(na - 1, (8 * j + 3) / 6) * 480)
+      }
+      (id, nv, na, drifts.max,
+        math.round(drifts.sum.toDouble / nv * 1e4) / 1e4.toDouble)
+    }.sortBy(_._1).toSeq
+    val got = SparkEntry.queries("mm_av_sync")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(got == expected, "A/V drift diverges from integer replay")
+  }
+
+  test("log_change_decomposition: effects bridge the exact delta") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("log_change_decomposition")(
+      spark, sf()).collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getDouble(5), r.getDouble(6), r.getDouble(7),
+        r.getDouble(8)))
+    val totals = t(spark, sf(), "events")
+      .groupBy($"event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(_._1).toSet == totals.keySet)
+    rows.foreach { case (ty, n1, n2, delta, vol, rate, gap) =>
+      assert(n1 + n2 == totals(ty), s"$ty: halves don't partition")
+      // the decomposition is exact in real arithmetic; the reported
+      // rounded effects must bridge delta within rounding slack
+      assert(math.abs(delta - (vol + rate)) < 2e-4 + math.abs(gap)
+        + 1e-9, s"$ty: bridge broken: $delta vs $vol + $rate")
+      assert(math.abs(gap) < 1e-3, s"$ty: identity gap $gap")
+    }
+  }
+
+  test("text_pmi_top: PMI values replay, support floor respected") {
+    import spark.implicits._
+    val toks = t(spark, sf(), "documents")
+      .select(expr(
+        "filter(split(lower(text), '\\\\s+'), x -> x != '')"))
+      .collect().map(_.getSeq[String](0))
+    val uni = toks.flatten.groupBy(identity)
+      .map { case (w, g) => w -> g.length.toLong }
+    val bi = toks.filter(_.length >= 2)
+      .flatMap(ts => ts.sliding(2).map(p => (p(0), p(1))))
+      .groupBy(identity).map { case (p, g) => p -> g.length.toLong }
+      .filter(_._2 >= 5L)
+    val nn = toks.map(ts => math.max(0, ts.length - 1).toLong).sum
+    val ranked = bi.toSeq.map { case ((w1, w2), cxy) =>
+      val e10 = math.round(
+        math.log(cxy.toDouble * nn / uni(w1) / uni(w2)) * 1e10)
+      (w1, w2, cxy, uni(w1), uni(w2), e10)
+    }.sortBy { case (w1, w2, _, _, _, e10) => (-e10, w1, w2) }.take(20)
+      .map { case (w1, w2, cxy, cx, cy, e10) =>
+        (w1, w2, cxy, cx, cy, math.round(e10.toDouble / 1e10 * 1e4)
+          / 1e4.toDouble) }
+    val got = SparkEntry.queries("text_pmi_top")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toSeq
+    assert(got == ranked, "PMI top-20 diverges from exact replay")
+    got.foreach { case (_, _, cxy, cx, cy, _) =>
+      assert(cxy >= 5L && cxy <= math.min(cx, cy) + 1,
+        "support floor or marginal bound broken")
+    }
+  }
+
+  test("doc_lang_mix: mixture stats replay from label counts") {
+    import spark.implicits._
+    val counts = t(spark, sf(), "documents")
+      .groupBy($"source", $"lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2)))
+    val expected = counts.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (src, g) =>
+        val n = g.map(_._3).sum
+        val dom = g.map(e => (-e._3, e._2)).min
+        val te10 = g.map(e => math.round(
+          e._3.toDouble * (math.log(e._3.toDouble) / math.log(2.0))
+            * 1e10)).sum
+        (src, n, g.length.toLong, dom._2,
+          math.round(-dom._1.toDouble / n * 1e4) / 1e4.toDouble,
+          math.round((math.log(n.toDouble) / math.log(2.0)
+            - (te10.toDouble / 1e10) / n) * 1e4) / 1e4.toDouble)
+    }
+    val got = SparkEntry.queries("doc_lang_mix")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == expected, "lang mixture diverges from exact replay")
+    got.foreach { case (_, _, nl, _, share, h) =>
+      assert(share > 0d && share <= 1d)
+      assert(h >= -1e-9 && h <= math.log(nl.toDouble) / math.log(2.0)
+        + 1e-6, "entropy out of [0, log2(k)]")
+    }
+  }
+
+  test("doc_mixture_targets: exact-rational factors replay, cap bites") {
+    import spark.implicits._
+    val stoks = t(spark, sf(), "documents")
+      .select($"source", expr(
+        "size(filter(split(lower(text), '\\\\s+'), x -> x != ''))")
+        .cast("long").as("n"))
+      .groupBy($"source").agg(sum($"n").as("stok"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nSrc = stoks.size.toLong
+    val ttok = stoks.values.sum
+    val expected = stoks.toSeq.sortBy(_._1).map { case (src, stok) =>
+      val f = math.min(30000L, (ttok * 10000L) / (nSrc * stok))
+      (src, stok, f, stok * f / 10000L, f == 30000L)
+    }
+    val effTotal = expected.map(_._4).sum
+    val got = SparkEntry.queries("doc_mixture_targets")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        math.round(r.getDouble(3) * 1e4), r.getLong(5),
+        r.getBoolean(4), r.getDouble(6))).toSeq
+    assert(got.map(g => (g._1, g._2, g._3, g._4, g._5)) == expected,
+      "rebalance plan diverges from exact-rational replay")
+    got.foreach { case (src, _, f4, eff, _, achieved) =>
+      assert(math.abs(achieved - eff.toDouble / effTotal) < 1e-3,
+        s"$src: achieved share")
+      // with no cap binding anywhere, every source lands within a
+      // floor-quantum of the uniform target (caps elsewhere would
+      // renormalize shares upward, so the bound only holds cap-free)
+      if (f4 < 30000L && !got.exists(_._5))
+        assert(math.abs(achieved - 1.0 / nSrc) < 0.01,
+          s"$src: uncapped source far from uniform target")
+    }
+  }
 }

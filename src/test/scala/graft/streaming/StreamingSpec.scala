@@ -1079,4 +1079,67 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count(_.getBoolean(4)) < streamed.size,
       "drift verdict fired on every window of a stationary stream")
   }
+
+  test("nn serve (batch): per-query top-1 is the exact cell maximum") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 10:15:00")
+    val all = t(spark, sf(), "embeddings")
+    val queries = all.filter($"vec_id" % 37 === 1)
+      .withColumn("ingest_ts", lit(t0))
+    val cb = EmbedStream.codebook(all)
+    val got = EmbedStream.nnServe(queries, all, cb)
+      .select($"qid", $"nn_id", $"nn_sim").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // replay: per vector, its 8-centroid cell; per query, the exact
+    // rounded-cosine argmax over same-cell candidates (ties → low id)
+    val vecs = all.select($"vec_id",
+        $"embedding".cast("array<double>").as("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0d; var na = 0d; var nb = 0d
+      a.indices.foreach { i =>
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      math.round(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e4) / 1e4.toDouble
+    }
+    val cents = (0L until 8L).map(c => c -> vecs(c))
+    def cellOf(v: Array[Double]): Long =
+      cents.map { case (c, cv) => (-cos(v, cv), c) }.min._2
+    val cells = vecs.map { case (id, v) => id -> cellOf(v) }
+    got.foreach { case (qid, (nnId, nnSim)) =>
+      val cands = vecs.keys.filter(c =>
+        c != qid && cells(c) == cells(qid))
+      val want = cands.map(c => (-cos(vecs(qid), vecs(c)), c)).min
+      assert(nnId == want._2 && math.abs(nnSim + want._1) < 1e-9,
+        s"q$qid: got ($nnId, $nnSim), want (${want._2}, ${-want._1})")
+    }
+    assert(got.nonEmpty)
+  }
+
+  test("nn serve (streaming): windowed top-1 == batch (parity)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_nn").toString
+    val src = s"$root/src"
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 10:10:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-06-01 11:40:00")
+    val all = t(spark, sf(), "embeddings")
+    all.filter($"vec_id" % 37 === 1).withColumn("ingest_ts", lit(t0))
+      .unionAll(all.filter($"vec_id" % 37 === 2)
+        .withColumn("ingest_ts", lit(t1)))
+      .write.mode("append").parquet(src)
+    val cb = EmbedStream.codebook(all)
+    val schema = spark.read.parquet(src).schema
+    val q = EmbedStream.nnServe(
+        spark.readStream.schema(schema).parquet(src), all, cb)
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("nn_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("nn_stream")
+      .orderBy($"w_start", $"qid").collect().toSeq
+    val batch = EmbedStream.nnServe(spark.read.parquet(src), all, cb)
+      .orderBy($"w_start", $"qid").collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streaming ${streamed.size} rows != batch ${batch.size}")
+    assert(streamed.map(_.getTimestamp(0)).distinct.length == 2,
+      "both serve windows must be present")
+  }
 }
