@@ -762,6 +762,31 @@ object Dedup {
           coalesce($"n_pairs", lit(0L)).as("n_pairs"),
           coalesce($"docs_removed", lit(0L)).as("docs_removed"))
         .orderBy($"threshold")
+    }),
+
+    // Human-audit queue — every production dedup keeps a labeling
+    // loop: a DETERMINISTIC stratified sample of candidate pairs (10
+    // near-dup, 10 low-similarity) drawn by md5 rank, so reviewers
+    // see the same queue on every run and both strata get coverage
+    // (a uniform draw would be all-low). The md5 draw is the
+    // q_sample_hash discipline; the per-stratum cut is the TopKPerKey
+    // rank shape. At 100 TB the queue stays 20 rows — the candidate
+    // table never leaves the cluster.
+    "dedup_audit_queue" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      candJaccard3(s, d)
+        .select($"doc_a", $"doc_b", $"jacc",
+          when($"jacc" >= 0.5, "near_dup").otherwise("low")
+            .as("stratum"),
+          md5(concat($"doc_a".cast("string"), lit(":"),
+            $"doc_b".cast("string"))).as("h"))
+        .withColumn("audit_rank", row_number().over(Window
+          .partitionBy($"stratum")
+          .orderBy($"h".asc, $"doc_a".asc, $"doc_b".asc)).cast("long"))
+        .filter($"audit_rank" <= 10)
+        .select($"stratum", $"audit_rank", $"doc_a", $"doc_b", $"jacc")
+        .orderBy($"stratum", $"audit_rank")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -1062,5 +1087,22 @@ object Dedup {
          |  COALESCE(q.n_pairs, 0) AS n_pairs,
          |  COALESCE(q.docs_removed, 0) AS docs_removed
          |FROM thr t LEFT JOIN q USING (thr_e4)
-         |ORDER BY threshold""".stripMargin)
+         |ORDER BY threshold""".stripMargin,
+
+    "dedup_audit_queue" ->
+      s"""$candJaccardSql,
+         |q0 AS (
+         |  SELECT doc_a, doc_b, jacc,
+         |    CASE WHEN jacc >= 0.5 THEN 'near_dup' ELSE 'low' END
+         |      AS stratum,
+         |    md5(CAST(doc_a AS VARCHAR) || ':'
+         |        || CAST(doc_b AS VARCHAR)) AS h
+         |  FROM j),
+         |r AS (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY stratum
+         |    ORDER BY h, doc_a, doc_b) AS BIGINT) AS audit_rank
+         |  FROM q0)
+         |SELECT stratum, audit_rank, doc_a, doc_b, jacc
+         |FROM r WHERE audit_rank <= 10
+         |ORDER BY stratum, audit_rank""".stripMargin)
 }

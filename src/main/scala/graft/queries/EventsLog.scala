@@ -1485,6 +1485,46 @@ object EventsLog {
                 - $"s1".cast("double") / $"n1" / 100.0), 4)
             .as("identity_gap"))
         .orderBy($"event_type")
+    }),
+
+    // Peak concurrent sessions — the capacity number a serving team
+    // sizes for: per day, the maximum number of simultaneously-open
+    // 30-minute sessions and the minute it peaked. The classic
+    // +1/−1 sweep made scale-safe: session endpoints fold to MINUTE-
+    // bucket deltas first (the running sum's frame is bounded by the
+    // time window's minute count, never by the event count — the
+    // bounded-domain window discipline), concurrency is a pure
+    // integer cumsum, and the per-day argmax is an integer rank with
+    // earliest-minute ties. Session bounds come from the SAME native
+    // session_window as q_session_window, so the two session
+    // definitions cannot drift.
+    "log_peak_concurrency" -> ((s, d) => {
+      import s.implicits._
+      val deltas = t(s, d, "events")
+        .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+        .agg(count(lit(1)).as("n"))
+        .select(
+          expr("unix_micros(session_window.start) div 60000000")
+            .as("sm"),
+          expr("unix_micros(session_window.end) div 60000000")
+            .as("em"))
+        .select(explode(expr(
+          "array(named_struct('m', sm, 'delta', 1L)," +
+            " named_struct('m', em, 'delta', -1L))")).as("x"))
+        .select($"x.m".as("m"), $"x.delta".as("delta"))
+        .groupBy($"m").agg(sum($"delta").as("dd"))
+      deltas
+        .withColumn("conc", sum($"dd").over(Window.orderBy($"m")))
+        .withColumn("day_id", expr("m div 1440"))
+        .withColumn("rk", row_number().over(Window
+          .partitionBy($"day_id").orderBy($"conc".desc, $"m".asc)))
+        .filter($"rk" === 1)
+        .select(date_format(expr(
+          "date_add(date '1970-01-01', cast(day_id as int))"),
+          "yyyy-MM-dd").as("day"),
+          $"conc".as("peak_concurrency"),
+          ($"m" % 1440L).as("peak_minute_of_day"))
+        .orderBy($"day")
     }))
 
   /** Oracle SQL of log_anomaly_seasonal, factored so
@@ -2469,5 +2509,43 @@ object EventsLog {
         |    - CAST(n2 AS DOUBLE)
         |      * (CAST(s2 AS DOUBLE) / n2 / 100.0
         |        - CAST(s1 AS DOUBLE) / n1 / 100.0), 4) AS identity_gap
-        |FROM g ORDER BY event_type""".stripMargin)
+        |FROM g ORDER BY event_type""".stripMargin,
+
+    "log_peak_concurrency" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN prev IS NULL
+        |           OR epoch_us(ts) - epoch_us(prev) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM (SELECT user_id, ts,
+        |          LAG(ts) OVER (PARTITION BY user_id
+        |            ORDER BY ts, event_id) AS prev
+        |        FROM events)),
+        |isl AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM g),
+        |sess AS (
+        |  SELECT epoch_us(MIN(ts)) // 60000000 AS sm,
+        |    (epoch_us(MAX(ts)) + 1800000000) // 60000000 AS em
+        |  FROM isl GROUP BY user_id, island),
+        |del AS (
+        |  SELECT m, CAST(SUM(delta) AS BIGINT) AS dd FROM (
+        |    SELECT sm AS m, 1 AS delta FROM sess
+        |    UNION ALL SELECT em, -1 FROM sess)
+        |  GROUP BY m),
+        |c AS (
+        |  SELECT m, CAST(SUM(dd) OVER (ORDER BY m) AS BIGINT) AS conc,
+        |    m // 1440 AS day_id
+        |  FROM del),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY day_id
+        |    ORDER BY conc DESC, m ASC) AS rk
+        |  FROM c)
+        |SELECT strftime(DATE '1970-01-01'
+        |    + CAST(day_id AS INTEGER), '%Y-%m-%d') AS day,
+        |  conc AS peak_concurrency,
+        |  m % 1440 AS peak_minute_of_day
+        |FROM r WHERE rk = 1 ORDER BY day""".stripMargin)
 }

@@ -1948,4 +1948,64 @@ class PipelineInvariantsSpec extends SparkSpec {
           s"$src: uncapped source far from uniform target")
     }
   }
+
+  test("log_peak_concurrency: sweep replays from driver sessionization") {
+    import spark.implicits._
+    val ev = t(spark, sf(), "events")
+      .select($"user_id", unix_micros($"ts").as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val gapUs = 1800000000L
+    val sessions = ev.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+      val ts = g.map(_._2).sorted
+      val runs = ts.foldLeft(Vector.empty[Vector[Long]]) {
+        case (acc, t0) =>
+          if (acc.nonEmpty && t0 - acc.last.last <= gapUs)
+            acc.init :+ (acc.last :+ t0)
+          else acc :+ Vector(t0)
+      }
+      runs.map(r => (r.head / 60000000L,
+        (r.last + gapUs) / 60000000L))
+    }
+    val deltas = (sessions.map(s => s._1 -> 1L) ++
+      sessions.map(s => s._2 -> -1L))
+      .groupBy(_._1).map { case (m, g) => m -> g.map(_._2).sum }
+      .toSeq.sortBy(_._1)
+    var conc = 0L
+    val curve = deltas.map { case (m, d) => conc += d; (m, conc) }
+    assert(curve.last._2 == 0L, "sweep must close at zero")
+    val expected = curve.groupBy(_._1 / 1440L).toSeq.sortBy(_._1)
+      .map { case (dayId, g) =>
+        val peak = g.maxBy { case (m, c) => (c, -m) }
+        (java.time.LocalDate.ofEpochDay(dayId).toString,
+          peak._2, peak._1 % 1440L)
+      }
+    val got = SparkEntry.queries("log_peak_concurrency")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(got == expected, "peak curve diverges from driver sweep")
+    got.foreach { case (_, peak, minute) =>
+      assert(peak >= 1L && minute >= 0L && minute < 1440L)
+    }
+  }
+
+  test("dedup_audit_queue: stratified md5 draw replays exactly") {
+    import spark.implicits._
+    val pairs = SparkEntry.queries("dedup_minhash_est")(spark, sf())
+      .select($"doc_a", $"doc_b", $"exact_jacc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def md5hex(s0: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s0.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = pairs.map { case (a, b, j) =>
+      (if (j >= 0.5) "near_dup" else "low", md5hex(s"$a:$b"), a, b, j)
+    }.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+      g.sortBy(e => (e._2, e._3, e._4)).take(10).zipWithIndex
+        .map { case ((st, _, a, b, j), i) => (st, i + 1L, a, b, j) }
+    }.sortBy(e => (e._1, e._2))
+    val got = SparkEntry.queries("dedup_audit_queue")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(got == expected, "audit queue diverges from md5-rank replay")
+    assert(got.groupBy(_._1).values.forall(_.size <= 10))
+  }
 }
