@@ -47,12 +47,19 @@ object EventsLog {
   /** The 10-bin value-bin rule shared by the declared log_psi_drift
     * and the streaming EventStream.psiModel/psiDrift twins (one
     * definition — the monitors can never bin differently from the
-    * batch audit). Expects columns `value`, `v0`, `v1`. */
+    * batch audit). Expects columns `value`, `v0`, `v1`. Clamped on
+    * BOTH ends: the batch audit computes bounds globally so only the
+    * top clamp can fire there, but the streaming monitor serves LIVE
+    * values against a model trained on history — a value below the
+    * training min (exactly the downward drift the monitor exists to
+    * catch) must land in bin 0, not in a negative bin that no
+    * conditional sum counts (review finding, fourth session). */
   private[graft] def valueBin: org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.{col, floor, least, lit, when}
-    when(col("v1") === col("v0"), 0L).otherwise(least(lit(9L),
-      floor(((col("value") - col("v0")) * 10.0)
-        / (col("v1") - col("v0")))))
+    import org.apache.spark.sql.functions.{col, floor, greatest, least, lit, when}
+    when(col("v1") === col("v0"), 0L).otherwise(
+      greatest(lit(0L), least(lit(9L),
+        floor(((col("value") - col("v0")) * 10.0)
+          / (col("v1") - col("v0"))))))
   }
 
   /** One e10-quantized PSI term — `(p2 − p1)·ln(p2/p1)` as an exact
@@ -1354,9 +1361,18 @@ object EventsLog {
         .agg(sum($"xe").as("x"), sum($"ye").as("y"))
         .select($"user_id", $"x", $"y", variantCol.as("variant"))
         .groupBy($"variant")
+        // the square/cross SUMS themselves widen to DECIMAL(38,0):
+        // per-user e2 totals of ~1e6 over ~1e7 users already push
+        // Σx² past int64 (review finding — the widening must start
+        // at the inner sums, not only at the n·Σ cross products)
         .agg(count(lit(1)).as("n_v"), sum($"x").as("sx_v"),
-          sum($"y").as("sy_v"), sum(expr("x * x")).as("sxx_v"),
-          sum(expr("x * y")).as("sxy_v"), sum(expr("y * y")).as("syy_v"))
+          sum($"y").as("sy_v"),
+          sum(expr("cast(x as decimal(38,0)) * cast(x as decimal(38,0))"))
+            .as("sxx_v"),
+          sum(expr("cast(x as decimal(38,0)) * cast(y as decimal(38,0))"))
+            .as("sxy_v"),
+          sum(expr("cast(y as decimal(38,0)) * cast(y as decimal(38,0))"))
+            .as("syy_v"))
       perVariant
         .withColumn("n", sum($"n_v").over(wAll))
         .withColumn("sx", sum($"sx_v").over(wAll))
@@ -1512,13 +1528,24 @@ object EventsLog {
           "array(named_struct('m', sm, 'delta', 1L)," +
             " named_struct('m', em, 'delta', -1L))")).as("x"))
         .select($"x.m".as("m"), $"x.delta".as("delta"))
+      // sample every midnight (zero delta) so a plateau carried
+      // across a day boundary is OBSERVED on the day it covers —
+      // without it a day whose only delta row sits after the level
+      // already dropped would understate its peak (review finding);
+      // +1 day covers sessions spilling past the last event's day,
+      // and peak-0 rows (no open session sampled) are dropped.
+      val midnights = t(s, d, "events")
+        .agg(expr("min(unix_micros(ts)) div 86400000000").as("d0"),
+          expr("max(unix_micros(ts)) div 86400000000").as("d1"))
+        .select(explode(expr("sequence(d0, d1 + 1)")).as("day_id"))
+        .select(($"day_id" * 1440L).as("m"), lit(0L).as("delta"))
+      deltas.unionAll(midnights)
         .groupBy($"m").agg(sum($"delta").as("dd"))
-      deltas
         .withColumn("conc", sum($"dd").over(Window.orderBy($"m")))
         .withColumn("day_id", expr("m div 1440"))
         .withColumn("rk", row_number().over(Window
           .partitionBy($"day_id").orderBy($"conc".desc, $"m".asc)))
-        .filter($"rk" === 1)
+        .filter($"rk" === 1 && $"conc" >= 1L)
         .select(date_format(expr(
           "date_add(date '1970-01-01', cast(day_id as int))"),
           "yyyy-MM-dd").as("day"),
@@ -2195,8 +2222,9 @@ object EventsLog {
         |binned AS (
         |  SELECT event_type,
         |    CASE WHEN us * 2 < us0 + us1 THEN 0 ELSE 1 END AS period,
-        |    CASE WHEN v1 = v0 THEN 0 ELSE LEAST(9, CAST(FLOOR(
-        |      ((value - v0) * 10.0) / (v1 - v0)) AS BIGINT)) END AS bin
+        |    CASE WHEN v1 = v0 THEN 0 ELSE GREATEST(0, LEAST(9,
+        |      CAST(FLOOR(((value - v0) * 10.0) / (v1 - v0))
+        |        AS BIGINT))) END AS bin
         |  FROM ev, b),
         |cnt AS (SELECT event_type, period, bin, COUNT(*) AS c
         |        FROM binned GROUP BY 1, 2, 3),
@@ -2394,18 +2422,18 @@ object EventsLog {
         |  SELECT variant, COUNT(*) AS n_v,
         |    CAST(SUM(x) AS BIGINT) AS sx_v,
         |    CAST(SUM(y) AS BIGINT) AS sy_v,
-        |    CAST(SUM(x * x) AS BIGINT) AS sxx_v,
-        |    CAST(SUM(x * y) AS BIGINT) AS sxy_v,
-        |    CAST(SUM(y * y) AS BIGINT) AS syy_v
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx_v,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy_v,
+        |    SUM(CAST(y AS HUGEINT) * y) AS syy_v
         |  FROM pv GROUP BY variant),
         |g AS (
         |  SELECT *,
         |    CAST(SUM(n_v) OVER () AS BIGINT) AS n,
         |    CAST(SUM(sx_v) OVER () AS BIGINT) AS sx,
         |    CAST(SUM(sy_v) OVER () AS BIGINT) AS sy,
-        |    CAST(SUM(sxx_v) OVER () AS BIGINT) AS sxx,
-        |    CAST(SUM(sxy_v) OVER () AS BIGINT) AS sxy,
-        |    CAST(SUM(syy_v) OVER () AS BIGINT) AS syy
+        |    SUM(sxx_v) OVER () AS sxx,
+        |    SUM(sxy_v) OVER () AS sxy,
+        |    SUM(syy_v) OVER () AS syy
         |  FROM va),
         |g2 AS (
         |  SELECT *,
@@ -2530,10 +2558,18 @@ object EventsLog {
         |  SELECT epoch_us(MIN(ts)) // 60000000 AS sm,
         |    (epoch_us(MAX(ts)) + 1800000000) // 60000000 AS em
         |  FROM isl GROUP BY user_id, island),
+        |db AS (
+        |  SELECT MIN(epoch_us(ts)) // 86400000000 AS d0,
+        |    MAX(epoch_us(ts)) // 86400000000 AS d1
+        |  FROM events),
+        |mids AS (
+        |  SELECT CAST((d0 + i) * 1440 AS BIGINT) AS m, 0 AS delta
+        |  FROM db, unnest(generate_series(0, d1 + 1 - d0)) AS t(i)),
         |del AS (
         |  SELECT m, CAST(SUM(delta) AS BIGINT) AS dd FROM (
         |    SELECT sm AS m, 1 AS delta FROM sess
-        |    UNION ALL SELECT em, -1 FROM sess)
+        |    UNION ALL SELECT em, -1 FROM sess
+        |    UNION ALL SELECT m, delta FROM mids)
         |  GROUP BY m),
         |c AS (
         |  SELECT m, CAST(SUM(dd) OVER (ORDER BY m) AS BIGINT) AS conc,
@@ -2547,5 +2583,5 @@ object EventsLog {
         |    + CAST(day_id AS INTEGER), '%Y-%m-%d') AS day,
         |  conc AS peak_concurrency,
         |  m % 1440 AS peak_minute_of_day
-        |FROM r WHERE rk = 1 ORDER BY day""".stripMargin)
+        |FROM r WHERE rk = 1 AND conc >= 1 ORDER BY day""".stripMargin)
 }

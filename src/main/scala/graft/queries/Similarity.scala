@@ -1434,8 +1434,14 @@ object Similarity {
         .filter($"rn" <= 10)
         .join(brute, "vec_id")
         .groupBy($"nprobe").agg(count(lit(1)).as("n_hit"))
-      nCand.join(hits, Seq("nprobe"), "left_outer")
-        .select($"nprobe", $"n_cand",
+      // densify from the literal config frame: a probe rank whose
+      // cell holds zero indexed vectors must still report its sweep
+      // row (n_cand = 0), not vanish (the dedup_threshold_sweep
+      // densify discipline; review finding)
+      Seq(1L, 2L, 4L).toDF("nprobe")
+        .join(nCand, Seq("nprobe"), "left_outer")
+        .join(hits, Seq("nprobe"), "left_outer")
+        .select($"nprobe", coalesce($"n_cand", lit(0L)).as("n_cand"),
           coalesce($"n_hit", lit(0L)).as("n_hit"),
           round(coalesce($"n_hit", lit(0L)).cast("double") / 10.0, 4)
             .as("recall"))
@@ -2779,12 +2785,15 @@ object Similarity {
         |ncand AS (SELECT nprobe, COUNT(*) AS n_cand
         |          FROM sweep GROUP BY 1),
         |hits AS (SELECT nprobe, COUNT(*) AS n_hit FROM topk t
-        |         JOIN brute b ON b.vec_id = t.vec_id GROUP BY 1)
-        |SELECT nc.nprobe, nc.n_cand,
+        |         JOIN brute b ON b.vec_id = t.vec_id GROUP BY 1),
+        |cfg AS (SELECT CAST(x AS BIGINT) AS nprobe
+        |        FROM unnest([1, 2, 4]) AS t(x))
+        |SELECT cfg.nprobe, COALESCE(nc.n_cand, 0) AS n_cand,
         |  COALESCE(h.n_hit, 0) AS n_hit,
         |  ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / 10.0, 4) AS recall
-        |FROM ncand nc LEFT JOIN hits h USING (nprobe)
-        |ORDER BY nprobe""".stripMargin,
+        |FROM cfg LEFT JOIN ncand nc USING (nprobe)
+        |LEFT JOIN hits h USING (nprobe)
+        |ORDER BY cfg.nprobe""".stripMargin,
 
     "sim_matryoshka_recall" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

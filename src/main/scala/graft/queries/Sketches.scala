@@ -294,8 +294,13 @@ object Sketches {
       import org.apache.spark.sql.expressions.Window
       val ev = t(s, d, "events").select($"value")
       val bounds = ev.agg(min($"value").as("v0"), max($"value").as("v1"))
-      def vc = ev.crossJoin(broadcast(bounds))
+      // the per-value fold is pinned: both the histogram and the
+      // exact-rank branch read ONE derivation (review finding — a
+      // `def` here re-scanned events per branch), and the frame is
+      // value-domain bounded, so the checkpoint is small
+      val vc = ev.crossJoin(broadcast(bounds))
         .groupBy($"value", $"v0", $"v1").agg(count(lit(1)).as("c"))
+        .localCheckpoint()
       val binCol = when($"v1" === $"v0", 0L).otherwise(least(lit(999L),
         floor((($"value" - $"v0") * 1000.0) / ($"v1" - $"v0"))))
       val qarr = "array(50L, 95L, 99L)"

@@ -46,18 +46,26 @@ object EmbedStream {
     * codebook cell (nearest by cosine, ties to the lowest cell id —
     * the sim_ivf_assign argmin fold, negated-similarity struct order).
     * Batch mode runs the identical plan minus the watermark. */
+  /** The ONE cell-assignment rule (argmin over the broadcast codebook
+    * by negated rounded cosine, ties to the lowest cell id — the
+    * sim_ivf_assign fold) parameterized over the vector column, so
+    * cellDrift and nnServe's two sides can never assign differently
+    * (review finding — three hand-kept copies risked divergence). */
+  private def cellOf(vcol: String): org.apache.spark.sql.Column =
+    expr(
+      s"""array_min(transform(cents, ct -> named_struct(
+         |  'nsim', -round(cosine_similarity($vcol, ct.c), 4),
+         |  'cell_id', ct.cell_id)))""".stripMargin)
+      .getField("cell_id")
+
   def cellDrift(emb: DataFrame, cb: DataFrame,
       wmDelay: String = "1 hour"): DataFrame = {
     import emb.sparkSession.implicits._
     graft.functions.GraftFunctions.register(emb.sparkSession)
-    val am = expr(
-      """array_min(transform(cents, ct -> named_struct(
-        |  'nsim', -round(cosine_similarity(v, ct.c), 4),
-        |  'cell_id', ct.cell_id)))""".stripMargin)
     val assigned = emb
       .select($"ingest_ts", $"embedding".cast("array<double>").as("v"))
       .crossJoin(broadcast(cb))
-      .select($"ingest_ts", am.getField("cell_id").as("cell"))
+      .select($"ingest_ts", cellOf("v").as("cell"))
     val src = if (emb.isStreaming) assigned.withWatermark("ingest_ts", wmDelay)
       else assigned
     src.groupBy(window($"ingest_ts", "1 hour"), $"cell")
@@ -84,26 +92,16 @@ object EmbedStream {
       wmDelay: String = "1 hour"): DataFrame = {
     import queries.sparkSession.implicits._
     graft.functions.GraftFunctions.register(queries.sparkSession)
-    val am = expr(
-      """array_min(transform(cents, ct -> named_struct(
-        |  'nsim', -round(cosine_similarity(v, ct.c), 4),
-        |  'cell_id', ct.cell_id)))""".stripMargin)
     val idx = index
       .select($"vec_id".as("cand_id"),
         $"embedding".cast("array<double>").as("cv"))
       .crossJoin(broadcast(cb))
-      .select($"cand_id", $"cv",
-        expr(
-          """array_min(transform(cents, ct -> named_struct(
-            |  'nsim', -round(cosine_similarity(cv, ct.c), 4),
-            |  'cell_id', ct.cell_id)))""".stripMargin)
-          .getField("cell_id").as("cell"))
+      .select($"cand_id", $"cv", cellOf("cv").as("cell"))
     val q = queries
       .select($"ingest_ts", $"vec_id".as("qid"),
         $"embedding".cast("array<double>").as("v"))
       .crossJoin(broadcast(cb))
-      .select($"ingest_ts", $"qid", $"v",
-        am.getField("cell_id").as("cell"))
+      .select($"ingest_ts", $"qid", $"v", cellOf("v").as("cell"))
     val probed = q.join(idx, Seq("cell"))
       .filter($"cand_id" =!= $"qid")
       .select($"ingest_ts", $"qid", $"cand_id",

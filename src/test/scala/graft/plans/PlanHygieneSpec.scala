@@ -106,7 +106,6 @@ class PlanHygieneSpec extends SparkSpec {
     "text_pmi_top",          // 1-row bigram-total scalar
     "log_psi_drift",         // 1-row (ts,value) min/max bounds scalar
     "log_ks_drift",          // 1-row ts min/max bounds scalar
-    "sketch_hist_quantiles", // 1-row value min/max bounds scalar
     "sim_centroid_shift",    // 1-row seed-codebook array (kmeans shape)
     "sim_pair_recall_bounds",// DELIBERATE sampled all-pairs truth join (the
                              // recall diagnostic's ground truth exists only

@@ -1966,18 +1966,22 @@ class PipelineInvariantsSpec extends SparkSpec {
       runs.map(r => (r.head / 60000000L,
         (r.last + gapUs) / 60000000L))
     }
+    val d0 = ev.map(_._2).min / 86400000000L
+    val d1 = ev.map(_._2).max / 86400000000L
+    val midnights = (d0 to d1 + 1).map(dd => (dd * 1440L) -> 0L)
     val deltas = (sessions.map(s => s._1 -> 1L) ++
-      sessions.map(s => s._2 -> -1L))
+      sessions.map(s => s._2 -> -1L) ++ midnights)
       .groupBy(_._1).map { case (m, g) => m -> g.map(_._2).sum }
       .toSeq.sortBy(_._1)
     var conc = 0L
     val curve = deltas.map { case (m, d) => conc += d; (m, conc) }
     assert(curve.last._2 == 0L, "sweep must close at zero")
     val expected = curve.groupBy(_._1 / 1440L).toSeq.sortBy(_._1)
-      .map { case (dayId, g) =>
+      .flatMap { case (dayId, g) =>
         val peak = g.maxBy { case (m, c) => (c, -m) }
-        (java.time.LocalDate.ofEpochDay(dayId).toString,
-          peak._2, peak._1 % 1440L)
+        if (peak._2 < 1L) None
+        else Some((java.time.LocalDate.ofEpochDay(dayId).toString,
+          peak._2, peak._1 % 1440L))
       }
     val got = SparkEntry.queries("log_peak_concurrency")(spark, sf())
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))

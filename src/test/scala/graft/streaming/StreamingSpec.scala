@@ -1054,6 +1054,53 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected, "windowed PSI diverges from exact replay")
   }
 
+  test("psi drift: live values below the model's range land in bin 0") {
+    import spark.implicits._
+    val ev = t(spark, sf(), "events")
+    // model trained ONLY on the upper value range — live traffic then
+    // includes values below the training min, the downward-drift path
+    val model = EventStream.psiModel(ev.filter($"value" >= 200.0))
+    val got = EventStream.psiDrift(ev, model)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val bounds = ev.filter($"value" >= 200.0)
+      .agg(min($"value"), max($"value")).head()
+    val (v0, v1) = (bounds.getDouble(0), bounds.getDouble(1))
+    def binOf(v: Double): Int =
+      if (v1 == v0) 0
+      else math.max(0, math.min(9,
+        math.floor((v - v0) * 10.0 / (v1 - v0)).toInt))
+    val refRaw = ev.filter($"value" >= 200.0)
+      .select($"event_type", $"value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val ref = refRaw.groupBy(_._1).map { case (ty, g) =>
+      ty -> (g.length.toLong, g.groupBy(e => binOf(e._2))
+        .map { case (b, h) => b -> h.length.toLong }) }
+    val raw = ev.select($"event_type", unix_micros($"ts").as("us"),
+        $"value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val hourUs = 3600000000L
+    val expected = raw.groupBy(e => (e._2 / hourUs * hourUs, e._1))
+      .map { case ((h, ty), g) =>
+        val n = g.length.toLong
+        val cnt = g.groupBy(e => binOf(e._3))
+          .map { case (b, x) => b -> x.length.toLong }
+        val (nRef, rCnt) = ref(ty)
+        val psiE10 = (0 to 9).map { b =>
+          val p2 = (cnt.getOrElse(b, 0L) + 1) / (n + 10).toDouble
+          val p1 = (rCnt.getOrElse(b, 0L) + 1) / (nRef + 10).toDouble
+          math.round((p2 - p1) * math.log(p2 / p1) * 1e10)
+        }.sum
+        (h, ty) -> (n, math.round(psiE10.toDouble / 1e10 * 1e4)
+          / 1e4.toDouble)
+      }
+    assert(got == expected,
+      "below-range values must clamp into bin 0, not vanish")
+    // every window's n must equal its raw event count (nothing is
+    // silently dropped by a negative bin)
+    assert(got.values.map(_._1).sum == raw.length.toLong)
+  }
+
   test("psi drift (streaming): windowed PSI == batch (parity)") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_psi").toString
