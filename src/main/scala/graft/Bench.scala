@@ -154,11 +154,26 @@ object Bench {
       System.err.println(s"[bench-diff] ${n} quer${if (n == 1) "y" else "ies"} >=1.5x slower than previous detail file")
     }
     val regressed = deltas.count(_._4 >= 1.5)
+    // Contention self-labeling (verdict r9 ask #8): the median per-row
+    // ratio vs the previous committed detail file — the diagnosis the
+    // round-8 sessions ran by hand. Host contention inflates (nearly)
+    // ALL rows by a uniform 1.1–1.3x, so median_ratio >> 1 with few
+    // per-row regressions reads "contended run, re-bench isolated",
+    // while median_ratio ≈ 1 with a concentrated slow cluster reads
+    // "real regression". Computed over rows present in both runs with
+    // positive times; -1 when there is no baseline to compare.
+    val ratios = results.flatMap { case (name, v) =>
+      prevDetail.get(name).collect { case p if p > 0 && v > 0 => v / p }
+    }.sorted
+    val medianRatio =
+      if (ratios.isEmpty) -1.0
+      else if (ratios.size % 2 == 1) ratios(ratios.size / 2)
+      else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2.0
     // n_raw makes the series comparable across rounds: total includes the
     // raw build rows (new in r8), declared-query subtotal = recompute
     // from bench_detail.json minus *_raw entries
     val nRaw = results.count { case (name, _) => RawBuilds.map.contains(name) }
-    val header = s""""metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_raw":$nRaw,"failed":$failed,"regressed":$regressed,"detail":"$detailFile","queries":"""
+    val header = s""""metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_raw":$nRaw,"failed":$failed,"regressed":$regressed,"median_ratio":${fmt(medianRatio)},"detail":"$detailFile","queries":"""
     val budget = 1500 - header.length - 4
     val bySlowest = results.toSeq.sortBy { case (_, v) => -v }
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }

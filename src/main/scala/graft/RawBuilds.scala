@@ -18,6 +18,9 @@ object RawBuilds {
     "sketch_cms_raw" -> ((s, d) => queries.Sketches.cmsBuild(s, d)),
     "dedup_lsh_pairs_raw" -> ((s, d) => queries.Dedup.lshPairs(s, d)),
     "sim_pq_codes_raw" -> ((s, d) => queries.Similarity.pqIndexRaw(s, d)),
+    // the declared sim_kcenter_init / sim_init_quality read the memoized
+    // farthest-first seed frame; this drives the real 7-pass build
+    "sim_kcenter_init_raw" -> ((s, d) => queries.Similarity.kcenterRaw(s, d)),
     "dedup_clusters_raw" -> ((s, d) => queries.Dedup.componentsRaw(s, d)),
     // the declared merge queries read memoized shard tables; these drive
     // the full shard fold + merge (the actual operator)

@@ -208,19 +208,34 @@ class Catalog(spark: SparkSession, warehouse: String) {
 
   /** Directory twin of [[publishNoReplace]] (hard links cannot publish
     * a parquet directory): on `file:` a same-filesystem
-    * `java.nio.Files.move` is a rename(2) that FAILS with
-    * FileAlreadyExistsException when dst exists — atomic no-replace;
-    * on HDFS, `rename` itself returns false for an existing
-    * destination. Either way two racing table stores cannot both win
-    * and a loser never clobbers the winner's files. */
+    * `java.nio.Files.move` without ATOMIC_MOVE is an exists-check
+    * followed by rename(2) — NOT atomic (ADVICE r8). A racing
+    * publisher landing inside that window hits rename(2) onto a
+    * non-empty directory, which fails with ENOTEMPTY
+    * (DirectoryNotEmptyException / FileSystemException) rather than
+    * FileAlreadyExistsException — so BOTH exception shapes mean "lost
+    * the race" and return false. No clobbering is possible either way
+    * (rename never replaces a non-empty dir); on HDFS, `rename`
+    * itself returns false for an existing destination. */
   private[engine] def publishDirNoReplace(tmp: Path, dst: Path): Boolean =
     if ("file" == fs.getUri.getScheme) {
-      import java.nio.file.{Files, Paths, FileAlreadyExistsException}
+      import java.nio.file.{Files, Paths, FileAlreadyExistsException,
+        DirectoryNotEmptyException, FileSystemException}
       try {
         Files.move(Paths.get(tmp.toUri.getPath),
           Paths.get(dst.toUri.getPath))
         true
-      } catch { case _: FileAlreadyExistsException => false }
+      } catch {
+        case _: FileAlreadyExistsException => false
+        case _: DirectoryNotEmptyException => false
+        // ENOTEMPTY/EEXIST surface as a bare FileSystemException on
+        // some JDK/filesystem combinations — but only call it a lost
+        // race when the winner's directory is actually there; any
+        // other FileSystemException (tmp vanished, EACCES…) is a real
+        // failure and must propagate, not read as "file exists"
+        case e: FileSystemException =>
+          if (fs.exists(dst)) false else throw e
+      }
     } else fs.rename(tmp, dst)
 
   /** Read a table stored via [[storeTable]] as a DataFrame whose lineage

@@ -153,10 +153,17 @@ object Dedup {
           val cat = new graft.engine.Catalog(s, wh)
           try {
             // losing the publish race to a concurrent builder is fine:
-            // the winner's table is the same content — read it
+            // the winner's table is the same content — read it. Only
+            // the documented race signal ("file exists: …") is
+            // swallowed; any other IAE from the build/write is a real
+            // failure and must propagate (ADVICE r8).
             if (!cat.exists(name))
               try cat.storeTable(lshPairs(s, d), name)
-              catch { case _: IllegalArgumentException => }
+              catch {
+                case e: IllegalArgumentException
+                  if e.getMessage != null &&
+                    e.getMessage.startsWith("file exists") =>
+              }
             cat.readTable(name)
           } finally cat.close()
         }
@@ -908,7 +915,7 @@ object Dedup {
          |  ROUND(CAST(e.est_matches AS DOUBLE) / 6, 4) AS est_jacc,
          |  j.jacc AS exact_jacc,
          |  ROUND(ROUND(CAST(e.est_matches AS DOUBLE) / 6, 4) - j.jacc, 4)
-         |    AS err
+         |    + 0.0 AS err
          |FROM est e
          |JOIN j ON j.doc_a = e.doc_a AND j.doc_b = e.doc_b
          |ORDER BY doc_a, doc_b""".stripMargin

@@ -87,6 +87,26 @@ object EventsLog {
         sum($"n" * $"n").as("sxx"))
   }
 
+  /** approx_percentile (Greenwald–Khanna, O(1/accuracy) state per
+    * group) raw estimates — engine-level only (GK summaries are
+    * engine-specific, so the estimates can never hash an oracle):
+    * the DECLARED surface is `q_approx_quantiles_bounds`, which runs
+    * this same sketch and hash-checks the published rank-error
+    * guarantee against ground truth; SketchesSpec pins the bound on
+    * these raw values directly (verdict r9 ask #5: no standalone
+    * `no_oracle` rows in the declared inventory). */
+  private[graft] def approxQuantiles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    t(s, d, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("approx_percentile(l_quantity, 0.5, 1000)").as("ap50_qty"),
+        expr("approx_percentile(l_quantity, 0.9, 1000)").as("ap90_qty"),
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)")
+          .as("ap50_price"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // L7: group-count + decimal value sum per event_type.
     "log_counts_by_type" -> ((s, d) => {
@@ -472,24 +492,7 @@ object EventsLog {
         .orderBy($"user_id")
     }),
 
-    // The bounded-state twin of q_percentiles: approx_percentile
-    // (Greenwald-Khanna) holds O(1/accuracy) state per group where exact
-    // percentile buffers the whole group. No oracle (GK summaries are
-    // engine-specific); rows-only check + ApproxSpec pins the rank-error
-    // bound against the exact values.
-    "q_approx_quantiles" -> ((s, d) => {
-      import s.implicits._
-      t(s, d, "lineitem")
-        .groupBy($"l_returnflag")
-        .agg(
-          expr("approx_percentile(l_quantity, 0.5, 1000)").as("ap50_qty"),
-          expr("approx_percentile(l_quantity, 0.9, 1000)").as("ap90_qty"),
-          expr("approx_percentile(l_extendedprice, 0.5, 1000)")
-            .as("ap50_price"))
-        .orderBy($"l_returnflag")
-    }),
-
-    // The ORACLE-CHECKABLE contract for q_approx_quantiles: each
+    // The ORACLE-CHECKABLE contract for approx quantiles: each
     // engine's quantile estimate must sit within 1% RANK error of the
     // true quantile (Spark GK at accuracy=1000 guarantees 0.1%;
     // DuckDB's t-digest is well inside 1% at any realistic size). The
@@ -527,18 +530,7 @@ object EventsLog {
     }),
 
     // L8 at 100 TB scale: approx_count_distinct (HLL++) — the bounded-
-    // state variant of exact distinct. No oracle (sketch estimates are
-    // engine-specific); rows-only check + exact column for sanity.
-    "log_approx_distinct" -> ((s, d) => {
-      import s.implicits._
-      t(s, d, "events")
-        .groupBy($"event_type")
-        .agg(approx_count_distinct($"user_id", 0.01).as("approx_users"),
-          countDistinct($"user_id").as("exact_users"))
-        .orderBy($"event_type")
-    }),
-
-    // The ORACLE-CHECKABLE contract for log_approx_distinct: each
+    // state variant of exact distinct. The ORACLE-CHECKABLE contract: each
     // engine's HLL estimate must sit within 5% of the exact distinct
     // count (Spark rsd=0.01 → 5σ; DuckDB's default HLL is ~0.4% rse).
     // The estimates themselves are engine-specific and never compared —
@@ -1482,24 +1474,111 @@ object EventsLog {
         .agg(sum($"e").as("n1"), sum(lit(1L) - $"e").as("n2"),
           sum($"e" * $"v_e2").as("s1"),
           sum((lit(1L) - $"e") * $"v_e2").as("s2"))
+        // Exact-rational effects (verdict r9 ask #3): the effects are
+        // rationals — volume = (n2−n1)·s1/(100·n1), rate = (s2·n1 −
+        // n2·s1)/(100·n1) — so quantize each to an e4 BIGINT by exact
+        // integer arithmetic (half-away-from-zero on the magnitude:
+        // (2·|num|·10⁴ + den) div (2·den), den > 0) instead of chaining
+        // raw double divides that the two engines may round apart.
+        // identity_gap is then PURE integer: delta_e4 − ve_e4 − re_e4
+        // (the honest rounding residue), and integer 0 casts to +0.0 in
+        // both engines — the r8 −0.0 hash class cannot recur here.
+        // Products widen to DECIMAL(38,0) from the first multiply
+        // (s·n ~ 1e22 at 100 TB overflows int64).
+        .withColumn("den", expr("cast(n1 as decimal(38,0)) * 100"))
+        .withColumn("num_v", expr(
+          "cast(n2 - n1 as decimal(38,0)) * cast(s1 as decimal(38,0))"))
+        .withColumn("num_r", expr(
+          "cast(s2 as decimal(38,0)) * cast(n1 as decimal(38,0))" +
+            " - cast(n2 as decimal(38,0)) * cast(s1 as decimal(38,0))"))
+        .withColumn("ve_e4", expr(
+          "cast(case when num_v < 0 then -1 else 1 end" +
+            " * ((2 * abs(num_v) * 10000 + den) div (2 * den)) as bigint)"))
+        .withColumn("re_e4", expr(
+          "cast(case when num_r < 0 then -1 else 1 end" +
+            " * ((2 * abs(num_r) * 10000 + den) div (2 * den)) as bigint)"))
         .select($"event_type", $"n1".as("n_early"), $"n2".as("n_late"),
           round($"s1".cast("double") / 100.0, 2).as("sum_early"),
           round($"s2".cast("double") / 100.0, 2).as("sum_late"),
           round(($"s2" - $"s1").cast("double") / 100.0, 2).as("delta"),
-          round(($"n2" - $"n1").cast("double")
-            * ($"s1".cast("double") / $"n1" / 100.0), 4)
-            .as("volume_effect"),
-          round($"n2".cast("double")
-            * ($"s2".cast("double") / $"n2" / 100.0
-              - $"s1".cast("double") / $"n1" / 100.0), 4)
-            .as("rate_effect"),
-          round(($"s2" - $"s1").cast("double") / 100.0
-            - ($"n2" - $"n1").cast("double")
-              * ($"s1".cast("double") / $"n1" / 100.0)
-            - $"n2".cast("double")
-              * ($"s2".cast("double") / $"n2" / 100.0
-                - $"s1".cast("double") / $"n1" / 100.0), 4)
-            .as("identity_gap"))
+          ($"ve_e4".cast("double") / 1e4).as("volume_effect"),
+          ($"re_e4".cast("double") / 1e4).as("rate_effect"),
+          ((($"s2" - $"s1") * 100 - $"ve_e4" - $"re_e4").cast("double")
+            / 1e4).as("identity_gap"))
+        .orderBy($"event_type")
+    }),
+
+    // Burstiness — the Fano factor (index of dispersion) of each
+    // type's hourly arrival series over the DENSE hour grid (absent
+    // hours count as 0 — dropping them would understate variance,
+    // the denseHourGrid discipline): fano = var_pop/mean = (n·Σx² −
+    // (Σx)²)/(n·Σx). 1 = Poisson, >1 = bursty (retry storms,
+    // crawlers), <1 = rate-limited/uniform — the number a capacity
+    // planner reads next to log_peak_concurrency. Counts are exact
+    // integers, so fano is an exact rational: e4-quantized by half-up
+    // integer division (numerator ≥ 0 by Cauchy–Schwarz, no sign
+    // handling), DECIMAL(38,0)-widened — n·Σx² overflows int64 at
+    // cluster-scale hour counts. One grid build + one type-keyed agg.
+    "log_burstiness" -> ((s, d) => {
+      import s.implicits._
+      denseHourGrid(t(s, d, "events"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_hours"), sum($"n").as("total"),
+          sum($"n" * $"n").as("sxx"))
+        .withColumn("fano_e4", expr(
+          "cast((2 * (cast(n_hours as decimal(38,0)) * sxx" +
+            " - cast(total as decimal(38,0)) * total) * 10000" +
+            " + cast(n_hours as decimal(38,0)) * total)" +
+            " div (2 * cast(n_hours as decimal(38,0)) * total)" +
+            " as bigint)"))
+        .select($"event_type", $"n_hours", $"total",
+          round($"total".cast("double") / $"n_hours", 4).as("mean_rate"),
+          ($"fano_e4".cast("double") / 1e4).as("fano"))
+        .orderBy($"event_type")
+    }),
+
+    // Inter-arrival profile — per type, the p50/p90/max gap between
+    // consecutive events, the latency-between-arrivals number that
+    // sizes stream-ingest buffers and alert timeouts. The scale trick:
+    // NEVER lag over raw events (a per-type window over every event is
+    // an unbounded sort partition at 100 TB). Events first fold to
+    // per-(type, second) counts; the exact second-granularity gap
+    // multiset is recoverable from that bounded series — a bucket of c
+    // events contributes (c−1) zero gaps, consecutive occupied seconds
+    // s₁<s₂ contribute one (s₂−s₁) gap — so the lag window runs over
+    // OCCUPIED SECONDS (bounded by the time range, not the event
+    // count), and the quantiles are an exact integer cumsum cut over
+    // the bounded gap histogram (the log_user_gini rank discipline).
+    // Every output is an exact integer — no floats at all.
+    "log_interarrival_profile" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val secs = t(s, d, "events")
+        .select($"event_type", expr("unix_micros(ts) div 1000000").as("sec"))
+        .groupBy($"event_type", $"sec").agg(count(lit(1)).as("c"))
+      val wl = Window.partitionBy($"event_type").orderBy($"sec")
+      // zero gaps arrive pre-weighted (c−1 per occupied second) — no
+      // row explosion; cross-bucket gaps are strictly positive, so the
+      // union never double-counts a (type, gap) cell before the re-agg
+      val zero = secs.filter($"c" > 1)
+        .groupBy($"event_type").agg(sum($"c" - 1).as("k"))
+        .select($"event_type", lit(0L).as("gap"), $"k")
+      val cross = secs
+        .withColumn("prev", lag($"sec", 1).over(wl))
+        .filter($"prev".isNotNull)
+        .select($"event_type", ($"sec" - $"prev").as("gap"))
+        .groupBy($"event_type", $"gap").agg(count(lit(1)).as("k"))
+      val hist = zero.unionByName(cross)
+        .groupBy($"event_type", $"gap").agg(sum($"k").as("k"))
+      val wg = Window.partitionBy($"event_type").orderBy($"gap")
+      val cum = hist
+        .withColumn("cum", sum($"k").over(wg))
+        .withColumn("n", sum($"k").over(Window.partitionBy($"event_type")))
+      cum.groupBy($"event_type")
+        .agg(max($"n").as("n_gaps"),
+          min(when($"cum" * 2 >= $"n", $"gap")).as("p50_gap_s"),
+          min(when($"cum" * 10 >= $"n" * 9, $"gap")).as("p90_gap_s"),
+          max($"gap").as("max_gap_s"))
         .orderBy($"event_type")
     }),
 
@@ -1884,7 +1963,7 @@ object EventsLog {
         |       FROM pp GROUP BY prev, event_type),
         |c1 AS (SELECT prev, COUNT(*) AS c1 FROM pp GROUP BY prev)
         |SELECT user_id, COUNT(*) AS n_transitions,
-        |  ROUND(AVG(log2(CAST(c2 AS DOUBLE) / c1)), 4) AS avg_logprob
+        |  ROUND(AVG(log2(CAST(c2 AS DOUBLE) / c1)), 4) + 0.0 AS avg_logprob
         |FROM pp JOIN c2 USING (prev, event_type) JOIN c1 USING (prev)
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
@@ -2258,7 +2337,7 @@ object EventsLog {
         |    CAST(SUM(t_e10) AS BIGINT) AS psi_e10
         |  FROM terms GROUP BY 1, 2, 3)
         |SELECT event_type, n_early, n_late,
-        |  ROUND(CAST(psi_e10 AS DOUBLE) / 1e10, 4) AS psi,
+        |  ROUND(CAST(psi_e10 AS DOUBLE) / 1e10, 4) + 0.0 AS psi,
         |  psi_e10 > 1000000000 AS drifted
         |FROM psi ORDER BY event_type""".stripMargin,
 
@@ -2296,7 +2375,7 @@ object EventsLog {
         |    AS post_mean,
         |  CASE WHEN nh > k THEN
         |    ROUND(CAST(tot - cum AS DOUBLE) / (nh - k)
-        |          - CAST(cum AS DOUBLE) / k, 4) END AS shift
+        |          - CAST(cum AS DOUBLE) / k, 4) + 0.0 END AS shift
         |FROM c3 WHERE rk = 1 ORDER BY event_type""".stripMargin,
 
     "log_audience_overlap" ->
@@ -2450,8 +2529,8 @@ object EventsLog {
         |  ROUND(CAST(sy_v AS DOUBLE) / n_v / 100.0, 4) AS mean_post,
         |  ROUND((CAST(sy_v AS DOUBLE) / n_v / 100.0)
         |    - theta * (CAST(sx_v AS DOUBLE) / n_v / 100.0
-        |      - CAST(sx AS DOUBLE) / n / 100.0), 4) AS mean_adj,
-        |  ROUND(theta, 4) AS theta,
+        |      - CAST(sx AS DOUBLE) / n / 100.0), 4) + 0.0 AS mean_adj,
+        |  ROUND(theta, 4) + 0.0 AS theta,
         |  CASE WHEN den = 0 OR deny = 0 THEN NULL ELSE
         |    ROUND((CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
         |      / (CAST(den AS DOUBLE) * CAST(deny AS DOUBLE)), 4) END
@@ -2521,23 +2600,89 @@ object EventsLog {
         |    CAST(SUM(1 - e) AS BIGINT) AS n2,
         |    CAST(SUM(e * v_e2) AS BIGINT) AS s1,
         |    CAST(SUM((1 - e) * v_e2) AS BIGINT) AS s2
-        |  FROM h GROUP BY event_type)
+        |  FROM h GROUP BY event_type),
+        |q AS (
+        |  SELECT *,
+        |    CAST(n1 AS HUGEINT) * 100 AS den,
+        |    CAST(n2 - n1 AS HUGEINT) * CAST(s1 AS HUGEINT) AS num_v,
+        |    CAST(s2 AS HUGEINT) * CAST(n1 AS HUGEINT)
+        |      - CAST(n2 AS HUGEINT) * CAST(s1 AS HUGEINT) AS num_r
+        |  FROM g),
+        |e AS (
+        |  SELECT *,
+        |    CAST((CASE WHEN num_v < 0 THEN -1 ELSE 1 END)
+        |      * ((2 * abs(num_v) * 10000 + den) // (2 * den)) AS BIGINT)
+        |      AS ve_e4,
+        |    CAST((CASE WHEN num_r < 0 THEN -1 ELSE 1 END)
+        |      * ((2 * abs(num_r) * 10000 + den) // (2 * den)) AS BIGINT)
+        |      AS re_e4
+        |  FROM q)
         |SELECT event_type, n1 AS n_early, n2 AS n_late,
         |  ROUND(CAST(s1 AS DOUBLE) / 100.0, 2) AS sum_early,
         |  ROUND(CAST(s2 AS DOUBLE) / 100.0, 2) AS sum_late,
         |  ROUND(CAST(s2 - s1 AS DOUBLE) / 100.0, 2) AS delta,
-        |  ROUND(CAST(n2 - n1 AS DOUBLE)
-        |    * (CAST(s1 AS DOUBLE) / n1 / 100.0), 4) AS volume_effect,
-        |  ROUND(CAST(n2 AS DOUBLE)
-        |    * (CAST(s2 AS DOUBLE) / n2 / 100.0
-        |      - CAST(s1 AS DOUBLE) / n1 / 100.0), 4) AS rate_effect,
-        |  ROUND(CAST(s2 - s1 AS DOUBLE) / 100.0
-        |    - CAST(n2 - n1 AS DOUBLE)
-        |      * (CAST(s1 AS DOUBLE) / n1 / 100.0)
-        |    - CAST(n2 AS DOUBLE)
-        |      * (CAST(s2 AS DOUBLE) / n2 / 100.0
-        |        - CAST(s1 AS DOUBLE) / n1 / 100.0), 4) AS identity_gap
-        |FROM g ORDER BY event_type""".stripMargin,
+        |  CAST(ve_e4 AS DOUBLE) / 1e4 AS volume_effect,
+        |  CAST(re_e4 AS DOUBLE) / 1e4 AS rate_effect,
+        |  CAST((s2 - s1) * 100 - ve_e4 - re_e4 AS DOUBLE) / 1e4
+        |    AS identity_gap
+        |FROM e ORDER BY event_type""".stripMargin,
+
+    "log_burstiness" ->
+      """WITH e AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h FROM events),
+        |counts AS (SELECT event_type, h, COUNT(*) AS n
+        |           FROM e GROUP BY 1, 2),
+        |bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM e),
+        |grid AS (
+        |  SELECT event_type, unnest(generate_series(h0, h1,
+        |    INTERVAL 1 HOUR)) AS h
+        |  FROM (SELECT DISTINCT event_type FROM e), bounds),
+        |dense AS (
+        |  SELECT g.event_type, COALESCE(c.n, 0) AS n
+        |  FROM grid g LEFT JOIN counts c
+        |    ON c.event_type = g.event_type AND c.h = g.h),
+        |st AS (
+        |  SELECT event_type, COUNT(*) AS n_hours,
+        |    CAST(SUM(n) AS BIGINT) AS total,
+        |    CAST(SUM(n * n) AS BIGINT) AS sxx
+        |  FROM dense GROUP BY 1)
+        |SELECT event_type, n_hours, total,
+        |  ROUND(CAST(total AS DOUBLE) / n_hours, 4) AS mean_rate,
+        |  CAST(CAST((2 * (CAST(n_hours AS HUGEINT) * sxx
+        |          - CAST(total AS HUGEINT) * total) * 10000
+        |        + CAST(n_hours AS HUGEINT) * total)
+        |       // (2 * CAST(n_hours AS HUGEINT) * total) AS BIGINT)
+        |    AS DOUBLE) / 1e4 AS fano
+        |FROM st ORDER BY event_type""".stripMargin,
+
+    "log_interarrival_profile" ->
+      """WITH secs AS (
+        |  SELECT event_type, epoch_us(ts) // 1000000 AS sec,
+        |    COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |zero AS (
+        |  SELECT event_type, CAST(0 AS BIGINT) AS gap,
+        |    CAST(SUM(c - 1) AS BIGINT) AS k
+        |  FROM secs WHERE c > 1 GROUP BY event_type),
+        |xg AS (
+        |  SELECT event_type, sec - prev AS gap, COUNT(*) AS k FROM
+        |    (SELECT event_type, sec, LAG(sec) OVER (
+        |       PARTITION BY event_type ORDER BY sec) AS prev FROM secs)
+        |  WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |hist AS (
+        |  SELECT event_type, gap, CAST(SUM(k) AS BIGINT) AS k
+        |  FROM (SELECT * FROM zero UNION ALL SELECT * FROM xg)
+        |  GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, gap, k,
+        |    SUM(k) OVER (PARTITION BY event_type ORDER BY gap) AS cum,
+        |    SUM(k) OVER (PARTITION BY event_type) AS n
+        |  FROM hist)
+        |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_gaps,
+        |  MIN(CASE WHEN cum * 2 >= n THEN gap END) AS p50_gap_s,
+        |  MIN(CASE WHEN cum * 10 >= n * 9 THEN gap END) AS p90_gap_s,
+        |  MAX(gap) AS max_gap_s
+        |FROM cum GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "log_peak_concurrency" ->
       """WITH g AS (

@@ -168,7 +168,7 @@ object PipelineOps {
        |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bgs GROUP BY w1),
        |lm AS (
        |  SELECT doc_id, COUNT(*) AS n_bigrams,
-       |    ROUND(AVG(log2(CAST(c2 AS DOUBLE) / c1)), 4) AS avg_logprob
+       |    ROUND(AVG(log2(CAST(c2 AS DOUBLE) / c1)), 4) + 0.0 AS avg_logprob
        |  FROM bgs JOIN c2 USING (bg) JOIN c1 USING (w1)
        |  GROUP BY doc_id)""".stripMargin
 
@@ -296,6 +296,60 @@ object PipelineOps {
         .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("n_tokens"),
           min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
         .orderBy($"source", $"pack_id")
+    }),
+
+    // Greedy whole-doc sequence packing + padding accounting — the
+    // OTHER packing regime every training pipeline weighs against
+    // doc_pack's concat-and-chunk: documents are never split, each
+    // 128-token sequence holds whole docs in (source, doc_id) order,
+    // a doc that doesn't fit closes the bin (the padding cost), and
+    // oversize docs (> 96 tokens) are routed to a long-sequence
+    // bucket instead of a bin. The fold is inherently sequential per
+    // source, so it runs as the MrPipeline discipline: hash-partition
+    // by source, sort within partitions on (source, doc_id), ONE
+    // linear mapPartitions pass holding O(1) state per open source —
+    // no per-group buffering, scales to any docs-per-source. The
+    // oracle replays the identical fold as a per-source recursive CTE
+    // (the sim_kcenter_init pattern). All outputs are exact integers
+    // except pad_ratio (one divide of exact integers, ≥ 0).
+    "doc_pack_greedy" -> ((s, d) => {
+      import s.implicits._
+      val folded = t(s, d, "documents")
+        .select($"source", $"doc_id", size(toksCol).cast("long").as("tk"))
+        .repartition($"source")
+        .sortWithinPartitions($"source", $"doc_id")
+        .as[(String, Long, Long)]
+        .mapPartitions { it =>
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(String, Long, Long, Long, Long)]
+          var cur: String = null
+          var n = 0L; var ov = 0L; var bins = 0L; var pad = 0L
+          var fill = 0L
+          def close(): Unit = if (cur != null) {
+            if (fill > 0) { pad += 128 - fill; bins += 1 }
+            out += ((cur, n, ov, bins, pad))
+          }
+          it.foreach { case (src, _, tk) =>
+            if (src != cur) {
+              close(); cur = src; n = 0; ov = 0; bins = 0; pad = 0
+              fill = 0
+            }
+            n += 1
+            if (tk > 96) ov += 1
+            else if (fill + tk <= 128) fill += tk
+            else { pad += 128 - fill; bins += 1; fill = tk }
+          }
+          close()
+          out.iterator
+        }
+        .toDF("source", "n_docs", "n_oversize", "bins_used",
+          "padding_tokens")
+      folded.select($"source", $"n_docs", $"n_oversize", $"bins_used",
+          $"padding_tokens",
+          when($"bins_used" === 0L, lit(null).cast("double")).otherwise(
+            round($"padding_tokens".cast("double") /
+              ($"bins_used" * 128), 4)).as("pad_ratio"))
+        .orderBy($"source")
     }),
 
     // Corpus bigram language model scored over its own documents: the
@@ -1123,6 +1177,43 @@ object PipelineOps {
         .orderBy($"doc_id")
     }),
 
+    // Duplicate-n-gram mass per source — the memorization-risk
+    // accountant (Lee et al. 2022, "Deduplicating Training Data Makes
+    // Language Models Better", measures exactly this before/after
+    // dedup): of a source's 8-gram OCCURRENCES, how much mass sits in
+    // grams that occur more than once corpus-wide (near-dup text the
+    // doc-level dedup family can miss when the duplication is
+    // sub-document and cross-source). Grams hash to 8 bytes in-row
+    // before any shuffle (the contamination build's discipline); the
+    // corpus-wide gram counts and the per-source rollup are two
+    // keyed aggs — no pairwise anything. dup_share divides exact
+    // integers (≥ 0); x_source_share isolates the mass shared ACROSS
+    // sources (dup grams seen in ≥ 2 sources) — the signal that
+    // boilerplate rides syndication, not re-posts within one site.
+    "text_dup_ngram_rate" -> ((s, d) => {
+      import s.implicits._
+      val grams = t(s, d, "documents")
+        .select($"source", toksCol.as("toks"))
+        .filter(size($"toks") >= 8)
+        .select($"source", explode(expr(
+          "transform(sequence(1, size(toks) - 7)," +
+            " i -> xxhash64(array_join(slice(toks, i, 8), ' ')))")).as("g"))
+      val freq = grams.groupBy($"g")
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct($"source").as("n_src"))
+      grams.join(freq, "g")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when($"cnt" > 1L, 1L).otherwise(0L)).as("n_dup_occ"),
+          sum(when($"n_src" > 1L, 1L).otherwise(0L)).as("n_xsrc_occ"))
+        .select($"source", $"n_grams", $"n_dup_occ", $"n_xsrc_occ",
+          round($"n_dup_occ".cast("double") / $"n_grams", 4)
+            .as("dup_share"),
+          round($"n_xsrc_occ".cast("double") / $"n_grams", 4)
+            .as("x_source_share"))
+        .orderBy($"source")
+    }),
+
     // UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
     // More Effective Language Sampling for Large-Scale Multilingual
     // Pretraining"): distribute a total budget B over sources with a
@@ -1791,6 +1882,43 @@ object PipelineOps {
          |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
          |FROM c GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin,
 
+    "doc_pack_greedy" ->
+      s"""WITH RECURSIVE d AS (
+         |  SELECT source, CAST(len($toksSql) AS BIGINT) AS tk,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS i
+         |  FROM documents),
+         |cnt AS (SELECT source, COUNT(*) AS m FROM d GROUP BY source),
+         |r AS (
+         |  SELECT source, CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS fill,
+         |    CAST(0 AS BIGINT) AS bins, CAST(0 AS BIGINT) AS pad,
+         |    CAST(0 AS BIGINT) AS ov
+         |  FROM cnt
+         |  UNION ALL
+         |  SELECT r.source, r.i + 1,
+         |    CASE WHEN d.tk > 96 THEN r.fill
+         |         WHEN r.fill + d.tk <= 128 THEN r.fill + d.tk
+         |         ELSE d.tk END,
+         |    CASE WHEN d.tk > 96 THEN r.bins
+         |         WHEN r.fill + d.tk <= 128 THEN r.bins
+         |         ELSE r.bins + 1 END,
+         |    CASE WHEN d.tk > 96 THEN r.pad
+         |         WHEN r.fill + d.tk <= 128 THEN r.pad
+         |         ELSE r.pad + 128 - r.fill END,
+         |    r.ov + CASE WHEN d.tk > 96 THEN 1 ELSE 0 END
+         |  FROM r JOIN d ON d.source = r.source AND d.i = r.i + 1),
+         |fin AS (
+         |  SELECT r.source, cnt.m AS n_docs, r.ov AS n_oversize,
+         |    CAST(r.bins + CASE WHEN r.fill > 0 THEN 1 ELSE 0 END
+         |      AS BIGINT) AS bins_used,
+         |    CAST(r.pad + CASE WHEN r.fill > 0 THEN 128 - r.fill ELSE 0 END
+         |      AS BIGINT) AS padding_tokens
+         |  FROM r JOIN cnt ON cnt.source = r.source AND r.i = cnt.m)
+         |SELECT source, n_docs, n_oversize, bins_used, padding_tokens,
+         |  CASE WHEN bins_used = 0 THEN NULL ELSE
+         |    ROUND(CAST(padding_tokens AS DOUBLE) / (bins_used * 128), 4)
+         |  END AS pad_ratio
+         |FROM fin ORDER BY source""".stripMargin,
+
     "text_bigram_lm" ->
       s"""WITH $lmSql
          |SELECT doc_id, n_bigrams, avg_logprob
@@ -2097,10 +2225,34 @@ object PipelineOps {
          |  FROM model, totals)
          |SELECT doc_id, lang, CAST(SUM(cnt) AS BIGINT) AS n_toks,
          |  ROUND(CAST(SUM(cnt * llr_e6) AS DOUBLE) / (SUM(cnt) * 1e6), 4)
-         |    AS dsir_score
+         |    + 0.0 AS dsir_score
          |FROM db JOIN llr USING (b)
          |GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin
     },
+
+    "text_dup_ngram_rate" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source, $toksSql AS toks FROM documents),
+         |gm AS (
+         |  SELECT source,
+         |    array_to_string(list_slice(toks, i, i + 7), ' ') AS g
+         |  FROM d, unnest(generate_series(1, len(toks) - 7)) AS t(i)
+         |  WHERE len(toks) >= 8),
+         |fr AS (
+         |  SELECT g, COUNT(*) AS cnt, COUNT(DISTINCT source) AS n_src
+         |  FROM gm GROUP BY g),
+         |a AS (
+         |  SELECT source, COUNT(*) AS n_grams,
+         |    CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_dup_occ,
+         |    CAST(SUM(CASE WHEN n_src > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_xsrc_occ
+         |  FROM gm JOIN fr USING (g) GROUP BY source)
+         |SELECT source, n_grams, n_dup_occ, n_xsrc_occ,
+         |  ROUND(CAST(n_dup_occ AS DOUBLE) / n_grams, 4) AS dup_share,
+         |  ROUND(CAST(n_xsrc_occ AS DOUBLE) / n_grams, 4)
+         |    AS x_source_share
+         |FROM a ORDER BY source""".stripMargin,
 
     "text_contamination_ngrams" ->
       s"""WITH d AS (
@@ -2178,7 +2330,7 @@ object PipelineOps {
          |    JOIN cu USING (w2), n)
          |SELECT doc_id, COUNT(*) AS n_bigrams,
          |  ROUND(CAST(SUM(t_e6) AS DOUBLE) / (COUNT(*) * 1e6), 4)
-         |    AS learn_score
+         |    + 0.0 AS learn_score
          |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "doc_sample_temperature" -> {

@@ -590,6 +590,43 @@ object Relational {
           sum($"o_totalprice".cast(DecimalType(18, 2))).over(w)
             .cast("double").as("nearby_spend"))
         .orderBy($"o_custkey", $"o_orderkey")
+    }),
+
+    // Incremental (delta-maintained) aggregation — materialized-view
+    // maintenance, THE 100 TB refresh pattern: a nightly summary is
+    // kept as mergeable partial state (count + DECIMAL sum per group)
+    // and a late-arriving delta batch (o_orderkey % 10 = 7 simulates
+    // it) folds in WITHOUT rescanning the base — merge = one agg over
+    // the two partial-state tables (group-count-bounded, not
+    // data-bounded). The query also runs the full recompute and
+    // publishes a per-group `consistent` bit proving merge ≡
+    // recompute exactly (DECIMAL partials are associative, so the
+    // equality is exact, not approximate — the reason money sums ride
+    // DECIMAL everywhere in this repo). At scale the full-recompute
+    // branch is the audit you run on a sampled partition, not nightly.
+    "q_incremental_agg" -> ((s, d) => {
+      import s.implicits._
+      val o = t(s, d, "orders").select($"o_orderstatus".as("st"),
+        $"o_orderkey", $"o_totalprice".cast(DecimalType(18, 2)).as("p"))
+      def part(df: DataFrame) = df.groupBy($"st")
+        .agg(count(lit(1)).as("n"), sum($"p").as("sp"))
+      val base = part(o.filter($"o_orderkey" % 10 =!= 7))
+      val delta = part(o.filter($"o_orderkey" % 10 === 7))
+      val merged = base.unionAll(delta).groupBy($"st")
+        .agg(sum($"n").as("n_merged"), sum($"sp").as("sp_merged"))
+      val full = part(o)
+        .select($"st", $"n".as("n_full"), $"sp".as("sp_full"))
+      merged.join(full, "st")
+        .join(base.select($"st", $"n".as("n_base")), Seq("st"),
+          "left_outer")
+        .select($"st".as("o_orderstatus"),
+          coalesce($"n_base", lit(0L)).as("n_base"),
+          ($"n_merged" - coalesce($"n_base", lit(0L))).as("n_delta"),
+          $"n_merged",
+          $"sp_merged".cast("double").as("total_merged"),
+          (($"n_merged" === $"n_full") &&
+            ($"sp_merged" === $"sp_full")).cast("bigint").as("consistent"))
+        .orderBy($"o_orderstatus")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -771,8 +808,10 @@ object Relational {
 
     "q_stats_funcs" ->
       """SELECT l_returnflag, COUNT(*) AS n,
-        |  ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
-        |  ROUND(covar_pop(l_quantity, l_extendedprice), 2) AS qty_price_cov,
+        |  ROUND(corr(l_quantity, l_extendedprice), 6) + 0.0
+        |    AS qty_price_corr,
+        |  ROUND(covar_pop(l_quantity, l_extendedprice), 2) + 0.0
+        |    AS qty_price_cov,
         |  ROUND(stddev_pop(l_quantity), 6) AS qty_sd,
         |  ROUND(AVG(l_quantity), 6) AS qty_mean
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
@@ -932,5 +971,29 @@ object Relational {
         |    RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS DOUBLE)
         |   AS nearby_spend
         |FROM orders
-        |ORDER BY o_custkey, o_orderkey""".stripMargin)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_incremental_agg" ->
+      """WITH o AS (
+        |  SELECT o_orderstatus AS st, o_orderkey,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+        |b AS (SELECT st, COUNT(*) AS n, SUM(p) AS sp
+        |      FROM o WHERE o_orderkey % 10 <> 7 GROUP BY st),
+        |dl AS (SELECT st, COUNT(*) AS n, SUM(p) AS sp
+        |       FROM o WHERE o_orderkey % 10 = 7 GROUP BY st),
+        |m AS (SELECT st, CAST(SUM(n) AS BIGINT) AS n_merged,
+        |        SUM(sp) AS sp_merged
+        |      FROM (SELECT * FROM b UNION ALL SELECT * FROM dl)
+        |      GROUP BY st),
+        |f AS (SELECT st, COUNT(*) AS n_full, SUM(p) AS sp_full
+        |      FROM o GROUP BY st)
+        |SELECT m.st AS o_orderstatus,
+        |  CAST(COALESCE(b.n, 0) AS BIGINT) AS n_base,
+        |  CAST(m.n_merged - COALESCE(b.n, 0) AS BIGINT) AS n_delta,
+        |  m.n_merged,
+        |  CAST(m.sp_merged AS DOUBLE) AS total_merged,
+        |  CAST(CASE WHEN m.n_merged = f.n_full AND m.sp_merged = f.sp_full
+        |       THEN 1 ELSE 0 END AS BIGINT) AS consistent
+        |FROM m JOIN f USING (st) LEFT JOIN b USING (st)
+        |ORDER BY o_orderstatus""".stripMargin)
 }

@@ -336,16 +336,63 @@ object Similarity {
           val cat = new graft.engine.Catalog(s, wh)
           try {
             // losing the publish race to a concurrent builder is fine:
-            // the winner's table is the same content — read it
+            // the winner's table is the same content — read it. Only
+            // the documented race signal ("file exists: …") is
+            // swallowed; any other IAE from the build/write is a real
+            // failure and must propagate (ADVICE r8).
             if (!cat.exists(name))
               try cat.storeTable(pqIndexRaw(s, d), name)
-              catch { case _: IllegalArgumentException => }
+              catch {
+                case e: IllegalArgumentException
+                  if e.getMessage != null &&
+                    e.getMessage.startsWith("file exists") =>
+              }
             cat.readTable(name)
           } finally cat.close()
         }
       case None =>
         pqIndexCache.get(s, d)(pqIndexRaw(s, d).localCheckpoint())
     }
+
+  /** Farthest-first k-center seed build (Gonzalez '85) — the raw
+    * 7-pass iteration behind `sim_kcenter_init`. Returns the full
+    * center frame (vec_id, v, step, radius_e6), checkpoint-backed.
+    * Memoized via [[kcenterShared]] so `sim_init_quality` scores the
+    * SAME seed set without re-running the 7 corpus passes (verdict r9
+    * ask #6); Bench times this build as `sim_kcenter_init_raw`. */
+  private[graft] def kcenterRaw(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, d, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .localCheckpoint()
+    val d2e6 = """cast(round(aggregate(zip_with(v, ct.c,
+      |  (x, y) -> (x - y) * (x - y)), 0D, (acc, e) -> acc + e)
+      |  * 1e6) as bigint)""".stripMargin
+    var centers = emb.filter($"vec_id" === 0)
+      .select($"vec_id", $"v", lit(1L).as("step"),
+        lit(null).cast("long").as("radius_e6"))
+      .localCheckpoint()
+    for (stp <- 2 to 8) {
+      val crow = centers
+        .agg(expr("array_sort(collect_list(named_struct(" +
+          "'cent_id', vec_id, 'c', v)))").as("cents"))
+      val next = emb
+        .join(centers.select($"vec_id"), Seq("vec_id"), "left_anti")
+        .crossJoin(broadcast(crow))
+        .select($"vec_id", $"v", expr(
+          s"""array_min(transform(cents, ct -> $d2e6))""")
+          .as("mind_e6"))
+        .orderBy($"mind_e6".desc, $"vec_id".asc).limit(1)
+        .select($"vec_id", $"v", lit(stp.toLong).as("step"),
+          $"mind_e6".as("radius_e6"))
+      centers = centers.unionAll(next).localCheckpoint()
+    }
+    centers
+  }
+
+  private val kcenterCache = new graft.engine.FrameMemo
+  private[queries] def kcenterShared(s: SparkSession, d: String): DataFrame =
+    kcenterCache.get(s, d)(kcenterRaw(s, d))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-20 neighbors of vec_id = 0.
@@ -686,6 +733,102 @@ object Similarity {
         .select($"x.src".as("vec_a"), $"x.dst".as("vec_b"),
           $"x.sim".as("cos_sim"))
         .orderBy($"vec_a", $"vec_b")
+    }),
+
+    // Hubness profile — the k-occurrence distribution of the directed
+    // top-3 neighbor graph (Radovanović et al. 2010): in high
+    // dimensions a few "hub" vectors appear in MANY other points'
+    // k-NN lists while antihubs (k_occ = 0) appear in none; a heavy
+    // hub tail degrades ANN recall and near-dup precision, so this is
+    // the index-health dashboard row next to sim_dim_profile. Output
+    // is the bounded histogram (k_occ → n_vecs, share) INCLUDING the
+    // antihub 0-bucket (left join against the full corpus — vectors
+    // never cited must surface, the seasonalAnomaly lesson). Rides the
+    // shared LSH-cell candidate pairs: the k-NN lists, in-degree agg,
+    // and histogram are all key-bounded shuffles; the only broadcast
+    // is the 1-row corpus count.
+    "sim_hubness" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val pairs = cellPairs(s, d)
+      val sims = pairs.select($"va".as("src"), $"vb".as("dst"), $"sim")
+        .union(pairs.select($"vb".as("src"), $"va".as("dst"), $"sim"))
+      val w = Window.partitionBy($"src").orderBy($"sim".desc, $"dst".asc)
+      val kocc = sims.withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 3)
+        .groupBy($"dst").agg(count(lit(1)).as("k_occ"))
+      val emb = t(s, d, "embeddings").select($"vec_id")
+      emb.join(kocc.withColumnRenamed("dst", "vec_id"),
+          Seq("vec_id"), "left_outer")
+        .select(coalesce($"k_occ", lit(0L)).as("k_occ"))
+        .groupBy($"k_occ").agg(count(lit(1)).as("n_vecs"))
+        .crossJoin(broadcast(emb.agg(count(lit(1)).as("n"))))
+        .select($"k_occ", $"n_vecs",
+          round($"n_vecs".cast("double") / $"n", 4).as("share"))
+        .orderBy($"k_occ")
+    }),
+
+    // Energy distance (Székely & Rizzo) between two embedding
+    // populations — the distribution-level two-sample drift test the
+    // per-dimension sim_dim_profile can't do (it misses correlation
+    // shifts): E = 2·E‖X−Y‖ − E‖X−X′‖ − E‖Y−Y′‖ over the V-statistic
+    // (all ordered pairs, self-pairs included), zero iff the
+    // distributions match. Populations = label parity on the
+    // deterministic vec_id < 200 block — the fixed-size comparison
+    // block a 100 TB run samples per shard, so cost is CONSTANT in
+    // corpus size. Plan shape: each side collapses to ONE collected
+    // row (≤ ~100 vectors) that broadcasts against the other side —
+    // three scalar-broadcast folds, no pairwise join. Float
+    // discipline: each pairwise distance is one IEEE sqrt (correctly
+    // rounded, engine-identical) e6-quantized; the three pair sums
+    // are exact integers, and every reported mean — including the
+    // signed energy — is an exact-rational half-away-from-zero e4
+    // quantization (the log_change_decomposition recipe), so a 0 is
+    // always +0.0 on both engines.
+    "sim_energy_distance" -> ((s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings").filter($"vec_id" < 200)
+        .select($"vec_id", ($"label" % 2).cast("long").as("g"),
+          $"embedding".cast("array<double>").as("v"))
+      def row(g: Long) = emb.filter($"g" === g)
+        .agg(expr("array_sort(collect_list(named_struct(" +
+          "'id', vec_id, 'c', v)))").as("xs"))
+      val dSql = """cast(round(sqrt(aggregate(zip_with(v, x.c,
+        |  (p, q) -> (p - q) * (p - q)), 0D, (acc, e) -> acc + e))
+        |  * 1e6) as bigint)""".stripMargin
+      def fold(g: Long, other: DataFrame, nm: String) =
+        emb.filter($"g" === g).crossJoin(broadcast(other))
+          .select(explode(expr(s"transform(xs, x -> $dSql)")).as("t"))
+          .agg(sum($"t").as(s"s_$nm"), count(lit(1)).as(s"np_$nm"))
+      val a = row(0L); val b = row(1L)
+      val counts = emb.agg(
+        sum(when($"g" === 0L, 1L).otherwise(0L)).as("n_a"),
+        sum(when($"g" === 1L, 1L).otherwise(0L)).as("n_b"))
+      // half-up e4 quantization of a NON-NEGATIVE e6 pair-sum mean
+      def meanE4(sCol: String, npCol: String) =
+        s"cast((2 * $sCol + 100 * $npCol) div (200 * $npCol) as bigint)"
+      counts.crossJoin(fold(0L, b, "xy"))
+        .crossJoin(fold(0L, a, "xx"))
+        .crossJoin(fold(1L, b, "yy"))
+        .withColumn("exy_e4", expr(meanE4("s_xy", "np_xy")))
+        .withColumn("exx_e4", expr(meanE4("s_xx", "np_xx")))
+        .withColumn("eyy_e4", expr(meanE4("s_yy", "np_yy")))
+        // energy over the common denominator D = na²·nb², signed
+        // half-away-from-zero e4 quantization, DECIMAL(38,0)-widened
+        .withColumn("num", expr(
+          "2 * cast(s_xy as decimal(38,0)) * n_a * n_b" +
+            " - cast(s_xx as decimal(38,0)) * n_b * n_b" +
+            " - cast(s_yy as decimal(38,0)) * n_a * n_a"))
+        .withColumn("den", expr(
+          "100 * cast(n_a as decimal(38,0)) * n_a * n_b * n_b"))
+        .withColumn("en_e4", expr(
+          "cast(case when num < 0 then -1 else 1 end" +
+            " * ((2 * abs(num) + den) div (2 * den)) as bigint)"))
+        .select($"n_a", $"n_b",
+          ($"exy_e4".cast("double") / 1e4).as("e_xy"),
+          ($"exx_e4".cast("double") / 1e4).as("e_xx"),
+          ($"eyy_e4".cast("double") / 1e4).as("e_yy"),
+          ($"en_e4".cast("double") / 1e4).as("energy"))
     }),
 
     // Two-stage IVF ANN: assign every vector to its nearest of 8
@@ -1549,32 +1692,8 @@ object Similarity {
     // coverage radius — the number a capacity planner reads.
     "sim_kcenter_init" -> ((s, d) => {
       import s.implicits._
-      val emb = t(s, d, "embeddings")
-        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-        .localCheckpoint()
-      val d2e6 = """cast(round(aggregate(zip_with(v, ct.c,
-        |  (x, y) -> (x - y) * (x - y)), 0D, (acc, e) -> acc + e)
-        |  * 1e6) as bigint)""".stripMargin
-      var centers = emb.filter($"vec_id" === 0)
-        .select($"vec_id", $"v", lit(1L).as("step"),
-          lit(null).cast("long").as("radius_e6"))
-        .localCheckpoint()
-      for (stp <- 2 to 8) {
-        val crow = centers
-          .agg(expr("array_sort(collect_list(named_struct(" +
-            "'cent_id', vec_id, 'c', v)))").as("cents"))
-        val next = emb
-          .join(centers.select($"vec_id"), Seq("vec_id"), "left_anti")
-          .crossJoin(broadcast(crow))
-          .select($"vec_id", $"v", expr(
-            s"""array_min(transform(cents, ct -> $d2e6))""")
-            .as("mind_e6"))
-          .orderBy($"mind_e6".desc, $"vec_id".asc).limit(1)
-          .select($"vec_id", $"v", lit(stp.toLong).as("step"),
-            $"mind_e6".as("radius_e6"))
-        centers = centers.unionAll(next).localCheckpoint()
-      }
-      centers.select($"step", $"vec_id", $"radius_e6",
+      kcenterShared(s, d)
+        .select($"step", $"vec_id", $"radius_e6",
           round($"radius_e6".cast("double") / 1e6, 4).as("radius"))
         .orderBy($"step")
     }),
@@ -1616,8 +1735,10 @@ object Similarity {
         .select($"vec_id".as("cent_id"), $"v".as("c"))
         .agg(expr("array_sort(collect_list(named_struct(" +
           "'cent_id', cent_id, 'c', c)))").as("cents"))
-      val kc = queries("sim_kcenter_init")(s, d)
-        .select($"vec_id").join(emb, "vec_id")
+      // the memoized seed set (verdict r9 ask #6): one shared 7-pass
+      // build, not a re-run inside the scorecard — and it already
+      // carries each center's vector, so no re-join with the corpus
+      val kc = kcenterShared(s, d)
         .select($"vec_id".as("cent_id"), $"v".as("c"))
         .agg(expr("array_sort(collect_list(named_struct(" +
           "'cent_id', cent_id, 'c', c)))").as("cents"))
@@ -1753,7 +1874,7 @@ object Similarity {
       |  SELECT x.cell, x.vec_id AS va, y.vec_id AS vb,
       |    ROUND(list_sum(list_transform(list_zip(x.v, y.v), t -> t[1] * t[2])) /
       |      (sqrt(list_sum(list_transform(x.v, t -> t * t))) *
-      |       sqrt(list_sum(list_transform(y.v, t -> t * t)))), 4) AS sim
+      |       sqrt(list_sum(list_transform(y.v, t -> t * t)))), 4) + 0.0 AS sim
       |  FROM ce x JOIN ce y ON x.cell = y.cell AND x.vec_id < y.vec_id)""".stripMargin
 
   /** cellPairsCte + the 2-probe candidate set: assign2 keeps each
@@ -1775,7 +1896,7 @@ object Similarity {
       |  SELECT x.vec_id AS va, y.vec_id AS vb, MIN(x.cell) AS cell,
       |    MAX(ROUND(list_sum(list_transform(list_zip(x.v, y.v), t -> t[1] * t[2])) /
       |      (sqrt(list_sum(list_transform(x.v, t -> t * t))) *
-      |       sqrt(list_sum(list_transform(y.v, t -> t * t)))), 4)) AS sim
+      |       sqrt(list_sum(list_transform(y.v, t -> t * t)))), 4)) + 0.0 AS sim
       |  FROM ce2 x JOIN ce2 y ON x.cell = y.cell AND x.vec_id < y.vec_id
       |  GROUP BY x.vec_id, y.vec_id)""".stripMargin
 
@@ -1790,7 +1911,7 @@ object Similarity {
         |    sqrt(list_sum(list_transform(v, x -> x * x))) AS na,
         |    sqrt(list_sum(list_transform(q, x -> x * x))) AS nb
         |  FROM e, q)
-        |SELECT vec_id, ROUND(dot / (na * nb), 4) AS cos_sim
+        |SELECT vec_id, ROUND(dot / (na * nb), 4) + 0.0 AS cos_sim
         |FROM s ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
 
     "sim_ivf_assign" ->
@@ -1801,7 +1922,7 @@ object Similarity {
         |  SELECT vec_id, cent_id,
         |    ROUND(list_sum(list_transform(list_zip(v, cv), x -> x[1] * x[2])) /
         |      (sqrt(list_sum(list_transform(v, x -> x * x))) *
-        |       sqrt(list_sum(list_transform(cv, x -> x * x)))), 4) AS sim
+        |       sqrt(list_sum(list_transform(cv, x -> x * x)))), 4) + 0.0 AS sim
         |  FROM e, c),
         |r AS (SELECT vec_id, cent_id, sim,
         |        ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -1822,7 +1943,7 @@ object Similarity {
          |  SELECT vec_id, cent_id,
          |    ROUND(list_sum(list_transform(list_zip(v, cv), x -> x[1] * x[2])) /
          |      (sqrt(list_sum(list_transform(v, x -> x * x))) *
-         |       sqrt(list_sum(list_transform(cv, x -> x * x)))), 4) AS sim
+         |       sqrt(list_sum(list_transform(cv, x -> x * x)))), 4) + 0.0 AS sim
          |  FROM e, c),
          |assign AS (
          |  SELECT vec_id, cent_id FROM (
@@ -1844,10 +1965,11 @@ object Similarity {
     "arr_stats" ->
       """SELECT vec_id,
         |  CAST(len(embedding) AS BIGINT) AS dim,
-        |  ROUND((embedding::DOUBLE[])[1], 6) AS first_val,
-        |  ROUND(list_sum(embedding::DOUBLE[]) / len(embedding), 6) AS mean_val,
-        |  ROUND(list_max(embedding::DOUBLE[]), 6) AS max_val,
-        |  ROUND(list_min(embedding::DOUBLE[]), 6) AS min_val
+        |  ROUND((embedding::DOUBLE[])[1], 6) + 0.0 AS first_val,
+        |  ROUND(list_sum(embedding::DOUBLE[]) / len(embedding), 6) + 0.0
+        |    AS mean_val,
+        |  ROUND(list_max(embedding::DOUBLE[]), 6) + 0.0 AS max_val,
+        |  ROUND(list_min(embedding::DOUBLE[]), 6) + 0.0 AS min_val
         |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "dedup_embedding_pairs" ->
@@ -1857,7 +1979,7 @@ object Similarity {
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |    ROUND(list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2])) /
         |      (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
-        |       sqrt(list_sum(list_transform(b.v, x -> x * x)))), 4) AS sim
+        |       sqrt(list_sum(list_transform(b.v, x -> x * x)))), 4) + 0.0 AS sim
         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, sim FROM p WHERE sim >= 0.35
         |ORDER BY vec_a, vec_b""".stripMargin,
@@ -1961,6 +2083,67 @@ object Similarity {
         |  COUNT(*) AS n_pairs
         |FROM p GROUP BY bucket ORDER BY bucket""".stripMargin),
 
+    "sim_energy_distance" -> {
+      val d2 = """CAST(ROUND(sqrt(list_sum(list_transform(
+                 |      list_zip(x.v, y.v),
+                 |      p -> (p[1] - p[2]) * (p[1] - p[2])))) * 1e6)
+                 |    AS BIGINT)""".stripMargin
+      def pairCte(nm: String, ga: Int, gb: Int) =
+        s"""$nm AS (
+           |  SELECT CAST(SUM(t) AS BIGINT) AS s_$nm,
+           |    COUNT(*) AS np_$nm FROM (
+           |    SELECT $d2 AS t
+           |    FROM e x, e y WHERE x.g = $ga AND y.g = $gb))"""
+      def meanE4(nm: String) =
+        s"CAST(CAST((2 * s_$nm + 100 * np_$nm) // (200 * np_$nm)" +
+          s" AS BIGINT) AS DOUBLE) / 1e4"
+      s"""WITH e AS (
+         |  SELECT vec_id, label % 2 AS g, embedding::DOUBLE[] AS v
+         |  FROM embeddings WHERE vec_id < 200),
+         |${pairCte("xy", 0, 1)},
+         |${pairCte("xx", 0, 0)},
+         |${pairCte("yy", 1, 1)},
+         |cnt AS (
+         |  SELECT CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_a,
+         |    CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_b
+         |  FROM e),
+         |j AS (SELECT * FROM cnt, xy, xx, yy),
+         |k AS (SELECT *,
+         |    2 * CAST(s_xy AS HUGEINT) * n_a * n_b
+         |      - CAST(s_xx AS HUGEINT) * n_b * n_b
+         |      - CAST(s_yy AS HUGEINT) * n_a * n_a AS num,
+         |    100 * CAST(n_a AS HUGEINT) * n_a * n_b * n_b AS den
+         |  FROM j)
+         |SELECT n_a, n_b,
+         |  ${meanE4("xy")} AS e_xy,
+         |  ${meanE4("xx")} AS e_xx,
+         |  ${meanE4("yy")} AS e_yy,
+         |  CAST(CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+         |      * ((2 * abs(num) + den) // (2 * den)) AS BIGINT)
+         |    AS DOUBLE) / 1e4 AS energy
+         |FROM k""".stripMargin
+    },
+
+    "sim_hubness" -> (cellPairsCte +
+      """,
+        |s AS (SELECT va AS src, vb AS dst, sim FROM p
+        |      UNION ALL SELECT vb, va, sim FROM p),
+        |k2 AS (SELECT src, dst,
+        |         ROW_NUMBER() OVER (PARTITION BY src
+        |                            ORDER BY sim DESC, dst) AS rk
+        |       FROM s),
+        |kocc AS (SELECT dst, COUNT(*) AS k_occ
+        |         FROM k2 WHERE rk <= 3 GROUP BY dst),
+        |f AS (SELECT e.vec_id, CAST(COALESCE(k.k_occ, 0) AS BIGINT)
+        |        AS k_occ
+        |      FROM embeddings e LEFT JOIN kocc k ON k.dst = e.vec_id),
+        |n AS (SELECT COUNT(*) AS n FROM embeddings)
+        |SELECT k_occ, COUNT(*) AS n_vecs,
+        |  ROUND(CAST(COUNT(*) AS DOUBLE) / n, 4) AS share
+        |FROM f, n GROUP BY k_occ, n ORDER BY k_occ""".stripMargin),
+
     "sim_mutual_knn" -> (cellPairsCte +
       """,
         |s AS (SELECT va AS src, vb AS dst, sim FROM p
@@ -1970,7 +2153,7 @@ object Similarity {
         |                            ORDER BY sim DESC, dst) AS rk
         |       FROM s),
         |knn AS (SELECT src, dst, sim FROM k2 WHERE rk <= 3)
-        |SELECT x.src AS vec_a, x.dst AS vec_b, x.sim AS cos_sim
+        |SELECT x.src AS vec_a, x.dst AS vec_b, x.sim + 0.0 AS cos_sim
         |FROM knn x JOIN knn y
         |  ON x.src = y.dst AND x.dst = y.src AND x.src < x.dst
         |ORDER BY vec_a, vec_b""".stripMargin),
@@ -2003,7 +2186,7 @@ object Similarity {
         |SELECT vec_id,
         |  ROUND(list_sum(list_transform(list_zip(v, qv), x -> x[1] * x[2])) /
         |    (sqrt(list_sum(list_transform(v, x -> x * x))) *
-        |     sqrt(list_sum(list_transform(qv, x -> x * x)))), 4) AS cos_sim
+        |     sqrt(list_sum(list_transform(qv, x -> x * x)))), 4) + 0.0 AS cos_sim
         |FROM cand, q
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
 
@@ -2045,7 +2228,7 @@ object Similarity {
         |SELECT vec_id,
         |  ROUND(list_sum(list_transform(list_zip(v, qv), x -> x[1] * x[2])) /
         |    (sqrt(list_sum(list_transform(v, x -> x * x))) *
-        |     sqrt(list_sum(list_transform(qv, x -> x * x)))), 4) AS cos_sim
+        |     sqrt(list_sum(list_transform(qv, x -> x * x)))), 4) + 0.0 AS cos_sim
         |FROM sigs, q
         |WHERE sig = qsig AND vec_id <> 0
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
@@ -2077,7 +2260,7 @@ object Similarity {
         |SELECT vec_id,
         |  ROUND(list_sum(list_transform(list_zip(v, qv), x -> x[1] * x[2])) /
         |    (sqrt(list_sum(list_transform(v, x -> x * x))) *
-        |     sqrt(list_sum(list_transform(qv, x -> x * x)))), 4) AS cos_sim
+        |     sqrt(list_sum(list_transform(qv, x -> x * x)))), 4) + 0.0 AS cos_sim
         |FROM sigs JOIN probes ON sig = psig
         |WHERE vec_id <> 0
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
@@ -2110,7 +2293,7 @@ object Similarity {
         |            x -> x[1] * x[2]))
         |      / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
         |         * sqrt(list_sum(list_transform(q.qv, x -> x * x)))), 4)
-        |      AS cos_sim
+        |      + 0.0 AS cos_sim
         |  FROM e, q WHERE e.vec_id >= 10),
         |r AS (
         |  SELECT qid, vec_id, cos_sim,
@@ -2180,7 +2363,7 @@ object Similarity {
         |    MIN(x) AS min_e6, MAX(x) AS max_e6
         |  FROM e GROUP BY dd)
         |SELECT dd, n_vecs,
-        |  ROUND(CAST(sx AS DOUBLE) / n_vecs / 1e6, 4) AS mean,
+        |  ROUND(CAST(sx AS DOUBLE) / n_vecs / 1e6, 4) + 0.0 AS mean,
         |  CASE WHEN n_vecs > 1 THEN
         |    ROUND(sqrt(CAST(CAST(n_vecs AS DECIMAL(38,0)) * sq
         |                    - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)
@@ -2217,7 +2400,7 @@ object Similarity {
          |    list_sum(list_transform(list_zip(ea.v, eb.v), x -> x[1] * x[2]))
          |    / (sqrt(list_sum(list_transform(ea.v, x -> x * x)))
          |       * sqrt(list_sum(list_transform(eb.v, x -> x * x)))), 4)
-         |    AS cos_sim
+         |    + 0.0 AS cos_sim
          |FROM pairs
          |JOIN e ea ON ea.vec_id = doc_a
          |JOIN e eb ON eb.vec_id = doc_b
@@ -2270,7 +2453,7 @@ object Similarity {
         |         AS BIGINT) AS s_e6
         |  FROM ab)
         |SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs,
-        |  ROUND(CAST(SUM(s_e6) AS DOUBLE) / (COUNT(*) * 1e6), 4) AS mean_sil,
+        |  ROUND(CAST(SUM(s_e6) AS DOUBLE) / (COUNT(*) * 1e6), 4) + 0.0 AS mean_sil,
         |  ROUND(CAST(SUM(a_e6) AS DOUBLE) / (COUNT(*) * 1e6), 4) AS mean_a,
         |  ROUND(CAST(SUM(b_e6) AS DOUBLE) / (COUNT(*) * 1e6), 4) AS mean_b
         |FROM q GROUP BY cluster ORDER BY cluster""".stripMargin,
@@ -2539,7 +2722,7 @@ object Similarity {
         |    ROUND(list_sum(list_transform(list_zip(v, cv),
         |            x -> x[1] * x[2])) /
         |      (sqrt(list_sum(list_transform(v, x -> x * x))) *
-        |       sqrt(list_sum(list_transform(cv, x -> x * x)))), 4) AS sim
+        |       sqrt(list_sum(list_transform(cv, x -> x * x)))), 4) + 0.0 AS sim
         |  FROM e, ac),
         |arn AS (
         |  SELECT vec_id, cent_id AS cell FROM (
@@ -2856,7 +3039,7 @@ object Similarity {
         |            x -> x[1] * x[2])) /
         |      (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
         |       sqrt(list_sum(list_transform(b.v, x -> x * x)))), 4)
-        |      AS sim
+        |      + 0.0 AS sim
         |  FROM cand a, cand b WHERE a.vec_id <> b.vec_id),
         |sel AS (
         |  SELECT 1 AS step,

@@ -300,6 +300,31 @@ object TextAnalysis {
         .orderBy($"doc_id")
     }),
 
+    // Lexical diversity — type-token ratio + hapax-legomena share, the
+    // cheap vocabulary-richness screens (a low TTR flags template/spam
+    // text that entropy alone can miss when the few types are evenly
+    // mixed; a high hapax share flags OCR noise/gibberish). Exact
+    // integer counts from ONE (doc, token)-keyed agg — tokens hash to
+    // 8 bytes before the shuffle so no strings move — then a per-doc
+    // rollup; the two reported floats each divide identical exact
+    // integers. Same two-phase shape at any corpus size.
+    "text_ttr" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .select($"doc_id", explode(expr(
+          "filter(split(lower(text), '\\\\s+'), x -> x != '')")).as("tok"))
+        .groupBy($"doc_id", xxhash64($"tok").as("h"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id")
+        .agg(sum($"c").as("n_toks"), count(lit(1)).as("n_types"),
+          sum(when($"c" === 1L, 1L).otherwise(0L)).as("n_hapax"))
+        .select($"doc_id", $"n_toks", $"n_types", $"n_hapax",
+          round($"n_types".cast("double") / $"n_toks", 4).as("ttr"),
+          round($"n_hapax".cast("double") / $"n_types", 4)
+            .as("hapax_share"))
+        .orderBy($"doc_id")
+    }),
+
     // Unigram Shannon entropy per document — the standard
     // gibberish/degenerate-text screen (low entropy = repetitive spam,
     // near-max = random noise). Computed from exact token counts as
@@ -558,12 +583,12 @@ object TextAnalysis {
         |sl AS (
         |  SELECT CAST(n_ranks AS BIGINT) AS n_ranks, sx, sy,
         |    ROUND(CAST(n_ranks * sxy - sx * sy AS DOUBLE) /
-        |      CAST(n_ranks * sxx - sx * sx AS DOUBLE), 4) AS zipf_slope
+        |      CAST(n_ranks * sxx - sx * sx AS DOUBLE), 4) + 0.0 AS zipf_slope
         |  FROM s)
     |SELECT n_ranks, zipf_slope,
         |  ROUND((CAST(sy AS DOUBLE) / 1e6 -
         |    zipf_slope * (CAST(sx AS DOUBLE) / 1e6)) / n_ranks, 4)
-        |    AS intercept
+        |    + 0.0 AS intercept
         |FROM sl""".stripMargin,
 
     "doc_filter_reasons" ->
@@ -706,6 +731,20 @@ object TextAnalysis {
         |                x -> x <> ''))), ' ')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "text_ttr" ->
+      s"""WITH $tokCte,
+         |c AS (SELECT doc_id, tok, COUNT(*) AS c
+         |      FROM tk GROUP BY doc_id, tok),
+         |a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_toks,
+         |        COUNT(*) AS n_types,
+         |        CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |          AS n_hapax
+         |      FROM c GROUP BY doc_id)
+         |SELECT doc_id, n_toks, n_types, n_hapax,
+         |  ROUND(CAST(n_types AS DOUBLE) / n_toks, 4) AS ttr,
+         |  ROUND(CAST(n_hapax AS DOUBLE) / n_types, 4) AS hapax_share
+         |FROM a ORDER BY doc_id""".stripMargin,
+
     "text_kl_source_drift" ->
       """WITH tk AS (
         |  SELECT source, unnest(list_filter(
@@ -727,7 +766,7 @@ object TextAnalysis {
         |       FROM rs)
         |SELECT source, n_tokens, vocab,
         |  ROUND((CAST(a_e6 AS DOUBLE) / 1e6) / n_tokens
-        |        + ln(CAST(nn AS DOUBLE) / n_tokens), 4) AS kl
+        |        + ln(CAST(nn AS DOUBLE) / n_tokens), 4) + 0.0 AS kl
         |FROM wn ORDER BY source""".stripMargin,
 
     "text_pmi_top" ->

@@ -85,6 +85,18 @@ object EmbedStream {
     * neighbor, not itself. Batch mode runs the identical plan minus
     * the watermark (parity asserted in StreamingSpec).
     *
+    * Queries are DEDUPED per (hour, qid) BEFORE the probe join
+    * (ADVICE r8): a query vector that arrives twice within one window
+    * would otherwise double every candidate into n_cand (nn_id/nn_sim
+    * were unaffected — max is idempotent — but the candidate count
+    * read as arrivals×candidates). The dedup keys on (qid, hour
+    * bucket) with the hour bucket as the event-time column, so the
+    * dedup state is watermark-evicted; it also probes each distinct
+    * query ONCE per window — re-arrivals no longer re-pay the
+    * candidate join. Assumes qid → embedding is functional (two
+    * same-window arrivals of one qid carry the same vector; the
+    * survivor is otherwise arbitrary).
+    *
     * @param queries stream (or batch) of (ingest_ts, vec_id, embedding)
     * @param index   static (vec_id, embedding) table to search
     * @param cb      broadcast codebook row from [[codebook]]. */
@@ -97,18 +109,20 @@ object EmbedStream {
         $"embedding".cast("array<double>").as("cv"))
       .crossJoin(broadcast(cb))
       .select($"cand_id", $"cv", cellOf("cv").as("cell"))
-    val q = queries
-      .select($"ingest_ts", $"vec_id".as("qid"),
+    val q0 = queries
+      .select(date_trunc("hour", $"ingest_ts").as("ts_h"),
+        $"vec_id".as("qid"),
         $"embedding".cast("array<double>").as("v"))
+    val q1 = if (queries.isStreaming) q0.withWatermark("ts_h", wmDelay)
+      else q0
+    val q = q1.dropDuplicates("qid", "ts_h")
       .crossJoin(broadcast(cb))
-      .select($"ingest_ts", $"qid", $"v", cellOf("v").as("cell"))
+      .select($"ts_h", $"qid", $"v", cellOf("v").as("cell"))
     val probed = q.join(idx, Seq("cell"))
       .filter($"cand_id" =!= $"qid")
-      .select($"ingest_ts", $"qid", $"cand_id",
+      .select($"ts_h", $"qid", $"cand_id",
         expr("round(cosine_similarity(v, cv), 4)").as("cs"))
-    val src = if (queries.isStreaming)
-      probed.withWatermark("ingest_ts", wmDelay) else probed
-    src.groupBy(window($"ingest_ts", "1 hour"), $"qid")
+    probed.groupBy(window($"ts_h", "1 hour"), $"qid")
       .agg(max(struct($"cs", (-$"cand_id").as("nid"))).as("m"),
         count(lit(1)).as("n_cand"))
       .select($"window.start".as("w_start"), $"qid",

@@ -34,7 +34,15 @@ object EventStream {
     * join runs BEFORE the windowed agg (Structured Streaming forbids
     * joins after a streaming aggregation); the baseline columns are
     * constant within a (window, type) group, so min() carries them
-    * through the agg unchanged. State is the windowed agg's only. */
+    * through the agg unchanged. State is the windowed agg's only.
+    *
+    * The baseline join is LEFT OUTER (ADVICE r8): an event type the
+    * training history never saw — arguably the most anomalous traffic
+    * — still produces a monitor row, with `is_anomaly = null` as the
+    * explicit "unmodeled" verdict (a 1-hour window maps to exactly one
+    * (dow, hod) cell, so a group is entirely modeled or entirely not;
+    * null never silently reads as "normal" the way a dropped row or a
+    * defaulted 0 would). */
   def seasonalAnomaly(events: DataFrame, baseline: DataFrame,
       wmDelay: String = "1 hour"): DataFrame = {
     import events.sparkSession.implicits._
@@ -42,21 +50,23 @@ object EventStream {
       .select($"ts", $"event_type",
         (weekday($"ts") + 1).cast("long").as("dow"),
         hour($"ts").cast("long").as("hod"))
-      .join(broadcast(baseline), Seq("event_type", "dow", "hod"))
+      .join(broadcast(baseline), Seq("event_type", "dow", "hod"),
+        "left_outer")
     val src = if (events.isStreaming) keyed.withWatermark("ts", wmDelay)
       else keyed
     src.groupBy(window($"ts", "1 hour"), $"event_type")
       .agg(count(lit(1)).as("n"), min($"c").as("c"),
         min($"sx").as("sx"), min($"sxx").as("sxx"))
       .select($"window.start".as("w_start"), $"event_type", $"n",
-        when(expr(
-          "4 * (cast(n as decimal(38,0)) * cast(c as decimal(38,0))" +
-            " - cast(sx as decimal(38,0)))" +
-            " * (cast(n as decimal(38,0)) * cast(c as decimal(38,0))" +
-            " - cast(sx as decimal(38,0)))" +
-            " > 9 * (cast(c as decimal(38,0)) * cast(sxx as" +
-            " decimal(38,0)) - cast(sx as decimal(38,0))" +
-            " * cast(sx as decimal(38,0)))"), 1L).otherwise(0L)
+        when($"c".isNull, lit(null).cast("long")).otherwise(
+          when(expr(
+            "4 * (cast(n as decimal(38,0)) * cast(c as decimal(38,0))" +
+              " - cast(sx as decimal(38,0)))" +
+              " * (cast(n as decimal(38,0)) * cast(c as decimal(38,0))" +
+              " - cast(sx as decimal(38,0)))" +
+              " > 9 * (cast(c as decimal(38,0)) * cast(sxx as" +
+              " decimal(38,0)) - cast(sx as decimal(38,0))" +
+              " * cast(sx as decimal(38,0)))"), 1L).otherwise(0L))
           .as("is_anomaly"))
   }
 
@@ -103,7 +113,12 @@ object EventStream {
       wmDelay: String = "1 hour"): DataFrame = {
     import events.sparkSession.implicits._
     val keyed = events.select($"ts", $"event_type", $"value")
-      .join(broadcast(model), Seq("event_type"))
+      // LEFT OUTER (ADVICE r8): an event type absent from the trained
+      // model still surfaces as a monitor row — psi/drifted are null
+      // ("unmodeled"), never a silent drop. The bin column is null for
+      // such rows (valueBin needs v0/v1), which the conditional sums
+      // simply never match — n still counts the arrivals.
+      .join(broadcast(model), Seq("event_type"), "left_outer")
       .withColumn("bin", graft.queries.EventsLog.valueBin)
     val src = if (events.isStreaming) keyed.withWatermark("ts", wmDelay)
       else keyed
@@ -119,10 +134,11 @@ object EventStream {
     src.groupBy(window($"ts", "1 hour"), $"event_type")
       .agg(sum(when($"bin" === 0L, 1L).otherwise(0L)).as("c0"), aggs: _*)
       .select(unix_micros($"window.start").as("hour_us"),
-        $"event_type", $"n", expr(psiE10).as("psi_e10"))
+        $"event_type", $"n", expr(psiE10).as("psi_e10"), $"n_ref")
       .select($"hour_us", $"event_type", $"n",
         round($"psi_e10".cast("double") / 1e10, 4).as("psi"),
-        // DECIMAL(38,0): psi_e10·n overflows int64 at cluster-scale n
+        // DECIMAL(38,0): psi_e10·n overflows int64 at cluster-scale n;
+        // null psi_e10 (unmodeled type) propagates to a null verdict
         expr("""cast(psi_e10 as decimal(38,0))
           |  * cast(n as decimal(38,0))
           |  > cast(1000000000 as decimal(38,0))

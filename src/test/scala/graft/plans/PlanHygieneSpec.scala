@@ -117,6 +117,11 @@ class PlanHygieneSpec extends SparkSpec {
     "sim_recall_vs_nprobe",  // 1-row query vec + 8-row probe-rank bcast
     "sim_matryoshka_recall", // 1-row query vector scalar broadcast
     "sim_init_quality",      // two 1-row 8-center codebook broadcasts
+    "sim_hubness",           // 1-row corpus-count scalar broadcast
+    "log_burstiness",        // 1-row (min,max) hour bounds (gapfill grid)
+    "sim_energy_distance",   // three 1-row collected-block broadcasts
+                             // (≤100-vector population rows, the
+                             // codebook fold shape) + 1-row count row
     "sim_recall_bounds",     // wraps sim_recall_eval + 5-row floor table
     "sim_power_iteration",   // 1-row norm scalars (n1, n2) between passes
     "log_forecast_baseline", // inherits log_gapfill's 1-row hour bounds

@@ -588,4 +588,67 @@ class AnnInvariantsSpec extends SparkSpec {
         r.getDouble(3), r.getDouble(4))).toSeq
     assert(got == expected, "init scorecard diverges from replay")
   }
+
+  test("sim_hubness: histogram partitions the corpus, edges conserve") {
+    import spark.implicits._
+    val hist = SparkEntry.queries("sim_hubness")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val nCorpus = t(spark, sf(), "embeddings").count()
+    assert(hist.map(_._2).sum == nCorpus,
+      "histogram buckets don't partition the corpus")
+    // directed-edge conservation: Σ k_occ·n_vecs must equal the exact
+    // number of top-3 edges replayed from the shared candidate pairs
+    val pairs = Similarity.cellPairs(spark, sf())
+      .select($"va", $"vb", $"sim")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val sym = pairs.map { case (a, b, s) => (a, b, s) } ++
+      pairs.map { case (a, b, s) => (b, a, s) }
+    val nEdges = sym.groupBy(_._1).map { case (_, g) =>
+      math.min(3, g.size).toLong }.sum
+    assert(hist.map { case (k, n, _) => k * n }.sum == nEdges,
+      "k-occurrence mass != directed edge count")
+    // shares sum to ~1 and the 0-bucket counts exactly the never-cited
+    assert(math.abs(hist.map(_._3).sum - 1.0) < 1e-2 * hist.length)
+    val cited = sym.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+      g.sortBy(e => (-e._3, e._2)).take(3).map(_._2).toSeq }.toSet
+    assert(hist.find(_._1 == 0L).map(_._2).getOrElse(0L)
+      == nCorpus - cited.size, "antihub bucket miscounts")
+  }
+
+  test("sim_energy_distance: V-statistic replay, non-negative energy") {
+    import spark.implicits._
+    val rows = t(spark, sf(), "embeddings").filter($"vec_id" < 200)
+      .select(($"label" % 2).cast("long"),
+        $"embedding".cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val a = rows.filter(_._1 == 0L).map(_._2)
+    val b = rows.filter(_._1 == 1L).map(_._2)
+    def dE6(x: Array[Double], y: Array[Double]): Long = {
+      var acc = 0.0; var i = 0
+      while (i < x.length) {
+        val dd = x(i) - y(i); acc += dd * dd; i += 1
+      }
+      math.round(math.sqrt(acc) * 1e6)
+    }
+    def sumOver(xs: Array[Array[Double]], ys: Array[Array[Double]]) =
+      (for (x <- xs; y <- ys) yield BigInt(dE6(x, y)))
+        .foldLeft(BigInt(0))(_ + _)
+    val (sxy, sxx, syy) = (sumOver(a, b), sumOver(a, a), sumOver(b, b))
+    def meanE4(s: BigInt, np: Long) =
+      ((2 * s + 100 * BigInt(np)) / (200 * BigInt(np))).toLong
+    val na = a.length.toLong; val nb = b.length.toLong
+    val num = 2 * sxy * na * nb - sxx * nb * nb - syy * na * na
+    val den = 100 * BigInt(na) * na * nb * nb
+    val enE4 = (num.sign * ((2 * num.abs + den) / (2 * den))).toLong
+    val got = SparkEntry.queries("sim_energy_distance")(spark, sf())
+      .collect().head
+    assert((got.getLong(0), got.getLong(1)) == ((na, nb)))
+    assert(got.getDouble(2) == meanE4(sxy, na * nb).toDouble / 1e4)
+    assert(got.getDouble(3) == meanE4(sxx, na * na).toDouble / 1e4)
+    assert(got.getDouble(4) == meanE4(syy, nb * nb).toDouble / 1e4)
+    assert(got.getDouble(5) == enE4.toDouble / 1e4,
+      "energy diverges from exact-rational replay")
+    // energy distance is non-negative up to e4/e6 quantization slack
+    assert(got.getDouble(5) > -5e-4, "negative energy beyond slack")
+  }
 }

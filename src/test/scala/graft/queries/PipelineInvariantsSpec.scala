@@ -2012,4 +2012,124 @@ class PipelineInvariantsSpec extends SparkSpec {
     assert(got == expected, "audit queue diverges from md5-rank replay")
     assert(got.groupBy(_._1).values.forall(_.size <= 10))
   }
+
+  test("doc_pack_greedy: driver replay of the fold, bin lower bound") {
+    import spark.implicits._
+    val docs = t(spark, sf(), "documents")
+      .select($"source", $"doc_id", expr(
+        "size(filter(split(lower(text), '\\\\s+'), x -> x != ''))")
+        .cast("long").as("tk"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = docs.groupBy(_._1).map { case (src, rows) =>
+      var n = 0L; var ov = 0L; var bins = 0L; var pad = 0L; var fill = 0L
+      rows.sortBy(_._2).foreach { case (_, _, tk) =>
+        n += 1
+        if (tk > 96) ov += 1
+        else if (fill + tk <= 128) fill += tk
+        else { pad += 128 - fill; bins += 1; fill = tk }
+      }
+      if (fill > 0) { pad += 128 - fill; bins += 1 }
+      src -> ((n, ov, bins, pad))
+    }
+    val got = SparkEntry.queries("doc_pack_greedy")(spark, sf())
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expected.toMap, "greedy fold diverges from replay")
+    // bins can never beat the fractional lower bound, and padding is
+    // exactly the capacity the used bins didn't fill
+    val packed = docs.filter(_._3 <= 96).groupBy(_._1)
+      .map { case (s, rs) => s -> rs.map(_._3).sum }
+    got.foreach { case (src, (_, _, bins, pad)) =>
+      val tok = packed.getOrElse(src, 0L)
+      assert(bins >= (tok + 127) / 128, s"$src: bins beat lower bound")
+      assert(bins * 128 - tok == pad, s"$src: padding arithmetic broken")
+    }
+  }
+
+  test("text_ttr: per-doc type/token/hapax counts replay exactly") {
+    import spark.implicits._
+    val docs = t(spark, sf(), "documents")
+      .select($"doc_id", expr(
+        "filter(split(lower(text), '\\\\s+'), x -> x != '')"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1))
+    val expected = docs.map { case (id, ts) =>
+      val byTok = ts.groupBy(identity)
+      id -> ((ts.length.toLong, byTok.size.toLong,
+        byTok.count(_._2.length == 1).toLong))
+    }.toMap
+    val got = SparkEntry.queries("text_ttr")(spark, sf())
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected, "ttr counts diverge from replay")
+    got.values.foreach { case (toks, types, hapax) =>
+      assert(hapax <= types && types <= toks)
+    }
+  }
+
+  test("log_burstiness: fano replays over the dense grid, totals conserve") {
+    import spark.implicits._
+    val counts = t(spark, sf(), "events")
+      .select($"event_type", date_trunc("hour", $"ts").as("h"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime))
+    val h0 = counts.map(_._2).min; val h1 = counts.map(_._2).max
+    val nHours = (h1 - h0) / 3600000L + 1
+    val byType = counts.groupBy(_._1)
+    val got = SparkEntry.queries("log_burstiness")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(4)))
+    assert(got.map(_._1).toSet == byType.keySet)
+    got.foreach { case (ty, nh, total, fano) =>
+      assert(nh == nHours, s"$ty: grid not dense")
+      assert(total == byType(ty).size.toLong, s"$ty: total lost events")
+      val xs = byType(ty).groupBy(_._2).map(_._2.size.toLong)
+      val dense = xs.toSeq ++ Seq.fill((nHours - xs.size).toInt)(0L)
+      val sx = dense.sum; val sxx = dense.map(x => x * x).sum
+      val num = BigInt(nHours) * sxx - BigInt(sx) * sx
+      val den = BigInt(nHours) * sx
+      val fanoE4 = ((num * 2 * 10000 + den) / (den * 2)).toLong
+      assert(fano == fanoE4.toDouble / 1e4, s"$ty: fano diverges")
+      assert(fano >= 0.0)
+    }
+  }
+
+  test("log_interarrival_profile: exact quantiles, n_gaps = n - 1") {
+    import spark.implicits._
+    val secs = t(spark, sf(), "events")
+      .select($"event_type", expr("unix_micros(ts) div 1000000"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val got = SparkEntry.queries("log_interarrival_profile")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val byType = secs.groupBy(_._1)
+    assert(got.map(_._1).toSet == byType.keySet.filter(t =>
+      byType(t).size > 1))
+    got.foreach { case (ty, nGaps, p50, p90, mx) =>
+      val sorted = byType(ty).map(_._2).sorted.toSeq
+      val gaps = sorted.sliding(2).map(p => p(1) - p(0)).toSeq.sorted
+      assert(nGaps == sorted.size - 1, s"$ty: gap count != n - 1")
+      assert(gaps == gaps.sorted && nGaps == gaps.size)
+      // p50/p90 are the smallest gap with cum >= ceil(q·n): indexing
+      // the sorted multiset directly replays the histogram-cumsum cut
+      def q(p: Int, of: Int) = gaps((nGaps.toInt * p + of - 1) / of - 1)
+      assert(p50 == q(1, 2), s"$ty: p50 diverges")
+      assert(p90 == q(9, 10), s"$ty: p90 diverges")
+      assert(mx == gaps.last, s"$ty: max diverges")
+    }
+  }
+
+  test("q_incremental_agg: merge == recompute, partitions add up") {
+    import spark.implicits._
+    val direct = t(spark, sf(), "orders").groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = SparkEntry.queries("q_incremental_agg")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(5)))
+    assert(got.map(_._1).toSet == direct.keySet)
+    got.foreach { case (st, nb, nd, nm, consistent) =>
+      assert(nb + nd == nm, s"$st: base + delta != merged")
+      assert(nm == direct(st), s"$st: merged != direct recompute")
+      assert(consistent == 1L, s"$st: merge/recompute inconsistent")
+    }
+  }
 }

@@ -66,7 +66,7 @@ class SketchesSpec extends SparkSpec {
     // accuracy=1000 guarantees rank error <= n/1000; assert a relaxed
     // 1% rank window around the true median per group
     val li = graft.Tables.t(spark, sf(), "lineitem")
-    val approx = SparkEntry.queries("q_approx_quantiles")(spark, sf())
+    val approx = graft.queries.EventsLog.approxQuantiles(spark, sf())
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     approx.foreach { case (flag, ap50) =>
       val g = li.filter($"l_returnflag" === flag)

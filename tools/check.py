@@ -5,7 +5,7 @@ parquet dumps (columns sorted by name, exact value compare).
 
 Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
 """
-import sys, json, math, glob
+import sys, json, math, glob, struct
 
 import duckdb
 import pandas as pd
@@ -34,13 +34,36 @@ def cell_eq(a, b) -> bool:
             return False
         if math.isnan(fa) and math.isnan(fb):
             return True
-        return fa == fb
+        # BIT-EXACT, matching the driver's hash: -0.0 != +0.0. The r8
+        # verdict's three hash fails (doc_dsir_weights, text_learnability,
+        # log_change_decomposition) all passed the old `fa == fb` compare
+        # because IEEE == treats -0.0 and +0.0 as equal while the driver
+        # hashes the bit patterns. Never weaken this back.
+        return struct.pack("<d", fa) == struct.pack("<d", fb)
     if isinstance(a, (int,)) and isinstance(b, (int,)):
         return a == b
     return str(a) == str(b)
 
 
+def selftest():
+    """Regression fixture for the negative-zero class (r8 verdict): the
+    compare must FAIL an injected -0.0 vs +0.0 divergence and still pass
+    NaN==NaN and ordinary equality. Run: python3 tools/check.py --selftest
+    """
+    assert not cell_eq(-0.0, 0.0), "-0.0 vs +0.0 must MISMATCH (bit-exact)"
+    assert not cell_eq(0.0, -0.0), "+0.0 vs -0.0 must MISMATCH (bit-exact)"
+    assert cell_eq(0.0, 0.0) and cell_eq(-0.0, -0.0)
+    assert cell_eq(float("nan"), float("nan"))
+    assert cell_eq(1.25, 1.25) and not cell_eq(1.25, 1.2500001)
+    assert cell_eq(None, None) and cell_eq(3, 3) and cell_eq("x", "x")
+    assert cell_eq(2, 2.0), "int vs float same value compares equal"
+    print("ok   selftest (negative-zero fixture)")
+
+
 def main():
+    if sys.argv[1:] == ["--selftest"]:
+        selftest()
+        return
     sfdir, outdir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()

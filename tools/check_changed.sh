@@ -7,6 +7,7 @@
 # Usage: tools/check_changed.sh [since-ref]   (default HEAD~1)
 set -e
 cd "$(dirname "$0")/.."
+python3 tools/check.py --selftest >/dev/null
 REF="${1:-HEAD~1}"
 names=$(python3 tools/changed_queries.py "$REF")
 if [ -z "$names" ]; then

@@ -10,6 +10,8 @@
 # subset run; this full gate covers the general case.
 set -e
 cd "$(dirname "$0")/.."
+echo "== check.py selftest (negative-zero fixture) =="
+python3 tools/check.py --selftest
 echo "== compile + test =="
 sbt -batch test
 echo "== smoke (t1) =="
