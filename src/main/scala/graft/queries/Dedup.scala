@@ -572,6 +572,40 @@ object Dedup {
         .orderBy($"doc_a", $"doc_b")
     }),
 
+    // b-bit minhash (Li & König 2010, "b-Bit Minwise Hashing"): keep
+    // only the LOWEST BIT of each minhash value — the signature
+    // shrinks 20× (6 bits vs six 20-bit windows) and the Jaccard
+    // estimator becomes 2·(agreement fraction) − 1 (for b = 1 two
+    // independent minima agree with probability (1+J)/2). The table
+    // reports the 1-bit estimate NEXT to the full-width estimate's
+    // ground truth so the storage/variance trade is measured, not
+    // assumed — at 100 TB signature storage is the dedup index's
+    // dominant cost and b-bit is the standard compression. Bits come
+    // from the last hex char of the SAME 5-hex minima as the full
+    // estimator (one signature definition); candidate-bounded by the
+    // shared LSH pair table like every estimator in the family.
+    "dedup_bbit_minhash" -> ((s, d) => {
+      import s.implicits._
+      val pairs = lshPairsShared(s, d)
+      val sig = minhashSigs(s, d)
+      def bit(c: String) =
+        expr(s"cast(conv(substring($c, 5, 1), 16, 10) as bigint) % 2")
+      val agree = pairs
+        .join(sig.toDF(("doc_a" +: (1 to 6).map(i => s"a$i")): _*), "doc_a")
+        .join(sig.toDF(("doc_b" +: (1 to 6).map(i => s"b$i")): _*), "doc_b")
+        .select($"doc_a", $"doc_b",
+          (1 to 6).map(i =>
+            when(bit(s"a$i") === bit(s"b$i"), 1L).otherwise(0L))
+            .reduce(_ + _).as("bits_agree"))
+      agree.join(candJaccard3(s, d), Seq("doc_a", "doc_b"))
+        .select($"doc_a", $"doc_b", $"bits_agree",
+          round(($"bits_agree" * 2 - 6).cast("double") / 6, 4)
+            .as("est_1bit"),
+          $"jacc".as("exact_jacc"))
+        .withColumn("err", round($"est_1bit" - $"exact_jacc", 4))
+        .orderBy($"doc_a", $"doc_b")
+    }),
+
     // Cross-source near-dup matrix — syndication detection: which
     // source pairs share near-duplicate documents (mirrors, scrapes,
     // wire copy). At 100 TB this is the table that decides per-source
@@ -916,6 +950,28 @@ object Dedup {
          |  j.jacc AS exact_jacc,
          |  ROUND(ROUND(CAST(e.est_matches AS DOUBLE) / 6, 4) - j.jacc, 4)
          |    + 0.0 AS err
+         |FROM est e
+         |JOIN j ON j.doc_a = e.doc_a AND j.doc_b = e.doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "dedup_bbit_minhash" -> {
+      val bitTerms = (1 to 6).map(i =>
+        s"CASE WHEN (strpos('0123456789abcdef', substring(sa.h$i, 5, 1))" +
+          s" - 1) % 2 = (strpos('0123456789abcdef'," +
+          s" substring(sb.h$i, 5, 1)) - 1) % 2 THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""$candJaccardSql,
+         |est AS (
+         |  SELECT doc_a, doc_b, CAST($bitTerms AS BIGINT) AS bits_agree
+         |  FROM pairs JOIN sig sa ON sa.doc_id = doc_a
+         |             JOIN sig sb ON sb.doc_id = doc_b)
+         |SELECT e.doc_a AS doc_a, e.doc_b AS doc_b, e.bits_agree,
+         |  ROUND(CAST(e.bits_agree * 2 - 6 AS DOUBLE) / 6, 4) + 0.0
+         |    AS est_1bit,
+         |  j.jacc AS exact_jacc,
+         |  ROUND(ROUND(CAST(e.bits_agree * 2 - 6 AS DOUBLE) / 6, 4)
+         |    - j.jacc, 4) + 0.0 AS err
          |FROM est e
          |JOIN j ON j.doc_a = e.doc_a AND j.doc_b = e.doc_b
          |ORDER BY doc_a, doc_b""".stripMargin

@@ -174,6 +174,38 @@ object Multimodal {
         .orderBy($"source")
     }),
 
+    // Byte-balance audit of hash sharding over heterogeneous payloads
+    // — the multimodal storage problem mm_shard_stats (per-source) and
+    // doc_shard_assign (count-balanced rendezvous) don't cover: media
+    // records vary orders of magnitude in size, so a COUNT-balanced
+    // hash layout can still be BYTE-skewed, and bytes are what decode
+    // workers and shuffle fetches pay for. Per md5-hash shard (8
+    // shards): record count, payload bytes, the shard's byte share,
+    // and skew = share × n_shards (1.0 = perfectly balanced — the
+    // number an autoscaler compares against its rebalance threshold).
+    // One scan + one 8-row agg; the totals ride a window over the
+    // 8-row frame, never a rescan.
+    "mm_bytes_balance" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      t(s, d, "documents")
+        .select(expr(
+          "cast(conv(substring(md5(cast(cast(doc_id as string)" +
+            " as binary)), 1, 8), 16, 10) as bigint) % 8").as("shard"),
+          octet_length($"text".cast("binary")).cast("long").as("nb"))
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n_media"), sum($"nb").as("total_bytes"))
+        .withColumn("all_bytes",
+          sum($"total_bytes").over(Window.partitionBy()))
+        .withColumn("n_shards", count(lit(1)).over(Window.partitionBy()))
+        .select($"shard", $"n_media", $"total_bytes",
+          round($"total_bytes".cast("double") / $"all_bytes", 4)
+            .as("byte_share"),
+          round(($"total_bytes" * $"n_shards").cast("double")
+            / $"all_bytes", 4).as("skew"))
+        .orderBy($"shard")
+    }),
+
     // Media near-duplicate candidates by keyframe-fingerprint banding —
     // the video/image dedup shape: two media are candidates when they
     // share >= 2 sampled frame hashes (position-independent, so a
@@ -358,6 +390,30 @@ object Multimodal {
         |  CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
         |  CAST(MAX(octet_length(CAST(text AS BLOB))) AS BIGINT) AS max_bytes
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "mm_bytes_balance" -> {
+      val h32 = (1 to 8).map { i =>
+        val w = math.pow(16, 8 - i).toLong
+        s"(strpos('0123456789abcdef', substring(" +
+          s"md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1) * $w"
+      }.mkString(" + ")
+      s"""WITH r AS (
+         |  SELECT CAST(($h32) AS BIGINT) % 8 AS shard,
+         |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS nb
+         |  FROM documents),
+         |g AS (
+         |  SELECT shard, COUNT(*) AS n_media,
+         |    CAST(SUM(nb) AS BIGINT) AS total_bytes
+         |  FROM r GROUP BY shard),
+         |w AS (
+         |  SELECT *, CAST(SUM(total_bytes) OVER () AS BIGINT) AS ab,
+         |    COUNT(*) OVER () AS ns
+         |  FROM g)
+         |SELECT shard, n_media, total_bytes,
+         |  ROUND(CAST(total_bytes AS DOUBLE) / ab, 4) AS byte_share,
+         |  ROUND(CAST(total_bytes * ns AS DOUBLE) / ab, 4) AS skew
+         |FROM w ORDER BY shard""".stripMargin
+    },
 
     "mm_neardup_pairs" ->
       s"""WITH $mmPairsCte

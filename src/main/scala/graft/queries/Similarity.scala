@@ -831,6 +831,55 @@ object Similarity {
           ($"en_e4".cast("double") / 1e4).as("energy"))
     }),
 
+    // IVF probe-cost curve — the serving-cost half of the
+    // sim_recall_vs_nprobe trade: for each nprobe setting, how many
+    // candidates does a query actually scan? Expected cost = the mean
+    // over the query set of the cumulative size of its nprobe
+    // nearest cells (cells are NOT equal-sized — a skewed cell layout
+    // makes nprobe=2 cost 3× what the uniform assumption says, which
+    // is exactly what this table surfaces next to the recall curve
+    // when choosing the production nprobe). Cell sizes come from the
+    // same 8-centroid assignment as sim_ivf_assign; the per-query
+    // rank and cumsum windows run over ≤ 8 rows per query — bounded
+    // domains, never event-scale windows. All costs are exact
+    // integers; the mean is one divide.
+    "sim_ivf_probe_cost" -> ((s, d) => {
+      import s.implicits._
+      withCosine(s)
+      val emb = t(s, d, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val cents = emb.filter($"vec_id" < 8)
+        .select($"vec_id".as("cent_id"), $"v".as("c"))
+        .agg(expr("array_sort(collect_list(named_struct(" +
+          "'cent_id', cent_id, 'c', c)))").as("cents"))
+      val am = expr(
+        """array_min(transform(cents, ct -> named_struct(
+          |  'nsim', -round(cosine_similarity(v, ct.c), 4),
+          |  'cent_id', ct.cent_id)))""".stripMargin)
+      val sizes = emb.crossJoin(broadcast(cents))
+        .select(am.getField("cent_id").as("cent_id"))
+        .groupBy($"cent_id").agg(count(lit(1)).as("cell_n"))
+      import org.apache.spark.sql.expressions.Window
+      val wq = Window.partitionBy($"qid").orderBy($"csim".desc, $"cent_id")
+      val ranked = emb.filter($"vec_id" < 10)
+        .crossJoin(broadcast(cents))
+        .select($"vec_id".as("qid"), $"v", explode($"cents").as("ct"))
+        .select($"qid", $"ct.cent_id".as("cent_id"),
+          round(cosine("v", "ct.c"), 4).as("csim"))
+        .withColumn("rk", row_number().over(wq))
+        .join(sizes, Seq("cent_id"), "left_outer")
+        .withColumn("cum", sum(coalesce($"cell_n", lit(0L)))
+          .over(Window.partitionBy($"qid").orderBy($"rk")))
+      ranked.groupBy($"rk".cast("long").as("nprobe"))
+        .agg(count(lit(1)).as("n_queries"), sum($"cum").as("sum_cands"),
+          min($"cum").as("min_cands"), max($"cum").as("max_cands"))
+        .select($"nprobe", $"n_queries",
+          round($"sum_cands".cast("double") / $"n_queries", 2)
+            .as("avg_cands"),
+          $"min_cands", $"max_cands")
+        .orderBy($"nprobe")
+    }),
+
     // Two-stage IVF ANN: assign every vector to its nearest of 8
     // "centroids" (vec_id < 8); probe the query's 2 nearest cells; rank
     // only candidates in probed cells. This is the real IVF shape: at
@@ -2082,6 +2131,42 @@ object Similarity {
         |SELECT GREATEST(-10, LEAST(9, CAST(FLOOR(sim * 10) AS BIGINT))) AS bucket,
         |  COUNT(*) AS n_pairs
         |FROM p GROUP BY bucket ORDER BY bucket""".stripMargin),
+
+    "sim_ivf_probe_cost" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cent_id, v AS cv FROM e
+        |      WHERE vec_id < 8),
+        |s0 AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |    ROUND(list_sum(list_transform(list_zip(e.v, c.cv),
+        |            x -> x[1] * x[2]))
+        |      / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+        |         * sqrt(list_sum(list_transform(c.cv, x -> x * x)))), 4)
+        |      AS sim
+        |  FROM e, c),
+        |asg AS (
+        |  SELECT vec_id, cent_id FROM (
+        |    SELECT vec_id, cent_id, ROW_NUMBER() OVER (
+        |      PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rn
+        |    FROM s0) WHERE rn = 1),
+        |sizes AS (
+        |  SELECT cent_id, COUNT(*) AS cell_n FROM asg GROUP BY cent_id),
+        |q AS (
+        |  SELECT vec_id AS qid, cent_id,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                       ORDER BY sim DESC, cent_id) AS rk
+        |  FROM s0 WHERE vec_id < 10),
+        |cum AS (
+        |  SELECT qid, rk,
+        |    SUM(COALESCE(z.cell_n, 0)) OVER (
+        |      PARTITION BY qid ORDER BY rk) AS cum
+        |  FROM q LEFT JOIN sizes z USING (cent_id))
+        |SELECT CAST(rk AS BIGINT) AS nprobe, COUNT(*) AS n_queries,
+        |  ROUND(CAST(SUM(cum) AS DOUBLE) / COUNT(*), 2) AS avg_cands,
+        |  CAST(MIN(cum) AS BIGINT) AS min_cands,
+        |  CAST(MAX(cum) AS BIGINT) AS max_cands
+        |FROM cum GROUP BY rk ORDER BY nprobe""".stripMargin,
 
     "sim_energy_distance" -> {
       val d2 = """CAST(ROUND(sqrt(list_sum(list_transform(

@@ -300,6 +300,48 @@ object TextAnalysis {
         .orderBy($"doc_id")
     }),
 
+    // Gopher-style quality rule battery (Rae et al. 2021, appendix A1
+    // — the public rule set most corpus pipelines start from): word
+    // count in [50, 100k], mean word length in [3, 10], ≥ 80% of
+    // words containing an alphabetic character, ≥ 2 stopwords. Each
+    // rule is an EXACT INTEGER comparison (mean-word-length as
+    // 3n ≤ Σlen ≤ 10n — no float ever enters a verdict), computed by
+    // in-row array folds over the token list: zero shuffles before
+    // the per-doc projection, the ideal map-only shape for a first
+    // 100 TB filter pass. The reported ratios are display-only
+    // divides of the same exact integers.
+    "text_gopher_rules" -> ((s, d) => {
+      import s.implicits._
+      val stop = stopEn.map(w => s"'$w'").mkString(", ")
+      t(s, d, "documents")
+        .select($"doc_id", expr(
+          "filter(split(lower(text), '\\\\s+'), x -> x != '')").as("toks"))
+        .select($"doc_id",
+          size($"toks").cast("long").as("n_words"),
+          expr("aggregate(toks, 0L, (a, t) -> a + length(t))")
+            .as("sum_len"),
+          expr("cast(size(filter(toks, t -> t rlike '[a-z]')) as bigint)")
+            .as("n_alpha"),
+          expr(s"cast(size(filter(toks, t -> t in ($stop))) as bigint)")
+            .as("n_stopwords"))
+        .select($"doc_id", $"n_words",
+          round($"sum_len".cast("double") / $"n_words", 4)
+            .as("mean_word_len"),
+          round($"n_alpha".cast("double") / $"n_words", 4)
+            .as("alpha_share"),
+          $"n_stopwords",
+          ($"n_words" >= 50L && $"n_words" <= 100000L).cast("bigint")
+            .as("r_count"),
+          ($"sum_len" >= $"n_words" * 3 && $"sum_len" <= $"n_words" * 10)
+            .cast("bigint").as("r_wordlen"),
+          ($"n_alpha" * 5 >= $"n_words" * 4).cast("bigint").as("r_alpha"),
+          ($"n_stopwords" >= 2L).cast("bigint").as("r_stop"))
+        .withColumn("gopher_pass",
+          ($"r_count" === 1L && $"r_wordlen" === 1L &&
+            $"r_alpha" === 1L && $"r_stop" === 1L).cast("bigint"))
+        .orderBy($"doc_id")
+    }),
+
     // Lexical diversity — type-token ratio + hapax-legomena share, the
     // cheap vocabulary-richness screens (a low TTR flags template/spam
     // text that entropy alone can miss when the few types are evenly
@@ -730,6 +772,43 @@ object TextAnalysis {
         |    list_filter(regexp_split_to_array(lower(text), '\s+'),
         |                x -> x <> ''))), ' ')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_gopher_rules" -> {
+      val stop = sqlList(stopEn)
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                x -> x <> '') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(toks, t -> length(t)))
+        |      AS BIGINT) AS sum_len,
+        |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+        |      AS BIGINT) AS n_alpha,
+        |    CAST(len(list_filter(toks, t -> t IN (STOPLIST)))
+        |      AS BIGINT) AS n_stopwords
+        |  FROM d)
+        |SELECT doc_id, n_words,
+        |  ROUND(CAST(sum_len AS DOUBLE) / n_words, 4) AS mean_word_len,
+        |  ROUND(CAST(n_alpha AS DOUBLE) / n_words, 4) AS alpha_share,
+        |  n_stopwords,
+        |  CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+        |       THEN 1 ELSE 0 END AS BIGINT) AS r_count,
+        |  CAST(CASE WHEN sum_len >= n_words * 3 AND sum_len <= n_words * 10
+        |       THEN 1 ELSE 0 END AS BIGINT) AS r_wordlen,
+        |  CAST(CASE WHEN n_alpha * 5 >= n_words * 4
+        |       THEN 1 ELSE 0 END AS BIGINT) AS r_alpha,
+        |  CAST(CASE WHEN n_stopwords >= 2
+        |       THEN 1 ELSE 0 END AS BIGINT) AS r_stop,
+        |  CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+        |        AND sum_len >= n_words * 3 AND sum_len <= n_words * 10
+        |        AND n_alpha * 5 >= n_words * 4 AND n_stopwords >= 2
+        |       THEN 1 ELSE 0 END AS BIGINT) AS gopher_pass
+        |FROM m ORDER BY doc_id""".stripMargin
+        .replace("STOPLIST", stop)
+    },
 
     "text_ttr" ->
       s"""WITH $tokCte,

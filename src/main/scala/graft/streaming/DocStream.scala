@@ -275,4 +275,63 @@ object DocStream {
           }
       }
   }
+
+  /** Bloom model for [[bloomGuard]]: the distinct 8-grams of the given
+    * docs (the EVAL/benchmark set) folded into the SAME 258,048-bit /
+    * 4-probe filter as the declared doc_bloom_decontaminate
+    * ([[graft.queries.PipelineOps.BloomM]] — one geometry definition,
+    * the monitors can never probe differently from the batch audit).
+    * Output is the (word_j, bits) 63-bit-word table, ≤ 4096 rows —
+    * ~32 KB however large the eval set grows, so it broadcasts into
+    * the live stream. Built in batch (train-in-batch half). */
+  def evalGramBloom(evalDocs: DataFrame): DataFrame = {
+    import evalDocs.sparkSession.implicits._
+    import graft.queries.PipelineOps.{bloomPosSql, toksCol}
+    val probes = (0 until 4).map(r => expr(bloomPosSql("gs", r)))
+    evalDocs
+      .select(toksCol.as("toks"))
+      .filter(size($"toks") >= 8)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 7)," +
+          " i -> array_join(slice(toks, i, 8), ' '))")).as("gs"))
+      .distinct()
+      .select(explode(array(probes: _*)).as("p"))
+      .groupBy(expr("cast(p div 63 as int)").as("word_j"))
+      .agg(expr("bit_or(shiftleft(cast(1 as bigint), p % 63))").as("bits"))
+  }
+
+  /** Online decontamination guard — the serve-in-stream half of
+    * doc_bloom_decontaminate: every arriving doc is scored for eval
+    * 8-gram overlap against the broadcast Bloom and flagged before it
+    * can enter a training shard. COMPLETELY STATELESS: the filter
+    * collapses to one map row (map_from_entries over ≤ 4096 words,
+    * ~32 KB) that cross-joins in as a stream-static scalar broadcast,
+    * grams are built and probed IN-ROW (no explode → no per-doc
+    * aggregation state), so the stream side carries zero state stores
+    * and one projection — the strongest possible shape at 100 TB/day
+    * ingest. Bloom guarantees no false negatives: a doc whose grams
+    * all sit in the eval set can never pass unflagged (only spurious
+    * flags are possible, at the filter's FP rate). The verdict rule
+    * (≥ 10% gram hits) matches the batch audit's `contaminated`. */
+  def bloomGuard(docs: DataFrame, model: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import graft.queries.PipelineOps.{bloomHitSql, toksCol}
+    val bmRow = model.agg(expr(
+      "map_from_entries(array_sort(collect_list(" +
+        "named_struct('key', word_j, 'value', bits))))").as("bm"))
+    docs
+      .select($"doc_id".cast("long").as("doc_id"), toksCol.as("toks"))
+      .crossJoin(broadcast(bmRow))
+      .select($"doc_id",
+        expr("case when size(toks) >= 8 then size(toks) - 7" +
+          " else 0 end").cast("long").as("n_grams"),
+        expr("case when size(toks) >= 8 then size(filter(" +
+          "transform(sequence(1, size(toks) - 7)," +
+          " i -> array_join(slice(toks, i, 8), ' '))," +
+          s" gs -> ${bloomHitSql("gs", "bm")})) else 0 end")
+          .cast("long").as("n_hits"))
+      .select($"doc_id", $"n_grams", $"n_hits",
+        ($"n_hits" * 10 >= $"n_grams" && $"n_grams" > 0L)
+          .as("contaminated"))
+  }
 }

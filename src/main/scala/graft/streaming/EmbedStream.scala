@@ -103,6 +103,18 @@ object EmbedStream {
   def nnServe(queries: DataFrame, index: DataFrame, cb: DataFrame,
       wmDelay: String = "1 hour"): DataFrame = {
     import queries.sparkSession.implicits._
+    servedWindowed(queries, index, cb, wmDelay)
+      .select($"window.start".as("w_start"), $"qid",
+        (-$"m.nid").as("nn_id"), $"m.cs".as("nn_sim"), $"n_cand")
+  }
+
+  /** The per-(window, query) serve agg with the time-window STRUCT
+    * still attached — the seam [[recallCanary]] chains its second
+    * windowed aggregation onto (Spark propagates event-time through
+    * the window column, not through a projected-out start timestamp). */
+  private def servedWindowed(queries: DataFrame, index: DataFrame,
+      cb: DataFrame, wmDelay: String): DataFrame = {
+    import queries.sparkSession.implicits._
     graft.functions.GraftFunctions.register(queries.sparkSession)
     val idx = index
       .select($"vec_id".as("cand_id"),
@@ -125,7 +137,29 @@ object EmbedStream {
     probed.groupBy(window($"ts_h", "1 hour"), $"qid")
       .agg(max(struct($"cs", (-$"cand_id").as("nid"))).as("m"),
         count(lit(1)).as("n_cand"))
-      .select($"window.start".as("w_start"), $"qid",
-        (-$"m.nid").as("nn_id"), $"m.cs".as("nn_sim"), $"n_cand")
+  }
+
+  /** Index-miss canary — the serving-quality alert on top of
+    * [[nnServe]]: per hour window, the share of queries whose best
+    * hit sits below a similarity floor (`simE4Floor`, e4-quantized so
+    * the verdict is an integer compare, never a float threshold). A
+    * rising low-hit share is the canary for index staleness / query
+    * drift out of the indexed distribution — the first number an ANN
+    * serving dashboard pages on. Implemented as a SECOND windowed
+    * aggregation stacked on nnServe's per-(window, query) rows
+    * (Spark's chained-stateful support; the re-window over `w_start`
+    * is 1:1 with the first window, so state is one counter row per
+    * hour). Batch mode runs the identical plan (parity-tested). */
+  def recallCanary(queries: DataFrame, index: DataFrame, cb: DataFrame,
+      simE4Floor: Long = 5000L, wmDelay: String = "1 hour"): DataFrame = {
+    import queries.sparkSession.implicits._
+    servedWindowed(queries, index, cb, wmDelay)
+      .withColumn("low",
+        when(expr("cast(round(m.cs * 1e4) as bigint)") < simE4Floor,
+          1L).otherwise(0L))
+      .groupBy(window($"window", "1 hour"))
+      .agg(count(lit(1)).as("n_queries"), sum($"low").as("n_low"))
+      .select($"window.start".as("w_start"), $"n_queries", $"n_low",
+        ($"n_low" * 5 >= $"n_queries").as("alert"))
   }
 }

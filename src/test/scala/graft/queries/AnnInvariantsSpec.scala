@@ -651,4 +651,42 @@ class AnnInvariantsSpec extends SparkSpec {
     // energy distance is non-negative up to e4/e6 quantization slack
     assert(got.getDouble(5) > -5e-4, "negative energy beyond slack")
   }
+
+  test("sim_ivf_probe_cost: curve is monotone, nprobe=8 scans all") {
+    import spark.implicits._
+    val got = SparkEntry.queries("sim_ivf_probe_cost")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4)))
+    val n = t(spark, sf(), "embeddings").count()
+    assert(got.map(_._1).toSeq == (1L to 8L), "one row per nprobe")
+    assert(got.forall(_._2 == 10L), "query-set size drifted")
+    // cumulative candidate counts are strictly monotone in nprobe
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 > a._3 && b._4 >= a._4 && b._5 >= a._5,
+        s"cost curve not monotone at nprobe=${b._1}")
+    }
+    // probing every cell scans the whole corpus, exactly
+    val last = got.last
+    assert(last._4 == n && last._5 == n && last._3 == n.toDouble,
+      s"nprobe=8 must scan all $n vectors")
+  }
+
+  test("dedup_bbit_minhash: bit agreement consistent with full minhash") {
+    import spark.implicits._
+    val bbit = SparkEntry.queries("dedup_bbit_minhash")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    val full = SparkEntry.queries("dedup_minhash_est")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(bbit.keySet == full.keySet, "candidate pair sets differ")
+    bbit.foreach { case (pair, (agree, est)) =>
+      // two equal 20-bit minima always agree on their low bit, so
+      // bit-agreement dominates full-width agreement
+      assert(agree >= full(pair) && agree <= 6L,
+        s"$pair: bit agreement below full-width matches")
+      assert(est == math.round((agree * 2 - 6) * 1e4 / 6.0) / 1e4.toDouble,
+        s"$pair: estimator formula diverges")
+    }
+  }
 }

@@ -2117,6 +2117,53 @@ class PipelineInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("text_gopher_rules: integer rule verdicts replay from tokens") {
+    import spark.implicits._
+    val docs = t(spark, sf(), "documents")
+      .select($"doc_id", expr(
+        "filter(split(lower(text), '\\\\s+'), x -> x != '')"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1))
+    val stop = graft.queries.TextAnalysis.stopEn.toSet
+    val got = SparkEntry.queries("text_gopher_rules")(spark, sf())
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getLong(7), r.getLong(8), r.getLong(9)))).toMap
+    assert(got.keySet == docs.map(_._1).toSet)
+    docs.foreach { case (id, ts) =>
+      val n = ts.length.toLong
+      val sumLen = ts.map(_.length.toLong).sum
+      val nAlpha = ts.count(_.exists(c => c >= 'a' && c <= 'z')).toLong
+      val nStop = ts.count(stop).toLong
+      val rc = if (n >= 50 && n <= 100000) 1L else 0L
+      val rw = if (sumLen >= 3 * n && sumLen <= 10 * n) 1L else 0L
+      val ra = if (nAlpha * 5 >= 4 * n) 1L else 0L
+      val rs = if (nStop >= 2) 1L else 0L
+      val pass = rc * rw * ra * rs
+      assert(got(id) == ((n, nStop, rc, rw, ra, rs, pass)),
+        s"doc $id: rule verdicts diverge")
+    }
+    // the battery discriminates on this corpus: both verdicts occur
+    assert(got.values.exists(_._7 == 1L) && got.values.exists(_._7 == 0L))
+  }
+
+  test("mm_bytes_balance: shards partition records and bytes; skew ≈ 8·share") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("mm_bytes_balance")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    val docs = t(spark, sf(), "documents")
+      .select(octet_length($"text".cast("binary")).cast("long"))
+      .collect().map(_.getLong(0))
+    assert(rows.map(_._2).sum == docs.length.toLong,
+      "shards lose or duplicate records")
+    assert(rows.map(_._3).sum == docs.sum, "shards lose or duplicate bytes")
+    rows.foreach { case (shard, _, _, share, skew) =>
+      assert(shard >= 0 && shard < 8)
+      assert(math.abs(skew - share * 8) < 5e-4,
+        s"shard $shard: skew != n_shards·share")
+    }
+  }
+
   test("q_incremental_agg: merge == recompute, partitions add up") {
     import spark.implicits._
     val direct = t(spark, sf(), "orders").groupBy($"o_orderstatus")

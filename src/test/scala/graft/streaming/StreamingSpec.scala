@@ -1189,4 +1189,117 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_.getTimestamp(0)).distinct.length == 2,
       "both serve windows must be present")
   }
+
+  test("nn serve: duplicate same-window arrivals don't inflate n_cand") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 10:10:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-06-01 10:40:00")
+    val all = t(spark, sf(), "embeddings")
+    val once = all.filter($"vec_id" % 37 === 1).withColumn("ingest_ts", lit(t0))
+    val twice = once.unionAll(once.withColumn("ingest_ts", lit(t1)))
+    val cb = EmbedStream.codebook(all)
+    def res(q: org.apache.spark.sql.DataFrame) =
+      EmbedStream.nnServe(q, all, cb)
+        .select($"qid", $"nn_id", $"nn_sim", $"n_cand").collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    // ADVICE r8: a query arriving twice within one hour window must
+    // produce the same row as arriving once — including n_cand
+    assert(res(twice) == res(once),
+      "duplicate arrival changed the serve row (n_cand inflation)")
+  }
+
+  test("bloom guard (batch): eval docs always flag, geometry matches") {
+    import spark.implicits._
+    val docs = t(spark, sf(), "documents")
+    val h = substring(md5($"doc_id".cast("string").cast("binary")), 1, 1)
+    val evalDocs = docs.filter(h.isin("d", "e", "f"))
+    val model = DocStream.evalGramBloom(evalDocs)
+    // the word table is the bounded artifact the stream broadcasts
+    assert(model.count() <= graft.queries.PipelineOps.BloomM / 63 + 1)
+    val got = DocStream.bloomGuard(docs, model).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    val evalIds = evalDocs.select($"doc_id").collect()
+      .map(_.getLong(0)).toSet
+    // no false negatives: an eval doc's grams are ALL in the filter
+    got.filter(r => evalIds(r._1) && r._2 > 0).foreach {
+      case (id, ng, nh, flag) =>
+        assert(nh == ng && flag, s"doc $id: eval grams missed ($nh/$ng)")
+    }
+    // and the filter discriminates: not every non-eval doc is a flag
+    val nonEval = got.filter(r => !evalIds(r._1) && r._2 > 0)
+    assert(nonEval.exists(!_._4), "guard flags everything (no FP control)")
+  }
+
+  test("bloom guard (streaming): stateless parity with batch") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_bloomg").toString
+    val src = s"$root/src"
+    val docs = t(spark, sf(), "documents")
+    docs.write.mode("append").parquet(src)
+    val h = substring(md5($"doc_id".cast("string").cast("binary")), 1, 1)
+    val model = DocStream.evalGramBloom(docs.filter(h.isin("d", "e", "f")))
+    val schema = spark.read.parquet(src).schema
+    val q = DocStream.bloomGuard(
+        spark.readStream.schema(schema).parquet(src), model)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("bloomg_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("bloomg_stream")
+      .orderBy($"doc_id").collect().toSeq
+    val batch = DocStream.bloomGuard(spark.read.parquet(src), model)
+      .orderBy($"doc_id").collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streaming ${streamed.size} rows != batch ${batch.size}")
+  }
+
+  test("recall canary: low-hit shares replay from the serve rows") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 10:15:00")
+    val all = t(spark, sf(), "embeddings")
+    val queries = all.filter($"vec_id" % 37 === 1)
+      .withColumn("ingest_ts", lit(t0))
+    val cb = EmbedStream.codebook(all)
+    val serve = EmbedStream.nnServe(queries, all, cb)
+      .select($"nn_sim").collect().map(_.getDouble(0))
+    val floor = 5000L
+    val expLow = serve.count(s => math.round(s * 1e4) < floor).toLong
+    val got = EmbedStream.recallCanary(queries, all, cb, floor).collect()
+    assert(got.length == 1)
+    assert(got.head.getLong(1) == serve.length.toLong,
+      "canary lost queries")
+    assert(got.head.getLong(2) == expLow, "low-hit count diverges")
+    assert(got.head.getBoolean(3) == (expLow * 5 >= serve.length),
+      "alert rule diverges")
+  }
+
+  test("recall canary (streaming): closed window == batch (parity)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_canary").toString
+    val src = s"$root/src"
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 10:10:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-06-01 13:40:00")
+    val all = t(spark, sf(), "embeddings")
+    all.filter($"vec_id" % 37 === 1).withColumn("ingest_ts", lit(t0))
+      .unionAll(all.filter($"vec_id" % 37 === 2)
+        .withColumn("ingest_ts", lit(t1)))
+      .write.mode("append").parquet(src)
+    val cb = EmbedStream.codebook(all)
+    val schema = spark.read.parquet(src).schema
+    // chained windowed aggs → append mode; the t1 batch pushes the
+    // watermark past window [10:00, 11:00)'s close, so that window
+    // emits; [13:00, 14:00) stays open and must NOT emit yet
+    val q = EmbedStream.recallCanary(
+        spark.readStream.schema(schema).parquet(src), all, cb)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("canary_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("canary_stream").collect().toSeq
+    val batch = EmbedStream.recallCanary(spark.read.parquet(src), all, cb)
+      .filter($"w_start" === java.sql.Timestamp.valueOf("2024-06-01 10:00:00"))
+      .collect().toSeq
+    assert(streamed.nonEmpty, "closed canary window never emitted")
+    assert(streamed == batch, "canary stream != batch on closed window")
+  }
 }
