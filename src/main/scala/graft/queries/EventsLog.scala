@@ -1537,6 +1537,104 @@ object EventsLog {
         .orderBy($"event_type")
     }),
 
+    // Holt double exponential smoothing (level + trend) over each
+    // type's dense hourly series — the one-step forecaster a capacity
+    // dashboard runs where log_forecast_baseline's naive rules stop.
+    // The recurrence is INHERENTLY sequential, so it runs exactly like
+    // doc_pack_greedy: hash-partition by type, sort within partitions
+    // on (type, hour), ONE linear mapPartitions fold with O(1) state —
+    // never a collect, never an unbounded window. Cross-engine float
+    // discipline: the classic α·x + (1−α)·s chain compounds double
+    // error across engines, so the state is e4-INTEGER and the
+    // smoothing constants are exact rationals (α = 3/10, β = 2/10)
+    // applied by sign-magnitude integer division — every step is
+    // integer-exact and the oracle's recursive CTE replays it bit for
+    // bit. Reported floats are integer-derived (e4/1e4), so ±0.0
+    // can't diverge.
+    "log_holt_forecast" -> ((s, d) => {
+      import s.implicits._
+      val dense = denseHourGrid(t(s, d, "events"))
+        .select($"event_type", unix_micros($"h").as("hus"), $"n")
+      val folded = dense
+        .repartition($"event_type")
+        .sortWithinPartitions($"event_type", $"hus")
+        .as[(String, Long, Long)]
+        .mapPartitions { it =>
+          def div10(v: Long): Long =
+            if (v < 0) -((-v) / 10) else v / 10
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(String, Long, Long, Long, Long)]
+          var cur: String = null
+          var n = 0L; var l = 0L; var b = 0L; var sumAbs = 0L
+          var x1 = 0L
+          def close(): Unit = if (cur != null)
+            out += ((cur, n, l, b, sumAbs))
+          it.foreach { case (ty, _, x) =>
+            if (ty != cur) { close(); cur = ty; n = 0; sumAbs = 0 }
+            n += 1
+            val xe4 = x * 10000
+            if (n == 1) { l = xe4; b = 0; x1 = xe4 }
+            else {
+              if (n == 2) b = xe4 - x1 // standard init: first diff
+              val pred = l + b
+              sumAbs += math.abs(xe4 - pred)
+              val l1 = div10(3 * xe4 + 7 * pred)
+              b = div10(2 * (l1 - l) + 8 * b)
+              l = l1
+            }
+          }
+          close()
+          out.iterator
+        }
+        .toDF("event_type", "n_hours", "l_e4", "b_e4", "sum_abs")
+      folded.select($"event_type", $"n_hours",
+          ($"l_e4".cast("double") / 1e4).as("level"),
+          ($"b_e4".cast("double") / 1e4).as("trend"),
+          (($"l_e4" + $"b_e4").cast("double") / 1e4).as("forecast_next"),
+          when($"n_hours" <= 1L, lit(null).cast("double")).otherwise(
+            round($"sum_abs".cast("double") / (($"n_hours" - 1) * 1e4), 4))
+            .as("mae"))
+        .orderBy($"event_type")
+    }),
+
+    // Robust MAD anomaly flags — the median/MAD twin of the 2σ rules
+    // (log_anomaly / log_anomaly_seasonal): mean±σ rules are
+    // themselves dragged by the outliers they hunt, while median and
+    // MAD have a 50% breakdown point. Flag rule: |x − med| ·10⁴ >
+    // 44478·MAD (3 × the 1.4826 normal-consistency constant folded
+    // into one INTEGER comparison — no float enters a verdict); a
+    // degenerate MAD = 0 series flags any deviation. med and MAD are
+    // exact lower medians cut from per-type COUNT-VALUE histograms
+    // (the log_user_gini bounded-domain discipline — windows run over
+    // distinct count values, never over hours, never over events).
+    "log_mad_anomaly" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val dense = denseHourGrid(t(s, d, "events"))
+        .select($"event_type", unix_micros($"h").as("hour_us"), $"n")
+      def lowerMedian(df: DataFrame, vCol: String): DataFrame = {
+        val h = df.groupBy($"event_type", col(vCol).as("v"))
+          .agg(count(lit(1)).as("k"))
+        val wc = Window.partitionBy($"event_type").orderBy($"v")
+        h.withColumn("cum", sum($"k").over(wc))
+          .withColumn("tot",
+            sum($"k").over(Window.partitionBy($"event_type")))
+          .filter($"cum" * 2 >= $"tot")
+          .groupBy($"event_type").agg(min($"v").as(s"med_$vCol"))
+      }
+      val med = lowerMedian(dense, "n")
+      val dev = dense.join(med, "event_type")
+        .withColumn("dev", abs($"n" - $"med_n"))
+      val mad = lowerMedian(dev.select($"event_type", $"dev"), "dev")
+      dev.join(mad, "event_type")
+        .select($"event_type", $"hour_us", $"n",
+          $"med_n".as("med"), $"med_dev".as("mad"),
+          when($"med_dev" === 0L, ($"dev" > 0L).cast("bigint"))
+            .otherwise(($"dev" * 10000 > $"med_dev" * 44478)
+              .cast("bigint")).as("is_anomaly"))
+        .orderBy($"event_type", $"hour_us")
+    }),
+
     // Inter-arrival profile — per type, the p50/p90/max gap between
     // consecutive events, the latency-between-arrivals number that
     // sizes stream-ingest buffers and alert timeouts. The scale trick:
@@ -2654,6 +2752,105 @@ object EventsLog {
         |       // (2 * CAST(n_hours AS HUGEINT) * total) AS BIGINT)
         |    AS DOUBLE) / 1e4 AS fano
         |FROM st ORDER BY event_type""".stripMargin,
+
+    "log_holt_forecast" -> {
+      // integer-exact Holt recurrence replayed per type by recursive
+      // CTE; sdiv = sign-magnitude /10 (both engines truncate on the
+      // magnitude, so negative trends divide identically)
+      def sdiv(v: String) =
+        s"(CASE WHEN ($v) < 0 THEN -((-($v)) // 10) ELSE ($v) // 10 END)"
+      val beff = "(CASE WHEN r.i = 1 THEN d.xe4 - r.x1 ELSE r.b END)"
+      val pred = s"(r.l + $beff)"
+      val l2 = sdiv(s"3 * d.xe4 + 7 * $pred")
+      val b2 = sdiv(s"2 * ($l2 - r.l) + 8 * $beff")
+      val err = s"abs(d.xe4 - $pred)"
+      s"""WITH RECURSIVE ev AS (
+         |  SELECT event_type, date_trunc('hour', ts) AS h FROM events),
+         |counts AS (SELECT event_type, h, COUNT(*) AS n
+         |           FROM ev GROUP BY 1, 2),
+         |bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM ev),
+         |grid AS (
+         |  SELECT event_type, unnest(generate_series(h0, h1,
+         |    INTERVAL 1 HOUR)) AS h
+         |  FROM (SELECT DISTINCT event_type FROM ev), bounds),
+         |dense AS (
+         |  SELECT g.event_type, g.h, COALESCE(c.n, 0) AS n
+         |  FROM grid g LEFT JOIN counts c
+         |    ON c.event_type = g.event_type AND c.h = g.h),
+         |d AS (
+         |  SELECT event_type, CAST(n * 10000 AS BIGINT) AS xe4,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS i
+         |  FROM dense),
+         |cnt AS (SELECT event_type, COUNT(*) AS m FROM d GROUP BY 1),
+         |r AS (
+         |  SELECT event_type, CAST(0 AS BIGINT) AS i,
+         |    CAST(0 AS BIGINT) AS l, CAST(0 AS BIGINT) AS b,
+         |    CAST(0 AS BIGINT) AS sum_abs, CAST(0 AS BIGINT) AS x1
+         |  FROM cnt
+         |  UNION ALL
+         |  SELECT r.event_type, r.i + 1,
+         |    CAST(CASE WHEN r.i = 0 THEN d.xe4 ELSE $l2 END AS BIGINT),
+         |    CAST(CASE WHEN r.i = 0 THEN 0 ELSE $b2 END AS BIGINT),
+         |    CAST(CASE WHEN r.i = 0 THEN 0
+         |         ELSE r.sum_abs + $err END AS BIGINT),
+         |    CAST(CASE WHEN r.i = 0 THEN d.xe4 ELSE r.x1 END AS BIGINT)
+         |  FROM r JOIN d ON d.event_type = r.event_type
+         |                AND d.i = r.i + 1),
+         |fin AS (
+         |  SELECT r.* FROM r
+         |  JOIN cnt ON cnt.event_type = r.event_type AND r.i = cnt.m)
+         |SELECT event_type, i AS n_hours,
+         |  CAST(l AS DOUBLE) / 1e4 AS level,
+         |  CAST(b AS DOUBLE) / 1e4 AS trend,
+         |  CAST(l + b AS DOUBLE) / 1e4 AS forecast_next,
+         |  CASE WHEN i <= 1 THEN NULL ELSE
+         |    ROUND(CAST(sum_abs AS DOUBLE) / ((i - 1) * 1e4), 4) END
+         |    AS mae
+         |FROM fin ORDER BY event_type""".stripMargin
+    },
+
+    "log_mad_anomaly" ->
+      """WITH ev AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h FROM events),
+        |counts AS (SELECT event_type, h, COUNT(*) AS n
+        |           FROM ev GROUP BY 1, 2),
+        |bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM ev),
+        |grid AS (
+        |  SELECT event_type, unnest(generate_series(h0, h1,
+        |    INTERVAL 1 HOUR)) AS h
+        |  FROM (SELECT DISTINCT event_type FROM ev), bounds),
+        |dense AS (
+        |  SELECT g.event_type, g.h, COALESCE(c.n, 0) AS n
+        |  FROM grid g LEFT JOIN counts c
+        |    ON c.event_type = g.event_type AND c.h = g.h),
+        |h1c AS (SELECT event_type, n AS v, COUNT(*) AS k
+        |        FROM dense GROUP BY 1, 2),
+        |m1 AS (
+        |  SELECT event_type, MIN(v) AS med FROM (
+        |    SELECT event_type, v,
+        |      SUM(k) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+        |      SUM(k) OVER (PARTITION BY event_type) AS tot
+        |    FROM h1c) WHERE cum * 2 >= tot GROUP BY event_type),
+        |dv AS (
+        |  SELECT d.event_type, d.h, d.n, m.med,
+        |    abs(d.n - m.med) AS dev
+        |  FROM dense d JOIN m1 m ON m.event_type = d.event_type),
+        |h2c AS (SELECT event_type, dev AS v, COUNT(*) AS k
+        |        FROM dv GROUP BY 1, 2),
+        |m2 AS (
+        |  SELECT event_type, MIN(v) AS mad FROM (
+        |    SELECT event_type, v,
+        |      SUM(k) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+        |      SUM(k) OVER (PARTITION BY event_type) AS tot
+        |    FROM h2c) WHERE cum * 2 >= tot GROUP BY event_type)
+        |SELECT d.event_type, epoch_us(d.h) AS hour_us, d.n,
+        |  CAST(d.med AS BIGINT) AS med, CAST(m2.mad AS BIGINT) AS mad,
+        |  CAST(CASE WHEN m2.mad = 0 THEN
+        |         CASE WHEN d.dev > 0 THEN 1 ELSE 0 END
+        |       ELSE CASE WHEN d.dev * 10000 > m2.mad * 44478
+        |         THEN 1 ELSE 0 END END AS BIGINT) AS is_anomaly
+        |FROM dv d JOIN m2 ON m2.event_type = d.event_type
+        |ORDER BY d.event_type, hour_us""".stripMargin,
 
     "log_interarrival_profile" ->
       """WITH secs AS (

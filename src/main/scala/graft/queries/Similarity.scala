@@ -1795,6 +1795,44 @@ object Similarity {
         .orderBy($"init")
     }),
 
+    // Coreset summary from the farthest-first seeds — the k-center
+    // coreset construction (Har-Peled & Mazumdar style): each corpus
+    // vector assigns to its nearest Gonzalez seed, and the seed's
+    // WEIGHT (cell share) + coverage radius is the 8-point sketch a
+    // downstream clustering/aggregation can run on INSTEAD of the
+    // corpus — the classic big-data reduction. Rides the memoized
+    // kcenterShared seed build (zero extra passes over the seed
+    // chain); the assignment is the broadcast-codebook argmin fold,
+    // the rollup is an 8-row agg, totals ride an 8-row window.
+    "doc_coreset_weights" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val emb = t(s, d, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val seeds = kcenterShared(s, d)
+        .select($"vec_id".as("cent_id"), $"v".as("c"))
+        .agg(expr("array_sort(collect_list(named_struct(" +
+          "'cent_id', cent_id, 'c', c)))").as("cents"))
+      val d2e6 = """cast(round(aggregate(zip_with(v, ct.c,
+        |  (x, y) -> (x - y) * (x - y)), 0D, (acc, e) -> acc + e)
+        |  * 1e6) as bigint)""".stripMargin
+      val am = expr(s"""array_min(transform(cents, ct -> named_struct(
+        |  'd2', $d2e6, 'cent_id', ct.cent_id)))""".stripMargin)
+      emb.crossJoin(broadcast(seeds))
+        .select(am.getField("cent_id").as("seed_id"),
+          am.getField("d2").as("d2e6"))
+        .groupBy($"seed_id")
+        .agg(count(lit(1)).as("cell_n"), sum($"d2e6").as("sd"),
+          max($"d2e6").as("mx"))
+        .withColumn("tot", sum($"cell_n").over(Window.partitionBy()))
+        .select($"seed_id", $"cell_n",
+          round($"cell_n".cast("double") / $"tot", 4).as("weight"),
+          round($"sd".cast("double") / ($"cell_n" * 1e6), 4)
+            .as("mean_d2"),
+          round($"mx".cast("double") / 1e6, 4).as("radius"))
+        .orderBy($"seed_id")
+    }),
+
     // Degree assortativity of the mutual-kNN graph — does the
     // embedding space's social structure have hubs talking to hubs
     // (r > 0) or hubs serving leaves (r < 0)? One scalar every
@@ -3267,5 +3305,38 @@ object Similarity {
          |${initScoreSql("first8", "c1")}
          |UNION ALL
          |${initScoreSql("kcenter", "c2")}
-         |ORDER BY init""".stripMargin)
+         |ORDER BY init""".stripMargin) +
+    ("doc_coreset_weights" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |kc AS (
+         |$kcenterSql
+         |),
+         |c2 AS (SELECT k.vec_id AS cent_id, e.v AS cv
+         |       FROM kc k JOIN e ON e.vec_id = k.vec_id),
+         |asg AS (
+         |  SELECT vec_id, cent_id AS seed_id, d2e6 FROM (
+         |    SELECT e.vec_id, c.cent_id,
+         |      CAST(ROUND(list_sum(list_transform(
+         |        list_zip(e.v, c.cv),
+         |        x -> (x[1] - x[2]) * (x[1] - x[2]))) * 1e6)
+         |        AS BIGINT) AS d2e6,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY CAST(ROUND(list_sum(list_transform(
+         |          list_zip(e.v, c.cv),
+         |          x -> (x[1] - x[2]) * (x[1] - x[2]))) * 1e6)
+         |          AS BIGINT) ASC, c.cent_id ASC) AS rn
+         |    FROM e, c2 c) WHERE rn = 1),
+         |g AS (
+         |  SELECT seed_id, COUNT(*) AS cell_n,
+         |    CAST(SUM(d2e6) AS BIGINT) AS sd,
+         |    CAST(MAX(d2e6) AS BIGINT) AS mx
+         |  FROM asg GROUP BY 1),
+         |w AS (SELECT *, CAST(SUM(cell_n) OVER () AS BIGINT) AS tot
+         |      FROM g)
+         |SELECT seed_id, cell_n,
+         |  ROUND(CAST(cell_n AS DOUBLE) / tot, 4) AS weight,
+         |  ROUND(CAST(sd AS DOUBLE) / (cell_n * 1e6), 4) AS mean_d2,
+         |  ROUND(CAST(mx AS DOUBLE) / 1e6, 4) AS radius
+         |FROM w ORDER BY seed_id""".stripMargin)
 }

@@ -300,6 +300,56 @@ object TextAnalysis {
         .orderBy($"doc_id")
     }),
 
+    // RAKE keyphrase extraction (Rose et al. 2010, "Automatic Keyword
+    // Extraction from Individual Documents"): candidate phrases are
+    // maximal stopword-free token runs, a word scores
+    // degree/frequency (degree = Σ lengths of the phrases it appears
+    // in — co-occurrence reach), a phrase scores the sum of its
+    // words' scores, top-20 by score. The corpus-level twin of
+    // text_keywords' tf-idf. Float discipline: each word score is a
+    // POSITIVE exact rational quantized e6 by half-up integer
+    // division, so phrase scores are exact integer sums and the
+    // published float is one integer/1e6 divide. Phrase segmentation
+    // is a per-doc stopword-cumsum window (doc-bounded partitions);
+    // everything after is keyed aggs over phrase/word hashes.
+    "text_rake_keyphrases" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val stop = sqlList(stopEn)
+      val toks = t(s, d, "documents")
+        .select($"doc_id", posexplode(expr(
+          "filter(split(lower(text), '\\\\s+'), x -> x != '')")))
+        .select($"doc_id", $"pos", $"col".as("tok"))
+        .withColumn("is_stop", expr(s"tok in ($stop)"))
+      val wd = Window.partitionBy($"doc_id").orderBy($"pos")
+      val occ = toks
+        .withColumn("isl",
+          sum(when($"is_stop", 1L).otherwise(0L)).over(wd))
+        .filter(!$"is_stop")
+        .groupBy($"doc_id", $"isl")
+        .agg(expr("array_join(transform(array_sort(" +
+          "collect_list(struct(pos, tok))), x -> x.tok), ' ')")
+          .as("phrase"),
+          count(lit(1)).as("len"))
+      val wordScores = occ
+        .select(explode(split($"phrase", " ")).as("tok"), $"len")
+        .groupBy($"tok")
+        .agg(count(lit(1)).as("freq"), sum($"len").as("degree"))
+        .select($"tok", expr(
+          "cast((2 * degree * 1000000 + freq) div (2 * freq)" +
+            " as bigint)").as("s_e6"))
+      occ.select($"phrase").distinct()
+        .select($"phrase", explode(split($"phrase", " ")).as("tok"))
+        .join(wordScores, "tok")
+        .groupBy($"phrase")
+        .agg(count(lit(1)).as("n_words"), sum($"s_e6").as("score_e6"))
+        .orderBy($"score_e6".desc, $"phrase".asc)
+        .limit(20)
+        .select($"phrase", $"n_words",
+          ($"score_e6".cast("double") / 1e6).as("score"))
+        .orderBy($"score".desc, $"phrase".asc)
+    }),
+
     // Gopher-style quality rule battery (Rae et al. 2021, appendix A1
     // — the public rule set most corpus pipelines start from): word
     // count in [50, 100k], mean word length in [3, 10], ≥ 80% of
@@ -772,6 +822,50 @@ object TextAnalysis {
         |    list_filter(regexp_split_to_array(lower(text), '\s+'),
         |                x -> x <> ''))), ' ')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_rake_keyphrases" -> {
+      val stop = sqlList(stopEn)
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |                x -> x <> '') AS toks
+         |  FROM documents),
+         |t0 AS (
+         |  SELECT doc_id, i, toks[i] AS tok,
+         |    CASE WHEN toks[i] IN ($stop) THEN 1 ELSE 0 END AS is_stop
+         |  FROM d, unnest(generate_series(1, len(toks))) AS t(i)),
+         |isl AS (
+         |  SELECT doc_id, i, tok, is_stop,
+         |    SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY i) AS isl
+         |  FROM t0),
+         |occ AS (
+         |  SELECT doc_id, isl,
+         |    string_agg(tok, ' ' ORDER BY i) AS phrase,
+         |    COUNT(*) AS len
+         |  FROM isl WHERE is_stop = 0 GROUP BY doc_id, isl),
+         |ws AS (
+         |  SELECT tok,
+         |    CAST((2 * degree * 1000000 + freq) // (2 * freq) AS BIGINT)
+         |      AS s_e6
+         |  FROM (
+         |    SELECT tok, COUNT(*) AS freq, CAST(SUM(len) AS BIGINT)
+         |      AS degree
+         |    FROM (SELECT unnest(regexp_split_to_array(phrase, ' '))
+         |            AS tok, len
+         |          FROM occ)
+         |    GROUP BY tok)),
+         |ph AS (SELECT DISTINCT phrase FROM occ),
+         |sc AS (
+         |  SELECT p.phrase, COUNT(*) AS n_words,
+         |    CAST(SUM(w.s_e6) AS BIGINT) AS score_e6
+         |  FROM (SELECT phrase,
+         |          unnest(regexp_split_to_array(phrase, ' ')) AS tok
+         |        FROM ph) p
+         |  JOIN ws w USING (tok)
+         |  GROUP BY p.phrase)
+         |SELECT phrase, n_words, CAST(score_e6 AS DOUBLE) / 1e6 AS score
+         |FROM sc ORDER BY score_e6 DESC, phrase LIMIT 20""".stripMargin
+    },
 
     "text_gopher_rules" -> {
       val stop = sqlList(stopEn)

@@ -2164,6 +2164,100 @@ class PipelineInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("log_holt_forecast: integer recurrence replays from the dense grid") {
+    import spark.implicits._
+    val counts = t(spark, sf(), "events")
+      .select($"event_type", date_trunc("hour", $"ts"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime))
+    val h0 = counts.map(_._2).min; val h1 = counts.map(_._2).max
+    val hours = (h0 to h1 by 3600000L).toSeq
+    val byType = counts.groupBy(_._1)
+    def div10(v: Long): Long = if (v < 0) -((-v) / 10) else v / 10
+    val got = SparkEntry.queries("log_holt_forecast")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(got.map(_._1).toSet == byType.keySet)
+    got.foreach { case (ty, nh, level, trend, fc, mae) =>
+      val perHour = byType(ty).groupBy(_._2).view.mapValues(_.size.toLong)
+      val xs = hours.map(h => perHour.getOrElse(h, 0L) * 10000L)
+      assert(nh == xs.length.toLong)
+      var l = xs.head; var b = 0L; var sumAbs = 0L; val x1 = xs.head
+      xs.zipWithIndex.drop(1).foreach { case (x, i) =>
+        if (i == 1) b = x - x1
+        val pred = l + b
+        sumAbs += math.abs(x - pred)
+        val l1 = div10(3 * x + 7 * pred)
+        b = div10(2 * (l1 - l) + 8 * b)
+        l = l1
+      }
+      assert(level == l.toDouble / 1e4 && trend == b.toDouble / 1e4 &&
+        fc == (l + b).toDouble / 1e4, s"$ty: state diverges from replay")
+      val wantMae = math.round(
+        sumAbs.toDouble / ((nh - 1) * 1e4) * 1e4) / 1e4.toDouble
+      assert(mae == wantMae, s"$ty: mae $mae != $wantMae")
+    }
+  }
+
+  test("log_mad_anomaly: median/MAD replay; flags beat the 3·1.4826 line") {
+    import spark.implicits._
+    val got = SparkEntry.queries("log_mad_anomaly")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val byType = got.groupBy(_._1)
+    byType.foreach { case (ty, rows) =>
+      val xs = rows.map(_._2).sorted
+      def lowerMed(v: Seq[Long]) = v.sorted.apply((v.size - 1) / 2)
+      val med = lowerMed(xs.toSeq)
+      assert(rows.forall(_._3 == med), s"$ty: median diverges")
+      val mad = lowerMed(rows.map(r => math.abs(r._2 - med)).toSeq)
+      assert(rows.forall(_._4 == mad), s"$ty: MAD diverges")
+      rows.foreach { case (_, n, _, _, flag) =>
+        val dev = math.abs(n - med)
+        val want = if (mad == 0) (if (dev > 0) 1L else 0L)
+          else (if (dev * 10000 > mad * 44478) 1L else 0L)
+        assert(flag == want, s"$ty: flag at n=$n diverges")
+      }
+    }
+    // robustness sanity: not everything flags
+    assert(got.count(_._5 == 1L) < got.length)
+  }
+
+  test("text_rake_keyphrases: top-20 replays from driver-side RAKE") {
+    import spark.implicits._
+    val stop = graft.queries.TextAnalysis.stopEn.toSet
+    val docs = t(spark, sf(), "documents")
+      .select(expr("filter(split(lower(text), '\\\\s+'), x -> x != '')"))
+      .collect().map(_.getSeq[String](0))
+    // phrase occurrences: maximal stopword-free runs
+    val occs = docs.flatMap { ts =>
+      val runs = scala.collection.mutable.ArrayBuffer.empty[List[String]]
+      var cur = List.empty[String]
+      ts.foreach { t =>
+        if (stop(t)) { if (cur.nonEmpty) runs += cur.reverse; cur = Nil }
+        else cur = t :: cur
+      }
+      if (cur.nonEmpty) runs += cur.reverse
+      runs
+    }
+    val freq = occs.flatten.groupBy(identity).view.mapValues(_.size.toLong)
+    val degree = occs.flatMap(p => p.map(_ -> p.length.toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum)
+    val sE6 = freq.keys.map { w =>
+      w -> (2 * degree(w) * 1000000L + freq(w)) / (2 * freq(w))
+    }.toMap
+    val expected = occs.map(_.mkString(" ")).distinct
+      .map { ph =>
+        val ws = ph.split(" ").toSeq
+        (ph, ws.length.toLong, ws.map(sE6).sum)
+      }
+      .sortBy { case (ph, _, s) => (-s, ph) }.take(20)
+      .map { case (ph, nw, s) => (ph, nw, s.toDouble / 1e6) }.toSeq
+    val got = SparkEntry.queries("text_rake_keyphrases")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    assert(got == expected, "RAKE top-20 diverges from replay")
+  }
+
   test("q_incremental_agg: merge == recompute, partitions add up") {
     import spark.implicits._
     val direct = t(spark, sf(), "orders").groupBy($"o_orderstatus")
