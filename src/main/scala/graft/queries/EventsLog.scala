@@ -1537,6 +1537,93 @@ object EventsLog {
         .orderBy($"event_type")
     }),
 
+    // SCD2 (slowly-changing-dimension type 2) interval build — the
+    // warehouse-standard history table: per user, consecutive
+    // same-state runs of the event stream collapse to
+    // (state, valid_from, valid_to) intervals, valid_to = the next
+    // run's start (NULL = current). Users sampled deterministically
+    // (user_id % 97 = 0) to bound the published table; the
+    // construction is the gaps-and-islands change-flag cumsum, all
+    // windows user-partitioned (user-bounded, never global). This is
+    // the CDC-materialization shape every dimension pipeline runs at
+    // 100 TB: one user-keyed shuffle, intervals emitted run-bounded.
+    "log_scd2_intervals" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, d, "events").filter($"user_id" % 97 === 0)
+        .select($"user_id", unix_micros($"ts").as("us"), $"event_id",
+          $"event_type")
+      val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+      val runs = ev
+        .withColumn("prev", lag($"event_type", 1).over(w))
+        .withColumn("chg", when($"prev".isNull ||
+          $"prev" =!= $"event_type", 1L).otherwise(0L))
+        .withColumn("run", sum($"chg").over(w))
+        .groupBy($"user_id", $"run")
+        .agg(min($"event_type").as("state"),
+          min($"us").as("valid_from_us"), count(lit(1)).as("n_events"))
+      runs
+        .withColumn("valid_to_us", lead($"valid_from_us", 1).over(
+          Window.partitionBy($"user_id").orderBy($"run")))
+        .select($"user_id", $"run".as("seq"), $"state",
+          $"valid_from_us", $"valid_to_us", $"n_events")
+        .orderBy($"user_id", $"seq")
+    }),
+
+    // Stationary distribution of the event-type Markov chain — where
+    // the log_transitions matrix SETTLES: π = πP by 12 integer power
+    // iterations. The chain is over the bounded type alphabet, so the
+    // "matrix" is an alphabet²-row frame and each iteration is one
+    // tiny join+agg (the log_pagerank loop shape, localCheckpoint per
+    // step). Float discipline: π is an e10 INTEGER vector and each
+    // step's terms are truncating integer divisions π_i·c_ij div r_i
+    // — both engines replay the iteration exactly, and the oracle is
+    // a depth-12 recursive CTE. Published next to the EMPIRICAL type
+    // distribution with an integer-derived gap (chain-predicted vs
+    // observed occupancy — a big gap flags non-Markovian traffic).
+    "log_markov_stationary" -> ((s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+        .select($"user_id", unix_micros($"ts").as("us"), $"event_id",
+          $"event_type")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"us", $"event_id")
+      val trans = ev
+        .withColumn("prev", lag($"event_type", 1).over(w))
+        .filter($"prev".isNotNull)
+        .groupBy($"prev".as("src"), $"event_type".as("dst"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("r", sum($"c").over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"src")))
+        .localCheckpoint()
+      val states = trans.select($"src".as("event_type")).distinct()
+      val k = states.agg(count(lit(1)).as("k"))
+      var pi = states.crossJoin(broadcast(k))
+        .select($"event_type",
+          expr("cast(10000000000 as bigint) div k").as("p_e10"))
+        .localCheckpoint()
+      for (_ <- 1 to 12) {
+        pi = trans.join(pi.withColumnRenamed("event_type", "src"), "src")
+          .groupBy($"dst".as("event_type"))
+          // DECIMAL(38,0): p·c overflows int64 at cluster-scale counts
+          .agg(sum(expr("cast(p_e10 as decimal(38,0)) * c div r"))
+            .as("p_e10"))
+          .localCheckpoint()
+      }
+      val emp = ev.groupBy($"event_type").agg(count(lit(1)).as("n"))
+        .withColumn("tot", sum($"n").over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+        .select($"event_type", expr(
+          "cast((2 * cast(n as decimal(38,0)) * 10000000000 + tot)" +
+            " div (2 * tot) as bigint)").as("emp_e10"))
+      pi.join(emp, "event_type")
+        .select($"event_type",
+          round($"p_e10".cast("double") / 1e10, 4).as("stationary"),
+          round($"emp_e10".cast("double") / 1e10, 4).as("empirical"),
+          (($"p_e10" - $"emp_e10").cast("double") / 1e10).as("gap"))
+        .orderBy($"event_type")
+    }),
+
     // Holt double exponential smoothing (level + trend) over each
     // type's dense hourly series — the one-step forecaster a capacity
     // dashboard runs where log_forecast_baseline's naive rules stop.
@@ -2752,6 +2839,74 @@ object EventsLog {
         |       // (2 * CAST(n_hours AS HUGEINT) * total) AS BIGINT)
         |    AS DOUBLE) / 1e4 AS fano
         |FROM st ORDER BY event_type""".stripMargin,
+
+    "log_scd2_intervals" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+        |  FROM events WHERE user_id % 97 = 0),
+        |f AS (
+        |  SELECT *, LAG(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id) AS prev
+        |  FROM ev),
+        |r AS (
+        |  SELECT *, SUM(CASE WHEN prev IS NULL OR prev <> event_type
+        |      THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY us, event_id) AS run
+        |  FROM f),
+        |g AS (
+        |  SELECT user_id, run, MIN(event_type) AS state,
+        |    CAST(MIN(us) AS BIGINT) AS valid_from_us,
+        |    COUNT(*) AS n_events
+        |  FROM r GROUP BY 1, 2)
+        |SELECT user_id, CAST(run AS BIGINT) AS seq, state, valid_from_us,
+        |  LEAD(valid_from_us) OVER (PARTITION BY user_id ORDER BY run)
+        |    AS valid_to_us,
+        |  n_events
+        |FROM g ORDER BY user_id, seq""".stripMargin,
+
+    "log_markov_stationary" -> {
+      val iters = (1 to 12).map { i =>
+        s"""p$i AS (
+           |  SELECT t.dst AS event_type,
+           |    CAST(SUM((CAST(p.p_e10 AS HUGEINT) * t.c) // t.r)
+           |      AS BIGINT) AS p_e10
+           |  FROM p${i - 1} p JOIN tr2 t ON t.src = p.event_type
+           |  GROUP BY t.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ev AS (
+         |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+         |  FROM events),
+         |q0 AS (
+         |  SELECT user_id, event_type, LAG(event_type) OVER (
+         |    PARTITION BY user_id ORDER BY us, event_id) AS prev
+         |  FROM ev),
+         |tr AS (
+         |  SELECT prev AS src, event_type AS dst, COUNT(*) AS c
+         |  FROM q0 WHERE prev IS NOT NULL GROUP BY 1, 2),
+         |tr2 AS (
+         |  SELECT src, dst, c,
+         |    CAST(SUM(c) OVER (PARTITION BY src) AS BIGINT) AS r
+         |  FROM tr),
+         |st AS (SELECT DISTINCT src AS event_type FROM tr2),
+         |kk AS (SELECT COUNT(*) AS k FROM st),
+         |p0 AS (
+         |  SELECT event_type, CAST(10000000000 // k AS BIGINT) AS p_e10
+         |  FROM st, kk),
+         |$iters,
+         |emp AS (SELECT event_type, COUNT(*) AS n FROM ev GROUP BY 1),
+         |empt AS (
+         |  SELECT event_type,
+         |    CAST((2 * CAST(n AS HUGEINT) * 10000000000 + tot)
+         |      // (2 * tot) AS BIGINT) AS emp_e10
+         |  FROM (SELECT *, CAST(SUM(n) OVER () AS BIGINT) AS tot
+         |        FROM emp))
+         |SELECT p12.event_type,
+         |  ROUND(CAST(p_e10 AS DOUBLE) / 1e10, 4) AS stationary,
+         |  ROUND(CAST(emp_e10 AS DOUBLE) / 1e10, 4) AS empirical,
+         |  CAST(p_e10 - emp_e10 AS DOUBLE) / 1e10 AS gap
+         |FROM p12 JOIN empt USING (event_type)
+         |ORDER BY event_type""".stripMargin
+    },
 
     "log_holt_forecast" -> {
       // integer-exact Holt recurrence replayed per type by recursive

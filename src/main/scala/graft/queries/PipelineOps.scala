@@ -178,6 +178,42 @@ object PipelineOps {
 
   /** The shared SQL CTE chain producing lmScoresRaw's (doc_id,
     * n_bigrams, avg_logprob) — spliced into both consumers' oracles. */
+  /** Oracle SQL of doc_dsir_weights, factored so doc_dsir_select can
+    * wrap the identical scoring chain as a CTE (one definition of the
+    * hashed-unigram LLR model across scorer and selector). */
+  private lazy val dsirWeightsSql: String = {
+    // 4-hex-digit md5 window → integer bucket, via the positional
+    // strpos expansion (DuckDB has no conv())
+    val h16 = (1 to 4).map { i =>
+      val w = math.pow(16, 4 - i).toLong
+      s"(strpos('0123456789abcdef', substring(md5(tok), $i, 1)) - 1) * $w"
+    }.mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, tok, ($h16) % 64 AS b
+       |  FROM (SELECT doc_id, lang, unnest($toksSql) AS tok
+       |        FROM documents)),
+       |db AS (
+       |  SELECT doc_id, lang, b, COUNT(*) AS cnt
+       |  FROM toks GROUP BY doc_id, lang, b),
+       |model AS (
+       |  SELECT b, SUM(cnt) AS r_cnt,
+       |    SUM(CASE WHEN lang = 'en' THEN cnt ELSE 0 END) AS t_cnt
+       |  FROM db GROUP BY b),
+       |totals AS (
+       |  SELECT CAST(SUM(r_cnt) AS BIGINT) AS R,
+       |         CAST(SUM(t_cnt) AS BIGINT) AS T FROM model),
+       |llr AS (
+       |  SELECT b, CAST(ROUND((ln((t_cnt + 1.0) / (T + 64.0))
+       |            - ln((r_cnt + 1.0) / (R + 64.0))) * 1e6) AS BIGINT)
+       |    AS llr_e6
+       |  FROM model, totals)
+       |SELECT doc_id, lang, CAST(SUM(cnt) AS BIGINT) AS n_toks,
+       |  ROUND(CAST(SUM(cnt * llr_e6) AS DOUBLE) / (SUM(cnt) * 1e6), 4)
+       |    + 0.0 AS dsir_score
+       |FROM db JOIN llr USING (b)
+       |GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin
+  }
+
   private val lmSql =
     s"""d AS (
        |  SELECT doc_id, $toksSql AS toks
@@ -826,6 +862,29 @@ object PipelineOps {
           round(sum($"cnt" * $"llr_e6").cast("double") /
             (sum($"cnt") * 1e6), 4).as("dsir_score"))
         .orderBy($"doc_id")
+    }),
+
+    // DSIR selection — the resampling half that doc_dsir_weights only
+    // scores: materialize the top-100 importance-ranked training
+    // subset (score desc, doc_id ties) with its source composition
+    // attached, the artifact a mixture planner actually consumes. The
+    // global cut is TakeOrderedAndProject (orderBy+limit — the ONLY
+    // scale-safe global top-k; no global rank window ever touches the
+    // corpus), and the published rank is a window over the ALREADY
+    // CUT k rows (bounded by k = 100 at any corpus size).
+    "doc_dsir_select" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val scores = queries("doc_dsir_weights")(s, d)
+        .select($"doc_id", $"dsir_score")
+      val src = t(s, d, "documents").select($"doc_id", $"source")
+      scores.join(src, "doc_id")
+        .orderBy($"dsir_score".desc, $"doc_id".asc)
+        .limit(100)
+        .withColumn("rank", row_number().over(
+          Window.orderBy($"dsir_score".desc, $"doc_id".asc)).cast("long"))
+        .select($"rank", $"doc_id", $"source", $"dsir_score")
+        .orderBy($"rank")
     }),
 
     // Context-gain ("learnability") scoring — the cheap corpus-LM proxy
@@ -2219,38 +2278,21 @@ object PipelineOps {
          |ORDER BY doc_id""".stripMargin
     },
 
-    "doc_dsir_weights" -> {
-      // 4-hex-digit md5 window → integer bucket, via the positional
-      // strpos expansion (DuckDB has no conv())
-      val h16 = (1 to 4).map { i =>
-        val w = math.pow(16, 4 - i).toLong
-        s"(strpos('0123456789abcdef', substring(md5(tok), $i, 1)) - 1) * $w"
-      }.mkString(" + ")
-      s"""WITH toks AS (
-         |  SELECT doc_id, lang, tok, ($h16) % 64 AS b
-         |  FROM (SELECT doc_id, lang, unnest($toksSql) AS tok
-         |        FROM documents)),
-         |db AS (
-         |  SELECT doc_id, lang, b, COUNT(*) AS cnt
-         |  FROM toks GROUP BY doc_id, lang, b),
-         |model AS (
-         |  SELECT b, SUM(cnt) AS r_cnt,
-         |    SUM(CASE WHEN lang = 'en' THEN cnt ELSE 0 END) AS t_cnt
-         |  FROM db GROUP BY b),
-         |totals AS (
-         |  SELECT CAST(SUM(r_cnt) AS BIGINT) AS R,
-         |         CAST(SUM(t_cnt) AS BIGINT) AS T FROM model),
-         |llr AS (
-         |  SELECT b, CAST(ROUND((ln((t_cnt + 1.0) / (T + 64.0))
-         |            - ln((r_cnt + 1.0) / (R + 64.0))) * 1e6) AS BIGINT)
-         |    AS llr_e6
-         |  FROM model, totals)
-         |SELECT doc_id, lang, CAST(SUM(cnt) AS BIGINT) AS n_toks,
-         |  ROUND(CAST(SUM(cnt * llr_e6) AS DOUBLE) / (SUM(cnt) * 1e6), 4)
-         |    + 0.0 AS dsir_score
-         |FROM db JOIN llr USING (b)
-         |GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin
-    },
+    "doc_dsir_weights" -> dsirWeightsSql,
+
+    "doc_dsir_select" ->
+      s"""WITH dw AS (
+         |$dsirWeightsSql
+         |),
+         |top AS (
+         |  SELECT w.doc_id, d.source, w.dsir_score
+         |  FROM dw w JOIN documents d ON d.doc_id = w.doc_id
+         |  ORDER BY w.dsir_score DESC, w.doc_id LIMIT 100)
+         |SELECT CAST(ROW_NUMBER() OVER (
+         |    ORDER BY dsir_score DESC, doc_id) AS BIGINT) AS rank,
+         |  doc_id, source, dsir_score
+         |FROM top ORDER BY rank""".stripMargin,
+
 
     "text_dup_ngram_rate" ->
       s"""WITH d AS (

@@ -83,6 +83,7 @@ class PlanHygieneSpec extends SparkSpec {
     "doc_token_budget",      // 1-row total-token budget agg
     "doc_sample_weighted",   // 1-row PPS step (total weight / k) agg
     "doc_dsir_weights",      // 1-row (R,T) model-total agg
+    "doc_dsir_select",       // inherits doc_dsir_weights' 1-row totals
     "text_perplexity_tiers", // 1-row scored-doc count agg
     "doc_sample_temperature",// 1-row temperature-weight sum agg
     "doc_sample_unimax",     // 1-row source count + 1-row first-uncapped agg

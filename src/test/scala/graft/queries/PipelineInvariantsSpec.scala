@@ -2258,6 +2258,89 @@ class PipelineInvariantsSpec extends SparkSpec {
     assert(got == expected, "RAKE top-20 diverges from replay")
   }
 
+  test("log_scd2_intervals: intervals tile, states alternate, events conserve") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("log_scd2_intervals")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        r.getLong(5)))
+    val evCount = t(spark, sf(), "events")
+      .filter($"user_id" % 97 === 0)
+      .groupBy($"user_id").agg(count(lit(1)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.nonEmpty && rows.map(_._1).toSet == evCount.keySet)
+    rows.groupBy(_._1).foreach { case (uid, ivs0) =>
+      val ivs = ivs0.sortBy(_._2)
+      assert(ivs.map(_._2).toSeq == (1L to ivs.length.toLong),
+        s"user $uid: seq not dense")
+      // exactly one open (current) interval — the last one
+      assert(ivs.init.forall(_._5.isDefined) && ivs.last._5.isEmpty,
+        s"user $uid: open-interval shape broken")
+      // tiling: each valid_to equals the next interval's valid_from
+      ivs.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5.contains(b._4), s"user $uid: intervals don't tile")
+          assert(a._3 != b._3, s"user $uid: adjacent runs share a state")
+        case _ =>
+      }
+      assert(ivs.map(_._6).sum == evCount(uid),
+        s"user $uid: run sizes lose events")
+    }
+  }
+
+  test("log_markov_stationary: integer iteration replays; mass ≈ 1") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(spark, sf(), "events")
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id",
+        $"event_type")
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val trans = ev.withColumn("prev", lag($"event_type", 1).over(w))
+      .filter($"prev".isNotNull)
+      .groupBy($"prev", $"event_type").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val rowSum = trans.groupBy(_._1._1).map { case (s, g) =>
+      s -> g.values.sum }
+    val states = rowSum.keys.toSeq.sorted
+    var pi = states.map(_ -> 10000000000L / states.size).toMap
+    (1 to 12).foreach { _ =>
+      val nxt = scala.collection.mutable.Map.empty[String, Long]
+        .withDefaultValue(0L)
+      for (((s0, d0), c) <- trans if pi.contains(s0))
+        nxt(d0) += (BigInt(pi(s0)) * c / rowSum(s0)).toLong
+      pi = states.map(s => s -> nxt(s)).toMap
+    }
+    val got = SparkEntry.queries("log_markov_stationary")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(got.map(_._1).toSeq == states)
+    got.foreach { case (s, stat, empv, gap) =>
+      assert(stat == math.round(pi(s).toDouble / 1e10 * 1e4) / 1e4.toDouble,
+        s"$s: stationary diverges from integer replay")
+      assert(math.abs(gap - (stat - empv)) < 2e-4,
+        s"$s: gap inconsistent with columns")
+    }
+    // truncating divisions lose < k² e-10 units per iteration
+    assert(math.abs(got.map(_._2).sum - 1.0) < 1e-5,
+      "stationary mass drifted from 1")
+  }
+
+  test("doc_dsir_select: true global top-100 by (score, id)") {
+    import spark.implicits._
+    val all = SparkEntry.queries("doc_dsir_weights")(spark, sf())
+      .select($"doc_id", $"dsir_score")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val want = all.sortBy { case (id, s) => (-s, id) }.take(100)
+      .map(_._1).toSeq
+    val got = SparkEntry.queries("doc_dsir_select")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(got.map(_._1).toSeq == (1L to 100L), "ranks not dense 1..100")
+    assert(got.map(_._2).toSeq == want, "selection is not the true top-100")
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 >= b._3, "scores not non-increasing in rank") }
+  }
+
   test("q_incremental_agg: merge == recompute, partitions add up") {
     import spark.implicits._
     val direct = t(spark, sf(), "orders").groupBy($"o_orderstatus")
