@@ -1537,6 +1537,35 @@ object EventsLog {
         .orderBy($"event_type")
     }),
 
+    // SRE error-budget burn — the SLO accounting every serving team
+    // reads daily: with a 1% error-rate SLO, burn_rate = error_share
+    // / SLO per day (1.0 = consuming budget exactly at allowance) and
+    // cum_burn tracks the whole window's consumption; exhausted flags
+    // the first day the cumulative budget is gone. All shares divide
+    // exact integers; the only windows run over the bounded DAY
+    // domain. The burn>1 verdict is an integer cross-product
+    // (100·errors > total), never a float compare.
+    "log_error_budget_burn" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val wd = Window.orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .select(expr("unix_micros(ts) div 86400000000").as("day"),
+          when($"event_type" === "error", 1L).otherwise(0L).as("e"))
+        .groupBy($"day")
+        .agg(count(lit(1)).as("n_events"), sum($"e").as("n_errors"))
+        .withColumn("cum_ev", sum($"n_events").over(wd))
+        .withColumn("cum_err", sum($"n_errors").over(wd))
+        .select($"day", $"n_events", $"n_errors",
+          round($"n_errors".cast("double") / $"n_events", 4)
+            .as("err_share"),
+          round($"n_errors" * 100.0 / $"n_events", 4).as("burn_rate"),
+          round($"cum_err" * 100.0 / $"cum_ev", 4).as("cum_burn"),
+          ($"cum_err" * 100 > $"cum_ev").cast("bigint").as("exhausted"))
+        .orderBy($"day")
+    }),
+
     // SCD2 (slowly-changing-dimension type 2) interval build — the
     // warehouse-standard history table: per user, consecutive
     // same-state runs of the event stream collapse to
@@ -2839,6 +2868,28 @@ object EventsLog {
         |       // (2 * CAST(n_hours AS HUGEINT) * total) AS BIGINT)
         |    AS DOUBLE) / 1e4 AS fano
         |FROM st ORDER BY event_type""".stripMargin,
+
+    "log_error_budget_burn" ->
+      """WITH dg AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS e
+        |  FROM events),
+        |g AS (
+        |  SELECT day, COUNT(*) AS n_events,
+        |    CAST(SUM(e) AS BIGINT) AS n_errors
+        |  FROM dg GROUP BY day),
+        |c AS (
+        |  SELECT *,
+        |    CAST(SUM(n_events) OVER (ORDER BY day) AS BIGINT) AS cum_ev,
+        |    CAST(SUM(n_errors) OVER (ORDER BY day) AS BIGINT) AS cum_err
+        |  FROM g)
+        |SELECT CAST(day AS BIGINT) AS day, n_events, n_errors,
+        |  ROUND(CAST(n_errors AS DOUBLE) / n_events, 4) AS err_share,
+        |  ROUND(n_errors * 100.0 / n_events, 4) AS burn_rate,
+        |  ROUND(cum_err * 100.0 / cum_ev, 4) AS cum_burn,
+        |  CAST(CASE WHEN cum_err * 100 > cum_ev THEN 1 ELSE 0 END
+        |    AS BIGINT) AS exhausted
+        |FROM c ORDER BY day""".stripMargin,
 
     "log_scd2_intervals" ->
       """WITH ev AS (

@@ -1795,6 +1795,46 @@ object Similarity {
         .orderBy($"init")
     }),
 
+    // Embedding norm health profile — the collapse/inflation screen an
+    // embedding pipeline runs before cosine geometry is trusted: a
+    // cluster of near-zero norms means dead/padding vectors (cosine
+    // with them is noise), heavy right tail means un-normalized
+    // batches. Norms come from the codegen'd native l2_norm
+    // expression, e2-quantized to an INTEGER bucket domain; median
+    // and p90 are exact cumsum cuts over that bounded histogram (the
+    // log_user_gini discipline — windows run over distinct norm
+    // buckets, never vectors), and the outlier rules are pure integer
+    // comparisons (2·norm < med = collapsed, norm > 2·med =
+    // inflated).
+    "sim_norm_outliers" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      withCosine(s)
+      val norms = t(s, d, "embeddings")
+        .select(expr("cast(round(l2_norm(cast(embedding as" +
+          " array<double>)) * 100) as bigint)").as("ne2"))
+      val hist = norms.groupBy($"ne2").agg(count(lit(1)).as("k"))
+      val cum = hist
+        .withColumn("cum", sum($"k").over(Window.orderBy($"ne2")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("tot", sum($"k").over(Window.partitionBy()))
+      val med = cum.filter($"cum" * 2 >= $"tot")
+        .agg(min($"ne2").as("med_e2"))
+      val p90 = cum.filter($"cum" * 10 >= $"tot" * 9)
+        .agg(min($"ne2").as("p90_e2"))
+      norms.crossJoin(broadcast(med)).crossJoin(broadcast(p90))
+        .agg(count(lit(1)).as("n_vecs"),
+          min($"med_e2").as("med_e2"), min($"p90_e2").as("p90_e2"),
+          sum(when($"ne2" * 2 < $"med_e2", 1L).otherwise(0L))
+            .as("n_collapsed"),
+          sum(when($"ne2" > $"med_e2" * 2, 1L).otherwise(0L))
+            .as("n_inflated"))
+        .select($"n_vecs",
+          ($"med_e2".cast("double") / 100).as("med_norm"),
+          ($"p90_e2".cast("double") / 100).as("p90_norm"),
+          $"n_collapsed", $"n_inflated")
+    }),
+
     // Coreset summary from the farthest-first seeds — the k-center
     // coreset construction (Har-Peled & Mazumdar style): each corpus
     // vector assigns to its nearest Gonzalez seed, and the seed's
@@ -2169,6 +2209,29 @@ object Similarity {
         |SELECT GREATEST(-10, LEAST(9, CAST(FLOOR(sim * 10) AS BIGINT))) AS bucket,
         |  COUNT(*) AS n_pairs
         |FROM p GROUP BY bucket ORDER BY bucket""".stripMargin),
+
+    "sim_norm_outliers" ->
+      """WITH n0 AS (
+        |  SELECT CAST(ROUND(sqrt(list_sum(list_transform(
+        |      embedding::DOUBLE[], x -> x * x))) * 100) AS BIGINT)
+        |    AS ne2
+        |  FROM embeddings),
+        |h AS (SELECT ne2, COUNT(*) AS k FROM n0 GROUP BY ne2),
+        |c AS (
+        |  SELECT ne2,
+        |    SUM(k) OVER (ORDER BY ne2) AS cum,
+        |    SUM(k) OVER () AS tot
+        |  FROM h),
+        |m AS (SELECT MIN(ne2) AS med_e2 FROM c WHERE cum * 2 >= tot),
+        |p AS (SELECT MIN(ne2) AS p90_e2 FROM c WHERE cum * 10 >= tot * 9)
+        |SELECT COUNT(*) AS n_vecs,
+        |  CAST(MIN(med_e2) AS DOUBLE) / 100 AS med_norm,
+        |  CAST(MIN(p90_e2) AS DOUBLE) / 100 AS p90_norm,
+        |  CAST(SUM(CASE WHEN ne2 * 2 < med_e2 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_collapsed,
+        |  CAST(SUM(CASE WHEN ne2 > med_e2 * 2 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_inflated
+        |FROM n0, m, p""".stripMargin,
 
     "sim_ivf_probe_cost" ->
       """WITH e AS (

@@ -2341,6 +2341,47 @@ class PipelineInvariantsSpec extends SparkSpec {
       assert(a._3 >= b._3, "scores not non-increasing in rank") }
   }
 
+  test("log_error_budget_burn: burn identities and cumulative consistency") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("log_error_budget_burn")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(4), r.getDouble(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
+    var cumEv = 0L; var cumErr = 0L
+    rows.foreach { case (_, ne, nerr, burn, cumBurn, exhausted) =>
+      cumEv += ne; cumErr += nerr
+      assert(burn == math.round(nerr * 100.0 / ne * 1e4) / 1e4.toDouble)
+      assert(cumBurn ==
+        math.round(cumErr * 100.0 / cumEv * 1e4) / 1e4.toDouble)
+      assert(exhausted == (if (cumErr * 100 > cumEv) 1L else 0L),
+        "exhausted flag diverges from the integer rule")
+    }
+    val total = t(spark, sf(), "events").count()
+    assert(rows.map(_._2).sum == total, "days lose events")
+  }
+
+  test("sim_norm_outliers: quantile cuts replay from exact norms") {
+    import spark.implicits._
+    val norms = t(spark, sf(), "embeddings")
+      .select($"embedding".cast("array<double>"))
+      .collect().map { r =>
+        val v = r.getSeq[Double](0)
+        math.round(math.sqrt(v.map(x => x * x).sum) * 100)
+      }.sorted
+    def cut(mult: Int, of: Int): Long =
+      norms((norms.length * mult + of - 1) / of - 1)
+    val (med, p90) = (cut(1, 2), cut(9, 10))
+    val got = SparkEntry.queries("sim_norm_outliers")(spark, sf())
+      .collect().head
+    assert(got.getLong(0) == norms.length.toLong)
+    assert(got.getDouble(1) == med.toDouble / 100 &&
+      got.getDouble(2) == p90.toDouble / 100, "quantile cuts diverge")
+    assert(got.getLong(3) == norms.count(_ * 2 < med).toLong)
+    assert(got.getLong(4) == norms.count(_ > med * 2).toLong)
+    assert(got.getDouble(1) <= got.getDouble(2))
+  }
+
   test("q_incremental_agg: merge == recompute, partitions add up") {
     import spark.implicits._
     val direct = t(spark, sf(), "orders").groupBy($"o_orderstatus")
