@@ -1537,6 +1537,33 @@ object EventsLog {
         .orderBy($"event_type")
     }),
 
+    // Sample-ratio-mismatch check — the FIRST thing to run before
+    // trusting any A/B readout (log_ab_metrics / log_ab_cuped): if
+    // the md5 variant split drifts from its designed 50/50 over the
+    // randomization units, the assignment is broken (bucketing bug,
+    // bot skew, logging loss) and every downstream metric is invalid.
+    // χ² against the even split reduces to the exact rational
+    // (n_A − n_B)²/n, so the 95% verdict is ONE integer cross-product
+    // ((n_A−n_B)²·10⁴ > 38415·n, the 3.8415 one-dof critical value) —
+    // no float enters the decision. One distinct-user agg, one row.
+    "log_ab_srm_check" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "events").select($"user_id").distinct()
+        .select(variantCol.as("variant"))
+        .agg(sum(when($"variant" === "A", 1L).otherwise(0L)).as("n_a"),
+          sum(when($"variant" === "B", 1L).otherwise(0L)).as("n_b"))
+        .select($"n_a".as("n_users_a"), $"n_b".as("n_users_b"),
+          round($"n_a".cast("double") / ($"n_a" + $"n_b"), 4)
+            .as("share_a"),
+          expr("cast((2 * cast(n_a - n_b as decimal(38,0))" +
+            " * (n_a - n_b) * 10000 + (n_a + n_b))" +
+            " div (2 * (n_a + n_b)) as bigint)").cast("double")
+            .divide(lit(1e4)).as("chi2"),
+          expr("cast(cast(n_a - n_b as decimal(38,0)) * (n_a - n_b)" +
+            " * 10000 > 38415 * (cast(n_a as decimal(38,0)) + n_b)" +
+            " as bigint)").as("srm_detected"))
+    }),
+
     // SRE error-budget burn — the SLO accounting every serving team
     // reads daily: with a 1% error-rate SLO, burn_rate = error_share
     // / SLO per day (1.0 = consuming budget exactly at allowance) and
@@ -2868,6 +2895,31 @@ object EventsLog {
         |       // (2 * CAST(n_hours AS HUGEINT) * total) AS BIGINT)
         |    AS DOUBLE) / 1e4 AS fano
         |FROM st ORDER BY event_type""".stripMargin,
+
+    "log_ab_srm_check" ->
+      """WITH u AS (
+        |  SELECT DISTINCT user_id FROM events),
+        |v AS (
+        |  SELECT CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+        |              IN ('0','1','2','3','4','5','6','7')
+        |         THEN 'A' ELSE 'B' END AS variant
+        |  FROM u),
+        |g AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_b
+        |  FROM v)
+        |SELECT n_a AS n_users_a, n_b AS n_users_b,
+        |  ROUND(CAST(n_a AS DOUBLE) / (n_a + n_b), 4) AS share_a,
+        |  CAST(CAST((2 * CAST(n_a - n_b AS HUGEINT) * (n_a - n_b)
+        |      * 10000 + (n_a + n_b)) // (2 * (n_a + n_b)) AS BIGINT)
+        |    AS DOUBLE) / 1e4 AS chi2,
+        |  CAST(CASE WHEN CAST(n_a - n_b AS HUGEINT) * (n_a - n_b)
+        |      * 10000 > 38415 * (CAST(n_a AS HUGEINT) + n_b)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS srm_detected
+        |FROM g""".stripMargin,
 
     "log_error_budget_burn" ->
       """WITH dg AS (

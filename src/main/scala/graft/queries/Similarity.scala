@@ -1795,6 +1795,75 @@ object Similarity {
         .orderBy($"init")
     }),
 
+    // Top principal component of the embedding cloud — the anisotropy
+    // diagnostic (Mu & Viswanath 2018 "All-but-the-Top"): a dominant
+    // direction soaking up a large share of variance degrades cosine
+    // retrieval, and its loading pattern says WHICH dims to whiten.
+    // Shapes at 100 TB: coordinates e4-quantize in-row, the centered
+    // co-moment matrix M = n·Σxxᵀ − (Σx)(Σx)ᵀ folds in ONE pass of
+    // map-side-combining aggs into a dim²-bounded (64² row) frame,
+    // and 8 power iterations run entirely on that bounded frame (the
+    // log_markov_stationary loop shape — the corpus is never touched
+    // again). Every step is INTEGER: exact DECIMAL(38,0) sums,
+    // sign-magnitude rescale by the max |entry| each iteration, and
+    // the eigen-share λ/trace as a half-up exact-rational e4 — both
+    // engines replay the iteration bit for bit (the oracle unrolls
+    // the 8 steps as chained CTEs). Published: top-5 |loading| dims +
+    // the dominant direction's variance share.
+    "sim_pca_top_component" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val xq = t(s, d, "embeddings")
+        .select($"vec_id", posexplode($"embedding".cast("array<double>")))
+        .select($"vec_id", $"pos".cast("int").as("j"),
+          expr("cast(round(col * 1e4) as bigint)").as("x"))
+        .localCheckpoint()
+      val sums = xq.groupBy($"j").agg(sum($"x").as("sj"))
+      val pr = xq.select($"vec_id", $"j", $"x").as("a")
+        .join(xq.select($"vec_id", $"j".as("k"), $"x".as("y")).as("b"),
+          "vec_id")
+        .groupBy($"j", $"k")
+        .agg(sum(expr("cast(x as decimal(38,0)) * y")).as("pjk"))
+      val nn = xq.select($"vec_id").distinct().agg(count(lit(1)).as("nn"))
+      val mM = pr.crossJoin(broadcast(nn))
+        .join(sums.toDF("j", "sj"), "j")
+        .join(sums.toDF("k", "sk"), "k")
+        .select($"j", $"k", expr(
+          "cast(nn as decimal(38,0)) * pjk" +
+            " - cast(sj as decimal(38,0)) * sk").as("m"))
+        .localCheckpoint()
+      var w = mM.select($"j").distinct()
+        .select($"j", lit(10000L).cast("decimal(38,0)").as("w"))
+        .localCheckpoint()
+      for (_ <- 1 to 8) {
+        val tv = mM.join(w.toDF("k", "wk"), "k")
+          .groupBy($"j").agg(sum(expr("m * wk")).as("t"))
+        val mx = tv.agg(max(abs($"t")).as("mx"))
+        w = tv.crossJoin(broadcast(mx))
+          .select($"j", expr(
+            "case when t < 0 then -((-t) * 10000 div mx)" +
+              " else (t * 10000) div mx end")
+            .cast("decimal(38,0)").as("w"))
+          .localCheckpoint()
+      }
+      val num = mM.join(w.toDF("j", "wa"), "j")
+        .join(w.toDF("k", "wb"), "k")
+        .agg(sum(expr("wa * m * wb")).as("num"))
+      val den = w.agg(sum(expr("w * w")).as("den"))
+      val tr = mM.filter($"j" === $"k").agg(sum($"m").as("tr"))
+      val share = num.crossJoin(den).crossJoin(tr)
+        .select(expr("cast((2 * num * 10000 + den * tr)" +
+          " div (2 * den * tr) as bigint)").as("share_e4"))
+      val wAbs = Window.orderBy(abs($"w").desc, $"j".asc)
+      w.orderBy(abs($"w").desc, $"j".asc).limit(5)
+        .withColumn("rank", row_number().over(wAbs).cast("long"))
+        .crossJoin(broadcast(share))
+        .select($"rank", $"j".cast("long").as("dim"),
+          ($"w".cast("double") / 1e4).as("loading"),
+          ($"share_e4".cast("double") / 1e4).as("top_var_share"))
+        .orderBy($"rank")
+    }),
+
     // Embedding norm health profile — the collapse/inflation screen an
     // embedding pipeline runs before cosine geometry is trusted: a
     // cluster of near-zero norms means dead/padding vectors (cosine
@@ -2209,6 +2278,56 @@ object Similarity {
         |SELECT GREATEST(-10, LEAST(9, CAST(FLOOR(sim * 10) AS BIGINT))) AS bucket,
         |  COUNT(*) AS n_pairs
         |FROM p GROUP BY bucket ORDER BY bucket""".stripMargin),
+
+    "sim_pca_top_component" -> {
+      val iters = (1 to 8).map { i =>
+        s"""t$i AS MATERIALIZED (
+           |  SELECT m.j, CAST(SUM(m.m * w${i - 1}.w) AS HUGEINT) AS t
+           |  FROM m JOIN w${i - 1} ON w${i - 1}.j = m.k GROUP BY m.j),
+           |x$i AS MATERIALIZED (SELECT MAX(abs(t)) AS mx FROM t$i),
+           |w$i AS MATERIALIZED (
+           |  SELECT j, CAST(CASE WHEN t < 0
+           |      THEN -(((-t) * 10000) // mx)
+           |      ELSE (t * 10000) // mx END AS HUGEINT) AS w
+           |  FROM t$i, x$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |xq AS (
+         |  SELECT vec_id, i, CAST(ROUND(v[i] * 1e4) AS BIGINT) AS x
+         |  FROM e, unnest(generate_series(1, len(v))) AS t(i)),
+         |s AS (SELECT i AS j, CAST(SUM(x) AS HUGEINT) AS sj
+         |      FROM xq GROUP BY 1),
+         |nr AS (SELECT COUNT(DISTINCT vec_id) AS nn FROM xq),
+         |p AS (
+         |  SELECT a.i AS j, b.i AS k,
+         |    CAST(SUM(CAST(a.x AS HUGEINT) * b.x) AS HUGEINT) AS pjk
+         |  FROM xq a JOIN xq b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+         |m AS MATERIALIZED (
+         |  SELECT p.j, p.k,
+         |    CAST(nn AS HUGEINT) * pjk - sa.sj * sb.sj AS m
+         |  FROM p JOIN s sa ON sa.j = p.j JOIN s sb ON sb.j = p.k, nr),
+         |w0 AS MATERIALIZED (SELECT DISTINCT j, CAST(10000 AS HUGEINT) AS w FROM m),
+         |$iters,
+         |num AS (
+         |  SELECT CAST(SUM(wa.w * m.m * wb.w) AS HUGEINT) AS num
+         |  FROM m JOIN w8 wa ON wa.j = m.j JOIN w8 wb ON wb.j = m.k),
+         |den AS (SELECT CAST(SUM(w * w) AS HUGEINT) AS den FROM w8),
+         |tr AS (SELECT CAST(SUM(m) AS HUGEINT) AS tr FROM m
+         |       WHERE j = k),
+         |sh AS (
+         |  SELECT CAST((2 * num * 10000 + den * tr) // (2 * den * tr)
+         |    AS BIGINT) AS share_e4
+         |  FROM num, den, tr),
+         |sel AS (SELECT j, w FROM w8
+         |        ORDER BY abs(w) DESC, j LIMIT 5)
+         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY abs(w) DESC, j)
+         |    AS BIGINT) AS rank,
+         |  CAST(j - 1 AS BIGINT) AS dim,
+         |  CAST(w AS DOUBLE) / 1e4 AS loading,
+         |  CAST(share_e4 AS DOUBLE) / 1e4 AS top_var_share
+         |FROM sel, sh ORDER BY rank""".stripMargin
+    },
 
     "sim_norm_outliers" ->
       """WITH n0 AS (

@@ -671,6 +671,47 @@ class AnnInvariantsSpec extends SparkSpec {
       s"nprobe=8 must scan all $n vectors")
   }
 
+  test("sim_pca_top_component: eigenpair checks out against raw data") {
+    import spark.implicits._
+    val vecs = t(spark, sf(), "embeddings")
+      .select($"embedding".cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray
+        .map(x => math.round(x * 1e4)))
+    val n = vecs.length; val dim = vecs.head.length
+    // exact co-moment matrix from the quantized coordinates
+    val sj = Array.tabulate(dim)(j => vecs.map(v => BigInt(v(j))).sum)
+    val m = Array.tabulate(dim, dim) { (j, k) =>
+      BigInt(n) * vecs.map(v => BigInt(v(j)) * v(k)).sum - sj(j) * sj(k)
+    }
+    // replay the 8 integer power iterations
+    var w = Array.fill(dim)(BigInt(10000))
+    (1 to 8).foreach { _ =>
+      val tvec = Array.tabulate(dim)(j =>
+        (0 until dim).map(k => m(j)(k) * w(k)).sum)
+      val mx = tvec.map(_.abs).max
+      w = tvec.map(t =>
+        if (t < 0) -((-t) * 10000 / mx) else t * 10000 / mx)
+    }
+    val numer = (0 until dim).map(j =>
+      (0 until dim).map(k => w(j) * m(j)(k) * w(k)).sum).sum
+    val den = w.map(x => x * x).sum
+    val tr = (0 until dim).map(j => m(j)(j)).sum
+    val shareE4 = (2 * numer * 10000 + den * tr) / (2 * den * tr)
+    val top5 = w.zipWithIndex
+      .sortBy { case (x, j) => (-x.abs, j) }.take(5)
+    val got = SparkEntry.queries("sim_pca_top_component")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(got.map(_._1).toSeq == (1L to 5L))
+    got.zip(top5).foreach { case ((_, d0, loading, share), (wj, j)) =>
+      assert(d0 == j.toLong, s"dim order diverges: $d0 vs $j")
+      assert(loading == wj.toDouble / 1e4, "loading diverges from replay")
+      assert(share == shareE4.toDouble / 1e4, "variance share diverges")
+    }
+    // Rayleigh sanity: the dominant share is a plausible fraction
+    assert(got.head._4 > 0.0 && got.head._4 <= 1.0)
+  }
+
   test("dedup_bbit_minhash: bit agreement consistent with full minhash") {
     import spark.implicits._
     val bbit = SparkEntry.queries("dedup_bbit_minhash")(spark, sf())

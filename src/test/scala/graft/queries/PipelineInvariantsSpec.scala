@@ -2382,6 +2382,29 @@ class PipelineInvariantsSpec extends SparkSpec {
     assert(got.getDouble(1) <= got.getDouble(2))
   }
 
+  test("log_ab_srm_check: chi-square replays, verdict at the 3.8415 line") {
+    import spark.implicits._
+    val users = t(spark, sf(), "events").select($"user_id").distinct()
+      .collect().map(_.getLong(0))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val nA = users.count { u =>
+      val h = md.digest(u.toString.getBytes("UTF-8"))
+      ((h(0) >> 4) & 0xf) < 8
+    }.toLong
+    val nB = users.length - nA
+    val n = nA + nB
+    val d = nA - nB
+    val got = SparkEntry.queries("log_ab_srm_check")(spark, sf())
+      .collect().head
+    assert((got.getLong(0), got.getLong(1)) == ((nA, nB)),
+      "variant counts diverge from md5 replay")
+    val chiE4 = (2 * BigInt(d) * d * 10000 + n) / (2 * BigInt(n))
+    assert(got.getDouble(3) == chiE4.toDouble / 1e4, "chi2 diverges")
+    assert(got.getLong(4) ==
+      (if (BigInt(d) * d * 10000 > BigInt(38415) * n) 1L else 0L),
+      "SRM verdict diverges from the integer rule")
+  }
+
   test("q_incremental_agg: merge == recompute, partitions add up") {
     import spark.implicits._
     val direct = t(spark, sf(), "orders").groupBy($"o_orderstatus")
