@@ -1537,6 +1537,51 @@ object EventsLog {
         .orderBy($"event_type")
     }),
 
+    // Autocorrelation function of the hourly event-rate series, lags
+    // 1..6 per event type — the memory/seasonality diagnostic read
+    // before trusting any forecast (log_holt_forecast) or anomaly
+    // model: a persistent positive tail says "model the trend", a
+    // near-zero tail says the series is memoryless and a mean model
+    // suffices. Estimator r_k = Σ_{t≤n−k}(x_t−x̄)(x_{t+k}−x̄) /
+    // Σ_t(x_t−x̄)², computed EXACTLY: with S = Σx over the n dense
+    // hours, each centered product scales by n² to the integer
+    // (n·x_t−S)(n·x_{t+k}−S), so numerator and denominator are exact
+    // DECIMAL(38,0) sums and the only float is their final division,
+    // rounded at 4 dp. The lagged partner comes from 6 LEAD windows
+    // partitioned per event type (type-bounded, never global); the
+    // 5-row stats frame broadcasts; everything else is two keyed aggs.
+    "log_acf" -> ((s, d) => {
+      import s.implicits._
+      val wrn = Window.partitionBy($"event_type").orderBy($"h")
+      val g = denseHourGrid(t(s, d, "events"))
+        .select($"event_type", $"h", $"n")
+      val st = g.groupBy($"event_type")
+        .agg(count(lit(1)).as("nh"), sum($"n").as("stot"))
+      val den = g.join(broadcast(st), "event_type")
+        .groupBy($"event_type")
+        .agg(sum(expr("(cast(nh as decimal(38,0)) * n - stot)" +
+          " * (cast(nh as decimal(38,0)) * n - stot)")).as("den"))
+      val leads = g.select(($"event_type" +: $"n".as("x") +:
+        (1 to 6).map(k => lead($"n", k).over(wrn).as(s"y$k"))): _*)
+      val pairs = leads
+        .select($"event_type", $"x",
+          posexplode(array((1 to 6).map(k => col(s"y$k")): _*)))
+        .toDF("event_type", "x", "pos", "y")
+        .filter($"y".isNotNull)
+        .select($"event_type", ($"pos" + 1).cast("long").as("lag"),
+          $"x", $"y")
+      pairs.join(broadcast(st), "event_type")
+        .groupBy($"event_type", $"lag")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(expr("(cast(nh as decimal(38,0)) * x - stot)" +
+            " * (cast(nh as decimal(38,0)) * y - stot)")).as("num"))
+        .join(broadcast(den), "event_type")
+        .select($"event_type", $"lag", $"n_pairs",
+          round($"num".cast("bigint").cast("double")
+            / $"den".cast("bigint").cast("double"), 4).as("acf"))
+        .orderBy($"event_type", $"lag")
+    }),
+
     // Sample-ratio-mismatch check — the FIRST thing to run before
     // trusting any A/B readout (log_ab_metrics / log_ab_cuped): if
     // the md5 variant split drifts from its designed 50/50 over the
@@ -2895,6 +2940,60 @@ object EventsLog {
         |       // (2 * CAST(n_hours AS HUGEINT) * total) AS BIGINT)
         |    AS DOUBLE) / 1e4 AS fano
         |FROM st ORDER BY event_type""".stripMargin,
+
+    "log_acf" ->
+      """WITH e AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h FROM events),
+        |counts AS (SELECT event_type, h, COUNT(*) AS n
+        |           FROM e GROUP BY 1, 2),
+        |bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM e),
+        |grid AS (
+        |  SELECT event_type, unnest(generate_series(h0, h1,
+        |    INTERVAL 1 HOUR)) AS h
+        |  FROM (SELECT DISTINCT event_type FROM e), bounds),
+        |dense AS (
+        |  SELECT g.event_type, g.h, COALESCE(c.n, 0) AS n
+        |  FROM grid g LEFT JOIN counts c
+        |    ON c.event_type = g.event_type AND c.h = g.h),
+        |st AS (
+        |  SELECT event_type, COUNT(*) AS nh,
+        |    CAST(SUM(n) AS BIGINT) AS stot
+        |  FROM dense GROUP BY 1),
+        |dn AS (
+        |  SELECT d.event_type,
+        |    SUM((CAST(s.nh AS HUGEINT) * d.n - s.stot)
+        |      * (CAST(s.nh AS HUGEINT) * d.n - s.stot)) AS den
+        |  FROM dense d JOIN st s USING (event_type) GROUP BY 1),
+        |lagged AS (
+        |  SELECT event_type, n AS x,
+        |    LEAD(n, 1) OVER w AS y1, LEAD(n, 2) OVER w AS y2,
+        |    LEAD(n, 3) OVER w AS y3, LEAD(n, 4) OVER w AS y4,
+        |    LEAD(n, 5) OVER w AS y5, LEAD(n, 6) OVER w AS y6
+        |  FROM dense
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY h)),
+        |pairs AS (
+        |  SELECT event_type, CAST(1 AS BIGINT) AS lag, x, y1 AS y
+        |  FROM lagged WHERE y1 IS NOT NULL
+        |  UNION ALL SELECT event_type, 2, x, y2
+        |  FROM lagged WHERE y2 IS NOT NULL
+        |  UNION ALL SELECT event_type, 3, x, y3
+        |  FROM lagged WHERE y3 IS NOT NULL
+        |  UNION ALL SELECT event_type, 4, x, y4
+        |  FROM lagged WHERE y4 IS NOT NULL
+        |  UNION ALL SELECT event_type, 5, x, y5
+        |  FROM lagged WHERE y5 IS NOT NULL
+        |  UNION ALL SELECT event_type, 6, x, y6
+        |  FROM lagged WHERE y6 IS NOT NULL),
+        |nm AS (
+        |  SELECT p.event_type, p.lag, COUNT(*) AS n_pairs,
+        |    SUM((CAST(s.nh AS HUGEINT) * p.x - s.stot)
+        |      * (CAST(s.nh AS HUGEINT) * p.y - s.stot)) AS num
+        |  FROM pairs p JOIN st s USING (event_type) GROUP BY 1, 2)
+        |SELECT n.event_type, n.lag, n.n_pairs,
+        |  ROUND(CAST(CAST(n.num AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(d.den AS BIGINT) AS DOUBLE), 4) + 0.0 AS acf
+        |FROM nm n JOIN dn d USING (event_type)
+        |ORDER BY n.event_type, n.lag""".stripMargin,
 
     "log_ab_srm_check" ->
       """WITH u AS (

@@ -232,6 +232,50 @@ object PipelineOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Pareto-frontier (skyline) selection over per-doc curation
+    // metrics — "which documents are undominated on (length, lexical
+    // diversity)" is the canonical multi-objective pick a curation
+    // pipeline runs before trading corpus size against quality.
+    // Metrics are exact integers: a = n_tokens, b = the e4
+    // exact-rational TTR floor (n_types·10⁴ div n_tokens). A naive
+    // skyline is an O(n²) dominance anti-join; this plans the scale
+    // shape instead: (1) a coarse 64-token-bucket prefilter — per-
+    // bucket max(b) plus a running max over strictly-greater buckets
+    // (a window over the TINY bucket domain, broadcast back) drops
+    // every doc dominated from a higher bucket, and a surviving doc's
+    // dominator provably sits in its OWN bucket and survives with it
+    // (the dominator beats the same greater-bucket max its victim
+    // beat); (2) the exact same-a / greater-a window test then runs
+    // on the surviving sliver only. At 100 TB the corpus-wide work is
+    // one per-doc agg + one broadcast bucket join; the global-order
+    // windows touch survivors (≈ the frontier staircase), never the
+    // corpus.
+    "doc_pareto_frontier" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val m = t(s, d, "documents")
+        .select($"doc_id", explode(toksCol).as("tok"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("a"), countDistinct($"tok").as("nt"))
+        .select($"doc_id", $"a", expr("(nt * 10000) div a").as("b"))
+      val bk = m.withColumn("bucket", expr("a div 64"))
+      val gmax = bk.groupBy($"bucket").agg(max($"b").as("mb"))
+        .withColumn("gm", max($"mb").over(Window.orderBy($"bucket".desc)
+          .rowsBetween(Window.unboundedPreceding, -1)))
+        .select($"bucket", $"gm")
+      val surv = bk.join(broadcast(gmax), Seq("bucket"))
+        .filter($"gm".isNull || $"b" > $"gm")
+      val mGt = max($"b").over(Window.orderBy($"a")
+        .rangeBetween(1L, Window.unboundedFollowing))
+      val mSame = max($"b").over(Window.partitionBy($"a"))
+      surv
+        .withColumn("m_same", mSame).withColumn("m_gt", mGt)
+        .filter($"b" === $"m_same" && ($"m_gt".isNull || $"b" > $"m_gt"))
+        .select($"doc_id", $"a".as("n_tokens"),
+          ($"b".cast("double") / 1e4).as("ttr_q"))
+        .orderBy($"n_tokens".desc, $"doc_id")
+    }),
+
     // Fixed-window chunking: 50-token chunks on a 40-token stride (10
     // tokens of overlap), the standard pre-tokenization shard prep.
     // Chunk starts explode from an in-row `sequence` — one narrow map
@@ -1707,6 +1751,26 @@ object PipelineOps {
         |  FROM rk, ch)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+
+    "doc_pareto_frontier" ->
+      """WITH tk AS (
+        |  SELECT doc_id, tok
+        |  FROM (SELECT doc_id,
+        |          unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        |        FROM documents) WHERE tok <> ''),
+        |m AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS a,
+        |    CAST((COUNT(DISTINCT tok) * 10000) // COUNT(*) AS BIGINT)
+        |      AS b
+        |  FROM tk GROUP BY doc_id)
+        |SELECT m1.doc_id, m1.a AS n_tokens,
+        |  CAST(m1.b AS DOUBLE) / 1e4 AS ttr_q
+        |FROM m m1
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM m m2
+        |  WHERE m2.a >= m1.a AND m2.b >= m1.b
+        |    AND (m2.a > m1.a OR m2.b > m1.b))
+        |ORDER BY n_tokens DESC, m1.doc_id""".stripMargin,
 
     "doc_chunks" ->
       s"""WITH d AS (

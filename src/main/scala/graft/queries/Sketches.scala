@@ -27,6 +27,18 @@ object Sketches {
   private val D = 4    // hash rows (CountMin) / probe hashes (Bloom)
   private val W = 64   // CountMin buckets per row
   private val MBits = 252 // Bloom bits: 4 longs × 63 bits (no sign-bit games)
+  private val KmvK = 64 // KMV bottom-k size
+  private val KmvM = "1152921504606846976" // 16^15 — the 60-bit hash space
+
+  /** 60-bit md5-window KMV hash of `word` — 15 hex digits so the hash
+    * space is dense enough that the (k−1)/h_k estimator's granularity
+    * is negligible next to its 1/sqrt(k) sampling error. */
+  private def kmvHash: Column =
+    expr("cast(conv(substring(md5(cast(word as binary)), 1, 15)," +
+      " 16, 10) as bigint)")
+
+  /** DuckDB twin of [[kmvHash]] (hex-literal string cast). */
+  private val kmvHashSql = "('0x' || substring(md5(word), 1, 15))::BIGINT"
 
   /** wc-family word normalization — the single shared contract
     * (TextWordCount.words), never re-implemented here. */
@@ -50,6 +62,7 @@ object Sketches {
     s"((${hexAt("md5(word)", 2 * r + 1)} * 16 + ${hexAt("md5(word)", 2 * r + 2)}) % $MBits)"
 
   private val wordsSql = TextWordCount.wordsSql
+  private val docWordsSql = TextWordCount.docWordsSql
 
   // DuckDB twin of bloomFold's bit layout — the 63-bits-per-long
   // contract stated once for every oracle that folds or probes bits
@@ -333,9 +346,123 @@ object Sketches {
             floor((($"exact_q" - $"v0") * 1000.0) / ($"v1" - $"v0"))))
             === $"qbin").as("within"))
         .orderBy($"q_pct")
+    }),
+
+    // KMV (k-minimum-values) distinct sketch — the fifth sketch
+    // contract, for mergeable distinct counting with oracle-checkable
+    // CONTENT (unlike HLL, whose registers are engine-specific): keep
+    // the k = 64 smallest DISTINCT 60-bit md5-window hashes of the
+    // word domain; the kth smallest h_k estimates
+    // distinct ≈ (k−1)·2^60 / h_k. The sketch content (k_kept, h_k)
+    // hash-matches DuckDB exactly and the estimate is one
+    // exact-integer floor division (DECIMAL(38,0): 63·2^60 overflows
+    // int64). Scale shape: the bottom-k plans as TakeOrdered over the
+    // distinct-hash agg — per-partition partial bottom-k, constant
+    // driver state regardless of corpus size; rel_err audits the
+    // estimate against the exact distinct (expected |err| ~ 1/√k).
+    "sketch_kmv" -> ((s, d) => {
+      import s.implicits._
+      val sk = words(s, d).select(kmvHash.as("h")).distinct()
+        .orderBy($"h").limit(KmvK)
+        .agg(count(lit(1)).as("k_kept"), max($"h").as("h_k"))
+      val ex = words(s, d)
+        .agg(countDistinct($"word").as("exact_distinct"))
+      sk.crossJoin(broadcast(ex))
+        .withColumn("est_distinct",
+          when($"k_kept" < KmvK, $"k_kept").otherwise(expr(
+            s"cast((cast(${KmvK - 1} as decimal(38,0)) * $KmvM)" +
+              " div h_k as bigint)")))
+        .select($"k_kept", $"h_k", $"est_distinct", $"exact_distinct",
+          round(($"est_distinct" - $"exact_distinct").cast("double")
+            / $"exact_distinct", 4).as("rel_err"))
+    }),
+
+    // KMV merge — mergeability for the content-checkable distinct
+    // sketch: shard-local bottom-k sets (doc_id%4 shards) union
+    // (distinct, then bottom-k again) into EXACTLY the single-pass
+    // global sketch — the k smallest hashes of a union are always
+    // contained in the union of per-shard k smallest, so the merge is
+    // lossless by construction and `matches_direct` asserts it
+    // in-query. Per-shard bottom-k runs as a shard-partitioned window
+    // (shard-bounded state); the merge itself touches ≤ shards·k rows.
+    "sketch_kmv_merge" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val hs = TextWordCount.docWords(s, d)
+        .select((col("doc_id") % 4).cast("int").as("shard"),
+          kmvHash.as("h"))
+        .distinct()
+      val shardSk = hs
+        .withColumn("rk",
+          row_number().over(Window.partitionBy($"shard").orderBy($"h")))
+        .filter($"rk" <= KmvK)
+      val nsh = shardSk.agg(
+        countDistinct($"shard").as("n_shards"),
+        count(lit(1)).as("n_kept_total"))
+      val merged = shardSk.select($"h").distinct()
+        .orderBy($"h").limit(KmvK)
+        .agg(count(lit(1)).as("k_kept"), max($"h").as("h_k_merged"))
+      val direct = hs.select($"h").distinct()
+        .orderBy($"h").limit(KmvK)
+        .agg(max($"h").as("h_k_direct"))
+      merged.crossJoin(broadcast(direct)).crossJoin(broadcast(nsh))
+        .select($"n_shards", $"n_kept_total", $"k_kept",
+          $"h_k_merged", $"h_k_direct",
+          when($"k_kept" < KmvK, $"k_kept").otherwise(expr(
+            s"cast((cast(${KmvK - 1} as decimal(38,0)) * $KmvM)" +
+              " div h_k_merged as bigint)")).as("est_distinct"),
+          ($"h_k_merged" === $"h_k_direct").cast("bigint")
+            .as("matches_direct"))
     }))
 
   val oracle: Map[String, String] = Map(
+
+    "sketch_kmv" ->
+      s"""WITH ws AS ($wordsSql),
+        |hs AS (SELECT DISTINCT $kmvHashSql AS h FROM ws),
+        |bot AS (SELECT h FROM hs ORDER BY h LIMIT $KmvK),
+        |sk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_kept,
+        |              MAX(h) AS h_k FROM bot),
+        |ex AS (SELECT CAST(COUNT(DISTINCT word) AS BIGINT)
+        |         AS exact_distinct FROM ws),
+        |est AS (
+        |  SELECT k_kept, h_k,
+        |    CASE WHEN k_kept < $KmvK THEN k_kept
+        |         ELSE CAST((CAST(${KmvK - 1} AS HUGEINT) * $KmvM)
+        |                // h_k AS BIGINT) END AS est_distinct,
+        |    exact_distinct
+        |  FROM sk, ex)
+        |SELECT k_kept, h_k, est_distinct, exact_distinct,
+        |  ROUND(CAST(est_distinct - exact_distinct AS DOUBLE)
+        |    / exact_distinct, 4) + 0.0 AS rel_err
+        |FROM est""".stripMargin,
+
+    "sketch_kmv_merge" ->
+      s"""WITH dw AS ($docWordsSql),
+        |hs AS (SELECT DISTINCT CAST(doc_id % 4 AS INTEGER) AS shard,
+        |         $kmvHashSql AS h FROM dw),
+        |ssk AS (SELECT shard, h,
+        |          ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h)
+        |            AS rk
+        |        FROM hs),
+        |kept AS (SELECT shard, h FROM ssk WHERE rk <= $KmvK),
+        |nsh AS (SELECT CAST(COUNT(DISTINCT shard) AS BIGINT)
+        |          AS n_shards,
+        |        CAST(COUNT(*) AS BIGINT) AS n_kept_total FROM kept),
+        |mg AS (SELECT h FROM (SELECT DISTINCT h FROM kept)
+        |       ORDER BY h LIMIT $KmvK),
+        |m2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_kept,
+        |         MAX(h) AS h_k_merged FROM mg),
+        |dr AS (SELECT MAX(h) AS h_k_direct
+        |       FROM (SELECT h FROM (SELECT DISTINCT h FROM hs)
+        |             ORDER BY h LIMIT $KmvK))
+        |SELECT n_shards, n_kept_total, k_kept, h_k_merged, h_k_direct,
+        |  CASE WHEN k_kept < $KmvK THEN k_kept
+        |       ELSE CAST((CAST(${KmvK - 1} AS HUGEINT) * $KmvM)
+        |              // h_k_merged AS BIGINT) END AS est_distinct,
+        |  CAST(CASE WHEN h_k_merged = h_k_direct THEN 1 ELSE 0 END
+        |    AS BIGINT) AS matches_direct
+        |FROM m2, dr, nsh""".stripMargin,
 
     "sketch_hist_quantiles" ->
       """WITH b AS (SELECT MIN(value) AS v0, MAX(value) AS v1

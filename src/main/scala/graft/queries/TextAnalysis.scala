@@ -89,6 +89,60 @@ object TextAnalysis {
             .as("intercept"))
     }),
 
+    // Heaps'-law fit — Zipf's companion corpus-health diagnostic:
+    // vocabulary growth V(N) ≈ K·N^β (natural text: β ≈ 0.4–0.6;
+    // β near 1 flags near-random token soup, β near 0 a templated /
+    // exhausted corpus — both reasons to stop collecting a source).
+    // Checkpoints are per-doc cumulative (tokens N_d, vocab V_d) in
+    // doc_id order: V_d needs only each word's FIRST document (one
+    // min-agg over the token explode), never global positions. Least
+    // squares over (ln N_d, ln V_d): logs of exact INTEGERS (identical
+    // doubles both engines) quantized to e6 BIGINTs, all regression
+    // sums widened to DECIMAL(38,0) AT the inner sum (lx·ly ~ 3e14 per
+    // doc — a 50k-doc corpus overflows int64), slope/intercept each
+    // one float expression over exact integers, rounded at 4 dp. The
+    // cumulative window is a single global prefix sum over ONE ROW PER
+    // DOC — the doc_novelty_curve discipline (range-partitioned
+    // two-pass prefix sum at cluster scale, never corpus-row-level).
+    "text_heaps_fit" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val toks = t(s, d, "documents")
+        .select($"doc_id", explode(expr(
+          "filter(split(lower(text), '\\\\s+'), x -> x != '')")).as("tok"))
+      val perDoc = toks.groupBy($"doc_id").agg(count(lit(1)).as("ntok"))
+      val newTypes = toks.groupBy($"tok").agg(min($"doc_id").as("doc_id"))
+        .groupBy($"doc_id").agg(count(lit(1)).as("nnew"))
+      val w = Window.orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val curve = perDoc.join(newTypes, Seq("doc_id"), "left_outer")
+        .select($"doc_id", $"ntok",
+          coalesce($"nnew", lit(0L)).as("nnew"))
+        .select($"doc_id",
+          sum($"ntok").over(w).as("cn"), sum($"nnew").over(w).as("cv"))
+      val q = curve.select($"cn", $"cv",
+        expr("cast(round(ln(cast(cn as double)) * 1e6) as bigint)")
+          .as("lx"),
+        expr("cast(round(ln(cast(cv as double)) * 1e6) as bigint)")
+          .as("ly"))
+      q.agg(count(lit(1)).as("n_docs"),
+          max($"cn").as("total_tokens"), max($"cv").as("total_types"),
+          sum(expr("cast(lx as decimal(38,0))")).as("sx"),
+          sum(expr("cast(ly as decimal(38,0))")).as("sy"),
+          sum(expr("cast(lx as decimal(38,0)) * ly")).as("sxy"),
+          sum(expr("cast(lx as decimal(38,0)) * lx")).as("sxx"))
+        .select($"n_docs", $"total_tokens", $"total_types",
+          $"sx", $"sy",
+          round(($"n_docs" * $"sxy" - $"sx" * $"sy").cast("double")
+            / ($"n_docs" * $"sxx" - $"sx" * $"sx").cast("double"), 4)
+            .as("heaps_beta"))
+        .select($"n_docs", $"total_tokens", $"total_types",
+          $"heaps_beta",
+          round(($"sy".cast("double") / 1e6
+            - $"heaps_beta" * ($"sx".cast("double") / 1e6))
+            / $"n_docs", 4).as("heaps_lnk"))
+    }),
+
     // Quality scoring: token count, type-token ratio, stopword ratio,
     // mean token length — ratios as rounded doubles (identical operands
     // on both engines ⇒ identical division results).
@@ -682,6 +736,42 @@ object TextAnalysis {
         |    zipf_slope * (CAST(sx AS DOUBLE) / 1e6)) / n_ranks, 4)
         |    + 0.0 AS intercept
         |FROM sl""".stripMargin,
+
+    "text_heaps_fit" ->
+      s"""WITH $tokCte,
+         |pd AS (SELECT doc_id, COUNT(*) AS ntok FROM tk GROUP BY 1),
+         |ft AS (SELECT MIN(doc_id) AS doc_id FROM tk GROUP BY tok),
+         |nt AS (SELECT doc_id, COUNT(*) AS nnew FROM ft GROUP BY 1),
+         |curve AS (
+         |  SELECT pd.doc_id,
+         |    CAST(SUM(pd.ntok) OVER w AS BIGINT) AS cn,
+         |    CAST(SUM(COALESCE(nt.nnew, 0)) OVER w AS BIGINT) AS cv
+         |  FROM pd LEFT JOIN nt USING (doc_id)
+         |  WINDOW w AS (ORDER BY pd.doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |q AS (
+         |  SELECT cn, cv,
+         |    CAST(ROUND(ln(CAST(cn AS DOUBLE)) * 1e6) AS BIGINT) AS lx,
+         |    CAST(ROUND(ln(CAST(cv AS DOUBLE)) * 1e6) AS BIGINT) AS ly
+         |  FROM curve),
+         |g AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    MAX(cn) AS total_tokens, MAX(cv) AS total_types,
+         |    SUM(CAST(lx AS HUGEINT)) AS sx,
+         |    SUM(CAST(ly AS HUGEINT)) AS sy,
+         |    SUM(CAST(lx AS HUGEINT) * ly) AS sxy,
+         |    SUM(CAST(lx AS HUGEINT) * lx) AS sxx
+         |  FROM q),
+         |b AS (
+         |  SELECT *, ROUND(CAST(n_docs * sxy - sx * sy AS DOUBLE)
+         |    / CAST(n_docs * sxx - sx * sx AS DOUBLE), 4) + 0.0
+         |    AS heaps_beta
+         |  FROM g)
+         |SELECT n_docs, total_tokens, total_types, heaps_beta,
+         |  ROUND((CAST(sy AS DOUBLE) / 1e6
+         |    - heaps_beta * (CAST(sx AS DOUBLE) / 1e6)) / n_docs, 4)
+         |    + 0.0 AS heaps_lnk
+         |FROM b""".stripMargin,
 
     "doc_filter_reasons" ->
       s"""WITH $tokCte,

@@ -120,6 +120,7 @@ class PlanHygieneSpec extends SparkSpec {
     "sim_init_quality",      // two 1-row 8-center codebook broadcasts
     "sim_hubness",           // 1-row corpus-count scalar broadcast
     "log_burstiness",        // 1-row (min,max) hour bounds (gapfill grid)
+    "log_acf",               // 1-row (min,max) hour bounds (gapfill grid)
     "sim_energy_distance",   // three 1-row collected-block broadcasts
                              // (≤100-vector population rows, the
                              // codebook fold shape) + 1-row count row
@@ -135,6 +136,8 @@ class PlanHygieneSpec extends SparkSpec {
     "log_seasonality_profile", // 1-row (total, cells) scalar
     "log_user_gini",         // 1-row (n_users, total_events) scalar
     "doc_novelty_curve",     // 1-row max-doc-id batch-cut scalar
+    "sketch_kmv",            // 1-row exact-distinct scalar broadcast
+    "sketch_kmv_merge",      // 1-row direct-sketch + shard-count scalars
     "pqIndex (raw build)",   // 1-row codebook (the materialized index build)
     "ivfCells (raw build)")  // 1-row adaptive-k count + super-centroid row
 

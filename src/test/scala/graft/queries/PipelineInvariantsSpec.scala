@@ -2420,4 +2420,74 @@ class PipelineInvariantsSpec extends SparkSpec {
       assert(consistent == 1L, s"$st: merge/recompute inconsistent")
     }
   }
+
+  test("doc_pareto_frontier equals the brute-force O(n²) skyline") {
+    import spark.implicits._
+    val got = SparkEntry.queries("doc_pareto_frontier")(spark, sf())
+      .collect().map(_.getLong(0)).toSet
+    // brute-force ground truth over the same (n_tokens, e4-TTR) metrics
+    val pts = t(spark, sf(), "documents")
+      .select($"doc_id", explode(expr(
+        "filter(split(lower(text), '\\\\s+'), x -> x != '')")).as("tok"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("a"), countDistinct($"tok").as("nt"))
+      .select($"doc_id", $"a", expr("(nt * 10000) div a").as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val frontier = pts.filter { case (_, a1, b1) =>
+      !pts.exists { case (_, a2, b2) =>
+        a2 >= a1 && b2 >= b1 && (a2 > a1 || b2 > b1)
+      }
+    }.map(_._1).toSet
+    assert(got == frontier,
+      s"skyline mismatch: extra=${got -- frontier} missing=${frontier -- got}")
+    assert(frontier.nonEmpty, "degenerate test: empty frontier")
+  }
+
+  test("log_acf replays in exact arithmetic and stays within [-1, 1]") {
+    import spark.implicits._
+    val got = SparkEntry.queries("log_acf")(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(got.size == 30 && got.keys.map(_._1).toSet.size == 5)
+    got.values.foreach(v => assert(v >= -1.0 && v <= 1.0, s"acf $v"))
+    // replay one series end-to-end on the driver: DENSE hourly counts
+    // for 'error' over the global [min,max] hour range (hours with no
+    // events at all still count as zero — same as denseHourGrid),
+    // exact integer centered sums, same rounding
+    val ev = t(spark, sf(), "events")
+      .select((unix_micros(date_trunc("hour", $"ts")) / 3600000000L)
+        .cast("long").as("hu"), $"event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val (h0, h1) = (ev.map(_._1).min, ev.map(_._1).max)
+    val errCnt = ev.filter(_._2 == "error").groupBy(_._1)
+      .map { case (k, v) => k -> v.length.toLong }
+    val hours = (h0 to h1).map(h => errCnt.getOrElse(h, 0L)).toArray
+    val n = hours.length.toLong
+    val s0 = hours.sum
+    val den = hours.map(x => (BigInt(n) * x - s0) * (BigInt(n) * x - s0)).sum
+    for (k <- 1 to 6) {
+      val num = hours.dropRight(k).zip(hours.drop(k))
+        .map { case (x, y) => (BigInt(n) * x - s0) * (BigInt(n) * y - s0) }
+        .sum
+      val expect = BigDecimal(num.toLong.toDouble / den.toLong.toDouble)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(got(("error", k.toLong)) - expect) < 1e-9,
+        s"lag $k: ${got(("error", k.toLong))} != $expect")
+    }
+  }
+
+  test("text_heaps_fit: beta in (0,1) and totals match the corpus") {
+    import spark.implicits._
+    val r = SparkEntry.queries("text_heaps_fit")(spark, sf()).head()
+    val (nDocs, totTok, totTyp, beta) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val toks = t(spark, sf(), "documents")
+      .select($"doc_id", explode(expr(
+        "filter(split(lower(text), '\\\\s+'), x -> x != '')")).as("tok"))
+    assert(totTok == toks.count(), "cumulative token total drifted")
+    assert(totTyp == toks.select($"tok").distinct().count(),
+      "cumulative vocab total != corpus vocab")
+    assert(nDocs == toks.select($"doc_id").distinct().count())
+    // natural-ish text grows sublinearly but keeps minting new types
+    assert(beta > 0.0 && beta < 1.0, s"heaps beta=$beta out of range")
+  }
 }

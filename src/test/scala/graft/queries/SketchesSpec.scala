@@ -138,4 +138,48 @@ class SketchesSpec extends SparkSpec {
         <= (hi - lo) + 1e-9, s"q=$q: estimate error exceeds bin width")
     }
   }
+
+  test("KMV: h_k replays against a brute-force bottom-k; error in bound") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val r = SparkEntry.queries("sketch_kmv")(spark, sf()).head()
+    val (kKept, hK, est, exact) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    // brute-force replay: hash every distinct word on the driver and
+    // take the 64th smallest distinct hash — an independent route to
+    // the same sketch content
+    val hashes = graft.Tables.t(spark, sf(), "documents")
+      .select(explode(split(lower($"text"), "\\s+")).as("tok"))
+      .filter($"tok" =!= "")
+      .select(regexp_replace($"tok", "[^a-z0-9]+", "").as("word"))
+      .select(expr("cast(conv(substring(md5(cast(word as binary)), 1," +
+        " 15), 16, 10) as bigint)").as("h"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    // the test corpus may hold fewer than k distinct hashes — then the
+    // sketch IS the exact distinct set and the estimate is its size
+    val kExp = math.min(64, hashes.length)
+    assert(kKept == kExp, s"k_kept=$kKept != $kExp")
+    assert(hK == hashes(kExp - 1),
+      s"h_k=$hK != brute-force ${hashes(kExp - 1)}")
+    // replay the estimator in exact BigInt arithmetic (63·2^60
+    // overflows Long — same reason the query widens to DECIMAL(38,0))
+    val expect =
+      if (kExp < 64) kExp.toLong
+      else (BigInt(63) * BigInt("1152921504606846976")
+        / BigInt(hashes(63))).toLong
+    assert(est == expect, s"est=$est mismatches replay $expect")
+    // (k-1)/h_k concentration: rse = 1/sqrt(k-1) ≈ 12.6%; 4σ bound
+    // (trivially tight when the sketch holds the whole distinct set)
+    assert(math.abs(est - exact).toDouble / exact < 0.5,
+      s"KMV est=$est vs exact=$exact outside 4σ")
+  }
+
+  test("KMV merge is lossless: shard union reproduces the direct sketch") {
+    val r = SparkEntry.queries("sketch_kmv_merge")(spark, sf()).head()
+    assert(r.getLong(0) == 4, "expected 4 doc-parity shards")
+    assert(r.getLong(2) > 0 && r.getLong(2) <= 64L,
+      s"merged k_kept=${r.getLong(2)} out of [1, 64]")
+    assert(r.getLong(6) == 1L,
+      s"merged h_k=${r.getLong(3)} != direct h_k=${r.getLong(4)}")
+  }
 }
