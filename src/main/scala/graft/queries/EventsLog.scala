@@ -1582,6 +1582,108 @@ object EventsLog {
         .orderBy($"event_type", $"lag")
     }),
 
+    // Exact Shapley-value channel attribution (Shapley 1953, the
+    // data-driven attribution standard) — "which touchpoint actually
+    // drives purchases": the characteristic function v(S) is the
+    // purchase-conversion rate of users whose exposure set is exactly
+    // S over the 4-channel alphabet {click, error, signup, view}, and
+    // each channel's credit is the exact Shapley average of its
+    // marginal contributions over all 2⁴ coalitions. Scale shape: ONE
+    // user-keyed agg folds the corpus to per-user (mask, converted),
+    // one mask agg folds that to ≤16 rows — every join after runs on
+    // the constant 16-mask × 4-channel lattice (broadcast; the
+    // non-equi mask-filter joins are allowlisted constant-size BNLJs).
+    // Float discipline: v(S) is the e6 exact-rational floor
+    // conv·10⁶ div users (unobserved coalitions: v = 0, the standard
+    // missing-coalition convention), the 4!-scaled weights
+    // {6, 2, 2, 6} are exact integers, so φ·24·10⁶ is an exact
+    // integer and the published value is its single float divide.
+    // Efficiency (Σφ = v(full) − v(∅)) holds exactly in integers —
+    // PipelineInvariantsSpec asserts it.
+    "log_shapley_attribution" -> ((s, d) => {
+      import s.implicits._
+      val users = t(s, d, "events").groupBy($"user_id").agg(
+        max(when($"event_type" === "click", 1L).otherwise(0L)).as("bc"),
+        max(when($"event_type" === "error", 1L).otherwise(0L)).as("be"),
+        max(when($"event_type" === "signup", 1L).otherwise(0L)).as("bs"),
+        max(when($"event_type" === "view", 1L).otherwise(0L)).as("bv"),
+        max(when($"event_type" === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+      val vstats = users
+        .select(($"bc" + $"be" * 2 + $"bs" * 4 + $"bv" * 8).as("mask"),
+          $"conv")
+        .groupBy($"mask")
+        .agg(count(lit(1)).as("n_users"), sum($"conv").as("n_conv"))
+      val v = s.range(16).select($"id".as("mask"))
+        .join(broadcast(vstats), Seq("mask"), "left_outer")
+        .select($"mask", coalesce(
+          expr("cast((n_conv * 1000000) div n_users as bigint)"),
+          lit(0L)).as("v_e6"))
+      val ch = s.range(1).select(explode(expr(
+        "array(named_struct('channel', 'click', 'bit', cast(1 as bigint))," +
+          " named_struct('channel', 'error', 'bit', cast(2 as bigint))," +
+          " named_struct('channel', 'signup', 'bit', cast(4 as bigint))," +
+          " named_struct('channel', 'view', 'bit', cast(8 as bigint)))"))
+        .as("c")).select($"c.channel", $"c.bit")
+      val v0 = v.select($"mask".as("m0"), $"v_e6".as("ve0"))
+      val v1 = v.select($"mask".as("m1"), $"v_e6".as("ve1"))
+      val phi = ch.join(broadcast(v0), expr("(m0 & bit) = 0"))
+        .join(broadcast(v1), expr("m1 = m0 + bit"))
+        .groupBy($"channel")
+        .agg(sum(expr("(case bit_count(m0) when 0 then 6 when 1 then 2" +
+          " when 2 then 2 else 6 end) * (ve1 - ve0)")).as("phi_int"))
+      val exposed = ch
+        .join(broadcast(vstats), expr("(mask & bit) != 0"))
+        .groupBy($"channel").agg(sum($"n_users").as("n_exposed"))
+      phi.join(exposed, Seq("channel"), "left_outer")
+        .select($"channel", coalesce($"n_exposed", lit(0L)).as("n_exposed"),
+          round($"phi_int".cast("double") / 24000000.0, 4).as("shapley"))
+        .orderBy($"channel")
+    }),
+
+    // Entropy rate of the event-type Markov chain — the compressibility
+    // / predictability number next to log_markov_stationary: per state,
+    // the conditional next-step entropy H_i = −Σ_j P_ij·log₂P_ij, and
+    // its occupancy-weighted contribution to the chain's plug-in
+    // entropy rate H = Σ_i p̂_i·H_i (p̂ = empirical share of
+    // transitions leaving i). A rate near log₂k says traffic order is
+    // noise; near 0 says sessions are scripted. All inputs are the
+    // bounded alphabet²-row transition frame; each entropy term is a
+    // function of exact integer (c, r, T) — identical doubles both
+    // engines — e10-quantized BEFORE summing, so the sums are exact
+    // and the published floats are single divides. The only broadcast
+    // is the 1-row total-transition count.
+    "log_entropy_rate" -> ((s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+        .select($"user_id", unix_micros($"ts").as("us"), $"event_id",
+          $"event_type")
+      val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+      val trans = ev
+        .withColumn("prev", lag($"event_type", 1).over(w))
+        .filter($"prev".isNotNull)
+        .groupBy($"prev".as("src"), $"event_type".as("dst"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("r", sum($"c").over(Window.partitionBy($"src")))
+      val tot = trans.agg(sum($"c").as("t"))
+      trans.crossJoin(broadcast(tot))
+        .select($"src", $"c", $"r", $"t",
+          expr("cast(round((cast(c as double) / r)" +
+            " * log2(cast(r as double) / c) * 1e10) as bigint)")
+            .as("h_e10"),
+          expr("cast(round((cast(c as double) / t)" +
+            " * log2(cast(r as double) / c) * 1e10) as bigint)")
+            .as("c_e10"))
+        .groupBy($"src")
+        .agg(max($"r").as("n_out"), max($"t").as("t"),
+          sum($"h_e10").as("he"), sum($"c_e10").as("ce"))
+        .select($"src".as("event_type"), $"n_out",
+          round($"n_out".cast("double") / $"t", 4).as("weight"),
+          round($"he".cast("double") / 1e10, 4).as("h_cond_bits"),
+          round($"ce".cast("double") / 1e10, 4).as("contrib_bits"))
+        .orderBy($"event_type")
+    }),
+
     // Sample-ratio-mismatch check — the FIRST thing to run before
     // trusting any A/B readout (log_ab_metrics / log_ab_cuped): if
     // the md5 variant split drifts from its designed 50/50 over the
@@ -2994,6 +3096,75 @@ object EventsLog {
         |    / CAST(CAST(d.den AS BIGINT) AS DOUBLE), 4) + 0.0 AS acf
         |FROM nm n JOIN dn d USING (event_type)
         |ORDER BY n.event_type, n.lag""".stripMargin,
+
+    "log_shapley_attribution" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS bc,
+        |    MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS be,
+        |    MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS bs,
+        |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS bv,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS conv
+        |  FROM events GROUP BY user_id),
+        |vs AS (
+        |  SELECT bc + be * 2 + bs * 4 + bv * 8 AS mask,
+        |    COUNT(*) AS n_users, CAST(SUM(conv) AS BIGINT) AS n_conv
+        |  FROM u GROUP BY 1),
+        |am AS (SELECT CAST(range AS BIGINT) AS mask FROM range(16)),
+        |v AS (
+        |  SELECT am.mask,
+        |    COALESCE((vs.n_conv * 1000000) // vs.n_users, 0) AS v_e6
+        |  FROM am LEFT JOIN vs USING (mask)),
+        |ch AS (SELECT * FROM (VALUES ('click', 1), ('error', 2),
+        |         ('signup', 4), ('view', 8)) AS t(channel, bit)),
+        |ph AS (
+        |  SELECT ch.channel,
+        |    CAST(SUM((CASE bit_count(v0.mask) WHEN 0 THEN 6 WHEN 1 THEN 2
+        |              WHEN 2 THEN 2 ELSE 6 END)
+        |      * (v1.v_e6 - v0.v_e6)) AS BIGINT) AS phi_int
+        |  FROM ch JOIN v v0 ON (v0.mask & ch.bit) = 0
+        |          JOIN v v1 ON v1.mask = v0.mask + ch.bit
+        |  GROUP BY ch.channel),
+        |ex AS (
+        |  SELECT ch.channel, CAST(SUM(vs.n_users) AS BIGINT) AS n_exposed
+        |  FROM ch JOIN vs ON (vs.mask & ch.bit) <> 0
+        |  GROUP BY ch.channel)
+        |SELECT p.channel, COALESCE(e.n_exposed, 0) AS n_exposed,
+        |  ROUND(CAST(p.phi_int AS DOUBLE) / 24000000.0, 4) + 0.0
+        |    AS shapley
+        |FROM ph p LEFT JOIN ex e USING (channel)
+        |ORDER BY p.channel""".stripMargin,
+
+    "log_entropy_rate" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY epoch_us(ts), event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT prev AS src, event_type AS dst, COUNT(*) AS c
+        |      FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |cr AS (SELECT src, dst, c,
+        |         CAST(SUM(c) OVER (PARTITION BY src) AS BIGINT) AS r
+        |       FROM c),
+        |tt AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM c),
+        |terms AS (
+        |  SELECT src, r, t,
+        |    CAST(ROUND((CAST(c AS DOUBLE) / r)
+        |      * log2(CAST(r AS DOUBLE) / c) * 1e10) AS BIGINT) AS h_e10,
+        |    CAST(ROUND((CAST(c AS DOUBLE) / t)
+        |      * log2(CAST(r AS DOUBLE) / c) * 1e10) AS BIGINT) AS c_e10
+        |  FROM cr, tt),
+        |g AS (
+        |  SELECT src, MAX(r) AS n_out, MAX(t) AS t,
+        |    CAST(SUM(h_e10) AS BIGINT) AS he,
+        |    CAST(SUM(c_e10) AS BIGINT) AS ce
+        |  FROM terms GROUP BY src)
+        |SELECT src AS event_type, n_out,
+        |  ROUND(CAST(n_out AS DOUBLE) / t, 4) AS weight,
+        |  ROUND(CAST(he AS DOUBLE) / 1e10, 4) + 0.0 AS h_cond_bits,
+        |  ROUND(CAST(ce AS DOUBLE) / 1e10, 4) + 0.0 AS contrib_bits
+        |FROM g ORDER BY event_type""".stripMargin,
 
     "log_ab_srm_check" ->
       """WITH u AS (

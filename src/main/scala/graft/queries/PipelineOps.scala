@@ -276,6 +276,47 @@ object PipelineOps {
         .orderBy($"n_tokens".desc, $"doc_id")
     }),
 
+    // Content-defined chunking (the rsync/LBFS rolling-cut family) —
+    // the dedup-stable alternative to doc_chunks' fixed windows: a cut
+    // lands after position i whenever the hash of the trailing 8-char
+    // window ≡ 0 (mod 64), so an edit only re-chunks its neighborhood
+    // (expected chunk ≈ 64 chars) instead of shifting every downstream
+    // fixed window — THE property chunk-level dedup at 100 TB needs.
+    // The window hash is the house md5-window integer (8 hex digits),
+    // per-position in-row (one narrow explode, no shuffle until the
+    // per-doc stats agg); boundary survivors are ~len/64 rows and the
+    // gap windows are doc-bounded. A sentinel cut at len closes the
+    // final partial chunk; docs shorter than the 8-char window emit
+    // one whole-doc chunk through the same sentinel path.
+    "doc_cdc_chunks" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+        .select($"doc_id", $"text", length($"text").cast("long").as("len"))
+      val bpos = docs.filter($"len" >= 8)
+        .select($"doc_id", $"text",
+          explode(expr("sequence(8, len)")).as("i"))
+        .filter(expr("cast(conv(substring(md5(cast(substring(text," +
+          " cast(i - 7 as int), 8) as binary)), 1, 8), 16, 10)" +
+          " as bigint) % 64 = 0"))
+        .select($"doc_id", $"i")
+      val bounds = bpos
+        .union(docs.select($"doc_id", $"len".as("i")))
+        .distinct()
+      val wd = Window.partitionBy($"doc_id").orderBy($"i")
+      bounds
+        .withColumn("prev", coalesce(lag($"i", 1).over(wd), lit(0L)))
+        .select($"doc_id", ($"i" - $"prev").as("clen"))
+        .filter($"clen" > 0)
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_chunks"), sum($"clen").as("sum_len"),
+          max($"clen").as("max_len"), min($"clen").as("min_len"))
+        .select($"doc_id", $"n_chunks",
+          round($"sum_len".cast("double") / $"n_chunks", 4).as("avg_len"),
+          $"max_len", $"min_len")
+        .orderBy($"doc_id")
+    }),
+
     // Fixed-window chunking: 50-token chunks on a 40-token stride (10
     // tokens of overlap), the standard pre-tokenization shard prep.
     // Chunk starts explode from an in-row `sequence` — one narrow map
@@ -1771,6 +1812,29 @@ object PipelineOps {
         |  WHERE m2.a >= m1.a AND m2.b >= m1.b
         |    AND (m2.a > m1.a OR m2.b > m1.b))
         |ORDER BY n_tokens DESC, m1.doc_id""".stripMargin,
+
+    "doc_cdc_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, CAST(LENGTH(text) AS BIGINT) AS len
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, i FROM (
+        |    SELECT doc_id, text, unnest(range(8, len + 1)) AS i
+        |    FROM d WHERE len >= 8)
+        |  WHERE ('0x' || substring(md5(substring(text,
+        |      CAST(i - 7 AS INTEGER), 8)), 1, 8))::BIGINT % 64 = 0),
+        |b AS (SELECT doc_id, i FROM pos
+        |      UNION SELECT doc_id, len FROM d),
+        |ck AS (
+        |  SELECT doc_id, i - COALESCE(LAG(i) OVER (PARTITION BY doc_id
+        |    ORDER BY i), 0) AS clen
+        |  FROM b),
+        |f AS (SELECT doc_id, clen FROM ck WHERE clen > 0)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |  ROUND(CAST(SUM(clen) AS DOUBLE) / COUNT(*), 4) AS avg_len,
+        |  CAST(MAX(clen) AS BIGINT) AS max_len,
+        |  CAST(MIN(clen) AS BIGINT) AS min_len
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "doc_chunks" ->
       s"""WITH d AS (

@@ -768,6 +768,45 @@ object Similarity {
         .orderBy($"k_occ")
     }),
 
+    // TwoNN intrinsic-dimension estimate (Facco et al. 2017) — the
+    // manifold-dimension number that tells you whether a 64-d
+    // embedding space is really using its dimensions (ID ≈ d) or the
+    // data lives on a thin sheet (ID ≪ d, so PQ/IVF budgets and
+    // recall targets can relax): from each vector's two nearest
+    // neighbors, μ = d₂/d₁, and the MLE is ID = n / Σ ln μ. Distances
+    // are the ALREADY-QUANTIZED e4 cosine distances off the shared
+    // LSH-cell candidate pairs (d_e4 = 10⁴ − round(sim·10⁴) — exact
+    // integers, so the μ ratios are ratios of integers and each ln μ
+    // is an identical double both engines, e6-quantized before the
+    // sum). Points with a zero first distance (exact duplicates) or a
+    // tied second (μ = 1 carries no signal) are discarded, as in the
+    // paper. Neighbor search stays candidate-bounded (the
+    // sim_mutual_knn discipline): per-src windows over cell pairs,
+    // never all-pairs.
+    "sim_twonn_id" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val pairs = cellPairs(s, d)
+      val sims = pairs.select($"va".as("src"), $"vb".as("dst"), $"sim")
+        .union(pairs.select($"vb".as("src"), $"va".as("dst"), $"sim"))
+        .select($"src", $"dst",
+          (lit(10000L) - expr("cast(round(sim * 1e4) as bigint)"))
+            .as("de4"))
+      val w = Window.partitionBy($"src").orderBy($"de4".asc, $"dst".asc)
+      val nn = sims.withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 2)
+        .groupBy($"src")
+        .agg(min(when($"rk" === 1, $"de4")).as("d1"),
+          min(when($"rk" === 2, $"de4")).as("d2"))
+        .filter($"d1" > 0 && $"d2".isNotNull && $"d2" > $"d1")
+        .select(expr("cast(round(ln(cast(d2 as double)" +
+          " / cast(d1 as double)) * 1e6) as bigint)").as("lnmu"))
+      nn.agg(count(lit(1)).as("n_used"), sum($"lnmu").as("se6"))
+        .select($"n_used",
+          ($"se6".cast("double") / 1e6).as("sum_ln_mu"),
+          round($"n_used".cast("double") * 1e6 / $"se6", 4).as("id_est"))
+    }),
+
     // Energy distance (Székely & Rizzo) between two embedding
     // populations — the distribution-level two-sample drift test the
     // per-dimension sim_dim_profile can't do (it misses correlation
@@ -2448,6 +2487,31 @@ object Similarity {
         |SELECT k_occ, COUNT(*) AS n_vecs,
         |  ROUND(CAST(COUNT(*) AS DOUBLE) / n, 4) AS share
         |FROM f, n GROUP BY k_occ, n ORDER BY k_occ""".stripMargin),
+
+    "sim_twonn_id" -> (cellPairsCte +
+      """,
+        |s AS (SELECT va AS src, vb AS dst, sim FROM p
+        |      UNION ALL SELECT vb, va, sim FROM p),
+        |dd AS (SELECT src, dst,
+        |         10000 - CAST(ROUND(sim * 1e4) AS BIGINT) AS de4
+        |       FROM s),
+        |k2 AS (SELECT src, de4,
+        |         ROW_NUMBER() OVER (PARTITION BY src
+        |                            ORDER BY de4, dst) AS rk
+        |       FROM dd),
+        |nn AS (SELECT src,
+        |         MIN(CASE WHEN rk = 1 THEN de4 END) AS d1,
+        |         MIN(CASE WHEN rk = 2 THEN de4 END) AS d2
+        |       FROM k2 WHERE rk <= 2 GROUP BY src),
+        |mu AS (SELECT CAST(ROUND(ln(CAST(d2 AS DOUBLE)
+        |           / CAST(d1 AS DOUBLE)) * 1e6) AS BIGINT) AS lnmu
+        |       FROM nn
+        |       WHERE d1 > 0 AND d2 IS NOT NULL AND d2 > d1),
+        |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_used,
+        |        CAST(SUM(lnmu) AS BIGINT) AS se6 FROM mu)
+        |SELECT n_used, CAST(se6 AS DOUBLE) / 1e6 AS sum_ln_mu,
+        |  ROUND(CAST(n_used AS DOUBLE) * 1e6 / se6, 4) + 0.0 AS id_est
+        |FROM g""".stripMargin),
 
     "sim_mutual_knn" -> (cellPairsCte +
       """,

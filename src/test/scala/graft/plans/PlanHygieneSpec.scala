@@ -136,6 +136,10 @@ class PlanHygieneSpec extends SparkSpec {
     "log_seasonality_profile", // 1-row (total, cells) scalar
     "log_user_gini",         // 1-row (n_users, total_events) scalar
     "doc_novelty_curve",     // 1-row max-doc-id batch-cut scalar
+    "log_shapley_attribution", // constant 16-mask × 4-channel lattice
+                             // (non-equi mask-filter joins; size fixed
+                             // by the alphabet at any corpus scale)
+    "log_entropy_rate",      // 1-row total-transition-count scalar
     "sketch_kmv",            // 1-row exact-distinct scalar broadcast
     "sketch_kmv_merge",      // 1-row direct-sketch + shard-count scalars
     "pqIndex (raw build)",   // 1-row codebook (the materialized index build)

@@ -730,4 +730,36 @@ class AnnInvariantsSpec extends SparkSpec {
         s"$pair: estimator formula diverges")
     }
   }
+
+  test("sim_twonn_id replays from the candidate pairs on the driver") {
+    val r = SparkEntry.queries("sim_twonn_id")(spark, sf()).head()
+    val (nUsed, sumLnMu, idEst) =
+      (r.getLong(0), r.getDouble(1), r.getDouble(2))
+    // driver replay off the same shared candidate pairs: per src the
+    // two smallest e4 cosine distances (ties broken by dst, as in the
+    // window), drop duplicate-d1 and tied-d2 points, MLE over ln mu
+    val pairs = Similarity.cellPairs(spark, sf()).collect()
+      .map(p => (p.getLong(1), p.getLong(2), p.getDouble(3)))
+    val sims = pairs.flatMap { case (a, b, s) =>
+      Seq((a, b, s), (b, a, s))
+    }
+    val lnmus = sims.groupBy(_._1).values.flatMap { rows =>
+      val ds = rows.toSeq
+        .map(t => (10000L - math.round(t._3 * 1e4), t._2))
+        .sortBy(identity).take(2)
+      ds match {
+        case Seq((d1, _), (d2, _)) if d1 > 0 && d2 > d1 =>
+          Some(math.round(math.log(d2.toDouble / d1.toDouble) * 1e6))
+        case _ => None
+      }
+    }.toSeq
+    assert(nUsed == lnmus.length.toLong,
+      s"n_used=$nUsed != replay ${lnmus.length}")
+    assert(math.abs(sumLnMu - lnmus.sum / 1e6) < 1e-9)
+    assert(idEst ==
+      BigDecimal(nUsed.toDouble * 1e6 / lnmus.sum.toDouble)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      "id_est diverges from the MLE replay")
+    assert(idEst > 0 && idEst < 200, s"implausible intrinsic dim $idEst")
+  }
 }

@@ -2490,4 +2490,91 @@ class PipelineInvariantsSpec extends SparkSpec {
     // natural-ish text grows sublinearly but keeps minting new types
     assert(beta > 0.0 && beta < 1.0, s"heaps beta=$beta out of range")
   }
+
+  test("Shapley attribution satisfies efficiency: sum phi = v(N) - v(0)") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("log_shapley_attribution")(spark, sf())
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq.sorted ==
+      Seq("click", "error", "signup", "view"))
+    val phiSum = rows.map(_.getDouble(2)).sum
+    // replay v(full) and v(empty) as the query defines them (e6
+    // exact-rational floors; unobserved coalition -> 0)
+    val masks = t(spark, sf(), "events").groupBy($"user_id").agg(
+        max(when($"event_type" === "click", 1L).otherwise(0L)).as("bc"),
+        max(when($"event_type" === "error", 1L).otherwise(0L)).as("be"),
+        max(when($"event_type" === "signup", 1L).otherwise(0L)).as("bs"),
+        max(when($"event_type" === "view", 1L).otherwise(0L)).as("bv"),
+        max(when($"event_type" === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+      .select(($"bc" + $"be" * 2 + $"bs" * 4 + $"bv" * 8).as("mask"),
+        $"conv")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def vE6(mask: Long): Long = {
+      val g = masks.filter(_._1 == mask)
+      if (g.isEmpty) 0L else g.map(_._2).sum * 1000000L / g.length
+    }
+    val expect = (vE6(15) - vE6(0)).toDouble / 1e6
+    // each of the 4 published values is rounded at 4 dp -> 2e-4 slack
+    assert(math.abs(phiSum - expect) < 2e-4,
+      s"efficiency violated: sum=$phiSum expected=$expect")
+  }
+
+  test("entropy rate: weights sum to 1 and H_i bounded by log2(k)") {
+    val rows = SparkEntry.queries("log_entropy_rate")(spark, sf())
+      .collect()
+    val k = rows.length
+    assert(k >= 2, "degenerate chain")
+    val wsum = rows.map(_.getDouble(2)).sum
+    assert(math.abs(wsum - 1.0) < k * 1e-4, s"weights sum to $wsum")
+    rows.foreach { r =>
+      val (h, c) = (r.getDouble(3), r.getDouble(4))
+      assert(h >= 0.0 && h <= math.log(k.toDouble) / math.log(2.0) + 1e-9,
+        s"${r.getString(0)}: H_i=$h outside [0, log2($k)]")
+      // contribution is the occupancy-weighted slice of H_i
+      assert(c >= 0.0 && c <= h + 1e-9,
+        s"${r.getString(0)}: contrib=$c exceeds H_i=$h")
+    }
+  }
+
+  test("doc_cdc_chunks conserves chars; cuts are edit-stable") {
+    import spark.implicits._
+    val stats = SparkEntry.queries("doc_cdc_chunks")(spark, sf())
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val lens = t(spark, sf(), "documents")
+      .select($"doc_id", length($"text").cast("long").as("len"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    lens.filter(_._2 > 0).foreach { case (id, len) =>
+      val (n, avg) = stats(id)
+      // avg_len is rounded at 4 dp, so n*avg recovers len within n*5e-5
+      assert(math.abs(n * avg - len) < 0.5 + n * 5e-5,
+        s"doc $id: $n chunks x avg $avg != len $len")
+    }
+
+    // THE content-defined property: prepending a prefix shifts every
+    // boundary whose 8-char window lies past the edit — cuts do not
+    // cascade the way fixed-stride windows do. Pure-Scala replay of
+    // the window hash on a real doc.
+    def boundaries(text: String): Set[Int] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (8 to text.length).filter { i =>
+        val win = text.substring(i - 8, i)
+        val hex = md.digest(win.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(8)
+        java.lang.Long.parseLong(hex, 16) % 64 == 0
+      }.toSet
+    }
+    val sample = t(spark, sf(), "documents")
+      .filter(length($"text") >= 200)
+      .orderBy($"doc_id").select($"text").head().getString(0)
+    val prefix = "xyzzy "
+    val orig = boundaries(sample)
+    val shifted = boundaries(prefix + sample)
+    assert(orig.nonEmpty, "degenerate: no cuts in the sample doc")
+    orig.foreach { b =>
+      assert(shifted.contains(b + prefix.length),
+        s"cut at $b did not survive the prefix edit")
+    }
+  }
 }
