@@ -67,7 +67,7 @@ object Dedup {
       .select(($"doc_id" +: sigCols): _*)
   }
 
-  private def shinglesSql(k: Int, alias: String): String = {
+  private[queries] def shinglesSql(k: Int, alias: String): String = {
     val cat = (0 until k).map(j => s"toks[i + $j]").mkString(" || ' ' || ")
     s"""$alias AS (
        |  SELECT DISTINCT doc_id, $cat AS shingle

@@ -1684,6 +1684,164 @@ object EventsLog {
         .orderBy($"event_type")
     }),
 
+    // A/B power analysis — the THIRD leg of the experimentation
+    // toolkit (srm_check: is the split valid; ab_metrics/cuped: what
+    // moved; THIS: what COULD we even detect): per metric (conversion,
+    // purchases/user, revenue/user) the pooled-variance minimum
+    // detectable effect at α=0.05 / 80% power (z-sum 2.8016) for the
+    // CURRENT arm sizes, and the per-arm n needed to detect a 10%
+    // lift. All statistical inputs are exact integers (n, Σx, Σx² per
+    // arm — revenue in DECIMAL(18,2) cents, squares widened to
+    // DECIMAL(38,0)), so every published float is the same IEEE chain
+    // over identical operands in both engines. Scale shape: the
+    // variant is a per-row hash projection and the whole analysis is
+    // ONE user-keyed agg + one 3-metric agg — the final formula rows
+    // are a 1-row frame.
+    "log_power_analysis" -> ((s, d) => {
+      import s.implicits._
+      val u = t(s, d, "events")
+        .groupBy($"user_id")
+        .agg(max(when($"event_type" === "purchase", 1L).otherwise(0L))
+            .as("conv"),
+          sum(when($"event_type" === "purchase", 1L).otherwise(0L))
+            .as("np"),
+          sum(when($"event_type" === "purchase",
+            ($"value".cast(DecimalType(18, 2)) * 100).cast("long"))
+            .otherwise(0L)).as("rev_c"))
+        .withColumn("variant", variantCol)
+      val m = u.select($"variant", explode(array(
+          struct(lit("conversion").as("metric"), $"conv".as("x"),
+            lit(1L).as("scale")),
+          struct(lit("purchases").as("metric"), $"np".as("x"),
+            lit(1L).as("scale")),
+          struct(lit("revenue").as("metric"), $"rev_c".as("x"),
+            lit(100L).as("scale")))).as("e"))
+        .select($"e.metric", $"e.x", $"e.scale", $"variant")
+      val g = m.groupBy($"metric")
+        .agg(max($"scale").as("scale"),
+          sum(when($"variant" === "A", 1L).otherwise(0L)).as("n_a"),
+          sum(when($"variant" === "B", 1L).otherwise(0L)).as("n_b"),
+          sum(when($"variant" === "A", $"x").otherwise(0L)).as("sa"),
+          sum(when($"variant" === "B", $"x").otherwise(0L)).as("sb"),
+          sum(when($"variant" === "A",
+            expr("cast(x as decimal(38,0)) * x"))
+            .otherwise(expr("cast(0 as decimal(38,0))"))).as("ssa"),
+          sum(when($"variant" === "B",
+            expr("cast(x as decimal(38,0)) * x"))
+            .otherwise(expr("cast(0 as decimal(38,0))"))).as("ssb"))
+      g.selectExpr("metric", "n_a", "n_b",
+          "(cast(ssa as double) - cast(sa as double) * cast(sa as double)"
+            + " / n_a + cast(ssb as double)"
+            + " - cast(sb as double) * cast(sb as double) / n_b)"
+            + " / (n_a + n_b - 2) as sp2",
+          "cast(sa as double) / n_a as ma", "scale")
+        .selectExpr("metric", "n_a", "n_b",
+          "round(ma / scale, 4) as mean_a",
+          "round(sqrt(sp2) / scale, 4) as sd_pooled",
+          "round(2.8016 * sqrt(sp2 * (1.0 / n_a + 1.0 / n_b))"
+            + " / scale, 4) as mde_abs",
+          "case when ma = 0 then null else"
+            + " round(2.8016 * sqrt(sp2 * (1.0 / n_a + 1.0 / n_b))"
+            + " / ma, 4) end as mde_rel",
+          "case when ma = 0 then null else"
+            + " cast(ceil(2.0 * sp2 * (2.8016 * 2.8016)"
+            + " / ((0.1 * ma) * (0.1 * ma))) as bigint)"
+            + " end as n_per_arm_10lift")
+        .orderBy($"metric")
+    }),
+
+    // Markov removal-effect attribution (the data-driven multi-touch
+    // standard next to the exact-Shapley readout): user paths run
+    // START → events → CONV at the first purchase (or NULL at path
+    // end), a first-order chain is fit on the transition counts, and
+    // each channel's removal effect is 1 − P_removed/P_full where
+    // removing a channel redirects its incoming transitions to NULL.
+    // Absorption probabilities come from 14 integer power iterations
+    // (the log_markov_stationary discipline: v is an e12 INTEGER
+    // vector, per-row floors v·c div r — both engines replay the
+    // truncated-path recursion exactly; the oracle is 14 unrolled
+    // CTEs because DuckDB forbids aggregates in recursive arms).
+    // Scale shape: path edges are one user-keyed window pass; the
+    // chain lives on the bounded type alphabet, so every iteration
+    // and the 5-variant removal lattice are constant-size frames
+    // (allowlisted broadcasts).
+    "log_removal_effect" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, d, "events")
+        .select($"user_id", unix_micros($"ts").as("us"), $"event_id",
+          $"event_type")
+      val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+      val seq0 = ev.withColumn("rn", row_number().over(w))
+        .withColumn("fp", min(when($"event_type" === "purchase", $"rn"))
+          .over(Window.partitionBy($"user_id")))
+        .filter($"fp".isNull || $"rn" <= $"fp")
+        .withColumn("node", when($"event_type" === "purchase", "CONV")
+          .otherwise($"event_type"))
+      val wr = Window.partitionBy($"user_id").orderBy($"rn")
+      val steps = seq0
+        .withColumn("prev", coalesce(lag($"node", 1).over(wr),
+          lit("START")))
+        .select($"prev".as("src"), $"node".as("dst"))
+      val term = seq0.filter($"fp".isNull)
+        .withColumn("mx", max($"rn")
+          .over(Window.partitionBy($"user_id")))
+        .filter($"rn" === $"mx")
+        .select($"node".as("src"), lit("NULL").as("dst"))
+      val trans = steps.union(term)
+        .groupBy($"src", $"dst").agg(count(lit(1)).as("c"))
+        .withColumn("r", sum($"c").over(Window.partitionBy($"src")))
+        .localCheckpoint()
+      val variants = trans.select($"src").distinct()
+        .filter($"src" =!= "START")
+        .select($"src".as("variant"))
+        .union(s.range(1).select(lit("full").as("variant")))
+        .localCheckpoint()
+      val vt = variants.crossJoin(trans)
+        .filter($"variant" === "full" || $"src" =!= $"variant")
+        .select($"variant", $"src",
+          when($"variant" =!= "full" && $"dst" === $"variant", "NULL")
+            .otherwise($"dst").as("dst"), $"c", $"r")
+        .localCheckpoint()
+      val pinned = variants.select($"variant", lit("CONV").as("node"),
+        lit(1000000000000L).as("v_e12"))
+      var v = pinned.localCheckpoint()
+      for (_ <- 1 to 14) {
+        v = vt.join(
+            v.select($"variant", $"node".as("dst"), $"v_e12"),
+            Seq("variant", "dst"), "left_outer")
+          .groupBy($"variant", $"src")
+          // DECIMAL(38,0): v·c overflows int64 at cluster-scale counts
+          .agg(sum(expr("cast(coalesce(v_e12, 0) as decimal(38,0))" +
+            " * c div r")).as("v_e12"))
+          .select($"variant", $"src".as("node"), $"v_e12")
+          .union(pinned)
+          .localCheckpoint()
+      }
+      val pf = v.filter($"node" === "START")
+        .select($"variant", $"v_e12".as("p_e12"))
+      val rem = pf.filter($"variant" =!= "full")
+        .crossJoin(broadcast(pf.filter($"variant" === "full")
+          .select($"p_e12".as("pf_e12"))))
+        .select($"variant".as("channel"),
+          greatest(lit(0L), $"pf_e12" - $"p_e12").as("re_e12"),
+          $"pf_e12", $"p_e12")
+      val tot = rem.agg(sum($"re_e12").as("sum_re"))
+      rem.crossJoin(broadcast(tot))
+        .select($"channel",
+          round($"pf_e12".cast("double") / 1e12, 6).as("conv_full"),
+          round($"p_e12".cast("double") / 1e12, 6).as("conv_removed"),
+          when($"pf_e12" > 0, round(
+            expr("cast(cast(re_e12 as decimal(38,0)) * 1000000" +
+              " div pf_e12 as bigint)").cast("double") / 1e6, 4))
+            .as("removal_effect"),
+          when($"sum_re" > 0, round(
+            expr("cast(cast(re_e12 as decimal(38,0)) * 1000000" +
+              " div sum_re as bigint)").cast("double") / 1e6, 4))
+            .as("share"))
+        .orderBy($"channel")
+    }),
+
     // Sample-ratio-mismatch check — the FIRST thing to run before
     // trusting any A/B readout (log_ab_metrics / log_ab_cuped): if
     // the md5 variant split drifts from its designed 50/50 over the
@@ -3165,6 +3323,148 @@ object EventsLog {
         |  ROUND(CAST(he AS DOUBLE) / 1e10, 4) + 0.0 AS h_cond_bits,
         |  ROUND(CAST(ce AS DOUBLE) / 1e10, 4) + 0.0 AS contrib_bits
         |FROM g ORDER BY event_type""".stripMargin,
+
+    "log_power_analysis" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS conv,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS np,
+        |    SUM(CASE WHEN event_type = 'purchase'
+        |        THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |        ELSE 0 END) AS rev_c
+        |  FROM events GROUP BY user_id),
+        |uv AS (
+        |  SELECT CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+        |              IN ('0','1','2','3','4','5','6','7')
+        |         THEN 'A' ELSE 'B' END AS variant, conv, np, rev_c
+        |  FROM u),
+        |m AS (
+        |  SELECT variant, 'conversion' AS metric, conv AS x, 1 AS scale
+        |  FROM uv
+        |  UNION ALL SELECT variant, 'purchases', np, 1 FROM uv
+        |  UNION ALL SELECT variant, 'revenue', rev_c, 100 FROM uv),
+        |g AS (
+        |  SELECT metric, MAX(scale) AS scale,
+        |    CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN variant = 'A' THEN x ELSE 0 END)
+        |      AS BIGINT) AS sa,
+        |    CAST(SUM(CASE WHEN variant = 'B' THEN x ELSE 0 END)
+        |      AS BIGINT) AS sb,
+        |    SUM(CASE WHEN variant = 'A' THEN CAST(x AS HUGEINT) * x
+        |        ELSE 0 END) AS ssa,
+        |    SUM(CASE WHEN variant = 'B' THEN CAST(x AS HUGEINT) * x
+        |        ELSE 0 END) AS ssb
+        |  FROM m GROUP BY metric),
+        |f AS (
+        |  SELECT metric, n_a, n_b, scale,
+        |    (CAST(ssa AS DOUBLE)
+        |     - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / n_a
+        |     + CAST(ssb AS DOUBLE)
+        |     - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / n_b)
+        |    / (n_a + n_b - 2) AS sp2,
+        |    CAST(sa AS DOUBLE) / n_a AS ma
+        |  FROM g)
+        |SELECT metric, n_a, n_b,
+        |  ROUND(ma / scale, 4) AS mean_a,
+        |  ROUND(sqrt(sp2) / scale, 4) AS sd_pooled,
+        |  ROUND(2.8016 * sqrt(sp2 * (1.0 / n_a + 1.0 / n_b)) / scale,
+        |    4) AS mde_abs,
+        |  CASE WHEN ma = 0 THEN NULL ELSE
+        |    ROUND(2.8016 * sqrt(sp2 * (1.0 / n_a + 1.0 / n_b)) / ma,
+        |      4) END AS mde_rel,
+        |  CASE WHEN ma = 0 THEN NULL ELSE
+        |    CAST(ceil(2.0 * sp2 * (2.8016 * 2.8016)
+        |      / ((0.1 * ma) * (0.1 * ma))) AS BIGINT) END
+        |    AS n_per_arm_10lift
+        |FROM f ORDER BY metric""".stripMargin,
+
+    "log_removal_effect" -> {
+      val iters = (1 to 14).map { i =>
+        s"""v$i AS (
+           |  SELECT variant, node, v_e12 FROM (
+           |    SELECT t.variant, t.src AS node,
+           |      CAST(SUM((CAST(COALESCE(p.v_e12, 0) AS HUGEINT) * t.c)
+           |        // t.r) AS BIGINT) AS v_e12
+           |    FROM vt t LEFT JOIN v${i - 1} p
+           |      ON p.variant = t.variant AND p.node = t.dst
+           |    GROUP BY t.variant, t.src)
+           |  UNION ALL
+           |  SELECT variant, 'CONV', CAST(1000000000000 AS BIGINT)
+           |  FROM vars)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ev AS (
+         |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+         |  FROM events),
+         |o AS (
+         |  SELECT user_id, event_type, ROW_NUMBER() OVER (
+         |    PARTITION BY user_id ORDER BY us, event_id) AS rn
+         |  FROM ev),
+         |sq AS (
+         |  SELECT user_id, rn,
+         |    CASE WHEN event_type = 'purchase' THEN 'CONV'
+         |         ELSE event_type END AS node,
+         |    MIN(CASE WHEN event_type = 'purchase' THEN rn END)
+         |      OVER (PARTITION BY user_id) AS fp
+         |  FROM o),
+         |kept AS (SELECT user_id, rn, node, fp FROM sq
+         |         WHERE fp IS NULL OR rn <= fp),
+         |st AS (
+         |  SELECT COALESCE(LAG(node) OVER (PARTITION BY user_id
+         |    ORDER BY rn), 'START') AS src, node AS dst
+         |  FROM kept),
+         |tm AS (
+         |  SELECT node AS src, 'NULL' AS dst FROM (
+         |    SELECT node, rn, fp,
+         |      MAX(rn) OVER (PARTITION BY user_id) AS mx
+         |    FROM kept)
+         |  WHERE fp IS NULL AND rn = mx),
+         |ed AS (SELECT src, dst FROM st
+         |       UNION ALL SELECT src, dst FROM tm),
+         |tr AS (SELECT src, dst, COUNT(*) AS c FROM ed GROUP BY 1, 2),
+         |tr2 AS (SELECT src, dst, c,
+         |          CAST(SUM(c) OVER (PARTITION BY src) AS BIGINT) AS r
+         |        FROM tr),
+         |vars AS MATERIALIZED (
+         |  SELECT DISTINCT src AS variant FROM tr2 WHERE src <> 'START'
+         |  UNION ALL SELECT 'full'),
+         |vt AS MATERIALIZED (
+         |  SELECT v.variant, t.src,
+         |    CASE WHEN v.variant <> 'full' AND t.dst = v.variant
+         |         THEN 'NULL' ELSE t.dst END AS dst,
+         |    t.c, t.r
+         |  FROM vars v, tr2 t
+         |  WHERE v.variant = 'full' OR t.src <> v.variant),
+         |v0 AS (
+         |  SELECT variant, 'CONV' AS node,
+         |    CAST(1000000000000 AS BIGINT) AS v_e12
+         |  FROM vars),
+         |$iters,
+         |pf AS (SELECT variant, v_e12 AS p_e12 FROM v14
+         |       WHERE node = 'START'),
+         |fl AS (SELECT p_e12 AS pf_e12 FROM pf WHERE variant = 'full'),
+         |rem AS (
+         |  SELECT p.variant AS channel,
+         |    GREATEST(0, f.pf_e12 - p.p_e12) AS re_e12,
+         |    f.pf_e12, p.p_e12
+         |  FROM pf p, fl f WHERE p.variant <> 'full'),
+         |tt AS (SELECT CAST(SUM(re_e12) AS BIGINT) AS sum_re FROM rem)
+         |SELECT channel,
+         |  ROUND(CAST(pf_e12 AS DOUBLE) / 1e12, 6) AS conv_full,
+         |  ROUND(CAST(p_e12 AS DOUBLE) / 1e12, 6) AS conv_removed,
+         |  CASE WHEN pf_e12 > 0 THEN
+         |    ROUND(CAST(CAST((CAST(re_e12 AS HUGEINT) * 1000000)
+         |      // pf_e12 AS BIGINT) AS DOUBLE) / 1e6, 4) END
+         |    AS removal_effect,
+         |  CASE WHEN sum_re > 0 THEN
+         |    ROUND(CAST(CAST((CAST(re_e12 AS HUGEINT) * 1000000)
+         |      // sum_re AS BIGINT) AS DOUBLE) / 1e6, 4) END AS share
+         |FROM rem, tt ORDER BY channel""".stripMargin
+    },
 
     "log_ab_srm_check" ->
       """WITH u AS (

@@ -317,6 +317,64 @@ object PipelineOps {
         .orderBy($"doc_id")
     }),
 
+    // Chunk-level dedup over the content-defined chunks — what
+    // doc_cdc_chunks' cut stability is FOR: hash every CDC chunk
+    // (60-bit md5, the kmv width) and measure how many chunk
+    // instances repeat corpus-wide — per-source duplicated-byte share
+    // plus the corpus dedup savings Σ_h (cnt_h − 1)·len_h / Σ bytes,
+    // the number a chunk-store would actually reclaim. Scale shape:
+    // chunk rows are boundary-bounded (~len/64 per doc), the ONE real
+    // shuffle is the chunk-hash agg (the dedup shuffle itself), and
+    // the per-source rollup joins chunk rows to the ≤|hashes| count
+    // frame on the same key. The 1-row corpus-savings scalar is a
+    // broadcast. Identical-hash chunks have identical text, so
+    // max(clen) per hash is THE chunk length, not an approximation.
+    "doc_cdc_dedup" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+        .select($"doc_id", $"source", $"text",
+          length($"text").cast("long").as("len"))
+        .filter($"len" > 0)
+      val bpos = docs.filter($"len" >= 8)
+        .select($"doc_id", $"text",
+          explode(expr("sequence(8, len)")).as("i"))
+        .filter(expr("cast(conv(substring(md5(cast(substring(text," +
+          " cast(i - 7 as int), 8) as binary)), 1, 8), 16, 10)" +
+          " as bigint) % 64 = 0"))
+        .select($"doc_id", $"i")
+      val bounds = bpos
+        .union(docs.select($"doc_id", $"len".as("i")))
+        .distinct()
+      val wd = Window.partitionBy($"doc_id").orderBy($"i")
+      val chunks = bounds
+        .withColumn("prev", coalesce(lag($"i", 1).over(wd), lit(0L)))
+        .filter($"i" > $"prev")
+        .join(docs.select($"doc_id", $"source", $"text"), Seq("doc_id"))
+        .select($"doc_id", $"source", ($"i" - $"prev").as("clen"),
+          expr("cast(conv(substring(md5(cast(substring(text," +
+            " cast(prev + 1 as int), cast(i - prev as int)) as binary))," +
+            " 1, 15), 16, 10) as bigint)").as("chash"))
+      val freq = chunks.groupBy($"chash")
+        .agg(count(lit(1)).as("cnt"), max($"clen").as("clen1"))
+      val global = freq
+        .agg(sum($"cnt" * $"clen1").as("ba"),
+          sum(($"cnt" - 1) * $"clen1").as("bd"))
+        .select(round($"bd".cast("double") / $"ba", 4)
+          .as("global_savings_share"))
+      chunks.join(freq.select($"chash", $"cnt"), "chash")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_chunks"), sum($"clen").as("bytes"),
+          sum(when($"cnt" > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+          sum(when($"cnt" > 1, $"clen").otherwise(0L)).as("dup_bytes"))
+        .crossJoin(broadcast(global))
+        .select($"source", $"n_chunks", $"bytes", $"n_dup_chunks",
+          round($"dup_bytes".cast("double") / $"bytes", 4)
+            .as("dup_byte_share"),
+          $"global_savings_share")
+        .orderBy($"source")
+    }),
+
     // Fixed-window chunking: 50-token chunks on a 40-token stride (10
     // tokens of overlap), the standard pre-tokenization shard prep.
     // Chunk starts explode from an in-row `sequence` — one narrow map
@@ -1835,6 +1893,48 @@ object PipelineOps {
         |  CAST(MAX(clen) AS BIGINT) AS max_len,
         |  CAST(MIN(clen) AS BIGINT) AS min_len
         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "doc_cdc_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, text, CAST(LENGTH(text) AS BIGINT)
+        |    AS len
+        |  FROM documents WHERE LENGTH(text) > 0),
+        |pos AS (
+        |  SELECT doc_id, i FROM (
+        |    SELECT doc_id, text, unnest(range(8, len + 1)) AS i
+        |    FROM d WHERE len >= 8)
+        |  WHERE ('0x' || substring(md5(substring(text,
+        |      CAST(i - 7 AS INTEGER), 8)), 1, 8))::BIGINT % 64 = 0),
+        |b AS (SELECT doc_id, i FROM pos
+        |      UNION SELECT doc_id, len FROM d),
+        |ck0 AS (
+        |  SELECT doc_id, i, COALESCE(LAG(i) OVER (PARTITION BY doc_id
+        |    ORDER BY i), 0) AS prev
+        |  FROM b),
+        |ck AS (
+        |  SELECT c.doc_id, d.source, c.i - c.prev AS clen,
+        |    ('0x' || substring(md5(substring(d.text,
+        |      CAST(c.prev + 1 AS INTEGER),
+        |      CAST(c.i - c.prev AS INTEGER))), 1, 15))::BIGINT AS chash
+        |  FROM ck0 c JOIN d USING (doc_id) WHERE c.i > c.prev),
+        |fr AS (SELECT chash, COUNT(*) AS cnt, MAX(clen) AS clen1
+        |       FROM ck GROUP BY chash),
+        |g AS (SELECT ROUND(CAST(SUM((cnt - 1) * clen1) AS DOUBLE)
+        |        / SUM(cnt * clen1), 4) AS global_savings_share
+        |      FROM fr),
+        |ps AS (
+        |  SELECT ck.source, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |    CAST(SUM(ck.clen) AS BIGINT) AS bytes,
+        |    CAST(SUM(CASE WHEN fr.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_dup_chunks,
+        |    CAST(SUM(CASE WHEN fr.cnt > 1 THEN ck.clen ELSE 0 END)
+        |      AS BIGINT) AS dup_bytes
+        |  FROM ck JOIN fr USING (chash) GROUP BY ck.source)
+        |SELECT source, n_chunks, bytes, n_dup_chunks,
+        |  ROUND(CAST(dup_bytes AS DOUBLE) / bytes, 4)
+        |    AS dup_byte_share,
+        |  global_savings_share
+        |FROM ps, g ORDER BY source""".stripMargin,
 
     "doc_chunks" ->
       s"""WITH d AS (

@@ -413,6 +413,65 @@ object Sketches {
               " div h_k_merged as bigint)")).as("est_distinct"),
           ($"h_k_merged" === $"h_k_direct").cast("bigint")
             .as("matches_direct"))
+    }),
+
+    // KMV set-operation estimates (the theta-sketch workflow, Beyer
+    // et al. 2007) — Jaccard / union / intersection between two
+    // 3-shingle populations (docs split doc_id%2; the wc word domain
+    // is a 31-word toy vocabulary where both halves trivially overlap,
+    // so the audit runs on Dedup's ~16k-shingle domain instead) from
+    // bottom-k sketches alone: the k smallest hashes of A∪B all live
+    // inside K_A ∪ K_B, and for any union-sketch element membership
+    // in K_A is EXACT membership in A (x among the k smallest of the
+    // union and x∈A ⇒ x among the k smallest of A) — so
+    // J ≈ |K(A∪B) ∩ K_A ∩ K_B| / k needs no rescan of the corpus.
+    // union_est is the (k−1)·2^60/θ floor, inter_est = J·union_est as
+    // one widened integer floor. The exact Jaccard audits the estimate
+    // (expected |err| ~ 1/sqrt(k)). Scale shape: per-side bottom-k
+    // runs as side-partitioned windows (constant state per side);
+    // everything after the sketches is ≤ 2k rows of broadcast joins;
+    // only the exact audit touches the full shingle table again.
+    "sketch_kmv_intersect" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val hs = Dedup.shingles(s, d, 3)
+        .select((col("doc_id") % 2).cast("int").as("side"),
+          expr("cast(conv(substring(md5(cast(shingle as binary))," +
+            " 1, 15), 16, 10) as bigint)").as("h"))
+        .distinct()
+      val kept = hs
+        .withColumn("rk",
+          row_number().over(Window.partitionBy($"side").orderBy($"h")))
+        .filter($"rk" <= KmvK)
+        .select($"side", $"h")
+      val unionSk = kept.select($"h").distinct()
+        .orderBy($"h").limit(KmvK)
+      val mk = unionSk
+        .join(broadcast(kept.filter($"side" === 0)
+          .select($"h".as("ha"))), $"h" === $"ha", "left_outer")
+        .join(broadcast(kept.filter($"side" === 1)
+          .select($"h".as("hb"))), $"h" === $"hb", "left_outer")
+        .agg(count(lit(1)).as("k_kept"), max($"h").as("theta"),
+          sum(($"ha".isNotNull && $"hb".isNotNull).cast("long"))
+            .as("n_both"))
+      val ex = hs.groupBy($"h").agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("u_exact"),
+          sum(($"cnt" === 2).cast("long")).as("i_exact"))
+      mk.crossJoin(broadcast(ex))
+        .withColumn("union_est",
+          when($"k_kept" < KmvK, $"k_kept").otherwise(expr(
+            s"cast((cast(${KmvK - 1} as decimal(38,0)) * $KmvM)" +
+              " div theta as bigint)")))
+        .select($"k_kept", $"theta", $"n_both", $"union_est",
+          expr("cast(cast(n_both as decimal(38,0)) * union_est" +
+            " div k_kept as bigint)").as("inter_est"),
+          round($"n_both".cast("double") / $"k_kept", 4)
+            .as("jaccard_est"),
+          round($"i_exact".cast("double") / $"u_exact", 4)
+            .as("exact_jaccard"),
+          (round($"n_both".cast("double") / $"k_kept", 4) -
+            round($"i_exact".cast("double") / $"u_exact", 4))
+            .as("jaccard_err"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -463,6 +522,49 @@ object Sketches {
         |  CAST(CASE WHEN h_k_merged = h_k_direct THEN 1 ELSE 0 END
         |    AS BIGINT) AS matches_direct
         |FROM m2, dr, nsh""".stripMargin,
+
+    "sketch_kmv_intersect" ->
+      s"""WITH ${Dedup.shinglesSql(3, "sh")},
+        |hs AS (SELECT DISTINCT CAST(doc_id % 2 AS INTEGER) AS side,
+        |         ('0x' || substring(md5(shingle), 1, 15))::BIGINT AS h
+        |       FROM sh),
+        |ssk AS (SELECT side, h,
+        |          ROW_NUMBER() OVER (PARTITION BY side ORDER BY h)
+        |            AS rk
+        |        FROM hs),
+        |kept AS (SELECT side, h FROM ssk WHERE rk <= $KmvK),
+        |usk AS (SELECT h FROM (SELECT DISTINCT h FROM kept)
+        |        ORDER BY h LIMIT $KmvK),
+        |mk AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k_kept, MAX(u.h) AS theta,
+        |    CAST(SUM(CASE WHEN a.ha IS NOT NULL AND b.hb IS NOT NULL
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+        |  FROM usk u
+        |  LEFT JOIN (SELECT h AS ha FROM kept WHERE side = 0) a
+        |    ON u.h = a.ha
+        |  LEFT JOIN (SELECT h AS hb FROM kept WHERE side = 1) b
+        |    ON u.h = b.hb),
+        |ex AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS u_exact,
+        |    CAST(SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS i_exact
+        |  FROM (SELECT h, COUNT(*) AS cnt FROM hs GROUP BY h)),
+        |est AS (
+        |  SELECT k_kept, theta, n_both,
+        |    CASE WHEN k_kept < $KmvK THEN k_kept
+        |         ELSE CAST((CAST(${KmvK - 1} AS HUGEINT) * $KmvM)
+        |                // theta AS BIGINT) END AS union_est,
+        |    u_exact, i_exact
+        |  FROM mk, ex)
+        |SELECT k_kept, theta, n_both, union_est,
+        |  CAST((CAST(n_both AS HUGEINT) * union_est) // k_kept
+        |    AS BIGINT) AS inter_est,
+        |  ROUND(CAST(n_both AS DOUBLE) / k_kept, 4) AS jaccard_est,
+        |  ROUND(CAST(i_exact AS DOUBLE) / u_exact, 4) AS exact_jaccard,
+        |  ROUND(CAST(n_both AS DOUBLE) / k_kept, 4)
+        |    - ROUND(CAST(i_exact AS DOUBLE) / u_exact, 4)
+        |    AS jaccard_err
+        |FROM est""".stripMargin,
 
     "sketch_hist_quantiles" ->
       """WITH b AS (SELECT MIN(value) AS v0, MAX(value) AS v1

@@ -142,6 +142,10 @@ class PlanHygieneSpec extends SparkSpec {
     "log_entropy_rate",      // 1-row total-transition-count scalar
     "sketch_kmv",            // 1-row exact-distinct scalar broadcast
     "sketch_kmv_merge",      // 1-row direct-sketch + shard-count scalars
+    "sketch_kmv_intersect",  // 1-row exact-jaccard audit scalar
+    "doc_cdc_dedup",         // 1-row corpus-savings scalar
+    "log_removal_effect",    // constant 5-variant × alphabet² removal
+                             // lattice + 1-row full-chain scalars
     "pqIndex (raw build)",   // 1-row codebook (the materialized index build)
     "ivfCells (raw build)")  // 1-row adaptive-k count + super-centroid row
 

@@ -2577,4 +2577,152 @@ class PipelineInvariantsSpec extends SparkSpec {
         s"cut at $b did not survive the prefix edit")
     }
   }
+
+  test("doc_cdc_dedup conserves bytes per source; global share bounded") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("doc_cdc_dedup")(spark, sf()).collect()
+    val bySrc = rows.map(r => r.getString(0) -> r.getLong(2)).toMap
+    val lens = t(spark, sf(), "documents")
+      .filter(length($"text") > 0)
+      .groupBy($"source").agg(sum(length($"text").cast("long")).as("ch"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(bySrc.keySet == lens.keySet, "source sets diverge")
+    // chunking is a partition of each doc: per-source chunk bytes must
+    // equal per-source total chars exactly
+    lens.foreach { case (src, chars) =>
+      assert(bySrc(src) == chars, s"$src: chunk bytes != total chars")
+    }
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(1), "more dup chunks than chunks")
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+    val globals = rows.map(_.getDouble(5)).distinct
+    assert(globals.length == 1, "global savings differs across rows")
+    // savings keeps one copy per hash, so it is strictly below the
+    // gross duplicated-byte share (which counts every dup instance)
+    val gross = rows.map(r => r.getDouble(4) * r.getLong(2)).sum /
+      rows.map(_.getLong(2)).sum
+    assert(globals.head <= gross + 1e-3,
+      s"global=${globals.head} exceeds gross dup share $gross")
+  }
+
+  test("power analysis replays from exact per-user integer aggregates") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("log_power_analysis")(spark, sf())
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("conversion", "purchases", "revenue"))
+    val users = t(spark, sf(), "events")
+      .groupBy($"user_id").agg(
+        max(when($"event_type" === "purchase", 1L).otherwise(0L))
+          .as("conv"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L))
+          .as("np"),
+        sum(when($"event_type" === "purchase",
+          ($"value".cast("decimal(18,2)") * 100).cast("long"))
+          .otherwise(0L)).as("rev"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    def variant(uid: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(uid.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (hex.charAt(0) <= '7') "A" else "B"
+    }
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for ((name, pick, scale) <- Seq[(String, ((Long, Long, Long, Long))
+        => Long, Long)](
+        ("conversion", _._2, 1L), ("purchases", _._3, 1L),
+        ("revenue", _._4, 100L))) {
+      val xa = users.filter(u => variant(u._1) == "A").map(pick)
+      val xb = users.filter(u => variant(u._1) == "B").map(pick)
+      val (nA, nB) = (xa.length.toLong, xb.length.toLong)
+      val (sa, sb) = (xa.sum, xb.sum)
+      val ssa = xa.map(x => BigInt(x) * BigInt(x)).sum
+      val ssb = xb.map(x => BigInt(x) * BigInt(x)).sum
+      // the exact IEEE chain the query publishes, replayed operandwise
+      val sp2 = (ssa.toDouble - sa.toDouble * sa.toDouble / nA
+        + ssb.toDouble - sb.toDouble * sb.toDouble / nB) / (nA + nB - 2)
+      val ma = sa.toDouble / nA
+      val row = rows.find(_.getString(0) == name).get
+      assert(row.getLong(1) == nA && row.getLong(2) == nB,
+        s"$name: arm sizes diverge")
+      assert(row.getDouble(3) == r4(ma / scale), s"$name: mean_a")
+      assert(row.getDouble(4) == r4(math.sqrt(sp2) / scale),
+        s"$name: sd_pooled")
+      val mde = 2.8016 * math.sqrt(sp2 * (1.0 / nA + 1.0 / nB))
+      assert(row.getDouble(5) == r4(mde / scale), s"$name: mde_abs")
+      if (ma != 0) {
+        assert(row.getDouble(6) == r4(mde / ma), s"$name: mde_rel")
+        assert(row.getLong(7) == math.ceil(2.0 * sp2 * (2.8016 * 2.8016)
+          / ((0.1 * ma) * (0.1 * ma))).toLong, s"$name: n per arm")
+      }
+    }
+  }
+
+  test("removal effect: BigInt chain replay; shares sum to 1") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("log_removal_effect")(spark, sf())
+      .collect()
+    assert(rows.nonEmpty, "no channels")
+    rows.foreach { r =>
+      assert(r.getDouble(2) <= r.getDouble(1) + 1e-12,
+        s"${r.getString(0)}: removal increased conversion")
+      val re = r.getDouble(3)
+      assert(re >= 0.0 && re <= 1.0, s"${r.getString(0)}: re=$re")
+    }
+    val shareSum = rows.map(_.getDouble(4)).sum
+    assert(math.abs(shareSum - 1.0) < 5e-4, s"shares sum to $shareSum")
+    // independent driver replay of the truncated absorption chain
+    val ev = t(spark, sf(), "events")
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id",
+        $"event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    val paths = ev.groupBy(_._1).values.toSeq.map { rs =>
+      val sorted = rs.toSeq.sortBy(r => (r._2, r._3)).map(_._4)
+      val cut = sorted.indexOf("purchase")
+      val path = (if (cut >= 0) sorted.take(cut + 1) else sorted)
+        .map(ty => if (ty == "purchase") "CONV" else ty)
+      ("START" +: path, cut < 0)
+    }
+    val trans = scala.collection.mutable.Map.empty[(String, String), Long]
+    paths.foreach { case (p, open) =>
+      p.sliding(2).foreach { w =>
+        trans((w(0), w(1))) = trans.getOrElse((w(0), w(1)), 0L) + 1
+      }
+      if (open)
+        trans((p.last, "NULL")) = trans.getOrElse((p.last, "NULL"), 0L) + 1
+    }
+    val outDeg = trans.toSeq.groupBy(_._1._1)
+      .map { case (s0, xs) => s0 -> xs.map(_._2).sum }
+    def chain(drop: Option[String]): Long = {
+      val tt = trans.toSeq.flatMap { case ((s0, d0), c) =>
+        if (drop.contains(s0)) None
+        else Some((s0, if (drop.contains(d0)) "NULL" else d0, c))
+      }
+      var v = Map("CONV" -> BigInt("1000000000000"))
+      for (_ <- 1 to 14) {
+        val nv = tt.groupBy(_._1).map { case (s0, xs) =>
+          s0 -> xs.map { case (_, d0, c) =>
+            BigInt(c) * v.getOrElse(d0, BigInt(0)) / BigInt(outDeg(s0))
+          }.sum
+        }
+        v = nv ++ Map("CONV" -> BigInt("1000000000000"))
+      }
+      v.getOrElse("START", BigInt(0)).toLong
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pf = chain(None)
+    assert(rows.head.getDouble(1) == r6(pf.toDouble / 1e12),
+      "full-chain conversion diverges from replay")
+    rows.foreach { r =>
+      val pc = chain(Some(r.getString(0)))
+      assert(r.getDouble(2) == r6(pc.toDouble / 1e12),
+        s"${r.getString(0)}: removed-chain replay diverges")
+    }
+  }
 }

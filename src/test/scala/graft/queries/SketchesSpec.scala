@@ -174,6 +174,50 @@ class SketchesSpec extends SparkSpec {
       s"KMV est=$est vs exact=$exact outside 4σ")
   }
 
+  test("KMV intersect: sketch replays; union-sketch membership is exact") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val r = SparkEntry.queries("sketch_kmv_intersect")(spark, sf()).head()
+    val (k, theta, nBoth, unionEst, interEst) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))
+    val (jEst, jExact) = (r.getDouble(5), r.getDouble(6))
+    val sh = graft.queries.Dedup.shingles(spark, sf(), 3)
+      .selectExpr("cast(doc_id % 2 as int) as side",
+        "cast(conv(substring(md5(cast(shingle as binary)), 1, 15)," +
+          " 16, 10) as bigint) as h")
+      .distinct().collect().map(x => (x.getInt(0), x.getLong(1)))
+    val a = sh.filter(_._1 == 0).map(_._2).toSet
+    val b = sh.filter(_._1 == 1).map(_._2).toSet
+    val ka = a.toSeq.sorted.take(64).toSet
+    val kb = b.toSeq.sorted.take(64).toSet
+    val u = (ka ++ kb).toSeq.sorted.take(64)
+    assert(k == u.length && theta == u.last, "union sketch diverges")
+    // THE property the estimator rests on: for union-sketch elements,
+    // per-side SKETCH membership equals per-side SET membership
+    u.foreach { h =>
+      assert(ka(h) == a(h) && kb(h) == b(h),
+        s"sketch membership of $h is not exact")
+    }
+    assert(nBoth == u.count(h => ka(h) && kb(h)), "n_both diverges")
+    val uExp =
+      if (u.length < 64) u.length.toLong
+      else (BigInt(63) * BigInt("1152921504606846976")
+        / BigInt(u.last)).toLong
+    assert(unionEst == uExp, s"union_est=$unionEst != replay $uExp")
+    assert(interEst ==
+      (BigInt(nBoth) * BigInt(uExp) / BigInt(u.length)).toLong,
+      "inter_est diverges from J*union floor")
+    val jTrue = (a & b).size.toDouble / (a ++ b).size
+    assert(jExact ==
+      BigDecimal((a & b).size.toDouble / (a ++ b).size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      "exact_jaccard diverges from set replay")
+    // 4σ concentration: sd(J_est) ≈ sqrt(J(1-J)/k) ≤ 0.5/8
+    assert(math.abs(jEst - jTrue) < 0.25,
+      s"jaccard_est=$jEst vs true=$jTrue outside 4σ")
+  }
+
   test("KMV merge is lossless: shard union reproduces the direct sketch") {
     val r = SparkEntry.queries("sketch_kmv_merge")(spark, sf()).head()
     assert(r.getLong(0) == 4, "expected 4 doc-parity shards")
