@@ -1750,6 +1750,100 @@ object EventsLog {
         .orderBy($"metric")
     }),
 
+    // Heterogeneous treatment effects — the segment-level readout that
+    // a single corpus-wide A/B average hides (a lift concentrated in
+    // one acquisition channel looks like noise overall): users segment
+    // by FIRST-TOUCH event type (deterministic (ts, event_id) order),
+    // and per segment the purchases-per-user lift gets a Welch t from
+    // exact integer (n, Σx, Σx²) per arm. The significance verdict is
+    // taken on the e4-QUANTIZED statistic (|t_e4| > 19600 ⇔ |t|>1.96
+    // at 4 dp) so no raw float ever decides it. Segments missing an
+    // arm or with n<2 publish null t (the small-SF reality — segments
+    // are sparse at sf0.001). Scale: one user-keyed window pass for
+    // first-touch, one user agg, one segment agg; nothing wider than
+    // the segment alphabet after that.
+    "log_ab_segments" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, d, "events")
+      val first = ev
+        .select($"user_id", $"event_type", row_number().over(
+          Window.partitionBy($"user_id")
+            .orderBy(unix_micros($"ts"), $"event_id")).as("rn"))
+        .filter($"rn" === 1).select($"user_id", $"event_type".as("seg"))
+      val u = ev.groupBy($"user_id")
+        .agg(sum(when($"event_type" === "purchase", 1L).otherwise(0L))
+          .as("np"))
+        .withColumn("variant", variantCol)
+        .join(first, "user_id")
+      u.groupBy($"seg")
+        .agg(
+          sum(when($"variant" === "A", 1L).otherwise(0L)).as("n_a"),
+          sum(when($"variant" === "B", 1L).otherwise(0L)).as("n_b"),
+          sum(when($"variant" === "A", $"np").otherwise(0L)).as("sa"),
+          sum(when($"variant" === "B", $"np").otherwise(0L)).as("sb"),
+          sum(when($"variant" === "A",
+            expr("cast(np as decimal(38,0)) * np"))
+            .otherwise(expr("cast(0 as decimal(38,0))"))).as("ssa"),
+          sum(when($"variant" === "B",
+            expr("cast(np as decimal(38,0)) * np"))
+            .otherwise(expr("cast(0 as decimal(38,0))"))).as("ssb"))
+        .selectExpr("seg", "n_a", "n_b",
+          "case when n_a > 0 then cast(sa as double) / n_a end as ma",
+          "case when n_b > 0 then cast(sb as double) / n_b end as mb",
+          "case when n_a >= 2 and n_b >= 2 then"
+            + " (cast(ssa as double) - cast(sa as double)"
+            + " * cast(sa as double) / n_a) / (n_a - 1) / n_a"
+            + " + (cast(ssb as double) - cast(sb as double)"
+            + " * cast(sb as double) / n_b) / (n_b - 1) / n_b"
+            + " end as se2")
+        .selectExpr("seg", "n_a", "n_b", "ma", "mb",
+          "case when se2 > 0 then"
+            + " cast(round((mb - ma) / sqrt(se2) * 1e4) as bigint)"
+            + " end as t_e4")
+        .selectExpr("seg", "n_a", "n_b",
+          "round(ma, 4) as mean_a", "round(mb, 4) as mean_b",
+          "case when ma is not null and mb is not null then"
+            + " round(mb - ma, 4) end as lift",
+          "cast(t_e4 as double) / 1e4 as t_welch",
+          "case when t_e4 is not null then"
+            + " cast(abs(t_e4) > 19600 as bigint) end as significant")
+        .orderBy($"seg")
+    }),
+
+    // Cohort LTV curves — the revenue twin of log_retention's
+    // activity triangle: per signup-week cohort (first event week) and
+    // week offset, that cohort's purchase revenue and the CUMULATIVE
+    // revenue per cohort user — the curve whose plateau is the LTV a
+    // spend model discounts against. Revenue folds in DECIMAL(18,2)
+    // (order-independent to the cent); the per-user division is one
+    // float divide of the exact cumulative cents. Scale shape: one
+    // user-keyed min-agg for cohorts, one (cohort, offset)-keyed agg,
+    // a cohort-partitioned running sum over the bounded offset axis.
+    "log_ltv_cohorts" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, d, "events").select($"user_id",
+        expr("(unix_micros(ts) - pmod(unix_micros(ts), 604800000000))" +
+          " div 604800000000").as("wk"),
+        $"event_type", $"value")
+      val cohort = ev.groupBy($"user_id").agg(min($"wk").as("cohort_wk"))
+      val sizes = cohort.groupBy($"cohort_wk")
+        .agg(count(lit(1)).as("cohort_users"))
+      val wc = Window.partitionBy($"cohort_wk").orderBy($"wk_offset")
+      ev.join(cohort, "user_id")
+        .filter($"event_type" === "purchase")
+        .groupBy($"cohort_wk", ($"wk" - $"cohort_wk").as("wk_offset"))
+        .agg(sum($"value".cast(DecimalType(18, 2))).as("rev"))
+        .withColumn("cum", sum($"rev").over(wc))
+        .join(sizes, "cohort_wk")
+        .select($"cohort_wk", $"wk_offset", $"cohort_users",
+          $"rev".cast("double").as("week_revenue"),
+          round(expr("cast(cast(cum * 100 as decimal(38,0)) as double)")
+            / $"cohort_users" / 100.0, 4).as("cum_ltv_per_user"))
+        .orderBy($"cohort_wk", $"wk_offset")
+    }),
+
     // Markov removal-effect attribution (the data-driven multi-touch
     // standard next to the exact-Shapley readout): user paths run
     // START → events → CONV at the first purchase (or NULL at path
@@ -2042,6 +2136,86 @@ object EventsLog {
           when($"n_hours" <= 1L, lit(null).cast("double")).otherwise(
             round($"sum_abs".cast("double") / (($"n_hours" - 1) * 1e4), 4))
             .as("mae"))
+        .orderBy($"event_type")
+    }),
+
+    // Holt–Winters additive TRIPLE exponential smoothing (level +
+    // trend + 24-hour season) — what log_holt_forecast misses on
+    // daily-rhythm traffic: the seasonal term absorbs the hour-of-day
+    // cycle, so the trend stops chasing the morning ramp. Same
+    // integer discipline as Holt: e4-INTEGER state, exact-rational
+    // smoothing constants (α=3/10, β=γ=2/10) applied by
+    // sign-magnitude /10, warm-up = first full season (L₀ = its
+    // floor-mean, S₀ = its deviations, B₀ = 0). The fold is ONE
+    // linear mapPartitions pass with O(24) state per type — the
+    // streaming-forecast shape at any scale — and the oracle replays
+    // every step in a recursive CTE carrying the 24-slot season as a
+    // BIGINT[] column (slice-splice update), so both engines walk the
+    // identical integer recurrence.
+    "log_holt_winters" -> ((s, d) => {
+      import s.implicits._
+      val dense = denseHourGrid(t(s, d, "events"))
+        .select($"event_type", unix_micros($"h").as("hus"), $"n")
+      val folded = dense
+        .repartition($"event_type")
+        .sortWithinPartitions($"event_type", $"hus")
+        .as[(String, Long, Long)]
+        .mapPartitions { it =>
+          def div10(v: Long): Long =
+            if (v < 0) -((-v) / 10) else v / 10
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(String, Long, Long, Long, Long, Long)]
+          var cur: String = null
+          var n = 0L; var l = 0L; var b = 0L; var sumAbs = 0L
+          val s24 = new Array[Long](24)
+          val warm = new Array[Long](24)
+          def close(): Unit = if (cur != null) {
+            val sNext = if (n >= 24) s24((n % 24).toInt) else 0L
+            out += ((cur, n, l, b, sNext, sumAbs))
+          }
+          it.foreach { case (ty, _, x) =>
+            if (ty != cur) {
+              close(); cur = ty; n = 0; l = 0; b = 0; sumAbs = 0
+              java.util.Arrays.fill(s24, 0L)
+            }
+            val xe4 = x * 10000
+            if (n < 24) {
+              warm(n.toInt) = xe4
+              n += 1
+              if (n == 24) {
+                l = warm.sum / 24 // counts are nonnegative: plain floor
+                b = 0
+                var i = 0
+                while (i < 24) { s24(i) = warm(i) - l; i += 1 }
+              }
+            } else {
+              val sIdx = (n % 24).toInt
+              val sOld = s24(sIdx)
+              val pred = l + b + sOld
+              sumAbs += math.abs(xe4 - pred)
+              val l1 = div10(3 * (xe4 - sOld) + 7 * (l + b))
+              b = div10(2 * (l1 - l) + 8 * b)
+              s24(sIdx) = div10(2 * (xe4 - l1) + 8 * sOld)
+              l = l1
+              n += 1
+            }
+          }
+          close()
+          out.iterator
+        }
+        .toDF("event_type", "n_hours", "l_e4", "b_e4", "s_next_e4",
+          "sum_abs")
+      folded.select($"event_type", $"n_hours",
+          when($"n_hours" >= 24, $"l_e4".cast("double") / 1e4)
+            .as("level"),
+          when($"n_hours" >= 24, $"b_e4".cast("double") / 1e4)
+            .as("trend"),
+          when($"n_hours" >= 24,
+            ($"l_e4" + $"b_e4" + $"s_next_e4").cast("double") / 1e4)
+            .as("forecast_next"),
+          when($"n_hours" >= 25,
+            round($"sum_abs".cast("double") / (($"n_hours" - 24) * 1e4),
+              4)).as("mae"))
         .orderBy($"event_type")
     }),
 
@@ -3383,6 +3557,99 @@ object EventsLog {
         |    AS n_per_arm_10lift
         |FROM f ORDER BY metric""".stripMargin,
 
+    "log_ab_segments" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+        |  FROM events),
+        |o AS (
+        |  SELECT user_id, event_type, ROW_NUMBER() OVER (
+        |    PARTITION BY user_id ORDER BY us, event_id) AS rn
+        |  FROM ev),
+        |fs AS (SELECT user_id, event_type AS seg FROM o WHERE rn = 1),
+        |u AS (
+        |  SELECT user_id,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS np
+        |  FROM ev GROUP BY user_id),
+        |uv AS (
+        |  SELECT fs.seg,
+        |    CASE WHEN substring(md5(CAST(u.user_id AS VARCHAR)), 1, 1)
+        |         IN ('0','1','2','3','4','5','6','7')
+        |         THEN 'A' ELSE 'B' END AS variant,
+        |    u.np
+        |  FROM u JOIN fs USING (user_id)),
+        |g AS (
+        |  SELECT seg,
+        |    CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN variant = 'A' THEN np ELSE 0 END)
+        |      AS BIGINT) AS sa,
+        |    CAST(SUM(CASE WHEN variant = 'B' THEN np ELSE 0 END)
+        |      AS BIGINT) AS sb,
+        |    SUM(CASE WHEN variant = 'A' THEN CAST(np AS HUGEINT) * np
+        |        ELSE 0 END) AS ssa,
+        |    SUM(CASE WHEN variant = 'B' THEN CAST(np AS HUGEINT) * np
+        |        ELSE 0 END) AS ssb
+        |  FROM uv GROUP BY seg),
+        |f1 AS (
+        |  SELECT seg, n_a, n_b,
+        |    CASE WHEN n_a > 0 THEN CAST(sa AS DOUBLE) / n_a END AS ma,
+        |    CASE WHEN n_b > 0 THEN CAST(sb AS DOUBLE) / n_b END AS mb,
+        |    CASE WHEN n_a >= 2 AND n_b >= 2 THEN
+        |      (CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE)
+        |        * CAST(sa AS DOUBLE) / n_a) / (n_a - 1) / n_a
+        |      + (CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE)
+        |        * CAST(sb AS DOUBLE) / n_b) / (n_b - 1) / n_b
+        |    END AS se2
+        |  FROM g),
+        |f2 AS (
+        |  SELECT seg, n_a, n_b, ma, mb,
+        |    CASE WHEN se2 > 0 THEN
+        |      CAST(ROUND((mb - ma) / sqrt(se2) * 1e4) AS BIGINT)
+        |    END AS t_e4
+        |  FROM f1)
+        |SELECT seg, n_a, n_b,
+        |  ROUND(ma, 4) AS mean_a, ROUND(mb, 4) AS mean_b,
+        |  CASE WHEN ma IS NOT NULL AND mb IS NOT NULL THEN
+        |    ROUND(mb - ma, 4) + 0.0 END AS lift,
+        |  CAST(t_e4 AS DOUBLE) / 1e4 AS t_welch,
+        |  CASE WHEN t_e4 IS NOT NULL THEN
+        |    CAST(CASE WHEN ABS(t_e4) > 19600 THEN 1 ELSE 0 END
+        |      AS BIGINT) END AS significant
+        |FROM f2 ORDER BY seg""".stripMargin,
+
+    "log_ltv_cohorts" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |    (epoch_us(ts) - epoch_us(ts) % 604800000000)
+        |      // 604800000000 AS wk,
+        |    event_type, value
+        |  FROM events),
+        |c AS (SELECT user_id, MIN(wk) AS cohort_wk
+        |      FROM ev GROUP BY user_id),
+        |sz AS (SELECT cohort_wk, CAST(COUNT(*) AS BIGINT)
+        |         AS cohort_users
+        |       FROM c GROUP BY cohort_wk),
+        |wr AS (
+        |  SELECT c.cohort_wk, e.wk - c.cohort_wk AS wk_offset,
+        |    SUM(CAST(e.value AS DECIMAL(18,2))) AS rev
+        |  FROM ev e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase'
+        |  GROUP BY 1, 2),
+        |cm AS (
+        |  SELECT cohort_wk, wk_offset, rev,
+        |    SUM(rev) OVER (PARTITION BY cohort_wk ORDER BY wk_offset)
+        |      AS cum
+        |  FROM wr)
+        |SELECT m.cohort_wk, m.wk_offset, s.cohort_users,
+        |  CAST(m.rev AS DOUBLE) AS week_revenue,
+        |  ROUND(CAST(CAST(m.cum * 100 AS HUGEINT) AS DOUBLE)
+        |    / s.cohort_users / 100.0, 4) AS cum_ltv_per_user
+        |FROM cm m JOIN sz s USING (cohort_wk)
+        |ORDER BY cohort_wk, wk_offset""".stripMargin,
+
     "log_removal_effect" -> {
       val iters = (1 to 14).map { i =>
         s"""v$i AS (
@@ -3635,6 +3902,76 @@ object EventsLog {
          |    ROUND(CAST(sum_abs AS DOUBLE) / ((i - 1) * 1e4), 4) END
          |    AS mae
          |FROM fin ORDER BY event_type""".stripMargin
+    },
+
+    "log_holt_winters" -> {
+      // sign-magnitude /10 — both engines truncate on the magnitude
+      def sdiv(v: String) =
+        s"(CASE WHEN ($v) < 0 THEN -((-($v)) // 10) ELSE ($v) // 10 END)"
+      val l1 = sdiv("3 * (xe4 - sold) + 7 * (l + b)")
+      val b1 = sdiv(s"2 * ($l1 - l) + 8 * b")
+      val sn = sdiv(s"2 * (xe4 - $l1) + 8 * sold")
+      s"""WITH RECURSIVE ev AS (
+         |  SELECT event_type, date_trunc('hour', ts) AS h FROM events),
+         |counts AS (SELECT event_type, h, COUNT(*) AS n
+         |           FROM ev GROUP BY 1, 2),
+         |bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM ev),
+         |grid AS (
+         |  SELECT event_type, unnest(generate_series(h0, h1,
+         |    INTERVAL 1 HOUR)) AS h
+         |  FROM (SELECT DISTINCT event_type FROM ev), bounds),
+         |dense AS (
+         |  SELECT g.event_type, g.h, COALESCE(c.n, 0) AS n
+         |  FROM grid g LEFT JOIN counts c
+         |    ON c.event_type = g.event_type AND c.h = g.h),
+         |d AS (
+         |  SELECT event_type, CAST(n * 10000 AS BIGINT) AS xe4,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS i
+         |  FROM dense),
+         |nn AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours
+         |       FROM d GROUP BY 1),
+         |w24 AS (SELECT event_type, xe4, i FROM d WHERE i <= 24),
+         |l0 AS (SELECT event_type, CAST(SUM(xe4) // 24 AS BIGINT) AS l
+         |       FROM w24 GROUP BY 1),
+         |s0 AS (SELECT w.event_type,
+         |         list(w.xe4 - l0.l ORDER BY w.i) AS s
+         |       FROM w24 w JOIN l0 USING (event_type)
+         |       GROUP BY w.event_type),
+         |r AS (
+         |  SELECT l0.event_type, CAST(24 AS BIGINT) AS pos, l0.l,
+         |    CAST(0 AS BIGINT) AS b, s0.s, CAST(0 AS BIGINT) AS sae
+         |  FROM l0 JOIN s0 USING (event_type)
+         |  JOIN nn USING (event_type) WHERE nn.n_hours >= 24
+         |  UNION ALL
+         |  SELECT event_type, pos2 AS pos, CAST($l1 AS BIGINT) AS l,
+         |    CAST($b1 AS BIGINT) AS b,
+         |    s[1:k-1] || [CAST($sn AS BIGINT)] || s[k+1:] AS s,
+         |    sae + abs(xe4 - (l + b + sold)) AS sae
+         |  FROM (
+         |    SELECT r.event_type, r.pos + 1 AS pos2, r.l, r.b, r.s,
+         |      r.sae, d.xe4,
+         |      (CAST(r.pos AS INTEGER) % 24) + 1 AS k,
+         |      r.s[(CAST(r.pos AS INTEGER) % 24) + 1] AS sold
+         |    FROM r JOIN d ON d.event_type = r.event_type
+         |                  AND d.i = r.pos + 1) x),
+         |fin AS (
+         |  SELECT r.event_type, r.l, r.b, r.sae,
+         |    r.s[(CAST(r.pos AS INTEGER) % 24) + 1] AS snext
+         |  FROM r JOIN nn ON nn.event_type = r.event_type
+         |                 AND r.pos = nn.n_hours)
+         |SELECT n.event_type, n.n_hours,
+         |  CASE WHEN n.n_hours >= 24 THEN CAST(o.l AS DOUBLE) / 1e4
+         |  END AS level,
+         |  CASE WHEN n.n_hours >= 24 THEN CAST(o.b AS DOUBLE) / 1e4
+         |  END AS trend,
+         |  CASE WHEN n.n_hours >= 24 THEN
+         |    CAST(o.l + o.b + o.snext AS DOUBLE) / 1e4
+         |  END AS forecast_next,
+         |  CASE WHEN n.n_hours >= 25 THEN
+         |    ROUND(CAST(o.sae AS DOUBLE) / ((n.n_hours - 24) * 1e4), 4)
+         |  END AS mae
+         |FROM nn n LEFT JOIN fin o USING (event_type)
+         |ORDER BY event_type""".stripMargin
     },
 
     "log_mad_anomaly" ->

@@ -45,6 +45,74 @@ object PipelineOps {
     """list_filter(regexp_split_to_array(lower(text), '\s+'),
       |                     x -> x <> '')""".stripMargin
 
+  /** SQL boolean: 1-based char position `i` of `text` ends an 8-char
+    * window whose md5-integer (8 hex digits) ≡ 0 (mod 64) — THE CDC
+    * cut rule, stated once for the batch chunk ops AND the streaming
+    * chunk-geometry monitor (DocStream.cdcMonitor) so the online and
+    * offline chunkers can never cut differently. */
+  private[graft] def cdcCutSql(i: String): String =
+    s"cast(conv(substring(md5(cast(substring(text, cast($i - 7 as int)," +
+      s" 8) as binary)), 1, 8), 16, 10) as bigint) % 64 = 0"
+
+  /** CDC chunk table (doc_id, source, clen, chash) shared by
+    * doc_cdc_dedup and doc_chunk_containment — ONE definition of the
+    * rolling-cut rule (trailing-8-char md5 window ≡ 0 mod 64, the
+    * doc_cdc_chunks boundary) and of the 60-bit chunk-content hash,
+    * so the dedup accounting and the per-doc containment can never
+    * chunk differently. Boundary rows are ~len/64 per doc; the only
+    * wide column (text) is re-joined doc-keyed for the substring
+    * extraction and dropped before any shuffle on chash. */
+  private def cdcChunks(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, d, "documents")
+      .select($"doc_id", $"source", $"text",
+        length($"text").cast("long").as("len"))
+      .filter($"len" > 0)
+    val bpos = docs.filter($"len" >= 8)
+      .select($"doc_id", $"text",
+        explode(expr("sequence(8, len)")).as("i"))
+      .filter(expr(cdcCutSql("i")))
+      .select($"doc_id", $"i")
+    val bounds = bpos
+      .union(docs.select($"doc_id", $"len".as("i")))
+      .distinct()
+    val wd = Window.partitionBy($"doc_id").orderBy($"i")
+    bounds
+      .withColumn("prev", coalesce(lag($"i", 1).over(wd), lit(0L)))
+      .filter($"i" > $"prev")
+      .join(docs.select($"doc_id", $"source", $"text"), Seq("doc_id"))
+      .select($"doc_id", $"source", ($"i" - $"prev").as("clen"),
+        expr("cast(conv(substring(md5(cast(substring(text," +
+          " cast(prev + 1 as int), cast(i - prev as int)) as binary))," +
+          " 1, 15), 16, 10) as bigint)").as("chash"))
+  }
+
+  /** DuckDB twin of [[cdcChunks]] — CTE chain ending in `ck`. */
+  private val cdcChunksSql: String =
+    """d AS (
+      |  SELECT doc_id, source, text, CAST(LENGTH(text) AS BIGINT)
+      |    AS len
+      |  FROM documents WHERE LENGTH(text) > 0),
+      |pos AS (
+      |  SELECT doc_id, i FROM (
+      |    SELECT doc_id, text, unnest(range(8, len + 1)) AS i
+      |    FROM d WHERE len >= 8)
+      |  WHERE ('0x' || substring(md5(substring(text,
+      |      CAST(i - 7 AS INTEGER), 8)), 1, 8))::BIGINT % 64 = 0),
+      |b AS (SELECT doc_id, i FROM pos
+      |      UNION SELECT doc_id, len FROM d),
+      |ck0 AS (
+      |  SELECT doc_id, i, COALESCE(LAG(i) OVER (PARTITION BY doc_id
+      |    ORDER BY i), 0) AS prev
+      |  FROM b),
+      |ck AS (
+      |  SELECT c.doc_id, d.source, c.i - c.prev AS clen,
+      |    ('0x' || substring(md5(substring(d.text,
+      |      CAST(c.prev + 1 AS INTEGER),
+      |      CAST(c.i - c.prev AS INTEGER))), 1, 15))::BIGINT AS chash
+      |  FROM ck0 c JOIN d USING (doc_id) WHERE c.i > c.prev)""".stripMargin
+
   /** The epoch water-fill core (doc_epoch_plan's solve), shared with
     * doc_epoch_expand: per source, tokens, the e4 quality weight, and
     * the solved e10 fixed-point epochs `ep` = min(4, m·w). See
@@ -296,9 +364,7 @@ object PipelineOps {
       val bpos = docs.filter($"len" >= 8)
         .select($"doc_id", $"text",
           explode(expr("sequence(8, len)")).as("i"))
-        .filter(expr("cast(conv(substring(md5(cast(substring(text," +
-          " cast(i - 7 as int), 8) as binary)), 1, 8), 16, 10)" +
-          " as bigint) % 64 = 0"))
+        .filter(expr(cdcCutSql("i")))
         .select($"doc_id", $"i")
       val bounds = bpos
         .union(docs.select($"doc_id", $"len".as("i")))
@@ -331,30 +397,7 @@ object PipelineOps {
     // max(clen) per hash is THE chunk length, not an approximation.
     "doc_cdc_dedup" -> ((s, d) => {
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val docs = t(s, d, "documents")
-        .select($"doc_id", $"source", $"text",
-          length($"text").cast("long").as("len"))
-        .filter($"len" > 0)
-      val bpos = docs.filter($"len" >= 8)
-        .select($"doc_id", $"text",
-          explode(expr("sequence(8, len)")).as("i"))
-        .filter(expr("cast(conv(substring(md5(cast(substring(text," +
-          " cast(i - 7 as int), 8) as binary)), 1, 8), 16, 10)" +
-          " as bigint) % 64 = 0"))
-        .select($"doc_id", $"i")
-      val bounds = bpos
-        .union(docs.select($"doc_id", $"len".as("i")))
-        .distinct()
-      val wd = Window.partitionBy($"doc_id").orderBy($"i")
-      val chunks = bounds
-        .withColumn("prev", coalesce(lag($"i", 1).over(wd), lit(0L)))
-        .filter($"i" > $"prev")
-        .join(docs.select($"doc_id", $"source", $"text"), Seq("doc_id"))
-        .select($"doc_id", $"source", ($"i" - $"prev").as("clen"),
-          expr("cast(conv(substring(md5(cast(substring(text," +
-            " cast(prev + 1 as int), cast(i - prev as int)) as binary))," +
-            " 1, 15), 16, 10) as bigint)").as("chash"))
+      val chunks = cdcChunks(s, d)
       val freq = chunks.groupBy($"chash")
         .agg(count(lit(1)).as("cnt"), max($"clen").as("clen1"))
       val global = freq
@@ -373,6 +416,32 @@ object PipelineOps {
             .as("dup_byte_share"),
           $"global_savings_share")
         .orderBy($"source")
+    }),
+
+    // Per-doc chunk-level containment — the asymmetric question
+    // dedup_containment answers pairwise, asked corpus-wide at chunk
+    // granularity: what share of THIS doc's bytes exists (as CDC
+    // chunks) in at least one OTHER doc? Cross-doc spread uses
+    // countDistinct(doc_id) per hash, so within-doc repetition never
+    // inflates containment. `mostly_shared` flags ≥half containment
+    // by exact integer cross-multiplication (2·shared ≥ bytes) — no
+    // float enters the verdict. Scale shape: one chunk-hash agg (the
+    // same dedup shuffle), one equi-join back, one doc-keyed agg.
+    "doc_chunk_containment" -> ((s, d) => {
+      import s.implicits._
+      val chunks = cdcChunks(s, d)
+      val spread = chunks.groupBy($"chash")
+        .agg(countDistinct($"doc_id").as("nd"))
+      chunks.join(spread, "chash")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_chunks"), sum($"clen").as("bytes"),
+          sum(when($"nd" > 1, $"clen").otherwise(0L)).as("shared_bytes"))
+        .select($"doc_id", $"n_chunks", $"bytes", $"shared_bytes",
+          round($"shared_bytes".cast("double") / $"bytes", 4)
+            .as("containment"),
+          ($"shared_bytes" * 2 >= $"bytes").cast("bigint")
+            .as("mostly_shared"))
+        .orderBy($"doc_id")
     }),
 
     // Fixed-window chunking: 50-token chunks on a 40-token stride (10
@@ -1895,28 +1964,7 @@ object PipelineOps {
         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "doc_cdc_dedup" ->
-      """WITH d AS (
-        |  SELECT doc_id, source, text, CAST(LENGTH(text) AS BIGINT)
-        |    AS len
-        |  FROM documents WHERE LENGTH(text) > 0),
-        |pos AS (
-        |  SELECT doc_id, i FROM (
-        |    SELECT doc_id, text, unnest(range(8, len + 1)) AS i
-        |    FROM d WHERE len >= 8)
-        |  WHERE ('0x' || substring(md5(substring(text,
-        |      CAST(i - 7 AS INTEGER), 8)), 1, 8))::BIGINT % 64 = 0),
-        |b AS (SELECT doc_id, i FROM pos
-        |      UNION SELECT doc_id, len FROM d),
-        |ck0 AS (
-        |  SELECT doc_id, i, COALESCE(LAG(i) OVER (PARTITION BY doc_id
-        |    ORDER BY i), 0) AS prev
-        |  FROM b),
-        |ck AS (
-        |  SELECT c.doc_id, d.source, c.i - c.prev AS clen,
-        |    ('0x' || substring(md5(substring(d.text,
-        |      CAST(c.prev + 1 AS INTEGER),
-        |      CAST(c.i - c.prev AS INTEGER))), 1, 15))::BIGINT AS chash
-        |  FROM ck0 c JOIN d USING (doc_id) WHERE c.i > c.prev),
+      s"""WITH $cdcChunksSql,
         |fr AS (SELECT chash, COUNT(*) AS cnt, MAX(clen) AS clen1
         |       FROM ck GROUP BY chash),
         |g AS (SELECT ROUND(CAST(SUM((cnt - 1) * clen1) AS DOUBLE)
@@ -1935,6 +1983,23 @@ object PipelineOps {
         |    AS dup_byte_share,
         |  global_savings_share
         |FROM ps, g ORDER BY source""".stripMargin,
+
+    "doc_chunk_containment" ->
+      s"""WITH $cdcChunksSql,
+        |sp AS (SELECT chash, COUNT(DISTINCT doc_id) AS nd
+        |       FROM ck GROUP BY chash),
+        |pd AS (
+        |  SELECT ck.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |    CAST(SUM(ck.clen) AS BIGINT) AS bytes,
+        |    CAST(SUM(CASE WHEN sp.nd > 1 THEN ck.clen ELSE 0 END)
+        |      AS BIGINT) AS shared_bytes
+        |  FROM ck JOIN sp USING (chash) GROUP BY ck.doc_id)
+        |SELECT doc_id, n_chunks, bytes, shared_bytes,
+        |  ROUND(CAST(shared_bytes AS DOUBLE) / bytes, 4)
+        |    AS containment,
+        |  CAST(CASE WHEN shared_bytes * 2 >= bytes THEN 1 ELSE 0 END
+        |    AS BIGINT) AS mostly_shared
+        |FROM pd ORDER BY doc_id""".stripMargin,
 
     "doc_chunks" ->
       s"""WITH d AS (

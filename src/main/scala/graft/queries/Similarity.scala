@@ -691,6 +691,52 @@ object Similarity {
         .orderBy($"vec_a", $"vec_b", $"vec_c")
     }),
 
+    // Clustering coefficient of the similarity graph — the ONE number
+    // that says whether the sim ≥ 0.25 graph is clumpy (semantic
+    // clusters worth deduping as groups) or stringy (near-dups are
+    // isolated pairs): global transitivity 3·triangles/wedges plus
+    // the average LOCAL coefficient 2·t_v/(deg_v·(deg_v−1)) over
+    // deg ≥ 2 vertices, each vertex's ratio an exact e6 integer floor
+    // before averaging. Rides the SAME candidate-bounded edges and
+    // triangle join as sim_triangles (cell blocking keeps both
+    // sub-quadratic); degrees come from one mirror-union agg. The
+    // final assembly is four 1-row scalars (allowlisted).
+    "sim_clustering_coefficient" -> ((s, d) => {
+      import s.implicits._
+      val edges = cellPairs(s, d)
+        .filter($"sim" >= 0.25)
+        .select($"va", $"vb")
+      val und = edges.union(edges.select($"vb".as("va"), $"va".as("vb")))
+      val deg = und.groupBy($"va".as("v")).agg(count(lit(1)).as("deg"))
+      val tri = edges.as("e1")
+        .join(edges.as("e2"),
+          $"e2.va" === $"e1.va" && $"e2.vb" > $"e1.vb")
+        .join(edges.as("e3"),
+          $"e3.va" === $"e1.vb" && $"e3.vb" === $"e2.vb")
+        .select($"e1.va".as("a"), $"e1.vb".as("b"), $"e2.vb".as("c"))
+      val tc = tri.agg(count(lit(1)).as("n_triangles"))
+      val tv = tri.select(explode(array($"a", $"b", $"c")).as("v"))
+        .groupBy($"v").agg(count(lit(1)).as("t_v"))
+      val la = deg.join(tv, Seq("v"), "left_outer")
+        .filter($"deg" >= 2)
+        .select(expr("cast(coalesce(t_v, 0) * 2000000" +
+          " div (deg * (deg - 1)) as bigint)").as("c_e6"))
+        .agg(count(lit(1)).as("n_cc_vertices"), sum($"c_e6").as("cce6"))
+      val wd = deg.agg(
+        sum(expr("deg * (deg - 1) div 2")).as("n_wedges"),
+        count(lit(1)).as("n_vertices"))
+      val ne = edges.agg(count(lit(1)).as("n_edges"))
+      wd.crossJoin(broadcast(ne)).crossJoin(broadcast(tc))
+        .crossJoin(broadcast(la))
+        .select($"n_vertices", $"n_edges", $"n_triangles", $"n_wedges",
+          when($"n_wedges" > 0, round(
+            ($"n_triangles" * 3).cast("double") / $"n_wedges", 4))
+            .as("transitivity"),
+          when($"n_cc_vertices" > 0, round(
+            $"cce6".cast("double") / ($"n_cc_vertices" * 1e6), 4))
+            .as("avg_local_cc"))
+    }),
+
     // Pairwise-similarity histogram (0.1-wide cosine buckets, clamped to
     // [-1, 1)) over within-IVF-cell pairs — the distribution profile used
     // to CHOOSE a near-dup threshold before running the dedup pass. One
@@ -2311,6 +2357,39 @@ object Similarity {
         |JOIN ed e2 ON e2.va = e1.va AND e2.vb > e1.vb
         |JOIN ed e3 ON e3.va = e1.vb AND e3.vb = e2.vb
         |ORDER BY vec_a, vec_b, vec_c""".stripMargin),
+
+    "sim_clustering_coefficient" -> (cellPairsCte +
+      """,
+        |ed AS (SELECT va, vb FROM p WHERE sim >= 0.25),
+        |und AS (SELECT va, vb FROM ed UNION ALL SELECT vb, va FROM ed),
+        |dg AS (SELECT va AS v, CAST(COUNT(*) AS BIGINT) AS deg
+        |       FROM und GROUP BY va),
+        |tri AS (
+        |  SELECT e1.va AS a, e1.vb AS b, e2.vb AS c
+        |  FROM ed e1
+        |  JOIN ed e2 ON e2.va = e1.va AND e2.vb > e1.vb
+        |  JOIN ed e3 ON e3.va = e1.vb AND e3.vb = e2.vb),
+        |tc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM tri),
+        |tv AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS t_v
+        |       FROM (SELECT unnest([a, b, c]) AS v FROM tri)
+        |       GROUP BY v),
+        |lc AS (SELECT CAST(COALESCE(tv.t_v, 0) * 2000000
+        |         // (dg.deg * (dg.deg - 1)) AS BIGINT) AS c_e6
+        |       FROM dg LEFT JOIN tv ON tv.v = dg.v WHERE dg.deg >= 2),
+        |la AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cc_vertices,
+        |         CAST(SUM(c_e6) AS BIGINT) AS cce6 FROM lc),
+        |wd AS (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT)
+        |         AS n_wedges,
+        |       CAST(COUNT(*) AS BIGINT) AS n_vertices FROM dg),
+        |ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM ed)
+        |SELECT n_vertices, n_edges, n_triangles, n_wedges,
+        |  CASE WHEN n_wedges > 0 THEN
+        |    ROUND(CAST(n_triangles * 3 AS DOUBLE) / n_wedges, 4)
+        |  END AS transitivity,
+        |  CASE WHEN n_cc_vertices > 0 THEN
+        |    ROUND(CAST(cce6 AS DOUBLE) / (n_cc_vertices * 1e6), 4)
+        |  END AS avg_local_cc
+        |FROM wd, ne, tc, la""".stripMargin),
 
     "sim_threshold_hist" -> (cellPairsCte +
       """

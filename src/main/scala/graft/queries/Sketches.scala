@@ -472,6 +472,59 @@ object Sketches {
           (round($"n_both".cast("double") / $"k_kept", 4) -
             round($"i_exact".cast("double") / $"u_exact", 4))
             .as("jaccard_err"))
+    }),
+
+    // AMS F2 tug-of-war sketch (Alon–Matias–Szegedy 1996) — the
+    // second frequency moment (self-join size / skew number) from 8
+    // integer counters: estimator r keeps S_r = Σ_w sign_r(w)·cnt_w
+    // with a deterministic md5-hex-digit sign family, E[S²] = F2, and
+    // the published estimate is the lower median of the 8 squares.
+    // The sketch is LINEAR, so per-shard sketches (doc_id%4) merged
+    // by plain addition must equal the direct single-pass sketch —
+    // asserted in-query (n_mismatch), the same mergeability contract
+    // as the CMS/Bloom/KMV merges. Everything is exact integers until
+    // the final double casts; squares and F2 widen to DECIMAL(38,0)
+    // (cnt² overflows int64 at cluster-scale counts). Scale shape:
+    // one vocab-bounded (shard, word) agg, 8 in-row signs, then
+    // ≤ 32-row frames end-to-end.
+    "sketch_ams_f2" -> ((s, d) => {
+      import s.implicits._
+      val wc = TextWordCount.docWords(s, d)
+        .select((col("doc_id") % 4).cast("int").as("shard"), $"word")
+        .groupBy($"shard", $"word").agg(count(lit(1)).as("cnt"))
+      def signs = (0 until 8).map { r =>
+        struct(lit(r.toLong).as("r"),
+          expr(s"case when cast(conv(substring(md5(cast(word as" +
+            s" binary)), ${r + 1}, 1), 16, 10) as int) <= 7" +
+            " then 1 else -1 end")
+            .cast("long").as("sg"))
+      }
+      val shardSk = wc
+        .select($"shard", $"cnt", explode(array(signs: _*)).as("e"))
+        .groupBy($"shard", $"e.r".as("r"))
+        .agg(sum($"e.sg" * $"cnt").as("sk"))
+      val merged = shardSk.groupBy($"r").agg(sum($"sk").as("sk_merged"))
+      val tot = wc.groupBy($"word").agg(sum($"cnt").as("cnt"))
+      val direct = tot
+        .select($"cnt", explode(array(signs: _*)).as("e"))
+        .groupBy($"e.r".as("r"))
+        .agg(sum($"e.sg" * $"cnt").as("sk_direct"))
+      val es = merged.join(direct, "r")
+        .select($"r", $"sk_merged", $"sk_direct",
+          expr("cast(sk_merged as decimal(38,0)) * sk_merged").as("est"))
+      val med = es.select($"est").orderBy($"est").limit(4)
+        .agg(max($"est").as("f2_est"))
+      val f2 = tot
+        .agg(sum(expr("cast(cnt as decimal(38,0)) * cnt")).as("f2_exact"))
+      val mm = es.agg(sum(($"sk_merged" =!= $"sk_direct").cast("long"))
+        .as("n_mismatch"))
+      med.crossJoin(broadcast(f2)).crossJoin(broadcast(mm))
+        .select(lit(8L).as("n_estimators"),
+          $"f2_exact".cast("double").as("f2_exact"),
+          $"f2_est".cast("double").as("f2_est"),
+          round(($"f2_est".cast("double") - $"f2_exact".cast("double"))
+            / $"f2_exact".cast("double"), 4).as("rel_err"),
+          $"n_mismatch")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -565,6 +618,50 @@ object Sketches {
         |    - ROUND(CAST(i_exact AS DOUBLE) / u_exact, 4)
         |    AS jaccard_err
         |FROM est""".stripMargin,
+
+    "sketch_ams_f2" ->
+      s"""WITH dw AS ($docWordsSql),
+        |wc AS (SELECT CAST(doc_id % 4 AS INTEGER) AS shard, word,
+        |         COUNT(*) AS cnt
+        |       FROM dw GROUP BY 1, 2),
+        |rs AS (SELECT unnest(range(8)) AS r),
+        |sg AS (
+        |  SELECT wc.shard, wc.cnt, rs.r,
+        |    CASE WHEN strpos('0123456789abcdef', substring(md5(wc.word),
+        |           CAST(rs.r + 1 AS INTEGER), 1)) - 1 <= 7
+        |         THEN 1 ELSE -1 END AS sgn
+        |  FROM wc, rs),
+        |ss AS (SELECT shard, r, CAST(SUM(sgn * cnt) AS BIGINT) AS sk
+        |       FROM sg GROUP BY 1, 2),
+        |mg AS (SELECT r, CAST(SUM(sk) AS BIGINT) AS sk_merged
+        |       FROM ss GROUP BY r),
+        |tot AS (SELECT word, CAST(SUM(cnt) AS BIGINT) AS cnt
+        |        FROM wc GROUP BY word),
+        |dsg AS (
+        |  SELECT t.cnt, rs.r,
+        |    CASE WHEN strpos('0123456789abcdef', substring(md5(t.word),
+        |           CAST(rs.r + 1 AS INTEGER), 1)) - 1 <= 7
+        |         THEN 1 ELSE -1 END AS sgn
+        |  FROM tot t, rs),
+        |dr AS (SELECT r, CAST(SUM(sgn * cnt) AS BIGINT) AS sk_direct
+        |       FROM dsg GROUP BY r),
+        |es AS (SELECT mg.r, sk_merged, sk_direct,
+        |         CAST(sk_merged AS HUGEINT) * sk_merged AS est
+        |       FROM mg JOIN dr USING (r)),
+        |md AS (SELECT MAX(est) AS f2_est
+        |       FROM (SELECT est FROM es ORDER BY est LIMIT 4)),
+        |f2 AS (SELECT SUM(CAST(cnt AS HUGEINT) * cnt) AS f2_exact
+        |       FROM tot),
+        |mm AS (SELECT CAST(SUM(CASE WHEN sk_merged <> sk_direct
+        |         THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch
+        |       FROM es)
+        |SELECT CAST(8 AS BIGINT) AS n_estimators,
+        |  CAST(f2_exact AS DOUBLE) AS f2_exact,
+        |  CAST(f2_est AS DOUBLE) AS f2_est,
+        |  ROUND((CAST(f2_est AS DOUBLE) - CAST(f2_exact AS DOUBLE))
+        |    / CAST(f2_exact AS DOUBLE), 4) + 0.0 AS rel_err,
+        |  n_mismatch
+        |FROM md, f2, mm""".stripMargin,
 
     "sketch_hist_quantiles" ->
       """WITH b AS (SELECT MIN(value) AS v0, MAX(value) AS v1

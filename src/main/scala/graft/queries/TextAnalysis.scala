@@ -24,6 +24,95 @@ object TextAnalysis {
   private[queries] def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Gries' deviation-of-proportions (DP) dispersion for the top-15
+    // corpus words — the corpus-linguistics number frequency alone
+    // hides: a word can be frequent yet live in ONE source (DP → 1,
+    // boilerplate/contamination suspect) or spread evenly (DP → 0,
+    // genuine core vocabulary). DP = ½·Σ_s |v_s − w_s| over the
+    // source partition, v_s = the word's share of its own occurrences
+    // in s, w_s = the source's share of all tokens. Exact-rational
+    // core: v_s − w_s = (f_ws·T − t_s·F_w)/(F_w·T), so DP is ONE
+    // integer floor (Σ|f_ws·T − t_s·F_w|)·10⁶ div (2·F_w·T) —
+    // DECIMAL(38,0)-widened products, no float until the final /1e6.
+    // Scale shape: two corpus aggs (per-source totals, per-word
+    // totals), a TakeOrdered(15) selection, then everything runs on
+    // the constant 15-word × |sources| lattice (allowlisted).
+    "text_word_dispersion" -> ((s, d) => {
+      import s.implicits._
+      val dw = TextWordCount.docWords(s, d)
+        .join(t(s, d, "documents").select($"doc_id", $"source"),
+          "doc_id")
+      val srcTok = dw.groupBy($"source").agg(count(lit(1)).as("t_s"))
+      val tot = srcTok.agg(sum($"t_s").as("t"))
+      val top = dw.groupBy($"word").agg(count(lit(1)).as("f_w"))
+        .orderBy($"f_w".desc, $"word").limit(15)
+      val fws = dw.join(broadcast(top.select($"word")), "word")
+        .groupBy($"word", $"source").agg(count(lit(1)).as("f_ws"))
+      top.crossJoin(srcTok)
+        .join(fws, Seq("word", "source"), "left_outer")
+        .crossJoin(broadcast(tot))
+        .select($"word", $"f_w", $"t",
+          expr("abs(cast(coalesce(f_ws, 0) as decimal(38,0)) * t" +
+            " - cast(t_s as decimal(38,0)) * f_w)").as("num"))
+        .groupBy($"word")
+        .agg(max($"f_w").as("n_occurrences"), sum($"num").as("dpn"),
+          max($"t").as("t"))
+        .select($"word", $"n_occurrences",
+          round(expr("cast(cast(dpn as decimal(38,0)) * 1000000" +
+            " div (cast(2 as decimal(38,0)) * n_occurrences * t)" +
+            " as bigint)").cast("double") / 1e6, 4).as("dp"))
+        .orderBy($"word")
+    }),
+
+    // MTLD lexical diversity (McCarthy & Jarvis 2010, forward pass) —
+    // the length-ROBUST diversity number TTR can't give (TTR decays
+    // mechanically with doc length; text_ttr shows it): scan tokens,
+    // close a factor whenever the running factor TTR falls to ≤ 0.72
+    // (tested as the exact integer cross-product d·25 ≤ t·18), and
+    // credit the trailing remainder the standard partial factor
+    // (1 − TTR)/(1 − 0.72) — an exact e6 rational
+    // (t−d)·10⁸ div (28·t). MTLD = tokens/factors is one float divide
+    // of exact integers. The fold is INHERENTLY sequential per doc but
+    // docs are independent, so it runs as a typed map over (doc_id,
+    // toks) rows — embarrassingly parallel, O(factor vocab) state per
+    // row, nothing driver-side. The oracle replays the recursion
+    // token-by-token in a recursive CTE carrying the factor's seen
+    // LIST (the sim_kcenter_init state-column discipline).
+    "text_mtld" -> ((s, d) => {
+      import s.implicits._
+      val folded = t(s, d, "documents")
+        .select($"doc_id", expr(
+          "filter(split(lower(text), '\\\\s+'), x -> x != '')")
+          .as("toks"))
+        .filter(size($"toks") >= 1)
+        .as[(Long, Seq[String])]
+        .map { case (id, toks) =>
+          var tRun = 0L
+          var full = 0L
+          val seen = scala.collection.mutable.HashSet.empty[String]
+          toks.foreach { tok =>
+            tRun += 1
+            seen += tok
+            if (seen.size * 25L <= tRun * 18L) {
+              full += 1; tRun = 0; seen.clear()
+            }
+          }
+          (id, toks.length.toLong, full, tRun, seen.size.toLong)
+        }
+        .toDF("doc_id", "n_tokens", "full_f", "rem_t", "rem_d")
+      folded
+        .selectExpr("doc_id", "n_tokens",
+          "full_f * 1000000 + case when rem_t > 0 then"
+            + " (rem_t - rem_d) * 100000000 div (28 * rem_t)"
+            + " else 0 end as factors_e6")
+        .selectExpr("doc_id", "n_tokens",
+          "round(cast(factors_e6 as double) / 1e6, 4) as factors",
+          "case when factors_e6 > 0 then"
+            + " round(cast(n_tokens as double) * 1000000 / factors_e6,"
+            + " 4) end as mtld")
+        .orderBy($"doc_id")
+    }),
+
     // One BPE-training merge step — the tokenizer-fitting primitive
     // (Sennrich et al. 2016): count every adjacent character pair
     // weighted by word frequency and rank the top-20 merge candidates.
@@ -693,6 +782,84 @@ object TextAnalysis {
        |  FROM sc)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "text_mtld" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, toks FROM (
+        |    SELECT doc_id, list_filter(regexp_split_to_array(
+        |      lower(text), '\s+'), x -> x <> '') AS toks
+        |    FROM documents)
+        |  WHERE len(toks) >= 1),
+        |r AS (
+        |  SELECT doc_id, 0 AS pos, CAST([] AS VARCHAR[]) AS seen,
+        |    CAST(0 AS BIGINT) AS t, CAST(0 AS BIGINT) AS f
+        |  FROM d
+        |  UNION ALL
+        |  SELECT doc_id, pos,
+        |    CASE WHEN len(seen2) * 25 <= t2 * 18
+        |         THEN CAST([] AS VARCHAR[]) ELSE seen2 END AS seen,
+        |    CASE WHEN len(seen2) * 25 <= t2 * 18
+        |         THEN CAST(0 AS BIGINT) ELSE t2 END AS t,
+        |    f + CASE WHEN len(seen2) * 25 <= t2 * 18
+        |             THEN 1 ELSE 0 END AS f
+        |  FROM (
+        |    SELECT r.doc_id, r.pos + 1 AS pos,
+        |      CASE WHEN list_contains(r.seen, d.toks[r.pos + 1])
+        |           THEN r.seen
+        |           ELSE list_append(r.seen, d.toks[r.pos + 1])
+        |      END AS seen2,
+        |      r.t + 1 AS t2, r.f
+        |    FROM r JOIN d USING (doc_id)
+        |    WHERE r.pos < len(d.toks)) x),
+        |fin AS (
+        |  SELECT r.doc_id, CAST(len(d.toks) AS BIGINT) AS n_tokens,
+        |    r.f, r.t, CAST(len(r.seen) AS BIGINT) AS dd
+        |  FROM r JOIN d USING (doc_id) WHERE r.pos = len(d.toks)),
+        |fe AS (
+        |  SELECT doc_id, n_tokens,
+        |    f * 1000000 + CASE WHEN t > 0
+        |      THEN (t - dd) * 100000000 // (28 * t) ELSE 0 END
+        |      AS factors_e6
+        |  FROM fin)
+        |SELECT doc_id, n_tokens,
+        |  ROUND(CAST(factors_e6 AS DOUBLE) / 1e6, 4) AS factors,
+        |  CASE WHEN factors_e6 > 0 THEN
+        |    ROUND(CAST(n_tokens AS DOUBLE) * 1000000 / factors_e6, 4)
+        |  END AS mtld
+        |FROM fe ORDER BY doc_id""".stripMargin,
+
+    "text_word_dispersion" ->
+      s"""WITH dw0 AS (${TextWordCount.docWordsSql}),
+        |dws AS (SELECT dw0.word, doc.source
+        |        FROM dw0 JOIN documents doc USING (doc_id)),
+        |st AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS t_s
+        |       FROM dws GROUP BY source),
+        |tt AS (SELECT CAST(SUM(t_s) AS BIGINT) AS t FROM st),
+        |top AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS f_w
+        |        FROM dws GROUP BY word
+        |        ORDER BY f_w DESC, word LIMIT 15),
+        |fws AS (SELECT d2.word, d2.source,
+        |          CAST(COUNT(*) AS BIGINT) AS f_ws
+        |        FROM dws d2 JOIN (SELECT word FROM top) tp USING (word)
+        |        GROUP BY d2.word, d2.source),
+        |grid AS (SELECT top.word, top.f_w, st.source, st.t_s
+        |         FROM top, st),
+        |j AS (SELECT g.word, g.f_w, g.t_s,
+        |        COALESCE(f.f_ws, 0) AS f_ws
+        |      FROM grid g LEFT JOIN fws f
+        |        ON f.word = g.word AND f.source = g.source),
+        |n AS (SELECT word, f_w, t,
+        |        ABS(CAST(f_ws AS HUGEINT) * t
+        |          - CAST(t_s AS HUGEINT) * f_w) AS num
+        |      FROM j, tt),
+        |a AS (SELECT word, MAX(f_w) AS n_occurrences,
+        |        SUM(num) AS dpn, MAX(t) AS t
+        |      FROM n GROUP BY word)
+        |SELECT word, n_occurrences,
+        |  ROUND(CAST(CAST(dpn * 1000000
+        |    // (2::HUGEINT * n_occurrences * t) AS BIGINT) AS DOUBLE)
+        |    / 1e6, 4) AS dp
+        |FROM a ORDER BY word""".stripMargin,
+
     "text_bpe_merge" ->
       """WITH w AS (
         |  SELECT tok AS word, COUNT(*) AS cnt

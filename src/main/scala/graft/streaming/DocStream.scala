@@ -313,6 +313,73 @@ object DocStream {
     * all sit in the eval set can never pass unflagged (only spurious
     * flags are possible, at the filter's FP rate). The verdict rule
     * (≥ 10% gram hits) matches the batch audit's `contaminated`. */
+  /** Per-doc CDC chunk geometry computed IN-ROW (no explode, no
+    * state): n_chunks = cuts strictly before the end + the closing
+    * sentinel chunk — EXACTLY the batch chunker's bounds∪{len} count
+    * (cut positions are distinct and ≥ 8; a cut AT len merges with
+    * the sentinel there, which is why the filter takes i < len).
+    * The `len >= 8` CASE guards Spark's descending-sequence trap
+    * (sequence(8, len < 8) yields [8..len] DOWNWARD, never empty). */
+  private def withChunkGeom(docs: DataFrame): DataFrame = {
+    import graft.queries.PipelineOps.cdcCutSql
+    docs
+      .withColumn("len", length(col("text")).cast("long"))
+      .filter(col("len") > 0)
+      .withColumn("n_chunks", expr(
+        "case when len >= 8 then size(filter(sequence(8, len)," +
+          s" i -> (${cdcCutSql("i")}) and i < len)) else 0 end")
+        .cast("long") + 1L)
+  }
+
+  /** Batch-trained CDC chunk-geometry baseline: per source, the
+    * corpus expected chunk length as an e4 integer (bytes·10⁴ div
+    * chunks) under the SAME cut rule the monitor applies — train on
+    * the documents table, broadcast into the stream. */
+  def cdcModel(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    withChunkGeom(docs)
+      .groupBy($"source")
+      .agg(sum($"len").as("bytes"), sum($"n_chunks").as("chunks"))
+      .select($"source", expr(
+        "cast(cast(bytes as decimal(38,0)) * 10000 div chunks" +
+          " as bigint)").as("exp_len_e4"))
+  }
+
+  /** Online chunk-geometry drift monitor — catches a content-shape
+    * change (markup floods, encoding corruption, template rollouts)
+    * the moment it moves the average CDC chunk length: per (hour
+    * window, source), live avg chunk length vs the trained baseline,
+    * verdict `drift` when the live e4 length leaves the ±25% band
+    * (|live − exp|·4 > exp, one integer comparison — no float enters
+    * the verdict), null when the source is unmodeled (LEFT-join
+    * baseline, the house monitor rule). COMPLETELY STATELESS per row:
+    * the cut count folds in-row, the baseline joins BEFORE the
+    * windowed agg (stream-static broadcast), and the only state is
+    * the windowed sum triple. */
+  def cdcMonitor(docs: DataFrame, model: DataFrame,
+      wmDelay: String = "1 hour"): DataFrame = {
+    import docs.sparkSession.implicits._
+    val g = withChunkGeom(docs)
+      .join(broadcast(model), Seq("source"), "left_outer")
+    val src = if (docs.isStreaming) g.withWatermark("ingest_ts", wmDelay)
+      else g
+    src.groupBy(window($"ingest_ts", "1 hour"), $"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"len").as("bytes"),
+        sum($"n_chunks").as("n_chunks"),
+        max($"exp_len_e4").as("exp_len_e4"))
+      .withColumn("live_len_e4", expr(
+        "cast(cast(bytes as decimal(38,0)) * 10000 div n_chunks" +
+          " as bigint)"))
+      .select($"window.start".as("w_start"), $"source", $"n_docs",
+        $"bytes", $"n_chunks",
+        ($"live_len_e4".cast("double") / 1e4).as("live_chunk_len"),
+        ($"exp_len_e4".cast("double") / 1e4).as("exp_chunk_len"),
+        when($"exp_len_e4".isNull, lit(null).cast("string"))
+          .when(abs($"live_len_e4" - $"exp_len_e4") * 4 > $"exp_len_e4",
+            "drift")
+          .otherwise("ok").as("verdict"))
+  }
+
   def bloomGuard(docs: DataFrame, model: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     import graft.queries.PipelineOps.{bloomHitSql, toksCol}

@@ -126,6 +126,7 @@ class PlanHygieneSpec extends SparkSpec {
                              // codebook fold shape) + 1-row count row
     "sim_ivf_probe_cost",    // 1-row 8-centroid codebook broadcast
     "log_holt_forecast",     // 1-row (min,max) hour bounds (gapfill grid)
+    "log_holt_winters",      // same 1-row hour-bounds grid broadcast
     "log_mad_anomaly",       // 1-row (min,max) hour bounds (gapfill grid)
     "doc_coreset_weights",   // 1-row 8-seed codebook broadcast
     "sim_norm_outliers",     // two 1-row median/p90 scalar broadcasts
@@ -143,6 +144,10 @@ class PlanHygieneSpec extends SparkSpec {
     "sketch_kmv",            // 1-row exact-distinct scalar broadcast
     "sketch_kmv_merge",      // 1-row direct-sketch + shard-count scalars
     "sketch_kmv_intersect",  // 1-row exact-jaccard audit scalar
+    "sketch_ams_f2",         // 1-row median/exact-F2/merge-check scalars
+    "sim_clustering_coefficient", // 1-row wedge/triangle/local scalars
+    "text_word_dispersion",  // constant 15-word × source lattice +
+                             // 1-row corpus-token scalar
     "doc_cdc_dedup",         // 1-row corpus-savings scalar
     "log_removal_effect",    // constant 5-variant × alphabet² removal
                              // lattice + 1-row full-chain scalars

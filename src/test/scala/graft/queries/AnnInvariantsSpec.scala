@@ -731,6 +731,43 @@ class AnnInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("clustering coefficient replays brute-force from the edge set") {
+    val r = SparkEntry.queries("sim_clustering_coefficient")(spark, sf())
+      .head()
+    val edges = Similarity.cellPairs(spark, sf()).collect()
+      .filter(_.getDouble(3) >= 0.25)
+      .map(p => (p.getLong(1), p.getLong(2)))
+    val adj = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).toSet }
+    val nV = adj.size.toLong
+    val nE = edges.length.toLong
+    val eSet = edges.toSet
+    val tri = edges.flatMap { case (a, b) =>
+      adj(a).filter(c => c > b && eSet((b, c))).map(c => (a, b, c))
+    }
+    val wedges = adj.values.map(s0 =>
+      s0.size.toLong * (s0.size - 1) / 2).sum
+    assert(r.getLong(0) == nV && r.getLong(1) == nE,
+      "vertex/edge counts diverge")
+    assert(r.getLong(2) == tri.length.toLong, "triangle count diverges")
+    assert(r.getLong(3) == wedges, "wedge count diverges")
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    if (wedges > 0)
+      assert(r.getDouble(4) ==
+        r4(tri.length.toDouble * 3 / wedges), "transitivity")
+    // avg local: per-vertex triangle membership, e6 floors
+    val tCount = tri.flatMap(t0 => Seq(t0._1, t0._2, t0._3))
+      .groupBy(identity).map { case (v, xs) => v -> xs.length.toLong }
+    val cE6 = adj.toSeq.filter(_._2.size >= 2).map { case (v, s0) =>
+      val d = s0.size.toLong
+      tCount.getOrElse(v, 0L) * 2000000L / (d * (d - 1))
+    }
+    if (cE6.nonEmpty)
+      assert(r.getDouble(5) ==
+        r4(cE6.sum.toDouble / (cE6.length * 1e6)), "avg local cc")
+  }
+
   test("sim_twonn_id replays from the candidate pairs on the driver") {
     val r = SparkEntry.queries("sim_twonn_id")(spark, sf()).head()
     val (nUsed, sumLnMu, idEst) =

@@ -2661,6 +2661,248 @@ class PipelineInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("doc_chunk_containment: bytes conserve; flag is the exact cut") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("doc_chunk_containment")(spark, sf())
+      .collect()
+    val lens = t(spark, sf(), "documents")
+      .filter(length($"text") > 0)
+      .select($"doc_id", length($"text").cast("long").as("len"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rows.map(_.getLong(0)).toSet == lens.keySet)
+    rows.foreach { r =>
+      val (id, bytes, shared, flag) =
+        (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(5))
+      assert(bytes == lens(id), s"doc $id: chunk bytes != len")
+      assert(shared >= 0 && shared <= bytes, s"doc $id: shared bounds")
+      assert(flag == (if (shared * 2 >= bytes) 1L else 0L),
+        s"doc $id: mostly_shared flag diverges from the integer cut")
+    }
+  }
+
+  test("LTV cohorts: cumulative curve is monotone and totals reconcile") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("log_ltv_cohorts")(spark, sf())
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (ck, rs) =>
+      val sorted = rs.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._5 >= a._5 - 1e-9, s"cohort $ck: LTV curve decreased")
+        case _ =>
+      }
+      // offsets never precede the cohort's own first week
+      assert(sorted.head._2 >= 0, s"cohort $ck: negative offset")
+    }
+    // the final cumulative LTV times users reconciles with the
+    // cohort's total purchase revenue (4dp rounding slack)
+    val direct = t(spark, sf(), "events")
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"value",
+        expr("(unix_micros(ts) - pmod(unix_micros(ts), 604800000000))" +
+          " div 604800000000").as("wk"))
+      .join(t(spark, sf(), "events").groupBy($"user_id").agg(
+        min(expr("(unix_micros(ts) - pmod(unix_micros(ts)," +
+          " 604800000000)) div 604800000000")).as("ck")), "user_id")
+      .groupBy($"ck")
+      .agg(sum($"value".cast("decimal(18,2)")).cast("double").as("rev"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    rows.groupBy(_._1).foreach { case (ck, rs) =>
+      val last = rs.maxBy(_._2)
+      assert(math.abs(last._5 * last._3 - direct(ck))
+        <= last._3 * 1e-4 + 0.01,
+        s"cohort $ck: final LTV*users != total revenue")
+    }
+  }
+
+  test("ab segments: Welch t replays from exact integers; flag at 1.96") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("log_ab_segments")(spark, sf())
+      .collect()
+    assert(rows.nonEmpty)
+    // driver replay: first-touch segment + per-user purchase count
+    val ev = t(spark, sf(), "events")
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id",
+        $"event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    def variant(uid: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(uid.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (hex.charAt(0) <= '7') "A" else "B"
+    }
+    val perUser = ev.groupBy(_._1).map { case (uid, rs) =>
+      val seg = rs.minBy(r => (r._2, r._3))._4
+      val np = rs.count(_._4 == "purchase").toLong
+      (uid, seg, variant(uid), np)
+    }.toSeq
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { row =>
+      val seg = row.getString(0)
+      val xa = perUser.filter(u => u._2 == seg && u._3 == "A").map(_._4)
+      val xb = perUser.filter(u => u._2 == seg && u._3 == "B").map(_._4)
+      assert(row.getLong(1) == xa.length && row.getLong(2) == xb.length,
+        s"$seg: arm sizes diverge")
+      if (xa.length >= 2 && xb.length >= 2) {
+        val (na, nb) = (xa.length.toLong, xb.length.toLong)
+        val (sa, sb) = (xa.sum, xb.sum)
+        val ssa = xa.map(x => BigInt(x) * BigInt(x)).sum
+        val ssb = xb.map(x => BigInt(x) * BigInt(x)).sum
+        val se2 = (ssa.toDouble - sa.toDouble * sa.toDouble / na) /
+          (na - 1) / na +
+          (ssb.toDouble - sb.toDouble * sb.toDouble / nb) / (nb - 1) / nb
+        if (se2 > 0) {
+          val t0 = (sb.toDouble / nb - sa.toDouble / na) / math.sqrt(se2)
+          // HALF_UP away from zero, as Spark round() — math.round
+          // floors negative halves and would diverge
+          val tE4 = BigDecimal(t0 * 1e4)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+          assert(row.getDouble(6) == tE4.toDouble / 1e4,
+            s"$seg: t_welch diverges from replay")
+          assert(row.getLong(7) ==
+            (if (math.abs(tE4) > 19600) 1L else 0L),
+            s"$seg: significance flag diverges from the e4 cut")
+        }
+        assert(row.getDouble(5) ==
+          r4(sb.toDouble / nb - sa.toDouble / na), s"$seg: lift")
+      }
+    }
+  }
+
+  test("word dispersion: DP in [0,1], exact-rational replay per word") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("text_word_dispersion")(spark, sf())
+      .collect()
+    assert(rows.length == 15, s"expected top-15, got ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0,
+        s"${r.getString(0)}: DP out of [0,1]")
+    }
+    // exact replay from the (word, source) instance counts
+    val dw = graft.queries.TextWordCount.docWords(spark, sf())
+      .join(t(spark, sf(), "documents").select($"doc_id", $"source"),
+        "doc_id")
+      .groupBy($"word", $"source").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val tS = dw.groupBy(_._2).map { case (s0, xs) => s0 -> xs.map(_._3).sum }
+    val tTot = tS.values.sum
+    rows.foreach { r =>
+      val (word, fw) = (r.getString(0), r.getLong(1))
+      val byS = dw.filter(_._1 == word).map(x => x._2 -> x._3).toMap
+      assert(byS.values.sum == fw, s"$word: occurrence total diverges")
+      val dpn = tS.map { case (s0, ts) =>
+        (BigInt(byS.getOrElse(s0, 0L)) * tTot - BigInt(ts) * fw).abs
+      }.sum
+      val dpE6 = dpn * 1000000 / (BigInt(2) * fw * tTot)
+      assert(r.getDouble(2) ==
+        BigDecimal(dpE6.toDouble / 1e6)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        s"$word: DP diverges from the exact-rational replay")
+    }
+  }
+
+  test("MTLD: sequential fold replays; partial factor exact-rational") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("text_mtld")(spark, sf()).collect()
+    val docs = t(spark, sf(), "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    var checked = 0
+    docs.foreach { case (id, text) =>
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (toks.nonEmpty) {
+        var tRun = 0L; var full = 0L
+        val seen = scala.collection.mutable.HashSet.empty[String]
+        toks.foreach { tok =>
+          tRun += 1; seen += tok
+          if (seen.size * 25L <= tRun * 18L) {
+            full += 1; tRun = 0; seen.clear()
+          }
+        }
+        val fE6 = BigInt(full) * 1000000 + (if (tRun > 0)
+          BigInt(tRun - seen.size) * 100000000 / (BigInt(28) * tRun)
+        else BigInt(0))
+        val row = byId(id)
+        assert(row.getLong(1) == toks.length.toLong, s"doc $id: tokens")
+        assert(row.getDouble(2) == r4(fE6.toDouble / 1e6),
+          s"doc $id: factors diverge from the fold replay")
+        if (fE6 > 0)
+          assert(row.getDouble(3) ==
+            r4(toks.length.toDouble * 1000000 / fE6.toLong),
+            s"doc $id: mtld diverges")
+        else assert(row.isNullAt(3), s"doc $id: expected null mtld")
+        checked += 1
+      }
+    }
+    assert(checked == rows.length, "row count diverges from non-empty docs")
+    // MTLD is a token-count-free diversity number: for docs long
+    // enough to close a factor it sits in a sane band
+    rows.filter(!_.isNullAt(3)).foreach { r =>
+      assert(r.getDouble(3) > 1.0 && r.getDouble(3) < 1000.0,
+        s"doc ${r.getLong(0)}: implausible mtld ${r.getDouble(3)}")
+    }
+  }
+
+  test("Holt-Winters: integer recurrence replays from the dense grid") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("log_holt_winters")(spark, sf())
+      .collect()
+    assert(rows.nonEmpty)
+    // independent replay: dense per-type hourly series on the driver,
+    // the same e4-integer recurrence in plain Scala
+    val ev = t(spark, sf(), "events")
+      .select($"event_type", unix_micros(date_trunc("hour", $"ts"))
+        .as("hus"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val (h0, h1) = (ev.map(_._2).min, ev.map(_._2).max)
+    val hourUs = 3600000000L
+    val counts = ev.groupBy(identity).map { case (k, g) =>
+      k -> g.length.toLong }
+    def div10(v: Long): Long = if (v < 0) -((-v) / 10) else v / 10
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { row =>
+      val ty = row.getString(0)
+      val series = (h0 to h1 by hourUs)
+        .map(h => counts.getOrElse((ty, h), 0L) * 10000L)
+      assert(row.getLong(1) == series.length.toLong, s"$ty: n_hours")
+      if (series.length >= 24) {
+        var l = series.take(24).sum / 24
+        var b = 0L
+        val s24 = series.take(24).map(_ - l).toArray
+        var sumAbs = 0L
+        var n = 24
+        series.drop(24).foreach { xe4 =>
+          val sIdx = n % 24
+          val sOld = s24(sIdx)
+          sumAbs += math.abs(xe4 - (l + b + sOld))
+          val l1 = div10(3 * (xe4 - sOld) + 7 * (l + b))
+          b = div10(2 * (l1 - l) + 8 * b)
+          s24(sIdx) = div10(2 * (xe4 - l1) + 8 * sOld)
+          l = l1
+          n += 1
+        }
+        assert(row.getDouble(2) == l.toDouble / 1e4, s"$ty: level")
+        assert(row.getDouble(3) == b.toDouble / 1e4, s"$ty: trend")
+        assert(row.getDouble(4) ==
+          (l + b + s24(n % 24)).toDouble / 1e4, s"$ty: forecast")
+        if (series.length >= 25)
+          assert(row.getDouble(5) ==
+            r4(sumAbs.toDouble / ((series.length - 24) * 1e4)),
+            s"$ty: mae")
+      }
+    }
+  }
+
   test("removal effect: BigInt chain replay; shares sum to 1") {
     import spark.implicits._
     val rows = SparkEntry.queries("log_removal_effect")(spark, sf())

@@ -218,6 +218,36 @@ class SketchesSpec extends SparkSpec {
       s"jaccard_est=$jEst vs true=$jTrue outside 4σ")
   }
 
+  test("AMS F2: sketch replays sign-exactly; merge is linear") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val r = SparkEntry.queries("sketch_ams_f2")(spark, sf()).head()
+    val (f2Exact, f2Est, relErr, nMismatch) =
+      (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4))
+    assert(r.getLong(0) == 8L)
+    assert(nMismatch == 0L, "shard-merged sketch != direct sketch")
+    // driver replay from the exact word counts
+    val counts = graft.queries.TextWordCount.docWords(spark, sf())
+      .groupBy($"word").agg(count(lit(1)).as("cnt"))
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(w: String): String =
+      md.digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val sketches = (0 until 8).map { rr =>
+      counts.map { case (w, c) =>
+        (if (hex(w).charAt(rr) <= '7') 1L else -1L) * c
+      }.sum
+    }
+    val squares = sketches.map(s0 => BigInt(s0) * BigInt(s0)).sorted
+    assert(f2Est == squares(3).toDouble,
+      "f2_est is not the lower median of the 8 replayed squares")
+    val exact = counts.map { case (_, c) => BigInt(c) * BigInt(c) }.sum
+    assert(f2Exact == exact.toDouble, "f2_exact diverges")
+    // AMS concentration is weak at 8 estimators on a 31-word skewed
+    // vocab — only pin that the estimate is the right order
+    assert(math.abs(relErr) < 0.95, s"rel_err=$relErr implausible")
+  }
+
   test("KMV merge is lossless: shard union reproduces the direct sketch") {
     val r = SparkEntry.queries("sketch_kmv_merge")(spark, sf()).head()
     assert(r.getLong(0) == 4, "expected 4 doc-parity shards")

@@ -1302,4 +1302,78 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty, "closed canary window never emitted")
     assert(streamed == batch, "canary stream != batch on closed window")
   }
+
+  test("cdc monitor (batch): geometry replays; band verdicts; null rule") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 10:15:00")
+    val base = t(spark, sf(), "documents")
+    val docs = base.withColumn("ingest_ts", lit(t0))
+    val model = DocStream.cdcModel(base)
+    val got = DocStream.cdcMonitor(docs, model).collect()
+    assert(got.nonEmpty)
+    // pure-Scala replay of the cut rule per source
+    val raw = base.select($"source", $"text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .filter(_._2.nonEmpty)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def chunksOf(text: String): Long = {
+      val cuts = (8 to text.length).count { i =>
+        val hex = md.digest(text.substring(i - 8, i).getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(8)
+        java.lang.Long.parseLong(hex, 16) % 64 == 0 && i < text.length
+      }
+      cuts + 1L
+    }
+    val bySrc = raw.groupBy(_._1).map { case (s0, xs) =>
+      s0 -> (xs.length.toLong, xs.map(_._2.length.toLong).sum,
+        xs.map(x => chunksOf(x._2)).sum)
+    }
+    got.foreach { r =>
+      val (src, nDocs, bytes, nChunks) =
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val (en, eb, ec) = bySrc(src)
+      assert(nDocs == en && bytes == eb && nChunks == ec,
+        s"$src: geometry diverges from the pure-Scala cut replay")
+      // trained on the identical corpus → live == expected → ok
+      assert(r.getString(7) == "ok", s"$src: ${r.getString(7)}")
+    }
+    assert(got.map(_.getString(1)).toSet == bySrc.keySet)
+    // unmodeled source → null verdict (LEFT-join baseline rule)
+    val dropSrc = bySrc.keySet.min
+    val got2 = DocStream
+      .cdcMonitor(docs, model.filter($"source" =!= dropSrc)).collect()
+    assert(got2.find(_.getString(1) == dropSrc).get.isNullAt(7),
+      "unmodeled source must publish a null verdict")
+    // a 3x-inflated baseline puts every live length outside ±25%
+    val got3 = DocStream
+      .cdcMonitor(docs, model.withColumn("exp_len_e4", $"exp_len_e4" * 3))
+      .collect()
+    got3.foreach(r => assert(r.getString(7) == "drift",
+      s"${r.getString(1)}: expected drift against a 3x baseline"))
+  }
+
+  test("cdc monitor (streaming): == batch (parity)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_cdc").toString
+    val src = s"$root/src"
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 10:15:00")
+    val base = t(spark, sf(), "documents")
+    base.filter($"doc_id" % 2 === 0).withColumn("ingest_ts", lit(t0))
+      .write.mode("append").parquet(src)
+    base.filter($"doc_id" % 2 === 1).withColumn("ingest_ts", lit(t0))
+      .write.mode("append").parquet(src)
+    val model = DocStream.cdcModel(base)
+    val schema = spark.read.parquet(src).schema
+    val q = DocStream.cdcMonitor(
+        spark.readStream.schema(schema).parquet(src), model)
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("cdc_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("cdc_stream")
+      .orderBy($"w_start", $"source").collect().toSeq
+    val batch = DocStream.cdcMonitor(spark.read.parquet(src), model)
+      .orderBy($"w_start", $"source").collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streaming ${streamed.size} rows != batch ${batch.size}")
+  }
 }
