@@ -388,6 +388,47 @@ object Dedup {
     // shape production dedup runs at 100 TB: the quadratic comparison
     // space is pruned to LSH candidates first, so the exact-verify join
     // touches |candidates| x shingles-per-doc rows, never |docs|².
+    // Weighted (multiset) Jaccard over the shingle candidate pairs —
+    // the frequency-AWARE near-dup score plain Jaccard flattens: two
+    // docs sharing a vocabulary but with wildly different term
+    // frequencies score high on set overlap and LOW here, so W-Jaccard
+    // separates "same template" from "same text". Exact integers
+    // throughout: W = Σ_w min(tf_a, tf_b) / Σ_w max = min_sum /
+    // (|A| + |B| − min_sum) by the multiset identity, so only the
+    // min-sum and the two total lengths are computed — one candidate
+    // × words-per-doc equi-join, never a second pass for max. Pair
+    // space stays the dedup_jaccard_pairs candidate relation (docs
+    // sharing ≥ 1 word-5-shingle) — sub-quadratic at any scale.
+    "dedup_weighted_jaccard" -> ((s, d) => {
+      import s.implicits._
+      val tf = TextWordCount.docWords(s, d)
+        .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+      val lens = tf.groupBy($"doc_id").agg(sum($"tf").as("len"))
+      val sh = shingles5Shared(s, d)
+      val cand = sh.as("a").join(sh.as("b"),
+          $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+        .distinct()
+      val ms = cand
+        .join(tf.select($"doc_id".as("doc_a"), $"word",
+          $"tf".as("tfa")), "doc_a")
+        .join(tf.select($"doc_id".as("doc_b"), $"word",
+          $"tf".as("tfb")), Seq("doc_b", "word"))
+        .groupBy($"doc_a", $"doc_b")
+        .agg(sum(least($"tfa", $"tfb")).as("min_sum"))
+      cand.join(ms, Seq("doc_a", "doc_b"), "left_outer")
+        .join(lens.select($"doc_id".as("doc_a"), $"len".as("la")),
+          "doc_a")
+        .join(lens.select($"doc_id".as("doc_b"), $"len".as("lb")),
+          "doc_b")
+        .select($"doc_a", $"doc_b",
+          coalesce($"min_sum", lit(0L)).as("min_sum"),
+          round(coalesce($"min_sum", lit(0L)).cast("double")
+            / ($"la" + $"lb" - coalesce($"min_sum", lit(0L))), 4)
+            .as("w_jacc"))
+        .orderBy($"doc_a", $"doc_b")
+    }),
+
     "dedup_lsh_verified" -> ((s, d) => {
       import s.implicits._
       val cand = lshPairsShared(s, d)
@@ -858,6 +899,35 @@ object Dedup {
          |JOIN sizes sa ON sa.doc_id = doc_a
          |JOIN sizes sb ON sb.doc_id = doc_b
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_weighted_jaccard" ->
+      s"""WITH ${shinglesSql(5, "sh")},
+         |dwq AS (${TextWordCount.docWordsSql}),
+         |tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+         |       FROM dwq GROUP BY 1, 2),
+         |lens AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len
+         |         FROM tf GROUP BY doc_id),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh a JOIN sh b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+         |ms AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    CAST(SUM(LEAST(ta.tf, tb.tf)) AS BIGINT) AS min_sum
+         |  FROM cand c
+         |  JOIN tf ta ON ta.doc_id = c.doc_a
+         |  JOIN tf tb ON tb.doc_id = c.doc_b AND tb.word = ta.word
+         |  GROUP BY 1, 2)
+         |SELECT c.doc_a, c.doc_b,
+         |  COALESCE(ms.min_sum, 0) AS min_sum,
+         |  ROUND(CAST(COALESCE(ms.min_sum, 0) AS DOUBLE)
+         |    / (la.len + lb.len - COALESCE(ms.min_sum, 0)), 4)
+         |    AS w_jacc
+         |FROM cand c
+         |LEFT JOIN ms ON ms.doc_a = c.doc_a AND ms.doc_b = c.doc_b
+         |JOIN lens la ON la.doc_id = c.doc_a
+         |JOIN lens lb ON lb.doc_id = c.doc_b
+         |ORDER BY c.doc_a, c.doc_b""".stripMargin,
 
     "dedup_lsh_verified" ->
       s"""$sigSql,

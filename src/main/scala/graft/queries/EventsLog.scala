@@ -2219,6 +2219,151 @@ object EventsLog {
         .orderBy($"event_type")
     }),
 
+    // Rolling one-step backtest of the WHOLE forecaster shelf — the
+    // model-selection table a capacity dashboard actually needs:
+    // naive (x_{t−1}), seasonal-naive (x_{t−24}), Holt, and
+    // Holt–Winters each produce one-step-ahead forecasts with state
+    // updated over the full series, scored by MAE over the LAST 24
+    // hours only (the holdout window), and `best` is an INTEGER
+    // argmin over the four e4 error sums (ties break alphabetically
+    // in the CASE cascade — no float enters the pick). The recurrences
+    // are bit-identical to log_holt_forecast / log_holt_winters
+    // (including Holt's t=2 first-diff init). Per type the series is
+    // the bounded dense hour grid, so mapGroups holds O(hours) local
+    // state — the same budget the grid itself costs — and the oracle
+    // replays all four folds in ONE recursive CTE carrying the
+    // rolling 24-slot value list + both model states.
+    "log_forecast_backtest" -> ((s, d) => {
+      import s.implicits._
+      val dense = denseHourGrid(t(s, d, "events"))
+        .select($"event_type", unix_micros($"h").as("hus"), $"n")
+      val folded = dense
+        .as[(String, Long, Long)]
+        .groupByKey(_._1)
+        .mapGroups { (ty, rows) =>
+          def div10(v: Long): Long =
+            if (v < 0) -((-v) / 10) else v / 10
+          val xs = rows.toArray.sortBy(_._2).map(_._3 * 10000L)
+          val n = xs.length
+          val cut = n - 24
+          var eN = 0L; var eS = 0L; var eH = 0L; var eW = 0L
+          var lh = 0L; var bh = 0L; var x1 = 0L
+          var lw = 0L; var bw = 0L
+          val sw = new Array[Long](24)
+          val slots = new Array[Long](24)
+          var i = 0
+          while (i < n) {
+            val t0 = i + 1
+            val x = xs(i)
+            val k = i % 24
+            if (t0 > cut) {
+              if (t0 >= 2) eN += math.abs(x - xs(i - 1))
+              if (t0 >= 25) eS += math.abs(x - slots(k))
+            }
+            if (t0 == 1) { lh = x; bh = 0; x1 = x }
+            else {
+              if (t0 == 2) bh = x - x1
+              val pred = lh + bh
+              if (t0 > cut) eH += math.abs(x - pred)
+              val l1 = div10(3 * x + 7 * pred)
+              bh = div10(2 * (l1 - lh) + 8 * bh)
+              lh = l1
+            }
+            if (t0 <= 24) {
+              if (t0 == 24) {
+                var ssum = x; var j = 0
+                while (j < 23) { ssum += slots(j); j += 1 }
+                lw = ssum / 24
+                bw = 0
+                j = 0
+                while (j < 23) { sw(j) = slots(j) - lw; j += 1 }
+                sw(23) = x - lw
+              }
+            } else {
+              val sOld = sw(k)
+              val pred = lw + bw + sOld
+              if (t0 > cut) eW += math.abs(x - pred)
+              val l1 = div10(3 * (x - sOld) + 7 * (lw + bw))
+              bw = div10(2 * (l1 - lw) + 8 * bw)
+              sw(k) = div10(2 * (x - l1) + 8 * sOld)
+              lw = l1
+            }
+            slots(k) = x
+            i += 1
+          }
+          (ty, n.toLong, eN, eS, eH, eW)
+        }
+        .toDF("event_type", "n_hours", "e_naive", "e_snaive",
+          "e_holt", "e_hw")
+      folded.selectExpr("event_type", "n_hours",
+          "case when n_hours >= 49 then"
+            + " round(cast(e_naive as double) / (24 * 1e4), 4)"
+            + " end as mae_naive",
+          "case when n_hours >= 49 then"
+            + " round(cast(e_snaive as double) / (24 * 1e4), 4)"
+            + " end as mae_snaive",
+          "case when n_hours >= 49 then"
+            + " round(cast(e_holt as double) / (24 * 1e4), 4)"
+            + " end as mae_holt",
+          "case when n_hours >= 49 then"
+            + " round(cast(e_hw as double) / (24 * 1e4), 4)"
+            + " end as mae_hw",
+          "case when n_hours >= 49 then"
+            + " case when e_holt <= e_hw and e_holt <= e_naive"
+            + "   and e_holt <= e_snaive then 'holt'"
+            + " when e_hw <= e_naive and e_hw <= e_snaive then 'hw'"
+            + " when e_naive <= e_snaive then 'naive'"
+            + " else 'snaive' end end as best")
+        .orderBy($"event_type")
+    }),
+
+    // Token-bucket rate-limit replay — the capacity-planning question
+    // an ingest gateway asks of historical traffic: with a
+    // 2-token/user bucket refilling at 1 token per 2 hours (sized so
+    // this corpus's session bursts actually hit it), which events
+    // WOULD have been throttled? The bucket is e6-INTEGER state
+    // (refill = elapsed-µs div 7200, i.e. 1e6 token-units per 2 h;
+    // the per-event floor remainder is dropped — deterministic in
+    // both engines), the first event always admits from a full
+    // bucket, and verdicts are integer comparisons. Per-user
+    // sequential by nature → the doc_pack_greedy/holt shape: ONE
+    // user-partitioned sorted mapPartitions fold with O(1) state,
+    // verdicts aggregated per event type. The oracle replays every
+    // event in a recursive CTE whose rows ARE the per-event states.
+    "log_rate_limit_replay" -> ((s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+        .select($"user_id", unix_micros($"ts").as("us"), $"event_id",
+          $"event_type")
+      val verdicts = ev
+        .repartition($"user_id")
+        .sortWithinPartitions($"user_id", $"us", $"event_id")
+        .as[(Long, Long, Long, String)]
+        .mapPartitions { it =>
+          var cur = Long.MinValue
+          var tokens = 0L
+          var lastUs = 0L
+          it.map { case (uid, us, _, ty) =>
+            if (uid != cur) { cur = uid; tokens = 2000000L; lastUs = us }
+            else {
+              tokens = math.min(2000000L, tokens + (us - lastUs) / 7200)
+              lastUs = us
+            }
+            val throttled = tokens < 1000000L
+            if (!throttled) tokens -= 1000000L
+            (ty, if (throttled) 1L else 0L)
+          }
+        }
+        .toDF("event_type", "throttled")
+      verdicts.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum($"throttled").as("n_throttled"))
+        .select($"event_type", $"n_events", $"n_throttled",
+          round($"n_throttled".cast("double") / $"n_events", 4)
+            .as("throttle_rate"))
+        .orderBy($"event_type")
+    }),
+
     // Robust MAD anomaly flags — the median/MAD twin of the 2σ rules
     // (log_anomaly / log_anomaly_seasonal): mean±σ rules are
     // themselves dragged by the outliers they hunt, while median and
@@ -3973,6 +4118,145 @@ object EventsLog {
          |FROM nn n LEFT JOIN fin o USING (event_type)
          |ORDER BY event_type""".stripMargin
     },
+
+    "log_forecast_backtest" -> {
+      def sdiv(v: String) =
+        s"(CASE WHEN ($v) < 0 THEN -((-($v)) // 10) ELSE ($v) // 10 END)"
+      val l1h = sdiv("3 * xe4 + 7 * predh")
+      val l1w = sdiv("3 * (xe4 - swold) + 7 * (lw + bw)")
+      s"""WITH RECURSIVE ev AS (
+         |  SELECT event_type, date_trunc('hour', ts) AS h FROM events),
+         |counts AS (SELECT event_type, h, COUNT(*) AS n
+         |           FROM ev GROUP BY 1, 2),
+         |bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM ev),
+         |grid AS (
+         |  SELECT event_type, unnest(generate_series(h0, h1,
+         |    INTERVAL 1 HOUR)) AS h
+         |  FROM (SELECT DISTINCT event_type FROM ev), bounds),
+         |dense AS (
+         |  SELECT g.event_type, g.h, COALESCE(c.n, 0) AS n
+         |  FROM grid g LEFT JOIN counts c
+         |    ON c.event_type = g.event_type AND c.h = g.h),
+         |d AS (
+         |  SELECT event_type, CAST(n * 10000 AS BIGINT) AS xe4,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS i
+         |  FROM dense),
+         |nn AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours
+         |       FROM d GROUP BY 1),
+         |r AS (
+         |  SELECT d.event_type, CAST(1 AS BIGINT) AS pos,
+         |    nn.n_hours AS n,
+         |    [d.xe4] || list_transform(range(23),
+         |      z -> CAST(0 AS BIGINT)) AS slots,
+         |    d.xe4 AS lh, CAST(0 AS BIGINT) AS bh, d.xe4 AS x1,
+         |    CAST(0 AS BIGINT) AS lw, CAST(0 AS BIGINT) AS bw,
+         |    list_transform(range(24), z -> CAST(0 AS BIGINT)) AS sw,
+         |    CAST(0 AS BIGINT) AS en, CAST(0 AS BIGINT) AS es,
+         |    CAST(0 AS BIGINT) AS eh, CAST(0 AS BIGINT) AS ew
+         |  FROM d JOIN nn USING (event_type) WHERE d.i = 1
+         |  UNION ALL
+         |  SELECT event_type, pos2, n, newslots AS slots,
+         |    CAST($l1h AS BIGINT) AS lh,
+         |    CAST(${sdiv(s"2 * ($l1h - lh) + 8 * bh_eff")} AS BIGINT)
+         |      AS bh,
+         |    x1,
+         |    CAST(CASE WHEN pos2 = 24 THEN lw24
+         |         WHEN pos2 >= 25 THEN $l1w ELSE lw END AS BIGINT)
+         |      AS lw,
+         |    CAST(CASE WHEN pos2 = 24 THEN 0
+         |         WHEN pos2 >= 25 THEN
+         |           ${sdiv(s"2 * ($l1w - lw) + 8 * bw")}
+         |         ELSE bw END AS BIGINT) AS bw,
+         |    CASE WHEN pos2 = 24 THEN
+         |           list_transform(newslots, v -> v - lw24)
+         |         WHEN pos2 >= 25 THEN sw[1:k-1]
+         |           || [CAST(${sdiv(s"2 * (xe4 - $l1w) + 8 * swold")}
+         |               AS BIGINT)] || sw[k+1:]
+         |         ELSE sw END AS sw,
+         |    en + CASE WHEN pos2 > n - 24
+         |         THEN abs(xe4 - prevx) ELSE 0 END AS en,
+         |    es + CASE WHEN pos2 > n - 24 AND pos2 >= 25
+         |         THEN abs(xe4 - sold24) ELSE 0 END AS es,
+         |    eh + CASE WHEN pos2 > n - 24
+         |         THEN abs(xe4 - predh) ELSE 0 END AS eh,
+         |    ew + CASE WHEN pos2 > n - 24 AND pos2 >= 25
+         |         THEN abs(xe4 - (lw + bw + swold)) ELSE 0 END AS ew
+         |  FROM (
+         |    SELECT b.*,
+         |      CAST(CASE WHEN pos2 = 24
+         |        THEN list_sum(newslots) // 24 ELSE 0 END AS BIGINT)
+         |        AS lw24
+         |    FROM (
+         |      SELECT a.*, a.lh + a.bh_eff AS predh
+         |      FROM (
+         |        SELECT r.event_type, r.pos + 1 AS pos2, r.n,
+         |          d.xe4, r.lh, r.x1, r.lw, r.bw, r.sw,
+         |          r.en, r.es, r.eh, r.ew,
+         |          (CAST(r.pos AS INTEGER) % 24) + 1 AS k,
+         |          r.slots[(CAST(r.pos AS INTEGER) % 24) + 1]
+         |            AS sold24,
+         |          r.slots[(CAST(r.pos - 1 AS INTEGER) % 24) + 1]
+         |            AS prevx,
+         |          r.sw[(CAST(r.pos AS INTEGER) % 24) + 1] AS swold,
+         |          CASE WHEN r.pos + 1 = 2 THEN d.xe4 - r.x1
+         |               ELSE r.bh END AS bh_eff,
+         |          r.slots[1:(CAST(r.pos AS INTEGER) % 24)]
+         |            || [d.xe4]
+         |            || r.slots[(CAST(r.pos AS INTEGER) % 24) + 2:]
+         |            AS newslots
+         |        FROM r JOIN d ON d.event_type = r.event_type
+         |                      AND d.i = r.pos + 1) a) b) x),
+         |fin AS (
+         |  SELECT r.* FROM r
+         |  JOIN nn ON nn.event_type = r.event_type
+         |          AND r.pos = nn.n_hours)
+         |SELECT event_type, n AS n_hours,
+         |  CASE WHEN n >= 49 THEN
+         |    ROUND(CAST(en AS DOUBLE) / (24 * 1e4), 4) END AS mae_naive,
+         |  CASE WHEN n >= 49 THEN
+         |    ROUND(CAST(es AS DOUBLE) / (24 * 1e4), 4) END
+         |    AS mae_snaive,
+         |  CASE WHEN n >= 49 THEN
+         |    ROUND(CAST(eh AS DOUBLE) / (24 * 1e4), 4) END AS mae_holt,
+         |  CASE WHEN n >= 49 THEN
+         |    ROUND(CAST(ew AS DOUBLE) / (24 * 1e4), 4) END AS mae_hw,
+         |  CASE WHEN n >= 49 THEN
+         |    CASE WHEN eh <= ew AND eh <= en AND eh <= es THEN 'holt'
+         |         WHEN ew <= en AND ew <= es THEN 'hw'
+         |         WHEN en <= es THEN 'naive'
+         |         ELSE 'snaive' END END AS best
+         |FROM fin ORDER BY event_type""".stripMargin
+    },
+
+    "log_rate_limit_replay" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+        |  FROM events),
+        |o AS (
+        |  SELECT user_id, us, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS i
+        |  FROM ev),
+        |r AS (
+        |  SELECT user_id, i, us AS last_us, event_type,
+        |    CAST(1000000 AS BIGINT) AS tokens_e6, FALSE AS throttled
+        |  FROM o WHERE i = 1
+        |  UNION ALL
+        |  SELECT user_id, i, us AS last_us, event_type,
+        |    CAST(CASE WHEN nt >= 1000000 THEN nt - 1000000 ELSE nt END
+        |      AS BIGINT) AS tokens_e6,
+        |    nt < 1000000 AS throttled
+        |  FROM (
+        |    SELECT o.user_id, o.i, o.us, o.event_type,
+        |      LEAST(2000000, r.tokens_e6 + (o.us - r.last_us) // 7200)
+        |        AS nt
+        |    FROM r JOIN o ON o.user_id = r.user_id AND o.i = r.i + 1) x)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CASE WHEN throttled THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_throttled,
+        |  ROUND(CAST(SUM(CASE WHEN throttled THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / COUNT(*), 4) AS throttle_rate
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "log_mad_anomaly" ->
       """WITH ev AS (

@@ -737,6 +737,75 @@ object Similarity {
             .as("avg_local_cc"))
     }),
 
+    // NDCG@10 of the sign-LSH ANN path against exact brute force —
+    // the GRADED ranking-quality number the recall family
+    // (sim_recall_eval / recall_vs_nprobe) can't give: recall treats
+    // rank 1 and rank 10 alike, NDCG charges each miss by position.
+    // Query panel = vec_id % 37 ≡ 1 (the nn-canary sampling), graded
+    // relevance of an ANN hit = 11 − its exact rank (0 if outside the
+    // exact top-10), each DCG term e10-quantized (rel is an exact
+    // integer, log2(pos+1) an identical double both engines), IDCG a
+    // compile-time integer constant, per-query NDCG an exact e6
+    // floor. The brute-force side is the eval budget — a sampled
+    // panel × corpus pass via the batch-topk 1-row panel broadcast
+    // (never a cartesian), the ANN side an equi-join on the 4-bit
+    // signature.
+    "sim_ann_ndcg" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      withCosine(s)
+      val idcgE10 = (1 to 10).map(i =>
+        math.round((11.0 - i) / (math.log(i + 1.0) / math.log(2.0))
+          * 1e10)).sum
+      val emb = t(s, d, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val sigs = emb
+        .crossJoin(broadcast(s.range(1).select(planesCol.as("planes"))))
+        .select($"vec_id", $"v", sigCol.as("sig"))
+        .localCheckpoint()
+      val panel = sigs.filter($"vec_id" % 37 === 1)
+        .agg(expr("array_sort(collect_list(named_struct('qid', vec_id," +
+          " 'qsig', sig, 'q', v)))").as("qs"))
+      val qids = sigs.filter($"vec_id" % 37 === 1)
+        .select($"vec_id".as("qid"))
+      val scored = sigs.crossJoin(broadcast(panel))
+        .select($"vec_id", $"sig", explode(expr(
+          "transform(qs, x -> named_struct('qid', x.qid, 'qsig'," +
+            " x.qsig, 'cs', round(cosine_similarity(v, x.q), 4)))"))
+          .as("p"))
+        .filter($"vec_id" =!= $"p.qid")
+        .select($"p.qid".as("qid"), $"p.qsig".as("qsig"), $"vec_id",
+          $"sig", $"p.cs".as("cs"))
+      val w = Window.partitionBy($"qid").orderBy($"cs".desc, $"vec_id".asc)
+      val exact = scored.withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 10).select($"qid", $"vec_id", $"rnk")
+      val ann = scored.filter($"sig" === $"qsig")
+        .withColumn("pos", row_number().over(w))
+        .filter($"pos" <= 10).select($"qid", $"vec_id", $"pos")
+      val perQ = ann.join(exact, Seq("qid", "vec_id"), "left_outer")
+        .select($"qid", $"pos",
+          coalesce(lit(11L) - $"rnk", lit(0L)).as("rel"))
+        .select($"qid", $"rel",
+          expr("cast(round(cast(rel as double)" +
+            " / log2(cast(pos + 1 as double)) * 1e10) as bigint)")
+            .as("t_e10"))
+        .groupBy($"qid")
+        .agg(sum($"t_e10").as("dcg_e10"),
+          sum(($"rel" > 0).cast("long")).as("hits"))
+      qids.join(perQ, Seq("qid"), "left_outer")
+        .select(
+          expr(s"cast(cast(coalesce(dcg_e10, 0) as decimal(38,0))" +
+            s" * 1000000 div $idcgE10 as bigint)").as("ndcg_e6"),
+          coalesce($"hits", lit(0L)).as("hits"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum($"ndcg_e6").as("se6"), sum($"hits").as("sh"))
+        .select($"n_queries",
+          round($"se6".cast("double") / ($"n_queries" * 1e6), 4)
+            .as("avg_ndcg"),
+          round($"sh".cast("double") / ($"n_queries" * 10), 4)
+            .as("avg_recall10"))
+    }),
+
     // Pairwise-similarity histogram (0.1-wide cosine buckets, clamped to
     // [-1, 1)) over within-IVF-cell pairs — the distribution profile used
     // to CHOOSE a near-dup threshold before running the dedup pass. One
@@ -2390,6 +2459,69 @@ object Similarity {
         |    ROUND(CAST(cce6 AS DOUBLE) / (n_cc_vertices * 1e6), 4)
         |  END AS avg_local_cc
         |FROM wd, ne, tc, la""".stripMargin),
+
+    "sim_ann_ndcg" -> {
+      val idcgE10 = (1 to 10).map(i =>
+        math.round((11.0 - i) / (math.log(i + 1.0) / math.log(2.0))
+          * 1e10)).sum
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |           FROM embeddings),
+        |planes AS (
+        |  SELECT p, list(CASE WHEN strpos('0123456789abcdef',
+        |      substring(md5(p || ':' || i), 1, 1)) - 1 >= 8
+        |      THEN 1.0 ELSE -1.0 END ORDER BY i) AS signs
+        |  FROM generate_series(0, 3) t(p), generate_series(0, 63) u(i)
+        |  GROUP BY p),
+        |dots AS (
+        |  SELECT e.vec_id, e.v, pl.p,
+        |    list_sum(list_transform(list_zip(e.v, pl.signs),
+        |             x -> x[1] * x[2])) AS dot
+        |  FROM e, planes pl),
+        |sigs AS (
+        |  SELECT vec_id, ANY_VALUE(v) AS v,
+        |    CAST(SUM(CASE WHEN dot >= 0 THEN (1::BIGINT << p)
+        |         ELSE 0 END) AS BIGINT) AS sig
+        |  FROM dots GROUP BY vec_id),
+        |qs AS (SELECT vec_id AS qid, sig AS qsig, v AS q
+        |       FROM sigs WHERE vec_id % 37 = 1),
+        |sc AS (
+        |  SELECT qs.qid, qs.qsig, s.vec_id, s.sig,
+        |    ROUND(list_sum(list_transform(list_zip(s.v, qs.q),
+        |            x -> x[1] * x[2])) /
+        |      (sqrt(list_sum(list_transform(s.v, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(qs.q, x -> x * x)))), 4)
+        |      AS cs
+        |  FROM sigs s, qs WHERE s.vec_id <> qs.qid),
+        |ex AS (SELECT qid, vec_id, rnk FROM (
+        |    SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY cs DESC, vec_id) AS rnk
+        |    FROM sc) WHERE rnk <= 10),
+        |an AS (SELECT qid, vec_id, pos FROM (
+        |    SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY cs DESC, vec_id) AS pos
+        |    FROM sc WHERE sig = qsig) WHERE pos <= 10),
+        |pq AS (
+        |  SELECT an.qid,
+        |    CAST(SUM(CAST(ROUND(CAST(COALESCE(11 - ex.rnk, 0)
+        |      AS DOUBLE) / log2(CAST(an.pos + 1 AS DOUBLE)) * 1e10)
+        |      AS BIGINT)) AS BIGINT) AS dcg_e10,
+        |    CAST(SUM(CASE WHEN ex.rnk IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS hits
+        |  FROM an LEFT JOIN ex
+        |    ON ex.qid = an.qid AND ex.vec_id = an.vec_id
+        |  GROUP BY an.qid),
+        |nd AS (
+        |  SELECT CAST((CAST(COALESCE(p.dcg_e10, 0) AS HUGEINT)
+        |      * 1000000) // $idcgE10 AS BIGINT) AS ndcg_e6,
+        |    COALESCE(p.hits, 0) AS hits
+        |  FROM qs q LEFT JOIN pq p USING (qid))
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+        |  ROUND(CAST(SUM(ndcg_e6) AS DOUBLE) / (COUNT(*) * 1e6), 4)
+        |    AS avg_ndcg,
+        |  ROUND(CAST(SUM(hits) AS DOUBLE) / (COUNT(*) * 10), 4)
+        |    AS avg_recall10
+        |FROM nd""".stripMargin
+    },
 
     "sim_threshold_hist" -> (cellPairsCte +
       """

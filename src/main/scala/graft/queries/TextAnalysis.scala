@@ -113,6 +113,58 @@ object TextAnalysis {
         .orderBy($"doc_id")
     }),
 
+    // BM25 retrieval scoring (Robertson–Spärck Jones; the Lucene
+    // default) — what text_tfidf's raw weights feed in a real search
+    // stack: score every doc against a fixed 5-term query (the
+    // mid-frequency words ranked 10–14, picked deterministically) and
+    // publish the top-20. ENTIRELY integer-exact: with k1 = 6/5 and
+    // b = 3/4 the tf normalizer becomes the integer ratio
+    // 22·tf·L / (10·tf·L + 3·L + 9·len·N) after clearing denominators
+    // (L = corpus tokens, N = docs), idf = ln((2N+2)/(2df+1)) is an
+    // e10 quantization of a ratio of exact integers, and each term
+    // score is one widened integer floor — the final float is a
+    // single /1e10. Scale shape: one corpus word agg for the query
+    // pick, one (doc, term) agg over the 5-term slice (an equi-join
+    // against a broadcast term list — never a corpus scan per term),
+    // TakeOrdered(20) for the cut.
+    "doc_bm25_topk" -> ((s, d) => {
+      import s.implicits._
+      val dw = TextWordCount.docWords(s, d)
+      val lens = dw.groupBy($"doc_id").agg(count(lit(1)).as("len"))
+      val stats = lens.agg(count(lit(1)).as("n_docs"),
+        sum($"len").as("l_tot"))
+      val qterms = dw.groupBy($"word").agg(count(lit(1)).as("f_w"))
+        .orderBy($"f_w".desc, $"word").limit(14)
+        .orderBy($"f_w".asc, $"word".desc).limit(5)
+        .select($"word")
+      val dfq = dw.join(broadcast(qterms), "word")
+        .groupBy($"word").agg(countDistinct($"doc_id").as("df"))
+      val tf = dw.join(broadcast(qterms), "word")
+        .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+      tf.join(lens, "doc_id")
+        .join(broadcast(dfq), "word")
+        .crossJoin(broadcast(stats))
+        .select($"doc_id",
+          expr("cast(round(ln(cast(2 * n_docs + 2 as double)" +
+            " / (2 * df + 1)) * 1e10) as bigint)").as("idf_e10"),
+          $"tf", $"len", $"l_tot", $"n_docs")
+        .select($"doc_id",
+          expr("cast(cast(idf_e10 as decimal(38,0))" +
+            " * (22 * cast(tf as decimal(38,0)) * l_tot)" +
+            " div (10 * cast(tf as decimal(38,0)) * l_tot" +
+            " + 3 * cast(l_tot as decimal(38,0))" +
+            " + 9 * cast(len as decimal(38,0)) * n_docs) as bigint)")
+            .as("t_e10"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_terms_hit"),
+          sum($"t_e10").as("score_e10"))
+        .orderBy($"score_e10".desc, $"doc_id")
+        .limit(20)
+        .select($"doc_id", $"n_terms_hit",
+          round($"score_e10".cast("double") / 1e10, 4).as("bm25"))
+        .orderBy($"bm25".desc, $"doc_id")
+    }),
+
     // One BPE-training merge step — the tokenizer-fitting primitive
     // (Sennrich et al. 2016): count every adjacent character pair
     // weighted by word frequency and rank the top-20 merge candidates.
@@ -782,6 +834,44 @@ object TextAnalysis {
        |  FROM sc)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "doc_bm25_topk" ->
+      s"""WITH dw AS (${TextWordCount.docWordsSql}),
+        |lens AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len
+        |         FROM dw GROUP BY doc_id),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(len) AS BIGINT) AS l_tot FROM lens),
+        |top14 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS f_w
+        |          FROM dw GROUP BY word
+        |          ORDER BY f_w DESC, word LIMIT 14),
+        |qt AS (SELECT word FROM top14
+        |       ORDER BY f_w ASC, word DESC LIMIT 5),
+        |dfq AS (SELECT dw.word, CAST(COUNT(DISTINCT dw.doc_id)
+        |          AS BIGINT) AS df
+        |        FROM dw JOIN qt USING (word) GROUP BY dw.word),
+        |tf AS (SELECT dw.doc_id, dw.word, CAST(COUNT(*) AS BIGINT)
+        |         AS tf
+        |       FROM dw JOIN qt USING (word) GROUP BY 1, 2),
+        |terms AS (
+        |  SELECT tf.doc_id,
+        |    CAST((CAST(ROUND(ln(CAST(2 * st.n_docs + 2 AS DOUBLE)
+        |        / (2 * dfq.df + 1)) * 1e10) AS HUGEINT)
+        |      * (22 * CAST(tf.tf AS HUGEINT) * st.l_tot))
+        |      // (10 * CAST(tf.tf AS HUGEINT) * st.l_tot
+        |        + 3 * CAST(st.l_tot AS HUGEINT)
+        |        + 9 * CAST(lens.len AS HUGEINT) * st.n_docs)
+        |      AS BIGINT) AS t_e10
+        |  FROM tf JOIN lens USING (doc_id)
+        |  JOIN dfq ON dfq.word = tf.word, st),
+        |sc AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+        |    CAST(SUM(t_e10) AS BIGINT) AS score_e10
+        |  FROM terms GROUP BY doc_id),
+        |cut AS (SELECT * FROM sc
+        |        ORDER BY score_e10 DESC, doc_id LIMIT 20)
+        |SELECT doc_id, n_terms_hit,
+        |  ROUND(CAST(score_e10 AS DOUBLE) / 1e10, 4) AS bm25
+        |FROM cut ORDER BY bm25 DESC, doc_id""".stripMargin,
+
     "text_mtld" ->
       """WITH RECURSIVE d AS (
         |  SELECT doc_id, toks FROM (

@@ -127,6 +127,7 @@ class PlanHygieneSpec extends SparkSpec {
     "sim_ivf_probe_cost",    // 1-row 8-centroid codebook broadcast
     "log_holt_forecast",     // 1-row (min,max) hour bounds (gapfill grid)
     "log_holt_winters",      // same 1-row hour-bounds grid broadcast
+    "log_forecast_backtest", // same 1-row hour-bounds grid broadcast
     "log_mad_anomaly",       // 1-row (min,max) hour bounds (gapfill grid)
     "doc_coreset_weights",   // 1-row 8-seed codebook broadcast
     "sim_norm_outliers",     // two 1-row median/p90 scalar broadcasts
@@ -146,6 +147,8 @@ class PlanHygieneSpec extends SparkSpec {
     "sketch_kmv_intersect",  // 1-row exact-jaccard audit scalar
     "sketch_ams_f2",         // 1-row median/exact-F2/merge-check scalars
     "sim_clustering_coefficient", // 1-row wedge/triangle/local scalars
+    "sim_ann_ndcg",          // 1-row planes + 1-row query-panel array
+    "doc_bm25_topk",         // 1-row (n_docs, total-token) scalars
     "text_word_dispersion",  // constant 15-word × source lattice +
                              // 1-row corpus-token scalar
     "doc_cdc_dedup",         // 1-row corpus-savings scalar

@@ -768,6 +768,65 @@ class AnnInvariantsSpec extends SparkSpec {
         r4(cE6.sum.toDouble / (cE6.length * 1e6)), "avg local cc")
   }
 
+  test("ANN NDCG replays end-to-end from raw embeddings on the driver") {
+    import spark.implicits._
+    val r = SparkEntry.queries("sim_ann_ndcg")(spark, sf()).head()
+    val emb = t(spark, sf(), "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .collect()
+      .map(x => (x.getLong(0), x.getSeq[Double](1).toArray))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex1(s0: String): Int = {
+      val h = md.digest(s0.getBytes("UTF-8")).map("%02x".format(_))
+        .mkString
+      "0123456789abcdef".indexOf(h.charAt(0))
+    }
+    val planes = (0 until 4).map(p => (0 until 64).map(i =>
+      if (hex1(s"$p:$i") >= 8) 1.0 else -1.0).toArray)
+    def sig(v: Array[Double]): Long =
+      (0 until 4).map { p =>
+        val dot = v.zip(planes(p)).map { case (x, s0) => x * s0 }
+          .foldLeft(0.0)(_ + _)
+        if (dot >= 0) 1L << p else 0L
+      }.sum
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.foldLeft(0.0)(_ + _)
+      val na = a.foldLeft(0.0)((acc, x) => acc + x * x)
+      val nb = b.foldLeft(0.0)((acc, x) => acc + x * x)
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sigs = emb.map { case (id, v) => (id, v, sig(v)) }
+    val queries = sigs.filter(_._1 % 37 == 1)
+    val idcg = (1 to 10).map(i =>
+      math.round((11.0 - i) / (math.log(i + 1.0) / math.log(2.0))
+        * 1e10)).sum
+    var se6 = BigInt(0); var sh = 0L
+    queries.foreach { case (qid, q, qsig) =>
+      val scored = sigs.filter(_._1 != qid)
+        .map { case (id, v, s0) => (id, s0, r4(cos(v, q))) }
+      val exact = scored.sortBy(x => (-x._3, x._1)).take(10)
+        .zipWithIndex.map { case (x, i) => x._1 -> (i + 1) }.toMap
+      val ann = scored.filter(_._2 == qsig)
+        .sortBy(x => (-x._3, x._1)).take(10)
+      val dcg = ann.zipWithIndex.map { case (x, i) =>
+        val rel = 11L - exact.getOrElse(x._1, 11)
+        BigDecimal(rel.toDouble /
+          (math.log(i + 2.0) / math.log(2.0)) * 1e10)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }.sum
+      sh += ann.count(x => exact.contains(x._1)).toLong
+      se6 += BigInt(dcg) * 1000000 / idcg
+    }
+    assert(r.getLong(0) == queries.length.toLong, "panel size diverges")
+    assert(r.getDouble(1) ==
+      r4(se6.toDouble / (queries.length * 1e6)), "avg_ndcg diverges")
+    assert(r.getDouble(2) ==
+      r4(sh.toDouble / (queries.length * 10)), "avg_recall10 diverges")
+    assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0)
+  }
+
   test("sim_twonn_id replays from the candidate pairs on the driver") {
     val r = SparkEntry.queries("sim_twonn_id")(spark, sf()).head()
     val (nUsed, sumLnMu, idEst) =

@@ -2903,6 +2903,193 @@ class PipelineInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("BM25 top-20 replays in exact integer arithmetic") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("doc_bm25_topk")(spark, sf()).collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    val dw = graft.queries.TextWordCount.docWords(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val lens = dw.groupBy(_._1).map { case (d0, xs) =>
+      d0 -> xs.length.toLong }
+    val nDocs = lens.size.toLong
+    val lTot = lens.values.sum
+    val freq = dw.groupBy(_._2).map { case (w, xs) =>
+      w -> xs.length.toLong }
+    val qterms = freq.toSeq.sortBy(x => (-x._2, x._1)).take(14)
+      .sorted(Ordering.by[(String, Long), (Long, String)](x =>
+        (x._2, x._1))(Ordering.Tuple2(Ordering.Long,
+        Ordering.String.reverse)))
+      .take(5).map(_._1).toSet
+    val byTerm = dw.filter(x => qterms(x._2))
+    val dfm = byTerm.groupBy(_._2).map { case (w, xs) =>
+      w -> xs.map(_._1).distinct.length.toLong }
+    // groupBy gives a Map; mapping it to PAIRS would collapse keys
+    // (the recurring Map-collapse trap) — toSeq first
+    val scores = byTerm.groupBy(x => (x._1, x._2)).toSeq.map {
+      case ((d0, w), xs) =>
+        val tf = xs.length.toLong
+        val idf = BigDecimal(math.log(
+          (2.0 * nDocs + 2) / (2 * dfm(w) + 1)) * 1e10)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        val num = BigInt(idf) * (BigInt(22) * tf * lTot)
+        val den = BigInt(10) * tf * lTot + BigInt(3) * lTot +
+          BigInt(9) * lens(d0) * nDocs
+        (d0, num / den)
+    }.toSeq
+    val perDoc = scores.groupBy(_._1).map { case (d0, xs) =>
+      (d0, xs.length.toLong, xs.map(_._2).sum)
+    }.toSeq.sortBy(x => (-x._3, x._1)).take(20)
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = perDoc.map(x =>
+        (x._1, x._2, r4(x._3.toDouble / 1e10)))
+      .sortBy(x => (-x._3, x._1))
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq == expect, "BM25 top-20 diverges from the BigInt replay")
+  }
+
+  test("rate-limit replay: first event admits; counts replay exactly") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("log_rate_limit_replay")(spark, sf())
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ev = t(spark, sf(), "events")
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id",
+        $"event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    val verdicts = ev.groupBy(_._1).values.flatMap { g =>
+      val sorted = g.toSeq.sortBy(x => (x._2, x._3))
+      var tokens = 2000000L
+      var last = sorted.head._2
+      sorted.zipWithIndex.map { case (e, i) =>
+        if (i > 0) {
+          tokens = math.min(2000000L, tokens + (e._2 - last) / 7200)
+          last = e._2
+        }
+        val throttled = tokens < 1000000L
+        if (!throttled) tokens -= 1000000L
+        (e._4, throttled, i == 0)
+      }
+    }.toSeq
+    // the first event of every user always admits (full bucket)
+    assert(verdicts.filter(_._3).forall(!_._2),
+      "a first event was throttled")
+    val expect = verdicts.groupBy(_._1).map { case (ty, xs) =>
+      ty -> (xs.length.toLong, xs.count(_._2).toLong) }
+    assert(rows == expect, "throttle counts diverge from the replay")
+    assert(verdicts.count(_._2) > 0,
+      "degenerate: the limiter never fires on this corpus")
+  }
+
+  test("weighted Jaccard: multiset replay on every candidate pair") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("dedup_weighted_jaccard")(spark, sf())
+      .collect()
+    assert(rows.nonEmpty)
+    val tf = graft.queries.TextWordCount.docWords(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val byDoc = tf.groupBy(_._1._1)
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { r =>
+      val (a, b, minSum, wj) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(a < b, "pair not canonically ordered")
+      val ta = byDoc(a).map { case ((_, w), c) => w -> c }
+      val tb = byDoc(b).map { case ((_, w), c) => w -> c }
+      val mins = ta.keySet.intersect(tb.keySet).toSeq
+        .map(w => math.min(ta(w), tb(w))).sum
+      val (la, lb) = (ta.values.sum, tb.values.sum)
+      assert(minSum == mins, s"($a,$b): min_sum diverges")
+      assert(wj == r4(mins.toDouble / (la + lb - mins)),
+        s"($a,$b): weighted jaccard diverges")
+      assert(wj >= 0.0 && wj <= 1.0)
+    }
+  }
+
+  test("forecast backtest: four folds replay; best is the e4 argmin") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("log_forecast_backtest")(spark, sf())
+      .collect()
+    assert(rows.nonEmpty)
+    val ev = t(spark, sf(), "events")
+      .select($"event_type", unix_micros(date_trunc("hour", $"ts"))
+        .as("hus"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val (h0, h1) = (ev.map(_._2).min, ev.map(_._2).max)
+    val hourUs = 3600000000L
+    val counts = ev.groupBy(identity).map { case (k, g) =>
+      k -> g.length.toLong }
+    def div10(v: Long): Long = if (v < 0) -((-v) / 10) else v / 10
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { row =>
+      val ty = row.getString(0)
+      val xs = (h0 to h1 by hourUs)
+        .map(h => counts.getOrElse((ty, h), 0L) * 10000L).toArray
+      val n = xs.length
+      assert(row.getLong(1) == n.toLong)
+      if (n >= 49) {
+        val cut = n - 24
+        var eN = 0L; var eS = 0L; var eH = 0L; var eW = 0L
+        var lh = 0L; var bh = 0L; var x1 = 0L
+        var lw = 0L; var bw = 0L
+        val sw = new Array[Long](24)
+        val slots = new Array[Long](24)
+        var i = 0
+        while (i < n) {
+          val t0 = i + 1; val x = xs(i); val k = i % 24
+          if (t0 > cut) {
+            if (t0 >= 2) eN += math.abs(x - xs(i - 1))
+            if (t0 >= 25) eS += math.abs(x - slots(k))
+          }
+          if (t0 == 1) { lh = x; bh = 0; x1 = x }
+          else {
+            if (t0 == 2) bh = x - x1
+            val pred = lh + bh
+            if (t0 > cut) eH += math.abs(x - pred)
+            val l1 = div10(3 * x + 7 * pred)
+            bh = div10(2 * (l1 - lh) + 8 * bh); lh = l1
+          }
+          if (t0 == 24) {
+            var ssum = x; var j = 0
+            while (j < 23) { ssum += slots(j); j += 1 }
+            lw = ssum / 24; bw = 0
+            j = 0
+            while (j < 23) { sw(j) = slots(j) - lw; j += 1 }
+            sw(23) = x - lw
+          } else if (t0 > 24) {
+            val sOld = sw(k)
+            val pred = lw + bw + sOld
+            if (t0 > cut) eW += math.abs(x - pred)
+            val l1 = div10(3 * (x - sOld) + 7 * (lw + bw))
+            bw = div10(2 * (l1 - lw) + 8 * bw)
+            sw(k) = div10(2 * (x - l1) + 8 * sOld)
+            lw = l1
+          }
+          slots(k) = x
+          i += 1
+        }
+        assert(row.getDouble(2) == r4(eN.toDouble / (24 * 1e4)),
+          s"$ty: naive")
+        assert(row.getDouble(3) == r4(eS.toDouble / (24 * 1e4)),
+          s"$ty: snaive")
+        assert(row.getDouble(4) == r4(eH.toDouble / (24 * 1e4)),
+          s"$ty: holt")
+        assert(row.getDouble(5) == r4(eW.toDouble / (24 * 1e4)),
+          s"$ty: hw")
+        val best =
+          if (eH <= eW && eH <= eN && eH <= eS) "holt"
+          else if (eW <= eN && eW <= eS) "hw"
+          else if (eN <= eS) "naive" else "snaive"
+        assert(row.getString(6) == best, s"$ty: best diverges")
+      }
+    }
+  }
+
   test("removal effect: BigInt chain replay; shares sum to 1") {
     import spark.implicits._
     val rows = SparkEntry.queries("log_removal_effect")(spark, sf())
