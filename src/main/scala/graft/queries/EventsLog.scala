@@ -2317,6 +2317,45 @@ object EventsLog {
         .orderBy($"event_type")
     }),
 
+    // Day-over-day rank movers on the page-node traffic table — the
+    // "what changed" panel every traffic dashboard leads with: pages
+    // ranked by first-day visits vs last-day visits (dense total
+    // order: visits desc, node asc), inner-joined on nodes alive BOTH
+    // days, top-15 by absolute rank swing. Everything is integer
+    // (counts, ROW_NUMBER ranks, deltas) — no float anywhere. Scale:
+    // two day-slices of one node-keyed agg, two bounded rank windows
+    // over the node alphabet, a node equi-join; the 1-row (d0, d1)
+    // bounds scalar broadcasts (allowlisted).
+    "log_rank_movers" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, d, "events").select(
+        when($"user_id" % 7 === 0, concat(lit("ip-"), $"user_id" % 256))
+          .otherwise(concat($"event_type", lit("-"), $"user_id" % 5))
+          .as("node"),
+        to_date($"ts").as("day"))
+      val bounds = ev.agg(min($"day").as("d0"), max($"day").as("d1"))
+      val counts = ev.crossJoin(broadcast(bounds))
+        .filter($"day" === $"d0" || $"day" === $"d1")
+        .groupBy($"node", ($"day" === $"d0").as("is_first"))
+        .agg(count(lit(1)).as("visits"))
+      val wD = Window.partitionBy($"is_first")
+        .orderBy($"visits".desc, $"node")
+      val ranked = counts
+        .withColumn("rnk", row_number().over(wD).cast("long"))
+      ranked.filter($"is_first")
+        .select($"node", $"rnk".as("rank_first"),
+          $"visits".as("visits_first"))
+        .join(ranked.filter(!$"is_first")
+          .select($"node", $"rnk".as("rank_last"),
+            $"visits".as("visits_last")), "node")
+        .select($"node", $"rank_first", $"rank_last",
+          ($"rank_first" - $"rank_last").as("delta"),
+          $"visits_first", $"visits_last")
+        .orderBy(abs($"delta").desc, $"node").limit(15)
+        .orderBy(abs($"delta").desc, $"node")
+    }),
+
     // Token-bucket rate-limit replay — the capacity-planning question
     // an ingest gateway asks of historical traffic: with a
     // 2-token/user bucket refilling at 1 token per 2 hours (sized so
@@ -4227,6 +4266,37 @@ object EventsLog {
          |         ELSE 'snaive' END END AS best
          |FROM fin ORDER BY event_type""".stripMargin
     },
+
+    "log_rank_movers" ->
+      """WITH ev AS (
+        |  SELECT CASE WHEN user_id % 7 = 0
+        |           THEN 'ip-' || CAST(user_id % 256 AS VARCHAR)
+        |           ELSE event_type || '-'
+        |             || CAST(user_id % 5 AS VARCHAR) END AS node,
+        |    CAST(ts AS DATE) AS day
+        |  FROM events),
+        |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
+        |c AS (
+        |  SELECT node, (day = d0) AS is_first,
+        |    CAST(COUNT(*) AS BIGINT) AS visits
+        |  FROM ev, b WHERE day = d0 OR day = d1
+        |  GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT node, is_first, visits,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY is_first
+        |      ORDER BY visits DESC, node) AS BIGINT) AS rnk
+        |  FROM c),
+        |j AS (
+        |  SELECT f.node, f.rnk AS rank_first, l.rnk AS rank_last,
+        |    f.rnk - l.rnk AS delta,
+        |    f.visits AS visits_first, l.visits AS visits_last
+        |  FROM (SELECT * FROM rk WHERE is_first) f
+        |  JOIN (SELECT * FROM rk WHERE NOT is_first) l USING (node)),
+        |cut AS (SELECT * FROM j ORDER BY abs(delta) DESC, node
+        |        LIMIT 15)
+        |SELECT node, rank_first, rank_last, delta, visits_first,
+        |  visits_last
+        |FROM cut ORDER BY abs(delta) DESC, node""".stripMargin,
 
     "log_rate_limit_replay" ->
       """WITH RECURSIVE ev AS (

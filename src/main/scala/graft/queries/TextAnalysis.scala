@@ -165,6 +165,41 @@ object TextAnalysis {
         .orderBy($"bm25".desc, $"doc_id")
     }),
 
+    // Posting-list compression analysis (delta + LEB128 varint, the
+    // Lucene/ES posting format) — the index-storage answer
+    // mr_inverted_index's raw postings beg for: per top-20-df word,
+    // the sorted doc_id posting list is delta-encoded (first entry
+    // stored as doc_id+1 so id 0 still costs a byte) and each gap
+    // priced at its exact varint width ceil(bits/7) via an integer
+    // CASE ladder — no float, no approximation; ratio = 8·df /
+    // varint_bytes is the published compression multiple vs raw
+    // int64 postings. Scale shape: one distinct (word, doc) agg, a
+    // TakeOrdered(20) term cut, word-partitioned LAG windows over
+    // only the cut terms' postings.
+    "text_posting_compression" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val post = TextWordCount.docWords(s, d).distinct()
+      val top = post.groupBy($"word").agg(count(lit(1)).as("df"))
+        .orderBy($"df".desc, $"word").limit(20)
+      val ladder = (1 to 8).map(k =>
+        s"when gap < ${1L << (7 * k)} then $k").mkString(" ")
+      val gaps = post.join(broadcast(top.select($"word")), "word")
+        .withColumn("prev", lag($"doc_id", 1).over(
+          Window.partitionBy($"word").orderBy($"doc_id")))
+        .select($"word",
+          coalesce($"doc_id" - $"prev", $"doc_id" + 1).as("gap"))
+        .select($"word",
+          expr(s"case $ladder else 9 end").cast("long").as("vb"))
+      gaps.groupBy($"word")
+        .agg(count(lit(1)).as("df"), sum($"vb").as("varint_bytes"))
+        .select($"word", $"df", ($"df" * 8).as("raw_bytes"),
+          $"varint_bytes",
+          round(($"df" * 8).cast("double") / $"varint_bytes", 4)
+            .as("ratio"))
+        .orderBy($"word")
+    }),
+
     // One BPE-training merge step — the tokenizer-fitting primitive
     // (Sennrich et al. 2016): count every adjacent character pair
     // weighted by word frequency and rank the top-20 merge candidates.
@@ -834,6 +869,32 @@ object TextAnalysis {
        |  FROM sc)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "text_posting_compression" -> {
+      val ladder = (1 to 8).map(k =>
+        s"WHEN gap < ${1L << (7 * k)} THEN $k").mkString(" ")
+      s"""WITH dw0 AS (${TextWordCount.docWordsSql}),
+        |post AS (SELECT DISTINCT doc_id, word FROM dw0),
+        |top AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df
+        |        FROM post GROUP BY word
+        |        ORDER BY df DESC, word LIMIT 20),
+        |g AS (
+        |  SELECT p.word,
+        |    COALESCE(p.doc_id - LAG(p.doc_id) OVER (
+        |      PARTITION BY p.word ORDER BY p.doc_id),
+        |      p.doc_id + 1) AS gap
+        |  FROM post p JOIN (SELECT word FROM top) tp USING (word)),
+        |vb AS (SELECT word,
+        |         CAST(CASE $ladder ELSE 9 END AS BIGINT) AS vb
+        |       FROM g),
+        |agg AS (
+        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS df,
+        |    CAST(SUM(vb) AS BIGINT) AS varint_bytes
+        |  FROM vb GROUP BY word)
+        |SELECT word, df, df * 8 AS raw_bytes, varint_bytes,
+        |  ROUND(CAST(df * 8 AS DOUBLE) / varint_bytes, 4) AS ratio
+        |FROM agg ORDER BY word""".stripMargin
+    },
+
     "doc_bm25_topk" ->
       s"""WITH dw AS (${TextWordCount.docWordsSql}),
         |lens AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len

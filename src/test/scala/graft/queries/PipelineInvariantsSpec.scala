@@ -3090,6 +3090,66 @@ class PipelineInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("rank movers replay: integer ranks, swings, and the top-15 cut") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("log_rank_movers")(spark, sf())
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val ev = t(spark, sf(), "events")
+      .select($"user_id", $"event_type", to_date($"ts").as("day"))
+      .collect()
+      .map { r =>
+        val node = if (r.getLong(0) % 7 == 0) s"ip-${r.getLong(0) % 256}"
+          else s"${r.getString(1)}-${r.getLong(0) % 5}"
+        (node, r.getDate(2).toLocalDate)
+      }
+    val (d0, d1) = (ev.map(_._2).min, ev.map(_._2).max)
+    def ranks(day: java.time.LocalDate): Map[String, (Long, Long)] = {
+      val c = ev.filter(_._2 == day).groupBy(_._1)
+        .map { case (n, xs) => n -> xs.length.toLong }
+      c.toSeq.sortBy(x => (-x._2, x._1)).zipWithIndex
+        .map { case ((n, v), i) => n -> (i + 1L, v) }.toMap
+    }
+    val (rf, rl) = (ranks(d0), ranks(d1))
+    val joined = rf.keySet.intersect(rl.keySet).toSeq.map { n =>
+      (n, rf(n)._1, rl(n)._1, rf(n)._1 - rl(n)._1, rf(n)._2, rl(n)._2)
+    }
+    val expect = joined.sortBy(x => (-math.abs(x._4), x._1)).take(15)
+    assert(rows.toSeq == expect, "rank movers diverge from the replay")
+    rows.foreach(r => assert(r._4 == r._2 - r._3, "delta identity"))
+  }
+
+  test("posting compression: varint byte ladder replays exactly") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("text_posting_compression")(spark,
+      sf()).collect()
+    assert(rows.length == 20)
+    val post = graft.queries.TextWordCount.docWords(spark, sf())
+      .distinct().collect()
+      .map(r => (r.getString(1), r.getLong(0)))
+    def vb(gap: Long): Long = {
+      var k = 1
+      while (k < 9 && gap >= (1L << (7 * k))) k += 1
+      k.toLong
+    }
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { r =>
+      val (w, df, raw, vbytes, ratio) = (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getDouble(4))
+      val ids = post.filter(_._1 == w).map(_._2).sorted
+      assert(df == ids.length.toLong, s"$w: df")
+      assert(raw == 8 * df, s"$w: raw bytes")
+      val gaps = (ids.head + 1) +: ids.sliding(2).collect {
+        case Array(a, b) => b - a }.toSeq
+      assert(vbytes == gaps.map(vb).sum, s"$w: varint bytes")
+      assert(ratio == r4(raw.toDouble / vbytes), s"$w: ratio")
+      // delta coding can never cost more than raw 8-byte postings
+      assert(vbytes <= raw, s"$w: varint exceeded raw")
+    }
+  }
+
   test("removal effect: BigInt chain replay; shares sum to 1") {
     import spark.implicits._
     val rows = SparkEntry.queries("log_removal_effect")(spark, sf())
