@@ -142,6 +142,75 @@ object Relational {
         .limit(10)
     }),
 
+    // Revenue concentration (the Pareto table): share of total order
+    // revenue captured by the top 1/5/10/25/50 % of customers.
+    // Everything is exact until the final divides: per-customer
+    // revenue folds in DECIMAL(18,2) and publishes as integer CENTS,
+    // ranks are ROW_NUMBER over the CUSTOMER AGGREGATE (the sort is
+    // |customers|-sized, never |orders|-sized), cutoffs are the exact
+    // ceil (n·p + 99) div 100, and each share is one double divide of
+    // DECIMAL(38,0) sums. The 5-cutoff lattice joins as a broadcast
+    // BNLJ (allowlisted — 5 rows by construction at any scale).
+    "q_revenue_concentration" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val rev = t(s, d, "orders").groupBy($"o_custkey")
+        .agg(expr("cast(cast(sum(cast(o_totalprice as decimal(18,2)))" +
+          " * 100 as decimal(38,0)) as bigint)").as("cents"))
+      val ranked = rev.withColumn("rn", row_number().over(
+        Window.orderBy($"cents".desc, $"o_custkey")).cast("long"))
+      val stats = rev.agg(count(lit(1)).as("n"),
+        sum(expr("cast(cents as decimal(38,0))")).as("total"))
+      val withK = s.range(1)
+        .select(explode(expr("array(1, 5, 10, 25, 50)")).as("pct"))
+        .crossJoin(broadcast(stats))
+        .select($"pct".cast("long").as("pct"),
+          expr("cast((n * pct + 99) div 100 as bigint)")
+            .as("k_customers"),
+          $"total")
+      ranked.join(broadcast(withK), $"rn" <= $"k_customers")
+        .groupBy($"pct", $"k_customers", $"total")
+        .agg(sum(expr("cast(cents as decimal(38,0))")).as("cum"))
+        .select($"pct", $"k_customers",
+          round($"cum".cast("double") / $"total".cast("double"), 4)
+            .as("revenue_share"))
+        .orderBy($"pct")
+    }),
+
+    // Market-basket brand affinity over orders — the co-occurrence
+    // lift table (the log_cooccurrence shape restated on TPC-H): for
+    // brand pairs appearing in the same order, support n_both and
+    // lift = P(ab)/(P(a)·P(b)) = n_both·N / (n_a·n_b) as an exact e6
+    // integer floor. The pair join is ORDER-KEYED (brands-per-order
+    // is small, so pairs ≈ 6·|orders| — never brand² × orders), the
+    // per-brand document frequencies are one agg, and the output is
+    // bounded by the brand alphabet; top-20 by support.
+    "q_basket_pairs" -> ((s, d) => {
+      import s.implicits._
+      val li = t(s, d, "lineitem")
+        .join(t(s, d, "part"), $"l_partkey" === $"p_partkey")
+        .select($"l_orderkey".as("ok"), $"p_brand".as("brand"))
+        .distinct()
+      val tot = li.agg(countDistinct($"ok").as("n_orders"))
+      val bc = li.groupBy($"brand").agg(count(lit(1)).as("n_b"))
+      val pairs = li.as("a").join(li.as("b"),
+          $"a.ok" === $"b.ok" && $"a.brand" < $"b.brand")
+        .groupBy($"a.brand".as("brand_a"), $"b.brand".as("brand_b"))
+        .agg(count(lit(1)).as("n_both"))
+      pairs
+        .join(bc.select($"brand".as("brand_a"), $"n_b".as("na")),
+          "brand_a")
+        .join(bc.select($"brand".as("brand_b"), $"n_b".as("nb")),
+          "brand_b")
+        .crossJoin(broadcast(tot))
+        .select($"brand_a", $"brand_b", $"n_both",
+          round(expr("cast(cast(n_both as decimal(38,0)) * n_orders" +
+            " * 1000000 div (cast(na as decimal(38,0)) * nb)" +
+            " as bigint)").cast("double") / 1e6, 4).as("lift"))
+        .orderBy($"n_both".desc, $"brand_a", $"brand_b").limit(20)
+        .orderBy($"n_both".desc, $"brand_a", $"brand_b")
+    }),
+
     // ROLLUP (partial-agg friendly; L7 generalization).
     "q_rollup_orders" -> ((s, d) => {
       import s.implicits._
@@ -703,6 +772,57 @@ object Relational {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_custkey, c_name
         |ORDER BY total_spend DESC, c_custkey LIMIT 10""".stripMargin,
+
+    "q_revenue_concentration" ->
+      """WITH rc AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |rk AS (
+        |  SELECT o_custkey, cents,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey)
+        |      AS BIGINT) AS rn
+        |  FROM rc),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |         SUM(CAST(cents AS HUGEINT)) AS total FROM rc),
+        |cu AS (
+        |  SELECT CAST(pct AS BIGINT) AS pct,
+        |    CAST((n * pct + 99) // 100 AS BIGINT) AS k_customers,
+        |    total
+        |  FROM (SELECT unnest([1, 5, 10, 25, 50]) AS pct), st)
+        |SELECT c.pct, c.k_customers,
+        |  ROUND(CAST(SUM(CAST(r.cents AS HUGEINT)) AS DOUBLE)
+        |    / CAST(c.total AS DOUBLE), 4) AS revenue_share
+        |FROM rk r JOIN cu c ON r.rn <= c.k_customers
+        |GROUP BY c.pct, c.k_customers, c.total
+        |ORDER BY c.pct""".stripMargin,
+
+    "q_basket_pairs" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |tot AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders
+        |        FROM li),
+        |bc AS (SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_b
+        |       FROM li GROUP BY brand),
+        |pr AS (
+        |  SELECT a.brand AS brand_a, b.brand AS brand_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_both
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.brand < b.brand
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT pr.brand_a, pr.brand_b, pr.n_both,
+        |    ROUND(CAST(CAST((CAST(pr.n_both AS HUGEINT) * tot.n_orders
+        |      * 1000000) // (CAST(ba.n_b AS HUGEINT) * bb.n_b)
+        |      AS BIGINT) AS DOUBLE) / 1e6, 4) AS lift
+        |  FROM pr
+        |  JOIN bc ba ON ba.brand = pr.brand_a
+        |  JOIN bc bb ON bb.brand = pr.brand_b, tot),
+        |cut AS (SELECT * FROM j
+        |        ORDER BY n_both DESC, brand_a, brand_b LIMIT 20)
+        |SELECT brand_a, brand_b, n_both, lift
+        |FROM cut ORDER BY n_both DESC, brand_a, brand_b""".stripMargin,
 
     "q_rollup_orders" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,

@@ -143,6 +143,8 @@ class PlanHygieneSpec extends SparkSpec {
                              // by the alphabet at any corpus scale)
     "log_entropy_rate",      // 1-row total-transition-count scalar
     "log_rank_movers",       // 1-row (first-day, last-day) bounds
+    "q_revenue_concentration", // constant 5-cutoff lattice (rn <= k)
+    "q_basket_pairs",        // 1-row distinct-order-count scalar
     "sketch_kmv",            // 1-row exact-distinct scalar broadcast
     "sketch_kmv_merge",      // 1-row direct-sketch + shard-count scalars
     "sketch_kmv_intersect",  // 1-row exact-jaccard audit scalar

@@ -3150,6 +3150,67 @@ class PipelineInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("revenue concentration: sorted-prefix replay; Pareto dominance") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q_revenue_concentration")(spark, sf())
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 5L, 10L, 25L, 50L))
+    val cents = t(spark, sf(), "orders")
+      .groupBy($"o_custkey")
+      .agg(expr("cast(cast(sum(cast(o_totalprice as decimal(18,2)))" +
+        " * 100 as decimal(38,0)) as bigint)").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sorted = cents.sortBy(x => (-x._2, x._1)).map(x => BigInt(x._2))
+    val total = sorted.sum
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { case (pct, k, share) =>
+      val kExp = (cents.length * pct + 99) / 100
+      assert(k == kExp.toLong, s"$pct%: cutoff diverges")
+      val cum = sorted.take(kExp.toInt).sum
+      assert(share == r4(cum.toDouble / total.toDouble),
+        s"$pct%: share diverges from the sorted-prefix replay")
+      // the top k% of customers always hold at least k% of revenue
+      assert(share >= pct.toDouble / 100 - 1e-4,
+        s"$pct%: Pareto dominance violated")
+    }
+    // shares are monotone in the cutoff
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(b._3 >= a._3 - 1e-9, "non-monotone")
+      case _ =>
+    }
+  }
+
+  test("basket pairs: lift replays as the exact e6 rational") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q_basket_pairs")(spark, sf())
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(rows.nonEmpty && rows.length <= 20)
+    val li = t(spark, sf(), "lineitem")
+      .join(t(spark, sf(), "part"), $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey", $"p_brand").distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val nOrders = li.map(_._1).distinct.length.toLong
+    val nB = li.groupBy(_._2).map { case (b, xs) => b -> xs.length.toLong }
+    val byOrder = li.groupBy(_._1)
+    val pairCnt = byOrder.values.toSeq.flatMap { xs =>
+      val bs = xs.map(_._2).sorted
+      for (i <- bs.indices; j <- (i + 1) until bs.length)
+        yield (bs(i), bs(j))
+    }.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = pairCnt.toSeq.map { case ((a, b), n) =>
+      val liftE6 = BigInt(n) * nOrders * 1000000 /
+        (BigInt(nB(a)) * nB(b))
+      (a, b, n, r4(liftE6.toDouble / 1e6))
+    }.sortBy(x => (-x._3, x._1, x._2)).take(20)
+    assert(rows.toSeq == expect, "basket pairs diverge from the replay")
+  }
+
   test("removal effect: BigInt chain replay; shares sum to 1") {
     import spark.implicits._
     val rows = SparkEntry.queries("log_removal_effect")(spark, sf())
