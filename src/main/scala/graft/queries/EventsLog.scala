@@ -1577,8 +1577,12 @@ object EventsLog {
             " * (cast(nh as decimal(38,0)) * y - stot)")).as("num"))
         .join(broadcast(den), "event_type")
         .select($"event_type", $"lag", $"n_pairs",
-          round($"num".cast("bigint").cast("double")
-            / $"den".cast("bigint").cast("double"), 4).as("acf"))
+          // DECIMAL(38,0) -> DOUBLE directly (round-to-nearest in both
+          // engines); narrowing through BIGINT first would NULL (Spark)
+          // vs raise (DuckDB) once the n²-scaled sums pass int64 on
+          // cluster-scale dense grids.
+          round($"num".cast("double") / $"den".cast("double"), 4)
+            .as("acf"))
         .orderBy($"event_type", $"lag")
     }),
 
@@ -3608,8 +3612,8 @@ object EventsLog {
         |      * (CAST(s.nh AS HUGEINT) * p.y - s.stot)) AS num
         |  FROM pairs p JOIN st s USING (event_type) GROUP BY 1, 2)
         |SELECT n.event_type, n.lag, n.n_pairs,
-        |  ROUND(CAST(CAST(n.num AS BIGINT) AS DOUBLE)
-        |    / CAST(CAST(d.den AS BIGINT) AS DOUBLE), 4) + 0.0 AS acf
+        |  ROUND(CAST(n.num AS DOUBLE)
+        |    / CAST(d.den AS DOUBLE), 4) + 0.0 AS acf
         |FROM nm n JOIN dn d USING (event_type)
         |ORDER BY n.event_type, n.lag""".stripMargin,
 

@@ -1477,7 +1477,15 @@ object PipelineOps {
     // grams that occur more than once corpus-wide (near-dup text the
     // doc-level dedup family can miss when the duplication is
     // sub-document and cross-source). Grams hash to 8 bytes in-row
-    // before any shuffle (the contamination build's discipline); the
+    // before any shuffle (the contamination build's discipline).
+    // ACCEPTED COLLISION RISK: the oracle counts gram STRINGS while
+    // this side counts xxhash64(gram) — a 64-bit collision between two
+    // distinct corpus grams would inflate cnt/n_src on the Spark side
+    // only. P(any collision) ≈ m²/2⁶⁵ stays < 1e-7 up to ~10⁹ distinct
+    // grams; shuffling full 8-gram strings corpus-wide to close that
+    // channel would multiply shuffle bytes ~8×, so the hash is the
+    // deliberate trade (unlike per-doc text_ttr, where vocab is tiny
+    // and we group on the string). The
     // corpus-wide gram counts and the per-source rollup are two
     // keyed aggs — no pairwise anything. dup_share divides exact
     // integers (≥ 0); x_source_share isolates the mass shared ACROSS

@@ -626,16 +626,18 @@ object TextAnalysis {
     // cheap vocabulary-richness screens (a low TTR flags template/spam
     // text that entropy alone can miss when the few types are evenly
     // mixed; a high hapax share flags OCR noise/gibberish). Exact
-    // integer counts from ONE (doc, token)-keyed agg — tokens hash to
-    // 8 bytes before the shuffle so no strings move — then a per-doc
-    // rollup; the two reported floats each divide identical exact
-    // integers. Same two-phase shape at any corpus size.
+    // integer counts from ONE (doc, token)-keyed agg grouped on the
+    // token STRING — matching the oracle's grouping exactly, so no
+    // hash-collision divergence channel exists (per-doc vocab is small
+    // and map-side combine folds it before the shuffle) — then a
+    // per-doc rollup; the two reported floats each divide identical
+    // exact integers. Same two-phase shape at any corpus size.
     "text_ttr" -> ((s, d) => {
       import s.implicits._
       t(s, d, "documents")
         .select($"doc_id", explode(expr(
           "filter(split(lower(text), '\\\\s+'), x -> x != '')")).as("tok"))
-        .groupBy($"doc_id", xxhash64($"tok").as("h"))
+        .groupBy($"doc_id", $"tok")
         .agg(count(lit(1)).as("c"))
         .groupBy($"doc_id")
         .agg(sum($"c").as("n_toks"), count(lit(1)).as("n_types"),
