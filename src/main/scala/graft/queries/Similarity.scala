@@ -806,6 +806,72 @@ object Similarity {
             .as("avg_recall10"))
     }),
 
+    // MRR and MAP of the sign-LSH ANN path against exact brute force —
+    // the first-hit / full-precision companions to sim_ann_ndcg (MRR
+    // grades "how fast do I reach ONE good neighbor", the serving
+    // latency question; MAP grades precision at every recall point,
+    // the batch-retrieval question — three ranking metrics, three
+    // different product contracts). Same eval budget as NDCG: exact
+    // side via the 1-row query-panel broadcast, ANN side an equi-join
+    // on the 4-bit signature. EXACT RATIONALS throughout: reciprocal
+    // ranks over positions 1..10 scale by lcm(1..10)=2520, so
+    // 2520/pos and precision@pos·2520 = 2520·hits_at/pos are exact
+    // integers; per-query AP floors once at e9 against R·2520 and the
+    // published means are single float divides of exact integer sums.
+    "sim_ann_mrr_map" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      withCosine(s)
+      val emb = t(s, d, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val sigs = emb
+        .crossJoin(broadcast(s.range(1).select(planesCol.as("planes"))))
+        .select($"vec_id", $"v", sigCol.as("sig"))
+        .localCheckpoint()
+      val panel = sigs.filter($"vec_id" % 37 === 1)
+        .agg(expr("array_sort(collect_list(named_struct('qid', vec_id," +
+          " 'qsig', sig, 'q', v)))").as("qs"))
+      val qids = sigs.filter($"vec_id" % 37 === 1)
+        .select($"vec_id".as("qid"))
+      val scored = sigs.crossJoin(broadcast(panel))
+        .select($"vec_id", $"sig", explode(expr(
+          "transform(qs, x -> named_struct('qid', x.qid, 'qsig'," +
+            " x.qsig, 'cs', round(cosine_similarity(v, x.q), 4)))"))
+          .as("p"))
+        .filter($"vec_id" =!= $"p.qid")
+        .select($"p.qid".as("qid"), $"p.qsig".as("qsig"), $"vec_id",
+          $"sig", $"p.cs".as("cs"))
+      val w = Window.partitionBy($"qid").orderBy($"cs".desc, $"vec_id".asc)
+      val exact = scored.withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 10).select($"qid", $"vec_id", $"rnk")
+      val ann = scored.filter($"sig" === $"qsig")
+        .withColumn("pos", row_number().over(w))
+        .filter($"pos" <= 10).select($"qid", $"vec_id", $"pos")
+      val wq = Window.partitionBy($"qid").orderBy($"pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val perQ = ann.join(exact, Seq("qid", "vec_id"), "left_outer")
+        .select($"qid", $"pos", $"rnk".isNotNull.cast("long").as("hit"))
+        .withColumn("hits_at", sum($"hit").over(wq))
+        .groupBy($"qid")
+        .agg(max(when($"hit" === 1L, expr("2520 div pos"))
+          .otherwise(0L)).as("rr2520"),
+          sum(when($"hit" === 1L, expr("(2520 * hits_at) div pos"))
+            .otherwise(0L)).as("apnum2520"))
+      val rq = exact.groupBy($"qid").agg(count(lit(1)).as("r_rel"))
+      qids.join(perQ, Seq("qid"), "left_outer")
+        .join(rq, Seq("qid"), "left_outer")
+        .select(coalesce($"rr2520", lit(0L)).as("rr2520"),
+          expr("cast(coalesce(apnum2520, 0) * 1000000000" +
+            " div (2520 * coalesce(r_rel, 10)) as bigint)").as("ap_e9"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum($"rr2520").as("srr"), sum($"ap_e9").as("sap"))
+        .select($"n_queries",
+          round($"srr".cast("double") / ($"n_queries" * 2520.0), 4)
+            .as("mrr"),
+          round($"sap".cast("double") / ($"n_queries" * 1e9), 4)
+            .as("map"))
+    }),
+
     // Pairwise-similarity histogram (0.1-wide cosine buckets, clamped to
     // [-1, 1)) over within-IVF-cell pairs — the distribution profile used
     // to CHOOSE a near-dup threshold before running the dedup pass. One
@@ -2522,6 +2588,73 @@ object Similarity {
         |    AS avg_recall10
         |FROM nd""".stripMargin
     },
+
+    "sim_ann_mrr_map" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |           FROM embeddings),
+        |planes AS (
+        |  SELECT p, list(CASE WHEN strpos('0123456789abcdef',
+        |      substring(md5(p || ':' || i), 1, 1)) - 1 >= 8
+        |      THEN 1.0 ELSE -1.0 END ORDER BY i) AS signs
+        |  FROM generate_series(0, 3) t(p), generate_series(0, 63) u(i)
+        |  GROUP BY p),
+        |dots AS (
+        |  SELECT e.vec_id, e.v, pl.p,
+        |    list_sum(list_transform(list_zip(e.v, pl.signs),
+        |             x -> x[1] * x[2])) AS dot
+        |  FROM e, planes pl),
+        |sigs AS (
+        |  SELECT vec_id, ANY_VALUE(v) AS v,
+        |    CAST(SUM(CASE WHEN dot >= 0 THEN (1::BIGINT << p)
+        |         ELSE 0 END) AS BIGINT) AS sig
+        |  FROM dots GROUP BY vec_id),
+        |qs AS (SELECT vec_id AS qid, sig AS qsig, v AS q
+        |       FROM sigs WHERE vec_id % 37 = 1),
+        |sc AS (
+        |  SELECT qs.qid, qs.qsig, s.vec_id, s.sig,
+        |    ROUND(list_sum(list_transform(list_zip(s.v, qs.q),
+        |            x -> x[1] * x[2])) /
+        |      (sqrt(list_sum(list_transform(s.v, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(qs.q, x -> x * x)))), 4)
+        |      AS cs
+        |  FROM sigs s, qs WHERE s.vec_id <> qs.qid),
+        |ex AS (SELECT qid, vec_id, rnk FROM (
+        |    SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY cs DESC, vec_id) AS rnk
+        |    FROM sc) WHERE rnk <= 10),
+        |an AS (SELECT qid, vec_id, pos FROM (
+        |    SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY cs DESC, vec_id) AS pos
+        |    FROM sc WHERE sig = qsig) WHERE pos <= 10),
+        |acc AS (
+        |  SELECT an.qid, an.pos,
+        |    CASE WHEN ex.rnk IS NOT NULL THEN 1 ELSE 0 END AS hit,
+        |    SUM(CASE WHEN ex.rnk IS NOT NULL THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY an.qid ORDER BY an.pos
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS hits_at
+        |  FROM an LEFT JOIN ex
+        |    ON ex.qid = an.qid AND ex.vec_id = an.vec_id),
+        |pq AS (
+        |  SELECT qid,
+        |    MAX(CASE WHEN hit = 1 THEN 2520 // pos ELSE 0 END) AS rr2520,
+        |    CAST(SUM(CASE WHEN hit = 1 THEN (2520 * hits_at) // pos
+        |         ELSE 0 END) AS BIGINT) AS apnum2520
+        |  FROM acc GROUP BY qid),
+        |rq AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS r_rel
+        |       FROM ex GROUP BY qid),
+        |nd AS (
+        |  SELECT COALESCE(p.rr2520, 0) AS rr2520,
+        |    CAST(COALESCE(p.apnum2520, 0) * 1000000000
+        |      // (2520 * COALESCE(r.r_rel, 10)) AS BIGINT) AS ap_e9
+        |  FROM qs q LEFT JOIN pq p USING (qid)
+        |            LEFT JOIN rq r ON r.qid = q.qid)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+        |  ROUND(CAST(SUM(rr2520) AS DOUBLE) / (COUNT(*) * 2520.0), 4)
+        |    AS mrr,
+        |  ROUND(CAST(SUM(ap_e9) AS DOUBLE) / (COUNT(*) * 1e9), 4)
+        |    AS map
+        |FROM nd""".stripMargin,
 
     "sim_threshold_hist" -> (cellPairsCte +
       """

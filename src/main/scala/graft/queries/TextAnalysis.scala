@@ -386,6 +386,102 @@ object TextAnalysis {
         .orderBy($"lang", $"pred_lang")
     }),
 
+    // Threshold-free ranking quality (ROC AUC) of the langid margin
+    // score against the labeled language — the classifier-eval number
+    // the confusion matrix (text_langid_eval) can't give: the matrix
+    // grades ONE operating point, AUC grades the whole score ordering,
+    // which is what you need before picking a filter threshold for a
+    // quality/langid classifier in a curation pipeline. Score = the
+    // en-vs-rest decision margin (s_en − max(other stopword hits))
+    // per token, label = (lang = 'en'). AUC is computed EXACTLY by the
+    // ties-aware rank statistic: group docs by the e6-quantized score,
+    // one cumulative window over the ≤2e6+1 distinct score values
+    // gives n_neg-below-each-score, and 2U = Σ n_pos·(2·cum_neg + n_neg)
+    // is an exact DECIMAL(38,0) sum (pair counts pass int64 near 10¹⁰
+    // docs). The only float is the final 2U / (2·n_pos·n_neg) divide.
+    // Scale shape: one doc-keyed agg folds the corpus to per-doc
+    // scores, one score-keyed agg folds THAT to ≤|score| rows, and the
+    // global window runs over that bounded frame — nothing pairwise.
+    "text_langid_auc" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val sc = t(s, d, "documents")
+        .select($"doc_id", $"lang",
+          explode(split(lower($"text"), "\\s+")).as("tok"))
+        .filter($"tok" =!= "")
+        .groupBy($"doc_id")
+        .agg(max($"lang").as("lang"), count(lit(1)).as("n"),
+          sum(when(inList($"tok", stopEn), 1L).otherwise(0L)).as("s_en"),
+          sum(when(inList($"tok", stopDe), 1L).otherwise(0L)).as("s_de"),
+          sum(when(inList($"tok", stopEs), 1L).otherwise(0L)).as("s_es"),
+          sum(when(inList($"tok", stopFr), 1L).otherwise(0L)).as("s_fr"))
+      val g = sc
+        .select(($"lang" === "en").cast("long").as("pos"),
+          expr("(s_en - greatest(s_de, s_es, s_fr)) * 1000000 div n")
+            .as("s_e6"))
+        .groupBy($"s_e6")
+        .agg(sum($"pos").as("np"), sum(lit(1L) - $"pos").as("nn"))
+      val w = Window.orderBy($"s_e6")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      g.select($"np", $"nn",
+        coalesce(sum($"nn").over(w), lit(0L)).as("cnb"))
+        .agg(sum($"np").as("n_pos"), sum($"nn").as("n_neg"),
+          sum(expr("cast(np as decimal(38,0)) * (2 * cnb + nn)"))
+            .as("u2"))
+        .select($"n_pos", $"n_neg",
+          round($"u2".cast("double")
+            / ($"n_pos".cast("double") * $"n_neg" * 2.0), 4).as("auc"))
+    }),
+
+    // Calibration audit (reliability table + expected calibration
+    // error) of the langid 'en' confidence — "when the classifier says
+    // 80%, is it right 80% of the time?": the readout that decides
+    // whether a score threshold can be trusted as a KEEP-probability
+    // in curation, or must be re-mapped first (Guo et al. 2017's ECE).
+    // Confidence = s_en / Σ stopword hits (e6 exact-rational floor, 0
+    // when no stopwords hit), binned into 10 fixed-width bins. Every
+    // bin stat is an exact integer: conf_b·n_b·1e6 = Σ c_e6 and
+    // acc_b·n_b·1e6 = n_pos·1e6, so the bin gap numerator
+    // |n_pos·1e6 − Σc_e6| and the corpus ECE numerator (their sum) are
+    // exact DECIMAL(38,0); each published float divides those by the
+    // bin/corpus size once. Shape: doc-keyed agg → ≤10-row bin agg →
+    // global window over the 10 bins. Empty bins simply don't appear
+    // (standard non-empty-bin ECE).
+    "text_langid_calibration" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val sc = t(s, d, "documents")
+        .select($"doc_id", $"lang",
+          explode(split(lower($"text"), "\\s+")).as("tok"))
+        .filter($"tok" =!= "")
+        .groupBy($"doc_id")
+        .agg(max($"lang").as("lang"),
+          sum(when(inList($"tok", stopEn), 1L).otherwise(0L)).as("s_en"),
+          sum(when(inList($"tok", stopDe), 1L).otherwise(0L)).as("s_de"),
+          sum(when(inList($"tok", stopEs), 1L).otherwise(0L)).as("s_es"),
+          sum(when(inList($"tok", stopFr), 1L).otherwise(0L)).as("s_fr"))
+      val b = sc
+        .select(($"lang" === "en").cast("long").as("pos"),
+          when($"s_en" + $"s_de" + $"s_es" + $"s_fr" === 0L, 0L)
+            .otherwise(expr(
+              "s_en * 1000000 div (s_en + s_de + s_es + s_fr)"))
+            .as("c_e6"))
+        .groupBy(least(expr("c_e6 div 100000"), lit(9L)).as("bin"))
+        .agg(count(lit(1)).as("n"), sum($"pos").as("n_pos"),
+          sum(expr("cast(c_e6 as decimal(38,0))")).as("sconf"))
+      val wAll = Window
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      b.select($"bin", $"n", $"n_pos",
+        round($"sconf".cast("double") / ($"n" * 1e6), 4).as("conf"),
+        round($"n_pos".cast("double") / $"n", 4).as("acc"),
+        round(abs($"n_pos" * expr("cast(1000000 as decimal(38,0))")
+          - $"sconf").cast("double") / ($"n" * 1e6), 4).as("gap"),
+        round(sum(abs($"n_pos" * expr("cast(1000000 as decimal(38,0))")
+          - $"sconf")).over(wAll).cast("double")
+          / (sum($"n").over(wAll) * 1e6), 4).as("ece"))
+        .orderBy($"bin")
+    }),
+
     // Tokenizer-fertility profile — the per-language tokenizer-efficiency
     // table every multilingual pretraining run publishes (fertility =
     // subword pieces per whitespace word; languages a tokenizer handles
@@ -1148,6 +1244,63 @@ object TextAnalysis {
          |  ROUND(CAST(n AS DOUBLE) / n_true, 4) AS share
          |FROM cells JOIN tot USING (lang)
          |ORDER BY lang, pred_lang""".stripMargin,
+
+    "text_langid_auc" ->
+      s"""WITH $tokCte,
+         |sc AS (
+         |  SELECT t.doc_id, MAX(d.lang) AS lang, COUNT(*) AS n,
+         |    CAST(SUM(CASE WHEN tok IN (${sqlList(stopEn)}) THEN 1 ELSE 0 END) AS BIGINT) AS s_en,
+         |    CAST(SUM(CASE WHEN tok IN (${sqlList(stopDe)}) THEN 1 ELSE 0 END) AS BIGINT) AS s_de,
+         |    CAST(SUM(CASE WHEN tok IN (${sqlList(stopEs)}) THEN 1 ELSE 0 END) AS BIGINT) AS s_es,
+         |    CAST(SUM(CASE WHEN tok IN (${sqlList(stopFr)}) THEN 1 ELSE 0 END) AS BIGINT) AS s_fr
+         |  FROM tk t JOIN documents d USING (doc_id) GROUP BY t.doc_id),
+         |g AS (
+         |  SELECT (s_en - GREATEST(s_de, s_es, s_fr)) * 1000000 // n AS s_e6,
+         |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS np,
+         |    CAST(SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS nn
+         |  FROM sc GROUP BY 1),
+         |w AS (
+         |  SELECT np, nn,
+         |    COALESCE(SUM(nn) OVER (ORDER BY s_e6
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnb
+         |  FROM g)
+         |SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+         |  CAST(SUM(nn) AS BIGINT) AS n_neg,
+         |  ROUND(CAST(SUM(CAST(np AS HUGEINT) * (2 * cnb + nn)) AS DOUBLE)
+         |    / (CAST(SUM(np) AS DOUBLE) * SUM(nn) * 2.0), 4) AS auc
+         |FROM w""".stripMargin,
+
+    "text_langid_calibration" ->
+      s"""WITH $tokCte,
+         |sc AS (
+         |  SELECT t.doc_id, MAX(d.lang) AS lang,
+         |    CAST(SUM(CASE WHEN tok IN (${sqlList(stopEn)}) THEN 1 ELSE 0 END) AS BIGINT) AS s_en,
+         |    CAST(SUM(CASE WHEN tok IN (${sqlList(stopDe)}) THEN 1 ELSE 0 END) AS BIGINT) AS s_de,
+         |    CAST(SUM(CASE WHEN tok IN (${sqlList(stopEs)}) THEN 1 ELSE 0 END) AS BIGINT) AS s_es,
+         |    CAST(SUM(CASE WHEN tok IN (${sqlList(stopFr)}) THEN 1 ELSE 0 END) AS BIGINT) AS s_fr
+         |  FROM tk t JOIN documents d USING (doc_id) GROUP BY t.doc_id),
+         |conf AS (
+         |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+         |    CASE WHEN s_en + s_de + s_es + s_fr = 0 THEN 0
+         |         ELSE s_en * 1000000 // (s_en + s_de + s_es + s_fr)
+         |    END AS c_e6
+         |  FROM sc),
+         |b AS (
+         |  SELECT LEAST(c_e6 // 100000, 9) AS bin, COUNT(*) AS n,
+         |    CAST(SUM(pos) AS BIGINT) AS n_pos,
+         |    SUM(CAST(c_e6 AS HUGEINT)) AS sconf
+         |  FROM conf GROUP BY 1)
+         |SELECT bin, n, n_pos,
+         |  ROUND(CAST(sconf AS DOUBLE) / (n * 1e6), 4) AS conf,
+         |  ROUND(CAST(n_pos AS DOUBLE) / n, 4) AS acc,
+         |  ROUND(CAST(abs(n_pos * CAST(1000000 AS HUGEINT) - sconf)
+         |    AS DOUBLE) / (n * 1e6), 4) AS gap,
+         |  ROUND(CAST(SUM(abs(n_pos * CAST(1000000 AS HUGEINT) - sconf))
+         |      OVER (ROWS BETWEEN UNBOUNDED PRECEDING
+         |            AND UNBOUNDED FOLLOWING) AS DOUBLE)
+         |    / (SUM(n) OVER (ROWS BETWEEN UNBOUNDED PRECEDING
+         |                    AND UNBOUNDED FOLLOWING) * 1e6), 4) AS ece
+         |FROM b ORDER BY bin""".stripMargin,
 
     "text_fertility" ->
       """WITH c AS (

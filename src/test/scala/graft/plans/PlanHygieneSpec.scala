@@ -151,6 +151,7 @@ class PlanHygieneSpec extends SparkSpec {
     "sketch_ams_f2",         // 1-row median/exact-F2/merge-check scalars
     "sim_clustering_coefficient", // 1-row wedge/triangle/local scalars
     "sim_ann_ndcg",          // 1-row planes + 1-row query-panel array
+    "sim_ann_mrr_map",       // same 1-row planes + query-panel shape
     "doc_bm25_topk",         // 1-row (n_docs, total-token) scalars
     "text_word_dispersion",  // constant 15-word × source lattice +
                              // 1-row corpus-token scalar

@@ -827,6 +827,61 @@ class AnnInvariantsSpec extends SparkSpec {
     assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0)
   }
 
+  test("ANN MRR/MAP replay end-to-end from raw embeddings on the driver") {
+    import spark.implicits._
+    val r = SparkEntry.queries("sim_ann_mrr_map")(spark, sf()).head()
+    val emb = t(spark, sf(), "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .collect()
+      .map(x => (x.getLong(0), x.getSeq[Double](1).toArray))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex1(s0: String): Int = {
+      val h = md.digest(s0.getBytes("UTF-8")).map("%02x".format(_))
+        .mkString
+      "0123456789abcdef".indexOf(h.charAt(0))
+    }
+    val planes = (0 until 4).map(p => (0 until 64).map(i =>
+      if (hex1(s"$p:$i") >= 8) 1.0 else -1.0).toArray)
+    def sig(v: Array[Double]): Long =
+      (0 until 4).map { p =>
+        val dot = v.zip(planes(p)).map { case (x, s0) => x * s0 }
+          .foldLeft(0.0)(_ + _)
+        if (dot >= 0) 1L << p else 0L
+      }.sum
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.foldLeft(0.0)(_ + _)
+      val na = a.foldLeft(0.0)((acc, x) => acc + x * x)
+      val nb = b.foldLeft(0.0)((acc, x) => acc + x * x)
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sigs = emb.map { case (id, v) => (id, v, sig(v)) }
+    val queries = sigs.filter(_._1 % 37 == 1)
+    var srr = 0L; var sap = BigInt(0)
+    queries.foreach { case (qid, q, qsig) =>
+      val scored = sigs.filter(_._1 != qid)
+        .map { case (id, v, s0) => (id, s0, r4(cos(v, q))) }
+      val exact = scored.sortBy(x => (-x._3, x._1)).take(10)
+        .map(_._1).toSet
+      val ann = scored.filter(_._2 == qsig)
+        .sortBy(x => (-x._3, x._1)).take(10)
+      val hits = ann.zipWithIndex.filter(x => exact.contains(x._1._1))
+        .map { case (_, i) => i + 1 } // 1-based hit positions
+      srr += hits.headOption.map(2520L / _).getOrElse(0L)
+      val apn = hits.zipWithIndex
+        .map { case (pos, j) => 2520L * (j + 1) / pos }.sum
+      sap += BigInt(apn) * 1000000000L / (2520L * exact.size)
+    }
+    assert(r.getLong(0) == queries.length.toLong, "panel size diverges")
+    assert(r.getDouble(1) ==
+      r4(srr.toDouble / (queries.length * 2520.0)), "mrr diverges")
+    assert(r.getDouble(2) ==
+      r4(sap.toDouble / (queries.length * 1e9)), "map diverges")
+    assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0)
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+  }
+
   test("sim_twonn_id replays from the candidate pairs on the driver") {
     val r = SparkEntry.queries("sim_twonn_id")(spark, sf()).head()
     val (nUsed, sumLnMu, idEst) =

@@ -839,6 +839,58 @@ class PipelineInvariantsSpec extends SparkSpec {
     assert(perClass == truth, "per-class totals must equal the lang column")
   }
 
+  test("text_langid_auc: ties-aware rank AUC replays from a pairwise count") {
+    import spark.implicits._
+    val r = SparkEntry.queries("text_langid_auc")(spark, sf()).head()
+    val stopE = Set("the", "a", "of", "and", "to", "in", "is", "it")
+    val stopD = Set("der", "die", "das", "und", "ist", "ein", "zu", "mit")
+    val stopS = Set("el", "la", "de", "y", "que", "en", "un", "es")
+    val stopF = Set("le", "les", "des", "et", "un", "une", "est", "pour")
+    val docs = t(spark, sf(), "documents")
+      .select($"lang", lower($"text")).as[(String, String)].collect()
+      .map { case (lang, txt) =>
+        val toks = txt.split("\\s+").filter(_.nonEmpty)
+        val se = toks.count(stopE); val other = Seq(
+          toks.count(stopD), toks.count(stopS), toks.count(stopF)).max
+        (lang == "en", (se - other).toLong * 1000000L / toks.length.max(1))
+      }
+    // (se - other) can be negative: Scala / and Spark div both
+    // truncate toward zero, so the replay scores match bit-for-bit
+    val pos = docs.filter(_._1).map(_._2)
+    val neg = docs.filterNot(_._1).map(_._2)
+    var u2 = BigInt(0)
+    for (a <- pos; b <- neg)
+      u2 += (if (a > b) 2 else if (a == b) 1 else 0)
+    assert(r.getLong(0) == pos.length.toLong, "n_pos")
+    assert(r.getLong(1) == neg.length.toLong, "n_neg")
+    val auc = BigDecimal(u2.toDouble / (2.0 * pos.length * neg.length))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(2) == auc, "AUC diverges from the pairwise replay")
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+  }
+
+  test("text_langid_calibration: bins partition docs, ECE is the " +
+      "n-weighted gap mean") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("text_langid_calibration")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(rows.map(_._2).sum == t(spark, sf(), "documents").count())
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for ((bin, n, np, conf, acc, gap, _) <- rows) {
+      assert(bin >= 0 && bin <= 9 && np <= n)
+      assert(acc == r4(np.toDouble / n), s"bin $bin acc")
+      // conf must sit inside (or at the clamp edge of) its bin
+      assert(conf >= 0.0 && conf <= 1.0)
+      assert(gap >= 0.0, "gap is an absolute difference")
+    }
+    // every row repeats the same corpus-level ECE
+    assert(rows.map(_._7).distinct.length == 1)
+    val eces = rows.map(_._7).head
+    assert(eces >= 0.0 && eces <= 1.0)
+  }
+
   test("sim_batch_topk: 5 ranked rows per query, non-increasing similarity") {
     import spark.implicits._
     val rows = SparkEntry.queries("sim_batch_topk")(spark, sf())
