@@ -44,6 +44,25 @@ object EventsLog {
       .withColumn("hod", hour($"h").cast("long"))
   }
 
+  /** All ordered hour-index pairs (i < j) of the dense hourly series,
+    * per event type — the pair stream shared by the Mann-Kendall test
+    * and the Theil-Sen estimator. Pair work is (hours choose 2) PER
+    * TYPE: bounded by the calendar span of the log, not by event
+    * volume, so the self-equi-join on event_type stays constant-size
+    * as the corpus grows (100 TB of events over the same month still
+    * yields 720 grid rows per type). Columns: event_type, i, j, ni,
+    * nj (the two hourly counts). */
+  private def hourIndexPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wrn = Window.partitionBy($"event_type").orderBy($"h")
+    val idx = denseHourGrid(t(s, d, "events"))
+      .select($"event_type", $"n",
+        row_number().over(wrn).cast("long").as("i"))
+    val a = idx.select($"event_type", $"i", $"n".as("ni"))
+    val b = idx.select($"event_type", $"i".as("j"), $"n".as("nj"))
+    a.join(b, Seq("event_type")).filter($"i" < $"j")
+  }
+
   /** The 10-bin value-bin rule shared by the declared log_psi_drift
     * and the streaming EventStream.psiModel/psiDrift twins (one
     * definition — the monitors can never bin differently from the
@@ -1584,6 +1603,85 @@ object EventsLog {
           round($"num".cast("double") / $"den".cast("double"), 4)
             .as("acf"))
         .orderBy($"event_type", $"lag")
+    }),
+
+    // Mann-Kendall trend test per event type — the distribution-free
+    // "is this series actually trending?" gate run BEFORE fitting any
+    // forecaster (log_holt_forecast and friends assume a trend is
+    // there; MK is how you earn that assumption without normality
+    // claims). S = Σ_{i<j} sgn(x_j − x_i) over the dense hourly grid,
+    // ties-corrected Kendall tau-b, and the normal-approximation z
+    // with the tie-corrected variance 18·Var(S) = n(n−1)(2n+5) −
+    // Σ_g t_g(t_g−1)(2t_g+5). EVERYTHING through the trend verdict is
+    // exact integers — the significance branch compares
+    // (|S|−1)²·18·10⁴ > 38416·var18 (1.96² = 3.8416) so both engines
+    // branch on identical ints; tau_b and z are the only floats (one
+    // sqrt + divide each, IEEE-identical, −0.0-normalized in the
+    // oracle). Pair work rides hourIndexPairs: calendar-bounded per
+    // type, never event-volume-bounded.
+    "log_mann_kendall" -> ((s, d) => {
+      import s.implicits._
+      val pk = hourIndexPairs(s, d)
+        .groupBy($"event_type")
+        .agg(sum(when($"nj" > $"ni", 1L).when($"nj" < $"ni", -1L)
+          .otherwise(0L)).as("s"))
+      val ties = denseHourGrid(t(s, d, "events"))
+        .groupBy($"event_type", $"n").agg(count(lit(1)).as("tg"))
+        .groupBy($"event_type")
+        .agg(sum($"tg").as("n"),
+          sum(expr("tg * (tg - 1) div 2")).as("n1"),
+          sum($"tg" * ($"tg" - 1L) * (2L * $"tg" + 5L)).as("tie18"))
+      pk.join(ties, "event_type")
+        .select($"event_type", $"n", $"s",
+          expr("n * (n - 1) div 2").as("n0"), $"n1",
+          ($"n" * ($"n" - 1L) * (2L * $"n" + 5L) - $"tie18").as("var18"))
+        .select($"event_type", $"n", $"s", $"var18",
+          when($"n0" === $"n1", 0.0).otherwise(
+            round($"s".cast("double")
+              / sqrt((($"n0" - $"n1") * $"n0").cast("double")), 4))
+            .as("tau_b"),
+          when($"var18" === 0L, 0.0).otherwise(
+            round(($"s" - when($"s" > 0L, 1L).when($"s" < 0L, -1L)
+              .otherwise(0L)).cast("double")
+              / sqrt($"var18".cast("double") / 18.0), 4)).as("z"),
+          when($"var18" > 0L && $"s" > 0L &&
+            (($"s" - 1L) * ($"s" - 1L) * 180000L > $"var18" * 38416L),
+            "increasing")
+            .when($"var18" > 0L && $"s" < 0L &&
+              (($"s" + 1L) * ($"s" + 1L) * 180000L > $"var18" * 38416L),
+              "decreasing")
+            .otherwise("none").as("trend"))
+        .orderBy($"event_type")
+    }),
+
+    // Theil-Sen slope per event type — the robust trend-rate estimate
+    // that pairs with the Mann-Kendall verdict (MK says WHETHER the
+    // hourly rate trends; Theil-Sen says HOW FAST, immune to the
+    // outlier hours that wreck an OLS fit). Each pairwise slope is the
+    // exact e6 integer (x_j − x_i)·10⁶ div (j − i) (both engines
+    // truncate toward zero), the estimate is the MEDIAN pairwise slope
+    // — an order statistic over integers, so the even-count midpoint
+    // average is the only float work. Same calendar-bounded pair
+    // stream as MK; the median select is a per-type rank window over
+    // the ≤(hours choose 2) slope rows.
+    "log_theil_sen" -> ((s, d) => {
+      import s.implicits._
+      val sl = hourIndexPairs(s, d)
+        .select($"event_type",
+          expr("(nj - ni) * 1000000 div (j - i)").as("sl_e6"))
+      val wsl = Window.partitionBy($"event_type").orderBy($"sl_e6")
+      sl.withColumn("rn", row_number().over(wsl))
+        .withColumn("np", count(lit(1)).over(
+          Window.partitionBy($"event_type")))
+        .filter($"rn" === expr("(np + 1) div 2") ||
+          ($"np" % 2L === 0L && $"rn" === expr("np div 2 + 1")))
+        .groupBy($"event_type")
+        .agg(max($"np").as("n_pairs"), count(lit(1)).as("n_mid"),
+          sum($"sl_e6").as("mid_sum"))
+        .select($"event_type", $"n_pairs",
+          round($"mid_sum".cast("double") / ($"n_mid" * 1e6), 4)
+            .as("slope_per_hour"))
+        .orderBy($"event_type")
     }),
 
     // Exact Shapley-value channel attribution (Shapley 1953, the
