@@ -1630,11 +1630,11 @@ object EventsLog {
         .groupBy($"event_type")
         .agg(sum($"tg").as("n"),
           sum(expr("tg * (tg - 1) div 2")).as("n1"),
-          sum($"tg" * ($"tg" - 1L) * (2L * $"tg" + 5L)).as("tie18"))
+          sum($"tg" * ($"tg" - 1L) * ($"tg" * 2L + 5L)).as("tie18"))
       pk.join(ties, "event_type")
         .select($"event_type", $"n", $"s",
           expr("n * (n - 1) div 2").as("n0"), $"n1",
-          ($"n" * ($"n" - 1L) * (2L * $"n" + 5L) - $"tie18").as("var18"))
+          ($"n" * ($"n" - 1L) * ($"n" * 2L + 5L) - $"tie18").as("var18"))
         .select($"event_type", $"n", $"s", $"var18",
           when($"n0" === $"n1", 0.0).otherwise(
             round($"s".cast("double")
@@ -3714,6 +3714,104 @@ object EventsLog {
         |    / CAST(d.den AS DOUBLE), 4) + 0.0 AS acf
         |FROM nm n JOIN dn d USING (event_type)
         |ORDER BY n.event_type, n.lag""".stripMargin,
+
+    "log_mann_kendall" ->
+      """WITH e AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h FROM events),
+        |counts AS (SELECT event_type, h, COUNT(*) AS n
+        |           FROM e GROUP BY 1, 2),
+        |bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM e),
+        |grid AS (
+        |  SELECT event_type, unnest(generate_series(h0, h1,
+        |    INTERVAL 1 HOUR)) AS h
+        |  FROM (SELECT DISTINCT event_type FROM e), bounds),
+        |dense AS (
+        |  SELECT g.event_type, g.h, COALESCE(c.n, 0) AS n
+        |  FROM grid g LEFT JOIN counts c
+        |    ON c.event_type = g.event_type AND c.h = g.h),
+        |idx AS (
+        |  SELECT event_type, n, CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY event_type ORDER BY h) AS BIGINT) AS i
+        |  FROM dense),
+        |pk AS (
+        |  SELECT a.event_type, CAST(SUM(CASE WHEN b.n > a.n THEN 1
+        |    WHEN b.n < a.n THEN -1 ELSE 0 END) AS BIGINT) AS s
+        |  FROM idx a JOIN idx b
+        |    ON a.event_type = b.event_type AND a.i < b.i
+        |  GROUP BY 1),
+        |ties AS (
+        |  SELECT event_type, CAST(SUM(tg) AS BIGINT) AS n,
+        |    CAST(SUM(tg * (tg - 1) // 2) AS BIGINT) AS n1,
+        |    CAST(SUM(tg * (tg - 1) * (tg * 2 + 5)) AS BIGINT) AS tie18
+        |  FROM (SELECT event_type, n AS v, COUNT(*) AS tg
+        |        FROM dense GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |j AS (
+        |  SELECT p.event_type, t.n, p.s,
+        |    t.n * (t.n - 1) // 2 AS n0, t.n1,
+        |    t.n * (t.n - 1) * (t.n * 2 + 5) - t.tie18 AS var18
+        |  FROM pk p JOIN ties t USING (event_type))
+        |SELECT event_type, n, s, var18,
+        |  CASE WHEN n0 = n1 THEN 0.0 ELSE
+        |    ROUND(CAST(s AS DOUBLE)
+        |      / sqrt(CAST((n0 - n1) * n0 AS DOUBLE)), 4) + 0.0
+        |  END AS tau_b,
+        |  CASE WHEN var18 = 0 THEN 0.0 ELSE
+        |    ROUND(CAST(s - (CASE WHEN s > 0 THEN 1
+        |        WHEN s < 0 THEN -1 ELSE 0 END) AS DOUBLE)
+        |      / sqrt(CAST(var18 AS DOUBLE) / 18.0), 4) + 0.0
+        |  END AS z,
+        |  CASE WHEN var18 > 0 AND s > 0
+        |      AND (s - 1) * (s - 1) * 180000 > var18 * 38416
+        |    THEN 'increasing'
+        |    WHEN var18 > 0 AND s < 0
+        |      AND (s + 1) * (s + 1) * 180000 > var18 * 38416
+        |    THEN 'decreasing'
+        |    ELSE 'none' END AS trend
+        |FROM j ORDER BY event_type""".stripMargin,
+
+    "log_theil_sen" ->
+      """WITH e AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h FROM events),
+        |counts AS (SELECT event_type, h, COUNT(*) AS n
+        |           FROM e GROUP BY 1, 2),
+        |bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM e),
+        |grid AS (
+        |  SELECT event_type, unnest(generate_series(h0, h1,
+        |    INTERVAL 1 HOUR)) AS h
+        |  FROM (SELECT DISTINCT event_type FROM e), bounds),
+        |dense AS (
+        |  SELECT g.event_type, g.h, COALESCE(c.n, 0) AS n
+        |  FROM grid g LEFT JOIN counts c
+        |    ON c.event_type = g.event_type AND c.h = g.h),
+        |idx AS (
+        |  SELECT event_type, n, CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY event_type ORDER BY h) AS BIGINT) AS i
+        |  FROM dense),
+        |-- Spark's `div` truncates toward zero; DuckDB's // floors.
+        |-- The sign/abs split makes the oracle truncate-toward-zero
+        |-- regardless of DuckDB's negative-division convention.
+        |pairs AS (
+        |  SELECT a.event_type,
+        |    (CASE WHEN b.n < a.n THEN -1 ELSE 1 END)
+        |      * ((abs(b.n - a.n) * 1000000) // (b.i - a.i)) AS sl_e6
+        |  FROM idx a JOIN idx b
+        |    ON a.event_type = b.event_type AND a.i < b.i),
+        |r AS (
+        |  SELECT event_type, sl_e6,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY sl_e6) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type)
+        |      AS BIGINT) AS np
+        |  FROM pairs),
+        |mid AS (
+        |  SELECT event_type, sl_e6, np FROM r
+        |  WHERE rn = (np + 1) // 2
+        |     OR (np % 2 = 0 AND rn = np // 2 + 1))
+        |SELECT event_type, CAST(MAX(np) AS BIGINT) AS n_pairs,
+        |  ROUND(CAST(SUM(sl_e6) AS DOUBLE) / (COUNT(*) * 1e6), 4) + 0.0
+        |    AS slope_per_hour
+        |FROM mid GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "log_shapley_attribution" ->
       """WITH u AS (

@@ -2527,6 +2527,85 @@ class PipelineInvariantsSpec extends SparkSpec {
     }
   }
 
+  // Shared driver-side replay of the dense per-type hourly series —
+  // the exact build under log_mann_kendall and log_theil_sen.
+  private def denseSeriesByType(): Map[String, Array[Long]] = {
+    import spark.implicits._
+    val ev = t(spark, sf(), "events")
+      .select((unix_micros(date_trunc("hour", $"ts")) / 3600000000L)
+        .cast("long").as("hu"), $"event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val (h0, h1) = (ev.map(_._1).min, ev.map(_._1).max)
+    ev.groupBy(_._2).map { case (et, rows) =>
+      val cnt = rows.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+      et -> (h0 to h1).map(h => cnt.getOrElse(h, 0L)).toArray
+    }
+  }
+
+  test("log_mann_kendall: S, ties variance, tau_b, z and the trend " +
+      "verdict replay exactly") {
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = SparkEntry.queries("log_mann_kendall")(spark, sf())
+      .collect().map(r => r.getString(0) -> r).toMap
+    val series = denseSeriesByType()
+    assert(got.keySet == series.keySet)
+    for ((et, xs) <- series) {
+      val n = xs.length.toLong
+      var s = 0L
+      for (i <- xs.indices; j <- (i + 1) until xs.length)
+        s += java.lang.Long.signum(xs(j) - xs(i))
+      val n0 = n * (n - 1) / 2
+      val groups = xs.groupBy(identity).values.map(_.length.toLong)
+      val n1 = groups.map(tg => tg * (tg - 1) / 2).sum
+      val tie18 = groups.map(tg => tg * (tg - 1) * (tg * 2 + 5)).sum
+      val var18 = n * (n - 1) * (n * 2 + 5) - tie18
+      val r = got(et)
+      assert(r.getLong(1) == n && r.getLong(2) == s &&
+        r.getLong(3) == var18, s"$et integer stage")
+      val tauB = if (n0 == n1) 0.0
+        else r4(s.toDouble / math.sqrt(((n0 - n1) * n0).toDouble))
+      val z = if (var18 == 0L) 0.0
+        else r4((s - java.lang.Long.signum(s)).toDouble
+          / math.sqrt(var18.toDouble / 18.0))
+      assert(r.getDouble(4) == tauB, s"$et tau_b")
+      assert(r.getDouble(5) == z, s"$et z")
+      val trend =
+        if (var18 > 0 && s > 0 && (s - 1) * (s - 1) * 180000L > var18 * 38416L)
+          "increasing"
+        else if (var18 > 0 && s < 0 &&
+            (s + 1) * (s + 1) * 180000L > var18 * 38416L) "decreasing"
+        else "none"
+      assert(r.getString(6) == trend, s"$et trend verdict")
+      assert(math.abs(r.getDouble(4)) <= 1.0, s"$et tau_b out of [-1,1]")
+    }
+  }
+
+  test("log_theil_sen: the median e6 pairwise slope replays exactly") {
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = SparkEntry.queries("log_theil_sen")(spark, sf())
+      .collect().map(r =>
+        r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val series = denseSeriesByType()
+    assert(got.keySet == series.keySet)
+    for ((et, xs) <- series) {
+      val slopes = (for {
+        i <- xs.indices; j <- (i + 1) until xs.length
+      // Scala Long / truncates toward zero — same as Spark's div
+      } yield (xs(j) - xs(i)) * 1000000L / (j - i)).sorted
+      val np = slopes.length.toLong
+      val mids = slopes.zipWithIndex.collect {
+        case (v, ix) if ix + 1 == (np + 1) / 2 ||
+          (np % 2 == 0 && ix + 1 == np / 2 + 1) => v
+      }
+      val (nPairs, slope) = got(et)
+      assert(nPairs == np, s"$et pair count")
+      val expect = r4(mids.sum.toDouble / (mids.length * 1e6))
+      assert(slope == expect, s"$et median slope: $slope != $expect")
+    }
+  }
+
   test("text_heaps_fit: beta in (0,1) and totals match the corpus") {
     import spark.implicits._
     val r = SparkEntry.queries("text_heaps_fit")(spark, sf()).head()
