@@ -449,6 +449,37 @@ object Dedup {
         .orderBy($"doc_a", $"doc_b")
     }),
 
+    // Edit-distance verification of LSH candidates — the
+    // character-level second opinion on every near-dup pair: shingle
+    // Jaccard is blind to in-word typos and OCR noise (a one-char edit
+    // kills 3 whole shingles), while Levenshtein counts exactly the
+    // edits. Scale discipline: Levenshtein is O(m·n) per pair, so it
+    // runs ONLY on the LSH candidate set (never all pairs) and ONLY on
+    // the deterministic 300-char prefixes — the banded-DP window a
+    // production verifier uses, with cost capped at 300² per pair
+    // regardless of doc length. The sim denominator is the longer
+    // PREFIX, all integers; the published similarity is the single
+    // float divide. Text travels once per pair via two doc_id joins
+    // (the candidate set broadcasts — it is the tiny side).
+    "dedup_editdist" -> ((s, d) => {
+      import s.implicits._
+      val pre = t(s, d, "documents")
+        .select($"doc_id", substring($"text", 1, 300).as("pre"))
+        .withColumn("len", length($"pre"))
+      lshPairsShared(s, d)
+        .join(pre.select($"doc_id".as("doc_a"), $"pre".as("pa"),
+          $"len".as("la")), "doc_a")
+        .join(pre.select($"doc_id".as("doc_b"), $"pre".as("pb"),
+          $"len".as("lb")), "doc_b")
+        .select($"doc_a", $"doc_b",
+          levenshtein($"pa", $"pb").cast("long").as("dist"),
+          greatest($"la", $"lb").cast("long").as("max_len"))
+        .select($"doc_a", $"doc_b", $"dist", $"max_len",
+          round(lit(1.0) - $"dist".cast("double") / $"max_len", 4)
+            .as("edit_sim"))
+        .orderBy($"doc_a", $"doc_b")
+    }),
+
     // First-occurrence novelty scoring — per doc, the fraction of its
     // distinct 3-shingles that no LOWER-doc_id document contains (doc_id
     // = ingestion order, so this is "how much of this doc is new to the
@@ -956,6 +987,33 @@ object Dedup {
          |JOIN sizes sa ON sa.doc_id = doc_a
          |JOIN sizes sb ON sb.doc_id = doc_b
          |WHERE shared * 3 >= sa.n + sb.n
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_editdist" ->
+      s"""$sigSql,
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_i, h1 || h2 AS band_key FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 1, h3 || h4 FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 2, h5 || h6 FROM sig),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a
+         |  JOIN bands b ON a.band_key = b.band_key AND a.band_i = b.band_i
+         |               AND a.doc_id < b.doc_id),
+         |pre AS (
+         |  SELECT doc_id, substring(text, 1, 300) AS pre,
+         |    length(substring(text, 1, 300)) AS len
+         |  FROM documents)
+         |SELECT p.doc_a, p.doc_b,
+         |  CAST(levenshtein(a.pre, b.pre) AS BIGINT) AS dist,
+         |  CAST(greatest(a.len, b.len) AS BIGINT) AS max_len,
+         |  ROUND(1.0 - CAST(levenshtein(a.pre, b.pre) AS DOUBLE)
+         |    / greatest(a.len, b.len), 4) + 0.0 AS edit_sim
+         |FROM pairs p
+         |JOIN pre a ON a.doc_id = p.doc_a
+         |JOIN pre b ON b.doc_id = p.doc_b
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "text_novelty" ->

@@ -2543,6 +2543,57 @@ object EventsLog {
         .orderBy($"event_type", $"hour_us")
     }),
 
+    // EWMA control chart (Roberts 1959, the SPC standard for drift
+    // smaller than a Shewhart rule catches) — per type, the
+    // exponentially weighted moving average of the dense hourly rate,
+    // and an alert when the CURRENT hour deviates from the PREVIOUS
+    // hour's smoothed level by more than 3σ. The recurrence
+    // s_t = 0.3·x_t + 0.7·s_{t−1} is truncated at 8 terms
+    // (s_{t−7} := x_{t−7}), which makes every weight an EXACT e7
+    // integer — 3·7^j·10^(6−j) for lags 0..6 and 7^7 for lag 7, summing
+    // to 10^7 — so ewma_e7 is an exact BIGINT fold of 8 lag columns and
+    // the alert verdict is a pure integer comparison:
+    // d_e7²·nh² > 9·(nh·Σx²−(Σx)²)·10^14 in DECIMAL(38,0)/HUGEINT
+    // (both sides exact; no float enters the verdict). Scale shape:
+    // the lag windows ride ONE per-type Exchange over the
+    // calendar-bounded dense grid; the σ stats frame (5 rows)
+    // broadcasts. The published ewma is the single float divide.
+    "log_ewma_chart" -> ((s, d) => {
+      import s.implicits._
+      val wrn = Window.partitionBy($"event_type").orderBy($"h")
+      val g = denseHourGrid(t(s, d, "events"))
+        .select($"event_type", $"h", $"n")
+      val st = g.groupBy($"event_type").agg(
+        count(lit(1)).as("nh"), sum($"n").as("stot"),
+        sum($"n" * $"n").as("sxx"))
+      // 0.3·0.7^j·1e7 for j=0..6, then 0.7^7·1e7 closes the mass to 1e7
+      val wE7 = Seq(3000000L, 2100000L, 1470000L, 1029000L,
+        720300L, 504210L, 352947L, 823543L)
+      val lagCols = (0 to 7).map(j =>
+        (if (j == 0) $"n" else lag($"n", j).over(wrn)).as(s"x$j"))
+      val ewmaE7 = wE7.zipWithIndex
+        .map { case (wt, j) => col(s"x$j") * wt }.reduce(_ + _)
+      val ew = g.select(($"event_type" +: $"h" +: $"n" +: lagCols): _*)
+        .filter($"x7".isNotNull)
+        .select($"event_type", $"h", $"n", ewmaE7.as("ewma_e7"))
+      ew.select($"event_type", $"h", $"n", $"ewma_e7",
+          lag($"ewma_e7", 1).over(wrn).as("prev_e7"))
+        .filter($"prev_e7".isNotNull)
+        .join(broadcast(st), "event_type")
+        .select($"event_type", unix_micros($"h").as("hour_us"), $"n",
+          round($"ewma_e7".cast("double") / 1e7, 4).as("ewma"),
+          expr("""cast(
+            |  (cast(n as decimal(38,0)) * 10000000 - prev_e7)
+            |    * (cast(n as decimal(38,0)) * 10000000 - prev_e7)
+            |    * nh * nh
+            |  > cast(9 as decimal(38,0))
+            |    * (cast(nh as decimal(38,0)) * sxx
+            |       - cast(stot as decimal(38,0)) * stot)
+            |    * 100000000000000 as bigint)""".stripMargin)
+            .as("is_alert"))
+        .orderBy($"event_type", $"hour_us")
+    }),
+
     // Inter-arrival profile — per type, the p50/p90/max gap between
     // consecutive events, the latency-between-arrivals number that
     // sizes stream-ingest buffers and alert timeouts. The scale trick:
@@ -4570,6 +4621,58 @@ object EventsLog {
         |         THEN 1 ELSE 0 END END AS BIGINT) AS is_anomaly
         |FROM dv d JOIN m2 ON m2.event_type = d.event_type
         |ORDER BY d.event_type, hour_us""".stripMargin,
+
+    "log_ewma_chart" ->
+      """WITH e AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h FROM events),
+        |counts AS (SELECT event_type, h, COUNT(*) AS n
+        |           FROM e GROUP BY 1, 2),
+        |bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM e),
+        |grid AS (
+        |  SELECT event_type, unnest(generate_series(h0, h1,
+        |    INTERVAL 1 HOUR)) AS h
+        |  FROM (SELECT DISTINCT event_type FROM e), bounds),
+        |dense AS (
+        |  SELECT g.event_type, g.h, COALESCE(c.n, 0) AS n
+        |  FROM grid g LEFT JOIN counts c
+        |    ON c.event_type = g.event_type AND c.h = g.h),
+        |st AS (
+        |  SELECT event_type, COUNT(*) AS nh,
+        |    CAST(SUM(n) AS BIGINT) AS stot,
+        |    CAST(SUM(n * n) AS BIGINT) AS sxx
+        |  FROM dense GROUP BY 1),
+        |lagged AS (
+        |  SELECT event_type, h, n,
+        |    LAG(n, 1) OVER w AS x1, LAG(n, 2) OVER w AS x2,
+        |    LAG(n, 3) OVER w AS x3, LAG(n, 4) OVER w AS x4,
+        |    LAG(n, 5) OVER w AS x5, LAG(n, 6) OVER w AS x6,
+        |    LAG(n, 7) OVER w AS x7
+        |  FROM dense
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY h)),
+        |ew AS (
+        |  SELECT event_type, h, n,
+        |    n * 3000000 + x1 * 2100000 + x2 * 1470000 + x3 * 1029000
+        |      + x4 * 720300 + x5 * 504210 + x6 * 352947 + x7 * 823543
+        |      AS ewma_e7
+        |  FROM lagged WHERE x7 IS NOT NULL),
+        |wp AS (
+        |  SELECT event_type, h, n, ewma_e7,
+        |    LAG(ewma_e7, 1) OVER (PARTITION BY event_type ORDER BY h)
+        |      AS prev_e7
+        |  FROM ew)
+        |SELECT w.event_type, epoch_us(w.h) AS hour_us, w.n,
+        |  ROUND(CAST(w.ewma_e7 AS DOUBLE) / 1e7, 4) AS ewma,
+        |  CAST(CASE WHEN
+        |      (CAST(w.n AS HUGEINT) * 10000000 - w.prev_e7)
+        |        * (CAST(w.n AS HUGEINT) * 10000000 - w.prev_e7)
+        |        * s.nh * s.nh
+        |      > 9 * (CAST(s.nh AS HUGEINT) * s.sxx
+        |             - CAST(s.stot AS HUGEINT) * s.stot)
+        |        * 100000000000000
+        |    THEN 1 ELSE 0 END AS BIGINT) AS is_alert
+        |FROM wp w JOIN st s ON s.event_type = w.event_type
+        |WHERE w.prev_e7 IS NOT NULL
+        |ORDER BY w.event_type, hour_us""".stripMargin,
 
     "log_interarrival_profile" ->
       """WITH secs AS (

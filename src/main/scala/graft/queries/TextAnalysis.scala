@@ -830,6 +830,50 @@ object TextAnalysis {
         .orderBy($"source")
     }),
 
+    // Log-odds with informative Dirichlet prior (Monroe, Colaresi &
+    // Quinn 2008, "Fightin' Words") — the corpus-comparison standard
+    // for "which tokens mark THIS source against the rest": raw
+    // frequency ratios explode on rare words, PMI ignores sampling
+    // noise; the z-scored log-odds with the corpus as prior does
+    // neither. For each (source, token) cell of the full
+    // source×vocab lattice (zero cells INCLUDED — depletion is as
+    // diagnostic as enrichment): y1 = in-source count, y2 = rest
+    // count, prior α_w = corpus count, α0 = corpus total;
+    // δ = ln((y1+α_w)/(n1+α0−y1−α_w)) − ln((y2+α_w)/(n2+α0−y2−α_w)),
+    // z = δ/sqrt(1/(y1+α_w) + 1/(y2+α_w)). Everything to the ln is
+    // exact BIGINT (the prior makes every operand strictly positive);
+    // the float tail is two ln, one sqrt, one divide — identical
+    // expression shape in both engines, rounded once. Scale shape:
+    // ONE token-keyed agg folds the corpus; the lattice is
+    // |sources|×|vocab| (a capped top-vocab at 100 TB), built from
+    // two broadcast-size frames and never touching text again.
+    "text_log_odds" -> ((s, d) => {
+      import s.implicits._
+      val toks = t(s, d, "documents")
+        .select($"source", explode(split(lower($"text"), "\\s+")).as("token"))
+        .filter($"token" =!= "")
+      val sw = toks.groupBy($"source", $"token").agg(count(lit(1)).as("y1"))
+      val ns = toks.groupBy($"source").agg(count(lit(1)).as("n_s"))
+      val w = toks.groupBy($"token").agg(count(lit(1)).as("y_w"))
+      val tot = toks.agg(count(lit(1)).as("n_tot"))
+      ns.crossJoin(broadcast(w))
+        .crossJoin(broadcast(tot))
+        .join(sw, Seq("source", "token"), "left_outer")
+        .select($"source", $"token",
+          coalesce($"y1", lit(0L)).as("y1"),
+          $"y_w", $"n_s", $"n_tot")
+        .select($"source", $"token", $"y1".as("y"), $"y_w",
+          expr("""round(
+            |  (ln(cast(y1 + y_w as double)
+            |      / cast(n_s + n_tot - y1 - y_w as double))
+            |   - ln(cast(y_w * 2 - y1 as double)
+            |      / cast(n_tot * 2 - n_s - y_w * 2 + y1 as double)))
+            |  / sqrt(cast(1 as double) / cast(y1 + y_w as double)
+            |       + cast(1 as double) / cast(y_w * 2 - y1 as double)),
+            |  4)""".stripMargin).as("z_logodds"))
+        .orderBy($"source", $"token")
+    }),
+
     // Top PMI collocations — which word pairs co-occur far beyond
     // chance (the phrase-mining primitive behind tokenizer merge
     // candidates and stop-phrase lists): PMI = ln(c_xy·N/(c_x·c_y))
@@ -1504,6 +1548,35 @@ object TextAnalysis {
         |  ROUND((CAST(a_e6 AS DOUBLE) / 1e6) / n_tokens
         |        + ln(CAST(nn AS DOUBLE) / n_tokens), 4) + 0.0 AS kl
         |FROM wn ORDER BY source""".stripMargin,
+
+    "text_log_odds" ->
+      """WITH tk AS (
+        |  SELECT source, unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '\s+'), x -> x <> ''))
+        |    AS token
+        |  FROM documents),
+        |sw AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS y1
+        |       FROM tk GROUP BY 1, 2),
+        |ns AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s
+        |       FROM tk GROUP BY 1),
+        |w AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS y_w
+        |      FROM tk GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM tk),
+        |grid AS (
+        |  SELECT ns.source, w.token,
+        |    COALESCE(sw.y1, 0) AS y1, w.y_w, ns.n_s, tot.n_tot
+        |  FROM ns CROSS JOIN w CROSS JOIN tot
+        |  LEFT JOIN sw ON sw.source = ns.source AND sw.token = w.token)
+        |SELECT source, token, y1 AS y, y_w,
+        |  ROUND(
+        |    (ln(CAST(y1 + y_w AS DOUBLE)
+        |        / CAST(n_s + n_tot - y1 - y_w AS DOUBLE))
+        |     - ln(CAST(y_w * 2 - y1 AS DOUBLE)
+        |        / CAST(n_tot * 2 - n_s - y_w * 2 + y1 AS DOUBLE)))
+        |    / sqrt(CAST(1 AS DOUBLE) / CAST(y1 + y_w AS DOUBLE)
+        |         + CAST(1 AS DOUBLE) / CAST(y_w * 2 - y1 AS DOUBLE)),
+        |    4) + 0.0 AS z_logodds
+        |FROM grid ORDER BY source, token""".stripMargin,
 
     "text_pmi_top" ->
       """WITH tk AS (

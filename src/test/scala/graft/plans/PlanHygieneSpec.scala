@@ -155,6 +155,8 @@ class PlanHygieneSpec extends SparkSpec {
     "doc_bm25_topk",         // 1-row (n_docs, total-token) scalars
     "text_word_dispersion",  // constant 15-word × source lattice +
                              // 1-row corpus-token scalar
+    "text_log_odds",         // source-alphabet × capped-vocab lattice
+                             // (both broadcast-size) + 1-row total
     "doc_cdc_dedup",         // 1-row corpus-savings scalar
     "log_removal_effect",    // constant 5-variant × alphabet² removal
                              // lattice + 1-row full-chain scalars

@@ -2606,6 +2606,107 @@ class PipelineInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("log_ewma_chart: the truncated recurrence and 3-sigma verdict " +
+      "replay exactly") {
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = SparkEntry.queries("log_ewma_chart")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+    val series = denseSeriesByType()
+    val wE7 = Seq(3000000L, 2100000L, 1470000L, 1029000L,
+      720300L, 504210L, 352947L, 823543L)
+    assert(wE7.sum == 10000000L, "weights must close to exactly 1e7")
+    var checked = 0
+    for ((et, xs) <- series) {
+      val n = xs.length
+      val nh = BigInt(n); val stot = BigInt(xs.sum)
+      val sxx = xs.map(x => BigInt(x) * x).sum
+      val varNum = nh * sxx - stot * stot // nh^2-scaled variance
+      def ewmaE7(tIdx: Int): Long =
+        (0 to 7).map(j => xs(tIdx - j) * wE7(j)).sum
+      // the output keys are hour_us; recover them from the raw events
+      val hours = got.keys.filter(_._1 == et).map(_._2).toSeq.sorted
+      assert(hours.length == n - 8, s"$et row count (grid $n hours)")
+      for ((hu, k) <- hours.zipWithIndex) {
+        val tIdx = k + 8 // first emitted row has 8 predecessors
+        val (x, ewma, alert) = got((et, hu))
+        assert(x == xs(tIdx), s"$et hour $hu count")
+        assert(ewma == r4(ewmaE7(tIdx).toDouble / 1e7), s"$et ewma")
+        val d = BigInt(x) * 10000000L - ewmaE7(tIdx - 1)
+        val expect = if (d * d * nh * nh >
+          varNum * 9 * BigInt("100000000000000")) 1L else 0L
+        assert(alert == expect, s"$et hour $hu alert verdict")
+        checked += 1
+      }
+    }
+    assert(checked > 100, "degenerate replay: too few rows checked")
+  }
+
+  test("dedup_editdist: Levenshtein on 300-char prefixes replays, " +
+      "pairs are exactly the LSH candidates") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("dedup_editdist")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val texts = t(spark, sf(), "documents")
+      .select($"doc_id", substring($"text", 1, 300))
+      .as[(Long, String)].collect().toMap
+    def lev(a: String, b: String): Long = {
+      val dp = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var prev = dp(0); dp(0) = i
+        for (j <- 1 to b.length) {
+          val cur = dp(j)
+          dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(b.length).toLong
+    }
+    assert(rows.nonEmpty, "no candidate pairs at this sf")
+    for (((a, b), (dist, maxLen, sim)) <- rows) {
+      val (pa, pb) = (texts(a), texts(b))
+      assert(maxLen == math.max(pa.length, pb.length).toLong)
+      assert(dist == lev(pa, pb), s"($a,$b) Levenshtein")
+      assert(sim >= 0.0 && sim <= 1.0)
+      assert((dist == 0L) == (pa == pb), s"($a,$b) zero-dist iff equal")
+    }
+  }
+
+  test("text_log_odds: full lattice, per-token counts reconcile, " +
+      "z replays in doubles") {
+    import spark.implicits._
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = SparkEntry.queries("text_log_odds")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val toks = t(spark, sf(), "documents")
+      .select($"source", explode(split(lower($"text"), "\\s+")).as("tok"))
+      .filter($"tok" =!= "").as[(String, String)].collect()
+    val sources = toks.map(_._1).distinct
+    val vocab = toks.map(_._2).distinct
+    assert(rows.size == sources.length * vocab.length, "lattice size")
+    val yW = toks.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nS = toks.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val nTot = toks.length.toLong
+    for (tok <- vocab) {
+      val spread = sources.map(s => rows((s, tok))._1).sum
+      assert(spread == yW(tok), s"$tok: per-source y must sum to y_w")
+    }
+    for (((s0, tok), (y1, yw, z)) <- rows) {
+      assert(yw == yW(tok))
+      val delta = math.log((y1 + yw).toDouble
+          / (nS(s0) + nTot - y1 - yw).toDouble) -
+        math.log((yw * 2 - y1).toDouble
+          / (nTot * 2 - nS(s0) - yw * 2 + y1).toDouble)
+      val se = math.sqrt(1.0 / (y1 + yw) + 1.0 / (yw * 2 - y1))
+      assert(z == r4(delta / se), s"($s0,$tok) z-score replay")
+    }
+  }
+
   test("text_heaps_fit: beta in (0,1) and totals match the corpus") {
     import spark.implicits._
     val r = SparkEntry.queries("text_heaps_fit")(spark, sf()).head()
