@@ -1255,6 +1255,45 @@ object Similarity {
         .orderBy($"qid", $"rnk")
     }),
 
+    // Hard-negative mining — for each anchor of the query panel
+    // (vec_id < 10), the 3 most-similar vectors with a DIFFERENT
+    // label: the contrastive-training staple (the negatives that sit
+    // closest to the anchor are the ones a triplet/InfoNCE loss
+    // learns from; random negatives are trivially separable). Same
+    // one-pass shape as sim_batch_topk: the anchor panel travels as a
+    // 1-row broadcast array WITH labels, every corpus vector scores
+    // all 10 anchors in-row, the different-label filter drops
+    // same-class rows BEFORE the rank window, and rnk<=3 plans as
+    // TopKPerKey partial top-k — no per-anchor global sort. At 100 TB
+    // this is one scan; the mined (anchor, negative) pairs feed the
+    // training dataloader directly.
+    "sim_hard_negatives" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      withCosine(s)
+      val emb = t(s, d, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"),
+          $"label".cast("long").as("label"))
+      val qs = emb.filter($"vec_id" < 10)
+        .agg(expr("array_sort(collect_list(named_struct(" +
+          "'qid', vec_id, 'q', v, 'lq', label)))").as("qs"))
+      val w = Window.partitionBy($"qid")
+        .orderBy($"cos_sim".desc, $"vec_id".asc)
+      emb.filter($"vec_id" >= 10)
+        .crossJoin(broadcast(qs))
+        .select($"vec_id", $"label", explode(expr(
+          "transform(qs, x -> named_struct('qid', x.qid, 'lq', x.lq," +
+            " 'cs', round(cosine_similarity(v, x.q), 4)))")).as("p"))
+        .filter($"label" =!= $"p.lq")
+        .select($"p.qid".as("qid"), $"vec_id", $"label",
+          $"p.cs".as("cos_sim"))
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 3)
+        .select($"qid", $"rnk".cast("long").as("rnk"), $"vec_id",
+          $"label", $"cos_sim")
+        .orderBy($"qid", $"rnk")
+    }),
+
     // Matrix-free distributed power iteration — two steps of v ← G·v
     // for the Gram matrix G = Σ x·xᵀ WITHOUT ever materializing G
     // (G·v = Σ x·(x·v), so each step is one corpus pass emitting dim
@@ -3015,6 +3054,28 @@ object Similarity {
         |  FROM sc)
         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, cos_sim
         |FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+
+    "sim_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |             CAST(label AS BIGINT) AS label
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv, label AS lq
+        |      FROM e WHERE vec_id < 10),
+        |sc AS (
+        |  SELECT q.qid, e.vec_id, e.label,
+        |    ROUND(list_sum(list_transform(list_zip(e.v, q.qv),
+        |            x -> x[1] * x[2]))
+        |      / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+        |         * sqrt(list_sum(list_transform(q.qv, x -> x * x)))), 4)
+        |      + 0.0 AS cos_sim
+        |  FROM e, q WHERE e.vec_id >= 10 AND e.label <> q.lq),
+        |r AS (
+        |  SELECT qid, vec_id, label, cos_sim,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |                       ORDER BY cos_sim DESC, vec_id) AS rnk
+        |  FROM sc)
+        |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, label, cos_sim
+        |FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
 
     "sim_label_purity" -> (cellPairsCte +
       """,

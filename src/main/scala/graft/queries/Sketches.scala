@@ -377,6 +377,67 @@ object Sketches {
             / $"exact_distinct", 4).as("rel_err"))
     }),
 
+    // Misra-Gries heavy hitters (Misra & Gries 1982; merge rule from
+    // Agarwal et al. 2013, "Mergeable Summaries") — the k-counter
+    // frequent-items sketch that finds every word with frequency
+    // above a threshold in ONE pass with O(k) state per partition:
+    // the mapPartitions stage is the genuine per-partition imperative
+    // loop (increment / insert / decrement-all), the merge is a
+    // pointwise counter sum followed by subtracting the (k+1)-th
+    // largest summed counter (summaries-merge rule) over a frame
+    // bounded by k·partitions rows — never by the corpus. The sketch
+    // estimate depends on partition boundaries, so the DECLARED
+    // output is partitioning-independent: the exact heavy set
+    // (true·(k+1) > 2n — every such word provably survives the
+    // merge) with its exact count and the PROVABLE two-sided bound
+    // check est ≤ true ∧ (true−est)·(k+1) ≤ 2n (per-partition error
+    // sums to n/(k+1); the merge subtraction adds at most n/(k+1)
+    // more since k+1 counters cannot each exceed n/(k+1)). A bound
+    // violation surfaces as a 0 flag → oracle hash mismatch.
+    "sketch_mg_heavy" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val k = 64
+      val perPart = words(s, d).select($"word").as[String]
+        .mapPartitions { it =>
+          val m = scala.collection.mutable.HashMap.empty[String, Long]
+          it.foreach { w =>
+            if (m.contains(w)) m(w) += 1L
+            else if (m.size < k) m(w) = 1L
+            else {
+              val keys = m.keys.toArray
+              var i = 0
+              while (i < keys.length) {
+                val nv = m(keys(i)) - 1L
+                if (nv == 0L) m.remove(keys(i)) else m.update(keys(i), nv)
+                i += 1
+              }
+            }
+          }
+          m.iterator
+        }.toDF("word", "est_part")
+      val summed = perPart.groupBy($"word").agg(sum($"est_part").as("est_sum"))
+      // (k+1)-th largest summed counter — the merge's subtrahend; the
+      // window frame is ≤ k·partitions rows (constant at any corpus)
+      val cut = summed
+        .withColumn("rk", row_number().over(
+          Window.orderBy($"est_sum".desc, $"word".asc)))
+        .agg(max(when($"rk" === k + 1, $"est_sum")).as("sub"))
+      val sk = summed.crossJoin(broadcast(cut))
+        .select($"word", ($"est_sum" - coalesce($"sub", lit(0L))).as("est"))
+        .filter($"est" > 0L)
+      val exact = words(s, d).groupBy($"word").agg(count(lit(1)).as("true_cnt"))
+      val tot = words(s, d).agg(count(lit(1)).as("n_tot"))
+      exact.crossJoin(broadcast(tot))
+        .filter($"true_cnt" * (k + 1) > $"n_tot" * 2)
+        .join(sk, "word")
+        .select($"word", $"true_cnt",
+          ($"est" <= $"true_cnt" &&
+            ($"true_cnt" - $"est") * (k + 1) <= $"n_tot" * 2)
+            .cast("bigint").as("bound_ok"))
+        .orderBy($"word")
+    }),
+
     // KMV merge — mergeability for the content-checkable distinct
     // sketch: shard-local bottom-k sets (doc_id%4 shards) union
     // (distinct, then bottom-k again) into EXACTLY the single-pass
@@ -548,6 +609,18 @@ object Sketches {
         |  ROUND(CAST(est_distinct - exact_distinct AS DOUBLE)
         |    / exact_distinct, 4) + 0.0 AS rel_err
         |FROM est""".stripMargin,
+
+    // k = 64 counters: the heavy set is every word with
+    // true·(k+1) > 2n, and the sketch side's bound check must pass
+    // for ALL of them (a violation flips bound_ok to 0 → hash fail)
+    "sketch_mg_heavy" ->
+      s"""WITH ws AS ($wordsSql),
+        |ex AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS true_cnt
+        |       FROM ws GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM ws)
+        |SELECT word, true_cnt, CAST(1 AS BIGINT) AS bound_ok
+        |FROM ex, tot WHERE true_cnt * 65 > n_tot * 2
+        |ORDER BY word""".stripMargin,
 
     "sketch_kmv_merge" ->
       s"""WITH dw AS ($docWordsSql),

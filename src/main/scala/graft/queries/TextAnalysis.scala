@@ -874,6 +874,59 @@ object TextAnalysis {
         .orderBy($"source", $"token")
     }),
 
+    // Burrows' Delta (Burrows 2002, the stylometric attribution
+    // standard) — pairwise stylistic distance between sources over
+    // the 15 most frequent corpus words: per source, each word's
+    // relative frequency is z-scored against the word's cross-source
+    // distribution, and Delta(a,b) is the mean |z_a − z_b|. In a
+    // training-data pipeline this is source forensics: two "different"
+    // crawls with near-zero Delta are the same upstream text farm
+    // (syndication), a shard whose Delta to every sibling spikes has
+    // a processing bug. Exactness: f_e9 = y·10⁹ div n_s (both sides
+    // truncate — operands non-negative), per-word variance is the
+    // DECIMAL(38,0)/HUGEINT integer V = S·Σf² − (Σf)², z_e6 is ONE
+    // rounded float divide per lattice cell, and Delta sums |Δz_e6|
+    // as plain BIGINTs — order-free. Scale shape: one token-keyed
+    // agg + a TakeOrdered(15) vocab cut; everything after lives on
+    // the constant 15×|sources| lattice (allowlisted BNLJ).
+    "text_burrows_delta" -> ((s, d) => {
+      import s.implicits._
+      val toks = t(s, d, "documents")
+        .select($"source", explode(split(lower($"text"), "\\s+")).as("tok"))
+        .filter($"tok" =!= "")
+      val sw = toks.groupBy($"source", $"tok").agg(count(lit(1)).as("y"))
+      val ns = toks.groupBy($"source").agg(count(lit(1)).as("n_s"))
+      val top = toks.groupBy($"tok").agg(count(lit(1)).as("cw"))
+        .orderBy($"cw".desc, $"tok".asc).limit(15).select($"tok")
+      val f = ns.crossJoin(broadcast(top))
+        .join(sw, Seq("source", "tok"), "left_outer")
+        .select($"source", $"tok",
+          expr("coalesce(y, 0) * 1000000000 div n_s").as("f_e9"))
+      val st = f.groupBy($"tok").agg(
+        count(lit(1)).as("ss"), sum($"f_e9").as("sum_e9"),
+        sum(expr("cast(f_e9 as decimal(38,0)) * f_e9")).as("v2"))
+      val z = f.join(broadcast(st), "tok")
+        .select($"source", $"tok", expr(
+          """case when cast(ss as decimal(38,0)) * v2
+            |     = cast(sum_e9 as decimal(38,0)) * sum_e9 then 0L
+            |else cast(round(
+            |  cast(f_e9 * ss - sum_e9 as double) * 1e6
+            |  / sqrt(cast(cast(ss as decimal(38,0)) * v2
+            |         - cast(sum_e9 as decimal(38,0)) * sum_e9
+            |         as double))) as bigint) end""".stripMargin)
+          .as("z_e6"))
+      z.as("a").join(z.as("b"),
+          $"a.tok" === $"b.tok" && $"a.source" < $"b.source")
+        .select($"a.source".as("source_a"), $"b.source".as("source_b"),
+          ($"a.z_e6" - $"b.z_e6").as("dz"))
+        .groupBy($"source_a", $"source_b")
+        .agg(count(lit(1)).as("n_words"), sum(abs($"dz")).as("sumabs"))
+        .select($"source_a", $"source_b", $"n_words",
+          round($"sumabs".cast("double") / ($"n_words" * 1e6), 4)
+            .as("delta"))
+        .orderBy($"source_a", $"source_b")
+    }),
+
     // Top PMI collocations — which word pairs co-occur far beyond
     // chance (the phrase-mining primitive behind tokenizer merge
     // candidates and stop-phrase lists): PMI = ln(c_xy·N/(c_x·c_y))
@@ -1577,6 +1630,46 @@ object TextAnalysis {
         |         + CAST(1 AS DOUBLE) / CAST(y_w * 2 - y1 AS DOUBLE)),
         |    4) + 0.0 AS z_logodds
         |FROM grid ORDER BY source, token""".stripMargin,
+
+    "text_burrows_delta" ->
+      """WITH tk AS (
+        |  SELECT source, unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '\s+'), x -> x <> ''))
+        |    AS tok
+        |  FROM documents),
+        |sw AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS y
+        |       FROM tk GROUP BY 1, 2),
+        |ns AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s
+        |       FROM tk GROUP BY 1),
+        |top AS (SELECT tok FROM (
+        |    SELECT tok, COUNT(*) AS cw FROM tk GROUP BY 1)
+        |  ORDER BY cw DESC, tok LIMIT 15),
+        |f AS (
+        |  SELECT ns.source, top.tok,
+        |    (COALESCE(sw.y, 0) * 1000000000) // ns.n_s AS f_e9
+        |  FROM ns CROSS JOIN top
+        |  LEFT JOIN sw ON sw.source = ns.source AND sw.tok = top.tok),
+        |st AS (
+        |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS ss,
+        |    CAST(SUM(f_e9) AS BIGINT) AS sum_e9,
+        |    SUM(CAST(f_e9 AS HUGEINT) * f_e9) AS v2
+        |  FROM f GROUP BY 1),
+        |z AS (
+        |  SELECT f.source, f.tok,
+        |    CASE WHEN CAST(st.ss AS HUGEINT) * st.v2
+        |            = CAST(st.sum_e9 AS HUGEINT) * st.sum_e9 THEN 0
+        |    ELSE CAST(ROUND(
+        |      CAST(f.f_e9 * st.ss - st.sum_e9 AS DOUBLE) * 1e6
+        |      / sqrt(CAST(CAST(st.ss AS HUGEINT) * st.v2
+        |             - CAST(st.sum_e9 AS HUGEINT) * st.sum_e9
+        |             AS DOUBLE))) AS BIGINT) END AS z_e6
+        |  FROM f JOIN st USING (tok))
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_words,
+        |  ROUND(CAST(SUM(abs(a.z_e6 - b.z_e6)) AS DOUBLE)
+        |    / (COUNT(*) * 1e6), 4) + 0.0 AS delta
+        |FROM z a JOIN z b ON a.tok = b.tok AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
 
     "text_pmi_top" ->
       """WITH tk AS (

@@ -157,6 +157,9 @@ class PlanHygieneSpec extends SparkSpec {
                              // 1-row corpus-token scalar
     "text_log_odds",         // source-alphabet × capped-vocab lattice
                              // (both broadcast-size) + 1-row total
+    "text_burrows_delta",    // constant 15-word × source lattice
+    "sketch_mg_heavy",       // 1-row merge-subtrahend + 1-row total
+    "sim_hard_negatives",    // 1-row anchor-panel array (batch_topk shape)
     "doc_cdc_dedup",         // 1-row corpus-savings scalar
     "log_removal_effect",    // constant 5-variant × alphabet² removal
                              // lattice + 1-row full-chain scalars

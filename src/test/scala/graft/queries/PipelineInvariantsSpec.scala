@@ -2707,6 +2707,106 @@ class PipelineInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("sketch_mg_heavy: heavy set is exactly the threshold cut and " +
+      "every bound check passes") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("sketch_mg_heavy")(spark, sf())
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2)))
+    val toks = t(spark, sf(), "documents")
+      .select(explode(expr(
+        "filter(split(lower(text), '\\\\s+'), x -> x != '')")).as("w"))
+      .as[String].collect()
+    val exact = toks.groupBy(identity).view.mapValues(_.length.toLong)
+    val n = toks.length.toLong
+    val heavy = exact.filter { case (_, c) => c * 65 > n * 2 }
+    assert(rows.map(_._1).toSet == heavy.keySet,
+      "emitted words must be the exact heavy-hitter cut")
+    for ((w, cnt, ok) <- rows) {
+      assert(cnt == exact(w), s"$w exact count")
+      assert(ok == 1L, s"$w: Misra-Gries two-sided bound violated")
+    }
+  }
+
+  test("sim_hard_negatives: per-anchor top-3 different-label " +
+      "neighbours replay from brute force") {
+    import spark.implicits._
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = SparkEntry.queries("sim_hard_negatives")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val emb = t(spark, sf(), "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>"),
+        $"label".cast("long"))
+      .as[(Long, Seq[Double], Long)].collect()
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i)
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val anchors = emb.filter(_._1 < 10)
+    assert(anchors.length == 10)
+    for ((qid, qv, lq) <- anchors) {
+      val expect = emb
+        .filter(e => e._1 >= 10 && e._3 != lq)
+        .map(e => (e._1, e._3, r4(cos(e._2, qv))))
+        .sortBy { case (vid, _, cs) => (-cs, vid) }.take(3)
+      for ((e, k) <- expect.zipWithIndex) {
+        assert(got((qid, k + 1L)) == e,
+          s"anchor $qid rank ${k + 1}: hard negative diverges")
+      }
+      // every mined negative really is a different label
+      expect.foreach { case (_, l, _) => assert(l != lq) }
+    }
+  }
+
+  test("text_burrows_delta: z-scores and pairwise deltas replay; " +
+      "the lattice is the S-choose-2 set") {
+    import spark.implicits._
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = SparkEntry.queries("text_burrows_delta")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val toks = t(spark, sf(), "documents")
+      .select($"source", explode(split(lower($"text"), "\\s+")).as("tok"))
+      .filter($"tok" =!= "").as[(String, String)].collect()
+    val sources = toks.map(_._1).distinct.sorted
+    assert(rows.size == sources.length * (sources.length - 1) / 2)
+    val top = toks.groupBy(_._2).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (w, c) => (-c, w) }.take(15).map(_._1)
+    val nS = toks.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val ySW = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    // z_e6 replay: f_e9 floor, exact BigInt variance, one rounded divide
+    val zE6 = (for (s0 <- sources; w <- top) yield {
+      val fE9 = for (s1 <- sources)
+        yield ySW.getOrElse((s1, w), 0L) * 1000000000L / nS(s1)
+      val f = ySW.getOrElse((s0, w), 0L) * 1000000000L / nS(s0)
+      val ss = sources.length.toLong
+      val sum = fE9.sum
+      val v = BigInt(ss) * fE9.map(x => BigInt(x) * x).sum -
+        BigInt(sum) * sum
+      // BigDecimal HALF_UP (away from zero) — math.round would pull
+      // negative half-way cases toward +inf, diverging from Spark
+      val z = if (v == 0) 0L
+        else BigDecimal((f * ss - sum).toDouble * 1e6
+          / math.sqrt(v.toDouble))
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      (s0, w) -> z
+    }).toMap
+    for (a <- sources; b <- sources if a < b) {
+      val sumabs = top.map(w => math.abs(zE6((a, w)) - zE6((b, w)))).sum
+      val (nw, delta) = rows((a, b))
+      assert(nw == 15L, s"($a,$b) lattice width")
+      assert(delta == r4(sumabs.toDouble / (15 * 1e6)),
+        s"($a,$b) delta replay")
+      assert(delta >= 0.0)
+    }
+  }
+
   test("text_heaps_fit: beta in (0,1) and totals match the corpus") {
     import spark.implicits._
     val r = SparkEntry.queries("text_heaps_fit")(spark, sf()).head()
