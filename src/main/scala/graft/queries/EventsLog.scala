@@ -44,6 +44,31 @@ object EventsLog {
       .withColumn("hod", hour($"h").cast("long"))
   }
 
+  /** Truncated-EWMA weights, e7-scaled: 0.3·0.7^j·10⁷ = 3·7^j·10^(6−j)
+    * for lags 0..6 and 7⁷ for lag 7 — exact integers closing to 10⁷.
+    * ONE definition shared by the declared log_ewma_chart and the
+    * streaming EventStream.ewmaChart monitor (the twins cannot weight
+    * differently). */
+  private[graft] val ewmaWeightsE7: Seq[Long] = Seq(3000000L, 2100000L,
+    1470000L, 1029000L, 720300L, 504210L, 352947L, 823543L)
+
+  /** σ model + grid bounds for the EWMA chart — per type the exact
+    * integer (nh, Σx, Σx²) over the DENSE hourly grid plus the global
+    * [h0,h1] hour bounds (in µs), one flat row per type so it
+    * broadcasts into a live stream. The train-in-batch half of
+    * EventStream.ewmaChart; the declared log_ewma_chart consumes the
+    * same stats so the batch chart and the monitor share one σ. */
+  private[graft] def ewmaModel(ev0: DataFrame): DataFrame = {
+    import ev0.sparkSession.implicits._
+    val g = denseHourGrid(ev0).select($"event_type", $"h", $"n")
+    val st = g.groupBy($"event_type").agg(
+      count(lit(1)).as("nh"), sum($"n").as("stot"),
+      sum($"n" * $"n").as("sxx"))
+    val bounds = g.agg(min(unix_micros($"h")).as("h0_us"),
+      max(unix_micros($"h")).as("h1_us"))
+    st.crossJoin(broadcast(bounds))
+  }
+
   /** All ordered hour-index pairs (i < j) of the dense hourly series,
     * per event type — the pair stream shared by the Mann-Kendall test
     * and the Theil-Sen estimator. Pair work is (hours choose 2) PER
@@ -2566,9 +2591,9 @@ object EventsLog {
       val st = g.groupBy($"event_type").agg(
         count(lit(1)).as("nh"), sum($"n").as("stot"),
         sum($"n" * $"n").as("sxx"))
-      // 0.3·0.7^j·1e7 for j=0..6, then 0.7^7·1e7 closes the mass to 1e7
-      val wE7 = Seq(3000000L, 2100000L, 1470000L, 1029000L,
-        720300L, 504210L, 352947L, 823543L)
+      // the shared e7 weight ladder — one definition with the
+      // streaming monitor (EventStream.ewmaChart)
+      val wE7 = ewmaWeightsE7
       val lagCols = (0 to 7).map(j =>
         (if (j == 0) $"n" else lag($"n", j).over(wrn)).as(s"x$j"))
       val ewmaE7 = wE7.zipWithIndex

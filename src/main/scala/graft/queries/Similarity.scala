@@ -949,6 +949,120 @@ object Similarity {
         .orderBy($"k_occ")
     }),
 
+    // Local intrinsic dimensionality profile (Levina & Bickel 2004
+    // MLE; Amsaleg et al. 2015 form) — per-point LID from the 4
+    // nearest within-cell neighbours, aggregated per label: the
+    // pointwise companion to sim_twonn_id's one global number. LID is
+    // the embedding-curation signal the global ID hides: points with
+    // LID far above the manifold dimension sit in locally-crowded,
+    // hubby regions (ANN recall there collapses — cf. sim_hubness),
+    // and a LABEL whose mean LID spikes is a class whose vectors
+    // degenerate. Float discipline is the TwoNN recipe: distances are
+    // the exact e4 integers 10⁴ − round(sim·10⁴) off the shared
+    // IVF-cell pairs, each ln(d4/di) is e6-quantized independently
+    // (the 3-term sum is then exact), LID = 3e10/se6 is one rounded
+    // divide per point, and the label rollup sums exact e4 integers.
+    // Degenerate points (duplicate neighbour d1 = 0, flat ring
+    // se6 = 0, or < 4 in-cell neighbours) are discarded as in the
+    // paper. Candidate-bounded: per-src windows over cell pairs.
+    "sim_lid_profile" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val pairs = cellPairs(s, d)
+      val sims = pairs.select($"va".as("src"), $"vb".as("dst"), $"sim")
+        .union(pairs.select($"vb".as("src"), $"va".as("dst"), $"sim"))
+        .select($"src", $"dst",
+          (lit(10000L) - expr("cast(round(sim * 1e4) as bigint)"))
+            .as("de4"))
+      val w = Window.partitionBy($"src").orderBy($"de4".asc, $"dst".asc)
+      val lid = sims.withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 4)
+        .groupBy($"src").agg(count(lit(1)).as("kk"),
+          min(when($"rk" === 1, $"de4")).as("d1"),
+          min(when($"rk" === 2, $"de4")).as("d2"),
+          min(when($"rk" === 3, $"de4")).as("d3"),
+          min(when($"rk" === 4, $"de4")).as("d4"))
+        .filter($"kk" === 4 && $"d1" > 0)
+        .select($"src", expr(
+          "cast(round(ln(cast(d4 as double) / d1) * 1e6) as bigint)" +
+            " + cast(round(ln(cast(d4 as double) / d2) * 1e6) as bigint)" +
+            " + cast(round(ln(cast(d4 as double) / d3) * 1e6) as bigint)")
+          .as("se6"))
+        .filter($"se6" > 0L)
+        .select($"src", expr(
+          "cast(round(cast(30000000000 as double) / se6) as bigint)")
+          .as("lid_e4"))
+      lid.join(t(s, d, "embeddings")
+          .select($"vec_id".as("src"), $"label".cast("long").as("label")),
+          "src")
+        .groupBy($"label").agg(count(lit(1)).as("n_used"),
+          sum($"lid_e4").as("sum_e4"),
+          min($"lid_e4").as("min_e4"), max($"lid_e4").as("max_e4"))
+        .select($"label", $"n_used",
+          round($"sum_e4".cast("double") / ($"n_used" * 1e4), 4)
+            .as("mean_lid"),
+          round($"min_e4".cast("double") / 1e4, 4).as("min_lid"),
+          round($"max_e4".cast("double") / 1e4, 4).as("max_lid"))
+        .orderBy($"label")
+    }),
+
+    // Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) — the
+    // hybrid-retrieval standard for combining rankers without score
+    // calibration: each candidate's fused score is Σ 1/(60 + rank_r)
+    // over the rankers, here the exact-cosine ranking and the sign-LSH
+    // hamming ranking for the 10-anchor panel. RRF is how a serving
+    // stack blends a dense ANN list with a cheap hash/lexical list —
+    // and because it consumes RANKS, the fusion is INTEGER-EXACT:
+    // rrf_e12 = 10¹² div (60+ra) + 10¹² div (60+rb), no float enters
+    // scoring or ordering (the published rrf is one display divide).
+    // One corpus scan against the 1-row anchor panel computes both
+    // rankers' keys in-row; the three per-anchor rank windows ride one
+    // qid Exchange; the final cut is rnk <= 10.
+    "sim_rank_fusion" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      withCosine(s)
+      val emb = t(s, d, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val sigs = emb
+        .crossJoin(broadcast(s.range(1).select(planesCol.as("planes"))))
+        .select($"vec_id", $"v", sigCol.as("sig"))
+      val panel = sigs.filter($"vec_id" < 10)
+        .agg(expr("array_sort(collect_list(named_struct('qid', vec_id," +
+          " 'qsig', sig, 'q', v)))").as("qs"))
+      val scored = sigs.filter($"vec_id" >= 10)
+        .crossJoin(broadcast(panel))
+        .select($"vec_id", $"sig", explode(expr(
+          "transform(qs, x -> named_struct('qid', x.qid, 'qsig'," +
+            " x.qsig, 'cs', round(cosine_similarity(v, x.q), 4)))"))
+          .as("p"))
+        .select($"p.qid".as("qid"), $"vec_id", $"p.cs".as("cs"), expr(
+          """cast(
+            |  case when (sig div 1) % 2 <> (p.qsig div 1) % 2
+            |    then 1 else 0 end
+            |+ case when (sig div 2) % 2 <> (p.qsig div 2) % 2
+            |    then 1 else 0 end
+            |+ case when (sig div 4) % 2 <> (p.qsig div 4) % 2
+            |    then 1 else 0 end
+            |+ case when (sig div 8) % 2 <> (p.qsig div 8) % 2
+            |    then 1 else 0 end as bigint)""".stripMargin).as("ham"))
+      val wa = Window.partitionBy($"qid").orderBy($"cs".desc, $"vec_id".asc)
+      val wb = Window.partitionBy($"qid").orderBy($"ham".asc, $"vec_id".asc)
+      val wf = Window.partitionBy($"qid")
+        .orderBy($"rrf_e12".desc, $"vec_id".asc)
+      scored
+        .withColumn("ra", row_number().over(wa).cast("long"))
+        .withColumn("rb", row_number().over(wb).cast("long"))
+        .select($"qid", $"vec_id", $"ra", $"rb",
+          expr("1000000000000 div (60 + ra)" +
+            " + 1000000000000 div (60 + rb)").as("rrf_e12"))
+        .withColumn("rnk", row_number().over(wf).cast("long"))
+        .filter($"rnk" <= 10)
+        .select($"qid", $"rnk", $"vec_id", $"ra", $"rb",
+          round($"rrf_e12".cast("double") / 1e12, 6).as("rrf"))
+        .orderBy($"qid", $"rnk")
+    }),
+
     // TwoNN intrinsic-dimension estimate (Facco et al. 2017) — the
     // manifold-dimension number that tells you whether a 64-d
     // embedding space is really using its dimensions (ID ≈ d) or the
@@ -2895,6 +3009,97 @@ object Similarity {
         |SELECT n_used, CAST(se6 AS DOUBLE) / 1e6 AS sum_ln_mu,
         |  ROUND(CAST(n_used AS DOUBLE) * 1e6 / se6, 4) + 0.0 AS id_est
         |FROM g""".stripMargin),
+
+    "sim_lid_profile" -> (cellPairsCte +
+      """,
+        |s AS (SELECT va AS src, vb AS dst, sim FROM p
+        |      UNION ALL SELECT vb, va, sim FROM p),
+        |dd AS (SELECT src, dst,
+        |         10000 - CAST(ROUND(sim * 1e4) AS BIGINT) AS de4
+        |       FROM s),
+        |k2 AS (SELECT src, de4,
+        |         ROW_NUMBER() OVER (PARTITION BY src
+        |                            ORDER BY de4, dst) AS rk
+        |       FROM dd),
+        |nn AS (SELECT src, COUNT(*) AS kk,
+        |         MIN(CASE WHEN rk = 1 THEN de4 END) AS d1,
+        |         MIN(CASE WHEN rk = 2 THEN de4 END) AS d2,
+        |         MIN(CASE WHEN rk = 3 THEN de4 END) AS d3,
+        |         MIN(CASE WHEN rk = 4 THEN de4 END) AS d4
+        |       FROM k2 WHERE rk <= 4 GROUP BY src),
+        |se AS (SELECT src,
+        |         CAST(ROUND(ln(CAST(d4 AS DOUBLE) / d1) * 1e6) AS BIGINT)
+        |       + CAST(ROUND(ln(CAST(d4 AS DOUBLE) / d2) * 1e6) AS BIGINT)
+        |       + CAST(ROUND(ln(CAST(d4 AS DOUBLE) / d3) * 1e6) AS BIGINT)
+        |         AS se6
+        |       FROM nn WHERE kk = 4 AND d1 > 0),
+        |lid AS (SELECT src,
+        |          CAST(ROUND(CAST(30000000000 AS DOUBLE) / se6)
+        |            AS BIGINT) AS lid_e4
+        |        FROM se WHERE se6 > 0)
+        |SELECT CAST(e2.label AS BIGINT) AS label,
+        |  CAST(COUNT(*) AS BIGINT) AS n_used,
+        |  ROUND(CAST(SUM(l.lid_e4) AS DOUBLE) / (COUNT(*) * 1e4), 4)
+        |    + 0.0 AS mean_lid,
+        |  ROUND(CAST(MIN(l.lid_e4) AS DOUBLE) / 1e4, 4) + 0.0 AS min_lid,
+        |  ROUND(CAST(MAX(l.lid_e4) AS DOUBLE) / 1e4, 4) + 0.0 AS max_lid
+        |FROM lid l JOIN embeddings e2 ON e2.vec_id = l.src
+        |GROUP BY 1 ORDER BY label""".stripMargin),
+
+    "sim_rank_fusion" ->
+      """WITH planes AS (
+        |  SELECT p, list(CASE WHEN strpos('0123456789abcdef',
+        |      substring(md5(p || ':' || i), 1, 1)) - 1 >= 8
+        |      THEN 1.0 ELSE -1.0 END ORDER BY i) AS signs
+        |  FROM generate_series(0, 3) t(p), generate_series(0, 63) u(i)
+        |  GROUP BY p),
+        |dots AS (
+        |  SELECT e.vec_id, e.embedding::DOUBLE[] AS v, pl.p,
+        |    list_sum(list_transform(list_zip(e.embedding::DOUBLE[],
+        |      pl.signs), x -> x[1] * x[2])) AS dot
+        |  FROM embeddings e, planes pl),
+        |sigs AS (
+        |  SELECT vec_id, ANY_VALUE(v) AS v,
+        |    CAST(SUM(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END)
+        |         AS BIGINT) AS sig
+        |  FROM dots GROUP BY vec_id),
+        |q AS (SELECT vec_id AS qid, v AS qv, sig AS qsig
+        |      FROM sigs WHERE vec_id < 10),
+        |sc AS (
+        |  SELECT q.qid, s.vec_id,
+        |    ROUND(list_sum(list_transform(list_zip(s.v, q.qv),
+        |            x -> x[1] * x[2]))
+        |      / (sqrt(list_sum(list_transform(s.v, x -> x * x)))
+        |         * sqrt(list_sum(list_transform(q.qv, x -> x * x)))), 4)
+        |      + 0.0 AS cs,
+        |    CAST((CASE WHEN (s.sig // 1) % 2 <> (q.qsig // 1) % 2
+        |            THEN 1 ELSE 0 END
+        |        + CASE WHEN (s.sig // 2) % 2 <> (q.qsig // 2) % 2
+        |            THEN 1 ELSE 0 END
+        |        + CASE WHEN (s.sig // 4) % 2 <> (q.qsig // 4) % 2
+        |            THEN 1 ELSE 0 END
+        |        + CASE WHEN (s.sig // 8) % 2 <> (q.qsig // 8) % 2
+        |            THEN 1 ELSE 0 END) AS BIGINT) AS ham
+        |  FROM sigs s, q WHERE s.vec_id >= 10),
+        |rk AS (
+        |  SELECT qid, vec_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY cs DESC, vec_id) AS BIGINT) AS ra,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY ham ASC, vec_id) AS BIGINT) AS rb
+        |  FROM sc),
+        |fused AS (
+        |  SELECT qid, vec_id, ra, rb,
+        |    1000000000000 // (60 + ra) + 1000000000000 // (60 + rb)
+        |      AS rrf_e12
+        |  FROM rk),
+        |r AS (SELECT qid, vec_id, ra, rb, rrf_e12,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY qid
+        |          ORDER BY rrf_e12 DESC, vec_id) AS BIGINT) AS rnk
+        |      FROM fused)
+        |SELECT qid, rnk, vec_id, ra, rb,
+        |  ROUND(CAST(rrf_e12 AS DOUBLE) / 1e12, 6) AS rrf
+        |FROM r WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
 
     "sim_mutual_knn" -> (cellPairsCte +
       """,

@@ -208,6 +208,105 @@ object EventStream {
 
   case class UserCount(user_id: Long, n: Long)
 
+  case class EwmaPoint(event_type: String, hour_us: Long, n: Long,
+    ewma: Double, is_alert: Long)
+
+  /** Online EWMA control chart — the streaming twin of the declared
+    * `log_ewma_chart`: per event type, the exact-e7 truncated EWMA
+    * recurrence over consecutive hours (gap hours count as ZERO, the
+    * dense-grid semantics) with the same 3σ integer alert verdict
+    * against the broadcast σ model ([[graft.queries.EventsLog
+    * .ewmaModel]] — trained in batch, served here; the weight ladder
+    * is the shared `ewmaWeightsE7`, so the twins cannot drift).
+    *
+    * State per type is O(1): the open (accumulating) hour and the
+    * ring of the last 8 finalized hourly counts. An hour finalizes —
+    * and its chart row emits — when a LATER hour arrives for the
+    * type; gap hours between them finalize as zeros. Late rows for
+    * hours already finalized are dropped (the watermark discipline:
+    * size `wmDelay` to the reorder window). In BATCH mode the group
+    * is seen whole, the tail pads with zeros to the model's h1 bound
+    * and the final hour finalizes too, so the batch-mode output is
+    * row-for-row the declared query's (asserted in StreamingSpec).
+    * Same event-time TTL discipline as runningUserCounts: the type
+    * alphabet is small, but a retired event type must not pin state
+    * forever. */
+  def ewmaChart(events: DataFrame, model: DataFrame,
+      idleUs: Long = 86400000000L * 7, wmDelay: String = "1 hour")
+      : Dataset[EwmaPoint] = {
+    import events.sparkSession.implicits._
+    val wE7 = graft.queries.EventsLog.ewmaWeightsE7
+    val isBatch = !events.isStreaming
+    val in = if (isBatch) events else events.withWatermark("ts", wmDelay)
+    val stepUs = 3600000000L
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    in.select($"event_type",
+        unix_micros(date_trunc("hour", $"ts")).as("hour_us"), $"ts")
+      .join(broadcast(model), Seq("event_type"))
+      .select($"event_type", $"hour_us", $"ts",
+        $"nh", $"stot", $"sxx", $"h0_us", $"h1_us")
+      .as[(String, Long, java.sql.Timestamp, Long, Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(),
+          if (isBatch) GroupStateTimeout.NoTimeout
+          else GroupStateTimeout.EventTimeTimeout) {
+        (et: String,
+         batch: Iterator[(String, Long, java.sql.Timestamp, Long, Long,
+           Long, Long, Long)],
+         state: GroupState[(Long, Long, Seq[Long])]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val rows = batch.toSeq
+            if (rows.isEmpty) Iterator.empty
+            else {
+              val (_, _, _, nh, stot, sxx, h0, h1) = rows.head
+              // 9·(nh·Σx² − (Σx)²)·10¹⁴ — the σ² side of the verdict
+              val rhs = (BigInt(nh) * sxx - BigInt(stot) * stot) * 9 *
+                BigInt("100000000000000")
+              val out = scala.collection.mutable.ArrayBuffer
+                .empty[EwmaPoint]
+              var (openHour, openCnt, ring) = state.getOption
+                .getOrElse((h0, 0L, Seq.empty[Long]))
+              def ewmaE7(win: Seq[Long]): Long = // most-recent-LAST
+                (0 to 7).map(j => win(7 - j) * wE7(j)).sum
+              def finalizeOpen(): Unit = {
+                if (ring.length == 8) {
+                  val cur = ewmaE7(ring.drop(1) :+ openCnt)
+                  val d = BigInt(openCnt) * 10000000L - ewmaE7(ring)
+                  val alert =
+                    if (d * d * nh * nh > rhs) 1L else 0L
+                  out += EwmaPoint(et, openHour, openCnt,
+                    r4(cur.toDouble / 1e7), alert)
+                }
+                ring = (ring :+ openCnt).takeRight(8)
+                openCnt = 0L
+                openHour += stepUs
+              }
+              val inc = rows.groupBy(_._2).view
+                .mapValues(_.length.toLong).toSeq.sortBy(_._1)
+              for ((h, c) <- inc) {
+                if (h >= openHour) { // older-than-open rows: dropped
+                  while (openHour < h) finalizeOpen()
+                  openCnt += c
+                }
+              }
+              if (isBatch) { // pad to the grid bound, close the tail
+                while (openHour < h1) finalizeOpen()
+                finalizeOpen()
+              } else {
+                state.update((openHour, openCnt, ring))
+                val seenUs = rows.map(_._2).max
+                state.setTimeoutTimestamp(math.max(
+                  (seenUs + idleUs) / 1000L,
+                  state.getCurrentWatermarkMs() + 1L))
+              }
+              out.iterator
+            }
+          }
+      }
+  }
+
   case class AnomStats(user_id: Long, n_events: Long, mu: Double, sd: Double)
 
   /** Online per-user anomaly-model stats — the streaming twin of the

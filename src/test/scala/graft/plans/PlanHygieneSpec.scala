@@ -160,6 +160,7 @@ class PlanHygieneSpec extends SparkSpec {
     "text_burrows_delta",    // constant 15-word × source lattice
     "sketch_mg_heavy",       // 1-row merge-subtrahend + 1-row total
     "sim_hard_negatives",    // 1-row anchor-panel array (batch_topk shape)
+    "sim_rank_fusion",       // 1-row hyperplane matrix + 1-row anchor panel
     "doc_cdc_dedup",         // 1-row corpus-savings scalar
     "log_removal_effect",    // constant 5-variant × alphabet² removal
                              // lattice + 1-row full-chain scalars

@@ -2807,6 +2807,93 @@ class PipelineInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("sim_lid_profile: per-point LID replays from the shared cell " +
+      "pairs; label rollup reconciles") {
+    import spark.implicits._
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r0(x: Double) = BigDecimal(x)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val got = SparkEntry.queries("sim_lid_profile")(spark, sf())
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val pairs = graft.queries.Similarity.cellPairs(spark, sf())
+      .select($"va", $"vb", $"sim").as[(Long, Long, Double)].collect()
+    val labels = t(spark, sf(), "embeddings")
+      .select($"vec_id", $"label".cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val bySrc = (pairs.map(p => (p._1, p._2, p._3)) ++
+      pairs.map(p => (p._2, p._1, p._3))).groupBy(_._1)
+    val lidE4 = bySrc.flatMap { case (src, nb) =>
+      val d = nb.map(x => (10000L - r0(x._3 * 1e4), x._2))
+        .sortBy(identity).take(4).map(_._1)
+      if (d.length < 4 || d(0) <= 0) None
+      else {
+        val se6 = (0 to 2).map(i =>
+          r0(math.log(d(3).toDouble / d(i)) * 1e6)).sum
+        if (se6 <= 0) None
+        else Some(src -> r0(3e10 / se6.toDouble))
+      }
+    }
+    val byLabel = lidE4.groupBy { case (src, _) => labels(src) }
+    assert(got.keySet == byLabel.keySet, "label coverage")
+    for ((l, pts) <- byLabel) {
+      val es = pts.values.toSeq
+      val (n, mean, lo, hi) = got(l)
+      assert(n == es.length, s"label $l n_used")
+      assert(mean == r4(es.sum.toDouble / (es.length * 1e4)), s"$l mean")
+      assert(lo == r4(es.min.toDouble / 1e4) &&
+        hi == r4(es.max.toDouble / 1e4), s"$l min/max")
+      assert(lo > 0.0 && lo <= mean && mean <= hi, s"$l ordering")
+    }
+  }
+
+  test("sim_rank_fusion: rrf replays from the ranks, exact-cosine " +
+      "rank is the true rank, fused list is sorted") {
+    import spark.implicits._
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = SparkEntry.queries("sim_rank_fusion")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    val emb = t(spark, sf(), "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i)
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val anchors = emb.filter(_._1 < 10).toMap
+    val cands = emb.filter(_._1 >= 10)
+    assert(rows.map(_._1).distinct.length == 10)
+    for ((qid, g0) <- rows.groupBy(_._1)) {
+      val g = g0.sortBy(_._2)
+      assert(g.map(_._2).toSeq == (1L to 10L), s"anchor $qid ranks")
+      // fused scores non-increasing down the emitted list
+      val fused = g.map(r => 1000000000000L / (60 + r._4) +
+        1000000000000L / (60 + r._5))
+      assert(fused.zip(fused.tail).forall { case (a, b) => a >= b },
+        s"anchor $qid fused order")
+      // exact-cosine rank replay for every emitted candidate
+      val ranked = cands
+        .map { case (vid, v) => (vid, r4(cos(v, anchors(qid)))) }
+        .sortBy { case (vid, cs) => (-cs, vid) }.map(_._1)
+      for ((_, _, vid, ra, rb, rrf) <- g) {
+        assert(ranked.indexOf(vid) + 1 == ra, s"$qid/$vid exact rank")
+        assert(rb >= 1 && rb <= cands.length, s"$qid/$vid hash rank")
+        assert(rrf == r6((1000000000000L / (60 + ra)
+          + 1000000000000L / (60 + rb)).toDouble / 1e12),
+          s"$qid/$vid rrf replay")
+      }
+    }
+  }
+
   test("text_heaps_fit: beta in (0,1) and totals match the corpus") {
     import spark.implicits._
     val r = SparkEntry.queries("text_heaps_fit")(spark, sf()).head()

@@ -890,6 +890,63 @@ class StreamingSpec extends SparkSpec {
       "expected at least one live anomaly flag")
   }
 
+  test("ewma chart (batch): rows equal the declared log_ewma_chart") {
+    import spark.implicits._
+    val ev = t(spark, sf(), "events")
+    val model = graft.queries.EventsLog.ewmaModel(ev)
+    val got = EventStream.ewmaChart(ev, model).collect()
+      .map(p => (p.event_type, p.hour_us) -> (p.n, p.ewma, p.is_alert))
+      .toMap
+    val want = graft.SparkEntry.queries("log_ewma_chart")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(got.nonEmpty && got == want,
+      s"batch-mode monitor ${got.size} rows != declared ${want.size}")
+  }
+
+  test("ewma chart (streaming): finalized hours replay the batch chart") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_ewma").toString
+    val ev = t(spark, sf(), "events")
+    val b = ev.agg(min(unix_micros($"ts")), max(unix_micros($"ts"))).head()
+    val mid = (b.getLong(0) + b.getLong(1)) / 2
+    ev.filter(unix_micros($"ts") <= mid).write.parquet(s"$dir/b1")
+    val model = graft.queries.EventsLog.ewmaModel(ev)
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val q = EventStream.ewmaChart(
+        spark.readStream.schema(schema).parquet(s"$dir/*"), model).toDF()
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("ewma_stream").start()
+    try {
+      q.processAllAvailable()
+      // the second half arrives later — state must carry the open hour
+      // and the 8-count ring across micro-batches
+      ev.filter(unix_micros($"ts") > mid).write.parquet(s"$dir/b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ewma_stream").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+    val batch = EventStream.ewmaChart(ev, model).collect()
+      .map(p => (p.event_type, p.hour_us) -> (p.n, p.ewma, p.is_alert))
+      .toMap
+    assert(streamed.nonEmpty)
+    // every finalized streamed hour is bit-identical to the batch chart
+    for ((k, v) <- streamed)
+      assert(batch(k) == v, s"$k: streamed point diverges from batch")
+    // coverage: per type, the stream finalizes every hour strictly
+    // before its last event hour (the last hour stays open — a later
+    // event or the watermark timeout would close it)
+    val lastEv = ev.groupBy($"event_type")
+      .agg(max(unix_micros(date_trunc("hour", $"ts"))).as("lh"))
+      .as[(String, Long)].collect().toMap
+    for ((et, lh) <- lastEv) {
+      val wantKeys = batch.keys.filter(k => k._1 == et && k._2 < lh)
+      val gotKeys = streamed.keys.filter(_._1 == et).toSet
+      assert(wantKeys.forall(gotKeys), s"$et: missing finalized hours")
+    }
+  }
+
   test("embed drift (batch): cell histogram equals the declared assignment rollup") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2024-06-01 10:15:00")
