@@ -1063,6 +1063,45 @@ object Similarity {
         .orderBy($"qid", $"rnk")
     }),
 
+    // Synchronous label propagation (Raghavan et al. 2007) — community
+    // detection over the similarity graph (the same sim ≥ 0.25
+    // within-cell edges as sim_clustering_coefficient): 3 fixed
+    // synchronous rounds, each node adopting its neighbours'
+    // PLURALITY label with the smallest-label tie-break. Where
+    // connected components (dedup_clusters) answers "what is
+    // reachable", LPA answers "what is DENSELY knit" — transitive
+    // bridge chains stay separate communities, which is the right
+    // granularity for picking curation representatives. Fully
+    // deterministic (the classic LPA nondeterminism is killed by
+    // synchronous rounds + total tie-break) and INTEGER-only. Scale
+    // shape: each round is one edge-keyed join against the bounded
+    // (node, label) frame + one vote agg whose per-node vote list is
+    // degree-bounded; rounds are fixed at 3 — no convergence loop, no
+    // driver iteration state.
+    "sim_label_propagation" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val edges = cellPairs(s, d).filter($"sim" >= 0.25)
+        .select($"va", $"vb")
+      val und = edges
+        .union(edges.select($"vb".as("va"), $"va".as("vb")))
+      val wv = Window.partitionBy($"va")
+        .orderBy($"c".desc, $"nl".asc)
+      def step(lbl: DataFrame): DataFrame = und
+        .join(lbl.select($"v".as("vb"), $"lab".as("nl")), "vb")
+        .groupBy($"va", $"nl").agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(wv))
+        .filter($"rn" === 1)
+        .select($"va".as("v"), $"nl".as("lab"))
+      val l0 = und.select($"va".as("v")).distinct()
+        .select($"v", $"v".as("lab"))
+      val l3 = step(step(step(l0)))
+      l3.groupBy($"lab".as("community"))
+        .agg(count(lit(1)).as("n_members"),
+          min($"v").as("min_member"), max($"v").as("max_member"))
+        .orderBy($"community")
+    }),
+
     // TwoNN intrinsic-dimension estimate (Facco et al. 2017) — the
     // manifold-dimension number that tells you whether a 64-d
     // embedding space is really using its dimensions (ID ≈ d) or the
@@ -3009,6 +3048,31 @@ object Similarity {
         |SELECT n_used, CAST(se6 AS DOUBLE) / 1e6 AS sum_ln_mu,
         |  ROUND(CAST(n_used AS DOUBLE) * 1e6 / se6, 4) + 0.0 AS id_est
         |FROM g""".stripMargin),
+
+    "sim_label_propagation" -> (cellPairsCte +
+      """,
+        |ed AS (SELECT va, vb FROM p WHERE sim >= 0.25),
+        |und AS (SELECT va, vb FROM ed
+        |        UNION ALL SELECT vb, va FROM ed),
+        |l0 AS (SELECT DISTINCT va AS v, va AS lab FROM und),
+        |v1 AS (SELECT u.va, l.lab AS nl, COUNT(*) AS c
+        |       FROM und u JOIN l0 l ON l.v = u.vb GROUP BY 1, 2),
+        |l1 AS (SELECT va AS v, nl AS lab FROM (
+        |         SELECT va, nl, ROW_NUMBER() OVER (PARTITION BY va
+        |           ORDER BY c DESC, nl) AS rn FROM v1) WHERE rn = 1),
+        |v2 AS (SELECT u.va, l.lab AS nl, COUNT(*) AS c
+        |       FROM und u JOIN l1 l ON l.v = u.vb GROUP BY 1, 2),
+        |l2 AS (SELECT va AS v, nl AS lab FROM (
+        |         SELECT va, nl, ROW_NUMBER() OVER (PARTITION BY va
+        |           ORDER BY c DESC, nl) AS rn FROM v2) WHERE rn = 1),
+        |v3 AS (SELECT u.va, l.lab AS nl, COUNT(*) AS c
+        |       FROM und u JOIN l2 l ON l.v = u.vb GROUP BY 1, 2),
+        |l3 AS (SELECT va AS v, nl AS lab FROM (
+        |         SELECT va, nl, ROW_NUMBER() OVER (PARTITION BY va
+        |           ORDER BY c DESC, nl) AS rn FROM v3) WHERE rn = 1)
+        |SELECT lab AS community, CAST(COUNT(*) AS BIGINT) AS n_members,
+        |  MIN(v) AS min_member, MAX(v) AS max_member
+        |FROM l3 GROUP BY 1 ORDER BY community""".stripMargin),
 
     "sim_lid_profile" -> (cellPairsCte +
       """,

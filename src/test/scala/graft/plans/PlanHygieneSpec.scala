@@ -121,6 +121,9 @@ class PlanHygieneSpec extends SparkSpec {
     "sim_hubness",           // 1-row corpus-count scalar broadcast
     "log_burstiness",        // 1-row (min,max) hour bounds (gapfill grid)
     "log_acf",               // 1-row (min,max) hour bounds (gapfill grid)
+    "log_mann_kendall",      // 1-row (min,max) hour bounds (gapfill grid)
+    "log_theil_sen",         // 1-row (min,max) hour bounds (gapfill grid)
+    "log_ewma_chart",        // 1-row (min,max) hour bounds (gapfill grid)
     "sim_energy_distance",   // three 1-row collected-block broadcasts
                              // (≤100-vector population rows, the
                              // codebook fold shape) + 1-row count row

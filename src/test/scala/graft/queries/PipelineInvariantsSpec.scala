@@ -2894,6 +2894,32 @@ class PipelineInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("sim_label_propagation: 3 synchronous rounds replay exactly, " +
+      "communities partition the graph") {
+    import spark.implicits._
+    val got = SparkEntry.queries("sim_label_propagation")(spark, sf())
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val edges = graft.queries.Similarity.cellPairs(spark, sf())
+      .filter($"sim" >= 0.25).select($"va", $"vb")
+      .as[(Long, Long)].collect()
+    val und = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2)).toMap
+    var lab = und.keys.map(v => v -> v).toMap
+    for (_ <- 1 to 3)
+      lab = und.map { case (v, nbs) =>
+        val votes = nbs.groupBy(lab).view.mapValues(_.length).toSeq
+        v -> votes.minBy { case (l, c) => (-c, l) }._1
+      }
+    val comm = lab.groupBy(_._2).map { case (c, m) =>
+      c -> (m.size.toLong, m.keys.min, m.keys.max)
+    }
+    assert(got == comm, "community map diverges from the sync replay")
+    assert(got.values.map(_._1).sum == und.size.toLong,
+      "communities must partition the node set")
+    assert(got.size > 1, "degenerate fixture: a single community")
+  }
+
   test("text_heaps_fit: beta in (0,1) and totals match the corpus") {
     import spark.implicits._
     val r = SparkEntry.queries("text_heaps_fit")(spark, sf()).head()
