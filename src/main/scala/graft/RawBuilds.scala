@@ -31,5 +31,9 @@ object RawBuilds {
     // rank end-to-end)
     "text_bigram_lm_raw" -> ((s, d) => queries.PipelineOps.lmScoresRaw(s, d)),
     "text_perplexity_tiers_raw" -> ((s, d) =>
-      queries.PipelineOps.perplexityTiers(queries.PipelineOps.lmScoresRaw(s, d))))
+      queries.PipelineOps.perplexityTiers(queries.PipelineOps.lmScoresRaw(s, d))),
+    // the ACF/Mann-Kendall/EWMA/MAD/Holt family reads the memoized
+    // dense hourly grid; this drives the real one-pass zero-fill build
+    "log_dense_grid_raw" -> ((s, d) =>
+      queries.EventsLog.denseHourGridRaw(s, d)))
 }

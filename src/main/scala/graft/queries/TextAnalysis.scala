@@ -852,10 +852,15 @@ object TextAnalysis {
       val toks = t(s, d, "documents")
         .select($"source", explode(split(lower($"text"), "\\s+")).as("token"))
         .filter($"token" =!= "")
+      // ONE corpus tokenize → the (source, token) cell counts; every
+      // marginal (per-source, per-token, grand total) derives from the
+      // checkpointed 620-row cell frame — without this the lattice
+      // join re-ran the tokenize subtree 8× (plan audit, round 11)
       val sw = toks.groupBy($"source", $"token").agg(count(lit(1)).as("y1"))
-      val ns = toks.groupBy($"source").agg(count(lit(1)).as("n_s"))
-      val w = toks.groupBy($"token").agg(count(lit(1)).as("y_w"))
-      val tot = toks.agg(count(lit(1)).as("n_tot"))
+        .localCheckpoint()
+      val ns = sw.groupBy($"source").agg(sum($"y1").as("n_s"))
+      val w = sw.groupBy($"token").agg(sum($"y1").as("y_w"))
+      val tot = sw.agg(sum($"y1").as("n_tot"))
       ns.crossJoin(broadcast(w))
         .crossJoin(broadcast(tot))
         .join(sw, Seq("source", "token"), "left_outer")
@@ -894,9 +899,13 @@ object TextAnalysis {
       val toks = t(s, d, "documents")
         .select($"source", explode(split(lower($"text"), "\\s+")).as("tok"))
         .filter($"tok" =!= "")
+      // ONE corpus tokenize; marginals derive from the checkpointed
+      // cell-count frame (the text_log_odds discipline — the z
+      // self-join was otherwise doubling a 12-scan lineage to 24)
       val sw = toks.groupBy($"source", $"tok").agg(count(lit(1)).as("y"))
-      val ns = toks.groupBy($"source").agg(count(lit(1)).as("n_s"))
-      val top = toks.groupBy($"tok").agg(count(lit(1)).as("cw"))
+        .localCheckpoint()
+      val ns = sw.groupBy($"source").agg(sum($"y").as("n_s"))
+      val top = sw.groupBy($"tok").agg(sum($"y").as("cw"))
         .orderBy($"cw".desc, $"tok".asc).limit(15).select($"tok")
       val f = ns.crossJoin(broadcast(top))
         .join(sw, Seq("source", "tok"), "left_outer")

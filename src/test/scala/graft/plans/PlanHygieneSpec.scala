@@ -54,6 +54,12 @@ class PlanHygieneSpec extends SparkSpec {
           .queryExecution.executedPlan.toString) :+
       ("simhash (raw build)" ->
         graft.queries.Dedup.simhash(spark, sf())
+          .queryExecution.executedPlan.toString) :+
+      // the ACF/MK/EWMA/MAD/Holt family reads the grid through a
+      // checkpoint (round 11); the raw build keeps its bounds
+      // crossJoin under audit here
+      ("denseHourGrid (raw build)" ->
+        graft.queries.EventsLog.denseHourGridRaw(spark, sf())
           .queryExecution.executedPlan.toString)
 
   // BroadcastNestedLoopJoin is legitimate ONLY as a scalar broadcast: a
@@ -98,9 +104,6 @@ class PlanHygieneSpec extends SparkSpec {
     "doc_epoch_plan",        // 1-row corpus-total agg + 1-row chosen (k,m)
     "doc_epoch_expand",      // same water-fill scalars feeding the manifest
     "dedup_df_profile",      // 1-row total-occurrence-mass agg
-    "log_anomaly_seasonal",  // 1-row (min,max) hour bounds (gapfill grid)
-    "log_cusum_changepoint", // 1-row (min,max) hour bounds (gapfill grid)
-    "log_anomaly_burst_runs",// inherits log_anomaly_seasonal's bounds
     "log_ab_cuped",          // 1-row ts min/max bounds scalar
     "log_survival_curve",    // 1-row window-end (max day) scalar
     "log_change_decomposition", // 1-row ts min/max bounds scalar
@@ -119,19 +122,10 @@ class PlanHygieneSpec extends SparkSpec {
     "sim_matryoshka_recall", // 1-row query vector scalar broadcast
     "sim_init_quality",      // two 1-row 8-center codebook broadcasts
     "sim_hubness",           // 1-row corpus-count scalar broadcast
-    "log_burstiness",        // 1-row (min,max) hour bounds (gapfill grid)
-    "log_acf",               // 1-row (min,max) hour bounds (gapfill grid)
-    "log_mann_kendall",      // 1-row (min,max) hour bounds (gapfill grid)
-    "log_theil_sen",         // 1-row (min,max) hour bounds (gapfill grid)
-    "log_ewma_chart",        // 1-row (min,max) hour bounds (gapfill grid)
     "sim_energy_distance",   // three 1-row collected-block broadcasts
                              // (≤100-vector population rows, the
                              // codebook fold shape) + 1-row count row
     "sim_ivf_probe_cost",    // 1-row 8-centroid codebook broadcast
-    "log_holt_forecast",     // 1-row (min,max) hour bounds (gapfill grid)
-    "log_holt_winters",      // same 1-row hour-bounds grid broadcast
-    "log_forecast_backtest", // same 1-row hour-bounds grid broadcast
-    "log_mad_anomaly",       // 1-row (min,max) hour bounds (gapfill grid)
     "doc_coreset_weights",   // 1-row 8-seed codebook broadcast
     "sim_norm_outliers",     // two 1-row median/p90 scalar broadcasts
     "sim_pca_top_component", // 1-row corpus-count + eigen-share scalars
@@ -168,7 +162,10 @@ class PlanHygieneSpec extends SparkSpec {
     "log_removal_effect",    // constant 5-variant × alphabet² removal
                              // lattice + 1-row full-chain scalars
     "pqIndex (raw build)",   // 1-row codebook (the materialized index build)
-    "ivfCells (raw build)")  // 1-row adaptive-k count + super-centroid row
+    "ivfCells (raw build)",  // 1-row adaptive-k count + super-centroid row
+    "denseHourGrid (raw build)") // 1-row (min,max) hour bounds crossJoin —
+                             // the grid zero-fill every dense-series
+                             // query reads through the round-11 memo
 
   test("no declared query plans a cartesian or nested-loop join") {
     val offenders = planStrings.flatMap { case (name, plan) =>
