@@ -2640,6 +2640,48 @@ object EventsLog {
         .orderBy($"event_type", $"hour_us")
     }),
 
+    // Classical seasonal decomposition (the moving-average
+    // decompose behind STL; Cleveland et al. 1990 §2's starting
+    // point) — per dense grid hour, x = trend + seasonal + residual:
+    // trend is the centered 25-hour moving average (edges without a
+    // full window are excluded, as in the classical method), the
+    // seasonal term is the hour-of-week mean of the detrended series,
+    // and the residual is what remains — the series every forecaster
+    // in this family (Holt, Holt-Winters, ACF) implicitly assumes has
+    // been separated; this query makes the separation inspectable.
+    // EXACT integers end to end: trend_e4 = Σ₂₅·10⁴ div 25 (counts
+    // non-negative, both engines truncate identically), det_e4 is an
+    // integer difference, the seasonal mean uses the sign/abs split
+    // (det sums go negative; Spark div truncates toward zero, DuckDB
+    // // floors) and resid is again a difference — the three published
+    // doubles are display divides. Scale: one 25-row window and one
+    // (type, dow, hod) agg, both riding the memoized grid.
+    "log_seasonal_decompose" -> ((s, d) => {
+      import s.implicits._
+      val wrn = Window.partitionBy($"event_type").orderBy($"h")
+        .rowsBetween(-12, 12)
+      val tr = denseHourGridShared(s, d)
+        .select($"event_type", $"h", $"dow", $"hod", $"n",
+          count(lit(1)).over(wrn).as("w25"),
+          sum($"n").over(wrn).as("s25"))
+        .filter($"w25" === 25)
+        .select($"event_type", $"h", $"dow", $"hod", $"n",
+          expr("(s25 * 10000) div 25").as("trend_e4"))
+        .withColumn("det_e4", $"n" * 10000L - $"trend_e4")
+      val sea = tr.groupBy($"event_type", $"dow", $"hod")
+        .agg(count(lit(1)).as("cnt"), sum($"det_e4").as("sdet"))
+        .select($"event_type", $"dow", $"hod",
+          expr("cast(case when sdet < 0 then -1 else 1 end" +
+            " * (abs(sdet) div cnt) as bigint)").as("sea_e4"))
+      tr.join(sea, Seq("event_type", "dow", "hod"))
+        .select($"event_type", unix_micros($"h").as("hour_us"), $"n",
+          round($"trend_e4".cast("double") / 1e4, 4).as("trend"),
+          round($"sea_e4".cast("double") / 1e4, 4).as("seasonal"),
+          round(($"det_e4" - $"sea_e4").cast("double") / 1e4, 4)
+            .as("resid"))
+        .orderBy($"event_type", $"hour_us")
+    }),
+
     // Inter-arrival profile — per type, the p50/p90/max gap between
     // consecutive events, the latency-between-arrivals number that
     // sizes stream-ingest buffers and alert timeouts. The scale trick:
@@ -4719,6 +4761,47 @@ object EventsLog {
         |FROM wp w JOIN st s ON s.event_type = w.event_type
         |WHERE w.prev_e7 IS NOT NULL
         |ORDER BY w.event_type, hour_us""".stripMargin,
+
+    "log_seasonal_decompose" ->
+      """WITH e AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h FROM events),
+        |counts AS (SELECT event_type, h, COUNT(*) AS n
+        |           FROM e GROUP BY 1, 2),
+        |bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM e),
+        |grid AS (
+        |  SELECT event_type, unnest(generate_series(h0, h1,
+        |    INTERVAL 1 HOUR)) AS h
+        |  FROM (SELECT DISTINCT event_type FROM e), bounds),
+        |dense AS (
+        |  SELECT g.event_type, g.h, COALESCE(c.n, 0) AS n,
+        |    isodow(g.h) AS dow, CAST(hour(g.h) AS BIGINT) AS hod
+        |  FROM grid g LEFT JOIN counts c
+        |    ON c.event_type = g.event_type AND c.h = g.h),
+        |tr AS (
+        |  SELECT event_type, h, dow, hod, n,
+        |    COUNT(*) OVER w AS w25, CAST(SUM(n) OVER w AS BIGINT) AS s25
+        |  FROM dense
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY h
+        |               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+        |t2 AS (
+        |  SELECT event_type, h, dow, hod, n,
+        |    (s25 * 10000) // 25 AS trend_e4,
+        |    n * 10000 - (s25 * 10000) // 25 AS det_e4
+        |  FROM tr WHERE w25 = 25),
+        |sea AS (
+        |  SELECT event_type, dow, hod,
+        |    CAST((CASE WHEN SUM(det_e4) < 0 THEN -1 ELSE 1 END)
+        |      * (abs(CAST(SUM(det_e4) AS BIGINT)) // COUNT(*))
+        |      AS BIGINT) AS sea_e4
+        |  FROM t2 GROUP BY 1, 2, 3)
+        |SELECT t.event_type, epoch_us(t.h) AS hour_us, t.n,
+        |  ROUND(CAST(t.trend_e4 AS DOUBLE) / 1e4, 4) + 0.0 AS trend,
+        |  ROUND(CAST(s.sea_e4 AS DOUBLE) / 1e4, 4) + 0.0 AS seasonal,
+        |  ROUND(CAST(t.det_e4 - s.sea_e4 AS DOUBLE) / 1e4, 4) + 0.0
+        |    AS resid
+        |FROM t2 t JOIN sea s ON s.event_type = t.event_type
+        |  AND s.dow = t.dow AND s.hod = t.hod
+        |ORDER BY t.event_type, hour_us""".stripMargin,
 
     "log_interarrival_profile" ->
       """WITH secs AS (

@@ -2920,6 +2920,48 @@ class PipelineInvariantsSpec extends SparkSpec {
     assert(got.size > 1, "degenerate fixture: a single community")
   }
 
+  test("log_seasonal_decompose: the identity x = trend + seasonal + " +
+      "resid replays exactly") {
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = SparkEntry.queries("log_seasonal_decompose")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    val series = denseSeriesByType()
+    val step = 3600000000L
+    for ((et, xs) <- series) {
+      val n = xs.length
+      // replay trend/det over the full-window interior
+      val h0 = got.keys.filter(_._1 == et).map(_._2).min - 12 * step
+      val trend = (12 until n - 12).map { t =>
+        val s25 = (t - 12 to t + 12).map(xs).sum
+        t -> (s25 * 10000L / 25)
+      }.toMap
+      val det = trend.map { case (t, tr) => t -> (xs(t) * 10000L - tr) }
+      // hour-of-week mean of the detrended series (sign/abs floor)
+      // keys is a SET — map through toSeq or equal det values collapse
+      val how = det.keys.toSeq.groupBy(t => ((h0 / step + t) / 24 % 7,
+        (h0 / step + t) % 24))
+      val sea = how.flatMap { case (_, ts) =>
+        val sd = ts.map(det).sum
+        val m = (if (sd < 0) -1L else 1L) * (math.abs(sd) / ts.size)
+        ts.map(_ -> m)
+      }
+      assert(got.keys.count(_._1 == et) == n - 24, s"$et interior size")
+      for (t <- 12 until n - 12) {
+        val key = (et, h0 + t * step)
+        val (xn, tr, se, re) = got(key)
+        assert(xn == xs(t))
+        assert(tr == r4(trend(t).toDouble / 1e4), s"$et t=$t trend")
+        assert(se == r4(sea(t).toDouble / 1e4), s"$et t=$t seasonal")
+        assert(re == r4((det(t) - sea(t)).toDouble / 1e4), s"$et resid")
+        // the decomposition identity holds in the exact e4 integers
+        assert(trend(t) + sea(t) + (det(t) - sea(t)) == xs(t) * 10000L)
+      }
+    }
+  }
+
   test("text_heaps_fit: beta in (0,1) and totals match the corpus") {
     import spark.implicits._
     val r = SparkEntry.queries("text_heaps_fit")(spark, sf()).head()
