@@ -90,6 +90,19 @@ object EventsLog {
     st.crossJoin(broadcast(bounds))
   }
 
+  /** Phase table for [[queries "log_spectrum"]]: (period, k, cos_e6,
+    * sin_e6) for every phase k of every candidate period — computed
+    * ONCE here in Scala and used verbatim by BOTH engines (the Spark
+    * side joins it as a literal frame, the oracle inlines it as
+    * VALUES), so cross-libm cos/sin ULP drift can never split the
+    * twins. The e6 quantization caps the table at 210 exact rows. */
+  private[graft] val spectrumPeriods: Seq[Int] = Seq(6, 12, 24, 168)
+  private[graft] val spectrumPhases: Seq[(Int, Int, Long, Long)] =
+    for (t0 <- spectrumPeriods; k <- 0 until t0) yield {
+      val a = 2.0 * math.Pi * k / t0
+      (t0, k, math.round(math.cos(a) * 1e6), math.round(math.sin(a) * 1e6))
+    }
+
   /** All ordered hour-index pairs (i < j) of the dense hourly series,
     * per event type — the pair stream shared by the Mann-Kendall test
     * and the Theil-Sen estimator. Pair work is (hours choose 2) PER
@@ -2682,6 +2695,47 @@ object EventsLog {
         .orderBy($"event_type", $"hour_us")
     }),
 
+    // Periodicity spectrum (the Goertzel/DFT single-bin probe) — per
+    // event type, the discrete-Fourier amplitude of the dense hourly
+    // series at the candidate periods {6, 12, 24, 168} hours: the
+    // measurement that EARNS the seasonality assumption
+    // log_anomaly_seasonal/log_holt_winters/log_seasonal_decompose
+    // build on (a series whose 24 h bin shows no power should not be
+    // fitted with a daily model). Re/Im are exact BIGINT dot products
+    // of the counts against the shared e6 phase TABLE
+    // ([[spectrumPhases]] — Scala-computed once, joined literally on
+    // the Spark side, inlined as VALUES in the oracle, so no
+    // cross-libm cos/sin enters either engine); |Re+iIm|² widens
+    // through DECIMAL(38,0)/HUGEINT and the published amplitude is
+    // one sqrt + divide. Scale: one phase-keyed join on (t mod T)
+    // against a 210-row broadcast, one agg — all on the memoized grid.
+    "log_spectrum" -> ((s, d) => {
+      import s.implicits._
+      val wrn = Window.partitionBy($"event_type").orderBy($"h")
+      val ph = s.createDataFrame(spectrumPhases)
+        .toDF("period", "k", "c_e6", "s_e6")
+      denseHourGridShared(s, d)
+        .select($"event_type", $"n",
+          (row_number().over(wrn) - 1).cast("long").as("t"))
+        // periods explode on the LEFT so (period, k) is a plain
+        // equi-join key against the 210-row broadcast phase table
+        .select($"event_type", $"n", $"t",
+          explode(lit(spectrumPeriods.toArray)).as("period"))
+        .withColumn("k", ($"t" % $"period").cast("int"))
+        .join(broadcast(ph), Seq("period", "k"))
+        .groupBy($"event_type", $"period")
+        .agg(count(lit(1)).as("n_hours"),
+          sum($"n" * $"c_e6").as("re_e6"),
+          sum($"n" * $"s_e6").as("im_e6"))
+        .select($"event_type", $"period".cast("long").as("period"),
+          $"n_hours",
+          round(
+            sqrt(expr("cast(cast(re_e6 as decimal(38,0)) * re_e6" +
+              " + cast(im_e6 as decimal(38,0)) * im_e6 as double)"))
+              * 2.0 / ($"n_hours" * 1e6), 4).as("amplitude"))
+        .orderBy($"event_type", $"period")
+    }),
+
     // Inter-arrival profile — per type, the p50/p90/max gap between
     // consecutive events, the latency-between-arrivals number that
     // sizes stream-ingest buffers and alert timeouts. The scale trick:
@@ -4802,6 +4856,42 @@ object EventsLog {
         |FROM t2 t JOIN sea s ON s.event_type = t.event_type
         |  AND s.dow = t.dow AND s.hod = t.hod
         |ORDER BY t.event_type, hour_us""".stripMargin,
+
+    "log_spectrum" -> {
+      val vals = spectrumPhases
+        .map { case (t0, k, c, s0) => s"($t0, $k, $c, $s0)" }
+        .mkString(",\n")
+      s"""WITH e AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h FROM events),
+        |counts AS (SELECT event_type, h, COUNT(*) AS n
+        |           FROM e GROUP BY 1, 2),
+        |bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM e),
+        |grid AS (
+        |  SELECT event_type, unnest(generate_series(h0, h1,
+        |    INTERVAL 1 HOUR)) AS h
+        |  FROM (SELECT DISTINCT event_type FROM e), bounds),
+        |dense AS (
+        |  SELECT g.event_type, g.h, COALESCE(c.n, 0) AS n
+        |  FROM grid g LEFT JOIN counts c
+        |    ON c.event_type = g.event_type AND c.h = g.h),
+        |ph(period, k, c_e6, s_e6) AS (VALUES
+        |    $vals),
+        |idx AS (
+        |  SELECT event_type, n, CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY event_type ORDER BY h) - 1 AS BIGINT) AS t
+        |  FROM dense),
+        |ag AS (
+        |  SELECT i.event_type, p.period, COUNT(*) AS n_hours,
+        |    CAST(SUM(i.n * p.c_e6) AS BIGINT) AS re_e6,
+        |    CAST(SUM(i.n * p.s_e6) AS BIGINT) AS im_e6
+        |  FROM idx i JOIN ph p ON i.t % p.period = p.k
+        |  GROUP BY 1, 2)
+        |SELECT event_type, CAST(period AS BIGINT) AS period, n_hours,
+        |  ROUND(sqrt(CAST(CAST(re_e6 AS HUGEINT) * re_e6
+        |      + CAST(im_e6 AS HUGEINT) * im_e6 AS DOUBLE))
+        |    * 2.0 / (n_hours * 1e6), 4) + 0.0 AS amplitude
+        |FROM ag ORDER BY event_type, period""".stripMargin
+    },
 
     "log_interarrival_profile" ->
       """WITH secs AS (

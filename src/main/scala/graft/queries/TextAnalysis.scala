@@ -879,6 +879,36 @@ object TextAnalysis {
         .orderBy($"source", $"token")
     }),
 
+    // Simpson diversity index per document (Simpson 1949; the
+    // Herfindahl concentration of the doc's vocabulary) — the
+    // EVENNESS companion to the richness measures (text_ttr counts
+    // types, text_mtld measures their churn; Simpson asks how
+    // CONCENTRATED the token mass is): D = Σ n_w(n_w−1) / (N(N−1)),
+    // the exact probability two tokens drawn without replacement are
+    // the same word — 0 for all-distinct text, → 1 for one word
+    // repeated (keyword-stuffing/boilerplate suspects that length
+    // filters and TTR both miss on long docs, since D is
+    // length-unbiased where TTR is not). Pure integer rationals; the
+    // published index is the single float divide. Scale: one
+    // (doc, word)-keyed agg with map-side combine, then a doc-keyed
+    // fold — one corpus scan, no joins.
+    "text_simpson_index" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .select($"doc_id", explode(split(lower($"text"), "\\s+")).as("tok"))
+        .filter($"tok" =!= "")
+        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id").agg(
+          sum($"c").as("n_tokens"), count(lit(1)).as("vocab"),
+          sum($"c" * ($"c" - 1L)).as("dnum"))
+        .filter($"n_tokens" >= 2L)
+        .select($"doc_id", $"n_tokens", $"vocab",
+          round($"dnum".cast("double")
+            / ($"n_tokens" * ($"n_tokens" - 1L)).cast("double"), 4)
+            .as("simpson"))
+        .orderBy($"doc_id")
+    }),
+
     // Burrows' Delta (Burrows 2002, the stylometric attribution
     // standard) — pairwise stylistic distance between sources over
     // the 15 most frequent corpus words: per source, each word's
@@ -1639,6 +1669,25 @@ object TextAnalysis {
         |         + CAST(1 AS DOUBLE) / CAST(y_w * 2 - y1 AS DOUBLE)),
         |    4) + 0.0 AS z_logodds
         |FROM grid ORDER BY source, token""".stripMargin,
+
+    "text_simpson_index" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '\s+'), x -> x <> ''))
+        |    AS tok
+        |  FROM documents),
+        |cw AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM tk GROUP BY 1, 2),
+        |ag AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    COUNT(*) AS vocab,
+        |    CAST(SUM(c * (c - 1)) AS BIGINT) AS dnum
+        |  FROM cw GROUP BY 1)
+        |SELECT doc_id, n_tokens, vocab,
+        |  ROUND(CAST(dnum AS DOUBLE)
+        |    / CAST(n_tokens * (n_tokens - 1) AS DOUBLE), 4) + 0.0
+        |    AS simpson
+        |FROM ag WHERE n_tokens >= 2 ORDER BY doc_id""".stripMargin,
 
     "text_burrows_delta" ->
       """WITH tk AS (

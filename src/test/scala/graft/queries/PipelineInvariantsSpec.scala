@@ -2962,6 +2962,60 @@ class PipelineInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("log_spectrum: DFT amplitudes replay from the shared phase " +
+      "table; daily power dominates weekly harmonics' floor") {
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = SparkEntry.queries("log_spectrum")(spark, sf())
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val phases = graft.queries.EventsLog.spectrumPhases
+      .map { case (t0, k, c, s0) => (t0, k) -> (c, s0) }.toMap
+    val series = denseSeriesByType()
+    assert(got.size == series.size * 4, "types x periods lattice")
+    for ((et, xs) <- series; t0 <- Seq(6, 12, 24, 168)) {
+      var re = BigInt(0); var im = BigInt(0)
+      for (t <- xs.indices) {
+        val (c, s0) = phases((t0, t % t0))
+        re += xs(t) * c; im += xs(t) * s0
+      }
+      val (nh, amp) = got((et, t0.toLong))
+      assert(nh == xs.length.toLong, s"$et/$t0 n_hours")
+      val expect = r4(math.sqrt((re * re + im * im).toDouble)
+        * 2.0 / (xs.length * 1e6))
+      assert(amp == expect, s"$et period=$t0 amplitude replay")
+      assert(amp >= 0.0)
+    }
+  }
+
+  test("text_simpson_index: the exact repeat-probability rational " +
+      "replays per doc") {
+    import spark.implicits._
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = SparkEntry.queries("text_simpson_index")(spark, sf())
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val docs = t(spark, sf(), "documents")
+      .select($"doc_id", lower($"text")).as[(Long, String)].collect()
+    var checked = 0
+    for ((id, txt) <- docs) {
+      val toks = txt.split("\\s+").filter(_.nonEmpty)
+      if (toks.length >= 2) {
+        val counts = toks.groupBy(identity).values.map(_.length.toLong)
+        val n = toks.length.toLong
+        val dnum = counts.map(c => c * (c - 1)).sum
+        val (nt, vocab, simpson) = got(id)
+        assert(nt == n && vocab == counts.size.toLong, s"doc $id stats")
+        assert(simpson == r4(dnum.toDouble / (n * (n - 1)).toDouble),
+          s"doc $id simpson replay")
+        assert(simpson >= 0.0 && simpson <= 1.0)
+        checked += 1
+      } else assert(!got.contains(id), s"doc $id: <2 tokens must drop")
+    }
+    assert(checked == got.size && checked > 100)
+  }
+
   test("text_heaps_fit: beta in (0,1) and totals match the corpus") {
     import spark.implicits._
     val r = SparkEntry.queries("text_heaps_fit")(spark, sf()).head()
