@@ -225,6 +225,76 @@ object EventsLog {
         .orderBy($"variant")
     }),
 
+    // Group-sequential A/B readout (O'Brien & Fleming 1979; boundary
+    // values from Jennison & Turnbull's standard K=5, two-sided
+    // α=0.05 table) — the peeking-safe companion to log_ab_metrics:
+    // a fixed-horizon z-test read 5 times inflates false positives
+    // ~3×, while the OBF boundary ladder (4.562, 3.226, 2.634,
+    // 2.281, 2.040) spends almost no alpha early and converges to
+    // the fixed test at the last look. Looks are 5 equal calendar
+    // slices; a user enters at the look of their FIRST event and
+    // converts at the look of their first purchase, so the
+    // cumulative-distinct problem folds to ONE user-keyed agg + a
+    // ≤60-row (variant, first, conv) histogram against the 5-look
+    // lattice. The crossing verdict is EXACT integers:
+    // (c_a·n_b − c_b·n_a)²·N·10⁸ ≥ bound_e4²·n_a·n_b·C·(N−C) in
+    // DECIMAL(38,0)/HUGEINT (at extreme user counts the rates would
+    // need e6 pre-quantization — noted, not needed below ~10⁸ users
+    // per arm); the displayed z is one sqrt-ratio of the same
+    // operands, and `decision` is a running max over the look frame.
+    "log_ab_sequential" -> ((s, d) => {
+      import s.implicits._
+      val obfE4 = Seq(45620L, 32260L, 26340L, 22810L, 20400L)
+      val ev = t(s, d, "events")
+        .select($"user_id", $"event_type", unix_micros($"ts").as("us"),
+          variantCol.as("variant"))
+      val bounds = ev.agg(min($"us").as("t0"), max($"us").as("t1"))
+      val per = ev.crossJoin(broadcast(bounds))
+        .withColumn("slice",
+          expr("(us - t0) * 5 div (t1 - t0 + 1) + 1"))
+        .groupBy($"variant", $"user_id")
+        .agg(min($"slice").as("fs"),
+          min(when($"event_type" === "purchase", $"slice")).as("cs"))
+      val hist = per.groupBy($"variant", $"fs", $"cs")
+        .agg(count(lit(1)).as("k"))
+      val looks = s.range(1, 6).select($"id".as("look"))
+      val byLook = hist.crossJoin(broadcast(looks))
+        .groupBy($"variant", $"look")
+        .agg(sum(when($"fs" <= $"look", $"k").otherwise(0L)).as("n"),
+          sum(when($"cs" <= $"look", $"k").otherwise(0L)).as("conv"))
+      val obf = s.createDataFrame(
+          obfE4.zipWithIndex.map { case (c, i) => ((i + 1).toLong, c) })
+        .toDF("look", "bound_e4")
+      val j = byLook.filter($"variant" === "A")
+        .select($"look", $"n".as("n_a"), $"conv".as("c_a"))
+        .join(byLook.filter($"variant" === "B")
+          .select($"look", $"n".as("n_b"), $"conv".as("c_b")), "look")
+        .join(broadcast(obf), "look")
+        .select($"look", $"n_a", $"c_a", $"n_b", $"c_b", $"bound_e4",
+          ($"c_a" * $"n_b" - $"c_b" * $"n_a").as("num"),
+          ($"n_a" + $"n_b").as("nn"), ($"c_a" + $"c_b").as("cc"))
+        .withColumn("crossed", expr(
+          """cast(cc > 0 and cc < nn and
+            |  cast(num as decimal(38,0)) * num * nn * 100000000
+            |  >= cast(bound_e4 as decimal(38,0)) * bound_e4
+            |     * (cast(n_a as decimal(38,0)) * n_b * cc * (nn - cc))
+            | as bigint)""".stripMargin))
+      val wl = Window.orderBy($"look")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      j.select($"look", $"n_a", $"c_a", $"n_b", $"c_b",
+          when($"cc" === 0L || $"cc" === $"nn", 0.0).otherwise(
+            round(expr("""cast(num as double) * sqrt(cast(nn as double))
+              | / sqrt(cast(cast(n_a as decimal(38,0)) * n_b * cc
+              |             * (nn - cc) as double))""".stripMargin), 4))
+            .as("z"),
+          round($"bound_e4".cast("double") / 1e4, 4).as("bound"),
+          $"crossed")
+        .withColumn("decision",
+          when(max($"crossed").over(wl) === 1L, "stop_reject")
+            .otherwise("continue"))
+        .orderBy($"look")
+    }),
+
     // L8: exact distinct users per event_type.
     "log_distinct_users" -> ((s, d) => {
       import s.implicits._
@@ -2954,6 +3024,57 @@ object EventsLog {
         |    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0)
         |    AS revenue
         |FROM ev GROUP BY variant ORDER BY variant""".stripMargin,
+
+    "log_ab_sequential" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us,
+        |    CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+        |              IN ('0','1','2','3','4','5','6','7')
+        |         THEN 'A' ELSE 'B' END AS variant
+        |  FROM events),
+        |b AS (SELECT MIN(us) AS t0, MAX(us) AS t1 FROM ev),
+        |per AS (
+        |  SELECT variant, user_id,
+        |    MIN((us - t0) * 5 // (t1 - t0 + 1) + 1) AS fs,
+        |    MIN(CASE WHEN event_type = 'purchase'
+        |        THEN (us - t0) * 5 // (t1 - t0 + 1) + 1 END) AS cs
+        |  FROM ev, b GROUP BY 1, 2),
+        |looks AS (SELECT unnest(generate_series(1, 5)) AS look),
+        |bl AS (
+        |  SELECT variant, look,
+        |    CAST(SUM(CASE WHEN fs <= look THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN cs <= look THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS conv
+        |  FROM per, looks GROUP BY 1, 2),
+        |obf(look, bound_e4) AS (VALUES
+        |  (1, 45620), (2, 32260), (3, 26340), (4, 22810), (5, 20400)),
+        |j AS (
+        |  SELECT a.look, a.n AS n_a, a.conv AS c_a,
+        |    b2.n AS n_b, b2.conv AS c_b, o.bound_e4,
+        |    a.conv * b2.n - b2.conv * a.n AS num,
+        |    a.n + b2.n AS nn, a.conv + b2.conv AS cc
+        |  FROM bl a JOIN bl b2 ON b2.look = a.look AND b2.variant = 'B'
+        |  JOIN obf o ON o.look = a.look
+        |  WHERE a.variant = 'A'),
+        |jc AS (
+        |  SELECT *, CAST(CASE WHEN cc > 0 AND cc < nn AND
+        |      CAST(num AS HUGEINT) * num * nn * 100000000
+        |      >= CAST(bound_e4 AS HUGEINT) * bound_e4
+        |         * (CAST(n_a AS HUGEINT) * n_b * cc * (nn - cc))
+        |    THEN 1 ELSE 0 END AS BIGINT) AS crossed
+        |  FROM j)
+        |SELECT look, n_a, c_a, n_b, c_b,
+        |  CASE WHEN cc = 0 OR cc = nn THEN 0.0 ELSE
+        |    ROUND(CAST(num AS DOUBLE) * sqrt(CAST(nn AS DOUBLE))
+        |      / sqrt(CAST(CAST(n_a AS HUGEINT) * n_b * cc * (nn - cc)
+        |             AS DOUBLE)), 4) + 0.0 END AS z,
+        |  ROUND(CAST(bound_e4 AS DOUBLE) / 1e4, 4) AS bound,
+        |  crossed,
+        |  CASE WHEN MAX(crossed) OVER (ORDER BY look
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+        |    THEN 'stop_reject' ELSE 'continue' END AS decision
+        |FROM jc ORDER BY look""".stripMargin,
 
     "log_topk_users" ->
       """SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id

@@ -3016,6 +3016,58 @@ class PipelineInvariantsSpec extends SparkSpec {
     assert(checked == got.size && checked > 100)
   }
 
+  test("log_ab_sequential: cumulative arms, the exact z, the OBF " +
+      "crossing and the stop decision all replay") {
+    import spark.implicits._
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = SparkEntry.queries("log_ab_sequential")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6),
+        r.getLong(7), r.getString(8))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1L to 5L))
+    val ev = t(spark, sf(), "events")
+      .select($"user_id", $"event_type", unix_micros($"ts"))
+      .as[(Long, String, Long)].collect()
+    def variant(u: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xf) < 8) "A" else "B"
+    }
+    val t0 = ev.map(_._3).min; val t1 = ev.map(_._3).max
+    def slice(us: Long): Long = (us - t0) * 5 / (t1 - t0 + 1) + 1
+    val perUser = ev.groupBy(_._1).map { case (u, es) =>
+      (variant(u), es.map(e => slice(e._3)).min,
+        es.filter(_._2 == "purchase").map(e => slice(e._3))
+          .minOption.getOrElse(99L))
+    }.toSeq
+    val obfE4 = Map(1L -> 45620L, 2L -> 32260L, 3L -> 26340L,
+      4L -> 22810L, 5L -> 20400L)
+    var stopped = false
+    for ((look, na, ca, nb, cb, z, bound, crossed, decision) <- rows) {
+      val a = perUser.filter(_._1 == "A")
+      val b = perUser.filter(_._1 == "B")
+      assert(na == a.count(_._2 <= look) && ca == a.count(_._3 <= look))
+      assert(nb == b.count(_._2 <= look) && cb == b.count(_._3 <= look))
+      val num = ca * nb - cb * na; val nn = na + nb; val cc = ca + cb
+      val d = BigInt(na) * nb * cc * (nn - cc)
+      val zExp = if (cc == 0 || cc == nn) 0.0
+        else r4(num.toDouble * math.sqrt(nn.toDouble)
+          / math.sqrt(d.toDouble))
+      assert(z == zExp, s"look $look z replay")
+      assert(bound == obfE4(look).toDouble / 1e4)
+      val crossExp = cc > 0 && cc < nn &&
+        BigInt(num) * num * nn * 100000000L >=
+          BigInt(obfE4(look)) * obfE4(look) * d
+      assert(crossed == (if (crossExp) 1L else 0L), s"look $look cross")
+      stopped ||= crossExp
+      assert(decision == (if (stopped) "stop_reject" else "continue"))
+    }
+    // monotone information: arms only grow across looks
+    val ns = rows.map(r => r._2 + r._4)
+    assert(ns.zip(ns.tail).forall { case (x, y) => y >= x })
+  }
+
   test("text_heaps_fit: beta in (0,1) and totals match the corpus") {
     import spark.implicits._
     val r = SparkEntry.queries("text_heaps_fit")(spark, sf()).head()
