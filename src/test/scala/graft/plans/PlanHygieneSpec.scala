@@ -105,6 +105,8 @@ class PlanHygieneSpec extends SparkSpec {
     "doc_epoch_expand",      // same water-fill scalars feeding the manifest
     "dedup_df_profile",      // 1-row total-occurrence-mass agg
     "log_ab_cuped",          // 1-row ts min/max bounds scalar
+    "log_ab_sequential",     // 1-row ts bounds + 5-row look lattice
+                             // over the <=60-row (variant,fs,cs) hist
     "log_survival_curve",    // 1-row window-end (max day) scalar
     "log_change_decomposition", // 1-row ts min/max bounds scalar
     "text_pmi_top",          // 1-row bigram-total scalar
