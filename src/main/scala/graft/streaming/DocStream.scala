@@ -276,6 +276,57 @@ object DocStream {
       }
   }
 
+  case class MgCounter(shard: Int, ver: Long, word: String, est: Long)
+
+  /** Streaming Misra-Gries frequent words — the ONLINE twin of the
+    * declared `sketch_mg_heavy`: the same k-counter
+    * increment/insert/decrement-all loop, run as per-shard GroupState
+    * over an unbounded doc stream. Words shard by md5 (a word lives
+    * in exactly ONE shard), so the state store is k counters × a
+    * FIXED shard alphabet — bounded by construction, no TTL needed —
+    * and the per-word guarantee is the per-shard one:
+    * true − n_shard/(k+1) ≤ est ≤ true for every word, whatever the
+    * arrival order or micro-batch interleaving (the bound, not the
+    * counter values, is the contract — StreamingSpec asserts it for
+    * batch mode AND across a two-batch stream). Each update re-emits
+    * the shard's counters tagged with a version; the max version per
+    * shard is the live sketch. */
+  def mgHeavy(docs: DataFrame, k: Int = 64, shards: Int = 8)
+      : Dataset[MgCounter] = {
+    import docs.sparkSession.implicits._
+    docs.select(explode(expr(
+        "filter(split(lower(text), '\\\\s+'), x -> x != '')")).as("word"))
+      .select($"word", expr(
+        s"cast(conv(substring(md5(cast(word as binary)), 1, 2)," +
+          s" 16, 10) as int) % $shards").as("shard"))
+      .as[(String, Int)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Update(),
+          GroupStateTimeout.NoTimeout) {
+        (shard: Int, batch: Iterator[(String, Int)],
+         state: GroupState[(Long, Map[String, Long])]) =>
+          val (ver, m0) = state.getOption.getOrElse(
+            (0L, Map.empty[String, Long]))
+          val m = scala.collection.mutable.HashMap[String, Long]() ++ m0
+          batch.foreach { case (w, _) =>
+            if (m.contains(w)) m(w) += 1L
+            else if (m.size < k) m(w) = 1L
+            else {
+              val keys = m.keys.toArray
+              var i = 0
+              while (i < keys.length) {
+                val nv = m(keys(i)) - 1L
+                if (nv == 0L) m.remove(keys(i))
+                else m.update(keys(i), nv)
+                i += 1
+              }
+            }
+          }
+          state.update((ver + 1, m.toMap))
+          m.iterator.map { case (w, c) => MgCounter(shard, ver + 1, w, c) }
+      }
+  }
+
   /** Bloom model for [[bloomGuard]]: the distinct 8-grams of the given
     * docs (the EVAL/benchmark set) folded into the SAME 258,048-bit /
     * 4-probe filter as the declared doc_bloom_decontaminate

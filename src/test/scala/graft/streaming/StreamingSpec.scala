@@ -690,6 +690,78 @@ class StreamingSpec extends SparkSpec {
     assert(got == replay, "reservoir != rank-window truth")
   }
 
+  /** Per-shard word truth for the MG monitor tests: (shard -> (word
+    * -> exact count)), sharded by the SAME md5 rule as mgHeavy. */
+  private def mgTruth(): Map[Int, Map[String, Long]] = {
+    import spark.implicits._
+    t(spark, sf(), "documents")
+      .select(explode(expr(
+        "filter(split(lower(text), '\\\\s+'), x -> x != '')")).as("word"))
+      .select($"word", expr(
+        "cast(conv(substring(md5(cast(word as binary)), 1, 2)," +
+          " 16, 10) as int) % 8").as("shard"))
+      .as[(String, Int)].collect()
+      .groupBy(_._2).view.mapValues(
+        _.groupBy(_._1).view.mapValues(_.length.toLong).toMap).toMap
+  }
+
+  private def assertMgBounds(est: Map[(Int, String), Long],
+      truth: Map[Int, Map[String, Long]], k: Int): Unit = {
+    for (((shard, w), e) <- est) {
+      val tr = truth(shard).getOrElse(w, 0L)
+      assert(e <= tr, s"shard $shard '$w': est $e exceeds true $tr")
+    }
+    for ((shard, words) <- truth) {
+      val n = words.values.sum
+      for ((w, tr) <- words if tr * (k + 1) > n) {
+        val e = est.getOrElse((shard, w), 0L)
+        assert(e > 0, s"shard $shard heavy '$w' missing from the sketch")
+        assert((tr - e) * (k + 1) <= n,
+          s"shard $shard '$w': est $e violates the n/(k+1) bound")
+      }
+    }
+  }
+
+  test("mg heavy (batch): every counter under-counts, every heavy " +
+      "word survives within the n/(k+1) bound") {
+    val rows = DocStream.mgHeavy(t(spark, sf(), "documents"))
+      .collect().map(c => (c.shard, c.word) -> c.est).toMap
+    assert(rows.nonEmpty)
+    assertMgBounds(rows, mgTruth(), k = 64)
+  }
+
+  test("mg heavy (streaming): the bound holds across micro-batches, " +
+      "state carries the counters") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_mg").toString
+    val src = s"$root/src"
+    val docs = t(spark, sf(), "documents").select($"doc_id", $"text")
+    docs.filter($"doc_id" % 2 === 0).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val q = DocStream.mgHeavy(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(src)).toDF()
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("mg_stream").start()
+    try {
+      q.processAllAvailable()
+      docs.filter($"doc_id" % 2 === 1).write.mode("append").parquet(src)
+      q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.table("mg_stream")
+    val finalVer = emitted.groupBy($"shard".as("s"))
+      .agg(max($"ver").as("v"))
+    val got = emitted.join(finalVer, $"shard" === $"s" && $"ver" === $"v")
+      .select($"shard", $"word", $"est")
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got.nonEmpty)
+    // versions advanced: at least one shard saw 2 micro-batches
+    assert(emitted.agg(max($"ver")).head().getLong(0) >= 2L,
+      "state did not carry across micro-batches")
+    assertMgBounds(got, mgTruth(), k = 64)
+  }
+
   test("doc admission (batch): equals the dedup_incremental admit set") {
     import spark.implicits._
     val docs = t(spark, sf(), "documents")
