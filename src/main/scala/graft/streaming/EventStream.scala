@@ -254,31 +254,42 @@ object EventStream {
         (et: String,
          batch: Iterator[(String, Long, java.sql.Timestamp, Long, Long,
            Long, Long, Long)],
-         state: GroupState[(Long, Long, Seq[Long])]) =>
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else {
+         state: GroupState[(Long, Long, Seq[Long], Long, Long, Long)]) =>
+          def ewmaE7(win: Seq[Long]): Long = // most-recent-LAST
+            (0 to 7).map(j => win(7 - j) * wE7(j)).sum
+          def point(openHour: Long, openCnt: Long, ring: Seq[Long],
+              nh: Long, stot: Long, sxx: Long): Option[EwmaPoint] =
+            if (ring.length != 8) None
+            else {
+              // 9·(nh·Σx² − (Σx)²)·10¹⁴ — the σ² side of the verdict
+              val rhs = (BigInt(nh) * sxx - BigInt(stot) * stot) * 9 *
+                BigInt("100000000000000")
+              val cur = ewmaE7(ring.drop(1) :+ openCnt)
+              val d = BigInt(openCnt) * 10000000L - ewmaE7(ring)
+              Some(EwmaPoint(et, openHour, openCnt,
+                r4(cur.toDouble / 1e7), if (d * d * nh * nh > rhs) 1L
+                else 0L))
+            }
+          if (state.hasTimedOut) {
+            // idle type: the watermark closes the LAST open hour (a
+            // later event would have closed it; none is coming) —
+            // the sessionizeCustom timeout-flush discipline
+            val (openHour, openCnt, ring, nh, stot, sxx) = state.get
+            state.remove()
+            point(openHour, openCnt, ring, nh, stot, sxx).iterator
+          } else {
             val rows = batch.toSeq
             if (rows.isEmpty) Iterator.empty
             else {
               val (_, _, _, nh, stot, sxx, h0, h1) = rows.head
-              // 9·(nh·Σx² − (Σx)²)·10¹⁴ — the σ² side of the verdict
-              val rhs = (BigInt(nh) * sxx - BigInt(stot) * stot) * 9 *
-                BigInt("100000000000000")
               val out = scala.collection.mutable.ArrayBuffer
                 .empty[EwmaPoint]
               var (openHour, openCnt, ring) = state.getOption
+                .map(s0 => (s0._1, s0._2, s0._3))
                 .getOrElse((h0, 0L, Seq.empty[Long]))
-              def ewmaE7(win: Seq[Long]): Long = // most-recent-LAST
-                (0 to 7).map(j => win(7 - j) * wE7(j)).sum
               def finalizeOpen(): Unit = {
-                if (ring.length == 8) {
-                  val cur = ewmaE7(ring.drop(1) :+ openCnt)
-                  val d = BigInt(openCnt) * 10000000L - ewmaE7(ring)
-                  val alert =
-                    if (d * d * nh * nh > rhs) 1L else 0L
-                  out += EwmaPoint(et, openHour, openCnt,
-                    r4(cur.toDouble / 1e7), alert)
-                }
+                point(openHour, openCnt, ring, nh, stot, sxx)
+                  .foreach(out += _)
                 ring = (ring :+ openCnt).takeRight(8)
                 openCnt = 0L
                 openHour += stepUs
@@ -295,7 +306,7 @@ object EventStream {
                 while (openHour < h1) finalizeOpen()
                 finalizeOpen()
               } else {
-                state.update((openHour, openCnt, ring))
+                state.update((openHour, openCnt, ring, nh, stot, sxx))
                 val seenUs = rows.map(_._2).max
                 state.setTimeoutTimestamp(math.max(
                   (seenUs + idleUs) / 1000L,

@@ -1019,6 +1019,50 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("ewma chart (streaming): event-time timeout flushes an idle " +
+      "type's open hour, bit-identical to the batch point") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_ewma_to").toString
+    def ts(h: Int) =
+      java.sql.Timestamp.valueOf(f"2024-06-01 $h%02d:30:00")
+    val far = java.sql.Timestamp.valueOf("2024-07-01 00:00:00")
+    val xs = (0 to 9).map(h => ("x", ts(h)))
+    val all = (xs :+ (("y", far))).toDF("event_type", "ts")
+    xs.toDF("event_type", "ts").write.parquet(s"$dir/b1")
+    val model = graft.queries.EventsLog.ewmaModel(all)
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val q = EventStream.ewmaChart(
+        spark.readStream.schema(schema).parquet(s"$dir/*"), model,
+        idleUs = 3600000000L).toDF()
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("ewma_timeout").start()
+    try {
+      q.processAllAvailable()
+      // hours 0..8 finalized, ring fills at the 9th push -> exactly
+      // one x point so far (hour 8); hour 9 is still open
+      assert(spark.table("ewma_timeout")
+        .filter($"event_type" === "x").count() == 1L,
+        "expected exactly the hour-8 point before the timeout")
+      // a far-future event advances the watermark a month past x's
+      // 1h TTL horizon — the timeout must close and emit hour 9
+      Seq(("y", far)).toDF("event_type", "ts")
+        .write.parquet(s"$dir/b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    val h9 = java.sql.Timestamp.valueOf("2024-06-01 09:00:00")
+      .getTime * 1000L
+    val got = spark.table("ewma_timeout")
+      .filter($"event_type" === "x" && $"hour_us" === h9)
+      .collect().map(r => (r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(got.length == 1, "timeout did not flush the open hour")
+    // the flushed point equals the batch twin's row for the same hour
+    val want = EventStream.ewmaChart(all, model).collect()
+      .filter(p => p.event_type == "x" && p.hour_us == h9)
+      .map(p => (p.n, p.ewma, p.is_alert))
+    assert(want.length == 1 && got.head == want.head,
+      s"timeout point ${got.head} != batch point ${want.headOption}")
+  }
+
   test("embed drift (batch): cell histogram equals the declared assignment rollup") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2024-06-01 10:15:00")
