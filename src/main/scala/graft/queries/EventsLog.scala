@@ -295,6 +295,58 @@ object EventsLog {
         .orderBy($"look")
     }),
 
+    // Chi-square independence test (Pearson 1900) of event_type ×
+    // day-of-week, with Cramér's V effect size — the categorical
+    // companion to the numeric drift tests (KS/PSI test value
+    // distributions; chi² asks whether the TYPE MIX depends on the
+    // weekday, the "is weekend traffic a different animal" gate
+    // before any per-day model). Exact-integer core: with O the
+    // observed cell count, R/C the margins and N the total, each
+    // cell's contribution is (O·N − R·C)²/(N·R·C) — numerator and
+    // denominator are exact DECIMAL(38,0)/HUGEINT products, each
+    // cell quantizes to one e6 BIGINT (a single float divide +
+    // round), and the statistic is their order-free integer sum.
+    // The verdict compares chi²_e6 against the e6-scaled critical
+    // value for (types−1)(7−1) dof at α=0.05 — pinned here for the
+    // fixture's 24-dof table (36.415, Pearson–Hartley) — as a pure
+    // integer compare. V = sqrt(chi²/(N·min(r−1,c−1))) is the one
+    // display sqrt. Scale: one (type, dow) agg over events, then
+    // everything runs on the ≤ types×7 lattice.
+    "log_chi2_independence" -> ((s, d) => {
+      import s.implicits._
+      val cells = t(s, d, "events")
+        .select($"event_type", (weekday($"ts") + 1).cast("long").as("dow"))
+        .groupBy($"event_type", $"dow").agg(count(lit(1)).as("o"))
+      val rm = cells.groupBy($"event_type").agg(sum($"o").as("r"))
+      val cm = cells.groupBy($"dow").agg(sum($"o").as("c"))
+      val tot = cells.agg(sum($"o").as("nn"),
+        countDistinct($"event_type").as("nr"),
+        countDistinct($"dow").as("nc"))
+      val term = cells.join(rm, "event_type").join(cm, "dow")
+        .crossJoin(broadcast(tot))
+        .select($"event_type", $"dow", $"o", $"r", $"c", $"nn",
+          $"nr", $"nc",
+          expr("""cast(round(
+            |  cast((cast(o as decimal(38,0)) * nn - cast(r as
+            |    decimal(38,0)) * c)
+            |   * (cast(o as decimal(38,0)) * nn - cast(r as
+            |    decimal(38,0)) * c) as double)
+            |  / cast(cast(nn as decimal(38,0)) * r * c as double)
+            |  * 1e6) as bigint)""".stripMargin).as("term_e6"))
+      term.groupBy($"nn", $"nr", $"nc")
+        .agg(sum($"term_e6").as("chi2_e6"), count(lit(1)).as("n_cells"))
+        .select($"n_cells",
+          (($"nr" - 1) * ($"nc" - 1)).cast("long").as("dof"),
+          round($"chi2_e6".cast("double") / 1e6, 4).as("chi2"),
+          round(sqrt($"chi2_e6".cast("double") / 1e6
+            / ($"nn" * least($"nr" - 1, $"nc" - 1)).cast("double")), 4)
+            .as("cramers_v"),
+          when(($"nr" - 1) * ($"nc" - 1) === 24L,
+            when($"chi2_e6" > 36415000L, "dependent")
+              .otherwise("independent"))
+            .otherwise("no_critical_value").as("verdict"))
+    }),
+
     // L8: exact distinct users per event_type.
     "log_distinct_users" -> ((s, d) => {
       import s.implicits._
@@ -3024,6 +3076,45 @@ object EventsLog {
         |    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0)
         |    AS revenue
         |FROM ev GROUP BY variant ORDER BY variant""".stripMargin,
+
+    "log_chi2_independence" ->
+      """WITH cells AS (
+        |  SELECT event_type, isodow(ts) AS dow, COUNT(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |rm AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS r
+        |       FROM cells GROUP BY 1),
+        |cm AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS c
+        |       FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS nn,
+        |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS nr,
+        |  CAST(COUNT(DISTINCT dow) AS BIGINT) AS nc FROM cells),
+        |term AS (
+        |  SELECT t.nn, t.nr, t.nc,
+        |    CAST(ROUND(
+        |      CAST((CAST(ce.o AS HUGEINT) * t.nn
+        |            - CAST(rm.r AS HUGEINT) * cm.c)
+        |         * (CAST(ce.o AS HUGEINT) * t.nn
+        |            - CAST(rm.r AS HUGEINT) * cm.c) AS DOUBLE)
+        |      / CAST(CAST(t.nn AS HUGEINT) * rm.r * cm.c AS DOUBLE)
+        |      * 1e6) AS BIGINT) AS term_e6
+        |  FROM cells ce
+        |  JOIN rm ON rm.event_type = ce.event_type
+        |  JOIN cm ON cm.dow = ce.dow
+        |  CROSS JOIN tot t),
+        |ag AS (
+        |  SELECT nn, nr, nc, CAST(SUM(term_e6) AS BIGINT) AS chi2_e6,
+        |    COUNT(*) AS n_cells
+        |  FROM term GROUP BY 1, 2, 3)
+        |SELECT n_cells, (nr - 1) * (nc - 1) AS dof,
+        |  ROUND(CAST(chi2_e6 AS DOUBLE) / 1e6, 4) AS chi2,
+        |  ROUND(sqrt(CAST(chi2_e6 AS DOUBLE) / 1e6
+        |    / CAST(nn * least(nr - 1, nc - 1) AS DOUBLE)), 4)
+        |    AS cramers_v,
+        |  CASE WHEN (nr - 1) * (nc - 1) = 24 THEN
+        |    CASE WHEN chi2_e6 > 36415000 THEN 'dependent'
+        |         ELSE 'independent' END
+        |  ELSE 'no_critical_value' END AS verdict
+        |FROM ag""".stripMargin,
 
     "log_ab_sequential" ->
       """WITH ev AS (

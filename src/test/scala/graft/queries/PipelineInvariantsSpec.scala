@@ -3068,6 +3068,39 @@ class PipelineInvariantsSpec extends SparkSpec {
     assert(ns.zip(ns.tail).forall { case (x, y) => y >= x })
   }
 
+  test("log_chi2_independence: the e6 cell terms, Cramer's V and the " +
+      "verdict replay exactly") {
+    import spark.implicits._
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r0(x: Double) = BigDecimal(x)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val r = SparkEntry.queries("log_chi2_independence")(spark, sf())
+      .head()
+    val cells = t(spark, sf(), "events")
+      .select($"event_type", (weekday($"ts") + 1).cast("long"))
+      .as[(String, Long)].collect()
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rm = cells.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val cm = cells.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val nn = cells.values.sum
+    val chi2E6 = cells.toSeq.map { case ((et, dow), o) =>
+      val num = BigInt(o) * nn - BigInt(rm(et)) * cm(dow)
+      r0((num * num).toDouble / (BigInt(nn) * rm(et) * cm(dow)).toDouble
+        * 1e6)
+    }.sum
+    val dof = (rm.size - 1) * (cm.size - 1)
+    assert(r.getLong(0) == cells.size.toLong, "cell count")
+    assert(r.getLong(1) == dof.toLong, "dof")
+    assert(r.getDouble(2) == r4(chi2E6.toDouble / 1e6), "chi2 replay")
+    assert(r.getDouble(3) == r4(math.sqrt(chi2E6.toDouble / 1e6
+      / (nn * math.min(rm.size - 1, cm.size - 1)).toDouble)),
+      "cramers_v replay")
+    val verdict = if (dof != 24) "no_critical_value"
+      else if (chi2E6 > 36415000L) "dependent" else "independent"
+    assert(r.getString(4) == verdict, "verdict")
+  }
+
   test("text_heaps_fit: beta in (0,1) and totals match the corpus") {
     import spark.implicits._
     val r = SparkEntry.queries("text_heaps_fit")(spark, sf()).head()
