@@ -347,6 +347,60 @@ object EventsLog {
             .otherwise("no_critical_value").as("verdict"))
     }),
 
+    // Decile lift / gains table — the model-eval staple for "does
+    // ranking by this score concentrate the conversions": users rank
+    // by activity score (event count — the stand-in for any model
+    // score), split into 10 exact-rank deciles, and each decile
+    // reports its conversion rate, lift over the base rate, and
+    // cumulative gain. Scale discipline: NO global user sort — the
+    // score domain is BOUNDED (events per user), so the rank is
+    // (users with a higher score) + (row_number WITHIN the score
+    // bucket by user id): the first term is a cumulative window over
+    // the tiny score histogram, the second partitions by score (the
+    // log_user_gini bounded-domain recipe). Every published ratio is
+    // one rounded divide of exact integers.
+    "log_decile_lift" -> ((s, d) => {
+      import s.implicits._
+      val u = t(s, d, "events").groupBy($"user_id")
+        .agg(count(lit(1)).as("score"),
+          max(when($"event_type" === "purchase", 1L).otherwise(0L))
+            .as("conv"))
+      val hist = u.groupBy($"score").agg(count(lit(1)).as("k"))
+        .withColumn("higher", coalesce(sum($"k").over(
+          Window.orderBy($"score".desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n_total",
+          sum($"k").over(Window.partitionBy()))
+      val wu = Window.partitionBy($"score").orderBy($"user_id")
+      val dec = u.join(hist.select($"score", $"higher", $"n_total"),
+          "score")
+        .withColumn("rn", $"higher" + row_number().over(wu))
+        .select((($"rn" - 1) * 10).cast("long").as("rne10"),
+          $"n_total", $"conv")
+        .select(expr("rne10 div n_total + 1").as("decile"), $"conv")
+        .groupBy($"decile")
+        .agg(count(lit(1)).as("n_users"), sum($"conv").as("n_conv"))
+      val wd = Window.orderBy($"decile")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      dec
+        .withColumn("users_total",
+          sum($"n_users").over(Window.partitionBy()))
+        .withColumn("conv_total",
+          sum($"n_conv").over(Window.partitionBy()))
+        .withColumn("cum_conv", sum($"n_conv").over(wd))
+        .select($"decile", $"n_users", $"n_conv",
+          round($"n_conv".cast("double") / $"n_users", 4)
+            .as("conv_rate"),
+          when($"conv_total" === 0L, 0.0).otherwise(
+            round(($"n_conv" * $"users_total").cast("double")
+              / ($"n_users" * $"conv_total").cast("double"), 4))
+            .as("lift"),
+          when($"conv_total" === 0L, 0.0).otherwise(
+            round($"cum_conv".cast("double") / $"conv_total", 4))
+            .as("cum_gain"))
+        .orderBy($"decile")
+    }),
+
     // L8: exact distinct users per event_type.
     "log_distinct_users" -> ((s, d) => {
       import s.implicits._
@@ -3076,6 +3130,47 @@ object EventsLog {
         |    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0)
         |    AS revenue
         |FROM ev GROUP BY variant ORDER BY variant""".stripMargin,
+
+    "log_decile_lift" ->
+      """WITH u AS (
+        |  SELECT user_id, COUNT(*) AS score,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS conv
+        |  FROM events GROUP BY 1),
+        |hist AS (
+        |  SELECT score, COUNT(*) AS k,
+        |    COALESCE(SUM(COUNT(*)) OVER (ORDER BY score DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS higher,
+        |    SUM(COUNT(*)) OVER () AS n_total
+        |  FROM u GROUP BY score),
+        |rk AS (
+        |  SELECT u.conv, h.n_total,
+        |    h.higher + ROW_NUMBER() OVER (PARTITION BY u.score
+        |      ORDER BY u.user_id) AS rn
+        |  FROM u JOIN hist h ON h.score = u.score),
+        |dec AS (
+        |  SELECT ((rn - 1) * 10) // n_total + 1 AS decile,
+        |    CAST(COUNT(*) AS BIGINT) AS n_users,
+        |    CAST(SUM(conv) AS BIGINT) AS n_conv
+        |  FROM rk GROUP BY 1),
+        |w AS (
+        |  SELECT decile, n_users, n_conv,
+        |    CAST(SUM(n_users) OVER () AS BIGINT) AS users_total,
+        |    CAST(SUM(n_conv) OVER () AS BIGINT) AS conv_total,
+        |    CAST(SUM(n_conv) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_conv
+        |  FROM dec)
+        |SELECT CAST(decile AS BIGINT) AS decile, n_users, n_conv,
+        |  ROUND(CAST(n_conv AS DOUBLE) / n_users, 4) AS conv_rate,
+        |  CASE WHEN conv_total = 0 THEN 0.0 ELSE
+        |    ROUND(CAST(n_conv * users_total AS DOUBLE)
+        |      / CAST(n_users * conv_total AS DOUBLE), 4) END AS lift,
+        |  CASE WHEN conv_total = 0 THEN 0.0 ELSE
+        |    ROUND(CAST(cum_conv AS DOUBLE) / conv_total, 4) END
+        |    AS cum_gain
+        |FROM w ORDER BY decile""".stripMargin,
 
     "log_chi2_independence" ->
       """WITH cells AS (

@@ -3101,6 +3101,44 @@ class PipelineInvariantsSpec extends SparkSpec {
     assert(r.getString(4) == verdict, "verdict")
   }
 
+  test("log_decile_lift: exact-rank deciles replay; gains are " +
+      "monotone and close at 1") {
+    import spark.implicits._
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = SparkEntry.queries("log_decile_lift")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).sortBy(_._1)
+    val users = t(spark, sf(), "events")
+      .select($"user_id", $"event_type").as[(Long, String)].collect()
+      .groupBy(_._1).map { case (u, es) =>
+        (u, es.length.toLong, if (es.exists(_._2 == "purchase")) 1L
+        else 0L)
+      }.toSeq
+    val ranked = users.sortBy { case (u, sc, _) => (-sc, u) }
+    val nTot = ranked.length.toLong
+    val byDec = ranked.zipWithIndex
+      .groupBy { case (_, i) => i.toLong * 10 / nTot + 1 }
+    val convTotal = users.map(_._3).sum
+    var cum = 0L
+    assert(rows.map(_._1).toSeq == (1L to 10L))
+    for ((dec, nu, nc, rate, lift, gain) <- rows) {
+      val g = byDec(dec)
+      val expConv = g.map(_._1._3).sum
+      assert(nu == g.length.toLong && nc == expConv, s"decile $dec arms")
+      assert(rate == r4(nc.toDouble / nu), s"decile $dec rate")
+      assert(lift == r4((nc * nTot).toDouble / (nu * convTotal)),
+        s"decile $dec lift")
+      cum += nc
+      assert(gain == r4(cum.toDouble / convTotal), s"decile $dec gain")
+    }
+    assert(rows.last._6 == 1.0, "cumulative gain must close at 1")
+    val gains = rows.map(_._6)
+    assert(gains.zip(gains.tail).forall { case (a, b) => b >= a })
+    // ranking by activity must beat random somewhere up front
+    assert(rows.head._5 >= 1.0, "top decile lift below the base rate")
+  }
+
   test("text_heaps_fit: beta in (0,1) and totals match the corpus") {
     import spark.implicits._
     val r = SparkEntry.queries("text_heaps_fit")(spark, sf()).head()
