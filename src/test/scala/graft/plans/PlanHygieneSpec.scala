@@ -107,6 +107,7 @@ class PlanHygieneSpec extends SparkSpec {
     "log_ab_cuped",          // 1-row ts min/max bounds scalar
     "log_ab_sequential",     // 1-row ts bounds + 5-row look lattice
                              // over the <=60-row (variant,fs,cs) hist
+    "log_chi2_independence", // 1-row (N, rows, cols) totals scalar
     "log_survival_curve",    // 1-row window-end (max day) scalar
     "log_change_decomposition", // 1-row ts min/max bounds scalar
     "text_pmi_top",          // 1-row bigram-total scalar
