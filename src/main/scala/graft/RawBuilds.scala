@@ -35,5 +35,9 @@ object RawBuilds {
     // the ACF/Mann-Kendall/EWMA/MAD/Holt family reads the memoized
     // dense hourly grid; this drives the real one-pass zero-fill build
     "log_dense_grid_raw" -> ((s, d) =>
-      queries.EventsLog.denseHourGridRaw(s, d)))
+      queries.EventsLog.denseHourGridRaw(s, d)),
+    // the source-forensics lattice pair reads the memoized
+    // (source, token) cell counts; this drives the real tokenize+agg
+    "text_source_counts_raw" -> ((s, d) =>
+      queries.TextAnalysis.sourceTokenCountsRaw(s, d)))
 }

@@ -79,15 +79,24 @@ object EventsLog {
     * broadcasts into a live stream. The train-in-batch half of
     * EventStream.ewmaChart; the declared log_ewma_chart consumes the
     * same stats so the batch chart and the monitor share one σ. */
+  /** The per-type exact-integer (nh, Σx, Σx²) σ stats over a dense
+    * grid — the ONE aggregation consumed by both the declared
+    * log_ewma_chart and [[ewmaModel]] (review finding r11: the two
+    * previously duplicated the expression and agreed by coincidence;
+    * an edit to either would have split the twins silently). */
+  private[graft] def ewmaStats(g: DataFrame): DataFrame = {
+    import g.sparkSession.implicits._
+    g.groupBy($"event_type").agg(
+      count(lit(1)).as("nh"), sum($"n").as("stot"),
+      sum($"n" * $"n").as("sxx"))
+  }
+
   private[graft] def ewmaModel(ev0: DataFrame): DataFrame = {
     import ev0.sparkSession.implicits._
     val g = denseHourGrid(ev0).select($"event_type", $"h", $"n")
-    val st = g.groupBy($"event_type").agg(
-      count(lit(1)).as("nh"), sum($"n").as("stot"),
-      sum($"n" * $"n").as("sxx"))
     val bounds = g.agg(min(unix_micros($"h")).as("h0_us"),
       max(unix_micros($"h")).as("h1_us"))
-    st.crossJoin(broadcast(bounds))
+    ewmaStats(g).crossJoin(broadcast(bounds))
   }
 
   /** Phase table for [[queries "log_spectrum"]]: (period, k, cos_e6,
@@ -273,8 +282,11 @@ object EventsLog {
         .select($"look", $"n_a", $"c_a", $"n_b", $"c_b", $"bound_e4",
           ($"c_a" * $"n_b" - $"c_b" * $"n_a").as("num"),
           ($"n_a" + $"n_b").as("nn"), ($"c_a" + $"c_b").as("cc"))
+        // n_a > 0 AND n_b > 0: with an empty arm the variance side is
+        // 0 and "0 >= 0" would declare a crossing on zero evidence
+        // (review finding, round 11); an empty arm is "keep looking"
         .withColumn("crossed", expr(
-          """cast(cc > 0 and cc < nn and
+          """cast(n_a > 0 and n_b > 0 and cc > 0 and cc < nn and
             |  cast(num as decimal(38,0)) * num * nn * 100000000
             |  >= cast(bound_e4 as decimal(38,0)) * bound_e4
             |     * (cast(n_a as decimal(38,0)) * n_b * cc * (nn - cc))
@@ -282,7 +294,8 @@ object EventsLog {
       val wl = Window.orderBy($"look")
         .rowsBetween(Window.unboundedPreceding, 0)
       j.select($"look", $"n_a", $"c_a", $"n_b", $"c_b",
-          when($"cc" === 0L || $"cc" === $"nn", 0.0).otherwise(
+          when($"n_a" === 0L || $"n_b" === 0L ||
+              $"cc" === 0L || $"cc" === $"nn", 0.0).otherwise(
             round(expr("""cast(num as double) * sqrt(cast(nn as double))
               | / sqrt(cast(cast(n_a as decimal(38,0)) * n_b * cc
               |             * (nn - cc) as double))""".stripMargin), 4))
@@ -1879,12 +1892,15 @@ object EventsLog {
             round(($"s" - when($"s" > 0L, 1L).when($"s" < 0L, -1L)
               .otherwise(0L)).cast("double")
               / sqrt($"var18".cast("double") / 18.0), 4)).as("z"),
-          when($"var18" > 0L && $"s" > 0L &&
-            (($"s" - 1L) * ($"s" - 1L) * 180000L > $"var18" * 38416L),
-            "increasing")
-            .when($"var18" > 0L && $"s" < 0L &&
-              (($"s" + 1L) * ($"s" + 1L) * 180000L > $"var18" * 38416L),
-              "decreasing")
+          // DECIMAL(38,0) widening: (s±1)²·180000 passes int64 once
+          // the grid exceeds ~3784 hours (|s| ~ n²/2) — Spark would
+          // wrap silently where DuckDB raises (review finding r11)
+          when($"var18" > 0L && $"s" > 0L && expr(
+            "cast(s - 1 as decimal(38,0)) * (s - 1) * 180000" +
+              " > cast(var18 as decimal(38,0)) * 38416"), "increasing")
+            .when($"var18" > 0L && $"s" < 0L && expr(
+              "cast(s + 1 as decimal(38,0)) * (s + 1) * 180000" +
+                " > cast(var18 as decimal(38,0)) * 38416"), "decreasing")
             .otherwise("none").as("trend"))
         .orderBy($"event_type")
     }),
@@ -2798,11 +2814,9 @@ object EventsLog {
       val wrn = Window.partitionBy($"event_type").orderBy($"h")
       val g = denseHourGridShared(s, d)
         .select($"event_type", $"h", $"n")
-      val st = g.groupBy($"event_type").agg(
-        count(lit(1)).as("nh"), sum($"n").as("stot"),
-        sum($"n" * $"n").as("sxx"))
-      // the shared e7 weight ladder — one definition with the
-      // streaming monitor (EventStream.ewmaChart)
+      // the shared σ stats + e7 weight ladder — ONE definition each
+      // with the streaming monitor (EventStream.ewmaChart)
+      val st = ewmaStats(g)
       val wE7 = ewmaWeightsE7
       val lagCols = (0 to 7).map(j =>
         (if (j == 0) $"n" else lag($"n", j).over(wrn)).as(s"x$j"))
@@ -3244,14 +3258,16 @@ object EventsLog {
         |  JOIN obf o ON o.look = a.look
         |  WHERE a.variant = 'A'),
         |jc AS (
-        |  SELECT *, CAST(CASE WHEN cc > 0 AND cc < nn AND
+        |  SELECT *, CAST(CASE WHEN n_a > 0 AND n_b > 0
+        |      AND cc > 0 AND cc < nn AND
         |      CAST(num AS HUGEINT) * num * nn * 100000000
         |      >= CAST(bound_e4 AS HUGEINT) * bound_e4
         |         * (CAST(n_a AS HUGEINT) * n_b * cc * (nn - cc))
         |    THEN 1 ELSE 0 END AS BIGINT) AS crossed
         |  FROM j)
         |SELECT look, n_a, c_a, n_b, c_b,
-        |  CASE WHEN cc = 0 OR cc = nn THEN 0.0 ELSE
+        |  CASE WHEN n_a = 0 OR n_b = 0 OR cc = 0 OR cc = nn
+        |    THEN 0.0 ELSE
         |    ROUND(CAST(num AS DOUBLE) * sqrt(CAST(nn AS DOUBLE))
         |      / sqrt(CAST(CAST(n_a AS HUGEINT) * n_b * cc * (nn - cc)
         |             AS DOUBLE)), 4) + 0.0 END AS z,
@@ -4262,10 +4278,12 @@ object EventsLog {
         |      / sqrt(CAST(var18 AS DOUBLE) / 18.0), 4) + 0.0
         |  END AS z,
         |  CASE WHEN var18 > 0 AND s > 0
-        |      AND (s - 1) * (s - 1) * 180000 > var18 * 38416
+        |      AND CAST(s - 1 AS HUGEINT) * (s - 1) * 180000
+        |          > CAST(var18 AS HUGEINT) * 38416
         |    THEN 'increasing'
         |    WHEN var18 > 0 AND s < 0
-        |      AND (s + 1) * (s + 1) * 180000 > var18 * 38416
+        |      AND CAST(s + 1 AS HUGEINT) * (s + 1) * 180000
+        |          > CAST(var18 AS HUGEINT) * 38416
         |    THEN 'decreasing'
         |    ELSE 'none' END AS trend
         |FROM j ORDER BY event_type""".stripMargin,

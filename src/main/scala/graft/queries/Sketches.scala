@@ -427,7 +427,9 @@ object Sketches {
         .select($"word", ($"est_sum" - coalesce($"sub", lit(0L))).as("est"))
         .filter($"est" > 0L)
       val exact = words(s, d).groupBy($"word").agg(count(lit(1)).as("true_cnt"))
-      val tot = words(s, d).agg(count(lit(1)).as("n_tot"))
+      // n is the sum of the exact counts — no third tokenize pass
+      // (review finding, round 11)
+      val tot = exact.agg(sum($"true_cnt").as("n_tot"))
       exact.crossJoin(broadcast(tot))
         .filter($"true_cnt" * (k + 1) > $"n_tot" * 2)
         .join(sk, "word")

@@ -23,6 +23,34 @@ object TextAnalysis {
 
   private[queries] def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
 
+  /** Exact (source, token, y) cell counts — ONE corpus tokenize per
+    * (session, dir), checkpointed and shared by the source-forensics
+    * lattice pair (text_log_odds, text_burrows_delta): un-shared,
+    * each query ran its own tokenize AND pinned a fresh per-call
+    * localCheckpoint every invocation (review finding, round 11 —
+    * exactly the accretion FrameMemo exists to prevent). The frame is
+    * |sources|×|vocab| rows; every marginal derives from it. */
+  private val swCache = new graft.engine.FrameMemo
+  private def sourceTokenCounts(s: SparkSession, d: String): DataFrame =
+    swCache.get(s, d)(
+      t(s, d, "documents")
+        .select(col("source"),
+          explode(split(lower(col("text")), "\\s+")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("source"), col("token"))
+        .agg(count(lit(1)).as("y"))
+        .localCheckpoint())
+
+  /** Raw (non-memoized) cell-count build for RawBuilds/ScaleStress. */
+  private[graft] def sourceTokenCountsRaw(s: SparkSession,
+      d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("source"),
+        explode(split(lower(col("text")), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("y"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Gries' deviation-of-proportions (DP) dispersion for the top-15
     // corpus words — the corpus-linguistics number frequency alone
@@ -849,15 +877,11 @@ object TextAnalysis {
     // two broadcast-size frames and never touching text again.
     "text_log_odds" -> ((s, d) => {
       import s.implicits._
-      val toks = t(s, d, "documents")
-        .select($"source", explode(split(lower($"text"), "\\s+")).as("token"))
-        .filter($"token" =!= "")
-      // ONE corpus tokenize → the (source, token) cell counts; every
-      // marginal (per-source, per-token, grand total) derives from the
-      // checkpointed 620-row cell frame — without this the lattice
-      // join re-ran the tokenize subtree 8× (plan audit, round 11)
-      val sw = toks.groupBy($"source", $"token").agg(count(lit(1)).as("y1"))
-        .localCheckpoint()
+      // the shared memoized (source, token) cell frame — every
+      // marginal (per-source, per-token, grand total) derives from it
+      // (plan audit, round 11: the lattice join otherwise re-ran the
+      // tokenize subtree 8×; the frame is shared with burrows_delta)
+      val sw = sourceTokenCounts(s, d).withColumnRenamed("y", "y1")
       val ns = sw.groupBy($"source").agg(sum($"y1").as("n_s"))
       val w = sw.groupBy($"token").agg(sum($"y1").as("y_w"))
       val tot = sw.agg(sum($"y1").as("n_tot"))
@@ -926,14 +950,10 @@ object TextAnalysis {
     // the constant 15×|sources| lattice (allowlisted BNLJ).
     "text_burrows_delta" -> ((s, d) => {
       import s.implicits._
-      val toks = t(s, d, "documents")
-        .select($"source", explode(split(lower($"text"), "\\s+")).as("tok"))
-        .filter($"tok" =!= "")
-      // ONE corpus tokenize; marginals derive from the checkpointed
-      // cell-count frame (the text_log_odds discipline — the z
-      // self-join was otherwise doubling a 12-scan lineage to 24)
-      val sw = toks.groupBy($"source", $"tok").agg(count(lit(1)).as("y"))
-        .localCheckpoint()
+      // the shared memoized (source, token) cell frame (one tokenize
+      // with text_log_odds); the z self-join otherwise doubled a
+      // 12-scan lineage to 24 parquet scans (plan audit, round 11)
+      val sw = sourceTokenCounts(s, d).withColumnRenamed("token", "tok")
       val ns = sw.groupBy($"source").agg(sum($"y").as("n_s"))
       val top = sw.groupBy($"tok").agg(sum($"y").as("cw"))
         .orderBy($"cw".desc, $"tok".asc).limit(15).select($"tok")

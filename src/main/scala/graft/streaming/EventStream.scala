@@ -219,18 +219,22 @@ object EventStream {
     * .ewmaModel]] — trained in batch, served here; the weight ladder
     * is the shared `ewmaWeightsE7`, so the twins cannot drift).
     *
-    * State per type is O(1): the open (accumulating) hour and the
-    * ring of the last 8 finalized hourly counts. An hour finalizes —
-    * and its chart row emits — when a LATER hour arrives for the
-    * type; gap hours between them finalize as zeros. Late rows for
-    * hours already finalized are dropped (the watermark discipline:
-    * size `wmDelay` to the reorder window). In BATCH mode the group
-    * is seen whole, the tail pads with zeros to the model's h1 bound
-    * and the final hour finalizes too, so the batch-mode output is
-    * row-for-row the declared query's (asserted in StreamingSpec).
-    * Same event-time TTL discipline as runningUserCounts: the type
-    * alphabet is small, but a retired event type must not pin state
-    * forever. */
+    * Finalization is WATERMARK-driven (review findings, round 11 —
+    * the first cut closed an hour when any later hour arrived, which
+    * dropped in-watermark stragglers and re-emitted zero history when
+    * an idle type revived): state per type is the next hour to close,
+    * the ring of the last 8 finalized counts, and a pending
+    * hour→count map bounded by the reorder window. An hour H emits
+    * only once the watermark passes H + 1h (so `wmDelay` really is
+    * the straggler budget); gap hours finalize as zeros; rows older
+    * than an already-finalized hour are genuinely beyond the
+    * watermark and drop. The event-time timeout exists to keep
+    * CLOSING hours for a type that went silent (types absent from a
+    * micro-batch are not invoked otherwise); state is never removed —
+    * it is bounded by the type alphabet, not by a population. In
+    * BATCH mode the group is seen whole and pads to the model's h1
+    * bound, so batch-mode output is row-for-row the declared
+    * query's (asserted in StreamingSpec). */
   def ewmaChart(events: DataFrame, model: DataFrame,
       idleUs: Long = 86400000000L * 7, wmDelay: String = "1 hour")
       : Dataset[EwmaPoint] = {
@@ -254,66 +258,59 @@ object EventStream {
         (et: String,
          batch: Iterator[(String, Long, java.sql.Timestamp, Long, Long,
            Long, Long, Long)],
-         state: GroupState[(Long, Long, Seq[Long], Long, Long, Long)]) =>
+         state: GroupState[(Long, Seq[Long], Map[Long, Long],
+           Long, Long, Long)]) =>
           def ewmaE7(win: Seq[Long]): Long = // most-recent-LAST
             (0 to 7).map(j => win(7 - j) * wE7(j)).sum
-          def point(openHour: Long, openCnt: Long, ring: Seq[Long],
-              nh: Long, stot: Long, sxx: Long): Option[EwmaPoint] =
-            if (ring.length != 8) None
-            else {
-              // 9·(nh·Σx² − (Σx)²)·10¹⁴ — the σ² side of the verdict
-              val rhs = (BigInt(nh) * sxx - BigInt(stot) * stot) * 9 *
-                BigInt("100000000000000")
-              val cur = ewmaE7(ring.drop(1) :+ openCnt)
-              val d = BigInt(openCnt) * 10000000L - ewmaE7(ring)
-              Some(EwmaPoint(et, openHour, openCnt,
-                r4(cur.toDouble / 1e7), if (d * d * nh * nh > rhs) 1L
-                else 0L))
-            }
-          if (state.hasTimedOut) {
-            // idle type: the watermark closes the LAST open hour (a
-            // later event would have closed it; none is coming) —
-            // the sessionizeCustom timeout-flush discipline
-            val (openHour, openCnt, ring, nh, stot, sxx) = state.get
-            state.remove()
-            point(openHour, openCnt, ring, nh, stot, sxx).iterator
-          } else {
-            val rows = batch.toSeq
-            if (rows.isEmpty) Iterator.empty
-            else {
-              val (_, _, _, nh, stot, sxx, h0, h1) = rows.head
-              val out = scala.collection.mutable.ArrayBuffer
-                .empty[EwmaPoint]
-              var (openHour, openCnt, ring) = state.getOption
-                .map(s0 => (s0._1, s0._2, s0._3))
-                .getOrElse((h0, 0L, Seq.empty[Long]))
-              def finalizeOpen(): Unit = {
-                point(openHour, openCnt, ring, nh, stot, sxx)
-                  .foreach(out += _)
-                ring = (ring :+ openCnt).takeRight(8)
-                openCnt = 0L
-                openHour += stepUs
-              }
-              val inc = rows.groupBy(_._2).view
-                .mapValues(_.length.toLong).toSeq.sortBy(_._1)
-              for ((h, c) <- inc) {
-                if (h >= openHour) { // older-than-open rows: dropped
-                  while (openHour < h) finalizeOpen()
-                  openCnt += c
-                }
-              }
-              if (isBatch) { // pad to the grid bound, close the tail
-                while (openHour < h1) finalizeOpen()
-                finalizeOpen()
+          val rows = batch.toSeq
+          if (rows.isEmpty && !state.exists) Iterator.empty
+          else {
+            val (nh, stot, sxx, h0) =
+              if (rows.nonEmpty) {
+                val r = rows.head; (r._4, r._5, r._6, r._7)
               } else {
-                state.update((openHour, openCnt, ring, nh, stot, sxx))
-                val seenUs = rows.map(_._2).max
-                state.setTimeoutTimestamp(math.max(
-                  (seenUs + idleUs) / 1000L,
-                  state.getCurrentWatermarkMs() + 1L))
+                val s0 = state.get; (s0._4, s0._5, s0._6, 0L)
               }
-              out.iterator
+            // 9·(nh·Σx² − (Σx)²)·10¹⁴ — the σ² side of the verdict
+            val rhs = (BigInt(nh) * sxx - BigInt(stot) * stot) * 9 *
+              BigInt("100000000000000")
+            var (nextHour, ring, pending) = state.getOption
+              .map(s0 => (s0._1, s0._2, s0._3))
+              .getOrElse((h0, Seq.empty[Long], Map.empty[Long, Long]))
+            // merge the batch; rows below nextHour are beyond the
+            // watermark by construction (nextHour only advances once
+            // the watermark passes) and drop
+            rows.groupBy(_._2).foreach { case (h, rs) =>
+              if (h >= nextHour)
+                pending += h -> (pending.getOrElse(h, 0L) + rs.length)
             }
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[EwmaPoint]
+            def finalizeNext(): Unit = {
+              val c = pending.getOrElse(nextHour, 0L)
+              if (ring.length == 8) {
+                val cur = ewmaE7(ring.drop(1) :+ c)
+                val d = BigInt(c) * 10000000L - ewmaE7(ring)
+                out += EwmaPoint(et, nextHour, c,
+                  r4(cur.toDouble / 1e7),
+                  if (d * d * nh * nh > rhs) 1L else 0L)
+              }
+              ring = (ring :+ c).takeRight(8)
+              pending -= nextHour
+              nextHour += stepUs
+            }
+            if (isBatch) {
+              val h1 = rows.head._8
+              while (nextHour <= h1) finalizeNext()
+            } else {
+              // close every hour the watermark has fully passed
+              val wmUs = state.getCurrentWatermarkMs() * 1000L
+              while (nextHour + stepUs <= wmUs) finalizeNext()
+              state.update((nextHour, ring, pending, nh, stot, sxx))
+              state.setTimeoutTimestamp(
+                state.getCurrentWatermarkMs() + idleUs / 1000L)
+            }
+            out.iterator
           }
       }
   }

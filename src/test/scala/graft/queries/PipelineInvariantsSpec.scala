@@ -2570,11 +2570,13 @@ class PipelineInvariantsSpec extends SparkSpec {
           / math.sqrt(var18.toDouble / 18.0))
       assert(r.getDouble(4) == tauB, s"$et tau_b")
       assert(r.getDouble(5) == z, s"$et z")
-      val trend =
-        if (var18 > 0 && s > 0 && (s - 1) * (s - 1) * 180000L > var18 * 38416L)
+      val trend = // BigInt: the query widens through DECIMAL(38,0)
+        if (var18 > 0 && s > 0 &&
+            BigInt(s - 1) * (s - 1) * 180000 > BigInt(var18) * 38416)
           "increasing"
         else if (var18 > 0 && s < 0 &&
-            (s + 1) * (s + 1) * 180000L > var18 * 38416L) "decreasing"
+            BigInt(s + 1) * (s + 1) * 180000 > BigInt(var18) * 38416)
+          "decreasing"
         else "none"
       assert(r.getString(6) == trend, s"$et trend verdict")
       assert(math.abs(r.getDouble(4)) <= 1.0, s"$et tau_b out of [-1,1]")
@@ -3051,12 +3053,12 @@ class PipelineInvariantsSpec extends SparkSpec {
       assert(nb == b.count(_._2 <= look) && cb == b.count(_._3 <= look))
       val num = ca * nb - cb * na; val nn = na + nb; val cc = ca + cb
       val d = BigInt(na) * nb * cc * (nn - cc)
-      val zExp = if (cc == 0 || cc == nn) 0.0
+      val zExp = if (na == 0 || nb == 0 || cc == 0 || cc == nn) 0.0
         else r4(num.toDouble * math.sqrt(nn.toDouble)
           / math.sqrt(d.toDouble))
       assert(z == zExp, s"look $look z replay")
       assert(bound == obfE4(look).toDouble / 1e4)
-      val crossExp = cc > 0 && cc < nn &&
+      val crossExp = na > 0 && nb > 0 && cc > 0 && cc < nn &&
         BigInt(num) * num * nn * 100000000L >=
           BigInt(obfE4(look)) * obfE4(look) * d
       assert(crossed == (if (crossExp) 1L else 0L), s"look $look cross")

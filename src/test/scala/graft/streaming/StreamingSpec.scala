@@ -1006,17 +1006,15 @@ class StreamingSpec extends SparkSpec {
     // every finalized streamed hour is bit-identical to the batch chart
     for ((k, v) <- streamed)
       assert(batch(k) == v, s"$k: streamed point diverges from batch")
-    // coverage: per type, the stream finalizes every hour strictly
-    // before its last event hour (the last hour stays open — a later
-    // event or the watermark timeout would close it)
-    val lastEv = ev.groupBy($"event_type")
-      .agg(max(unix_micros(date_trunc("hour", $"ts"))).as("lh"))
-      .as[(String, Long)].collect().toMap
-    for ((et, lh) <- lastEv) {
-      val wantKeys = batch.keys.filter(k => k._1 == et && k._2 < lh)
-      val gotKeys = streamed.keys.filter(_._1 == et).toSet
-      assert(wantKeys.forall(gotKeys), s"$et: missing finalized hours")
-    }
+    // coverage: finalization is watermark-driven, and the watermark a
+    // micro-batch SEES lags one batch — so after the two batches every
+    // hour comfortably below the first half's horizon must have closed
+    // for every type (later hours stay pending until the watermark
+    // passes them)
+    val step = 3600000000L
+    val wantBelow = mid - 4 * step
+    for ((k, _) <- batch if k._2 + step <= wantBelow)
+      assert(streamed.contains(k), s"$k: in-watermark hour not closed")
   }
 
   test("ewma chart (streaming): event-time timeout flushes an idle " +
@@ -1038,13 +1036,14 @@ class StreamingSpec extends SparkSpec {
       .format("memory").queryName("ewma_timeout").start()
     try {
       q.processAllAvailable()
-      // hours 0..8 finalized, ring fills at the 9th push -> exactly
-      // one x point so far (hour 8); hour 9 is still open
+      // the watermark a batch sees lags one batch: nothing can have
+      // closed during the first micro-batch
       assert(spark.table("ewma_timeout")
-        .filter($"event_type" === "x").count() == 1L,
-        "expected exactly the hour-8 point before the timeout")
+        .filter($"event_type" === "x").isEmpty,
+        "no x hour can close before the watermark moves")
       // a far-future event advances the watermark a month past x's
-      // 1h TTL horizon — the timeout must close and emit hour 9
+      // horizon — the no-data timeout batch must close hours 8 and 9
+      // (and the zero hours after) even though x never sends again
       Seq(("y", far)).toDF("event_type", "ts")
         .write.parquet(s"$dir/b2")
       q.processAllAvailable()
@@ -1061,6 +1060,49 @@ class StreamingSpec extends SparkSpec {
       .map(p => (p.n, p.ewma, p.is_alert))
     assert(want.length == 1 && got.head == want.head,
       s"timeout point ${got.head} != batch point ${want.headOption}")
+  }
+
+  test("ewma chart (streaming): an in-watermark straggler still " +
+      "counts — finalization is watermark-driven, not arrival-driven") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_ewma_straggle").toString
+    def ts(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-06-01 $h%02d:$m%02d:00")
+    val far = java.sql.Timestamp.valueOf("2024-07-01 00:00:00")
+    val base = (0 to 12).map(h => ("x", ts(h, 30)))
+    val straggler = ("x", ts(11, 45)) // hour 11, arrives AFTER hour 12
+    val all = (base :+ straggler :+ (("y", far)))
+      .toDF("event_type", "ts")
+    base.toDF("event_type", "ts").write.parquet(s"$dir/b1")
+    val model = graft.queries.EventsLog.ewmaModel(all)
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val q = EventStream.ewmaChart(
+        spark.readStream.schema(schema).parquet(s"$dir/*"), model,
+        idleUs = 3600000000L).toDF()
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("ewma_straggle").start()
+    try {
+      q.processAllAvailable()
+      // watermark after b1 is 11:30; hour 11 is NOT yet closed, so
+      // the straggler at 11:45 must still be merged, not dropped
+      Seq(straggler).toDF("event_type", "ts").write.parquet(s"$dir/b2")
+      q.processAllAvailable()
+      Seq(("y", far)).toDF("event_type", "ts").write.parquet(s"$dir/b3")
+      q.processAllAvailable()
+    } finally q.stop()
+    val h11 = java.sql.Timestamp.valueOf("2024-06-01 11:00:00")
+      .getTime * 1000L
+    val got = spark.table("ewma_straggle")
+      .filter($"event_type" === "x" && $"hour_us" === h11)
+      .collect().map(r => (r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(got.length == 1 && got.head._1 == 2L,
+      s"hour-11 count must include the straggler, got $got")
+    // and the closed point is bit-identical to the batch twin's
+    val want = EventStream.ewmaChart(all, model).collect()
+      .filter(p => p.event_type == "x" && p.hour_us == h11)
+      .map(p => (p.n, p.ewma, p.is_alert))
+    assert(want.length == 1 && got.head == want.head,
+      s"straggler point ${got.head} != batch ${want.headOption}")
   }
 
   test("embed drift (batch): cell histogram equals the declared assignment rollup") {
