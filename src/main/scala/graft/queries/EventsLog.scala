@@ -73,12 +73,6 @@ object EventsLog {
   private[graft] val ewmaWeightsE7: Seq[Long] = Seq(3000000L, 2100000L,
     1470000L, 1029000L, 720300L, 504210L, 352947L, 823543L)
 
-  /** σ model + grid bounds for the EWMA chart — per type the exact
-    * integer (nh, Σx, Σx²) over the DENSE hourly grid plus the global
-    * [h0,h1] hour bounds (in µs), one flat row per type so it
-    * broadcasts into a live stream. The train-in-batch half of
-    * EventStream.ewmaChart; the declared log_ewma_chart consumes the
-    * same stats so the batch chart and the monitor share one σ. */
   /** The per-type exact-integer (nh, Σx, Σx²) σ stats over a dense
     * grid — the ONE aggregation consumed by both the declared
     * log_ewma_chart and [[ewmaModel]] (review finding r11: the two
@@ -91,6 +85,13 @@ object EventsLog {
       sum($"n" * $"n").as("sxx"))
   }
 
+  /** σ model + grid bounds for the EWMA chart — per type the exact
+    * integer (nh, Σx, Σx²) over the DENSE hourly grid plus the global
+    * [h0,h1] hour bounds (in µs), one flat row per type so it
+    * broadcasts into a live stream. The train-in-batch half of
+    * EventStream.ewmaChart; the declared log_ewma_chart consumes the
+    * same [[ewmaStats]] so the batch chart and the monitor share one
+    * σ. */
   private[graft] def ewmaModel(ev0: DataFrame): DataFrame = {
     import ev0.sparkSession.implicits._
     val g = denseHourGrid(ev0).select($"event_type", $"h", $"n")
@@ -247,9 +248,14 @@ object EventsLog {
     // ≤60-row (variant, first, conv) histogram against the 5-look
     // lattice. The crossing verdict is EXACT integers:
     // (c_a·n_b − c_b·n_a)²·N·10⁸ ≥ bound_e4²·n_a·n_b·C·(N−C) in
-    // DECIMAL(38,0)/HUGEINT (at extreme user counts the rates would
-    // need e6 pre-quantization — noted, not needed below ~10⁸ users
-    // per arm); the displayed z is one sqrt-ratio of the same
+    // DECIMAL(38,0)/HUGEINT. Headroom: the LHS worst case is
+    // num²·N·10⁸ with num up to n_a·n_b, i.e. ~n⁵/16·10⁸ for total
+    // n — it stays inside 38 digits only below ~10⁶ users PER ARM;
+    // past that, rates must be e6 pre-quantized BEFORE the compare
+    // (Spark decimal overflow otherwise NULLs `crossed`, silently
+    // read as not-crossed, while DuckDB HUGEINT raises — the twins
+    // would split). Fine at every fixture SF; flagged for the 100 TB
+    // path. The displayed z is one sqrt-ratio of the same
     // operands, and `decision` is a running max over the look frame.
     "log_ab_sequential" -> ((s, d) => {
       import s.implicits._
@@ -319,6 +325,12 @@ object EventsLog {
     // denominator are exact DECIMAL(38,0)/HUGEINT products, each
     // cell quantizes to one e6 BIGINT (a single float divide +
     // round), and the statistic is their order-free integer sum.
+    // The sum runs over the FULL observed-type × observed-dow
+    // lattice, not just non-empty cells (advisor finding r11): an
+    // absent (type, dow) cell still contributes (0·N − R·C)²/(N·R·C)
+    // = R·C/N, and dof already counts it via (nr−1)(nc−1) — so the
+    // lattice is rebuilt as margins × margins with COALESCE(o, 0)
+    // before the cell formula (which handles O=0 natively).
     // The verdict compares chi²_e6 against the e6-scaled critical
     // value for (types−1)(7−1) dof at α=0.05 — pinned here for the
     // fixture's 24-dof table (36.415, Pearson–Hartley) — as a pure
@@ -335,7 +347,11 @@ object EventsLog {
       val tot = cells.agg(sum($"o").as("nn"),
         countDistinct($"event_type").as("nr"),
         countDistinct($"dow").as("nc"))
-      val term = cells.join(rm, "event_type").join(cm, "dow")
+      val lattice = rm.select($"event_type")
+        .crossJoin(broadcast(cm.select($"dow")))
+      val full = lattice.join(cells, Seq("event_type", "dow"), "left")
+        .withColumn("o", coalesce($"o", lit(0L)))
+      val term = full.join(rm, "event_type").join(cm, "dow")
         .crossJoin(broadcast(tot))
         .select($"event_type", $"dow", $"o", $"r", $"c", $"nn",
           $"nr", $"nc",
@@ -3197,6 +3213,11 @@ object EventsLog {
         |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS nn,
         |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS nr,
         |  CAST(COUNT(DISTINCT dow) AS BIGINT) AS nc FROM cells),
+        |lat AS (SELECT rm.event_type, cm.dow FROM rm CROSS JOIN cm),
+        |fc AS (
+        |  SELECT l.event_type, l.dow, COALESCE(ce.o, 0) AS o
+        |  FROM lat l LEFT JOIN cells ce
+        |    ON ce.event_type = l.event_type AND ce.dow = l.dow),
         |term AS (
         |  SELECT t.nn, t.nr, t.nc,
         |    CAST(ROUND(
@@ -3206,7 +3227,7 @@ object EventsLog {
         |            - CAST(rm.r AS HUGEINT) * cm.c) AS DOUBLE)
         |      / CAST(CAST(t.nn AS HUGEINT) * rm.r * cm.c AS DOUBLE)
         |      * 1e6) AS BIGINT) AS term_e6
-        |  FROM cells ce
+        |  FROM fc ce
         |  JOIN rm ON rm.event_type = ce.event_type
         |  JOIN cm ON cm.dow = ce.dow
         |  CROSS JOIN tot t),
