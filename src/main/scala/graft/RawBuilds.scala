@@ -39,5 +39,14 @@ object RawBuilds {
     // the source-forensics lattice pair reads the memoized
     // (source, token) cell counts; this drives the real tokenize+agg
     "text_source_counts_raw" -> ((s, d) =>
-      queries.TextAnalysis.sourceTokenCountsRaw(s, d)))
+      queries.TextAnalysis.sourceTokenCountsRaw(s, d)),
+    // the declared doc_cdc_* trio runs on the engine chunker since
+    // r12; this keeps the declarative md5-contract build timed so the
+    // engine-vs-contract cost ratio stays visible in bench_detail
+    "doc_cdc_chunks_sql_raw" -> ((s, d) =>
+      queries.PipelineOps.cdcChunksSqlPath(s, d)),
+    // the rolling-hash production path (no md5 per char) — the
+    // geometry twin of the md5 rule, invariant-tested not oracled
+    "doc_cdc_chunks_poly_raw" -> ((s, d) =>
+      queries.PipelineOps.cdcChunksPoly(s, d)))
 }

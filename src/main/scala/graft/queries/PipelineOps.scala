@@ -54,15 +54,36 @@ object PipelineOps {
     s"cast(conv(substring(md5(cast(substring(text, cast($i - 7 as int)," +
       s" 8) as binary)), 1, 8), 16, 10) as bigint) % 64 = 0"
 
-  /** CDC chunk table (doc_id, source, clen, chash) shared by
-    * doc_cdc_dedup and doc_chunk_containment — ONE definition of the
-    * rolling-cut rule (trailing-8-char md5 window ≡ 0 mod 64, the
-    * doc_cdc_chunks boundary) and of the 60-bit chunk-content hash,
-    * so the dedup accounting and the per-doc containment can never
-    * chunk differently. Boundary rows are ~len/64 per doc; the only
-    * wide column (text) is re-joined doc-keyed for the substring
-    * extraction and dropped before any shuffle on chash. */
-  private def cdcChunks(s: SparkSession, d: String): DataFrame = {
+  /** CDC chunk table (doc_id, source, clen, chash) shared by the
+    * doc_cdc_* trio — since r12 this runs on the engine chunker
+    * ([[graft.engine.CdcChunker]] Md5Cut, one imperative scan per doc
+    * inside its split: no per-char explode row, no boundary window,
+    * no rejoin), while the DuckDB oracles keep replaying the SQL
+    * contract below — so the round gate re-proves engine ≡ contract
+    * on every run, and CdcChunkerSpec pins frame-level equality
+    * against [[cdcChunksSqlPath]] directly. */
+  private def cdcChunks(s: SparkSession, d: String): DataFrame =
+    graft.engine.CdcChunker.chunks(
+      t(s, d, "documents").select(col("doc_id"), col("source"),
+        col("text")).filter(length(col("text")) > 0),
+      graft.engine.CdcChunker.Md5Cut)
+
+  /** The rolling-hash fast path (same geometry, no md5 per char) —
+    * not oracle-expressible; invariant-tested in CdcChunkerSpec and
+    * benched as doc_cdc_chunks_poly_raw. */
+  private[graft] def cdcChunksPoly(s: SparkSession, d: String): DataFrame =
+    graft.engine.CdcChunker.chunks(
+      t(s, d, "documents").select(col("doc_id"), col("source"),
+        col("text")).filter(length(col("text")) > 0),
+      graft.engine.CdcChunker.PolyCut)
+
+  /** The original declarative CDC chunk build — THE md5-rule contract
+    * the DuckDB oracle replays (one row + one md5 per character
+    * through explode/Window; CPU-heavy, kept as the spec/bench
+    * reference for the engine path). Boundary rows are ~len/64 per
+    * doc; the only wide column (text) is re-joined doc-keyed for the
+    * substring extraction and dropped before any shuffle on chash. */
+  private[graft] def cdcChunksSqlPath(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val docs = t(s, d, "documents")
@@ -351,29 +372,16 @@ object PipelineOps {
     // (expected chunk ≈ 64 chars) instead of shifting every downstream
     // fixed window — THE property chunk-level dedup at 100 TB needs.
     // The window hash is the house md5-window integer (8 hex digits),
-    // per-position in-row (one narrow explode, no shuffle until the
-    // per-doc stats agg); boundary survivors are ~len/64 rows and the
-    // gap windows are doc-bounded. A sentinel cut at len closes the
-    // final partial chunk; docs shorter than the 8-char window emit
-    // one whole-doc chunk through the same sentinel path.
+    // computed by the engine chunker in ONE imperative scan per doc
+    // inside its input split (graft.engine.CdcChunker — no per-char
+    // explode row, no boundary window/rejoin; the oracle replays the
+    // declarative contract, so the gate re-proves engine ≡ contract).
+    // A sentinel cut at len closes the final partial chunk; docs
+    // shorter than the 8-char window emit one whole-doc chunk through
+    // the same sentinel path.
     "doc_cdc_chunks" -> ((s, d) => {
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val docs = t(s, d, "documents")
-        .select($"doc_id", $"text", length($"text").cast("long").as("len"))
-      val bpos = docs.filter($"len" >= 8)
-        .select($"doc_id", $"text",
-          explode(expr("sequence(8, len)")).as("i"))
-        .filter(expr(cdcCutSql("i")))
-        .select($"doc_id", $"i")
-      val bounds = bpos
-        .union(docs.select($"doc_id", $"len".as("i")))
-        .distinct()
-      val wd = Window.partitionBy($"doc_id").orderBy($"i")
-      bounds
-        .withColumn("prev", coalesce(lag($"i", 1).over(wd), lit(0L)))
-        .select($"doc_id", ($"i" - $"prev").as("clen"))
-        .filter($"clen" > 0)
+      cdcChunks(s, d)
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_chunks"), sum($"clen").as("sum_len"),
           max($"clen").as("max_len"), min($"clen").as("min_len"))
