@@ -86,14 +86,30 @@ object Bench {
       System.gc()
       // a failure on ANY rep reports -1 — an intermittent throw must
       // never hide behind another rep's clean time
-      var best = timeOnce(name, fn)
-      var i = 1
-      while (i < reps && best >= 0) {
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var ok = true
+      var i = 0
+      while (i < reps && ok) {
         val t = timeOnce(name, fn)
-        best = if (t < 0) t else math.min(best, t)
+        if (t < 0) ok = false else times += t
         i += 1
       }
-      name -> best
+      // Sub-second rows get EXTRA reps (to 7 total): their run-to-run
+      // distribution is wide relative to the value, so two runs'
+      // min-of-3 can differ 1.5x+ on identical code — r11's seven
+      // flagged "regressions" were all <0.6 s timer noise (verdict
+      // ask #7). More reps make the MIN estimator converge to the
+      // floor on both sides of the round-over-round diff; the verdict
+      // suggested median-of-3, but a median reads systematically
+      // ~1.5-2x above every committed min-based baseline (measured:
+      // dedup_lsh_verified 0.29 min vs 0.69 median on one run) and
+      // would flag the whole sub-second inventory as regressed once —
+      // stabilizing the min keeps the series comparable instead.
+      while (ok && times.nonEmpty && times.min < 1.0 && times.size < 7) {
+        val t = timeOnce(name, fn)
+        if (t < 0) ok = false else times += t
+      }
+      name -> (if (!ok) -1.0 else times.min)
     }
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)

@@ -273,6 +273,72 @@ class JobsSpec extends SparkSpec {
     val again = runner.run("dup_job", WordCountJob)
     assert(again.count() > 0)
   }
+
+  test("registry: register/submit by name runs through admission") {
+    val (runner, cat) = freshRunner()
+    storeText(cat, "a.txt", "x y y\n")
+    val reg = JobRegistry.withBuiltins(runner)
+    assert(reg.names == Seq("log_analyzer", "word_count"))
+    // submit by name, reference-REPL style: `mr word_count a.txt`
+    val rows = reg.submit("word_count", Seq("a.txt"))
+      .collect().map(_.getString(1)).sorted
+    assert(rows.toSeq == Seq(
+      "x            ::    1",
+      "y            ::    2"), s"got ${rows.toSeq}")
+    // empty file list defaults to all stored TXT (the admission path's
+    // behavior — registration must not bypass it)
+    assert(reg.submit("word_count").count() > 0)
+  }
+
+  test("registry: unknown name is a loud error naming the known jobs") {
+    val (runner, _) = freshRunner()
+    val reg = JobRegistry.withBuiltins(runner)
+    val e = intercept[NoSuchElementException] { reg.submit("nope") }
+    assert(e.getMessage.contains("nope") &&
+      e.getMessage.contains("word_count"))
+  }
+
+  test("registry: re-register replaces (O_TRUNC semantics); unregister frees") {
+    val (runner, cat) = freshRunner()
+    storeText(cat, "a.txt", "x\n")
+    val reg = new JobRegistry(runner)
+    reg.register("j", WordCountJob)
+    // overwrite with a job that emits a sentinel — the LATEST wins,
+    // like the reference's plugin-file re-upload
+    reg.register("j", new graft.engine.MrJob {
+      def R = 1
+      def fMap(f: String, n: Long, l: String) = Iterator(("sentinel", "1"))
+      def fReduce(p: Iterator[(String, String)]) = p.map(_._1).distinct
+    })
+    val out = reg.submit("j", Seq("a.txt")).collect().map(_.getString(1))
+    assert(out.toSeq == Seq("sentinel"))
+    assert(reg.unregister("j") && !reg.unregister("j"))
+    intercept[NoSuchElementException] { reg.submit("j") }
+  }
+
+  test("registry: admission still rejects missing files and dup runs") {
+    val (runner, cat) = freshRunner()
+    storeText(cat, "a.txt", "x\n")
+    val reg = JobRegistry.withBuiltins(runner)
+    val e = intercept[IllegalArgumentException] {
+      reg.submit("word_count", Seq("a.txt", "ghost.txt"))
+    }
+    assert(e.getMessage.contains("ghost.txt"))
+    // duplicate RUNNING name via the registry: same JobRunner guard
+    JobsSpec.gate = new java.util.concurrent.CountDownLatch(1)
+    JobsSpec.started = new java.util.concurrent.CountDownLatch(1)
+    reg.register("gated", new JobsSpec.GatedJob)
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val t = new Thread(() =>
+      try reg.submit("gated", Seq("a.txt"))
+      catch { case x: Throwable => err.set(x) })
+    t.start()
+    assert(JobsSpec.started.await(30, java.util.concurrent.TimeUnit.SECONDS))
+    intercept[IllegalStateException] { reg.submit("gated", Seq("a.txt")) }
+    JobsSpec.gate.countDown()
+    t.join(60000)
+    assert(!t.isAlive && err.get() == null, s"gated run failed: ${err.get()}")
+  }
 }
 
 object JobsSpec {
