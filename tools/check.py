@@ -64,8 +64,20 @@ def main():
     if sys.argv[1:] == ["--selftest"]:
         selftest()
         return
-    sfdir, outdir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    # --json PATH: also write a driver-format correctness artifact
+    # ({query: {rows_match, schema_match, hash_match, spark_rows,
+    # oracle_rows, err}}) — used at round close to commit
+    # CORRECTNESS_r{N}.json alongside the driver's own copy (r10's
+    # artifacts were lost; verdict r11 ask #4)
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    sfdir, outdir = args[0], args[1]
+    only = set(args[2:])
+    report = {}
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
@@ -78,24 +90,34 @@ def main():
     for name in sorted(oracle):
         if only and name not in only:
             continue
+        rec = {"rows_match": False, "schema_match": False,
+               "hash_match": False, "spark_rows": None,
+               "oracle_rows": None, "err": None}
+        report[name] = rec
         sql = oracle[name]
         files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output")
+            rec["err"] = "no spark output"
             n_bad += 1
             continue
         got = norm(pd.concat([pd.read_parquet(f) for f in sorted(files)]))
+        rec["spark_rows"] = len(got)
         try:
             want = norm(con.sql(sql).df())
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
+            rec["err"] = f"oracle error: {e}"
             n_bad += 1
             continue
-        if list(got.columns) != list(want.columns):
+        rec["oracle_rows"] = len(want)
+        rec["schema_match"] = list(got.columns) == list(want.columns)
+        rec["rows_match"] = len(got) == len(want)
+        if not rec["schema_match"]:
             print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
             n_bad += 1
             continue
-        if len(got) != len(want):
+        if not rec["rows_match"]:
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
             n_bad += 1
             continue
@@ -114,8 +136,13 @@ def main():
             n_bad += 1
         else:
             print(f"ok   {name} ({len(got)} rows)")
+            rec["hash_match"] = True
             n_ok += 1
     print(f"== {n_ok} ok, {n_bad} failed ==")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"json report -> {json_out}")
     sys.exit(1 if n_bad else 0)
 
 
