@@ -134,6 +134,32 @@ object PipelineOps {
       |      CAST(c.i - c.prev AS INTEGER))), 1, 15))::BIGINT AS chash
       |  FROM ck0 c JOIN d USING (doc_id) WHERE c.i > c.prev)""".stripMargin
 
+  /** Parameterized twin of [[cdcChunksSql]] for the boundary-stability
+    * oracle: the chunk CTE chain over a base CTE `src`(doc_id, text,
+    * len), every CTE name prefixed `p`, ending in `<p>ck`(doc_id,
+    * chash). Stated once so the two chunkings (original and edited
+    * text) can never drift apart in the oracle. */
+  private def cdcCkSqlOver(p: String, src: String): String =
+    s"""${p}pos AS (
+       |  SELECT doc_id, i FROM (
+       |    SELECT doc_id, text, unnest(range(8, len + 1)) AS i
+       |    FROM $src WHERE len >= 8)
+       |  WHERE ('0x' || substring(md5(substring(text,
+       |      CAST(i - 7 AS INTEGER), 8)), 1, 8))::BIGINT % 64 = 0),
+       |${p}b AS (SELECT doc_id, i FROM ${p}pos
+       |      UNION SELECT doc_id, len FROM $src),
+       |${p}ck0 AS (
+       |  SELECT doc_id, i, COALESCE(LAG(i) OVER (PARTITION BY doc_id
+       |    ORDER BY i), 0) AS prev
+       |  FROM ${p}b),
+       |${p}ck AS (
+       |  SELECT c.doc_id,
+       |    ('0x' || substring(md5(substring(d.text,
+       |      CAST(c.prev + 1 AS INTEGER),
+       |      CAST(c.i - c.prev AS INTEGER))), 1, 15))::BIGINT AS chash
+       |  FROM ${p}ck0 c JOIN $src d USING (doc_id)
+       |  WHERE c.i > c.prev)""".stripMargin
+
   /** The epoch water-fill core (doc_epoch_plan's solve), shared with
     * doc_epoch_expand: per source, tokens, the e4 quality weight, and
     * the solved e10 fixed-point epochs `ep` = min(4, m·w). See
@@ -450,6 +476,48 @@ object PipelineOps {
           ($"shared_bytes" * 2 >= $"bytes").cast("bigint")
             .as("mostly_shared"))
         .orderBy($"doc_id")
+    }),
+
+    // CDC edit-locality, measured corpus-wide (the property the
+    // rolling-cut family EXISTS for, asserted as data rather than only
+    // by a unit test): chunk every doc AND its 10-char-prefix-dropped
+    // twin under the SAME md5 contract rule, and report per source the
+    // share of the original's DISTINCT chunk hashes that survive the
+    // edit. A fixed-window chunker scores ~0 here (every boundary
+    // shifts by 10); CDC scores near 1 − E[chunk]/len because only the
+    // edit's cut neighborhood re-chunks — the number that justifies
+    // doc_cdc_dedup's incremental story at 100 TB. Runs the engine
+    // chunker twice (one mapPartitions scan per variant, no shuffle
+    // before the per-doc distinct agg); the oracle replays the
+    // declarative contract on both texts.
+    "doc_cdc_boundary_stability" -> ((s, d) => {
+      import s.implicits._
+      val base = t(s, d, "documents")
+        .filter(length($"text") > 10)
+        .select($"doc_id", $"source", $"text")
+      val orig = graft.engine.CdcChunker.chunks(base,
+        graft.engine.CdcChunker.Md5Cut)
+      val edit = graft.engine.CdcChunker.chunks(
+        base.withColumn("text", expr("substring(text, 11)")),
+        graft.engine.CdcChunker.Md5Cut)
+      val ho = orig.select($"doc_id", $"chash").distinct()
+      val he = edit.select($"doc_id", $"chash").distinct()
+      val no = ho.groupBy($"doc_id").agg(count(lit(1)).as("n_orig"))
+      val sh = ho.join(he, Seq("doc_id", "chash"))
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
+      base.select($"doc_id", $"source")
+        .join(no, "doc_id")
+        .join(sh, Seq("doc_id"), "left")
+        .withColumn("n_shared", coalesce($"n_shared", lit(0L)))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_orig").as("chunks_orig"),
+          sum($"n_shared").as("chunks_survived"))
+        .select($"source", $"n_docs", $"chunks_orig",
+          $"chunks_survived",
+          round($"chunks_survived".cast("double") / $"chunks_orig", 4)
+            .as("survival_share"))
+        .orderBy($"source")
     }),
 
     // Fixed-window chunking: 50-token chunks on a 40-token stride (10
@@ -2016,6 +2084,33 @@ object PipelineOps {
         |  CAST(CASE WHEN shared_bytes * 2 >= bytes THEN 1 ELSE 0 END
         |    AS BIGINT) AS mostly_shared
         |FROM pd ORDER BY doc_id""".stripMargin,
+
+    "doc_cdc_boundary_stability" ->
+      s"""WITH d0 AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  WHERE LENGTH(text) > 10),
+        |oa AS (SELECT doc_id, text,
+        |       CAST(LENGTH(text) AS BIGINT) AS len FROM d0),
+        |ob AS (SELECT doc_id, substring(text, 11) AS text,
+        |       CAST(LENGTH(text) - 10 AS BIGINT) AS len FROM d0),
+        |${cdcCkSqlOver("a", "oa")},
+        |${cdcCkSqlOver("b", "ob")},
+        |ha AS (SELECT DISTINCT doc_id, chash FROM ack),
+        |hb AS (SELECT DISTINCT doc_id, chash FROM bck),
+        |no AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_orig
+        |       FROM ha GROUP BY 1),
+        |sh AS (SELECT ha.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+        |       FROM ha JOIN hb USING (doc_id, chash) GROUP BY 1),
+        |per AS (
+        |  SELECT d0.source, no.n_orig,
+        |    COALESCE(sh.n_shared, 0) AS n_shared
+        |  FROM d0 JOIN no USING (doc_id) LEFT JOIN sh USING (doc_id))
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_orig) AS BIGINT) AS chunks_orig,
+        |  CAST(SUM(n_shared) AS BIGINT) AS chunks_survived,
+        |  ROUND(CAST(SUM(n_shared) AS DOUBLE) / SUM(n_orig), 4)
+        |    AS survival_share
+        |FROM per GROUP BY source ORDER BY source""".stripMargin,
 
     "doc_chunks" ->
       s"""WITH d AS (
