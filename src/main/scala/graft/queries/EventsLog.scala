@@ -430,6 +430,74 @@ object EventsLog {
         .orderBy($"decile")
     }),
 
+    // Qini curve — THE uplift-targeting evaluation (Radcliffe 2007),
+    // the question log_decile_lift cannot answer: does ranking by the
+    // score concentrate conversions CAUSED by treatment, not just
+    // conversions? Users rank into the same 10 exact bounded-domain
+    // deciles as log_decile_lift (score histogram + within-score
+    // row_number — no global user sort), each split by the house
+    // variant hash into treated (A) / control (B); at every
+    // cumulative depth Qini(k) = convT − convC·nT/nC, the incremental
+    // conversions above a control baseline rescaled to the treated
+    // population, with the random-targeting diagonal published
+    // alongside (the curve's lift-over-random read). Every ratio is
+    // ONE divide of exact DECIMAL(38,0)/HUGEINT cross-products; empty
+    // arms short to 0.0 by the same CASE in both engines. Scale: one
+    // user-keyed agg, then everything runs on the 10-row lattice.
+    "log_qini_uplift" -> ((s, d) => {
+      import s.implicits._
+      val u = t(s, d, "events").groupBy($"user_id")
+        .agg(count(lit(1)).as("score"),
+          max(when($"event_type" === "purchase", 1L).otherwise(0L))
+            .as("conv"))
+        .withColumn("treat", when(variantCol === "A", 1L).otherwise(0L))
+      val hist = u.groupBy($"score").agg(count(lit(1)).as("k"))
+        .withColumn("higher", coalesce(sum($"k").over(
+          Window.orderBy($"score".desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n_total",
+          sum($"k").over(Window.partitionBy()))
+      val wu = Window.partitionBy($"score").orderBy($"user_id")
+      val dec = u.join(hist.select($"score", $"higher", $"n_total"),
+          "score")
+        .withColumn("rn", $"higher" + row_number().over(wu))
+        .select(expr("(rn - 1) * 10 div n_total + 1").as("decile"),
+          $"treat", $"conv")
+        .groupBy($"decile")
+        .agg(sum($"treat").as("n_t"),
+          sum(lit(1L) - $"treat").as("n_c"),
+          sum($"treat" * $"conv").as("conv_t"),
+          sum((lit(1L) - $"treat") * $"conv").as("conv_c"))
+      val wd = Window.orderBy($"decile")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      dec
+        .withColumn("nt_c", sum($"n_t").over(wd))
+        .withColumn("nc_c", sum($"n_c").over(wd))
+        .withColumn("ct_c", sum($"conv_t").over(wd))
+        .withColumn("cc_c", sum($"conv_c").over(wd))
+        .withColumn("nt_tot", sum($"n_t").over(Window.partitionBy()))
+        .withColumn("nc_tot", sum($"n_c").over(Window.partitionBy()))
+        .withColumn("ct_tot", sum($"conv_t").over(Window.partitionBy()))
+        .withColumn("cc_tot", sum($"conv_c").over(Window.partitionBy()))
+        .select($"decile".cast("long").as("decile"),
+          $"n_t", $"n_c", $"conv_t", $"conv_c",
+          when($"n_t" === 0L || $"n_c" === 0L, 0.0).otherwise(
+            round(expr("cast(conv_t * n_c - conv_c * n_t as double)")
+              / expr("cast(n_t * n_c as double)"), 4)).as("uplift"),
+          when($"nc_c" === 0L, 0.0).otherwise(
+            round(expr("cast(cast(ct_c as decimal(38,0)) * nc_c" +
+              " - cast(cc_c as decimal(38,0)) * nt_c as double)")
+              / $"nc_c".cast("double"), 4)).as("qini"),
+          when($"nc_tot" === 0L, 0.0).otherwise(
+            round(expr("cast((cast(ct_tot as decimal(38,0)) * nc_tot" +
+              " - cast(cc_tot as decimal(38,0)) * nt_tot)" +
+              " * (nt_c + nc_c) as double)")
+              / expr("cast(cast(nc_tot as decimal(38,0))" +
+                " * (nt_tot + nc_tot) as double)"), 4))
+            .as("qini_random"))
+        .orderBy($"decile")
+    }),
+
     // L8: exact distinct users per event_type.
     "log_distinct_users" -> ((s, d) => {
       import s.implicits._
@@ -3200,6 +3268,66 @@ object EventsLog {
         |  CASE WHEN conv_total = 0 THEN 0.0 ELSE
         |    ROUND(CAST(cum_conv AS DOUBLE) / conv_total, 4) END
         |    AS cum_gain
+        |FROM w ORDER BY decile""".stripMargin,
+
+    "log_qini_uplift" ->
+      """WITH u AS (
+        |  SELECT user_id, COUNT(*) AS score,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS conv,
+        |    CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+        |              IN ('0','1','2','3','4','5','6','7')
+        |         THEN 1 ELSE 0 END AS treat
+        |  FROM events GROUP BY 1),
+        |hist AS (
+        |  SELECT score, COUNT(*) AS k,
+        |    COALESCE(SUM(COUNT(*)) OVER (ORDER BY score DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS higher,
+        |    SUM(COUNT(*)) OVER () AS n_total
+        |  FROM u GROUP BY score),
+        |rk AS (
+        |  SELECT u.treat, u.conv, h.n_total,
+        |    h.higher + ROW_NUMBER() OVER (PARTITION BY u.score
+        |      ORDER BY u.user_id) AS rn
+        |  FROM u JOIN hist h ON h.score = u.score),
+        |dec AS (
+        |  SELECT ((rn - 1) * 10) // n_total + 1 AS decile,
+        |    CAST(SUM(treat) AS BIGINT) AS n_t,
+        |    CAST(SUM(1 - treat) AS BIGINT) AS n_c,
+        |    CAST(SUM(treat * conv) AS BIGINT) AS conv_t,
+        |    CAST(SUM((1 - treat) * conv) AS BIGINT) AS conv_c
+        |  FROM rk GROUP BY 1),
+        |w AS (
+        |  SELECT decile, n_t, n_c, conv_t, conv_c,
+        |    CAST(SUM(n_t) OVER (ORDER BY decile ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS nt_c,
+        |    CAST(SUM(n_c) OVER (ORDER BY decile ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS nc_c,
+        |    CAST(SUM(conv_t) OVER (ORDER BY decile ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ct_c,
+        |    CAST(SUM(conv_c) OVER (ORDER BY decile ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cc_c,
+        |    CAST(SUM(n_t) OVER () AS BIGINT) AS nt_tot,
+        |    CAST(SUM(n_c) OVER () AS BIGINT) AS nc_tot,
+        |    CAST(SUM(conv_t) OVER () AS BIGINT) AS ct_tot,
+        |    CAST(SUM(conv_c) OVER () AS BIGINT) AS cc_tot
+        |  FROM dec)
+        |SELECT CAST(decile AS BIGINT) AS decile, n_t, n_c, conv_t,
+        |  conv_c,
+        |  CASE WHEN n_t = 0 OR n_c = 0 THEN 0.0 ELSE
+        |    ROUND(CAST(conv_t * n_c - conv_c * n_t AS DOUBLE)
+        |      / CAST(n_t * n_c AS DOUBLE), 4) END AS uplift,
+        |  CASE WHEN nc_c = 0 THEN 0.0 ELSE
+        |    ROUND(CAST(CAST(ct_c AS HUGEINT) * nc_c
+        |        - CAST(cc_c AS HUGEINT) * nt_c AS DOUBLE)
+        |      / CAST(nc_c AS DOUBLE), 4) END AS qini,
+        |  CASE WHEN nc_tot = 0 THEN 0.0 ELSE
+        |    ROUND(CAST((CAST(ct_tot AS HUGEINT) * nc_tot
+        |        - CAST(cc_tot AS HUGEINT) * nt_tot)
+        |        * (nt_c + nc_c) AS DOUBLE)
+        |      / CAST(CAST(nc_tot AS HUGEINT) * (nt_tot + nc_tot)
+        |        AS DOUBLE), 4) END AS qini_random
         |FROM w ORDER BY decile""".stripMargin,
 
     "log_chi2_independence" ->
