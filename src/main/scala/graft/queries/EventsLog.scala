@@ -498,6 +498,45 @@ object EventsLog {
         .orderBy($"decile")
     }),
 
+    // Hourly p50/p95/p99 value quantiles over a 1000-bin histogram of
+    // the GLOBAL value range — the ops-dashboard staple in the
+    // engine's bounded-domain discipline: the only per-event work is
+    // one bin assignment against broadcast bounds, the shuffle state
+    // is (hour × occupied-bin) counts (shard histograms merge by
+    // cell-sum — this IS the streaming monitor's state), and the cut
+    // is the exact integer rank rule `hcum ≥ (n·q + 99) div 100`.
+    // The streaming twin (EventStream.quantileWindows) replays the
+    // identical binning/cut/midpoint arithmetic — three-way parity
+    // (declared ≡ typed batch ≡ stream) is pinned in StreamingSpec.
+    "log_hourly_quantiles" -> ((s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events").select($"ts", $"value")
+      val bounds = ev.agg(min($"value").as("v0"), max($"value").as("v1"))
+      val hist = ev.crossJoin(broadcast(bounds))
+        .select(
+          expr("unix_micros(ts) div 3600000000 * 3600000000")
+            .as("w_start"),
+          expr("cast(greatest(0L, least(999L, floor(case when v1 = v0" +
+            " then 0.0 else (value - v0) * 1000.0 / (v1 - v0) end)))" +
+            " as bigint)").as("bin"),
+          $"v0", $"v1")
+        .groupBy($"w_start", $"bin", $"v0", $"v1")
+        .agg(count(lit(1)).as("hc"))
+      val ww = Window.partitionBy($"w_start").orderBy($"bin")
+      hist
+        .withColumn("hcum", sum($"hc").over(ww))
+        .withColumn("n", sum($"hc").over(Window.partitionBy($"w_start")))
+        .select($"w_start", $"bin", $"hcum", $"n", $"v0", $"v1",
+          explode(expr("array(50L, 95L, 99L)")).as("q_pct"))
+        .filter($"hcum" >= expr("(n * q_pct + 99) div 100"))
+        .groupBy($"w_start", $"q_pct", $"n", $"v0", $"v1")
+        .agg(min($"bin").as("qbin"))
+        .select($"w_start", $"q_pct", $"n", $"qbin",
+          round($"v0" + ($"qbin" + lit(0.5)) * ($"v1" - $"v0")
+            / lit(1000.0), 6).as("est"))
+        .orderBy($"w_start", $"q_pct")
+    }),
+
     // L8: exact distinct users per event_type.
     "log_distinct_users" -> ((s, d) => {
       import s.implicits._
@@ -3269,6 +3308,36 @@ object EventsLog {
         |    ROUND(CAST(cum_conv AS DOUBLE) / conv_total, 4) END
         |    AS cum_gain
         |FROM w ORDER BY decile""".stripMargin,
+
+    "log_hourly_quantiles" ->
+      """WITH b AS (SELECT MIN(value) AS v0, MAX(value) AS v1
+        |           FROM events),
+        |h AS (
+        |  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS w_start,
+        |    GREATEST(0, LEAST(999, CAST(FLOOR(CASE WHEN v1 = v0
+        |      THEN 0.0 ELSE (value - v0) * 1000.0 / (v1 - v0) END)
+        |      AS BIGINT))) AS bin,
+        |    v0, v1
+        |  FROM events, b),
+        |hh AS (SELECT w_start, bin, v0, v1, COUNT(*) AS hc
+        |       FROM h GROUP BY 1, 2, 3, 4),
+        |c AS (
+        |  SELECT w_start, bin, v0, v1,
+        |    SUM(hc) OVER (PARTITION BY w_start ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS hcum,
+        |    SUM(hc) OVER (PARTITION BY w_start) AS n
+        |  FROM hh),
+        |q AS (
+        |  SELECT w_start, q_pct, CAST(n AS BIGINT) AS n, v0, v1,
+        |    MIN(bin) AS qbin
+        |  FROM c, unnest([50, 95, 99]) AS t(q_pct)
+        |  WHERE hcum >= (n * q_pct + 99) // 100
+        |  GROUP BY 1, 2, 3, 4, 5)
+        |SELECT w_start, CAST(q_pct AS BIGINT) AS q_pct, n,
+        |  CAST(qbin AS BIGINT) AS qbin,
+        |  ROUND(v0 + (qbin + 0.5) * (v1 - v0) / 1000.0, 6) AS est
+        |FROM q ORDER BY w_start, q_pct""".stripMargin,
 
     "log_qini_uplift" ->
       """WITH u AS (

@@ -806,6 +806,100 @@ object EventStream {
 
   /** Launch helper: run a streaming query over a parquet directory into
     * an in-memory table and block until all available data is processed. */
+  /** One quantile readout row: per closed hour window, the q-th
+    * percentile's bin + midpoint estimate over the model's 1000-bin
+    * value lattice. */
+  case class QuantileRow(w_start: Long, q_pct: Long, n: Long,
+      qbin: Long, est: Double)
+
+  /** Bin-bounds model for [[quantileWindows]]: the historical value
+    * range, trained in batch, broadcast into the live stream — the
+    * psiModel train/serve split applied to quantiles (a stream cannot
+    * bin on global min/max it has not seen yet). */
+  def quantileModel(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events.agg(min($"value").as("v0"), max($"value").as("v1"))
+  }
+
+  /** Windowed p50/p95/p99 monitor — the ops staple (latency/value
+    * percentiles per hour) in the engine's bounded-histogram
+    * discipline: state per open window is ONE 1000-long bin array
+    * (the shard-mergeable histogram IS the sketch; cell-sum is the
+    * merge law), the cut is the exact integer rank rule shared with
+    * the declared log_hourly_quantiles (`hcum ≥ (n·q + 99) div 100`),
+    * and a window emits its 3 rows once the event-time watermark
+    * passes its close (append mode; idle windows flush by timeout
+    * like sessionizeCustom). The SAME code path serves batch — the
+    * declared query, this batch path, and the stream are three-way
+    * parity-tested. Live values outside the trained range clamp into
+    * the edge bins (the model's domain is the contract). */
+  def quantileWindows(events: DataFrame, model: DataFrame,
+      wmDelay: String = "1 hour"): Dataset[QuantileRow] = {
+    import events.sparkSession.implicits._
+    val isBatch = !events.isStreaming
+    val in0 = if (isBatch) events else events.withWatermark("ts", wmDelay)
+    val binned = in0.crossJoin(broadcast(model))
+      .select(
+        expr("unix_micros(ts) div 3600000000 * 3600000000").as("ws"),
+        expr("cast(greatest(0L, least(999L, floor(case when v1 = v0" +
+          " then 0.0 else (value - v0) * 1000.0 / (v1 - v0) end)))" +
+          " as int)").as("bin"),
+        $"v0", $"v1", $"ts")
+      .as[(Long, Int, Double, Double, java.sql.Timestamp)]
+    binned.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+          if (isBatch) GroupStateTimeout.NoTimeout
+          else GroupStateTimeout.EventTimeTimeout) {
+        (ws: Long, rows: Iterator[(Long, Int, Double, Double, java.sql.Timestamp)],
+         state: GroupState[(Double, Double, Array[Long])]) =>
+          if (state.hasTimedOut) {
+            val (v0, v1, h) = state.get
+            state.remove()
+            finalizeQuantiles(ws, v0, v1, h)
+          } else {
+            val first = rows.next()
+            val (v0, v1, h0) = state.getOption
+              .getOrElse((first._3, first._4, new Array[Long](1000)))
+            h0(first._2) += 1
+            rows.foreach(r => h0(r._2) += 1)
+            if (isBatch) {
+              state.remove()
+              finalizeQuantiles(ws, v0, v1, h0)
+            } else {
+              state.update((v0, v1, h0))
+              // flush when the watermark passes the window close
+              state.setTimeoutTimestamp(
+                math.max((ws + 3600000000L) / 1000L,
+                  state.getCurrentWatermarkMs() + 1L))
+              Iterator.empty
+            }
+          }
+      }
+  }
+
+  /** The exact integer quantile cut over a closed window's histogram —
+    * `need = (n·q + 99) div 100`, qbin = first bin whose cumulative
+    * count reaches it; est is the bin midpoint on the model lattice
+    * (identical arithmetic to the declared log_hourly_quantiles). */
+  private def finalizeQuantiles(ws: Long, v0: Double, v1: Double,
+      h: Array[Long]): Iterator[QuantileRow] = {
+    val n = h.sum
+    if (n == 0L) Iterator.empty
+    else Seq(50L, 95L, 99L).iterator.map { q =>
+      val need = (n * q + 99L) / 100L
+      var cum = 0L
+      var b = 0
+      var qbin = -1
+      while (b < h.length && qbin < 0) {
+        cum += h(b)
+        if (cum >= need) qbin = b
+        b += 1
+      }
+      QuantileRow(ws, q, n, qbin.toLong,
+        v0 + (qbin + 0.5) * (v1 - v0) / 1000.0)
+    }
+  }
+
   def runToMemory(spark: SparkSession, srcDir: String,
       transform: DataFrame => DataFrame, queryName: String,
       mode: OutputMode = OutputMode.Append()): Unit = {

@@ -29,10 +29,36 @@ class StreamingRestartSpec extends SparkSpec {
     * batch commits" to "mid-stream" to "nearly drained". */
   private val killDelaysMs = Seq(0L, 40L, 90L, 180L, 350L, 700L)
 
-  private def stage(df: DataFrame, files: Int): (String, org.apache.spark.sql.types.StructType) = {
+  /** Stage `df` as `files` sequential parquet dirs. When `timeCol` is
+    * set, slices are DISJOINT ASCENDING time ranges (ntile by event
+    * time, written in order) — the realistic ingest shape. This is
+    * load-bearing for the kill sweep: with round-robin slices every
+    * file spans the whole fixture, the stream is massively
+    * out-of-order, and an event-time-timeout operator's output then
+    * depends on when no-data micro-batches fire (a closed-and-removed
+    * session can be re-opened by a "late" event), which Spark does
+    * NOT keep invariant across restarts — the first sweep run flaked
+    * exactly there (1-in-4, ref 114 vs got 126 rows, same data). With
+    * in-order slices a closed session can never see a mergeable later
+    * event (next slice ≥ watermark + delay > last + gap), so the
+    * output is kill-invariant and the sweep tests exactly-once, not
+    * no-data-batch scheduling. */
+  private def stage(df: DataFrame, files: Int,
+      timeCol: Option[String] = None): (String, org.apache.spark.sql.types.StructType) = {
     val dir = Files.createTempDirectory("graft_kill_src").toString
-    df.repartition(files).write.mode("overwrite").parquet(dir)
-    (dir, spark.read.parquet(dir).schema)
+    timeCol match {
+      case Some(c) =>
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col(c))
+        val sliced = df.withColumn("__slice", ntile(files).over(w))
+          .localCheckpoint()
+        for (i <- 1 to files)
+          sliced.filter(col("__slice") === i).drop("__slice")
+            .coalesce(1).write.parquet(f"$dir/b$i%02d")
+        (s"$dir/*", spark.read.parquet(s"$dir/b01").schema)
+      case None =>
+        df.repartition(files).write.mode("overwrite").parquet(dir)
+        (dir, spark.read.parquet(dir).schema)
+    }
   }
 
   /** One uninterrupted run → sink; then a fresh sink/checkpoint with
@@ -73,16 +99,20 @@ class StreamingRestartSpec extends SparkSpec {
   test("sessionization survives mid-batch kills (exactly-once)") {
     import spark.implicits._
     val (src, schema) = stage(
-      t(spark, sf(), "events").select($"user_id", $"ts"), 10)
+      t(spark, sf(), "events").select($"user_id", $"ts"), 10,
+      timeCol = Some("ts"))
     val (ref, got) = sweepAppend("sess", src, schema,
       df => EventStream.sessionizeCustom(df, 1800000000L).toDF())
     assert(ref.nonEmpty, "reference run emitted nothing — test is vacuous")
     assert(got == ref, s"sessionization diverged after kills: " +
-      s"ref=${ref.size} rows, got=${got.size}")
+      s"ref=${ref.size} rows, got=${got.size}; " +
+      s"onlyRef=${(ref.toSet -- got.toSet).take(4)}; " +
+      s"onlyGot=${(got.toSet -- ref.toSet).take(4)}")
   }
 
   test("attribution survives mid-batch kills (exactly-once)") {
-    val (src, schema) = stage(t(spark, sf(), "events"), 10)
+    val (src, schema) = stage(t(spark, sf(), "events"), 10,
+      timeCol = Some("ts"))
     val (ref, got) = sweepAppend("attr", src, schema,
       df => EventStream.attributedPurchases(df).toDF())
     assert(ref.nonEmpty, "reference run emitted nothing — test is vacuous")
@@ -96,11 +126,24 @@ class StreamingRestartSpec extends SparkSpec {
       t(spark, sf(), "documents")
         .select($"doc_id", $"text",
           expr("timestamp_micros(1717200000000000 + doc_id * 60000000)")
-            .as("ingest_ts")), 10)
+            .as("ingest_ts")), 10, timeCol = Some("ingest_ts"))
     val (ref, got) = sweepAppend("band", src, schema,
       df => DocStream.bandIndex(df).toDF())
     assert(ref.nonEmpty, "reference run emitted nothing — test is vacuous")
     assert(got == ref, s"band registry diverged after kills: " +
+      s"ref=${ref.size} rows, got=${got.size}")
+  }
+
+  test("windowed quantile monitor survives mid-batch kills") {
+    import spark.implicits._
+    val ev = t(spark, sf(), "events")
+    val model = EventStream.quantileModel(ev).localCheckpoint()
+    val (src, schema) = stage(ev.select($"ts", $"value"), 10,
+      timeCol = Some("ts"))
+    val (ref, got) = sweepAppend("quant", src, schema,
+      df => EventStream.quantileWindows(df, model).toDF())
+    assert(ref.nonEmpty, "reference run emitted nothing — test is vacuous")
+    assert(got == ref, s"quantile monitor diverged after kills: " +
       s"ref=${ref.size} rows, got=${got.size}")
   }
 

@@ -1017,6 +1017,51 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.contains(k), s"$k: in-watermark hour not closed")
   }
 
+  test("hourly quantiles: declared == typed batch; streaming == batch") {
+    import spark.implicits._
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ev = t(spark, sf(), "events")
+    val model = EventStream.quantileModel(ev)
+    // three-way leg 1: the declared query == the typed batch path
+    // (identical binning, integer cut, and midpoint arithmetic)
+    val declared = graft.SparkEntry.queries("log_hourly_quantiles")(
+        spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val batch = EventStream.quantileWindows(ev, model).collect()
+      .map(p => (p.w_start, p.q_pct) -> (p.n, p.qbin, r6(p.est))).toMap
+    assert(batch.nonEmpty && declared == batch,
+      "declared query and typed batch path diverge")
+    // three-way leg 2: streaming finalized windows == batch, state
+    // carried across micro-batches (two halves)
+    val dir = Files.createTempDirectory("graft_quant").toString
+    val b = ev.agg(min(unix_micros($"ts")), max(unix_micros($"ts"))).head()
+    val mid = (b.getLong(0) + b.getLong(1)) / 2
+    ev.filter(unix_micros($"ts") <= mid).write.parquet(s"$dir/b1")
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val q = EventStream.quantileWindows(
+        spark.readStream.schema(schema).parquet(s"$dir/*"), model).toDF()
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("quant_stream").start()
+    try {
+      q.processAllAvailable()
+      ev.filter(unix_micros($"ts") > mid).write.parquet(s"$dir/b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("quant_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r6(r.getDouble(4)))).toMap
+    assert(streamed.nonEmpty)
+    for ((k, v) <- streamed)
+      assert(batch(k) == v, s"$k: streamed quantile diverges from batch")
+    // coverage floor (watermark a micro-batch sees lags one batch);
+    // k._1 is the window start (k._2 is the percentile)
+    val step = 3600000000L
+    for ((k, _) <- batch if k._1 + step <= mid - 4 * step)
+      assert(streamed.contains(k), s"$k: in-watermark hour not closed")
+  }
+
   test("ewma chart (streaming): event-time timeout flushes an idle " +
       "type's open hour, bit-identical to the batch point") {
     import spark.implicits._
