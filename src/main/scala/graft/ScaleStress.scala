@@ -25,7 +25,21 @@ object ScaleStress {
     val dst = if (factor == 10) "/tmp/sf1x" else s"/tmp/sf${factor}x"
     def time[T](tag: String)(f: => T): T = { val t0=System.nanoTime; val r=f; println(s"TIME $tag ${math.round((System.nanoTime-t0)/1e7)/100.0}"); r }
 
-    if (!new java.io.File(s"$dst/lineitem.parquet").exists()) {
+    // layout marker: bump when the replication scheme changes, so a
+    // stale /tmp dir from an earlier round regenerates instead of
+    // silently keeping the old layout (review finding r12: the
+    // user-id stride fix would not have applied on a machine with a
+    // pre-existing scaled dir)
+    val marker = new java.io.File(s"$dst/.layout_v2")
+    if (!marker.exists()) {
+      val dstDir = new java.io.File(dst)
+      if (dstDir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dstDir)
+      }
       val reps = spark.range(factor).select($"id".as("rep"))
       for (t <- Seq("lineitem","orders","customer","supplier","part","nation","region")) {
         val df = Tables.t(spark, src, t)
@@ -50,6 +64,7 @@ object ScaleStress {
         // users into the previous one, deflating distinct-user growth
         .withColumn("user_id", $"user_id" + $"rep"*10000L).drop("rep")
         .write.mode("overwrite").parquet(s"$dst/events.parquet")
+      marker.createNewFile()
       println("scaled data written")
     }
     println("lineitem rows: " + spark.read.parquet(s"$dst/lineitem.parquet").count())

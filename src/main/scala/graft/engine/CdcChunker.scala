@@ -77,8 +77,9 @@ object CdcChunker {
 
   /** Chunk every (doc_id, source, text) row of `docs`; emits
     * (doc_id, source, clen, chash) with clen in CHARS and chash the
-    * 60-bit md5 prefix of the chunk's UTF-8 bytes. Empty texts emit
-    * no chunk (the SQL path's `len > 0` filter). */
+    * 60-bit md5 prefix of the chunk's UTF-8 bytes. Null and empty
+    * texts emit no chunk (the SQL path's `len > 0` filter) — guarded
+    * HERE, not at call sites, so the operator owns its contract. */
   def chunks(docs: DataFrame, rule: CutRule): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
@@ -96,6 +97,7 @@ object CdcChunker {
   /** One document's chunks — exposed for property tests. */
   private[graft] def chunkOne(md: MessageDigest, docId: Long,
       source: String, text: String, rule: CutRule): Seq[Chunk] = {
+    if (text == null) return Nil
     val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     if (bytes.length == 0) return Nil
     // byte offset where each code point starts (UTF-8 lead bytes are

@@ -166,6 +166,75 @@ object EventsLog {
       .otherwise("B")
   }
 
+  /** Shared hour-window / 1000-bin expressions for the quantile
+    * family — ONE definition consumed by the declared
+    * log_hourly_quantiles and by EventStream.quantileWindows (review
+    * finding r12: the two carried near-identical strings differing
+    * only in the final cast, a drift surface; the cdcCutSql
+    * discipline applied here). Expects `ts`/`value` event columns and
+    * `v0`/`v1` model-bound columns in scope; out-of-range live values
+    * clamp into the edge bins. */
+  private[graft] val hourStartSql: String =
+    "unix_micros(ts) div 3600000000 * 3600000000"
+  private[graft] def quantileBinSql(castTo: String): String =
+    "cast(greatest(0L, least(999L, floor(case when v1 = v0 then 0.0" +
+      " else (value - v0) * 1000.0 / (v1 - v0) end))) as " + castTo + ")"
+
+  /** Per-user exact decile over the bounded score domain — the shared
+    * ranking core of log_decile_lift and log_qini_uplift (ONE
+    * definition; review finding r12 — the block was duplicated
+    * verbatim and a one-sided edit would have desynchronized the two
+    * gains tables). Rank = (users with a higher score, via the tiny
+    * score histogram) + row_number WITHIN the score bucket by user_id
+    * — no global user sort. Returns (user_id, decile, conv). */
+  private def scoreDeciles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val u = t(s, d, "events").groupBy($"user_id")
+      .agg(count(lit(1)).as("score"),
+        max(when($"event_type" === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+    val hist = u.groupBy($"score").agg(count(lit(1)).as("k"))
+      .withColumn("higher", coalesce(sum($"k").over(
+        Window.orderBy($"score".desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_total", sum($"k").over(Window.partitionBy()))
+    val wu = Window.partitionBy($"score").orderBy($"user_id")
+    u.join(hist.select($"score", $"higher", $"n_total"), "score")
+      .withColumn("rn", $"higher" + row_number().over(wu))
+      .select($"user_id",
+        expr("(rn - 1) * 10 div n_total + 1").as("decile"), $"conv")
+  }
+
+  /** DuckDB twin of [[scoreDeciles]] — CTE chain ending in
+    * `ud`(user_id, treat, conv, decile); `treat` is the house variant
+    * split (unused by log_decile_lift, consumed by log_qini_uplift). */
+  private val scoreDecileCte: String =
+    """u AS (
+      |  SELECT user_id, COUNT(*) AS score,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS conv,
+      |    CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+      |              IN ('0','1','2','3','4','5','6','7')
+      |         THEN 1 ELSE 0 END AS treat
+      |  FROM events GROUP BY 1),
+      |hist AS (
+      |  SELECT score, COUNT(*) AS k,
+      |    COALESCE(SUM(COUNT(*)) OVER (ORDER BY score DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS higher,
+      |    SUM(COUNT(*)) OVER () AS n_total
+      |  FROM u GROUP BY score),
+      |rk AS (
+      |  SELECT u.user_id, u.treat, u.conv, h.n_total,
+      |    h.higher + ROW_NUMBER() OVER (PARTITION BY u.score
+      |      ORDER BY u.user_id) AS rn
+      |  FROM u JOIN hist h ON h.score = u.score),
+      |ud AS (
+      |  SELECT user_id, treat, conv,
+      |    ((rn - 1) * 10) // n_total + 1 AS decile
+      |  FROM rk)""".stripMargin
+
   /** Per-(event_type, dow, hod) exact integer count/Σx/Σx² over the
     * dense grid — the hour-of-week baseline model. */
   private[graft] def seasonalStats(ev: DataFrame): DataFrame = {
@@ -390,23 +459,7 @@ object EventsLog {
     // one rounded divide of exact integers.
     "log_decile_lift" -> ((s, d) => {
       import s.implicits._
-      val u = t(s, d, "events").groupBy($"user_id")
-        .agg(count(lit(1)).as("score"),
-          max(when($"event_type" === "purchase", 1L).otherwise(0L))
-            .as("conv"))
-      val hist = u.groupBy($"score").agg(count(lit(1)).as("k"))
-        .withColumn("higher", coalesce(sum($"k").over(
-          Window.orderBy($"score".desc)
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .withColumn("n_total",
-          sum($"k").over(Window.partitionBy()))
-      val wu = Window.partitionBy($"score").orderBy($"user_id")
-      val dec = u.join(hist.select($"score", $"higher", $"n_total"),
-          "score")
-        .withColumn("rn", $"higher" + row_number().over(wu))
-        .select((($"rn" - 1) * 10).cast("long").as("rne10"),
-          $"n_total", $"conv")
-        .select(expr("rne10 div n_total + 1").as("decile"), $"conv")
+      val dec = scoreDeciles(s, d)
         .groupBy($"decile")
         .agg(count(lit(1)).as("n_users"), sum($"conv").as("n_conv"))
       val wd = Window.orderBy($"decile")
@@ -446,23 +499,8 @@ object EventsLog {
     // user-keyed agg, then everything runs on the 10-row lattice.
     "log_qini_uplift" -> ((s, d) => {
       import s.implicits._
-      val u = t(s, d, "events").groupBy($"user_id")
-        .agg(count(lit(1)).as("score"),
-          max(when($"event_type" === "purchase", 1L).otherwise(0L))
-            .as("conv"))
+      val dec = scoreDeciles(s, d)
         .withColumn("treat", when(variantCol === "A", 1L).otherwise(0L))
-      val hist = u.groupBy($"score").agg(count(lit(1)).as("k"))
-        .withColumn("higher", coalesce(sum($"k").over(
-          Window.orderBy($"score".desc)
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .withColumn("n_total",
-          sum($"k").over(Window.partitionBy()))
-      val wu = Window.partitionBy($"score").orderBy($"user_id")
-      val dec = u.join(hist.select($"score", $"higher", $"n_total"),
-          "score")
-        .withColumn("rn", $"higher" + row_number().over(wu))
-        .select(expr("(rn - 1) * 10 div n_total + 1").as("decile"),
-          $"treat", $"conv")
         .groupBy($"decile")
         .agg(sum($"treat").as("n_t"),
           sum(lit(1L) - $"treat").as("n_c"),
@@ -482,8 +520,10 @@ object EventsLog {
         .select($"decile".cast("long").as("decile"),
           $"n_t", $"n_c", $"conv_t", $"conv_c",
           when($"n_t" === 0L || $"n_c" === 0L, 0.0).otherwise(
-            round(expr("cast(conv_t * n_c - conv_c * n_t as double)")
-              / expr("cast(n_t * n_c as double)"), 4)).as("uplift"),
+            round(expr("cast(cast(conv_t as decimal(38,0)) * n_c" +
+              " - cast(conv_c as decimal(38,0)) * n_t as double)")
+              / expr("cast(cast(n_t as decimal(38,0)) * n_c" +
+                " as double)"), 4)).as("uplift"),
           when($"nc_c" === 0L, 0.0).otherwise(
             round(expr("cast(cast(ct_c as decimal(38,0)) * nc_c" +
               " - cast(cc_c as decimal(38,0)) * nt_c as double)")
@@ -498,6 +538,9 @@ object EventsLog {
         .orderBy($"decile")
     }),
 
+    // [shared expressions for this query live in hourStartSql /
+    // quantileBinSql below the map — one definition with the
+    // streaming monitor]
     // Hourly p50/p95/p99 value quantiles over a 1000-bin histogram of
     // the GLOBAL value range — the ops-dashboard staple in the
     // engine's bounded-domain discipline: the only per-event work is
@@ -513,12 +556,8 @@ object EventsLog {
       val ev = t(s, d, "events").select($"ts", $"value")
       val bounds = ev.agg(min($"value").as("v0"), max($"value").as("v1"))
       val hist = ev.crossJoin(broadcast(bounds))
-        .select(
-          expr("unix_micros(ts) div 3600000000 * 3600000000")
-            .as("w_start"),
-          expr("cast(greatest(0L, least(999L, floor(case when v1 = v0" +
-            " then 0.0 else (value - v0) * 1000.0 / (v1 - v0) end)))" +
-            " as bigint)").as("bin"),
+        .select(expr(hourStartSql).as("w_start"),
+          expr(quantileBinSql("bigint")).as("bin"),
           $"v0", $"v1")
         .groupBy($"w_start", $"bin", $"v0", $"v1")
         .agg(count(lit(1)).as("hc"))
@@ -3269,28 +3308,12 @@ object EventsLog {
         |FROM ev GROUP BY variant ORDER BY variant""".stripMargin,
 
     "log_decile_lift" ->
-      """WITH u AS (
-        |  SELECT user_id, COUNT(*) AS score,
-        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-        |      AS conv
-        |  FROM events GROUP BY 1),
-        |hist AS (
-        |  SELECT score, COUNT(*) AS k,
-        |    COALESCE(SUM(COUNT(*)) OVER (ORDER BY score DESC
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS higher,
-        |    SUM(COUNT(*)) OVER () AS n_total
-        |  FROM u GROUP BY score),
-        |rk AS (
-        |  SELECT u.conv, h.n_total,
-        |    h.higher + ROW_NUMBER() OVER (PARTITION BY u.score
-        |      ORDER BY u.user_id) AS rn
-        |  FROM u JOIN hist h ON h.score = u.score),
+      s"""WITH $scoreDecileCte,
         |dec AS (
-        |  SELECT ((rn - 1) * 10) // n_total + 1 AS decile,
+        |  SELECT decile,
         |    CAST(COUNT(*) AS BIGINT) AS n_users,
         |    CAST(SUM(conv) AS BIGINT) AS n_conv
-        |  FROM rk GROUP BY 1),
+        |  FROM ud GROUP BY 1),
         |w AS (
         |  SELECT decile, n_users, n_conv,
         |    CAST(SUM(n_users) OVER () AS BIGINT) AS users_total,
@@ -3340,33 +3363,14 @@ object EventsLog {
         |FROM q ORDER BY w_start, q_pct""".stripMargin,
 
     "log_qini_uplift" ->
-      """WITH u AS (
-        |  SELECT user_id, COUNT(*) AS score,
-        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-        |      AS conv,
-        |    CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
-        |              IN ('0','1','2','3','4','5','6','7')
-        |         THEN 1 ELSE 0 END AS treat
-        |  FROM events GROUP BY 1),
-        |hist AS (
-        |  SELECT score, COUNT(*) AS k,
-        |    COALESCE(SUM(COUNT(*)) OVER (ORDER BY score DESC
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS higher,
-        |    SUM(COUNT(*)) OVER () AS n_total
-        |  FROM u GROUP BY score),
-        |rk AS (
-        |  SELECT u.treat, u.conv, h.n_total,
-        |    h.higher + ROW_NUMBER() OVER (PARTITION BY u.score
-        |      ORDER BY u.user_id) AS rn
-        |  FROM u JOIN hist h ON h.score = u.score),
+      s"""WITH $scoreDecileCte,
         |dec AS (
-        |  SELECT ((rn - 1) * 10) // n_total + 1 AS decile,
+        |  SELECT decile,
         |    CAST(SUM(treat) AS BIGINT) AS n_t,
         |    CAST(SUM(1 - treat) AS BIGINT) AS n_c,
         |    CAST(SUM(treat * conv) AS BIGINT) AS conv_t,
         |    CAST(SUM((1 - treat) * conv) AS BIGINT) AS conv_c
-        |  FROM rk GROUP BY 1),
+        |  FROM ud GROUP BY 1),
         |w AS (
         |  SELECT decile, n_t, n_c, conv_t, conv_c,
         |    CAST(SUM(n_t) OVER (ORDER BY decile ROWS BETWEEN
@@ -3385,8 +3389,10 @@ object EventsLog {
         |SELECT CAST(decile AS BIGINT) AS decile, n_t, n_c, conv_t,
         |  conv_c,
         |  CASE WHEN n_t = 0 OR n_c = 0 THEN 0.0 ELSE
-        |    ROUND(CAST(conv_t * n_c - conv_c * n_t AS DOUBLE)
-        |      / CAST(n_t * n_c AS DOUBLE), 4) END AS uplift,
+        |    ROUND(CAST(CAST(conv_t AS HUGEINT) * n_c
+        |        - CAST(conv_c AS HUGEINT) * n_t AS DOUBLE)
+        |      / CAST(CAST(n_t AS HUGEINT) * n_c AS DOUBLE), 4) END
+        |    AS uplift,
         |  CASE WHEN nc_c = 0 THEN 0.0 ELSE
         |    ROUND(CAST(CAST(ct_c AS HUGEINT) * nc_c
         |        - CAST(cc_c AS HUGEINT) * nt_c AS DOUBLE)

@@ -836,14 +836,20 @@ object EventStream {
   def quantileWindows(events: DataFrame, model: DataFrame,
       wmDelay: String = "1 hour"): Dataset[QuantileRow] = {
     import events.sparkSession.implicits._
+    // fail fast on a degenerate model (trained on zero rows → null
+    // bounds): the tuple decode below would otherwise kill the first
+    // micro-batch with an opaque null-in-primitive error (review
+    // finding r12); the model frame is batch-built, so this probe is
+    // one tiny job at query construction, never per-batch
+    val mrow = model.select($"v0", $"v1").head(1)
+    require(mrow.nonEmpty && !mrow(0).isNullAt(0) && !mrow(0).isNullAt(1),
+      "quantileModel is degenerate (trained on zero rows): null bounds")
     val isBatch = !events.isStreaming
     val in0 = if (isBatch) events else events.withWatermark("ts", wmDelay)
     val binned = in0.crossJoin(broadcast(model))
       .select(
-        expr("unix_micros(ts) div 3600000000 * 3600000000").as("ws"),
-        expr("cast(greatest(0L, least(999L, floor(case when v1 = v0" +
-          " then 0.0 else (value - v0) * 1000.0 / (v1 - v0) end)))" +
-          " as int)").as("bin"),
+        expr(graft.queries.EventsLog.hourStartSql).as("ws"),
+        expr(graft.queries.EventsLog.quantileBinSql("int")).as("bin"),
         $"v0", $"v1", $"ts")
       .as[(Long, Int, Double, Double, java.sql.Timestamp)]
     binned.groupByKey(_._1)
@@ -879,8 +885,11 @@ object EventStream {
 
   /** The exact integer quantile cut over a closed window's histogram —
     * `need = (n·q + 99) div 100`, qbin = first bin whose cumulative
-    * count reaches it; est is the bin midpoint on the model lattice
-    * (identical arithmetic to the declared log_hourly_quantiles). */
+    * count reaches it; est is the bin midpoint on the model lattice,
+    * HALF_UP-rounded to 6 dp exactly like the declared
+    * log_hourly_quantiles (review finding r12: emitting the unrounded
+    * double made QuantileRow.est differ from the declared table and
+    * pushed a compensating round into the parity test). */
   private def finalizeQuantiles(ws: Long, v0: Double, v1: Double,
       h: Array[Long]): Iterator[QuantileRow] = {
     val n = h.sum
@@ -895,8 +904,10 @@ object EventStream {
         if (cum >= need) qbin = b
         b += 1
       }
+      val est = v0 + (qbin + 0.5) * (v1 - v0) / 1000.0
       QuantileRow(ws, q, n, qbin.toLong,
-        v0 + (qbin + 0.5) * (v1 - v0) / 1000.0)
+        BigDecimal(est).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
     }
   }
 

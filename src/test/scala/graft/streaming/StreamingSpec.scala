@@ -1019,8 +1019,6 @@ class StreamingSpec extends SparkSpec {
 
   test("hourly quantiles: declared == typed batch; streaming == batch") {
     import spark.implicits._
-    def r6(x: Double): Double =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val ev = t(spark, sf(), "events")
     val model = EventStream.quantileModel(ev)
     // three-way leg 1: the declared query == the typed batch path
@@ -1030,7 +1028,7 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)) ->
         (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
     val batch = EventStream.quantileWindows(ev, model).collect()
-      .map(p => (p.w_start, p.q_pct) -> (p.n, p.qbin, r6(p.est))).toMap
+      .map(p => (p.w_start, p.q_pct) -> (p.n, p.qbin, p.est)).toMap
     assert(batch.nonEmpty && declared == batch,
       "declared query and typed batch path diverge")
     // three-way leg 2: streaming finalized windows == batch, state
@@ -1051,7 +1049,7 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
     val streamed = spark.table("quant_stream").collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->
-        (r.getLong(2), r.getLong(3), r6(r.getDouble(4)))).toMap
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
     assert(streamed.nonEmpty)
     for ((k, v) <- streamed)
       assert(batch(k) == v, s"$k: streamed quantile diverges from batch")

@@ -73,6 +73,9 @@ def main():
     json_out = None
     if "--json" in args:
         i = args.index("--json")
+        if i + 1 >= len(args):
+            print("usage: check.py [--json OUT] <sfDir> <verifyOutDir> [query ...]")
+            sys.exit(2)
         json_out = args[i + 1]
         args = args[:i] + args[i + 2:]
     sfdir, outdir = args[0], args[1]
