@@ -106,41 +106,51 @@ object Similarity {
       .select($"vec_id".as("s_id"), $"v".as("c"))
       .agg(expr("array_sort(collect_list(named_struct(" +
         "'s_id', s_id, 'c', c)))").as("supers"))
-    // level-1 argmax: (neg rounded guarded cosine, s_id) struct min
-    def superOf(vcol: String): Column = expr(
-      s"""array_min(transform(supers, st -> named_struct(
-         |  'nsim', -round(nanvl(cosine_similarity($vcol, st.c), -2D), 4),
-         |  's_id', st.s_id))).s_id""".stripMargin)
     // the k centroids grouped by their own super-cell: k2 rows
     // (scell, garr); super-centroids pin to their own group
     val groups = emb.crossJoin(broadcast(kf)).filter($"vec_id" < $"kk")
       .crossJoin(broadcast(supers))
       .select($"vec_id".as("cent_id"), $"v".as("c"),
-        when($"vec_id" < $"kk2", $"vec_id").otherwise(superOf("v")).as("scell"))
+        when($"vec_id" < $"kk2", $"vec_id")
+          .otherwise(superOfExpr("v")).as("scell"))
       .groupBy($"scell")
       .agg(expr("array_sort(collect_list(named_struct(" +
         "'cent_id', cent_id, 'c', c)))").as("garr"))
-    // level-2 argmax within the joined group only — kept as the sorted
-    // top-2 so multi-probe consumers get the second-nearest cell from
-    // the SAME fold (cells[0] = the argmin ivfCells always assigned;
-    // cell2 = null when the group holds a single centroid). Sorting a
-    // ~sqrt(k)-element in-row array costs the same order as the argmin.
-    val cells2Of = expr(
-      """transform(slice(array_sort(transform(garr, ct -> named_struct(
-        |  'nsim', -round(nanvl(cosine_similarity(v, ct.c), -2D), 4),
-        |  'cent_id', ct.cent_id))), 1, 2), x -> x.cent_id)""".stripMargin)
     // NO broadcast hint on the groups join: the hint would override the
     // planner's size-based choice, re-introducing the force-broadcast
     // failure mode the equi-join exists to avoid — AQE must be free to
     // switch to a shuffle join when k·dim outgrows the broadcast cap.
     // (At bench scale AQE picks broadcast at runtime anyway.)
     emb.crossJoin(broadcast(supers))
-      .select($"vec_id", $"v", superOf("v").as("scell"))
+      .select($"vec_id", $"v", superOfExpr("v").as("scell"))
       .join(groups, "scell")
-      .select($"vec_id", $"v", cells2Of.as("cells"))
+      .select($"vec_id", $"v", groupProbeExpr("v", 2).as("cells"))
       .select($"vec_id", $"v",
         expr("cells[0]").as("cell"), expr("get(cells, 1)").as("cell2"))
   }
+
+  /** Level-1 coarse argmax over the broadcast `supers` row: (neg
+    * rounded guarded cosine, s_id) struct min. ONE definition shared
+    * by the in-session build ([[ivfCellsRaw]]) and the persisted-index
+    * probe (engine.AnnIndexStore.searchTopK) — the serving quantizer
+    * MUST be the build quantizer, or a stored vector's own cell can
+    * miss its probe set. Expects a `supers` column in scope. */
+  private[graft] def superOfExpr(vcol: String): Column = expr(
+    s"""array_min(transform(supers, st -> named_struct(
+       |  'nsim', -round(nanvl(cosine_similarity($vcol, st.c), -2D), 4),
+       |  's_id', st.s_id))).s_id""".stripMargin)
+
+  /** Level-2 argmax within the joined group only — the sorted top-
+    * `nprobe` cells from ONE fold (cells[0] = the argmin assignment;
+    * later entries feed multi-probe). Sorting a ~sqrt(k)-element
+    * in-row array costs the same order as the argmin. Expects a
+    * `garr` column in scope; shared with AnnIndexStore like
+    * [[superOfExpr]]. */
+  private[graft] def groupProbeExpr(vcol: String, nprobe: Int): Column =
+    expr(
+      s"""transform(slice(array_sort(transform(garr, ct -> named_struct(
+         |  'nsim', -round(nanvl(cosine_similarity($vcol, ct.c), -2D), 4),
+         |  'cent_id', ct.cent_id))), 1, $nprobe), x -> x.cent_id)""".stripMargin)
 
   /** Within-cell candidate pairs with exact rounded cosine — the one
     * self-equi-join every pairwise similarity operator shares. Exposed

@@ -162,6 +162,8 @@ class PlanHygieneSpec extends SparkSpec {
     "sim_hard_negatives",    // 1-row anchor-panel array (batch_topk shape)
     "sim_rank_fusion",       // 1-row hyperplane matrix + 1-row anchor panel
     "doc_cdc_dedup",         // 1-row corpus-savings scalar
+    "log_hourly_quantiles",  // 1-row (v0,v1) bin-bounds scalar — the
+                             // sketch_hist_quantiles shape per hour
     "log_removal_effect",    // constant 5-variant × alphabet² removal
                              // lattice + 1-row full-chain scalars
     "pqIndex (raw build)",   // 1-row codebook (the materialized index build)
