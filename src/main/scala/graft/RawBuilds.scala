@@ -48,5 +48,21 @@ object RawBuilds {
     // the rolling-hash production path (no md5 per char) — the
     // geometry twin of the md5 rule, invariant-tested not oracled
     "doc_cdc_chunks_poly_raw" -> ((s, d) =>
-      queries.PipelineOps.cdcChunksPoly(s, d)))
+      queries.PipelineOps.cdcChunksPoly(s, d)),
+    // the full persisted-index lifecycle: build + write the
+    // cell-partitioned artifact, reload with manifest validation,
+    // serve a ~1% query panel top-10 — the serve-tomorrow cost the
+    // in-session memo rows can't see
+    "sim_index_store_raw" -> ((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_annidx_bench").toString
+      engine.AnnIndexStore.save(s, d, dir)
+      val idx = engine.AnnIndexStore.load(s, dir)
+      import org.apache.spark.sql.functions.col
+      val qs = Tables.t(s, d, "embeddings")
+        .select(col("vec_id").as("q_id"),
+          col("embedding").cast("array<double>").as("q"))
+        .filter(col("q_id") % 97 === 0)
+      engine.AnnIndexStore.searchTopK(s, idx, qs, 10)
+    }))
 }
