@@ -77,6 +77,56 @@ class CdcChunkerSpec extends SparkSpec {
       sql.collect().map(_.mkString("|")).toSeq)
   }
 
+  test("property: Md5Cut equals the SQL predicate on random multilingual text") {
+    import spark.implicits._
+    // deterministic pseudo-random docs over a code-point alphabet that
+    // exercises every UTF-8 width (1..4 bytes) — the code-point
+    // position bookkeeping is exactly what could silently diverge from
+    // Spark's substring semantics
+    val alphabet: IndexedSeq[String] = (('a' to 'z') ++ ('0' to '9'))
+      .map(_.toString) ++ Seq(" ", " ", " ", "é", "ß", "ü", "中", "文",
+      "日", "語", "😀", "𝕏", " ", "–")
+    val rnd = new scala.util.Random(20260815L)
+    val docs = (1L to 40L).map { id =>
+      val len = 1 + rnd.nextInt(400)
+      val text = Seq.fill(len)(alphabet(rnd.nextInt(alphabet.size)))
+        .mkString
+      (id, "p", text)
+    }
+    val df = docs.toDF("doc_id", "source", "text")
+    val eng = sortOf(CdcChunker.chunks(df, CdcChunker.Md5Cut))
+    val sql = {
+      import org.apache.spark.sql.expressions.Window
+      val d0 = df.select($"doc_id", $"source", $"text",
+        length($"text").cast("long").as("len")).filter($"len" > 0)
+      val bpos = d0.filter($"len" >= 8)
+        .select($"doc_id", $"text",
+          explode(expr("sequence(8, len)")).as("i"))
+        .filter(expr(graft.queries.PipelineOps.cdcCutSql("i")))
+        .select($"doc_id", $"i")
+      val bounds = bpos.union(d0.select($"doc_id", $"len".as("i")))
+        .distinct()
+      val wd = Window.partitionBy($"doc_id").orderBy($"i")
+      sortOf(bounds
+        .withColumn("prev", coalesce(lag($"i", 1).over(wd), lit(0L)))
+        .filter($"i" > $"prev")
+        .join(d0.select($"doc_id", $"source", $"text"), Seq("doc_id"))
+        .select($"doc_id", $"source", ($"i" - $"prev").as("clen"),
+          expr("cast(conv(substring(md5(cast(substring(text," +
+            " cast(prev + 1 as int), cast(i - prev as int)) as binary))," +
+            " 1, 15), 16, 10) as bigint)").as("chash")))
+    }
+    assert(eng.size == sql.size && eng == sql,
+      s"random-unicode divergence: engine ${eng.size} vs sql ${sql.size} chunks")
+    // and the poly path reassembles the same docs (char counts)
+    val poly = CdcChunker.chunks(df, CdcChunker.PolyCut)
+      .groupBy("doc_id").agg(sum("clen").as("cl"))
+      .join(df.select($"doc_id",
+        length($"text").cast("long").as("len")), "doc_id")
+      .filter($"cl" =!= $"len").count()
+    assert(poly == 0, "PolyCut reassembly broke on multilingual text")
+  }
+
   test("PolyCut invariants: reassembly, determinism, geometry") {
     val docs = docsAt("sf0.001")
     val ch = CdcChunker.chunks(docs, CdcChunker.PolyCut)
