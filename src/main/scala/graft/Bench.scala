@@ -94,7 +94,7 @@ object Bench {
         if (t < 0) ok = false else times += t
         i += 1
       }
-      // Sub-second rows get EXTRA reps (to 7 total): their run-to-run
+      // Short rows get EXTRA reps (to 7 total): their run-to-run
       // distribution is wide relative to the value, so two runs'
       // min-of-3 can differ 1.5x+ on identical code — r11's seven
       // flagged "regressions" were all <0.6 s timer noise (verdict
@@ -105,7 +105,10 @@ object Bench {
       // dedup_lsh_verified 0.29 min vs 0.69 median on one run) and
       // would flag the whole sub-second inventory as regressed once —
       // stabilizing the min keeps the series comparable instead.
-      while (ok && times.nonEmpty && times.min < 1.0 && times.size < 7) {
+      // Threshold 1.5 s (was 1.0, verdict r12 ask #6): q8_domestic_share
+      // showed the noise family reaches 0.3→0.45 s swings that ride
+      // just over the old cutoff's Δ≥0.1 s floor.
+      while (ok && times.nonEmpty && times.min < 1.5 && times.size < 7) {
         val t = timeOnce(name, fn)
         if (t < 0) ok = false else times += t
       }
@@ -152,12 +155,15 @@ object Bench {
           }.toMap
         }
       } catch { case _: Throwable => Map.empty }
-    // ratio gate (1.5x) AND absolute floor (0.1 s): a 0.05->0.14 s
-    // flutter is scheduler jitter, not a regression worth a line
+    // ratio gate (1.5x) AND a Δ floor that scales with the base
+    // (max(0.1 s, 0.3·p), verdict r12 ask #6): a 0.05->0.14 s flutter
+    // is scheduler jitter, and a 0.3->0.45 s swing on an untouched
+    // query is the same noise family one octave up — neither is a
+    // regression worth a line
     val deltas = results.toSeq.flatMap { case (name, v) =>
       prevDetail.get(name).collect {
         case p if p > 0 && v > 0 && (v >= p * 1.5 || v <= p / 1.5) &&
-          math.abs(v - p) >= 0.1 =>
+          math.abs(v - p) >= math.max(0.1, 0.3 * p) =>
           (name, p, v, v / p)
       }
     }.sortBy { case (_, _, _, r) => -r }

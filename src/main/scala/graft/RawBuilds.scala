@@ -22,6 +22,10 @@ object RawBuilds {
     // farthest-first seed frame; this drives the real 7-pass build
     "sim_kcenter_init_raw" -> ((s, d) => queries.Similarity.kcenterRaw(s, d)),
     "dedup_clusters_raw" -> ((s, d) => queries.Dedup.componentsRaw(s, d)),
+    // the declared mm_neardup_pairs/clusters read the memoized frame
+    // pair graph (r12 drift fix); this drives the real band-join build
+    "mm_neardup_pairs_raw" -> ((s, d) =>
+      queries.Multimodal.neardupPairsRaw(s, d)),
     // the declared merge queries read memoized shard tables; these drive
     // the full shard fold + merge (the actual operator)
     "sketch_cms_merge_raw" -> ((s, d) => queries.Sketches.cmsMergeRaw(s, d)),

@@ -34,11 +34,18 @@ object Components {
       maxIter: Int): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    // undirected edge list, both directions
+    // undirected edge list, both directions. localCheckpoint (not
+    // cache): every iterate joins against edges, and a cached frame
+    // still carries the FULL upstream build in its logical plan — each
+    // round's Catalyst pass re-optimizes the pairs build N times and
+    // the round-to-round job graph depth grows with it (the r12
+    // mm_neardup_clusters drift class). A checkpointed edge set makes
+    // every iterate's plan start from one LogicalRDD.
     val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
     val edges = fwd.union(fwd.select($"dst".as("src"), $"src".as("dst")))
       .distinct()
-      .cache()
+      .localCheckpoint(eager = true)
+    val edgesRdd = Frames.checkpointRdd(edges)
     var labels = edges.select($"src".as("id")).distinct()
       .withColumn("component", $"id")
     // the previous round's checkpointed RDD — the exact persisted handle,
@@ -80,7 +87,9 @@ object Components {
       labels = next.drop("changed")
       iter += 1
     }
-    edges.unpersist()
+    // Dataset.unpersist is a no-op on a localCheckpoint frame (see
+    // scaladoc) — release the edge set's exact persisted RDD
+    edgesRdd.foreach(_.unpersist(blocking = false))
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge within maxIter=$maxIter " +

@@ -19,8 +19,13 @@ object Multimodal {
     * behind `mm_neardup_pairs` (the declared pair listing) and
     * `mm_neardup_clusters` (connected components over the same graph).
     * LSH band discipline on the frame axis: equi-join on the frame
-    * hash under a df≤50 stop-frame cap, never a pairwise scan. */
-  private def neardupPairs(s: SparkSession, d: String): DataFrame = {
+    * hash under a df≤50 stop-frame cap, never a pairwise scan.
+    * This is the RAW build; the declared queries read it through
+    * [[neardupPairsShared]] (built once per (session, dir), like every
+    * other shared frame) — rebuilding it per consumer was the r12
+    * drift source for `mm_neardup_clusters` (verdict r12 ask #1). The
+    * genuine build cost stays benched as `mm_neardup_pairs_raw`. */
+  private[graft] def neardupPairsRaw(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val fd = t(s, d, "documents")
       .select($"doc_id".as("media_id"), $"text".as("payload"))
@@ -41,6 +46,15 @@ object Multimodal {
       .agg(count(lit(1)).as("n_shared"))
       .filter($"n_shared" >= 2)
   }
+
+  /** The memoized pair frame every mm_neardup_* consumer reads: one
+    * checkpointed build per (session, dir). Tiny (one row per candidate
+    * pair), so the checkpoint is cheap to hold; the CC loop downstream
+    * then starts from a LogicalRDD instead of re-planning the whole
+    * explode→band-join build into every iterate. */
+  private val neardupCache = new graft.engine.FrameMemo
+  private def neardupPairsShared(s: SparkSession, d: String): DataFrame =
+    neardupCache.get(s, d)(neardupPairsRaw(s, d).localCheckpoint())
 
   /** Shared recursive-CC oracle preamble over the media pair graph. */
   private val mmPairsCte: String =
@@ -251,7 +265,7 @@ object Multimodal {
     // hashes reuse the mm_frame_sample chunking.
     "mm_neardup_pairs" -> ((s, d) => {
       import s.implicits._
-      neardupPairs(s, d).orderBy($"media_a", $"media_b")
+      neardupPairsShared(s, d).orderBy($"media_a", $"media_b")
     }),
 
     // Media near-dup CLUSTERS — the step after candidate pairs: the
@@ -265,7 +279,7 @@ object Multimodal {
     "mm_neardup_clusters" -> ((s, d) => {
       import s.implicits._
       graft.engine.Components
-        .connectedComponents(neardupPairs(s, d), "media_a", "media_b",
+        .connectedComponents(neardupPairsShared(s, d), "media_a", "media_b",
           maxIter = 20)
         .groupBy($"component")
         .agg(count(lit(1)).as("n_media"))
