@@ -61,12 +61,14 @@ object RawBuilds {
       val dir = java.nio.file.Files
         .createTempDirectory("graft_annidx_bench").toString
       engine.AnnIndexStore.save(s, d, dir)
-      val idx = engine.AnnIndexStore.load(s, dir)
+      engine.AnnIndexStore.load(s, dir, verify = true) // footer integrity
       import org.apache.spark.sql.functions.col
       val qs = Tables.t(s, d, "embeddings")
         .select(col("vec_id").as("q_id"),
           col("embedding").cast("array<double>").as("q"))
         .filter(col("q_id") % 97 === 0)
-      engine.AnnIndexStore.searchTopK(s, idx, qs, 10)
+      // the stored-quantizer serve path — the only correct one once an
+      // index has been appended to
+      engine.AnnIndexStore.searchTopKStored(s, dir, qs, 10)
     }))
 }

@@ -5,10 +5,13 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
 /** The persistable ANN index contract: save → load → search is
-  * bit-identical to searching the freshly built assignment; the
-  * on-disk layout prunes probes to their cells at the scan; and every
-  * corruption class (no manifest, version skew, truncated data) fails
-  * loudly at load, never at query time. */
+  * bit-identical to searching the freshly built assignment (via both
+  * the fresh-frame and stored-quantizer serve paths); the on-disk
+  * layout prunes probes to their cells at the scan; every corruption
+  * class (no manifest, version skew, truncated data) fails loudly at
+  * load, never at query time; append assigns with the STORED quantizer
+  * and keeps recall; forget makes ids unreachable and flags a stale
+  * codebook; stats carries the rebuild trigger. */
 class AnnIndexStoreSpec extends SparkSpec {
 
   private lazy val dir: String = {
@@ -25,30 +28,48 @@ class AnnIndexStoreSpec extends SparkSpec {
       .filter($"q_id" % 97 === 0)
   }
 
+  /** Exact cosine top-k ground truth, replayed in plain Scala. */
+  private def bruteTopK(vecs: Map[Long, Array[Double]], q: Array[Double],
+      k: Int): Seq[Long] = {
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0d; var na = 0d; var nb = 0d
+      a.indices.foreach { i =>
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      math.round(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e4) / 1e4
+    }
+    vecs.toSeq.map { case (id, v) => (-cos(q, v), id) }.sorted
+      .take(k).map(_._2)
+  }
+
   test("manifest records the real geometry") {
-    val m = AnnIndexStore.manifest(dir)
+    val m = AnnIndexStore.manifest(spark, dir)
     assert(m.version == AnnIndexStore.Version)
     assert(m.dim == 64 && m.n_vectors > 0 && m.k >= 8)
     assert(m.n_vectors == graft.Tables.t(spark, sf(), "embeddings").count())
+    assert(m.kk == math.max(8L,
+      math.ceil(math.sqrt(m.n_vectors.toDouble)).toLong))
+    assert(m.kk2 == math.ceil(math.sqrt(m.kk.toDouble)).toLong)
+    assert(!m.codebook_stale)
   }
 
-  test("save -> load -> search equals searching the fresh build") {
+  test("save -> load -> search equals searching the fresh build, on both serve paths") {
     import spark.implicits._
-    val loaded = AnnIndexStore.load(spark, dir)
+    val loaded = AnnIndexStore.load(spark, dir, verify = true)
     val fresh = graft.queries.Similarity.ivfCells(spark, sf())
     // the artifact IS the assignment
     assert(loaded.select($"vec_id", $"cell").collect().map(_.toSeq).toSet ==
       fresh.select($"vec_id", $"cell").collect().map(_.toSeq).toSet)
-    def run(idx: org.apache.spark.sql.DataFrame): Seq[String] =
-      AnnIndexStore.searchTopK(spark, idx, queries3, k = 5)
-        .collect().map(_.mkString("|")).sorted.toSeq
-    val a = run(loaded)
-    val b = run(fresh)
+    def norm(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.mkString("|")).sorted.toSeq
+    val a = norm(AnnIndexStore.searchTopK(spark, loaded, queries3, k = 5))
+    val b = norm(AnnIndexStore.searchTopK(spark, fresh, queries3, k = 5))
+    val c = norm(AnnIndexStore.searchTopKStored(spark, dir, queries3, k = 5))
     assert(a.nonEmpty && a == b, "loaded-index search != fresh-index search")
+    assert(a == c, "stored-quantizer search != fresh-quantizer search " +
+      "on a never-appended index")
     // rank 1 of a corpus vector must score a rounded cosine of 1.0 —
-    // itself, or a 4dp-tied twin with a smaller id (the fixture has
-    // vectors whose cosine rounds to 1.0000; ties break by vec_id)
-    val self = AnnIndexStore.searchTopK(spark, loaded, queries3, k = 1)
+    // itself, or a 4dp-tied twin with a smaller id
+    val self = AnnIndexStore.searchTopKStored(spark, dir, queries3, k = 1)
       .select($"q_id", $"sim").collect()
     assert(self.nonEmpty && self.forall(_.getDouble(1) == 1.0),
       "a corpus vector's top-1 must score rounded cosine 1.0")
@@ -77,14 +98,27 @@ class AnnIndexStoreSpec extends SparkSpec {
     val skew = java.nio.file.Files.createTempDirectory("graft_skew").toString
     AnnIndexStore.save(spark, sf(), skew)
     val mp = java.nio.file.Paths.get(skew, "manifest.json")
+    // tampering out-of-band invalidates the Hadoop LocalFS checksum
+    // sidecar — remove it so the read exercises OUR validation, not CRC
+    val crc = java.nio.file.Paths.get(skew, ".manifest.json.crc")
     java.nio.file.Files.writeString(mp,
       java.nio.file.Files.readString(mp)
-        .replace("\"version\": 1", "\"version\": 99"))
+        .replace("\"version\":" + AnnIndexStore.Version, "\"version\":99"))
+    java.nio.file.Files.deleteIfExists(crc)
     val e2 = intercept[IllegalStateException] {
       AnnIndexStore.load(spark, skew)
     }
     assert(e2.getMessage.contains("v99"))
-    // truncated cells dir: drop one cell partition
+    // garbage manifest bytes
+    java.nio.file.Files.writeString(mp, "not json {{{")
+    java.nio.file.Files.deleteIfExists(crc)
+    val e4 = intercept[IllegalStateException] {
+      AnnIndexStore.load(spark, skew)
+    }
+    assert(e4.getMessage.contains("unreadable"))
+    // truncated cells dir: drop one cell partition — caught by the
+    // opt-in footer-metadata integrity pass (load itself stays
+    // metadata-only, ADVICE r12)
     val trunc = java.nio.file.Files.createTempDirectory("graft_trunc").toString
     AnnIndexStore.save(spark, sf(), trunc)
     val parts = new java.io.File(s"$trunc/cells").listFiles()
@@ -95,8 +129,123 @@ class AnnIndexStoreSpec extends SparkSpec {
     }
     rm(parts.head)
     val e3 = intercept[IllegalStateException] {
-      AnnIndexStore.load(spark, trunc)
+      AnnIndexStore.load(spark, trunc, verify = true)
     }
     assert(e3.getMessage.contains("manifest says"))
+    // ...and the default (metadata-only) load of the same dir succeeds
+    AnnIndexStore.load(spark, trunc)
+  }
+
+  test("manifest JSON survives a hostile source path") {
+    import spark.implicits._
+    // characters that corrupted the v1 hand-rolled writer/regex parser
+    val hostile = java.nio.file.Files
+      .createTempDirectory("graft_a,\"b}c").toString
+    graft.Tables.t(spark, sf(), "embeddings")
+      .write.parquet(s"$hostile/embeddings.parquet")
+    val out = java.nio.file.Files.createTempDirectory("graft_hostidx").toString
+    val saved = AnnIndexStore.save(spark, hostile, out)
+    val read = AnnIndexStore.manifest(spark, out)
+    assert(read == saved && read.source == hostile)
+  }
+
+  test("append assigns with the stored quantizer; appended ids are served") {
+    import spark.implicits._
+    // base index over vec_id < 400; append the remaining 100
+    val base = java.nio.file.Files.createTempDirectory("graft_base").toString
+    graft.Tables.t(spark, sf(), "embeddings").filter($"vec_id" < 400)
+      .write.parquet(s"$base/embeddings.parquet")
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_appidx").toString
+    val m0 = AnnIndexStore.save(spark, base, idxDir)
+    assert(m0.n_vectors == 400)
+    val delta = graft.Tables.t(spark, sf(), "embeddings")
+      .filter($"vec_id" >= 400)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val m1 = AnnIndexStore.append(spark, idxDir, delta)
+    assert(m1.n_vectors == 500 && m1.kk == m0.kk && m1.k == m0.k,
+      s"append must bump n only, got $m1")
+    // every appended vector probes its own assigned cell: querying an
+    // appended vector returns ITSELF at rank 1, rounded cosine 1.0
+    val qs = delta.select($"vec_id".as("q_id"), $"v".as("q"))
+    val top1 = AnnIndexStore.searchTopKStored(spark, idxDir, qs, k = 1)
+      .select($"q_id", $"vec_id", $"sim").collect()
+    assert(top1.length == 100)
+    assert(top1.forall(_.getDouble(2) == 1.0),
+      "an appended vector's top-1 must score rounded cosine 1.0")
+    // recall parity vs a FRESH build over the union: the no-re-train
+    // append may not beat a retrained quantizer, but must stay close
+    val vecs = graft.Tables.t(spark, sf(), "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val fullDir = java.nio.file.Files.createTempDirectory("graft_full").toString
+    AnnIndexStore.save(spark, sf(), fullDir)
+    def recall(dir: String): Double = {
+      val got = AnnIndexStore.searchTopKStored(spark, dir, queries3, 10)
+        .select($"q_id", $"vec_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+      val per = got.map { case (q, ids) =>
+        val truth = bruteTopK(vecs, vecs(q), 10).toSet
+        (ids & truth).size.toDouble / truth.size
+      }
+      per.sum / per.size
+    }
+    val rAppend = recall(idxDir)
+    val rFresh = recall(fullDir)
+    assert(rAppend >= rFresh - 0.1,
+      s"append recall $rAppend fell >0.1 below fresh-build recall $rFresh")
+  }
+
+  test("forget makes ids unreachable, rewrites only their cells, and flags a stale codebook") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_forget").toString
+    val m0 = AnnIndexStore.save(spark, sf(), d)
+    // pick two NON-centroid ids and remember which cells they live in
+    val victims = Seq(450L, 451L)
+    assert(victims.forall(_ >= m0.kk))
+    val before = AnnIndexStore.load(spark, d)
+    val victimCells = before.filter($"vec_id".isin(victims: _*))
+      .select($"cell").distinct().as[Long].collect().toSet
+    val untouchedCell = before.select($"cell").distinct().as[Long]
+      .collect().filterNot(victimCells).head
+    val filesBefore = new java.io.File(s"$d/cells/cell=$untouchedCell")
+      .listFiles().map(_.getName).toSet
+    val m1 = AnnIndexStore.forget(spark, d, victims)
+    assert(m1.n_vectors == m0.n_vectors - 2 && !m1.codebook_stale)
+    // leak audit: the ids are gone from the persisted cells entirely
+    assert(AnnIndexStore.load(spark, d, verify = true)
+      .filter($"vec_id".isin(victims: _*)).count() == 0)
+    // ...and unreachable via search, even querying their own vectors
+    val qs = graft.Tables.t(spark, sf(), "embeddings")
+      .filter($"vec_id".isin(victims: _*))
+      .select($"vec_id".as("q_id"),
+        $"embedding".cast("array<double>").as("q"))
+    val served = AnnIndexStore.searchTopKStored(spark, d, qs, 10)
+      .select($"vec_id").as[Long].collect()
+    assert(served.nonEmpty && !served.exists(victims.contains),
+      "a forgotten id surfaced in search results")
+    // partition-scoped rewrite: an untouched cell's files are untouched
+    val filesAfter = new java.io.File(s"$d/cells/cell=$untouchedCell")
+      .listFiles().map(_.getName).toSet
+    assert(filesAfter == filesBefore,
+      "forget rewrote a cell that held no forgotten id")
+    // stats: healthy index, no rebuild yet
+    val s0 = AnnIndexStore.stats(spark, d).collect()(0)
+    assert(!s0.getAs[Boolean]("rebuild_recommended"))
+    // forgetting a codebook id flags the rebuild trigger
+    val m2 = AnnIndexStore.forget(spark, d, Seq(3L))
+    assert(m2.codebook_stale)
+    assert(AnnIndexStore.load(spark, d)
+      .filter($"vec_id" === 3L).count() == 0)
+    val s1 = AnnIndexStore.stats(spark, d).collect()(0)
+    assert(s1.getAs[Boolean]("codebook_stale") &&
+      s1.getAs[Boolean]("rebuild_recommended"))
+  }
+
+  test("stats reads the cell-occupancy shape") {
+    val s0 = AnnIndexStore.stats(spark, dir).collect()(0)
+    val m = AnnIndexStore.manifest(spark, dir)
+    assert(s0.getAs[Long]("n_cells") == m.k)
+    assert(s0.getAs[Long]("n_vectors") == m.n_vectors)
+    assert(s0.getAs[Double]("imbalance") >= 1.0)
   }
 }

@@ -194,4 +194,25 @@ class StreamingRestartSpec extends SparkSpec {
     assert(got == ref,
       s"reservoir diverged after kills: ref=${ref.size}, got=${got.size}")
   }
+
+  test("stored-index ANN serve survives mid-batch kills (exactly-once)") {
+    import spark.implicits._
+    val idxDir = Files.createTempDirectory("graft_kill_idx").toString
+    graft.engine.AnnIndexStore.save(spark, sf(), idxDir)
+    // query vectors spread over ascending hours so the watermark
+    // advances and append-mode windows close as batches drain
+    val queries = t(spark, sf(), "embeddings")
+      .filter($"vec_id" % 7 === 0)
+      .select(
+        expr("timestamp_micros(1717200000000000 + " +
+          "(vec_id div 7) * 3600000000)").as("ingest_ts"),
+        $"vec_id".as("q_id"),
+        $"embedding".cast("array<double>").as("q"))
+    val (src, schema) = stage(queries, 10, timeCol = Some("ingest_ts"))
+    val (ref, got) = sweepAppend("annserve", src, schema,
+      df => AnnIndexServe.serveTopK(spark, idxDir, df, k = 3))
+    assert(ref.nonEmpty, "reference run emitted nothing — test is vacuous")
+    assert(got == ref, s"ANN serve diverged after kills: " +
+      s"ref=${ref.size} rows, got=${got.size}")
+  }
 }

@@ -1634,4 +1634,49 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch,
       s"streaming ${streamed.size} rows != batch ${batch.size}")
   }
+
+  test("stored-index serve (streaming): windowed top-k == batch == searchTopKStored") {
+    import spark.implicits._
+    // persisted index built once, served by a later "session" (here: a
+    // streaming query that only sees the index DIRECTORY)
+    val idxDir = Files.createTempDirectory("graft_serveidx").toString
+    graft.engine.AnnIndexStore.save(spark, sf(), idxDir)
+    val root = Files.createTempDirectory("graft_serve").toString
+    val src = s"$root/src"
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 10:10:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-06-01 11:40:00")
+    val all = t(spark, sf(), "embeddings")
+      .select($"vec_id".as("q_id"),
+        $"embedding".cast("array<double>").as("q"))
+    all.filter($"q_id" % 97 === 0).withColumn("ingest_ts", lit(t0))
+      .unionAll(all.filter($"q_id" % 97 === 1)
+        .withColumn("ingest_ts", lit(t1)))
+      .write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val q = AnnIndexServe.serveTopK(spark, idxDir,
+        spark.readStream.schema(schema).parquet(src), k = 5)
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("ann_serve_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("ann_serve_stream")
+      .orderBy($"w_start", $"q_id", $"rank").collect().toSeq
+    val batch = AnnIndexServe.serveTopK(spark, idxDir,
+        spark.read.parquet(src), k = 5)
+      .orderBy($"w_start", $"q_id", $"rank").collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streaming ${streamed.size} rows != batch ${batch.size}")
+    assert(streamed.map(_.getTimestamp(0)).distinct.length == 2,
+      "both serve windows must be present")
+    // and per query the served rows ARE the batch stored-search rows
+    val w0 = streamed.filter(_.getTimestamp(0)
+        .equals(java.sql.Timestamp.valueOf("2024-06-01 10:00:00")))
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val stored = graft.engine.AnnIndexStore
+      .searchTopKStored(spark, idxDir, all.filter($"q_id" % 97 === 0), 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(w0.sorted == stored.sorted,
+      "streamed window-0 rows != batch searchTopKStored rows")
+  }
 }
