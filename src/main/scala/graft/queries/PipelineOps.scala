@@ -417,6 +417,32 @@ object PipelineOps {
         .orderBy($"doc_id")
     }),
 
+    // PolyCut geometry pin (verdict r12 ask #3): the production
+    // rolling-hash chunker folds wrapping 64-bit arithmetic DuckDB
+    // cannot replay, so its oracle is a FROZEN FIXTURE — the engine
+    // chunks graft.engine.PolyCutFixture's deterministic multilingual
+    // corpus (every UTF-8 width), and the oracle SQL carries the
+    // expected (doc_id, chunk_idx, clen, chash) rows as literal VALUES
+    // generated once by GenPolyFixtureSql and never regenerated after
+    // a chunker change. The sfDir argument is deliberately unused: a
+    // cross-engine geometry pin needs an input identical on both
+    // sides and across scale factors.
+    "doc_cdc_poly_fixture" -> ((s, _) => {
+      import s.implicits._
+      s.createDataset(graft.engine.PolyCutFixture.corpus)
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.flatMap { case (id, tx) =>
+            graft.engine.CdcChunker
+              .chunkOne(md, id, "fx", tx, graft.engine.CdcChunker.PolyCut)
+              .zipWithIndex
+              .map { case (c, i) => (id, i.toLong, c.clen, c.chash) }
+          }
+        }
+        .toDF("doc_id", "chunk_idx", "clen", "chash")
+        .orderBy($"doc_id", $"chunk_idx")
+    }),
+
     // Chunk-level dedup over the content-defined chunks — what
     // doc_cdc_chunks' cut stability is FOR: hash every CDC chunk
     // (60-bit md5, the kmv width) and measure how many chunk
@@ -2023,6 +2049,12 @@ object PipelineOps {
         |  WHERE m2.a >= m1.a AND m2.b >= m1.b
         |    AND (m2.a > m1.a OR m2.b > m1.b))
         |ORDER BY n_tokens DESC, m1.doc_id""".stripMargin,
+
+    // frozen-fixture oracle for the PolyCut geometry pin — the
+    // literal rows were generated ONCE by GenPolyFixtureSql (see the
+    // declared query's comment; never regenerate after a chunker edit)
+    "doc_cdc_poly_fixture" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, CAST(clen AS BIGINT) AS clen, CAST(chash AS BIGINT) AS chash FROM (VALUES (0,0,140,83839368711842866),(0,1,32,265372049490543071),(0,2,28,28654938689963503),(1,0,16,830085656873238981),(1,1,221,356980915128358035),(2,0,31,819043663866030122),(2,1,46,716545675838612205),(2,2,146,1130155429856154452),(2,3,32,531774912892179380),(2,4,19,1147792426025455298),(3,0,259,107574095735122927),(3,1,13,1043185488153261333),(3,2,30,1110416576505778261),(3,3,9,436787259605582147),(4,0,45,1139062660189058654),(4,1,303,565602411837739161),(5,0,11,337536603758098322),(5,1,164,198026088519079922),(5,2,77,270045055421319577),(5,3,4,70098311353782759),(5,4,53,47337133254364544),(5,5,76,774430490536070288),(6,0,85,472843838595740543),(6,1,4,204579308184036551),(6,2,16,926360749021539427),(6,3,29,578324997459184205),(6,4,58,659585807223963167),(6,5,15,320052499399868996),(6,6,3,68067370069237837),(6,7,12,919514013134919408),(6,8,107,430943341391152263),(6,9,91,683009269756512684),(6,10,2,53794965770850074),(7,0,69,9908332581147999),(7,1,54,945895516438250891),(7,2,28,1000632121571489723),(7,3,79,1031560544037343012),(7,4,22,902719562930308591),(7,5,43,416872329713072409),(7,6,27,1001277144263850460),(7,7,19,184121258662957819),(7,8,118,244674633727618468),(8,0,72,548189272392762026),(8,1,126,220606739923249019),(8,2,116,164612131897186149),(8,3,122,104456531669905624),(8,4,24,63813805330692071),(8,5,36,629309020584949022),(9,0,64,24662006418754326),(9,1,62,862901946594775815),(9,2,71,423829988518993920),(9,3,28,885193006729265249),(9,4,8,1033152986497932176),(10,0,39,276796921184401848),(10,1,3,588050909237950812),(10,2,180,1082962944709277288),(10,3,48,360891093429099543),(11,0,15,685015149779133933),(11,1,47,604650014019144424),(11,2,84,612668450809440846),(11,3,24,998808137629941824),(11,4,39,1149870150758761764),(11,5,34,1050617313267779739),(11,6,43,199645272048682967),(11,7,21,334503505797006781),(12,0,171,924168242111889753),(12,1,90,214381196885090899),(12,2,83,782544662306119197),(13,0,42,788293803453934272),(13,1,47,1066818160127633806),(13,2,27,129585413063519507),(13,3,48,299781671193783157),(13,4,47,599492543761879292),(13,5,21,583818845697587837),(13,6,7,67911921848569903),(13,7,67,233983403466910307),(13,8,28,1012329744652673329),(13,9,12,781915833339739288),(13,10,35,193837494311347660),(14,0,69,538875975384803600),(14,1,18,10080882811407670),(14,2,17,727583145225073045),(14,3,17,286579010406324855),(14,4,9,188353143729652589),(14,5,3,111468753707176811),(14,6,58,778020270059304670),(14,7,23,152215662381799024),(14,8,51,1097299272148783484),(14,9,11,130610798952550789),(14,10,63,193026580073453286),(14,11,50,874909021538226812),(14,12,29,69558775808464137),(15,0,95,655579421027749095),(15,1,5,200523718932009413),(15,2,58,127388992257782476),(15,3,58,1093011017634940236),(15,4,25,43007611375595644),(15,5,62,955302351348336376),(15,6,8,667910722112147546),(15,7,80,170759473232436073),(15,8,64,1097075511385397988)) t(doc_id, chunk_idx, clen, chash) ORDER BY doc_id, chunk_idx""",
 
     "doc_cdc_chunks" ->
       """WITH d AS (
