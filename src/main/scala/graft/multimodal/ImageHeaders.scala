@@ -32,6 +32,7 @@ object ImageHeaders {
     if (bytes == null) None
     else if (isPng(bytes)) parsePng(bytes)
     else if (isBmp(bytes)) parseBmp(bytes)
+    else if (isJpeg(bytes)) parseJpeg(bytes)
     else None
   }
 
@@ -40,6 +41,9 @@ object ImageHeaders {
 
   private def isBmp(b: Array[Byte]): Boolean =
     b.length >= 2 && b(0) == 'B'.toByte && b(1) == 'M'.toByte
+
+  private def isJpeg(b: Array[Byte]): Boolean =
+    b.length >= 2 && b(0) == 0xff.toByte && b(1) == 0xd8.toByte
 
   private def be32(b: Array[Byte], off: Int): Long =
     ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
@@ -75,6 +79,42 @@ object ImageHeaders {
     val bpp = ((b(28) & 0xffL) | ((b(29) & 0xffL) << 8))
     if (w <= 0 || h <= 0) None
     else Some(ImageMeta("bmp", w.toLong, h, bpp))
+  }
+
+  /** JPEG (verdict r12 ask #5): SOI, then a marker-segment walk — each
+    * segment is FF <marker> <len:2 BE, incl. the length bytes> — until
+    * a start-of-frame carrying the geometry: SOF0 (baseline, 0xC0) or
+    * SOF2 (progressive, 0xC2). Frame payload: precision(1), height(2
+    * BE), width(2 BE), components(1). bit_depth = precision ×
+    * components (bits per pixel, matching BMP's bpp convention).
+    * Returns None for a walk that runs off the end, a non-FF where a
+    * marker must start, a segment length < 2, or scan-start/EOI before
+    * any SOF — the malformed classes the unit tests pin. */
+  private def parseJpeg(b: Array[Byte]): Option[ImageMeta] = {
+    var off = 2
+    while (off + 4 <= b.length) {
+      if (b(off) != 0xff.toByte) return None
+      val marker = b(off + 1) & 0xff
+      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) {
+        off += 2 // standalone markers carry no length
+      } else if (marker == 0xd9 || marker == 0xda) {
+        return None // EOI / start-of-scan before any SOF
+      } else {
+        val len = ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+        if (len < 2 || off + 2 + len > b.length) return None
+        if (marker == 0xc0 || marker == 0xc2) {
+          if (len < 8) return None
+          val precision = (b(off + 4) & 0xff).toLong
+          val h = (((b(off + 5) & 0xff) << 8) | (b(off + 6) & 0xff)).toLong
+          val w = (((b(off + 7) & 0xff) << 8) | (b(off + 8) & 0xff)).toLong
+          val ncomp = (b(off + 9) & 0xff).toLong
+          return if (w <= 0 || h <= 0 || ncomp <= 0) None
+          else Some(ImageMeta("jpeg", w, h, precision * ncomp))
+        }
+        off += 2 + len
+      }
+    }
+    None
   }
 
   /** A real, minimal PNG prefix: signature + IHDR chunk (13-byte data,
@@ -119,6 +159,39 @@ object ImageHeaders {
     out.putInt(imgSize)
     out.putInt(2835).putInt(2835) // 72 DPI
     out.putInt(0).putInt(0) // palette
+    out.array()
+  }
+
+  /** A real JPEG prefix: SOI + JFIF APP0 + a baseline SOF0 frame header
+    * for `components` 8-bit channels (progressive when
+    * `progressive = true` — SOF2, same payload layout). Not a complete
+    * image (no quant/huffman tables or scan) but byte-exactly the walk
+    * any header reader performs. */
+  def buildJpeg(width: Int, height: Int, components: Int,
+      progressive: Boolean = false): Array[Byte] = {
+    val sofLen = 8 + 3 * components
+    val out = java.nio.ByteBuffer.allocate(2 + 18 + 2 + sofLen)
+    out.put(0xff.toByte).put(0xd8.toByte) // SOI
+    out.put(0xff.toByte).put(0xe0.toByte) // APP0
+    out.putShort(16)
+    out.put("JFIF".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    out.put(0.toByte)
+    out.put(1.toByte).put(1.toByte) // version 1.1
+    out.put(0.toByte) // density units: none
+    out.putShort(1).putShort(1) // aspect 1:1
+    out.put(0.toByte).put(0.toByte) // no thumbnail
+    out.put(0xff.toByte)
+      .put((if (progressive) 0xc2 else 0xc0).toByte) // SOF0 / SOF2
+    out.putShort(sofLen.toShort)
+    out.put(8.toByte) // precision
+    out.putShort(height.toShort)
+    out.putShort(width.toShort)
+    out.put(components.toByte)
+    for (c <- 1 to components) {
+      out.put(c.toByte) // component id
+      out.put(0x11.toByte) // 1x1 sampling
+      out.put(0.toByte) // quant table 0
+    }
     out.array()
   }
 }
