@@ -36,6 +36,47 @@ object EngineProps extends Properties("engine") {
         FirstBytePartitioner.of(c + s1, r) == FirstBytePartitioner.of(c + s2, r)
     }
 
+  // Raw non-UTF-8 byte sequences (verdict r12 ask #9): keys reach the
+  // partitioner as JVM strings, and a file containing invalid UTF-8 —
+  // lone continuation bytes (0x80-0xBF), truncated multi-byte leads,
+  // overlong 0xC0 — decodes to U+FFFD replacement chars. The generator
+  // produces RAW BYTES biased toward exactly those classes; the law is
+  // total in-range determinism under BOTH decodings a pipeline can
+  // produce (UTF-8-with-replacement, and latin-1 which preserves every
+  // byte value as its own char).
+  private val rawBytesGen: Gen[Array[Byte]] =
+    Gen.listOf(Gen.frequency(
+      3 -> Gen.choose(0x80, 0xbf),           // lone continuation bytes
+      2 -> Gen.oneOf(0xc0, 0xc1, 0xf5, 0xff), // never-valid UTF-8 bytes
+      2 -> Gen.oneOf(0xc3, 0xe4, 0xf0),       // leads with no continuation
+      3 -> Gen.choose(0x20, 0x7e)             // printable ASCII
+    )).map(_.map(_.toByte).toArray)
+
+  property("raw invalid-UTF-8 bytes partition in range, deterministically, under both decodings") =
+    forAll(rawBytesGen, Gen.choose(1, 100)) { (bytes, r) =>
+      val utf8 = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      val latin = new String(bytes,
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      Seq(utf8, latin).forall { k =>
+        val p = FirstBytePartitioner.of(k, r)
+        p >= 0 && p < r && p == FirstBytePartitioner.of(k, r)
+      }
+    }
+
+  // the latin-1 decoding preserves the raw first byte, so the Go
+  // semantics (first BYTE of the encoded key mod R, ASCII-folded) are
+  // directly checkable against the byte array itself
+  property("latin-1-decoded raw bytes reproduce Go's first-byte rule exactly") =
+    forAll(rawBytesGen.suchThat(_.nonEmpty), Gen.choose(1, 100)) { (bytes, r) =>
+      val k = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+      // the partitioner re-encodes as UTF-8; a latin-1 char ≥ 0x80
+      // encodes to a 2-byte sequence whose LEAD byte 0xC2/0xC3 is what
+      // Go would see for the same UTF-8 file content
+      val first = k.getBytes("UTF-8")(0) & 0xff
+      val want = (if (first >= 'A' && first <= 'Z') first + 32 else first) % r
+      FirstBytePartitioner.of(k, r) == want
+    }
+
   private val kvsGen: Gen[List[(String, String)]] =
     Gen.listOf(Gen.zip(
       Gen.oneOf("a", "b", "c", "dd", "e1", ""),

@@ -73,4 +73,60 @@ class MrPipelineSpec extends SparkSpec {
     assert(df1.toSet == df2.toSet)
     assert(df1.map(_.getInt(0)).forall(r => r >= 0 && r < WordCountJob.R))
   }
+
+  test("non-UTF-8 input bytes survive the full pipeline: stable partitions, multiset preserved") {
+    // a file of deliberately invalid UTF-8 (verdict r12 ask #9): lone
+    // continuation bytes, never-valid leads, truncated multi-byte
+    // sequences — deterministic layout, no generator needed here (the
+    // byte-class sweep lives in EngineProps; this drives a REAL file
+    // through lines() → map → first-byte shuffle → reduce)
+    val bad = java.nio.file.Files.createTempFile("graft_rawbytes", ".txt")
+    val lines: Seq[Array[Byte]] = Seq(
+      Array(0x80, 0x81, 0xbf),                   // lone continuations
+      Array(0xc0, 0xaf),                         // overlong slash
+      Array(0xc3),                               // truncated 2-byte lead
+      Array(0xe4, 0xb8),                         // truncated 3-byte lead
+      Array(0xf0, 0x9f),                         // truncated 4-byte lead
+      Array(0xff, 0xfe, 0x20, 0x41),             // never-valid + ascii
+      "plain ascii line".getBytes("UTF-8").map(_.toInt),
+      Array(0xe4, 0xb8, 0xad)                    // VALID 3-byte CJK
+    ).map(_.map(_.toByte))
+    val out = java.nio.file.Files.newOutputStream(bad)
+    try lines.foreach { l => out.write(l); out.write('\n') }
+    finally out.close()
+
+    // identity-ish job: key = the whole decoded line, value = "1";
+    // reduce re-emits every (key, count) so nothing can hide in a fold
+    object RawJob extends MrJob {
+      val R = 7
+      def fMap(file: String, lineNo: Long, line: String) =
+        Iterator((line, "1"))
+      def fReduce(it: Iterator[(String, String)]) =
+        it.toSeq.groupBy(_._1).toSeq.sortBy(_._1)
+          .iterator.map { case (k, vs) => s"$k ${vs.size}" }
+    }
+    val input = MrPipeline.lines(spark, Seq(bad.toString))
+    val run1 = MrPipeline.run(spark, input, RawJob).collect().toSeq
+    val run2 = MrPipeline.run(spark, input, RawJob).collect().toSeq
+    // partition stability: byte-identical rows, reducer ids included
+    assert(run1.nonEmpty && run1.toSet == run2.toSet)
+    // multiset preservation: per-line counts equal the decoded input's
+    // (keys may contain spaces — split at the LAST one)
+    def parseRow(s: String): (String, Long) = {
+      val i = s.lastIndexOf(' ')
+      s.substring(0, i) -> s.substring(i + 1).toLong
+    }
+    val got = run1.map(r => parseRow(r.getString(1))).toMap
+    val want = lines
+      .map(b => new String(b, java.nio.charset.StandardCharsets.UTF_8))
+      .groupBy(identity).map { case (k, vs) => k -> vs.size.toLong }
+    assert(got == want,
+      s"multiset diverged: only-got=${got.keySet -- want.keySet} " +
+        s"only-want=${want.keySet -- got.keySet}")
+    // every reducer id obeys the first-byte rule for its keys
+    run1.foreach { r =>
+      val key = parseRow(r.getString(1))._1
+      assert(r.getInt(0) == FirstBytePartitioner.of(key, RawJob.R))
+    }
+  }
 }
