@@ -34,6 +34,18 @@ object ScaleStress {
     if (!marker.exists()) {
       val dstDir = new java.io.File(dst)
       if (dstDir.exists()) {
+        // only reclaim a dir THIS TOOL wrote (ADVICE r12: a fixed /tmp
+        // path may hold anything): a prior-version layout marker or
+        // the expected replica parquet layout. Anything else is not
+        // ours to delete — tell the user and stop.
+        val ours = dstDir.listFiles() != null && (
+          dstDir.listFiles().exists(f =>
+            f.getName.startsWith(".layout_v")) ||
+          new java.io.File(dstDir, "lineitem.parquet").isDirectory)
+        if (!ours)
+          sys.error(s"$dst exists but is not a ScaleStress replica dir " +
+            "(no .layout_v* marker, no lineitem.parquet) — refusing to " +
+            "delete it; remove it manually to proceed")
         def rm(f: java.io.File): Unit = {
           if (f.isDirectory) f.listFiles().foreach(rm)
           f.delete()

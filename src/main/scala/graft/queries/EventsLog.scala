@@ -323,8 +323,10 @@ object EventsLog {
     // past that, rates must be e6 pre-quantized BEFORE the compare
     // (Spark decimal overflow otherwise NULLs `crossed`, silently
     // read as not-crossed, while DuckDB HUGEINT raises — the twins
-    // would split). Fine at every fixture SF; flagged for the 100 TB
-    // path. The displayed z is one sqrt-ratio of the same
+    // would split). Fine at every fixture SF; GUARDED at runtime via
+    // assert_true on the per-arm counts (ADVICE r12), so the 100 TB
+    // path fails loudly at the boundary instead of splitting
+    // engines. The displayed z is one sqrt-ratio of the same
     // operands, and `decision` is a running max over the look frame.
     "log_ab_sequential" -> ((s, d) => {
       import s.implicits._
@@ -359,13 +361,24 @@ object EventsLog {
           ($"n_a" + $"n_b").as("nn"), ($"c_a" + $"c_b").as("cc"))
         // n_a > 0 AND n_b > 0: with an empty arm the variance side is
         // 0 and "0 >= 0" would declare a crossing on zero evidence
-        // (review finding, round 11); an empty arm is "keep looking"
+        // (review finding, round 11); an empty arm is "keep looking".
+        // The ≤1e6-per-arm decimal headroom bound (see the scaladoc
+        // math above) is now a RUNTIME GUARD (ADVICE r12): past it
+        // Spark's decimal overflow would NULL `crossed` (read as
+        // not-crossed) while DuckDB HUGEINT raises — assert_true makes
+        // the engine fail loudly on the same boundary instead of
+        // silently splitting from the oracle
         .withColumn("crossed", expr(
-          """cast(n_a > 0 and n_b > 0 and cc > 0 and cc < nn and
+          """coalesce(cast(assert_true(
+            |  n_a <= 1000000 and n_b <= 1000000,
+            |  'log_ab_sequential: >1e6 users per arm overflows the
+            | exact decimal(38,0) crossing compare; pre-quantize rates
+            | to e6 first') as bigint),
+            |cast(n_a > 0 and n_b > 0 and cc > 0 and cc < nn and
             |  cast(num as decimal(38,0)) * num * nn * 100000000
             |  >= cast(bound_e4 as decimal(38,0)) * bound_e4
             |     * (cast(n_a as decimal(38,0)) * n_b * cc * (nn - cc))
-            | as bigint)""".stripMargin))
+            | as bigint))""".stripMargin))
       val wl = Window.orderBy($"look")
         .rowsBetween(Window.unboundedPreceding, 0)
       j.select($"look", $"n_a", $"c_a", $"n_b", $"c_b",

@@ -2239,9 +2239,20 @@ object Similarity {
     "sim_pca_top_component" -> ((s, d) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
+      // |c| ≤ 1.0 is a HARD input contract (ADVICE r12): the long
+      // partial-sum exactness argument below needs |x·y| ≤ ~1.2e8,
+      // i.e. quantized |x| ≤ ~1.1e4. assert_true makes a violating
+      // embedding FAIL the job instead of silently wrapping under
+      // non-ANSI long arithmetic (null on success → coalesce falls
+      // through to the quantized value; one extra null-check per
+      // element, still whole-stage codegen)
       val xs0 = t(s, d, "embeddings")
         .select(expr("transform(cast(embedding as array<double>)," +
-          " c -> cast(round(c * 1e4) as bigint))").as("xs"))
+          " c -> coalesce(cast(assert_true(abs(c) <= 1.1D," +
+          " 'sim_pca_top_component: |coordinate| > 1.1 breaks the" +
+          " long partial-sum exactness bound; pre-scale the" +
+          " embedding') as bigint)," +
+          " cast(round(c * 1e4) as bigint)))").as("xs"))
       // the dim² in-row expansion below multiplies the per-partition
       // CPU by ~4096×, so a single-file scan (the small-SF shape) must
       // fan out to every core first; at 100 TB the scan already has
