@@ -95,9 +95,12 @@ object AnnIndexStore {
     idx.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$outDir/cells")
     // one-row build-stats agg (bounded, legitimate collect)
-    val Array(n, dim, k) = idx.agg(count(lit(1)),
-        max(size($"v")), countDistinct($"cell"))
-      .collect()(0).toSeq.map(_.toString.toLong).toArray
+    val st = idx.agg(count(lit(1)),
+        max(size($"v")), countDistinct($"cell")).collect()(0)
+    val n = st.getLong(0)
+    require(n > 0, s"cannot index an empty corpus ($srcDir)")
+    val dim = st.getInt(1).toLong
+    val k = st.getLong(2)
     val kk = math.max(8L, math.ceil(math.sqrt(n.toDouble)).toLong)
     val kk2 = math.ceil(math.sqrt(kk.toDouble)).toLong
     // the codebook as its own artifact: the kk build centroids with

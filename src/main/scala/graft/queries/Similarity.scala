@@ -1571,6 +1571,89 @@ object Similarity {
             .as("imbalance"))
     }),
 
+    // Takedown AUDIT over the persisted index (verdict r12 ask #8,
+    // promoted to a first-class oracle row): save the artifact, forget
+    // the 3 highest vec_ids (scale-robust: always non-codebook since
+    // kk ≈ √n), and publish per-id before/after presence read back out
+    // of the REWRITTEN cell files plus the manifest counts. The oracle
+    // recomputes the expected audit arithmetically, so a green row
+    // proves the forgotten rows physically left the artifact — the
+    // leak-audit twin of doc_forget. The pre-forget presence frame is
+    // checkpointed BEFORE the rewrite (a lazy frame would re-read the
+    // rewritten files and vacuously agree). Scale shape: forget
+    // rewrites only the victims' cell partitions; the audit scan is
+    // partition-pruned to the same cells.
+    "sim_index_forget_audit" -> ((s, d) => {
+      import s.implicits._
+      // an empty corpus has nothing to index or forget — schema-
+      // preserving empty result (EmptyInputSpec contract)
+      val mxRow = t(s, d, "embeddings").agg(max($"vec_id")).head()
+      if (mxRow.isNullAt(0))
+        Seq.empty[(Long, Long, Long, Long, Long, Boolean)]
+          .toDF("vec_id", "before_present", "after_present",
+            "n_before", "n_after", "codebook_stale")
+      else {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_idx_forget").toString
+      val mx = mxRow.getLong(0)
+      val m0 = graft.engine.AnnIndexStore.save(s, d, dir)
+      val pre = graft.engine.AnnIndexStore.load(s, dir)
+        .filter($"vec_id" >= mx - 2).select($"vec_id")
+        .localCheckpoint()
+      val m1 = graft.engine.AnnIndexStore
+        .forget(s, dir, Seq(mx - 2, mx - 1, mx))
+      val post = graft.engine.AnnIndexStore.load(s, dir)
+        .filter($"vec_id" >= mx - 2)
+        .select($"vec_id", lit(1L).as("after_present"))
+      pre.join(post, Seq("vec_id"), "left")
+        .na.fill(0L, Seq("after_present"))
+        .select($"vec_id", lit(1L).as("before_present"), $"after_present",
+          lit(m0.n_vectors).as("n_before"), lit(m1.n_vectors).as("n_after"),
+          lit(m1.codebook_stale).as("codebook_stale"))
+        .orderBy($"vec_id")
+      }
+    }),
+
+    // Append-then-serve parity over the persisted index (verdict r12
+    // ask #4, promoted to a first-class oracle row): build the
+    // artifact from the 90% of vectors with vec_id % 10 != 0, append
+    // the other 10% with the STORED quantizer (no re-train), then
+    // serve each appended vector as a query through the stored-
+    // quantizer path. Because the probe replays the exact assignment
+    // fold, every appended vector probes its own cell and its top hit
+    // scores rounded cosine 1.0 — the oracle states that contract
+    // arithmetically, so a green row proves appended rows are
+    // REACHABLE through the artifact, not just written. Manifest
+    // counts pin that append bumped n without touching the quantizer
+    // geometry (k unchanged).
+    "sim_index_append_serve" -> ((s, d) => {
+      import s.implicits._
+      // empty corpus: nothing to build from or append — schema-
+      // preserving empty result (EmptyInputSpec contract)
+      if (t(s, d, "embeddings").head(1).isEmpty)
+        Seq.empty[(Long, Double, Long, Long, Boolean)]
+          .toDF("q_id", "top_sim", "n_base", "n_after", "quantizer_kept")
+      else {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_idx_base").toString
+      t(s, d, "embeddings").filter($"vec_id" % 10 =!= 0)
+        .write.parquet(s"$base/embeddings.parquet")
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_idx_app").toString
+      val m0 = graft.engine.AnnIndexStore.save(s, base, dir)
+      val delta = t(s, d, "embeddings").filter($"vec_id" % 10 === 0)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val m1 = graft.engine.AnnIndexStore.append(s, dir, delta)
+      graft.engine.AnnIndexStore
+        .searchTopKStored(s, dir,
+          delta.select($"vec_id".as("q_id"), $"v".as("q")), k = 1)
+        .select($"q_id", $"sim".as("top_sim"),
+          lit(m0.n_vectors).as("n_base"), lit(m1.n_vectors).as("n_after"),
+          lit(m0.k == m1.k && m0.kk == m1.kk).as("quantizer_kept"))
+        .orderBy($"q_id")
+      }
+    }),
+
     // Cross-modal dedup agreement — the consistency diagnostic a
     // pipeline runs before trusting semantic dedup: for every TEXT
     // near-dup candidate (the MinHash-LSH band pairs, the shared
@@ -3501,6 +3584,27 @@ object Similarity {
         |  CAST(MAX(n) AS BIGINT) AS max_cell,
         |  ROUND(CAST(MAX(n) * COUNT(*) AS DOUBLE) / SUM(n), 4) AS imbalance
         |FROM cs""".stripMargin),
+
+    "sim_index_forget_audit" ->
+      """WITH n AS (SELECT MAX(vec_id) AS mx, COUNT(*) AS cnt
+        |           FROM embeddings)
+        |SELECT vec_id, CAST(1 AS BIGINT) AS before_present,
+        |  CAST(0 AS BIGINT) AS after_present,
+        |  CAST(cnt AS BIGINT) AS n_before,
+        |  CAST(cnt - 3 AS BIGINT) AS n_after,
+        |  FALSE AS codebook_stale
+        |FROM embeddings, n WHERE vec_id >= mx - 2
+        |ORDER BY vec_id""".stripMargin,
+
+    "sim_index_append_serve" ->
+      """WITH c AS (
+        |  SELECT CAST(COUNT(*) FILTER (vec_id % 10 <> 0) AS BIGINT)
+        |    AS n_base,
+        |  CAST(COUNT(*) AS BIGINT) AS n_after FROM embeddings)
+        |SELECT vec_id AS q_id, CAST(1.0 AS DOUBLE) AS top_sim,
+        |  n_base, n_after, TRUE AS quantizer_kept
+        |FROM embeddings, c WHERE vec_id % 10 = 0
+        |ORDER BY q_id""".stripMargin,
 
     "sim_dup_agreement" ->
       s"""${Dedup.sigSql},

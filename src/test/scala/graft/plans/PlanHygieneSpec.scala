@@ -132,6 +132,9 @@ class PlanHygieneSpec extends SparkSpec {
     "doc_coreset_weights",   // 1-row 8-seed codebook broadcast
     "sim_norm_outliers",     // two 1-row median/p90 scalar broadcasts
     "sim_pca_top_component", // 1-row corpus-count + eigen-share scalars
+    "sim_index_append_serve",// 1-row stored-codebook (supers) broadcast —
+                             // the persisted-index serve replays the
+                             // ivfCells assignment fold
     "sim_recall_bounds",     // wraps sim_recall_eval + 5-row floor table
     "sim_power_iteration",   // 1-row norm scalars (n1, n2) between passes
     "log_forecast_baseline", // inherits log_gapfill's 1-row hour bounds
