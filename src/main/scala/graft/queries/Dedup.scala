@@ -348,6 +348,60 @@ object Dedup {
        |  JOIN sizes na ON na.doc_id = p.doc_a
        |  JOIN sizes nb ON nb.doc_id = p.doc_b)""".stripMargin
 
+  /** The VERIFIED near-dup pair relation — LSH candidates (recall
+    * stage) exact-checked at 3-shingle Jaccard >= 0.5 via integer
+    * cross-multiplication (precision stage): (doc_a < doc_b, shared,
+    * na, nb). The body of `dedup_lsh_verified`, factored so the
+    * dedup-cascade funnel (Similarity.`dedup_cascade`) removes docs on
+    * EXACTLY the relation the declared pair listing publishes. */
+  private[queries] def lshVerified3(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = shingles3Shared(s, d)
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    lshPairsShared(s, d)
+      .join(sh.as("x"), $"doc_a" === $"x.doc_id")
+      .join(sh.as("y"),
+        $"doc_b" === $"y.doc_id" && $"x.shingle" === $"y.shingle")
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
+      .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
+      .filter($"shared" * 3 >= $"na" + $"nb")
+  }
+
+  /** Oracle CTE chain ending in `ver(doc_a, doc_b)` — the DuckDB twin
+    * of [[lshVerified3]] (LSH bands → candidates → exact 3-shingle
+    * verify at J >= 1/2 by integer cross-multiplication). Starts its
+    * own WITH; CTE names are v-prefixed so callers can append the
+    * semantic cellPairs chain without collisions. */
+  private[queries] val verifiedPairsSql: String =
+    s"""$sigSql,
+       |bands AS (
+       |  SELECT doc_id, 0 AS band_i, h1 || h2 AS band_key FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1, h3 || h4 FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 2, h5 || h6 FROM sig),
+       |vcand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a
+       |  JOIN bands b ON a.band_key = b.band_key AND a.band_i = b.band_i
+       |               AND a.doc_id < b.doc_id),
+       |${shinglesSql(3, "sh3")},
+       |vsz AS (SELECT doc_id, COUNT(*) AS n FROM sh3 GROUP BY doc_id),
+       |vsh AS (
+       |  SELECT doc_a, doc_b, COUNT(*) AS shared
+       |  FROM vcand
+       |  JOIN sh3 x ON x.doc_id = doc_a
+       |  JOIN sh3 y ON y.doc_id = doc_b AND y.shingle = x.shingle
+       |  GROUP BY doc_a, doc_b),
+       |ver AS (
+       |  SELECT s.doc_a, s.doc_b
+       |  FROM vsh s
+       |  JOIN vsz na ON na.doc_id = s.doc_a
+       |  JOIN vsz nb ON nb.doc_id = s.doc_b
+       |  WHERE s.shared * 3 >= na.n + nb.n)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: content-hash groupBy, keep the smallest doc_id.
     "dedup_exact" -> ((s, d) => {
@@ -431,18 +485,7 @@ object Dedup {
 
     "dedup_lsh_verified" -> ((s, d) => {
       import s.implicits._
-      val cand = lshPairsShared(s, d)
-      val sh = shingles3Shared(s, d)
-      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      cand
-        .join(sh.as("x"), $"doc_a" === $"x.doc_id")
-        .join(sh.as("y"),
-          $"doc_b" === $"y.doc_id" && $"x.shingle" === $"y.shingle")
-        .groupBy($"doc_a", $"doc_b")
-        .agg(count(lit(1)).as("shared"))
-        .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
-        .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
-        .filter($"shared" * 3 >= $"na" + $"nb")
+      lshVerified3(s, d)
         .select($"doc_a", $"doc_b", $"shared",
           round($"shared".cast("double") / ($"na" + $"nb" - $"shared"), 4)
             .as("jacc"))

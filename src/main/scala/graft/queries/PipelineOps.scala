@@ -1617,6 +1617,60 @@ object PipelineOps {
         .orderBy($"source")
     }),
 
+    // Span-level exact-substring dedup (Lee et al. 2022, "Deduplicating
+    // Training Data Makes Language Models Better"): where
+    // text_dup_ngram_rate reports per-SOURCE duplication shares, this
+    // is the REMOVAL PLAN — the maximal duplicated token spans of each
+    // document, i.e. exactly the regions span-level dedup would cut.
+    // A token position is duplicated when its 8-gram occurs >= 2 times
+    // ANYWHERE in the corpus (other docs or the same doc — the
+    // suffix-array criterion); overlapping/adjacent duplicated windows
+    // merge into maximal spans via gaps-and-islands (two consecutive
+    // duplicated start positions p1 < p2 cover overlapping-or-adjacent
+    // token ranges iff p2 - p1 <= 8). Shapes at 100 TB: the gram
+    // frequency pass is the linear groupBy every dedup op runs; the
+    // island window partitions BY DOC over only the duplicated
+    // positions (bounded by doc length — never a global window); no
+    // pair work anywhere, so this scales where a literal suffix array
+    // (global sort of every suffix) would not. Spark keys grams by
+    // xxhash64, the oracle by the raw string — 64-bit collisions at
+    // corpus scale are the accepted house tradeoff (text_dup_ngram_rate
+    // precedent).
+    "doc_dup_spans" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val grams = t(s, d, "documents")
+        .select($"doc_id", toksCol.as("toks"))
+        .filter(size($"toks") >= 8)
+        .select($"doc_id", size($"toks").cast("long").as("n_toks"),
+          posexplode(expr(
+            "transform(sequence(1, size(toks) - 7)," +
+              " i -> xxhash64(array_join(slice(toks, i, 8), ' ')))")))
+        .select($"doc_id", $"n_toks",
+          ($"pos" + 1).cast("long").as("p"), $"col".as("g"))
+      val dupGrams = grams.groupBy($"g").agg(count(lit(1)).as("cnt"))
+        .filter($"cnt" > 1L).select($"g")
+      val w = Window.partitionBy($"doc_id").orderBy($"p")
+      grams.join(dupGrams, "g")
+        .select($"doc_id", $"n_toks", $"p")
+        .withColumn("newi",
+          when(coalesce($"p" - lag($"p", 1).over(w), lit(9L)) > 8L, 1L)
+            .otherwise(0L))
+        .withColumn("iid", sum($"newi")
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy($"doc_id", $"n_toks", $"iid")
+        .agg(min($"p").as("sp"), (max($"p") + 7L).as("ep"))
+        .groupBy($"doc_id", $"n_toks")
+        .agg(count(lit(1)).as("n_spans"),
+          sum($"ep" - $"sp" + 1L).as("dup_tokens"),
+          max($"ep" - $"sp" + 1L).as("max_span"))
+        .select($"doc_id", $"n_toks", $"n_spans", $"dup_tokens",
+          $"max_span",
+          round($"dup_tokens".cast("double") / $"n_toks", 4)
+            .as("dup_share"))
+        .orderBy($"doc_id")
+    }),
+
     // UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
     // More Effective Language Sampling for Large-Scale Multilingual
     // Pretraining"): distribute a total budget B over sources with a
@@ -2753,6 +2807,37 @@ object PipelineOps {
          |  ROUND(CAST(n_xsrc_occ AS DOUBLE) / n_grams, 4)
          |    AS x_source_share
          |FROM a ORDER BY source""".stripMargin,
+
+    "doc_dup_spans" ->
+      s"""WITH dd AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents),
+         |gm AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+         |    CAST(i AS BIGINT) AS p,
+         |    array_to_string(list_slice(toks, i, i + 7), ' ') AS g
+         |  FROM dd, unnest(generate_series(1, len(toks) - 7)) AS t(i)
+         |  WHERE len(toks) >= 8),
+         |fr AS (SELECT g FROM gm GROUP BY g HAVING COUNT(*) > 1),
+         |dup AS (SELECT doc_id, n_toks, p FROM gm JOIN fr USING (g)),
+         |isl AS (
+         |  SELECT doc_id, n_toks, p,
+         |    CASE WHEN p - LAG(p) OVER (PARTITION BY doc_id ORDER BY p)
+         |           <= 8 THEN 0 ELSE 1 END AS newi
+         |  FROM dup),
+         |iid AS (
+         |  SELECT doc_id, n_toks, p,
+         |    SUM(newi) OVER (PARTITION BY doc_id ORDER BY p
+         |                    ROWS UNBOUNDED PRECEDING) AS iid
+         |  FROM isl),
+         |sp AS (
+         |  SELECT doc_id, n_toks, iid, MIN(p) AS sp, MAX(p) + 7 AS ep
+         |  FROM iid GROUP BY 1, 2, 3)
+         |SELECT doc_id, n_toks, CAST(COUNT(*) AS BIGINT) AS n_spans,
+         |  CAST(SUM(ep - sp + 1) AS BIGINT) AS dup_tokens,
+         |  CAST(MAX(ep - sp + 1) AS BIGINT) AS max_span,
+         |  ROUND(CAST(SUM(ep - sp + 1) AS DOUBLE) / n_toks, 4)
+         |    AS dup_share
+         |FROM sp GROUP BY doc_id, n_toks ORDER BY doc_id""".stripMargin,
 
     "text_contamination_ngrams" ->
       s"""WITH d AS (

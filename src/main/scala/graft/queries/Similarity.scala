@@ -626,6 +626,74 @@ object Similarity {
         .orderBy($"vec_a", $"vec_b")
     }),
 
+    // The full dedup FUNNEL — the orchestration query a curation team
+    // runs over the whole cascade: exact (content hash) → near
+    // (MinHash-LSH candidates, exact-Jaccard-verified — the
+    // dedup_lsh_verified relation via Dedup.lshVerified3) → semantic
+    // (IVF-cell-blocked cosine >= 0.35 — the dedup_semantic_verified
+    // relation; the fixture pairs documents and embeddings 1:1 by id),
+    // with per-source stage attribution. Precedence is the cascade
+    // order: each stage sees only the previous stages' survivors, and
+    // within a stage a doc is removed iff it has a verified partner
+    // with a LOWER id in that stage's input set — the greedy
+    // partner-below rule production LSH dedup uses (deliberately
+    // non-transitive: one semi-join per stage, no iterative CC inside
+    // the cascade; the canonical-keep clustering variant exists as
+    // dedup_clusters / dedup_canonical). Shapes at 100 TB: every stage
+    // is blocked sub-quadratically upstream (content-hash groupBy,
+    // band equi-join, IVF cells) and the cascade itself adds only
+    // id-keyed semi-joins over those relations — no new pair work, no
+    // window, no collect.
+    "dedup_cascade" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+        .select($"doc_id", $"source", md5($"text".cast("binary")).as("fp"))
+      val keep1 = docs.groupBy($"fp").agg(min($"doc_id").as("k1"))
+      // Stage outputs are localCheckpoint'ed: each later stage reads
+      // the earlier survivor sets on BOTH join sides plus the final
+      // attribution, and lazy frames would replicate the whole
+      // upstream subtree per consumer (DAG-to-tree blowup — the
+      // verify join would run 4x). A production cascade persists each
+      // stage's survivor table between stages; the checkpoint is the
+      // in-session analog (one flag row per doc / one id per removal).
+      val s1 = docs.join(keep1, "fp")
+        .select($"doc_id", $"source", ($"doc_id" === $"k1").as("surv1"))
+        .localCheckpoint()
+      val surv1 = s1.filter($"surv1").select($"doc_id")
+      val ver = Dedup.lshVerified3(s, d).select($"doc_a", $"doc_b")
+      val rm2 = ver
+        .join(surv1.select($"doc_id".as("doc_a")), "doc_a")
+        .join(surv1.select($"doc_id".as("doc_b")), "doc_b")
+        .select($"doc_b".as("doc_id")).distinct()
+        .localCheckpoint()
+      val surv2 = surv1.join(rm2, Seq("doc_id"), "left_anti")
+      val sem = cellPairs(s, d).filter($"sim" >= 0.35)
+        .select($"va".as("doc_a"), $"vb".as("doc_b"))
+      val rm3 = sem
+        .join(surv2.select($"doc_id".as("doc_a")), "doc_a")
+        .join(surv2.select($"doc_id".as("doc_b")), "doc_b")
+        .select($"doc_b".as("doc_id")).distinct()
+      s1
+        .join(rm2.withColumn("r2", lit(true)), Seq("doc_id"), "left")
+        .join(rm3.withColumn("r3", lit(true)), Seq("doc_id"), "left")
+        .select($"source",
+          when(!$"surv1", lit("exact"))
+            .when($"r2", lit("near"))
+            .when($"r3", lit("semantic"))
+            .otherwise(lit("kept")).as("stage"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"stage" === "exact", 1L).otherwise(0L)).as("rm_exact"),
+          sum(when($"stage" === "near", 1L).otherwise(0L)).as("rm_near"),
+          sum(when($"stage" === "semantic", 1L).otherwise(0L))
+            .as("rm_semantic"),
+          sum(when($"stage" === "kept", 1L).otherwise(0L)).as("n_kept"))
+        .select($"source", $"n_docs", $"rm_exact", $"rm_near",
+          $"rm_semantic", $"n_kept",
+          round($"n_kept".cast("double") / $"n_docs", 4).as("kept_share"))
+        .orderBy($"source")
+    }),
+
     // Near-dup pair-recall CONTRACT (the `_bounds` discipline of
     // sim_recall_bounds applied to the dedup blocking): ground truth =
     // ALL pairs with rounded cosine >= 0.35 over a deterministic
@@ -2762,6 +2830,49 @@ object Similarity {
       """
         |SELECT cell, va AS vec_a, vb AS vec_b, sim FROM p2 WHERE sim >= 0.35
         |ORDER BY vec_a, vec_b""".stripMargin),
+
+    // verifiedPairsSql ends in ver(doc_a, doc_b); the appended
+    // cellPairsCte body (its WITH stripped) ends in p(cell, va, vb,
+    // sim) — CTE names are disjoint by construction (the v-prefix
+    // discipline in Dedup.verifiedPairsSql).
+    "dedup_cascade" -> (Dedup.verifiedPairsSql + ",\n" +
+      cellPairsCte.stripPrefix("WITH ") +
+      """,
+        |sem AS (SELECT va AS doc_a, vb AS doc_b FROM p WHERE sim >= 0.35),
+        |dx AS (SELECT doc_id, source, md5(text) AS fp FROM documents),
+        |k1 AS (SELECT fp, MIN(doc_id) AS k1 FROM dx GROUP BY fp),
+        |s1 AS (SELECT dx.doc_id, dx.source, dx.doc_id = k1.k1 AS surv1
+        |       FROM dx JOIN k1 USING (fp)),
+        |sv1 AS (SELECT doc_id FROM s1 WHERE surv1),
+        |rm2 AS (SELECT DISTINCT v.doc_b AS doc_id FROM ver v
+        |        JOIN sv1 a ON a.doc_id = v.doc_a
+        |        JOIN sv1 b ON b.doc_id = v.doc_b),
+        |sv2 AS (SELECT doc_id FROM sv1
+        |        WHERE doc_id NOT IN (SELECT doc_id FROM rm2)),
+        |rm3 AS (SELECT DISTINCT m.doc_b AS doc_id FROM sem m
+        |        JOIN sv2 a ON a.doc_id = m.doc_a
+        |        JOIN sv2 b ON b.doc_id = m.doc_b),
+        |att AS (
+        |  SELECT s1.source,
+        |    CASE WHEN NOT s1.surv1 THEN 'exact'
+        |         WHEN r2.doc_id IS NOT NULL THEN 'near'
+        |         WHEN r3.doc_id IS NOT NULL THEN 'semantic'
+        |         ELSE 'kept' END AS stage
+        |  FROM s1
+        |  LEFT JOIN rm2 r2 ON r2.doc_id = s1.doc_id
+        |  LEFT JOIN rm3 r3 ON r3.doc_id = s1.doc_id)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN stage = 'exact' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS rm_exact,
+        |  CAST(SUM(CASE WHEN stage = 'near' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS rm_near,
+        |  CAST(SUM(CASE WHEN stage = 'semantic' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS rm_semantic,
+        |  CAST(SUM(CASE WHEN stage = 'kept' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept,
+        |  ROUND(CAST(SUM(CASE WHEN stage = 'kept' THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / COUNT(*), 4) AS kept_share
+        |FROM att GROUP BY source ORDER BY source""".stripMargin),
 
     "sim_knn_classify" -> (knnPredSql +
       """
