@@ -85,6 +85,12 @@ object ScaleStress {
     // 10x makes each doc share ALL its shingles with its 9 copies, so
     // the candidate-pair OUTPUT grows ~100x (like dedup_simhash_pairs);
     // that measures output cardinality, not operator scaling.
+    // round-13: doc_dup_spans and dedup_cascade are absent for the same
+    // duplication-sensitivity reason — under replication EVERY 8-gram
+    // position becomes duplicated (the span windows then cover whole
+    // docs) and every doc gains 9 exact copies (the cascade's rm sets
+    // jump to 90%+), so both rows would measure the replication
+    // artifact, not the operators' linear gram/groupBy/semi-join work.
     // round-4: sim_triangles / sim_mutual_knn / sim_threshold_hist /
     // dedup_semantic_verified are now INCLUDED — their candidate stage is
     // the corpus-adaptive IVF-cell blocking (k = ceil(sqrt(n)) centroids,

@@ -377,12 +377,16 @@ object AnnIndexStore {
       imbalanceBound: Double = 4.0): DataFrame = {
     import spark.implicits._
     val m = manifest(spark, dir)
+    // imbalance = max·n_cells/n_vectors as ONE float op over exact
+    // integers (the sim_cell_balance discipline) — dividing by a
+    // pre-rounded avg would compound two float roundings
     load(spark, dir).groupBy($"cell").agg(count(lit(1)).as("n"))
       .agg(count(lit(1)).as("n_cells"), sum($"n").as("n_vectors"),
-        max($"n").as("max_cell"),
-        round(avg($"n"), 4).as("avg_cell"))
-      .select($"n_cells", $"n_vectors", $"max_cell", $"avg_cell",
-        round($"max_cell" / $"avg_cell", 4).as("imbalance"),
+        max($"n").as("max_cell"))
+      .select($"n_cells", $"n_vectors", $"max_cell",
+        round($"n_vectors".cast("double") / $"n_cells", 4).as("avg_cell"),
+        round(($"max_cell" * $"n_cells").cast("double") / $"n_vectors", 4)
+          .as("imbalance"),
         lit(m.codebook_stale).as("codebook_stale"))
       .withColumn("rebuild_recommended",
         $"codebook_stale" || $"imbalance" > imbalanceBound)

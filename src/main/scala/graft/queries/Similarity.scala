@@ -1722,6 +1722,33 @@ object Similarity {
       }
     }),
 
+    // Index-health stats over the persisted artifact — the REBUILD
+    // TRIGGER (the third member of the lifecycle trio: append, forget,
+    // stats). The oracle replays the IVF assignment declaratively
+    // (cellPairsCte's `assign`) and recomputes the occupancy shape, so
+    // a green row proves the persisted cells carry exactly the
+    // assignment the declarative contract specifies AND that the
+    // health numbers a production rollout alarms on (imbalance,
+    // rebuild_recommended) are engine-independent. Imbalance is
+    // max·n_cells/n_vectors as one float op over exact integers (the
+    // sim_cell_balance discipline). Scale shape: one groupBy over the
+    // loaded cells + a bounded k-row agg; load is metadata-only.
+    "sim_index_stats" -> ((s, d) => {
+      import s.implicits._
+      // empty corpus: nothing to index — schema-preserving empty
+      // result (EmptyInputSpec contract)
+      if (t(s, d, "embeddings").head(1).isEmpty)
+        Seq.empty[(Long, Long, Long, Double, Double, Boolean, Boolean)]
+          .toDF("n_cells", "n_vectors", "max_cell", "avg_cell",
+            "imbalance", "codebook_stale", "rebuild_recommended")
+      else {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_idx_stats").toString
+        graft.engine.AnnIndexStore.save(s, d, dir)
+        graft.engine.AnnIndexStore.stats(s, dir)
+      }
+    }),
+
     // Cross-modal dedup agreement — the consistency diagnostic a
     // pipeline runs before trusting semantic dedup: for every TEXT
     // near-dup candidate (the MinHash-LSH band pairs, the shared
@@ -3706,6 +3733,20 @@ object Similarity {
         |  FALSE AS codebook_stale
         |FROM embeddings, n WHERE vec_id >= mx - 2
         |ORDER BY vec_id""".stripMargin,
+
+    "sim_index_stats" -> (cellPairsCte +
+      """,
+        |cs AS (SELECT cell, COUNT(*) AS n FROM assign GROUP BY cell)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+        |  CAST(SUM(n) AS BIGINT) AS n_vectors,
+        |  CAST(MAX(n) AS BIGINT) AS max_cell,
+        |  ROUND(CAST(SUM(n) AS DOUBLE) / COUNT(*), 4) AS avg_cell,
+        |  ROUND(CAST(MAX(n) * COUNT(*) AS DOUBLE) / SUM(n), 4)
+        |    AS imbalance,
+        |  FALSE AS codebook_stale,
+        |  ROUND(CAST(MAX(n) * COUNT(*) AS DOUBLE) / SUM(n), 4) > 4.0
+        |    AS rebuild_recommended
+        |FROM cs""".stripMargin),
 
     "sim_index_append_serve" ->
       """WITH c AS (
