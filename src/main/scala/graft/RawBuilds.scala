@@ -44,6 +44,11 @@ object RawBuilds {
     // (source, token) cell counts; this drives the real tokenize+agg
     "text_source_counts_raw" -> ((s, d) =>
       queries.TextAnalysis.sourceTokenCountsRaw(s, d)),
+    // the declared doc_dup_spans/doc_dup_savings read the memoized
+    // per-doc span summary; this drives the real gram pass + island
+    // merge (the span-level dedup operator)
+    "doc_dup_spans_raw" -> ((s, d) =>
+      queries.PipelineOps.dupSpansRaw(s, d)),
     // the declared doc_cdc_* trio runs on the engine chunker since
     // r12; this keeps the declarative md5-contract build timed so the
     // engine-vs-contract cost ratio stays visible in bench_detail

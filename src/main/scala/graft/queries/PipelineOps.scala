@@ -260,6 +260,60 @@ object PipelineOps {
   private def lmScoresShared(s: SparkSession, d: String): DataFrame =
     lmCache.get(s, d)(lmScoresRaw(s, d).localCheckpoint())
 
+  /** Per-doc duplicated-span summary (doc_id, source, n_toks, n_spans,
+    * dup_tokens, max_span) — the span-level dedup core shared by
+    * doc_dup_spans (the per-doc removal plan) and doc_dup_savings (the
+    * per-source roll-up). A token position is duplicated when its
+    * 8-gram occurs >= 2 times ANYWHERE in the corpus (Lee et al. 2022's
+    * suffix-array criterion, blocked here by the linear gram-frequency
+    * pass); overlapping/adjacent duplicated windows merge into maximal
+    * spans via gaps-and-islands (consecutive duplicated start positions
+    * p1 < p2 overlap-or-touch iff p2 - p1 <= 8). Shapes at 100 TB: the
+    * gram pass is the linear groupBy every dedup op runs; the island
+    * window partitions BY DOC over only the duplicated positions
+    * (bounded by doc length — never a global window); no pair work, so
+    * this scales where a literal suffix array (a global sort of every
+    * suffix) would not. Spark keys grams by xxhash64, the oracle by the
+    * raw string — 64-bit collisions at corpus scale are the accepted
+    * house tradeoff (text_dup_ngram_rate precedent). */
+  private[graft] def dupSpansRaw(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val grams = t(s, d, "documents")
+      .select($"doc_id", $"source", toksCol.as("toks"))
+      .filter(size($"toks") >= 8)
+      .select($"doc_id", $"source", size($"toks").cast("long").as("n_toks"),
+        posexplode(expr(
+          "transform(sequence(1, size(toks) - 7)," +
+            " i -> xxhash64(array_join(slice(toks, i, 8), ' ')))")))
+      .select($"doc_id", $"source", $"n_toks",
+        ($"pos" + 1).cast("long").as("p"), $"col".as("g"))
+    val dupGrams = grams.groupBy($"g").agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" > 1L).select($"g")
+    val w = Window.partitionBy($"doc_id").orderBy($"p")
+    grams.join(dupGrams, "g")
+      .select($"doc_id", $"source", $"n_toks", $"p")
+      .withColumn("newi",
+        when(coalesce($"p" - lag($"p", 1).over(w), lit(9L)) > 8L, 1L)
+          .otherwise(0L))
+      .withColumn("iid", sum($"newi")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"doc_id", $"source", $"n_toks", $"iid")
+      .agg(min($"p").as("sp"), (max($"p") + 7L).as("ep"))
+      .groupBy($"doc_id", $"source", $"n_toks")
+      .agg(count(lit(1)).as("n_spans"),
+        sum($"ep" - $"sp" + 1L).as("dup_tokens"),
+        max($"ep" - $"sp" + 1L).as("max_span"))
+  }
+
+  /** Materialized span summary, built ONCE per (session, dir) for its
+    * two declared consumers; one small row per span-bearing doc.
+    * ScaleStress/Bench drive [[dupSpansRaw]] per the cache-read audit
+    * rule (doc_dup_spans_raw in RawBuilds). */
+  private val dupSpansCache = new graft.engine.FrameMemo
+  private def dupSpansShared(s: SparkSession, d: String): DataFrame =
+    dupSpansCache.get(s, d)(dupSpansRaw(s, d).localCheckpoint())
+
   /** The tiering rank stage over an LM score table — the GLOBAL rank is
     * integer-exact and needs no global window: the 4-dp score quantizes
     * to an exact integer bucket (round(score·1e4)), strictly-better-
@@ -1617,58 +1671,43 @@ object PipelineOps {
         .orderBy($"source")
     }),
 
-    // Span-level exact-substring dedup (Lee et al. 2022, "Deduplicating
-    // Training Data Makes Language Models Better"): where
+    // Span-level exact-substring dedup (Lee et al. 2022): where
     // text_dup_ngram_rate reports per-SOURCE duplication shares, this
-    // is the REMOVAL PLAN — the maximal duplicated token spans of each
-    // document, i.e. exactly the regions span-level dedup would cut.
-    // A token position is duplicated when its 8-gram occurs >= 2 times
-    // ANYWHERE in the corpus (other docs or the same doc — the
-    // suffix-array criterion); overlapping/adjacent duplicated windows
-    // merge into maximal spans via gaps-and-islands (two consecutive
-    // duplicated start positions p1 < p2 cover overlapping-or-adjacent
-    // token ranges iff p2 - p1 <= 8). Shapes at 100 TB: the gram
-    // frequency pass is the linear groupBy every dedup op runs; the
-    // island window partitions BY DOC over only the duplicated
-    // positions (bounded by doc length — never a global window); no
-    // pair work anywhere, so this scales where a literal suffix array
-    // (global sort of every suffix) would not. Spark keys grams by
-    // xxhash64, the oracle by the raw string — 64-bit collisions at
-    // corpus scale are the accepted house tradeoff (text_dup_ngram_rate
-    // precedent).
+    // is the REMOVAL PLAN — each document's maximal duplicated token
+    // spans, i.e. exactly the regions span-level dedup would cut.
+    // Design + scale shape on [[dupSpansRaw]] (the shared build).
     "doc_dup_spans" -> ((s, d) => {
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val grams = t(s, d, "documents")
-        .select($"doc_id", toksCol.as("toks"))
-        .filter(size($"toks") >= 8)
-        .select($"doc_id", size($"toks").cast("long").as("n_toks"),
-          posexplode(expr(
-            "transform(sequence(1, size(toks) - 7)," +
-              " i -> xxhash64(array_join(slice(toks, i, 8), ' ')))")))
-        .select($"doc_id", $"n_toks",
-          ($"pos" + 1).cast("long").as("p"), $"col".as("g"))
-      val dupGrams = grams.groupBy($"g").agg(count(lit(1)).as("cnt"))
-        .filter($"cnt" > 1L).select($"g")
-      val w = Window.partitionBy($"doc_id").orderBy($"p")
-      grams.join(dupGrams, "g")
-        .select($"doc_id", $"n_toks", $"p")
-        .withColumn("newi",
-          when(coalesce($"p" - lag($"p", 1).over(w), lit(9L)) > 8L, 1L)
-            .otherwise(0L))
-        .withColumn("iid", sum($"newi")
-          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
-        .groupBy($"doc_id", $"n_toks", $"iid")
-        .agg(min($"p").as("sp"), (max($"p") + 7L).as("ep"))
-        .groupBy($"doc_id", $"n_toks")
-        .agg(count(lit(1)).as("n_spans"),
-          sum($"ep" - $"sp" + 1L).as("dup_tokens"),
-          max($"ep" - $"sp" + 1L).as("max_span"))
+      dupSpansShared(s, d)
         .select($"doc_id", $"n_toks", $"n_spans", $"dup_tokens",
           $"max_span",
           round($"dup_tokens".cast("double") / $"n_toks", 4)
             .as("dup_share"))
         .orderBy($"doc_id")
+    }),
+
+    // The corpus-level consequence of the span removal plan — what the
+    // curation dashboard reports per source: total tokens, tokens
+    // inside duplicated spans (0 for span-free docs), the share, and
+    // the post-cut budget. Same scale shape as doc_dup_spans (it reads
+    // the shared span frame); the per-source roll-up is a bounded agg.
+    "doc_dup_savings" -> ((s, d) => {
+      import s.implicits._
+      val tot = t(s, d, "documents")
+        .select($"source", size(toksCol).cast("long").as("n_toks"),
+          $"doc_id")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("total_tokens"))
+      val dup = dupSpansShared(s, d)
+        .groupBy($"source").agg(sum($"dup_tokens").as("dup_tokens"))
+      tot.join(dup, Seq("source"), "left")
+        .select($"source", $"n_docs", $"total_tokens",
+          coalesce($"dup_tokens", lit(0L)).as("dup_tokens"),
+          round(coalesce($"dup_tokens", lit(0L)).cast("double")
+            / $"total_tokens", 4).as("dup_share"),
+          ($"total_tokens" - coalesce($"dup_tokens", lit(0L)))
+            .as("tokens_after"))
+        .orderBy($"source")
     }),
 
     // UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
@@ -2838,6 +2877,48 @@ object PipelineOps {
          |  ROUND(CAST(SUM(ep - sp + 1) AS DOUBLE) / n_toks, 4)
          |    AS dup_share
          |FROM sp GROUP BY doc_id, n_toks ORDER BY doc_id""".stripMargin,
+
+    "doc_dup_savings" ->
+      s"""WITH dd AS (
+         |  SELECT doc_id, source, $toksSql AS toks FROM documents),
+         |gm AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS p,
+         |    array_to_string(list_slice(toks, i, i + 7), ' ') AS g
+         |  FROM dd, unnest(generate_series(1, len(toks) - 7)) AS t(i)
+         |  WHERE len(toks) >= 8),
+         |fr AS (SELECT g FROM gm GROUP BY g HAVING COUNT(*) > 1),
+         |dup AS (SELECT doc_id, p FROM gm JOIN fr USING (g)),
+         |isl AS (
+         |  SELECT doc_id, p,
+         |    CASE WHEN p - LAG(p) OVER (PARTITION BY doc_id ORDER BY p)
+         |           <= 8 THEN 0 ELSE 1 END AS newi
+         |  FROM dup),
+         |iid AS (
+         |  SELECT doc_id, p,
+         |    SUM(newi) OVER (PARTITION BY doc_id ORDER BY p
+         |                    ROWS UNBOUNDED PRECEDING) AS iid
+         |  FROM isl),
+         |sp AS (
+         |  SELECT doc_id, iid, MIN(p) AS sp, MAX(p) + 7 AS ep
+         |  FROM iid GROUP BY 1, 2),
+         |perdoc AS (
+         |  SELECT doc_id, CAST(SUM(ep - sp + 1) AS BIGINT) AS dup_tokens
+         |  FROM sp GROUP BY doc_id),
+         |tot AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(len(toks)) AS BIGINT) AS total_tokens
+         |  FROM dd GROUP BY source),
+         |dsum AS (
+         |  SELECT dd.source,
+         |    CAST(SUM(COALESCE(pd.dup_tokens, 0)) AS BIGINT) AS dup_tokens
+         |  FROM dd LEFT JOIN perdoc pd ON pd.doc_id = dd.doc_id
+         |  GROUP BY dd.source)
+         |SELECT t.source, t.n_docs, t.total_tokens, s.dup_tokens,
+         |  ROUND(CAST(s.dup_tokens AS DOUBLE) / t.total_tokens, 4)
+         |    AS dup_share,
+         |  t.total_tokens - s.dup_tokens AS tokens_after
+         |FROM tot t JOIN dsum s USING (source)
+         |ORDER BY t.source""".stripMargin,
 
     "text_contamination_ngrams" ->
       s"""WITH d AS (
