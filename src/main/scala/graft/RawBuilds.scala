@@ -49,6 +49,12 @@ object RawBuilds {
     // merge (the span-level dedup operator)
     "doc_dup_spans_raw" -> ((s, d) =>
       queries.PipelineOps.dupSpansRaw(s, d)),
+    // the corpus-scale BPE lifecycle: fit 32 merges on the top-512
+    // vocabulary sample (the one bounded collect — a tokenizer is fit
+    // on a size-capped sample by design), then encode every document
+    // distributively with the broadcast rank table
+    "text_bpe_corpus_raw" -> ((s, d) =>
+      engine.BpeTokenizer.corpusTokenCounts(s, d)),
     // the declared doc_cdc_* trio runs on the engine chunker since
     // r12; this keeps the declarative md5-contract build timed so the
     // engine-vs-contract cost ratio stays visible in bench_detail

@@ -1694,8 +1694,7 @@ object PipelineOps {
     "doc_dup_savings" -> ((s, d) => {
       import s.implicits._
       val tot = t(s, d, "documents")
-        .select($"source", size(toksCol).cast("long").as("n_toks"),
-          $"doc_id")
+        .select($"source", size(toksCol).cast("long").as("n_toks"))
         .groupBy($"source")
         .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("total_tokens"))
       val dup = dupSpansShared(s, d)

@@ -23,6 +23,45 @@ object TextAnalysis {
 
   private[queries] def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
 
+  /** Merge count of the frozen BPE fixture pin (see
+    * `text_bpe_encode_fixture`). */
+  private[graft] val BpeFixtureMerges = 24
+
+  /** Ranked merges learned from the fixture corpus vocabulary — a pure
+    * driver-side derivation over the frozen corpus (BpeTokenizer.learn
+    * is deterministic: ties break to the lexicographically smallest
+    * pair). Shared by the declared query and the oracle generator. */
+  private[graft] lazy val bpeFixtureRanks: Map[(String, String), Int] = {
+    val vocab = graft.engine.PolyCutFixture.corpus
+      .flatMap { case (_, tx) =>
+        tx.toLowerCase.split("\\s+").filter(_.nonEmpty) }
+      .groupBy(identity).map { case (w, ws) => (w, ws.size.toLong) }
+    graft.engine.BpeTokenizer.learn(vocab, BpeFixtureMerges)
+      .zipWithIndex.toMap
+  }
+
+  /** Per-doc BPE token accounting under `ranks`: (doc_id, n_words,
+    * n_cps, n_tokens). The tokenization is the house rule (lowercase,
+    * split on whitespace, drop empties); code points are counted so
+    * 4-byte emoji are one unit, matching the encoder's symbol walk. */
+  private[graft] def bpeAccount(id: Long, tx: String,
+      ranks: Map[(String, String), Int]): (Long, Long, Long, Long) = {
+    val toks = tx.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    var cps = 0L
+    var tokens = 0L
+    toks.foreach { w =>
+      cps += w.codePointCount(0, w.length)
+      tokens += graft.engine.BpeTokenizer.encode(w, ranks).length
+    }
+    (id, toks.length.toLong, cps, tokens)
+  }
+
+  /** Live fixture rows — the oracle GENERATOR's source (the committed
+    * oracle carries the frozen copy; see GenBpeFixtureSql). */
+  private[graft] def bpeFixtureRows: Seq[(Long, Long, Long, Long)] =
+    graft.engine.PolyCutFixture.corpus
+      .map { case (id, tx) => bpeAccount(id, tx, bpeFixtureRanks) }
+
   /** Exact (source, token, y) cell counts — ONE corpus tokenize per
     * (session, dir), checkpointed and shared by the source-forensics
     * lattice pair (text_log_odds, text_burrows_delta): un-shared,
@@ -251,6 +290,36 @@ object TextAnalysis {
         .groupBy($"pair").agg(sum($"cnt").as("freq"))
         .orderBy($"freq".desc, $"pair".asc)
         .limit(20)
+    }),
+
+    // The APPLICATION half of the BPE story (text_bpe_merge is the
+    // fitting primitive): greedy rank-ordered merge application is a
+    // per-word loop SQL cannot express, so it runs as an engine path
+    // ([[graft.engine.BpeTokenizer]], the CdcChunker seam) and its
+    // oracle is a FROZEN FIXTURE (the PolyCut discipline): the engine
+    // learns BpeFixtureMerges merges from the deterministic
+    // multilingual fixture corpus (every UTF-8 width — surrogate-pair
+    // emoji are single symbols), encodes the same corpus inside a
+    // distributed map, and the oracle SQL carries the expected
+    // per-doc token accounting as literal VALUES generated once by
+    // GenBpeFixtureSql and never regenerated after a tokenizer change.
+    // The sfDir argument is deliberately unused: a cross-engine pin
+    // needs an input identical on both sides and across scale factors.
+    // The corpus-scale lifecycle (fit on a bounded top-K vocabulary
+    // sample, apply distributed) is BpeTokenizer.corpusTokenCounts,
+    // benched as text_bpe_corpus_raw.
+    "text_bpe_encode_fixture" -> ((s, _) => {
+      import s.implicits._
+      val ranks = bpeFixtureRanks
+      s.createDataset(graft.engine.PolyCutFixture.corpus)
+        .mapPartitions { it =>
+          it.map { case (id, tx) => bpeAccount(id, tx, ranks) }
+        }
+        .toDF("doc_id", "n_words", "n_cps", "n_tokens")
+        .select($"doc_id", $"n_words", $"n_cps", $"n_tokens",
+          round($"n_cps".cast("double") / $"n_tokens", 4)
+            .as("compression"))
+        .orderBy($"doc_id")
     }),
 
     // Zipf-law fit over the corpus frequency spectrum — the standard
@@ -1279,6 +1348,24 @@ object TextAnalysis {
         |  WHERE len(word) >= 2
         |  GROUP BY pair)
         |SELECT pair, freq FROM p ORDER BY freq DESC, pair LIMIT 20""".stripMargin,
+
+    // FROZEN fixture oracle (generated by GenBpeFixtureSql over the
+    // deterministic multilingual corpus; regenerate ONLY on a
+    // deliberate corpus change — never after a tokenizer change).
+    "text_bpe_encode_fixture" ->
+      ("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(n_words AS BIGINT) AS n_words,
+        |  CAST(n_cps AS BIGINT) AS n_cps,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  ROUND(CAST(n_cps AS DOUBLE) / n_tokens, 4) AS compression
+        |FROM (VALUES
+        |  (0,8,192,183),(1,6,232,220),(2,6,269,254),(3,11,299,292),
+        |  (4,10,339,329),(5,15,371,357),(6,15,407,389),(7,10,450,431),
+        |  (8,11,485,466),(9,10,223,219),(10,13,258,253),(11,13,295,288),
+        |  (12,11,333,325),(13,10,372,343),(14,10,408,392),
+        |  (15,15,441,426)
+        |) t(doc_id, n_words, n_cps, n_tokens)
+        |ORDER BY doc_id""").stripMargin,
 
     "text_zipf_fit" ->
       """WITH toks AS (
