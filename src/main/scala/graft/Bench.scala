@@ -159,18 +159,21 @@ object Bench {
     // (verdict r12 ask #6): a 0.05->0.14 s flutter is scheduler
     // jitter, and a 0.3->0.45 s swing on an untouched query is the
     // same noise family one octave up — neither is a regression worth
-    // a line. Sub-0.5 s bases get a 0.25 s absolute floor (round 13):
-    // the min-of-7 on UNTOUCHED sub-half-second rows measurably
-    // oscillates 0.14-0.27 s across isolated runs (q_session_window
-    // 0.22-0.36 over r11-r13 at identical code,
-    // sim_clustering_coefficient 0.315-0.59 with r11-close == the
-    // r13 value exactly) — a real 2x regression on such a row still
-    // clears 0.25 s, while the jitter band no longer does.
+    // a line. The floor is max(0.1, 0.3·p, min(0.25, p)) (round 13):
+    // the min(0.25, p) term absorbs the measured jitter band on
+    // sub-half-second rows — min-of-7 on UNTOUCHED rows oscillates
+    // 0.14-0.27 s across isolated runs (q_session_window 0.22-0.36
+    // over r11-r13 at identical code, sim_clustering_coefficient
+    // 0.315-0.59 with r11-close == the r13 value exactly) — while
+    // capping at p keeps a true 2x regression visible at ANY base
+    // >= 0.2 s (a 2x move has Δ = p >= the floor); a flat 0.25 s
+    // floor would have blinded the gate to 2-3x regressions on rows
+    // under 0.25 s (review r13).
     val deltas = results.toSeq.flatMap { case (name, v) =>
       prevDetail.get(name).collect {
         case p if p > 0 && v > 0 && (v >= p * 1.5 || v <= p / 1.5) &&
           math.abs(v - p) >=
-            math.max(if (p < 0.5) 0.25 else 0.1, 0.3 * p) =>
+            math.max(0.1, math.max(0.3 * p, math.min(0.25, p))) =>
           (name, p, v, v / p)
       }
     }.sortBy { case (_, _, _, r) => -r }

@@ -69,8 +69,15 @@ object RawBuilds {
     // serve a ~1% query panel top-10 — the serve-tomorrow cost the
     // in-session memo rows can't see
     "sim_index_store_raw" -> ((s, d) => {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_annidx_bench").toString
+      // stable scratch dir, reused across reps (save() overwrites) —
+      // a fresh tempdir per rep accumulated unbounded /tmp disk
+      // (review r13)
+      val dir = {
+        val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_annidx_bench_${java.lang.Integer.toHexString(d.hashCode)}")
+        f.mkdirs()
+        f.getAbsolutePath
+      }
       engine.AnnIndexStore.save(s, d, dir)
       engine.AnnIndexStore.load(s, dir, verify = true) // footer integrity
       import org.apache.spark.sql.functions.col

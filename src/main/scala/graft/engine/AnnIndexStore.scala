@@ -135,16 +135,26 @@ object AnnIndexStore {
       try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
         java.nio.charset.StandardCharsets.UTF_8)
       finally in.close()
-    val m =
-      try JsonMethods.parse(txt).extract[Manifest]
+    // version is checked on the raw AST BEFORE the full extraction: a
+    // genuine older-layout manifest lacks v2 fields (kk/kk2) and would
+    // fail extract[Manifest] first, misreporting a version skew as
+    // corruption (review r13)
+    val ast =
+      try JsonMethods.parse(txt)
       catch { case e: Exception =>
         throw new IllegalStateException(
           s"unreadable ANN index manifest at $p: ${e.getMessage}")
       }
-    if (m.version != Version)
+    val ver = (ast \ "version").extractOpt[Int]
+    if (!ver.contains(Version))
       throw new IllegalStateException(
-        s"ANN index at $dir is layout v${m.version}; this build reads v$Version")
-    m
+        s"ANN index at $dir is layout v${ver.getOrElse("?")}; " +
+          s"this build reads v$Version")
+    try ast.extract[Manifest]
+    catch { case e: Exception =>
+      throw new IllegalStateException(
+        s"unreadable ANN index manifest at $p: ${e.getMessage}")
+    }
   }
 
   /** Total row count across a parquet dir from FOOTER metadata only —
@@ -198,13 +208,19 @@ object AnnIndexStore {
 
   /** The two broadcastable quantizer frames the probe fold needs —
     * `supers` (one row: the kk2 super-centroids) and `groups` (kk2
-    * rows: each super's member centroids) — from a codebook frame.
-    * Shared with the streaming serve path (AnnIndexServe). */
-  private[graft] def quantizerFrames(q: DataFrame, kk2: Long)
+    * rows: each super's member centroids) — from a codebook frame
+    * (cent_id, c, scell). A super-centroid is exactly a row with
+    * scell == cent_id (the build sets scell = vec_id when
+    * vec_id < kk2, and every group member's scell is a super id
+    * strictly below its own cent_id), so no kk2 scalar is needed —
+    * ONE derivation shared by the stored serve path, the fresh serve
+    * path, and the streaming serve (AnnIndexServe); review r13
+    * collapsed three copies of these fold strings. */
+  private[graft] def quantizerFrames(q: DataFrame)
       : (DataFrame, DataFrame) = {
     val s = q.sparkSession
     import s.implicits._
-    val supers = q.filter($"cent_id" < kk2)
+    val supers = q.filter($"scell" === $"cent_id")
       .select($"cent_id".as("s_id"), $"c")
       .agg(expr("array_sort(collect_list(named_struct(" +
         "'s_id', s_id, 'c', c)))").as("supers"))
@@ -233,7 +249,10 @@ object AnnIndexStore {
         ceil(sqrt(count(lit(1)).cast("double"))).cast("long")).as("kk"))
       .select($"kk",
         ceil(sqrt($"kk".cast("double"))).cast("long").as("kk2"))
-    // derive (cent_id, c, scell) inline, then share the stored-path fold
+    // derive the codebook frame (cent_id, c, scell) inline — the same
+    // shape save() persists — then share quantizerFrames' fold with
+    // the stored and streaming serve paths (review r13: this block
+    // previously re-implemented both folds)
     val supers1 = index.crossJoin(broadcast(kf))
       .filter($"vec_id" < $"kk2")
       .select($"vec_id".as("s_id"), $"v".as("c"))
@@ -245,10 +264,8 @@ object AnnIndexStore {
         when($"vec_id" < $"kk2", $"vec_id")
           .otherwise(graft.queries.Similarity.superOfExpr("v"))
           .as("scell"))
-    val groups = cents.groupBy($"scell")
-      .agg(expr("array_sort(collect_list(named_struct(" +
-        "'cent_id', cent_id, 'c', c)))").as("garr"))
-    searchWith(spark, index, supers1, groups, queries, k, nprobe)
+    val (supers, groups) = quantizerFrames(cents)
+    searchWith(spark, index, supers, groups, queries, k, nprobe)
   }
 
   /** Serve against the PERSISTED artifact with its stored quantizer —
@@ -256,8 +273,8 @@ object AnnIndexStore {
     * [[forget]] (the fresh-path kk would drift with n). */
   def searchTopKStored(spark: SparkSession, dir: String,
       queries: DataFrame, k: Int, nprobe: Int = 2): DataFrame = {
-    val m = manifest(spark, dir)
-    val (supers, groups) = quantizerFrames(quantizer(spark, dir), m.kk2)
+    manifest(spark, dir) // validate layout/version before planning
+    val (supers, groups) = quantizerFrames(quantizer(spark, dir))
     searchWith(spark, load(spark, dir), supers, groups, queries, k, nprobe)
   }
 
@@ -302,8 +319,8 @@ object AnnIndexStore {
       newVecs: DataFrame): Manifest = {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
-    val m = manifest(spark, dir)
-    val (supers, groups) = quantizerFrames(quantizer(spark, dir), m.kk2)
+    val m = manifest(spark, dir) // m rides into the bumped return value
+    val (supers, groups) = quantizerFrames(quantizer(spark, dir))
     val assigned = newVecs
       .select($"vec_id", $"v".cast("array<double>").as("v"))
       .crossJoin(broadcast(supers))

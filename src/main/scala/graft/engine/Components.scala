@@ -87,6 +87,15 @@ object Components {
       labels = next.drop("changed")
       iter += 1
     }
+    // On the 0-iteration (empty-graph) path `labels` still reads the
+    // edges checkpoint, and a LocalCheckpointRDD cannot recompute after
+    // unpersist (review r13) — materialize the empty result BEFORE
+    // releasing the edge blocks. The >=1-iteration path returns the
+    // last iterate's own checkpoint, independent of edges.
+    val result =
+      if (iter == 0) labels.select($"id", $"component")
+        .localCheckpoint(eager = true)
+      else labels.select($"id", $"component")
     // Dataset.unpersist is a no-op on a localCheckpoint frame (see
     // scaladoc) — release the edge set's exact persisted RDD
     edgesRdd.foreach(_.unpersist(blocking = false))
@@ -96,6 +105,6 @@ object Components {
           "rounds; raise maxIter (rounds needed ~ graph diameter)")
     // the final iterate's checkpoint backs the returned frame; it is
     // released by the ContextCleaner when the frame is GC'd
-    labels.select($"id", $"component")
+    result
   }
 }

@@ -48,4 +48,36 @@ object TypedAggregators {
     override def outputEncoder: Encoder[Seq[(String, Long)]] =
       Encoders.kryo[Seq[(String, Long)]]
   }
+
+  /** One ANN candidate under the house ranking key (negated rounded
+    * cosine, ties to the lowest vec_id). */
+  case class SimHit(nsim: Double, vec_id: Long)
+
+  /** EXACT bounded-state top-k by (nsim asc, vec_id asc): unlike the
+    * count-keyed [[TopK]] (whose per-buffer candidate cap makes it an
+    * approximation), min-k is closed under merge — the k smallest of a
+    * union are among the k smallest of each side — so a buffer pruned
+    * to k entries is exact at any scale. This is the streaming-state
+    * form of the serve ranking: a windowed-agg state store holds k
+    * structs per (window, query), never the full candidate list
+    * (review r13 — `slice(array_sort(collect_list(...)))` buffered
+    * ~2·√n candidates per query at the 100 TB design point).
+    * The output encoder comes from the caller's session implicits so
+    * the result is a real array<struct> column (posexplode-able), not
+    * a kryo blob. */
+  case class TopKSim(k: Int)(implicit outEnc: Encoder[Seq[SimHit]])
+      extends Aggregator[SimHit, Seq[SimHit], Seq[SimHit]] {
+    private def prune(s: Seq[SimHit]): Seq[SimHit] =
+      s.sortBy(h => (h.nsim, h.vec_id)).take(k)
+    override def zero: Seq[SimHit] = Seq.empty
+    override def reduce(acc: Seq[SimHit], v: SimHit): Seq[SimHit] =
+      prune(acc :+ v)
+    override def merge(a: Seq[SimHit], b: Seq[SimHit]): Seq[SimHit] =
+      prune(a ++ b)
+    override def finish(acc: Seq[SimHit]): Seq[SimHit] =
+      acc.sortBy(h => (h.nsim, h.vec_id))
+    override def bufferEncoder: Encoder[Seq[SimHit]] =
+      Encoders.kryo[Seq[SimHit]]
+    override def outputEncoder: Encoder[Seq[SimHit]] = outEnc
+  }
 }

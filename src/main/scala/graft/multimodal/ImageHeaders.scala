@@ -83,26 +83,38 @@ object ImageHeaders {
 
   /** JPEG (verdict r12 ask #5): SOI, then a marker-segment walk — each
     * segment is FF <marker> <len:2 BE, incl. the length bytes> — until
-    * a start-of-frame carrying the geometry: SOF0 (baseline, 0xC0) or
-    * SOF2 (progressive, 0xC2). Frame payload: precision(1), height(2
-    * BE), width(2 BE), components(1). bit_depth = precision ×
-    * components (bits per pixel, matching BMP's bpp convention).
-    * Returns None for a walk that runs off the end, a non-FF where a
-    * marker must start, a segment length < 2, or scan-start/EOI before
-    * any SOF — the malformed classes the unit tests pin. */
+    * a start-of-frame carrying the geometry. ALL SOFn markers carry
+    * the same frame-header payload and are recognized (review r13:
+    * SOF0-SOF15 = 0xC0-0xCF EXCEPT 0xC4 DHT, 0xC8 JPG-extension and
+    * 0xCC DAC, which are ordinary table segments — an
+    * extended-sequential SOF1 or arithmetic SOF9 image is spec-valid);
+    * the spec also allows any run of 0xFF FILL bytes before a marker,
+    * which the walk skips instead of misreading 0xFF as a marker id.
+    * Frame payload: precision(1), height(2 BE), width(2 BE),
+    * components(1). bit_depth = precision × components (bits per
+    * pixel, matching BMP's bpp convention). Returns None for a walk
+    * that runs off the end, a non-FF where a marker must start, a
+    * segment length < 2, or scan-start/EOI before any SOF — the
+    * malformed classes the unit tests pin. */
   private def parseJpeg(b: Array[Byte]): Option[ImageMeta] = {
+    def isSof(m: Int): Boolean =
+      m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
     var off = 2
     while (off + 4 <= b.length) {
       if (b(off) != 0xff.toByte) return None
+      // skip fill bytes: FF FF ... FF <marker>
+      while (off + 4 <= b.length && b(off + 1) == 0xff.toByte) off += 1
+      if (off + 4 > b.length) return None
       val marker = b(off + 1) & 0xff
-      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) {
-        off += 2 // standalone markers carry no length
+      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7) ||
+          marker == 0x01) {
+        off += 2 // standalone markers (SOI/RSTn/TEM) carry no length
       } else if (marker == 0xd9 || marker == 0xda) {
         return None // EOI / start-of-scan before any SOF
       } else {
         val len = ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
         if (len < 2 || off + 2 + len > b.length) return None
-        if (marker == 0xc0 || marker == 0xc2) {
+        if (isSof(marker)) {
           if (len < 8) return None
           val precision = (b(off + 4) & 0xff).toLong
           val h = (((b(off + 5) & 0xff) << 8) | (b(off + 6) & 0xff)).toLong

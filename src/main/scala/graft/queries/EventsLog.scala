@@ -318,8 +318,11 @@ object EventsLog {
     // lattice. The crossing verdict is EXACT integers:
     // (c_a·n_b − c_b·n_a)²·N·10⁸ ≥ bound_e4²·n_a·n_b·C·(N−C) in
     // DECIMAL(38,0)/HUGEINT. Headroom: the LHS worst case is
-    // num²·N·10⁸ with num up to n_a·n_b, i.e. ~n⁵/16·10⁸ for total
-    // n — it stays inside 38 digits only below ~10⁶ users PER ARM;
+    // num²·N·10⁸ with num up to n_a·n_b: at m users per arm that is
+    // m⁴·2m·10⁸ = 2·10⁸·m⁵, which crosses 10³⁸ near m ≈ 8.7·10⁵
+    // (review r13: at m = 9·10⁵ the worst case is 1.18·10³⁸ — past
+    // both Spark's DECIMAL(38,0) and DuckDB's HUGEINT ≈ 1.7·10³⁸);
+    // m = 8·10⁵ proves safe (6.6·10³⁷ worst case, both engines);
     // past that, rates must be e6 pre-quantized BEFORE the compare
     // (Spark decimal overflow otherwise NULLs `crossed`, silently
     // read as not-crossed, while DuckDB HUGEINT raises — the twins
@@ -362,16 +365,18 @@ object EventsLog {
         // n_a > 0 AND n_b > 0: with an empty arm the variance side is
         // 0 and "0 >= 0" would declare a crossing on zero evidence
         // (review finding, round 11); an empty arm is "keep looking".
-        // The ≤1e6-per-arm decimal headroom bound (see the scaladoc
-        // math above) is now a RUNTIME GUARD (ADVICE r12): past it
+        // The ≤8e5-per-arm decimal headroom bound (see the scaladoc
+        // math above — 1e6 was NOT safe: worst-case asymmetric
+        // conversion overflows from ~8.7e5, review r13) is a RUNTIME
+        // GUARD (ADVICE r12): past it
         // Spark's decimal overflow would NULL `crossed` (read as
         // not-crossed) while DuckDB HUGEINT raises — assert_true makes
         // the engine fail loudly on the same boundary instead of
         // silently splitting from the oracle
         .withColumn("crossed", expr(
           """coalesce(cast(assert_true(
-            |  n_a <= 1000000 and n_b <= 1000000,
-            |  'log_ab_sequential: >1e6 users per arm overflows the
+            |  n_a <= 800000 and n_b <= 800000,
+            |  'log_ab_sequential: >8e5 users per arm overflows the
             | exact decimal(38,0) crossing compare; pre-quantize rates
             | to e6 first') as bigint),
             |cast(n_a > 0 and n_b > 0 and cc > 0 and cc < nn and

@@ -159,6 +159,19 @@ object Similarity {
   private[graft] def ivfCells(s: SparkSession, d: String): DataFrame =
     ivfCellsCache.get(s, d)(ivfCellsRaw(s, d).localCheckpoint())
 
+  /** Stable per-(tag, dataset) scratch dir for the persisted-index
+    * lifecycle rows — REUSED across invocations (every writer inside
+    * runs with overwrite semantics), so repeated bench reps / verify
+    * rounds keep /tmp disk bounded and any FrameMemo entry keyed on
+    * the dir stays one stable entry instead of churning a fresh
+    * corpus-sized checkpoint per rep (review r13). */
+  private def idxScratch(tag: String, d: String): String = {
+    val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_idx_${tag}_${java.lang.Integer.toHexString(d.hashCode)}")
+    f.mkdirs()
+    f.getAbsolutePath
+  }
+
   /** 3-NN majority-vote label predictions over the shared cell-pair
     * edges — sim_knn_classify's body, shared with sim_confusion_matrix.
     * @return (vec_id, true_label, pred_label, n_votes, n_neighbors,
@@ -1653,25 +1666,32 @@ object Similarity {
     // partition-pruned to the same cells.
     "sim_index_forget_audit" -> ((s, d) => {
       import s.implicits._
+      def emptyOut = Seq.empty[(Long, Long, Long, Long, Long, Boolean)]
+        .toDF("vec_id", "before_present", "after_present",
+          "n_before", "n_after", "codebook_stale")
       // an empty corpus has nothing to index or forget — schema-
       // preserving empty result (EmptyInputSpec contract)
-      val mxRow = t(s, d, "embeddings").agg(max($"vec_id")).head()
-      if (mxRow.isNullAt(0))
-        Seq.empty[(Long, Long, Long, Long, Long, Boolean)]
-          .toDF("vec_id", "before_present", "after_present",
-            "n_before", "n_after", "codebook_stale")
+      if (t(s, d, "embeddings").head(1).isEmpty) emptyOut
       else {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_idx_forget").toString
-      val mx = mxRow.getLong(0)
+      val dir = idxScratch("forget", d)
       val m0 = graft.engine.AnnIndexStore.save(s, d, dir)
+      // victims = the up-to-3 HIGHEST NON-CODEBOOK ids (vec_id >= kk):
+      // "3 highest overall" is not codebook-safe on a tiny corpus —
+      // kk floors at 8, so with n <= ~10 the top ids can seed the
+      // codebook and flip codebook_stale against the oracle (review
+      // r13). Bounded 3-row collect; sorted for a stable forget list.
+      val victims = graft.engine.AnnIndexStore.load(s, dir)
+        .filter($"vec_id" >= m0.kk)
+        .orderBy($"vec_id".desc).limit(3)
+        .select($"vec_id").as[Long].collect().toSeq.sorted
+      if (victims.isEmpty) emptyOut // every id seeds the codebook
+      else {
       val pre = graft.engine.AnnIndexStore.load(s, dir)
-        .filter($"vec_id" >= mx - 2).select($"vec_id")
+        .filter($"vec_id".isin(victims: _*)).select($"vec_id")
         .localCheckpoint()
-      val m1 = graft.engine.AnnIndexStore
-        .forget(s, dir, Seq(mx - 2, mx - 1, mx))
+      val m1 = graft.engine.AnnIndexStore.forget(s, dir, victims)
       val post = graft.engine.AnnIndexStore.load(s, dir)
-        .filter($"vec_id" >= mx - 2)
+        .filter($"vec_id".isin(victims: _*))
         .select($"vec_id", lit(1L).as("after_present"))
       pre.join(post, Seq("vec_id"), "left")
         .na.fill(0L, Seq("after_present"))
@@ -1679,6 +1699,7 @@ object Similarity {
           lit(m0.n_vectors).as("n_before"), lit(m1.n_vectors).as("n_after"),
           lit(m1.codebook_stale).as("codebook_stale"))
         .orderBy($"vec_id")
+      }
       }
     }),
 
@@ -1702,12 +1723,18 @@ object Similarity {
         Seq.empty[(Long, Double, Long, Long, Boolean)]
           .toDF("q_id", "top_sim", "n_base", "n_after", "quantizer_kept")
       else {
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_idx_base").toString
+      // STABLE scratch dirs (review r13): a fresh tempdir per
+      // invocation accumulated unbounded /tmp disk across bench reps
+      // AND churned a corpus-sized ivfCells FrameMemo entry per rep
+      // (each (session, base-tempdir) key is new), evicting the shared
+      // (session, sfDir) build every other sim_* query reads. Reuse is
+      // safe: the base copy is a deterministic filter of the same
+      // dataset (overwrite-rewritten each run) and save() resets the
+      // cells/quantizer/manifest before the append.
+      val base = idxScratch("base", d)
       t(s, d, "embeddings").filter($"vec_id" % 10 =!= 0)
-        .write.parquet(s"$base/embeddings.parquet")
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_idx_app").toString
+        .write.mode("overwrite").parquet(s"$base/embeddings.parquet")
+      val dir = idxScratch("app", d)
       val m0 = graft.engine.AnnIndexStore.save(s, base, dir)
       val delta = t(s, d, "embeddings").filter($"vec_id" % 10 === 0)
         .select($"vec_id", $"embedding".cast("array<double>").as("v"))
@@ -1742,8 +1769,7 @@ object Similarity {
           .toDF("n_cells", "n_vectors", "max_cell", "avg_cell",
             "imbalance", "codebook_stale", "rebuild_recommended")
       else {
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft_idx_stats").toString
+        val dir = idxScratch("stats", d)
         graft.engine.AnnIndexStore.save(s, d, dir)
         graft.engine.AnnIndexStore.stats(s, dir)
       }
@@ -3723,15 +3749,22 @@ object Similarity {
         |  ROUND(CAST(MAX(n) * COUNT(*) AS DOUBLE) / SUM(n), 4) AS imbalance
         |FROM cs""".stripMargin),
 
+    // victims mirror the engine rule: the up-to-3 highest ids at or
+    // above kk = max(8, ceil(sqrt(n))) — never a codebook seed
     "sim_index_forget_audit" ->
-      """WITH n AS (SELECT MAX(vec_id) AS mx, COUNT(*) AS cnt
-        |           FROM embeddings)
+      """WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt
+        |            FROM embeddings),
+        |kq AS (SELECT GREATEST(8, CAST(CEIL(SQRT(cnt)) AS BIGINT))
+        |         AS kkq, cnt FROM nn),
+        |vx AS (SELECT vec_id FROM embeddings, kq WHERE vec_id >= kkq
+        |       ORDER BY vec_id DESC LIMIT 3),
+        |nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS nvc FROM vx)
         |SELECT vec_id, CAST(1 AS BIGINT) AS before_present,
         |  CAST(0 AS BIGINT) AS after_present,
-        |  CAST(cnt AS BIGINT) AS n_before,
-        |  CAST(cnt - 3 AS BIGINT) AS n_after,
+        |  cnt AS n_before,
+        |  CAST(cnt - nvc AS BIGINT) AS n_after,
         |  FALSE AS codebook_stale
-        |FROM embeddings, n WHERE vec_id >= mx - 2
+        |FROM vx, kq, nv
         |ORDER BY vec_id""".stripMargin,
 
     "sim_index_stats" -> (cellPairsCte +

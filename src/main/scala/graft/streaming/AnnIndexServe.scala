@@ -41,10 +41,9 @@ object AnnIndexServe {
       k: Int, nprobe: Int = 2, wmDelay: String = "1 hour"): DataFrame = {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
-    val m = AnnIndexStore.manifest(spark, dir)
+    AnnIndexStore.manifest(spark, dir) // validate layout before planning
     val (supers, groups) =
-      AnnIndexStore.quantizerFrames(AnnIndexStore.quantizer(spark, dir),
-        m.kk2)
+      AnnIndexStore.quantizerFrames(AnnIndexStore.quantizer(spark, dir))
     val index = AnnIndexStore.load(spark, dir)
     val q0 = queries.select($"ingest_ts", $"q_id",
       $"q".cast("array<double>").as("q"))
@@ -63,12 +62,18 @@ object AnnIndexServe {
     val cand = probed.join(index, "cell")
       .select($"ingest_ts", $"q_id", $"vec_id",
         expr("-round(nanvl(cosine_similarity(q, v), -2D), 4)").as("nsim"))
-    // ONE stateful op: per (window, query), keep the sorted k-slice —
-    // state is bounded by k structs per key, watermark-evicted
+    // ONE stateful op: per (window, query), the EXACT bounded top-k
+    // aggregator — its buffer (and therefore the state-store row) is
+    // pruned to k structs at every reduce/merge, watermark-evicted.
+    // A collect_list+slice here would buffer every probed candidate
+    // (~nprobe·√n structs per query) until the window closed — the
+    // state blowup review r13 flagged; min-k is closed under merge,
+    // so the k-pruned buffer is exact, not an approximation.
+    val topK = udaf(graft.engine.TypedAggregators.TopKSim(k),
+      org.apache.spark.sql.Encoders.product[
+        graft.engine.TypedAggregators.SimHit])
     cand.groupBy(window($"ingest_ts", "1 hour"), $"q_id")
-      .agg(expr(s"slice(array_sort(collect_list(" +
-        s"named_struct('nsim', nsim, 'vec_id', vec_id))), 1, $k)")
-        .as("top"))
+      .agg(topK($"nsim", $"vec_id").as("top"))
       .select($"window.start".as("w_start"), $"q_id",
         posexplode($"top"))
       .select($"w_start", $"q_id",

@@ -109,6 +109,17 @@ class AnnIndexStoreSpec extends SparkSpec {
       AnnIndexStore.load(spark, skew)
     }
     assert(e2.getMessage.contains("v99"))
+    // a GENUINE v1 manifest (no kk/kk2 fields): must report the
+    // version skew, not "unreadable" — the version check runs on the
+    // raw AST before the full extraction (review r13: extract-first
+    // misdiagnosed old layouts as corruption)
+    java.nio.file.Files.writeString(mp,
+      """{"version":1,"n_vectors":10,"dim":4,"k":3,"source":"/x"}""")
+    java.nio.file.Files.deleteIfExists(crc)
+    val eV1 = intercept[IllegalStateException] {
+      AnnIndexStore.load(spark, skew)
+    }
+    assert(eV1.getMessage.contains("layout v1"), eV1.getMessage)
     // garbage manifest bytes
     java.nio.file.Files.writeString(mp, "not json {{{")
     java.nio.file.Files.deleteIfExists(crc)

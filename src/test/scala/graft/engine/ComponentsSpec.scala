@@ -6,6 +6,17 @@ import graft.SparkSpec
 
 class ComponentsSpec extends SparkSpec {
 
+  test("empty pair graph: the returned frame stays usable after cleanup") {
+    import spark.implicits._
+    val pairs = Seq.empty[(Long, Long)].toDF("a", "b")
+    val got = Components.connectedComponents(pairs, "a", "b", maxIter = 5)
+    // the 0-iteration path must not return a frame backed by the
+    // already-unpersisted edges checkpoint (review r13: a
+    // LocalCheckpointRDD cannot recompute after unpersist)
+    assert(got.count() == 0)
+    assert(got.columns.toSeq == Seq("id", "component"))
+  }
+
   test("labels every node with its component's minimum id") {
     import spark.implicits._
     // two chains and a singleton pair: {1-2-3-4}, {10-11}, {20-21}
