@@ -1437,6 +1437,48 @@ object EventsLog {
 
     // Heuristic bot scoring — the traffic-hygiene pass an event
     // pipeline runs before analytics trust the log: per user, event
+    // k-anonymity audit (Sweeney 2002) — the privacy gate a log
+    // RELEASE runs before handing event data to a training pipeline:
+    // generalize each user to a quasi-identifier profile (modal
+    // 6-hour activity band, modal event type, power-of-4 volume band
+    // — the generalization hierarchy), then report every equivalence
+    // class with its size and whether it meets k >= 5. A class below
+    // k re-identifies its members by profile alone; the release rule
+    // is "suppress or widen bands until all classes pass". All
+    // modal picks are min-struct folds with pinned ties (count desc,
+    // value asc — identical on both engines); the volume band is a
+    // CASE ladder over exact integers (a float log2 would wobble the
+    // band edge cross-engine). Shapes at 100 TB: three user-keyed
+    // aggs (map-side partials) + one group over the BOUNDED QI
+    // lattice (4 bands x types x 5 volume bands) — no windows, no
+    // pair work, output bounded by the lattice, not the corpus.
+    "log_k_anonymity" -> ((s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+        .select($"user_id", $"event_type",
+          expr("hour(ts) div 6").cast("long").as("hb"))
+      val byType = ev.groupBy($"user_id", $"event_type")
+        .agg(count(lit(1)).as("c"))
+      val prof1 = byType.groupBy($"user_id")
+        .agg(min(struct((-$"c").as("nc"), $"event_type".as("t"))).as("m"),
+          sum($"c").as("n"))
+        .select($"user_id", $"m.t".as("mtype"),
+          expr("case when n < 4 then 0 when n < 16 then 1" +
+            " when n < 64 then 2 when n < 256 then 3 else 4 end")
+            .cast("long").as("vband"))
+      val prof2 = ev.groupBy($"user_id", $"hb")
+        .agg(count(lit(1)).as("c2"))
+        .groupBy($"user_id")
+        .agg(min(struct((-$"c2").as("nc"), $"hb".as("b"))).as("m"))
+        .select($"user_id", $"m.b".as("hband"))
+      prof1.join(prof2, "user_id")
+        .groupBy($"hband", $"mtype", $"vband")
+        .agg(count(lit(1)).as("n_users"))
+        .select($"hband", $"mtype", $"vband", $"n_users",
+          ($"n_users" >= 5L).as("anonymous"))
+        .orderBy($"hband", $"mtype", $"vband")
+    }),
+
     // volume, active span, sustained rate, and error share, with a
     // composite bot flag. All ratios divide EXACT integers (identical
     // operands both engines); span/rate guards degenerate single-event
@@ -3987,6 +4029,38 @@ object EventsLog {
         |JOIN dense p ON p.event_type = d.event_type
         |            AND p.hu = d.hu - 3600000000
         |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
+
+    "log_k_anonymity" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type,
+        |    CAST(hour(ts) AS BIGINT) // 6 AS hb
+        |  FROM events),
+        |ut AS (SELECT user_id, event_type, COUNT(*) AS c
+        |       FROM ev GROUP BY 1, 2),
+        |mt AS (SELECT user_id, event_type AS mtype FROM (
+        |  SELECT user_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |                       ORDER BY c DESC, event_type) AS rn
+        |  FROM ut) WHERE rn = 1),
+        |nv AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n
+        |       FROM ut GROUP BY 1),
+        |ub AS (SELECT user_id, hb, COUNT(*) AS c2
+        |       FROM ev GROUP BY 1, 2),
+        |mb AS (SELECT user_id, hb AS hband FROM (
+        |  SELECT user_id, hb,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |                       ORDER BY c2 DESC, hb) AS rn
+        |  FROM ub) WHERE rn = 1),
+        |prof AS (
+        |  SELECT mb.hband, mt.mtype,
+        |    CAST(CASE WHEN n < 4 THEN 0 WHEN n < 16 THEN 1
+        |         WHEN n < 64 THEN 2 WHEN n < 256 THEN 3
+        |         ELSE 4 END AS BIGINT) AS vband
+        |  FROM mt JOIN mb USING (user_id) JOIN nv USING (user_id))
+        |SELECT hband, mtype, vband,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  COUNT(*) >= 5 AS anonymous
+        |FROM prof GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "log_bot_detection" ->
       """WITH a AS (

@@ -113,4 +113,33 @@ object EngineProps extends Properties("engine") {
       val line = ws.mkString(" ")
       WordCountJob.fMap("f", 0, line).size == ws.size
     }
+
+  // BPE over ARBITRARY unicode words and arbitrary learned merge
+  // tables (round 13) — the fixture spec pins specific corpora; these
+  // laws must hold for any input, including surrogate-pair emoji and
+  // words absent from the training vocab.
+  private val bpeWordGen: Gen[String] = Gen.listOf(Gen.frequency(
+    4 -> Gen.alphaLowerChar.map(_.toString),
+    2 -> Gen.oneOf("é", "ß", "λ", "ж", "中", "語"),
+    1 -> Gen.oneOf("😀", "🚀", "🌍"))).map(_.mkString)
+
+  property("BPE encode is a lossless segmentation for any word/merges") =
+    forAll(Gen.listOf(bpeWordGen), Gen.choose(0, 12)) { (ws, n) =>
+      val ranks = BpeTokenizer
+        .learn(ws.filter(_.nonEmpty).map((_, 1L)), n).zipWithIndex.toMap
+      ws.forall { w =>
+        val toks = BpeTokenizer.encode(w, ranks)
+        toks.mkString == w && toks.forall(_.nonEmpty)
+      }
+    }
+
+  property("BPE token counts are non-increasing in the merge count") =
+    forAll(Gen.nonEmptyListOf(bpeWordGen), Gen.choose(0, 10)) { (ws, n) =>
+      val vocab = ws.filter(_.nonEmpty).map((_, 1L))
+      val rSmall = BpeTokenizer.learn(vocab, n).zipWithIndex.toMap
+      val rBig = BpeTokenizer.learn(vocab, n + 4).zipWithIndex.toMap
+      val small = ws.map(w => BpeTokenizer.encode(w, rSmall).length).sum
+      val big = ws.map(w => BpeTokenizer.encode(w, rBig).length).sum
+      big <= small
+    }
 }
