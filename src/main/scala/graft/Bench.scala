@@ -169,11 +169,15 @@ object Bench {
     // >= 0.2 s (a 2x move has Δ = p >= the floor); a flat 0.25 s
     // floor would have blinded the gate to 2-3x regressions on rows
     // under 0.25 s (review r13).
+    // the jitter-band term applies ONLY below 0.5 s (second review
+    // pass: an unconditional min(0.25, p) also suppressed legitimate
+    // "faster" lines for 0.5-0.83 s bases, outside the band the
+    // evidence covers)
     val deltas = results.toSeq.flatMap { case (name, v) =>
       prevDetail.get(name).collect {
         case p if p > 0 && v > 0 && (v >= p * 1.5 || v <= p / 1.5) &&
-          math.abs(v - p) >=
-            math.max(0.1, math.max(0.3 * p, math.min(0.25, p))) =>
+          math.abs(v - p) >= math.max(0.1, math.max(0.3 * p,
+            if (p < 0.5) math.min(0.25, p) else 0.0)) =>
           (name, p, v, v / p)
       }
     }.sortBy { case (_, _, _, r) => -r }

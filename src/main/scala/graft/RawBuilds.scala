@@ -71,13 +71,8 @@ object RawBuilds {
     "sim_index_store_raw" -> ((s, d) => {
       // stable scratch dir, reused across reps (save() overwrites) —
       // a fresh tempdir per rep accumulated unbounded /tmp disk
-      // (review r13)
-      val dir = {
-        val f = new java.io.File(System.getProperty("java.io.tmpdir"),
-          s"graft_annidx_bench_${java.lang.Integer.toHexString(d.hashCode)}")
-        f.mkdirs()
-        f.getAbsolutePath
-      }
+      // (review r13); one shared derivation with the lifecycle rows
+      val dir = queries.Similarity.idxScratch("bench", d)
       engine.AnnIndexStore.save(s, d, dir)
       engine.AnnIndexStore.load(s, dir, verify = true) // footer integrity
       import org.apache.spark.sql.functions.col

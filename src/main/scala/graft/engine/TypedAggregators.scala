@@ -67,11 +67,29 @@ object TypedAggregators {
     * a kryo blob. */
   case class TopKSim(k: Int)(implicit outEnc: Encoder[Seq[SimHit]])
       extends Aggregator[SimHit, Seq[SimHit], Seq[SimHit]] {
+    // (nsim asc, vec_id asc) — smaller is better
+    private def beats(a: SimHit, b: SimHit): Boolean =
+      a.nsim < b.nsim || (a.nsim == b.nsim && a.vec_id < b.vec_id)
     private def prune(s: Seq[SimHit]): Seq[SimHit] =
       s.sortBy(h => (h.nsim, h.vec_id)).take(k)
     override def zero: Seq[SimHit] = Seq.empty
+    // reduce is the per-candidate hot path (~nprobe·√n calls per
+    // query): the buffer stays UNSORTED and reduce is O(k) with no
+    // sort or full reallocation — append until full, then replace the
+    // current worst only when the newcomer beats it (second review
+    // pass: an unconditional sort-and-take here re-sorted the buffer
+    // per row). Only merge (once per partial) and finish sort.
     override def reduce(acc: Seq[SimHit], v: SimHit): Seq[SimHit] =
-      prune(acc :+ v)
+      if (acc.length < k) acc :+ v
+      else {
+        var wi = 0
+        var i = 1
+        while (i < acc.length) {
+          if (beats(acc(wi), acc(i))) wi = i // track the WORST entry
+          i += 1
+        }
+        if (beats(v, acc(wi))) acc.updated(wi, v) else acc
+      }
     override def merge(a: Seq[SimHit], b: Seq[SimHit]): Seq[SimHit] =
       prune(a ++ b)
     override def finish(acc: Seq[SimHit]): Seq[SimHit] =

@@ -1435,8 +1435,6 @@ object EventsLog {
             / ($"n_users".cast("double") * $"total_events"), 4).as("gini"))
     }),
 
-    // Heuristic bot scoring — the traffic-hygiene pass an event
-    // pipeline runs before analytics trust the log: per user, event
     // k-anonymity audit (Sweeney 2002) — the privacy gate a log
     // RELEASE runs before handing event data to a training pipeline:
     // generalize each user to a quasi-identifier profile (modal
@@ -1479,6 +1477,8 @@ object EventsLog {
         .orderBy($"hband", $"mtype", $"vband")
     }),
 
+    // Heuristic bot scoring — the traffic-hygiene pass an event
+    // pipeline runs before analytics trust the log: per user, event
     // volume, active span, sustained rate, and error share, with a
     // composite bot flag. All ratios divide EXACT integers (identical
     // operands both engines); span/rate guards degenerate single-event
