@@ -1452,28 +1452,39 @@ object EventsLog {
     // pair work, output bounded by the lattice, not the corpus.
     "log_k_anonymity" -> ((s, d) => {
       import s.implicits._
-      val ev = t(s, d, "events")
-        .select($"user_id", $"event_type",
-          expr("hour(ts) div 6").cast("long").as("hb"))
-      val byType = ev.groupBy($"user_id", $"event_type")
-        .agg(count(lit(1)).as("c"))
-      val prof1 = byType.groupBy($"user_id")
-        .agg(min(struct((-$"c").as("nc"), $"event_type".as("t"))).as("m"),
-          sum($"c").as("n"))
-        .select($"user_id", $"m.t".as("mtype"),
-          expr("case when n < 4 then 0 when n < 16 then 1" +
-            " when n < 64 then 2 when n < 256 then 3 else 4 end")
-            .cast("long").as("vband"))
-      val prof2 = ev.groupBy($"user_id", $"hb")
-        .agg(count(lit(1)).as("c2"))
-        .groupBy($"user_id")
-        .agg(min(struct((-$"c2").as("nc"), $"hb".as("b"))).as("m"))
-        .select($"user_id", $"m.b".as("hband"))
-      prof1.join(prof2, "user_id")
+      qiProfile(s, d)
         .groupBy($"hband", $"mtype", $"vband")
         .agg(count(lit(1)).as("n_users"))
         .select($"hband", $"mtype", $"vband", $"n_users",
           ($"n_users" >= 5L).as("anonymous"))
+        .orderBy($"hband", $"mtype", $"vband")
+    }),
+
+    // l-diversity (Machanavajjhala et al. 2007) — k-anonymity's
+    // standard companion: a class of k look-alike users still leaks
+    // if they all SHARE the sensitive value (homogeneity attack), so
+    // each equivalence class must carry >= l distinct sensitive
+    // values. Sensitive attribute here: the user's total spend band
+    // ($100 bands over exact cents — value*100 rounds to an integer
+    // identically on both engines, and the cent sum is exact where a
+    // double total would be summation-order-dependent). Same QI
+    // classes as log_k_anonymity BY CONSTRUCTION (shared qiProfile).
+    // Shapes at 100 TB: one more user-keyed agg + the same bounded
+    // QI-lattice group; COUNT(DISTINCT sband) is exact over a
+    // bounded band alphabet.
+    "log_l_diversity" -> ((s, d) => {
+      import s.implicits._
+      val sens = t(s, d, "events")
+        .select($"user_id",
+          expr("cast(round(value * 100) as bigint)").as("cents"))
+        .groupBy($"user_id").agg(sum($"cents").as("tot"))
+        .select($"user_id", expr("tot div 10000").cast("long").as("sband"))
+      qiProfile(s, d).join(sens, "user_id")
+        .groupBy($"hband", $"mtype", $"vband")
+        .agg(count(lit(1)).as("n_users"),
+          countDistinct($"sband").as("l_distinct"))
+        .select($"hband", $"mtype", $"vband", $"n_users", $"l_distinct",
+          ($"l_distinct" >= 3L).as("diverse"))
         .orderBy($"hband", $"mtype", $"vband")
     }),
 
@@ -4030,37 +4041,26 @@ object EventsLog {
         |            AND p.hu = d.hu - 3600000000
         |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
 
-    "log_k_anonymity" ->
-      """WITH ev AS (
-        |  SELECT user_id, event_type,
-        |    CAST(hour(ts) AS BIGINT) // 6 AS hb
-        |  FROM events),
-        |ut AS (SELECT user_id, event_type, COUNT(*) AS c
-        |       FROM ev GROUP BY 1, 2),
-        |mt AS (SELECT user_id, event_type AS mtype FROM (
-        |  SELECT user_id, event_type,
-        |    ROW_NUMBER() OVER (PARTITION BY user_id
-        |                       ORDER BY c DESC, event_type) AS rn
-        |  FROM ut) WHERE rn = 1),
-        |nv AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n
-        |       FROM ut GROUP BY 1),
-        |ub AS (SELECT user_id, hb, COUNT(*) AS c2
-        |       FROM ev GROUP BY 1, 2),
-        |mb AS (SELECT user_id, hb AS hband FROM (
-        |  SELECT user_id, hb,
-        |    ROW_NUMBER() OVER (PARTITION BY user_id
-        |                       ORDER BY c2 DESC, hb) AS rn
-        |  FROM ub) WHERE rn = 1),
-        |prof AS (
-        |  SELECT mb.hband, mt.mtype,
-        |    CAST(CASE WHEN n < 4 THEN 0 WHEN n < 16 THEN 1
-        |         WHEN n < 64 THEN 2 WHEN n < 256 THEN 3
-        |         ELSE 4 END AS BIGINT) AS vband
-        |  FROM mt JOIN mb USING (user_id) JOIN nv USING (user_id))
+    "log_k_anonymity" -> (qiProfileSql +
+      """
         |SELECT hband, mtype, vband,
         |  CAST(COUNT(*) AS BIGINT) AS n_users,
         |  COUNT(*) >= 5 AS anonymous
-        |FROM prof GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+        |FROM prof GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
+
+    "log_l_diversity" -> (qiProfileSql +
+      """,
+        |sens AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+        |      // 10000 AS sband
+        |  FROM events GROUP BY user_id)
+        |SELECT p.hband, p.mtype, p.vband,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(COUNT(DISTINCT s.sband) AS BIGINT) AS l_distinct,
+        |  COUNT(DISTINCT s.sband) >= 3 AS diverse
+        |FROM prof p JOIN sens s USING (user_id)
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
 
     "log_bot_detection" ->
       """WITH a AS (
@@ -5608,4 +5608,66 @@ object EventsLog {
         |  conc AS peak_concurrency,
         |  m % 1440 AS peak_minute_of_day
         |FROM r WHERE rk = 1 AND conc >= 1 ORDER BY day""".stripMargin)
+
+  /** Per-user quasi-identifier profile (user_id, hband, mtype, vband)
+    * — the generalization hierarchy shared by the privacy pair:
+    * log_k_anonymity groups it into equivalence-class sizes,
+    * log_l_diversity measures sensitive-attribute diversity inside
+    * the same classes (one definition, so the two audits can never
+    * disagree on what a "class" is). Modal picks are min-struct folds
+    * with pinned ties; the volume band is an integer CASE ladder. */
+  private def qiProfile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = graft.Tables.t(s, d, "events")
+      .select($"user_id", $"event_type",
+        expr("hour(ts) div 6").cast("long").as("hb"))
+    val byType = ev.groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("c"))
+    val prof1 = byType.groupBy($"user_id")
+      .agg(min(struct((-$"c").as("nc"), $"event_type".as("t"))).as("m"),
+        sum($"c").as("n"))
+      .select($"user_id", $"m.t".as("mtype"),
+        expr("case when n < 4 then 0 when n < 16 then 1" +
+          " when n < 64 then 2 when n < 256 then 3 else 4 end")
+          .cast("long").as("vband"))
+    val prof2 = ev.groupBy($"user_id", $"hb")
+      .agg(count(lit(1)).as("c2"))
+      .groupBy($"user_id")
+      .agg(min(struct((-$"c2").as("nc"), $"hb".as("b"))).as("m"))
+      .select($"user_id", $"m.b".as("hband"))
+    prof1.join(prof2, "user_id")
+      .select($"user_id", $"hband", $"mtype", $"vband")
+  }
+
+  /** DuckDB twin of [[qiProfile]], ending in a
+    * `prof(user_id, hband, mtype, vband)` CTE. `lazy`: the oracle map
+    * above initializes first in declaration order and concatenates
+    * this string eagerly — a strict val here is still null then. */
+  private lazy val qiProfileSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type,
+      |    CAST(hour(ts) AS BIGINT) // 6 AS hb
+      |  FROM events),
+      |ut AS (SELECT user_id, event_type, COUNT(*) AS c
+      |       FROM ev GROUP BY 1, 2),
+      |mt AS (SELECT user_id, event_type AS mtype FROM (
+      |  SELECT user_id, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |                       ORDER BY c DESC, event_type) AS rn
+      |  FROM ut) WHERE rn = 1),
+      |nv AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n
+      |       FROM ut GROUP BY 1),
+      |ub AS (SELECT user_id, hb, COUNT(*) AS c2
+      |       FROM ev GROUP BY 1, 2),
+      |mb AS (SELECT user_id, hb AS hband FROM (
+      |  SELECT user_id, hb,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |                       ORDER BY c2 DESC, hb) AS rn
+      |  FROM ub) WHERE rn = 1),
+      |prof AS (
+      |  SELECT mt.user_id, mb.hband, mt.mtype,
+      |    CAST(CASE WHEN n < 4 THEN 0 WHEN n < 16 THEN 1
+      |         WHEN n < 64 THEN 2 WHEN n < 256 THEN 3
+      |         ELSE 4 END AS BIGINT) AS vband
+      |  FROM mt JOIN mb USING (user_id) JOIN nv USING (user_id))""".stripMargin
 }
