@@ -1474,17 +1474,61 @@ object EventsLog {
     // bounded band alphabet.
     "log_l_diversity" -> ((s, d) => {
       import s.implicits._
-      val sens = t(s, d, "events")
-        .select($"user_id",
-          expr("cast(round(value * 100) as bigint)").as("cents"))
-        .groupBy($"user_id").agg(sum($"cents").as("tot"))
-        .select($"user_id", expr("tot div 10000").cast("long").as("sband"))
-      qiProfile(s, d).join(sens, "user_id")
+      qiProfile(s, d).join(userSpendBand(s, d), "user_id")
         .groupBy($"hband", $"mtype", $"vband")
         .agg(count(lit(1)).as("n_users"),
           countDistinct($"sband").as("l_distinct"))
         .select($"hband", $"mtype", $"vband", $"n_users", $"l_distinct",
           ($"l_distinct" >= 3L).as("diverse"))
+        .orderBy($"hband", $"mtype", $"vband")
+    }),
+
+    // t-closeness (Li, Li & Venkatasubramanian 2007) — the third of
+    // the classic release-audit trio: l distinct sensitive values per
+    // class still leak when the CLASS distribution skews far from the
+    // corpus (a class that is 90% top-band reveals "probably a big
+    // spender" even at l = 5). For each QI class, the Earth Mover's
+    // Distance between its sensitive-band distribution and the global
+    // one, over the ORDERED band domain: EMD = Σ_b |CDF_class(b) −
+    // CDF_global(b)| / (B−1). Float discipline: each per-band term is
+    // one double expression over exact integer cumulative counts,
+    // e6-quantized per band BEFORE the sum (a raw double Σ would be
+    // summation-order-dependent across engines); the final divide by
+    // (B−1) is one float op, rounded 4 dp. Shapes at 100 TB: the
+    // user-keyed aggs are the linear passes; everything after runs on
+    // the BOUNDED class × band grid (lattice-sized — the broadcast
+    // cross join is a few hundred rows), with the cumulative window
+    // partitioned per class over the band alphabet.
+    "log_t_closeness" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val pb = qiProfile(s, d).join(userSpendBand(s, d), "user_id")
+      val classBand = pb.groupBy($"hband", $"mtype", $"vband", $"sband")
+        .agg(count(lit(1)).as("c"))
+      val classTot = classBand.groupBy($"hband", $"mtype", $"vband")
+        .agg(sum($"c").as("n_users"))
+      val globBand = pb.groupBy($"sband").agg(count(lit(1)).as("g"))
+      val globTot = pb.agg(count(lit(1)).as("nn"),
+        countDistinct($"sband").as("bb"))
+      val w = Window.partitionBy($"hband", $"mtype", $"vband")
+        .orderBy($"sband")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      classTot.crossJoin(broadcast(globBand))
+        .join(classBand, Seq("hband", "mtype", "vband", "sband"), "left")
+        .na.fill(0L, Seq("c"))
+        .crossJoin(broadcast(globTot))
+        .withColumn("cc", sum($"c").over(w))
+        .withColumn("gc", sum($"g").over(w))
+        .withColumn("term_e6", expr(
+          "cast(round(1e6 * abs(cast(cc as double) / n_users" +
+            " - cast(gc as double) / nn)) as bigint)"))
+        .groupBy($"hband", $"mtype", $"vband", $"n_users", $"bb")
+        .agg(sum($"term_e6").as("emd_e6"))
+        .select($"hband", $"mtype", $"vband", $"n_users",
+          when($"bb" > 1L, round($"emd_e6".cast("double")
+            / lit(1e6) / ($"bb" - 1L), 4)).otherwise(lit(0.0)).as("emd"),
+          when($"bb" > 1L, $"emd_e6" * 5L <= ($"bb" - 1L) * 1000000L)
+            .otherwise(lit(true)).as("close"))
         .orderBy($"hband", $"mtype", $"vband")
     }),
 
@@ -4048,19 +4092,55 @@ object EventsLog {
         |  COUNT(*) >= 5 AS anonymous
         |FROM prof GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
 
-    "log_l_diversity" -> (qiProfileSql +
-      """,
-        |sens AS (
-        |  SELECT user_id,
-        |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
-        |      // 10000 AS sband
-        |  FROM events GROUP BY user_id)
+    "log_l_diversity" -> (qiProfileSql + ",\n" + sensSql +
+      """
         |SELECT p.hband, p.mtype, p.vband,
         |  CAST(COUNT(*) AS BIGINT) AS n_users,
         |  CAST(COUNT(DISTINCT s.sband) AS BIGINT) AS l_distinct,
         |  COUNT(DISTINCT s.sband) >= 3 AS diverse
         |FROM prof p JOIN sens s USING (user_id)
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
+
+    "log_t_closeness" -> (qiProfileSql + ",\n" + sensSql +
+      """,
+        |pb AS (SELECT p.hband, p.mtype, p.vband, s.sband
+        |       FROM prof p JOIN sens s USING (user_id)),
+        |cb AS (SELECT hband, mtype, vband, sband, COUNT(*) AS c
+        |       FROM pb GROUP BY 1, 2, 3, 4),
+        |ct AS (SELECT hband, mtype, vband, CAST(SUM(c) AS BIGINT)
+        |         AS n_users FROM cb GROUP BY 1, 2, 3),
+        |gb AS (SELECT sband, COUNT(*) AS g FROM pb GROUP BY 1),
+        |gt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+        |         CAST(COUNT(DISTINCT sband) AS BIGINT) AS bb FROM pb),
+        |grid AS (
+        |  SELECT ct.hband, ct.mtype, ct.vband, ct.n_users,
+        |    gb.sband, gb.g, COALESCE(cb.c, 0) AS c
+        |  FROM ct CROSS JOIN gb
+        |  LEFT JOIN cb ON cb.hband = ct.hband AND cb.mtype = ct.mtype
+        |              AND cb.vband = ct.vband AND cb.sband = gb.sband),
+        |cum AS (
+        |  SELECT hband, mtype, vband, n_users,
+        |    SUM(c) OVER (PARTITION BY hband, mtype, vband
+        |      ORDER BY sband ROWS UNBOUNDED PRECEDING) AS cc,
+        |    SUM(g) OVER (PARTITION BY hband, mtype, vband
+        |      ORDER BY sband ROWS UNBOUNDED PRECEDING) AS gc
+        |  FROM grid),
+        |terms AS (
+        |  SELECT hband, mtype, vband, n_users,
+        |    CAST(ROUND(1e6 * ABS(CAST(cc AS DOUBLE) / n_users
+        |      - CAST(gc AS DOUBLE) / nn)) AS BIGINT) AS term_e6
+        |  FROM cum, gt),
+        |emds AS (
+        |  SELECT hband, mtype, vband, n_users,
+        |    CAST(SUM(term_e6) AS BIGINT) AS emd_e6
+        |  FROM terms GROUP BY 1, 2, 3, 4)
+        |SELECT hband, mtype, vband, n_users,
+        |  CASE WHEN bb > 1 THEN
+        |    ROUND(CAST(emd_e6 AS DOUBLE) / 1e6 / (bb - 1), 4)
+        |  ELSE 0.0 END AS emd,
+        |  CASE WHEN bb > 1 THEN emd_e6 * 5 <= (bb - 1) * 1000000
+        |  ELSE TRUE END AS close
+        |FROM emds, gt ORDER BY hband, mtype, vband""".stripMargin),
 
     "log_bot_detection" ->
       """WITH a AS (
@@ -5638,6 +5718,28 @@ object EventsLog {
     prof1.join(prof2, "user_id")
       .select($"user_id", $"hband", $"mtype", $"vband")
   }
+
+  /** Sensitive attribute of the privacy trio: the user's total spend
+    * band ($100 bands over exact cents — value*100 rounds to an
+    * integer identically on both engines, and the cent sum is exact
+    * where a double total would be summation-order-dependent). */
+  private def userSpendBand(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.t(s, d, "events")
+      .select($"user_id",
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      .groupBy($"user_id").agg(sum($"cents").as("tot"))
+      .select($"user_id", expr("tot div 10000").cast("long").as("sband"))
+  }
+
+  /** DuckDB twin of [[userSpendBand]]: a
+    * `sens(user_id, sband)` CTE body (no WITH). */
+  private lazy val sensSql: String =
+    """sens AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+      |      // 10000 AS sband
+      |  FROM events GROUP BY user_id)""".stripMargin
 
   /** DuckDB twin of [[qiProfile]], ending in a
     * `prof(user_id, hband, mtype, vband)` CTE. `lazy`: the oracle map
