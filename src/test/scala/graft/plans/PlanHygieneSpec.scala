@@ -118,6 +118,10 @@ class PlanHygieneSpec extends SparkSpec {
                              // recall diagnostic's ground truth exists only
                              // over the vec_id%2 half-sample, never in a
                              // dedup path) + 1-row hit aggs for the gain row
+    "log_t_closeness",       // 1-row (N, B) totals scalar + the bounded
+                             // band-alphabet broadcast building the
+                             // class x band EMD grid (domain-bounded,
+                             // like the centroid-table exemptions)
     "sketch_hll_merge",      // 1-row single-pass estimate + exact agg
     "log_pagerank",          // 1-row node count (rank vector joins are equi)
     "sim_recall_eval",       // 1-row query vec/planes/codebook, 2-row probes
