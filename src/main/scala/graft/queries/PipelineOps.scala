@@ -1647,22 +1647,35 @@ object PipelineOps {
     // integers (≥ 0); x_source_share isolates the mass shared ACROSS
     // sources (dup grams seen in ≥ 2 sources) — the signal that
     // boilerplate rides syndication, not re-posts within one site.
+    // JOIN SHAPE (r14 re-plan of the r13 regression): the exploded
+    // occurrence stream (~8× corpus tokens) is pre-aggregated to ONE
+    // row per (source, gram) BEFORE anything joins — the frequency
+    // table then derives from that same pre-agg (cnt = Σ per-source
+    // occs, n_src = row count per gram), and the join carries
+    // distinct per-source grams instead of raw occurrences. A viral
+    // boilerplate gram no longer funnels its entire occurrence stream
+    // onto a single join key: at 100 TB its join contribution is one
+    // row per source that carries it, with the occurrence count
+    // folded map-side — the hot-gram skew channel is closed by
+    // construction, not by AQE. The two consumers of `occ` share its
+    // (source, g) exchange via Spark's ReuseExchange.
     "text_dup_ngram_rate" -> ((s, d) => {
       import s.implicits._
-      val grams = t(s, d, "documents")
+      val occ = t(s, d, "documents")
         .select($"source", toksCol.as("toks"))
         .filter(size($"toks") >= 8)
         .select($"source", explode(expr(
           "transform(sequence(1, size(toks) - 7)," +
             " i -> xxhash64(array_join(slice(toks, i, 8), ' ')))")).as("g"))
-      val freq = grams.groupBy($"g")
-        .agg(count(lit(1)).as("cnt"),
-          countDistinct($"source").as("n_src"))
-      grams.join(freq, "g")
+        .groupBy($"source", $"g")
+        .agg(count(lit(1)).as("n_occ"))
+      val freq = occ.groupBy($"g")
+        .agg(sum($"n_occ").as("cnt"), count(lit(1)).as("n_src"))
+      occ.join(freq, "g")
         .groupBy($"source")
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when($"cnt" > 1L, 1L).otherwise(0L)).as("n_dup_occ"),
-          sum(when($"n_src" > 1L, 1L).otherwise(0L)).as("n_xsrc_occ"))
+        .agg(sum($"n_occ").as("n_grams"),
+          sum(when($"cnt" > 1L, $"n_occ").otherwise(0L)).as("n_dup_occ"),
+          sum(when($"n_src" > 1L, $"n_occ").otherwise(0L)).as("n_xsrc_occ"))
         .select($"source", $"n_grams", $"n_dup_occ", $"n_xsrc_occ",
           round($"n_dup_occ".cast("double") / $"n_grams", 4)
             .as("dup_share"),
