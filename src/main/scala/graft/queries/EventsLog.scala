@@ -1501,34 +1501,47 @@ object EventsLog {
     // partitioned per class over the band alphabet.
     "log_t_closeness" -> ((s, d) => {
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val pb = qiProfile(s, d).join(userSpendBand(s, d), "user_id")
-      val classBand = pb.groupBy($"hband", $"mtype", $"vband", $"sband")
-        .agg(count(lit(1)).as("c"))
-      val classTot = classBand.groupBy($"hband", $"mtype", $"vband")
-        .agg(sum($"c").as("n_users"))
-      val globBand = pb.groupBy($"sband").agg(count(lit(1)).as("g"))
-      val globTot = pb.agg(count(lit(1)).as("nn"),
-        countDistinct($"sband").as("bb"))
-      val w = Window.partitionBy($"hband", $"mtype", $"vband")
-        .orderBy($"sband")
-        .rowsBetween(Window.unboundedPreceding, 0)
-      classTot.crossJoin(broadcast(globBand))
-        .join(classBand, Seq("hband", "mtype", "vband", "sband"), "left")
-        .na.fill(0L, Seq("c"))
-        .crossJoin(broadcast(globTot))
-        .withColumn("cc", sum($"c").over(w))
-        .withColumn("gc", sum($"g").over(w))
-        .withColumn("term_e6", expr(
-          "cast(round(1e6 * abs(cast(cc as double) / n_users" +
-            " - cast(gc as double) / nn)) as bigint)"))
-        .groupBy($"hband", $"mtype", $"vband", $"n_users", $"bb")
-        .agg(sum($"term_e6").as("emd_e6"))
+      qiClassMetrics(s, d)
         .select($"hband", $"mtype", $"vband", $"n_users",
           when($"bb" > 1L, round($"emd_e6".cast("double")
             / lit(1e6) / ($"bb" - 1L), 4)).otherwise(lit(0.0)).as("emd"),
           when($"bb" > 1L, $"emd_e6" * 5L <= ($"bb" - 1L) * 1000000L)
             .otherwise(lit(true)).as("close"))
+        .orderBy($"hband", $"mtype", $"vband")
+    }),
+
+    // Anonymized RELEASE (r13 verdict ask #3) — the half of the
+    // privacy workflow the trio audits but could not ship: the table
+    // a governance pipeline actually hands to the training run.
+    // Suppression rule: a QI class survives only when it passes ALL
+    // THREE gates simultaneously — k-anonymity (n_users >= 5),
+    // l-diversity (>= 3 distinct spend bands), t-closeness (EMD <=
+    // 0.2 against the corpus spend distribution) — because a release
+    // that only enforces k still leaks via homogeneity or skew
+    // (that is WHY the trio exists). Each released class carries its
+    // per-hband suppression accounting (classes and users cut from
+    // that activity band) plus the release-wide k_min — the number a
+    // privacy officer quotes as "this release is k_min-anonymous".
+    // Shapes at 100 TB: everything after the shared user-keyed aggs
+    // runs on the BOUNDED QI lattice (a few hundred classes at any
+    // corpus size) — the suppression roll-up, the k_min fold, and
+    // both joins are lattice-sized; k_min broadcasts as a 1-row frame.
+    "log_anonymize_release" -> ((s, d) => {
+      import s.implicits._
+      val m = qiClassMetrics(s, d)
+        .withColumn("ok", $"n_users" >= 5L && $"l_distinct" >= 3L &&
+          (when($"bb" > 1L, $"emd_e6" * 5L <= ($"bb" - 1L) * 1000000L)
+            .otherwise(lit(true))))
+      val supp = m.groupBy($"hband")
+        .agg(sum(when(!$"ok", 1L).otherwise(0L)).as("supp_classes"),
+          sum(when(!$"ok", $"n_users").otherwise(0L)).as("supp_users"))
+      val rel = m.filter($"ok")
+      val kmin = rel.agg(min($"n_users").as("k_min"))
+      rel.join(supp, "hband").crossJoin(broadcast(kmin))
+        .select($"hband", $"mtype", $"vband", $"n_users", $"l_distinct",
+          when($"bb" > 1L, round($"emd_e6".cast("double")
+            / lit(1e6) / ($"bb" - 1L), 4)).otherwise(lit(0.0)).as("emd"),
+          $"supp_classes", $"supp_users", $"k_min")
         .orderBy($"hband", $"mtype", $"vband")
     }),
 
@@ -4101,46 +4114,39 @@ object EventsLog {
         |FROM prof p JOIN sens s USING (user_id)
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
 
-    "log_t_closeness" -> (qiProfileSql + ",\n" + sensSql +
-      """,
-        |pb AS (SELECT p.hband, p.mtype, p.vband, s.sband
-        |       FROM prof p JOIN sens s USING (user_id)),
-        |cb AS (SELECT hband, mtype, vband, sband, COUNT(*) AS c
-        |       FROM pb GROUP BY 1, 2, 3, 4),
-        |ct AS (SELECT hband, mtype, vband, CAST(SUM(c) AS BIGINT)
-        |         AS n_users FROM cb GROUP BY 1, 2, 3),
-        |gb AS (SELECT sband, COUNT(*) AS g FROM pb GROUP BY 1),
-        |gt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn,
-        |         CAST(COUNT(DISTINCT sband) AS BIGINT) AS bb FROM pb),
-        |grid AS (
-        |  SELECT ct.hband, ct.mtype, ct.vband, ct.n_users,
-        |    gb.sband, gb.g, COALESCE(cb.c, 0) AS c
-        |  FROM ct CROSS JOIN gb
-        |  LEFT JOIN cb ON cb.hband = ct.hband AND cb.mtype = ct.mtype
-        |              AND cb.vband = ct.vband AND cb.sband = gb.sband),
-        |cum AS (
-        |  SELECT hband, mtype, vband, n_users,
-        |    SUM(c) OVER (PARTITION BY hband, mtype, vband
-        |      ORDER BY sband ROWS UNBOUNDED PRECEDING) AS cc,
-        |    SUM(g) OVER (PARTITION BY hband, mtype, vband
-        |      ORDER BY sband ROWS UNBOUNDED PRECEDING) AS gc
-        |  FROM grid),
-        |terms AS (
-        |  SELECT hband, mtype, vband, n_users,
-        |    CAST(ROUND(1e6 * ABS(CAST(cc AS DOUBLE) / n_users
-        |      - CAST(gc AS DOUBLE) / nn)) AS BIGINT) AS term_e6
-        |  FROM cum, gt),
-        |emds AS (
-        |  SELECT hband, mtype, vband, n_users,
-        |    CAST(SUM(term_e6) AS BIGINT) AS emd_e6
-        |  FROM terms GROUP BY 1, 2, 3, 4)
+    "log_t_closeness" -> (qiClassMetricsSql +
+      """
         |SELECT hband, mtype, vband, n_users,
         |  CASE WHEN bb > 1 THEN
         |    ROUND(CAST(emd_e6 AS DOUBLE) / 1e6 / (bb - 1), 4)
         |  ELSE 0.0 END AS emd,
         |  CASE WHEN bb > 1 THEN emd_e6 * 5 <= (bb - 1) * 1000000
         |  ELSE TRUE END AS close
-        |FROM emds, gt ORDER BY hband, mtype, vband""".stripMargin),
+        |FROM cm, gt ORDER BY hband, mtype, vband""".stripMargin),
+
+    "log_anonymize_release" -> (qiClassMetricsSql +
+      """,
+        |mm AS (
+        |  SELECT cm.*, bb,
+        |    (n_users >= 5 AND l_distinct >= 3 AND
+        |     (bb <= 1 OR emd_e6 * 5 <= (bb - 1) * 1000000)) AS ok
+        |  FROM cm, gt),
+        |supp AS (
+        |  SELECT hband,
+        |    CAST(SUM(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS supp_classes,
+        |    CAST(SUM(CASE WHEN NOT ok THEN n_users ELSE 0 END) AS BIGINT)
+        |      AS supp_users
+        |  FROM mm GROUP BY 1),
+        |rel AS (SELECT * FROM mm WHERE ok),
+        |km AS (SELECT CAST(MIN(n_users) AS BIGINT) AS k_min FROM rel)
+        |SELECT r.hband, r.mtype, r.vband, r.n_users, r.l_distinct,
+        |  CASE WHEN r.bb > 1 THEN
+        |    ROUND(CAST(r.emd_e6 AS DOUBLE) / 1e6 / (r.bb - 1), 4)
+        |  ELSE 0.0 END AS emd,
+        |  s.supp_classes, s.supp_users, k.k_min
+        |FROM rel r JOIN supp s USING (hband), km k
+        |ORDER BY 1, 2, 3""".stripMargin),
 
     "log_bot_detection" ->
       """WITH a AS (
@@ -5719,6 +5725,44 @@ object EventsLog {
       .select($"user_id", $"hband", $"mtype", $"vband")
   }
 
+  /** Per-QI-class metric frame shared by log_t_closeness and
+    * log_anonymize_release — ONE definition of the class-level
+    * numbers all three privacy gates read: (hband, mtype, vband,
+    * n_users, l_distinct, bb, emd_e6). n_users is the class size,
+    * l_distinct its distinct sensitive (spend-band) values, bb the
+    * global band count, emd_e6 the e6-quantized Earth Mover's
+    * Distance terms summed over the ordered band domain (each term
+    * quantized BEFORE the sum — float discipline of the trio). Scale
+    * shape: the user-keyed aggs are the linear passes; the grid,
+    * window, and fold all run on the BOUNDED class x band lattice. */
+  private def qiClassMetrics(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pb = qiProfile(s, d).join(userSpendBand(s, d), "user_id")
+    val classBand = pb.groupBy($"hband", $"mtype", $"vband", $"sband")
+      .agg(count(lit(1)).as("c"))
+    val classTot = classBand.groupBy($"hband", $"mtype", $"vband")
+      .agg(sum($"c").as("n_users"), count(lit(1)).as("l_distinct"))
+    val globBand = pb.groupBy($"sband").agg(count(lit(1)).as("g"))
+    val globTot = pb.agg(count(lit(1)).as("nn"),
+      countDistinct($"sband").as("bb"))
+    val w = Window.partitionBy($"hband", $"mtype", $"vband")
+      .orderBy($"sband")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    classTot.crossJoin(broadcast(globBand))
+      .join(classBand, Seq("hband", "mtype", "vband", "sband"), "left")
+      .na.fill(0L, Seq("c"))
+      .crossJoin(broadcast(globTot))
+      .withColumn("cc", sum($"c").over(w))
+      .withColumn("gc", sum($"g").over(w))
+      .withColumn("term_e6", expr(
+        "cast(round(1e6 * abs(cast(cc as double) / n_users" +
+          " - cast(gc as double) / nn)) as bigint)"))
+      .groupBy($"hband", $"mtype", $"vband", $"n_users", $"l_distinct",
+        $"bb")
+      .agg(sum($"term_e6").as("emd_e6"))
+  }
+
   /** Sensitive attribute of the privacy trio: the user's total spend
     * band ($100 bands over exact cents — value*100 rounds to an
     * integer identically on both engines, and the cent sum is exact
@@ -5740,6 +5784,48 @@ object EventsLog {
       |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
       |      // 10000 AS sband
       |  FROM events GROUP BY user_id)""".stripMargin
+
+  /** DuckDB twin of [[qiClassMetrics]]: qiProfileSql + sensSql + the
+    * class-metric chain, ending in `cm(hband, mtype, vband, n_users,
+    * l_distinct, emd_e6)` with `gt(nn, bb)` in scope — shared by the
+    * log_t_closeness and log_anonymize_release oracles so both gates
+    * read ONE definition of the class numbers. `lazy`: see
+    * [[qiProfileSql]]. */
+  private lazy val qiClassMetricsSql: String =
+    qiProfileSql + ",\n" + sensSql +
+      """,
+        |pb AS (SELECT p.hband, p.mtype, p.vband, s.sband
+        |       FROM prof p JOIN sens s USING (user_id)),
+        |cb AS (SELECT hband, mtype, vband, sband, COUNT(*) AS c
+        |       FROM pb GROUP BY 1, 2, 3, 4),
+        |ct AS (SELECT hband, mtype, vband, CAST(SUM(c) AS BIGINT)
+        |         AS n_users, CAST(COUNT(*) AS BIGINT) AS l_distinct
+        |       FROM cb GROUP BY 1, 2, 3),
+        |gb AS (SELECT sband, COUNT(*) AS g FROM pb GROUP BY 1),
+        |gt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+        |         CAST(COUNT(DISTINCT sband) AS BIGINT) AS bb FROM pb),
+        |grid AS (
+        |  SELECT ct.hband, ct.mtype, ct.vband, ct.n_users, ct.l_distinct,
+        |    gb.sband, gb.g, COALESCE(cb.c, 0) AS c
+        |  FROM ct CROSS JOIN gb
+        |  LEFT JOIN cb ON cb.hband = ct.hband AND cb.mtype = ct.mtype
+        |              AND cb.vband = ct.vband AND cb.sband = gb.sband),
+        |cum AS (
+        |  SELECT hband, mtype, vband, n_users, l_distinct,
+        |    SUM(c) OVER (PARTITION BY hband, mtype, vband
+        |      ORDER BY sband ROWS UNBOUNDED PRECEDING) AS cc,
+        |    SUM(g) OVER (PARTITION BY hband, mtype, vband
+        |      ORDER BY sband ROWS UNBOUNDED PRECEDING) AS gc
+        |  FROM grid),
+        |terms AS (
+        |  SELECT hband, mtype, vband, n_users, l_distinct,
+        |    CAST(ROUND(1e6 * ABS(CAST(cc AS DOUBLE) / n_users
+        |      - CAST(gc AS DOUBLE) / nn)) AS BIGINT) AS term_e6
+        |  FROM cum, gt),
+        |cm AS (
+        |  SELECT hband, mtype, vband, n_users, l_distinct,
+        |    CAST(SUM(term_e6) AS BIGINT) AS emd_e6
+        |  FROM terms GROUP BY 1, 2, 3, 4, 5)""".stripMargin
 
   /** DuckDB twin of [[qiProfile]], ending in a
     * `prof(user_id, hband, mtype, vband)` CTE. `lazy`: the oracle map

@@ -1,0 +1,77 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Invariants of log_anonymize_release that the DuckDB hash-compare
+  * cannot express: the release must be exactly the set of QI classes
+  * that pass ALL THREE privacy gates (k-anonymity, l-diversity,
+  * t-closeness) at once, and the suppression accounting must reconcile
+  * against the trio's own verdicts.
+  */
+class PrivacyReleaseSpec extends SparkSpec {
+
+  private def classKey(r: org.apache.spark.sql.Row): (Long, String, Long) =
+    (r.getLong(r.fieldIndex("hband")), r.getString(r.fieldIndex("mtype")),
+      r.getLong(r.fieldIndex("vband")))
+
+  test("release = classes passing k AND l AND t; accounting reconciles") {
+    // sf0.01: at sf0.001 no class survives all three gates (the
+    // release is legitimately empty), which would vacuously pass the
+    // subset checks — the larger SF keeps the test meaningful
+    val d = sf("sf0.01")
+    val kRows = SparkEntry.queries("log_k_anonymity")(spark, d).collect()
+    val lRows = SparkEntry.queries("log_l_diversity")(spark, d).collect()
+    val tRows = SparkEntry.queries("log_t_closeness")(spark, d).collect()
+    val rel = SparkEntry.queries("log_anonymize_release")(spark, d).collect()
+
+    val kOk = kRows.filter(r => r.getBoolean(r.fieldIndex("anonymous")))
+      .map(classKey).toSet
+    val lOk = lRows.filter(r => r.getBoolean(r.fieldIndex("diverse")))
+      .map(classKey).toSet
+    val tOk = tRows.filter(r => r.getBoolean(r.fieldIndex("close")))
+      .map(classKey).toSet
+    val allOk = kOk intersect lOk intersect tOk
+
+    assert(rel.nonEmpty, "sf0.01 release expected non-empty")
+    val released = rel.map(classKey).toSet
+    assert(released == allOk,
+      s"release must be exactly the triple-pass classes: " +
+        s"extra=${released diff allOk} missing=${allOk diff released}")
+
+    // every released row re-satisfies the three gates from its own
+    // columns (not just via the trio join)
+    rel.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_users")) >= 5L, s"k violated: $r")
+      assert(r.getLong(r.fieldIndex("l_distinct")) >= 3L,
+        s"l violated: $r")
+      assert(r.getDouble(r.fieldIndex("emd")) <= 0.2 + 1e-9,
+        s"t violated: $r")
+    }
+
+    // k_min is the weakest released class, constant across rows
+    val kmins = rel.map(r => r.getLong(r.fieldIndex("k_min"))).distinct
+    assert(kmins.length == 1, "k_min must be release-wide constant")
+    assert(kmins.head ==
+      rel.map(r => r.getLong(r.fieldIndex("n_users"))).min,
+      "k_min != min released class size")
+
+    // per-hband suppression accounting reconciles against the trio:
+    // suppressed = classes in log_k_anonymity's lattice that failed
+    // any gate, with their user counts
+    val allClasses = kRows.map(r =>
+      classKey(r) -> r.getLong(r.fieldIndex("n_users"))).toMap
+    val suppByBand = allClasses.filterNot { case (k, _) => allOk(k) }
+      .groupBy(_._1._1)
+    rel.groupBy(r => r.getLong(r.fieldIndex("hband"))).foreach {
+      case (hb, rows) =>
+        val expClasses = suppByBand.get(hb).map(_.size).getOrElse(0)
+        val expUsers = suppByBand.get(hb).map(_.values.sum).getOrElse(0L)
+        rows.foreach { r =>
+          assert(r.getLong(r.fieldIndex("supp_classes")) == expClasses,
+            s"hband $hb supp_classes mismatch")
+          assert(r.getLong(r.fieldIndex("supp_users")) == expUsers,
+            s"hband $hb supp_users mismatch")
+        }
+    }
+  }
+}
