@@ -41,7 +41,7 @@ object PipelineOps {
         " != 0)"
     }.mkString("(", " AND ", ")")
 
-  private val toksSql =
+  private[graft] val toksSql =
     """list_filter(regexp_split_to_array(lower(text), '\s+'),
       |                     x -> x <> '')""".stripMargin
 
@@ -311,7 +311,7 @@ object PipelineOps {
     * ScaleStress/Bench drive [[dupSpansRaw]] per the cache-read audit
     * rule (doc_dup_spans_raw in RawBuilds). */
   private val dupSpansCache = new graft.engine.FrameMemo
-  private def dupSpansShared(s: SparkSession, d: String): DataFrame =
+  private[graft] def dupSpansShared(s: SparkSession, d: String): DataFrame =
     dupSpansCache.get(s, d)(dupSpansRaw(s, d).localCheckpoint())
 
   /** The tiering rank stage over an LM score table — the GLOBAL rank is

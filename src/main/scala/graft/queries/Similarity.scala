@@ -238,6 +238,48 @@ object Similarity {
         max(round(cosine("a.v", "b.v"), 4)).as("sim"))
   }
 
+  /** Per-doc cascade attribution (doc_id, source, stage ∈ exact/near/
+    * semantic/kept) — the funnel core shared by dedup_cascade (the
+    * per-source stage counts) and dedup_cascade_spans (the 4-stage
+    * token accounting). Stage outputs are localCheckpoint'ed: each
+    * later stage reads the earlier survivor sets on BOTH join sides
+    * plus the final attribution, and lazy frames would replicate the
+    * whole upstream subtree per consumer (DAG-to-tree blowup — the
+    * verify join would run 4x). A production cascade persists each
+    * stage's survivor table between stages; the checkpoint is the
+    * in-session analog (one flag row per doc / one id per removal). */
+  private[graft] def cascadeAttribution(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, d, "documents")
+      .select($"doc_id", $"source", md5($"text".cast("binary")).as("fp"))
+    val keep1 = docs.groupBy($"fp").agg(min($"doc_id").as("k1"))
+    val s1 = docs.join(keep1, "fp")
+      .select($"doc_id", $"source", ($"doc_id" === $"k1").as("surv1"))
+      .localCheckpoint()
+    val surv1 = s1.filter($"surv1").select($"doc_id")
+    val ver = Dedup.lshVerified3(s, d).select($"doc_a", $"doc_b")
+    val rm2 = ver
+      .join(surv1.select($"doc_id".as("doc_a")), "doc_a")
+      .join(surv1.select($"doc_id".as("doc_b")), "doc_b")
+      .select($"doc_b".as("doc_id")).distinct()
+      .localCheckpoint()
+    val surv2 = surv1.join(rm2, Seq("doc_id"), "left_anti")
+    val sem = cellPairs(s, d).filter($"sim" >= 0.35)
+      .select($"va".as("doc_a"), $"vb".as("doc_b"))
+    val rm3 = sem
+      .join(surv2.select($"doc_id".as("doc_a")), "doc_a")
+      .join(surv2.select($"doc_id".as("doc_b")), "doc_b")
+      .select($"doc_b".as("doc_id")).distinct()
+    s1
+      .join(rm2.withColumn("r2", lit(true)), Seq("doc_id"), "left")
+      .join(rm3.withColumn("r3", lit(true)), Seq("doc_id"), "left")
+      .select($"doc_id", $"source",
+        when(!$"surv1", lit("exact"))
+          .when($"r2", lit("near"))
+          .when($"r3", lit("semantic"))
+          .otherwise(lit("kept")).as("stage"))
+  }
+
   /** One-row 8-entry codebook (vectors with vec_id < 8) shared by the
     * fixed-k ANN queries — a plan fragment (8-row scan + 1-row agg),
     * cheap enough to rebuild wherever the full codebook row is needed
@@ -666,41 +708,7 @@ object Similarity {
     // window, no collect.
     "dedup_cascade" -> ((s, d) => {
       import s.implicits._
-      val docs = t(s, d, "documents")
-        .select($"doc_id", $"source", md5($"text".cast("binary")).as("fp"))
-      val keep1 = docs.groupBy($"fp").agg(min($"doc_id").as("k1"))
-      // Stage outputs are localCheckpoint'ed: each later stage reads
-      // the earlier survivor sets on BOTH join sides plus the final
-      // attribution, and lazy frames would replicate the whole
-      // upstream subtree per consumer (DAG-to-tree blowup — the
-      // verify join would run 4x). A production cascade persists each
-      // stage's survivor table between stages; the checkpoint is the
-      // in-session analog (one flag row per doc / one id per removal).
-      val s1 = docs.join(keep1, "fp")
-        .select($"doc_id", $"source", ($"doc_id" === $"k1").as("surv1"))
-        .localCheckpoint()
-      val surv1 = s1.filter($"surv1").select($"doc_id")
-      val ver = Dedup.lshVerified3(s, d).select($"doc_a", $"doc_b")
-      val rm2 = ver
-        .join(surv1.select($"doc_id".as("doc_a")), "doc_a")
-        .join(surv1.select($"doc_id".as("doc_b")), "doc_b")
-        .select($"doc_b".as("doc_id")).distinct()
-        .localCheckpoint()
-      val surv2 = surv1.join(rm2, Seq("doc_id"), "left_anti")
-      val sem = cellPairs(s, d).filter($"sim" >= 0.35)
-        .select($"va".as("doc_a"), $"vb".as("doc_b"))
-      val rm3 = sem
-        .join(surv2.select($"doc_id".as("doc_a")), "doc_a")
-        .join(surv2.select($"doc_id".as("doc_b")), "doc_b")
-        .select($"doc_b".as("doc_id")).distinct()
-      s1
-        .join(rm2.withColumn("r2", lit(true)), Seq("doc_id"), "left")
-        .join(rm3.withColumn("r3", lit(true)), Seq("doc_id"), "left")
-        .select($"source",
-          when(!$"surv1", lit("exact"))
-            .when($"r2", lit("near"))
-            .when($"r3", lit("semantic"))
-            .otherwise(lit("kept")).as("stage"))
+      cascadeAttribution(s, d)
         .groupBy($"source")
         .agg(count(lit(1)).as("n_docs"),
           sum(when($"stage" === "exact", 1L).otherwise(0L)).as("rm_exact"),
@@ -711,6 +719,46 @@ object Similarity {
         .select($"source", $"n_docs", $"rm_exact", $"rm_near",
           $"rm_semantic", $"n_kept",
           round($"n_kept".cast("double") / $"n_docs", 4).as("kept_share"))
+        .orderBy($"source")
+    }),
+
+    // The FULL Lee-et-al pipeline (r13 verdict ask #6): the cascade's
+    // doc-level funnel composed with the span-level cut — per source,
+    // docs removed per stage AND tokens cut, ending in the number a
+    // curation dashboard actually shows: token_yield, the fraction of
+    // raw tokens that survives exact→near→semantic doc removal PLUS
+    // the sub-document span cut on the kept set. Span statistics come
+    // from the corpus-wide gram-frequency pass (dupSpansShared) — the
+    // conservative cut: a span duplicated only against since-removed
+    // docs is still cut, which is exactly Lee et al.'s order (span
+    // dedup runs on raw corpus counts; doc-level removal does not
+    // un-duplicate text that appeared twice). Shapes at 100 TB: the
+    // cascade attribution and span summary are the (sub-quadratic)
+    // upstream relations; this composition adds only two id-keyed
+    // joins and a per-source agg — no new pair work.
+    "dedup_cascade_spans" -> ((s, d) => {
+      import s.implicits._
+      val att = cascadeAttribution(s, d)
+      val toks = t(s, d, "documents")
+        .select($"doc_id",
+          size(PipelineOps.toksCol).cast("long").as("n_toks"))
+      val spans = PipelineOps.dupSpansShared(s, d)
+        .select($"doc_id", $"dup_tokens")
+      att.join(toks, "doc_id")
+        .join(spans, Seq("doc_id"), "left")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"stage" === "kept", 1L).otherwise(0L)).as("n_kept"),
+          sum($"n_toks").as("total_tokens"),
+          sum(when($"stage" === "kept", $"n_toks").otherwise(0L))
+            .as("kept_tokens"),
+          sum(when($"stage" === "kept", coalesce($"dup_tokens", lit(0L)))
+            .otherwise(0L)).as("span_cut_tokens"))
+        .select($"source", $"n_docs", $"n_kept", $"total_tokens",
+          $"kept_tokens", $"span_cut_tokens",
+          ($"kept_tokens" - $"span_cut_tokens").as("tokens_after"),
+          round(($"kept_tokens" - $"span_cut_tokens").cast("double")
+            / $"total_tokens", 4).as("token_yield"))
         .orderBy($"source")
     }),
 
@@ -2937,6 +2985,84 @@ object Similarity {
         |  ROUND(CAST(SUM(CASE WHEN stage = 'kept' THEN 1 ELSE 0 END)
         |    AS DOUBLE) / COUNT(*), 4) AS kept_share
         |FROM att GROUP BY source ORDER BY source""".stripMargin),
+
+    // Self-contained twin of dedup_cascade_spans: the cascade chain
+    // (att carries doc_id here) + the doc_dup_spans per-doc span chain
+    // (s-prefixed CTE names, disjoint from the v-/cell-prefixed
+    // upstream) + the token-accounting roll-up. Grams: Spark keys by
+    // xxhash64, the oracle by the raw string — the accepted house
+    // trade (text_dup_ngram_rate precedent).
+    "dedup_cascade_spans" -> (Dedup.verifiedPairsSql + ",\n" +
+      cellPairsCte.stripPrefix("WITH ") +
+      s""",
+        |sem AS (SELECT va AS doc_a, vb AS doc_b FROM p WHERE sim >= 0.35),
+        |dx AS (SELECT doc_id, source, md5(text) AS fp FROM documents),
+        |k1 AS (SELECT fp, MIN(doc_id) AS k1 FROM dx GROUP BY fp),
+        |s1 AS (SELECT dx.doc_id, dx.source, dx.doc_id = k1.k1 AS surv1
+        |       FROM dx JOIN k1 USING (fp)),
+        |sv1 AS (SELECT doc_id FROM s1 WHERE surv1),
+        |rm2 AS (SELECT DISTINCT v.doc_b AS doc_id FROM ver v
+        |        JOIN sv1 a ON a.doc_id = v.doc_a
+        |        JOIN sv1 b ON b.doc_id = v.doc_b),
+        |sv2 AS (SELECT doc_id FROM sv1
+        |        WHERE doc_id NOT IN (SELECT doc_id FROM rm2)),
+        |rm3 AS (SELECT DISTINCT m.doc_b AS doc_id FROM sem m
+        |        JOIN sv2 a ON a.doc_id = m.doc_a
+        |        JOIN sv2 b ON b.doc_id = m.doc_b),
+        |att AS (
+        |  SELECT s1.doc_id, s1.source,
+        |    CASE WHEN NOT s1.surv1 THEN 'exact'
+        |         WHEN r2.doc_id IS NOT NULL THEN 'near'
+        |         WHEN r3.doc_id IS NOT NULL THEN 'semantic'
+        |         ELSE 'kept' END AS stage
+        |  FROM s1
+        |  LEFT JOIN rm2 r2 ON r2.doc_id = s1.doc_id
+        |  LEFT JOIN rm3 r3 ON r3.doc_id = s1.doc_id),
+        |sdd AS (SELECT doc_id, ${PipelineOps.toksSql} AS toks
+        |        FROM documents),
+        |sgm AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS p,
+        |    array_to_string(list_slice(toks, i, i + 7), ' ') AS g
+        |  FROM sdd, unnest(generate_series(1, len(toks) - 7)) AS st(i)
+        |  WHERE len(toks) >= 8),
+        |sfr AS (SELECT g FROM sgm GROUP BY g HAVING COUNT(*) > 1),
+        |sdup AS (SELECT doc_id, p FROM sgm JOIN sfr USING (g)),
+        |sisl AS (
+        |  SELECT doc_id, p,
+        |    CASE WHEN p - LAG(p) OVER (PARTITION BY doc_id ORDER BY p)
+        |           <= 8 THEN 0 ELSE 1 END AS newi
+        |  FROM sdup),
+        |siid AS (
+        |  SELECT doc_id, p,
+        |    SUM(newi) OVER (PARTITION BY doc_id ORDER BY p
+        |                    ROWS UNBOUNDED PRECEDING) AS iid
+        |  FROM sisl),
+        |ssp AS (
+        |  SELECT doc_id, iid, MIN(p) AS sp, MAX(p) + 7 AS ep
+        |  FROM siid GROUP BY 1, 2),
+        |sperdoc AS (
+        |  SELECT doc_id, CAST(SUM(ep - sp + 1) AS BIGINT) AS dup_tokens
+        |  FROM ssp GROUP BY doc_id),
+        |stoks AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks
+        |          FROM sdd)
+        |SELECT att.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN stage = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(SUM(tk.n_toks) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(CASE WHEN stage = 'kept' THEN tk.n_toks ELSE 0 END)
+        |    AS BIGINT) AS kept_tokens,
+        |  CAST(SUM(CASE WHEN stage = 'kept' THEN COALESCE(pd.dup_tokens, 0)
+        |    ELSE 0 END) AS BIGINT) AS span_cut_tokens,
+        |  CAST(SUM(CASE WHEN stage = 'kept' THEN tk.n_toks ELSE 0 END)
+        |    - SUM(CASE WHEN stage = 'kept' THEN COALESCE(pd.dup_tokens, 0)
+        |      ELSE 0 END) AS BIGINT) AS tokens_after,
+        |  ROUND(CAST(SUM(CASE WHEN stage = 'kept' THEN tk.n_toks ELSE 0 END)
+        |    - SUM(CASE WHEN stage = 'kept' THEN COALESCE(pd.dup_tokens, 0)
+        |      ELSE 0 END) AS DOUBLE) / SUM(tk.n_toks), 4) AS token_yield
+        |FROM att
+        |JOIN stoks tk ON tk.doc_id = att.doc_id
+        |LEFT JOIN sperdoc pd ON pd.doc_id = att.doc_id
+        |GROUP BY att.source ORDER BY att.source""".stripMargin),
 
     "sim_knn_classify" -> (knnPredSql +
       """
