@@ -128,17 +128,36 @@ object BpeTokenizer {
     * (source, n_words, n_cps, n_tokens, compression). */
   def corpusTokenCounts(spark: SparkSession, dir: String,
       nMerges: Int = 32, sampleTopK: Int = 512): DataFrame = {
+    val ranks = learn(fitVocab(spark, dir, sampleTopK), nMerges)
+      .zipWithIndex.toMap
+    tokenCountsBySource(spark, dir, ranks)
+  }
+
+  /** The bounded fit sample: top-`sampleTopK` (word, freq) rows by
+    * corpus frequency, ties to the word — the ONLY collect in the BPE
+    * lifecycle, size-capped by construction (a tokenizer is fit on a
+    * bounded sample by design, never the full 100 TB vocabulary). */
+  def fitVocab(spark: SparkSession, dir: String,
+      sampleTopK: Int): Array[(String, Long)] = {
     import spark.implicits._
-    val docs = graft.Tables.t(spark, dir, "documents")
-    val vocab = docs
+    graft.Tables.t(spark, dir, "documents")
       .select(explode(expr(
         "filter(split(lower(text), '\\\\s+'), x -> x != '')")).as("word"))
       .groupBy($"word").agg(count(lit(1)).as("cnt"))
       .orderBy($"cnt".desc, $"word".asc)
       .limit(sampleTopK)
       .as[(String, Long)].collect()
-    val ranks = learn(vocab, nMerges).zipWithIndex.toMap
-    docs.select($"source", $"doc_id",
+  }
+
+  /** The distributed APPLY half: encode every document with the given
+    * (broadcast-closure) rank table inside one mapPartitions — no
+    * shuffle beyond the per-source agg — and report (source, n_words,
+    * n_cps, n_tokens, compression). */
+  def tokenCountsBySource(spark: SparkSession, dir: String,
+      ranks: Map[(String, String), Int]): DataFrame = {
+    import spark.implicits._
+    graft.Tables.t(spark, dir, "documents")
+      .select($"source", $"doc_id",
         expr("filter(split(lower(text), '\\\\s+'), x -> x != '')")
           .as("toks"))
       .as[(String, Long, Seq[String])]

@@ -322,6 +322,46 @@ object TextAnalysis {
         .orderBy($"doc_id")
     }),
 
+    // Tokenizer-artifact lifecycle row (r13 verdict ask #4) — the
+    // save→load→encode contract over the persisted BPE artifact
+    // ([[graft.engine.BpeStore]], the tokenizer.json step): fit and
+    // persist the tokenizer, encode the corpus THROUGH the stored
+    // merge table, re-encode with the fresh in-session fit, and emit
+    // per-source accounting with the two contracts a deployment cares
+    // about stated as columns the oracle pins: stored_equals_fresh
+    // (the stored-artifact encode is bit-equal to the fresh fit —
+    // TRUE in the oracle, computed by comparison here) and fit_stale
+    // (refreshed against the SAME corpus the tokenizer was fit on —
+    // FALSE by construction; the drift path is spec-tested with a
+    // divergent corpus). n_words/n_cps are tokenizer-independent, so
+    // DuckDB computes them directly — a green row proves the engine's
+    // word/codepoint accounting AND both lifecycle contracts at once.
+    // Deliberately timed disk lifecycle per rep (the
+    // sim_index_append_serve discipline); stable scratch dir.
+    "text_bpe_store_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      // empty corpus: nothing to fit — schema-preserving empty result
+      // (EmptyInputSpec contract)
+      if (t(s, d, "documents").head(1).isEmpty)
+        Seq.empty[(String, Long, Long, Boolean, Long, Boolean)]
+          .toDF("source", "n_words", "n_cps", "stored_equals_fresh",
+            "n_merges", "fit_stale")
+      else {
+        val dir = Similarity.idxScratch("bpe", d)
+        val m = graft.engine.BpeStore.save(s, d, dir)
+        val stored = graft.engine.BpeStore.encodeStoredCounts(s, dir, d)
+        val fresh = graft.engine.BpeTokenizer.corpusTokenCounts(s, d)
+          .select($"source", $"n_tokens".as("fresh_tokens"))
+        val (m2, _, _) = graft.engine.BpeStore.refreshStaleFlag(s, dir, d)
+        stored.join(fresh, "source")
+          .select($"source", $"n_words", $"n_cps",
+            ($"n_tokens" === $"fresh_tokens").as("stored_equals_fresh"),
+            lit(m.n_merges.toLong).as("n_merges"),
+            lit(m2.fit_stale).as("fit_stale"))
+          .orderBy($"source")
+      }
+    }),
+
     // Zipf-law fit over the corpus frequency spectrum — the standard
     // corpus-health diagnostic (natural text fits slope ≈ −1 on
     // log rank vs log frequency; synthetic/templated corpora deviate
@@ -1366,6 +1406,24 @@ object TextAnalysis {
         |  (15,15,441,426)
         |) t(doc_id, n_words, n_cps, n_tokens)
         |ORDER BY doc_id""").stripMargin,
+
+    // n_words/n_cps are tokenizer-independent (token count and code
+    // point count), so the oracle computes them declaratively; the
+    // two lifecycle booleans are the CONTRACT (append_serve
+    // discipline): stored encode ≡ fresh encode, and a same-corpus
+    // refresh is never stale. n_merges pins that learn() ran the full
+    // 32 rounds on the top-512 sample.
+    "text_bpe_store_roundtrip" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(list_filter(regexp_split_to_array(
+        |    lower(text), '\s+'), x -> x <> '')) AS tok
+        |  FROM documents)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
+        |  CAST(SUM(length(tok)) AS BIGINT) AS n_cps,
+        |  TRUE AS stored_equals_fresh,
+        |  CAST(32 AS BIGINT) AS n_merges,
+        |  FALSE AS fit_stale
+        |FROM toks GROUP BY source ORDER BY source""".stripMargin,
 
     "text_zipf_fit" ->
       """WITH toks AS (

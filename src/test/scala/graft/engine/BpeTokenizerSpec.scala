@@ -78,4 +78,80 @@ class BpeTokenizerSpec extends SparkSpec {
     assert(fit < flat, s"32 merges must beat the 0-merge floor ($fit vs $flat)")
     df.unpersist()
   }
+
+  test("BpeStore: save -> load -> encode is bit-equal to the fresh fit") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bpe_store").toString
+    val m = BpeStore.save(spark, sf(), dir)
+    assert(m.version == BpeStore.Version)
+    assert(m.n_merges == 32 && m.sample_top_k == 512)
+    assert(!m.fit_stale)
+    assert(BpeStore.manifest(spark, dir) == m)
+
+    val ranks = BpeStore.loadRanks(spark, dir)
+    val fresh = BpeTokenizer
+      .learn(BpeTokenizer.fitVocab(spark, sf(), 512), 32)
+      .zipWithIndex.toMap
+    assert(ranks == fresh, "stored rank table must round-trip exactly")
+
+    // word-level bit-equality of the encode itself, not just counts
+    val sample = BpeTokenizer.fitVocab(spark, sf(), 64).map(_._1)
+    sample.foreach { w =>
+      assert(BpeTokenizer.encode(w, ranks) == BpeTokenizer.encode(w, fresh),
+        s"stored encode diverges on '$w'")
+    }
+
+    // the dataframe serving path agrees with the fresh lifecycle
+    val stored = BpeStore.encodeStoredCounts(spark, dir, sf())
+      .orderBy("source").collect().toSeq
+    val freshDf = BpeTokenizer.corpusTokenCounts(spark, sf())
+      .orderBy("source").collect().toSeq
+    assert(stored == freshDf)
+  }
+
+  test("BpeStore: stale flag stays down on the fit corpus, trips on drift") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bpe_store2").toString
+    BpeStore.save(spark, sf(), dir)
+    val (m1, overlap, nStored) = BpeStore.refreshStaleFlag(spark, dir, sf())
+    assert(overlap == nStored, "same corpus must overlap its own fit 100%")
+    assert(!m1.fit_stale)
+    assert(!BpeStore.manifest(spark, dir).fit_stale)
+
+    // a drifted corpus: documents whose vocabulary is disjoint from
+    // the fit sample (fresh synthetic words) — overlap 0 < 80% floor
+    val drift = java.nio.file.Files
+      .createTempDirectory("graft_bpe_drift").toString
+    (0L until 50L).map(i => (i, "src",
+        s"zzqx$i zzqy$i zzqz$i zzqw$i zzqv$i"))
+      .toDF("doc_id", "source", "text")
+      .write.parquet(s"$drift/documents.parquet")
+    val (m2, overlap2, _) = BpeStore.refreshStaleFlag(spark, dir, drift)
+    assert(overlap2 == 0L)
+    assert(m2.fit_stale, "disjoint vocabulary must trip the stale flag")
+    assert(BpeStore.manifest(spark, dir).fit_stale,
+      "stale flag must persist in the manifest")
+  }
+
+  test("BpeStore: manifest fails loudly on absence and version skew") {
+    val none = java.nio.file.Files
+      .createTempDirectory("graft_bpe_none").toString
+    val e1 = intercept[IllegalStateException] {
+      BpeStore.manifest(spark, none)
+    }
+    assert(e1.getMessage.contains("not a tokenizer directory"))
+
+    val skew = java.nio.file.Files
+      .createTempDirectory("graft_bpe_skew").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(skew, "manifest.json"),
+      """{"version":99,"n_merges":1,"sample_top_k":1,"n_vocab":1,
+        |"source":"x","fit_stale":false}""".stripMargin
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val e2 = intercept[IllegalStateException] {
+      BpeStore.manifest(spark, skew)
+    }
+    assert(e2.getMessage.contains("layout v99"))
+  }
 }
