@@ -56,9 +56,14 @@ import org.apache.spark.sql.functions._
   *    degrade until a rebuild, and the codebook still embeds that
   *    vector's coordinates (a strict content takedown then requires
   *    re-saving the index).
-  *  - [[stats]]: the rebuild trigger — cell-occupancy imbalance (the
-  *    persisted-artifact twin of the declared `sim_cell_balance`) plus
-  *    the stale-codebook flag.
+  *  - [[compact]]: the daily-append complement — delta files
+  *    accumulate one per touched cell per wave; compaction rewrites
+  *    only the fragmented cell partitions back to one file each,
+  *    search bit-equal before/after.
+  *  - [[stats]]: the rebuild/compact trigger — cell-occupancy
+  *    imbalance (the persisted-artifact twin of the declared
+  *    `sim_cell_balance`), the stale-codebook flag, and the
+  *    fragmentation shape feeding [[compact]].
   */
 object AnnIndexStore {
 
@@ -92,8 +97,12 @@ object AnnIndexStore {
   def save(spark: SparkSession, srcDir: String, outDir: String): Manifest = {
     import spark.implicits._
     val idx = graft.queries.Similarity.ivfCells(spark, srcDir)
-    idx.write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$outDir/cells")
+    // one task (= one file) per cell: the compaction-clean layout —
+    // parquet stays splittable by row group, so a large cell still
+    // reads in parallel at scan time, but the file count per
+    // partition is deterministic (stats pins frag_files = 1 fresh)
+    idx.repartition(col("cell")).write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$outDir/cells")
     // one-row build-stats agg (bounded, legitimate collect)
     val st = idx.agg(count(lit(1)),
         max(size($"v")), countDistinct($"cell")).collect()(0)
@@ -332,6 +341,7 @@ object AnnIndexStore {
       .select($"vec_id", $"v",
         expr("cells[0]").as("cell"), expr("get(cells, 1)").as("cell2"))
     assigned.select($"vec_id", $"v", $"cell2", $"cell")
+      .repartition(col("cell")) // one delta file per touched cell/wave
       .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
     // new total from footer metadata — no corpus job, and robust to
     // whatever the delta actually landed
@@ -368,6 +378,7 @@ object AnnIndexStore {
     val survivors = idx.filter($"cell".isin(hitCells: _*))
       .filter(!$"vec_id".isin(ids: _*))
     survivors.select($"vec_id", $"v", $"cell2", $"cell")
+      .repartition(col("cell")) // rewrite defragments the cell too
       .write.mode("overwrite").partitionBy("cell").parquet(tmp)
     val fs = new Path(dir).getFileSystem(hconf(spark))
     hitCells.foreach { c =>
@@ -385,15 +396,88 @@ object AnnIndexStore {
     m2
   }
 
-  /** Index-health stats — the rebuild trigger: one row with the cell
-    * occupancy shape (max/avg imbalance, the persisted twin of the
-    * declared `sim_cell_balance`) and the stale-codebook flag.
-    * `rebuild_recommended` when imbalance exceeds `imbalanceBound` or
-    * the codebook is stale. */
-  def stats(spark: SparkSession, dir: String,
-      imbalanceBound: Double = 4.0): DataFrame = {
+  /** Parquet file count per cell partition from an FS listing —
+    * driver-side and bounded by the cell count (~√n), the same cost
+    * class as [[footerRowCount]]. The fragmentation signal: a fresh
+    * [[save]] leaves exactly one file per cell; every [[append]] wave
+    * adds one delta file to each touched cell. */
+  def cellFileCounts(spark: SparkSession, dir: String): Map[Long, Int] = {
+    val conf = hconf(spark)
+    val root = new Path(s"$dir/cells")
+    val fs = root.getFileSystem(conf)
+    val counts = scala.collection.mutable.HashMap.empty[Long, Int]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+        val part = st.getPath.getParent.getName // cell=<v>
+        if (part.startsWith("cell=")) {
+          val c = part.stripPrefix("cell=").toLong
+          counts(c) = counts.getOrElse(c, 0) + 1
+        }
+      }
+    }
+    counts.toMap
+  }
+
+  /** Defragment cell partitions (r13 verdict ask #5): rewrite the
+    * given `cells` — or, by default, every cell holding >= `minFiles`
+    * files — back to one file each (read → repartition-by-cell →
+    * sibling tmp → swap, the [[forget]] rewrite machinery). Row
+    * content is untouched, so search is bit-equal before/after
+    * (pinned by spec) and the manifest row count must reconcile —
+    * a post-swap footer count that disagrees fails loudly rather
+    * than persisting a corrupted index. Cost shape: only fragmented
+    * partitions are read and rewritten, never the full index — the
+    * daily-compaction complement of the daily [[append]].
+    * @return the compacted cell ids (empty = nothing fragmented). */
+  def compact(spark: SparkSession, dir: String,
+      cells: Seq[Long] = Seq.empty, minFiles: Int = 2): Seq[Long] = {
     import spark.implicits._
     val m = manifest(spark, dir)
+    val counts = cellFileCounts(spark, dir)
+    val victims =
+      (if (cells.nonEmpty) cells.filter(counts.contains)
+       else counts.collect { case (c, n) if n >= minFiles => c }.toSeq)
+        .sorted
+    if (victims.isEmpty) return Seq.empty
+    val tmp = s"$dir/cells_compact_tmp"
+    load(spark, dir).filter($"cell".isin(victims: _*))
+      .select($"vec_id", $"v", $"cell2", $"cell")
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    val fs = new Path(dir).getFileSystem(hconf(spark))
+    victims.foreach { c =>
+      val dst = new Path(s"$dir/cells/cell=$c")
+      val src = new Path(s"$tmp/cell=$c")
+      fs.delete(dst, true)
+      fs.rename(src, dst)
+    }
+    fs.delete(new Path(tmp), true)
+    val n = footerRowCount(spark, s"$dir/cells")
+    if (n != m.n_vectors)
+      throw new IllegalStateException(
+        s"compaction of $dir changed the row count " +
+          s"(${m.n_vectors} -> $n) — index corrupted, do not serve")
+    victims
+  }
+
+  /** Index-health stats — the rebuild/compact trigger: one row with
+    * the cell occupancy shape (max/avg imbalance, the persisted twin
+    * of the declared `sim_cell_balance`), the stale-codebook flag,
+    * and the fragmentation shape (`frag_files` = max parquet files in
+    * any cell partition; 1 on a fresh save, +1 per append wave).
+    * `rebuild_recommended` when imbalance exceeds `imbalanceBound` or
+    * the codebook is stale — the geometry remedies; a fragmented but
+    * well-shaped index wants [[compact]] instead
+    * (`compact_recommended` when any cell holds >= `fragBound`
+    * files). */
+  def stats(spark: SparkSession, dir: String,
+      imbalanceBound: Double = 4.0, fragBound: Int = 3): DataFrame = {
+    import spark.implicits._
+    val m = manifest(spark, dir)
+    val fc = cellFileCounts(spark, dir)
+    val fragFiles = if (fc.isEmpty) 0L else fc.values.max.toLong
     // imbalance = max·n_cells/n_vectors as ONE float op over exact
     // integers (the sim_cell_balance discipline) — dividing by a
     // pre-rounded avg would compound two float roundings
@@ -407,5 +491,7 @@ object AnnIndexStore {
         lit(m.codebook_stale).as("codebook_stale"))
       .withColumn("rebuild_recommended",
         $"codebook_stale" || $"imbalance" > imbalanceBound)
+      .withColumn("frag_files", lit(fragFiles))
+      .withColumn("compact_recommended", lit(fragFiles >= fragBound))
   }
 }

@@ -1824,9 +1824,11 @@ object Similarity {
       // empty corpus: nothing to index — schema-preserving empty
       // result (EmptyInputSpec contract)
       if (t(s, d, "embeddings").head(1).isEmpty)
-        Seq.empty[(Long, Long, Long, Double, Double, Boolean, Boolean)]
+        Seq.empty[(Long, Long, Long, Double, Double, Boolean, Boolean,
+            Long, Boolean)]
           .toDF("n_cells", "n_vectors", "max_cell", "avg_cell",
-            "imbalance", "codebook_stale", "rebuild_recommended")
+            "imbalance", "codebook_stale", "rebuild_recommended",
+            "frag_files", "compact_recommended")
       else {
         val dir = idxScratch("stats", d)
         graft.engine.AnnIndexStore.save(s, d, dir)
@@ -3915,7 +3917,9 @@ object Similarity {
         |    AS imbalance,
         |  FALSE AS codebook_stale,
         |  ROUND(CAST(MAX(n) * COUNT(*) AS DOUBLE) / SUM(n), 4) > 4.0
-        |    AS rebuild_recommended
+        |    AS rebuild_recommended,
+        |  CAST(1 AS BIGINT) AS frag_files,
+        |  FALSE AS compact_recommended
         |FROM cs""".stripMargin),
 
     "sim_index_append_serve" ->

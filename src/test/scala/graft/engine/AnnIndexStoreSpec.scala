@@ -258,5 +258,59 @@ class AnnIndexStoreSpec extends SparkSpec {
     assert(s0.getAs[Long]("n_cells") == m.k)
     assert(s0.getAs[Long]("n_vectors") == m.n_vectors)
     assert(s0.getAs[Double]("imbalance") >= 1.0)
+    // fresh save writes one file per cell — the compaction-clean layout
+    assert(s0.getAs[Long]("frag_files") == 1L)
+    assert(!s0.getAs[Boolean]("compact_recommended"))
+  }
+
+  test("compact defragments appended cells; search is bit-equal before/after") {
+    import spark.implicits._
+    val d2 = java.nio.file.Files
+      .createTempDirectory("graft_annidx_cpt").toString
+    val emb = graft.Tables.t(spark, sf(), "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    // base = 1/3 of vectors; two append waves fragment the cells
+    val baseDir = java.nio.file.Files
+      .createTempDirectory("graft_annidx_b2").toString
+    emb.filter($"vec_id" % 3 === 0)
+      .select($"vec_id", $"v".as("embedding"))
+      .write.mode("overwrite").parquet(s"$baseDir/embeddings.parquet")
+    AnnIndexStore.save(spark, baseDir, d2)
+    AnnIndexStore.append(spark, d2, emb.filter($"vec_id" % 3 === 1))
+    val mPre = AnnIndexStore.append(spark, d2, emb.filter($"vec_id" % 3 === 2))
+
+    val fcPre = AnnIndexStore.cellFileCounts(spark, d2)
+    assert(fcPre.values.max >= 3,
+      s"two append waves must fragment some cell: $fcPre")
+    val stPre = AnnIndexStore.stats(spark, d2).collect()(0)
+    assert(stPre.getAs[Long]("frag_files") >= 3L)
+    assert(stPre.getAs[Boolean]("compact_recommended"))
+
+    def norm(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.orderBy("q_id", "rank")
+        .collect().map(_.mkString("|")).toSeq
+    val before = norm(
+      AnnIndexStore.searchTopKStored(spark, d2, queries3, k = 3))
+
+    val compacted = AnnIndexStore.compact(spark, d2)
+    assert(compacted.nonEmpty)
+    val fcPost = AnnIndexStore.cellFileCounts(spark, d2)
+    compacted.foreach { c =>
+      assert(fcPost(c) == 1, s"cell $c still holds ${fcPost(c)} files")
+    }
+    assert(fcPost.values.sum < fcPre.values.sum, "total file count drops")
+
+    // bit-equal serving and an unchanged manifest row count
+    val after = norm(
+      AnnIndexStore.searchTopKStored(spark, d2, queries3, k = 3))
+    assert(after == before, "compaction must not change search results")
+    assert(AnnIndexStore.manifest(spark, d2).n_vectors == mPre.n_vectors)
+
+    val stPost = AnnIndexStore.stats(spark, d2).collect()(0)
+    assert(stPost.getAs[Long]("frag_files") == 1L)
+    assert(!stPost.getAs[Boolean]("compact_recommended"))
+
+    // idempotent: a clean index has nothing to compact
+    assert(AnnIndexStore.compact(spark, d2).isEmpty)
   }
 }
