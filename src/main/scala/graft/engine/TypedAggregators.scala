@@ -98,4 +98,40 @@ object TypedAggregators {
       Encoders.kryo[Seq[SimHit]]
     override def outputEncoder: Encoder[Seq[SimHit]] = outEnc
   }
+
+  case class QiBuf(hb: Map[Long, Long], tp: Map[String, Long], n: Long)
+  case class QiProf(hband: Long, mtype: String, vband: Long)
+
+  /** Per-user quasi-identifier profile as ONE aggregation — the
+    * windowed twin of the batch qiProfile's two-level modal folds
+    * (queries/EventsLog.scala), collapsed into a single pass so the
+    * streaming k-anonymity monitor needs exactly two chained stateful
+    * operators (per-user fold, then the class count). Buffer state is
+    * BOUNDED by the generalization alphabets, not the user's volume:
+    * 4 possible 6-hour bands × the event-type alphabet. Modal picks
+    * pin ties exactly like the batch fold (count desc, value asc);
+    * the volume band is the same integer CASE ladder. */
+  object QiProfile
+      extends Aggregator[(Long, String), QiBuf, QiProf] {
+    override def zero: QiBuf = QiBuf(Map.empty, Map.empty, 0L)
+    override def reduce(b: QiBuf, v: (Long, String)): QiBuf =
+      QiBuf(b.hb + (v._1 -> (b.hb.getOrElse(v._1, 0L) + 1L)),
+        b.tp + (v._2 -> (b.tp.getOrElse(v._2, 0L) + 1L)), b.n + 1L)
+    override def merge(a: QiBuf, b: QiBuf): QiBuf =
+      QiBuf(b.hb.foldLeft(a.hb) { case (m, (k, c)) =>
+          m + (k -> (m.getOrElse(k, 0L) + c)) },
+        b.tp.foldLeft(a.tp) { case (m, (k, c)) =>
+          m + (k -> (m.getOrElse(k, 0L) + c)) },
+        a.n + b.n)
+    override def finish(b: QiBuf): QiProf = {
+      val hband = b.hb.toSeq.minBy { case (h, c) => (-c, h) }._1
+      val mtype = b.tp.toSeq.minBy { case (t, c) => (-c, t) }._1
+      val vband =
+        if (b.n < 4) 0L else if (b.n < 16) 1L
+        else if (b.n < 64) 2L else if (b.n < 256) 3L else 4L
+      QiProf(hband, mtype, vband)
+    }
+    override def bufferEncoder: Encoder[QiBuf] = Encoders.kryo[QiBuf]
+    override def outputEncoder: Encoder[QiProf] = Encoders.product[QiProf]
+  }
 }

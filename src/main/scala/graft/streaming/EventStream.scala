@@ -194,6 +194,41 @@ object EventStream {
         $"approx_users")
   }
 
+  /** Windowed k-anonymity monitor (r13 verdict ask #7) — the streaming
+    * half of the batch privacy gate (`log_k_anonymity`): per event-time
+    * window, each active user generalizes to a quasi-identifier
+    * profile (modal 6-hour band, modal event type, volume band of the
+    * window's count — the batch hierarchy applied to the window's
+    * slice of activity), and every (window, QI class) emits its size
+    * with the k verdict; `anonymous = false` rows are the alerts a
+    * release pipeline pages on BEFORE the batch audit would catch the
+    * dip. Two chained stateful operators, both watermark-bounded
+    * (Spark's multiple-stateful-operator support): the per-(window,
+    * user) fold runs [[graft.engine.TypedAggregators.QiProfile]] —
+    * ONE aggregation with state bounded by the generalization
+    * alphabets (4 bands × event types), not user volume — and the
+    * class count re-windows the closed profiles, so its state is the
+    * QI lattice × open windows (the cellDrift state-shape rule).
+    * Batch mode runs the identical plan minus the watermark (parity
+    * asserted in StreamingSpec). */
+  def kAnonymityMonitor(events: DataFrame, k: Long = 5L,
+      wmDelay: String = "1 hour"): DataFrame = {
+    import events.sparkSession.implicits._
+    val prof = udaf(graft.engine.TypedAggregators.QiProfile)
+    val base = events.select($"ts", $"user_id", $"event_type",
+      expr("hour(ts) div 6").cast("long").as("hb"))
+    val src =
+      if (events.isStreaming) base.withWatermark("ts", wmDelay) else base
+    src
+      .groupBy(window($"ts", "1 hour").as("w"), $"user_id")
+      .agg(prof($"hb", $"event_type").as("p"))
+      .groupBy(window($"w", "1 hour").as("w2"), $"p.hband".as("hband"),
+        $"p.mtype".as("mtype"), $"p.vband".as("vband"))
+      .agg(count(lit(1)).as("n_users"))
+      .select($"w2.start".as("w_start"), $"hband", $"mtype", $"vband",
+        $"n_users", ($"n_users" >= k).as("anonymous"))
+  }
+
   /** Stream-static enrichment join: each event picks up its user's
     * first-seen timestamp from a STATIC dimension frame. The static side
     * is broadcast-hinted — on a cluster every executor joins map-side

@@ -215,4 +215,22 @@ class StreamingRestartSpec extends SparkSpec {
     assert(got == ref, s"ANN serve diverged after kills: " +
       s"ref=${ref.size} rows, got=${got.size}")
   }
+
+  test("k-anonymity monitor survives mid-batch kills (exactly-once)") {
+    import spark.implicits._
+    // two chained stateful operators (per-user QI fold -> class
+    // count): a kill between the first operator's emit and the
+    // second's commit is exactly the double-count hazard this sweep
+    // exists to rule out
+    val (src, schema) = stage(
+      t(spark, sf(), "events").select($"ts", $"user_id", $"event_type"),
+      10, timeCol = Some("ts"))
+    val (ref, got) = sweepAppend("kanon", src, schema,
+      df => EventStream.kAnonymityMonitor(df))
+    assert(ref.nonEmpty, "reference run emitted nothing — test is vacuous")
+    assert(got == ref, s"k-anonymity monitor diverged after kills: " +
+      s"ref=${ref.size} rows, got=${got.size}; " +
+      s"onlyRef=${(ref.toSet -- got.toSet).take(4)}; " +
+      s"onlyGot=${(got.toSet -- ref.toSet).take(4)}")
+  }
 }

@@ -1679,4 +1679,77 @@ class StreamingSpec extends SparkSpec {
     assert(w0.sorted == stored.sorted,
       "streamed window-0 rows != batch searchTopKStored rows")
   }
+
+  test("k-anonymity monitor (batch): classes equal an independent rollup") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = spark.read.parquet(stagedEvents)
+    val got = EventStream.kAnonymityMonitor(ev)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getString(2),
+        r.getLong(3)) -> (r.getLong(4), r.getBoolean(5))).toMap
+
+    // independent expectation: two-level modal folds via window
+    // functions, the batch-qiProfile discipline restricted per window
+    val base = ev.select(window($"ts", "1 hour")("start").as("ws"),
+      $"user_id", $"event_type", expr("hour(ts) div 6").cast("long").as("hb"))
+    val byType = base.groupBy($"ws", $"user_id", $"event_type")
+      .agg(count(lit(1)).as("c"))
+    val mtype = byType.withColumn("rn", row_number().over(
+        Window.partitionBy($"ws", $"user_id")
+          .orderBy($"c".desc, $"event_type")))
+      .filter($"rn" === 1).select($"ws", $"user_id",
+        $"event_type".as("mtype"))
+    val n = base.groupBy($"ws", $"user_id").agg(count(lit(1)).as("n"))
+      .select($"ws", $"user_id", expr(
+        "cast(case when n < 4 then 0 when n < 16 then 1 when n < 64" +
+          " then 2 when n < 256 then 3 else 4 end as long)").as("vband"))
+    val hband = base.groupBy($"ws", $"user_id", $"hb")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"ws", $"user_id").orderBy($"c".desc, $"hb")))
+      .filter($"rn" === 1).select($"ws", $"user_id", $"hb".as("hband"))
+    val want = mtype.join(hband, Seq("ws", "user_id"))
+      .join(n, Seq("ws", "user_id"))
+      .groupBy($"ws", $"hband", $"mtype", $"vband")
+      .agg(count(lit(1)).as("n_users"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getString(2),
+        r.getLong(3)) -> (r.getLong(4), r.getLong(4) >= 5L)).toMap
+    assert(got.nonEmpty && got == want,
+      s"monitor classes diverge: ${got.size} vs ${want.size}")
+    // the monitor is a monitor: the fixture must produce real alerts
+    assert(got.values.exists(!_._2), "expected at least one sub-k alert")
+  }
+
+  test("k-anonymity monitor (streaming): append output == batch on closed windows") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_kanon").toString
+    val src = s"$dir/src"
+    t(spark, sf(), "events")
+      .select($"ts", $"user_id", $"event_type")
+      .write.mode("append").parquet(src)
+    // far-future sentinel: pushes the watermark past every fixture
+    // window so append mode emits them all (its own window stays open)
+    Seq((java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), 999999L,
+        "view"))
+      .toDF("ts", "user_id", "event_type")
+      .write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val q = EventStream.kAnonymityMonitor(
+        spark.readStream.schema(schema).parquet(src))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("kanon_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val cutoff = java.sql.Timestamp.valueOf("2029-01-01 00:00:00")
+    val streamed = spark.table("kanon_stream")
+      .orderBy($"w_start", $"hband", $"mtype", $"vband")
+      .collect().toSeq
+    val batch = EventStream.kAnonymityMonitor(spark.read.parquet(src))
+      .filter($"w_start" < cutoff)
+      .orderBy($"w_start", $"hband", $"mtype", $"vband")
+      .collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streaming ${streamed.size} rows != batch ${batch.size}")
+  }
 }
