@@ -1528,10 +1528,15 @@ object EventsLog {
     // both joins are lattice-sized; k_min broadcasts as a 1-row frame.
     "log_anonymize_release" -> ((s, d) => {
       import s.implicits._
+      // localCheckpoint: the metric frame has THREE consumers below
+      // (suppression roll-up, released rows, k_min fold) and a lazy
+      // frame would replicate the corpus-scale user aggs per consumer
+      // (DAG-to-tree blowup); the checkpointed frame is lattice-sized
       val m = qiClassMetrics(s, d)
         .withColumn("ok", $"n_users" >= 5L && $"l_distinct" >= 3L &&
           (when($"bb" > 1L, $"emd_e6" * 5L <= ($"bb" - 1L) * 1000000L)
             .otherwise(lit(true))))
+        .localCheckpoint()
       val supp = m.groupBy($"hband")
         .agg(sum(when(!$"ok", 1L).otherwise(0L)).as("supp_classes"),
           sum(when(!$"ok", $"n_users").otherwise(0L)).as("supp_users"))
@@ -1542,6 +1547,46 @@ object EventsLog {
           when($"bb" > 1L, round($"emd_e6".cast("double")
             / lit(1e6) / ($"bb" - 1L), 4)).otherwise(lit(0.0)).as("emd"),
           $"supp_classes", $"supp_users", $"k_min")
+        .orderBy($"hband", $"mtype", $"vband")
+    }),
+
+    // Generalize-then-suppress k-release (the OTHER half of Sweeney's
+    // rule, which log_k_anonymity's scaladoc states as "suppress or
+    // widen bands until all classes pass" — log_anonymize_release is
+    // the strict triple-gate suppression path; this is the
+    // utility-preserving k-only path): classes meeting k release at
+    // full granularity; users in sub-k classes are POOLED at the
+    // widened (hband, mtype) level — the volume band generalizes to
+    // '*' (vband = -1, the hash-stable null) — and the pool releases
+    // when it reaches k; only users whose widened pool STILL misses k
+    // are suppressed. Deterministic (one widening step up a fixed
+    // hierarchy — no search), so the oracle replays it declaratively.
+    // Shapes at 100 TB: the user-keyed profile aggs are the linear
+    // passes; everything after runs on the bounded QI lattice, with
+    // the three lattice consumers reading one checkpointed frame.
+    "log_k_widen_release" -> ((s, d) => {
+      import s.implicits._
+      val classes = qiProfile(s, d)
+        .groupBy($"hband", $"mtype", $"vband")
+        .agg(count(lit(1)).as("n_users"))
+        .localCheckpoint()
+      val full = classes.filter($"n_users" >= 5L)
+        .select($"hband", $"mtype", $"vband",
+          lit("full").as("level"), $"n_users")
+      val pool = classes.filter($"n_users" < 5L)
+        .groupBy($"hband", $"mtype")
+        .agg(sum($"n_users").as("n_users"))
+        .localCheckpoint()
+      val widened = pool.filter($"n_users" >= 5L)
+        .select($"hband", $"mtype", lit(-1L).as("vband"),
+          lit("widened").as("level"), $"n_users")
+      val supp = pool.filter($"n_users" < 5L)
+        .agg(count(lit(1)).as("supp_classes"),
+          coalesce(sum($"n_users"), lit(0L)).as("supp_users"))
+      full.unionAll(widened)
+        .crossJoin(broadcast(supp))
+        .select($"hband", $"mtype", $"vband", $"level", $"n_users",
+          $"supp_classes", $"supp_users")
         .orderBy($"hband", $"mtype", $"vband")
     }),
 
@@ -4146,6 +4191,27 @@ object EventsLog {
         |  ELSE 0.0 END AS emd,
         |  s.supp_classes, s.supp_users, k.k_min
         |FROM rel r JOIN supp s USING (hband), km k
+        |ORDER BY 1, 2, 3""".stripMargin),
+
+    "log_k_widen_release" -> (qiProfileSql +
+      """,
+        |cls AS (SELECT hband, mtype, vband,
+        |          CAST(COUNT(*) AS BIGINT) AS n_users
+        |        FROM prof GROUP BY 1, 2, 3),
+        |full_r AS (SELECT hband, mtype, vband, 'full' AS level, n_users
+        |           FROM cls WHERE n_users >= 5),
+        |pool AS (SELECT hband, mtype, CAST(SUM(n_users) AS BIGINT)
+        |           AS n_users
+        |         FROM cls WHERE n_users < 5 GROUP BY 1, 2),
+        |wide AS (SELECT hband, mtype, CAST(-1 AS BIGINT) AS vband,
+        |           'widened' AS level, n_users
+        |         FROM pool WHERE n_users >= 5),
+        |supp AS (SELECT CAST(COUNT(*) AS BIGINT) AS supp_classes,
+        |           CAST(COALESCE(SUM(n_users), 0) AS BIGINT) AS supp_users
+        |         FROM pool WHERE n_users < 5)
+        |SELECT r.hband, r.mtype, r.vband, r.level, r.n_users,
+        |  s.supp_classes, s.supp_users
+        |FROM (SELECT * FROM full_r UNION ALL SELECT * FROM wide) r, supp s
         |ORDER BY 1, 2, 3""".stripMargin),
 
     "log_bot_detection" ->

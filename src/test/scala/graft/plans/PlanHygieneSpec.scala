@@ -122,6 +122,11 @@ class PlanHygieneSpec extends SparkSpec {
                              // band-alphabet broadcast building the
                              // class x band EMD grid (domain-bounded,
                              // like the centroid-table exemptions)
+    "log_anonymize_release", // the same class-metric scalars (via the
+                             // shared qiClassMetrics) + the 1-row
+                             // release-wide k_min scalar broadcast
+    "log_k_widen_release",   // 1-row suppression-accounting scalar
+                             // broadcast onto the bounded release rows
     "sketch_hll_merge",      // 1-row single-pass estimate + exact agg
     "log_pagerank",          // 1-row node count (rank vector joins are equi)
     "sim_recall_eval",       // 1-row query vec/planes/codebook, 2-row probes

@@ -74,4 +74,46 @@ class PrivacyReleaseSpec extends SparkSpec {
         }
     }
   }
+
+  test("widen release conserves users and every released row meets k") {
+    val d = sf("sf0.01")
+    val kRows = SparkEntry.queries("log_k_anonymity")(spark, d).collect()
+    val rel = SparkEntry.queries("log_k_widen_release")(spark, d).collect()
+    assert(rel.nonEmpty)
+
+    rel.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_users")) >= 5L,
+        s"released row below k: $r")
+      val lvl = r.getString(r.fieldIndex("level"))
+      val vb = r.getLong(r.fieldIndex("vband"))
+      assert(if (lvl == "widened") vb == -1L else vb >= 0L,
+        s"level/vband mismatch: $r")
+    }
+
+    // conservation: full + widened + suppressed == every profiled user
+    val total = kRows.map(r => r.getLong(r.fieldIndex("n_users"))).sum
+    val released = rel.map(r => r.getLong(r.fieldIndex("n_users"))).sum
+    val suppUsers = rel.head.getLong(rel.head.fieldIndex("supp_users"))
+    assert(released + suppUsers == total,
+      s"users not conserved: $released released + $suppUsers supp != $total")
+
+    // each widened pool is exactly the sub-k mass of its (hband, mtype)
+    val subK = kRows.filter(r => !r.getBoolean(r.fieldIndex("anonymous")))
+      .groupBy(r => (r.getLong(r.fieldIndex("hband")),
+        r.getString(r.fieldIndex("mtype"))))
+      .view.mapValues(_.map(_.getLong(3)).sum).toMap
+    rel.filter(_.getString(3) == "widened").foreach { r =>
+      val key = (r.getLong(r.fieldIndex("hband")),
+        r.getString(r.fieldIndex("mtype")))
+      assert(subK.get(key).contains(r.getLong(r.fieldIndex("n_users"))),
+        s"widened pool mass mismatch at $key")
+    }
+
+    // widening must actually recover users relative to pure suppression
+    val plainSupp = kRows.filter(r =>
+      !r.getBoolean(r.fieldIndex("anonymous")))
+      .map(r => r.getLong(r.fieldIndex("n_users"))).sum
+    assert(suppUsers < plainSupp,
+      "widening recovered no users — operator adds nothing over suppress")
+  }
 }

@@ -21,7 +21,13 @@ class QueriesSpec extends SparkSpec {
 
   test("all queries run and are deterministic at sf0.001") {
     val mayBeEmpty = Set("dedup_jaccard_pairs", "dedup_lsh_pairs",
-      "dedup_embedding_pairs")
+      "dedup_embedding_pairs",
+      // legitimately empty at sf0.001: no QI class survives all three
+      // privacy gates on the tiny fixture (PrivacyReleaseSpec covers
+      // the non-empty contract at sf0.01)
+      "log_anonymize_release",
+      // same fixture-size cause: sub-k pools stay sub-k at sf0.001
+      "log_k_widen_release")
     SparkEntry.queries.foreach { case (name, fn) =>
       val a = fn(spark, sf()).collect()
       val b = fn(spark, sf()).collect()
