@@ -5833,7 +5833,7 @@ object EventsLog {
     * band ($100 bands over exact cents — value*100 rounds to an
     * integer identically on both engines, and the cent sum is exact
     * where a double total would be summation-order-dependent). */
-  private def userSpendBand(s: SparkSession, d: String): DataFrame = {
+  private[graft] def userSpendBand(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     graft.Tables.t(s, d, "events")
       .select($"user_id",

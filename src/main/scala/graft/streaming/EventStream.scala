@@ -229,6 +229,46 @@ object EventStream {
         $"n_users", ($"n_users" >= k).as("anonymous"))
   }
 
+  /** Windowed l-diversity companion of [[kAnonymityMonitor]] — the
+    * live homogeneity-attack gate: a window's QI class can meet k and
+    * still leak when its members share the sensitive value, so each
+    * (window, class) also reports its distinct sensitive-band count.
+    * The sensitive attribute rides a STATIC broadcast dimension
+    * (`sens`: user_id -> sband, trained in batch — the
+    * model-in-batch/serve-in-stream pattern of cellDrift/ewmaChart):
+    * the stream-static join is map-side, and the class fold's
+    * `collect_set(sband)` state is bounded by the BAND ALPHABET, not
+    * the class population — exact l_distinct with streaming-legal
+    * state (the reason this is not a countDistinct). Same two chained
+    * stateful operators as the k monitor; batch parity + identical
+    * plan minus the watermark. */
+  def lDiversityMonitor(events: DataFrame, sens: DataFrame, k: Long = 5L,
+      l: Long = 3L, wmDelay: String = "1 hour"): DataFrame = {
+    import events.sparkSession.implicits._
+    val prof = udaf(graft.engine.TypedAggregators.QiProfile)
+    // watermark BEFORE the dimension join: a user missing from `sens`
+    // (the dimension lags new arrivals) drops from the monitor, but
+    // their events must still advance the watermark — a post-join
+    // watermark would let an unsensed burst stall every open window
+    val evw =
+      if (events.isStreaming) events.withWatermark("ts", wmDelay)
+      else events
+    evw
+      .join(broadcast(sens), Seq("user_id"))
+      .select($"ts", $"user_id", $"event_type", $"sband",
+        expr("hour(ts) div 6").cast("long").as("hb"))
+      .groupBy(window($"ts", "1 hour").as("w"), $"user_id")
+      .agg(prof($"hb", $"event_type").as("p"),
+        first($"sband").as("sband")) // sband is functional per user
+      .groupBy(window($"w", "1 hour").as("w2"), $"p.hband".as("hband"),
+        $"p.mtype".as("mtype"), $"p.vband".as("vband"))
+      .agg(count(lit(1)).as("n_users"),
+        size(collect_set($"sband")).cast("long").as("l_distinct"))
+      .select($"w2.start".as("w_start"), $"hband", $"mtype", $"vband",
+        $"n_users", $"l_distinct", ($"n_users" >= k).as("anonymous"),
+        ($"l_distinct" >= l).as("diverse"))
+  }
+
   /** Stream-static enrichment join: each event picks up its user's
     * first-seen timestamp from a STATIC dimension frame. The static side
     * is broadcast-hinted — on a cluster every executor joins map-side

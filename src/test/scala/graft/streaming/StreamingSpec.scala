@@ -1722,6 +1722,57 @@ class StreamingSpec extends SparkSpec {
     assert(got.values.exists(!_._2), "expected at least one sub-k alert")
   }
 
+  test("l-diversity monitor: batch classes match k monitor; streaming == batch") {
+    import spark.implicits._
+    val ev = spark.read.parquet(stagedEvents)
+    val sens = graft.queries.EventsLog.userSpendBand(spark, sf())
+      .localCheckpoint()
+    val got = EventStream.lDiversityMonitor(ev, sens).collect()
+    assert(got.nonEmpty)
+    // class keys and sizes agree with the k monitor (sens covers every
+    // user of the same events fixture, so the inner join drops nobody)
+    val km = EventStream.kAnonymityMonitor(ev).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getString(2),
+        r.getLong(3)) -> r.getLong(4)).toMap
+    got.foreach { r =>
+      val key = (r.getTimestamp(0), r.getLong(1), r.getString(2),
+        r.getLong(3))
+      assert(km.get(key).contains(r.getLong(r.fieldIndex("n_users"))),
+        s"class $key disagrees with the k monitor")
+      val ld = r.getLong(r.fieldIndex("l_distinct"))
+      assert(ld >= 1L && ld <= r.getLong(r.fieldIndex("n_users")),
+        s"l_distinct out of range: $r")
+    }
+    assert(got.length == km.size, "monitors must see the same classes")
+
+    // streaming parity on closed windows (sentinel pushes the watermark)
+    val dir = Files.createTempDirectory("graft_ldiv").toString
+    val src = s"$dir/src"
+    t(spark, sf(), "events").select($"ts", $"user_id", $"event_type")
+      .write.mode("append").parquet(src)
+    Seq((java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), 999999L,
+        "view"))
+      .toDF("ts", "user_id", "event_type")
+      .write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val q = EventStream.lDiversityMonitor(
+        spark.readStream.schema(schema).parquet(src), sens)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ldiv_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val cutoff = java.sql.Timestamp.valueOf("2029-01-01 00:00:00")
+    val streamed = spark.table("ldiv_stream")
+      .orderBy($"w_start", $"hband", $"mtype", $"vband")
+      .collect().toSeq
+    val batch = EventStream
+      .lDiversityMonitor(spark.read.parquet(src), sens)
+      .filter($"w_start" < cutoff)
+      .orderBy($"w_start", $"hband", $"mtype", $"vband")
+      .collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streaming ${streamed.size} rows != batch ${batch.size}")
+  }
+
   test("k-anonymity monitor (streaming): append output == batch on closed windows") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_kanon").toString
