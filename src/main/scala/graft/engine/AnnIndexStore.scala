@@ -100,7 +100,11 @@ object AnnIndexStore {
     // one task (= one file) per cell: the compaction-clean layout —
     // parquet stays splittable by row group, so a large cell still
     // reads in parallel at scan time, but the file count per
-    // partition is deterministic (stats pins frag_files = 1 fresh)
+    // partition is deterministic (stats pins frag_files = 1 fresh).
+    // The repartition is a deliberate one-shuffle cost at save time
+    // (r14): without it each write task sprays a file into every cell
+    // it holds rows for — files = tasks x cells, the small-file
+    // problem compaction exists to fix, created at birth.
     idx.repartition(col("cell")).write.mode("overwrite")
       .partitionBy("cell").parquet(s"$outDir/cells")
     // one-row build-stats agg (bounded, legitimate collect)
