@@ -134,4 +134,44 @@ object TypedAggregators {
     override def bufferEncoder: Encoder[QiBuf] = Encoders.kryo[QiBuf]
     override def outputEncoder: Encoder[QiProf] = Encoders.product[QiProf]
   }
+
+  case class TCloseOut(n_users: Long, l_distinct: Long, emd_e6: Long)
+
+  /** Per-class t-closeness fold for the streaming privacy monitor:
+    * buffer = the class's sensitive-band histogram (one entry per
+    * band seen — bounded by the BAND ALPHABET, never the class
+    * population), finish = the exact EMD of the class distribution
+    * against the batch-trained GLOBAL distribution captured in the
+    * constructor (a broadcast-constant closure, the
+    * model-in-batch/serve-in-stream pattern). The EMD arithmetic is
+    * the batch log_t_closeness discipline verbatim: cumulative over
+    * the ordered global band domain, each per-band term e6-quantized
+    * BEFORE the sum, so the streaming verdicts can never drift from
+    * the batch audit's. `globBands` must be the sorted global band
+    * domain with counts summing to `nn`. */
+  case class TClose(globBands: Seq[(Long, Long)], nn: Long)
+      extends Aggregator[Long, Map[Long, Long], TCloseOut] {
+    override def zero: Map[Long, Long] = Map.empty
+    override def reduce(b: Map[Long, Long], sband: Long): Map[Long, Long] =
+      b + (sband -> (b.getOrElse(sband, 0L) + 1L))
+    override def merge(a: Map[Long, Long],
+        b: Map[Long, Long]): Map[Long, Long] =
+      b.foldLeft(a) { case (m, (k, c)) =>
+        m + (k -> (m.getOrElse(k, 0L) + c)) }
+    override def finish(b: Map[Long, Long]): TCloseOut = {
+      val n = b.values.sum
+      var cc = 0L; var gc = 0L; var emd = 0L
+      globBands.foreach { case (band, g) =>
+        cc += b.getOrElse(band, 0L)
+        gc += g
+        emd += math.round(1e6 * math.abs(
+          cc.toDouble / n - gc.toDouble / nn))
+      }
+      TCloseOut(n, b.size.toLong, emd)
+    }
+    override def bufferEncoder: Encoder[Map[Long, Long]] =
+      Encoders.kryo[Map[Long, Long]]
+    override def outputEncoder: Encoder[TCloseOut] =
+      Encoders.product[TCloseOut]
+  }
 }

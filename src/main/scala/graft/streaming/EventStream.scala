@@ -269,6 +269,55 @@ object EventStream {
         ($"l_distinct" >= l).as("diverse"))
   }
 
+  /** The FULL live privacy gate — k-anonymity, l-diversity, AND
+    * t-closeness per (window, QI class), completing the streaming twin
+    * of the batch audit trio: a class can meet k and l and still leak
+    * by skewing far from the corpus distribution, so each class also
+    * reports the exact EMD of its sensitive-band distribution against
+    * the batch-trained GLOBAL one. Same chained two-operator shape as
+    * [[kAnonymityMonitor]]; the class fold is
+    * [[graft.engine.TypedAggregators.TClose]] — its buffer is the
+    * class band histogram (bounded by the band alphabet) and its
+    * finish replays the batch log_t_closeness EMD arithmetic verbatim
+    * (cumulative over the ordered global band domain, per-band terms
+    * e6-quantized before the sum), with the global distribution
+    * captured as a broadcast-constant closure (model-in-batch/
+    * serve-in-stream). `globBands` = (band, global user count) over
+    * the training corpus, e.g. from the same frame as `sens`.
+    * Watermark before the dimension join (the [[lDiversityMonitor]]
+    * rationale). Batch mode: identical plan minus the watermark. */
+  def privacyTrioMonitor(events: DataFrame, sens: DataFrame,
+      globBands: Seq[(Long, Long)], k: Long = 5L, l: Long = 3L,
+      wmDelay: String = "1 hour"): DataFrame = {
+    import events.sparkSession.implicits._
+    val prof = udaf(graft.engine.TypedAggregators.QiProfile)
+    val sorted = globBands.sortBy(_._1)
+    val tc = udaf(graft.engine.TypedAggregators.TClose(
+      sorted, sorted.iterator.map(_._2).sum))
+    val bb = sorted.size.toLong
+    val evw =
+      if (events.isStreaming) events.withWatermark("ts", wmDelay)
+      else events
+    evw
+      .join(broadcast(sens), Seq("user_id"))
+      .select($"ts", $"user_id", $"event_type", $"sband",
+        expr("hour(ts) div 6").cast("long").as("hb"))
+      .groupBy(window($"ts", "1 hour").as("w"), $"user_id")
+      .agg(prof($"hb", $"event_type").as("p"),
+        first($"sband").as("sband")) // sband is functional per user
+      .groupBy(window($"w", "1 hour").as("w2"), $"p.hband".as("hband"),
+        $"p.mtype".as("mtype"), $"p.vband".as("vband"))
+      .agg(tc($"sband").as("t"))
+      .select($"w2.start".as("w_start"), $"hband", $"mtype", $"vband",
+        $"t.n_users".as("n_users"), $"t.l_distinct".as("l_distinct"),
+        when(lit(bb > 1L), round($"t.emd_e6".cast("double")
+          / lit(1e6) / lit(bb - 1L), 4)).otherwise(lit(0.0)).as("emd"),
+        ($"t.n_users" >= k).as("anonymous"),
+        ($"t.l_distinct" >= l).as("diverse"),
+        when(lit(bb > 1L), $"t.emd_e6" * 5L <= lit((bb - 1L) * 1000000L))
+          .otherwise(lit(true)).as("close"))
+  }
+
   /** Stream-static enrichment join: each event picks up its user's
     * first-seen timestamp from a STATIC dimension frame. The static side
     * is broadcast-hinted — on a cluster every executor joins map-side

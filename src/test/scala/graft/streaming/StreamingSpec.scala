@@ -1773,6 +1773,103 @@ class StreamingSpec extends SparkSpec {
       s"streaming ${streamed.size} rows != batch ${batch.size}")
   }
 
+  test("privacy trio monitor: EMD matches an independent replay; streaming == batch") {
+    import spark.implicits._
+    val ev = spark.read.parquet(stagedEvents)
+    val sens = graft.queries.EventsLog.userSpendBand(spark, sf())
+      .localCheckpoint()
+    val globBands = sens.groupBy($"sband").count()
+      .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    val nn = globBands.map(_._2).sum
+    val bb = globBands.size
+
+    val got = EventStream.privacyTrioMonitor(ev, sens, globBands).collect()
+    assert(got.nonEmpty)
+
+    // class keys/sizes/l_distinct agree with the l monitor (one
+    // aggregator vs two — same classes by construction)
+    val lm = EventStream.lDiversityMonitor(ev, sens).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getString(2),
+        r.getLong(3)) -> (r.getLong(4), r.getLong(5))).toMap
+    assert(got.length == lm.size)
+    got.foreach { r =>
+      val key = (r.getTimestamp(0), r.getLong(1), r.getString(2),
+        r.getLong(3))
+      assert(lm.get(key).contains((r.getLong(r.fieldIndex("n_users")),
+        r.getLong(r.fieldIndex("l_distinct")))),
+        s"trio disagrees with l monitor at $key")
+    }
+
+    // EMD: independent plain-Scala replay of the batch arithmetic
+    // over the per-(window, user) profile rows
+    val perUser = ev
+      .join(broadcast(sens), Seq("user_id"))
+      .select(window($"ts", "1 hour")("start").as("ws"), $"user_id",
+        $"event_type", $"sband",
+        expr("hour(ts) div 6").cast("long").as("hb"))
+      .collect()
+      .groupBy(r => (r.getTimestamp(0), r.getLong(1)))
+      .toSeq
+      .map { case ((ws, _), rows) =>
+        val hb = rows.groupBy(_.getLong(4)).view.mapValues(_.size).toSeq
+          .minBy { case (h, c) => (-c, h) }._1
+        val mt = rows.groupBy(_.getString(2)).view.mapValues(_.size).toSeq
+          .minBy { case (t, c) => (-c, t) }._1
+        val n = rows.size
+        val vb = if (n < 4) 0L else if (n < 16) 1L else if (n < 64) 2L
+          else if (n < 256) 3L else 4L
+        ((ws, hb, mt, vb), rows.head.getLong(3))
+      }.toSeq
+    val wantEmd = perUser.groupBy(_._1).map { case (key, members) =>
+      val hist = members.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val n = members.size.toLong
+      var cc = 0L; var gc = 0L; var emd = 0L
+      globBands.foreach { case (band, g) =>
+        cc += hist.getOrElse(band, 0L); gc += g
+        emd += math.round(1e6 * math.abs(
+          cc.toDouble / n - gc.toDouble / nn))
+      }
+      key -> (if (bb > 1)
+        BigDecimal(emd.toDouble / 1e6 / (bb - 1))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      else 0.0)
+    }
+    got.foreach { r =>
+      val key = (r.getTimestamp(0), r.getLong(1), r.getString(2),
+        r.getLong(3))
+      val e = r.getDouble(r.fieldIndex("emd"))
+      assert(wantEmd.get(key).exists(w => math.abs(w - e) < 5e-5),
+        s"EMD mismatch at $key: got $e want ${wantEmd.get(key)}")
+    }
+
+    // streaming parity on closed windows
+    val dir = Files.createTempDirectory("graft_trio").toString
+    val src = s"$dir/src"
+    t(spark, sf(), "events").select($"ts", $"user_id", $"event_type")
+      .write.mode("append").parquet(src)
+    Seq((java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), 999999L,
+        "view"))
+      .toDF("ts", "user_id", "event_type")
+      .write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val q = EventStream.privacyTrioMonitor(
+        spark.readStream.schema(schema).parquet(src), sens, globBands)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("trio_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val cutoff = java.sql.Timestamp.valueOf("2029-01-01 00:00:00")
+    val streamed = spark.table("trio_stream")
+      .orderBy($"w_start", $"hband", $"mtype", $"vband")
+      .collect().toSeq
+    val batch = EventStream
+      .privacyTrioMonitor(spark.read.parquet(src), sens, globBands)
+      .filter($"w_start" < cutoff)
+      .orderBy($"w_start", $"hband", $"mtype", $"vband")
+      .collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streaming ${streamed.size} rows != batch ${batch.size}")
+  }
+
   test("k-anonymity monitor (streaming): append output == batch on closed windows") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_kanon").toString
