@@ -33,6 +33,8 @@ object ImageHeaders {
     else if (isPng(bytes)) parsePng(bytes)
     else if (isBmp(bytes)) parseBmp(bytes)
     else if (isJpeg(bytes)) parseJpeg(bytes)
+    else if (isGif(bytes)) parseGif(bytes)
+    else if (isRiff(bytes)) parseWebp(bytes)
     else None
   }
 
@@ -129,6 +131,65 @@ object ImageHeaders {
     None
   }
 
+  private def isGif(b: Array[Byte]): Boolean =
+    b.length >= 6 && b(0) == 'G'.toByte && b(1) == 'I'.toByte &&
+      b(2) == 'F'.toByte && b(3) == '8'.toByte &&
+      (b(4) == '7'.toByte || b(4) == '9'.toByte) && b(5) == 'a'.toByte
+
+  private def isRiff(b: Array[Byte]): Boolean =
+    b.length >= 12 && b(0) == 'R'.toByte && b(1) == 'I'.toByte &&
+      b(2) == 'F'.toByte && b(3) == 'F'.toByte
+
+  private def le16(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8)
+
+  /** GIF (r14): "GIF87a"/"GIF89a" signature, then the logical screen
+    * descriptor — width(2 LE), height(2 LE), packed byte whose low 3
+    * bits give the global color table size as 2^(n+1) entries;
+    * bit_depth = n + 1 (bits per palette index). */
+  private def parseGif(b: Array[Byte]): Option[ImageMeta] = {
+    if (b.length < 13) return None
+    val w = le16(b, 6)
+    val h = le16(b, 8)
+    val depth = ((b(10) & 0x07L) + 1L)
+    if (w <= 0 || h <= 0) None
+    else Some(ImageMeta("gif", w, h, depth))
+  }
+
+  /** WebP lossless (r14): RIFF container — "RIFF", chunk size(4 LE),
+    * "WEBP", then a "VP8L" chunk whose payload opens with the 0x2F
+    * signature byte followed by a 32-bit LSB-first bitstream:
+    * width-1 (14 bits), height-1 (14 bits), alpha (1), version (3).
+    * Lossy "VP8 " frames carry geometry behind the 0x9D012A start
+    * code: 3-byte frame tag, start code, then width/height as 14-bit
+    * fields of two LE16 words. bit_depth: 32 (ARGB) for VP8L, 24 for
+    * VP8 (YUV → RGB). Anything else (VP8X extended without a frame
+    * prefix, truncated, wrong FourCC) is None. */
+  private def parseWebp(b: Array[Byte]): Option[ImageMeta] = {
+    if (b.length < 12) return None
+    val four = new String(b, 8, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (four != "WEBP") return None
+    if (b.length < 20) return None
+    val tag = new String(b, 12, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (tag == "VP8L") {
+      if (b.length < 25 || b(20) != 0x2f.toByte) return None
+      val bits = le32(b, 21)
+      val w = (bits & 0x3fffL) + 1L
+      val h = ((bits >> 14) & 0x3fffL) + 1L
+      Some(ImageMeta("webp", w, h, 32L))
+    } else if (tag == "VP8 ") {
+      // frame tag (3), start code 9D 01 2A, then LE16 words whose low
+      // 14 bits are the dimensions
+      if (b.length < 30) return None
+      if (b(23) != 0x9d.toByte || b(24) != 0x01.toByte ||
+          b(25) != 0x2a.toByte) return None
+      val w = le16(b, 26) & 0x3fffL
+      val h = le16(b, 28) & 0x3fffL
+      if (w <= 0 || h <= 0) None
+      else Some(ImageMeta("webp", w, h, 24L))
+    } else None
+  }
+
   /** A real, minimal PNG prefix: signature + IHDR chunk (13-byte data,
     * true CRC-32 over tag+data). Not a complete image (no IDAT/IEND)
     * but byte-exactly what any header reader sees first. */
@@ -171,6 +232,41 @@ object ImageHeaders {
     out.putInt(imgSize)
     out.putInt(2835).putInt(2835) // 72 DPI
     out.putInt(0).putInt(0) // palette
+    out.array()
+  }
+
+  /** A real 13-byte GIF89a header + logical screen descriptor with a
+    * global color table of 2^bitDepth entries declared. */
+  def buildGif(width: Int, height: Int, bitDepth: Int): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(13)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("GIF89a".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    out.putShort(width.toShort)
+    out.putShort(height.toShort)
+    // GCT present | color resolution | GCT size (both bitDepth - 1)
+    out.put((0x80 | ((bitDepth - 1) << 4) | (bitDepth - 1)).toByte)
+    out.put(0.toByte) // background color index
+    out.put(0.toByte) // pixel aspect ratio
+    out.array()
+  }
+
+  /** A real 25-byte WebP lossless prefix: RIFF("WEBP") + VP8L chunk
+    * header + the 0x2F signature + the packed 14/14/1/3 LSB-first
+    * dimension bitstream. Not a complete image (no huffman-coded
+    * pixels) but byte-exactly the prefix any header reader walks. */
+  def buildWebpLossless(width: Int, height: Int): Array[Byte] = {
+    require(width >= 1 && width <= 0x4000 &&
+      height >= 1 && height <= 0x4000, "VP8L dims are 14-bit")
+    val out = java.nio.ByteBuffer.allocate(25)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    out.putInt(17) // "WEBP" + chunk header (8) + payload (5)
+    out.put("WEBP".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    out.put("VP8L".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    out.putInt(5) // payload: signature + 4 bitstream bytes
+    out.put(0x2f.toByte)
+    val bits = (width - 1).toLong | ((height - 1).toLong << 14)
+    out.putInt(bits.toInt) // alpha 0, version 0 in the top bits
     out.array()
   }
 

@@ -111,14 +111,17 @@ object Multimodal {
         .map { case (id, nChars) =>
           val w = (nChars % 1000L).toInt + 1
           val h = (id % 1000L).toInt + 1
-          // id mod 3 routes across the three real layouts; every other
-          // jpeg is progressive so the SOF2 walk rides the oracle gate
-          // too (identical expected fields — that's the point)
-          val payload = (id % 3) match {
+          // id mod 5 routes across the five real layouts (r14 adds
+          // GIF and WebP-VP8L); every other jpeg is progressive so
+          // the SOF2 walk rides the oracle gate too (identical
+          // expected fields — that's the point)
+          val payload = (id % 5) match {
             case 0 => graft.multimodal.ImageHeaders.buildPng(w, h, 8)
             case 1 => graft.multimodal.ImageHeaders.buildBmp(w, h, 24)
-            case _ => graft.multimodal.ImageHeaders
-              .buildJpeg(w, h, 3, progressive = id % 6 == 5)
+            case 2 => graft.multimodal.ImageHeaders
+              .buildJpeg(w, h, 3, progressive = id % 10 == 7)
+            case 3 => graft.multimodal.ImageHeaders.buildGif(w, h, 8)
+            case _ => graft.multimodal.ImageHeaders.buildWebpLossless(w, h)
           }
           val m = graft.multimodal.ImageHeaders.parse(payload)
             .getOrElse(sys.error(s"unparseable header for doc $id"))
@@ -430,14 +433,16 @@ object Multimodal {
 
     "mm_image_meta" ->
       """SELECT doc_id,
-        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
-        |    ELSE 'jpeg' END AS format,
+        |  CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+        |    WHEN 2 THEN 'jpeg' WHEN 3 THEN 'gif'
+        |    ELSE 'webp' END AS format,
         |  CAST(n_chars % 1000 + 1 AS BIGINT) AS width,
         |  CAST(doc_id % 1000 + 1 AS BIGINT) AS height,
-        |  CAST(CASE doc_id % 3 WHEN 0 THEN 8 ELSE 24 END AS BIGINT)
-        |    AS bit_depth,
-        |  CAST(CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 54
-        |    ELSE 39 END AS BIGINT) AS header_bytes
+        |  CAST(CASE doc_id % 5 WHEN 0 THEN 8 WHEN 3 THEN 8
+        |    WHEN 4 THEN 32 ELSE 24 END AS BIGINT) AS bit_depth,
+        |  CAST(CASE doc_id % 5 WHEN 0 THEN 33 WHEN 1 THEN 54
+        |    WHEN 2 THEN 39 WHEN 3 THEN 13 ELSE 25 END AS BIGINT)
+        |    AS header_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "mm_frame_sample" ->
