@@ -1819,6 +1819,64 @@ object Similarity {
     // max·n_cells/n_vectors as one float op over exact integers (the
     // sim_cell_balance discipline). Scale shape: one groupBy over the
     // loaded cells + a bounded k-row agg; load is metadata-only.
+    // Compaction lifecycle under the oracle gate (r14, completing the
+    // append/forget/stats/compact quartet): build the index from the
+    // 1/3 base, append the other two thirds as two delta waves (each
+    // wave lands one delta file per touched cell — fragmentation by
+    // construction), then compact and state the audit contracts as
+    // columns the oracle pins: frag_detected (some cell held >= 2
+    // files before), defrag_complete (every cell is back to one file
+    // after), count_preserved (manifest row count unchanged by the
+    // rewrite — compact() additionally hard-fails on a mismatch), and
+    // search_equal (stored-path top-3 per query vector bit-equal
+    // before/after — the BEFORE frame is checkpointed since compact
+    // physically replaces the files under a lazy plan). Deliberately
+    // timed disk lifecycle per rep (the append_serve discipline);
+    // stable scratch dirs; the equality check runs on the bounded
+    // query panel (|queries| x 3 rows).
+    "sim_index_compact_audit" -> ((s, d) => {
+      import s.implicits._
+      if (t(s, d, "embeddings").head(1).isEmpty)
+        Seq.empty[(Long, Long, Boolean, Boolean, Boolean, Boolean)]
+          .toDF("n_base", "n_after", "frag_detected", "defrag_complete",
+            "count_preserved", "search_equal")
+      else {
+        val emb = t(s, d, "embeddings")
+          .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        val base = idxScratch("cptbase", d)
+        if (!new java.io.File(s"$base/embeddings.parquet/_SUCCESS").exists())
+          t(s, d, "embeddings").filter($"vec_id" % 3 === 0)
+            .write.mode("overwrite").parquet(s"$base/embeddings.parquet")
+        val dir = idxScratch("cpt", d)
+        val m0 = graft.engine.AnnIndexStore.save(s, base, dir)
+        graft.engine.AnnIndexStore.append(s, dir,
+          emb.filter($"vec_id" % 3 === 1))
+        val m1 = graft.engine.AnnIndexStore.append(s, dir,
+          emb.filter($"vec_id" % 3 === 2))
+        val fragBefore = graft.engine.AnnIndexStore
+          .cellFileCounts(s, dir).values.max
+        val q3 = emb.filter($"vec_id" % 97 === 0)
+          .select($"vec_id".as("q_id"), $"v".as("q"))
+        val before = graft.engine.AnnIndexStore
+          .searchTopKStored(s, dir, q3, k = 3).localCheckpoint()
+        graft.engine.AnnIndexStore.compact(s, dir)
+        val m2 = graft.engine.AnnIndexStore.manifest(s, dir)
+        val fragAfter = graft.engine.AnnIndexStore
+          .cellFileCounts(s, dir).values.max
+        val after = graft.engine.AnnIndexStore
+          .searchTopKStored(s, dir, q3, k = 3)
+        val mismatches = before.unionAll(after)
+          .groupBy($"q_id", $"rank", $"vec_id", $"sim")
+          .agg(count(lit(1)).as("c"))
+          .filter($"c" =!= 2L).count() // bounded: |panel| x 3 x 2 rows
+        Seq((m0.n_vectors, m1.n_vectors, fragBefore >= 2,
+            fragAfter == 1, m2.n_vectors == m1.n_vectors,
+            mismatches == 0L))
+          .toDF("n_base", "n_after", "frag_detected", "defrag_complete",
+            "count_preserved", "search_equal")
+      }
+    }),
+
     "sim_index_stats" -> ((s, d) => {
       import s.implicits._
       // empty corpus: nothing to index — schema-preserving empty
@@ -3921,6 +3979,16 @@ object Similarity {
         |  CAST(1 AS BIGINT) AS frag_files,
         |  FALSE AS compact_recommended
         |FROM cs""".stripMargin),
+
+    "sim_index_compact_audit" ->
+      """WITH c AS (
+        |  SELECT CAST(COUNT(*) FILTER (vec_id % 3 = 0) AS BIGINT)
+        |    AS n_base,
+        |  CAST(COUNT(*) AS BIGINT) AS n_after FROM embeddings)
+        |SELECT n_base, n_after, TRUE AS frag_detected,
+        |  TRUE AS defrag_complete, TRUE AS count_preserved,
+        |  TRUE AS search_equal
+        |FROM c""".stripMargin,
 
     "sim_index_append_serve" ->
       """WITH c AS (
