@@ -216,6 +216,26 @@ class StreamingRestartSpec extends SparkSpec {
       s"ref=${ref.size} rows, got=${got.size}")
   }
 
+  test("privacy trio monitor survives mid-batch kills (exactly-once)") {
+    import spark.implicits._
+    // beyond the k monitor's shape, the class fold here is a custom
+    // typed aggregator with a kryo-encoded Map buffer — the sweep
+    // additionally proves that state round-trips the checkpoint store
+    // across kills (an encoder drift would surface as divergence)
+    val sens = graft.queries.EventsLog.userSpendBand(spark, sf())
+      .localCheckpoint()
+    val globBands = sens.groupBy($"sband").count()
+      .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    val (src, schema) = stage(
+      t(spark, sf(), "events").select($"ts", $"user_id", $"event_type"),
+      10, timeCol = Some("ts"))
+    val (ref, got) = sweepAppend("trio", src, schema,
+      df => EventStream.privacyTrioMonitor(df, sens, globBands))
+    assert(ref.nonEmpty, "reference run emitted nothing — test is vacuous")
+    assert(got == ref, s"trio monitor diverged after kills: " +
+      s"ref=${ref.size} rows, got=${got.size}")
+  }
+
   test("k-anonymity monitor survives mid-batch kills (exactly-once)") {
     import spark.implicits._
     // two chained stateful operators (per-user QI fold -> class
