@@ -20,6 +20,52 @@ object DocStream {
 
   case class Admit(fp: String, doc_id: Long)
 
+  /** Windowed token accounting over a document stream encoded with the
+    * PERSISTED BPE tokenizer (r14 — the [[AnnIndexServe]] discipline
+    * applied to [[graft.engine.BpeStore]]): a production ingest path
+    * tokenizes arriving documents with the artifact another cluster
+    * fit yesterday, never an in-session re-fit. The stored rank table
+    * loads ONCE driver-side (bounded: ≤ n_merges rows, validated
+    * against the manifest) and rides the task closure; the encode is
+    * a stateless per-doc map (zero stream-side shuffle), and the only
+    * stateful operator is the per-(window, source) sum — counters,
+    * constant state per key. Emits (w_start, source, n_words, n_cps,
+    * n_tokens, compression), the per-window twin of
+    * `BpeStore.encodeStoredCounts`. Batch mode: identical plan minus
+    * the watermark (parity in StreamingSpec). */
+  def bpeTokenCounts(docs: DataFrame, storeDir: String,
+      wmDelay: String = "1 hour"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ranks = graft.engine.BpeStore.loadRanks(spark, storeDir)
+    val base = docs
+      .select($"ingest_ts", $"source",
+        expr("filter(split(lower(text), '\\\\s+'), x -> x != '')")
+          .as("toks"))
+      .as[(java.sql.Timestamp, String, Seq[String])]
+      .mapPartitions { it =>
+        it.map { case (ts, src, toks) =>
+          var words = 0L; var cps = 0L; var tokens = 0L
+          toks.foreach { w =>
+            words += 1
+            cps += w.codePointCount(0, w.length)
+            tokens += graft.engine.BpeTokenizer.encode(w, ranks).length
+          }
+          (ts, src, words, cps, tokens)
+        }
+      }
+      .toDF("ingest_ts", "source", "n_words", "n_cps", "n_tokens")
+    val src =
+      if (docs.isStreaming) base.withWatermark("ingest_ts", wmDelay)
+      else base
+    src.groupBy(window($"ingest_ts", "1 hour").as("w"), $"source")
+      .agg(sum($"n_words").as("n_words"), sum($"n_cps").as("n_cps"),
+        sum($"n_tokens").as("n_tokens"))
+      .select($"w.start".as("w_start"), $"source", $"n_words", $"n_cps",
+        $"n_tokens",
+        round($"n_cps".cast("double") / $"n_tokens", 4).as("compression"))
+  }
+
   /** Exactly-once corpus admission.
     *
     *  - fingerprint = md5(text) (the dedup_exact/dedup_incremental key);

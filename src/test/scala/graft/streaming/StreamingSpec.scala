@@ -1773,6 +1773,48 @@ class StreamingSpec extends SparkSpec {
       s"streaming ${streamed.size} rows != batch ${batch.size}")
   }
 
+  test("stored-tokenizer doc stream: windowed counts == batch artifact encode") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("graft_bpe_serve").toString
+    graft.engine.BpeStore.save(spark, sf(), store)
+
+    // batch, one window: per-source sums must equal the batch
+    // stored-artifact encode exactly
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 10:15:00")
+    val docs1 = t(spark, sf(), "documents").withColumn("ingest_ts", lit(t0))
+    val got = DocStream.bpeTokenCounts(docs1, store)
+      .select($"source", $"n_words", $"n_cps", $"n_tokens", $"compression")
+      .orderBy($"source").collect().toSeq
+    val want = graft.engine.BpeStore.encodeStoredCounts(spark, store, sf())
+      .orderBy($"source").collect().toSeq
+    assert(got.nonEmpty && got == want,
+      s"windowed stored encode != batch artifact encode")
+
+    // streaming over two windows == batch same plan
+    val root = Files.createTempDirectory("graft_bpe_stream").toString
+    val src = s"$root/src"
+    val t1 = java.sql.Timestamp.valueOf("2024-06-01 11:40:00")
+    val ref = t(spark, sf(), "documents")
+    ref.filter($"doc_id" % 2 === 0).withColumn("ingest_ts", lit(t0))
+      .unionAll(ref.filter($"doc_id" % 2 === 1)
+        .withColumn("ingest_ts", lit(t1)))
+      .write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val q = DocStream.bpeTokenCounts(
+        spark.readStream.schema(schema).parquet(src), store)
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("bpe_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("bpe_stream")
+      .orderBy($"w_start", $"source").collect().toSeq
+    val batch = DocStream.bpeTokenCounts(spark.read.parquet(src), store)
+      .orderBy($"w_start", $"source").collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streaming ${streamed.size} != batch ${batch.size}")
+    assert(streamed.map(_.getTimestamp(0)).distinct.length == 2,
+      "both ingest windows must be present")
+  }
+
   test("privacy trio monitor: EMD matches an independent replay; streaming == batch") {
     import spark.implicits._
     val ev = spark.read.parquet(stagedEvents)
