@@ -174,6 +174,22 @@ object AnnIndexStore {
     * no Spark job, no column data read. Footers open in parallel on
     * the driver (IO-bound; a big index has one file per cell × appends
     * and a sequential walk would serialize the round-trips). */
+  /** True when any path component between `p` and `root` (or `p`'s own
+    * name) is hidden by Spark's convention (starts with `_` or `.`) —
+    * crashed-write leftovers like `_temporary/.../part-*.parquet` that
+    * the read path skips must be invisible to the metadata walks too,
+    * or a killed append makes [[compact]]/[[stats]]/verify disagree
+    * with what load() actually serves (review r14). */
+  private def hiddenUnder(root: Path, p: Path): Boolean = {
+    var cur = p
+    while (cur != null && cur != root) {
+      val n = cur.getName
+      if (n.startsWith("_") || n.startsWith(".")) return true
+      cur = cur.getParent
+    }
+    false
+  }
+
   private def footerRowCount(spark: SparkSession, path: String): Long = {
     val conf = hconf(spark)
     val root = new Path(path)
@@ -183,7 +199,9 @@ object AnnIndexStore {
     val it = fs.listFiles(root, true)
     while (it.hasNext) {
       val st = it.next()
-      if (st.isFile && st.getPath.getName.endsWith(".parquet")) files += st
+      if (st.isFile && st.getPath.getName.endsWith(".parquet") &&
+          !hiddenUnder(fs.makeQualified(root), st.getPath))
+        files += st
     }
     import scala.collection.parallel.CollectionConverters._
     files.toArray.par // scala-parallel-collections ships with Spark
@@ -413,7 +431,8 @@ object AnnIndexStore {
     val it = fs.listFiles(root, true)
     while (it.hasNext) {
       val st = it.next()
-      if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+      if (st.isFile && st.getPath.getName.endsWith(".parquet") &&
+          !hiddenUnder(fs.makeQualified(root), st.getPath)) {
         val part = st.getPath.getParent.getName // cell=<v>
         if (part.startsWith("cell=")) {
           val c = part.stripPrefix("cell=").toLong
@@ -455,7 +474,10 @@ object AnnIndexStore {
       val dst = new Path(s"$dir/cells/cell=$c")
       val src = new Path(s"$tmp/cell=$c")
       fs.delete(dst, true)
-      fs.rename(src, dst)
+      // the forget() guard: a victim with no committed rows (possible
+      // only via crashed-write leftovers) has no tmp partition —
+      // deleting the old dir IS the rewrite then
+      if (fs.exists(src)) fs.rename(src, dst)
     }
     fs.delete(new Path(tmp), true)
     val n = footerRowCount(spark, s"$dir/cells")

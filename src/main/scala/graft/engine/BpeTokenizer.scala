@@ -149,6 +149,23 @@ object BpeTokenizer {
       .as[(String, Long)].collect()
   }
 
+  /** The ONE per-document accounting fold (n_words, n_cps, n_tokens)
+    * shared by every encode consumer — the batch lifecycle here, the
+    * streaming DocStream.bpeTokenCounts, and the fixture row — so the
+    * counting discipline (tokenization split, code-point rule, greedy
+    * encode) can never drift between the batch and stream paths
+    * (review r14: two hand-kept copies risked exactly that). */
+  def countsFor(toks: Seq[String],
+      ranks: Map[(String, String), Int]): (Long, Long, Long) = {
+    var words = 0L; var cps = 0L; var tokens = 0L
+    toks.foreach { w =>
+      words += 1
+      cps += w.codePointCount(0, w.length)
+      tokens += encode(w, ranks).length
+    }
+    (words, cps, tokens)
+  }
+
   /** The distributed APPLY half: encode every document with the given
     * (broadcast-closure) rank table inside one mapPartitions — no
     * shuffle beyond the per-source agg — and report (source, n_words,
@@ -163,12 +180,7 @@ object BpeTokenizer {
       .as[(String, Long, Seq[String])]
       .mapPartitions { it =>
         it.map { case (src, _, toks) =>
-          var words = 0L; var cps = 0L; var tokens = 0L
-          toks.foreach { w =>
-            words += 1
-            cps += w.codePointCount(0, w.length)
-            tokens += encode(w, ranks).length
-          }
+          val (words, cps, tokens) = countsFor(toks, ranks)
           (src, words, cps, tokens)
         }
       }

@@ -147,8 +147,13 @@ object TypedAggregators {
     * the batch log_t_closeness discipline verbatim: cumulative over
     * the ordered global band domain, each per-band term e6-quantized
     * BEFORE the sum, so the streaming verdicts can never drift from
-    * the batch audit's. `globBands` must be the sorted global band
-    * domain with counts summing to `nn`. */
+    * the batch audit's. `globBands` is the sorted global band domain
+    * with counts summing to `nn`; a class band ABSENT from it (the
+    * trained dimension drifted past the global snapshot) extends the
+    * walk with global count 0, so its mass still enters the class CDF
+    * and the class reads as maximally skewed there — walking only the
+    * global domain would silently DEFLATE every fraction and could
+    * pass a fully-drifted class as close (review r14). */
   case class TClose(globBands: Seq[(Long, Long)], nn: Long)
       extends Aggregator[Long, Map[Long, Long], TCloseOut] {
     override def zero: Map[Long, Long] = Map.empty
@@ -160,10 +165,15 @@ object TypedAggregators {
         m + (k -> (m.getOrElse(k, 0L) + c)) }
     override def finish(b: Map[Long, Long]): TCloseOut = {
       val n = b.values.sum
+      val g = globBands.toMap
+      val dom =
+        if (b.keysIterator.forall(g.contains)) globBands.iterator.map(_._1)
+        else (globBands.iterator.map(_._1) ++ b.keysIterator)
+          .toSeq.distinct.sorted.iterator
       var cc = 0L; var gc = 0L; var emd = 0L
-      globBands.foreach { case (band, g) =>
+      dom.foreach { band =>
         cc += b.getOrElse(band, 0L)
-        gc += g
+        gc += g.getOrElse(band, 0L)
         emd += math.round(1e6 * math.abs(
           cc.toDouble / n - gc.toDouble / nn))
       }

@@ -1522,6 +1522,12 @@ object EventsLog {
     // per-hband suppression accounting (classes and users cut from
     // that activity band) plus the release-wide k_min — the number a
     // privacy officer quotes as "this release is k_min-anonymous".
+    // The per-band columns can only ride bands that still HAVE a
+    // released class — a band whose every class failed has no output
+    // row to carry them — so the release-wide supp_classes_total /
+    // supp_users_total columns state the full cut unconditionally
+    // (review r14: summing the per-band columns under-reported
+    // exactly those vanished bands).
     // Shapes at 100 TB: everything after the shared user-keyed aggs
     // runs on the BOUNDED QI lattice (a few hundred classes at any
     // corpus size) — the suppression roll-up, the k_min fold, and
@@ -1541,12 +1547,17 @@ object EventsLog {
         .agg(sum(when(!$"ok", 1L).otherwise(0L)).as("supp_classes"),
           sum(when(!$"ok", $"n_users").otherwise(0L)).as("supp_users"))
       val rel = m.filter($"ok")
-      val kmin = rel.agg(min($"n_users").as("k_min"))
-      rel.join(supp, "hband").crossJoin(broadcast(kmin))
+      val tot = rel.agg(min($"n_users").as("k_min"))
+        .crossJoin(broadcast(m.agg(
+          sum(when(!$"ok", 1L).otherwise(0L)).as("supp_classes_total"),
+          sum(when(!$"ok", $"n_users").otherwise(0L))
+            .as("supp_users_total"))))
+      rel.join(supp, "hband").crossJoin(broadcast(tot))
         .select($"hband", $"mtype", $"vband", $"n_users", $"l_distinct",
           when($"bb" > 1L, round($"emd_e6".cast("double")
             / lit(1e6) / ($"bb" - 1L), 4)).otherwise(lit(0.0)).as("emd"),
-          $"supp_classes", $"supp_users", $"k_min")
+          $"supp_classes", $"supp_users", $"supp_classes_total",
+          $"supp_users_total", $"k_min")
         .orderBy($"hband", $"mtype", $"vband")
     }),
 
@@ -4184,13 +4195,20 @@ object EventsLog {
         |      AS supp_users
         |  FROM mm GROUP BY 1),
         |rel AS (SELECT * FROM mm WHERE ok),
-        |km AS (SELECT CAST(MIN(n_users) AS BIGINT) AS k_min FROM rel)
+        |km AS (SELECT CAST(MIN(n_users) AS BIGINT) AS k_min FROM rel),
+        |st AS (SELECT
+        |    CAST(SUM(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS supp_classes_total,
+        |    CAST(SUM(CASE WHEN NOT ok THEN n_users ELSE 0 END) AS BIGINT)
+        |      AS supp_users_total
+        |  FROM mm)
         |SELECT r.hband, r.mtype, r.vband, r.n_users, r.l_distinct,
         |  CASE WHEN r.bb > 1 THEN
         |    ROUND(CAST(r.emd_e6 AS DOUBLE) / 1e6 / (r.bb - 1), 4)
         |  ELSE 0.0 END AS emd,
-        |  s.supp_classes, s.supp_users, k.k_min
-        |FROM rel r JOIN supp s USING (hband), km k
+        |  s.supp_classes, s.supp_users,
+        |  t.supp_classes_total, t.supp_users_total, k.k_min
+        |FROM rel r JOIN supp s USING (hband), km k, st t
         |ORDER BY 1, 2, 3""".stripMargin),
 
     "log_k_widen_release" -> (qiProfileSql +

@@ -1840,6 +1840,15 @@ object Similarity {
         Seq.empty[(Long, Long, Boolean, Boolean, Boolean, Boolean)]
           .toDF("n_base", "n_after", "frag_detected", "defrag_complete",
             "count_preserved", "search_equal")
+      else if (t(s, d, "embeddings").filter($"vec_id" % 3 === 0)
+          .head(1).isEmpty)
+        // a corpus with no vec_id divisible by 3 has no base third to
+        // index — same schema-preserving empty contract as the empty
+        // corpus (review r14: save() on an empty base would fail and
+        // .values.max would throw)
+        Seq.empty[(Long, Long, Boolean, Boolean, Boolean, Boolean)]
+          .toDF("n_base", "n_after", "frag_detected", "defrag_complete",
+            "count_preserved", "search_equal")
       else {
         val emb = t(s, d, "embeddings")
           .select($"vec_id", $"embedding".cast("array<double>").as("v"))
@@ -1854,7 +1863,7 @@ object Similarity {
         val m1 = graft.engine.AnnIndexStore.append(s, dir,
           emb.filter($"vec_id" % 3 === 2))
         val fragBefore = graft.engine.AnnIndexStore
-          .cellFileCounts(s, dir).values.max
+          .cellFileCounts(s, dir).values.maxOption.getOrElse(0)
         val q3 = emb.filter($"vec_id" % 97 === 0)
           .select($"vec_id".as("q_id"), $"v".as("q"))
         val before = graft.engine.AnnIndexStore
@@ -1862,7 +1871,7 @@ object Similarity {
         graft.engine.AnnIndexStore.compact(s, dir)
         val m2 = graft.engine.AnnIndexStore.manifest(s, dir)
         val fragAfter = graft.engine.AnnIndexStore
-          .cellFileCounts(s, dir).values.max
+          .cellFileCounts(s, dir).values.maxOption.getOrElse(0)
         val after = graft.engine.AnnIndexStore
           .searchTopKStored(s, dir, q3, k = 3)
         val mismatches = before.unionAll(after)

@@ -47,13 +47,9 @@ object TextAnalysis {
   private[graft] def bpeAccount(id: Long, tx: String,
       ranks: Map[(String, String), Int]): (Long, Long, Long, Long) = {
     val toks = tx.toLowerCase.split("\\s+").filter(_.nonEmpty)
-    var cps = 0L
-    var tokens = 0L
-    toks.foreach { w =>
-      cps += w.codePointCount(0, w.length)
-      tokens += graft.engine.BpeTokenizer.encode(w, ranks).length
-    }
-    (id, toks.length.toLong, cps, tokens)
+    val (words, cps, tokens) =
+      graft.engine.BpeTokenizer.countsFor(toks.toSeq, ranks)
+    (id, words, cps, tokens)
   }
 
   /** Live fixture rows — the oracle GENERATOR's source (the committed

@@ -45,12 +45,8 @@ object DocStream {
       .as[(java.sql.Timestamp, String, Seq[String])]
       .mapPartitions { it =>
         it.map { case (ts, src, toks) =>
-          var words = 0L; var cps = 0L; var tokens = 0L
-          toks.foreach { w =>
-            words += 1
-            cps += w.codePointCount(0, w.length)
-            tokens += graft.engine.BpeTokenizer.encode(w, ranks).length
-          }
+          val (words, cps, tokens) =
+            graft.engine.BpeTokenizer.countsFor(toks, ranks)
           (ts, src, words, cps, tokens)
         }
       }

@@ -313,4 +313,34 @@ class AnnIndexStoreSpec extends SparkSpec {
     // idempotent: a clean index has nothing to compact
     assert(AnnIndexStore.compact(spark, d2).isEmpty)
   }
+
+  test("crashed-write leftovers (_temporary) are invisible to the metadata walks") {
+    import spark.implicits._
+    val d3 = java.nio.file.Files
+      .createTempDirectory("graft_annidx_tmpres").toString
+    AnnIndexStore.save(spark, sf(), d3)
+    val m = AnnIndexStore.manifest(spark, d3)
+    val countsClean = AnnIndexStore.cellFileCounts(spark, d3)
+    val someCell = countsClean.keys.min
+
+    // simulate a killed append: task files under _temporary that
+    // Spark's read path ignores but a naive recursive listing counts
+    val junkDir = new java.io.File(
+      s"$d3/cells/_temporary/0/attempt_x/cell=$someCell")
+    assert(junkDir.mkdirs())
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(junkDir.getPath, "part-junk.parquet"),
+      Array[Byte](1, 2, 3))
+
+    // counts, verify-load, and stats must all see ONLY committed data
+    assert(AnnIndexStore.cellFileCounts(spark, d3) == countsClean)
+    AnnIndexStore.load(spark, d3, verify = true) // footer count still == manifest
+    val st = AnnIndexStore.stats(spark, d3).collect()(0)
+    assert(st.getAs[Long]("frag_files") == 1L)
+    assert(!st.getAs[Boolean]("compact_recommended"))
+
+    // compact must not select phantom victims nor corrupt the index
+    assert(AnnIndexStore.compact(spark, d3).isEmpty)
+    assert(AnnIndexStore.manifest(spark, d3).n_vectors == m.n_vectors)
+  }
 }

@@ -69,6 +69,18 @@ object PrivacyAggProps extends Properties("privacyAggs") {
       agg.finish(foldT(bands)).emd_e6 == 0L
     }
 
+  property("TClose: a class on bands OUTSIDE the global domain fails the gate") =
+    forAll(Gen.choose(1, 20), Gen.choose(100L, 200L)) { (k, band) =>
+      // every member sits on a band the global snapshot lacks (the
+      // sens dimension drifted past the globBands training): the
+      // domain walk must extend so the class CDF still closes, and
+      // the class must FAIL the house close gate (emd·5 > (B−1)) —
+      // the pre-fix walk could read a fully-drifted class as close
+      val out = agg.finish(foldT(Seq.fill(k)(band)))
+      out.n_users == k.toLong &&
+        out.emd_e6 * 5L > (glob.size.toLong - 1L) * 1000000L
+    }
+
   property("TClose: n_users and l_distinct are exact") =
     forAll(bandsGen) { bands =>
       val out = agg.finish(foldT(bands))

@@ -60,6 +60,16 @@ class PrivacyReleaseSpec extends SparkSpec {
     // any gate, with their user counts
     val allClasses = kRows.map(r =>
       classKey(r) -> r.getLong(r.fieldIndex("n_users"))).toMap
+
+    // release-wide totals state the FULL cut — including bands whose
+    // every class failed and therefore carry no per-band row (r14)
+    val suppAll = allClasses.filterNot { case (k, _) => allOk(k) }
+    rel.foreach { r =>
+      assert(r.getLong(r.fieldIndex("supp_classes_total")) ==
+        suppAll.size.toLong, "supp_classes_total mismatch")
+      assert(r.getLong(r.fieldIndex("supp_users_total")) ==
+        suppAll.values.sum, "supp_users_total mismatch")
+    }
     val suppByBand = allClasses.filterNot { case (k, _) => allOk(k) }
       .groupBy(_._1._1)
     rel.groupBy(r => r.getLong(r.fieldIndex("hband"))).foreach {
