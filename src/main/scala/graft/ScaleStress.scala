@@ -91,8 +91,17 @@ object ScaleStress {
     // the IVF-cell blocking whose O(n^1.5) bound the
     // dedup_semantic_verified row already measures.
     val dstSalt = s"${dst}_salt"
+    // build the salted replica only when some salted row will actually
+    // run this invocation (ADVICE r14: the default 100x sweep excludes
+    // the salt rows, and building ~100 corpus copies nothing reads is
+    // a full documents+embeddings crossJoin write for nothing) — the
+    // condition mirrors stressAll's salt-row admission below
+    val saltRowNames = Set("doc_dup_spans_raw", "dedup_cascade",
+      "dedup_cascade_spans")
+    val saltNeeded =
+      (args.isEmpty && factor < 100) || args.exists(saltRowNames)
     val saltMarker = new java.io.File(s"$dstSalt/.layout_v1")
-    if (!saltMarker.exists()) {
+    if (saltNeeded && !saltMarker.exists()) {
       val saltDir = new java.io.File(dstSalt)
       if (saltDir.exists()) {
         val ours = saltDir.listFiles() != null && (
@@ -176,8 +185,7 @@ object ScaleStress {
       // optional args: run only the named subset (fast loop for new rows)
       .filter(q => args.isEmpty || args.contains(q))
     // the duplication-sensitive rows run against the salted replica
-    val saltRows = Set("doc_dup_spans_raw", "dedup_cascade",
-      "dedup_cascade_spans")
+    val saltRows = saltRowNames
     val stressAll = stress ++
       saltRows.toSeq.sorted.filter(q =>
         (args.isEmpty && factor < 100) || args.contains(q))

@@ -146,12 +146,17 @@ object ImageHeaders {
   /** GIF (r14): "GIF87a"/"GIF89a" signature, then the logical screen
     * descriptor — width(2 LE), height(2 LE), packed byte whose low 3
     * bits give the global color table size as 2^(n+1) entries;
-    * bit_depth = n + 1 (bits per palette index). */
+    * bit_depth = n + 1 (bits per palette index). The size bits are
+    * only meaningful when the GCT-present flag (bit 7) is set — with
+    * no global color table declared they are padding, so the depth
+    * falls back to 8 (the de-facto default palette width) rather than
+    * reporting arbitrary bits (ADVICE r14). */
   private def parseGif(b: Array[Byte]): Option[ImageMeta] = {
     if (b.length < 13) return None
     val w = le16(b, 6)
     val h = le16(b, 8)
-    val depth = ((b(10) & 0x07L) + 1L)
+    val packed = b(10) & 0xff
+    val depth = if ((packed & 0x80) != 0) (packed & 0x07L) + 1L else 8L
     if (w <= 0 || h <= 0) None
     else Some(ImageMeta("gif", w, h, depth))
   }

@@ -1840,12 +1840,15 @@ object Similarity {
         Seq.empty[(Long, Long, Boolean, Boolean, Boolean, Boolean)]
           .toDF("n_base", "n_after", "frag_detected", "defrag_complete",
             "count_preserved", "search_equal")
-      else if (t(s, d, "embeddings").filter($"vec_id" % 3 === 0)
-          .head(1).isEmpty)
-        // a corpus with no vec_id divisible by 3 has no base third to
-        // index — same schema-preserving empty contract as the empty
-        // corpus (review r14: save() on an empty base would fail and
-        // .values.max would throw)
+      else if (Seq(0, 1, 2).exists(r =>
+          t(s, d, "embeddings").filter($"vec_id" % 3 === r)
+            .head(1).isEmpty))
+        // a corpus missing any residue-3 third degenerates: no base
+        // third means save() fails (review r14), and an empty APPEND
+        // wave means fragBefore stays 1 so frag_detected computes
+        // false against the oracle's unconditional TRUE (ADVICE r14)
+        // — same schema-preserving empty contract as the empty corpus
+        // (the oracle's WHERE mirrors all three counts)
         Seq.empty[(Long, Long, Boolean, Boolean, Boolean, Boolean)]
           .toDF("n_base", "n_after", "frag_detected", "defrag_complete",
             "count_preserved", "search_equal")
@@ -3989,15 +3992,19 @@ object Similarity {
         |  FALSE AS compact_recommended
         |FROM cs""".stripMargin),
 
+    // the WHERE mirrors the engine's degenerate guards: no row when
+    // the base third or EITHER append wave is empty (ADVICE r14)
     "sim_index_compact_audit" ->
       """WITH c AS (
         |  SELECT CAST(COUNT(*) FILTER (vec_id % 3 = 0) AS BIGINT)
         |    AS n_base,
+        |  CAST(COUNT(*) FILTER (vec_id % 3 = 1) AS BIGINT) AS n_w1,
+        |  CAST(COUNT(*) FILTER (vec_id % 3 = 2) AS BIGINT) AS n_w2,
         |  CAST(COUNT(*) AS BIGINT) AS n_after FROM embeddings)
         |SELECT n_base, n_after, TRUE AS frag_detected,
         |  TRUE AS defrag_complete, TRUE AS count_preserved,
         |  TRUE AS search_equal
-        |FROM c""".stripMargin,
+        |FROM c WHERE n_base > 0 AND n_w1 > 0 AND n_w2 > 0""".stripMargin,
 
     "sim_index_append_serve" ->
       """WITH c AS (
