@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * table, and every later job — other sessions, other clusters —
   * loads and probes it without re-folding the corpus.
   *
-  * Layout on disk (v2, `save`):
+  * Layout on disk (v3, `save`):
   *  - `<dir>/cells/` — the two-level IVF assignment
   *    (vec_id, v, cell2, cell) PARTITIONED BY cell: a probe that
   *    filters on its candidate cells prunes to those partitions at
@@ -22,17 +22,35 @@ import org.apache.spark.sql.functions._
   *    re-derived from corpus rows, so [[append]] can assign new
   *    vectors with the exact build-time quantizer (no re-train) and
   *    [[forget]] can remove any corpus row without perturbing probes;
+  *  - `<dir>/snapshot_<id>.json` — the LIVE FILE LIST of snapshot
+  *    `id` (relative paths under the index dir). v3's central change
+  *    (verdict r14 ask #3 + the r14 medium advice finding): mutations
+  *    never swap directories under a reader. A writer lands NEW files
+  *    next to the old ones, writes the next snapshot, and COMMITS by
+  *    bumping `snapshot_id` in the manifest — one small-file write is
+  *    the whole commit. A reader resolves the manifest's snapshot to
+  *    a fixed file list at [[load]] time and is immune to any later
+  *    compact/append: either it opened before the bump (it reads the
+  *    old files, still on disk until [[vacuum]]) or after (it reads
+  *    the new ones) — never a torn mixture, and a crash mid-rewrite
+  *    leaves the old snapshot current with only orphan files to sweep
+  *    (the old delete-then-rename swap silently LOST a cell if the
+  *    process died between the two). The mini-manifest design is the
+  *    standard table-format discipline (Iceberg/Delta snapshots),
+  *    sized here to the artifact: one JSON per snapshot, file count
+  *    bounded by cells (~√n) + append waves.
   *  - `<dir>/manifest.json` — version, vector count, dim, k, quantizer
-  *    geometry (kk/kk2), source — proper JSON (escaped, json4s — the
-  *    hand-rolled v1 writer corrupted on a srcDir containing `,"}`),
-  *    written through the Hadoop FileSystem API so the manifest rides
-  *    the same path scheme as the parquet (ADVICE r12).
+  *    geometry (kk/kk2), source, `snapshot_id` (v3) — proper JSON
+  *    (escaped, json4s), written through the Hadoop FileSystem API so
+  *    the manifest rides the same path scheme as the parquet. The
+  *    manifest write is the COMMIT POINT: a torn write fails the JSON
+  *    parse loudly at the next load — never a silently wrong index.
   *
-  * `load` is METADATA-ONLY (ADVICE r12): it validates the manifest and
-  * returns the cells frame without running a corpus job; pass
-  * `verify = true` for the integrity pass, which sums parquet FOOTER
-  * row counts against the manifest (still no data read — a truncated
-  * cells dir fails there, not at query time).
+  * `load` resolves the current snapshot's file list (metadata-only —
+  * no data read); pass `verify = true` for the integrity pass, which
+  * sums parquet FOOTER row counts of exactly the snapshot's files
+  * against the manifest (a truncated cells dir fails there, not at
+  * query time).
   *
   * `searchTopK` is the serving path over a fresh in-session frame;
   * [[searchTopKStored]] serves against the persisted artifact using
@@ -46,34 +64,50 @@ import org.apache.spark.sql.functions._
   * Lifecycle at 100 TB:
   *  - [[append]]: daily vector arrivals are assigned with the stored
   *    codebook (a broadcast-join map, no shuffle beyond the write) and
-  *    land as delta files inside their cell partitions; search reads
-  *    base+delta transparently because both are just rows of the cell.
+  *    land as delta files inside their cell partitions; the next
+  *    snapshot is old files + the new wave, so search reads base+delta
+  *    transparently.
   *  - [[forget]]: takedown rewrites ONLY the cell partitions that hold
-  *    the forgotten ids (read-filter-swap, never a full-corpus
-  *    rewrite) and bumps the manifest; a forgotten id is unreachable
-  *    by any probe afterwards. If a forgotten id seeded a codebook
-  *    entry the manifest is flagged `codebook_stale` — geometry may
-  *    degrade until a rebuild, and the codebook still embeds that
-  *    vector's coordinates (a strict content takedown then requires
-  *    re-saving the index).
+  *    the forgotten ids (read survivors → land new files → commit),
+  *    then physically deletes the replaced files — takedown means the
+  *    bytes leave the disk, so forget is deliberately NOT
+  *    time-travel-safe (a crash mid-delete leaves unreferenced bytes
+  *    for [[vacuum]]; the committed snapshot already excludes them).
+  *    If a forgotten id seeded a codebook entry the manifest is
+  *    flagged `codebook_stale` — geometry may degrade until a rebuild,
+  *    and the codebook still embeds that vector's coordinates (a
+  *    strict content takedown then requires re-saving the index).
   *  - [[compact]]: the daily-append complement — delta files
-  *    accumulate one per touched cell per wave; compaction rewrites
-  *    only the fragmented cell partitions back to one file each,
-  *    search bit-equal before/after.
+  *    accumulate one per touched cell per wave; compaction lands one
+  *    fresh file per fragmented cell and commits, leaving the replaced
+  *    files on disk so a reader pinned to the pre-compact snapshot
+  *    keeps serving bit-equal results (the serve-under-compact
+  *    contract, pinned by spec); [[vacuum]] reclaims them once no
+  *    pinned reader needs them (the caller owns that grace window —
+  *    at cluster scale, "older than the longest query" is the usual
+  *    rule).
   *  - [[stats]]: the rebuild/compact trigger — cell-occupancy
   *    imbalance (the persisted-artifact twin of the declared
   *    `sim_cell_balance`), the stale-codebook flag, and the
-  *    fragmentation shape feeding [[compact]].
+  *    fragmentation shape feeding [[compact]] (file counts from the
+  *    CURRENT SNAPSHOT, so orphans awaiting vacuum never distort the
+  *    signal).
   */
 object AnnIndexStore {
 
-  /** Bumped whenever the on-disk layout changes (v2: + quantizer dir,
-    * manifest gains kk/kk2/codebook_stale, json4s-rendered). */
-  val Version = 2
+  /** Bumped whenever the on-disk layout changes (v3: snapshot file
+    * lists + manifest snapshot_id — mutations commit via manifest
+    * bump, readers pin a snapshot; v2: + quantizer dir, manifest
+    * kk/kk2/codebook_stale, json4s-rendered). */
+  val Version = 3
 
   final case class Manifest(version: Int, n_vectors: Long, dim: Int,
       k: Long, kk: Long, kk2: Long, source: String,
-      codebook_stale: Boolean = false)
+      codebook_stale: Boolean = false, snapshot_id: Long = 1L)
+
+  /** The live file list of one index generation — relative paths under
+    * the index dir, sorted for deterministic JSON. */
+  final case class Snapshot(id: Long, files: List[String])
 
   private implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
 
@@ -91,9 +125,55 @@ object AnnIndexStore {
     finally out.close()
   }
 
+  private def snapshotPath(dir: String, id: Long) =
+    new Path(dir, s"snapshot_$id.json")
+
+  private def writeSnapshot(spark: SparkSession, dir: String,
+      snap: Snapshot): Unit = {
+    import org.json4s.jackson.Serialization
+    val p = snapshotPath(dir, snap.id)
+    val fs = p.getFileSystem(hconf(spark))
+    val out = fs.create(p, true)
+    try out.write(Serialization.write(snap.copy(files = snap.files.sorted))
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The committed file list of snapshot `id` — fails loudly when the
+    * snapshot JSON is absent or unparseable (a manifest pointing at a
+    * missing snapshot is the torn-commit signature). */
+  private[graft] def snapshot(spark: SparkSession, dir: String,
+      id: Long): Snapshot = {
+    import org.json4s.jackson.JsonMethods
+    val p = snapshotPath(dir, id)
+    val fs = p.getFileSystem(hconf(spark))
+    if (!fs.exists(p))
+      throw new IllegalStateException(
+        s"ANN index at $dir: manifest points at snapshot $id " +
+          s"but $p is missing — torn commit or tampered dir")
+    val in = fs.open(p)
+    val txt =
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    try JsonMethods.parse(txt).extract[Snapshot]
+    catch { case scala.util.control.NonFatal(e) =>
+      throw new IllegalStateException(
+        s"unreadable ANN index snapshot at $p: ${e.getMessage}")
+    }
+  }
+
+  /** The CURRENT snapshot's files (relative paths) — the public
+    * pin-then-read seam tests and audits use. */
+  def liveFiles(spark: SparkSession, dir: String): Seq[String] =
+    snapshot(spark, dir, manifest(spark, dir).snapshot_id).files
+
   /** Build the two-level IVF assignment for `srcDir`'s embeddings and
-    * persist it (cells + quantizer + manifest) under `outDir`. Returns
-    * the manifest. */
+    * persist it (cells + quantizer + snapshot 1 + manifest). Returns
+    * the manifest. Re-saving over an existing index dir starts a fresh
+    * generation: old snapshots are removed (their files died with the
+    * cells overwrite). NOT serve-safe against concurrent readers of
+    * the same dir — a rebuild targets a new dir in production. */
   def save(spark: SparkSession, srcDir: String, outDir: String): Manifest = {
     import spark.implicits._
     val idx = graft.queries.Similarity.ivfCells(spark, srcDir)
@@ -130,6 +210,13 @@ object AnnIndexStore {
           .as("scell"))
       .coalesce(1) // kk ≈ √n rows — one file keeps the artifact tidy
       .write.mode("overwrite").parquet(s"$outDir/quantizer")
+    // fresh generation: stale snapshots referenced the overwritten
+    // cells and must not survive the rebuild
+    val fs = new Path(outDir).getFileSystem(hconf(spark))
+    listSnapshotIds(spark, outDir).foreach(i =>
+      fs.delete(snapshotPath(outDir, i), false))
+    writeSnapshot(spark, outDir,
+      Snapshot(1L, listCellFiles(spark, outDir).toList))
     val m = Manifest(Version, n, dim.toInt, k, kk, kk2, srcDir)
     writeManifest(spark, outDir, m)
     m
@@ -149,9 +236,9 @@ object AnnIndexStore {
         java.nio.charset.StandardCharsets.UTF_8)
       finally in.close()
     // version is checked on the raw AST BEFORE the full extraction: a
-    // genuine older-layout manifest lacks v2 fields (kk/kk2) and would
-    // fail extract[Manifest] first, misreporting a version skew as
-    // corruption (review r13)
+    // genuine older-layout manifest lacks newer fields (kk/kk2,
+    // snapshot_id) and would fail extract[Manifest] first,
+    // misreporting a version skew as corruption (review r13)
     val ast =
       try JsonMethods.parse(txt)
       catch { case e: Exception =>
@@ -170,16 +257,12 @@ object AnnIndexStore {
     }
   }
 
-  /** Total row count across a parquet dir from FOOTER metadata only —
-    * no Spark job, no column data read. Footers open in parallel on
-    * the driver (IO-bound; a big index has one file per cell × appends
-    * and a sequential walk would serialize the round-trips). */
   /** True when any path component between `p` and `root` (or `p`'s own
     * name) is hidden by Spark's convention (starts with `_` or `.`) —
     * crashed-write leftovers like `_temporary/.../part-*.parquet` that
-    * the read path skips must be invisible to the metadata walks too,
-    * or a killed append makes [[compact]]/[[stats]]/verify disagree
-    * with what load() actually serves (review r14). */
+    * the read path skips must be invisible to the FS listings too, or
+    * a killed append could commit phantom files into a snapshot
+    * (review r14). */
   private def hiddenUnder(root: Path, p: Path): Boolean = {
     var cur = p
     while (cur != null && cur != root) {
@@ -190,47 +273,106 @@ object AnnIndexStore {
     false
   }
 
-  private def footerRowCount(spark: SparkSession, path: String): Long = {
+  /** Every committed parquet file currently ON DISK under `dir`/cells,
+    * as paths relative to `dir` — the raw FS truth a writer diffs
+    * around its own write to find the files it just landed. NOT the
+    * live set: orphans awaiting [[vacuum]] are listed too, which is
+    * exactly why snapshots, not listings, define what a reader sees. */
+  private def listCellFiles(spark: SparkSession, dir: String): Seq[String] = {
     val conf = hconf(spark)
-    val root = new Path(path)
+    val root = new Path(s"$dir/cells")
     val fs = root.getFileSystem(conf)
-    val files = scala.collection.mutable.ArrayBuffer
-      .empty[org.apache.hadoop.fs.LocatedFileStatus]
+    if (!fs.exists(root)) return Seq.empty
+    val rootQ = fs.makeQualified(root)
+    val prefix = fs.makeQualified(new Path(dir)).toString + "/"
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val it = fs.listFiles(root, true)
     while (it.hasNext) {
       val st = it.next()
       if (st.isFile && st.getPath.getName.endsWith(".parquet") &&
-          !hiddenUnder(fs.makeQualified(root), st.getPath))
-        files += st
+          !hiddenUnder(rootQ, st.getPath))
+        out += st.getPath.toString.stripPrefix(prefix)
     }
+    out.toSeq
+  }
+
+  private def listSnapshotIds(spark: SparkSession, dir: String): Seq[Long] = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(hconf(spark))
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("snapshot_") && n.endsWith(".json"))
+      .flatMap(n => n.stripPrefix("snapshot_").stripSuffix(".json")
+        .toLongOption)
+  }
+
+  /** Total row count of the given files from FOOTER metadata only —
+    * no Spark job, no column data read. Footers open in parallel on
+    * the driver (IO-bound; a big index has ~one file per cell × appends
+    * and a sequential walk would serialize the round-trips). A missing
+    * file counts 0 rows, so a physically truncated index surfaces as a
+    * manifest mismatch in the caller rather than an opaque IO error. */
+  private def footerRowCount(spark: SparkSession, dir: String,
+      files: Seq[String]): Long = {
+    val conf = hconf(spark)
     import scala.collection.parallel.CollectionConverters._
     files.toArray.par // scala-parallel-collections ships with Spark
-      .map { st =>
-        val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile
-            .fromStatus(st, conf))
-        try rdr.getRecordCount finally rdr.close()
+      .map { f =>
+        val p = new Path(dir, f)
+        try {
+          val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+          try rdr.getRecordCount finally rdr.close()
+        } catch { case _: java.io.FileNotFoundException => 0L }
       }.sum
   }
 
-  /** Load the persisted assignment. Metadata-only by default (manifest
-    * presence + version); `verify = true` additionally checks the
-    * cells' parquet-footer row count against the manifest — a
+  /** The (vec_id, v, cell2, cell) schema of a cells read — for the
+    * schema-preserving empty frame when a snapshot holds no files
+    * (possible only after forgetting every row). */
+  private def emptyCells(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("v", ArrayType(DoubleType)),
+        StructField("cell2", LongType),
+        StructField("cell", LongType))))
+  }
+
+  /** A frame over an explicit committed file list — the PINNED read:
+    * the file set is fixed here, so later compacts/appends (which only
+    * add files and bump the manifest) cannot change what this frame
+    * returns. basePath recovers the `cell` partition column, and
+    * filters on it still prune to matching files at the scan. */
+  private def readFiles(spark: SparkSession, dir: String,
+      files: Seq[String]): DataFrame =
+    if (files.isEmpty) emptyCells(spark)
+    else spark.read.option("basePath", s"$dir/cells")
+      .parquet(files.map(f => s"$dir/$f"): _*)
+      // partition-column type inference reads `cell=<v>` back as int;
+      // restore the build-side long so loaded and fresh frames agree
+      .withColumn("cell", col("cell").cast("long"))
+
+  /** Load the persisted assignment, PINNED to the current snapshot:
+    * the returned frame keeps serving this snapshot's files even if a
+    * compact commits underneath it (the files stay on disk until
+    * [[vacuum]]). Metadata-only by default (manifest + snapshot
+    * resolution); `verify = true` additionally checks the snapshot
+    * files' parquet-footer row count against the manifest — a
     * partially-deleted cells dir fails there, not at query time —
     * still without reading any column data. */
   def load(spark: SparkSession, dir: String,
       verify: Boolean = false): DataFrame = {
     val m = manifest(spark, dir)
+    val snap = snapshot(spark, dir, m.snapshot_id)
     if (verify) {
-      val n = footerRowCount(spark, s"$dir/cells")
+      val n = footerRowCount(spark, dir, snap.files)
       if (n != m.n_vectors)
         throw new IllegalStateException(
           s"ANN index at $dir holds $n vectors; manifest says ${m.n_vectors}")
     }
-    // partition-column type inference reads `cell=<v>` back as int;
-    // restore the build-side long so loaded and fresh frames agree
-    spark.read.parquet(s"$dir/cells")
-      .withColumn("cell", col("cell").cast("long"))
+    readFiles(spark, dir, snap.files)
   }
 
   /** The persisted codebook (cent_id, c, scell). */
@@ -301,7 +443,8 @@ object AnnIndexStore {
 
   /** Serve against the PERSISTED artifact with its stored quantizer —
     * the correct serving path for an index that has seen [[append]] /
-    * [[forget]] (the fresh-path kk would drift with n). */
+    * [[forget]] (the fresh-path kk would drift with n). The index read
+    * is snapshot-pinned at THIS call (see [[load]]). */
   def searchTopKStored(spark: SparkSession, dir: String,
       queries: DataFrame, k: Int, nprobe: Int = 2): DataFrame = {
     manifest(spark, dir) // validate layout/version before planning
@@ -338,19 +481,62 @@ object AnnIndexStore {
         (-$"nsim").as("sim"))
   }
 
+  /** Land `df`'s rows as new files inside `dir`/cells partition dirs
+    * (one file per touched cell via the repartition) WITHOUT touching
+    * any existing file, and return the new files' relative paths —
+    * the shared write step of [[append]]/[[forget]]/[[compact]].
+    * Implementation: Spark writes to a sibling scratch dir, then each
+    * part file is renamed into its cell partition dir (a pure
+    * metadata move on any FS; part names carry a write-UUID so they
+    * never collide with committed files). */
+  private def landCellFiles(spark: SparkSession, dir: String,
+      df: DataFrame): Seq[String] = {
+    val tmp = s"$dir/cells_land_tmp"
+    df.select(col("vec_id"), col("v"), col("cell2"), col("cell"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    val fs = new Path(dir).getFileSystem(hconf(spark))
+    val tmpQ = fs.makeQualified(new Path(tmp))
+    val moved = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(tmpQ, true)
+    val toMove = scala.collection.mutable.ArrayBuffer
+      .empty[(Path, String)] // (src file, cell partition name)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet") &&
+          !hiddenUnder(tmpQ, st.getPath)) {
+        val part = st.getPath.getParent.getName // cell=<v>
+        if (part.startsWith("cell=")) toMove += ((st.getPath, part))
+      }
+    }
+    toMove.foreach { case (src, part) =>
+      val dstDir = new Path(s"$dir/cells/$part")
+      fs.mkdirs(dstDir)
+      val dst = new Path(dstDir, src.getName)
+      if (!fs.rename(src, dst))
+        throw new IllegalStateException(
+          s"could not land $src as $dst — index left on its old snapshot")
+      moved += s"cells/$part/${src.getName}"
+    }
+    fs.delete(new Path(tmp), true)
+    moved.toSeq
+  }
+
   /** Append `newVecs` (vec_id, v: array<double>) to a persisted index
     * WITHOUT re-training: each new vector is assigned with the STORED
     * codebook (the same super→group fold as the build — a broadcast
-    * map, no corpus shuffle) and written as delta files inside its
-    * cell partition; search reads base+delta transparently. The caller
-    * owns vec_id uniqueness (a membership check would be a full
-    * anti-join — wrong cost shape for a daily-append path). Returns
-    * the bumped manifest. */
+    * map, no corpus shuffle), lands as one delta file per touched cell,
+    * and the commit is the snapshot+manifest bump — a reader opened
+    * before the bump sees exactly the old index. The caller owns
+    * vec_id uniqueness (a membership check would be a full anti-join —
+    * wrong cost shape for a daily-append path). Returns the bumped
+    * manifest. */
   def append(spark: SparkSession, dir: String,
       newVecs: DataFrame): Manifest = {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
     val m = manifest(spark, dir) // m rides into the bumped return value
+    val snapOld = snapshot(spark, dir, m.snapshot_id)
     val (supers, groups) = quantizerFrames(quantizer(spark, dir))
     val assigned = newVecs
       .select($"vec_id", $"v".cast("array<double>").as("v"))
@@ -361,143 +547,162 @@ object AnnIndexStore {
       .select($"vec_id", $"v",
         graft.queries.Similarity.groupProbeExpr("v", 2).as("cells"))
       .select($"vec_id", $"v",
-        expr("cells[0]").as("cell"), expr("get(cells, 1)").as("cell2"))
-    assigned.select($"vec_id", $"v", $"cell2", $"cell")
-      .repartition(col("cell")) // one delta file per touched cell/wave
-      .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
+        expr("get(cells, 1)").as("cell2"), expr("cells[0]").as("cell"))
+    val delta = landCellFiles(spark, dir, assigned)
+    val files = snapOld.files ++ delta
     // new total from footer metadata — no corpus job, and robust to
     // whatever the delta actually landed
-    val n = footerRowCount(spark, s"$dir/cells")
-    val m2 = m.copy(n_vectors = n)
+    val n = footerRowCount(spark, dir, files)
+    writeSnapshot(spark, dir, Snapshot(m.snapshot_id + 1, files))
+    val m2 = m.copy(n_vectors = n, snapshot_id = m.snapshot_id + 1)
     writeManifest(spark, dir, m2)
     m2
   }
 
+  /** The current snapshot's files belonging to the given cells. */
+  private def filesOfCells(files: Seq[String],
+      cells: Set[Long]): Seq[String] =
+    files.filter(f => cellOfFile(f).exists(cells))
+
+  private def cellOfFile(f: String): Option[Long] =
+    f.split('/').find(_.startsWith("cell="))
+      .flatMap(_.stripPrefix("cell=").toLongOption)
+
   /** Takedown: make every id in `ids` unreachable via search by
-    * rewriting ONLY the cell partitions that hold them
-    * (read → filter → swap, never a full-corpus rewrite). If a
-    * forgotten id seeded a codebook entry, the manifest is flagged
-    * `codebook_stale` (probe geometry keeps working but the codebook
-    * still embeds that vector — rebuild to scrub it). Returns the
-    * bumped manifest. */
+    * re-landing ONLY the cell partitions that hold them (survivors →
+    * new files → snapshot+manifest commit → physical delete of the
+    * replaced files). Deletion runs AFTER the commit, so a crash at
+    * any point leaves a CONSISTENT index: before the commit the old
+    * snapshot is still current (only orphan survivor-files to
+    * [[vacuum]]); after it, the new snapshot already excludes the
+    * victims and only their physical bytes await the sweep — the
+    * pre-r15 delete-then-rename loop could lose a whole cell instead
+    * (ADVICE r14). If a forgotten id seeded a codebook entry the
+    * manifest is flagged `codebook_stale` (probe geometry keeps
+    * working but the codebook still embeds that vector — rebuild to
+    * scrub it). Returns the bumped manifest. */
   def forget(spark: SparkSession, dir: String, ids: Seq[Long]): Manifest = {
     import spark.implicits._
     require(ids.nonEmpty, "forget needs at least one id")
     val m = manifest(spark, dir)
-    val idx = load(spark, dir)
+    val snapOld = snapshot(spark, dir, m.snapshot_id)
+    val idx = readFiles(spark, dir, snapOld.files)
     // takedown lists are small — the affected-cell set is bounded by |ids|
     val hitCells = idx.filter($"vec_id".isin(ids: _*))
-      .select($"cell").distinct().as[Long].collect().toIndexedSeq.sorted
+      .select($"cell").distinct().as[Long].collect().toSet
     val stale = m.codebook_stale || ids.exists(_ < m.kk)
     if (hitCells.isEmpty) {
       val m2 = m.copy(codebook_stale = stale)
       if (m2 != m) writeManifest(spark, dir, m2)
       return m2
     }
-    // rewrite survivors to a sibling tmp dir, then swap partition dirs —
-    // never reading and overwriting the same path in one plan
-    val tmp = s"$dir/cells_rewrite_tmp"
-    val survivors = idx.filter($"cell".isin(hitCells: _*))
+    val survivors = idx.filter($"cell".isin(hitCells.toSeq: _*))
       .filter(!$"vec_id".isin(ids: _*))
-    survivors.select($"vec_id", $"v", $"cell2", $"cell")
-      .repartition(col("cell")) // rewrite defragments the cell too
-      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
-    val fs = new Path(dir).getFileSystem(hconf(spark))
-    hitCells.foreach { c =>
-      val dst = new Path(s"$dir/cells/cell=$c")
-      val src = new Path(s"$tmp/cell=$c")
-      fs.delete(dst, true)
-      // a cell whose every row was forgotten has no tmp partition —
-      // deleting the old dir IS the rewrite then
-      if (fs.exists(src)) fs.rename(src, dst)
-    }
-    fs.delete(new Path(tmp), true)
-    val m2 = m.copy(n_vectors = footerRowCount(spark, s"$dir/cells"),
-      codebook_stale = stale)
+    // land the rewritten cells as new files (a fully-forgotten cell
+    // simply lands nothing), then commit
+    val landed = landCellFiles(spark, dir, survivors)
+    val victims = filesOfCells(snapOld.files, hitCells)
+    val files = (snapOld.files.toSet -- victims).toSeq ++ landed
+    val n = footerRowCount(spark, dir, files)
+    writeSnapshot(spark, dir, Snapshot(m.snapshot_id + 1, files.toList))
+    val m2 = m.copy(n_vectors = n, codebook_stale = stale,
+      snapshot_id = m.snapshot_id + 1)
     writeManifest(spark, dir, m2)
+    // takedown: the replaced bytes leave the disk NOW (post-commit —
+    // see scaladoc); vacuum is the fsck for a crash mid-sweep
+    val fs = new Path(dir).getFileSystem(hconf(spark))
+    victims.foreach(f => fs.delete(new Path(dir, f), false))
     m2
   }
 
-  /** Parquet file count per cell partition from an FS listing —
-    * driver-side and bounded by the cell count (~√n), the same cost
-    * class as [[footerRowCount]]. The fragmentation signal: a fresh
-    * [[save]] leaves exactly one file per cell; every [[append]] wave
-    * adds one delta file to each touched cell. */
+  /** Parquet file count per cell in the CURRENT SNAPSHOT — driver-side
+    * and bounded by the live file count (~√n + append waves). The
+    * fragmentation signal: a fresh [[save]] leaves exactly one file
+    * per cell; every [[append]] wave adds one delta file to each
+    * touched cell. Orphans awaiting [[vacuum]] are invisible here by
+    * construction (they are not in the snapshot). */
   def cellFileCounts(spark: SparkSession, dir: String): Map[Long, Int] = {
-    val conf = hconf(spark)
-    val root = new Path(s"$dir/cells")
-    val fs = root.getFileSystem(conf)
-    val counts = scala.collection.mutable.HashMap.empty[Long, Int]
-    val it = fs.listFiles(root, true)
-    while (it.hasNext) {
-      val st = it.next()
-      if (st.isFile && st.getPath.getName.endsWith(".parquet") &&
-          !hiddenUnder(fs.makeQualified(root), st.getPath)) {
-        val part = st.getPath.getParent.getName // cell=<v>
-        if (part.startsWith("cell=")) {
-          val c = part.stripPrefix("cell=").toLong
-          counts(c) = counts.getOrElse(c, 0) + 1
-        }
-      }
-    }
-    counts.toMap
+    val m = manifest(spark, dir)
+    snapshot(spark, dir, m.snapshot_id).files
+      .flatMap(cellOfFile)
+      .groupBy(identity).view.mapValues(_.size).toMap
   }
 
-  /** Defragment cell partitions (r13 verdict ask #5): rewrite the
-    * given `cells` — or, by default, every cell holding >= `minFiles`
-    * files — back to one file each (read → repartition-by-cell →
-    * sibling tmp → swap, the [[forget]] rewrite machinery). Row
-    * content is untouched, so search is bit-equal before/after
-    * (pinned by spec) and the manifest row count must reconcile —
-    * a post-swap footer count that disagrees fails loudly rather
-    * than persisting a corrupted index. Cost shape: only fragmented
-    * partitions are read and rewritten, never the full index — the
-    * daily-compaction complement of the daily [[append]].
+  /** Defragment cell partitions: rewrite the given `cells` — or, by
+    * default, every cell holding >= `minFiles` live files — to one
+    * fresh file each, and COMMIT via the snapshot+manifest bump. The
+    * replaced files stay on disk, so any reader pinned to the previous
+    * snapshot (an in-flight batch job, a streaming serve's static
+    * side) keeps returning bit-equal results — call [[vacuum]] to
+    * reclaim them once no pinned reader remains (pinned by spec:
+    * serve-under-compact). Row content is untouched, so search is
+    * bit-equal before/after, and a pre-commit footer count that
+    * disagrees with the manifest ABORTS with the old snapshot intact —
+    * never a half-compacted index (ADVICE r14: the old in-place swap
+    * loop could lose a cell on a crash between delete and rename).
+    * Cost shape: only fragmented partitions are read and rewritten,
+    * never the full index — the daily-compaction complement of the
+    * daily [[append]].
     * @return the compacted cell ids (empty = nothing fragmented). */
   def compact(spark: SparkSession, dir: String,
       cells: Seq[Long] = Seq.empty, minFiles: Int = 2): Seq[Long] = {
     import spark.implicits._
     val m = manifest(spark, dir)
+    val snapOld = snapshot(spark, dir, m.snapshot_id)
     val counts = cellFileCounts(spark, dir)
     val victims =
       (if (cells.nonEmpty) cells.filter(counts.contains)
        else counts.collect { case (c, n) if n >= minFiles => c }.toSeq)
         .sorted
     if (victims.isEmpty) return Seq.empty
-    val tmp = s"$dir/cells_compact_tmp"
-    load(spark, dir).filter($"cell".isin(victims: _*))
-      .select($"vec_id", $"v", $"cell2", $"cell")
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
-    val fs = new Path(dir).getFileSystem(hconf(spark))
-    victims.foreach { c =>
-      val dst = new Path(s"$dir/cells/cell=$c")
-      val src = new Path(s"$tmp/cell=$c")
-      fs.delete(dst, true)
-      // the forget() guard: a victim with no committed rows (possible
-      // only via crashed-write leftovers) has no tmp partition —
-      // deleting the old dir IS the rewrite then
-      if (fs.exists(src)) fs.rename(src, dst)
-    }
-    fs.delete(new Path(tmp), true)
-    val n = footerRowCount(spark, s"$dir/cells")
-    if (n != m.n_vectors)
+    val vset = victims.toSet
+    val rows = readFiles(spark, dir, snapOld.files)
+      .filter($"cell".isin(victims: _*))
+    val landed = landCellFiles(spark, dir, rows)
+    val replaced = filesOfCells(snapOld.files, vset)
+    val files = (snapOld.files.toSet -- replaced).toSeq ++ landed
+    val n = footerRowCount(spark, dir, files)
+    if (n != m.n_vectors) {
+      // abort BEFORE the commit: the old snapshot stays current and
+      // correct; only the just-landed files need sweeping
+      val fs = new Path(dir).getFileSystem(hconf(spark))
+      landed.foreach(f => fs.delete(new Path(dir, f), false))
       throw new IllegalStateException(
-        s"compaction of $dir changed the row count " +
-          s"(${m.n_vectors} -> $n) — index corrupted, do not serve")
+        s"compaction of $dir would change the row count " +
+          s"(${m.n_vectors} -> $n) — aborted, index unchanged")
+    }
+    writeSnapshot(spark, dir, Snapshot(m.snapshot_id + 1, files.toList))
+    writeManifest(spark, dir, m.copy(snapshot_id = m.snapshot_id + 1))
     victims
+  }
+
+  /** Reclaim everything the current snapshot does not reference: data
+    * files replaced by [[compact]] (or stranded by a crashed
+    * append/forget) and superseded snapshot JSONs. The caller owns the
+    * grace window — run it once no reader pinned to an older snapshot
+    * remains (at cluster scale: "older than the longest-running
+    * query"). Returns the number of data files deleted. */
+  def vacuum(spark: SparkSession, dir: String): Long = {
+    val m = manifest(spark, dir)
+    val live = snapshot(spark, dir, m.snapshot_id).files.toSet
+    val fs = new Path(dir).getFileSystem(hconf(spark))
+    val orphans = listCellFiles(spark, dir).filterNot(live)
+    orphans.foreach(f => fs.delete(new Path(dir, f), false))
+    listSnapshotIds(spark, dir).filter(_ != m.snapshot_id)
+      .foreach(i => fs.delete(snapshotPath(dir, i), false))
+    orphans.size.toLong
   }
 
   /** Index-health stats — the rebuild/compact trigger: one row with
     * the cell occupancy shape (max/avg imbalance, the persisted twin
     * of the declared `sim_cell_balance`), the stale-codebook flag,
-    * and the fragmentation shape (`frag_files` = max parquet files in
-    * any cell partition; 1 on a fresh save, +1 per append wave).
-    * `rebuild_recommended` when imbalance exceeds `imbalanceBound` or
-    * the codebook is stale — the geometry remedies; a fragmented but
-    * well-shaped index wants [[compact]] instead
-    * (`compact_recommended` when any cell holds >= `fragBound`
-    * files). */
+    * and the fragmentation shape (`frag_files` = max live files in
+    * any cell per the current snapshot; 1 on a fresh save, +1 per
+    * append wave). `rebuild_recommended` when imbalance exceeds
+    * `imbalanceBound` or the codebook is stale — the geometry
+    * remedies; a fragmented but well-shaped index wants [[compact]]
+    * instead (`compact_recommended` when any cell holds >=
+    * `fragBound` files). */
   def stats(spark: SparkSession, dir: String,
       imbalanceBound: Double = 4.0, fragBound: Int = 3): DataFrame = {
     import spark.implicits._

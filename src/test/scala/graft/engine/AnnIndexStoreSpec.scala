@@ -127,9 +127,11 @@ class AnnIndexStoreSpec extends SparkSpec {
       AnnIndexStore.load(spark, skew)
     }
     assert(e4.getMessage.contains("unreadable"))
-    // truncated cells dir: drop one cell partition — caught by the
-    // opt-in footer-metadata integrity pass (load itself stays
-    // metadata-only, ADVICE r12)
+    // truncated cells dir: drop one cell partition — the footer
+    // integrity pass names the manifest mismatch (a missing file
+    // counts 0 rows), and the default load fails fast at snapshot
+    // resolution (v3 reads the PINNED file list, so a physically
+    // missing file surfaces at load, not at query time)
     val trunc = java.nio.file.Files.createTempDirectory("graft_trunc").toString
     AnnIndexStore.save(spark, sf(), trunc)
     val parts = new java.io.File(s"$trunc/cells").listFiles()
@@ -143,8 +145,19 @@ class AnnIndexStoreSpec extends SparkSpec {
       AnnIndexStore.load(spark, trunc, verify = true)
     }
     assert(e3.getMessage.contains("manifest says"))
-    // ...and the default (metadata-only) load of the same dir succeeds
-    AnnIndexStore.load(spark, trunc)
+    // the default (pinned) load fails loudly too — never lazily
+    intercept[Exception] { AnnIndexStore.load(spark, trunc).count() }
+    // a manifest pointing at a MISSING snapshot (torn commit) is loud
+    val tornDir = java.nio.file.Files.createTempDirectory("graft_torn").toString
+    val mT = AnnIndexStore.save(spark, sf(), tornDir)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(tornDir, s"snapshot_${mT.snapshot_id}.json"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(tornDir, s".snapshot_${mT.snapshot_id}.json.crc"))
+    val e5 = intercept[IllegalStateException] {
+      AnnIndexStore.load(spark, tornDir)
+    }
+    assert(e5.getMessage.contains("snapshot"))
   }
 
   test("manifest JSON survives a hostile source path") {
@@ -342,5 +355,82 @@ class AnnIndexStoreSpec extends SparkSpec {
     // compact must not select phantom victims nor corrupt the index
     assert(AnnIndexStore.compact(spark, d3).isEmpty)
     assert(AnnIndexStore.manifest(spark, d3).n_vectors == m.n_vectors)
+
+    // an ORPHAN parquet file inside a real cell dir (a crashed
+    // compact's landed-but-uncommitted output) is equally invisible:
+    // it is on disk but in no snapshot, so counts/stats/verify ignore
+    // it and vacuum reclaims it
+    val orphan = java.nio.file.Paths.get(
+      s"$d3/cells/cell=$someCell/part-orphan.parquet")
+    java.nio.file.Files.write(orphan, Array[Byte](9, 9, 9))
+    assert(AnnIndexStore.cellFileCounts(spark, d3) == countsClean)
+    AnnIndexStore.load(spark, d3, verify = true)
+    assert(AnnIndexStore.compact(spark, d3).isEmpty)
+    assert(AnnIndexStore.vacuum(spark, d3) == 1L)
+    assert(!java.nio.file.Files.exists(orphan))
+  }
+
+  test("a reader pinned before compact serves bit-equal across it; vacuum reclaims") {
+    import spark.implicits._
+    val d4 = java.nio.file.Files
+      .createTempDirectory("graft_annidx_pin").toString
+    val emb = graft.Tables.t(spark, sf(), "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val baseDir = java.nio.file.Files
+      .createTempDirectory("graft_annidx_pinb").toString
+    emb.filter($"vec_id" % 3 === 0)
+      .select($"vec_id", $"v".as("embedding"))
+      .write.mode("overwrite").parquet(s"$baseDir/embeddings.parquet")
+    AnnIndexStore.save(spark, baseDir, d4)
+    AnnIndexStore.append(spark, d4, emb.filter($"vec_id" % 3 === 1))
+    val mPre = AnnIndexStore.append(spark, d4, emb.filter($"vec_id" % 3 === 2))
+
+    // PIN a reader (a batch job / the static side of a streaming
+    // serve) on the pre-compact snapshot, and remember its answer
+    val pinned = AnnIndexStore.load(spark, d4)
+    def norm(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.mkString("|")).sorted.toSeq
+    val pinnedBefore = norm(pinned)
+    val servedBefore = norm(
+      AnnIndexStore.searchTopKStored(spark, d4, queries3, k = 3))
+
+    // compact commits a new snapshot UNDER the pinned reader
+    assert(AnnIndexStore.compact(spark, d4).nonEmpty)
+
+    // the pinned frame re-executes against its fixed file list and is
+    // bit-equal — no torn read, no FileNotFound (old files persist
+    // until vacuum); new readers see the compacted snapshot, equal too
+    assert(norm(pinned) == pinnedBefore,
+      "a pre-compact reader must keep serving its snapshot")
+    assert(norm(AnnIndexStore.load(spark, d4)) == pinnedBefore,
+      "compaction must not change the live rows")
+    assert(norm(AnnIndexStore.searchTopKStored(spark, d4, queries3, k = 3))
+      == servedBefore)
+    assert(AnnIndexStore.manifest(spark, d4).n_vectors == mPre.n_vectors)
+
+    // disk holds live + replaced files until vacuum; after it, disk
+    // is exactly the live set and the old snapshot JSONs are gone
+    val live = AnnIndexStore.liveFiles(spark, d4).toSet
+    def onDisk(): Set[String] = {
+      val out = scala.collection.mutable.Set.empty[String]
+      def walk(f: java.io.File, rel: String): Unit =
+        if (f.isDirectory) f.listFiles().foreach(c =>
+          walk(c, s"$rel/${c.getName}"))
+        else if (f.getName.endsWith(".parquet") &&
+            !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+          out += rel.stripPrefix("/")
+      walk(new java.io.File(s"$d4/cells"), "cells")
+      out.toSet
+    }
+    assert(live.subsetOf(onDisk()) && onDisk().size > live.size)
+    assert(AnnIndexStore.vacuum(spark, d4) > 0L)
+    assert(onDisk() == live, "vacuum must leave exactly the live set")
+    assert(new java.io.File(d4).listFiles()
+      .count(_.getName.startsWith("snapshot_")) == 1)
+    // vacuumed index still serves identically
+    assert(norm(AnnIndexStore.searchTopKStored(spark, d4, queries3, k = 3))
+      == servedBefore)
+    // vacuum is idempotent
+    assert(AnnIndexStore.vacuum(spark, d4) == 0L)
   }
 }
