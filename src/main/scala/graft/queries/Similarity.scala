@@ -179,6 +179,51 @@ object Similarity {
     f.getAbsolutePath
   }
 
+  /** True when the index at `dir` is a COMPLETE fixture at the given
+    * snapshot id. The manifest is written last by every committing
+    * operation, so a valid current-version manifest whose snapshot_id
+    * matches the build recipe's final id proves the write-once build
+    * finished; anything else (absent, torn, an old-layout leftover
+    * from a previous round) triggers a rebuild. */
+  private def fixtureReady(s: SparkSession, dir: String,
+      wantSnapshot: Long): Boolean =
+    try graft.engine.AnnIndexStore.manifest(s, dir)
+      .snapshot_id == wantSnapshot
+    catch { case scala.util.control.NonFatal(_) => false }
+
+  /** The WRITE-ONCE full-corpus index fixture shared by the lifecycle
+    * rows (verdict r14 ask #1b): datasets are immutable per dir (the
+    * Tables.t contract), so the saved assignment is too — building it
+    * once and letting each row exercise only its own delta removes the
+    * per-rep rebuild that concentrated 14% of the r14 bench in this
+    * family. The raw save cost stays honestly priced by the
+    * sim_index_store_raw bench row, which still saves every rep. */
+  private[graft] def fullIndexFixture(s: SparkSession, d: String): String = {
+    val dir = idxScratch("fxfull", d)
+    if (!fixtureReady(s, dir, 1L))
+      graft.engine.AnnIndexStore.save(s, d, dir)
+    dir
+  }
+
+  /** Per-rep CLONE of a fixture index — the mutation sandbox for
+    * forget/append/compact rows: a driver-side recursive file copy
+    * (the index is ~√n files totalling vector-table bytes, megabytes
+    * at bench scale — the same cost class as the rewrite the row then
+    * times), so each rep mutates a fresh clone while the fixture stays
+    * pristine. */
+  private[graft] def cloneIndex(s: SparkSession, src: String,
+      dstTag: String, d: String): String = {
+    val dst = idxScratch(dstTag, d)
+    val conf = s.sessionState.newHadoopConf()
+    val dp = new org.apache.hadoop.fs.Path(dst)
+    val fs = dp.getFileSystem(conf)
+    fs.delete(dp, true)
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new org.apache.hadoop.fs.Path(src), fs, dp,
+      false, true, conf)
+    dst
+  }
+
   /** 3-NN majority-vote label predictions over the shared cell-pair
     * edges — sim_knn_classify's body, shared with sim_confusion_matrix.
     * @return (vec_id, true_label, pred_label, n_votes, n_neighbors,
@@ -1728,8 +1773,11 @@ object Similarity {
       // preserving empty result (EmptyInputSpec contract)
       if (t(s, d, "embeddings").head(1).isEmpty) emptyOut
       else {
-      val dir = idxScratch("forget", d)
-      val m0 = graft.engine.AnnIndexStore.save(s, d, dir)
+      // per-rep CLONE of the write-once full fixture (r15): the row
+      // times the takedown delta — victim pick, survivor rewrite,
+      // commit, audit — never the index build itself
+      val dir = cloneIndex(s, fullIndexFixture(s, d), "forget", d)
+      val m0 = graft.engine.AnnIndexStore.manifest(s, dir)
       // victims = the up-to-3 HIGHEST NON-CODEBOOK ids (vec_id >= kk):
       // "3 highest overall" is not codebook-safe on a tiny corpus —
       // kk floors at 8, so with n <= ~10 the top ids can seed the
@@ -1793,8 +1841,14 @@ object Similarity {
       if (!new java.io.File(s"$base/embeddings.parquet/_SUCCESS").exists())
         t(s, d, "embeddings").filter($"vec_id" % 10 =!= 0)
           .write.mode("overwrite").parquet(s"$base/embeddings.parquet")
-      val dir = idxScratch("app", d)
-      val m0 = graft.engine.AnnIndexStore.save(s, base, dir)
+      // the 90%-base index is a WRITE-ONCE fixture too (r15): the row
+      // times the append + stored-quantizer serve delta on a per-rep
+      // clone, not the base build (priced by sim_index_store_raw)
+      val fx90 = idxScratch("fx90", d)
+      if (!fixtureReady(s, fx90, 1L))
+        graft.engine.AnnIndexStore.save(s, base, fx90)
+      val dir = cloneIndex(s, fx90, "app", d)
+      val m0 = graft.engine.AnnIndexStore.manifest(s, dir)
       val delta = t(s, d, "embeddings").filter($"vec_id" % 10 === 0)
         .select($"vec_id", $"embedding".cast("array<double>").as("v"))
       val m1 = graft.engine.AnnIndexStore.append(s, dir, delta)
@@ -1827,19 +1881,22 @@ object Similarity {
     // columns the oracle pins: frag_detected (some cell held >= 2
     // files before), defrag_complete (every cell is back to one file
     // after), count_preserved (manifest row count unchanged by the
-    // rewrite — compact() additionally hard-fails on a mismatch), and
-    // search_equal (stored-path top-3 per query vector bit-equal
-    // before/after — the BEFORE frame is checkpointed since compact
-    // physically replaces the files under a lazy plan). Deliberately
-    // timed disk lifecycle per rep (the append_serve discipline);
-    // stable scratch dirs; the equality check runs on the bounded
+    // rewrite — compact() additionally aborts pre-commit on a
+    // mismatch), search_equal (stored-path top-3 per query vector
+    // bit-equal before/after — the BEFORE frame is checkpointed as
+    // the pre-compact baseline), and vacuum_safe (r15: the sweep
+    // reclaims the compact's replaced files and serving stays
+    // bit-equal after it). The fragmented index is a write-once
+    // fixture cloned per rep (r15 — the row times the
+    // compact→vacuum→serve delta, not the three-stage rebuild);
+    // stable scratch dirs; the equality checks run on the bounded
     // query panel (|queries| x 3 rows).
     "sim_index_compact_audit" -> ((s, d) => {
       import s.implicits._
       if (t(s, d, "embeddings").head(1).isEmpty)
-        Seq.empty[(Long, Long, Boolean, Boolean, Boolean, Boolean)]
+        Seq.empty[(Long, Long, Boolean, Boolean, Boolean, Boolean, Boolean)]
           .toDF("n_base", "n_after", "frag_detected", "defrag_complete",
-            "count_preserved", "search_equal")
+            "count_preserved", "search_equal", "vacuum_safe")
       else if (Seq(0, 1, 2).exists(r =>
           t(s, d, "embeddings").filter($"vec_id" % 3 === r)
             .head(1).isEmpty))
@@ -1849,22 +1906,36 @@ object Similarity {
         // false against the oracle's unconditional TRUE (ADVICE r14)
         // — same schema-preserving empty contract as the empty corpus
         // (the oracle's WHERE mirrors all three counts)
-        Seq.empty[(Long, Long, Boolean, Boolean, Boolean, Boolean)]
+        Seq.empty[(Long, Long, Boolean, Boolean, Boolean, Boolean, Boolean)]
           .toDF("n_base", "n_after", "frag_detected", "defrag_complete",
-            "count_preserved", "search_equal")
+            "count_preserved", "search_equal", "vacuum_safe")
       else {
         val emb = t(s, d, "embeddings")
           .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        // the FRAGMENTED index (base third + two append waves, one
+        // delta file per touched cell per wave) is a WRITE-ONCE
+        // fixture (r15): snapshot_id 3 = save + 2 appends completed.
+        // The row times the compact→vacuum→serve delta on a per-rep
+        // clone, not the three-stage rebuild (save cost lives in
+        // sim_index_store_raw; append cost in sim_index_append_serve).
         val base = idxScratch("cptbase", d)
         if (!new java.io.File(s"$base/embeddings.parquet/_SUCCESS").exists())
           t(s, d, "embeddings").filter($"vec_id" % 3 === 0)
             .write.mode("overwrite").parquet(s"$base/embeddings.parquet")
-        val dir = idxScratch("cpt", d)
-        val m0 = graft.engine.AnnIndexStore.save(s, base, dir)
-        graft.engine.AnnIndexStore.append(s, dir,
-          emb.filter($"vec_id" % 3 === 1))
-        val m1 = graft.engine.AnnIndexStore.append(s, dir,
-          emb.filter($"vec_id" % 3 === 2))
+        val fxfrag = idxScratch("fxfrag", d)
+        if (!fixtureReady(s, fxfrag, 3L)) {
+          graft.engine.AnnIndexStore.save(s, base, fxfrag)
+          graft.engine.AnnIndexStore.append(s, fxfrag,
+            emb.filter($"vec_id" % 3 === 1))
+          graft.engine.AnnIndexStore.append(s, fxfrag,
+            emb.filter($"vec_id" % 3 === 2))
+        }
+        val dir = cloneIndex(s, fxfrag, "cpt", d)
+        val m1 = graft.engine.AnnIndexStore.manifest(s, dir)
+        // n_base re-derives from the corpus (one bounded count agg —
+        // the clone's manifest only carries the post-append total)
+        val nBase = t(s, d, "embeddings")
+          .filter($"vec_id" % 3 === 0).count()
         val fragBefore = graft.engine.AnnIndexStore
           .cellFileCounts(s, dir).values.maxOption.getOrElse(0)
         val q3 = emb.filter($"vec_id" % 97 === 0)
@@ -1881,11 +1952,22 @@ object Similarity {
           .groupBy($"q_id", $"rank", $"vec_id", $"sim")
           .agg(count(lit(1)).as("c"))
           .filter($"c" =!= 2L).count() // bounded: |panel| x 3 x 2 rows
-        Seq((m0.n_vectors, m1.n_vectors, fragBefore >= 2,
+        // vacuum stage (r15, the v3 lifecycle's fourth member): the
+        // compact left its replaced files on disk for pinned readers;
+        // the sweep must reclaim at least the pre-compact delta files
+        // and serving must stay bit-equal afterwards
+        val reclaimed = graft.engine.AnnIndexStore.vacuum(s, dir)
+        val after2 = graft.engine.AnnIndexStore
+          .searchTopKStored(s, dir, q3, k = 3)
+        val mismatches2 = before.unionAll(after2)
+          .groupBy($"q_id", $"rank", $"vec_id", $"sim")
+          .agg(count(lit(1)).as("c"))
+          .filter($"c" =!= 2L).count()
+        Seq((nBase, m1.n_vectors, fragBefore >= 2,
             fragAfter == 1, m2.n_vectors == m1.n_vectors,
-            mismatches == 0L))
+            mismatches == 0L, reclaimed > 0L && mismatches2 == 0L))
           .toDF("n_base", "n_after", "frag_detected", "defrag_complete",
-            "count_preserved", "search_equal")
+            "count_preserved", "search_equal", "vacuum_safe")
       }
     }),
 
@@ -1900,9 +1982,11 @@ object Similarity {
             "imbalance", "codebook_stale", "rebuild_recommended",
             "frag_files", "compact_recommended")
       else {
-        val dir = idxScratch("stats", d)
-        graft.engine.AnnIndexStore.save(s, d, dir)
-        graft.engine.AnnIndexStore.stats(s, dir)
+        // stats over the WRITE-ONCE full-corpus fixture (r15): the row
+        // prices the health check itself — one cell groupBy plus the
+        // snapshot metadata walk — not a fresh save per rep (that cost
+        // lives in sim_index_store_raw, the honest raw-build row)
+        graft.engine.AnnIndexStore.stats(s, fullIndexFixture(s, d))
       }
     }),
 
@@ -4003,7 +4087,7 @@ object Similarity {
         |  CAST(COUNT(*) AS BIGINT) AS n_after FROM embeddings)
         |SELECT n_base, n_after, TRUE AS frag_detected,
         |  TRUE AS defrag_complete, TRUE AS count_preserved,
-        |  TRUE AS search_equal
+        |  TRUE AS search_equal, TRUE AS vacuum_safe
         |FROM c WHERE n_base > 0 AND n_w1 > 0 AND n_w2 > 0""".stripMargin,
 
     "sim_index_append_serve" ->
