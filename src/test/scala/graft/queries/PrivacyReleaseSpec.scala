@@ -126,4 +126,43 @@ class PrivacyReleaseSpec extends SparkSpec {
     assert(suppUsers < plainSupp,
       "widening recovered no users — operator adds nothing over suppress")
   }
+
+  test("dp release: same classes as widen, k floor holds, noise is bounded and real") {
+    val d = sf("sf0.01")
+    val widen = SparkEntry.queries("log_k_widen_release")(spark, d)
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("hband")),
+        r.getString(r.fieldIndex("mtype")),
+        r.getLong(r.fieldIndex("vband"))) ->
+        r.getLong(r.fieldIndex("n_users"))).toMap
+    val dp = SparkEntry.queries("log_dp_release")(spark, d).collect()
+    assert(dp.nonEmpty)
+
+    // the DP release publishes exactly the widen release's classes
+    val dpKeys = dp.map(r => (r.getLong(r.fieldIndex("hband")),
+      r.getString(r.fieldIndex("mtype")),
+      r.getLong(r.fieldIndex("vband")))).toSet
+    assert(dpKeys == widen.keySet,
+      "dp release must perturb the widen release's class set, not its own")
+
+    var anyNoise = false
+    dp.foreach { r =>
+      val key = (r.getLong(r.fieldIndex("hband")),
+        r.getString(r.fieldIndex("mtype")),
+        r.getLong(r.fieldIndex("vband")))
+      val released = r.getLong(r.fieldIndex("n_released"))
+      val truth = widen(key)
+      // k floor survives the noise (post-processing clamp)
+      assert(released >= 5L, s"noised count below the k floor: $r")
+      // noise magnitude is capped at 20 by the mechanism
+      assert(math.abs(released - truth) <= 20L,
+        s"noise beyond the cap at $key: $truth -> $released")
+      if (released != truth) anyNoise = true
+      assert(r.getDouble(r.fieldIndex("epsilon")) == 0.6931)
+    }
+    // the mechanism must actually perturb (P[all-zero noise] over
+    // ~19 classes is (1/3)^19 — a regression to zero-noise would be
+    // an accounting lie)
+    assert(anyNoise, "no class was perturbed — mechanism inert")
+  }
 }
