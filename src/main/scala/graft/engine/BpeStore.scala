@@ -44,11 +44,15 @@ import org.apache.spark.sql.functions._
   */
 object BpeStore {
 
-  val Version = 1
+  /** v2 (r15): manifest gains fit_fertility_e4 — the sample-weighted
+    * tokens-per-word of the fit vocabulary at save time, e4-quantized
+    * (exact integer arithmetic over the bounded sample) — the
+    * reference point the fertility-drift monitor compares against. */
+  val Version = 2
 
   final case class Manifest(version: Int, n_merges: Int,
       sample_top_k: Int, n_vocab: Int, source: String,
-      fit_stale: Boolean = false)
+      fit_stale: Boolean = false, fit_fertility_e4: Long = 0L)
 
   private implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
 
@@ -66,6 +70,21 @@ object BpeStore {
     finally out.close()
   }
 
+  /** Sample-weighted fertility (BPE tokens per word) of a fit
+    * sample encoded with the given ranks, e4-quantized: ONE float op
+    * over two exact integer sums, over a sample bounded at
+    * sample_top_k rows — driver-side by construction. */
+  private def sampleFertilityE4(vocab: Iterable[(String, Long)],
+      ranks: Map[(String, String), Int]): Long = {
+    var words = 0L; var tokens = 0L
+    vocab.foreach { case (w, cnt) =>
+      words += cnt
+      tokens += cnt * BpeTokenizer.encode(w, ranks).length
+    }
+    if (words == 0L) 10000L
+    else math.round(tokens.toDouble / words * 1e4)
+  }
+
   /** Fit a tokenizer on `srcDir`'s documents (bounded top-K sample)
     * and persist merges + vocab + manifest under `outDir`. */
   def save(spark: SparkSession, srcDir: String, outDir: String,
@@ -81,8 +100,9 @@ object BpeStore {
     vocab.toSeq.toDF("word", "cnt")
       .repartition(1)
       .write.mode("overwrite").parquet(s"$outDir/vocab")
+    val ranks = merges.zipWithIndex.toMap
     val m = Manifest(Version, merges.length, sampleTopK, vocab.length,
-      srcDir)
+      srcDir, fit_fertility_e4 = sampleFertilityE4(vocab, ranks))
     writeManifest(spark, outDir, m)
     m
   }
@@ -162,5 +182,22 @@ object BpeStore {
     val m2 = m.copy(fit_stale = stale)
     writeManifest(spark, dir, m2)
     (m2, overlap, stored.size.toLong)
+  }
+
+  /** Fertility drift (r15): the stored fit-time sample fertility vs
+    * the CURRENT corpus's fit sample encoded with the STORED ranks —
+    * the tokens-per-word divergence monitor (a tokenizer fit on last
+    * year's text inflates fertility as the vocabulary drifts, which
+    * silently shrinks every token-budgeted pack). Returns
+    * (fit_e4, current_e4); both sides are sample-weighted integer
+    * folds over bounded samples, so on the SAME corpus they are equal
+    * by construction — the declared drift row rides that, and the
+    * divergent-corpus path is spec-tested (the fit_stale pattern). */
+  def fertilityDrift(spark: SparkSession, dir: String,
+      srcDir: String): (Long, Long) = {
+    val m = manifest(spark, dir)
+    val ranks = loadRanks(spark, dir)
+    val current = BpeTokenizer.fitVocab(spark, srcDir, m.sample_top_k)
+    (m.fit_fertility_e4, sampleFertilityE4(current, ranks))
   }
 }

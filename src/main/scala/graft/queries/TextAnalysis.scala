@@ -86,6 +86,23 @@ object TextAnalysis {
       .groupBy(col("source"), col("token"))
       .agg(count(lit(1)).as("y"))
 
+  /** WRITE-ONCE stored-tokenizer fixture per dataset dir (r15): the
+    * persisted BpeStore artifact the token-currency consumers read
+    * (doc_pack_bpe, text_bpe_fertility_drift). Datasets are immutable
+    * per dir (the Tables.t contract) and the fit is deterministic, so
+    * the artifact is too; a missing/old-layout dir rebuilds. The
+    * save→load lifecycle itself stays priced and oracle-gated by
+    * text_bpe_store_roundtrip, which deliberately saves every rep. */
+  private[queries] def bpeFixture(s: SparkSession, d: String): String = {
+    val dir = Similarity.idxScratch("bpefx", d)
+    val ok =
+      try graft.engine.BpeStore.manifest(s, dir)
+        .version == graft.engine.BpeStore.Version
+      catch { case scala.util.control.NonFatal(_) => false }
+    if (!ok) graft.engine.BpeStore.save(s, d, dir)
+    dir
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Gries' deviation-of-proportions (DP) dispersion for the top-15
     // corpus words — the corpus-linguistics number frequency alone
@@ -334,6 +351,40 @@ object TextAnalysis {
     // word/codepoint accounting AND both lifecycle contracts at once.
     // Deliberately timed disk lifecycle per rep (the
     // sim_index_append_serve discipline); stable scratch dir.
+    // Tokenizer-fertility drift monitor (r14 verdict ask #4, the
+    // drift half): the stored artifact's fit-time sample fertility
+    // (tokens per word, e4-quantized — BpeStore manifest v2 records
+    // it at save) against the CURRENT corpus's fit sample encoded
+    // with the STORED ranks. A tokenizer fit on last year's text
+    // inflates fertility as vocabulary drifts, silently shrinking
+    // every token-budgeted pack — this is the alarm that fires before
+    // doc_pack_bpe's budgets go quietly wrong. On the same corpus the
+    // two sample folds are equal by construction (both bounded,
+    // integer-exact), so the oracle pins the no-drift contract;
+    // the divergent-corpus path is spec-tested (the fit_stale
+    // pattern). n_vocab is tokenizer-independent (top-K distinct
+    // words), so DuckDB computes it directly.
+    "text_bpe_fertility_drift" -> ((s, d) => {
+      import s.implicits._
+      if (t(s, d, "documents").head(1).isEmpty)
+        Seq.empty[(Long, Boolean, Boolean, Boolean)]
+          .toDF("n_vocab", "fertility_sane", "drift_flagged",
+            "fit_recorded")
+      else {
+        val dir = bpeFixture(s, d)
+        val m = graft.engine.BpeStore.manifest(s, dir)
+        val (fitE4, curE4) = graft.engine.BpeStore.fertilityDrift(s, dir, d)
+        // drift rule: |current - fit| * 10 > fit (a 10% band), integer
+        // cross-multiplication — no float threshold
+        Seq((m.n_vocab.toLong,
+            fitE4 >= 10000L, // >= 1 token per word always
+            math.abs(curE4 - fitE4) * 10L > fitE4,
+            m.fit_fertility_e4 == fitE4 && fitE4 > 0L))
+          .toDF("n_vocab", "fertility_sane", "drift_flagged",
+            "fit_recorded")
+      }
+    }),
+
     "text_bpe_store_roundtrip" -> ((s, d) => {
       import s.implicits._
       // empty corpus: nothing to fit — schema-preserving empty result
@@ -1408,6 +1459,23 @@ object TextAnalysis {
         |  (15,15,441,426)
         |) t(doc_id, n_words, n_cps, n_tokens)
         |ORDER BY doc_id""").stripMargin,
+
+    // n_vocab is tokenizer-independent (top-512 distinct-word cap);
+    // the booleans are the drift CONTRACT: fertility >= 1 token/word
+    // always, a same-corpus refresh never drifts (both sample folds
+    // are bounded integer arithmetic over the identical sample), and
+    // the fit-time fertility is recorded in the manifest. The
+    // true-drift path (divergent corpus) is spec-tested.
+    "text_bpe_fertility_drift" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(
+        |    lower(text), '\s+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |v AS (SELECT COUNT(DISTINCT tok) AS nv FROM toks)
+        |SELECT CAST(LEAST(512, nv) AS BIGINT) AS n_vocab,
+        |  TRUE AS fertility_sane, FALSE AS drift_flagged,
+        |  TRUE AS fit_recorded
+        |FROM v""".stripMargin,
 
     // n_words/n_cps are tokenizer-independent (token count and code
     // point count), so the oracle computes them declaratively; the

@@ -44,6 +44,63 @@ class PipelineInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("bpe packing is exact under a known merge table") {
+    import spark.implicits._
+    // hand-built corpus: every word "aaaa" (4 code points); with the
+    // single merge (a,a) the greedy encode yields exactly 2 tokens per
+    // word — so BPE packs diverge from whitespace packs predictably
+    val mk = (n: Int) => Seq.fill(n)("aaaa").mkString(" ")
+    val docs = Seq(
+      ("s1", 1L, mk(300)), // ws 300 / bpe 600 / cps 1200
+      ("s1", 2L, mk(300)), // prior_bpe 600 -> pack 1; prior_ws 300 -> 0
+      ("s2", 1L, mk(10))
+    ).toDF("source", "doc_id", "text")
+    val ranks = Map(("a", "a") -> 0)
+    val got = PipelineOps.bpePackCounts(spark, docs, ranks)
+      .orderBy($"source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.toSeq == Seq(
+      ("s1", 2L, 600L, 2400L, 1200L, 2L, 1L),
+      ("s2", 1L, 10L, 40L, 20L, 1L, 1L)),
+      s"bpe pack fold diverged: ${got.mkString(",")}")
+
+    // the declared row's invariants hold and its exact columns agree
+    // on the real corpus (the oracle re-proves this against DuckDB)
+    val declared = SparkEntry.queries("doc_pack_bpe")(spark, sf()).collect()
+    assert(declared.nonEmpty)
+    declared.foreach { r =>
+      assert(r.getBoolean(r.fieldIndex("bpe_bounds_ok")), r.toString)
+      assert(r.getBoolean(r.fieldIndex("packs_bounded")), r.toString)
+    }
+  }
+
+  test("bpe fertility drift flags a diverged corpus, not a refreshed one") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_bpedrift").toString
+    val a = s"$root/a"; val b = s"$root/b"
+    // corpus A: highly mergeable words (fertility ~1 after 32 merges)
+    Seq.tabulate(40)(i => (i.toLong, "src",
+        Seq.fill(20)("aaaaaaaa").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+      .write.parquet(s"$a/documents.parquet")
+    // corpus B: words the stored merges never fire on (fertility = 8)
+    Seq.tabulate(40)(i => (i.toLong, "src",
+        Seq.fill(20)("bcdefghi").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+      .write.parquet(s"$b/documents.parquet")
+    val dir = Files.createTempDirectory("graft_bpedrift_st").toString
+    val m = graft.engine.BpeStore.save(spark, a, dir)
+    assert(m.fit_fertility_e4 > 0L, "fit fertility must be recorded")
+    val (fit1, cur1) = graft.engine.BpeStore.fertilityDrift(spark, dir, a)
+    assert(fit1 == m.fit_fertility_e4 && cur1 == fit1,
+      "same-corpus refresh must not drift")
+    val (fit2, cur2) = graft.engine.BpeStore.fertilityDrift(spark, dir, b)
+    assert(fit2 == fit1)
+    assert(math.abs(cur2 - fit2) * 10L > fit2,
+      s"diverged corpus must flag: fit=$fit2 cur=$cur2")
+  }
+
   test("doc_manifest checksum flags a substituted doc id at equal counts") {
     import spark.implicits._
     val base = SparkEntry.queries("doc_manifest")(spark, sf())
