@@ -19,8 +19,11 @@ package graft.multimodal
   */
 object ImageHeaders {
 
+  /** `orientation` is the EXIF/TIFF tag-274 value (1-8, 1 = upright)
+    * — real for TIFF files and JPEGs carrying an EXIF APP1; 1 for
+    * layouts that have no orientation concept (r15). */
   final case class ImageMeta(format: String, width: Long, height: Long,
-      bit_depth: Long)
+      bit_depth: Long, orientation: Long = 1L)
 
   private val PngSig: Array[Byte] =
     Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
@@ -35,6 +38,7 @@ object ImageHeaders {
     else if (isJpeg(bytes)) parseJpeg(bytes)
     else if (isGif(bytes)) parseGif(bytes)
     else if (isRiff(bytes)) parseWebp(bytes)
+    else if (isTiff(bytes)) parseTiff(bytes)
     else None
   }
 
@@ -101,6 +105,10 @@ object ImageHeaders {
   private def parseJpeg(b: Array[Byte]): Option[ImageMeta] = {
     def isSof(m: Int): Boolean =
       m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+    // EXIF orientation rides an APP1 segment ("Exif\0\0" + an embedded
+    // TIFF structure) seen BEFORE the SOF on any real camera file —
+    // remembered during the walk and attached to the frame geometry
+    var orientation = 1L
     var off = 2
     while (off + 4 <= b.length) {
       if (b(off) != 0xff.toByte) return None
@@ -116,6 +124,16 @@ object ImageHeaders {
       } else {
         val len = ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
         if (len < 2 || off + 2 + len > b.length) return None
+        if (marker == 0xe1 && len >= 10 &&
+            b(off + 4) == 'E'.toByte && b(off + 5) == 'x'.toByte &&
+            b(off + 6) == 'i'.toByte && b(off + 7) == 'f'.toByte &&
+            b(off + 8) == 0 && b(off + 9) == 0) {
+          // the embedded TIFF is its own little document (offsets are
+          // relative to ITS byte-order mark, either endianness)
+          tiffTags(b, off + 10).flatMap(_.get(274))
+            .filter(o => o >= 1L && o <= 8L)
+            .foreach(orientation = _)
+        }
         if (isSof(marker)) {
           if (len < 8) return None
           val precision = (b(off + 4) & 0xff).toLong
@@ -123,12 +141,81 @@ object ImageHeaders {
           val w = (((b(off + 7) & 0xff) << 8) | (b(off + 8) & 0xff)).toLong
           val ncomp = (b(off + 9) & 0xff).toLong
           return if (w <= 0 || h <= 0 || ncomp <= 0) None
-          else Some(ImageMeta("jpeg", w, h, precision * ncomp))
+          else Some(ImageMeta("jpeg", w, h, precision * ncomp, orientation))
         }
         off += 2 + len
       }
     }
     None
+  }
+
+  private def isTiff(b: Array[Byte]): Boolean =
+    b.length >= 8 &&
+      ((b(0) == 'I'.toByte && b(1) == 'I'.toByte &&
+        b(2) == 0x2a.toByte && b(3) == 0) ||
+       (b(0) == 'M'.toByte && b(1) == 'M'.toByte &&
+        b(2) == 0 && b(3) == 0x2a.toByte))
+
+  /** Walk the TIFF structure whose byte-order mark sits at `base`
+    * (a standalone TIFF file at 0, or an EXIF blob inside a JPEG
+    * APP1): endianness tag ("II" little / "MM" big), magic 42, then
+    * IFD0's 12-byte entries. Returns tag -> value for the tags whose
+    * encodings the walk understands — SHORT/LONG count 1 inline, and
+    * multi-count SHORT summed (the BitsPerSample convention: bits per
+    * pixel is the per-sample sum), inline when <= 2 values fit the
+    * field, via the value offset otherwise. All offsets are relative
+    * to `base` per the spec. None for a malformed structure. */
+  private def tiffTags(b: Array[Byte],
+      base: Int): Option[Map[Int, Long]] = {
+    if (base < 0 || base + 8 > b.length) return None
+    val le = b(base) == 'I'.toByte && b(base + 1) == 'I'.toByte
+    val be = b(base) == 'M'.toByte && b(base + 1) == 'M'.toByte
+    if (!le && !be) return None
+    def u16(off: Int): Int =
+      if (le) (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+      else ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+    def u32(off: Int): Long = if (le) le32(b, off) else be32(b, off)
+    if (u16(base + 2) != 42) return None
+    val ifd = base + u32(base + 4).toInt
+    if (ifd < base || ifd + 2 > b.length) return None
+    val n = u16(ifd)
+    val tags = scala.collection.mutable.Map.empty[Int, Long]
+    var i = 0
+    while (i < n) {
+      val e = ifd + 2 + i * 12
+      if (e + 12 > b.length) return None
+      val tag = u16(e)
+      val typ = u16(e + 2)
+      val cnt = u32(e + 4)
+      val v: Option[Long] =
+        if (cnt == 1 && typ == 3) Some(u16(e + 8).toLong)
+        else if (cnt == 1 && typ == 4) Some(u32(e + 8))
+        else if (typ == 3 && cnt == 2)
+          Some(u16(e + 8).toLong + u16(e + 10).toLong)
+        else if (typ == 3 && cnt >= 3 && cnt <= 8) {
+          val off = base + u32(e + 8).toInt
+          if (off < base || off + 2 * cnt.toInt > b.length) None
+          else Some((0 until cnt.toInt).map(j => u16(off + 2 * j).toLong).sum)
+        } else None
+      v.foreach(tags(tag) = _)
+      i += 1
+    }
+    Some(tags.toMap)
+  }
+
+  /** TIFF (r15): the endianness-tagged IFD layout — ImageWidth(256),
+    * ImageLength(257), BitsPerSample(258, summed across samples per
+    * the bits-per-pixel convention, spec default 1 when absent), and
+    * EXIF/TIFF Orientation(274, default upright). */
+  private def parseTiff(b: Array[Byte]): Option[ImageMeta] = {
+    tiffTags(b, 0).flatMap { tags =>
+      val w = tags.getOrElse(256, 0L)
+      val h = tags.getOrElse(257, 0L)
+      val bits = tags.getOrElse(258, 1L)
+      val o = tags.get(274).filter(v => v >= 1L && v <= 8L).getOrElse(1L)
+      if (w <= 0 || h <= 0) None
+      else Some(ImageMeta("tiff", w, h, bits, o))
+    }
   }
 
   private def isGif(b: Array[Byte]): Boolean =
@@ -275,15 +362,17 @@ object ImageHeaders {
     out.array()
   }
 
-  /** A real JPEG prefix: SOI + JFIF APP0 + a baseline SOF0 frame header
-    * for `components` 8-bit channels (progressive when
-    * `progressive = true` — SOF2, same payload layout). Not a complete
-    * image (no quant/huffman tables or scan) but byte-exactly the walk
-    * any header reader performs. */
+  /** A real JPEG prefix: SOI + JFIF APP0 + (when `orientation` > 0) an
+    * EXIF APP1 carrying a little-endian TIFF block with tag 274 + a
+    * baseline SOF0 frame header for `components` 8-bit channels
+    * (progressive when `progressive = true` — SOF2, same payload
+    * layout). Not a complete image (no quant/huffman tables or scan)
+    * but byte-exactly the walk any header reader performs. */
   def buildJpeg(width: Int, height: Int, components: Int,
-      progressive: Boolean = false): Array[Byte] = {
+      progressive: Boolean = false, orientation: Int = 0): Array[Byte] = {
     val sofLen = 8 + 3 * components
-    val out = java.nio.ByteBuffer.allocate(2 + 18 + 2 + sofLen)
+    val app1 = if (orientation > 0) 36 else 0
+    val out = java.nio.ByteBuffer.allocate(2 + 18 + app1 + 2 + sofLen)
     out.put(0xff.toByte).put(0xd8.toByte) // SOI
     out.put(0xff.toByte).put(0xe0.toByte) // APP0
     out.putShort(16)
@@ -293,6 +382,14 @@ object ImageHeaders {
     out.put(0.toByte) // density units: none
     out.putShort(1).putShort(1) // aspect 1:1
     out.put(0.toByte).put(0.toByte) // no thumbnail
+    if (orientation > 0) {
+      out.put(0xff.toByte).put(0xe1.toByte) // APP1
+      out.putShort(34) // 2 len + 6 "Exif\0\0" + 26 TIFF block
+      out.put("Exif".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      out.put(0.toByte).put(0.toByte)
+      out.put(buildTiffBlock(le = true,
+        Seq((274, 3, orientation.toLong)))) // one SHORT entry
+    }
     out.put(0xff.toByte)
       .put((if (progressive) 0xc2 else 0xc0).toByte) // SOF0 / SOF2
     out.putShort(sofLen.toShort)
@@ -307,4 +404,41 @@ object ImageHeaders {
     }
     out.array()
   }
+
+  /** A TIFF block (byte-order mark + magic + IFD0 holding the given
+    * (tag, type, value) entries, all inline, next-IFD = 0) — the
+    * standalone-file body of [[buildTiff]] and the embedded payload of
+    * an EXIF APP1. 8 + 2 + 12·n + 4 bytes. */
+  private def buildTiffBlock(le: Boolean,
+      entries: Seq[(Int, Int, Long)]): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(8 + 2 + 12 * entries.size + 4)
+      .order(if (le) java.nio.ByteOrder.LITTLE_ENDIAN
+             else java.nio.ByteOrder.BIG_ENDIAN)
+    out.put((if (le) "II" else "MM")
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    out.putShort(42)
+    out.putInt(8) // IFD0 directly after the header
+    out.putShort(entries.size.toShort)
+    entries.foreach { case (tag, typ, v) =>
+      out.putShort(tag.toShort)
+      out.putShort(typ.toShort)
+      out.putInt(1) // count
+      // inline value left-justified in the 4-byte field per the spec
+      if (typ == 3) { out.putShort(v.toShort); out.putShort(0) }
+      else out.putInt(v.toInt)
+    }
+    out.putInt(0) // no next IFD
+    out.array()
+  }
+
+  /** A real 62-byte single-IFD TIFF header in either endianness:
+    * width/height as LONGs, BitsPerSample and Orientation as SHORTs —
+    * byte-exactly the structure any IFD walker reads first. */
+  def buildTiff(width: Int, height: Int, bitsPerSample: Int,
+      orientation: Int, littleEndian: Boolean): Array[Byte] =
+    buildTiffBlock(littleEndian, Seq(
+      (256, 4, width.toLong),
+      (257, 4, height.toLong),
+      (258, 3, bitsPerSample.toLong),
+      (274, 3, orientation.toLong)))
 }

@@ -111,25 +111,29 @@ object Multimodal {
         .map { case (id, nChars) =>
           val w = (nChars % 1000L).toInt + 1
           val h = (id % 1000L).toInt + 1
-          // id mod 5 routes across the five real layouts (r14 adds
-          // GIF and WebP-VP8L); every other jpeg is progressive so
-          // the SOF2 walk rides the oracle gate too (identical
-          // expected fields — that's the point)
-          val payload = (id % 5) match {
+          val orient = (id % 8L).toInt + 1
+          // id mod 6 routes across the six real layouts (r14 added
+          // GIF and WebP-VP8L; r15 adds TIFF with both endiannesses
+          // and EXIF orientation — JPEGs now carry an EXIF APP1 so
+          // the embedded-TIFF walk rides the oracle gate too); some
+          // jpegs are progressive so the SOF2 walk stays covered
+          val payload = (id % 6) match {
             case 0 => graft.multimodal.ImageHeaders.buildPng(w, h, 8)
             case 1 => graft.multimodal.ImageHeaders.buildBmp(w, h, 24)
-            case 2 => graft.multimodal.ImageHeaders
-              .buildJpeg(w, h, 3, progressive = id % 10 == 7)
+            case 2 => graft.multimodal.ImageHeaders.buildJpeg(w, h, 3,
+              progressive = id % 12 == 8, orientation = orient)
             case 3 => graft.multimodal.ImageHeaders.buildGif(w, h, 8)
-            case _ => graft.multimodal.ImageHeaders.buildWebpLossless(w, h)
+            case 4 => graft.multimodal.ImageHeaders.buildWebpLossless(w, h)
+            case _ => graft.multimodal.ImageHeaders.buildTiff(w, h, 8,
+              orient, littleEndian = id % 2 == 0)
           }
           val m = graft.multimodal.ImageHeaders.parse(payload)
             .getOrElse(sys.error(s"unparseable header for doc $id"))
-          (id, m.format, m.width, m.height, m.bit_depth,
+          (id, m.format, m.width, m.height, m.bit_depth, m.orientation,
             payload.length.toLong)
         }
         .toDF("doc_id", "format", "width", "height", "bit_depth",
-          "header_bytes")
+          "orientation", "header_bytes")
         .orderBy($"doc_id")
     }),
 
@@ -431,18 +435,23 @@ object Multimodal {
         |       ELSE 'webp' END AS fake_format
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // header_bytes pins the builders' exact sizes: jpeg 39 + the
+    // 36-byte EXIF APP1; tiff 62 = 8 header + 2 count + 4x12 + 4 next
     "mm_image_meta" ->
       """SELECT doc_id,
-        |  CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
-        |    WHEN 2 THEN 'jpeg' WHEN 3 THEN 'gif'
-        |    ELSE 'webp' END AS format,
+        |  CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+        |    WHEN 2 THEN 'jpeg' WHEN 3 THEN 'gif' WHEN 4 THEN 'webp'
+        |    ELSE 'tiff' END AS format,
         |  CAST(n_chars % 1000 + 1 AS BIGINT) AS width,
         |  CAST(doc_id % 1000 + 1 AS BIGINT) AS height,
-        |  CAST(CASE doc_id % 5 WHEN 0 THEN 8 WHEN 3 THEN 8
-        |    WHEN 4 THEN 32 ELSE 24 END AS BIGINT) AS bit_depth,
-        |  CAST(CASE doc_id % 5 WHEN 0 THEN 33 WHEN 1 THEN 54
-        |    WHEN 2 THEN 39 WHEN 3 THEN 13 ELSE 25 END AS BIGINT)
-        |    AS header_bytes
+        |  CAST(CASE doc_id % 6 WHEN 0 THEN 8 WHEN 3 THEN 8
+        |    WHEN 4 THEN 32 WHEN 5 THEN 8 ELSE 24 END AS BIGINT)
+        |    AS bit_depth,
+        |  CAST(CASE WHEN doc_id % 6 IN (2, 5) THEN doc_id % 8 + 1
+        |    ELSE 1 END AS BIGINT) AS orientation,
+        |  CAST(CASE doc_id % 6 WHEN 0 THEN 33 WHEN 1 THEN 54
+        |    WHEN 2 THEN 75 WHEN 3 THEN 13 WHEN 4 THEN 25
+        |    ELSE 62 END AS BIGINT) AS header_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "mm_frame_sample" ->

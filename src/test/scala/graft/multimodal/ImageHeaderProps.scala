@@ -43,13 +43,29 @@ object ImageHeaderProps extends Properties("imageHeaders") {
       parse(buildWebpLossless(w, h)).contains(ImageMeta("webp", w, h, 32))
     }
 
+  property("buildTiff -> parse inverts, both endiannesses") =
+    forAll(dim16Gen, dim16Gen, Gen.oneOf(1, 8, 16, 24),
+        Gen.choose(1, 8), Gen.oneOf(true, false)) { (w, h, bits, o, le) =>
+      parse(buildTiff(w, h, bits, o, le))
+        .contains(ImageMeta("tiff", w, h, bits, o))
+    }
+
+  property("jpeg EXIF orientation rides the embedded TIFF walk") =
+    forAll(dim16Gen, dim16Gen, Gen.choose(1, 8),
+        Gen.oneOf(true, false)) { (w, h, o, prog) =>
+      parse(buildJpeg(w, h, 3, prog, orientation = o))
+        .contains(ImageMeta("jpeg", w, h, 24, o))
+    }
+
   private val magicPrefix: Gen[Array[Byte]] = Gen.oneOf(
     Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a),
     Array[Byte]('B', 'M'),
     Array[Byte](0xff.toByte, 0xd8.toByte),
     "GIF89a".getBytes,
     "RIFF".getBytes,
-    "RIFFxxxxWEBP".getBytes)
+    "RIFFxxxxWEBP".getBytes,
+    Array[Byte]('I', 'I', 0x2a, 0),
+    Array[Byte]('M', 'M', 0, 0x2a))
 
   private val junkGen: Gen[Array[Byte]] =
     Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray)
@@ -65,9 +81,10 @@ object ImageHeaderProps extends Properties("imageHeaders") {
     }
 
   property("truncation at any point never throws; prefixes never lie") =
-    forAll(dim16Gen, dim16Gen, Gen.choose(0, 60)) { (w, h, cut) =>
-      Seq(buildPng(w, h, 8), buildBmp(w, h, 24), buildJpeg(w, h, 3),
-        buildGif(w, h, 8),
+    forAll(dim16Gen, dim16Gen, Gen.choose(0, 80)) { (w, h, cut) =>
+      Seq(buildPng(w, h, 8), buildBmp(w, h, 24),
+        buildJpeg(w, h, 3, orientation = 5),
+        buildGif(w, h, 8), buildTiff(w, h, 8, 3, littleEndian = w % 2 == 0),
         buildWebpLossless(math.min(w, 16384), math.min(h, 16384)))
         .forall { full =>
           val t = full.take(math.min(cut, full.length))
