@@ -216,6 +216,30 @@ class StreamingRestartSpec extends SparkSpec {
       s"ref=${ref.size} rows, got=${got.size}")
   }
 
+  test("index frag monitor survives mid-batch kills (exactly-once)") {
+    import spark.implicits._
+    // index over the even vectors; the odd ones arrive as the append
+    // feed, spread over ascending hours so append-mode windows close
+    val idxDir = Files.createTempDirectory("graft_kill_fragidx").toString
+    val baseDir = Files.createTempDirectory("graft_kill_fragb").toString
+    t(spark, sf(), "embeddings").filter($"vec_id" % 2 === 0)
+      .write.mode("overwrite").parquet(s"$baseDir/embeddings.parquet")
+    graft.engine.AnnIndexStore.save(spark, baseDir, idxDir)
+    val feed = t(spark, sf(), "embeddings")
+      .filter($"vec_id" % 2 === 1)
+      .select(
+        expr("timestamp_micros(1717200000000000 + " +
+          "(vec_id div 50) * 3600000000)").as("ingest_ts"),
+        $"vec_id",
+        $"embedding".cast("array<double>").as("v"))
+    val (src, schema) = stage(feed, 10, timeCol = Some("ingest_ts"))
+    val (ref, got) = sweepAppend("fragmon", src, schema,
+      df => AnnIndexServe.fragMonitor(spark, idxDir, df))
+    assert(ref.nonEmpty, "reference run emitted nothing — test is vacuous")
+    assert(got == ref, s"frag monitor diverged after kills: " +
+      s"ref=${ref.size} rows, got=${got.size}")
+  }
+
   test("privacy trio monitor survives mid-batch kills (exactly-once)") {
     import spark.implicits._
     // beyond the k monitor's shape, the class fold here is a custom

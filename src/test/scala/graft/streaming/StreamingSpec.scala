@@ -1741,6 +1741,73 @@ class StreamingSpec extends SparkSpec {
       "both serve windows must be present")
   }
 
+  test("index frag monitor (streaming): == batch; predicts append's landing") {
+    import spark.implicits._
+    // index over the even vectors; the odd ones arrive as two append
+    // waves on the stream
+    val idxDir = Files.createTempDirectory("graft_fragmon_idx").toString
+    val emb = t(spark, sf(), "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val baseDir = Files.createTempDirectory("graft_fragmon_b").toString
+    emb.filter($"vec_id" % 2 === 0)
+      .select($"vec_id", $"v".as("embedding"))
+      .write.mode("overwrite").parquet(s"$baseDir/embeddings.parquet")
+    graft.engine.AnnIndexStore.save(spark, baseDir, idxDir)
+
+    val root = Files.createTempDirectory("graft_fragmon").toString
+    val src = s"$root/src"
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 10:10:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-06-01 11:40:00")
+    val odd = emb.filter($"vec_id" % 2 === 1)
+    odd.filter($"vec_id" % 4 === 1).withColumn("ingest_ts", lit(t0))
+      .unionAll(odd.filter($"vec_id" % 4 === 3)
+        .withColumn("ingest_ts", lit(t1)))
+      .write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val q = AnnIndexServe.fragMonitor(spark, idxDir,
+        spark.readStream.schema(schema).parquet(src))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("frag_mon_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("frag_mon_stream")
+      .orderBy($"w_start", $"cell").collect().toSeq
+    val batch = AnnIndexServe.fragMonitor(spark, idxDir,
+        spark.read.parquet(src))
+      .orderBy($"w_start", $"cell").collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      s"frag monitor: streaming ${streamed.size} != batch ${batch.size}")
+    assert(streamed.map(_.getTimestamp(0)).distinct.size == 2,
+      "both append-wave windows must be present")
+    // a fresh index holds 1 file/cell: a first wave projects 2 —
+    // under the default bound of 3 — so no premature recommendation
+    streamed.foreach { r =>
+      assert(r.getLong(r.fieldIndex("files_after")) == 2L, r.toString)
+      assert(!r.getBoolean(r.fieldIndex("compact_recommended")), r.toString)
+    }
+
+    // the monitor's cell assignment IS append's: commit wave 1 and the
+    // touched-cell set must equal the cells whose file count grew
+    val before = graft.engine.AnnIndexStore.cellFileCounts(spark, idxDir)
+    graft.engine.AnnIndexStore.append(spark, idxDir,
+      odd.filter($"vec_id" % 4 === 1))
+    val after = graft.engine.AnnIndexStore.cellFileCounts(spark, idxDir)
+    val grew = after.collect {
+      case (c, n) if n > before.getOrElse(c, 0) => c }.toSet
+    val touched = spark.read.parquet(src)
+      .filter($"ingest_ts" === lit(t0))
+    val predicted = AnnIndexServe.fragMonitor(spark, idxDir, touched)
+      .collect()
+    // after one committed wave the touched cells hold 2 files, so the
+    // NEXT wave of the same vectors projects 3 -> recommend compact
+    predicted.foreach { r =>
+      assert(r.getLong(r.fieldIndex("files_after")) == 3L, r.toString)
+      assert(r.getBoolean(r.fieldIndex("compact_recommended")), r.toString)
+    }
+    assert(predicted.map(_.getLong(1)).toSet == grew,
+      s"monitor predicted cells ${predicted.map(_.getLong(1)).toSet}; " +
+        s"append landed in $grew")
+  }
+
   test("k-anonymity monitor (batch): classes equal an independent rollup") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
