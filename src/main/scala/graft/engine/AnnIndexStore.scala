@@ -149,8 +149,9 @@ object AnnIndexStore {
     val fs = p.getFileSystem(hconf(spark))
     if (!fs.exists(p))
       throw new IllegalStateException(
-        s"ANN index at $dir: manifest points at snapshot $id " +
-          s"but $p is missing — torn commit or tampered dir")
+        s"ANN index at $dir: snapshot $id has no $p — vacuumed away, " +
+          "superseded, or a torn commit; only ids in snapshots() are " +
+          "readable")
     val in = fs.open(p)
     val txt =
       try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
@@ -167,6 +168,25 @@ object AnnIndexStore {
     * pin-then-read seam tests and audits use. */
   def liveFiles(spark: SparkSession, dir: String): Seq[String] =
     snapshot(spark, dir, manifest(spark, dir).snapshot_id).files
+
+  /** Snapshot ids still on disk, ascending — the time-travel catalog.
+    * Everything before the current id survives only until [[vacuum]]
+    * (forget() additionally deletes its victims' bytes immediately, so
+    * a pre-forget snapshot may list files that no longer exist — time
+    * travel never resurrects a takedown). */
+  def snapshots(spark: SparkSession, dir: String): Seq[Long] =
+    listSnapshotIds(spark, dir).sorted
+
+  /** Load a SPECIFIC snapshot generation — time travel for
+    * reproducibility: a training run records the snapshot id whose
+    * assignment it read, and any later job re-reads exactly that file
+    * set for as long as [[vacuum]] hasn't reclaimed it (vacuum is the
+    * retention boundary; past it this fails loudly at resolution,
+    * never silently serving different rows). */
+  def loadSnapshot(spark: SparkSession, dir: String, id: Long): DataFrame = {
+    manifest(spark, dir) // layout/version gate
+    readFiles(spark, dir, snapshot(spark, dir, id).files)
+  }
 
   /** Build the two-level IVF assignment for `srcDir`'s embeddings and
     * persist it (cells + quantizer + snapshot 1 + manifest). Returns

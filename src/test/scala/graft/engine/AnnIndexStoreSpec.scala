@@ -433,4 +433,41 @@ class AnnIndexStoreSpec extends SparkSpec {
     // vacuum is idempotent
     assert(AnnIndexStore.vacuum(spark, d4) == 0L)
   }
+
+  test("snapshot time travel: every pre-vacuum generation re-reads exactly") {
+    import spark.implicits._
+    val d5 = java.nio.file.Files
+      .createTempDirectory("graft_annidx_tt").toString
+    val emb = graft.Tables.t(spark, sf(), "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val baseDir = java.nio.file.Files
+      .createTempDirectory("graft_annidx_ttb").toString
+    emb.filter($"vec_id" % 3 === 0)
+      .select($"vec_id", $"v".as("embedding"))
+      .write.mode("overwrite").parquet(s"$baseDir/embeddings.parquet")
+    val m0 = AnnIndexStore.save(spark, baseDir, d5)
+    val m1 = AnnIndexStore.append(spark, d5, emb.filter($"vec_id" % 3 === 1))
+    val m2 = AnnIndexStore.append(spark, d5, emb.filter($"vec_id" % 3 === 2))
+    assert(AnnIndexStore.snapshots(spark, d5) == Seq(1L, 2L, 3L))
+    // each generation re-reads its own row set
+    assert(AnnIndexStore.loadSnapshot(spark, d5, 1L).count() == m0.n_vectors)
+    assert(AnnIndexStore.loadSnapshot(spark, d5, 2L).count() == m1.n_vectors)
+    assert(AnnIndexStore.loadSnapshot(spark, d5, 3L).count() == m2.n_vectors)
+    // a compact adds generation 4 with identical rows; 3 still reads
+    assert(AnnIndexStore.compact(spark, d5).nonEmpty)
+    assert(AnnIndexStore.snapshots(spark, d5) == Seq(1L, 2L, 3L, 4L))
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select($"vec_id", $"cell").collect().map(_.mkString("|")).toSet
+    assert(rows(AnnIndexStore.loadSnapshot(spark, d5, 3L)) ==
+      rows(AnnIndexStore.loadSnapshot(spark, d5, 4L)))
+    // vacuum is the retention boundary: old generations fail LOUDLY
+    AnnIndexStore.vacuum(spark, d5)
+    assert(AnnIndexStore.snapshots(spark, d5) == Seq(4L))
+    val e = intercept[IllegalStateException] {
+      AnnIndexStore.loadSnapshot(spark, d5, 2L)
+    }
+    assert(e.getMessage.contains("vacuumed"))
+    // the current generation still reads
+    assert(AnnIndexStore.loadSnapshot(spark, d5, 4L).count() == m2.n_vectors)
+  }
 }
