@@ -588,9 +588,181 @@ object Sketches {
           round(($"f2_est".cast("double") - $"f2_exact".cast("double"))
             / $"f2_exact".cast("double"), 4).as("rel_err"),
           $"n_mismatch")
+    }),
+
+    // q-digest quantile sketch (Shrivastava et al. 2004) — the
+    // quantile member of the sketch family and, unlike the
+    // range-gridded sketch_hist_quantiles, a RANK-error summary that
+    // stays accurate under arbitrary value skew. Deterministic by
+    // construction (leaf counting + a canonical bottom-up compression
+    // are pure functions of the value multiset — no GK insertion
+    // order, no KLL coin flips), so the DIGEST ITSELF is replayed by
+    // the oracle: with a leaf-only build, each compression level folds
+    // sibling pairs into parents independently per family, which
+    // DuckDB unrolls as 16 chained CTEs — est_q, its rank, and the
+    // node-count bound are all hash-compared exactly, not just
+    // contract-gated. Verified contract per quantile: the reported
+    // value's inclusive rank reaches the target and its exclusive rank
+    // overshoots by at most L·t (L = 16 levels, t = max(1, n/k)) —
+    // the textbook q-digest guarantee, checked against exact ranks.
+    // Scale shape: the corpus pass is ONE bounded-domain (2-dp e2
+    // lattice) count agg with map-side combine; the compression runs
+    // as one task over those bounded counts, and everything after is
+    // digest-sized (<= 3k nodes). The per-partition build + order-free
+    // merge path for UNBOUNDED domains is [[graft.engine.QDigest]]
+    // fromValues/merge, property-tested (merge law, bound under
+    // arbitrary splits) in QDigestSpec.
+    "sketch_qdigest_quantiles" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val k = 1024
+      val e2all = t(s, d, "events")
+        .select(expr("cast(round(value * 100) as long)").as("e2"))
+      val inR = e2all
+        .filter($"e2" >= 0L && $"e2" < graft.engine.QDigest.U.toLong)
+      if (inR.head(1).isEmpty)
+        Seq.empty[(Long, Long, Long, Long, Double, Double, Long,
+            Boolean, Boolean)]
+          .toDF("q_pct", "n", "n_out_of_range", "target_rank", "est_q",
+            "exact_q", "est_rank", "state_bounded", "within_bound")
+      else {
+        val nOut = e2all.filter($"e2" < 0L ||
+            $"e2" >= graft.engine.QDigest.U.toLong)
+          .agg(count(lit(1)).as("n_out_of_range"))
+        val vc = inR.groupBy($"e2").agg(count(lit(1)).as("c"))
+          .localCheckpoint() // bounded by the 2-dp value domain
+        // digest build: bounded counts -> ONE canonical-compress task
+        val estRows = vc.select($"e2".cast("int"), $"c").as[(Int, Long)]
+          .coalesce(1)
+          .mapPartitions { it =>
+            val m = scala.collection.mutable.HashMap.empty[Long, Long]
+            var n = 0L
+            it.foreach { case (v, c) =>
+              m.update(graft.engine.QDigest.leafId(v), c); n += c
+            }
+            val dig = graft.engine.QDigest.compress(m, n, 1024)
+            val okSize = graft.engine.QDigest.size(dig) <= 3 * 1024
+            val tt = math.max(1L, n / 1024)
+            Seq(50L, 90L, 99L).iterator.map { q =>
+              val target = (n * q + 99) / 100
+              (q, n, target,
+                graft.engine.QDigest.quantile(dig, target).toLong,
+                okSize, tt)
+            }
+          }
+          .toDF("q_pct", "n", "target_rank", "est_e2", "state_bounded",
+            "t")
+        val cum = vc
+          .withColumn("cum", sum($"c").over(Window.orderBy($"e2")))
+        val exact = estRows.select($"q_pct", $"target_rank".as("tr"))
+          .join(cum, $"cum" >= $"tr")
+          .groupBy($"q_pct").agg(min($"e2").as("exact_e2"))
+        // inclusive rank of the estimate (#values <= est) and the
+        // exclusive rank (#values < est) — the two sides of the
+        // q-digest guarantee; 3-row broadcast theta-joins
+        val rankLe = estRows.select($"q_pct", $"est_e2".as("ee"))
+          .join(cum, $"e2" <= $"ee")
+          .groupBy($"q_pct").agg(max($"cum").as("est_rank"))
+        val rankLt = estRows.select($"q_pct", $"est_e2".as("ee"))
+          .join(cum, $"e2" < $"ee")
+          .groupBy($"q_pct").agg(max($"cum").as("est_rank_lt"))
+        estRows.join(exact, "q_pct")
+          .join(rankLe, Seq("q_pct"), "left_outer")
+          .join(rankLt, Seq("q_pct"), "left_outer")
+          .na.fill(0L, Seq("est_rank", "est_rank_lt"))
+          .crossJoin(broadcast(nOut))
+          .select($"q_pct", $"n", $"n_out_of_range", $"target_rank",
+            round($"est_e2" / 100.0, 2).as("est_q"),
+            round($"exact_e2" / 100.0, 2).as("exact_q"),
+            $"est_rank", $"state_bounded",
+            ($"est_rank" >= $"target_rank" &&
+              $"est_rank_lt" <= $"target_rank" + lit(16L) * $"t")
+              .as("within_bound"))
+          .orderBy($"q_pct")
+      }
     }))
 
+  /** The 16 unrolled q-digest fold levels for the oracle: at step X,
+    * level-X nodes group by parent and the family folds iff its sum
+    * stays within t — independent per family for a leaf-only build
+    * (counts reach level X-1 only through step X), which is exactly
+    * why the sequential Scala compression replays as set-wise SQL. */
+  private def qdigestFoldSql: String =
+    (16 to 1 by -1).map { x =>
+      val lo = 1L << x
+      val hi = 1L << (x + 1)
+      s"""f$x AS MATERIALIZED (
+         |  SELECT node // 2 AS p, CAST(SUM(cnt) AS BIGINT) AS s,
+         |    MAX(thr) AS thr
+         |  FROM l$x, tt WHERE node >= $lo AND node < $hi GROUP BY 1),
+         |l${x - 1} AS MATERIALIZED (
+         |  SELECT node, cnt FROM l$x WHERE node >= $hi OR node < $lo
+         |  UNION ALL
+         |  SELECT p AS node, s AS cnt FROM f$x WHERE s <= thr
+         |  UNION ALL
+         |  SELECT l.node, l.cnt FROM l$x l JOIN f$x f
+         |    ON l.node // 2 = f.p AND f.s > f.thr
+         |  WHERE l.node >= $lo AND l.node < $hi)""".stripMargin
+    }.mkString(",\n")
+
   val oracle: Map[String, String] = Map(
+
+    // the full digest is replayed (see the query scaladoc): leaf
+    // counts, 16 canonical fold levels, the (hi, lo)-ordered rank
+    // walk, and both rank sides of the guarantee — every output
+    // column is exact, including est_q
+    "sketch_qdigest_quantiles" ->
+      s"""WITH e AS (
+         |  SELECT CAST(ROUND(value * 100) AS BIGINT) AS e2 FROM events),
+         |r AS MATERIALIZED (
+         |  SELECT e2 FROM e WHERE e2 >= 0 AND e2 < 65536),
+         |oo AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_out FROM e
+         |       WHERE e2 < 0 OR e2 >= 65536),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM r),
+         |tt AS (SELECT GREATEST(1, n // 1024) AS thr FROM nn),
+         |l16 AS MATERIALIZED (
+         |  SELECT 65536 + e2 AS node, CAST(COUNT(*) AS BIGINT)
+         |    AS cnt FROM r GROUP BY e2),
+         |$qdigestFoldSql,
+         |dg AS (SELECT node, cnt,
+         |         CAST(FLOOR(LOG2(node)) AS BIGINT) AS lvl FROM l0),
+         |dn AS (SELECT cnt, (65536 >> lvl) AS w,
+         |         (node - (CAST(1 AS BIGINT) << lvl)) * (65536 >> lvl)
+         |           AS lo
+         |       FROM dg),
+         |dc AS (SELECT lo + w - 1 AS hi, lo, cnt,
+         |         CAST(SUM(cnt) OVER (ORDER BY lo + w - 1, lo)
+         |           AS BIGINT) AS cum
+         |       FROM dn),
+         |nd AS (SELECT COUNT(*) AS nodes FROM l0),
+         |q AS (SELECT UNNEST([50, 90, 99]) AS q_pct),
+         |tr AS (SELECT CAST(q_pct AS BIGINT) AS q_pct, n,
+         |         (n * q_pct + 99) // 100 AS target FROM q, nn),
+         |est AS (SELECT tr.q_pct, tr.n, tr.target,
+         |          MIN(dc.hi) AS est_e2
+         |        FROM tr JOIN dc ON dc.cum >= tr.target
+         |        GROUP BY 1, 2, 3),
+         |vc AS (SELECT e2, COUNT(*) AS c FROM r GROUP BY e2),
+         |cc AS (SELECT e2, CAST(SUM(c) OVER (ORDER BY e2) AS BIGINT)
+         |         AS cum FROM vc),
+         |ex AS (SELECT tr.q_pct, MIN(cc.e2) AS exact_e2
+         |       FROM tr JOIN cc ON cc.cum >= tr.target GROUP BY 1),
+         |le AS (SELECT est.q_pct, MAX(cc.cum) AS est_rank
+         |       FROM est JOIN cc ON cc.e2 <= est.est_e2 GROUP BY 1),
+         |lt AS (SELECT est.q_pct, MAX(cc.cum) AS est_rank_lt
+         |       FROM est LEFT JOIN cc ON cc.e2 < est.est_e2 GROUP BY 1)
+         |SELECT est.q_pct, est.n, oo.n_out AS n_out_of_range,
+         |  est.target AS target_rank,
+         |  ROUND(est.est_e2 / 100.0, 2) AS est_q,
+         |  ROUND(ex.exact_e2 / 100.0, 2) AS exact_q,
+         |  le.est_rank,
+         |  nd.nodes <= 3072 AS state_bounded,
+         |  (le.est_rank >= est.target AND
+         |   COALESCE(lt.est_rank_lt, 0) <= est.target + 16 * tt.thr)
+         |    AS within_bound
+         |FROM est JOIN ex USING (q_pct) JOIN le USING (q_pct)
+         |  JOIN lt USING (q_pct), oo, nd, tt
+         |ORDER BY q_pct""".stripMargin,
 
     "sketch_kmv" ->
       s"""WITH ws AS ($wordsSql),

@@ -97,6 +97,10 @@ class PlanHygieneSpec extends SparkSpec {
     "log_skew_profile",      // 1-row total-event-count scalar
     "log_error_burst",       // 1-row corpus error-rate scalar
     "sim_batch_topk",        // 1-row query-batch array (10 vectors)
+    "sketch_qdigest_quantiles", // 3-row quantile-target frame theta-
+                             // joining the value-domain-bounded cum
+                             // table (rank-of-estimate is a <= by
+                             // nature, not an equi-join)
     "doc_canary_scan",       // 3-row broadcast canary registry (substring
                              // predicate — not an equi-join by nature)
     "text_learnability",     // 1-row corpus bigram-total agg
