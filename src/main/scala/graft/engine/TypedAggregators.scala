@@ -135,6 +135,62 @@ object TypedAggregators {
     override def outputEncoder: Encoder[QiProf] = Encoders.product[QiProf]
   }
 
+  case class QuantOut(n_events: Long, p50_est: Double, p99_est: Double,
+      within_bound: Boolean)
+
+  /** Windowed q-digest quantile fold for the streaming monitor: the
+    * buffer is the RAW leaf-count map over the bounded e2 lattice —
+    * deliberately uncompressed, because reduce/merge order is
+    * nondeterministic under streaming retries and an order-dependent
+    * intermediate compression would break both exactly-once replay
+    * equality and batch parity; with the 2-dp bounded value domain the
+    * buffer is domain-bounded (the same justification as the batch
+    * sketch row's count agg), and the CANONICAL compression runs once
+    * at finish — a pure function of the window's multiset. finish
+    * also self-audits: the buffer holds exact leaf counts, so the
+    * q-digest guarantee (inclusive rank reaches the target, exclusive
+    * rank overshoots by <= L·t) is VERIFIED per window, not assumed.
+    * For a genuinely unbounded domain, swap in reduce-time compression
+    * and accept that the digest is only bound-equal, not bit-equal,
+    * across replays. */
+  case class QDigestWindow(k: Int)
+      extends Aggregator[Long, Map[Long, Long], QuantOut] {
+    override def zero: Map[Long, Long] = Map.empty
+    override def reduce(b: Map[Long, Long], e2: Long): Map[Long, Long] = {
+      val id = QDigest.leafId(e2.toInt)
+      b + (id -> (b.getOrElse(id, 0L) + 1L))
+    }
+    override def merge(a: Map[Long, Long],
+        b: Map[Long, Long]): Map[Long, Long] =
+      b.foldLeft(a) { case (m, (id, c)) =>
+        m + (id -> (m.getOrElse(id, 0L) + c)) }
+    override def finish(b: Map[Long, Long]): QuantOut = {
+      val n = b.values.sum
+      if (n == 0L) return QuantOut(0L, 0.0, 0.0, within_bound = true)
+      val dig = QDigest.compress(b, n, k)
+      val t = math.max(1L, n / k)
+      var ok = true
+      val est = Seq(50L, 99L).map { q =>
+        val target = (n * q + 99L) / 100L
+        val e = QDigest.quantile(dig, target)
+        // exact ranks straight off the leaf buffer
+        var le = 0L; var lt = 0L
+        b.foreach { case (id, c) =>
+          val v = QDigest.loOf(id)
+          if (v <= e) le += c
+          if (v < e) lt += c
+        }
+        ok &&= le >= target && lt <= target + 16L * t
+        e / 100.0 // e2 fixed-point back to the value scale
+      }
+      QuantOut(n, est.head, est(1), ok)
+    }
+    override def bufferEncoder: Encoder[Map[Long, Long]] =
+      Encoders.kryo[Map[Long, Long]]
+    override def outputEncoder: Encoder[QuantOut] =
+      Encoders.product[QuantOut]
+  }
+
   case class TCloseOut(n_users: Long, l_distinct: Long, emd_e6: Long)
 
   /** Per-class t-closeness fold for the streaming privacy monitor:

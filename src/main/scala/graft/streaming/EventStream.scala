@@ -229,6 +229,38 @@ object EventStream {
         $"n_users", ($"n_users" >= k).as("anonymous"))
   }
 
+  /** Windowed q-digest quantile monitor (r15) — the streaming twin of
+    * the declared `sketch_qdigest_quantiles`: per event-hour window,
+    * the p50/p99 of `value` from ONE stateful aggregation running
+    * [[graft.engine.TypedAggregators.QDigestWindow]]. The buffer is
+    * the leaf-count map over the bounded 2-dp e2 lattice (domain-
+    * bounded state, order-free merge — see the aggregator scaladoc
+    * for why compression waits until finish), and every emitted row
+    * SELF-AUDITS the q-digest rank guarantee against the buffer's
+    * exact counts (`within_bound`). Values outside the lattice clamp
+    * to its edges and are counted (`n_clamped`) — the monitor's own
+    * out-of-domain alarm. Batch mode runs the identical plan minus
+    * the watermark (parity + kill sweep in the streaming specs). */
+  def qdigestMonitor(events: DataFrame,
+      wmDelay: String = "1 hour"): DataFrame = {
+    import events.sparkSession.implicits._
+    val qd = udaf(graft.engine.TypedAggregators.QDigestWindow(1024))
+    val u = graft.engine.QDigest.U.toLong
+    val base = events.select($"ts",
+      expr("cast(round(value * 100) as bigint)").as("e2raw"))
+      .select($"ts",
+        greatest(lit(0L), least(lit(u - 1L), $"e2raw")).as("e2"),
+        ($"e2raw" < 0L || $"e2raw" >= u).cast("long").as("clamped"))
+    val src =
+      if (events.isStreaming) base.withWatermark("ts", wmDelay) else base
+    src
+      .groupBy(window($"ts", "1 hour").as("w"))
+      .agg(qd($"e2").as("q"), sum($"clamped").as("n_clamped"))
+      .select($"w.start".as("w_start"), $"q.n_events".as("n_events"),
+        $"q.p50_est".as("p50_est"), $"q.p99_est".as("p99_est"),
+        $"q.within_bound".as("within_bound"), $"n_clamped")
+  }
+
   /** Windowed l-diversity companion of [[kAnonymityMonitor]] — the
     * live homogeneity-attack gate: a window's QI class can meet k and
     * still leak when its members share the sensitive value, so each

@@ -1808,6 +1808,45 @@ class StreamingSpec extends SparkSpec {
         s"append landed in $grew")
   }
 
+  test("qdigest monitor: streaming == batch == independent q-digest replay") {
+    import spark.implicits._
+    EventStream.runToMemory(spark, stagedEvents,
+      df => EventStream.qdigestMonitor(df), "quant_stream",
+      OutputMode.Complete())
+    val streamed = spark.table("quant_stream")
+      .orderBy($"w_start").collect().toSeq
+    val batch = EventStream
+      .qdigestMonitor(spark.read.parquet(stagedEvents))
+      .orderBy($"w_start").collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      s"quantile monitor: streaming ${streamed.size} != batch ${batch.size}")
+
+    // independent replay: plain-Scala q-digest per hour window over
+    // the same staged rows — the monitor must reproduce it exactly,
+    // self-audit green, nothing clamped on the fixture domain
+    val raw = spark.read.parquet(stagedEvents)
+      .select(date_trunc("hour", $"ts").as("w"), $"value")
+      .collect().map(r => (r.getTimestamp(0), r.getDouble(1)))
+    val expected = raw.groupBy(_._1).map { case (w, rows) =>
+      val e2 = rows.map { case (_, v) =>
+        math.max(0L, math.min(graft.engine.QDigest.U - 1L,
+          math.round(v * 100))).toInt
+      }.toSeq
+      val (dig, n) = graft.engine.QDigest.fromValues(e2.iterator, 1024)
+      def est(q: Long): Double =
+        graft.engine.QDigest.quantile(dig, (n * q + 99L) / 100L) / 100.0
+      w -> ((n, est(50L), est(99L)))
+    }
+    streamed.foreach { r =>
+      val (n, p50, p99) = expected(r.getTimestamp(0))
+      assert(r.getLong(r.fieldIndex("n_events")) == n, r.toString)
+      assert(r.getDouble(r.fieldIndex("p50_est")) == p50, r.toString)
+      assert(r.getDouble(r.fieldIndex("p99_est")) == p99, r.toString)
+      assert(r.getBoolean(r.fieldIndex("within_bound")), r.toString)
+      assert(r.getLong(r.fieldIndex("n_clamped")) == 0L, r.toString)
+    }
+  }
+
   test("k-anonymity monitor (batch): classes equal an independent rollup") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
