@@ -1471,11 +1471,12 @@ object TextAnalysis {
         |  SELECT unnest(list_filter(regexp_split_to_array(
         |    lower(text), '\s+'), x -> x <> '')) AS tok
         |  FROM documents),
-        |v AS (SELECT COUNT(DISTINCT tok) AS nv FROM toks)
+        |v AS (SELECT COUNT(DISTINCT tok) AS nv FROM toks),
+        |nd AS (SELECT COUNT(*) AS n_docs FROM documents)
         |SELECT CAST(LEAST(512, nv) AS BIGINT) AS n_vocab,
         |  TRUE AS fertility_sane, FALSE AS drift_flagged,
         |  TRUE AS fit_recorded
-        |FROM v""".stripMargin,
+        |FROM v, nd WHERE n_docs > 0""".stripMargin,
 
     // n_words/n_cps are tokenizer-independent (token count and code
     // point count), so the oracle computes them declaratively; the
