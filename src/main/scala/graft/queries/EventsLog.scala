@@ -1640,27 +1640,51 @@ object EventsLog {
         .select($"hband", $"mtype", lit(-1L).as("vband"),
           lit("widened").as("level"), $"n_users")
       full.unionAll(widened)
-        // 60-bit uniform seed from the class key, reduced mod 3·2^30
-        .withColumn("m", expr(
-          "cast(conv(substring(md5(cast(concat(cast(hband as string)," +
-            " ':', mtype, ':', cast(vband as string), ':dp') as binary))," +
-            " 1, 15), 16, 10) as bigint) % 3221225472"))
-        // noise level: smallest k with m < S - 2^(31-k); 0 below 2^30
-        .withColumn("kmag", expr(
-          "case when m < 1073741824 then 0L" +
-            " when 3221225472 - m = 1 then 31L" +
-            " else 31 - cast(floor(log2(cast(3221225472 - m - 1" +
-            " as double))) as bigint) end"))
-        // sign: first half of the level band is +k, second half -k
-        .withColumn("noise", expr(
-          "case when kmag = 0 then 0L" +
-            " when 2 * (cast(pow(2.0, 32 - kmag) as bigint)" +
-            " - (3221225472 - m)) < cast(pow(2.0, 31 - kmag) as bigint)" +
-            " then least(kmag, 20) else -least(kmag, 20) end"))
+        // 60-bit uniform seed from the class key, reduced mod 3·2^30;
+        // kmag/noise are the shared exact-integer inverse CDF (one
+        // definition with log_dp_hourly — the mechanism cannot drift
+        // between releases)
+        .withColumn("m", expr(dpSeedM(
+          "concat(cast(hband as string), ':', mtype, ':'," +
+            " cast(vband as string), ':dp')")))
+        .withColumn("kmag", expr(DpKmagExpr))
+        .withColumn("noise", expr(DpNoiseExpr))
         .select($"hband", $"mtype", $"vband", $"level",
           greatest(lit(5L), $"n_users" + $"noise").as("n_released"),
           lit(0.6931).as("epsilon"))
         .orderBy($"hband", $"mtype", $"vband")
+    }),
+
+    // Second DP release from the SAME events table — the hourly
+    // traffic histogram, and with it the budget-COMPOSITION story the
+    // single release cannot tell: each release spends epsilon = ln 2
+    // (the discrete Laplace mechanism at alpha = 1/2), and running
+    // both this and log_dp_release against one dataset costs their
+    // SUM by sequential composition — the epsilon_total column is the
+    // number the budget ledger tracks. Honesty note, stated rather
+    // than hidden: the hourly count's sensitivity-1 neighbor relation
+    // is EVENT-level (one event added/removed), the weaker unit than
+    // the class release's user-level guarantee — real deployments
+    // state the unit per release exactly like this. Noise is the
+    // shared seeded inverse CDF keyed on the hour index; the release
+    // clamps at 0 (counts are nonnegative — post-processing). Shapes
+    // at 100 TB: one hour-keyed count agg (map-side partials), noise
+    // as a per-row projection over the bounded hour domain.
+    "log_dp_hourly" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "events")
+        .select(expr("unix_micros(date_trunc('hour', ts))").as("hour_us"))
+        .groupBy($"hour_us").agg(count(lit(1)).as("n"))
+        .withColumn("m", expr(dpSeedM(
+          "concat('h:', cast(hour_us div 3600000000 as string), ':dp2')")))
+        .withColumn("kmag", expr(DpKmagExpr))
+        .withColumn("noise", expr(DpNoiseExpr))
+        .select($"hour_us",
+          greatest(lit(0L), $"n" + $"noise").as("n_released"),
+          lit(0.6931).as("epsilon"),
+          // sequential composition with log_dp_release's ln 2
+          lit(1.3863).as("epsilon_total"))
+        .orderBy($"hour_us")
     }),
 
     // Heuristic bot scoring — the traffic-hygiene pass an event
@@ -4311,21 +4335,31 @@ object EventsLog {
         |           'widened' AS level, n_users
         |         FROM pool WHERE n_users >= 5),
         |rel AS (SELECT * FROM full_r UNION ALL SELECT * FROM wide),
-        |sd AS (SELECT *, ($dpSeed60Sql) % 3221225472 AS m FROM rel),
-        |kk AS (SELECT *, CASE WHEN m < 1073741824 THEN CAST(0 AS BIGINT)
-        |    WHEN 3221225472 - m = 1 THEN CAST(31 AS BIGINT)
-        |    ELSE 31 - CAST(FLOOR(LOG2(CAST(3221225472 - m - 1
-        |      AS DOUBLE))) AS BIGINT) END AS kmag
-        |  FROM sd)
+        |sd AS (SELECT *, ($dpSeed60ClassSql) % 3221225472 AS m FROM rel),
+        |kk AS (SELECT *, $DpKmagSqlDuck AS kmag FROM sd)
         |SELECT hband, mtype, vband, level,
         |  GREATEST(CAST(5 AS BIGINT), n_users +
-        |    CASE WHEN kmag = 0 THEN CAST(0 AS BIGINT)
-        |      WHEN 2 * (CAST(POW(2.0, 32 - kmag) AS BIGINT)
-        |        - (3221225472 - m)) < CAST(POW(2.0, 31 - kmag) AS BIGINT)
-        |      THEN LEAST(kmag, 20) ELSE -LEAST(kmag, 20) END)
+        |    $DpNoiseSqlDuck)
         |    AS n_released,
         |  CAST(0.6931 AS DOUBLE) AS epsilon
         |FROM kk ORDER BY 1, 2, 3""".stripMargin),
+
+    // the shared mechanism replay, keyed on the hour index; clamp at
+    // 0 and the sequential-composition total are stated constants
+    "log_dp_hourly" -> (s"""WITH h AS (
+        |  SELECT epoch_us(date_trunc('hour', ts)) AS hour_us,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |sd AS (SELECT *, (${dpSeed60Sql(
+          "'h:' || CAST(hour_us // 3600000000 AS VARCHAR) || ':dp2'")})
+        |    % 3221225472 AS m FROM h),
+        |kk AS (SELECT *, $DpKmagSqlDuck AS kmag FROM sd)
+        |SELECT hour_us,
+        |  GREATEST(CAST(0 AS BIGINT), n + $DpNoiseSqlDuck)
+        |    AS n_released,
+        |  CAST(0.6931 AS DOUBLE) AS epsilon,
+        |  CAST(1.3863 AS DOUBLE) AS epsilon_total
+        |FROM kk ORDER BY hour_us""".stripMargin),
 
     "log_bot_detection" ->
       """WITH a AS (
@@ -6010,16 +6044,51 @@ object EventsLog {
     * `prof(user_id, hband, mtype, vband)` CTE. `lazy`: the oracle map
     * above initializes first in declaration order and concatenates
     * this string eagerly — a strict val here is still null then. */
-  /** DuckDB twin of log_dp_release's 60-bit seed: the first 15 hex
-    * digits of md5('<hband>:<mtype>:<vband>:dp') expanded positionally
-    * (DuckDB has no conv()); 16^14 · 15 < 2^60 fits BIGINT exactly. */
-  private lazy val dpSeed60Sql: String =
+  /** THE seeded discrete-Laplace mechanism, stated once for every DP
+    * release (log_dp_release, log_dp_hourly): a 60-bit md5 seed of the
+    * row's key reduced mod S = 3·2^30, then the exact-integer inverse
+    * CDF of the two-sided geometric at alpha = 1/2 (CDF boundaries are
+    * the integers S - 2^(31-k)), magnitude capped at 20. Spark-side
+    * fragments expect columns `m` then `kmag` to exist. */
+  private def dpSeedM(keySql: String): String =
+    s"cast(conv(substring(md5(cast($keySql as binary)), 1, 15)," +
+      " 16, 10) as bigint) % 3221225472"
+  private val DpKmagExpr: String =
+    "case when m < 1073741824 then 0L" +
+      " when 3221225472 - m = 1 then 31L" +
+      " else 31 - cast(floor(log2(cast(3221225472 - m - 1" +
+      " as double))) as bigint) end"
+  private val DpNoiseExpr: String =
+    "case when kmag = 0 then 0L" +
+      " when 2 * (cast(pow(2.0, 32 - kmag) as bigint)" +
+      " - (3221225472 - m)) < cast(pow(2.0, 31 - kmag) as bigint)" +
+      " then least(kmag, 20) else -least(kmag, 20) end"
+
+  /** DuckDB twins: the 60-bit seed of an arbitrary key expression
+    * expanded positionally (DuckDB has no conv(); 16^14 · 15 < 2^60
+    * fits BIGINT exactly), and the same inverse-CDF fragments over
+    * columns `m` / `kmag`. */
+  private def dpSeed60Sql(keySql: String): String =
     (1 to 15).map { i =>
       val w = BigInt(16).pow(15 - i)
-      s"(strpos('0123456789abcdef', substring(md5(" +
-        "CAST(hband AS VARCHAR) || ':' || mtype || ':' || " +
-        s"CAST(vband AS VARCHAR) || ':dp'), $i, 1)) - 1) * $w"
+      s"(strpos('0123456789abcdef', substring(md5($keySql), $i, 1))" +
+        s" - 1) * $w"
     }.mkString(" + ")
+  private lazy val DpKmagSqlDuck: String =
+    """CASE WHEN m < 1073741824 THEN CAST(0 AS BIGINT)
+      |    WHEN 3221225472 - m = 1 THEN CAST(31 AS BIGINT)
+      |    ELSE 31 - CAST(FLOOR(LOG2(CAST(3221225472 - m - 1
+      |      AS DOUBLE))) AS BIGINT) END""".stripMargin
+  private lazy val DpNoiseSqlDuck: String =
+    """CASE WHEN kmag = 0 THEN CAST(0 AS BIGINT)
+      |    WHEN 2 * (CAST(POW(2.0, 32 - kmag) AS BIGINT)
+      |      - (3221225472 - m)) < CAST(POW(2.0, 31 - kmag) AS BIGINT)
+      |    THEN LEAST(kmag, 20) ELSE -LEAST(kmag, 20) END""".stripMargin
+
+  /** The class-keyed seed log_dp_release's oracle uses. */
+  private lazy val dpSeed60ClassSql: String = dpSeed60Sql(
+    "CAST(hband AS VARCHAR) || ':' || mtype || ':' || " +
+      "CAST(vband AS VARCHAR) || ':dp'")
 
   private lazy val qiProfileSql: String =
     """WITH ev AS (
