@@ -86,6 +86,18 @@ import org.apache.spark.sql.functions._
   *    pinned reader needs them (the caller owns that grace window —
   *    at cluster scale, "older than the longest query" is the usual
   *    rule).
+  *  - Concurrency contract: MANY READERS, ONE WRITER. Readers are
+  *    isolated by snapshot pinning and need no coordination; the
+  *    mutation paths ([[append]]/[[forget]]/[[compact]]/[[vacuum]])
+  *    assume a single writer per index dir — the usual external
+  *    arrangement (one ingestion job owns the index). The protocol
+  *    does not serialize concurrent writers, but it FAILS them
+  *    loudly instead of losing rows: both would claim the same next
+  *    snapshot file, and the snapshot create is overwrite = false, so
+  *    the loser errors at its commit point with the winner's commit
+  *    intact (its landed files become vacuum-able orphans). Scratch
+  *    landing dirs are per-write UUIDs, so overlapping waves cannot
+  *    clobber each other's uncommitted part files either.
   *  - [[stats]]: the rebuild/compact trigger — cell-occupancy
   *    imbalance (the persisted-artifact twin of the declared
   *    `sim_cell_balance`), the stale-codebook flag, and the
@@ -128,12 +140,29 @@ object AnnIndexStore {
   private def snapshotPath(dir: String, id: Long) =
     new Path(dir, s"snapshot_$id.json")
 
+  /** Writes snapshot `id` with overwrite = FALSE: the snapshot file is
+    * the one name two racing writers would both claim (both read
+    * snapshot N, both try to commit N+1), so the create itself is the
+    * mutual-exclusion point — the loser fails HERE, before the
+    * manifest bump, with the index still consistent on snapshot N
+    * (ADVICE r15: a silent overwrite let the losing wave's rows vanish
+    * from the live set). Mutations remain single-writer by contract
+    * (see the lifecycle scaladoc); this check turns a violated
+    * contract into a loud error instead of silent row loss. */
   private def writeSnapshot(spark: SparkSession, dir: String,
       snap: Snapshot): Unit = {
     import org.json4s.jackson.Serialization
     val p = snapshotPath(dir, snap.id)
     val fs = p.getFileSystem(hconf(spark))
-    val out = fs.create(p, true)
+    val out =
+      try fs.create(p, false)
+      catch { case e: java.io.IOException =>
+        throw new IllegalStateException(
+          s"ANN index at $dir: snapshot ${snap.id} already exists — " +
+            "a concurrent writer committed first; append/forget/compact " +
+            "require a single writer (this wave's landed files are " +
+            "orphans for vacuum)", e)
+      }
     try out.write(Serialization.write(snap.copy(files = snap.files.sorted))
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -329,11 +358,19 @@ object AnnIndexStore {
   /** Total row count of the given files from FOOTER metadata only —
     * no Spark job, no column data read. Footers open in parallel on
     * the driver (IO-bound; a big index has ~one file per cell × appends
-    * and a sequential walk would serialize the round-trips). A missing
-    * file counts 0 rows, so a physically truncated index surfaces as a
-    * manifest mismatch in the caller rather than an opaque IO error. */
+    * and a sequential walk would serialize the round-trips).
+    *
+    * `strict` splits the missing-file policy by call site (ADVICE
+    * r15): the READ-side verify passes strict = false, where a missing
+    * file counting 0 rows is the point — the total disagrees with the
+    * manifest and [[load]] reports the truncation. MUTATION paths
+    * (append/forget/compact) pass strict = true: there a lenient 0
+    * would write a FRESH manifest whose total matches the truncated
+    * index, permanently masking the corruption as consistent — the
+    * mutation must fail loudly instead and leave the old snapshot
+    * current. */
   private def footerRowCount(spark: SparkSession, dir: String,
-      files: Seq[String]): Long = {
+      files: Seq[String], strict: Boolean = false): Long = {
     val conf = hconf(spark)
     import scala.collection.parallel.CollectionConverters._
     files.toArray.par // scala-parallel-collections ships with Spark
@@ -343,7 +380,14 @@ object AnnIndexStore {
           val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
             org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
           try rdr.getRecordCount finally rdr.close()
-        } catch { case _: java.io.FileNotFoundException => 0L }
+        } catch {
+          case e: java.io.FileNotFoundException =>
+            if (strict) throw new IllegalStateException(
+              s"ANN index at $dir: snapshot file $f is missing — the " +
+                "index is physically truncated; refusing to commit a " +
+                "manifest that would mask it", e)
+            else 0L
+        }
       }.sum
   }
 
@@ -511,7 +555,13 @@ object AnnIndexStore {
     * never collide with committed files). */
   private def landCellFiles(spark: SparkSession, dir: String,
       df: DataFrame): Seq[String] = {
-    val tmp = s"$dir/cells_land_tmp"
+    // per-write scratch dir (ADVICE r15): a fixed name was the second
+    // half of the writer race — two overlapping waves sharing one
+    // mode-overwrite scratch dir clobber each other's part files
+    // before either commits. A UUID suffix makes each wave's landing
+    // strip private; a crashed wave's leftover strip is swept by
+    // [[vacuum]] (cells_land_tmp_* is never referenced by a snapshot).
+    val tmp = s"$dir/cells_land_tmp_${java.util.UUID.randomUUID().toString.take(8)}"
     df.select(col("vec_id"), col("v"), col("cell2"), col("cell"))
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(tmp)
@@ -572,7 +622,7 @@ object AnnIndexStore {
     val files = snapOld.files ++ delta
     // new total from footer metadata — no corpus job, and robust to
     // whatever the delta actually landed
-    val n = footerRowCount(spark, dir, files)
+    val n = footerRowCount(spark, dir, files, strict = true)
     writeSnapshot(spark, dir, Snapshot(m.snapshot_id + 1, files))
     val m2 = m.copy(n_vectors = n, snapshot_id = m.snapshot_id + 1)
     writeManifest(spark, dir, m2)
@@ -623,7 +673,7 @@ object AnnIndexStore {
     val landed = landCellFiles(spark, dir, survivors)
     val victims = filesOfCells(snapOld.files, hitCells)
     val files = (snapOld.files.toSet -- victims).toSeq ++ landed
-    val n = footerRowCount(spark, dir, files)
+    val n = footerRowCount(spark, dir, files, strict = true)
     writeSnapshot(spark, dir, Snapshot(m.snapshot_id + 1, files.toList))
     val m2 = m.copy(n_vectors = n, codebook_stale = stale,
       snapshot_id = m.snapshot_id + 1)
@@ -681,7 +731,7 @@ object AnnIndexStore {
     val landed = landCellFiles(spark, dir, rows)
     val replaced = filesOfCells(snapOld.files, vset)
     val files = (snapOld.files.toSet -- replaced).toSeq ++ landed
-    val n = footerRowCount(spark, dir, files)
+    val n = footerRowCount(spark, dir, files, strict = true)
     if (n != m.n_vectors) {
       // abort BEFORE the commit: the old snapshot stays current and
       // correct; only the just-landed files need sweeping
@@ -710,6 +760,10 @@ object AnnIndexStore {
     orphans.foreach(f => fs.delete(new Path(dir, f), false))
     listSnapshotIds(spark, dir).filter(_ != m.snapshot_id)
       .foreach(i => fs.delete(snapshotPath(dir, i), false))
+    // sweep scratch strips left by crashed writers (per-write UUID
+    // dirs are never referenced by any snapshot — pure garbage here)
+    fs.globStatus(new Path(dir, "cells_land_tmp_*"))
+      .foreach(st => fs.delete(st.getPath, true))
     orphans.size.toLong
   }
 

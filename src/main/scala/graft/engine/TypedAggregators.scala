@@ -157,6 +157,14 @@ object TypedAggregators {
       extends Aggregator[Long, Map[Long, Long], QuantOut] {
     override def zero: Map[Long, Long] = Map.empty
     override def reduce(b: Map[Long, Long], e2: Long): Map[Long, Long] = {
+      // enforce the [0, U) domain contract HERE, not only at the one
+      // call site that happens to pre-clamp (ADVICE r15): an
+      // out-of-domain value would mint a node id outside the tree that
+      // compress never folds and quantile silently mis-ranks — the
+      // same require QDigest.fromValues applies at build time
+      require(e2 >= 0L && e2 < QDigest.U.toLong,
+        s"QDigestWindow value $e2 outside the digest domain " +
+          s"[0, ${QDigest.U}) — clamp before folding")
       val id = QDigest.leafId(e2.toInt)
       b + (id -> (b.getOrElse(id, 0L) + 1L))
     }

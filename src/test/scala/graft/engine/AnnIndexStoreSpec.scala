@@ -470,4 +470,60 @@ class AnnIndexStoreSpec extends SparkSpec {
     // the current generation still reads
     assert(AnnIndexStore.loadSnapshot(spark, d5, 4L).count() == m2.n_vectors)
   }
+
+  test("a racing writer fails loudly at the snapshot commit point") {
+    import spark.implicits._
+    val d6 = java.nio.file.Files
+      .createTempDirectory("graft_annidx_race").toString
+    AnnIndexStore.save(spark, sf(), d6)
+    val m = AnnIndexStore.manifest(spark, d6)
+    // simulate the race's loser: the "other" writer already committed
+    // snapshot N+1 while we were landing files
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(d6, s"snapshot_${m.snapshot_id + 1}.json"),
+      """{"id":2,"files":[]}""")
+    val wave = graft.Tables.t(spark, sf(), "embeddings")
+      .select(($"vec_id" + 1000000L).as("vec_id"),
+        $"embedding".as("v")).limit(5)
+    val e = intercept[IllegalStateException] {
+      AnnIndexStore.append(spark, d6, wave)
+    }
+    assert(e.getMessage.contains("concurrent writer"), e.getMessage)
+    // the loser never bumped the manifest — the committed state is intact
+    assert(AnnIndexStore.manifest(spark, d6).snapshot_id == m.snapshot_id)
+    // and its landed files are invisible orphans, reclaimed by vacuum
+    assert(AnnIndexStore.load(spark, d6, verify = true).count() ==
+      m.n_vectors)
+  }
+
+  test("mutating a physically truncated index fails instead of masking it") {
+    import spark.implicits._
+    val d7 = java.nio.file.Files
+      .createTempDirectory("graft_annidx_trunc").toString
+    AnnIndexStore.save(spark, sf(), d7)
+    val m = AnnIndexStore.manifest(spark, d7)
+    // physically truncate: remove one committed cell file out-of-band
+    val victim = AnnIndexStore.liveFiles(spark, d7).head
+    java.nio.file.Files.delete(java.nio.file.Paths.get(d7, victim))
+    val p = java.nio.file.Paths.get(d7, victim)
+    java.nio.file.Files.deleteIfExists(
+      p.getParent.resolve("." + p.getFileName.toString + ".crc"))
+    val wave = graft.Tables.t(spark, sf(), "embeddings")
+      .select(($"vec_id" + 2000000L).as("vec_id"),
+        $"embedding".as("v")).limit(5)
+    // ADVICE r15: a lenient 0-rows fallback here wrote a FRESH manifest
+    // matching the truncated total, so verify passed forever after —
+    // the mutation must refuse instead
+    val e = intercept[IllegalStateException] {
+      AnnIndexStore.append(spark, d7, wave)
+    }
+    assert(e.getMessage.contains("truncated"), e.getMessage)
+    // no manifest was committed, so the READ-side verify still reports
+    // the truncation (the lenient path is reserved for exactly this)
+    assert(AnnIndexStore.manifest(spark, d7).snapshot_id == m.snapshot_id)
+    val e2 = intercept[IllegalStateException] {
+      AnnIndexStore.load(spark, d7, verify = true)
+    }
+    assert(e2.getMessage.contains("manifest says"), e2.getMessage)
+  }
 }
