@@ -127,42 +127,77 @@ class PrivacyReleaseSpec extends SparkSpec {
       "widening recovered no users — operator adds nothing over suppress")
   }
 
-  test("dp release: same classes as widen, k floor holds, noise is bounded and real") {
-    val d = sf("sf0.01")
-    val widen = SparkEntry.queries("log_k_widen_release")(spark, d)
-      .collect()
-      .map(r => (r.getLong(r.fieldIndex("hband")),
-        r.getString(r.fieldIndex("mtype")),
-        r.getLong(r.fieldIndex("vband"))) ->
-        r.getLong(r.fieldIndex("n_users"))).toMap
-    val dp = SparkEntry.queries("log_dp_release")(spark, d).collect()
-    assert(dp.nonEmpty)
-
-    // the DP release publishes exactly the widen release's classes
-    val dpKeys = dp.map(r => (r.getLong(r.fieldIndex("hband")),
-      r.getString(r.fieldIndex("mtype")),
-      r.getLong(r.fieldIndex("vband")))).toSet
-    assert(dpKeys == widen.keySet,
-      "dp release must perturb the widen release's class set, not its own")
-
-    var anyNoise = false
-    dp.foreach { r =>
-      val key = (r.getLong(r.fieldIndex("hband")),
-        r.getString(r.fieldIndex("mtype")),
-        r.getLong(r.fieldIndex("vband")))
-      val released = r.getLong(r.fieldIndex("n_released"))
-      val truth = widen(key)
-      // k floor survives the noise (post-processing clamp)
-      assert(released >= 5L, s"noised count below the k floor: $r")
-      // noise magnitude is capped at 20 by the mechanism
-      assert(math.abs(released - truth) <= 20L,
-        s"noise beyond the cap at $key: $truth -> $released")
-      if (released != truth) anyNoise = true
-      assert(r.getDouble(r.fieldIndex("epsilon")) == 0.6931)
+  test("dp release: row set is the data-independent public grid; noise bounded and real") {
+    // THE structural-leak regression test (ADVICE r15 high): the
+    // released row set must be a constant of the release schema, not
+    // a function of the data — identical at both fixture sizes
+    val fullGrid = (for {
+      hb <- 0L to 3L
+      mt <- Seq("click", "error", "purchase", "signup", "view")
+      vb <- 0L to 4L
+    } yield (hb, mt, vb)).toSet
+    val bySf = Seq(sf("sf0.001"), sf("sf0.01")).map { d =>
+      SparkEntry.queries("log_dp_release")(spark, d).collect()
     }
-    // the mechanism must actually perturb (P[all-zero noise] over
-    // ~19 classes is (1/3)^19 — a regression to zero-noise would be
-    // an accounting lie)
-    assert(anyNoise, "no class was perturbed — mechanism inert")
+    bySf.foreach { rows =>
+      assert(rows.map(classKey).toSet == fullGrid,
+        "released rows must be exactly the 100-cell public lattice")
+    }
+
+    val d = sf("sf0.01")
+    // true class counts from the k-anonymity audit (every class with
+    // >= 1 user appears there); grid cells absent from it hold 0
+    val truth = SparkEntry.queries("log_k_anonymity")(spark, d)
+      .collect()
+      .map(r => classKey(r) -> r.getLong(r.fieldIndex("n_users"))).toMap
+    var anyNoise = false
+    bySf(1).foreach { r =>
+      val released = r.getLong(r.fieldIndex("n_released"))
+      val t = truth.getOrElse(classKey(r), 0L)
+      // released = max(0, truth + noise) with |noise| <= 20
+      assert(released >= 0L && released <= t + 20L &&
+        released >= math.max(0L, t - 20L),
+        s"noise beyond the cap at ${classKey(r)}: $t -> $released")
+      if (released != t) anyNoise = true
+      assert(r.getDouble(r.fieldIndex("epsilon")) == 0.6931)
+      assert(r.getDouble(r.fieldIndex("delta")) == 6.4e-7)
+    }
+    // the mechanism must actually perturb (P[all-zero noise] over 100
+    // cells is (1/3)^100 — a regression to zero-noise would be an
+    // accounting lie)
+    assert(anyNoise, "no cell was perturbed — mechanism inert")
+  }
+
+  test("user-level hourly dp: contribution caps hold on the query's own frame") {
+    val d = sf("sf0.01")
+    // the invariant the 6·ln2 epsilon accounting rests on: per
+    // (user, hour) at most C = 2, per user at most H = 3 hours, so
+    // total per-user contribution <= 6 — asserted on the SAME frame
+    // the release aggregates, not a reimplementation
+    val contrib = EventsLog.dpUserHourlyContrib(spark, d).collect()
+    val perCell = contrib.map(r => r.getLong(r.fieldIndex("kept")))
+    assert(perCell.forall(k => k >= 1L && k <= 2L),
+      "per-(user,hour) contribution must be clamped to C = 2")
+    val byUser = contrib.groupBy(_.getLong(0))
+    assert(byUser.forall(_._2.length <= 3),
+      "a user may contribute to at most H = 3 hours")
+    assert(byUser.forall(_._2.map(r =>
+      r.getLong(r.fieldIndex("kept"))).sum <= 6L),
+      "total per-user contribution must be <= C·H = 6")
+    // the caps must actually bind on this fixture (median 63 active
+    // hours per user) — otherwise the test is vacuous
+    assert(byUser.exists(_._2.length == 3), "H cap never engaged")
+
+    // both hourly releases cover the SAME public window grid, and the
+    // row set is contiguous (noised zeros included, no selection)
+    val hours = SparkEntry.queries("log_dp_hourly")(spark, d).collect()
+      .map(_.getLong(0))
+    val hoursU = SparkEntry.queries("log_dp_hourly_user")(spark, d)
+      .collect().map(_.getLong(0))
+    assert(hours.toSeq == hoursU.toSeq,
+      "event- and user-level hourly releases must share one window grid")
+    assert(hours.length ==
+      (hours.max - hours.min) / 3600000000L + 1,
+      "hourly grid must be contiguous over the collection window")
   }
 }

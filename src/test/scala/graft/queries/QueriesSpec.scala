@@ -27,9 +27,7 @@ class QueriesSpec extends SparkSpec {
       // the non-empty contract at sf0.01)
       "log_anonymize_release",
       // same fixture-size cause: sub-k pools stay sub-k at sf0.001
-      "log_k_widen_release",
-      // perturbs exactly the widen release's class set — empty with it
-      "log_dp_release")
+      "log_k_widen_release")
     SparkEntry.queries.foreach { case (name, fn) =>
       val a = fn(spark, sf()).collect()
       val b = fn(spark, sf()).collect()
