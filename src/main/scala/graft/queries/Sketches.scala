@@ -680,6 +680,107 @@ object Sketches {
               .as("within_bound"))
           .orderBy($"q_pct")
       }
+    }),
+
+    // q-digest MERGE law under the oracle (r15 verdict ask #2) — the
+    // quantile member of the merge family beside sketch_cms_merge /
+    // sketch_bloom_merge / sketch_hll_merge / sketch_kmv_merge, with
+    // one honest difference those rows don't have: CMS/Bloom/HLL
+    // merges are LOSSLESS (linear / bitwise / register-max), but a
+    // q-digest shard build is itself a lossy compression, so merging
+    // compressed shard digests need not reproduce the one-shot corpus
+    // digest. The n-way merge is therefore stated canonically —
+    // count-map SUM of the shard digests, then ONE recompression at
+    // the combined n (pairwise merging with intermediate compressions
+    // would be merge-order-dependent; the sum-then-compress form is
+    // the order-free associative formulation QDigestSpec's merge law
+    // pins) — and the declared row hash-checks the ENTIRE pipeline in
+    // DuckDB: 4 shard-local compressions (the leaf-only fold, grouped
+    // by shard), the merged digest's PARENT-AWARE recompression (a
+    // family may now fold into a parent that already holds mass from
+    // another shard — the leaf-only fold's missing case), the
+    // one-shot corpus digest for comparison, per-quantile estimates
+    // from BOTH digests, the exact drift between them (symmetric node
+    // difference — the price of mergeability, usually 0 or tiny), and
+    // the merged digest's rank guarantee against exact corpus ranks
+    // with the composed audit bound L·(Σ_s t_s + t): each shard
+    // compression contributes <= L·t_s rank slack, summation adds
+    // the slacks, and the final recompression adds L·t. Scale shape:
+    // one bounded-domain (shard × e2 lattice) count agg with map-side
+    // combine is the only corpus pass; the digest algebra runs as one
+    // task over those bounded counts, exactly like the quantiles row.
+    "sketch_qdigest_merge" -> ((s, d) => {
+      import s.implicits._
+      val k = 1024
+      val vc = t(s, d, "events")
+        .select(($"event_id" % 4).as("shard"),
+          expr("cast(round(value * 100) as long)").as("e2"))
+        .filter($"e2" >= 0L && $"e2" < graft.engine.QDigest.U.toLong)
+        .groupBy($"shard", $"e2").agg(count(lit(1)).as("c"))
+        .localCheckpoint() // bounded: 4 × the 2-dp value domain
+      val rows = vc.select($"shard".cast("int"), $"e2".cast("int"), $"c")
+        .as[(Int, Int, Long)]
+        .coalesce(1)
+        .mapPartitions { it =>
+          import graft.engine.QDigest
+          val leaves = scala.collection.mutable
+            .HashMap.empty[Int, scala.collection.mutable.HashMap[Long, Long]]
+          it.foreach { case (sh, v, c) =>
+            leaves.getOrElseUpdate(sh,
+              scala.collection.mutable.HashMap.empty[Long, Long])
+              .update(QDigest.leafId(v), c)
+          }
+          val shardNs = leaves.view.mapValues(_.valuesIterator.sum).toMap
+          val n = shardNs.valuesIterator.sum
+          if (n == 0L) Iterator.empty
+          else {
+            val tTot = math.max(1L, n / k)
+            val tSum = shardNs.valuesIterator
+              .map(ns => math.max(1L, ns / k)).sum
+            val shardDigs = leaves.toSeq.map { case (sh, m) =>
+              QDigest.compress(m, shardNs(sh), k)
+            }
+            // n-way merge: count-map sum, ONE recompress at total n
+            val summed = scala.collection.mutable.HashMap.empty[Long, Long]
+            shardDigs.foreach(_.foreach { case (id, c) =>
+              summed.update(id, summed.getOrElse(id, 0L) + c) })
+            val merged = QDigest.compress(summed, n, k)
+            // one-shot corpus digest + exact leaf cums for the audit
+            val allLeaves = scala.collection.mutable.HashMap.empty[Long, Long]
+            leaves.valuesIterator.foreach(_.foreach { case (id, c) =>
+              allLeaves.update(id, allLeaves.getOrElse(id, 0L) + c) })
+            val single = QDigest.compress(allLeaves, n, k)
+            val drift =
+              ((merged.toSet diff single.toSet) ++
+                (single.toSet diff merged.toSet)).size.toLong
+            val exact = allLeaves.toSeq
+              .map { case (id, c) => (QDigest.loOf(id), c) }.sortBy(_._1)
+            def rankLe(v: Int): Long =
+              exact.iterator.takeWhile(_._1 <= v).map(_._2).sum
+            def rankLt(v: Int): Long =
+              exact.iterator.takeWhile(_._1 < v).map(_._2).sum
+            Seq(50L, 90L, 99L).iterator.map { q =>
+              val target = (n * q + 99) / 100
+              val em = QDigest.quantile(merged, target)
+              val es = QDigest.quantile(single, target)
+              (q, n, target, em.toLong, es.toLong, rankLe(em),
+                QDigest.size(merged).toLong, QDigest.size(single).toLong,
+                drift,
+                QDigest.size(merged) <= 3 * k && QDigest.size(single) <= 3 * k,
+                rankLe(em) >= target &&
+                  rankLt(em) <= target + 16L * (tSum + tTot))
+            }
+          }
+        }
+        .toDF("q_pct", "n", "target_rank", "est_e2_m", "est_e2_s",
+          "est_rank", "nodes_merged", "nodes_single", "drift_nodes",
+          "state_bounded", "within_bound")
+      rows.select($"q_pct", $"n", $"target_rank",
+          round($"est_e2_m" / 100.0, 2).as("est_q_merged"),
+          round($"est_e2_s" / 100.0, 2).as("est_q_single"),
+          $"est_rank", $"nodes_merged", $"nodes_single", $"drift_nodes",
+          $"state_bounded", $"within_bound")
+        .orderBy($"q_pct")
     }))
 
   /** The 16 unrolled q-digest fold levels for the oracle: at step X,
@@ -703,6 +804,59 @@ object Sketches {
          |  SELECT l.node, l.cnt FROM l$x l JOIN f$x f
          |    ON l.node // 2 = f.p AND f.s > f.thr
          |  WHERE l.node >= $lo AND l.node < $hi)""".stripMargin
+    }.mkString(",\n")
+
+  /** Shard-grouped variant of [[qdigestFoldSql]] for the merge row:
+    * the same leaf-only family-independent fold, with `shard` carried
+    * through every level and per-shard thresholds from `tts`. */
+  private def qdigestShardFoldSql: String =
+    (16 to 1 by -1).map { x =>
+      val lo = 1L << x
+      val hi = 1L << (x + 1)
+      s"""fs$x AS MATERIALIZED (
+         |  SELECT shard, node // 2 AS p, CAST(SUM(cnt) AS BIGINT) AS s
+         |  FROM ls$x WHERE node >= $lo AND node < $hi GROUP BY 1, 2),
+         |ls${x - 1} AS MATERIALIZED (
+         |  SELECT shard, node, cnt FROM ls$x
+         |  WHERE node >= $hi OR node < $lo
+         |  UNION ALL
+         |  SELECT f.shard, f.p AS node, f.s AS cnt
+         |  FROM fs$x f JOIN tts t USING (shard) WHERE f.s <= t.thr
+         |  UNION ALL
+         |  SELECT l.shard, l.node, l.cnt FROM ls$x l
+         |    JOIN fs$x f ON l.shard = f.shard AND l.node // 2 = f.p
+         |    JOIN tts t ON t.shard = l.shard
+         |  WHERE f.s > t.thr AND l.node >= $lo AND l.node < $hi)"""
+        .stripMargin
+    }.mkString(",\n")
+
+  /** PARENT-AWARE fold for recompressing a MERGED digest (nodes at
+    * mixed levels): unlike the leaf-only fold, a family's parent may
+    * already hold mass (from another shard's compression), so the
+    * fold test is children-sum + existing parent vs t, a folded
+    * family REPLACES its old parent row, and an unfolded one leaves
+    * all three nodes in place — exactly QDigest.compress's walk,
+    * which stays family-independent per level because a fold only
+    * ever writes one level up. */
+  private def qdigestMergedFoldSql: String =
+    (16 to 1 by -1).map { x =>
+      val lo = 1L << x
+      val hi = 1L << (x + 1)
+      s"""fm$x AS MATERIALIZED (
+         |  SELECT node // 2 AS p, CAST(SUM(cnt) AS BIGINT) AS cs
+         |  FROM lm$x WHERE node >= $lo AND node < $hi GROUP BY 1),
+         |gm$x AS MATERIALIZED (
+         |  SELECT f.p, f.cs + CAST(COALESCE(l.cnt, 0) AS BIGINT) AS s,
+         |    tt.thr
+         |  FROM fm$x f LEFT JOIN lm$x l ON l.node = f.p, tt),
+         |lm${x - 1} AS MATERIALIZED (
+         |  SELECT l.node, l.cnt FROM lm$x l
+         |  WHERE NOT EXISTS (SELECT 1 FROM gm$x g WHERE g.s <= g.thr
+         |    AND (g.p = l.node OR (g.p = l.node // 2
+         |         AND l.node >= $lo AND l.node < $hi)))
+         |  UNION ALL
+         |  SELECT p AS node, s AS cnt FROM gm$x WHERE s <= thr)"""
+        .stripMargin
     }.mkString(",\n")
 
   val oracle: Map[String, String] = Map(
@@ -762,6 +916,90 @@ object Sketches {
          |    AS within_bound
          |FROM est JOIN ex USING (q_pct) JOIN le USING (q_pct)
          |  JOIN lt USING (q_pct), oo, nd, tt
+         |ORDER BY q_pct""".stripMargin,
+
+    // the full merge pipeline is replayed: 4 shard-local leaf-only
+    // folds (shard-grouped), the count-map sum, the parent-aware
+    // recompression at total n, the one-shot corpus digest, the
+    // node-level drift between them, and both rank sides of the
+    // composed guarantee — every output column exact
+    "sketch_qdigest_merge" ->
+      s"""WITH e AS (
+         |  SELECT event_id % 4 AS shard,
+         |    CAST(ROUND(value * 100) AS BIGINT) AS e2 FROM events),
+         |r AS MATERIALIZED (
+         |  SELECT shard, e2 FROM e WHERE e2 >= 0 AND e2 < 65536),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM r),
+         |tt AS (SELECT GREATEST(1, n // 1024) AS thr FROM nn),
+         |tts AS MATERIALIZED (
+         |  SELECT shard, GREATEST(1, COUNT(*) // 1024) AS thr
+         |  FROM r GROUP BY 1),
+         |ts AS (SELECT CAST(SUM(thr) AS BIGINT) AS tsum FROM tts),
+         |ls16 AS MATERIALIZED (
+         |  SELECT shard, 65536 + e2 AS node,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt FROM r GROUP BY 1, 2),
+         |$qdigestShardFoldSql,
+         |lm16 AS MATERIALIZED (
+         |  SELECT node, CAST(SUM(cnt) AS BIGINT) AS cnt
+         |  FROM ls0 GROUP BY 1),
+         |$qdigestMergedFoldSql,
+         |l16 AS MATERIALIZED (
+         |  SELECT 65536 + e2 AS node, CAST(COUNT(*) AS BIGINT)
+         |    AS cnt FROM r GROUP BY e2),
+         |$qdigestFoldSql,
+         |dgm AS (SELECT node, cnt,
+         |          CAST(FLOOR(LOG2(node)) AS BIGINT) AS lvl FROM lm0),
+         |dcm AS (SELECT lo + w - 1 AS hi, lo, cnt,
+         |          CAST(SUM(cnt) OVER (ORDER BY lo + w - 1, lo)
+         |            AS BIGINT) AS cum
+         |        FROM (SELECT cnt, (65536 >> lvl) AS w,
+         |                (node - (CAST(1 AS BIGINT) << lvl))
+         |                  * (65536 >> lvl) AS lo
+         |              FROM dgm)),
+         |dgs AS (SELECT node, cnt,
+         |          CAST(FLOOR(LOG2(node)) AS BIGINT) AS lvl FROM l0),
+         |dcs AS (SELECT lo + w - 1 AS hi, lo, cnt,
+         |          CAST(SUM(cnt) OVER (ORDER BY lo + w - 1, lo)
+         |            AS BIGINT) AS cum
+         |        FROM (SELECT cnt, (65536 >> lvl) AS w,
+         |                (node - (CAST(1 AS BIGINT) << lvl))
+         |                  * (65536 >> lvl) AS lo
+         |              FROM dgs)),
+         |ndm AS (SELECT CAST(COUNT(*) AS BIGINT) AS nodes FROM lm0),
+         |nds AS (SELECT CAST(COUNT(*) AS BIGINT) AS nodes FROM l0),
+         |dr AS (SELECT CAST(
+         |         (SELECT COUNT(*) FROM ((SELECT node, cnt FROM lm0)
+         |            EXCEPT (SELECT node, cnt FROM l0))) +
+         |         (SELECT COUNT(*) FROM ((SELECT node, cnt FROM l0)
+         |            EXCEPT (SELECT node, cnt FROM lm0)))
+         |         AS BIGINT) AS drift_nodes),
+         |q AS (SELECT UNNEST([50, 90, 99]) AS q_pct),
+         |tr AS (SELECT CAST(q_pct AS BIGINT) AS q_pct, n,
+         |         (n * q_pct + 99) // 100 AS target FROM q, nn),
+         |em AS (SELECT tr.q_pct, tr.n, tr.target,
+         |          MIN(dcm.hi) AS est_e2
+         |        FROM tr JOIN dcm ON dcm.cum >= tr.target
+         |        GROUP BY 1, 2, 3),
+         |es AS (SELECT tr.q_pct, MIN(dcs.hi) AS est_e2
+         |       FROM tr JOIN dcs ON dcs.cum >= tr.target GROUP BY 1),
+         |vc AS (SELECT e2, COUNT(*) AS c FROM r GROUP BY e2),
+         |cc AS (SELECT e2, CAST(SUM(c) OVER (ORDER BY e2) AS BIGINT)
+         |         AS cum FROM vc),
+         |le AS (SELECT em.q_pct, MAX(cc.cum) AS est_rank
+         |       FROM em JOIN cc ON cc.e2 <= em.est_e2 GROUP BY 1),
+         |lt AS (SELECT em.q_pct, MAX(cc.cum) AS est_rank_lt
+         |       FROM em LEFT JOIN cc ON cc.e2 < em.est_e2 GROUP BY 1)
+         |SELECT em.q_pct, em.n, em.target AS target_rank,
+         |  ROUND(em.est_e2 / 100.0, 2) AS est_q_merged,
+         |  ROUND(es.est_e2 / 100.0, 2) AS est_q_single,
+         |  le.est_rank, ndm.nodes AS nodes_merged,
+         |  nds.nodes AS nodes_single, dr.drift_nodes,
+         |  (ndm.nodes <= 3072 AND nds.nodes <= 3072) AS state_bounded,
+         |  (le.est_rank >= em.target AND
+         |   COALESCE(lt.est_rank_lt, 0) <= em.target
+         |     + 16 * (ts.tsum + tt.thr)) AS within_bound
+         |FROM em JOIN es USING (q_pct) JOIN le USING (q_pct)
+         |  JOIN lt USING (q_pct), ndm, nds, dr, ts, tt
          |ORDER BY q_pct""".stripMargin,
 
     "sketch_kmv" ->
