@@ -83,5 +83,12 @@ object RawBuilds {
       // the stored-quantizer serve path — the only correct one once an
       // index has been appended to
       engine.AnnIndexStore.searchTopKStored(s, dir, qs, 10)
-    }))
+    }),
+    // the vacuum-retention lifecycle (r15 verdict ask #3): clone a
+    // write-once four-generation fixture, vacuum at keep=2 (retained
+    // generation must stay readable, zero data files reclaimed), then
+    // at keep=1 (the compact-replaced deltas go) — see the
+    // vacuumRetentionRaw scaladoc for the cost shape
+    "sim_index_vacuum_raw" -> ((s, d) =>
+      queries.Similarity.vacuumRetentionRaw(s, d)))
 }

@@ -199,10 +199,11 @@ object AnnIndexStore {
     snapshot(spark, dir, manifest(spark, dir).snapshot_id).files
 
   /** Snapshot ids still on disk, ascending — the time-travel catalog.
-    * Everything before the current id survives only until [[vacuum]]
-    * (forget() additionally deletes its victims' bytes immediately, so
-    * a pre-forget snapshot may list files that no longer exist — time
-    * travel never resurrects a takedown). */
+    * Generations before the current id survive [[vacuum]] only within
+    * its `keepSnapshots` retention horizon (forget() additionally
+    * deletes its victims' bytes immediately, so a pre-forget snapshot
+    * may list files that no longer exist — time travel never
+    * resurrects a takedown). */
   def snapshots(spark: SparkSession, dir: String): Seq[Long] =
     listSnapshotIds(spark, dir).sorted
 
@@ -746,19 +747,45 @@ object AnnIndexStore {
     victims
   }
 
-  /** Reclaim everything the current snapshot does not reference: data
+  /** Reclaim everything the RETAINED snapshots do not reference: data
     * files replaced by [[compact]] (or stranded by a crashed
-    * append/forget) and superseded snapshot JSONs. The caller owns the
-    * grace window — run it once no reader pinned to an older snapshot
-    * remains (at cluster scale: "older than the longest-running
-    * query"). Returns the number of data files deleted. */
-  def vacuum(spark: SparkSession, dir: String): Long = {
+    * append/forget) and expired snapshot JSONs.
+    *
+    * `keepSnapshots` is the RETENTION CONTRACT (r15 verdict ask #3):
+    * the newest `keepSnapshots` generations — always including the
+    * current one — survive, their snapshot files stay readable via
+    * [[loadSnapshot]], and no data file any of them references is
+    * reclaimed, so a training run that recorded its generation id can
+    * re-read exactly that file set for as long as the policy retains
+    * it. Generations past the horizon lose their snapshot JSON, so
+    * [[loadSnapshot]] on them fails loudly at resolution (never
+    * silently serving different rows). Torn-commit leftovers —
+    * snapshot files ABOVE the current id, from a writer that crashed
+    * between snapshot and manifest write — are always reclaimed along
+    * with their landed files. Note [[forget]] deletes its victims'
+    * bytes at commit time regardless of retention: a retained
+    * pre-forget generation may reference files that no longer exist
+    * (time travel never resurrects a takedown — that is the point of
+    * takedown). The caller owns the grace window — run vacuum once no
+    * reader pinned beyond the horizon remains (at cluster scale:
+    * "older than the longest-running query").
+    * Returns the number of data files deleted. */
+  def vacuum(spark: SparkSession, dir: String,
+      keepSnapshots: Int = 1): Long = {
+    require(keepSnapshots >= 1,
+      s"keepSnapshots must be >= 1 (got $keepSnapshots) — the current " +
+        "generation is always retained")
     val m = manifest(spark, dir)
-    val live = snapshot(spark, dir, m.snapshot_id).files.toSet
+    val committed = listSnapshotIds(spark, dir).sorted
+      .filter(_ <= m.snapshot_id)
+    val retained = (committed.takeRight(keepSnapshots) :+ m.snapshot_id)
+      .toSet
+    val live = retained.toSeq
+      .flatMap(i => snapshot(spark, dir, i).files).toSet
     val fs = new Path(dir).getFileSystem(hconf(spark))
     val orphans = listCellFiles(spark, dir).filterNot(live)
     orphans.foreach(f => fs.delete(new Path(dir, f), false))
-    listSnapshotIds(spark, dir).filter(_ != m.snapshot_id)
+    listSnapshotIds(spark, dir).filterNot(retained)
       .foreach(i => fs.delete(snapshotPath(dir, i), false))
     // sweep scratch strips left by crashed writers (per-write UUID
     // dirs are never referenced by any snapshot — pure garbage here)

@@ -224,6 +224,49 @@ object Similarity {
     dst
   }
 
+  /** The vacuum-retention lifecycle as a raw bench/stress row (r15
+    * verdict ask #3): the write-once fixture is a four-generation
+    * index (save + 2 appends + compact — snapshot 4 current,
+    * generations 1-3 still on disk, compact's replaced delta files
+    * awaiting reclaim). Per rep: clone → vacuum at keepSnapshots = 2,
+    * which must reclaim ZERO data files (generation 3 references
+    * every pre-compact byte — the retention contract) while expiring
+    * generations 1-2's snapshot JSONs → re-read the retained
+    * generation → vacuum at keep = 1, which reclaims the
+    * compact-replaced deltas → verified load of the current
+    * generation. Cost shape: driver-side metadata walks + file
+    * deletes, O(live files) ≈ O(cells + append waves) ~ √n — the 10×
+    * stress ratio should track file count, never corpus bytes. */
+  private[graft] def vacuumRetentionRaw(s: SparkSession,
+      d: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, d, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val base = idxScratch("vacbase", d)
+    if (!new java.io.File(s"$base/embeddings.parquet/_SUCCESS").exists())
+      t(s, d, "embeddings").filter($"vec_id" % 3 === 0)
+        .write.mode("overwrite").parquet(s"$base/embeddings.parquet")
+    val fx = idxScratch("fxvac", d)
+    if (!fixtureReady(s, fx, 4L)) {
+      graft.engine.AnnIndexStore.save(s, base, fx)
+      graft.engine.AnnIndexStore.append(s, fx,
+        emb.filter($"vec_id" % 3 === 1))
+      graft.engine.AnnIndexStore.append(s, fx,
+        emb.filter($"vec_id" % 3 === 2))
+      graft.engine.AnnIndexStore.compact(s, fx)
+    }
+    val dir = cloneIndex(s, fx, "vac", d)
+    val gen3 = graft.engine.AnnIndexStore.loadSnapshot(s, dir, 3L).count()
+    val r2 = graft.engine.AnnIndexStore.vacuum(s, dir, keepSnapshots = 2)
+    val gen3After = graft.engine.AnnIndexStore
+      .loadSnapshot(s, dir, 3L).count()
+    val r1 = graft.engine.AnnIndexStore.vacuum(s, dir)
+    val cur = graft.engine.AnnIndexStore.load(s, dir, verify = true).count()
+    Seq((r2, r1, gen3 == gen3After, cur))
+      .toDF("reclaimed_keep2", "reclaimed_keep1", "retained_stable",
+        "n_live")
+  }
+
   /** 3-NN majority-vote label predictions over the shared cell-pair
     * edges — sim_knn_classify's body, shared with sim_confusion_matrix.
     * @return (vec_id, true_label, pred_label, n_votes, n_neighbors,

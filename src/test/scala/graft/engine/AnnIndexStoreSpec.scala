@@ -471,6 +471,54 @@ class AnnIndexStoreSpec extends SparkSpec {
     assert(AnnIndexStore.loadSnapshot(spark, d5, 4L).count() == m2.n_vectors)
   }
 
+  test("vacuum retention: retained generations stay bit-equal, expired ones fail loudly") {
+    import spark.implicits._
+    val emb = graft.Tables.t(spark, sf(), "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val baseDir = java.nio.file.Files
+      .createTempDirectory("graft_annidx_ret").toString
+    emb.filter($"vec_id" % 3 === 0)
+      .select($"vec_id", $"v".as("embedding"))
+      .write.mode("overwrite").parquet(s"$baseDir/embeddings.parquet")
+    val d8 = java.nio.file.Files
+      .createTempDirectory("graft_annidx_ret_idx").toString
+    AnnIndexStore.save(spark, baseDir, d8)
+    AnnIndexStore.append(spark, d8, emb.filter($"vec_id" % 3 === 1))
+    AnnIndexStore.append(spark, d8, emb.filter($"vec_id" % 3 === 2))
+    assert(AnnIndexStore.compact(spark, d8).nonEmpty)
+    assert(AnnIndexStore.snapshots(spark, d8) == Seq(1L, 2L, 3L, 4L))
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select($"vec_id", $"cell").collect().map(_.mkString("|")).toSet
+    val gen3Before = rows(AnnIndexStore.loadSnapshot(spark, d8, 3L))
+    // keep = 2: generations 3 and 4 survive; 1 and 2 expire. Gen 3
+    // references the pre-compact delta files that gen 4 replaced —
+    // retention must keep those bytes even though the CURRENT snapshot
+    // no longer lists them
+    val reclaimed = AnnIndexStore.vacuum(spark, d8, keepSnapshots = 2)
+    assert(AnnIndexStore.snapshots(spark, d8) == Seq(3L, 4L))
+    assert(rows(AnnIndexStore.loadSnapshot(spark, d8, 3L)) == gen3Before,
+      "a retained generation must re-read bit-equal across vacuum")
+    val e = intercept[IllegalStateException] {
+      AnnIndexStore.loadSnapshot(spark, d8, 2L)
+    }
+    assert(e.getMessage.contains("snapshot 2"), e.getMessage)
+    // tightening the horizon reclaims gen 3's replaced deltas
+    val reclaimed2 = AnnIndexStore.vacuum(spark, d8)
+    assert(reclaimed2 > 0L,
+      "gen-3-only files must be reclaimed once the horizon passes it")
+    assert(AnnIndexStore.snapshots(spark, d8) == Seq(4L))
+    // the compact at gen 4 replaced delta files still referenced by
+    // gen 3, so the FIRST vacuum must have reclaimed nothing
+    assert(reclaimed == 0L,
+      "files referenced by a retained snapshot must never be reclaimed")
+    intercept[IllegalArgumentException] {
+      AnnIndexStore.vacuum(spark, d8, keepSnapshots = 0)
+    }
+    // the current generation always reads
+    assert(AnnIndexStore.load(spark, d8, verify = true).count() ==
+      AnnIndexStore.manifest(spark, d8).n_vectors)
+  }
+
   test("a racing writer fails loudly at the snapshot commit point") {
     import spark.implicits._
     val d6 = java.nio.file.Files
