@@ -137,6 +137,46 @@ object Multimodal {
         .orderBy($"doc_id")
     }),
 
+    // ISO-BMFF (MP4/MOV) container metadata (r16: the video-side
+    // companion of mm_image_meta — the next real binary in a crawl
+    // after the six image layouts): each doc synthesizes a
+    // spec-conformant box tree whose knobs sweep the layout space —
+    // fullbox version 0 vs 1 (32- vs 64-bit mvhd/tkhd times), major
+    // brand isom/mp42/'qt  ' (the last parsing as format 'mov'), an
+    // optional free box, and all THREE mdat size encodings (32-bit,
+    // 64-bit largesize, size-0-to-EOF) with a variable stub payload —
+    // and VideoHeaders.parse walks the real structure back out
+    // (ftyp → moov → mvhd timescale/duration, trak → tkhd 16.16
+    // geometry). The oracle rebuilds every field arithmetically from
+    // the fixture columns, so the gate proves the parser inverts the
+    // binary layout across versions and size encodings. Pure per-row
+    // map, no shuffle until the presentation sort — at 100 TB this is
+    // the header pass that runs BEFORE any demux/decode routing.
+    "mm_video_meta" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .select($"doc_id", $"n_chars").as[(Long, Long)]
+        .map { case (id, nChars) =>
+          val w = (nChars % 1000L).toInt + 1
+          val h = (id % 1000L).toInt + 1
+          val brand = Seq("isom", "mp42", "qt  ")((id % 3).toInt)
+          val ts = Seq(600, 1000, 90000)(((id / 3) % 3).toInt)
+          val dur = id % 3600000L + 1L
+          val payload = graft.multimodal.VideoHeaders.buildMp4(
+            w, h, ts, dur, v1 = id % 2 == 1, brand,
+            freeBox = id % 5 == 0, mdatMode = (id % 4).toInt,
+            mdatPayload = (id % 16).toInt)
+          val m = graft.multimodal.VideoHeaders.parse(payload)
+            .getOrElse(sys.error(s"unparseable container for doc $id"))
+          (id, m.format, m.major_brand, m.timescale, m.duration,
+            m.duration_ms, m.width, m.height, m.n_boxes,
+            payload.length.toLong)
+        }
+        .toDF("doc_id", "format", "major_brand", "timescale", "duration",
+          "duration_ms", "width", "height", "n_boxes", "container_bytes")
+        .orderBy($"doc_id")
+    }),
+
     // Frame sampling over an opaque payload — the video-column shape:
     // every 64-byte chunk is a "frame", output bounded to the first 5
     // frames per record (at 100 TB the cap is what keeps a single wide
@@ -453,6 +493,36 @@ object Multimodal {
         |    WHEN 2 THEN 75 WHEN 3 THEN 13 WHEN 4 THEN 25
         |    ELSE 62 END AS BIGINT) AS header_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // every field rebuilt arithmetically: sizes are the exact box-tree
+    // byte counts (ftyp 24, free 8, moov 216/240 by fullbox version,
+    // mdat 8/16-byte header + payload), duration_ms the floored
+    // rescale, 'qt  ' parsing as format mov
+    "mm_video_meta" ->
+      """WITH v AS (
+        |  SELECT doc_id,
+        |    CASE (doc_id // 3) % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+        |      ELSE 90000 END AS ts,
+        |    doc_id % 3600000 + 1 AS dur,
+        |    n_chars
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 2 THEN 'mov' ELSE 'mp4' END AS format,
+        |  CASE doc_id % 3 WHEN 0 THEN 'isom' WHEN 1 THEN 'mp42'
+        |    ELSE 'qt  ' END AS major_brand,
+        |  CAST(ts AS BIGINT) AS timescale,
+        |  CAST(dur AS BIGINT) AS duration,
+        |  CAST(dur * 1000 // ts AS BIGINT) AS duration_ms,
+        |  CAST(n_chars % 1000 + 1 AS BIGINT) AS width,
+        |  CAST(doc_id % 1000 + 1 AS BIGINT) AS height,
+        |  CAST(CASE WHEN doc_id % 5 = 0 THEN 4 ELSE 3 END AS BIGINT)
+        |    AS n_boxes,
+        |  CAST(24
+        |    + CASE WHEN doc_id % 5 = 0 THEN 8 ELSE 0 END
+        |    + CASE doc_id % 2 WHEN 0 THEN 216 ELSE 240 END
+        |    + CASE doc_id % 4 WHEN 0 THEN 16 ELSE 8 END
+        |    + doc_id % 16 AS BIGINT) AS container_bytes
+        |FROM v ORDER BY doc_id""".stripMargin,
 
     "mm_frame_sample" ->
       """WITH m AS (SELECT doc_id AS media_id, text AS payload
