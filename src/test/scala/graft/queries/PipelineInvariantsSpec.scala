@@ -3997,5 +3997,28 @@ class PipelineInvariantsSpec extends SparkSpec {
       assert(r.getDouble(2) == r6(pc.toDouble / 1e12),
         s"${r.getString(0)}: removed-chain replay diverges")
     }
+    // r16 iteration-count contract: on the shipped CYCLIC fixture the
+    // e12 lattice contracts only geometrically (measured ~0.78/round),
+    // so the exact-integer early exit must NOT fire — the full
+    // 14-round truncation is the published semantic, shared with the
+    // oracle's 14 materialized folds (the replay above proves output
+    // identity either way)
+    val iters = EventsLog.removalEffectLastIters.get()
+    assert(iters == 14, s"expected the full 14-round ceiling: $iters")
+  }
+
+  test("removal effect iteration: early exit fires at depth on an absorbing chain") {
+    // acyclic START -> a -> b -> CONV, one path: values pin after 3
+    // rounds and the 4th detects the exact fixed point
+    val edges = Seq(
+      ("START", "a", 1L, 1L), ("a", "b", 1L, 1L), ("b", "CONV", 1L, 1L))
+    val (vals, iters) = EventsLog.removalEffectIterate(edges)
+    assert(vals("START") == BigInt(1000000000000L))
+    assert(iters == 4, s"absorbing chain should exit at depth+1: $iters")
+    // a branchy absorbing chain floors correctly: START splits 1:2
+    val (v2, it2) = EventsLog.removalEffectIterate(Seq(
+      ("START", "CONV", 1L, 3L), ("START", "NULL", 2L, 3L)))
+    assert(v2("START") == BigInt(1000000000000L) / 3)
+    assert(it2 == 2)
   }
 }
