@@ -6251,7 +6251,7 @@ object EventsLog {
     * then `kmag` to exist, and are PORTABLE — the identical strings
     * run in Spark and DuckDB, so the mechanism cannot drift between
     * the engine and the oracle. */
-  private def dpSeedM(keySql: String): String =
+  private[graft] def dpSeedM(keySql: String): String =
     s"cast(conv(substring(md5(cast($keySql as binary)), 1, 15)," +
       " 16, 10) as bigint) % 3221225472"
 
@@ -6263,7 +6263,7 @@ object EventsLog {
     * boundary could produce off-by-one kmag in one engine only. The
     * chain is branch k ⇔ bit_length(S - m - 1) = 31 - k + 1, exact in
     * both engines by construction. */
-  private lazy val DpKmagExpr: String = {
+  private[graft] lazy val DpKmagExpr: String = {
     val chain = (1 to 30).map { k =>
       s"when 3221225471 - m >= ${1L << (31 - k)} then cast($k as bigint)"
     }.mkString(" ")
@@ -6278,7 +6278,7 @@ object EventsLog {
     * exactly-representable double in both engines (no transcendental
     * involved — IEEE pow is exact at integer powers of two), and the
     * compare is between exact integers. */
-  private lazy val DpNoiseExpr: String =
+  private[graft] lazy val DpNoiseExpr: String =
     "case when kmag = 0 then cast(0 as bigint)" +
       " when 2 * (cast(pow(2.0, 32 - kmag) as bigint)" +
       " - (3221225472 - m)) < cast(pow(2.0, 31 - kmag) as bigint)" +

@@ -134,6 +134,20 @@ class StreamingRestartSpec extends SparkSpec {
       s"ref=${ref.size} rows, got=${got.size}")
   }
 
+  test("dp hourly monitor survives mid-batch kills (noise never re-drawn)") {
+    import spark.implicits._
+    // exactly-once is a PRIVACY property here: a replay that re-drew
+    // noise would publish two different values for one hour (a leak);
+    // the seeded mechanism makes every replay bit-identical
+    val (src, schema) = stage(
+      t(spark, sf(), "events").select($"ts"), 10, timeCol = Some("ts"))
+    val (ref, got) = sweepAppend("dph", src, schema,
+      df => EventStream.dpHourlyMonitor(df))
+    assert(ref.nonEmpty, "reference run emitted nothing — test is vacuous")
+    assert(got == ref, s"dp monitor diverged after kills: " +
+      s"ref=${ref.size} rows, got=${got.size}")
+  }
+
   test("windowed quantile monitor survives mid-batch kills") {
     import spark.implicits._
     val ev = t(spark, sf(), "events")

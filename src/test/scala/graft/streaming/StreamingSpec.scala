@@ -36,6 +36,39 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("dp hourly monitor: streaming == batch == declared release on observed hours") {
+    import spark.implicits._
+    EventStream.runToMemory(spark, stagedEvents,
+      EventStream.dpHourlyMonitor, "dp_hourly_stream",
+      OutputMode.Complete())
+    val streamed = spark.table("dp_hourly_stream")
+      .orderBy($"hour_us").collect()
+    val batch = EventStream.dpHourlyMonitor(
+        spark.read.parquet(stagedEvents))
+      .orderBy($"hour_us").collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+    // shared mechanism + shared seed key => every observed hour's row
+    // is BIT-EQUAL to the declared batch release's row (the grid's
+    // noised zero-hours are the batch release's own, absent here)
+    val observed = streamed.map(_.getLong(0)).toSet
+    val declared = graft.SparkEntry.queries("log_dp_hourly")(spark, sf())
+      .select($"hour_us", $"n_released", $"epsilon", $"delta")
+      .collect().filter(r => observed(r.getLong(0)))
+      .sortBy(_.getLong(0))
+    assert(streamed.map(_.toString).toSeq ==
+      declared.map(_.toString).toSeq,
+      "streaming emission must replay the declared release bit-for-bit")
+    // the mechanism is live on the stream too (not a zero-noise path)
+    val rawCounts = spark.read.parquet(stagedEvents)
+      .groupBy(expr("unix_micros(date_trunc('hour', ts))").as("hour_us"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed.exists(r =>
+      r.getLong(1) != math.max(0L, rawCounts(r.getLong(0)))),
+      "no window was perturbed — mechanism inert on the stream")
+  }
+
   test("sliding windows: streaming result == batch == declared log_sliding") {
     import spark.implicits._
     EventStream.runToMemory(spark, stagedEvents,
