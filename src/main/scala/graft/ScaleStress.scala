@@ -169,7 +169,7 @@ object ScaleStress {
     val raw = RawBuilds.map
     def run(q: String, dir: String): Unit =
       raw.getOrElse(q, SparkEntry.queries(q))(spark, dir).count()
-    val stress = Seq("q1_pricing_summary","q5_nation_revenue","q7_nation_trade","q_topk_customers","wc_word_counts","dedup_lsh_pairs_raw","dedup_simhash_pairs","dedup_clusters_raw","sim_cosine_topk","sim_lsh_topk","sketch_cms_raw","log_hourly","q_session_window","q_window_top3","doc_pack","doc_pipeline_summary","text_bigram_lm_raw","text_boilerplate","sim_quantize_int8","log_gapfill","q_lateral_topk","sim_kmeans","sim_pq_codes_raw","doc_mixture","log_pagerank","text_keywords","log_transitions","dedup_canonical","text_entropy","log_cooccurrence","text_novelty","doc_filter_reasons","log_markov_score","doc_token_budget","log_rfm","mm_decode_features","mm_audio_energy","mm_video_meta","sim_triangles","sim_mutual_knn","sim_threshold_hist","dedup_semantic_verified","doc_sample_stratified","doc_sample_weighted","sketch_qdigest_merge","sketch_hll_merge","sketch_cms_merge_raw","sketch_bloom_merge_raw","doc_dedup_paragraphs","doc_dsir_weights","doc_sample_temperature","text_perplexity_tiers_raw","sim_sample_percell","dedup_semantic_multiprobe","text_learnability","text_contamination_ngrams","sim_cell_outliers","text_zipf_fit","doc_sample_unimax","sim_knn_classify","doc_split_safe","doc_delta","text_vocab_coverage","sim_rp_project","doc_interleave","log_ab_metrics","doc_curation_report","log_hll_overlap_bounds","doc_forget","log_funnel_latency","log_skew_profile","doc_source_profile","log_bot_detection","doc_canary_scan","text_source_overlap","sim_cell_balance","doc_pack_efficiency","doc_pack_bpe_efficiency","sim_label_purity","text_langid_eval","sim_batch_topk","log_error_burst","doc_shard_assign","doc_length_outliers","text_bpe_merge","mm_neardup_pairs_raw","log_forecast_baseline","sim_power_iteration","sim_dim_profile","doc_quality_vs_dup","doc_bloom_decontaminate","log_user_gini","log_seasonality_profile","doc_novelty_curve","dedup_cluster_savings","dedup_minhash_est","q_asof_nearest","text_fertility","log_session_paths","mm_neardup_clusters","doc_epoch_plan","dedup_band_design","sim_silhouette","doc_epoch_expand","sim_confusion_matrix","dedup_df_profile","log_dau_mau","log_anomaly_seasonal","sim_pq_distortion","dedup_cross_source","sim_centroid_shift","log_psi_drift","log_cusum_changepoint","log_audience_overlap","sim_recall_vs_nprobe","doc_curriculum_phases","mm_scene_cuts","text_kl_source_drift","log_benford","sim_matryoshka_recall","sim_mmr_rerank","sim_graph_assortativity","log_ks_drift","sketch_hist_quantiles","dedup_threshold_sweep","log_anomaly_burst_runs","log_ab_cuped","log_survival_curve","mm_av_sync","log_change_decomposition","text_pmi_top","doc_lang_mix","sim_kcenter_init","doc_mixture_targets","sim_init_quality","log_peak_concurrency","dedup_audit_queue","q_incremental_agg","text_ttr","sim_hubness","doc_pack_greedy","log_burstiness","log_interarrival_profile","sim_energy_distance","text_dup_ngram_rate","sim_kcenter_init_raw","dedup_bbit_minhash","text_gopher_rules","sim_ivf_probe_cost","mm_bytes_balance","log_holt_forecast","log_mad_anomaly","text_rake_keyphrases","doc_coreset_weights","log_scd2_intervals","log_markov_stationary","doc_dsir_select","log_error_budget_burn","sim_norm_outliers","log_ab_srm_check","sim_pca_top_component","doc_pareto_frontier","log_acf","text_heaps_fit","sketch_kmv","sketch_kmv_merge","doc_cdc_chunks","log_shapley_attribution","log_entropy_rate","sim_twonn_id","sketch_kmv_intersect","doc_cdc_dedup","log_power_analysis","log_removal_effect","log_ab_segments","log_ltv_cohorts","text_word_dispersion","doc_chunk_containment","text_mtld","sketch_ams_f2","sim_clustering_coefficient","log_holt_winters","doc_bm25_topk","sim_ann_ndcg","log_rate_limit_replay","dedup_weighted_jaccard","log_forecast_backtest","log_rank_movers","text_posting_compression","q_revenue_concentration","q_basket_pairs","text_langid_auc","text_langid_calibration","sim_ann_mrr_map","log_mann_kendall","log_theil_sen","log_ewma_chart","dedup_editdist","text_log_odds","sketch_mg_heavy","sim_hard_negatives","text_burrows_delta","sim_lid_profile","sim_rank_fusion","sim_label_propagation","log_dense_grid_raw","log_seasonal_decompose","log_spectrum","text_simpson_index","log_ab_sequential","log_chi2_independence","log_decile_lift","text_source_counts_raw","sim_index_store_raw","sim_index_vacuum_raw","text_bpe_corpus_raw","log_k_anonymity","log_anonymize_release","log_k_widen_release","text_bpe_store_roundtrip","sim_index_stats","sim_index_append_serve","sim_index_forget_audit","sim_index_compact_audit","doc_pack_bpe","text_bpe_fertility_drift","log_dp_release","log_dp_hourly","log_dp_hourly_user","sketch_qdigest_quantiles")
+    val stress = Seq("q1_pricing_summary","q5_nation_revenue","q7_nation_trade","q_topk_customers","wc_word_counts","dedup_lsh_pairs_raw","dedup_simhash_pairs","dedup_clusters_raw","sim_cosine_topk","sim_lsh_topk","sketch_cms_raw","log_hourly","q_session_window","q_window_top3","doc_pack","doc_pipeline_summary","text_bigram_lm_raw","text_boilerplate","sim_quantize_int8","log_gapfill","q_lateral_topk","sim_kmeans","sim_pq_codes_raw","doc_mixture","log_pagerank","text_keywords","log_transitions","dedup_canonical","text_entropy","log_cooccurrence","text_novelty","doc_filter_reasons","log_markov_score","doc_token_budget","log_rfm","mm_decode_features","mm_audio_energy","mm_video_meta","mm_audio_meta","sim_triangles","sim_mutual_knn","sim_threshold_hist","dedup_semantic_verified","doc_sample_stratified","doc_sample_weighted","sketch_qdigest_merge","sketch_hll_merge","sketch_cms_merge_raw","sketch_bloom_merge_raw","doc_dedup_paragraphs","doc_dsir_weights","doc_sample_temperature","text_perplexity_tiers_raw","sim_sample_percell","dedup_semantic_multiprobe","text_learnability","text_contamination_ngrams","sim_cell_outliers","text_zipf_fit","doc_sample_unimax","sim_knn_classify","doc_split_safe","doc_delta","text_vocab_coverage","sim_rp_project","doc_interleave","log_ab_metrics","doc_curation_report","log_hll_overlap_bounds","doc_forget","log_funnel_latency","log_skew_profile","doc_source_profile","log_bot_detection","doc_canary_scan","text_source_overlap","sim_cell_balance","doc_pack_efficiency","doc_pack_bpe_efficiency","sim_label_purity","text_langid_eval","sim_batch_topk","log_error_burst","doc_shard_assign","doc_length_outliers","text_bpe_merge","mm_neardup_pairs_raw","log_forecast_baseline","sim_power_iteration","sim_dim_profile","doc_quality_vs_dup","doc_bloom_decontaminate","log_user_gini","log_seasonality_profile","doc_novelty_curve","dedup_cluster_savings","dedup_minhash_est","q_asof_nearest","text_fertility","log_session_paths","mm_neardup_clusters","doc_epoch_plan","dedup_band_design","sim_silhouette","doc_epoch_expand","sim_confusion_matrix","dedup_df_profile","log_dau_mau","log_anomaly_seasonal","sim_pq_distortion","dedup_cross_source","sim_centroid_shift","log_psi_drift","log_cusum_changepoint","log_audience_overlap","sim_recall_vs_nprobe","doc_curriculum_phases","mm_scene_cuts","text_kl_source_drift","log_benford","sim_matryoshka_recall","sim_mmr_rerank","sim_graph_assortativity","log_ks_drift","sketch_hist_quantiles","dedup_threshold_sweep","log_anomaly_burst_runs","log_ab_cuped","log_survival_curve","mm_av_sync","log_change_decomposition","text_pmi_top","doc_lang_mix","sim_kcenter_init","doc_mixture_targets","sim_init_quality","log_peak_concurrency","dedup_audit_queue","q_incremental_agg","text_ttr","sim_hubness","doc_pack_greedy","log_burstiness","log_interarrival_profile","sim_energy_distance","text_dup_ngram_rate","sim_kcenter_init_raw","dedup_bbit_minhash","text_gopher_rules","sim_ivf_probe_cost","mm_bytes_balance","log_holt_forecast","log_mad_anomaly","text_rake_keyphrases","doc_coreset_weights","log_scd2_intervals","log_markov_stationary","doc_dsir_select","log_error_budget_burn","sim_norm_outliers","log_ab_srm_check","sim_pca_top_component","doc_pareto_frontier","log_acf","text_heaps_fit","sketch_kmv","sketch_kmv_merge","doc_cdc_chunks","log_shapley_attribution","log_entropy_rate","sim_twonn_id","sketch_kmv_intersect","doc_cdc_dedup","log_power_analysis","log_removal_effect","log_ab_segments","log_ltv_cohorts","text_word_dispersion","doc_chunk_containment","text_mtld","sketch_ams_f2","sim_clustering_coefficient","log_holt_winters","doc_bm25_topk","sim_ann_ndcg","log_rate_limit_replay","dedup_weighted_jaccard","log_forecast_backtest","log_rank_movers","text_posting_compression","q_revenue_concentration","q_basket_pairs","text_langid_auc","text_langid_calibration","sim_ann_mrr_map","log_mann_kendall","log_theil_sen","log_ewma_chart","dedup_editdist","text_log_odds","sketch_mg_heavy","sim_hard_negatives","text_burrows_delta","sim_lid_profile","sim_rank_fusion","sim_label_propagation","log_dense_grid_raw","log_seasonal_decompose","log_spectrum","text_simpson_index","log_ab_sequential","log_chi2_independence","log_decile_lift","text_source_counts_raw","sim_index_store_raw","sim_index_vacuum_raw","text_bpe_corpus_raw","log_k_anonymity","log_anonymize_release","log_k_widen_release","text_bpe_store_roundtrip","sim_index_stats","sim_index_append_serve","sim_index_forget_audit","sim_index_compact_audit","doc_pack_bpe","text_bpe_fertility_drift","log_dp_release","log_dp_hourly","log_dp_hourly_user","sketch_qdigest_quantiles")
       // at 100x: only the pinned top-10 most-expensive bench rows
       // (BENCH_r11 ranking) — the superlinear-tail spot set; the
       // full inventory at 100x would run for hours without adding

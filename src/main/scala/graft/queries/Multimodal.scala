@@ -177,6 +177,41 @@ object Multimodal {
         .orderBy($"doc_id")
     }),
 
+    // WAV/RIFF container metadata (r16, beside mm_video_meta — the
+    // other real binary the verdict's gap list named): each doc
+    // synthesizes a spec-conformant RIFF whose knobs sweep the layout
+    // space — PCM format 1 at 8/16/24 bits vs IEEE-float format 3 at
+    // 32, mono/stereo, four sample rates, an optional LIST/INFO chunk
+    // whose odd sizes exercise the RIFF word-alignment pad (the bug
+    // every naive reader ships), odd data chunks padded too — and
+    // AudioHeaders.parse walks the real little-endian chunk structure
+    // back out with fmt internal-consistency enforcement. The oracle
+    // rebuilds every field arithmetically from the fixture columns.
+    // Pure per-row map, no shuffle until the presentation sort.
+    "mm_audio_meta" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .select($"doc_id").as[Long]
+        .map { id =>
+          val float32 = id % 5 == 0
+          val bits =
+            if (float32) 32 else Seq(8, 16, 24)((id % 3).toInt)
+          val payload = graft.multimodal.AudioHeaders.buildWav(
+            channels = (id % 2).toInt + 1,
+            sampleRate = Seq(8000, 16000, 22050, 44100)(((id / 2) % 4).toInt),
+            bits = bits, float32 = float32, frames = id % 500 + 1,
+            listPayload = (id % 9).toInt)
+          val m = graft.multimodal.AudioHeaders.parse(payload)
+            .getOrElse(sys.error(s"unparseable container for doc $id"))
+          (id, m.format, m.codec, m.channels, m.sample_rate,
+            m.bits_per_sample, m.n_frames, m.duration_ms,
+            payload.length.toLong)
+        }
+        .toDF("doc_id", "format", "codec", "channels", "sample_rate",
+          "bits_per_sample", "n_frames", "duration_ms", "riff_bytes")
+        .orderBy($"doc_id")
+    }),
+
     // Frame sampling over an opaque payload — the video-column shape:
     // every 64-byte chunk is a "frame", output bounded to the first 5
     // frames per record (at 100 TB the cap is what keeps a single wide
@@ -523,6 +558,37 @@ object Multimodal {
         |    + CASE doc_id % 4 WHEN 0 THEN 16 ELSE 8 END
         |    + doc_id % 16 AS BIGINT) AS container_bytes
         |FROM v ORDER BY doc_id""".stripMargin,
+
+    // every field rebuilt arithmetically, including the RIFF
+    // word-alignment pads (odd LIST and odd data chunks each carry
+    // one uncounted pad byte)
+    "mm_audio_meta" ->
+      """WITH v AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN 32
+        |      ELSE CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 16
+        |        ELSE 24 END END AS bps,
+        |    doc_id % 2 + 1 AS ch,
+        |    CASE (doc_id // 2) % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |      WHEN 2 THEN 22050 ELSE 44100 END AS rate,
+        |    doc_id % 500 + 1 AS frames,
+        |    doc_id % 9 AS lp
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, bps, ch, rate, frames, lp,
+        |    frames * (ch * bps // 8) AS data_bytes
+        |  FROM v)
+        |SELECT doc_id, 'wav' AS format,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'float' ELSE 'pcm' END AS codec,
+        |  CAST(ch AS BIGINT) AS channels,
+        |  CAST(rate AS BIGINT) AS sample_rate,
+        |  CAST(bps AS BIGINT) AS bits_per_sample,
+        |  CAST(frames AS BIGINT) AS n_frames,
+        |  CAST(frames * 1000 // rate AS BIGINT) AS duration_ms,
+        |  CAST(44
+        |    + CASE WHEN lp > 0 THEN 8 + lp + lp % 2 ELSE 0 END
+        |    + data_bytes + data_bytes % 2 AS BIGINT) AS riff_bytes
+        |FROM w ORDER BY doc_id""".stripMargin,
 
     "mm_frame_sample" ->
       """WITH m AS (SELECT doc_id AS media_id, text AS payload
