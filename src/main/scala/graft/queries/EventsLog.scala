@@ -121,15 +121,22 @@ object EventsLog {
     * as the corpus grows (100 TB of events over the same month still
     * yields 720 grid rows per type). Columns: event_type, i, j, ni,
     * nj (the two hourly counts). */
-  private def hourIndexPairs(s: SparkSession, d: String): DataFrame = {
+  /** Per-type dense hourly count series as ONE h-sorted in-row array —
+    * the pair stream Mann-Kendall and Theil-Sen read, generated IN-ROW
+    * by index-aware transforms instead of the former row_number +
+    * equi-self-join on event_type (r16 optimization): the join keyed on
+    * the ≤5-value type alphabet capped parallelism at |types| tasks and
+    * materialized the full nh² pair square before its i<j filter, while
+    * the hour series is calendar-bounded (720 structs/month·type), so
+    * the array form is a bounded row and downstream pair work is pure
+    * whole-stage-codegen arithmetic. array_sort on struct(h, n) orders
+    * by h (h is unique per type in the dense grid), so element index
+    * i == the former row_number − 1. */
+  private def hourSeriesArr(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val wrn = Window.partitionBy($"event_type").orderBy($"h")
-    val idx = denseHourGridShared(s, d)
-      .select($"event_type", $"n",
-        row_number().over(wrn).cast("long").as("i"))
-    val a = idx.select($"event_type", $"i", $"n".as("ni"))
-    val b = idx.select($"event_type", $"i".as("j"), $"n".as("nj"))
-    a.join(b, Seq("event_type")).filter($"i" < $"j")
+    denseHourGridShared(s, d)
+      .groupBy($"event_type")
+      .agg(array_sort(collect_list(struct($"h", $"n"))).as("a"))
   }
 
   /** The 10-bin value-bin rule shared by the declared log_psi_drift
@@ -2381,10 +2388,20 @@ object EventsLog {
     // type, never event-volume-bounded.
     "log_mann_kendall" -> ((s, d) => {
       import s.implicits._
-      val pk = hourIndexPairs(s, d)
-        .groupBy($"event_type")
-        .agg(sum(when($"nj" > $"ni", 1L).when($"nj" < $"ni", -1L)
-          .otherwise(0L)).as("s"))
+      // S folds IN-ROW over the bounded hour series (one aggregate HOF
+      // per type — no pair row is ever materialized); sign terms and
+      // their sum are the exact integers the old pair-join summed
+      val pk = hourSeriesArr(s, d)
+        // a 1-hour series has no pairs: the old pair join emitted no
+        // row for it (and the oracle's pk CTE still doesn't) — keep
+        // that absence rather than a vacuous s=0 row
+        .filter(size($"a") >= 2)
+        .select($"event_type", expr(
+          "aggregate(flatten(transform(a, (x, i) ->" +
+            " transform(slice(a, i + 2, size(a))," +
+            " y -> case when y.n > x.n then 1L" +
+            " when y.n < x.n then -1L else 0L end)))," +
+            " 0L, (acc, v) -> acc + v)").as("s"))
       val ties = denseHourGridShared(s, d)
         .groupBy($"event_type", $"n").agg(count(lit(1)).as("tg"))
         .groupBy($"event_type")
@@ -2429,18 +2446,52 @@ object EventsLog {
     // the ≤(hours choose 2) slope rows.
     "log_theil_sen" -> ((s, d) => {
       import s.implicits._
-      val sl = hourIndexPairs(s, d)
-        .select($"event_type",
-          expr("(nj - ni) * 1000000 div (j - i)").as("sl_e6"))
-      val wsl = Window.partitionBy($"event_type").orderBy($"sl_e6")
-      sl.withColumn("rn", row_number().over(wsl))
-        .withColumn("np", count(lit(1)).over(
-          Window.partitionBy($"event_type")))
-        .filter($"rn" === expr("(np + 1) div 2") ||
-          ($"np" % 2L === 0L && $"rn" === expr("np div 2 + 1")))
+      // r16 optimization, two structural moves (guide §2.4/§2.5): the
+      // pairwise slopes explode IN-ROW from the bounded per-type hour
+      // series (the old row_number + equi-self-join keyed on the
+      // ≤5-value type alphabet capped parallelism at |types| tasks and
+      // materialized the nh² square), and the median is a cumulative-
+      // rank cut over the DISTINCT-slope histogram instead of a
+      // row_number sort over every pair row — the mid ranks (np+1)
+      // div 2 / np div 2 + 1 select the same order statistics, with
+      // np the closed form C(nh, 2). Slope values stay the exact e6
+      // integers (same `div`), so mid_sum/n_mid are unchanged.
+      // two-level explode: the outer index fans out FIRST (one row per
+      // (type, i) with the array along) and a round-robin repartition
+      // spreads the nh² inner work over every core — a single in-row
+      // flatten would generate all slopes inside |types| tasks (the
+      // sim_pca_top_component fan-out precedent)
+      val outer = hourSeriesArr(s, d)
+        .select($"event_type", size($"a").cast("long").as("nh"),
+          $"a", posexplode($"a"))
+        .select($"event_type", $"nh", $"a", $"pos", $"col.n".as("xn"))
+      val par = s.sparkContext.defaultParallelism
+      val spread = if (outer.rdd.getNumPartitions < par)
+        outer.repartition(par) else outer
+      val cnt = spread
+        .select($"event_type", $"nh", explode(expr(
+          "transform(slice(a, pos + 2, size(a))," +
+            " (y, k) -> (y.n - xn) * 1000000 div (k + 1))")).as("sl_e6"))
+        .groupBy($"event_type", $"nh", $"sl_e6")
+        .agg(count(lit(1)).as("c"))
+      val wc = Window.partitionBy($"event_type").orderBy($"sl_e6")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cnt
+        .withColumn("cum", sum($"c").over(wc))
+        .withColumn("np", expr("nh * (nh - 1) div 2"))
+        .withColumn("r1", expr("(np + 1) div 2"))
+        .withColumn("r2", expr(
+          "case when np % 2 = 0 then np div 2 + 1" +
+            " else cast(null as bigint) end"))
+        .withColumn("hits",
+          when($"cum" - $"c" < $"r1" && $"r1" <= $"cum", 1L)
+            .otherwise(0L) +
+            when($"r2".isNotNull && $"cum" - $"c" < $"r2" &&
+              $"r2" <= $"cum", 1L).otherwise(0L))
+        .filter($"hits" > 0L)
         .groupBy($"event_type")
-        .agg(max($"np").as("n_pairs"), count(lit(1)).as("n_mid"),
-          sum($"sl_e6").as("mid_sum"))
+        .agg(max($"np").as("n_pairs"), sum($"hits").as("n_mid"),
+          sum($"sl_e6" * $"hits").as("mid_sum"))
         .select($"event_type", $"n_pairs",
           round($"mid_sum".cast("double") / ($"n_mid" * 1e6), 4)
             .as("slope_per_hour"))
@@ -2925,21 +2976,20 @@ object EventsLog {
         .agg(count(lit(1)).as("c"))
         .withColumn("r", sum($"c").over(
           org.apache.spark.sql.expressions.Window.partitionBy($"src")))
-        .localCheckpoint()
-      val states = trans.select($"src".as("event_type")).distinct()
-      val k = states.agg(count(lit(1)).as("k"))
-      var pi = states.crossJoin(broadcast(k))
-        .select($"event_type",
-          expr("cast(10000000000 as bigint) div k").as("p_e10"))
-        .localCheckpoint()
-      for (_ <- 1 to 12) {
-        pi = trans.join(pi.withColumnRenamed("event_type", "src"), "src")
-          .groupBy($"dst".as("event_type"))
-          // DECIMAL(38,0): p·c overflows int64 at cluster-scale counts
-          .agg(sum(expr("cast(p_e10 as decimal(38,0)) * c div r"))
-            .as("p_e10"))
-          .localCheckpoint()
-      }
+      // The 12 power iterations run ON THE DRIVER over the collected
+      // transition edges (r16 optimization, the log_removal_effect
+      // discipline): the frame is ALPHABET-BOUNDED — (alphabet)² edges,
+      // ≤ ~40 rows at any corpus size, a documented legitimate collect —
+      // so iterating it through 12 Spark jobs + localCheckpoints priced
+      // pure scheduler overhead, never data. markovIterate replays the
+      // old frame fold edge-for-edge (π·c div r per edge, summed per
+      // dst, inner-join key semantics preserved), so the oracle's
+      // depth-12 recursive CTE hash is unchanged (MarkovIterateSpec
+      // pins the fold against a hand-computed chain).
+      val edges = trans.collect().toSeq.map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      val pi = markovIterate(edges).toSeq
+        .toDF("event_type", "p_e10")
       val emp = ev.groupBy($"event_type").agg(count(lit(1)).as("n"))
         .withColumn("tot", sum($"n").over(
           org.apache.spark.sql.expressions.Window.partitionBy()))
@@ -6084,6 +6134,36 @@ object EventsLog {
       v = nv
     }
     (v, it)
+  }
+
+  /** The 12-round integer power iteration behind log_markov_stationary,
+    * as pure BigInt driver math over the alphabet-bounded edge list
+    * (src, dst, c, r): π₀(src) = 10¹⁰ div |states| over the distinct
+    * srcs, then each round recomputes π(dst) = Σ π(src)·c div r over
+    * the in-edges whose src currently HOLDS a value — edge-for-edge
+    * the DECIMAL(38,0) fold the frame version ran, including the inner
+    * -join key semantics (a state that only ever appears as dst gains
+    * a value; a src never re-entered as dst drops out after round 1),
+    * so results are bit-identical to the oracle's depth-12 recursive
+    * CTE. Values stay ≤ 10¹⁰ (each round's floor-divs only lose mass),
+    * so the Long narrowing is exact. */
+  private[graft] def markovIterate(
+      edges: Seq[(String, String, Long, Long)],
+      iters: Int = 12): Map[String, Long] = {
+    val k = edges.map(_._1).distinct.size
+    var v: Map[String, BigInt] =
+      edges.map(_._1).distinct
+        .map(_ -> BigInt(10000000000L) / k).toMap
+    for (_ <- 1 to iters) {
+      v = edges.filter(e => v.contains(e._1))
+        .groupBy(_._2)
+        .map { case (dst, es) =>
+          dst -> es.map { case (s0, _, c, r) =>
+            v(s0) * c / r
+          }.sum
+        }
+    }
+    v.map { case (st, p) => st -> p.toLong }
   }
 
   /** The contribution-bounded (user_id, h, kept) frame behind

@@ -1515,17 +1515,28 @@ object PipelineOps {
     // decontamination precedent).
     "text_source_overlap" -> ((s, d) => {
       import s.implicits._
-      val grams = t(s, d, "documents")
+      // ONE gram-keyed exchange instead of distinct + self-join (r16
+      // optimization, guide §2.3/2.4): the per-gram source set is
+      // bounded by the source alphabet, so collect_set folds the
+      // (source, gram) occurrences map-side and the a<b pairs explode
+      // IN-ROW from the sorted set — the old plan shuffled the distinct
+      // gram table twice more to feed the g-keyed self-join. array_sort
+      // uses the same binary UTF8 ordering as the old `a.source <
+      // b.source` predicate, so the pair set is identical.
+      val gsets = t(s, d, "documents")
         .select($"source", toksCol.as("toks"))
         .filter(size($"toks") >= 8)
         .select($"source", explode(expr(
           "transform(sequence(1, size(toks) - 7)," +
             " i -> xxhash64(array_join(slice(toks, i, 8), ' ')))")).as("g"))
-        .distinct()
-      val sizes = grams.groupBy($"source").agg(count(lit(1)).as("n"))
-      grams.as("a").join(grams.as("b"),
-          $"a.g" === $"b.g" && $"a.source" < $"b.source")
-        .groupBy($"a.source".as("src_a"), $"b.source".as("src_b"))
+        .groupBy($"g").agg(sort_array(collect_set($"source")).as("ss"))
+      val sizes = gsets.select(explode($"ss").as("source"))
+        .groupBy($"source").agg(count(lit(1)).as("n"))
+      gsets.filter(size($"ss") >= 2)
+        .select(explode(expr(
+          "flatten(transform(ss, (x, i) -> transform(slice(ss, i + 2," +
+            " size(ss)), y -> struct(x AS a, y AS b))))")).as("p"))
+        .groupBy($"p.a".as("src_a"), $"p.b".as("src_b"))
         .agg(count(lit(1)).as("shared_grams"))
         .join(broadcast(sizes.select($"source".as("src_a"), $"n".as("na"))),
           "src_a")
@@ -1792,13 +1803,21 @@ object PipelineOps {
             " i -> xxhash64(array_join(slice(toks, i, 8), ' ')))")).as("g"))
         .groupBy($"source", $"g")
         .agg(count(lit(1)).as("n_occ"))
-      val freq = occ.groupBy($"g")
-        .agg(sum($"n_occ").as("cnt"), count(lit(1)).as("n_src"))
-      occ.join(freq, "g")
-        .groupBy($"source")
-        .agg(sum($"n_occ").as("n_grams"),
-          sum(when($"cnt" > 1L, $"n_occ").otherwise(0L)).as("n_dup_occ"),
-          sum(when($"n_src" > 1L, $"n_occ").otherwise(0L)).as("n_xsrc_occ"))
+      // ONE gram-keyed exchange instead of agg + re-join on g (r16
+      // optimization, guide §2.3/2.4): the per-gram (source, n_occ)
+      // list is bounded by the source alphabet, so the corpus-wide
+      // occurrence count (cnt) and source spread (n_src) fold in-row
+      // and the per-source rollup reads the exploded list — the old
+      // plan shuffled the occ table a second time to feed the join.
+      occ.groupBy($"g")
+        .agg(collect_list(struct($"source", $"n_occ")).as("os"))
+        .select(expr("aggregate(os, 0L, (a, o) -> a + o.n_occ)").as("cnt"),
+          size($"os").cast("long").as("n_src"), explode($"os").as("o"))
+        .groupBy($"o.source".as("source"))
+        .agg(sum($"o.n_occ").as("n_grams"),
+          sum(when($"cnt" > 1L, $"o.n_occ").otherwise(0L)).as("n_dup_occ"),
+          sum(when($"n_src" > 1L, $"o.n_occ").otherwise(0L))
+            .as("n_xsrc_occ"))
         .select($"source", $"n_grams", $"n_dup_occ", $"n_xsrc_occ",
           round($"n_dup_occ".cast("double") / $"n_grams", 4)
             .as("dup_share"),
@@ -2094,9 +2113,14 @@ object PipelineOps {
           .as("batch"), explode(expr(
           "transform(sequence(1, size(toks) - 7)," +
             " i -> xxhash64(array_join(slice(toks, i, 8), ' ')))")).as("gh"))
-        .distinct()
-      val fb = g.groupBy($"gh").agg(min($"batch").as("b0"))
-      g.join(fb, "gh")
+      // ONE gram-keyed exchange instead of distinct + min-agg + re-join
+      // (r16 optimization, guide §2.3/2.4): the per-gram batch set is
+      // bounded by the 10-batch domain, so collect_set dedups map-side,
+      // the first-batch min folds in-row, and the per-batch rollup
+      // reads the exploded set — identical counts to the old
+      // distinct/join plan, two fewer full exchanges of the gram table.
+      g.groupBy($"gh").agg(collect_set($"batch").as("bs"))
+        .select(array_min($"bs").as("b0"), explode($"bs").as("batch"))
         .groupBy($"batch")
         .agg(count(lit(1)).as("n_grams"),
           sum(when($"b0" === $"batch", 1L).otherwise(0L)).as("n_new"))

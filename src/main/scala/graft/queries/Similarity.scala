@@ -2759,61 +2759,65 @@ object Similarity {
         // schedules 1 task, not 32 empty ones (judge r11 re-plan)
         .coalesce(1)
         .localCheckpoint()
-      // the 8 power iterations run on ONE row holding M (row-major
-      // decimal array) and w — each step is pure array-HOF arithmetic
-      // (zip_with dot products + an aggregate max), so an iteration is
-      // a single 1-row narrow job with NO join/shuffle; localCheckpoint
-      // per step resets lineage so tv's expression is never inlined
-      // twice (CollapseProject would otherwise grow the tree 3^8×).
-      // Integer semantics are bit-identical to the former row form:
-      // same decimal(38,0) products/sums, same greatest/abs max, same
-      // `div` rescale — the oracle's unrolled CTEs replay unchanged.
-      var st = mM
-        .agg(expr("array_sort(collect_list(named_struct(" +
-          "'j', j, 'k', k, 'm', m)))").as("ms"))
-        .crossJoin(broadcast(sz))
-        .select(expr("transform(ms, e -> e.m)").as("marr"),
-          expr("array_repeat(cast(10000 as decimal(38,0)), sz)")
-            .as("warr"))
-        .coalesce(1)
-        .localCheckpoint()
-      for (_ <- 1 to 8) {
-        st = st
-          .withColumn("tv", expr(
-            "transform(warr, (wj, j) -> aggregate(" +
-              "zip_with(slice(marr, j * cardinality(warr) + 1," +
-              " cardinality(warr)), warr, (m, w) -> m * w)," +
-              " cast(0 as decimal(38,0)), (a, x) -> a + x))"))
-          .withColumn("mx", expr(
-            "aggregate(tv, cast(0 as decimal(38,0))," +
-              " (a, t) -> greatest(a, abs(t)))"))
-          .select($"marr", expr(
-            "transform(tv, t -> cast(case when t < 0" +
-              " then -((-t) * 10000 div mx)" +
-              " else (t * 10000) div mx end as decimal(38,0)))")
-            .as("warr"))
-          .localCheckpoint()
+      // The 8 power iterations, variance share and top-5 selection run
+      // ON THE DRIVER over the collected co-moment matrix (r16
+      // optimization, the log_removal_effect discipline): mM is
+      // dim²-BOUNDED (≤ 64² rows at any corpus size — a documented
+      // legitimate collect), so iterating it through 8 one-row Spark
+      // jobs + localCheckpoints and four scalar joins priced pure
+      // scheduler overhead, never data. The BigInt arithmetic replays
+      // the old decimal(38,0) fold element-for-element (tv = M·w, the
+      // greatest/abs max, the sign-split `div` rescale, the share's
+      // rounding-adjusted div) — AnnInvariantsSpec's driver replay has
+      // always pinned exactly this recursion against the query output,
+      // and the oracle's unrolled CTEs replay unchanged. Degenerate
+      // corpora keep the old plan's semantics: an empty corpus yields
+      // an empty frame; an all-constant corpus (M = 0, so the rescale
+      // divided by zero → null in the old plan) yields the same
+      // null-loading rows over the first 5 dims.
+      val mRows = mM.collect()
+      val dim = if (mRows.isEmpty) 0
+        else mRows.iterator.map(_.getInt(0)).max + 1
+      if (dim == 0)
+        Seq.empty[(Long, Long, Option[Double], Option[Double])]
+          .toDF("rank", "dim", "loading", "top_var_share")
+      else {
+        val m = Array.ofDim[BigInt](dim, dim)
+        mRows.foreach { r =>
+          m(r.getInt(0))(r.getInt(1)) =
+            BigInt(r.getDecimal(2).toBigInteger)
+        }
+        var w = Array.fill(dim)(BigInt(10000))
+        var degenerate = false
+        for (_ <- 1 to 8 if !degenerate) {
+          val tv = Array.tabulate(dim)(j =>
+            (0 until dim).map(k => m(j)(k) * w(k)).sum)
+          val mx = tv.map(_.abs).max
+          if (mx == 0) degenerate = true
+          else w = tv.map(tt =>
+            if (tt < 0) -((-tt) * 10000 / mx) else tt * 10000 / mx)
+        }
+        if (degenerate)
+          (1 to math.min(5, dim)).map(r =>
+            (r.toLong, (r - 1).toLong, Option.empty[Double],
+              Option.empty[Double]))
+            .toDF("rank", "dim", "loading", "top_var_share")
+        else {
+          val num = (0 until dim).map(j =>
+            (0 until dim).map(k => w(j) * m(j)(k) * w(k)).sum).sum
+          val den = w.map(x => x * x).sum
+          val tr = (0 until dim).map(j => m(j)(j)).sum
+          val shareE4 = (2 * num * 10000 + den * tr) / (2 * den * tr)
+          w.zipWithIndex
+            .sortBy { case (x, j) => (-x.abs, j) }.take(5)
+            .zipWithIndex.map { case ((wj, j), r) =>
+              ((r + 1).toLong, j.toLong, Some(wj.toDouble / 1e4),
+                Some(shareE4.toDouble / 1e4))
+            }.toSeq
+            .toDF("rank", "dim", "loading", "top_var_share")
+            .orderBy($"rank")
+        }
       }
-      val w = st.select(posexplode($"warr"))
-        .select($"pos".cast("int").as("j"), $"col".as("w"))
-        .coalesce(1)
-        .localCheckpoint()
-      val num = mM.join(w.toDF("j", "wa"), "j")
-        .join(w.toDF("k", "wb"), "k")
-        .agg(sum(expr("wa * m * wb")).as("num"))
-      val den = w.agg(sum(expr("w * w")).as("den"))
-      val tr = mM.filter($"j" === $"k").agg(sum($"m").as("tr"))
-      val share = num.crossJoin(den).crossJoin(tr)
-        .select(expr("cast((2 * num * 10000 + den * tr)" +
-          " div (2 * den * tr) as bigint)").as("share_e4"))
-      val wAbs = Window.orderBy(abs($"w").desc, $"j".asc)
-      w.orderBy(abs($"w").desc, $"j".asc).limit(5)
-        .withColumn("rank", row_number().over(wAbs).cast("long"))
-        .crossJoin(broadcast(share))
-        .select($"rank", $"j".cast("long").as("dim"),
-          ($"w".cast("double") / 1e4).as("loading"),
-          ($"share_e4".cast("double") / 1e4).as("top_var_share"))
-        .orderBy($"rank")
     }),
 
     // Embedding norm health profile — the collapse/inflation screen an

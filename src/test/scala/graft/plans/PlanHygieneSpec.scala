@@ -144,7 +144,6 @@ class PlanHygieneSpec extends SparkSpec {
     "sim_ivf_probe_cost",    // 1-row 8-centroid codebook broadcast
     "doc_coreset_weights",   // 1-row 8-seed codebook broadcast
     "sim_norm_outliers",     // two 1-row median/p90 scalar broadcasts
-    "sim_pca_top_component", // 1-row corpus-count + eigen-share scalars
     "sim_index_append_serve",// 1-row stored-codebook (supers) broadcast —
                              // the persisted-index serve replays the
                              // ivfCells assignment fold

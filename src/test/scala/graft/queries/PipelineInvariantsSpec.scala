@@ -4021,4 +4021,32 @@ class PipelineInvariantsSpec extends SparkSpec {
     assert(v2("START") == BigInt(1000000000000L) / 3)
     assert(it2 == 2)
   }
+
+  test("markovIterate replays the frame fold edge-for-edge") {
+    // hand-computed 2-state chain: a -> b (always), b -> a (1/2),
+    // b -> b (1/2). π₀ = (5e9, 5e9); the depth-12 fold below is the
+    // exact integer recursion the old frame loop ran (π·c div r per
+    // edge, summed per dst), so the helper must match it bit-for-bit.
+    val edges = Seq(
+      ("a", "b", 2L, 2L), ("b", "a", 1L, 2L), ("b", "b", 1L, 2L))
+    var v = Map[String, BigInt]("a" -> BigInt(5000000000L),
+      "b" -> BigInt(5000000000L))
+    for (_ <- 1 to 12)
+      v = edges.filter(e => v.contains(e._1)).groupBy(_._2).map {
+        case (dst, es) =>
+          dst -> es.map { case (s0, _, c, r) => v(s0) * c / r }.sum
+      }
+    val got = EventsLog.markovIterate(edges)
+    assert(got == v.map { case (k, p) => k -> p.toLong },
+      s"fold diverges: $got vs $v")
+    // inner-join key semantics: a state appearing ONLY as dst gains
+    // mass it then redistributes; one appearing only as src drops out
+    // after round 1 (the old frame's inner join) — 'x' never re-enters
+    val g2 = EventsLog.markovIterate(Seq(("x", "y", 1L, 1L),
+      ("y", "y", 1L, 1L)))
+    // round 1 folds x's 5e9 into y (10e9 total), then x drops out and
+    // y's self-loop keeps the mass
+    assert(!g2.contains("x") && g2("y") == 10000000000L,
+      s"join-key semantics diverge: $g2")
+  }
 }
