@@ -22,6 +22,16 @@ object RawBuilds {
     // farthest-first seed frame; this drives the real 7-pass build
     "sim_kcenter_init_raw" -> ((s, d) => queries.Similarity.kcenterRaw(s, d)),
     "dedup_clusters_raw" -> ((s, d) => queries.Dedup.componentsRaw(s, d)),
+    // the candidate-pair exact-Jaccard table five dedup governance
+    // queries read through a FrameMemo since r16; this drives the real
+    // candidate shingle explode + pair-join build
+    "dedup_cand_jaccard_raw" -> ((s, d) =>
+      queries.Dedup.candJaccard3Raw(s, d)),
+    // the per-user QI profile six privacy-governance queries read
+    // through a FrameMemo since r16; this drives the real user-keyed
+    // event aggs + profile join
+    "log_qi_profile_raw" -> ((s, d) =>
+      queries.EventsLog.qiProfileRaw(s, d)),
     // the declared mm_neardup_pairs/clusters read the memoized frame
     // pair graph (r12 drift fix); this drives the real band-join build
     "mm_neardup_pairs_raw" -> ((s, d) =>

@@ -180,7 +180,7 @@ object Dedup {
     * @return (doc_a, doc_b, shared, jacc) with jacc rounded to 4 dp —
     *         a single float divide of exact integers, identical across
     *         engines. */
-  private def candJaccard3(s: SparkSession, d: String): DataFrame = {
+  private[graft] def candJaccard3Raw(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val pairs = lshPairsShared(s, d).select($"doc_a", $"doc_b")
     val cand = pairs.select($"doc_a".as("doc_id"))
@@ -207,6 +207,18 @@ object Dedup {
         round($"shared".cast("double") / ($"na" + $"nb" - $"shared"), 4)
           .as("jacc"))
   }
+
+  /** Materialized candidate-pair exact-Jaccard table, computed ONCE per
+    * (session, dir) and shared by its FIVE declared consumers
+    * (dedup_minhash_est, dedup_bbit_minhash, dedup_band_design,
+    * dedup_threshold_sweep, dedup_audit_queue) — each was re-running
+    * the candidate shingle explode + two pair joins per query (r16
+    * optimization, the lshPairsShared discipline). One small row per
+    * candidate pair; Bench prices the real build as
+    * dedup_cand_jaccard_raw per the cache-read audit rule. */
+  private val candJacc3Cache = new FrameMemo
+  private def candJaccard3(s: SparkSession, d: String): DataFrame =
+    candJacc3Cache.get(s, d)(candJaccard3Raw(s, d).localCheckpoint())
 
   /** Materialized corpus shingle tables — the global n-gram index every
     * dedup pass builds once and every consumer reads (the text twin of

@@ -6189,7 +6189,19 @@ object EventsLog {
       .select($"user_id", $"h", $"kept")
   }
 
-  private def qiProfile(s: SparkSession, d: String): DataFrame = {
+  /** Materialized per-user QI profile, computed ONCE per (session,
+    * dir) and shared by its SIX consumers (log_k_anonymity,
+    * log_l_diversity, log_k_widen_release, log_dp_release, and — via
+    * qiClassMetrics — log_t_closeness and log_anonymize_release): the
+    * two user-keyed event aggs + join were re-run per query (r16
+    * optimization, the lshPairsShared discipline). One small row per
+    * user; Bench prices the real build as log_qi_profile_raw per the
+    * cache-read audit rule. */
+  private val qiProfileCache = new graft.engine.FrameMemo
+  private def qiProfile(s: SparkSession, d: String): DataFrame =
+    qiProfileCache.get(s, d)(qiProfileRaw(s, d).localCheckpoint())
+
+  private[graft] def qiProfileRaw(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ev = graft.Tables.t(s, d, "events")
       .select($"user_id", $"event_type",

@@ -748,7 +748,11 @@ object TextAnalysis {
         .select($"doc_id", explode(split(lower($"text"), "\\s+")).as("term"))
         .filter($"term" =!= "")
       val tf = tk.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-      val dft = tk.groupBy($"term").agg(countDistinct($"doc_id").as("df"))
+      // df re-derives from tf (r16 optimization): tf is already one row
+      // per (doc, term), so counting its rows per term IS the distinct
+      // doc frequency — the old countDistinct over the raw token stream
+      // re-ran the tokenize and a second distinct expansion
+      val dft = tf.groupBy($"term").agg(count(lit(1)).as("df"))
       val n = t(s, d, "documents").agg(count(lit(1)).as("n"))
       tf.join(broadcast(dft), "term")
         .crossJoin(broadcast(n))
@@ -771,7 +775,11 @@ object TextAnalysis {
         .select($"doc_id", explode(split(lower($"text"), "\\s+")).as("term"))
         .filter($"term" =!= "")
       val tf = tk.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-      val dft = tk.groupBy($"term").agg(countDistinct($"doc_id").as("df"))
+      // df re-derives from tf (r16 optimization): tf is already one row
+      // per (doc, term), so counting its rows per term IS the distinct
+      // doc frequency — the old countDistinct over the raw token stream
+      // re-ran the tokenize and a second distinct expansion
+      val dft = tf.groupBy($"term").agg(count(lit(1)).as("df"))
       val n = t(s, d, "documents").agg(count(lit(1)).as("n"))
       val w = Window.partitionBy($"doc_id")
         .orderBy($"tfidf".desc, $"term".asc)
