@@ -18,6 +18,20 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
+  /** Fan a narrow frame out to every core BEFORE a CPU-heavy in-row
+    * expansion (per-char/per-gram hashing, dim² products, pairwise
+    * explodes). A small-scale-factor table is one parquet file with one
+    * row group, so the scan — and every map-side expression fused into
+    * its stage — runs in ONE task while the other cores idle; the
+    * round-robin repartition spreads the expansion's input rows first.
+    * GUARDED: at 100 TB the scan already has ≫ cores splits and this
+    * is a no-op — no shuffle is added (the sim_pca_top_component
+    * precedent, generalized r16). */
+  def fanOut(spark: SparkSession, df: DataFrame): DataFrame = {
+    val par = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   /** Write `df` as a bucketed+sorted managed table (Parquet). Both sides
     * of a future join must use the SAME bucket count and key for the
     * exchanges to be elided. */

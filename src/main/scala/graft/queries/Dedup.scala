@@ -30,15 +30,30 @@ object Dedup {
   // private[graft]: PlanHygieneSpec audits this RAW build plan (the
   // memoized shingles3Shared/shingles5Shared hide it behind a
   // LogicalRDD scan)
-  private[graft] def shingles(s: SparkSession, d: String, k: Int,
-      hashed: Boolean = false): DataFrame = {
+  /** The raw (pre-distinct) k-shingle occurrence stream behind
+    * [[shingles]]. `fanned` spreads the tokenize + explode over every
+    * core FIRST (engine.Layout.fanOut, guarded no-op at scale) — only
+    * for consumers that run per-shingle hashing in the same stage
+    * (sketch_kmv_intersect's md5): for plain consumers the shingling
+    * is cheap and the distinct's exchange follows immediately, and the
+    * extra exchange measurably cost dedup_weighted_jaccard 2× (r16). */
+  private[graft] def shingleStream(s: SparkSession, d: String, k: Int,
+      fanned: Boolean = false): DataFrame = {
     import s.implicits._
-    val raw = t(s, d, "documents")
+    val base0 = t(s, d, "documents").select($"doc_id", $"text")
+    val base = if (fanned) graft.engine.Layout.fanOut(s, base0) else base0
+    base
       .select($"doc_id", toksCol.as("toks"))
       .filter(size($"toks") >= k)
       .select($"doc_id", explode(expr(
         s"transform(sequence(1, size(toks) - ${k - 1})," +
           s" i -> array_join(slice(toks, i, $k), ' '))")).as("shingle"))
+  }
+
+  private[graft] def shingles(s: SparkSession, d: String, k: Int,
+      hashed: Boolean = false): DataFrame = {
+    import s.implicits._
+    val raw = shingleStream(s, d, k)
     (if (hashed) raw.select($"doc_id", xxhash64($"shingle").as("shingle"))
      else raw).distinct()
   }
@@ -58,7 +73,11 @@ object Dedup {
     val sigCols = (1 to 6).map(i =>
       expr(s"array_min(transform(hs, h -> substring(h, ${(i - 1) * 5 + 1}, 5)))")
         .as(s"h$i"))
-    t(s, d, "documents")
+    // fan out before the md5-per-trigram map (engine.Layout.fanOut —
+    // the signature extraction stays a pure map stage, now on every
+    // core instead of the single-file scan's one task)
+    graft.engine.Layout.fanOut(s,
+        t(s, d, "documents").select($"doc_id", $"text"))
       .select($"doc_id", toksCol.as("toks"))
       .filter(size($"toks") >= 3)
       .select($"doc_id", expr(

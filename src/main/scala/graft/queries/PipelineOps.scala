@@ -126,10 +126,13 @@ object PipelineOps {
   private[graft] def cdcChunksSqlPath(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val docs = t(s, d, "documents")
-      .select($"doc_id", $"source", $"text",
-        length($"text").cast("long").as("len"))
-      .filter($"len" > 0)
+    // fan out before the per-character md5 rule scan: the single-file
+    // scan would otherwise evaluate every candidate boundary in ONE
+    // task (engine.Layout.fanOut — guarded no-op at scale)
+    val docs = graft.engine.Layout.fanOut(s, t(s, d, "documents")
+        .select($"doc_id", $"source", $"text",
+          length($"text").cast("long").as("len"))
+        .filter($"len" > 0))
     val bpos = docs.filter($"len" >= 8)
       .select($"doc_id", $"text",
         explode(expr("sequence(8, len)")).as("i"))
@@ -269,7 +272,8 @@ object PipelineOps {
     * subtrees); 24 bytes/bigram, executor-resident. */
   private[graft] def lmScoresRaw(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val bg = t(s, d, "documents")
+    val bg = graft.engine.Layout.fanOut(s, t(s, d, "documents")
+        .select($"doc_id", $"text"))
       .select($"doc_id", toksCol.as("toks"))
       .filter(size($"toks") >= 2)
       .select($"doc_id", explode(expr(
@@ -319,7 +323,8 @@ object PipelineOps {
   private[graft] def dupSpansRaw(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val grams = t(s, d, "documents")
+    val grams = graft.engine.Layout.fanOut(s, t(s, d, "documents")
+        .select($"doc_id", $"source", $"text"))
       .select($"doc_id", $"source", toksCol.as("toks"))
       .filter(size($"toks") >= 8)
       .select($"doc_id", $"source", size($"toks").cast("long").as("n_toks"),
@@ -1322,7 +1327,8 @@ object PipelineOps {
     // discipline than a per-token average, rounded to 4 as usual.
     "doc_dsir_weights" -> ((s, d) => {
       import s.implicits._
-      val db = t(s, d, "documents")
+      val db = graft.engine.Layout.fanOut(s, t(s, d, "documents")
+          .select($"doc_id", $"lang", $"text"))
         .select($"doc_id", $"lang", explode(toksCol).as("tok"))
         .withColumn("b", expr(
           "cast(conv(substring(md5(cast(tok as binary)), 1, 4), 16, 10)" +
@@ -1523,7 +1529,8 @@ object PipelineOps {
       // gram table twice more to feed the g-keyed self-join. array_sort
       // uses the same binary UTF8 ordering as the old `a.source <
       // b.source` predicate, so the pair set is identical.
-      val gsets = t(s, d, "documents")
+      val gsets = graft.engine.Layout.fanOut(s, t(s, d, "documents")
+          .select($"source", $"text"))
         .select($"source", toksCol.as("toks"))
         .filter(size($"toks") >= 8)
         .select($"source", explode(expr(
@@ -1739,7 +1746,8 @@ object PipelineOps {
     "text_contamination_ngrams" -> ((s, d) => {
       import s.implicits._
       val h = substring(md5($"doc_id".cast("string").cast("binary")), 1, 1)
-      val grams = t(s, d, "documents")
+      val grams = graft.engine.Layout.fanOut(s, t(s, d, "documents")
+          .select($"doc_id", $"text"))
         .select($"doc_id", toksCol.as("toks"),
           when(h.isin("d", "e"), "val").when(h === "f", "test")
             .otherwise("train").as("split"))
@@ -1795,7 +1803,8 @@ object PipelineOps {
     // (source, g) exchange via Spark's ReuseExchange.
     "text_dup_ngram_rate" -> ((s, d) => {
       import s.implicits._
-      val occ = t(s, d, "documents")
+      val occ = graft.engine.Layout.fanOut(s, t(s, d, "documents")
+          .select($"source", $"text"))
         .select($"source", toksCol.as("toks"))
         .filter(size($"toks") >= 8)
         .select($"source", explode(expr(
@@ -2053,7 +2062,8 @@ object PipelineOps {
         s"cast(conv(substring(md5(cast(gs as binary)), ${5 * r + 1}, 5)," +
           s" 16, 10) as bigint) % $MB")
       val h = substring(md5($"doc_id".cast("string").cast("binary")), 1, 1)
-      val grams = t(s, d, "documents")
+      val grams = graft.engine.Layout.fanOut(s, t(s, d, "documents")
+          .select($"doc_id", $"text"))
         .select($"doc_id", toksCol.as("toks"),
           when(h.isin("d", "e"), "val").when(h === "f", "test")
             .otherwise("train").as("split"))
@@ -2105,7 +2115,8 @@ object PipelineOps {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
       val mx = t(s, d, "documents").agg(max($"doc_id").as("mid"))
-      val g = t(s, d, "documents")
+      val g = graft.engine.Layout.fanOut(s, t(s, d, "documents")
+          .select($"doc_id", $"text"))
         .select($"doc_id", toksCol.as("toks"))
         .filter(size($"toks") >= 8)
         .crossJoin(broadcast(mx))

@@ -121,7 +121,11 @@ object Similarity {
     // failure mode the equi-join exists to avoid — AQE must be free to
     // switch to a shuffle join when k·dim outgrows the broadcast cap.
     // (At bench scale AQE picks broadcast at runtime anyway.)
-    emb.crossJoin(broadcast(supers))
+    // fan out before the two-level cosine assignment fold: the
+    // single-file embeddings scan would otherwise run every
+    // vector-by-centroid product in ONE task (engine.Layout.fanOut —
+    // guarded no-op at scale)
+    graft.engine.Layout.fanOut(s, emb).crossJoin(broadcast(supers))
       .select($"vec_id", $"v", superOfExpr("v").as("scell"))
       .join(groups, "scell")
       .select($"vec_id", $"v", groupProbeExpr("v", 2).as("cells"))

@@ -497,7 +497,13 @@ object Sketches {
     "sketch_kmv_intersect" -> ((s, d) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      val hs = Dedup.shingles(s, d, 3)
+      // the md5-per-shingle map rides the FANNED raw shingle stream and
+      // the distinct runs directly on (side, h) — equivalent set to the
+      // old distinct-shingles-then-hash-then-distinct (md5 is a pure
+      // function of the shingle, side of the doc), one exchange fewer,
+      // and the hash map runs on every core instead of the single-file
+      // scan's one task (r16 optimization)
+      val hs = Dedup.shingleStream(s, d, 3, fanned = true)
         .select((col("doc_id") % 2).cast("int").as("side"),
           expr("cast(conv(substring(md5(cast(shingle as binary))," +
             " 1, 15), 16, 10) as bigint)").as("h"))

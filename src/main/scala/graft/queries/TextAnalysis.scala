@@ -1245,7 +1245,7 @@ object TextAnalysis {
       : org.apache.spark.sql.DataFrame = {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
-    val sh = docs
+    val sh = graft.engine.Layout.fanOut(docs.sparkSession, docs)
       .select($"doc_id",
         expr("filter(split(lower(text), '\\\\s+'), x -> x != '')").as("toks"))
       .filter(size($"toks") >= 6) // >= 4 shingles = one full window

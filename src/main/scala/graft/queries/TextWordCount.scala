@@ -21,6 +21,10 @@ object TextWordCount {
   /** Non-empty whitespace tokens of lower(text) — shared first stage. */
   private def tokens(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // NO Layout.fanOut here (r16, measured): the wc/sketch consumers'
+    // map work is a plain tokenize — the added exchange cost a flat
+    // ~0.1-0.7 s on each of a dozen small consumers (sketch_ams_f2
+    // 3.2×, wc_word_counts 2×) and bought nothing
     t(s, d, "documents")
       .select($"doc_id", explode(split(lower($"text"), "\\s+")).as("tok"))
       .filter($"tok" =!= "")
