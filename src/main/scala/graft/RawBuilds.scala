@@ -32,6 +32,11 @@ object RawBuilds {
     // event aggs + profile join
     "log_qi_profile_raw" -> ((s, d) =>
       queries.EventsLog.qiProfileRaw(s, d)),
+    // the per-QI-class metric frame log_t_closeness and
+    // log_anonymize_release read through a FrameMemo since r17; this
+    // drives the real spendband join + lattice windows build
+    "log_qi_class_raw" -> ((s, d) =>
+      queries.EventsLog.qiClassMetricsRaw(s, d)),
     // the declared mm_neardup_pairs/clusters read the memoized frame
     // pair graph (r12 drift fix); this drives the real band-join build
     "mm_neardup_pairs_raw" -> ((s, d) =>

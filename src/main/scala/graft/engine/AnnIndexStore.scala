@@ -207,6 +207,18 @@ object AnnIndexStore {
   def snapshots(spark: SparkSession, dir: String): Seq[Long] =
     listSnapshotIds(spark, dir).sorted
 
+  /** Footer-metadata row count of a SPECIFIC snapshot generation —
+    * the driver-side twin of `loadSnapshot(...).count()`: opens exactly
+    * the snapshot's parquet footers (existence + parquet integrity +
+    * exact row total) without launching a Spark job over what may be
+    * hundreds of small cell files. Same failure semantics as a read:
+    * a vacuumed/torn snapshot fails loudly at resolution. */
+  private[graft] def snapshotRowCount(spark: SparkSession, dir: String,
+      id: Long): Long = {
+    manifest(spark, dir) // layout/version gate
+    footerRowCount(spark, dir, snapshot(spark, dir, id).files)
+  }
+
   /** Load a SPECIFIC snapshot generation — time travel for
     * reproducibility: a training run records the snapshot id whose
     * assignment it read, and any later job re-reads exactly that file
@@ -235,15 +247,22 @@ object AnnIndexStore {
     // (r14): without it each write task sprays a file into every cell
     // it holds rows for — files = tasks x cells, the small-file
     // problem compaction exists to fix, created at birth.
-    idx.repartition(col("cell")).write.mode("overwrite")
+    // Build stats ride the write job as observed metrics (r17, guide
+    // §1/§2: the separate one-row agg was a whole extra pass + job over
+    // the assignment); the distinct-cell count comes from the cell
+    // partition dirs the write itself lands (repartition(cell) puts
+    // every row of a cell in one task, partitionBy creates exactly one
+    // `cell=` dir per distinct value — the same exact integer).
+    val obs = org.apache.spark.sql.Observation()
+    idx.observe(obs, count(lit(1)).as("n"), max(size($"v")).as("dim"))
+      .repartition(col("cell")).write.mode("overwrite")
       .partitionBy("cell").parquet(s"$outDir/cells")
-    // one-row build-stats agg (bounded, legitimate collect)
-    val st = idx.agg(count(lit(1)),
-        max(size($"v")), countDistinct($"cell")).collect()(0)
-    val n = st.getLong(0)
+    val stats = obs.get
+    val n = stats("n").asInstanceOf[Long]
     require(n > 0, s"cannot index an empty corpus ($srcDir)")
-    val dim = st.getInt(1).toLong
-    val k = st.getLong(2)
+    val dim = stats("dim").asInstanceOf[Int].toLong
+    val cellFiles = listCellFiles(spark, outDir)
+    val k = cellFiles.flatMap(cellOfFile).distinct.size.toLong
     val kk = math.max(8L, math.ceil(math.sqrt(n.toDouble)).toLong)
     val kk2 = math.ceil(math.sqrt(kk.toDouble)).toLong
     // the codebook as its own artifact: the kk build centroids with
@@ -265,8 +284,7 @@ object AnnIndexStore {
     val fs = new Path(outDir).getFileSystem(hconf(spark))
     listSnapshotIds(spark, outDir).foreach(i =>
       fs.delete(snapshotPath(outDir, i), false))
-    writeSnapshot(spark, outDir,
-      Snapshot(1L, listCellFiles(spark, outDir).toList))
+    writeSnapshot(spark, outDir, Snapshot(1L, cellFiles.toList))
     val m = Manifest(Version, n, dim.toInt, k, kk, kk2, srcDir)
     writeManifest(spark, outDir, m)
     m
@@ -410,7 +428,7 @@ object AnnIndexStore {
     * add files and bump the manifest) cannot change what this frame
     * returns. basePath recovers the `cell` partition column, and
     * filters on it still prune to matching files at the scan. */
-  private def readFiles(spark: SparkSession, dir: String,
+  private[graft] def readFiles(spark: SparkSession, dir: String,
       files: Seq[String]): DataFrame =
     if (files.isEmpty) emptyCells(spark)
     else spark.read.option("basePath", s"$dir/cells")
@@ -520,21 +538,43 @@ object AnnIndexStore {
   /** The one probe fold both serving paths share: assign each query to
     * its `nprobe` nearest coarse cells (super→group, the build fold),
     * scan only those cells, rank by the house rounded-cosine/
-    * ties-by-id rule. */
+    * ties-by-id rule. Factored (r17) into [[probeCells]] + [[rankTopK]]
+    * so an audit serving the SAME panel against several snapshots of
+    * one index (compact/vacuum never touch the quantizer, so the cell
+    * assignment is invariant across them) can compute the probe fold
+    * once and re-rank per snapshot instead of re-deriving the quantizer
+    * broadcast chain per serve. */
   private def searchWith(spark: SparkSession, index: DataFrame,
       supers: DataFrame, groups: DataFrame, queries: DataFrame,
-      k: Int, nprobe: Int): DataFrame = {
+      k: Int, nprobe: Int): DataFrame =
+    rankTopK(spark, probeCells(spark, queries, supers, groups, nprobe),
+      index, k)
+
+  /** Assign each query row (q_id, q) to its `nprobe` candidate cells —
+    * (q_id, q, cell), one row per probed cell. Deterministic in
+    * (queries, quantizer): exactly the build-side assignment fold. */
+  private[graft] def probeCells(spark: SparkSession, queries: DataFrame,
+      supers: DataFrame, groups: DataFrame, nprobe: Int): DataFrame = {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
     // NO broadcast hint on the groups join (the ivfCellsRaw rule): AQE
     // must stay free to switch to a shuffle join when k·dim outgrows
     // the broadcast cap; at bench scale it picks broadcast at runtime
-    val probed = queries.crossJoin(broadcast(supers))
+    queries.crossJoin(broadcast(supers))
       .select($"q_id", $"q",
         graft.queries.Similarity.superOfExpr("q").as("scell"))
       .join(groups, "scell")
       .select($"q_id", $"q", explode(
         graft.queries.Similarity.groupProbeExpr("q", nprobe)).as("cell"))
+  }
+
+  /** Rank a probed panel (q_id, q, cell) against an index frame: scan
+    * only the probed cells, rank by the house rounded-cosine/ties-by-id
+    * rule, keep the top `k` per query. */
+  private[graft] def rankTopK(spark: SparkSession, probed: DataFrame,
+      index: DataFrame, k: Int): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"q_id").orderBy($"nsim".asc, $"vec_id".asc)
     probed.join(index, "cell")

@@ -86,11 +86,18 @@ object BpeStore {
   }
 
   /** Fit a tokenizer on `srcDir`'s documents (bounded top-K sample)
-    * and persist merges + vocab + manifest under `outDir`. */
+    * and persist merges + vocab + manifest under `outDir`.
+    * `fitSample` short-circuits the corpus fit scan when the caller
+    * already holds the top-K sample (it is a deterministic pure
+    * function of (srcDir, sampleTopK), so passing it changes nothing
+    * but the scan count — the roundtrip row computes it once and
+    * shares it with the fresh-encode and staleness sides, r17). */
   def save(spark: SparkSession, srcDir: String, outDir: String,
-      nMerges: Int = 32, sampleTopK: Int = 512): Manifest = {
+      nMerges: Int = 32, sampleTopK: Int = 512,
+      fitSample: Option[Array[(String, Long)]] = None): Manifest = {
     import spark.implicits._
-    val vocab = BpeTokenizer.fitVocab(spark, srcDir, sampleTopK)
+    val vocab = fitSample
+      .getOrElse(BpeTokenizer.fitVocab(spark, srcDir, sampleTopK))
     val merges = BpeTokenizer.learn(vocab, nMerges)
     merges.zipWithIndex
       .map { case ((l, r), i) => (i, l, r) }
@@ -170,13 +177,18 @@ object BpeStore {
     * still in it (overlap·5 < n_stored·4, integer arithmetic). Writes
     * the updated manifest; returns (manifest, overlap, n_stored). */
   def refreshStaleFlag(spark: SparkSession, dir: String,
-      srcDir: String): (Manifest, Long, Long) = {
+      srcDir: String,
+      currentFit: Option[Array[(String, Long)]] = None)
+      : (Manifest, Long, Long) = {
     import spark.implicits._
     val m = manifest(spark, dir)
     val stored = spark.read.parquet(s"$dir/vocab")
       .select($"word").as[String].collect().toSet
-    val current = BpeTokenizer
-      .fitVocab(spark, srcDir, m.sample_top_k).iterator.map(_._1).toSet
+    // currentFit: same short-circuit contract as save's fitSample —
+    // the caller-provided sample must be fitVocab(srcDir, sample_top_k)
+    val current = currentFit
+      .getOrElse(BpeTokenizer.fitVocab(spark, srcDir, m.sample_top_k))
+      .iterator.map(_._1).toSet
     val overlap = stored.count(current).toLong
     val stale = overlap * 5L < stored.size.toLong * 4L
     val m2 = m.copy(fit_stale = stale)

@@ -272,8 +272,17 @@ object PipelineOps {
     * subtrees); 24 bytes/bigram, executor-resident. */
   private[graft] def lmScoresRaw(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val bg = graft.engine.Layout.fanOut(s, t(s, d, "documents")
-        .select($"doc_id", $"text"))
+    // NO fanOut here (r17, reverting half of f3c2ba9 per VERDICT r16
+    // item 2): the driver measured this row 0.77 → 1.15 s at 32 cores
+    // after the r16 fanOut, and an interleaved 3-round A/B on the r17
+    // host confirmed it reproducibly loses at 32 cores (tiers min
+    // 1.87 s with vs 0.87 s without; bigram_lm 0.94 vs 0.69) while the
+    // 8-core runs are a wash. Unlike the md5-per-char CDC sites, the
+    // bigram map work is light per text byte, so the round-robin
+    // exchange ships the whole text column for less map time than the
+    // shuffle itself costs.
+    val bg = t(s, d, "documents")
+        .select($"doc_id", $"text")
       .select($"doc_id", toksCol.as("toks"))
       .filter(size($"toks") >= 2)
       .select($"doc_id", explode(expr(

@@ -395,11 +395,27 @@ object TextAnalysis {
             "merges_bounded", "fit_stale")
       else {
         val dir = Similarity.idxScratch("bpe", d)
-        val m = graft.engine.BpeStore.save(s, d, dir)
+        // ONE corpus fit per rep (r17): the top-512 fit sample is a
+        // deterministic pure function of the immutable corpus, and the
+        // r16 form recomputed it THREE times per rep (inside save, the
+        // fresh-encode side, and the staleness refresh) — three full
+        // corpus tokenize+agg scans for one value. Sharing it keeps
+        // every roundtrip contract live: the merge table still
+        // round-trips through parquet (the stored side encodes with
+        // ranks LOADED from disk), the fresh side still encodes with
+        // the in-memory learn, and the refresh still compares the
+        // PERSISTED vocab against the current sample.
+        val vocab = graft.engine.BpeTokenizer.fitVocab(s, d, 512)
+        val m = graft.engine.BpeStore.save(s, d, dir,
+          fitSample = Some(vocab))
         val stored = graft.engine.BpeStore.encodeStoredCounts(s, dir, d)
-        val fresh = graft.engine.BpeTokenizer.corpusTokenCounts(s, d)
+        val ranks = graft.engine.BpeTokenizer.learn(vocab, 32)
+          .zipWithIndex.toMap
+        val fresh = graft.engine.BpeTokenizer
+          .tokenCountsBySource(s, d, ranks)
           .select($"source", $"n_tokens".as("fresh_tokens"))
-        val (m2, _, _) = graft.engine.BpeStore.refreshStaleFlag(s, dir, d)
+        val (m2, _, _) = graft.engine.BpeStore.refreshStaleFlag(s, dir, d,
+          currentFit = Some(vocab))
         // merges_bounded, not a hard n_merges = 32 pin (ADVICE r14):
         // learn() stops early when pair candidates are exhausted, so a
         // low-diversity corpus legitimately yields fewer merges — the

@@ -122,10 +122,9 @@ class PlanHygieneSpec extends SparkSpec {
                              // recall diagnostic's ground truth exists only
                              // over the vec_id%2 half-sample, never in a
                              // dedup path) + 1-row hit aggs for the gain row
-    "log_t_closeness",       // 1-row (N, B) totals scalar + the bounded
-                             // band-alphabet broadcast building the
-                             // class x band EMD grid (domain-bounded,
-                             // like the centroid-table exemptions)
+    // log_t_closeness dropped (r17): the shared qiClassMetrics memo
+    // reads back as a LogicalRDD, so its scalar BNLJ no longer appears
+    // in this query's own plan
     "log_anonymize_release", // the same class-metric scalars (via the
                              // shared qiClassMetrics) + the 1-row
                              // release-wide k_min scalar broadcast
@@ -144,9 +143,9 @@ class PlanHygieneSpec extends SparkSpec {
     "sim_ivf_probe_cost",    // 1-row 8-centroid codebook broadcast
     "doc_coreset_weights",   // 1-row 8-seed codebook broadcast
     "sim_norm_outliers",     // two 1-row median/p90 scalar broadcasts
-    "sim_index_append_serve",// 1-row stored-codebook (supers) broadcast —
-                             // the persisted-index serve replays the
-                             // ivfCells assignment fold
+    // sim_index_append_serve dropped (r17): the serve reuses append's
+    // persisted (cell, cell2) probe list, so the stored-codebook BNLJ
+    // replay no longer appears in the plan
     "sim_recall_bounds",     // wraps sim_recall_eval + 5-row floor table
     "sim_power_iteration",   // 1-row norm scalars (n1, n2) between passes
     "log_forecast_baseline", // inherits log_gapfill's 1-row hour bounds
