@@ -37,6 +37,11 @@ object RawBuilds {
     // drives the real spendband join + lattice windows build
     "log_qi_class_raw" -> ((s, d) =>
       queries.EventsLog.qiClassMetricsRaw(s, d)),
+    // the per-doc cascade attribution dedup_cascade and
+    // dedup_cascade_spans read through a FrameMemo since r17; this
+    // drives the real exact→near→semantic funnel build
+    "dedup_cascade_att_raw" -> ((s, d) =>
+      queries.Similarity.cascadeAttributionRaw(s, d)),
     // the declared mm_neardup_pairs/clusters read the memoized frame
     // pair graph (r12 drift fix); this drives the real band-join build
     "mm_neardup_pairs_raw" -> ((s, d) =>

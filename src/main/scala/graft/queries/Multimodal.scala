@@ -331,9 +331,12 @@ object Multimodal {
           octet_length($"text".cast("binary")).cast("long").as("nb"))
         .groupBy($"shard")
         .agg(count(lit(1)).as("n_media"), sum($"nb").as("total_bytes"))
-        .withColumn("all_bytes",
-          sum($"total_bytes").over(Window.partitionBy()))
-        .withColumn("n_shards", count(lit(1)).over(Window.partitionBy()))
+        // totals as ONE broadcast scalar row, not two global windows
+        // (r17, verdict ask #7): no single-partition WindowExec; the
+        // shard agg is shared via ReuseExchange
+        .transform(sh => sh.crossJoin(broadcast(sh.agg(
+          sum($"total_bytes").as("all_bytes"),
+          count(lit(1)).as("n_shards")))))
         .select($"shard", $"n_media", $"total_bytes",
           round($"total_bytes".cast("double") / $"all_bytes", 4)
             .as("byte_share"),

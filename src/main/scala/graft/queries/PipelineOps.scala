@@ -563,21 +563,41 @@ object PipelineOps {
     // frame on the same key. The 1-row corpus-savings scalar is a
     // broadcast. Identical-hash chunks have identical text, so
     // max(clen) per hash is THE chunk length, not an approximation.
+    // ONE chunker pass (r17, guide §2.3/§2.4): the r16 form evaluated
+    // the `chunks` subtree twice — once under the freq agg and once as
+    // the corpus-scale join side shuffled by chash (two full md5-chunker
+    // executions; the exchanges differ so ReuseExchange cannot merge
+    // them). Now everything reduces off a single (chash, source)
+    // pre-aggregation; the corpus-wide instance count per hash and the
+    // one-clen-per-hash marker come from windows over that aggregated
+    // frame, and the global-savings scalar folds off the per-source
+    // rollup (bd = ba − Σ_h clen_h, exactly the old sum((cnt−1)·clen1)).
+    // Identical-hash chunks have identical text, so bytes per source =
+    // Σ cnt_cs·clen1 is exact, not an approximation.
     "doc_cdc_dedup" -> ((s, d) => {
       import s.implicits._
-      val chunks = cdcChunks(s, d)
-      val freq = chunks.groupBy($"chash")
-        .agg(count(lit(1)).as("cnt"), max($"clen").as("clen1"))
-      val global = freq
-        .agg(sum($"cnt" * $"clen1").as("ba"),
-          sum(($"cnt" - 1) * $"clen1").as("bd"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"chash")
+      val cs = cdcChunks(s, d)
+        .groupBy($"chash", $"source")
+        .agg(count(lit(1)).as("cnt_cs"), max($"clen").as("clen1"))
+        .withColumn("cnt", sum($"cnt_cs").over(w))
+        .withColumn("first_of_hash", $"source" === min($"source").over(w))
+      val perSource = cs.groupBy($"source")
+        .agg(sum($"cnt_cs").as("n_chunks"),
+          sum($"cnt_cs" * $"clen1").as("bytes"),
+          sum(when($"cnt" > 1, $"cnt_cs").otherwise(0L))
+            .as("n_dup_chunks"),
+          sum(when($"cnt" > 1, $"cnt_cs" * $"clen1").otherwise(0L))
+            .as("dup_bytes"),
+          sum(when($"first_of_hash", $"clen1").otherwise(0L))
+            .as("uniq_bytes"))
+      val global = perSource
+        .agg(sum($"bytes").as("ba"),
+          (sum($"bytes") - sum($"uniq_bytes")).as("bd"))
         .select(round($"bd".cast("double") / $"ba", 4)
           .as("global_savings_share"))
-      chunks.join(freq.select($"chash", $"cnt"), "chash")
-        .groupBy($"source")
-        .agg(count(lit(1)).as("n_chunks"), sum($"clen").as("bytes"),
-          sum(when($"cnt" > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
-          sum(when($"cnt" > 1, $"clen").otherwise(0L)).as("dup_bytes"))
+      perSource
         .crossJoin(broadcast(global))
         .select($"source", $"n_chunks", $"bytes", $"n_dup_chunks",
           round($"dup_bytes".cast("double") / $"bytes", 4)
@@ -595,15 +615,25 @@ object PipelineOps {
     // by exact integer cross-multiplication (2·shared ≥ bytes) — no
     // float enters the verdict. Scale shape: one chunk-hash agg (the
     // same dedup shuffle), one equi-join back, one doc-keyed agg.
+    // ONE chunker pass (r17, same restructure as doc_cdc_dedup): the
+    // (chash, doc_id) pre-aggregation replaces both the spread agg and
+    // the corpus-scale join-back; nd = rows per chash over that frame
+    // IS countDistinct(doc_id) (the group key dedupes), and per-doc
+    // byte sums reconstruct exactly from cnt_cd·clen1 (identical-hash
+    // chunks have identical text, hence identical length).
     "doc_chunk_containment" -> ((s, d) => {
       import s.implicits._
-      val chunks = cdcChunks(s, d)
-      val spread = chunks.groupBy($"chash")
-        .agg(countDistinct($"doc_id").as("nd"))
-      chunks.join(spread, "chash")
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"chash")
+      cdcChunks(s, d)
+        .groupBy($"chash", $"doc_id")
+        .agg(count(lit(1)).as("cnt_cd"), max($"clen").as("clen1"))
+        .withColumn("nd", count(lit(1)).over(w))
         .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_chunks"), sum($"clen").as("bytes"),
-          sum(when($"nd" > 1, $"clen").otherwise(0L)).as("shared_bytes"))
+        .agg(sum($"cnt_cd").as("n_chunks"),
+          sum($"cnt_cd" * $"clen1").as("bytes"),
+          sum(when($"nd" > 1, $"cnt_cd" * $"clen1").otherwise(0L))
+            .as("shared_bytes"))
         .select($"doc_id", $"n_chunks", $"bytes", $"shared_bytes",
           round($"shared_bytes".cast("double") / $"bytes", 4)
             .as("containment"),
@@ -2223,17 +2253,20 @@ object PipelineOps {
     // on the source-alphabet frame.
     "doc_mixture_targets" -> ((s, d) => {
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy()
+      // corpus totals as broadcast scalars, not three global windows
+      // (r17, verdict ask #7): two scalar stages because teff depends
+      // on the factor derived from the first totals row; the tokenize
+      // agg subtree is shared via ReuseExchange, never re-derived
       t(s, d, "documents")
         .select($"source", explode(toksCol).as("tok"))
         .groupBy($"source").agg(count(lit(1)).as("stok"))
-        .withColumn("n_src", count(lit(1)).over(w))
-        .withColumn("ttok", sum($"stok").over(w))
+        .transform(sa => sa.crossJoin(broadcast(sa.agg(
+          count(lit(1)).as("n_src"), sum($"stok").as("ttok")))))
         .withColumn("factor_e4", least(lit(30000L),
           expr("(ttok * 10000) div (n_src * stok)")))
         .withColumn("eff_tok", expr("(stok * factor_e4) div 10000"))
-        .withColumn("teff", sum($"eff_tok").over(w))
+        .transform(fa => fa.crossJoin(broadcast(fa.agg(
+          sum($"eff_tok").as("teff")))))
         .select($"source", $"stok".as("n_tokens"),
           round($"stok".cast("double") / $"ttok", 4)
             .as("actual_share"),

@@ -1034,10 +1034,12 @@ object TextAnalysis {
         .agg(sum($"c").as("n_tokens"), count(lit(1)).as("vocab"),
           sum(round(($"c" * log($"c".cast("double") / $"cw")) * 1e6)
             .cast("long")).as("a_e6"))
-        // N as a global window over the source-alphabet frame (~tens
-        // of rows) — the doc_sample_unimax bounded-window discipline;
-        // no re-derivation of the tokenize subtree, no scalar join
-        .withColumn("nn", sum($"n_tokens").over(Window.partitionBy()))
+        // N as a broadcast scalar, not a global window (r17, verdict
+        // ask #7): kills the single-partition WindowExec barrier; the
+        // tokenize subtree is NOT re-derived — ReuseExchange dedupes
+        // below the shared source exchange
+        .transform(sa => sa.crossJoin(
+          broadcast(sa.agg(sum($"n_tokens").as("nn")))))
         .select($"source", $"n_tokens", $"vocab",
           round(($"a_e6".cast("double") / 1e6) / $"n_tokens"
             + log($"nn".cast("double") / $"n_tokens"), 4).as("kl"))

@@ -108,7 +108,18 @@ class PlanHygieneSpec extends SparkSpec {
     "doc_epoch_plan",        // 1-row corpus-total agg + 1-row chosen (k,m)
     "doc_epoch_expand",      // same water-fill scalars feeding the manifest
     "dedup_df_profile",      // 1-row total-occurrence-mass agg
-    "log_ab_cuped",          // 1-row ts min/max bounds scalar
+    "log_ab_cuped",          // 1-row ts min/max bounds scalar + 1-row
+                             // pooled-sums scalar (was 6 global
+                             // windows, r17 verdict ask #7)
+    "text_kl_source_drift",  // 1-row corpus-token-total scalar (was a
+                             // global window, r17 verdict ask #7)
+    "log_markov_stationary", // 1-row event-total scalar (was a global
+                             // window, r17 verdict ask #7)
+    "mm_bytes_balance",      // 1-row (all_bytes, n_shards) scalar (was
+                             // 2 global windows, r17 verdict ask #7)
+    "doc_mixture_targets",   // 1-row (n_src, ttok) + 1-row teff scalars
+                             // (was 3 global windows, r17 verdict
+                             // ask #7)
     "log_ab_sequential",     // 1-row ts bounds + 5-row look lattice
                              // over the <=60-row (variant,fs,cs) hist
     "log_chi2_independence", // 1-row (N, rows, cols) totals scalar
