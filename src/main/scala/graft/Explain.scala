@@ -10,8 +10,11 @@ import org.apache.spark.sql.SparkSession
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    // raw build rows included (r17): the optimization audit dumps
+    // before/after plans for *_raw rows too
+    val inventory = SparkEntry.queries ++ RawBuilds.map
     val names = if (args.length > 1) args.tail.toSeq
-      else SparkEntry.queries.keys.toSeq.sorted
+      else inventory.keys.toSeq.sorted
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -22,7 +25,7 @@ object Explain {
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      inventory(n)(spark, sfDir).explain("formatted")
     }
     spark.stop()
   }

@@ -3015,11 +3015,15 @@ object EventsLog {
           (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
       val pi = markovIterate(edges).toSeq
         .toDF("event_type", "p_e10")
+      // tot stays a window over the ≤64-row type frame (r17 verdict
+      // ask #7 EXAMINED and deliberately kept): the broadcast-scalar
+      // form was tried and REVERTED — the pi equi-join pushes
+      // IsNotNull(event_type) into the main branch only, the two scan
+      // subtrees stop canonicalizing equal, ReuseExchange never fires
+      // (verified on the executed plan) and the events scan runs TWICE.
       val emp = ev.groupBy($"event_type").agg(count(lit(1)).as("n"))
-        // global total as a broadcast scalar, not a global window
-        // (r17, verdict ask #7; ReuseExchange shares the type agg)
-        .transform(ea => ea.crossJoin(
-          broadcast(ea.agg(sum($"n").as("tot")))))
+        .withColumn("tot", sum($"n").over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
         .select($"event_type", expr(
           "cast((2 * cast(n as decimal(38,0)) * 10000000000 + tot)" +
             " div (2 * tot) as bigint)").as("emp_e10"))

