@@ -982,12 +982,23 @@ object PipelineOps {
           "transform(sequence(1, size(toks) - 9, 10)," +
             " i -> array_join(slice(toks, i, 10), ' '))")).as("unit"))
         .select($"doc_id", md5($"unit".cast("binary")).as("h"))
-      val docsPer = units.select($"doc_id", $"h").distinct()
-        .groupBy($"h").agg(count(lit(1)).as("n_docs_with"))
-      units.join(docsPer, "h")
+      // ONE tokenize+md5 pass (r17, the doc_chunk_containment
+      // restructure): the r16 form evaluated `units` twice — once
+      // under the distinct+spread agg and once as the corpus-scale
+      // join side keyed on h (different exchange keys, so
+      // ReuseExchange could not merge them). The (h, doc_id)
+      // pre-aggregation replaces both: n_docs_with = rows per h over
+      // that frame (the group key dedupes — exactly the old
+      // distinct+count), and per-doc unit counts reconstruct exactly
+      // from the per-(h, doc) instance counts.
+      import org.apache.spark.sql.expressions.Window
+      units.groupBy($"h", $"doc_id").agg(count(lit(1)).as("cnt"))
+        .withColumn("n_docs_with",
+          count(lit(1)).over(Window.partitionBy($"h")))
         .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_units"),
-          sum(when($"n_docs_with" >= 2, 1L).otherwise(0L)).as("n_boiler"))
+        .agg(sum($"cnt").as("n_units"),
+          sum(when($"n_docs_with" >= 2, $"cnt").otherwise(0L))
+            .as("n_boiler"))
         .select($"doc_id", $"n_units", $"n_boiler",
           round($"n_boiler".cast("double") / $"n_units", 4).as("boiler_ratio"))
         .orderBy($"doc_id")
@@ -1274,9 +1285,16 @@ object PipelineOps {
           expr("size(slice(toks, start + 1, 20))").cast("long").as("n_toks"),
           md5(expr("array_join(slice(toks, start + 1, 20), ' ')")
             .cast("binary")).as("h"))
-      val first = blocks.groupBy($"h")
-        .agg(min(struct($"doc_id", $"start")).as("fo"))
-      blocks.join(first, "h")
+      // ONE tokenize+md5 pass (r17): the r16 form evaluated `blocks`
+      // twice — under the min-per-hash agg and as the join side (the
+      // partial-agg exchange and the raw-row exchange differ, so
+      // ReuseExchange could not merge them). The same h-keyed exchange
+      // now feeds a per-hash window min — identical lexicographic
+      // struct-min semantics, no join-back, half the scans.
+      import org.apache.spark.sql.expressions.Window
+      blocks
+        .withColumn("fo", min(struct($"doc_id", $"start"))
+          .over(Window.partitionBy($"h")))
         .withColumn("is_first",
           struct($"doc_id", $"start") === $"fo")
         .groupBy($"doc_id")
@@ -1794,13 +1812,23 @@ object PipelineOps {
         .select($"doc_id", $"split", explode(expr(
           "transform(sequence(1, size(toks) - 7)," +
             " i -> xxhash64(array_join(slice(toks, i, 8), ' ')))")).as("g"))
-      val trainSet = grams.filter($"split" === "train")
-        .select($"g").distinct().withColumn("hit", lit(1L))
-      grams.filter($"split" =!= "train")
-        .join(trainSet, Seq("g"), "left_outer")
+      // ONE gram-stream pass (r17): the r16 form evaluated `grams`
+      // twice — the train-side distinct and the eval-side probe carry
+      // different filters, so ReuseExchange could not merge them. The
+      // (g, doc_id, split) pre-aggregation (one row per doc per gram —
+      // the dup-ngram anti-skew discipline: a viral gram contributes
+      // one row per doc, occurrences folded map-side) feeds a per-gram
+      // window that flags grams any train doc carries; identical
+      // membership semantics, no join, half the tokenize+hash scans.
+      import org.apache.spark.sql.expressions.Window
+      grams.groupBy($"g", $"doc_id", $"split")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("hit", max(when($"split" === "train", 1L))
+          .over(Window.partitionBy($"g")))
+        .filter($"split" =!= "train")
         .groupBy($"doc_id", $"split")
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when($"hit".isNotNull, 1L).otherwise(0L)).as("n_hit"))
+        .agg(sum($"cnt").as("n_grams"),
+          sum(when($"hit" === 1L, $"cnt").otherwise(0L)).as("n_hit"))
         .select($"doc_id", $"split", $"n_grams", $"n_hit",
           round($"n_hit".cast("double") / $"n_grams", 4).as("hit_ratio"),
           ($"n_hit" * 10 >= $"n_grams").as("contaminated"))
