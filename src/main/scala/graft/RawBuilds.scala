@@ -37,6 +37,11 @@ object RawBuilds {
     // drives the real spendband join + lattice windows build
     "log_qi_class_raw" -> ((s, d) =>
       queries.EventsLog.qiClassMetricsRaw(s, d)),
+    // the per-doc DSIR score table doc_dsir_weights and
+    // doc_dsir_select read through a FrameMemo since r17; this drives
+    // the real tokenize + bucket + LLR build
+    "doc_dsir_raw" -> ((s, d) =>
+      queries.PipelineOps.dsirScoresRaw(s, d)),
     // the per-doc cascade attribution dedup_cascade and
     // dedup_cascade_spans read through a FrameMemo since r17; this
     // drives the real exact→near→semantic funnel build

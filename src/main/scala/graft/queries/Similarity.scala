@@ -3057,10 +3057,19 @@ object Similarity {
         .select($"vec_a", $"vec_b")
       val sym = ed.select($"vec_a".as("src"), $"vec_b".as("dst"))
         .unionAll(ed.select($"vec_b".as("src"), $"vec_a".as("dst")))
-      val deg = sym.groupBy($"src").agg(count(lit(1)).as("deg"))
+      // ONE mutual-kNN evaluation (r17): the r16 form consumed `sym`
+      // three ways (degree agg + two join sides, differently-keyed
+      // exchanges — no reuse), re-running the kNN edge build per
+      // consumer. Degrees ride two windows over the edge frame
+      // instead: count over (partition by src) IS deg(src), and by
+      // symmetry (every (a,b) has its (b,a) twin) the rows per dst
+      // equal the rows per src, so count over (partition by dst) IS
+      // deg(dst) — identical integers, no joins, no re-evaluation.
       sym
-        .join(deg.toDF("src", "dx"), "src")
-        .join(deg.toDF("dst", "dy"), "dst")
+        .withColumn("dx", count(lit(1))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy($"src")))
+        .withColumn("dy", count(lit(1))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy($"dst")))
         .agg(count(lit(1)).as("n_ends"), sum($"dx").as("sx"),
           sum($"dx" * $"dx").as("sxx"), sum($"dx" * $"dy").as("sxy"))
         .select(($"n_ends" / 2).cast("long").as("n_edges"),
