@@ -88,8 +88,9 @@ class PlanHygieneSpec extends SparkSpec {
     "log_rfm",               // 1-row quartile-boundary agg (3x3 values)
     "doc_token_budget",      // 1-row total-token budget agg
     "doc_sample_weighted",   // 1-row PPS step (total weight / k) agg
-    "doc_dsir_weights",      // 1-row (R,T) model-total agg
-    "doc_dsir_select",       // inherits doc_dsir_weights' 1-row totals
+    // doc_dsir_weights / doc_dsir_select dropped (r17): both read the
+    // memoized DSIR score table, so the (R,T) totals BNLJ lives in the
+    // doc_dsir_raw build now, not in these queries' own plans
     "text_perplexity_tiers", // 1-row scored-doc count agg
     "doc_sample_temperature",// 1-row temperature-weight sum agg
     "doc_sample_unimax",     // 1-row source count + 1-row first-uncapped agg
