@@ -2267,16 +2267,25 @@ object Similarity {
           |  'cent_id', ct.cent_id)))""".stripMargin)
       val assigned = emb.crossJoin(broadcast(codebook8(s, d)))
         .select($"vec_id", $"v", am.getField("cent_id").as("cl"))
-      val nAssigned = assigned.groupBy($"cl").agg(count(lit(1)).as("n_assigned"))
+      // ONE argmin pass (r17): the separate n_assigned agg pruned `v`,
+      // so its subtree stopped canonicalizing equal to the mean-update
+      // branch and the broadcast-codebook assignment fold ran TWICE
+      // (executed plan: 9 parquet scans). n_assigned rides the same
+      // exploded per-(cl, i) agg instead: embeddings are fixed-dim by
+      // the dataset contract (the sim_pca co-moment derivation leans
+      // on the same fact), so the count per (cl, i) IS the cluster's
+      // assigned-row count for every i.
       val c1 = assigned.select($"cl", posexplode($"v"))
         .toDF("cl", "i", "a")
-        .groupBy($"cl", $"i").agg(round(avg($"a"), 6).as("m"))
+        .groupBy($"cl", $"i").agg(round(avg($"a"), 6).as("m"),
+          count(lit(1)).as("cnt"))
         .groupBy($"cl")
         .agg(expr("transform(array_sort(collect_list(struct(i, m)))," +
-          " x -> x.m)").as("c1"))
+          " x -> x.m)").as("c1"),
+          max($"cnt").as("n_assigned"))
       val c0 = emb.filter($"vec_id" < 8)
         .select($"vec_id".as("cl"), $"v".as("c0"))
-      c1.join(c0, "cl").join(nAssigned, "cl")
+      c1.join(c0, "cl")
         .select($"cl".as("cent_id"), $"n_assigned",
           round(sqrt(expr(
             "aggregate(zip_with(c1, c0, (x, y) -> (x - y) * (x - y))," +
